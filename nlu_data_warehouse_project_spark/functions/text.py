@@ -1,0 +1,163 @@
+"""Text-analysis column expressions for large-scale training-data
+pipelines (BASELINE.json north star: token counting, quality scoring,
+language-ID, fingerprinting over the ``documents`` table).
+
+Everything here is built-in-function composition (split / regexp /
+higher-order array functions) — JVM-side, whole-stage-codegen'd, no
+Python in the hot path.  Each expression has a deliberately
+SQL-expressible definition so the DuckDB oracle can mirror it
+verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# minimal per-language stopword lists for the n-gram/stopword heuristic
+# language identifier (public common-word lists, truncated)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我", "他", "这"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty tokens dropped."""
+    return F.filter(F.split(F.trim(_c(col)), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: split on word/number/punct boundaries
+    (letters+digits runs and single punctuation marks each count)."""
+    return F.size(
+        F.filter(
+            F.split(_c(col), r"(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"),
+            lambda t: (t != "") & (t != " "),
+        )
+    )
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_c(col))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space —
+    a standard quality-scoring signal."""
+    c = _c(col)
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_fraction(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(F.lower(_c(col)))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: rewards reasonable length,
+    low punctuation noise, presence of stopwords (fluent prose)."""
+    n = token_count(col)
+    length_ok = F.when((n >= 10) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    low_punct = F.when(punct_ratio(col) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    has_stop = F.when(stopword_fraction(col) > 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (length_ok + low_punct + has_stop) / F.lit(3.0)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-vote language identifier: the language whose stopword
+    list hits the most tokens; 'und' (undetermined) when no list hits.
+    Ties break by language code order (deterministic)."""
+    toks = tokens(F.lower(_c(col)))
+
+    def _membership(words: list[str]):
+        return lambda t: t.isin(*words)
+
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, _membership(words))).alias("score"),
+            F.lit(code).alias("lang"),
+        )
+        for code, words in sorted(STOPWORDS.items())
+    ]
+    # array_max on (score, lang) structs: lexicographic -> highest score,
+    # then highest lang code; flip lang ordering by sorting desc first
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) — the near-dup unit for
+    MinHash / Jaccard.  Documents shorter than n tokens yield the whole
+    text as a single shingle."""
+    toks = tokens(_c(col))
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return ngrams
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 8, n: int = 3) -> Column:
+    """MD5-based MinHash signature: for seed i, min over shingles of
+    md5(i:shingle).  MD5 (not Spark's murmur hash) so independent
+    engines can reproduce signatures bit-for-bit."""
+    sh = shingles(col, n)
+
+    # NB: the lambda must take exactly one parameter — with two,
+    # F.transform binds the second to the array index
+    def _hasher(i: int):
+        prefix = f"{i}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sigs = [F.array_min(F.transform(sh, _hasher(i))) for i in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text
+    (the exact-dedup key — normalization makes trivially-reformatted
+    copies collide)."""
+    return F.md5(F.concat_ws(" ", tokens(F.lower(_c(col)))))
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens.
+
+    Per token: take the first 16 hex chars of md5 as a 64-bit integer;
+    for each bit, vote +1/-1; fingerprint bit = sign of the vote.
+    Near-duplicate docs differ in few bits (compare with
+    ``bit_count(a ^ b)``).  Pure higher-order-function expression.
+    """
+    toks = tokens(F.lower(_c(col)))
+    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    # vote per bit: count of tokens with bit set vs total
+    total = F.size(hashes)
+    bits = [
+        F.when(
+            F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0)) * 2 > total,
+            F.lit(1 << b),
+        ).otherwise(F.lit(0))
+        for b in range(60)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out

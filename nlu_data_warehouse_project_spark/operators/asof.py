@@ -1,0 +1,80 @@
+"""As-of (point-in-time) join — an operator the reference lacks and
+Spark has no built-in for; composed from union + a running ``last()``
+window, so it scales as one shuffle on (key, time) instead of a per-row
+correlated subquery.
+
+Semantics: for each left row, attach the payload of the latest right
+row with the same key and ``right_ts <= left_ts`` (backward as-of, left
+outer).  With ``tolerance`` set (seconds), matches older than the
+tolerance are nulled out.
+
+Algorithm (the standard streaming-merge formulation):
+  1. union left and right into one (key, ts)-ordered stream, right rows
+     sorted before left rows at equal ts (<= semantics),
+  2. per key, carry each right payload column forward with
+     last(ignorenulls=True) over rows unbounded-preceding..current,
+  3. keep only left rows.
+One hash shuffle on the key + an in-partition sort: the same cost
+profile as a regular sort-merge join, robust at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Backward as-of left join; right payload columns (everything but
+    ``on``/``right_ts``) are appended, plus ``right_ts`` itself."""
+    payload_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    l_tagged = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+        F.lit(None).cast("timestamp").alias("__rts"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in payload_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
+        F.col(right_ts).cast("timestamp").alias("__rts"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+    )
+
+    merged = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "__key",
+        "__ts",
+        "__is_left",
+        "__left",
+        F.last("__rts", ignorenulls=True).over(w).alias(right_ts),
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    ).filter(F.col("__is_left") == 1)
+
+    if tolerance is not None:
+        stale = F.col("__ts").cast("double") - F.col(right_ts).cast("double") > tolerance
+        carried = carried.select(
+            "__key", "__ts", "__is_left", "__left",
+            F.when(stale, F.lit(None).cast("timestamp")).otherwise(F.col(right_ts)).alias(right_ts),
+            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in payload_cols],
+        )
+
+    out_cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
+    return carried.select(*out_cols, F.col(right_ts), *[F.col(c) for c in payload_cols])

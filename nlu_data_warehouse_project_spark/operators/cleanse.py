@@ -1,0 +1,87 @@
+"""Set-based cleanse operators (SURVEY.md §2.5 F1/F2).
+
+The reference runs these as two UPDATE/DELETE statements inside
+Postgres after the row-loop load (`transform_data`,
+`load_to_staging.py:191-245`).  Here they are narrow/shuffle-minimal
+DataFrame transforms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import NULL_REPAIR_NUMBER, NULL_REPAIR_STRING
+
+
+def repair_nulls(
+    df: DataFrame,
+    string_cols: list[str] | None = None,
+    numeric_cols: list[str] | None = None,
+    string_sentinel: str = NULL_REPAIR_STRING,
+    numeric_sentinel: int = NULL_REPAIR_NUMBER,
+) -> DataFrame:
+    """F1: null repair — strings -> 'N/A', numerics -> -1
+    (reference SQL at `load_to_staging.py:204-217`).
+
+    Defaults: infer from dtypes when column lists aren't given.  Pure
+    projection — no shuffle, stays in whole-stage codegen.
+    """
+    if string_cols is None:
+        string_cols = [c for c, t in df.dtypes if t == "string"]
+    if numeric_cols is None:
+        numeric_cols = [c for c, t in df.dtypes if t in ("int", "bigint", "double", "float", "smallint")]
+    out = df
+    if string_cols:
+        out = out.fillna(string_sentinel, subset=string_cols)
+    if numeric_cols:
+        out = out.fillna(numeric_sentinel, subset=numeric_cols)
+    return out
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str | Column] | None = None,
+) -> DataFrame:
+    """F2: keyed dedup, keep-first (reference: DELETE all but MIN(ctid)
+    per natural_key, `load_to_staging.py:220-227`).
+
+    Postgres's ctid ≈ physical insert order; Spark has no row identity,
+    so the keeper is pinned by an explicit ordering column
+    (``order_cols``).  Without one, falls back to ``dropDuplicates``
+    (nondeterministic keeper — fine when rows are exact duplicates).
+
+    Scale note: the window variant shuffles once, hash-partitioned on
+    ``key_cols``; AQE splits skewed keys.  For exact-duplicate rows
+    prefer ``exact_dedup`` (map-side combine via groupBy-first).
+    """
+    if order_cols is None:
+        return df.dropDuplicates(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def with_ingest_order(df: DataFrame, col_name: str = "surrogate_key") -> DataFrame:
+    """Capture ingest order as an explicit column — the engine's stand-in
+    for Postgres's serial surrogate / ctid.  monotonically_increasing_id
+    is unique + monotonic within each partition (partition id in the
+    high bits), which preserves file/row order for a single-source scan;
+    dense, global ordering (date_dim ids) uses ``dense_ids`` instead.
+    """
+    return df.withColumn(col_name, F.monotonically_increasing_id())
+
+
+def dense_ids(df: DataFrame, order_cols: list[str | Column], col_name: str = "id", start: int = 1) -> DataFrame:
+    """Dense 1..N surrogate ids in a given order (date_dim needs ids to
+    stay dense because dw.dt_dim stores them — SURVEY.md §1.2).
+
+    A global row_number forces a single-partition window: fine for
+    dimension-sized tables (7,670 rows), never used on fact tables.
+    """
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(col_name, (F.row_number().over(w) + (start - 1)).cast("int"))

@@ -1,0 +1,197 @@
+"""Dedup operator family for training-data pipelines (BASELINE.json
+north star): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.  Each returns DataFrames, scales by
+bucketing (never an unbounded cross join), and has deterministic
+(md5-based) hashing so independent engines can reproduce results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, shingles, simhash64
+from .similarity import cosine
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the normalized content fingerprint; keeper = the
+    lowest id in each group (deterministic).  One hash-shuffle on the
+    fingerprint — the map-side min() combines before the exchange."""
+    keyed = df.withColumn("__fp", doc_fingerprint(text_col))
+    keepers = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keepers, ["__fp", id_col], "inner").drop("__fp")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle -> md5 minhash signature
+    -> band -> bucket self-join.  Returns (id_a, id_b) with id_a < id_b.
+
+    The self-join is an equi-join on (band_id, band_sig): identical
+    cost profile to a groupBy on the bucket key.  At 100 TB, buckets
+    with pathological size should be capped (salting / length prefilter)
+    before the pair expansion.
+    """
+    rows_per_band = num_hashes // bands
+    # explode shingles first: tokenization/shingling runs ONCE per doc
+    # (an array-expression signature recomputes the O(tokens²) shingle
+    # array per hash seed), and the groupBy min() aggregation combines
+    # map-side — shuffle volume is docs x num_hashes, not shingles
+    exploded = df.select(F.col(id_col).alias("__id"), F.explode(shingles(text_col, shingle_n)).alias("__sh"))
+    sig = exploded.groupBy("__id").agg(
+        F.array(
+            *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh")))) for i in range(num_hashes)]
+        ).alias("__sig")
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws("|", F.slice("__sig", b * rows_per_band + 1, rows_per_band)).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("__id", "band.band_id", "band.band_sig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with exact n-gram Jaccard >= threshold, using
+    MinHash+LSH for candidate generation and exact verification on the
+    candidates only (the standard two-phase scheme: cheap recall, exact
+    precision).  Returns (id_a, id_b, jaccard)."""
+    cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(F.col(id_col).alias("__id"), F.array_distinct(shingles(text_col, shingle_n)).alias("__sh"))
+    joined = (
+        cands.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, candidates share at
+    least one of 4 16-bit blocks (pigeonhole: any pair within hamming
+    distance 3 collides on >=1 block), verified with bit_count(a^b)."""
+    fp = df.select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__fp"))
+    blocks = fp.select(
+        "__id",
+        "__fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("block_id"), F.shiftrightunsigned("__fp", i * 15).bitwiseAND(F.lit(0x7FFF)).alias("block"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "__fp", "b.block_id", "b.block")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(b, ["block_id", "block"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__fp").alias("fp_a"),
+            F.col("b.__fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= threshold).
+
+    With ``planes`` given, candidates come from hyperplane-LSH bucket
+    collisions (scale path); otherwise an exact all-pairs comparison is
+    used (only sane for small/filtered inputs — the correctness
+    baseline)."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if planes is None:
+        a = base.toDF("id_a", "__va")
+        b = base.toDF("id_b", "__vb")
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        from .similarity import hyperplane_sketch
+
+        nbits = len(planes)
+        per = nbits // bands
+        sk = base.withColumn("__sketch", hyperplane_sketch("__v", planes))
+        banded = sk.select(
+            "__id",
+            "__v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("band_id"), F.substring("__sketch", i * per + 1, per).alias("bits"))
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select("__id", "__v", "b.band_id", "b.bits")
+        cand = (
+            banded.alias("a")
+            .join(banded.alias("b"), ["band_id", "bits"])
+            .filter(F.col("a.__id") < F.col("b.__id"))
+            .select(
+                F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"),
+                F.col("a.__v").alias("__va"),
+                F.col("b.__v").alias("__vb"),
+            )
+            .distinct()
+        )
+    return (
+        cand.withColumn("cos", F.round(cosine("__va", "__vb"), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Two paths:
+
+- ``cosine_topk``: brute-force exact top-k.  The dot product / norms are
+  higher-order array expressions (JVM-side, no Python); the k-selection
+  is a per-query window.  Cost O(|Q| x |C|) — the correctness baseline,
+  fine when |Q| is small or the corpus is filtered first.
+
+- ``lsh_cosine_topk``: the scale path.  Random-hyperplane LSH: sign-bit
+  sketch of each vector, band the bits, candidate pairs = bucket
+  collisions, exact cosine re-rank on candidates only.  At 100 TB the
+  bucket join replaces the cross product; recall is tunable with
+  (num_bits, bands).
+
+Vectors are ``array<float>`` columns; all arithmetic is done in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Result: (query_id, neighbor_id, cos) with rank<=k, ties broken by
+    neighbor id for determinism.  The queries side is broadcast (top-k
+    search is almost always few-queries x huge-corpus); the corpus is
+    scanned once, no shuffle until the per-query window (partitioned by
+    query — |Q| partitions of |C| rows; for large |Q| AQE coalesces).
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    )
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round(F.col("cos"), 4).alias("cos"), "rank")
+    )
+
+
+def hyperplane_sketch(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit sketch: bit i = (vec . planes[i]) >= 0."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    bits = []
+    for plane in planes:
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(F.when(dot(v, p) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    bands: int = 4,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = query/corpus pairs sharing at
+    least one LSH band, re-ranked by exact cosine.
+
+    ``planes`` are caller-supplied (deterministic, seedable) random
+    hyperplanes; len(planes) must divide into ``bands`` equal bands.
+    The candidate join is an equi-join on (band_id, band_bits) — at
+    scale it hash-partitions instead of the brute-force cross product.
+    """
+    nbits = len(planes)
+    rows_per_band = nbits // bands
+
+    def banded(df: DataFrame, id_alias: str) -> DataFrame:
+        sk = df.select(
+            F.col("__id").alias(id_alias),
+            F.col("__v").alias(f"__v_{id_alias}"),
+            hyperplane_sketch("__v", planes).alias("__sketch"),
+        )
+        bands_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.substring("__sketch", b * rows_per_band + 1, rows_per_band).alias("band_bits"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sk.select(id_alias, f"__v_{id_alias}", F.explode(bands_arr).alias("band")).select(
+            id_alias, f"__v_{id_alias}", "band.band_id", "band.band_bits"
+        )
+
+    q = banded(queries.select(F.col(query_id).alias("__id"), F.col(vec_col).alias("__v")), "query_id")
+    c = banded(corpus.select(F.col(corpus_id).alias("__id"), F.col(vec_col).alias("__v")), "neighbor_id")
+
+    cand = (
+        q.join(c, ["band_id", "band_bits"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__v_query_id", "__v_neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine("__v_query_id", "__v_neighbor_id").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round(F.col("cos"), 4).alias("cos"), "rank")
+    )

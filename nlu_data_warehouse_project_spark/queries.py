@@ -1,0 +1,902 @@
+"""Query catalog: every SURVEY.md §2 operator (and the north-star
+LLM-pipeline operators) as a named (Spark callable, DuckDB oracle SQL)
+pair, wired into ``__spark_entry__.py``.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame whose
+column names/values exactly match the oracle SQL run by DuckDB over the
+same parquet tables.  Conventions for hash-stable comparison:
+
+- every aggregate / computed column is aliased identically on both sides
+- double aggregates are rounded (sums to 2dp, ratios to 4dp)
+- timestamps are cast to date where only the day matters
+- ties in window ranks are broken by an id column
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    doc_fingerprint,
+    punct_ratio,
+    stopword_fraction,
+    token_count,
+)
+from .operators.cleanse import dedup_keep_first, dense_ids, repair_nulls
+from .operators.dedup import minhash_candidate_pairs, ngram_jaccard_pairs
+from .operators.scd2 import scd2_merge
+from .operators.similarity import cosine_topk
+
+
+def _dec(c) -> "F.Column":
+    """Exact-decimal cast for hash-stable double aggregation: summing
+    doubles is partition-order-dependent in the last ULP, which flips
+    round(x, 2) at .005 boundaries between engines.  Casting each value
+    to DECIMAL(25,6) first makes the sum exact and identical everywhere
+    (mirrored by CAST(x AS DECIMAL(25,6)) in the oracle SQL)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("decimal(25,6)")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (see session.py); integer `div`
+        # keeps full precision (a double round-trip would lose microseconds)
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# A-family: aggregations (flagship: TPC-H Q1-shaped pricing summary)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A-family twin + P4 filter: grouped aggregate over lineitem
+    with a pushed-down date filter (reference's unimplemented mart
+    aggregates, SURVEY.md §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")) * (1 + _dec("l_tax"))), 2
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")) / F.count("*"), 4).cast("double").alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")) / F.count("*"), 4).cast("double").alias("avg_price"),
+            F.round(F.sum(_dec("l_discount")) / F.count("*"), 4).cast("double").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE)      AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                      * (1 - CAST(l_discount AS DECIMAL(25,6)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                      * (1 - CAST(l_discount AS DECIMAL(25,6)))
+                      * (1 + CAST(l_tax AS DECIMAL(25,6)))), 2) AS DOUBLE)   AS sum_charge,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))) / count(*), 4) AS DOUBLE)      AS avg_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))) / count(*), 4) AS DOUBLE) AS avg_price,
+       CAST(round(sum(CAST(l_discount AS DECIMAL(25,6))) / count(*), 4) AS DOUBLE)      AS avg_disc,
+       count(*)                                                              AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1: inner equi-join chain (control-join twin) — broadcast dims
+# ---------------------------------------------------------------------------
+
+def q02_control_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "inner")
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey, "inner")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+Q02_SQL = """
+SELECT r_name, n_name, count(*) AS n_customers, CAST(round(sum(CAST(c_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# J2: anti-join (SCD2 insert-new twin) — customers with no orders
+# ---------------------------------------------------------------------------
+
+def q03_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+Q03_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers_without_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3: theta-join change detection twin — first vs last event per user
+# ---------------------------------------------------------------------------
+
+def q04_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_last = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    firsts = (
+        ev.withColumn("rn", F.row_number().over(w_first)).filter(F.col("rn") == 1)
+        .select("user_id", F.col("value").alias("first_value"))
+    )
+    lasts = (
+        ev.withColumn("rn", F.row_number().over(w_last)).filter(F.col("rn") == 1)
+        .select("user_id", F.col("value").alias("last_value"))
+    )
+    return (
+        firsts.join(lasts, "user_id")
+        .filter(F.col("first_value") != F.col("last_value"))
+        .select("user_id", "first_value", "last_value")
+    )
+
+
+Q04_SQL = """
+WITH firsts AS (
+  SELECT user_id, value AS first_value
+  FROM (SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) rn
+        FROM events) WHERE rn = 1
+), lasts AS (
+  SELECT user_id, value AS last_value
+  FROM (SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        FROM events) WHERE rn = 1
+)
+SELECT user_id, first_value, last_value
+FROM firsts JOIN lasts USING (user_id)
+WHERE first_value <> last_value
+"""
+
+
+# ---------------------------------------------------------------------------
+# J5: dimension-lookup (surrogate date key) twin
+# ---------------------------------------------------------------------------
+
+def q05_date_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    dates = orders.select(F.col("o_orderdate").cast("date").alias("full_date")).distinct()
+    dim = dense_ids(dates, ["full_date"], "id")
+    joined = orders.join(
+        F.broadcast(dim), orders.o_orderdate.cast("date") == dim.full_date, "left"
+    )
+    return joined.groupBy(F.col("id").alias("dt_dim")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("sum_price"),
+    )
+
+
+Q05_SQL = """
+WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS full_date FROM orders),
+dd AS (SELECT full_date, CAST(row_number() OVER (ORDER BY full_date) AS INT) AS id FROM d)
+SELECT dd.id AS dt_dim, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_price
+FROM orders LEFT JOIN dd ON CAST(o_orderdate AS DATE) = dd.full_date
+GROUP BY dd.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1: null repair (sentinels 'N/A' / -1)
+# ---------------------------------------------------------------------------
+
+def q06_null_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dirty = li.select(
+        F.nullif(F.col("l_linestatus"), F.lit("O")).alias("status_dirty"),
+        F.when(F.col("l_quantity") < 10, F.lit(None).cast("double"))
+        .otherwise(F.col("l_quantity"))
+        .alias("qty_dirty"),
+    )
+    repaired = repair_nulls(dirty, string_cols=["status_dirty"], numeric_cols=["qty_dirty"])
+    return repaired.groupBy(F.col("status_dirty").alias("status_repaired")).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(_dec("qty_dirty")), 2).cast("double").alias("sum_qty_repaired"),
+    )
+
+
+Q06_SQL = """
+SELECT coalesce(nullif(l_linestatus, 'O'), 'N/A') AS status_repaired,
+       count(*) AS n_rows,
+       CAST(round(sum(CAST(coalesce(CASE WHEN l_quantity < 10 THEN NULL ELSE l_quantity END, -1) AS DECIMAL(25,6))), 2) AS DOUBLE)
+         AS sum_qty_repaired
+FROM lineitem
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# F2: keyed dedup keep-first
+# ---------------------------------------------------------------------------
+
+def q07_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    # extend the ordering until it is, or the keeper is nondeterministic
+    deduped = dedup_keep_first(
+        li, ["l_orderkey"],
+        [F.col("l_linenumber").asc(), F.col("l_partkey").asc(), F.col("l_suppkey").asc()],
+    )
+    return deduped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_first_line_price"),
+    )
+
+
+Q07_SQL = """
+SELECT l_returnflag, count(*) AS n_orders,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_first_line_price
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber ASC, l_partkey ASC, l_suppkey ASC) rn
+  FROM lineitem
+) WHERE rn = 1
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 merge (J2+J3+J4 composed) over two event snapshots
+# ---------------------------------------------------------------------------
+
+_SNAP_SPLIT = "2024-01-16"
+_D0, _D1 = "2024-01-01", "2024-01-16"
+
+
+def q08_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def snapshot(pred):
+        return (
+            ev.filter(pred)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value")
+        )
+
+    snap_a = snapshot(F.col("ts") < F.lit(_SNAP_SPLIT).cast("timestamp"))
+    snap_b = snapshot(F.col("ts") >= F.lit(_SNAP_SPLIT).cast("timestamp"))
+
+    empty = spark.createDataFrame(
+        [], "user_id bigint, value double, dt_load_to_dw date, dt_last_update date"
+    )
+    dw1 = scd2_merge(empty, snap_a, key="user_id", attrs=["value"], run_date=_D0)
+    dw2 = scd2_merge(dw1, snap_b, key="user_id", attrs=["value"], run_date=_D1)
+    return dw2.select("user_id", "value", "dt_load_to_dw", "dt_last_update")
+
+
+Q08_SQL = f"""
+WITH a AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts < TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
+), b AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts >= TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
+)
+SELECT a.user_id, a.value, DATE '{_D0}' AS dt_load_to_dw,
+       CASE WHEN b.user_id IS NOT NULL AND b.value <> a.value
+            THEN DATE '{_D1}' ELSE DATE '9999-12-31' END AS dt_last_update
+FROM a LEFT JOIN b ON a.user_id = b.user_id
+UNION ALL
+SELECT b.user_id, b.value, DATE '{_D1}' AS dt_load_to_dw,
+       DATE '9999-12-31' AS dt_last_update
+FROM b LEFT JOIN a ON a.user_id = b.user_id
+WHERE a.user_id IS NULL OR a.value <> b.value
+"""
+
+
+# ---------------------------------------------------------------------------
+# D1-D12: native calendar generation (golden-tested vs reference CSV too)
+# ---------------------------------------------------------------------------
+
+def q09_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.calendar import build_date_dim
+
+    return build_date_dim(spark, "2024-01-01", "2025-12-31")
+
+
+Q09_SQL = """
+WITH days AS (
+  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2025-12-31', INTERVAL 1 DAY))::DATE AS full_date
+), base AS (
+  SELECT full_date,
+         full_date - CAST(dayofweek(full_date) AS INT) AS sunday_start
+  FROM days
+), anchored AS (
+  SELECT *,
+         make_date(CAST(year(sunday_start) AS INT), 1, 1)
+           + CASE WHEN dayofweek(make_date(CAST(year(sunday_start) AS INT), 1, 1)) = 0 THEN 7
+                  ELSE 7 - CAST(dayofweek(make_date(CAST(year(sunday_start) AS INT), 1, 1)) AS INT) END
+           AS anchor0,
+         make_date(CAST(year(sunday_start) AS INT) - 1, 1, 1)
+           + CASE WHEN dayofweek(make_date(CAST(year(sunday_start) AS INT) - 1, 1, 1)) = 0 THEN 7
+                  ELSE 7 - CAST(dayofweek(make_date(CAST(year(sunday_start) AS INT) - 1, 1, 1)) AS INT) END
+           AS anchor_prev
+  FROM base
+), wk AS (
+  SELECT *,
+         CASE WHEN sunday_start >= anchor0 THEN CAST(year(sunday_start) AS INT)
+              ELSE CAST(year(sunday_start) AS INT) - 1 END AS week_year,
+         CASE WHEN sunday_start >= anchor0
+              THEN CAST(date_diff('day', anchor0, sunday_start) / 7 + 1 AS INT)
+              ELSE CAST(date_diff('day', anchor_prev, sunday_start) / 7 + 1 AS INT) END AS sunday_week
+  FROM anchored
+)
+SELECT
+  CAST(date_diff('day', DATE '2024-01-01', full_date) + 1 AS INT) AS id,
+  full_date,
+  CAST(date_diff('day', DATE '2024-01-01', full_date) + 1 AS INT) AS day_of_month,
+  CAST((year(full_date) - 2024) * 12 + month(full_date) AS INT)   AS month,
+  dayname(full_date)                                              AS day_name,
+  monthname(full_date)                                            AS month_name,
+  CAST(year(full_date) AS INT)                                    AS year,
+  strftime(full_date, '%Y-%b')                                    AS start_of_week,
+  CAST(day(full_date) AS INT)                                     AS day_of_week,
+  CAST(dayofyear(full_date) AS INT)                               AS day_of_year,
+  sunday_week                                                     AS iso_week,
+  week_year || '-W' || lpad(CAST(sunday_week AS VARCHAR), 2, '0') AS iso_week_year,
+  sunday_start                                                    AS start_of_iso_week,
+  CAST(weekofyear(full_date) AS INT)                              AS iso_week_alt,
+  year(date_trunc('week', full_date)) || '-W'
+    || lpad(CAST(weekofyear(full_date) AS VARCHAR), 2, '0')       AS iso_week_year_alt,
+  date_trunc('week', full_date)::DATE                             AS start_of_iso_alt,
+  year(full_date) || '-Q' || lpad(CAST(quarter(full_date) AS VARCHAR), 2, '0') AS quarter,
+  CAST((year(full_date) - 2024) * 4 + quarter(full_date) AS INT)  AS quarter_num,
+  'Non-Holiday'                                                   AS holiday_flag,
+  CASE WHEN dayofweek(full_date) IN (0, 6) THEN 'Weekend' ELSE 'Weekday' END AS is_weekend
+FROM wk
+"""
+
+
+# ---------------------------------------------------------------------------
+# P4 mart: revenue star-join rollup (the reference's declared-but-unbuilt
+# data-mart stage, SURVEY.md §7 M5)
+# ---------------------------------------------------------------------------
+
+def q10_mart_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+Q10_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6)) * (1 - CAST(l_discount AS DECIMAL(25,6)))), 2) AS DOUBLE) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window top-k per group
+# ---------------------------------------------------------------------------
+
+def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_name", F.round("p_retailprice", 2).alias("retailprice"), "rank")
+    )
+
+
+Q11_SQL = """
+SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS retailprice, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+  FROM part
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# T1 streaming twin: tumbling-window aggregation (batch-equivalent)
+# ---------------------------------------------------------------------------
+
+def q12_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"))
+        .withColumn("hour", F.col("hour").cast("string"))
+    )
+
+
+Q12_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (events.props)
+# ---------------------------------------------------------------------------
+
+def q13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(_dec("k")) / F.count("k"), 4).cast("double").alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+Q13_SQL = """
+SELECT event_type,
+       CAST(round(sum(CAST(json_extract_string(props, 'k') AS DECIMAL(25,6))) / count(json_extract_string(props, 'k')), 4) AS DOUBLE) AS avg_k,
+       max(CAST(json_extract_string(props, 'k') AS INT)) AS max_k,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: exact dedup via content fingerprint
+# ---------------------------------------------------------------------------
+
+def q14_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus = documents ∪ copy (ids shifted) so exact duplicates exist;
+    dedup keeps the lowest doc_id per fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    keyed = corpus.withColumn("fp", doc_fingerprint("text"))
+    keepers = keyed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = keyed.join(keepers, ["fp", "doc_id"], "inner")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+    )
+
+
+Q14_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents
+), keyed AS (
+  SELECT *, md5(array_to_string(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> ''), ' ')) AS fp
+  FROM corpus
+), keepers AS (
+  SELECT fp, min(doc_id) AS doc_id FROM keyed GROUP BY fp
+)
+SELECT lang, count(*) AS n_docs_kept, count(DISTINCT fp) AS n_fingerprints
+FROM keyed JOIN keepers USING (fp, doc_id)
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: text statistics / quality signals
+# ---------------------------------------------------------------------------
+
+def q15_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            token_count("text").alias("n_tokens"),
+            F.length("text").alias("n_chars_actual"),
+            punct_ratio("text").alias("punct"),
+            stopword_fraction("text").alias("stop_frac"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars_actual"), 4).alias("avg_chars"),
+            F.round(F.avg("punct"), 4).alias("avg_punct_ratio"),
+            F.round(F.avg("stop_frac"), 4).alias("avg_stopword_frac"),
+        )
+    )
+
+
+_TOKENS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+_LTOKENS_SQL = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')"
+_EN_STOP_SQL = "['the','a','of','and','to','in','is','that','it','for']"
+
+Q15_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len({_TOKENS_SQL}) AS n_tokens,
+         length(text) AS n_chars_actual,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS punct,
+         CASE WHEN len({_LTOKENS_SQL}) > 0
+              THEN CAST(len(list_filter({_LTOKENS_SQL}, t -> list_contains({_EN_STOP_SQL}, t))) AS DOUBLE)
+                   / len({_LTOKENS_SQL})
+              ELSE 0.0 END AS stop_frac
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(n_chars_actual), 4) AS avg_chars,
+       round(avg(punct), 4) AS avg_punct_ratio,
+       round(avg(stop_frac), 4) AS avg_stopword_frac
+FROM per_doc
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: MinHash LSH near-dup candidates
+# ---------------------------------------------------------------------------
+
+def q16_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus = documents ∪ exact copy (ids +1000000): every doc must
+    pair with its copy via LSH bucket collision."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    pairs = minhash_candidate_pairs(corpus, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3)
+    return pairs.select("id_a", "id_b")
+
+
+_SHINGLES_SQL = (
+    "list_transform(generate_series(1, greatest(len(%(tok)s) - 2, 1)),"
+    " i -> array_to_string((%(tok)s)[i:i+2], ' '))" % {"tok": _TOKENS_SQL}
+)
+
+Q16_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), sigs AS (
+  SELECT doc_id,
+         [list_min(list_transform({_SHINGLES_SQL}, s -> md5('0:' || s))),
+          list_min(list_transform({_SHINGLES_SQL}, s -> md5('1:' || s))),
+          list_min(list_transform({_SHINGLES_SQL}, s -> md5('2:' || s))),
+          list_min(list_transform({_SHINGLES_SQL}, s -> md5('3:' || s))),
+          list_min(list_transform({_SHINGLES_SQL}, s -> md5('4:' || s))),
+          list_min(list_transform({_SHINGLES_SQL}, s -> md5('5:' || s))),
+          list_min(list_transform({_SHINGLES_SQL}, s -> md5('6:' || s))),
+          list_min(list_transform({_SHINGLES_SQL}, s -> md5('7:' || s)))] AS sig
+  FROM corpus
+), banded AS (
+  SELECT doc_id, band_id, array_to_string(sig[band_id * 2 + 1 : band_id * 2 + 1 + 1], '|') AS band_sig
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(band_id)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+WHERE a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: n-gram Jaccard verified near-dups
+# ---------------------------------------------------------------------------
+
+def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return ngram_jaccard_pairs(corpus, "text", "doc_id", shingle_n=3, threshold=0.8)
+
+
+Q17_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), sigs AS (
+  SELECT doc_id,
+         [list_min(list_transform({_SHINGLES_SQL}, s -> md5('0:' || s))),
+          list_min(list_transform({_SHINGLES_SQL}, s -> md5('1:' || s))),
+          list_min(list_transform({_SHINGLES_SQL}, s -> md5('2:' || s))),
+          list_min(list_transform({_SHINGLES_SQL}, s -> md5('3:' || s))),
+          list_min(list_transform({_SHINGLES_SQL}, s -> md5('4:' || s))),
+          list_min(list_transform({_SHINGLES_SQL}, s -> md5('5:' || s))),
+          list_min(list_transform({_SHINGLES_SQL}, s -> md5('6:' || s))),
+          list_min(list_transform({_SHINGLES_SQL}, s -> md5('7:' || s)))] AS sig,
+         list_distinct({_SHINGLES_SQL}) AS sh
+  FROM corpus
+), banded AS (
+  SELECT doc_id, band_id, array_to_string(sig[band_id * 2 + 1 : band_id * 2 + 1 + 1], '|') AS band_sig
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(band_id)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = id_a
+JOIN sigs sb ON sb.doc_id = id_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: brute-force cosine top-k similarity search
+# ---------------------------------------------------------------------------
+
+def q18_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(queries, emb, k=5)
+
+
+Q18_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding, c.embedding)
+           / (sqrt(list_dot_product(q.embedding, q.embedding))
+              * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos_raw
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP aggregate (mart 'report' table twin)
+# ---------------------------------------------------------------------------
+
+def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"))
+    )
+
+
+Q19_SQL = """
+SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-join + existence probe (P7 twin)
+# ---------------------------------------------------------------------------
+
+def q20_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_big_spenders"))
+    )
+
+
+Q20_SQL = """
+SELECT c_mktsegment, count(*) AS n_big_spenders
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (30-min gap) — stateful-streaming twin, batch form
+# ---------------------------------------------------------------------------
+
+def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = with_gap.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("n_events_total"),
+        )
+    )
+
+
+Q21_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM g
+), sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events FROM sess GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+       CAST(sum(n_events) AS BIGINT) AS n_events_total
+FROM per_session
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase joined to the user's most recent prior 'view'
+# ---------------------------------------------------------------------------
+
+def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="view_ts", tolerance=None
+    )
+    return joined.select(
+        "event_id", "user_id", "purchase_value",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("prior_view_ts"),
+        "view_value",
+    )
+
+
+Q22_SQL = """
+SELECT p.event_id, p.user_id, p.value AS purchase_value,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS prior_view_ts,
+       v.value AS view_value
+FROM events p
+LEFT JOIN LATERAL (
+  SELECT ts, value FROM events v
+  WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+) v ON true
+WHERE p.event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_control_join": q02_control_join,
+    "q03_anti_join": q03_anti_join,
+    "q04_change_detection": q04_change_detection,
+    "q05_date_surrogate": q05_date_surrogate,
+    "q06_null_repair": q06_null_repair,
+    "q07_dedup_keep_first": q07_dedup_keep_first,
+    "q08_scd2_merge": q08_scd2_merge,
+    "q09_date_dim": q09_date_dim,
+    "q10_mart_revenue": q10_mart_revenue,
+    "q11_topk_per_group": q11_topk_per_group,
+    "q12_events_hourly": q12_events_hourly,
+    "q13_json_extract": q13_json_extract,
+    "q14_exact_dedup": q14_exact_dedup,
+    "q15_text_stats": q15_text_stats,
+    "q16_minhash_neardup": q16_minhash_neardup,
+    "q17_ngram_jaccard": q17_ngram_jaccard,
+    "q18_cosine_topk": q18_cosine_topk,
+    "q19_rollup": q19_rollup,
+    "q20_semi_join": q20_semi_join,
+    "q21_sessionize": q21_sessionize,
+    "q22_asof_join": q22_asof_join,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_control_join": Q02_SQL,
+    "q03_anti_join": Q03_SQL,
+    "q04_change_detection": Q04_SQL,
+    "q05_date_surrogate": Q05_SQL,
+    "q06_null_repair": Q06_SQL,
+    "q07_dedup_keep_first": Q07_SQL,
+    "q08_scd2_merge": Q08_SQL,
+    "q09_date_dim": Q09_SQL,
+    "q10_mart_revenue": Q10_SQL,
+    "q11_topk_per_group": Q11_SQL,
+    "q12_events_hourly": Q12_SQL,
+    "q13_json_extract": Q13_SQL,
+    "q14_exact_dedup": Q14_SQL,
+    "q15_text_stats": Q15_SQL,
+    "q16_minhash_neardup": Q16_SQL,
+    "q17_ngram_jaccard": Q17_SQL,
+    "q18_cosine_topk": Q18_SQL,
+    "q19_rollup": Q19_SQL,
+    "q20_semi_join": Q20_SQL,
+    "q21_sessionize": Q21_SQL,
+    "q22_asof_join": Q22_SQL,
+}

@@ -1,0 +1,100 @@
+"""Local replica of the driver's t2 correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
+the same sf dir; compare row count, column names, and an
+order-insensitive value hash.  Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+from nlu_data_warehouse_project_spark.schemas import TESTDATA_TABLES  # noqa: E402
+from nlu_data_warehouse_project_spark.session import get_spark  # noqa: E402
+
+
+def _norm(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def value_hash(rows, cols) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(_norm(r[i]) for i in order) for r in rows)
+    return hashlib.md5("\x1e".join(lines).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, sqls = queries(), oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in sqls:
+            print(f"weak  {name}: rows={len(srows)} (no oracle, rows-only check) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(sqls[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems and value_hash(srows, scols) != value_hash(drows, dcols):
+            problems.append("value hash mismatch")
+            sset = {tuple(_norm(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i])) for r in srows}
+            dset = {tuple(_norm(r[i]) for i in sorted(range(len(dcols)), key=lambda i: dcols[i])) for r in drows}
+            extra_s = list(sset - dset)[:3]
+            extra_d = list(dset - sset)[:3]
+            if extra_s:
+                problems.append(f"spark-only rows (sorted cols {sorted(scols)}): {extra_s}")
+            if extra_d:
+                problems.append(f"duckdb-only rows: {extra_d}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"ok    {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
