@@ -40,14 +40,10 @@ def token_count(col: Column | str) -> Column:
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """BPE-ish token estimate: split on word/number/punct boundaries
-    (letters+digits runs and single punctuation marks each count)."""
-    return F.size(
-        F.filter(
-            F.split(_c(col), r"(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"),
-            lambda t: (t != "") & (t != " "),
-        )
-    )
+    """BPE-ish token estimate: alphanumeric runs and single punctuation
+    marks each count as one token (RE2-compatible pattern — no
+    lookarounds — so independent engines can mirror it exactly)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(r"[\p{L}\p{N}]+|[^\p{L}\p{N}\s]"), F.lit(0)))
 
 
 def char_count(col: Column | str) -> Column:

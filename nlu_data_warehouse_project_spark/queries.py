@@ -43,10 +43,14 @@ def _dec(c) -> "F.Column":
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark refuses
+        # by default — read the nanos as long (runtime-settable conf,
+        # works on any caller's session) and convert with integer `div`
+        # (a double round-trip would lose microsecond precision)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long (see session.py); integer `div`
-        # keeps full precision (a double round-trip would lose microseconds)
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
@@ -900,3 +904,394 @@ ORACLE_SQL: dict[str, str] = {
     "q21_sessionize": Q21_SQL,
     "q22_asof_join": Q22_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: language identification (stopword vote)
+# ---------------------------------------------------------------------------
+
+def q23_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("detected_lang", lang_id("text"))
+        .groupBy("detected_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _score_sql(words: list[str]) -> str:
+    lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({_LTOKENS_SQL}, t -> list_contains({lst}, t)))"
+
+
+from .functions.text import STOPWORDS as _SW  # noqa: E402
+
+Q23_SQL = f"""
+WITH scored AS (
+  SELECT {_score_sql(_SW['en'])} AS s_en,
+         {_score_sql(_SW['de'])} AS s_de,
+         {_score_sql(_SW['es'])} AS s_es,
+         {_score_sql(_SW['fr'])} AS s_fr,
+         {_score_sql(_SW['zh'])} AS s_zh
+  FROM documents
+), picked AS (
+  -- mirror of array_max over (score, lang) structs: highest score,
+  -- ties -> lexicographically largest language code
+  SELECT CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+              WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
+              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+              WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+              ELSE 'de' END AS detected_lang
+  FROM scored
+)
+SELECT detected_lang, count(*) AS n_docs FROM picked GROUP BY detected_lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: document fingerprints (exact-dedup key)
+# ---------------------------------------------------------------------------
+
+def q24_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+Q24_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string({_LTOKENS_SQL}, ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: token counting (whitespace + BPE-ish)
+# ---------------------------------------------------------------------------
+
+def q25_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            token_count("text").alias("ws_tokens"),
+            bpe_ish_token_count("text").alias("bpe_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.sum(_dec("bpe_tokens")) / F.sum("ws_tokens"), 4).cast("double").alias("bpe_per_ws"),
+        )
+    )
+
+
+Q25_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len({_TOKENS_SQL}) AS ws_tokens,
+         len(regexp_extract_all(text, '[\\p{{L}}\\p{{N}}]+|[^\\p{{L}}\\p{{N}}\\s]')) AS bpe_tokens
+  FROM documents
+)
+SELECT lang,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       CAST(round(sum(CAST(bpe_tokens AS DECIMAL(25,6))) / sum(ws_tokens), 4) AS DOUBLE) AS bpe_per_ws
+FROM per_doc
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: SimHash fingerprints (60-bit, md5-derived)
+# ---------------------------------------------------------------------------
+
+def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64("text").alias("simhash"))
+
+
+_HASHES_SQL = f"list_transform({_LTOKENS_SQL}, t -> (('0x' || substring(md5(t), 1, 15))::BIGINT))"
+_SIMHASH_BITS_SQL = " + ".join(
+    f"CASE WHEN 2 * list_sum(list_transform(h, x -> (x >> {b}) & 1)) > len(h) THEN (1::BIGINT << {b}) ELSE 0 END"
+    for b in range(60)
+)
+
+Q26_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, {_HASHES_SQL} AS h FROM documents
+)
+SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash
+FROM hashed
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: embedding-cosine near-dup pairs (brute-force baseline)
+# ---------------------------------------------------------------------------
+
+def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    corpus = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 1000000))
+    return embedding_neardup_pairs(corpus, threshold=0.999)
+
+
+Q27_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 300
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos
+FROM corpus a, corpus b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.embedding, b.embedding)
+            / (sqrt(list_dot_product(a.embedding, a.embedding))
+               * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.999
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE aggregate (multi-dim mart rollup)
+# ---------------------------------------------------------------------------
+
+def q28_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .cube("r_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+Q28_SQL = """
+SELECT r_name, c_mktsegment, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, c_mktsegment)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide mart report table)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=_EVENT_TYPES)
+    )
+
+
+Q29_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles
+# ---------------------------------------------------------------------------
+
+def q30_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+Q30_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+       round(quantile_cont(l_quantity, 0.5), 4)  AS median_qty,
+       round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range join (bounded non-equi): event pairs within 60s per user
+# ---------------------------------------------------------------------------
+
+def q31_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECONDS")),
+    )
+    return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
+        F.count("*").alias("n_pairs_within_60s")
+    )
+
+
+Q31_SQL = """
+SELECT a.user_id AS user_id, count(*) AS n_pairs_within_60s
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 60 SECOND
+GROUP BY a.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations: EXCEPT / INTERSECT over user activity windows
+# ---------------------------------------------------------------------------
+
+def q32_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    half1 = ev.filter(F.col("ts") < F.lit(_SNAP_SPLIT).cast("timestamp")).select("user_id").distinct()
+    half2 = ev.filter(F.col("ts") >= F.lit(_SNAP_SPLIT).cast("timestamp")).select("user_id").distinct()
+    only_1 = half1.subtract(half2).withColumn("cohort", F.lit("only_first_half"))
+    only_2 = half2.subtract(half1).withColumn("cohort", F.lit("only_second_half"))
+    both = half1.intersect(half2).withColumn("cohort", F.lit("both_halves"))
+    return only_1.unionByName(only_2).unionByName(both).groupBy("cohort").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+Q32_SQL = f"""
+WITH h1 AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '{_SNAP_SPLIT}'),
+     h2 AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '{_SNAP_SPLIT}'),
+     labeled AS (
+       SELECT 'only_first_half' AS cohort, user_id FROM (SELECT user_id FROM h1 EXCEPT SELECT user_id FROM h2)
+       UNION ALL
+       SELECT 'only_second_half', user_id FROM (SELECT user_id FROM h2 EXCEPT SELECT user_id FROM h1)
+       UNION ALL
+       SELECT 'both_halves', user_id FROM (SELECT user_id FROM h1 INTERSECT SELECT user_id FROM h2)
+     )
+SELECT cohort, count(*) AS n_users FROM labeled GROUP BY cohort
+"""
+
+
+# ---------------------------------------------------------------------------
+# Running (cumulative) window aggregate
+# ---------------------------------------------------------------------------
+
+def q33_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(_dec("o_totalprice")).over(w), 2).cast("double").alias("running_spend"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()))
+        .alias("order_seq"),
+    )
+
+
+Q33_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS INT) AS order_seq
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: LSH-bucketed approximate cosine top-k (scale path).
+# No SQL oracle — approximate by construction; accuracy (recall vs the
+# exact q18 baseline) is pinned by tests/test_llm_ops.py.
+# ---------------------------------------------------------------------------
+
+def _seeded_planes(num_planes: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no numpy RNG state
+    dependence), same on every run."""
+    planes = []
+    state = 1234567891
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def q34_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_cosine_topk(queries, emb, planes=_seeded_planes(), bands=4, k=5)
+
+
+QUERIES.update(
+    {
+        "q23_lang_id": q23_lang_id,
+        "q24_fingerprint": q24_fingerprint,
+        "q25_token_counts": q25_token_counts,
+        "q26_simhash": q26_simhash,
+        "q27_embedding_neardup": q27_embedding_neardup,
+        "q28_cube": q28_cube,
+        "q29_pivot": q29_pivot,
+        "q30_percentiles": q30_percentiles,
+        "q31_range_join": q31_range_join,
+        "q32_set_ops": q32_set_ops,
+        "q33_running_total": q33_running_total,
+        "q34_lsh_cosine_topk": q34_lsh_cosine_topk,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q23_lang_id": Q23_SQL,
+        "q24_fingerprint": Q24_SQL,
+        "q25_token_counts": Q25_SQL,
+        "q26_simhash": Q26_SQL,
+        "q27_embedding_neardup": Q27_SQL,
+        "q28_cube": Q28_SQL,
+        "q29_pivot": Q29_SQL,
+        "q30_percentiles": Q30_SQL,
+        "q31_range_join": Q31_SQL,
+        "q32_set_ops": Q32_SQL,
+        "q33_running_total": Q33_SQL,
+        # q34 intentionally omitted: approximate operator, rows-only check
+    }
+)

@@ -92,7 +92,7 @@ def read_landing(spark: SparkSession, base: str) -> DataFrame:
     return (
         spark.read.option("header", True)
         .option("basePath", base)
-        .schema(FEED_SCHEMA.add("id_config", "integer").add("dt", "date"))
+        .schema(FEED_SCHEMA)
         .csv(os.path.join(base, "id_config=*", "dt=*"))
     )
 

@@ -1,0 +1,118 @@
+"""LLM-pipeline operator tests: dedup families find planted near-dups,
+approximate search tracks the exact baseline, text expressions behave.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlu_data_warehouse_project_spark.functions.text import (
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    simhash64,
+    token_count,
+)
+from nlu_data_warehouse_project_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from nlu_data_warehouse_project_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from nlu_data_warehouse_project_spark.queries import _seeded_planes
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),                                        # exact dup of 1
+        (3, base.replace("today", "tomorrow")),           # near dup of 1
+        (4, "completely different text about spark query engines and shuffles here"),
+        (5, "  The  Quick Brown fox jumps over the lazy dog again and again today "),  # case/ws variant
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes_case_and_whitespace(spark):
+    kept = exact_dedup(_docs(spark)).select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    # 1,2,5 share a normalized fingerprint -> keeper 1; 3 and 4 survive
+    assert ids == [1, 3, 4]
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_candidate_pairs(_docs(spark)).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup caught by some band
+    assert not any(4 in p for p in pairs)      # unrelated doc never pairs
+
+
+def test_ngram_jaccard_scores(spark):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.5 <= got[(1, 3)] < 1.0
+
+
+def test_simhash_pairs_hamming(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(_docs(spark), max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0          # identical text -> identical fingerprint
+    assert (1, 5) in pairs             # case/ws variant -> same tokens lowered
+    assert not any(4 in (a, b) for (a, b) in pairs)
+
+
+def test_embedding_neardup_exact_and_lsh_paths(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    assert exact == {(1, 2)}
+
+    planes = [p[:4] for p in _seeded_planes(16, 4)]
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(emb, threshold=0.95, planes=planes).collect()}
+    assert lsh == {(1, 2)}  # near-identical vectors share every band
+
+
+def test_lsh_topk_recall_vs_exact(spark, sf_smoke):
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(queries, emb, k=5).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_cosine_topk(queries, emb, planes=_seeded_planes(), bands=4, k=5).collect()
+    }
+    # random-vector corpus is adversarial for LSH; require the plumbing
+    # to return full result sets and achieve nonzero overlap
+    assert len(approx) == 25
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"recall {recall}"
+
+
+def test_text_expressions(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog, in a house!",), ("der hund und die katze ist nicht da",)],
+        ["text"],
+    )
+    rows = df.select(
+        token_count("text").alias("ws"),
+        bpe_ish_token_count("text").alias("bpe"),
+        lang_id("text").alias("lang"),
+        F.round(quality_score("text"), 2).alias("q"),
+    ).collect()
+    assert rows[0]["ws"] == 8 and rows[0]["bpe"] == 10  # ',' and '!' count
+    assert rows[0]["lang"] == "en"
+    assert rows[1]["lang"] == "de"
+    assert 0.0 <= rows[0]["q"] <= 1.0
+
+
+def test_simhash_is_deterministic(spark):
+    df = spark.createDataFrame([("hello world foo bar",)], ["text"])
+    a = df.select(simhash64("text")).first()[0]
+    b = df.select(simhash64("text")).first()[0]
+    assert a == b and a > 0

@@ -1,0 +1,74 @@
+"""Plan-quality regression tests (SURVEY.md §4): these pin the
+*physical* properties that keep the engine fast at 100 TB — predicate
+pushdown into the parquet scan, column pruning, broadcast joins for
+dimensions, bounded shuffle counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nlu_data_warehouse_project_spark.plans import (
+    has_pushed_filters,
+    python_udf_count,
+    scan_read_schema,
+    shuffle_count,
+    uses_broadcast_join,
+)
+from nlu_data_warehouse_project_spark.queries import QUERIES
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_quantity")
+    assert has_pushed_filters(q)
+
+
+def test_column_pruning(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    q = li.select("l_returnflag", "l_quantity")
+    cols = scan_read_schema(q)
+    assert set(cols) == {"l_returnflag", "l_quantity"}, cols
+
+
+def test_flagship_query_plan_quality(spark, sf_smoke):
+    q = QUERIES["q01_pricing_summary"](spark, sf_smoke)
+    assert has_pushed_filters(q)          # the shipdate filter reaches the scan
+    read = set(scan_read_schema(q))
+    assert "l_orderkey" not in read       # unused columns pruned
+    assert shuffle_count(q) == 1          # exactly the groupBy exchange
+    assert python_udf_count(q) == 0       # fully JVM-side
+
+
+def test_relational_queries_have_no_python_in_hot_path(spark, sf_smoke):
+    # every relational operator must stay JVM-side; only the multimodal
+    # mapInPandas operators are allowed Python in the plan
+    for name in ("q02_control_join", "q07_dedup_keep_first", "q08_scd2_merge",
+                 "q16_minhash_neardup", "q18_cosine_topk", "q21_sessionize",
+                 "q22_asof_join", "q26_simhash"):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+
+
+def test_dim_joins_broadcast(spark, sf_smoke):
+    for name in ("q02_control_join", "q05_date_surrogate", "q10_mart_revenue"):
+        q = QUERIES[name](spark, sf_smoke)
+        assert uses_broadcast_join(q), f"{name} lost its broadcast join"
+
+
+def test_scd2_merge_single_shuffle_pair(spark, sf_smoke):
+    # the merge is one full-outer join: at most 2 exchanges (one per
+    # side) before AQE, never one per disposition branch
+    q = QUERIES["q08_scd2_merge"](spark, sf_smoke)
+    # events feed two snapshot windows + the join; ensure the plan does
+    # not blow up into per-branch re-joins (>6 exchanges would mean the
+    # old 5-branch union shape)
+    assert shuffle_count(q) <= 6, shuffle_count(q)
+
+
+def test_anti_and_semi_join_forms(spark, sf_smoke):
+    from nlu_data_warehouse_project_spark.plans import formatted_plan
+
+    anti = QUERIES["q03_anti_join"](spark, sf_smoke)
+    semi = QUERIES["q20_semi_join"](spark, sf_smoke)
+    assert "LeftAnti" in formatted_plan(anti)
+    assert "LeftSemi" in formatted_plan(semi)

@@ -1,0 +1,106 @@
+"""Streaming (incremental ingest, windowed agg, latest-state) and
+multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nlu_data_warehouse_project_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    attach_meta,
+    decode_image,
+    extract_features,
+)
+from nlu_data_warehouse_project_spark.sources import write_landing
+from nlu_data_warehouse_project_spark.streaming import (
+    incremental_ingest,
+    streaming_latest_state,
+    windowed_event_counts,
+)
+
+FEED_COLS = ["sku", "product_name", "price", "brand", "material", "shape",
+             "dimension", "origin", "quantity_available", "product_url"]
+
+
+def _feed(spark, n, prefix):
+    rows = [(f"S{i}", f"{prefix}{i}", "100", "B", "M", "Sh", "D", "O", "1", f"u{i}") for i in range(n)]
+    return spark.createDataFrame(rows, FEED_COLS)
+
+
+def test_incremental_ingest_picks_up_only_new_files(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "silver")
+
+    write_landing(_feed(spark, 5, "a"), landing, 1, "2024-12-08")
+    incremental_ingest(spark, landing, ckpt, out)
+    assert spark.read.parquet(out).count() == 5
+
+    # second day lands; the checkpoint must make the next run pick up
+    # ONLY the new files (no double-processing of day 1)
+    write_landing(_feed(spark, 3, "b"), landing, 1, "2024-12-09")
+    incremental_ingest(spark, landing, ckpt, out)
+    got = spark.read.parquet(out)
+    assert got.count() == 8
+    assert got.filter(F.col("dt") == "2024-12-09").count() == 3
+    # natural_key derived during the streamed cleanse
+    assert got.filter(F.col("natural_key") == "a0-S0").count() == 1
+
+
+def test_windowed_event_counts_batch_equivalence(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 10), "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 0, 50), "click", 2.0),
+        (3, dt.datetime(2024, 1, 1, 1, 10), "click", 4.0),
+        (4, dt.datetime(2024, 1, 1, 1, 20), "view", 8.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(ev, "1 hour").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 01:00:00", "click")] == (1, 4.0)
+    assert got[("2024-01-01 01:00:00", "view")] == (1, 8.0)
+
+
+def test_streaming_latest_state(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 10), 7, 1.0),
+        (2, dt.datetime(2024, 1, 1, 0, 20), 7, 2.0),
+        (3, dt.datetime(2024, 1, 1, 0, 5), 8, 9.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {r["user_id"]: r["latest_value"] for r in streaming_latest_state(ev).collect()}
+    assert got == {7: 2.0, 8: 9.0}
+
+
+def test_multimodal_feature_extraction_roundtrip(spark):
+    rows = [
+        Row(media_id=1, payload=b"fake-image-bytes-1", meta=None),
+        Row(media_id=2, payload=b"fake-image-bytes-2", meta=None),
+        Row(media_id=3, payload=None, meta=None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).drop("meta")
+    media = attach_meta(media, media_type="image", fmt="png")
+    metas = {r["media_id"]: r["meta"] for r in media.collect()}
+    assert metas[1]["n_bytes"] == 18 and metas[1]["media_type"] == "image"
+    assert metas[3]["n_bytes"] == 0
+
+    feats = extract_features(media).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id[1]["feature"]) == 8
+    assert by_id[1]["sha256"] != by_id[2]["sha256"]
+    assert by_id[3]["feature"] is None and by_id[3]["sha256"] is None
+    # deterministic: same payload -> same feature
+    feats2 = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert feats2[1] == by_id[1]["feature"]
+
+
+def test_multimodal_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x")
