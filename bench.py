@@ -30,6 +30,9 @@ HEADLINE = [
     "q18_cosine_topk",
     "q21_sessionize",
     "q22_asof_join",
+    "q26_simhash",
+    "q31_range_join",
+    "q33_running_total",
 ]
 
 

@@ -104,11 +104,15 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     MinHash / Jaccard.  Documents shorter than n tokens yield the whole
     text as a single shingle."""
     toks = tokens(_c(col))
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return ngrams
+    # O(tokens) construction: zip n shifted slices instead of taking a
+    # per-position slice (which is O(tokens) per shingle -> O(tokens²)
+    # per document, the dominant cost at corpus scale)
+    m = F.size(toks)
+    win = m - (n - 1)
+    zipped = F.slice(toks, 1, win)
+    for k in range(1, n):
+        zipped = F.zip_with(zipped, F.slice(toks, 1 + k, win), lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(m >= n, zipped).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def minhash_signature(col: Column | str, num_hashes: int = 8, n: int = 3) -> Column:

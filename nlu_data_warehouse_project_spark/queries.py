@@ -613,24 +613,34 @@ _SHINGLES_SQL = (
     " i -> array_to_string((%(tok)s)[i:i+2], ' '))" % {"tok": _TOKENS_SQL}
 )
 
+_MINHASH_MINS_SQL = """min((a + 0 * b) & 1152921504606846975),
+   min((a + 1 * b) & 1152921504606846975),
+   min((a + 2 * b) & 1152921504606846975),
+   min((a + 3 * b) & 1152921504606846975),
+   min((a + 4 * b) & 1152921504606846975),
+   min((a + 5 * b) & 1152921504606846975),
+   min((a + 6 * b) & 1152921504606846975),
+   min((a + 7 * b) & 1152921504606846975)"""
+
 Q16_SQL = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000, text FROM documents
-), sigs AS (
+), exploded AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM corpus
+), hx AS (
+  SELECT doc_id, md5(sh) AS hx FROM exploded
+), ab AS (
   SELECT doc_id,
-         [list_min(list_transform({_SHINGLES_SQL}, s -> md5('0:' || s))),
-          list_min(list_transform({_SHINGLES_SQL}, s -> md5('1:' || s))),
-          list_min(list_transform({_SHINGLES_SQL}, s -> md5('2:' || s))),
-          list_min(list_transform({_SHINGLES_SQL}, s -> md5('3:' || s))),
-          list_min(list_transform({_SHINGLES_SQL}, s -> md5('4:' || s))),
-          list_min(list_transform({_SHINGLES_SQL}, s -> md5('5:' || s))),
-          list_min(list_transform({_SHINGLES_SQL}, s -> md5('6:' || s))),
-          list_min(list_transform({_SHINGLES_SQL}, s -> md5('7:' || s)))] AS sig
-  FROM corpus
+         ('0x' || substring(hx, 1, 15))::BIGINT AS a,
+         (('0x' || substring(hx, 17, 15))::BIGINT | 1) AS b
+  FROM hx
+), sigs AS (
+  SELECT doc_id, [{_MINHASH_MINS_SQL}] AS sig
+  FROM ab GROUP BY doc_id
 ), banded AS (
-  SELECT doc_id, band_id, array_to_string(sig[band_id * 2 + 1 : band_id * 2 + 1 + 1], '|') AS band_sig
+  SELECT doc_id, band_id, array_to_string(sig[band_id * 2 + 1 : band_id * 2 + 2], '|') AS band_sig
   FROM sigs, unnest([0, 1, 2, 3]) AS t(band_id)
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -654,20 +664,22 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000, text FROM documents
-), sigs AS (
+), exploded AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM corpus
+), hx AS (
+  SELECT doc_id, md5(sh) AS hx FROM exploded
+), ab AS (
   SELECT doc_id,
-         [list_min(list_transform({_SHINGLES_SQL}, s -> md5('0:' || s))),
-          list_min(list_transform({_SHINGLES_SQL}, s -> md5('1:' || s))),
-          list_min(list_transform({_SHINGLES_SQL}, s -> md5('2:' || s))),
-          list_min(list_transform({_SHINGLES_SQL}, s -> md5('3:' || s))),
-          list_min(list_transform({_SHINGLES_SQL}, s -> md5('4:' || s))),
-          list_min(list_transform({_SHINGLES_SQL}, s -> md5('5:' || s))),
-          list_min(list_transform({_SHINGLES_SQL}, s -> md5('6:' || s))),
-          list_min(list_transform({_SHINGLES_SQL}, s -> md5('7:' || s)))] AS sig,
-         list_distinct({_SHINGLES_SQL}) AS sh
-  FROM corpus
+         ('0x' || substring(hx, 1, 15))::BIGINT AS a,
+         (('0x' || substring(hx, 17, 15))::BIGINT | 1) AS b
+  FROM hx
+), sigs AS (
+  SELECT doc_id, [{_MINHASH_MINS_SQL}] AS sig
+  FROM ab GROUP BY doc_id
+), shsets AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM corpus
 ), banded AS (
-  SELECT doc_id, band_id, array_to_string(sig[band_id * 2 + 1 : band_id * 2 + 1 + 1], '|') AS band_sig
+  SELECT doc_id, band_id, array_to_string(sig[band_id * 2 + 1 : band_id * 2 + 2], '|') AS band_sig
   FROM sigs, unnest([0, 1, 2, 3]) AS t(band_id)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -678,8 +690,8 @@ SELECT id_a, id_b,
        round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
 FROM cand
-JOIN sigs sa ON sa.doc_id = id_a
-JOIN sigs sb ON sb.doc_id = id_b
+JOIN shsets sa ON sa.doc_id = id_a
+JOIN shsets sb ON sb.doc_id = id_b
 WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8
 """
@@ -1011,10 +1023,10 @@ GROUP BY lang
 # ---------------------------------------------------------------------------
 
 def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.text import simhash64
+    from .operators.dedup import simhash_table
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash64("text").alias("simhash"))
+    return simhash_table(docs, "text", "doc_id")
 
 
 _HASHES_SQL = f"list_transform({_LTOKENS_SQL}, t -> (('0x' || substring(md5(t), 1, 15))::BIGINT))"
@@ -1293,5 +1305,78 @@ ORACLE_SQL.update(
         "q32_set_ops": Q32_SQL,
         "q33_running_total": Q33_SQL,
         # q34 intentionally omitted: approximate operator, rows-only check
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# C1/C3/C5/C6 cleanse round-trip: synthesize the reference feed's dirt
+# (currency glyphs, '/ 1 chiếc' suffixes, noisy quantities) from part
+# rows, then recover the numbers with the cleanse expressions
+# ---------------------------------------------------------------------------
+
+def q35_cleanse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.cleansing import clean_price, digits_only, natural_key
+
+    part = _t(spark, sf_dir, "part")
+    dirty = part.select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        # floor() explicitly: Spark's double->int cast truncates while
+        # DuckDB's rounds, so the dirty synthesis must pin the rule
+        F.concat(
+            F.format_number(F.floor("p_retailprice").cast("int") * 1000, 0), F.lit("₫ / 1 chiếc "),
+        ).alias("price_dirty"),
+        F.concat(F.lit("Còn "), F.col("p_size").cast("string"), F.lit(" chiếc")).alias("qty_dirty"),
+    )
+    cleaned = dirty.select(
+        "p_partkey",
+        natural_key("p_brand", "p_partkey").alias("natural_key"),
+        clean_price(F.regexp_replace("price_dirty", ",", ",")).alias("price"),
+        digits_only("qty_dirty").alias("quantity"),
+    )
+    return cleaned
+
+
+Q35_SQL = """
+SELECT p_partkey,
+       p_brand || '-' || CAST(p_partkey AS VARCHAR) AS natural_key,
+       CAST(floor(p_retailprice) AS INT) * 1000 AS price,
+       p_size AS quantity
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 time travel: reconstruct the state as of a date from the merged
+# history (rows whose validity interval covers the as-of date)
+# ---------------------------------------------------------------------------
+
+def q36_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dw = q08_scd2_merge(spark, sf_dir)
+    asof = F.to_date(F.lit(_D1))
+    return dw.filter((F.col("dt_load_to_dw") <= asof) & (F.col("dt_last_update") > asof)).select(
+        "user_id", "value", "dt_load_to_dw"
+    )
+
+
+Q36_SQL = f"""
+WITH merged AS ({Q08_SQL})
+SELECT user_id, value, dt_load_to_dw
+FROM merged
+WHERE dt_load_to_dw <= DATE '{_D1}' AND dt_last_update > DATE '{_D1}'
+"""
+
+QUERIES.update(
+    {
+        "q35_cleanse_roundtrip": q35_cleanse_roundtrip,
+        "q36_scd2_asof": q36_scd2_asof,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "q35_cleanse_roundtrip": Q35_SQL,
+        "q36_scd2_asof": Q36_SQL,
     }
 )
