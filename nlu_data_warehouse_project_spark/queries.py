@@ -1380,3 +1380,54 @@ ORACLE_SQL.update(
         "q36_scd2_asof": Q36_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide -> long), the inverse of q29
+# ---------------------------------------------------------------------------
+
+def q37_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q29_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=_EVENT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    ).filter(F.col("n_events") > 0)
+
+
+Q37_SQL = """
+SELECT user_id, event_type, count(*) AS n_events
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (exact two-pass form of the frequent-items sketch)
+# ---------------------------------------------------------------------------
+
+def q38_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem")
+    return heavy_hitters(li, "l_partkey", min_share=0.0005)
+
+
+Q38_SQL = """
+WITH total AS (SELECT count(*) AS t FROM lineitem)
+SELECT l_partkey, count(*) AS n,
+       round(count(*) / (SELECT CAST(t AS DOUBLE) FROM total), 4) AS share
+FROM lineitem
+GROUP BY l_partkey
+HAVING count(*) >= greatest(1, CAST(floor((SELECT t FROM total) * 0.0005) AS INT))
+"""
+
+QUERIES.update({
+    "q37_unpivot": q37_unpivot,
+    "q38_heavy_hitters": q38_heavy_hitters,
+})
+ORACLE_SQL.update({
+    "q37_unpivot": Q37_SQL,
+    "q38_heavy_hitters": Q38_SQL,
+})

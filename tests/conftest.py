@@ -15,8 +15,14 @@ REFERENCE_DIR = "/root/reference"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("nlu-dw-tests", cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")), shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = get_spark(
+        "nlu-dw-tests",
+        cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")),
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
     s.stop()
 

@@ -1,0 +1,71 @@
+"""Scale machinery: bucketed joins are exchange-free, salted joins are
+semantics-preserving, date partitioning prunes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlu_data_warehouse_project_spark.operators.scale import (
+    salted_join,
+    write_bucketed,
+    write_date_partitioned,
+)
+from nlu_data_warehouse_project_spark.plans import formatted_plan, shuffle_count
+
+
+# managed-table warehouse dir is set (statically) in conftest's session
+@pytest.fixture(scope="module")
+def warehouse_conf(spark):
+    return spark.conf.get("spark.sql.warehouse.dir")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_smoke, warehouse_conf):
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"],
+    )
+    joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+    assert shuffle_count(joined) == 0, formatted_plan(joined)[:500]
+    # and it still returns the right number of rows
+    plain = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    assert joined.count() == plain.count()
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, sf_smoke, warehouse_conf):
+    write_bucketed(
+        spark.read.parquet(f"{sf_smoke}/orders.parquet"), "orders_b2", ["o_custkey"], 8
+    )
+    agg = spark.table("orders_b2").groupBy("o_custkey").agg(F.count("*").alias("n"))
+    assert shuffle_count(agg) == 0
+
+
+def test_salted_join_preserves_semantics(spark, sf_smoke):
+    # skewed fact: every lineitem of one hot order plus normal tail
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").limit(2000)
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").select("o_orderkey", "o_totalprice")
+    li2 = li.withColumnRenamed("l_orderkey", "o_orderkey")
+
+    plain = li2.join(orders, "o_orderkey")
+    salted = salted_join(li2, orders, "o_orderkey", salt_buckets=4)
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.select("o_orderkey", "l_linenumber", "o_totalprice").collect()}
+    b = {tuple(r) for r in salted.select("o_orderkey", "l_linenumber", "o_totalprice").collect()}
+    assert a == b
+
+
+def test_date_partitioned_scan_prunes(spark, sf_smoke, tmp_path):
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").withColumn(
+        "order_date", F.col("o_orderdate").cast("date")
+    )
+    path = str(tmp_path / "orders_by_date")
+    write_date_partitioned(orders.filter(F.year("order_date") == 1995), path, "order_date")
+    scan = spark.read.parquet(path).filter(F.col("order_date") == "1995-03-15")
+    plan = formatted_plan(scan)
+    # partition filter present and non-empty
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert pf.strip(), "partition filter did not reach the scan"

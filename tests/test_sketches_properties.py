@@ -1,0 +1,91 @@
+"""Sketch-operator error bounds + Hypothesis property tests for the
+SCD2 merge invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nlu_data_warehouse_project_spark.operators.sketches import (
+    approx_distinct,
+    approx_quantiles,
+    heavy_hitters,
+)
+from nlu_data_warehouse_project_spark.operators.scd2 import scd2_merge
+
+OPEN = dt.date(9999, 12, 31)
+
+
+def test_approx_distinct_error_bound(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    exact = li.select("l_partkey").distinct().count()
+    approx = approx_distinct(li, "l_partkey", rsd=0.02).first()[0]
+    assert abs(approx - exact) / exact < 0.1
+
+
+def test_approx_quantiles_bound(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    [q50] = approx_quantiles(li, "l_quantity", [0.5], rel_err=0.01)
+    exact = li.selectExpr("percentile(l_quantity, 0.5)").first()[0]
+    assert abs(q50 - exact) <= max(1.0, 0.05 * exact)
+
+
+def test_heavy_hitters_threshold(spark):
+    df = spark.createDataFrame([("hot",)] * 90 + [("cold",)] * 10, ["k"])
+    hh = {r["k"]: r["share"] for r in heavy_hitters(df, "k", min_share=0.5).collect()}
+    assert hh == {"hot": 0.9}
+
+
+# --- SCD2 merge invariants over generated day sequences -----------------
+
+@st.composite
+def day_batches(draw):
+    """A sequence of 2-4 daily batches over a small key space with
+    arbitrary value changes/appearances/disappearances."""
+    n_days = draw(st.integers(min_value=2, max_value=4))
+    keys = [f"k{i}" for i in range(draw(st.integers(min_value=1, max_value=5)))]
+    days = []
+    for _ in range(n_days):
+        present = draw(st.lists(st.sampled_from(keys), unique=True, max_size=len(keys)))
+        rows = [(k, draw(st.integers(min_value=0, max_value=3))) for k in present]
+        days.append(rows)
+    return days
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(day_batches())
+def test_scd2_invariants(spark, batches):
+    dw = spark.createDataFrame([], "k string, v int, dt_load_to_dw date, dt_last_update date")
+    dates = [f"2024-01-{d+1:02d}" for d in range(len(batches))]
+    seen_keys = set()
+    for day, rows in zip(dates, batches):
+        batch = spark.createDataFrame(rows, "k string, v int") if rows else spark.createDataFrame([], "k string, v int")
+        dw = scd2_merge(dw, batch, key="k", attrs=["v"], run_date=day)
+        # materialize to keep lineage bounded across iterations
+        dw = spark.createDataFrame(dw.collect(), dw.schema)
+        seen_keys |= {k for k, _ in rows}
+
+    result = dw.collect()
+    # I1: exactly one open row per key ever seen
+    open_rows = [r for r in result if r["dt_last_update"] == OPEN]
+    assert sorted(r["k"] for r in open_rows) == sorted(seen_keys)
+    # I2: closed rows close at a real run date, open rows carry the
+    # load date of the run that inserted them
+    for r in result:
+        assert str(r["dt_load_to_dw"]) in dates
+        if r["dt_last_update"] != OPEN:
+            assert str(r["dt_last_update"]) in dates
+            assert r["dt_last_update"] > r["dt_load_to_dw"] or r["dt_last_update"] == r["dt_load_to_dw"]
+    # I3: per key, version intervals never overlap: sort by load date,
+    # each close date <= next load date
+    by_key: dict[str, list] = {}
+    for r in result:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: (r["dt_load_to_dw"], r["dt_last_update"]))
+        for a, b in zip(versions, versions[1:]):
+            assert a["dt_last_update"] <= b["dt_load_to_dw"], (k, versions)
