@@ -16,11 +16,16 @@ from .similarity import cosine
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on the normalized content fingerprint; keeper = the
-    lowest id in each group (deterministic).  One hash-shuffle on the
-    fingerprint — the map-side min() combines before the exchange."""
+    lowest id in each group (deterministic).  Single pass: one window
+    shuffle on the fingerprint (a groupBy-min + self-join shape would
+    compute every fingerprint twice)."""
     keyed = df.withColumn("__fp", doc_fingerprint(text_col))
-    keepers = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return keyed.join(keepers, ["__fp", id_col], "inner").drop("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
 
 
 def minhash_candidate_pairs(

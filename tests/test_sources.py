@@ -1,0 +1,63 @@
+"""Source/sink surface tests (SURVEY.md §2.1 S2/S3/S5/S7/S8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nlu_data_warehouse_project_spark.sources import (
+    file_info,
+    landing_path,
+    read_feed_csv,
+    read_landing,
+    table_exists,
+    write_landing,
+    write_table,
+)
+
+FEED_COLS = ["sku", "product_name", "price", "brand", "material", "shape",
+             "dimension", "origin", "quantity_available", "product_url"]
+
+
+def _feed(spark, n=4):
+    rows = [(f"S{i}", f"P{i}", "100", "B", "M", "Sh", "D", "O", "1", f"u{i}") for i in range(n)]
+    return spark.createDataFrame(rows, FEED_COLS)
+
+
+def test_landing_roundtrip_and_partition_columns(spark, tmp_path):
+    base = str(tmp_path / "landing")
+    write_landing(_feed(spark, 4), base, 1, "2024-12-08")
+    write_landing(_feed(spark, 2), base, 2, "2024-12-09")
+    allrows = read_landing(spark, base)
+    assert allrows.count() == 6
+    # partition columns materialized from the directory layout
+    assert {"id_config", "dt"} <= set(allrows.columns)
+    assert allrows.filter((F.col("id_config") == 2)).count() == 2
+
+    # single-slice read via the path convention
+    one = read_feed_csv(spark, landing_path(base, 1, "2024-12-08"))
+    assert one.count() == 4
+
+
+def test_file_info_count_and_size(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _feed(spark, 10)
+    write_table(df, path)
+    info = file_info(spark, spark.read.parquet(path), path)
+    assert info["count"] == 10
+    assert info["file_size_kb"] and info["file_size_kb"] > 0
+
+
+def test_table_exists_probe(spark, tmp_path):
+    path = str(tmp_path / "maybe")
+    assert not table_exists(spark, path)
+    write_table(_feed(spark, 1), path)
+    assert table_exists(spark, path)
+
+
+def test_write_table_append_vs_overwrite(spark, tmp_path):
+    path = str(tmp_path / "modes")
+    write_table(_feed(spark, 3), path)
+    write_table(_feed(spark, 2), path, mode="append")
+    assert spark.read.parquet(path).count() == 5
+    write_table(_feed(spark, 1), path, mode="overwrite")
+    assert spark.read.parquet(path).count() == 1
