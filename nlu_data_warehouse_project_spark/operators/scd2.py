@@ -62,6 +62,10 @@ def scd2_merge(
     ``batch`` is the staged run slice (already cleansed + deduped on
     ``key`` — reference guarantees this via F2 before P3 runs).
     """
+    # contract: batch must be unique on `key` (the reference guarantees
+    # this via the staging dedup F2 before the merge runs); a duplicate
+    # key would emit conflicting current rows.  Callers that cannot
+    # guarantee it should dedup_keep_first() the batch beforehand.
     run = F.to_date(F.lit(run_date))
     open_d = F.to_date(F.lit(open_sentinel))
 
