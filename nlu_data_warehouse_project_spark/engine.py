@@ -1,0 +1,64 @@
+"""Engine facade — the one import a user of the reference project
+needs to switch.
+
+The reference's "API" is three CLI scripts + ad-hoc SQL against
+Postgres.  Here the same capabilities hang off one object:
+
+    from nlu_data_warehouse_project_spark.engine import Engine
+
+    eng = Engine.local()                       # or Engine(existing_spark)
+    wh = eng.warehouse("/data/wh")             # P1/P2/P3 pipeline
+    wh.run_day(feed_df, id_config=1, day="2024-12-08")
+
+    eng.register_tables("/root/testdata/sf0.01")
+    eng.sql("SELECT ... FROM lineitem ...")    # ANSI SQL frontend
+    eng.query("q01_pricing_summary", "/root/testdata/sf0.01")
+    eng.date_dim()                             # reference-exact calendar
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions.calendar import DEFAULT_END, DEFAULT_START, build_date_dim
+from .pipeline import Warehouse
+from .queries import ORACLE_SQL, QUERIES
+from .session import get_spark
+from .sources import load_testdata, register_testdata_views
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    @classmethod
+    def local(cls, app_name: str = "nlu-dw", **kwargs) -> "Engine":
+        return cls(get_spark(app_name, **kwargs))
+
+    # -- warehouse pipeline (reference P1/P2/P3) ------------------------
+    def warehouse(self, root: str, alert=None) -> Warehouse:
+        return Warehouse(self.spark, root, alert=alert) if alert else Warehouse(self.spark, root)
+
+    # -- calendar (reference date_dim) -----------------------------------
+    def date_dim(self, start: str = DEFAULT_START, end: str = DEFAULT_END, holidays=None) -> DataFrame:
+        return build_date_dim(self.spark, start, end, holidays)
+
+    # -- tables & SQL ------------------------------------------------------
+    def register_tables(self, sf_dir: str) -> None:
+        register_testdata_views(self.spark, sf_dir)
+
+    def tables(self, sf_dir: str) -> dict[str, DataFrame]:
+        return load_testdata(self.spark, sf_dir)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- named query catalog ----------------------------------------------
+    def query(self, name: str, sf_dir: str) -> DataFrame:
+        return QUERIES[name](self.spark, sf_dir)
+
+    def query_names(self) -> list[str]:
+        return sorted(QUERIES)
+
+    def oracle_sql(self, name: str) -> str | None:
+        return ORACLE_SQL.get(name)

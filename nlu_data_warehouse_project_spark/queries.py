@@ -43,6 +43,10 @@ def _dec(c) -> "F.Column":
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamps in the testdata are naive; DuckDB renders them as-is,
+    # Spark renders LTZ timestamps in the session timezone — pin UTC so
+    # a caller session in any timezone hash-matches the oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark refuses
         # by default — read the nanos as long (runtime-settable conf,
