@@ -218,11 +218,11 @@ def embedding_neardup_pairs(
         b = base.toDF("id_b", "__vb")
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
-        from .similarity import hyperplane_sketch
+        from .similarity import with_hyperplane_sketch
 
         nbits = len(planes)
         per = nbits // bands
-        sk = base.withColumn("__sketch", hyperplane_sketch("__v", planes))
+        sk = with_hyperplane_sketch(base, "__v", planes)
         banded = sk.select(
             "__id",
             "__v",

