@@ -1435,3 +1435,91 @@ ORACLE_SQL.update({
     "q37_unpivot": Q37_SQL,
     "q38_heavy_hitters": Q38_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Outer joins (left outer with null-extension semantics)
+# ---------------------------------------------------------------------------
+
+def q39_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("spend"),
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("spend", F.lit(0.0)).alias("spend"),
+        )
+    )
+
+
+Q39_SQL = """
+SELECT c_custkey, c_mktsegment,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(spend, 0.0) AS spend
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global ORDER BY + LIMIT top-k (deterministic tiebreak)
+# ---------------------------------------------------------------------------
+
+def q40_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+Q40_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Regex extraction (C2 twin on an ASCII pattern)
+# ---------------------------------------------------------------------------
+
+def q41_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("src_num", F.regexp_extract("source", r"src(\d+)", 1).cast("int"))
+        .groupBy("src_num")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+Q41_SQL = """
+SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS src_num,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+QUERIES.update({
+    "q39_outer_join": q39_outer_join,
+    "q40_global_topk": q40_global_topk,
+    "q41_regex_extract": q41_regex_extract,
+})
+ORACLE_SQL.update({
+    "q39_outer_join": Q39_SQL,
+    "q40_global_topk": Q40_SQL,
+    "q41_regex_extract": Q41_SQL,
+})

@@ -61,3 +61,22 @@ def test_write_table_append_vs_overwrite(spark, tmp_path):
     assert spark.read.parquet(path).count() == 5
     write_table(_feed(spark, 1), path, mode="overwrite")
     assert spark.read.parquet(path).count() == 1
+
+
+def test_upsert_and_delete(spark):
+    from pyspark.sql import functions as F
+
+    from nlu_data_warehouse_project_spark.operators.upsert import delete_where, upsert
+
+    target = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"])
+    updates = spark.createDataFrame([(2, "B"), (4, "d")], ["id", "v"])
+    merged = {r["id"]: r["v"] for r in upsert(target, updates, ["id"]).collect()}
+    assert merged == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        upsert(target, updates.withColumnRenamed("v", "w"), ["id"])
+
+    left = {r["id"] for r in delete_where(target, F.col("id") == 2).collect()}
+    assert left == {1, 3}
