@@ -104,3 +104,21 @@ def test_multimodal_feature_extraction_roundtrip(spark):
 def test_multimodal_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"x")
+
+
+def test_multimodal_features_feed_similarity_search(spark):
+    """End-to-end: binary payloads -> mapInPandas features -> the same
+    similarity operators that serve the embeddings table (the features
+    column is a regular array<float> vector)."""
+    from nlu_data_warehouse_project_spark.operators.similarity import cosine_topk
+
+    rows = [Row(media_id=i, payload=bytes([i]) * 32, meta=None) for i in range(1, 9)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).drop("meta")
+    feats = extract_features(attach_meta(media)).select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    topk = cosine_topk(feats.filter(F.col("vec_id") == 1), feats, k=3)
+    got = topk.collect()
+    assert len(got) == 3
+    assert all(r["query_id"] == 1 and r["neighbor_id"] != 1 for r in got)
+    assert got[0]["rank"] == 1 and -1.0 <= got[0]["cos"] <= 1.0
