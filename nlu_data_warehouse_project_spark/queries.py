@@ -15,7 +15,6 @@ same parquet tables.  Conventions for hash-stable comparison:
 from __future__ import annotations
 
 from collections.abc import Callable
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
