@@ -121,6 +121,19 @@ class ControlPlane:
             .first()
         )
 
+    def active_log_id(self, id_config: int, day: str) -> int | None:
+        """The id of the latest log row for (id_config, day) — the row
+        the in-flight pipeline attempt owns.  Prior attempts' rows (a
+        historical EF/SF/DF) keep lower ids and are never rewritten."""
+        row = (
+            self.logs.filter(
+                (F.col("id_config") == id_config) & (F.col("time") == F.to_date(F.lit(day)))
+            )
+            .agg(F.max("id"))
+            .first()
+        )
+        return None if row is None or row[0] is None else int(row[0])
+
     # -- J6: log upserts ---------------------------------------------------
     def insert_log(
         self,
@@ -158,11 +171,20 @@ class ControlPlane:
         status: str,
         count: int | None = None,
         file_size_kb: int | None = None,
+        log_id: int | None = None,
     ) -> "ControlPlane":
-        """Point update of the (id_config, day) log row (reference
-        `update_status`, `load_to_staging.py:248-285`): rewrite =
-        withColumn(when(match, new).otherwise(old))."""
+        """Point update of one log row (reference `update_status`,
+        `load_to_staging.py:248-285`): rewrite =
+        withColumn(when(match, new).otherwise(old)).
+
+        Pass ``log_id`` (the reference updates by primary key too) so a
+        retried day touches only the active attempt's row — a
+        day-scoped match would also rewrite a historical failure row
+        and erase the audit trail.
+        """
         match = (F.col("id_config") == id_config) & (F.col("time") == F.to_date(F.lit(day)))
+        if log_id is not None:
+            match = match & (F.col("id") == log_id)
         logs = self.logs.withColumn("status", F.when(match, F.lit(status)).otherwise(F.col("status")))
         logs = logs.withColumn("dt_update", F.when(match, F.current_timestamp()).otherwise(F.col("dt_update")))
         if count is not None:

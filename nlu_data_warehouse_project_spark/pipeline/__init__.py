@@ -12,8 +12,21 @@ composed by ``run_day``.  Each stage:
 
 Data layering (parquet lakehouse):
   bronze  landing/id_config=*/dt=*/  raw feed CSV, partition-pruned
-  silver  staging/                   typed, cleansed, deduped
-  gold    dw/ + date_dim/            SCD2 table + calendar
+  silver  staging/id_config=*/dt_load=*/  typed, cleansed, deduped;
+          the run slice is overwritten idempotently (dynamic partition
+          overwrite), so a retried day never appends duplicates
+  gold    dw/ (TxTable manifest log) + date_dim/
+
+Gold persistence is the TxTable commit log (`sources/txlog.py`): the
+daily SCD2 merge reads ONLY the current (open) set, appends one
+closed-delta dir and replaces the current dir, then publishes both with
+an atomic manifest rename.  History is never rewritten — at 100 TB the
+merge I/O is bounded by live keys + daily churn, and a crash anywhere
+before the manifest commit leaves the previous version readable.
+
+Failure statuses are per-stage (ES/EF, LS/SF, LWS/DF) so each stage
+retries from itself: a dw failure re-runs load_to_dw against the
+already-staged slice instead of re-extracting and re-appending it.
 """
 
 from __future__ import annotations
@@ -32,13 +45,16 @@ from ..operators.scd2 import resolve_date_key, scd2_merge
 from ..schemas import (
     SCD2_ATTR_COLUMNS,
     SCD2_OPEN_SENTINEL,
+    STATUS_DW_FAILED,
     STATUS_EXTRACT_FAILED,
     STATUS_EXTRACT_SUCCESS,
     STATUS_LOAD_DW_SUCCESS,
     STATUS_LOAD_STAGING_SUCCESS,
     STATUS_RUNNING,
+    STATUS_STAGING_FAILED,
 )
 from ..sources import landing_path, read_feed_csv, table_exists, write_landing
+from ..sources.txlog import TxTable
 
 AlertHook = Callable[[str, Exception], None]
 
@@ -82,25 +98,31 @@ class Warehouse:
         `extract_file.py:332-362`."""
         ctrl = self.control()
         # the reference guard only checks RUNNING/ES (`extract_file.py:347`);
-        # we also block LS/LWS — a fully-loaded day must not re-extract.
-        # Only an EF (failed) day is retryable.
+        # we also block LS/LWS (a fully-loaded day must not re-extract)
+        # and SF/DF (those retry from their own stage, not from here).
+        # Only an EF (failed-at-extract) day is retryable.
         non_retryable = [
             STATUS_RUNNING,
             STATUS_EXTRACT_SUCCESS,
             STATUS_LOAD_STAGING_SUCCESS,
             STATUS_LOAD_DW_SUCCESS,
+            STATUS_STAGING_FAILED,
+            STATUS_DW_FAILED,
         ]
         if ctrl.has_log(id_config, day, non_retryable):
             raise DuplicateRunError(f"extract already ran for id_config={id_config} day={day}")
         file_name = f"data_{id_config}_{day}.csv"
         ctrl = self._save(ctrl.insert_log(id_config, file_name, day, STATUS_RUNNING))
+        log_id = ctrl.active_log_id(id_config, day)
         try:
             path = write_landing(feed, self.landing_dir, id_config, day)
             count = feed.count()
-            ctrl = self._save(ctrl.update_status(id_config, day, STATUS_EXTRACT_SUCCESS, count=count))
+            ctrl = self._save(
+                ctrl.update_status(id_config, day, STATUS_EXTRACT_SUCCESS, count=count, log_id=log_id)
+            )
             return path
         except Exception as exc:  # T5 failure path
-            self._save(ctrl.update_status(id_config, day, STATUS_EXTRACT_FAILED))
+            self._save(ctrl.update_status(id_config, day, STATUS_EXTRACT_FAILED, log_id=log_id))
             self.alert(f"extract failed for id_config={id_config} day={day}\n{traceback.format_exc()}", exc)
             raise
 
@@ -110,11 +132,18 @@ class Warehouse:
         to the staging table (reference `load_to_staging.py:478-564`:
         row-loop insert + natural-key derivation + null repair F1 +
         keyed dedup F2 — here one vectorized chain, one shuffle for the
-        dedup window)."""
+        dedup window).
+
+        The write is idempotent: dynamic partition overwrite replaces
+        exactly the (id_config, dt_load) run slice, so a retry after a
+        partial write (or after a downstream DF failure forced a re-run)
+        cannot append duplicate natural_keys into the merge batch.
+        Retryable from ES (first attempt) or SF (prior staging failure)."""
         ctrl = self.control()
-        if not ctrl.has_log(id_config, day, [STATUS_EXTRACT_SUCCESS]):
-            raise DuplicateRunError(f"no ES log for id_config={id_config} day={day}: extract must succeed first")
-        ctrl = self._save(ctrl.update_status(id_config, day, STATUS_RUNNING))
+        if not ctrl.has_log(id_config, day, [STATUS_EXTRACT_SUCCESS, STATUS_STAGING_FAILED]):
+            raise DuplicateRunError(f"no ES/SF log for id_config={id_config} day={day}: extract must succeed first")
+        log_id = ctrl.active_log_id(id_config, day)
+        ctrl = self._save(ctrl.update_status(id_config, day, STATUS_RUNNING, log_id=log_id))
         try:
             raw = read_feed_csv(self.spark, landing_path(self.landing_dir, id_config, day))
             silver = (
@@ -129,43 +158,57 @@ class Warehouse:
                 "product_url", "id_config", "dt_extract", "dt_load",
             ]
             silver = silver.select(*cols)
-            silver.write.mode("append").partitionBy("dt_load").parquet(self.staging_dir)
-            self._save(ctrl.update_status(id_config, day, STATUS_LOAD_STAGING_SUCCESS))
+            (
+                silver.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("id_config", "dt_load")
+                .parquet(self.staging_dir)
+            )
+            self._save(ctrl.update_status(id_config, day, STATUS_LOAD_STAGING_SUCCESS, log_id=log_id))
             return silver
         except Exception as exc:
-            self._save(ctrl.update_status(id_config, day, STATUS_EXTRACT_FAILED))
+            self._save(ctrl.update_status(id_config, day, STATUS_STAGING_FAILED, log_id=log_id))
             self.alert(f"staging load failed for id_config={id_config} day={day}", exc)
             raise
 
     # -- P3: SCD2 merge into dw --------------------------------------------
     def load_to_dw(self, id_config: int, day: str) -> DataFrame:
-        """Staging run slice -> SCD2 merge -> gold overwrite (reference
-        `load_to_dw.py:491-560`; merge order J2 -> J4 -> J3 -> J5).
-        temp_dw never materializes: it is just the filtered staging
-        DataFrame (the reference's TRUNCATE temp_dw S6 disappears)."""
+        """Staging run slice -> SCD2 merge -> transactional gold commit
+        (reference `load_to_dw.py:491-560`; merge order J2 -> J4 -> J3 ->
+        J5).  temp_dw never materializes: it is just the filtered staging
+        DataFrame (the reference's TRUNCATE temp_dw S6 disappears).
+
+        Scale shape: the merge joins the batch against ONLY the current
+        (open) set from the TxTable — closed history is neither read nor
+        rewritten.  The merge output is persisted once and split into a
+        closed-delta append + a current-dir replace, published by one
+        atomic manifest commit; a crash mid-write leaves the previous
+        gold version readable and the day retryable from DF."""
         ctrl = self.control()
-        if not ctrl.has_log(id_config, day, [STATUS_LOAD_STAGING_SUCCESS]):
-            raise DuplicateRunError(f"no LS log for id_config={id_config} day={day}: staging must succeed first")
-        ctrl = self._save(ctrl.update_status(id_config, day, STATUS_RUNNING))
+        if not ctrl.has_log(id_config, day, [STATUS_LOAD_STAGING_SUCCESS, STATUS_DW_FAILED]):
+            raise DuplicateRunError(f"no LS/DF log for id_config={id_config} day={day}: staging must succeed first")
+        log_id = ctrl.active_log_id(id_config, day)
+        ctrl = self._save(ctrl.update_status(id_config, day, STATUS_RUNNING, log_id=log_id))
         try:
             staging = self.spark.read.parquet(self.staging_dir)
-            # F3/P3/P4: the temp_dw scratch copy is just this projection
+            # F3/P3/P4: the temp_dw scratch copy is just this projection;
+            # (id_config, dt_load) are partition dirs, so this prunes
             batch = staging.filter(
                 (F.col("id_config") == id_config) & (F.col("dt_load") == F.to_date(F.lit(day)))
             ).drop("surrogate_key")
 
-            if table_exists(self.spark, self.dw_dir):
-                dw = self.spark.read.parquet(self.dw_dir)
+            gold = TxTable(self.spark, self.dw_dir)
+            if gold.exists():
+                current = gold.read_current().drop("dt_dim")
             else:
-                dw = (
+                current = (
                     batch.limit(0)
                     .withColumn("dt_load_to_dw", F.to_date(F.lit(day)))
                     .withColumn("dt_last_update", F.to_date(F.lit(SCD2_OPEN_SENTINEL)))
-                    .withColumn("dt_dim", F.lit(None).cast("int"))
                 )
 
-            merged = scd2_merge(
-                dw.drop("dt_dim"),
+            delta = scd2_merge(
+                current,
                 batch,
                 key="natural_key",
                 attrs=[c for c in SCD2_ATTR_COLUMNS if c in batch.columns],
@@ -173,23 +216,32 @@ class Warehouse:
             )
             if table_exists(self.spark, self.date_dim_dir):
                 date_dim = self.spark.read.parquet(self.date_dim_dir)
-                merged = resolve_date_key(merged.withColumn("dt_dim", F.lit(None).cast("int")), date_dim)
+                delta = resolve_date_key(delta.withColumn("dt_dim", F.lit(None).cast("int")), date_dim)
             else:
-                merged = merged.withColumn("dt_dim", F.lit(None).cast("int"))
+                delta = delta.withColumn("dt_dim", F.lit(None).cast("int"))
 
-            # write-audit-then-swap: materialize to a new location and
-            # atomically point at it (read-modify-overwrite of the same
-            # path would race with the scan feeding the merge)
-            tmp = self.dw_dir + "__new"
-            merged.write.mode("overwrite").parquet(tmp)
-            final = self.spark.read.parquet(tmp)
-            final.write.mode("overwrite").parquet(self.dw_dir)
-            self._save(ctrl.update_status(id_config, day, STATUS_LOAD_DW_SUCCESS))
-            return self.spark.read.parquet(self.dw_dir)
+            # one materialization feeds both writes (closed + current);
+            # without it the merge join would execute twice
+            delta = delta.persist()
+            try:
+                open_d = F.to_date(F.lit(SCD2_OPEN_SENTINEL))
+                gold.commit_merge(
+                    current=delta.filter(F.col("dt_last_update") == open_d),
+                    closed_delta=delta.filter(F.col("dt_last_update") != open_d),
+                    run_id=day,
+                )
+            finally:
+                delta.unpersist()
+            self._save(ctrl.update_status(id_config, day, STATUS_LOAD_DW_SUCCESS, log_id=log_id))
+            return gold.read()
         except Exception as exc:
-            self._save(ctrl.update_status(id_config, day, STATUS_EXTRACT_FAILED))
+            self._save(ctrl.update_status(id_config, day, STATUS_DW_FAILED, log_id=log_id))
             self.alert(f"dw load failed for id_config={id_config} day={day}", exc)
             raise
+
+    def read_dw(self) -> DataFrame:
+        """The full logical gold table (open ∪ closed history)."""
+        return TxTable(self.spark, self.dw_dir).read()
 
     # -- full day ------------------------------------------------------------
     def run_day(self, feed: DataFrame, id_config: int, day: str) -> DataFrame:

@@ -140,16 +140,24 @@ FILE_LOGS_SCHEMA = T.StructType(
     ]
 )
 
-# run-state vocabulary (docx xlines 92-110; transitions in SURVEY.md §2.7 T3)
+# run-state vocabulary (docx xlines 92-110; transitions in SURVEY.md §2.7 T3).
+# The reference collapses every failure to EF, which forces a dw failure
+# to retry from extract and re-append the staging slice (duplicate
+# natural_keys into the merge).  The engine adds per-stage failure
+# statuses SF/DF so each stage retries from itself.
 STATUS_RUNNING = "RUNNING"
 STATUS_EXTRACT_SUCCESS = "ES"
 STATUS_EXTRACT_FAILED = "EF"
+STATUS_STAGING_FAILED = "SF"
+STATUS_DW_FAILED = "DF"
 STATUS_LOAD_STAGING_SUCCESS = "LS"
 STATUS_LOAD_DW_SUCCESS = "LWS"
 ALL_STATUSES = [
     STATUS_RUNNING,
     STATUS_EXTRACT_SUCCESS,
     STATUS_EXTRACT_FAILED,
+    STATUS_STAGING_FAILED,
+    STATUS_DW_FAILED,
     STATUS_LOAD_STAGING_SUCCESS,
     STATUS_LOAD_DW_SUCCESS,
 ]

@@ -102,7 +102,7 @@ def test_pipeline_guard_requires_prior_stage(spark, tmp_path):
         wh.load_to_dw(1, "2024-12-08")  # no LS row
 
 
-def test_pipeline_failure_marks_ef_and_alerts(spark, tmp_path):
+def test_pipeline_failure_marks_sf_and_alerts(spark, tmp_path):
     alerts = []
     wh = Warehouse(spark, str(tmp_path / "wh3"), alert=lambda m, e: alerts.append(m))
     bad = spark.createDataFrame([("x",)], ["not_a_feed_col"])  # missing required cols downstream
@@ -110,4 +110,9 @@ def test_pipeline_failure_marks_ef_and_alerts(spark, tmp_path):
     with pytest.raises(Exception):
         wh.load_to_staging(1, "2024-12-08")
     assert alerts, "alert hook fired"
-    assert wh.control().has_log(1, "2024-12-08", ["EF"])
+    # per-stage failure status: staging failures mark SF, not EF, so the
+    # retry re-runs staging without re-extracting (ADVICE r1 #1)
+    assert wh.control().has_log(1, "2024-12-08", ["SF"])
+    # ...and extract refuses to re-run (the landing data is fine)
+    with pytest.raises(DuplicateRunError):
+        wh.extract(bad, 1, "2024-12-08")
