@@ -138,10 +138,12 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", tokens(F.lower(_c(col)))))
 
 
-def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash over whitespace tokens.
+def simhash60(col: Column | str) -> Column:
+    """60-bit SimHash over whitespace tokens (60 = 15 hex chars of md5,
+    the widest slice that fits a signed long via ``conv``; blocks split
+    evenly into 4 x 15 bits for the LSH pigeonhole).
 
-    Per token: take the first 16 hex chars of md5 as a 64-bit integer;
+    Per token: take the first 15 hex chars of md5 as a 60-bit integer;
     for each bit, vote +1/-1; fingerprint bit = sign of the vote.
     Near-duplicate docs differ in few bits (compare with
     ``bit_count(a ^ b)``).  Pure higher-order-function expression.

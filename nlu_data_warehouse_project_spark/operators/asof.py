@@ -31,9 +31,16 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     tolerance: float | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward as-of left join; right payload columns (everything but
-    ``on``/``right_ts``) are appended, plus ``right_ts`` itself."""
+    ``on``/``right_ts``) are appended, plus ``right_ts`` itself.
+
+    ``tiebreak`` names a right-side column that deterministically orders
+    right rows sharing the same (key, ts): the row with the HIGHEST
+    tiebreak value wins (matching the `ORDER BY ts DESC, id DESC LIMIT
+    1` shape of a correlated-subquery oracle).  Without it, equal-ts
+    right rows yield an arbitrary payload (ADVICE r1 #2)."""
     payload_cols = [c for c in right.columns if c not in (on, right_ts)]
 
     l_tagged = left.select(
@@ -42,6 +49,7 @@ def asof_join(
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
         F.lit(None).cast("timestamp").alias("__rts"),
+        F.lit(None).cast(dict(right.dtypes)[tiebreak] if tiebreak else "int").alias("__tb"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in payload_cols],
     )
     r_tagged = right.select(
@@ -50,13 +58,17 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l_tagged.schema["__left"].dataType).alias("__left"),
         F.col(right_ts).cast("timestamp").alias("__rts"),
+        (F.col(tiebreak) if tiebreak else F.lit(None).cast("int")).alias("__tb"),
         *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
     )
 
     merged = l_tagged.unionByName(r_tagged)
+    # right rows sort before left rows at equal ts (<= semantics); among
+    # equal-ts right rows the tiebreak ascends, so last() carries the
+    # highest-tiebreak payload (nulls first keeps no-tiebreak behavior)
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = merged.select(

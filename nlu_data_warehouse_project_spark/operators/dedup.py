@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import doc_fingerprint, shingles, simhash64
+from ..functions.text import doc_fingerprint, shingles, simhash60
 from .similarity import cosine
 
 
@@ -129,7 +129,7 @@ def ngram_jaccard_pairs(
 
 def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash) for every row — semantically identical to the
-    ``simhash64`` column expression, but computed as explode → groupBy
+    ``simhash60`` column expression, but computed as explode → groupBy
     with 60 bit-vote sums: one pass over each token with map-side
     partial aggregation, instead of 60 re-scans of the per-row hash
     array.  Use this form for corpus-scale fingerprinting."""
@@ -163,8 +163,8 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprints, candidates share at
-    least one of 4 16-bit blocks (pigeonhole: any pair within hamming
+    """SimHash near-dup pairs: 60-bit fingerprints, candidates share at
+    least one of 4 15-bit blocks (pigeonhole: any pair within hamming
     distance 3 collides on >=1 block), verified with bit_count(a^b)."""
     fp = simhash_table(df, text_col, id_col).select(
         F.col(id_col).alias("__id"), F.col("simhash").alias("__fp")
@@ -205,15 +205,26 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     planes: list[list[float]] | None = None,
     bands: int = 4,
+    max_exact_rows: int = 20_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= threshold).
 
     With ``planes`` given, candidates come from hyperplane-LSH bucket
     collisions (scale path); otherwise an exact all-pairs comparison is
     used (only sane for small/filtered inputs — the correctness
-    baseline)."""
+    baseline).  The exact path refuses inputs above ``max_exact_rows``
+    (guard rail, VERDICT r1 #5: a caller must not default into an n²
+    cross join at corpus scale — pass ``planes`` instead; the count it
+    costs is noise next to the n² it prevents)."""
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     if planes is None:
+        n = base.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"exact all-pairs path on {n} rows (> max_exact_rows={max_exact_rows}): "
+                "pass `planes` for the LSH-bucketed path, or raise max_exact_rows "
+                "if the cross join is intentional"
+            )
         a = base.toDF("id_a", "__va")
         b = base.toDF("id_b", "__vb")
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))

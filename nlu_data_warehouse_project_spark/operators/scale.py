@@ -54,13 +54,22 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-resistant equi-join: left rows scatter across
-    ``salt_buckets`` deterministic sub-keys (hash of the whole row, so
-    rows with the same hot key spread evenly); right rows replicate
-    once per salt.  Semantics identical to ``left.join(right, on,
-    how)`` for inner/left joins; cost profile is a join on
-    (key, salt) whose per-task share of a hot key is 1/salt_buckets."""
+    ``salt_buckets`` sub-keys; right rows replicate once per salt.
+    Semantics identical to ``left.join(right, on, how)`` — but ONLY for
+    inner/left joins (a right/full join would emit unmatched right rows
+    once per salt; semi/anti change semantics), so anything else raises.
+    The salt comes from a per-row monotonic id, not a row hash: exact
+    duplicate rows of a hot key must still spread across salts (a
+    whole-row hash lands them all in one bucket, ADVICE r1 #3).
+    Cost profile is a join on (key, salt) whose per-task share of a hot
+    key is 1/salt_buckets."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: replicating the "
+            "right side per salt breaks right/full/semi/anti semantics"
+        )
     salted_left = left.withColumn(
-        "__salt", F.pmod(F.hash(F.struct(*[F.col(c) for c in left.columns])), F.lit(salt_buckets))
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     )
     salted_right = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

@@ -310,7 +310,12 @@ def q08_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty = spark.createDataFrame(
         [], "user_id bigint, value double, dt_load_to_dw date, dt_last_update date"
     )
-    dw1 = scd2_merge(empty, snap_a, key="user_id", attrs=["value"], run_date=_D0)
+    # persist the intermediate: scd2_merge scans its dw input twice
+    # (current/history split), so without this the whole snap-A merge
+    # would execute twice inside the chained merge (VERDICT r1 #3).
+    # The real pipeline materializes between merges via the TxTable
+    # commit; chained in-memory merges persist instead.
+    dw1 = scd2_merge(empty, snap_a, key="user_id", attrs=["value"], run_date=_D0).persist()
     dw2 = scd2_merge(dw1, snap_b, key="user_id", attrs=["value"], run_date=_D1)
     return dw2.select("user_id", "value", "dt_load_to_dw", "dt_last_update")
 
@@ -840,10 +845,16 @@ def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
     )
     views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+        F.col("event_id").alias("view_event_id"),
     )
+    # tiebreak mirrors the oracle's ORDER BY ts DESC, event_id DESC:
+    # equal-ts view rows resolve to the highest event_id
     joined = asof_join(
-        purchases, views, on="user_id", left_ts="ts", right_ts="view_ts", tolerance=None
+        purchases, views, on="user_id", left_ts="ts", right_ts="view_ts",
+        tolerance=None, tiebreak="view_event_id",
     )
     return joined.select(
         "event_id", "user_id", "purchase_value",
@@ -1163,16 +1174,15 @@ GROUP BY l_returnflag
 # ---------------------------------------------------------------------------
 
 def q31_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-bucketed rewrite: equi-join on (user_id, 60s bucket) with the
+    # right side exploded into adjacent buckets, so candidate pairs are
+    # bounded by per-bucket density instead of per-user row count
+    # (a hot user no longer degrades a task quadratically)
+    from .operators.rangejoin import range_pairs_within
+
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    a = ev.alias("a")
-    b = ev.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("b.ts") > F.col("a.ts"))
-        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECONDS")),
-    )
-    return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
+    pairs = range_pairs_within(ev, key="user_id", ts_col="ts", delta_seconds=60)
+    return pairs.groupBy(F.col("a_user_id").alias("user_id")).agg(
         F.count("*").alias("n_pairs_within_60s")
     )
 
@@ -1336,7 +1346,7 @@ def q35_cleanse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = dirty.select(
         "p_partkey",
         natural_key("p_brand", "p_partkey").alias("natural_key"),
-        clean_price(F.regexp_replace("price_dirty", ",", ",")).alias("price"),
+        clean_price(F.col("price_dirty")).alias("price"),
         digits_only("qty_dirty").alias("quantity"),
     )
     return cleaned

@@ -57,9 +57,6 @@ def read_feed_csv(
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.csv(path)
-    if schema is None and set(FEED_REQUIRED_COLUMNS) <= set(df.columns):
-        # untyped feed: keep strings, in feed column order when possible
-        pass
     return validate_required_columns(df, required)
 
 

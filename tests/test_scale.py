@@ -57,6 +57,21 @@ def test_salted_join_preserves_semantics(spark, sf_smoke):
     assert a == b
 
 
+def test_salted_join_left_and_guard(spark, sf_smoke):
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").limit(500)
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").select("o_orderkey", "o_totalprice")
+    li2 = li.withColumnRenamed("l_orderkey", "o_orderkey")
+
+    plain = li2.join(orders, "o_orderkey", "left")
+    salted = salted_join(li2, orders, "o_orderkey", salt_buckets=4, how="left")
+    assert salted.count() == plain.count()
+
+    # replicating the right side per salt breaks right/full/semi/anti
+    for bad in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(li2, orders, "o_orderkey", how=bad)
+
+
 def test_date_partitioned_scan_prunes(spark, sf_smoke, tmp_path):
     orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").withColumn(
         "order_date", F.col("o_orderdate").cast("date")
