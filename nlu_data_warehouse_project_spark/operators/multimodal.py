@@ -19,6 +19,7 @@ Design rules for 100 TB:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -56,21 +57,107 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def attach_meta(df: DataFrame, payload_col: str = "payload", media_type: str = "image", fmt: str | None = None) -> DataFrame:
-    """Wrap a raw binary column with the typed metadata struct
-    (n_bytes computed engine-side; codec-derived fields left null until
-    decode)."""
-    return df.withColumn(
+def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from container headers alone — stdlib
+    ``struct``, no codec library (VERDICT r1 #6: the header fields are
+    plain big/little-endian integers at fixed or marker-addressed
+    offsets, so de-stubbing dimensions needs no decoder):
+
+    - PNG: 8-byte signature, then the IHDR chunk holds width/height as
+      big-endian uint32 at bytes 16-24 (PNG spec §11.2.2).
+    - JPEG: walk the FF-prefixed marker stream to the first SOFn
+      (C0-CF minus C4/C8/CC); height/width are big-endian uint16 at
+      offsets 5/7 into the segment (ITU T.81 §B.2.2).
+    - GIF: 6-byte version tag, then little-endian uint16 width/height.
+    - BMP: BITMAPINFOHEADER int32 width/height at offsets 18/22
+      (height may be negative for top-down rows).
+
+    Unknown or truncated payloads return (None, None, None) — dirty
+    bytes must classify as unparseable, never throw a task.
+    """
+    if not payload or len(payload) < 10:
+        return (None, None, None)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) >= 24:
+            w, h = struct.unpack(">II", payload[16:24])
+            return ("png", w, h)
+        return ("png", None, None)
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2  # padding / standalone markers carry no length
+                continue
+            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return ("jpeg", w, h)
+                break
+            i += 2 + seglen
+        return ("jpeg", None, None)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return ("bmp", w, abs(h))
+    return (None, None, None)
+
+
+def attach_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    media_type: str = "image",
+    fmt: str | None = None,
+    sniff: bool = False,
+) -> DataFrame:
+    """Wrap a raw binary column with the typed metadata struct.
+
+    ``n_bytes`` is always computed engine-side.  With ``sniff=True``
+    (images), format/width/height come from ``parse_image_header`` via
+    an Arrow-batched pandas UDF — the sanctioned Python path: byte-level
+    marker walking is inexpressible as built-in expressions, and the
+    UDF reads only the header region of each payload.  Duration stays
+    null until a real codec decode (still stubbed)."""
+    n_bytes = F.coalesce(F.length(F.col(payload_col)).cast("long"), F.lit(0).cast("long"))
+    if not sniff:
+        return df.withColumn(
+            "meta",
+            F.struct(
+                F.lit(media_type).alias("media_type"),
+                F.lit(fmt).cast("string").alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+                n_bytes.alias("n_bytes"),
+            ),
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("format string, width int, height int")
+    def sniffed(payloads: pd.Series) -> pd.DataFrame:
+        rows = [parse_image_header(p) for p in payloads]
+        return pd.DataFrame(rows, columns=["format", "width", "height"]).astype(
+            {"width": "Int32", "height": "Int32"}
+        )
+
+    return df.withColumn("__sniff", sniffed(F.col(payload_col))).withColumn(
         "meta",
         F.struct(
             F.lit(media_type).alias("media_type"),
-            F.lit(fmt).cast("string").alias("format"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            F.coalesce(F.col("__sniff.format"), F.lit(fmt).cast("string")).alias("format"),
+            F.col("__sniff.width").alias("width"),
+            F.col("__sniff.height").alias("height"),
             F.lit(None).cast("int").alias("duration_ms"),
-            F.coalesce(F.length(F.col(payload_col)).cast("long"), F.lit(0).cast("long")).alias("n_bytes"),
+            n_bytes.alias("n_bytes"),
         ),
-    )
+    ).drop("__sniff")
 
 
 def decode_image(payload: bytes) -> "object":

@@ -95,7 +95,12 @@ def report_price_history(dw: DataFrame, date_dim: DataFrame) -> DataFrame:
         dw.join(dd, "dt_dim", "inner")
         .groupBy("year", "month_name", "brand")
         .agg(
-            F.round(F.avg("price"), 2).alias("avg_price"),
+            # decimal accumulation: a double sum varies in the last ULP
+            # with partition order, which flips round(x, 2) at .005
+            # boundaries — engine-reproducibility is part of the contract
+            F.round(F.sum(F.col("price").cast("decimal(25,6)")) / F.count("price"), 2)
+            .cast("double")
+            .alias("avg_price"),
             F.countDistinct("natural_key").alias("n_products"),
         )
     )

@@ -1532,3 +1532,135 @@ ORACLE_SQL.update({
     "q40_global_topk": Q40_SQL,
     "q41_regex_extract": Q41_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Scale op oracle: salted join ≡ plain join on a skewed synthetic key
+# ---------------------------------------------------------------------------
+
+def q42_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`salted_join` correctness surface (VERDICT r1 #7): build a
+    deliberately skewed key — ~30% of lineitem rows collapse onto key 0,
+    matched by one hot part row — and prove the salted plan reproduces
+    the plain-join aggregate bit-for-bit (the oracle IS the plain
+    join)."""
+    from .operators.scale import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_partkey") % 10 < 3, F.lit(0)).otherwise(F.col("l_partkey")).alias("skew_key"),
+        "l_returnflag",
+        "l_quantity",
+    )
+    pt = _t(spark, sf_dir, "part").select(
+        F.when(F.col("p_partkey") == 1, F.lit(0)).otherwise(F.col("p_partkey")).alias("skew_key"),
+        "p_retailprice",
+    )
+    joined = salted_join(li, pt, "skew_key", salt_buckets=8)
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(_dec("p_retailprice")), 2).cast("double").alias("sum_retail"),
+    )
+
+
+Q42_SQL = """
+WITH li AS (
+  SELECT CASE WHEN l_partkey % 10 < 3 THEN 0 ELSE l_partkey END AS skew_key,
+         l_returnflag, l_quantity
+  FROM lineitem
+), pt AS (
+  SELECT CASE WHEN p_partkey = 1 THEN 0 ELSE p_partkey END AS skew_key,
+         p_retailprice
+  FROM part
+)
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(p_retailprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_retail
+FROM li JOIN pt USING (skew_key)
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mart-from-gold: SCD2 table built from events, aggregated through
+# pipeline/mart.report_price_history (closes the declared P4 surface,
+# docx xlines 39-50; VERDICT r1 #8)
+# ---------------------------------------------------------------------------
+
+def q43_mart_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.calendar import build_date_dim
+    from .operators.scd2 import resolve_date_key
+    from .pipeline.mart import report_price_history
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def snapshot(pred):
+        return (
+            ev.filter(pred)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("user_id").cast("string").alias("natural_key"),
+                F.floor("value").cast("int").alias("price"),
+                F.concat(F.lit("brand_"), F.col("user_id") % 5).alias("brand"),
+                F.col("ts").cast("date").alias("dt_extract"),
+            )
+        )
+
+    snap_a = snapshot(F.col("ts") < F.lit(_SNAP_SPLIT).cast("timestamp"))
+    snap_b = snapshot(F.col("ts") >= F.lit(_SNAP_SPLIT).cast("timestamp"))
+    empty = spark.createDataFrame(
+        [],
+        "natural_key string, price int, brand string, dt_extract date,"
+        " dt_load_to_dw date, dt_last_update date",
+    )
+    dw1 = scd2_merge(empty, snap_a, key="natural_key", attrs=["price"], run_date=_D0).persist()
+    dw = scd2_merge(dw1, snap_b, key="natural_key", attrs=["price"], run_date=_D1)
+
+    date_dim = build_date_dim(spark, "2024-01-01", "2024-12-31")
+    dw = resolve_date_key(dw.withColumn("dt_dim", F.lit(None).cast("int")), date_dim)
+    return report_price_history(dw, date_dim)
+
+
+Q43_SQL = f"""
+WITH a AS (
+  SELECT CAST(user_id AS VARCHAR) AS natural_key,
+         CAST(floor(value) AS INT) AS price,
+         'brand_' || CAST(user_id % 5 AS VARCHAR) AS brand,
+         CAST(ts AS DATE) AS dt_extract
+  FROM (SELECT user_id, value, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        FROM events WHERE ts < TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
+), b AS (
+  SELECT CAST(user_id AS VARCHAR) AS natural_key,
+         CAST(floor(value) AS INT) AS price,
+         'brand_' || CAST(user_id % 5 AS VARCHAR) AS brand,
+         CAST(ts AS DATE) AS dt_extract
+  FROM (SELECT user_id, value, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        FROM events WHERE ts >= TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
+), dw AS (
+  -- every a-row survives the merge (open or closed); b inserts new
+  -- versions only for new keys or changed prices (Q08 semantics)
+  SELECT natural_key, price, brand, dt_extract FROM a
+  UNION ALL
+  SELECT b.natural_key, b.price, b.brand, b.dt_extract
+  FROM b LEFT JOIN a ON a.natural_key = b.natural_key
+  WHERE a.natural_key IS NULL OR a.price <> b.price
+)
+SELECT year(dt_extract) AS year, monthname(dt_extract) AS month_name, brand,
+       CAST(round(sum(CAST(price AS DECIMAL(25,6))) / count(price), 2) AS DOUBLE) AS avg_price,
+       count(DISTINCT natural_key) AS n_products
+FROM dw
+GROUP BY 1, 2, 3
+"""
+
+QUERIES.update({
+    "q42_salted_join": q42_salted_join,
+    "q43_mart_price_history": q43_mart_price_history,
+})
+ORACLE_SQL.update({
+    "q42_salted_join": Q42_SQL,
+    "q43_mart_price_history": Q43_SQL,
+})
