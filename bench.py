@@ -2,6 +2,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line with per-query wall seconds.
 
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+the per-query MEDIAN; the headline value is the sum of medians (single
+runs at this scale carry multi-hundred-ms JVM/GC noise).  The LSH
+top-k's recall against the exact top-k is measured alongside so the
+approximate path's speed/recall trade stays visible round over round.
+
 Each query is fully materialized via the no-op sink (forces execution
 of every partition without a driver-side collect bottleneck).
 """
@@ -10,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -36,9 +43,23 @@ HEADLINE = [
 ]
 
 
+def lsh_topk_recall(spark, sf_dir: str) -> float:
+    """Fraction of the exact cosine top-k pairs the LSH path recovers."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["q18_cosine_topk"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["q34_lsh_cosine_topk"](spark, sf_dir).collect()
+    }
+    return round(len(exact & approx) / len(exact), 4) if exact else 1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark("nlu-dw-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -49,11 +70,19 @@ def main() -> None:
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.time() - t0, 3)
-        per_query[name.split("_")[0]] = dt
-        total += dt
+        times = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+            # queries that persist intermediates must not feed their
+            # cache (or their memory) into the following runs
+            spark.catalog.clearCache()
+        med = round(statistics.median(times), 3)
+        per_query[name.split("_")[0]] = med
+        total += med
+
+    recall = lsh_topk_recall(spark, sf_dir)
 
     print(
         json.dumps(
@@ -63,6 +92,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "runs_per_query": n_runs,
+                "lsh_topk_recall": recall,
             }
         )
     )

