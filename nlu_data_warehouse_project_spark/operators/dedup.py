@@ -14,18 +14,22 @@ from ..functions.text import doc_fingerprint, shingles, simhash60
 from .similarity import cosine
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint_col: str | None = None,
+) -> DataFrame:
     """Exact dedup on the normalized content fingerprint; keeper = the
     lowest id in each group (deterministic).  Single pass: one window
     shuffle on the fingerprint (a groupBy-min + self-join shape would
-    compute every fingerprint twice)."""
-    keyed = df.withColumn("__fp", doc_fingerprint(text_col))
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
-    return (
-        keyed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
-    )
+    compute every fingerprint twice).  Pass ``fingerprint_col`` to keep
+    the fingerprint on the survivors (cluster auditing)."""
+    fp = fingerprint_col or "__fp"
+    keyed = df.withColumn(fp, doc_fingerprint(text_col))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col).asc())
+    out = keyed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    return out if fingerprint_col else out.drop(fp)
 
 
 def minhash_candidate_pairs(

@@ -15,8 +15,11 @@ immutable parquet the whole merge is ONE join-classify pass over
 (current ⟗ batch) plus a union with untouched history, then an atomic
 overwrite.  One shuffle on the natural key, one broadcast for the date
 dimension — at 100 TB the join keys hash-partition and AQE handles
-skew; history rows are never rewritten logically (and with a
-partition-by-open-flag layout would not be rewritten physically).
+skew; history rows are never rewritten logically, and the TxTable gold
+layout (`sources/txlog.py`) never rewrites them physically either: the
+pipeline feeds this operator ONLY the current set (history filter
+empty), splits the output into a closed-delta append + a current-dir
+replace, and publishes both with one atomic manifest commit.
 
 Reference divergence note (SURVEY.md §3.3): the reference's J3 compares
 temp rows against *all* dw versions (no current-row predicate,

@@ -121,6 +121,109 @@ def with_hyperplane_sketch(df: DataFrame, vec_col: str, planes: list[list[float]
     return df.withColumn(out_col, sketch(F.col(vec_col)))
 
 
+def with_ivf_probe_cells(
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]],
+    nprobe: int,
+    out_col: str = "__cells",
+) -> DataFrame:
+    """Multi-probe cell list for each vector: the own sign-cell first,
+    then neighbor cells in increasing total boundary-crossing cost —
+    the classic multi-probe LSH enumeration (Lv et al., VLDB'07): flip
+    SETS of bits ordered by the sum of their hyperplane margins
+    |v . p_i|, generated lazily with the successor-heap scheme (extend
+    the max flipped index / shift it), so nprobe can range up to every
+    cell (2^len(planes)) without materializing the power set.  One
+    numpy matmul per Arrow batch, like ``with_hyperplane_sketch``."""
+    import heapq
+
+    from pyspark.sql.functions import pandas_udf
+
+    plane_matrix = [list(map(float, p)) for p in planes]
+    nbits = len(planes)
+    n_cells = min(nprobe, 1 << nbits)
+
+    def probe_cells(row_bits, row_absdots) -> list[str]:
+        order = np.argsort(row_absdots)          # cheapest bit flips first
+        m = row_absdots[order]
+        cells, heap = [], [(0.0, ())]
+        while heap and len(cells) < n_cells:
+            score, subset = heapq.heappop(heap)
+            flipped = row_bits.copy()
+            for s in subset:
+                j = order[s]
+                flipped[j] = not flipped[j]
+            cells.append("".join("1" if b else "0" for b in flipped))
+            if not subset:
+                if nbits:
+                    heapq.heappush(heap, (m[0], (0,)))
+            else:
+                last = subset[-1]
+                if last + 1 < nbits:
+                    heapq.heappush(heap, (score + m[last + 1], subset + (last + 1,)))
+                    heapq.heappush(heap, (score - m[last] + m[last + 1], subset[:-1] + (last + 1,)))
+        return cells
+
+    @pandas_udf("array<string>")
+    def cells_udf(vectors: pd.Series) -> pd.Series:
+        pm = np.asarray(plane_matrix, dtype=np.float64).T      # dim x nbits
+        mat = np.vstack(vectors.to_numpy()).astype(np.float64)  # batch x dim
+        dots = mat @ pm                                         # batch x nbits
+        bits = dots >= 0
+        absdots = np.abs(dots)
+        return pd.Series([probe_cells(bits[i].copy(), absdots[i]) for i in range(len(bits))])
+
+    return df.withColumn(out_col, cells_udf(F.col(vec_col)))
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: hyperplane sign cells as the coarse
+    quantizer (2^len(planes) inverted lists), queries probe their own
+    cell plus the ``nprobe - 1`` nearest-boundary neighbor cells, exact
+    cosine re-rank inside the probed lists only.
+
+    Unlike banded LSH (``lsh_cosine_topk``), the candidate set here is
+    a pure function of the fixed planes — fully deterministic, so the
+    nprobe=1 form is oracle-gatable (q45), not just rows-only checked.
+    Scale shape: corpus is assigned once (scan-local matmul), the probe
+    join is an equi-join on the cell id, and per-cell candidate counts
+    are corpus/2^bits on random data — no cross product anywhere.
+    """
+    c = with_hyperplane_sketch(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv",
+        planes,
+        out_col="__cell",
+    )
+    q = with_ivf_probe_cells(
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv",
+        planes,
+        nprobe,
+    ).select("query_id", "__qv", F.explode("__cells").alias("__cell"))
+
+    # probe cells are distinct and each corpus vector lives in exactly
+    # one cell, so (query, neighbor) pairs are already unique
+    cand = q.join(c, "__cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round(F.col("cos"), 4).alias("cos"), "rank")
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -3,9 +3,11 @@
 The reference point-updates control rows with ``UPDATE ... WHERE id =``
 (`load_to_staging.py:248-285`).  Parquet is immutable, so upsert =
 anti-join out the matched keys, union the updates, overwrite — MERGE
-semantics without a transaction log.  For big tables the documented
-upgrade path is a Delta/Iceberg MERGE; for control-plane-sized and
-dimension-sized tables this rewrite is exact and cheap.
+semantics without a transaction log.  For control-plane-sized and
+dimension-sized tables this rewrite is exact and cheap; the gold SCD2
+table gets real transactional commits from the TxTable manifest log
+(`sources/txlog.py`), whose merge appends closed deltas instead of
+rewriting, so this full-rewrite upsert is never on the big-table path.
 """
 
 from __future__ import annotations

@@ -522,11 +522,13 @@ GROUP BY event_type
 def q14_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus = documents ∪ copy (ids shifted) so exact duplicates exist;
     dedup keeps the lowest doc_id per fingerprint."""
+    from .operators.dedup import exact_dedup
+
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
-    keyed = corpus.withColumn("fp", doc_fingerprint("text"))
-    keepers = keyed.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    kept = keyed.join(keepers, ["fp", "doc_id"], "inner")
+    # the library's one-window-shuffle form (fingerprints computed once;
+    # the groupBy-min + self-join shape the oracle uses re-keys twice)
+    kept = exact_dedup(corpus, fingerprint_col="fp")
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs_kept"),
         F.countDistinct("fp").alias("n_fingerprints"),
@@ -1663,4 +1665,119 @@ QUERIES.update({
 ORACLE_SQL.update({
     "q42_salted_join": Q42_SQL,
     "q43_mart_price_history": Q43_SQL,
+})
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (training-data pipeline north star)
+# ---------------------------------------------------------------------------
+
+def q44_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-bucket split: the same row lands in the same split on any
+    engine, run, or data order (`operators/sampling.py`) — reproducible
+    splits are how training pipelines avoid eval-data leakage."""
+    from .operators.sampling import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = deterministic_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    return split.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+Q44_SQL = """
+WITH b AS (
+  SELECT lang, n_chars,
+         ('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-style cell-probed ANN, nprobe=1 (fully deterministic -> oracle-gated,
+# unlike the banded-LSH q34 which is rows-only by design)
+# ---------------------------------------------------------------------------
+
+_IVF_PLANES = [p[:] for p in _seeded_planes(3, 64)]
+
+
+def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_cosine_topk(queries, emb, planes=_IVF_PLANES, k=5, nprobe=1)
+
+
+def _ivf_cell_sql(tbl: str) -> str:
+    bits = []
+    for p in _IVF_PLANES:
+        lit = "[" + ",".join(repr(x) for x in p) + "]"
+        bits.append(f"(CASE WHEN list_dot_product({tbl}.embedding, {lit}) >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+Q45_SQL = f"""
+WITH cells AS (
+  SELECT vec_id, embedding, {_ivf_cell_sql('embeddings')} AS cell FROM embeddings
+), q AS (
+  SELECT * FROM cells WHERE vec_id < 5
+), cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding, c.embedding)
+           / (sqrt(list_dot_product(q.embedding, q.embedding))
+              * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+  FROM q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified exact-n deterministic sample
+# ---------------------------------------------------------------------------
+
+def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_exact_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    picked = stratified_exact_sample(docs, ["lang"], n_per_stratum=20, id_col="doc_id", seed=7)
+    return picked.select("lang", "doc_id", "n_chars")
+
+
+Q46_SQL = """
+WITH ordered AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 ASC,
+                    doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT lang, doc_id, n_chars FROM ordered WHERE rn <= 20
+"""
+
+QUERIES.update({
+    "q44_deterministic_split": q44_deterministic_split,
+    "q45_ivf_topk": q45_ivf_topk,
+    "q46_stratified_sample": q46_stratified_sample,
+})
+ORACLE_SQL.update({
+    "q44_deterministic_split": Q44_SQL,
+    "q45_ivf_topk": Q45_SQL,
+    "q46_stratified_sample": Q46_SQL,
 })
