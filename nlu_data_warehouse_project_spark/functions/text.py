@@ -163,3 +163,24 @@ def simhash60(col: Column | str) -> Column:
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+# PII-ish scrub patterns — RE2-compatible (no lookarounds), so the same
+# pattern strings run in Spark (Java regex) and any RE2 engine
+REDACT_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\d{7,}", "<NUM>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails, URLs and long digit runs (ids/phones) with typed
+    placeholder tokens — the standard pre-training hygiene pass.  Order
+    matters: emails before the bare-number rule so ``a123456789@x.com``
+    becomes one <EMAIL>, not an email wrapping a <NUM>.  Pure chained
+    ``regexp_replace`` — JVM-side, streams through whole-stage codegen."""
+    out = _c(col)
+    for pattern, token in REDACT_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out

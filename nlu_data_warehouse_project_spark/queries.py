@@ -1781,3 +1781,132 @@ ORACLE_SQL.update({
     "q45_ivf_topk": Q45_SQL,
     "q46_stratified_sample": Q46_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution: connected components over LSH pairs
+# (transitive dedup — A~B, B~C collapse to one cluster), oracle-checked
+# against a DuckDB recursive-CTE transitive closure
+# ---------------------------------------------------------------------------
+
+def q47_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clusters import neardup_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    pairs = minhash_candidate_pairs(corpus, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3)
+    labels = neardup_clusters(pairs)
+    return labels.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+
+
+Q47_SQL = f"""
+WITH RECURSIVE pairs AS (
+{Q16_SQL}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), labels AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id
+"""
+
+QUERIES.update({"q47_neardup_clusters": q47_neardup_clusters})
+ORACLE_SQL.update({"q47_neardup_clusters": Q47_SQL})
+
+
+# ---------------------------------------------------------------------------
+# PII-ish redaction (pre-training hygiene pass)
+# ---------------------------------------------------------------------------
+
+def q48_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emails/URLs/long digit runs scrubbed with typed placeholders;
+    PII is synthesized onto the real corpus rows so the redaction runs
+    against genuine text (documents carry none).  Output fingerprints
+    keep the compared rows narrow."""
+    from .functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.withColumn(
+        "dirty",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"), F.lit("@mail.example.com"),
+            F.lit(" or https://site.example/page/"), F.col("doc_id").cast("string"),
+            F.lit(" ref 123456789"),
+        ),
+    )
+    red = dirty.withColumn("redacted", redact_pii("dirty"))
+    return red.select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_fp"),
+        (F.length("dirty") - F.length("redacted")).alias("chars_removed"),
+    )
+
+
+Q48_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+              || ' or https://site.example/page/' || CAST(doc_id AS VARCHAR)
+              || ' ref 123456789' AS dirty
+  FROM documents
+), red AS (
+  SELECT doc_id, dirty,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '\d{7,}', '<NUM>', 'g') AS redacted
+  FROM dirty
+)
+SELECT doc_id, md5(redacted) AS redacted_fp,
+       CAST(length(dirty) - length(redacted) AS INT) AS chars_removed
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (overlapping character windows)
+# ---------------------------------------------------------------------------
+
+def q49_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.chunking import chunk_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_text(docs, chunk_chars=200, overlap=50)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_fp"),
+    )
+
+
+Q49_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil((length(text) - 50) / 150.0) AS INT)) AS n_chunks
+  FROM documents
+), c AS (
+  SELECT doc_id, i AS chunk_idx, substring(text, i * 150 + 1, 200) AS chunk
+  FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(length(chunk) AS INT) AS chunk_len, md5(chunk) AS chunk_fp
+FROM c
+"""
+
+QUERIES.update({
+    "q48_redact_pii": q48_redact_pii,
+    "q49_chunk_text": q49_chunk_text,
+})
+ORACLE_SQL.update({
+    "q48_redact_pii": Q48_SQL,
+    "q49_chunk_text": Q49_SQL,
+})

@@ -94,6 +94,24 @@ def test_lsh_topk_recall_vs_exact(spark, sf_smoke):
     assert recall >= 0.2, f"recall {recall}"
 
 
+def test_neardup_clusters_transitive_and_dedup(spark):
+    """A~B and B~C must land in ONE cluster even when (A, C) was never
+    emitted as a pair; dedup keeps the min id per cluster + unpaired
+    rows."""
+    from nlu_data_warehouse_project_spark.operators.clusters import (
+        dedup_by_clusters,
+        neardup_clusters,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    labels = {r["node"]: r["cluster_id"] for r in neardup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in [1, 2, 3, 10, 11, 99]], "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_by_clusters(docs, pairs).collect())
+    assert kept == [1, 10, 99]  # one per cluster + the unpaired doc
+
+
 def test_exact_ann_paths_guard_against_scale_misuse(spark):
     """VERDICT r1 #5: the n²/brute-force paths refuse corpus-scale
     inputs instead of silently cross-joining."""
@@ -122,6 +140,43 @@ def test_text_expressions(spark):
     assert rows[0]["lang"] == "en"
     assert rows[1]["lang"] == "de"
     assert 0.0 <= rows[0]["q"] <= 1.0
+
+
+def test_redact_pii_patterns(spark):
+    from nlu_data_warehouse_project_spark.functions.text import redact_pii
+
+    rows = [
+        ("mail me at jo.doe+x@corp.example.org today",),
+        ("see https://a.example/path?q=1 and http://b.example now",),
+        ("id 123456789 but keep 123456 short",),
+        ("a123456789@x.com is ONE email not a number",),
+        ("clean text stays clean",),
+    ]
+    df = spark.createDataFrame(rows, ["t"])
+    got = [r[0] for r in df.select(redact_pii("t")).collect()]
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "see <URL> and <URL> now"
+    assert got[2] == "id <NUM> but keep 123456 short"   # 6 digits kept
+    assert got[3] == "<EMAIL> is ONE email not a number"  # email wins over <NUM>
+    assert got[4] == "clean text stays clean"
+
+
+def test_chunk_text_windows(spark):
+    from nlu_data_warehouse_project_spark.operators.chunking import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "ab"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_text(docs, chunk_chars=4, overlap=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    # step=2: windows abcd, cdef, efgh, ghij (len 10 -> ceil(8/2)=4 chunks)
+    assert sorted(by_doc[1]) == [(0, "abcd"), (1, "cdef"), (2, "efgh"), (3, "ghij")]
+    assert by_doc[2] == [(0, "ab")]   # short doc -> one short chunk
+    assert by_doc[3] == [(0, "")]     # empty doc -> one empty chunk
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(docs, chunk_chars=4, overlap=4)
 
 
 def test_simhash_is_deterministic(spark):

@@ -110,6 +110,22 @@ def test_staging_retry_is_idempotent(spark, tmp_path):
     assert staged.select("natural_key").distinct().count() == 2
 
 
+def test_txtable_works_on_uri_scheme_paths(spark, tmp_path):
+    """S7 object-store abstraction: every TxTable/landing access goes
+    through the Hadoop FileSystem API, so a scheme-qualified URI root
+    (file:// here; s3a:// in production) must behave identically to a
+    bare OS path — no direct os.* access anywhere in the commit path."""
+    root = f"file://{tmp_path}/wh_uri"
+    wh = Warehouse(spark, root)
+    dw = wh.run_day(_feed(spark, [("S1", "P1", "100")]), 1, "2024-12-08")
+    assert dw.count() == 1
+    gold = TxTable(spark, f"{root}/dw")
+    assert gold.manifest()["version"] == 1
+    dw = wh.run_day(_feed(spark, [("S1", "P1", "150")]), 1, "2024-12-09")
+    assert dw.count() == 2
+    assert gold.vacuum() != [] or gold.manifest()["version"] == 2
+
+
 def test_retry_preserves_failure_audit_trail(spark, tmp_path):
     """update_status is id-scoped (ADVICE r1 #4): after an extract
     failure plus successful retry, the historical EF row survives."""
