@@ -115,8 +115,15 @@ class Warehouse:
         ctrl = self._save(ctrl.insert_log(id_config, file_name, day, STATUS_RUNNING))
         log_id = ctrl.active_log_id(id_config, day)
         try:
-            path = write_landing(feed, self.landing_dir, id_config, day)
-            count = feed.count()
+            from pyspark.sql import Observation
+
+            # the row-count audit rides the landing write via observe()
+            # instead of a second full scan of the feed (A2 metric, one
+            # job not two)
+            obs = Observation()
+            observed = feed.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+            path = write_landing(observed, self.landing_dir, id_config, day)
+            count = int(obs.get["n_rows"])
             ctrl = self._save(
                 ctrl.update_status(id_config, day, STATUS_EXTRACT_SUCCESS, count=count, log_id=log_id)
             )

@@ -173,6 +173,45 @@ class TxTable:
             fs.delete(tmp, False)
             raise ConcurrentWriteError(f"lost commit race for version {man['version']} under {self.root}")
 
+    def compact_closed(self, min_dirs: int = 8) -> int | None:
+        """Merge the accumulated closed-delta dirs into one (the
+        lakehouse small-files compaction): daily commits add one closed
+        dir each, and a year of them makes every history scan open 365
+        directory listings and hundreds of undersized parquet files.
+
+        Rewrites ONLY when at least ``min_dirs`` closed dirs exist,
+        into a single sorted dir, and publishes it with a normal
+        manifest commit — readers never see a partial state, and the
+        superseded dirs stay on disk until ``vacuum()`` (time-travel to
+        prior manifests keeps working).  Returns the new version, or
+        None if below the threshold.
+
+        At 100 TB run this on a maintenance cadence, not per-merge:
+        compaction cost is one full history rewrite, amortized over
+        ``min_dirs`` days of cheap appends.
+        """
+        man = self.manifest()
+        if man is None or len(man["closed"]) < min_dirs:
+            return None
+        token = uuid.uuid4().hex[:8]
+        compacted = f"{_DATA_DIR}/closed-compacted-{token}"
+        self.read_closed().write.parquet(os.path.join(self.root, compacted))
+        # re-read the manifest: a concurrent daily commit between the
+        # read and here would be lost if we published the stale list
+        latest = self.manifest()
+        if latest["version"] != man["version"]:
+            raise ConcurrentWriteError(
+                f"table advanced from v{man['version']} to v{latest['version']} during compaction; retry"
+            )
+        new_man = {
+            "version": man["version"] + 1,
+            "current": man["current"],
+            "closed": [compacted],
+            "run_id": f"compact-{man['version']}",
+        }
+        self._publish(new_man)
+        return new_man["version"]
+
     def vacuum(self) -> list[str]:
         """Delete data dirs no committed manifest references (orphans
         from crashed writers + superseded current dirs).  Run only when

@@ -44,9 +44,19 @@ def test_relational_queries_have_no_python_in_hot_path(spark, sf_smoke):
     # mapInPandas operators are allowed Python in the plan
     for name in ("q02_control_join", "q07_dedup_keep_first", "q08_scd2_merge",
                  "q16_minhash_neardup", "q18_cosine_topk", "q21_sessionize",
-                 "q22_asof_join", "q26_simhash"):
+                 "q22_asof_join", "q26_simhash", "q31_range_join",
+                 "q42_salted_join", "q44_deterministic_split",
+                 "q46_stratified_sample", "q48_redact_pii", "q49_chunk_text"):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+
+
+def test_scan_local_ops_have_no_shuffle(spark, sf_smoke):
+    # redaction and chunking are per-row transforms: any exchange in
+    # their plan is a regression
+    for name in ("q48_redact_pii", "q49_chunk_text"):
+        q = QUERIES[name](spark, sf_smoke)
+        assert shuffle_count(q) == 0, f"{name} grew a shuffle"
 
 
 def test_dim_joins_broadcast(spark, sf_smoke):

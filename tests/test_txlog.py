@@ -110,6 +110,33 @@ def test_staging_retry_is_idempotent(spark, tmp_path):
     assert staged.select("natural_key").distinct().count() == 2
 
 
+def test_compact_closed_merges_history_dirs(spark, tmp_path):
+    """Small-files compaction: many closed-delta dirs merge into one
+    via a normal manifest commit — same rows, old dirs invisible (and
+    vacuumable), current dir untouched, below-threshold is a no-op."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    price = 100
+    for i, day in enumerate(["2024-12-08", "2024-12-09", "2024-12-10", "2024-12-11"]):
+        price += 10
+        wh.run_day(_feed(spark, [("S1", "P1", str(price))]), 1, day)
+
+    gold = TxTable(spark, wh.dw_dir)
+    before = sorted(
+        (r["price"], str(r["dt_last_update"])) for r in gold.read().collect()
+    )
+    assert gold.compact_closed(min_dirs=99) is None  # below threshold: no-op
+    assert len(gold.manifest()["closed"]) == 4
+
+    v = gold.compact_closed(min_dirs=2)
+    man = gold.manifest()
+    assert v == man["version"] and len(man["closed"]) == 1
+    after = sorted((r["price"], str(r["dt_last_update"])) for r in gold.read().collect())
+    assert after == before
+    # superseded dirs are orphans now; vacuum removes them, data intact
+    assert gold.vacuum()
+    assert sorted((r["price"], str(r["dt_last_update"])) for r in gold.read().collect()) == before
+
+
 def test_txtable_works_on_uri_scheme_paths(spark, tmp_path):
     """S7 object-store abstraction: every TxTable/landing access goes
     through the Hadoop FileSystem API, so a scheme-qualified URI root
