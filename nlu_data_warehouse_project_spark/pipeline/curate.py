@@ -1,0 +1,58 @@
+"""End-to-end corpus curation — the canonical LLM training-data pass,
+composed from the engine's operator families (BASELINE.json north
+star): quality gate -> exact dedup -> near-dup cluster dedup -> PII
+redaction -> deterministic split.
+
+Each stage is the library operator, not a reimplementation, so the
+chain inherits their scale shapes: the quality gate is a scan-local
+filter (pushes ahead of everything), exact dedup is one window shuffle
+on the fingerprint, near-dup clustering runs LSH candidate generation +
+connected components on the already-thinned survivors, redaction is
+codegen'd regexp chains, and the split is a scan-local md5 bucket.
+Order matters at 100 TB: cheap row-local filters first so the
+shuffling stages see the smallest possible corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import punct_ratio, redact_pii, token_count
+from ..operators.clusters import dedup_by_clusters
+from ..operators.dedup import exact_dedup, minhash_candidate_pairs
+from ..operators.sampling import deterministic_split
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_punct: float = 0.2,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    split_weights: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Returns the curated corpus at document grain: the input columns
+    plus ``redacted`` (scrubbed text) and ``split``.  Deterministic end
+    to end — rerunning (or re-partitioning) reproduces the same kept
+    set, cluster representatives, and split assignment."""
+    weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    # 1. quality gate — row-local, runs at the scan
+    gated = df.filter(
+        (token_count(text_col) >= min_tokens) & (punct_ratio(text_col) < max_punct)
+    )
+    # 2. exact dedup — one window shuffle on the content fingerprint
+    exact = exact_dedup(gated, text_col, id_col)
+    # 3. near-dup cluster dedup — LSH pairs + connected components on
+    #    the survivors only, keep the min-id representative per cluster
+    pairs = minhash_candidate_pairs(exact, text_col, id_col, num_hashes, bands, shingle_n)
+    kept = dedup_by_clusters(exact, pairs, id_col)
+    # 4. PII redaction — codegen'd regexp chain
+    red = kept.withColumn("redacted", redact_pii(text_col))
+    # 5. deterministic split — scan-local md5 bucket
+    return deterministic_split(red, id_col, weights, seed=seed)

@@ -1910,3 +1910,100 @@ ORACLE_SQL.update({
     "q48_redact_pii": Q48_SQL,
     "q49_chunk_text": Q49_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation end-to-end: quality gate -> exact dedup -> near-dup
+# cluster dedup -> PII redaction -> deterministic split, one oracle
+# ---------------------------------------------------------------------------
+
+def q50_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole LLM training-data pass through `pipeline/curate.py` on
+    documents ∪ copy (so every dedup stage has real work), summarized
+    per (split, lang) with post-redaction token totals."""
+    from .pipeline.curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    curated = curate_corpus(corpus)
+    return curated.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.filter(F.split(F.trim("redacted"), r"\s+"), lambda t: t != "")))
+        .alias("total_tokens"),
+    )
+
+
+_RED_TOKENS_SQL = "list_filter(string_split_regex(trim(redacted), '\\s+'), t -> t <> '')"
+
+Q50_SQL = rf"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents
+), gated AS (
+  SELECT * FROM corpus
+  WHERE len({_TOKENS_SQL}) >= 10
+    AND (CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                   / length(text)
+              ELSE 0.0 END) < 0.2
+), keyed AS (
+  SELECT *, md5(array_to_string({_LTOKENS_SQL}, ' ')) AS fp FROM gated
+), exact AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn FROM keyed
+  ) WHERE rn = 1
+), exploded AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM exact
+), hx AS (
+  SELECT doc_id, md5(sh) AS hx FROM exploded
+), ab AS (
+  SELECT doc_id,
+         ('0x' || substring(hx, 1, 15))::BIGINT AS a,
+         (('0x' || substring(hx, 17, 15))::BIGINT | 1) AS b
+  FROM hx
+), sigs AS (
+  SELECT doc_id, [{_MINHASH_MINS_SQL}] AS sig
+  FROM ab GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, band_id, array_to_string(sig[band_id * 2 + 1 : band_id * 2 + 2], '|') AS band_sig
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(band_id)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), labels AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+), kept AS (
+  SELECT e.doc_id, e.text, e.lang
+  FROM exact e LEFT JOIN labels l ON e.doc_id = l.node
+  WHERE l.node IS NULL OR e.doc_id = l.cluster_id
+), red AS (
+  SELECT doc_id, lang,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '\d{{7,}}', '<NUM>', 'g') AS redacted,
+         ('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+  FROM kept
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs,
+       CAST(sum(len({_RED_TOKENS_SQL})) AS BIGINT) AS total_tokens
+FROM red
+GROUP BY 1, 2
+"""
+
+QUERIES.update({"q50_curate_corpus": q50_curate_corpus})
+ORACLE_SQL.update({"q50_curate_corpus": Q50_SQL})

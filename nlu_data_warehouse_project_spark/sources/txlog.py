@@ -111,19 +111,22 @@ class TxTable:
         return json.loads(self._read_text(self._jpath(_LOG_DIR, f"v{v:010d}.json")))
 
     # -- reads -----------------------------------------------------------
-    def read_current(self) -> DataFrame:
+    # every read takes an optional version: manifests are immutable and
+    # data dirs survive until vacuum, so any committed version reads
+    # back exactly (time travel — audits and reproducible backfills)
+    def read_current(self, version: int | None = None) -> DataFrame:
         """The SCD2 open set only — the daily merge scans JUST this, so
         merge input is bounded by live keys, not all history."""
-        man = self.manifest()
+        man = self.manifest(version)
         if man is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
         return self.spark.read.parquet(os.path.join(self.root, man["current"]))
 
-    def read_closed(self) -> DataFrame:
-        man = self.manifest()
+    def read_closed(self, version: int | None = None) -> DataFrame:
+        man = self.manifest(version)
         if man is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
-        cur = self.read_current()
+        cur = self.read_current(version)
         if not man["closed"]:
             return cur.limit(0)
         paths = [os.path.join(self.root, d) for d in man["closed"]]
@@ -131,9 +134,9 @@ class TxTable:
         # footer to infer from
         return self.spark.read.schema(cur.schema).parquet(*paths)
 
-    def read(self) -> DataFrame:
+    def read(self, version: int | None = None) -> DataFrame:
         """The full logical table: open ∪ closed history."""
-        return self.read_current().unionByName(self.read_closed())
+        return self.read_current(version).unionByName(self.read_closed(version))
 
     # -- writes ----------------------------------------------------------
     def commit_merge(self, current: DataFrame, closed_delta: DataFrame, run_id: str) -> int:

@@ -142,6 +142,26 @@ def test_text_expressions(spark):
     assert 0.0 <= rows[0]["q"] <= 1.0
 
 
+def test_curate_corpus_end_to_end(spark):
+    from nlu_data_warehouse_project_spark.pipeline.curate import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),                                # exact dup -> dropped
+        (3, base.replace("today", "tomorrow"), "en"),   # near dup -> clustered under 1
+        (4, "a short low quality doc", "en"),           # < 10 tokens -> gated out
+        # distinct text (no shared shingles with base), carries an email
+        (5, "please mail me at a@b.co whenever the new spark cluster dataset pipeline finishes building tonight", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = curate_corpus(df)
+    kept = {r["doc_id"]: r for r in out.collect()}
+    assert set(kept) == {1, 5}
+    assert "<EMAIL>" in kept[5]["redacted"]
+    assert all(r["split"] in ("train", "val", "test") for r in kept.values())
+
+
 def test_redact_pii_patterns(spark):
     from nlu_data_warehouse_project_spark.functions.text import redact_pii
 

@@ -110,6 +110,42 @@ def test_staging_retry_is_idempotent(spark, tmp_path):
     assert staged.select("natural_key").distinct().count() == 2
 
 
+def test_time_travel_reads_prior_versions(spark, tmp_path):
+    """Committed versions stay readable until vacuum: version N is the
+    table exactly as it stood after day N's merge."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.run_day(_feed(spark, [("S1", "P1", "100")]), 1, "2024-12-08")
+    wh.run_day(_feed(spark, [("S1", "P1", "150")]), 1, "2024-12-09")
+
+    gold = TxTable(spark, wh.dw_dir)
+    v1 = {(r["price"], str(r["dt_last_update"])) for r in gold.read(version=1).collect()}
+    assert v1 == {(100, "9999-12-31")}
+    v2 = {(r["price"], str(r["dt_last_update"])) for r in gold.read(version=2).collect()}
+    assert v2 == {(100, "2024-12-09"), (150, "9999-12-31")}
+    assert {tuple(r) for r in gold.read().select("price").collect()} == {(100,), (150,)}
+
+
+def test_two_configs_share_the_gold_table(spark, tmp_path):
+    """Two sources loading the same day: each merge sees the other's
+    keys as untouched current rows; both land in one gold table and
+    day-scoped guards stay per-config."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.run_day(_feed(spark, [("A1", "PA", "100")]), 1, "2024-12-08")
+    wh.run_day(_feed(spark, [("B1", "PB", "200")]), 2, "2024-12-08")
+
+    dw = wh.read_dw()
+    assert dw.count() == 2
+    assert {r["id_config"] for r in dw.collect()} == {1, 2}
+    # config 2's day-2 change must not disturb config 1's open row
+    wh.run_day(_feed(spark, [("B1", "PB", "250")]), 2, "2024-12-09")
+    dw = wh.read_dw()
+    open_rows = {
+        (r["id_config"], r["price"])
+        for r in dw.filter(F.col("dt_last_update") == F.to_date(F.lit("9999-12-31"))).collect()
+    }
+    assert open_rows == {(1, 100), (2, 250)}
+
+
 def test_compact_closed_merges_history_dirs(spark, tmp_path):
     """Small-files compaction: many closed-delta dirs merge into one
     via a normal manifest commit — same rows, old dirs invisible (and
