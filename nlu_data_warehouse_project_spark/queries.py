@@ -417,14 +417,23 @@ def q10_mart_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
+    # pre-aggregate the fact to order grain BEFORE the star join: the
+    # join then moves one row per order instead of ~4 lineitems, and
+    # countDistinct(o_orderkey) collapses to count(*) (1 row per order
+    # post-rollup) — a partial-aggregation pushdown Catalyst doesn't do
+    # across joins on its own.  Revenue is identical: sum of per-order
+    # sums (exact, decimal).
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("order_rev")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, "o_orderkey")
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year"))
         .agg(
-            F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2).cast("double").alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("order_rev"), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
         )
     )
 
