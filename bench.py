@@ -40,6 +40,9 @@ HEADLINE = [
     "q26_simhash",
     "q31_range_join",
     "q33_running_total",
+    "q44_deterministic_split",
+    "q45_ivf_topk",
+    "q49_chunk_text",
 ]
 
 

@@ -106,8 +106,20 @@ def report_price_history(dw: DataFrame, date_dim: DataFrame) -> DataFrame:
     )
 
 
-def materialize_mart(dw: DataFrame, date_dim: DataFrame, out_dir: str) -> dict[str, DataFrame]:
-    """Build and persist the whole star; returns the mart DataFrames."""
+def materialize_mart(
+    dw: DataFrame,
+    date_dim: DataFrame,
+    out_dir: str,
+    transactional: bool = False,
+    run_id: str = "mart",
+) -> dict[str, DataFrame]:
+    """Build and persist the whole star; returns the mart DataFrames.
+
+    ``transactional=True`` publishes each table as a TxTable snapshot
+    commit instead of a plain overwrite: a crash mid-materialization
+    leaves every table at its previous version (plain overwrite leaves
+    a half-deleted directory), and dashboards read a consistent
+    version.  Read back with ``TxTable(spark, path).read()``."""
     dim = dim_product(dw)
     fact = fact_inventory(dw, dim)
     reports = {
@@ -115,8 +127,15 @@ def materialize_mart(dw: DataFrame, date_dim: DataFrame, out_dir: str) -> dict[s
         "report_origin_shape": report_origin_shape(dw),
         "report_price_history": report_price_history(dw, date_dim),
     }
-    dim.write.mode("overwrite").parquet(f"{out_dir}/dim_product")
-    fact.write.mode("overwrite").partitionBy("dt_load_to_dw").parquet(f"{out_dir}/fact_inventory")
-    for name, df in reports.items():
-        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
-    return {"dim_product": dim, "fact_inventory": fact, **reports}
+    tables = {"dim_product": dim, "fact_inventory": fact, **reports}
+    if transactional:
+        from ..sources.txlog import TxTable
+
+        for name, df in tables.items():
+            TxTable(df.sparkSession, f"{out_dir}/{name}").commit_snapshot(df, run_id)
+    else:
+        dim.write.mode("overwrite").parquet(f"{out_dir}/dim_product")
+        fact.write.mode("overwrite").partitionBy("dt_load_to_dw").parquet(f"{out_dir}/fact_inventory")
+        for name, df in reports.items():
+            df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+    return tables

@@ -176,6 +176,22 @@ class TxTable:
             fs.delete(tmp, False)
             raise ConcurrentWriteError(f"lost commit race for version {man['version']} under {self.root}")
 
+    def commit_snapshot(self, df: DataFrame, run_id: str) -> int:
+        """Full-replace commit for snapshot-shaped tables (marts,
+        dimensions): write the new data dir, publish a manifest whose
+        closed list is empty.  Readers atomically flip to the new
+        version; the old dirs remain until vacuum (time travel).  This
+        is the crash-safe form of ``mode("overwrite")`` — an overwrite
+        that dies mid-write leaves a half-deleted table, this leaves
+        the previous version."""
+        token = uuid.uuid4().hex[:8]
+        cur_dir = f"{_DATA_DIR}/current-{run_id}-{token}"
+        df.write.parquet(os.path.join(self.root, cur_dir))
+        prev = self.manifest() or {"version": 0}
+        man = {"version": prev["version"] + 1, "current": cur_dir, "closed": [], "run_id": run_id}
+        self._publish(man)
+        return man["version"]
+
     def compact_closed(self, min_dirs: int = 8) -> int | None:
         """Merge the accumulated closed-delta dirs into one (the
         lakehouse small-files compaction): daily commits add one closed

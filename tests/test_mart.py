@@ -71,3 +71,19 @@ def test_materialize_mart_layout(spark, tmp_path):
     # fact written date-partitioned for pruning
     reread = spark.read.parquet(f"{out}/fact_inventory")
     assert reread.filter(F.col("dt_load_to_dw") == "2024-12-09").count() == 1
+
+
+def test_materialize_mart_transactional(spark, tmp_path):
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    dw = _dw(spark)
+    dd = build_date_dim(spark, "2024-12-01", "2024-12-31")
+    out = str(tmp_path / "mart_tx")
+    materialize_mart(dw, dd, out, transactional=True, run_id="d09")
+    dim = TxTable(spark, f"{out}/dim_product")
+    assert dim.manifest()["version"] == 1
+    assert dim.read().count() == 2
+    # re-materialization flips atomically to version 2; v1 still reads
+    materialize_mart(dw, dd, out, transactional=True, run_id="d10")
+    assert dim.manifest()["version"] == 2
+    assert dim.read(version=1).count() == 2
