@@ -39,14 +39,20 @@ def minhash_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle -> md5 minhash signature
     -> band -> bucket self-join.  Returns (id_a, id_b) with id_a < id_b.
 
     The self-join is an equi-join on (band_id, band_sig): identical
-    cost profile to a groupBy on the bucket key.  At 100 TB, buckets
-    with pathological size should be capped (salting / length prefilter)
-    before the pair expansion.
+    cost profile to a groupBy on the bucket key.  ``max_bucket_size``
+    caps pathological buckets (boilerplate/empty docs collapsing onto
+    one signature): a bucket of B docs expands to B²/2 pairs, so one
+    million-doc bucket at 100 TB stalls its task forever.  Oversized
+    buckets are dropped entirely — their members still pair through
+    their other (more selective) bands, and genuinely identical docs
+    are the exact-dedup stage's job, not LSH's.  The cap costs one
+    window count over the banded rows (same shuffle key as the join).
     """
     rows_per_band = num_hashes // bands
     # explode shingles first: tokenization/shingling runs ONCE per doc
@@ -93,6 +99,13 @@ def minhash_candidate_pairs(
             )
         ).alias("band"),
     ).select("__id", "band.band_id", "band.band_sig")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_sig")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -51,6 +51,23 @@ def test_minhash_finds_planted_near_dups(spark):
     assert not any(4 in p for p in pairs)      # unrelated doc never pairs
 
 
+def test_minhash_bucket_cap_drops_pathological_buckets(spark):
+    """20 identical boilerplate docs collapse onto one signature in
+    every band (a 190-pair bucket); the cap drops those buckets while
+    distinct near-dup pairs in small buckets survive."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    boiler = [(100 + i, "identical boilerplate footer text repeated on every page") for i in range(20)]
+    rows = [(1, base), (2, base.replace("today", "tomorrow"))] + boiler
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {tuple(r) for r in minhash_candidate_pairs(df).collect()}
+    assert sum(1 for a, b in uncapped if a >= 100 and b >= 100) == 190  # 20 choose 2
+
+    capped = {tuple(r) for r in minhash_candidate_pairs(df, max_bucket_size=10).collect()}
+    assert not any(a >= 100 for a, b in capped), "oversized bucket must be dropped"
+    assert (1, 2) in capped, "small buckets must be untouched"
+
+
 def test_ngram_jaccard_scores(spark):
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
     assert got[(1, 2)] == 1.0
