@@ -62,3 +62,18 @@ class Engine:
 
     def oracle_sql(self, name: str) -> str | None:
         return ORACLE_SQL.get(name)
+
+    # -- transactional tables & curation ----------------------------------
+    def table(self, root: str):
+        """TxTable handle (versioned gold/mart table: read, time
+        travel, compact, vacuum)."""
+        from .sources.txlog import TxTable
+
+        return TxTable(self.spark, root)
+
+    def curate(self, df: DataFrame, **kwargs) -> DataFrame:
+        """The end-to-end corpus curation pass (quality gate -> dedup ->
+        cluster dedup -> redact -> split); see `pipeline/curate.py`."""
+        from .pipeline.curate import curate_corpus
+
+        return curate_corpus(df, **kwargs)
