@@ -85,3 +85,28 @@ def dense_ids(df: DataFrame, order_cols: list[str | Column], col_name: str = "id
     """
     w = Window.orderBy(*order_cols)
     return df.withColumn(col_name, (F.row_number().over(w) + (start - 1)).cast("int"))
+
+
+def dedup_within_window(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 60,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-windowed dedup: keep a row only when the previous same-key
+    row (by event time) is more than ``gap_seconds`` older, or absent —
+    the batch twin of streaming ``dropDuplicatesWithinWatermark``
+    (bounce/double-fire suppression for telemetry).
+
+    Gap is measured from the previous EVENT, not the previous kept row
+    (lag semantics): a burst longer than the window keeps only rows
+    that follow a real gap — the same rule the sessionizer uses for
+    session starts, so "kept row" ≡ "session-opening row".  One window
+    shuffle on the keys; microsecond-exact arithmetic.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, *(order_cols or []))
+    cur = F.unix_micros(F.col(ts_col))
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    keep = prev.isNull() | (cur - prev > int(gap_seconds) * 1_000_000)
+    return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")

@@ -2016,3 +2016,90 @@ GROUP BY 1, 2
 
 QUERIES.update({"q50_curate_corpus": q50_curate_corpus})
 ORACLE_SQL.update({"q50_curate_corpus": Q50_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Windowed event dedup (batch twin of dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+def q52_dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cleanse import dedup_within_window
+
+    ev = _t(spark, sf_dir, "events")
+    kept = dedup_within_window(ev, ["user_id", "event_type"], "ts", 60, order_cols=["event_id"])
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+Q52_SQL = """
+WITH lagged AS (
+  SELECT event_type, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT event_type, count(*) AS n_kept, count(DISTINCT user_id) AS n_users
+FROM lagged
+WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 60000000
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Salient terms per document (tf x rational inverse-frequency weight)
+# ---------------------------------------------------------------------------
+
+def q51_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document: score = tf * N / df.  The
+    rational inverse-frequency weight (instead of the classic ln-based
+    idf) keeps the arithmetic exactly reproducible across engines —
+    integer products and one IEEE double division, no libm ulp
+    divergence; ranking uses the rounded score with a term tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df"), 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
+Q51_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_LTOKENS_SQL}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(CAST(tf.tf * (SELECT count(*) FROM documents) AS DOUBLE) / dfreq.df, 6) AS score
+  FROM tf JOIN dfreq USING (term)
+), ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+"""
+
+QUERIES.update({
+    "q51_salient_terms": q51_salient_terms,
+    "q52_dedup_within_window": q52_dedup_within_window,
+})
+ORACLE_SQL.update({
+    "q51_salient_terms": Q51_SQL,
+    "q52_dedup_within_window": Q52_SQL,
+})

@@ -133,3 +133,28 @@ def test_reference_daily_snapshot_cleanse_and_dedup(spark):
     assert silver.count() == 100
     prices = silver.select("price").where(F.col("price").isNotNull())
     assert prices.count() > 0  # trailing-space prices parsed, not nulled
+
+
+def test_dedup_within_window_burst_suppression(spark):
+    """Rows within the gap of their predecessor are dropped; a burst
+    longer than the gap keeps only gap-opening rows (lag semantics,
+    same rule as session starts)."""
+    import datetime as dt
+
+    from nlu_data_warehouse_project_spark.operators.cleanse import dedup_within_window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, "click", base),                               # kept (first)
+        (2, 7, "click", base + dt.timedelta(seconds=30)),    # 30s gap -> dropped
+        (3, 7, "click", base + dt.timedelta(seconds=59)),    # 29s gap -> dropped
+        (4, 7, "click", base + dt.timedelta(seconds=125)),   # 66s gap -> kept
+        (5, 7, "view", base + dt.timedelta(seconds=5)),      # other type -> kept
+        (6, 8, "click", base + dt.timedelta(seconds=31)),    # other user -> kept
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    kept = sorted(
+        r["event_id"]
+        for r in dedup_within_window(ev, ["user_id", "event_type"], "ts", 60, ["event_id"]).collect()
+    )
+    assert kept == [1, 4, 5, 6]
