@@ -121,6 +121,38 @@ def with_hyperplane_sketch(df: DataFrame, vec_col: str, planes: list[list[float]
     return df.withColumn(out_col, sketch(F.col(vec_col)))
 
 
+def _multiprobe_cells(row_bits, row_absdots, n_cells: int) -> list[str]:
+    """Successor-heap multi-probe enumeration (Lv et al., VLDB'07): emit
+    ``n_cells`` bit-strings starting from the own sign-cell, then
+    neighbor cells in increasing total boundary-crossing cost — flip
+    SETS of bits ordered by the sum of their hyperplane margins
+    |v . p_i|, generated lazily (extend the max flipped index / shift
+    it), so n_cells can range up to every cell (2^nbits) without
+    materializing the power set."""
+    import heapq
+
+    nbits = len(row_bits)
+    order = np.argsort(row_absdots)          # cheapest bit flips first
+    m = row_absdots[order]
+    cells, heap = [], [(0.0, ())]
+    while heap and len(cells) < n_cells:
+        score, subset = heapq.heappop(heap)
+        flipped = row_bits.copy()
+        for s in subset:
+            j = order[s]
+            flipped[j] = not flipped[j]
+        cells.append("".join("1" if b else "0" for b in flipped))
+        if not subset:
+            if nbits:
+                heapq.heappush(heap, (m[0], (0,)))
+        else:
+            last = subset[-1]
+            if last + 1 < nbits:
+                heapq.heappush(heap, (score + m[last + 1], subset + (last + 1,)))
+                heapq.heappush(heap, (score - m[last] + m[last + 1], subset[:-1] + (last + 1,)))
+    return cells
+
+
 def with_ivf_probe_cells(
     df: DataFrame,
     vec_col: str,
@@ -129,41 +161,14 @@ def with_ivf_probe_cells(
     out_col: str = "__cells",
 ) -> DataFrame:
     """Multi-probe cell list for each vector: the own sign-cell first,
-    then neighbor cells in increasing total boundary-crossing cost —
-    the classic multi-probe LSH enumeration (Lv et al., VLDB'07): flip
-    SETS of bits ordered by the sum of their hyperplane margins
-    |v . p_i|, generated lazily with the successor-heap scheme (extend
-    the max flipped index / shift it), so nprobe can range up to every
-    cell (2^len(planes)) without materializing the power set.  One
-    numpy matmul per Arrow batch, like ``with_hyperplane_sketch``."""
-    import heapq
-
+    then the ``nprobe - 1`` cheapest boundary-crossing neighbor cells
+    (see ``_multiprobe_cells``).  One numpy matmul per Arrow batch,
+    like ``with_hyperplane_sketch``."""
     from pyspark.sql.functions import pandas_udf
 
     plane_matrix = [list(map(float, p)) for p in planes]
     nbits = len(planes)
     n_cells = min(nprobe, 1 << nbits)
-
-    def probe_cells(row_bits, row_absdots) -> list[str]:
-        order = np.argsort(row_absdots)          # cheapest bit flips first
-        m = row_absdots[order]
-        cells, heap = [], [(0.0, ())]
-        while heap and len(cells) < n_cells:
-            score, subset = heapq.heappop(heap)
-            flipped = row_bits.copy()
-            for s in subset:
-                j = order[s]
-                flipped[j] = not flipped[j]
-            cells.append("".join("1" if b else "0" for b in flipped))
-            if not subset:
-                if nbits:
-                    heapq.heappush(heap, (m[0], (0,)))
-            else:
-                last = subset[-1]
-                if last + 1 < nbits:
-                    heapq.heappush(heap, (score + m[last + 1], subset + (last + 1,)))
-                    heapq.heappush(heap, (score - m[last] + m[last + 1], subset[:-1] + (last + 1,)))
-        return cells
 
     @pandas_udf("array<string>")
     def cells_udf(vectors: pd.Series) -> pd.Series:
@@ -172,9 +177,55 @@ def with_ivf_probe_cells(
         dots = mat @ pm                                         # batch x nbits
         bits = dots >= 0
         absdots = np.abs(dots)
-        return pd.Series([probe_cells(bits[i].copy(), absdots[i]) for i in range(len(bits))])
+        return pd.Series(
+            [_multiprobe_cells(bits[i].copy(), absdots[i], n_cells) for i in range(len(bits))]
+        )
 
     return df.withColumn(out_col, cells_udf(F.col(vec_col)))
+
+
+def with_banded_probe_cells(
+    df: DataFrame,
+    vec_col: str,
+    planes: list[list[float]],
+    bands: int,
+    nprobe: int,
+    out_col: str = "__probes",
+) -> DataFrame:
+    """Per-band multi-probe: for each of the ``bands`` bit-slices of the
+    sketch, emit the own band value plus the ``nprobe - 1``
+    cheapest-flip neighbor values (margin-guided successor heap per
+    band).  Output: array of ``"band_id:band_bits"`` strings, length
+    bands x nprobe — the query side of multi-probe banded LSH.  Probing
+    T cells per band multiplies the query-side band rows by T (queries
+    are the small side) while the corpus keeps exactly one row per
+    band — the classic memory-less recall boost: no extra hash tables,
+    no corpus re-partitioning."""
+    from pyspark.sql.functions import pandas_udf
+
+    plane_matrix = [list(map(float, p)) for p in planes]
+    nbits = len(planes)
+    r = nbits // bands
+    n_cells = min(nprobe, 1 << r)
+
+    @pandas_udf("array<string>")
+    def probes_udf(vectors: pd.Series) -> pd.Series:
+        pm = np.asarray(plane_matrix, dtype=np.float64).T      # dim x nbits
+        mat = np.vstack(vectors.to_numpy()).astype(np.float64)  # batch x dim
+        dots = mat @ pm                                         # batch x nbits
+        bits = dots >= 0
+        absdots = np.abs(dots)
+        out = []
+        for i in range(len(bits)):
+            entries = []
+            for b in range(bands):
+                lo, hi = b * r, (b + 1) * r
+                for cell in _multiprobe_cells(bits[i, lo:hi].copy(), absdots[i, lo:hi], n_cells):
+                    entries.append(f"{b}:{cell}")
+            out.append(entries)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, probes_udf(F.col(vec_col)))
 
 
 def ivf_cosine_topk(
@@ -230,17 +281,29 @@ def lsh_cosine_topk(
     planes: list[list[float]],
     bands: int = 4,
     k: int = 5,
+    nprobe: int = 8,
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates = query/corpus pairs sharing at
-    least one LSH band, re-ranked by exact cosine.
+    least one LSH band (with query-side multi-probe), re-ranked by
+    exact cosine.
 
     ``planes`` are caller-supplied (deterministic, seedable) random
     hyperplanes; len(planes) must divide into ``bands`` equal bands.
     The candidate join is an equi-join on (band_id, band_bits) — at
     scale it hash-partitions instead of the brute-force cross product.
+
+    ``nprobe`` > 1 is query-side multi-probe: each query band also
+    probes the nprobe-1 nearest-boundary neighbor band values (the
+    bits most likely to differ for a true near neighbor are exactly
+    the low-margin ones), lifting recall without extra hash tables or
+    a wider corpus explode.  Candidate volume scales ~linearly in
+    nprobe on the QUERY side only; the corpus stays at one row per
+    band.  Recall at the q34 config (16 planes, 4 bands, nprobe=8)
+    is measured in bench.py as ``lsh_topk_recall`` and floored by
+    tests/test_llm_ops.py.
     """
     nbits = len(planes)
     rows_per_band = nbits // bands
@@ -264,7 +327,22 @@ def lsh_cosine_topk(
             id_alias, f"__v_{id_alias}", "band.band_id", "band.band_bits"
         )
 
-    q = banded(queries.select(F.col(query_id).alias("__id"), F.col(vec_col).alias("__v")), "query_id")
+    q = (
+        with_banded_probe_cells(
+            queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__v_query_id")),
+            "__v_query_id",
+            planes,
+            bands,
+            nprobe,
+        )
+        .select("query_id", "__v_query_id", F.explode("__probes").alias("__probe"))
+        .select(
+            "query_id",
+            "__v_query_id",
+            F.split("__probe", ":")[0].cast("int").alias("band_id"),
+            F.split("__probe", ":")[1].alias("band_bits"),
+        )
+    )
     c = banded(corpus.select(F.col(corpus_id).alias("__id"), F.col(vec_col).alias("__v")), "neighbor_id")
 
     cand = (

@@ -104,11 +104,11 @@ def test_lsh_topk_recall_vs_exact(spark, sf_smoke):
         (r["query_id"], r["neighbor_id"])
         for r in lsh_cosine_topk(queries, emb, planes=_seeded_planes(), bands=4, k=5).collect()
     }
-    # random-vector corpus is adversarial for LSH; require the plumbing
-    # to return full result sets and achieve nonzero overlap
     assert len(approx) == 25
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.2, f"recall {recall}"
+    # random-vector corpus is adversarial for LSH; query-side multi-probe
+    # (nprobe=8 default) must hold production-grade recall even here
+    assert recall >= 0.8, f"recall {recall}"
 
 
 def test_neardup_clusters_transitive_and_dedup(spark):
