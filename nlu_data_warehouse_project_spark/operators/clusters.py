@@ -31,7 +31,15 @@ def neardup_clusters(
     max_iters: int = 25,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``, where
-    cluster_id = the minimum node id of its connected component."""
+    cluster_id = the minimum node id of its connected component.
+
+    Raises ``RuntimeError`` if ``max_iters`` rounds pass without
+    reaching the fixpoint (VERDICT r2 #8): a silent early exit would
+    emit WRONG cluster ids — components whose diameter exceeds the
+    round budget get split into several clusters, and a downstream
+    dedup quietly keeps extra near-duplicates.  A graph that deep
+    (e.g. a chain of crawl mirrors) needs a larger ``max_iters``, not
+    a wrong answer."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
@@ -41,6 +49,7 @@ def neardup_clusters(
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iters):
         # each node offers its label to every neighbor; keep the min of
         # own + offered labels
@@ -62,7 +71,14 @@ def neardup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"neardup_clusters did not converge within max_iters={max_iters} rounds; "
+            "the pair graph has a component with diameter >= max_iters — raise max_iters "
+            "(labels propagate one hop per round)"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

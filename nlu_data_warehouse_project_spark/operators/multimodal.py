@@ -89,9 +89,17 @@ def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, i
                 i += 1
                 continue
             marker = payload[i + 1]
-            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
-                i += 2  # padding / standalone markers carry no length
+            # 0x00 after FF is a byte-stuffed literal FF inside entropy-coded
+            # data, not a marker — reading a "length" there desynchronizes
+            # the walk (ADVICE r2)
+            if marker in (0xFF, 0x00, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2  # stuffing / padding / standalone markers carry no length
                 continue
+            if marker == 0xDA:
+                # SOS: compressed scan data follows; in a well-formed JPEG
+                # SOF always precedes SOS, so stop instead of walking into
+                # entropy-coded bytes and matching a spurious SOFn
+                break
             seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 if i + 9 <= n:
@@ -109,6 +117,75 @@ def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, i
     return (None, None, None)
 
 
+def parse_av_header(payload: bytes | None) -> tuple[str | None, int | None]:
+    """(format, duration_ms) from audio/video container headers alone —
+    stdlib ``struct``, no codec (VERDICT r2 #9: duration lives in plain
+    integer header fields, exactly like the image dimensions):
+
+    - WAV: RIFF chunk walk; the ``fmt `` chunk's byte_rate (LE uint32 at
+      chunk offset 8) and the ``data`` chunk's size give
+      duration = data_bytes / byte_rate (RIFF/WAVE spec).
+    - MP4/MOV: ISO-BMFF box walk to ``moov`` -> ``mvhd``; version 0
+      holds timescale/duration as BE uint32 at payload offsets 12/16,
+      version 1 as uint32/uint64 at 20/24 (ISO 14496-12 §8.2.2).
+
+    Unknown or truncated payloads return (None, None) — dirty bytes
+    must classify as unparseable, never throw a task.
+    """
+    if not payload or len(payload) < 16:
+        return (None, None)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        byte_rate, data_size = None, None
+        i, n = 12, len(payload)
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            csize = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 20 <= n:
+                byte_rate = struct.unpack("<I", payload[i + 16 : i + 20])[0]
+            elif cid == b"data":
+                data_size = csize
+            if byte_rate and data_size is not None:
+                return ("wav", int(data_size * 1000 // byte_rate) if byte_rate else None)
+            i += 8 + csize + (csize & 1)  # chunks are word-aligned
+        return ("wav", None)
+    if payload[4:8] == b"ftyp":
+
+        def walk(lo: int, hi: int, box_type: bytes) -> tuple[int, int] | None:
+            i = lo
+            while i + 8 <= hi:
+                size = struct.unpack(">I", payload[i : i + 4])[0]
+                btype = payload[i + 4 : i + 8]
+                hdr = 8
+                if size == 1 and i + 16 <= hi:  # 64-bit extended size
+                    size = struct.unpack(">Q", payload[i + 8 : i + 16])[0]
+                    hdr = 16
+                elif size == 0:  # box extends to end of file
+                    size = hi - i
+                if size < hdr:
+                    return None
+                if btype == box_type:
+                    return (i + hdr, min(i + size, hi))
+                i += size
+            return None
+
+        moov = walk(0, len(payload), b"moov")
+        if moov:
+            mvhd = walk(moov[0], moov[1], b"mvhd")
+            if mvhd:
+                lo = mvhd[0]
+                version = payload[lo]
+                if version == 0 and lo + 20 <= len(payload):
+                    ts, dur = struct.unpack(">II", payload[lo + 12 : lo + 20])
+                elif version == 1 and lo + 32 <= len(payload):
+                    ts = struct.unpack(">I", payload[lo + 20 : lo + 24])[0]
+                    dur = struct.unpack(">Q", payload[lo + 24 : lo + 32])[0]
+                else:
+                    return ("mp4", None)
+                return ("mp4", int(dur * 1000 // ts) if ts else None)
+        return ("mp4", None)
+    return (None, None)
+
+
 def attach_meta(
     df: DataFrame,
     payload_col: str = "payload",
@@ -118,12 +195,13 @@ def attach_meta(
 ) -> DataFrame:
     """Wrap a raw binary column with the typed metadata struct.
 
-    ``n_bytes`` is always computed engine-side.  With ``sniff=True``
-    (images), format/width/height come from ``parse_image_header`` via
-    an Arrow-batched pandas UDF — the sanctioned Python path: byte-level
-    marker walking is inexpressible as built-in expressions, and the
-    UDF reads only the header region of each payload.  Duration stays
-    null until a real codec decode (still stubbed)."""
+    ``n_bytes`` is always computed engine-side.  With ``sniff=True``,
+    format/width/height/duration_ms come from ``parse_image_header`` /
+    ``parse_av_header`` via an Arrow-batched pandas UDF — the
+    sanctioned Python path: byte-level marker walking is inexpressible
+    as built-in expressions, and the UDF reads only the header region
+    of each payload.  Pixel decode stays stubbed; container metadata
+    (dimensions, duration) is real."""
     n_bytes = F.coalesce(F.length(F.col(payload_col)).cast("long"), F.lit(0).cast("long"))
     if not sniff:
         return df.withColumn(
@@ -140,11 +218,18 @@ def attach_meta(
 
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("format string, width int, height int")
+    @pandas_udf("format string, width int, height int, duration_ms int")
     def sniffed(payloads: pd.Series) -> pd.DataFrame:
-        rows = [parse_image_header(p) for p in payloads]
-        return pd.DataFrame(rows, columns=["format", "width", "height"]).astype(
-            {"width": "Int32", "height": "Int32"}
+        rows = []
+        for p in payloads:
+            img_fmt, w, h = parse_image_header(p)
+            if img_fmt is not None:
+                rows.append((img_fmt, w, h, None))
+            else:
+                av_fmt, dur = parse_av_header(p)
+                rows.append((av_fmt, None, None, dur))
+        return pd.DataFrame(rows, columns=["format", "width", "height", "duration_ms"]).astype(
+            {"width": "Int32", "height": "Int32", "duration_ms": "Int32"}
         )
 
     return df.withColumn("__sniff", sniffed(F.col(payload_col))).withColumn(
@@ -154,7 +239,7 @@ def attach_meta(
             F.coalesce(F.col("__sniff.format"), F.lit(fmt).cast("string")).alias("format"),
             F.col("__sniff.width").alias("width"),
             F.col("__sniff.height").alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
+            F.col("__sniff.duration_ms").alias("duration_ms"),
             n_bytes.alias("n_bytes"),
         ),
     ).drop("__sniff")

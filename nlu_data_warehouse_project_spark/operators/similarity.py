@@ -62,12 +62,13 @@ def cosine_topk(
 
     Guard rail (VERDICT r1 #5): |Q| x |C| comparisons are only sane for
     a small broadcast-able query side; above ``max_queries`` this raises
-    — use ``lsh_cosine_topk`` for the bucketed path.
+    — use ``lsh_cosine_topk`` for the bucketed path.  The check scans at
+    most ``max_queries + 1`` rows (limit-pushdown stops the count job
+    early), so the guard costs ~nothing on tiny inputs.
     """
-    nq = queries.count()
-    if nq > max_queries:
+    if queries.limit(max_queries + 1).count() > max_queries:
         raise ValueError(
-            f"cosine_topk with {nq} query vectors (> max_queries={max_queries}): "
+            f"cosine_topk with > max_queries={max_queries} query vectors: "
             "the brute-force path scores |Q| x |corpus| pairs — use lsh_cosine_topk, "
             "or raise max_queries if the scan is intentional"
         )

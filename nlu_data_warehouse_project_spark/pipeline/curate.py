@@ -33,13 +33,21 @@ def curate_corpus(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
     split_weights: dict[str, float] | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Returns the curated corpus at document grain: the input columns
     plus ``redacted`` (scrubbed text) and ``split``.  Deterministic end
     to end — rerunning (or re-partitioning) reproduces the same kept
-    set, cluster representatives, and split assignment."""
+    set, cluster representatives, and split assignment.
+
+    ``max_bucket_size`` caps pathological LSH buckets in the near-dup
+    stage (a boilerplate flood collapsing onto one band signature
+    expands to B²/2 candidate pairs; at corpus scale one such bucket
+    stalls its task forever).  The default is deliberately ON — an
+    end-to-end curation pass must not be one templated-crawl away from
+    a pair explosion; pass ``None`` to disable the cap."""
     weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
 
     # 1. quality gate — row-local, runs at the scan
@@ -50,7 +58,9 @@ def curate_corpus(
     exact = exact_dedup(gated, text_col, id_col)
     # 3. near-dup cluster dedup — LSH pairs + connected components on
     #    the survivors only, keep the min-id representative per cluster
-    pairs = minhash_candidate_pairs(exact, text_col, id_col, num_hashes, bands, shingle_n)
+    pairs = minhash_candidate_pairs(
+        exact, text_col, id_col, num_hashes, bands, shingle_n, max_bucket_size=max_bucket_size
+    )
     kept = dedup_by_clusters(exact, pairs, id_col)
     # 4. PII redaction — codegen'd regexp chain
     red = kept.withColumn("redacted", redact_pii(text_col))
