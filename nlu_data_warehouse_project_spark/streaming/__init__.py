@@ -173,23 +173,30 @@ def streaming_scd2_changes(
                           + one OPEN row (load=run_date, last=sentinel)
       unchanged        -> nothing
 
-    The emission stream is an upsert log keyed on (key, dt_load_to_dw):
-    a version's CLOSE row supersedes its earlier OPEN row.  Reconcile
-    with ``scd2_changes_to_table`` (or any keyed upsert sink) and the
-    result is row-identical to replaying the same snapshots through the
-    batch ``scd2_merge`` — proven by the batch-equivalence test.
+    The emission stream is an upsert log keyed on (key, version_seq),
+    where ``version_seq`` is a per-key monotonic version counter held in
+    the state: a version's CLOSE row supersedes its earlier OPEN row.
+    The counter — not (key, dt_load_to_dw) — is the upsert key because
+    two value changes can land in the same run_date (two micro-batches
+    in one day); a date-keyed reconcile would collapse those into one
+    row with an arbitrary value and silently drop the newest open
+    version (ADVICE r2).  Reconcile with ``scd2_changes_to_table`` (or
+    any keyed upsert sink) and the result is row-identical to replaying
+    the same snapshots through the batch ``scd2_merge`` — proven by the
+    batch-equivalence test.
 
-    State is (value, load_date) per key — bounded by live keys, exactly
-    the TxTable current-set bound, so a 100 TB history never enters the
-    state store.
+    State is (value, load_date, seq) per key — bounded by live keys,
+    exactly the TxTable current-set bound, so a 100 TB history never
+    enters the state store.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = (
-        f"{key_col} long, {value_col} double, dt_load_to_dw date, dt_last_update date"
+        f"{key_col} long, {value_col} double, dt_load_to_dw date, dt_last_update date, "
+        "version_seq long"
     )
-    state_schema = "value double, load_date string"
+    state_schema = "value double, load_date string, seq long"
 
     def update(key, pdfs, state: GroupState):
         import datetime as _dt
@@ -205,19 +212,21 @@ def streaming_scd2_changes(
         sentinel = _dt.date.fromisoformat(open_sentinel)
 
         if not state.exists:
-            state.update((v, d.isoformat()))
+            state.update((v, d.isoformat(), 1))
             yield pd.DataFrame(
                 {key_col: [key[0]], value_col: [v],
-                 "dt_load_to_dw": [d], "dt_last_update": [sentinel]}
+                 "dt_load_to_dw": [d], "dt_last_update": [sentinel],
+                 "version_seq": [1]}
             )
             return
-        cur_v, cur_load = state.get
+        cur_v, cur_load, cur_seq = state.get
         if v != cur_v:
-            state.update((v, d.isoformat()))
+            state.update((v, d.isoformat(), cur_seq + 1))
             prior = _dt.date.fromisoformat(cur_load)
             yield pd.DataFrame(
                 {key_col: [key[0], key[0]], value_col: [cur_v, v],
-                 "dt_load_to_dw": [prior, d], "dt_last_update": [d, sentinel]}
+                 "dt_load_to_dw": [prior, d], "dt_last_update": [d, sentinel],
+                 "version_seq": [cur_seq, cur_seq + 1]}
             )
 
     return stream.groupBy(key_col).applyInPandasWithState(
@@ -231,11 +240,14 @@ def scd2_changes_to_table(
     value_col: str = "value",
 ) -> DataFrame:
     """Reconcile a ``streaming_scd2_changes`` emission log into the SCD2
-    table: per (key, dt_load_to_dw) version, the CLOSE row (if any)
+    table: per (key, version_seq) version, the CLOSE row (if any)
     supersedes the OPEN row — min(dt_last_update) picks it, because a
-    close date always sorts before the open sentinel.  One shuffle on
-    the version key."""
-    return changes.groupBy(key_col, "dt_load_to_dw").agg(
+    close date always sorts before the open sentinel; value and load
+    date are constant within a version.  One shuffle on the version
+    key.  Keyed on the sequence (not the load date) so two changes in
+    one run_date stay two distinct versions (ADVICE r2)."""
+    return changes.groupBy(key_col, "version_seq").agg(
         F.min(value_col).alias(value_col),
+        F.min("dt_load_to_dw").alias("dt_load_to_dw"),
         F.min("dt_last_update").alias("dt_last_update"),
-    )
+    ).drop("version_seq")

@@ -101,6 +101,60 @@ def test_streaming_scd2_current_emits_on_change(spark, tmp_path):
     assert sorted(rows) == [(7, 1.0), (7, 2.0), (8, 9.0)]
 
 
+def test_streaming_scd2_two_changes_same_run_date(spark, tmp_path):
+    """Two value changes for one key within one run_date (two
+    micro-batches in one day) must yield two distinct versions — a
+    (key, dt_load_to_dw)-keyed reconcile would collapse them and drop
+    the newest open row (ADVICE r2); the version_seq key keeps them."""
+    from nlu_data_warehouse_project_spark.streaming import (
+        scd2_changes_to_table,
+        streaming_scd2_changes,
+    )
+
+    src = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "changes")
+
+    def run_once():
+        sdf = spark.readStream.schema(
+            "user_id long, value double, ts timestamp, run_date date"
+        ).parquet(src)
+        q = (
+            streaming_scd2_changes(sdf, run_date_col="run_date")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def snap(value, ts):
+        return spark.createDataFrame(
+            [(7, value, ts, "2024-01-01")],
+            "user_id long, value double, ts string, run_date string",
+        ).selectExpr(
+            "user_id", "value", "cast(ts as timestamp) ts", "cast(run_date as date) run_date"
+        )
+
+    snap(1.0, "2024-01-01 08:00:00").write.mode("append").parquet(src)
+    run_once()
+    snap(2.0, "2024-01-01 12:00:00").write.mode("append").parquet(src)
+    run_once()
+    snap(3.0, "2024-01-01 18:00:00").write.mode("append").parquet(src)
+    run_once()
+
+    table = scd2_changes_to_table(spark.read.parquet(out))
+    got = sorted(
+        (r["value"], str(r["dt_load_to_dw"]), str(r["dt_last_update"])) for r in table.collect()
+    )
+    assert got == [
+        (1.0, "2024-01-01", "2024-01-01"),   # closed same day
+        (2.0, "2024-01-01", "2024-01-01"),   # second version, also closed same day
+        (3.0, "2024-01-01", "9999-12-31"),   # newest open row survives
+    ]
+
+
 def test_streaming_scd2_changes_reproduces_batch_merge(spark, sf_smoke, tmp_path):
     """Batch equivalence (VERDICT r1 #9): replaying the q08 event
     snapshots through the stateful close+insert stream and reconciling
