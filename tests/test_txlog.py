@@ -189,6 +189,87 @@ def test_txtable_works_on_uri_scheme_paths(spark, tmp_path):
     assert gold.vacuum() != [] or gold.manifest()["version"] == 2
 
 
+def test_schema_evolution_add_column_mid_history(spark, tmp_path):
+    """A column added on day 3 of a 4-day run (VERDICT r2 #4): the
+    manifest records each dir's write-time schema, full-history reads
+    null-fill the added column on old dirs, and both sides of time
+    travel read with THEIR version's schema."""
+    gold = TxTable(spark, str(tmp_path / "gold"))
+
+    def cur(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    s1 = "k long, v double"
+    s2 = "k long, v double, region string"  # day-3 schema adds `region`
+    # days 1-2: old schema
+    gold.commit_merge(cur([(1, 10.0)], s1), cur([], s1), "d1")
+    gold.commit_merge(cur([(1, 11.0)], s1), cur([(1, 10.0)], s1), "d2")
+    # day 3 adds a column; day 4 continues with it
+    gold.commit_merge(cur([(1, 12.0, "eu")], s2), cur([(1, 11.0, None)], s2), "d3")
+    gold.commit_merge(cur([(1, 13.0, "us")], s2), cur([(1, 12.0, "eu")], s2), "d4")
+
+    full = gold.read()
+    assert full.schema.simpleString() == "struct<k:bigint,v:double,region:string>"
+    got = sorted((r["v"], r["region"]) for r in full.collect())
+    # day-1/2 closed dirs (written pre-column) null-fill region
+    assert got == [(10.0, None), (11.0, None), (12.0, "eu"), (13.0, "us")]
+
+    # time travel: version 2 still reads with the OLD schema
+    v2 = gold.read(version=2)
+    assert "region" not in v2.columns
+    assert sorted(r["v"] for r in v2.collect()) == [10.0, 11.0]
+
+    # compaction migrates history to the latest schema and stays green
+    assert gold.compact_closed(min_dirs=2) == 5
+    assert sorted((r["v"], r["region"]) for r in gold.read().collect()) == got
+
+
+def test_schema_retype_refused_at_commit(spark, tmp_path):
+    """A retyped column would poison every later history read, so the
+    commit itself must refuse it with a clear error."""
+    from nlu_data_warehouse_project_spark.sources.txlog import SchemaEvolutionError
+
+    gold = TxTable(spark, str(tmp_path / "gold"))
+    gold.commit_merge(
+        spark.createDataFrame([(1, 10.0)], "k long, v double"),
+        spark.createDataFrame([], "k long, v double"),
+        "d1",
+    )
+    with pytest.raises(SchemaEvolutionError, match="retype column 'v'"):
+        gold.commit_merge(
+            spark.createDataFrame([(1, "ten")], "k long, v string"),
+            spark.createDataFrame([], "k long, v string"),
+            "d2",
+        )
+
+
+def test_vacuum_retains_readable_versions(spark, tmp_path):
+    """vacuum(retain_last=N) keeps the last N versions fully readable
+    and prunes older manifests along with their dirs — a listed version
+    is always a readable version (VERDICT r2 #5 / ADVICE r2)."""
+    from nlu_data_warehouse_project_spark.sources.txlog import VersionNotFoundError
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    prices = ["100", "150", "175", "190"]
+    for day, p in zip(["2024-12-08", "2024-12-09", "2024-12-10", "2024-12-11"], prices):
+        wh.run_day(_feed(spark, [("S1", "P1", p)]), 1, day)
+
+    gold = TxTable(spark, wh.dw_dir)
+    assert gold.versions() == [1, 2, 3, 4]
+    gold.vacuum(retain_last=2)
+    assert gold.versions() == [3, 4]
+
+    # both retained versions read back exactly
+    v3 = sorted(r["price"] for r in gold.read(version=3).collect())
+    assert v3 == [100, 150, 175]
+    v4 = sorted(r["price"] for r in gold.read(version=4).collect())
+    assert v4 == [100, 150, 175, 190]
+
+    # pruned versions raise a clear error naming what's available
+    with pytest.raises(VersionNotFoundError, match="available versions: \\[3, 4\\]"):
+        gold.read(version=1)
+
+
 def test_retry_preserves_failure_audit_trail(spark, tmp_path):
     """update_status is id-scoped (ADVICE r1 #4): after an extract
     failure plus successful retry, the historical EF row survives."""
