@@ -70,16 +70,34 @@ class DuplicateRunError(RuntimeError):
 class Warehouse:
     """Filesystem layout + stage functions for one warehouse instance."""
 
-    def __init__(self, spark: SparkSession, root: str, alert: AlertHook = _noop_alert):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        alert: AlertHook = _noop_alert,
+        gold_buckets: int = 32,
+    ):
         self.spark = spark
         self.root = root
         self.alert = alert
+        self.gold_buckets = gold_buckets
         self.landing_dir = os.path.join(root, "landing")
         self.staging_dir = os.path.join(root, "staging")
         self.dw_dir = os.path.join(root, "dw")
         self.date_dim_dir = os.path.join(root, "date_dim")
         self.config_path = os.path.join(root, "control", "file_config")
         self.logs_path = os.path.join(root, "control", "file_logs")
+
+    def gold(self) -> TxTable:
+        """The gold TxTable, bucketed on the merge key: the daily SCD2
+        merge's dw side reads pre-partitioned on natural_key and skips
+        its Exchange — at 100 TB that shuffle of the full live-key set
+        was the largest per-day data movement left (DESIGN.md; VERDICT
+        r2 #3).  Size ``gold_buckets`` so live_keys/buckets fits an
+        executor's memory at target scale."""
+        return TxTable(
+            self.spark, self.dw_dir, bucket_cols=["natural_key"], num_buckets=self.gold_buckets
+        )
 
     # -- control-plane persistence --------------------------------------
     def control(self) -> ControlPlane:
@@ -204,7 +222,7 @@ class Warehouse:
                 (F.col("id_config") == id_config) & (F.col("dt_load") == F.to_date(F.lit(day)))
             ).drop("surrogate_key")
 
-            gold = TxTable(self.spark, self.dw_dir)
+            gold = self.gold()
             if gold.exists():
                 current = gold.read_current().drop("dt_dim")
             else:
@@ -248,7 +266,7 @@ class Warehouse:
 
     def read_dw(self) -> DataFrame:
         """The full logical gold table (open ∪ closed history)."""
-        return TxTable(self.spark, self.dw_dir).read()
+        return self.gold().read()
 
     # -- full day ------------------------------------------------------------
     def run_day(self, feed: DataFrame, id_config: int, day: str) -> DataFrame:

@@ -67,11 +67,37 @@ class VersionNotFoundError(FileNotFoundError):
 
 
 class TxTable:
-    """Versioned parquet table with atomic manifest commits."""
+    """Versioned parquet table with atomic manifest commits.
 
-    def __init__(self, spark: SparkSession, root: str):
+    With ``bucket_cols`` set, the current dir is written as a bucketed
+    external table (hash-bucketed on those columns, registered in the
+    session catalog at the same data path): every equi-join or
+    aggregation on the bucket columns then reads the current set
+    pre-partitioned — the daily SCD2 merge's dw side needs NO Exchange
+    (VERDICT r2 #3 / DESIGN.md).  Bucket metadata lives in the catalog;
+    a session without the catalog entry (or a time-travel read of an
+    older version) falls back to a plain parquet read of the same files
+    — correctness never depends on the catalog, only the shuffle
+    saving does.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        bucket_cols: list[str] | None = None,
+        num_buckets: int = 32,
+    ):
         self.spark = spark
         self.root = root
+        self.bucket_cols = bucket_cols
+        self.num_buckets = num_buckets
+
+    def _bucket_table_name(self, version: int) -> str:
+        import hashlib
+
+        digest = hashlib.md5(self.root.encode("utf-8")).hexdigest()[:8]
+        return f"txcur_{digest}_v{version}"
 
     # -- Hadoop FS plumbing ---------------------------------------------
     def _jvm(self):
@@ -179,11 +205,40 @@ class TxTable:
     # back exactly (time travel — audits and reproducible backfills)
     def read_current(self, version: int | None = None) -> DataFrame:
         """The SCD2 open set only — the daily merge scans JUST this, so
-        merge input is bounded by live keys, not all history."""
+        merge input is bounded by live keys, not all history.  When the
+        version was committed bucketed and the catalog entry is live,
+        the scan comes back hash-partitioned on the bucket columns
+        (keyed joins/aggs skip their Exchange)."""
         man = self.manifest(version)
         if man is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
+        table = man.get("current_table")
+        if table is not None and self.spark.catalog.tableExists(table):
+            return self.spark.table(table)
         return self.spark.read.parquet(os.path.join(self.root, man["current"]))
+
+    def _write_current(self, df: DataFrame, cur_dir: str, version: int) -> dict:
+        """Write the new current dir; returns the manifest fields that
+        describe it (bucket metadata when bucketing is on)."""
+        path = os.path.join(self.root, cur_dir)
+        if not self.bucket_cols:
+            df.write.parquet(path)
+            return {}
+        table = self._bucket_table_name(version)
+        # a crashed previous attempt at this version may have left the
+        # catalog entry behind (external table — dropping it never
+        # touches data); the data dir itself is token-fresh per attempt
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            df.write.bucketBy(self.num_buckets, *self.bucket_cols)
+            .sortBy(*self.bucket_cols)
+            .option("path", path)
+            .saveAsTable(table)
+        )
+        return {
+            "current_table": table,
+            "bucket": {"cols": self.bucket_cols, "n": self.num_buckets},
+        }
 
     def read_closed(self, version: int | None = None) -> DataFrame:
         man = self.manifest(version)
@@ -232,7 +287,7 @@ class TxTable:
         cur_dir = f"{_DATA_DIR}/current-{run_id}-{token}"
         closed_dir = f"{_DATA_DIR}/closed-{run_id}-{token}"
         closed_delta.write.parquet(os.path.join(self.root, closed_dir))
-        current.write.parquet(os.path.join(self.root, cur_dir))
+        cur_fields = self._write_current(current, cur_dir, prev["version"] + 1)
         dir_schemas = dict(prev.get("dir_schemas", {}))
         dir_schemas[closed_dir] = json.loads(closed_delta.schema.json())
         man = {
@@ -242,9 +297,19 @@ class TxTable:
             "run_id": run_id,
             "schema": json.loads(current.schema.json()),
             "dir_schemas": dir_schemas,
+            **cur_fields,
         }
         self._publish(man)
+        self._drop_stale_bucket_table(prev)
         return man["version"]
+
+    def _drop_stale_bucket_table(self, prev: dict) -> None:
+        """Retire the superseded version's catalog entry (external table
+        — data untouched; time-travel reads of that version fall back to
+        the plain parquet path)."""
+        stale = prev.get("current_table")
+        if stale:
+            self.spark.sql(f"DROP TABLE IF EXISTS {stale}")
 
     def _check_retypes(self, prev: dict, new_schema: StructType) -> None:
         """Commit-time guard: refuse a commit that retypes an existing
@@ -288,10 +353,10 @@ class TxTable:
         is the crash-safe form of ``mode("overwrite")`` — an overwrite
         that dies mid-write leaves a half-deleted table, this leaves
         the previous version."""
+        prev = self.manifest() or {"version": 0}
         token = uuid.uuid4().hex[:8]
         cur_dir = f"{_DATA_DIR}/current-{run_id}-{token}"
-        df.write.parquet(os.path.join(self.root, cur_dir))
-        prev = self.manifest() or {"version": 0}
+        cur_fields = self._write_current(df, cur_dir, prev["version"] + 1)
         man = {
             "version": prev["version"] + 1,
             "current": cur_dir,
@@ -299,8 +364,10 @@ class TxTable:
             "run_id": run_id,
             "schema": json.loads(df.schema.json()),
             "dir_schemas": {},
+            **cur_fields,
         }
         self._publish(man)
+        self._drop_stale_bucket_table(prev)
         return man["version"]
 
     def compact_closed(self, min_dirs: int = 8) -> int | None:
