@@ -31,14 +31,24 @@ def current_products(dw: DataFrame, key: str = "natural_key", ts_col: str = "dt_
     return dw.filter(F.col(ts_col) == F.to_date(F.lit(SCD2_OPEN_SENTINEL)))
 
 
-def dim_product(dw: DataFrame, key: str = "natural_key") -> DataFrame:
-    """Product dimension from the current set, with a dense surrogate
-    (dimension-sized: the global window is fine here, never on facts)."""
+def dim_product(dw: DataFrame, key: str = "natural_key", stable_sk: bool = False) -> DataFrame:
+    """Product dimension from the current set.
+
+    ``stable_sk=False``: dense int surrogate via a global window —
+    dimension-sized, fine for a full rebuild, but the values SHIFT when
+    keys appear/disappear, so dense sks cannot survive an incremental
+    refresh.  ``stable_sk=True``: xxhash64 of the natural key —
+    scan-local (no window at all) and refresh-stable, the form the
+    incremental mart uses (collision odds over 64 bits are ~n²/2⁶⁵;
+    negligible at any realistic key count)."""
     cur = current_products(dw)
-    w = Window.orderBy(F.col(key).asc())
-    return cur.select(
+    base = cur.select(
         key, "sku", "product_name", "brand", "material", "shape", "dimension", "origin", "product_url"
-    ).withColumn("product_sk", F.row_number().over(w).cast("int"))
+    )
+    if stable_sk:
+        return base.withColumn("product_sk", F.xxhash64(F.col(key)))
+    w = Window.orderBy(F.col(key).asc())
+    return base.withColumn("product_sk", F.row_number().over(w).cast("int"))
 
 
 def fact_inventory(dw: DataFrame, dim: DataFrame, key: str = "natural_key") -> DataFrame:
@@ -112,6 +122,7 @@ def materialize_mart(
     out_dir: str,
     transactional: bool = False,
     run_id: str = "mart",
+    stable_sk: bool = False,
 ) -> dict[str, DataFrame]:
     """Build and persist the whole star; returns the mart DataFrames.
 
@@ -119,8 +130,12 @@ def materialize_mart(
     commit instead of a plain overwrite: a crash mid-materialization
     leaves every table at its previous version (plain overwrite leaves
     a half-deleted directory), and dashboards read a consistent
-    version.  Read back with ``TxTable(spark, path).read()``."""
-    dim = dim_product(dw)
+    version.  Read back with ``TxTable(spark, path).read()``.
+
+    This is the FULL rebuild — every table recomputed from the whole
+    gold table.  For the daily cadence use ``refresh_mart``, which
+    consumes only the gold delta since the last refresh."""
+    dim = dim_product(dw, stable_sk=stable_sk)
     fact = fact_inventory(dw, dim)
     reports = {
         "report_price_by_brand": report_price_by_brand(dw),
@@ -139,3 +154,162 @@ def materialize_mart(
         for name, df in reports.items():
             df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
     return tables
+
+
+# ---------------------------------------------------------------------------
+# Incremental refresh (VERDICT r2 #6).  After the TxTable merge fix, the
+# daily FULL mart rebuild was the largest remaining per-day I/O: it
+# re-read the entire gold history for tables whose inputs only ever
+# GROW.  TxTable's layout hands the increment over for free:
+#
+#   * gold version rows are append-only — closing a version only flips
+#     dt_last_update, which no history report reads — and every version
+#     carries its insert run date, so "new versions since the last
+#     refresh" is a dt_load_to_dw watermark filter over (current set ∪
+#     closed dirs added since the last refresh): O(live + churn) read.
+#   * fact_inventory mirrors gold's commit shape: replace the current
+#     projection, append the closed-delta projection.
+#   * report_price_history keeps a mergeable partial-aggregate state at
+#     (year, month, brand, natural_key) grain — the classic
+#     incremental-view-maintenance intermediate; countDistinct
+#     finalizes as a row count over it.
+#   * dim + current-set reports rebuild from the current set (O(live)).
+#
+# Surrogates must be refresh-stable, so the incremental path always
+# uses the hash product_sk (a dense row_number sk shifts whenever a key
+# set changes — full-rebuild-only semantics).
+# ---------------------------------------------------------------------------
+
+_PARTIAL_GRAIN = ["year", "month_name", "brand", "natural_key"]
+
+
+def _fact_rows(rows: DataFrame) -> DataFrame:
+    """Gold rows -> fact grain with the stable hash surrogate
+    (scan-local: no dim join needed — xxhash64 IS the sk)."""
+    return rows.select(
+        F.xxhash64(F.col("natural_key")).alias("product_sk"),
+        "natural_key",
+        "price",
+        "quantity_available",
+        "dt_dim",
+        "dt_extract",
+        "dt_load_to_dw",
+        "dt_last_update",
+    )
+
+
+def price_history_partials(rows: DataFrame, date_dim: DataFrame) -> DataFrame:
+    """Partial sums at (year, month_name, brand, natural_key) grain —
+    the mergeable intermediate behind ``report_price_history``.  Exact
+    decimal accumulation keeps the merged result bit-identical to the
+    full rebuild."""
+    dd = F.broadcast(date_dim.select(F.col("id").alias("dt_dim"), "year", "month_name"))
+    return (
+        rows.join(dd, "dt_dim", "inner")
+        .groupBy(*_PARTIAL_GRAIN)
+        .agg(
+            F.sum(F.col("price").cast("decimal(25,6)")).alias("sum_price"),
+            F.count("price").alias("n_price"),
+        )
+    )
+
+
+def merge_price_history_partials(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    return (
+        prev.unionByName(delta)
+        .groupBy(*_PARTIAL_GRAIN)
+        .agg(F.sum("sum_price").alias("sum_price"), F.sum("n_price").alias("n_price"))
+    )
+
+
+def finalize_price_history(partials: DataFrame) -> DataFrame:
+    """Partials -> the ``report_price_history`` result (same columns,
+    same decimal arithmetic; n_products = countDistinct finalized as a
+    count over the per-key partial rows)."""
+    return partials.groupBy("year", "month_name", "brand").agg(
+        F.round(F.sum("sum_price") / F.sum("n_price"), 2).cast("double").alias("avg_price"),
+        F.count("*").alias("n_products"),
+    )
+
+
+def refresh_mart(gold, date_dim: DataFrame, out_dir: str, run_id: str = "mart") -> dict[str, DataFrame]:
+    """Incrementally refresh the mart from a gold ``TxTable``: reads
+    only the current set plus the closed dirs committed since the last
+    refresh, never the full history.  Result tables are row-identical
+    to ``materialize_mart(gold.read(), ..., stable_sk=True)`` (pinned
+    by pytest).  All outputs are TxTable snapshot/merge commits, so a
+    crash mid-refresh leaves the previous mart version readable.
+
+    Raises if gold's closed history was compacted since the last
+    refresh (the delta bookkeeping is void) — rebuild once with
+    ``materialize_mart`` and resume refreshing after.
+    """
+    from ..sources.txlog import TxTable
+
+    spark = gold.spark
+    man = gold.manifest()
+    if man is None:
+        raise FileNotFoundError(f"gold table {gold.root} has no committed version")
+
+    fact_tx = TxTable(spark, f"{out_dir}/fact_inventory")
+    partials_tx = TxTable(spark, f"{out_dir}/_price_history_partials")
+    consumed: list[str] = []
+    watermark: str | None = None
+    if fact_tx.exists():
+        m = fact_tx.manifest()
+        consumed = m.get("source_closed_dirs", [])
+        watermark = m.get("source_watermark")
+        if not set(consumed) <= set(man["closed"]):
+            raise RuntimeError(
+                f"gold closed history under {gold.root} was compacted/rewritten since the "
+                "last refresh; run materialize_mart once to rebuild, then resume refresh_mart"
+            )
+
+    new_dirs = [d for d in man["closed"] if d not in set(consumed)]
+    cur = gold.read_current().persist()
+    closed_delta = gold.read_closed(dirs=new_dirs).persist()
+    try:
+        # new version rows since the last refresh: a version inserted
+        # after the watermark is either still open or was closed by a
+        # commit we haven't consumed — nowhere else
+        rows_now = cur.unionByName(closed_delta.select(*cur.columns))
+        delta_versions = (
+            rows_now.filter(F.col("dt_load_to_dw") > F.to_date(F.lit(watermark)))
+            if watermark
+            else rows_now
+        )
+        new_wm = rows_now.agg(F.max("dt_load_to_dw")).collect()[0][0]
+        new_wm = max(filter(None, [watermark, new_wm.isoformat() if new_wm else None]), default=None)
+
+        new_partials = price_history_partials(delta_versions, date_dim)
+        prev_partials = (
+            partials_tx.read_current() if (partials_tx.exists() and watermark) else new_partials.limit(0)
+        )
+        merged = merge_price_history_partials(prev_partials, new_partials).persist()
+
+        source = {
+            "source_gold_version": man["version"],
+            "source_closed_dirs": man["closed"],
+            "source_watermark": new_wm,
+        }
+        fact_tx.commit_merge(_fact_rows(cur), _fact_rows(closed_delta), run_id, extra=source)
+        partials_tx.commit_snapshot(merged, run_id, extra=source)
+
+        dim = dim_product(cur, stable_sk=True)
+        tables = {
+            "dim_product": dim,
+            "fact_inventory": fact_tx.read(),
+            "report_price_by_brand": report_price_by_brand(cur),
+            "report_origin_shape": report_origin_shape(cur),
+            "report_price_history": finalize_price_history(merged),
+        }
+        for name in ("dim_product", "report_price_by_brand", "report_origin_shape", "report_price_history"):
+            TxTable(spark, f"{out_dir}/{name}").commit_snapshot(tables[name], run_id, extra=source)
+        return tables
+    finally:
+        cur.unpersist()
+        closed_delta.unpersist()
+        try:
+            merged.unpersist()
+        except NameError:
+            pass

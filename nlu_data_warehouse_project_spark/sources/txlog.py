@@ -240,11 +240,19 @@ class TxTable:
             "bucket": {"cols": self.bucket_cols, "n": self.num_buckets},
         }
 
-    def read_closed(self, version: int | None = None) -> DataFrame:
+    def read_closed(self, version: int | None = None, dirs: list[str] | None = None) -> DataFrame:
+        """Closed history.  ``dirs`` restricts the scan to a subset of
+        the manifest's closed dirs (incremental consumers read only the
+        deltas committed since they last looked)."""
         man = self.manifest(version)
         if man is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
         target = self._manifest_schema(man)
+        if dirs is not None:
+            unknown = set(dirs) - set(man["closed"])
+            if unknown:
+                raise ValueError(f"dirs not in manifest v{man['version']}: {sorted(unknown)}")
+            man = {**man, "closed": list(dirs)}
         if not man["closed"]:
             return self.read_current(version).limit(0)
         # group dirs by the schema they were WRITTEN with (one read per
@@ -273,13 +281,21 @@ class TxTable:
         return self.read_current(version).unionByName(self.read_closed(version))
 
     # -- writes ----------------------------------------------------------
-    def commit_merge(self, current: DataFrame, closed_delta: DataFrame, run_id: str) -> int:
+    def commit_merge(
+        self,
+        current: DataFrame,
+        closed_delta: DataFrame,
+        run_id: str,
+        extra: dict | None = None,
+    ) -> int:
         """One SCD2 merge commit: replace the current dir, append one
         closed-delta dir, publish atomically.
 
         ``current``/``closed_delta`` should share lineage through a
         persisted plan (the pipeline persists the merge output) so the
-        merge join executes once, not once per write.
+        merge join executes once, not once per write.  ``extra`` fields
+        ride the manifest (incremental consumers record their source
+        watermark there).
         """
         prev = self.manifest() or {"version": 0, "closed": []}
         self._check_retypes(prev, current.schema)
@@ -298,6 +314,7 @@ class TxTable:
             "schema": json.loads(current.schema.json()),
             "dir_schemas": dir_schemas,
             **cur_fields,
+            **(extra or {}),
         }
         self._publish(man)
         self._drop_stale_bucket_table(prev)
@@ -345,7 +362,7 @@ class TxTable:
             fs.delete(tmp, False)
             raise ConcurrentWriteError(f"lost commit race for version {man['version']} under {self.root}")
 
-    def commit_snapshot(self, df: DataFrame, run_id: str) -> int:
+    def commit_snapshot(self, df: DataFrame, run_id: str, extra: dict | None = None) -> int:
         """Full-replace commit for snapshot-shaped tables (marts,
         dimensions): write the new data dir, publish a manifest whose
         closed list is empty.  Readers atomically flip to the new
@@ -365,6 +382,7 @@ class TxTable:
             "schema": json.loads(df.schema.json()),
             "dir_schemas": {},
             **cur_fields,
+            **(extra or {}),
         }
         self._publish(man)
         self._drop_stale_bucket_table(prev)
