@@ -116,6 +116,52 @@ def minhash_candidate_pairs(
     )
 
 
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus doc, how many distinct
+    word n-grams it shares with the benchmark/eval set (the standard
+    pre-training hygiene pass — train/test overlap inflates evals, so
+    contaminated docs are dropped or quarantined before training).
+
+    Returns (id, n_hit_ngrams, contaminated) for EVERY corpus row.
+
+    Scale shape: the benchmark side is eval-set-sized, so its distinct
+    shingle set broadcasts; the corpus explodes shingles ONCE and
+    probes the broadcast hash map — no corpus shuffle at all until the
+    per-doc count (one groupBy on the doc id, map-side combined).  At
+    100 TB the cost is the corpus tokenization scan, which a real
+    pipeline fuses with the other row-local text stages.
+    """
+    bench_text = bench_text_col or text_col
+    bench = F.broadcast(
+        benchmark.select(F.explode(shingles(bench_text, shingle_n)).alias("__sh")).distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("__sh"),
+    )
+    hits = (
+        corpus_sh.join(bench, "__sh")
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(hits.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_ngrams", F.lit(0)).cast("int").alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

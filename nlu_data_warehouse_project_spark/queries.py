@@ -2112,11 +2112,48 @@ WITH toks AS (
 SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
 """
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def q53_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training hygiene: docs 0-19 stand in for the benchmark/eval
+    set; every remaining corpus doc is scored by how many distinct
+    3-grams it shares with it.  The benchmark shingle set broadcasts —
+    no corpus shuffle before the per-doc count."""
+    from .operators.dedup import benchmark_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    out = benchmark_contamination(corpus, bench)
+    return out.select(
+        "doc_id", "n_hit_ngrams", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
+Q53_SQL = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_SHINGLES_SQL}) AS sh FROM documents WHERE doc_id < 20
+), corpus_sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS sh FROM documents WHERE doc_id >= 20
+), hits AS (
+  SELECT doc_id, count(*) AS n FROM corpus_sh JOIN bench USING (sh) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS INT) AS n_hit_ngrams,
+       CAST(coalesce(h.n, 0) > 0 AS INT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
 QUERIES.update({
     "q51_salient_terms": q51_salient_terms,
     "q52_dedup_within_window": q52_dedup_within_window,
+    "q53_decontaminate": q53_decontaminate,
 })
 ORACLE_SQL.update({
     "q51_salient_terms": Q51_SQL,
     "q52_dedup_within_window": Q52_SQL,
+    "q53_decontaminate": Q53_SQL,
 })

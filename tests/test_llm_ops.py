@@ -179,6 +179,35 @@ def test_curate_corpus_end_to_end(spark):
     assert all(r["split"] in ("train", "val", "test") for r in kept.values())
 
 
+def test_benchmark_contamination_flags_planted_overlap(spark):
+    """Decontamination: a corpus doc embedding a benchmark sentence is
+    flagged with the right distinct-shingle hit count; clean docs come
+    back with 0 and every corpus row appears exactly once.  The
+    benchmark side must broadcast (eval sets are small; the corpus
+    must not shuffle to meet it)."""
+    from nlu_data_warehouse_project_spark.operators.dedup import benchmark_contamination
+    from nlu_data_warehouse_project_spark.plans import uses_broadcast_join
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix words then the quick brown fox appears here"),  # shares 2 shingles
+            (11, "completely unrelated text with no overlap at all today"),
+            (12, "the quick brown fox jumps over the lazy dog verbatim"),  # near-full overlap
+        ],
+        "doc_id long, text string",
+    )
+    out = benchmark_contamination(corpus, bench)
+    got = {r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"]) for r in out.collect()}
+    assert set(got) == {10, 11, 12}
+    assert got[11] == (0, False)
+    assert got[10][0] == 2 and got[10][1]          # "the quick brown", "quick brown fox"
+    assert got[12][0] >= 6 and got[12][1]
+    assert uses_broadcast_join(out)
+
+
 def test_curate_corpus_caps_boilerplate_flood(spark):
     """curate_corpus must plumb max_bucket_size into the near-dup stage
     (VERDICT r2 #2): a planted boilerplate flood collapses onto shared
