@@ -1,0 +1,98 @@
+"""Corpus profiling — the monitoring surface a large-scale training
+pipeline runs alongside curation (BASELINE.json north star): per-doc
+repetition signals (Gopher-style quality rules) and per-source corpus
+health (volume, duplication rate, language mix).
+
+Both are pure built-in aggregations in their scale form: tokens explode
+once and aggregate with map-side combine (the array-expression
+alternative re-walks the token array per statistic — higher-order
+functions are interpreted, not codegen'd), fingerprints are the same
+md5 the dedup family uses, so profile numbers and dedup behavior can
+never disagree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint, tokens
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition: (id, n_tokens, n_distinct_tokens,
+    dup_token_frac, top_token_share) for every row.
+
+    High duplicate-token fraction / single-token dominance are the
+    classic filter signals for degenerate documents (keyword stuffing,
+    boilerplate loops, truncated generations).  One explode + one
+    two-level aggregation; zero-token docs come back with zeros rather
+    than vanishing in the explode.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+    )
+    tf = toks.groupBy("__id", "__t").agg(F.count("*").alias("__tf"))
+    stats = tf.groupBy("__id").agg(
+        F.sum("__tf").alias("n_tokens"),
+        F.count("*").alias("n_distinct_tokens"),
+        F.max("__tf").alias("__max_tf"),
+    )
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    return (
+        ids.join(stats, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("int").alias("n_tokens"),
+            F.coalesce("n_distinct_tokens", F.lit(0)).cast("int").alias("n_distinct_tokens"),
+            F.when(
+                F.col("n_tokens").isNotNull() & (F.col("n_tokens") > 0),
+                F.round(1.0 - F.col("n_distinct_tokens") / F.col("n_tokens"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_token_frac"),
+            F.when(
+                F.col("n_tokens").isNotNull() & (F.col("n_tokens") > 0),
+                F.round(F.col("__max_tf") / F.col("n_tokens"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_token_share"),
+        )
+    )
+
+
+def corpus_profile(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-``by`` corpus health: (by, n_docs, n_langs, avg_chars,
+    n_distinct_fp, dup_rate).
+
+    ``dup_rate`` = 1 - distinct fingerprints / docs, using the SAME
+    normalized fingerprint ``exact_dedup`` keys on — the profile
+    predicts exactly what the dedup stage will remove.  Shape: one
+    groupBy on the grouping key; the fingerprint md5 is computed in the
+    scan.  Decimal char accumulation keeps avg_chars reproducible
+    across engines/partitionings.
+    """
+    keyed = df.select(
+        F.col(by),
+        F.col(lang_col),
+        F.length(F.col(text_col)).cast("decimal(25,6)").alias("__chars"),
+        doc_fingerprint(text_col).alias("__fp"),
+    )
+    return (
+        keyed.groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(lang_col).alias("n_langs"),
+            F.round(F.sum("__chars") / F.count("*"), 2).cast("double").alias("avg_chars"),
+            F.countDistinct("__fp").alias("n_distinct_fp"),
+        )
+        .withColumn(
+            "dup_rate", F.round(1.0 - F.col("n_distinct_fp") / F.col("n_docs"), 4)
+        )
+    )

@@ -2147,13 +2147,71 @@ FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
 LEFT JOIN hits h USING (doc_id)
 """
 
+# ---------------------------------------------------------------------------
+# Corpus profiling: per-doc repetition signals + per-source health
+# ---------------------------------------------------------------------------
+
+def q54_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs)
+
+
+Q54_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_LTOKENS_SQL}) AS t FROM documents
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_distinct, max(tf) AS max_tf
+  FROM tf GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS INT) AS n_tokens,
+       CAST(coalesce(s.n_distinct, 0) AS INT) AS n_distinct_tokens,
+       CASE WHEN s.n_tokens > 0
+            THEN round(1.0 - s.n_distinct / CAST(s.n_tokens AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN s.n_tokens > 0
+            THEN round(s.max_tf / CAST(s.n_tokens AS DOUBLE), 4)
+            ELSE 0.0 END AS top_token_share
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN stats s USING (doc_id)
+"""
+
+
+def q55_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import corpus_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_profile(docs, by="source")
+
+
+_FP_SQL = f"md5(array_to_string({_LTOKENS_SQL}, ' '))"
+
+Q55_SQL = f"""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(round(sum(CAST(length(text) AS DECIMAL(25,6))) / count(*), 2) AS DOUBLE) AS avg_chars,
+       count(DISTINCT {_FP_SQL}) AS n_distinct_fp,
+       round(1.0 - count(DISTINCT {_FP_SQL}) / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+FROM documents
+GROUP BY source
+"""
+
 QUERIES.update({
     "q51_salient_terms": q51_salient_terms,
     "q52_dedup_within_window": q52_dedup_within_window,
     "q53_decontaminate": q53_decontaminate,
+    "q54_repetition_stats": q54_repetition_stats,
+    "q55_corpus_profile": q55_corpus_profile,
 })
 ORACLE_SQL.update({
     "q51_salient_terms": Q51_SQL,
     "q52_dedup_within_window": Q52_SQL,
     "q53_decontaminate": Q53_SQL,
+    "q54_repetition_stats": Q54_SQL,
+    "q55_corpus_profile": Q55_SQL,
 })

@@ -243,6 +243,53 @@ def test_neardup_clusters_raises_on_nonconvergence(spark):
     assert set(labels.values()) == {0} and len(labels) == 8
 
 
+def test_repetition_stats_flags_degenerate_docs(spark):
+    from nlu_data_warehouse_project_spark.operators.profile import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),                  # one token repeated
+            (2, "all tokens here are fully distinct"),   # no repetition
+            (3, ""),                                     # empty -> zeros, row kept
+            (4, "Case CASE case mixed"),                 # case-folded counting
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1]["n_tokens"], got[1]["n_distinct_tokens"]) == (4, 1)
+    assert got[1]["dup_token_frac"] == 0.75 and got[1]["top_token_share"] == 1.0
+    assert got[2]["dup_token_frac"] == 0.0
+    assert (got[3]["n_tokens"], got[3]["dup_token_frac"]) == (0, 0.0)
+    assert (got[4]["n_distinct_tokens"], got[4]["top_token_share"]) == (2, 0.75)
+
+
+def test_corpus_profile_dup_rate_matches_exact_dedup(spark):
+    """The profile's dup_rate must predict exactly what exact_dedup
+    removes (same normalized fingerprint)."""
+    from nlu_data_warehouse_project_spark.operators.profile import corpus_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "srcA"),
+            (2, "ALPHA  beta   GAMMA", "en", "srcA"),   # normalized dup of 1
+            (3, "something else entirely", "de", "srcA"),
+            (4, "unique text one", "en", "srcB"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    prof = {r["source"]: r for r in corpus_profile(docs).collect()}
+    assert prof["srcA"]["n_docs"] == 3 and prof["srcA"]["n_distinct_fp"] == 2
+    assert prof["srcA"]["dup_rate"] == round(1 - 2 / 3, 4)
+    assert prof["srcA"]["n_langs"] == 2
+    assert prof["srcB"]["dup_rate"] == 0.0
+
+    survivors = exact_dedup(docs).count()
+    total = docs.count()
+    predicted_removed = sum(r["n_docs"] - r["n_distinct_fp"] for r in prof.values())
+    assert total - survivors == predicted_removed
+
+
 def test_redact_pii_patterns(spark):
     from nlu_data_warehouse_project_spark.functions.text import redact_pii
 
