@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import punct_ratio, redact_pii, token_count
 from ..operators.clusters import dedup_by_clusters
-from ..operators.dedup import exact_dedup, minhash_candidate_pairs
+from ..operators.dedup import benchmark_contamination, exact_dedup, minhash_candidate_pairs
 from ..operators.sampling import deterministic_split
 
 
@@ -34,6 +34,7 @@ def curate_corpus(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_size: int | None = 1000,
+    benchmark: DataFrame | None = None,
     split_weights: dict[str, float] | None = None,
     seed: int = 42,
 ) -> DataFrame:
@@ -54,6 +55,14 @@ def curate_corpus(
     gated = df.filter(
         (token_count(text_col) >= min_tokens) & (punct_ratio(text_col) < max_punct)
     )
+    # 1.5 benchmark decontamination (optional) — broadcast probe against
+    #     the eval-set shingles; runs BEFORE dedup so a clean duplicate
+    #     of a contaminated doc can still survive as the group's keeper
+    if benchmark is not None:
+        flags = benchmark_contamination(
+            gated, benchmark, text_col, id_col, shingle_n=shingle_n
+        ).filter(F.col("contaminated"))
+        gated = gated.join(flags.select(id_col), id_col, "left_anti")
     # 2. exact dedup — one window shuffle on the content fingerprint
     exact = exact_dedup(gated, text_col, id_col)
     # 3. near-dup cluster dedup — LSH pairs + connected components on

@@ -208,6 +208,30 @@ def test_benchmark_contamination_flags_planted_overlap(spark):
     assert uses_broadcast_join(out)
 
 
+def test_curate_corpus_decontaminates_against_benchmark(spark):
+    """With a benchmark set supplied, curate drops docs sharing n-grams
+    with it BEFORE dedup (a clean duplicate can still be kept);
+    without one, behavior is unchanged."""
+    from nlu_data_warehouse_project_spark.pipeline.curate import curate_corpus
+
+    bench = spark.createDataFrame(
+        [(1, "what is the capital city of france in europe exactly")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # leaks the benchmark phrase -> contaminated
+            (10, "quiz answer follows here what is the capital city of france today maybe", "en"),
+            (11, "a perfectly ordinary clean document about spark query engines and shuffles", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    kept = {r["doc_id"] for r in curate_corpus(docs, benchmark=bench).collect()}
+    assert kept == {11}
+    kept_no_bench = {r["doc_id"] for r in curate_corpus(docs).collect()}
+    assert kept_no_bench == {10, 11}
+
+
 def test_curate_corpus_caps_boilerplate_flood(spark):
     """curate_corpus must plumb max_bucket_size into the near-dup stage
     (VERDICT r2 #2): a planted boilerplate flood collapses onto shared
