@@ -156,6 +156,36 @@ def streaming_scd2_current(
     )
 
 
+def _scd2_step(state, v: float, load_date, sentinel, key, key_col: str, value_col: str):
+    """One SCD2 state transition — the pure core shared by BOTH stateful
+    APIs (applyInPandasWithState and transformWithStateInPandas), so
+    their emission contracts cannot drift.
+
+    ``state`` is (value, load_date_iso, seq) or None.  Returns
+    (new_state | None, emission DataFrame | None): None state = keep,
+    None emission = unchanged key.
+    """
+    import pandas as pd
+
+    if state is None:
+        return (v, load_date.isoformat(), 1), pd.DataFrame(
+            {key_col: [key], value_col: [v],
+             "dt_load_to_dw": [load_date], "dt_last_update": [sentinel],
+             "version_seq": [1]}
+        )
+    cur_v, cur_load, cur_seq = state
+    if v != cur_v:
+        import datetime as _dt
+
+        prior = _dt.date.fromisoformat(cur_load)
+        return (v, load_date.isoformat(), cur_seq + 1), pd.DataFrame(
+            {key_col: [key, key], value_col: [cur_v, v],
+             "dt_load_to_dw": [prior, load_date], "dt_last_update": [load_date, sentinel],
+             "version_seq": [cur_seq, cur_seq + 1]}
+        )
+    return None, None
+
+
 def streaming_scd2_changes(
     stream: DataFrame,
     key_col: str = "user_id",
@@ -211,26 +241,87 @@ def streaming_scd2_changes(
         d = d if isinstance(d, _dt.date) else _dt.date.fromisoformat(str(d))
         sentinel = _dt.date.fromisoformat(open_sentinel)
 
-        if not state.exists:
-            state.update((v, d.isoformat(), 1))
-            yield pd.DataFrame(
-                {key_col: [key[0]], value_col: [v],
-                 "dt_load_to_dw": [d], "dt_last_update": [sentinel],
-                 "version_seq": [1]}
-            )
-            return
-        cur_v, cur_load, cur_seq = state.get
-        if v != cur_v:
-            state.update((v, d.isoformat(), cur_seq + 1))
-            prior = _dt.date.fromisoformat(cur_load)
-            yield pd.DataFrame(
-                {key_col: [key[0], key[0]], value_col: [cur_v, v],
-                 "dt_load_to_dw": [prior, d], "dt_last_update": [d, sentinel],
-                 "version_seq": [cur_seq, cur_seq + 1]}
-            )
+        new_state, emission = _scd2_step(
+            state.get if state.exists else None, v, d, sentinel, key[0], key_col, value_col
+        )
+        if new_state is not None:
+            state.update(new_state)
+        if emission is not None:
+            yield emission
 
     return stream.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_scd2_changes_tws(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    run_date_col: str = "run_date",
+    open_sentinel: str = "9999-12-31",
+):
+    """``streaming_scd2_changes`` on the transformWithStateInPandas API
+    (Spark 4.x's arbitrary-stateful-processing successor to
+    ``applyInPandasWithState``): identical emission contract — version_seq
+    keyed close+insert pairs — so ``scd2_changes_to_table`` reconciles
+    either operator's log.  Needs the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``); the
+    applyInPandasWithState form runs on the default provider.
+
+    Kept alongside the original rather than replacing it: the TWS API
+    adds per-state-variable handles, TTL and timers — room for the
+    engine's stateful operators to grow (session gaps, per-key
+    expiry) — while the legacy operator stays for clusters pinned to
+    the HDFS-backed store.  Both delegate the state transition to
+    ``_scd2_step`` (pure, unit-tested), so the two emission contracts
+    are one implementation.  NB: the TWS state-server protocol needs
+    the ``protobuf`` package on the Python workers; the equivalence
+    test skips where it is absent.
+    """
+    import datetime as _dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        f"{key_col} long, {value_col} double, dt_load_to_dw date, dt_last_update date, "
+        "version_seq long"
+    )
+    sentinel = _dt.date.fromisoformat(open_sentinel)
+
+    class Scd2Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("scd2", "value double, load_date string, seq long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            if pdf.empty:
+                return
+            pdf = pdf.sort_values([ts_col])
+            newest = pdf.iloc[-1]
+            v = float(newest[value_col])
+            d = newest[run_date_col]
+            d = d if isinstance(d, _dt.date) else _dt.date.fromisoformat(str(d))
+
+            new_state, emission = _scd2_step(
+                self._state.get() if self._state.exists() else None,
+                v, d, sentinel, key[0], key_col, value_col,
+            )
+            if new_state is not None:
+                self._state.update(new_state)
+            if emission is not None:
+                yield emission
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        Scd2Processor(), out_schema, "append", "None"
     )
 
 
