@@ -268,6 +268,16 @@ class Warehouse:
         """The full logical gold table (open ∪ closed history)."""
         return self.gold().read()
 
+    # -- P4: incremental mart ------------------------------------------------
+    def refresh_mart(self, out_dir: str, run_id: str = "mart") -> dict[str, DataFrame]:
+        """Incrementally refresh the mart star from gold: reads only the
+        current set + the closed dirs committed since the last refresh
+        (O(live + churn)/day — see `pipeline/mart.refresh_mart`)."""
+        from .mart import refresh_mart
+
+        date_dim = self.spark.read.parquet(self.date_dim_dir)
+        return refresh_mart(self.gold(), date_dim, out_dir, run_id)
+
     # -- full day ------------------------------------------------------------
     def run_day(self, feed: DataFrame, id_config: int, day: str) -> DataFrame:
         """P1 -> P2 -> P3 for one run date (backfillable: pass any day,

@@ -79,7 +79,6 @@ def test_refresh_mart_matches_full_rebuild(spark, tmp_path):
     closed delta — must produce tables row-identical to a full rebuild
     from the complete gold history."""
     from nlu_data_warehouse_project_spark.pipeline import Warehouse
-    from nlu_data_warehouse_project_spark.pipeline.mart import refresh_mart
     from nlu_data_warehouse_project_spark.sources.txlog import TxTable
 
     wh = Warehouse(spark, str(tmp_path / "wh"))
@@ -104,7 +103,7 @@ def test_refresh_mart_matches_full_rebuild(spark, tmp_path):
     mart_dir = str(tmp_path / "mart_inc")
     for day, rows in days:
         wh.run_day(feed(rows), 1, day)
-        refresh_mart(wh.gold(), dd, mart_dir, run_id=day)
+        wh.refresh_mart(mart_dir, run_id=day)  # Warehouse P4 passthrough
 
     full = materialize_mart(
         wh.read_dw(), dd, str(tmp_path / "mart_full"), stable_sk=True
