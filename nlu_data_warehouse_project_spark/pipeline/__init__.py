@@ -94,9 +94,15 @@ class Warehouse:
         its Exchange — at 100 TB that shuffle of the full live-key set
         was the largest per-day data movement left (DESIGN.md; VERDICT
         r2 #3).  Size ``gold_buckets`` so live_keys/buckets fits an
-        executor's memory at target scale."""
+        executor's memory at target scale.  Closed dirs record min/max
+        date stats, so date-ranged history reads
+        (``read_closed_pruned``) touch O(days-in-range) dirs."""
         return TxTable(
-            self.spark, self.dw_dir, bucket_cols=["natural_key"], num_buckets=self.gold_buckets
+            self.spark,
+            self.dw_dir,
+            bucket_cols=["natural_key"],
+            num_buckets=self.gold_buckets,
+            stats_cols=["dt_last_update", "dt_load_to_dw"],
         )
 
     # -- control-plane persistence --------------------------------------

@@ -87,11 +87,19 @@ class TxTable:
         root: str,
         bucket_cols: list[str] | None = None,
         num_buckets: int = 32,
+        stats_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.root = root
         self.bucket_cols = bucket_cols
         self.num_buckets = num_buckets
+        # columns whose per-dir min/max ride the manifest: readers prune
+        # whole closed dirs against a range predicate BEFORE any scan
+        # (the lakehouse data-skipping pattern).  For an SCD2 table the
+        # natural choices are the close/load dates — each daily commit's
+        # closed dir covers exactly one close date, so a date-ranged
+        # history read touches O(days-in-range) dirs, not O(all history)
+        self.stats_cols = stats_cols
 
     def _bucket_table_name(self, version: int) -> str:
         import hashlib
@@ -280,6 +288,68 @@ class TxTable:
         """The full logical table: open ∪ closed history."""
         return self.read_current(version).unionByName(self.read_closed(version))
 
+    @staticmethod
+    def _stat_value(v):
+        """JSON-stable stat encoding: numbers as-is, everything else as
+        str() (ISO for dates — string order == date order)."""
+        return v if isinstance(v, (int, float)) else str(v)
+
+    def read_closed_pruned(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Closed history filtered to ``lo <= col <= hi`` (either bound
+        optional), scanning ONLY the dirs whose recorded [min, max]
+        range for ``col`` overlaps the predicate.  Dirs without stats
+        (pre-stats commits, or a column not in ``stats_cols``) are
+        always scanned — pruning is a pure optimization, never a
+        semantics change; the row filter is applied regardless."""
+        man = self.manifest(version)
+        if man is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        stats = man.get("dir_stats", {})
+        lo_n = self._stat_value(lo) if lo is not None else None
+        hi_n = self._stat_value(hi) if hi is not None else None
+        keep = []
+        for d in man["closed"]:
+            s = stats.get(d, {}).get(col)
+            if s is None or s[0] is None or s[1] is None:
+                keep.append(d)  # unknown range: must scan
+                continue
+            dmin, dmax = s
+            if (hi_n is not None and dmin > hi_n) or (lo_n is not None and dmax < lo_n):
+                continue  # disjoint: skip the whole dir
+            keep.append(d)
+        out = self.read_closed(version, dirs=keep)
+        if lo is not None:
+            out = out.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(col) <= F.lit(hi))
+        return out
+
+    def _closed_stats(self, closed_delta: DataFrame) -> dict | None:
+        """Per-column [min, max] of the delta being committed (one tiny
+        agg job over the already-persisted merge output)."""
+        if not self.stats_cols:
+            return None
+        cols = [c for c in self.stats_cols if c in closed_delta.columns]
+        if not cols:
+            return None
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        row = closed_delta.agg(*aggs).collect()[0]
+        return {
+            c: [
+                self._stat_value(row[f"__min_{c}"]) if row[f"__min_{c}"] is not None else None,
+                self._stat_value(row[f"__max_{c}"]) if row[f"__max_{c}"] is not None else None,
+            ]
+            for c in cols
+        }
+
     # -- writes ----------------------------------------------------------
     def commit_merge(
         self,
@@ -306,6 +376,10 @@ class TxTable:
         cur_fields = self._write_current(current, cur_dir, prev["version"] + 1)
         dir_schemas = dict(prev.get("dir_schemas", {}))
         dir_schemas[closed_dir] = json.loads(closed_delta.schema.json())
+        dir_stats = dict(prev.get("dir_stats", {}))
+        delta_stats = self._closed_stats(closed_delta)
+        if delta_stats is not None:
+            dir_stats[closed_dir] = delta_stats
         man = {
             "version": prev["version"] + 1,
             "current": cur_dir,
@@ -313,6 +387,7 @@ class TxTable:
             "run_id": run_id,
             "schema": json.loads(current.schema.json()),
             "dir_schemas": dir_schemas,
+            "dir_stats": dir_stats,
             **cur_fields,
             **(extra or {}),
         }
@@ -422,6 +497,18 @@ class TxTable:
             raise ConcurrentWriteError(
                 f"table advanced from v{man['version']} to v{latest['version']} during compaction; retry"
             )
+        # fold per-dir stats: the compacted dir's range is the union of
+        # its inputs' ranges, per column — only where EVERY input dir
+        # recorded that column (else the range would silently under-cover)
+        prev_stats = man.get("dir_stats", {})
+        folded: dict = {}
+        if man["closed"] and all(d in prev_stats for d in man["closed"]):
+            common = set.intersection(*(set(prev_stats[d]) for d in man["closed"]))
+            for c in common:
+                vals = [prev_stats[d][c] for d in man["closed"]]
+                if any(v[0] is None or v[1] is None for v in vals):
+                    continue
+                folded[c] = [min(v[0] for v in vals), max(v[1] for v in vals)]
         new_man = {
             "version": man["version"] + 1,
             "current": man["current"],
@@ -429,6 +516,7 @@ class TxTable:
             "run_id": f"compact-{man['version']}",
             "schema": schema_json,
             "dir_schemas": {compacted: schema_json},
+            "dir_stats": {compacted: folded} if folded else {},
         }
         self._publish(new_man)
         return new_man["version"]

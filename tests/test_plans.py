@@ -60,9 +60,19 @@ def test_scan_local_ops_have_no_shuffle(spark, sf_smoke):
 
 
 def test_dim_joins_broadcast(spark, sf_smoke):
-    for name in ("q02_control_join", "q05_date_surrogate", "q10_mart_revenue"):
+    for name in ("q02_control_join", "q05_date_surrogate", "q10_mart_revenue",
+                 "q53_decontaminate"):
         q = QUERIES[name](spark, sf_smoke)
         assert uses_broadcast_join(q), f"{name} lost its broadcast join"
+
+
+def test_profiling_queries_stay_jvm_side(spark, sf_smoke):
+    # corpus profiling runs over every doc at 100 TB: it must be pure
+    # built-ins with bounded shuffles (explode + keyed aggregation)
+    for name, max_shuffles in (("q54_repetition_stats", 3), ("q55_corpus_profile", 3)):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+        assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)} exchanges"
 
 
 def test_scd2_merge_single_shuffle_pair(spark, sf_smoke):

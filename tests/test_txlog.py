@@ -270,6 +270,51 @@ def test_vacuum_retains_readable_versions(spark, tmp_path):
         gold.read(version=1)
 
 
+def test_dir_stats_prune_date_ranged_history_reads(spark, tmp_path):
+    """Data skipping: each daily closed dir records min/max close/load
+    dates in the manifest, so a date-ranged history read scans only the
+    overlapping dirs — O(days-in-range), not O(all history).  Pruning
+    must never change results, and dirs without stats must stay
+    scanned."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    prices = ["100", "150", "175", "190"]
+    for day, p in zip(["2024-12-08", "2024-12-09", "2024-12-10", "2024-12-11"], prices):
+        wh.run_day(_feed(spark, [("S1", "P1", p)]), 1, day)
+
+    gold = wh.gold()
+    man = gold.manifest()
+    assert len(man["closed"]) == 4
+    # day-9 commit closed exactly the v1 row: its dir records that range
+    stats = man["dir_stats"]
+    closed_d9 = [d for d in man["closed"] if "2024-12-09" in d][0]
+    assert stats[closed_d9]["dt_last_update"] == ["2024-12-09", "2024-12-09"]
+
+    pruned = gold.read_closed_pruned("dt_last_update", "2024-12-09", "2024-12-09")
+    rows = [(r["price"], str(r["dt_last_update"])) for r in pruned.collect()]
+    assert rows == [(100, "2024-12-09")]
+    # the scan itself must touch ONLY the one overlapping dir (plus
+    # nothing from the empty day-8 insert-only delta, which records
+    # null stats and is scanned-but-empty by the safety rule)
+    touched = {f.split("/data/")[1].split("/")[0] for f in pruned.inputFiles()}
+    with_rows = {d.split("/")[-1] for d in man["closed"] if "2024-12-09" in d}
+    assert touched <= with_rows | {
+        d.split("/")[-1] for d, s in stats.items()
+        if s.get("dt_last_update", [None])[0] is None
+    }
+
+    # unpruned filter agrees (pruning is an optimization, not semantics)
+    full = gold.read_closed().filter(F.col("dt_last_update") == F.to_date(F.lit("2024-12-09")))
+    assert [(r["price"], str(r["dt_last_update"])) for r in full.collect()] == rows
+
+    # after compaction the folded dir covers the union range
+    gold.compact_closed(min_dirs=2)
+    man2 = gold.manifest()
+    (compacted,) = man2["closed"]
+    folded = man2["dir_stats"].get(compacted, {})
+    if folded:  # present only if every input dir had stats
+        assert folded["dt_last_update"][0] <= "2024-12-09" <= folded["dt_last_update"][1]
+
+
 def test_retry_preserves_failure_audit_trail(spark, tmp_path):
     """update_status is id-scoped (ADVICE r1 #4): after an extract
     failure plus successful retry, the historical EF row survives."""
