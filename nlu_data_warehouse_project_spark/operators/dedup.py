@@ -116,6 +116,41 @@ def minhash_candidate_pairs(
     )
 
 
+def incremental_exact_dedup(
+    incoming: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    existing_is_fingerprints: bool = False,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-curated corpus — the daily
+    ingest shape: yesterday's 100 TB corpus is settled; today's crawl
+    must drop (a) docs duplicating the existing corpus and (b) its own
+    internal dupes, WITHOUT rescanning the settled corpus text.
+
+    Returns the surviving ``incoming`` rows (original columns).
+
+    Scale shape: the existing side reduces to its distinct fingerprint
+    set — in a real pipeline that set is persisted once (e.g. a TxTable
+    of md5 strings, ~32 bytes/doc vs the documents' kilobytes) and only
+    the new batch is ever fingerprinted again; pass it directly with
+    ``existing_is_fingerprints=True`` (a one-column ``__fp`` frame).
+    Both the keep-first window and the anti-join key on the same md5,
+    so the batch is shuffled once and the join is a pure equi anti-join
+    (no skew: md5 keys are uniform by construction).
+    """
+    if existing_is_fingerprints:
+        fp_index = existing.select(F.col(existing.columns[0]).alias("__fp")).distinct()
+    else:
+        fp_index = existing.select(doc_fingerprint(text_col).alias("__fp")).distinct()
+    keyed = incoming.withColumn("__fp", doc_fingerprint(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    batch_unique = (
+        keyed.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+    return batch_unique.join(fp_index, "__fp", "left_anti").drop("__fp")
+
+
 def benchmark_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -62,6 +62,40 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def length_quantiles(
+    df: DataFrame,
+    by: str = "lang",
+    value_col: str = "n_chars",
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group length distribution: (by, n_docs, min/max, and one
+    ``p{N}`` column per requested quantile) — the stat sheet behind
+    corpus length-filter thresholds ("truncate at p99", "drop below
+    p5").
+
+    Exact quantiles (the default) sort each group once —
+    ``F.percentile`` is a single hash aggregate whose per-group state
+    is the value list, fine for bounded group counts (languages,
+    sources).  At 100 TB with high-cardinality groups pass
+    ``approx=True``: ``percentile_approx`` (t-digest-like sketch,
+    mergeable map-side, constant memory per group) — same schema,
+    rank error ~1/accuracy, so keep exact for oracle-checked paths.
+    """
+    q = F.percentile_approx if approx else F.percentile
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.min(value_col).alias("min_len"),
+        F.max(value_col).alias("max_len"),
+    ] + [
+        F.round(q(F.col(value_col), F.lit(p)).cast("double"), 4).alias(
+            f"p{str(p)[2:].ljust(2, '0')}"
+        )
+        for p in probs
+    ]
+    return df.groupBy(by).agg(*aggs)
+
+
 def corpus_profile(
     df: DataFrame,
     by: str = "source",

@@ -2201,12 +2201,111 @@ FROM documents
 GROUP BY source
 """
 
+# ---------------------------------------------------------------------------
+# Incremental cross-corpus dedup (daily-ingest shape)
+# ---------------------------------------------------------------------------
+
+def q56_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs < 250 stand in for the settled corpus, >= 250 for today's
+    batch; survivors = batch rows duplicating neither the corpus nor an
+    earlier batch row.  The settled side contributes only its distinct
+    fingerprint set (never re-scanned text at scale)."""
+    from .operators.dedup import incremental_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") < 250)
+    incoming = docs.filter(F.col("doc_id") >= 250)
+    out = incremental_exact_dedup(incoming, existing)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+_FP56_SQL = "md5(array_to_string(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> ''), ' '))"
+
+Q56_SQL = f"""
+WITH existing AS (
+  SELECT DISTINCT {_FP56_SQL} AS fp FROM documents WHERE doc_id < 250
+), incoming AS (
+  SELECT doc_id, lang, n_chars, {_FP56_SQL} AS fp FROM documents WHERE doc_id >= 250
+), batch_unique AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn FROM incoming
+  ) WHERE rn = 1
+)
+SELECT doc_id, lang, n_chars
+FROM batch_unique b
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = b.fp)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-group length quantiles (corpus filter-threshold stat sheet)
+# ---------------------------------------------------------------------------
+
+def q57_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language char-length percentiles (Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the linear-interpolation
+    definition, so the exact path is oracle-checkable; the t-digest
+    ``approx=True`` path is the 100 TB form and is pinned by pytest
+    instead)."""
+    from .operators.profile import length_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_quantiles(docs, by="lang", value_col="n_chars")
+
+
+Q57_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       min(n_chars) AS min_len,
+       max(n_chars) AS max_len,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot: day x event_type activity matrix
+# ---------------------------------------------------------------------------
+
+def q58_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide activity matrix (pivot): one row per day, one column per
+    event type.  Expressed as conditional aggregation rather than
+    ``DataFrame.pivot`` — with an explicit value list the semantics are
+    identical, but ``pivot`` plans groupBy(day, type) + pivotfirst(day)
+    = TWO exchanges (and without the list, a third distinct-discovery
+    job), while count-FILTER folds into the day aggregate: ONE
+    exchange, fully map-side-combined (plan-pinned)."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    types = ["click", "error", "purchase", "signup", "view"]
+    return ev.groupBy("day").agg(
+        *[F.count(F.when(F.col("event_type") == t, 1)).alias(t) for t in types]
+    )
+
+
+Q58_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES.update({
     "q51_salient_terms": q51_salient_terms,
     "q52_dedup_within_window": q52_dedup_within_window,
     "q53_decontaminate": q53_decontaminate,
     "q54_repetition_stats": q54_repetition_stats,
     "q55_corpus_profile": q55_corpus_profile,
+    "q56_incremental_dedup": q56_incremental_dedup,
+    "q57_length_quantiles": q57_length_quantiles,
+    "q58_event_matrix": q58_event_matrix,
 })
 ORACLE_SQL.update({
     "q51_salient_terms": Q51_SQL,
@@ -2214,4 +2313,7 @@ ORACLE_SQL.update({
     "q53_decontaminate": Q53_SQL,
     "q54_repetition_stats": Q54_SQL,
     "q55_corpus_profile": Q55_SQL,
+    "q56_incremental_dedup": Q56_SQL,
+    "q57_length_quantiles": Q57_SQL,
+    "q58_event_matrix": Q58_SQL,
 })

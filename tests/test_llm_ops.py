@@ -356,3 +356,51 @@ def test_simhash_is_deterministic(spark):
     a = df.select(simhash60("text")).first()[0]
     b = df.select(simhash60("text")).first()[0]
     assert a == b and a > 0
+
+
+def test_incremental_dedup_against_settled_corpus(spark):
+    from nlu_data_warehouse_project_spark.operators.dedup import incremental_exact_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "the settled corpus document one"), (2, "another settled document here")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "  The Settled  corpus document ONE "),  # dup of existing (normalized)
+            (11, "a genuinely new document today"),
+            (12, "a genuinely new document today"),        # in-batch dup of 11
+            (13, "another brand new document entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_exact_dedup(incoming, existing)
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+    assert out.columns == incoming.columns  # original schema preserved
+
+    # the 100 TB form: the settled side is a persisted fingerprint index,
+    # not re-fingerprinted text — must select the same survivors
+    from nlu_data_warehouse_project_spark.functions.text import doc_fingerprint
+
+    fp_index = existing.select(doc_fingerprint("text").alias("fp"))
+    out2 = incremental_exact_dedup(incoming, fp_index, existing_is_fingerprints=True)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [11, 13]
+
+
+def test_length_quantiles_exact_and_approx(spark):
+    from nlu_data_warehouse_project_spark.operators.profile import length_quantiles
+
+    rows = [("en", float(i)) for i in range(1, 101)] + [("de", 5.0)]
+    df = spark.createDataFrame(rows, "lang string, n_chars double")
+    exact = {r["lang"]: r for r in length_quantiles(df).collect()}
+    # linear interpolation on 1..100: p50 = 50.5, p90 = 90.1
+    assert exact["en"]["p50"] == 50.5 and exact["en"]["p90"] == 90.1
+    assert exact["en"]["min_len"] == 1.0 and exact["en"]["max_len"] == 100.0
+    assert exact["de"]["p99"] == 5.0  # single-value group: every quantile is it
+
+    # t-digest path (the high-cardinality-group form): same schema,
+    # rank error bounded — for n=100 any answer within +/-2 ranks is fine
+    approx = {r["lang"]: r for r in length_quantiles(df, approx=True).collect()}
+    assert approx["en"].asDict().keys() == exact["en"].asDict().keys()
+    assert abs(approx["en"]["p50"] - 50.5) <= 2.0
+    assert approx["de"]["p50"] == 5.0

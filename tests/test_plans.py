@@ -75,6 +75,28 @@ def test_profiling_queries_stay_jvm_side(spark, sf_smoke):
         assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)} exchanges"
 
 
+def test_incremental_dedup_plan_quality(spark, sf_smoke):
+    """The daily-ingest dedup must (a) push both doc_id slices into the
+    scan, (b) anti-join against the fingerprint index as a broadcast
+    (the index is tiny relative to the batch text), (c) stay JVM-side."""
+    from nlu_data_warehouse_project_spark.plans import formatted_plan
+
+    q = QUERIES["q56_incremental_dedup"](spark, sf_smoke)
+    plan = formatted_plan(q)
+    assert "LeftAnti" in plan
+    assert uses_broadcast_join(q), "fingerprint anti-join lost its broadcast"
+    assert has_pushed_filters(q)
+    assert python_udf_count(q) == 0
+
+
+def test_pivot_matrix_single_shuffle(spark, sf_smoke):
+    # pivot as conditional aggregation: one groupBy exchange — the
+    # DataFrame.pivot form would cost two plus a discovery job
+    q = QUERIES["q58_event_matrix"](spark, sf_smoke)
+    assert shuffle_count(q) == 1, shuffle_count(q)
+    assert python_udf_count(q) == 0
+
+
 def test_scd2_merge_single_shuffle_pair(spark, sf_smoke):
     # the merge is one full-outer join: at most 2 exchanges (one per
     # side) before AQE, never one per disposition branch
