@@ -2297,6 +2297,31 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-label centroid table (the k-means update step, standalone)
+# ---------------------------------------------------------------------------
+
+def q59_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-wise mean embedding per label, long form (label, pos,
+    centroid).  This is `kmeans_fit`'s update aggregation exposed as an
+    operator — the oracle gate on it pins the iterative path's core."""
+    from .operators.kmeans import grouped_mean_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return grouped_mean_vectors(emb, "label")
+
+
+Q59_SQL = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INT) AS pos,
+       CAST(round(sum(CAST(v AS DECIMAL(25,6))) / count(*), 4) AS DOUBLE) AS centroid
+FROM ex GROUP BY label, pos
+"""
+
+
 QUERIES.update({
     "q51_salient_terms": q51_salient_terms,
     "q52_dedup_within_window": q52_dedup_within_window,
@@ -2306,6 +2331,7 @@ QUERIES.update({
     "q56_incremental_dedup": q56_incremental_dedup,
     "q57_length_quantiles": q57_length_quantiles,
     "q58_event_matrix": q58_event_matrix,
+    "q59_label_centroids": q59_label_centroids,
 })
 ORACLE_SQL.update({
     "q51_salient_terms": Q51_SQL,
@@ -2316,4 +2342,5 @@ ORACLE_SQL.update({
     "q56_incremental_dedup": Q56_SQL,
     "q57_length_quantiles": Q57_SQL,
     "q58_event_matrix": Q58_SQL,
+    "q59_label_centroids": Q59_SQL,
 })

@@ -79,3 +79,84 @@ def test_ivf_topk_recall_grows_with_nprobe(spark, sf_smoke):
     a = sorted(map(tuple, ivf_cosine_topk(queries, emb, planes, k=5, nprobe=2).collect()))
     b = sorted(map(tuple, ivf_cosine_topk(queries, emb, planes, k=5, nprobe=2).collect()))
     assert a == b
+
+
+def _blobs(spark, n_per=30, dim=8, centers=((10, 0), (0, 10), (-10, -10))):
+    """Three well-separated clusters with deterministic jitter (md5-based
+    so the fixture itself is engine/order-stable)."""
+    import hashlib
+
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for j in range(n_per):
+            jit = [
+                (int(hashlib.md5(f"{vid}:{d}".encode()).hexdigest()[:8], 16) % 1000) / 1000.0 - 0.5
+                for d in range(dim)
+            ]
+            vec = [float(c[d] if d < len(c) else 0.0) + jit[d] for d in range(dim)]
+            rows.append((vid, ci, vec))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, true_cluster int, embedding array<float>")
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    from nlu_data_warehouse_project_spark.operators.kmeans import (
+        kmeans_fit,
+        with_nearest_cells,
+    )
+
+    df = _blobs(spark)
+    cents = kmeans_fit(df, k=3, max_iters=15)
+    assert len(cents) == 3 and len(cents[0]) == 8
+    assigned = with_nearest_cells(df, "embedding", cents, 1).select(
+        "true_cluster", F.col("__cells")[0].alias("cell")
+    )
+    # every planted cluster maps to exactly one learned cell and no two
+    # clusters share a cell (perfect recovery on separated blobs)
+    m = assigned.groupBy("true_cluster").agg(F.countDistinct("cell").alias("u")).collect()
+    assert all(r["u"] == 1 for r in m)
+    cells = assigned.select("true_cluster", "cell").distinct().collect()
+    assert len({r["cell"] for r in cells}) == 3
+
+    with pytest.raises(RuntimeError, match="converge"):
+        kmeans_fit(df, k=3, max_iters=1, tol=0.0)
+
+
+def test_trained_ivf_beats_sign_cell_ivf(spark):
+    """The point of training the quantizer: on CLUSTERED data the
+    k-means cells align with the modes, so probing one cell recovers
+    essentially all true neighbors, while data-oblivious random
+    hyperplanes cut straight through blobs.  (On isotropic data — like
+    the synthetic embeddings table, whose same-label and cross-label
+    cosines are both ~0 — no partition-based ANN beats recall ~
+    nprobe/cells; that's why banded multi-probe LSH stays the
+    production path for un-clustered corpora.)"""
+    from nlu_data_warehouse_project_spark.operators.kmeans import (
+        ivf_cosine_topk_trained,
+        kmeans_fit,
+    )
+
+    df = _blobs(spark)
+    queries = df.filter(F.col("vec_id") % 30 == 0)  # one query per blob
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, df, k=5, vec_col="embedding").collect()
+    }
+
+    cents = kmeans_fit(df, k=3, max_iters=15, tol=1e-2)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk_trained(queries, df, cents, k=5, nprobe=1).collect()
+    }
+    trained = len(exact & got) / len(exact)
+
+    planes = _seeded_planes(2, 8)  # 4 sign cells vs 3 trained cells
+    sign = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(queries, df, planes, k=5, nprobe=1).collect()
+    }
+    sign_recall = len(exact & sign) / len(exact)
+
+    assert trained >= sign_recall, (trained, sign_recall)
+    assert trained == 1.0, trained
