@@ -2298,6 +2298,66 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Set operations: EXCEPT / INTERSECT cohorts
+# ---------------------------------------------------------------------------
+
+def q60_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort algebra over the events stream: purchasers split by
+    whether they also hit an error — ``subtract`` (EXCEPT) and
+    ``intersect`` plan as hash aggregates + a LeftAnti/LeftSemi join on
+    user_id, the same shuffle the groupBy would cost; no materialized
+    intermediate."""
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return (
+        buyers.subtract(erring)
+        .withColumn("cohort", F.lit("purchase_no_error"))
+        .unionByName(buyers.intersect(erring).withColumn("cohort", F.lit("purchase_and_error")))
+    )
+
+
+Q60_SQL = """
+SELECT user_id, 'purchase_no_error' AS cohort FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT user_id, 'purchase_and_error' AS cohort FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE (q19's rollup sibling — all 2^n grouping sets + grouping_id)
+# ---------------------------------------------------------------------------
+
+def q61_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+Q61_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-label centroid table (the k-means update step, standalone)
 # ---------------------------------------------------------------------------
 
@@ -2332,6 +2392,8 @@ QUERIES.update({
     "q57_length_quantiles": q57_length_quantiles,
     "q58_event_matrix": q58_event_matrix,
     "q59_label_centroids": q59_label_centroids,
+    "q60_set_ops": q60_set_ops,
+    "q61_cube": q61_cube,
 })
 ORACLE_SQL.update({
     "q51_salient_terms": Q51_SQL,
@@ -2343,4 +2405,6 @@ ORACLE_SQL.update({
     "q57_length_quantiles": Q57_SQL,
     "q58_event_matrix": Q58_SQL,
     "q59_label_centroids": Q59_SQL,
+    "q60_set_ops": Q60_SQL,
+    "q61_cube": Q61_SQL,
 })
