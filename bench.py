@@ -43,6 +43,8 @@ HEADLINE = [
     "q44_deterministic_split",
     "q45_ivf_topk",
     "q49_chunk_text",
+    "q56_incremental_dedup",
+    "q58_event_matrix",
 ]
 
 

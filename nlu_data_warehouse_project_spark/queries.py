@@ -2358,6 +2358,72 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 
 
 # ---------------------------------------------------------------------------
+# Ordered string aggregation (listagg / string_agg)
+# ---------------------------------------------------------------------------
+
+def q62_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region ordered name roster.  collect_list is
+    order-nondeterministic under parallelism, so the engine-stable form
+    is collect + sort_array before the join — same rule DuckDB needs
+    (string_agg ... ORDER BY)."""
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+        )
+    )
+
+
+Q62_SQL = """
+SELECT r_name, count(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# ntile quartiles (window-function family completion)
+# ---------------------------------------------------------------------------
+
+def q63_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles within market segment: ntile(4) over a
+    fully-tiebroken order (acctbal can repeat — c_custkey pins the
+    order, the window-determinism rule every ranked query here
+    follows), summarized per (segment, quartile)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("sum_acctbal"),
+        )
+    )
+
+
+Q63_SQL = """
+WITH q AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+  FROM customer
+)
+SELECT c_mktsegment, quartile, count(*) AS n_customers,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_acctbal
+FROM q
+GROUP BY c_mktsegment, quartile
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-label centroid table (the k-means update step, standalone)
 # ---------------------------------------------------------------------------
 
@@ -2394,6 +2460,8 @@ QUERIES.update({
     "q59_label_centroids": q59_label_centroids,
     "q60_set_ops": q60_set_ops,
     "q61_cube": q61_cube,
+    "q62_string_agg": q62_string_agg,
+    "q63_ntile": q63_ntile,
 })
 ORACLE_SQL.update({
     "q51_salient_terms": Q51_SQL,
@@ -2407,4 +2475,6 @@ ORACLE_SQL.update({
     "q59_label_centroids": Q59_SQL,
     "q60_set_ops": Q60_SQL,
     "q61_cube": Q61_SQL,
+    "q62_string_agg": Q62_SQL,
+    "q63_ntile": Q63_SQL,
 })
