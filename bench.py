@@ -97,34 +97,45 @@ def main() -> None:
     # the query, not session startup
     QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # per-query failure isolation: one crashing query must not lose the
+    # timings of the other 18 (r4/r5 lost two full rounds this way)
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         times = []
-        for _ in range(n_runs):
-            t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            times.append(time.time() - t0)
-            # queries that persist intermediates must not feed their
-            # cache (or their memory) into the following runs
-            spark.catalog.clearCache()
+        try:
+            for _ in range(n_runs):
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                times.append(time.time() - t0)
+                # queries that persist intermediates must not feed their
+                # cache (or their memory) into the following runs
+                spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001 — report, keep benching
+            errors[name.split("_")[0]] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         med = round(statistics.median(times), 3)
         per_query[name.split("_")[0]] = med
         total += med
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "runs_per_query": n_runs,
-                **ann_recalls(spark, sf_dir),
-            }
-        )
-    )
+    try:
+        recalls = ann_recalls(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        recalls = {"ann_recall_err": f"{type(exc).__name__}: {exc}"[:300]}
+
+    report = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "runs_per_query": n_runs,
+        **recalls,
+    }
+    if errors:
+        report["errors"] = errors
+    print(json.dumps(report))
     spark.stop()
 
 

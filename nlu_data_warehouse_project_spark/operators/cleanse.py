@@ -106,7 +106,9 @@ def dedup_within_window(
     shuffle on the keys; microsecond-exact arithmetic.
     """
     w = Window.partitionBy(*keys).orderBy(ts_col, *(order_cols or []))
-    cur = F.unix_micros(F.col(ts_col))
-    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    # cast('timestamp') accepts TIMESTAMP_NTZ input (unix_micros rejects
+    # NTZ); no-op for LTZ columns
+    cur = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(F.unix_micros(F.col(ts_col).cast("timestamp"))).over(w)
     keep = prev.isNull() | (cur - prev > int(gap_seconds) * 1_000_000)
     return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")

@@ -53,16 +53,54 @@ def minhash_candidate_pairs(
     their other (more selective) bands, and genuinely identical docs
     are the exact-dedup stage's job, not LSH's.  The cap costs one
     window count over the banded rows (same shuffle key as the join).
+
+    Cap drops are NOT silent: ``minhash_bucket_stats`` reports
+    banded/dropped row and bucket counts for the same configuration —
+    run it alongside (or gate the pipeline on it) when auditing a cap.
+    (An inline ``Observation`` was tried first, but Spark 4.1 fails to
+    surface observed metrics under this plan shape — a distinct over
+    the bucket self-join — so the explicit audit query is the
+    dependable path.)
+    """
+    banded = minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_sig")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The shared LSH banding pipeline: (__id, band_id, band_sig), one
+    row per doc per band.
+
+    Explode shingles first: tokenization/shingling runs ONCE per doc
+    (an array-expression signature recomputes the O(tokens²) shingle
+    array per hash seed), and the groupBy min() aggregation combines
+    map-side — shuffle volume is docs x num_hashes, not shingles.
+    Hash family: ONE md5 per shingle, split into two 60-bit halves
+    (a, b); h_i = (a + i*b) & (2^60-1) — the Kirsch-Mitzenmacher
+    construction, 8x fewer digest computations than independent
+    seeded hashes, still engine-reproducible.
     """
     rows_per_band = num_hashes // bands
-    # explode shingles first: tokenization/shingling runs ONCE per doc
-    # (an array-expression signature recomputes the O(tokens²) shingle
-    # array per hash seed), and the groupBy min() aggregation combines
-    # map-side — shuffle volume is docs x num_hashes, not shingles.
-    # Hash family: ONE md5 per shingle, split into two 60-bit halves
-    # (a, b); h_i = (a + i*b) & (2^60-1) — the Kirsch-Mitzenmacher
-    # construction, 8x fewer digest computations than independent
-    # seeded hashes, still engine-reproducible.
     mask60 = (1 << 60) - 1
     exploded = df.select(F.col(id_col).alias("__id"), F.explode(shingles(text_col, shingle_n)).alias("__sh"))
     hx = exploded.select("__id", F.md5("__sh").alias("__hx"))
@@ -79,7 +117,7 @@ def minhash_candidate_pairs(
             ]
         ).alias("__sig")
     )
-    banded = sig.select(
+    return sig.select(
         "__id",
         F.explode(
             F.array(
@@ -99,20 +137,38 @@ def minhash_candidate_pairs(
             )
         ).alias("band"),
     ).select("__id", "band.band_id", "band.band_sig")
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band_id", "band_sig")
-        banded = (
-            banded.withColumn("__bsz", F.count("*").over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, ["band_id", "band_sig"])
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
+
+
+def minhash_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int = 100,
+) -> DataFrame:
+    """Audit twin of ``minhash_candidate_pairs``'s bucket cap: ONE row
+    (banded_rows, dropped_rows, dropped_buckets, max_bucket_rows) for
+    the same banding configuration, so cap drops are observable instead
+    of silent (ADVICE r4).  Run it alongside the pair query — or gate a
+    pipeline on ``dropped_rows`` staying under a budget.
+
+    Cost shape at scale: one groupBy on the bucket key (the same
+    shuffle key the pair join uses) then a single-row global aggregate
+    of the per-bucket counts — no self-join, no pair explosion.
+    """
+    buckets = (
+        minhash_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+        .groupBy("band_id", "band_sig")
+        .agg(F.count("*").alias("__bsz"))
+    )
+    over = F.col("__bsz") > max_bucket_size
+    return buckets.agg(
+        F.sum("__bsz").cast("long").alias("banded_rows"),
+        F.coalesce(F.sum(F.when(over, F.col("__bsz"))), F.lit(0)).cast("long").alias("dropped_rows"),
+        F.count(F.when(over, 1)).cast("long").alias("dropped_buckets"),
+        F.max("__bsz").cast("long").alias("max_bucket_rows"),
     )
 
 

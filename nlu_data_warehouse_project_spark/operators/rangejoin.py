@@ -40,7 +40,9 @@ def range_pairs_within(
     (prefixed ``a_``/``b_``), one row per qualifying pair.
     """
     delta_us = int(delta_seconds) * 1_000_000
-    with_bkt = df.withColumn("__us", F.unix_micros(F.col(ts_col))).withColumn(
+    # cast('timestamp') makes the operator robust to TIMESTAMP_NTZ input
+    # (unix_micros rejects NTZ); no-op for LTZ columns
+    with_bkt = df.withColumn("__us", F.unix_micros(F.col(ts_col).cast("timestamp"))).withColumn(
         "__bkt", F.expr(f"__us div {delta_us}L")
     )
     a = with_bkt.select(

@@ -53,8 +53,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (a double round-trip would lose microsecond precision)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # legacy TIMESTAMP(NANOS) read as long via nanosAsLong
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # plain timestamp[us] decodes as TIMESTAMP_NTZ under Spark 4's
+            # inferTimestampNTZ default; downstream operators use
+            # unix_micros/cast('long') which require LTZ — value-preserving
+            # cast since the session timezone is pinned UTC above
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

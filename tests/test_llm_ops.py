@@ -404,3 +404,20 @@ def test_length_quantiles_exact_and_approx(spark):
     assert approx["en"].asDict().keys() == exact["en"].asDict().keys()
     assert abs(approx["en"]["p50"] - 50.5) <= 2.0
     assert approx["de"]["p50"] == 5.0
+
+
+def test_minhash_bucket_cap_drops_are_observable(spark):
+    """ADVICE r4/r5: cap drops must not be silent — the audit twin
+    reports banded/dropped rows and buckets for the same config."""
+    from nlu_data_warehouse_project_spark.operators.dedup import minhash_bucket_stats
+
+    boiler = [(100 + i, "identical boilerplate footer text repeated on every page") for i in range(20)]
+    rows = [(1, "the quick brown fox jumps over the lazy dog again and again today")] + boiler
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = minhash_bucket_stats(df, max_bucket_size=10).first()
+    # 20 boilerplate docs collapse onto one signature in all 4 bands:
+    # 80 banded rows dropped across 4 oversized buckets
+    assert got["banded_rows"] == 21 * 4
+    assert got["dropped_rows"] == 80
+    assert got["dropped_buckets"] == 4
+    assert got["max_bucket_rows"] == 20
