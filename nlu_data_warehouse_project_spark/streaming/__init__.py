@@ -111,6 +111,45 @@ def streaming_latest_state(
     )
 
 
+def sessionize_events(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization via the built-in ``session_window``
+    (the Spark-first form — no custom state, runs identically on a
+    batch DataFrame and a watermarked stream; the one operator shape
+    that covers both the q21 batch sessionizer and its streaming twin).
+
+    A session is a maximal run of same-key events whose consecutive
+    gaps are <= ``gap``: each event spans ``[ts, ts + gap)`` and
+    Spark merges spans that overlap OR touch, so an event at exactly
+    ``prev + gap`` still merges — identical to q21's lag rule, which
+    splits only on ``gap > threshold``.  Pinned by the boundary test
+    and the q21 batch-equivalence test.
+
+    Returns one row per (key, session): session_start, session_end,
+    n_events.  In streaming, pass ``watermark`` so closed sessions
+    finalize and state is evicted — per-key state is bounded by OPEN
+    sessions only, which is what makes this viable on an unbounded
+    stream (vs. the batch window-function form, which needs the whole
+    key partition sorted).
+    """
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("session"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_scd2_current(
     stream: DataFrame,
     key_col: str = "user_id",

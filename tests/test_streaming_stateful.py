@@ -5,6 +5,7 @@ micro-batches, state store), not just batch twins."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture()
@@ -330,3 +331,91 @@ def test_streaming_scd2_changes_reproduces_batch_merge(spark, sf_smoke, tmp_path
         for r in table.collect()
     }
     assert got == batch_truth
+
+
+def test_sessionize_events_matches_q21_batch(spark, sf_smoke):
+    """Built-in session_window must produce identical per-user session
+    counts to the lag-based batch sessionizer on the real events table
+    (same 30-minute gap: touching spans merge = split only on >1800s)."""
+    from nlu_data_warehouse_project_spark.queries import _t, q21_sessionize
+    from nlu_data_warehouse_project_spark.streaming import sessionize_events
+
+    ev = _t(spark, sf_smoke, "events")
+    sess = sessionize_events(ev, gap="30 minutes")
+    got = {
+        (r["user_id"], r["n_sessions"], r["n_events_total"])
+        for r in sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events_total"),
+        )
+        .collect()
+    }
+    want = {
+        (r["user_id"], r["n_sessions"], r["n_events_total"])
+        for r in q21_sessionize(spark, sf_smoke).select(
+            "user_id", "n_sessions", "n_events_total"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sessionize_gap_boundary_semantics(spark):
+    """An event exactly `gap` after the previous one still MERGES
+    (Spark merges touching session spans — matching q21's split-only-on
+    `gap > threshold` rule); one second past the gap splits."""
+    from nlu_data_warehouse_project_spark.streaming import sessionize_events
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:30:00"),  # exactly 1800s -> merges (touching spans)
+        (2, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:30:01"),  # 1801s -> new session
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = sessionize_events(ev, gap="30 minutes")
+    per_user = {r["user_id"]: r["n"] for r in out.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert per_user == {1: 1, 2: 2}
+
+
+def test_sessionize_streaming_with_watermark(spark, tmp_path):
+    """session_window runs as a real watermarked stream: two micro-batches,
+    the second extends user 7's open session and opens a new one for 9."""
+    from nlu_data_warehouse_project_spark.streaming import sessionize_events
+
+    d = tmp_path / "sess_stream"
+    d.mkdir()
+    (d / "b0.csv").write_text(
+        "event_id,ts,user_id\n1,2024-01-01 00:00:00,7\n2,2024-01-01 00:10:00,7"
+    )
+    (d / "b1.csv").write_text(
+        "event_id,ts,user_id\n3,2024-01-01 00:20:00,7\n4,2024-01-01 05:00:00,9"
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(d))
+    )
+    q = (
+        sessionize_events(stream, gap="30 minutes", watermark="10 hours")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # user 7's three events (10-min gaps) are ONE session spanning both
+    # micro-batches; user 9 opens its own
+    assert got == {
+        (7, "2024-01-01 00:00:00", 3),
+        (9, "2024-01-01 05:00:00", 1),
+    }
