@@ -463,6 +463,44 @@ class TxTable:
         self._drop_stale_bucket_table(prev)
         return man["version"]
 
+    def commit_append(self, delta: DataFrame, run_id: str, extra: dict | None = None) -> int:
+        """Append-log commit for ever-growing tables (a training corpus,
+        an event log): the delta becomes one new closed dir; the current
+        dir stays the empty seed written on the first commit.  ``read()``
+        is then the union of every appended segment, ``read_closed_pruned``
+        skips segments by their recorded stats, and ``compact_closed``
+        bin-packs old segments — the small-file story for a
+        streaming/daily ingest at 100 TB.  Crash-safe like every commit:
+        a half-written delta dir without its manifest is invisible."""
+        prev = self.manifest()
+        self._check_retypes(prev or {"version": 0}, delta.schema)
+        token = uuid.uuid4().hex[:8]
+        closed_dir = f"{_DATA_DIR}/closed-{run_id}-{token}"
+        delta.write.parquet(os.path.join(self.root, closed_dir))
+        if prev is None:
+            cur_dir = f"{_DATA_DIR}/current-{run_id}-{token}"
+            cur_fields = self._write_current(delta.limit(0), cur_dir, 1)
+            prev = {"version": 0, "closed": [], "current": cur_dir, **cur_fields}
+        dir_schemas = dict(prev.get("dir_schemas", {}))
+        dir_schemas[closed_dir] = json.loads(delta.schema.json())
+        dir_stats = dict(prev.get("dir_stats", {}))
+        delta_stats = self._closed_stats(delta)
+        if delta_stats is not None:
+            dir_stats[closed_dir] = delta_stats
+        man = {
+            **{k: v for k, v in prev.items() if k not in ("version", "closed", "run_id")},
+            "version": prev["version"] + 1,
+            "current": prev["current"],
+            "closed": prev["closed"] + [closed_dir],
+            "run_id": run_id,
+            "schema": json.loads(delta.schema.json()),
+            "dir_schemas": dir_schemas,
+            "dir_stats": dir_stats,
+            **(extra or {}),
+        }
+        self._publish(man)
+        return man["version"]
+
     def compact_closed(self, min_dirs: int = 8) -> int | None:
         """Merge the accumulated closed-delta dirs into one (the
         lakehouse small-files compaction): daily commits add one closed

@@ -381,3 +381,98 @@ def scd2_changes_to_table(
         F.min("dt_load_to_dw").alias("dt_load_to_dw"),
         F.min("dt_last_update").alias("dt_last_update"),
     ).drop("version_seq")
+
+
+def make_corpus_ingest_processor(
+    corpus,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_punct: float = 0.2,
+):
+    """The foreachBatch body of ``streaming_corpus_ingest``, exposed so
+    its replay/idempotence contract is directly testable.
+
+    Per micro-batch: quality-gate (row-local, runs at the scan) ->
+    keep-first dedup within the batch AND against every fingerprint
+    already committed to the corpus (one anti-join on the md5 key) ->
+    append the survivors, with their fingerprint column, as one
+    transactional TxTable segment.
+
+    Exactly-once: the committed manifest records ``last_batch_id``; a
+    replayed micro-batch (foreachBatch re-runs after a crash between
+    the commit and the checkpoint advancing) sees its own id already
+    recorded and becomes a no-op.  The corpus table and the stream
+    checkpoint therefore move together — reprocessing from a FRESH
+    checkpoint into an existing table must also reset the table (the
+    same pairing Delta's txnVersion/txnAppId idempotent writes
+    require).
+
+    Scale shape: the existing-fingerprint side is a column-pruned scan
+    of the corpus segments (only the ~32-byte md5 column is read), the
+    anti-join keys are uniform md5 strings (no skew), and each batch
+    appends one segment — ``compact_closed`` bin-packs them when small
+    batches accumulate.
+    """
+    from ..functions.text import doc_fingerprint, punct_ratio, token_count
+    from ..operators.dedup import incremental_exact_dedup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        man = corpus.manifest() or {}
+        last = man.get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: commit already visible
+        gated = batch_df.filter(
+            (token_count(text_col) >= min_tokens) & (punct_ratio(text_col) < max_punct)
+        )
+        if corpus.exists():
+            existing = corpus.read().select("fingerprint")
+            survivors = incremental_exact_dedup(
+                gated, existing, text_col, id_col, existing_is_fingerprints=True
+            )
+        else:
+            survivors = incremental_exact_dedup(
+                gated, gated.limit(0).select(F.lit("").alias("fingerprint")),
+                text_col, id_col, existing_is_fingerprints=True,
+            )
+        delta = survivors.withColumn("fingerprint", doc_fingerprint(text_col))
+        corpus.commit_append(
+            delta, run_id=f"batch{batch_id}", extra={"last_batch_id": batch_id}
+        )
+
+    return process
+
+
+def streaming_corpus_ingest(
+    spark: SparkSession,
+    landing_glob: str,
+    schema: str,
+    corpus,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_punct: float = 0.2,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental corpus curation as a stream: each ``availableNow``
+    run picks up exactly the unseen landing files (checkpoint commit
+    log), quality-gates them, dedups within the batch and against the
+    whole already-ingested corpus, and appends the survivors as one
+    atomic TxTable segment — the daily-crawl ingestion loop of a
+    training-data pipeline, idempotent end to end.  Returns the
+    finished StreamingQuery."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(landing_glob)
+    q = (
+        stream.writeStream.foreachBatch(
+            make_corpus_ingest_processor(corpus, text_col, id_col, min_tokens, max_punct)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,85 @@
+"""Streaming corpus ingest: quality gate + cross-batch dedup against
+the committed corpus + transactional TxTable appends, with the
+replayed-micro-batch idempotence guard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+from nlu_data_warehouse_project_spark.streaming import (
+    make_corpus_ingest_processor,
+    streaming_corpus_ingest,
+)
+
+SCHEMA = "doc_id long, text string"
+GOOD = "the quick brown fox jumps over the lazy dog again and again today fine"
+GOOD2 = "a completely different document about training data pipelines at scale"
+SHORT = "too short"
+
+
+def _write_landing(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_commit_append_segments_union(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "log"))
+    d1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    d2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    assert t.commit_append(d1, "r1") == 1
+    assert t.commit_append(d2, "r2") == 2
+    got = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "b")]
+    # current stays the empty seed; history is the appended segments
+    assert t.read_current().count() == 0
+    assert t.read_closed().count() == 2
+
+
+def test_streaming_corpus_ingest_dedups_across_batches(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    # batch 1: one good doc, one in-batch exact dup (higher id loses),
+    # one too-short doc (gated)
+    _write_landing(spark, landing, [(1, GOOD), (5, GOOD), (2, SHORT)])
+    # batch 2: a cross-batch dup of doc 1 (new id) and a genuinely new doc
+    _write_landing(spark, landing, [(10, GOOD), (11, GOOD2)])
+
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    streaming_corpus_ingest(
+        spark,
+        landing,
+        SCHEMA,
+        corpus,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    rows = corpus.read().collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 11]
+    assert all(r["fingerprint"] for r in rows)
+    # two micro-batches -> two append commits
+    assert corpus.latest_version() == 2
+    assert corpus.manifest()["last_batch_id"] == 1
+
+
+def test_replayed_micro_batch_is_a_noop(spark, tmp_path):
+    corpus = TxTable(spark, str(tmp_path / "corpus2"))
+    process = make_corpus_ingest_processor(corpus)
+    b0 = spark.createDataFrame([(1, GOOD)], SCHEMA)
+    process(b0, 0)
+    v_after = corpus.latest_version()
+    # a crash between the commit and the checkpoint advancing replays
+    # the same micro-batch: the recorded last_batch_id makes it a no-op
+    process(b0, 0)
+    assert corpus.latest_version() == v_after
+    assert corpus.read().count() == 1
+    # the NEXT batch id commits normally
+    process(spark.createDataFrame([(2, GOOD2)], SCHEMA), 1)
+    assert corpus.latest_version() == v_after + 1
+    assert sorted(r["doc_id"] for r in corpus.read().collect()) == [1, 2]
+
+
+def test_ingest_quality_gate_applies_per_batch(spark, tmp_path):
+    corpus = TxTable(spark, str(tmp_path / "corpus3"))
+    process = make_corpus_ingest_processor(corpus, min_tokens=5, max_punct=0.2)
+    noisy = "!!! ??? !!! ??? !!!! ????........ !!!"
+    process(spark.createDataFrame([(1, GOOD), (2, SHORT), (3, noisy)], SCHEMA), 0)
+    assert [r["doc_id"] for r in corpus.read().collect()] == [1]
