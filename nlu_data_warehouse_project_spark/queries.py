@@ -2487,3 +2487,102 @@ ORACLE_SQL.update({
     "q62_string_agg": Q62_SQL,
     "q63_ntile": Q63_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: LSH bucket-cap audit stats (the observable-drops twin of q16)
+# ---------------------------------------------------------------------------
+
+def q64_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``minhash_bucket_stats`` over the q16 corpus (documents ∪ exact
+    copy): every bucket holds a doc and its copy (size 2), near-dup
+    groups merge to 4+, so cap=2 reports exactly the near-dup buckets
+    as droppable — the audit that makes q16's silent-cap risk visible
+    (ADVICE r4)."""
+    from .operators.dedup import minhash_bucket_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return minhash_bucket_stats(
+        corpus, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3, max_bucket_size=2
+    )
+
+
+Q64_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), exploded AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM corpus
+), hx AS (
+  SELECT doc_id, md5(sh) AS hx FROM exploded
+), ab AS (
+  SELECT doc_id,
+         ('0x' || substring(hx, 1, 15))::BIGINT AS a,
+         (('0x' || substring(hx, 17, 15))::BIGINT | 1) AS b
+  FROM hx
+), sigs AS (
+  SELECT doc_id, [{_MINHASH_MINS_SQL}] AS sig
+  FROM ab GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, band_id, array_to_string(sig[band_id * 2 + 1 : band_id * 2 + 2], '|') AS band_sig
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(band_id)
+), buckets AS (
+  SELECT band_id, band_sig, count(*) AS bsz FROM banded GROUP BY 1, 2
+)
+SELECT CAST(sum(bsz) AS BIGINT)                                        AS banded_rows,
+       CAST(coalesce(sum(CASE WHEN bsz > 2 THEN bsz END), 0) AS BIGINT) AS dropped_rows,
+       CAST(count(CASE WHEN bsz > 2 THEN 1 END) AS BIGINT)              AS dropped_buckets,
+       CAST(max(bsz) AS BIGINT)                                         AS max_bucket_rows
+FROM buckets
+"""
+
+
+# ---------------------------------------------------------------------------
+# Session windows: the built-in session_window form at session grain
+# (q21 aggregates per user; this exposes the sessions themselves)
+# ---------------------------------------------------------------------------
+
+def q65_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sessionize_events`` (built-in session_window, 30-min gap) at
+    session grain — the batch face of the streaming sessionizer, gated
+    against a lag/island oracle: merged-touching-spans must equal
+    "split only on gap > 1800s"."""
+    from .streaming import sessionize_events
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_events(ev, key_col="user_id", ts_col="ts", gap="30 minutes")
+
+
+Q65_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM g
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+QUERIES.update({
+    "q64_lsh_bucket_stats": q64_lsh_bucket_stats,
+    "q65_session_windows": q65_session_windows,
+})
+ORACLE_SQL.update({
+    "q64_lsh_bucket_stats": Q64_SQL,
+    "q65_session_windows": Q65_SQL,
+})
