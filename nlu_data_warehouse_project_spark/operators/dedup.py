@@ -417,3 +417,97 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def incremental_embedding_dedup(
+    incoming: DataFrame,
+    existing: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine twin of ``incremental_exact_dedup``: drop every
+    incoming vector that near-duplicates (rounded cos >= threshold) any
+    EXISTING corpus vector or any LOWER-ID incoming vector, keep the
+    rest.  The daily-ingest semantic-dedup pass: yesterday's corpus is
+    settled, today's batch must not re-add paraphrase-level copies.
+
+    The keep rule is deliberately non-transitive ("no lower-id match",
+    whether or not that lower row itself survived): it needs no
+    iterative closure, is expressible in one SQL NOT EXISTS pair (the
+    oracle gate), and matches what a pipeline wants — of a mutual-dup
+    batch clique, exactly the lowest id survives.
+
+    Scale shape: without ``planes``, the batch side broadcasts against
+    the corpus scan (BroadcastNestedLoopJoin — ONE pass over the
+    existing corpus, no shuffle of it; sane while the daily batch fits
+    a broadcast, the same bound q18's exact top-k guards).  With
+    ``planes``, both sides band their hyperplane sketches and the probe
+    becomes an equi-join on (band, bits) — the 100 TB path, identical
+    bucketing to ``embedding_neardup_pairs``.
+    """
+    inc = incoming.select(F.col(id_col).alias("__iid"), F.col(vec_col).alias("__iv"))
+    ex = existing.select(F.col(vec_col).alias("__ev"))
+    sim = F.round(cosine("__iv", "__ev"), 4) >= threshold
+    if planes is None:
+        corpus_hits = (
+            ex.join(F.broadcast(inc), sim, "inner").select("__iid").distinct()
+        )
+        a = inc.toDF("__ia", "__va")
+        b = inc.toDF("__ib", "__vb")
+        batch_sim = F.round(cosine("__va", "__vb"), 4) >= threshold
+        batch_hits = (
+            a.join(b, (F.col("__ia") < F.col("__ib")) & batch_sim)
+            .select(F.col("__ib").alias("__iid"))
+            .distinct()
+        )
+    else:
+        from .similarity import with_hyperplane_sketch
+
+        per = len(planes) // bands
+
+        def banded(df, idc, vecc):
+            sk = with_hyperplane_sketch(
+                df.select(F.col(idc).alias("__id"), F.col(vecc).alias("__v")), "__v", planes
+            )
+            return sk.select(
+                "__id",
+                "__v",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("band_id"),
+                                F.substring("__sketch", i * per + 1, per).alias("bits"),
+                            )
+                            for i in range(bands)
+                        ]
+                    )
+                ).alias("b"),
+            ).select("__id", "__v", "b.band_id", "b.bits")
+
+        inc_b = banded(incoming, id_col, vec_col)
+        ex_b = banded(existing, id_col, vec_col)
+        corpus_hits = (
+            inc_b.alias("i")
+            .join(ex_b.alias("e"), ["band_id", "bits"])
+            .filter(F.round(cosine("i.__v", "e.__v"), 4) >= threshold)
+            .select(F.col("i.__id").alias("__iid"))
+            .distinct()
+        )
+        batch_hits = (
+            inc_b.alias("a")
+            .join(inc_b.alias("b"), ["band_id", "bits"])
+            .filter(
+                (F.col("a.__id") < F.col("b.__id"))
+                & (F.round(cosine("a.__v", "b.__v"), 4) >= threshold)
+            )
+            .select(F.col("b.__id").alias("__iid"))
+            .distinct()
+        )
+    dropped = corpus_hits.union(batch_hits).distinct()
+    return incoming.join(
+        dropped.withColumnRenamed("__iid", id_col), id_col, "left_anti"
+    )

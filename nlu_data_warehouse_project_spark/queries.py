@@ -2586,3 +2586,63 @@ ORACLE_SQL.update({
     "q64_lsh_bucket_stats": Q64_SQL,
     "q65_session_windows": Q65_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: incremental embedding dedup (cosine twin of q56)
+# ---------------------------------------------------------------------------
+
+def q66_incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New batch vs settled corpus by cosine: incoming copies of
+    existing vectors (ids 250-299 + 1M) drop against the corpus,
+    duplicated incoming vectors (340-349 + 2M) drop against their
+    lower-id batch twins, genuinely new vectors (300-349 + 1M)
+    survive."""
+    from .operators.dedup import incremental_embedding_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    existing = emb.filter(F.col("vec_id") < 300)
+    incoming = (
+        emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 350))
+        .withColumn("vec_id", F.col("vec_id") + 1000000)
+        .unionByName(
+            emb.filter((F.col("vec_id") >= 340) & (F.col("vec_id") < 350)).withColumn(
+                "vec_id", F.col("vec_id") + 2000000
+            )
+        )
+    )
+    return incremental_embedding_dedup(
+        incoming, existing, threshold=0.999
+    ).select("vec_id")
+
+
+Q66_SQL = """
+WITH existing AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+), incoming AS (
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id >= 250 AND vec_id < 350
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id >= 340 AND vec_id < 350
+)
+SELECT i.vec_id
+FROM incoming i
+WHERE NOT EXISTS (
+  SELECT 1 FROM existing e
+  WHERE round(list_dot_product(i.embedding, e.embedding)
+              / (sqrt(list_dot_product(i.embedding, i.embedding))
+                 * sqrt(list_dot_product(e.embedding, e.embedding))), 4) >= 0.999
+)
+AND NOT EXISTS (
+  SELECT 1 FROM incoming j
+  WHERE j.vec_id < i.vec_id
+    AND round(list_dot_product(i.embedding, j.embedding)
+              / (sqrt(list_dot_product(i.embedding, i.embedding))
+                 * sqrt(list_dot_product(j.embedding, j.embedding))), 4) >= 0.999
+)
+"""
+
+
+QUERIES.update({"q66_incremental_embedding_dedup": q66_incremental_embedding_dedup})
+ORACLE_SQL.update({"q66_incremental_embedding_dedup": Q66_SQL})

@@ -421,3 +421,36 @@ def test_minhash_bucket_cap_drops_are_observable(spark):
     assert got["dropped_rows"] == 80
     assert got["dropped_buckets"] == 4
     assert got["max_bucket_rows"] == 20
+
+
+def test_incremental_embedding_dedup_exact_and_lsh_paths_agree(spark):
+    """Cosine twin of incremental exact dedup: corpus copies drop,
+    batch-internal copies keep only the lowest id, new vectors survive —
+    and the LSH-bucketed scale path returns the same keep set as the
+    broadcast exact path for planted exact copies (cos=1 collides in
+    every band)."""
+    from nlu_data_warehouse_project_spark.operators.dedup import (
+        incremental_embedding_dedup,
+    )
+
+    def vec(seed):
+        return [float((seed * 31 + i * 7) % 13 - 6) for i in range(4)]
+
+    existing = spark.createDataFrame(
+        [(1, vec(1)), (2, vec(2))], "vec_id long, embedding array<double>"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, vec(1)),   # copy of existing 1 -> dropped
+            (11, vec(50)),  # new -> kept
+            (12, vec(50)),  # copy of incoming 11 -> dropped (lower id wins)
+            (13, vec(60)),  # new -> kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    exact = incremental_embedding_dedup(incoming, existing, threshold=0.999)
+    assert sorted(r["vec_id"] for r in exact.collect()) == [11, 13]
+
+    planes = [p[:4] for p in _seeded_planes(16, 4)]
+    lsh = incremental_embedding_dedup(incoming, existing, threshold=0.999, planes=planes)
+    assert sorted(r["vec_id"] for r in lsh.collect()) == [11, 13]
