@@ -91,3 +91,60 @@ def stratified_exact_sample(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    n: int,
+    order_cols: list[str],
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, lowest ``order_cols`` first —
+    the per-domain cap every crawl-derived corpus applies so one
+    boilerplate-heavy domain cannot dominate training data.
+
+    Deterministic: the kept set depends only on the ordering columns
+    (pass the id for arrival-independent caps, a quality score to keep
+    the best ``n``).  One window shuffle on the group key; Spark runs
+    rank-limit windows with a per-partition top-n pushdown
+    (WindowGroupLimit), so a million-row domain never materializes its
+    full sort — only the running top ``n`` per partition survive the
+    map side, the same shape a groupBy-max carries.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def rebalance_by_group(
+    df: DataFrame,
+    group_col: str,
+    keep_fractions: dict[str, float],
+    id_col: str,
+    seed: int = 42,
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-group Bernoulli downsampling to a target mix
+    (e.g. keep 10% of web crawl, 100% of curated sources): each row's
+    keep/drop depends only on (seed, id), so the rebalanced corpus is
+    reproducible across engines, runs, and data order, and nested the
+    same way ``deterministic_sample`` is — raising a group's fraction
+    only ADDS rows, it never swaps them.  Scan-local projection +
+    filter: no shuffle at any scale.
+    """
+    bucket = hash_bucket(id_col, seed)
+    expr = None
+    for g, frac in keep_fractions.items():
+        bound = int(round(frac * HASH_BUCKETS))
+        clause_cond = F.col(group_col) == g
+        expr = (
+            F.when(clause_cond, bucket < bound)
+            if expr is None
+            else expr.when(clause_cond, bucket < bound)
+        )
+    default_bound = int(round(default_fraction * HASH_BUCKETS))
+    expr = (bucket < default_bound) if expr is None else expr.otherwise(bucket < default_bound)
+    return df.filter(expr)

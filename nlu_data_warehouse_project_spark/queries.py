@@ -2646,3 +2646,77 @@ AND NOT EXISTS (
 
 QUERIES.update({"q66_incremental_embedding_dedup": q66_incremental_embedding_dedup})
 ORACLE_SQL.update({"q66_incremental_embedding_dedup": Q66_SQL})
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: per-source cap + deterministic source rebalancing
+# ---------------------------------------------------------------------------
+
+def q67_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (Common-Crawl hygiene): keep the 10 lowest-id docs
+    per source; WindowGroupLimit keeps the sort partial at scale."""
+    from .operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, ["source"], 10, ["doc_id"])
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("doc_id").alias("max_kept_id"),
+    )
+
+
+Q67_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(doc_id) AS max_kept_id
+FROM ranked WHERE rn <= 10
+GROUP BY source
+"""
+
+
+def q68_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mix rebalancing: keep 20% of src0, 50% of src1,
+    100% of everything else — md5-bucket keep/drop, so the mix is
+    engine/run/order-reproducible (the q44 split guarantee applied to
+    corpus composition)."""
+    from .operators.sampling import rebalance_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = rebalance_by_group(
+        docs, "source", {"src0": 0.2, "src1": 0.5}, id_col="doc_id", seed=42
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+Q68_SQL = """
+WITH b AS (
+  SELECT source, n_chars,
+         ('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b
+WHERE CASE WHEN source = 'src0' THEN bucket < 2000
+           WHEN source = 'src1' THEN bucket < 5000
+           ELSE bucket < 10000 END
+GROUP BY source
+"""
+
+
+QUERIES.update({
+    "q67_cap_per_source": q67_cap_per_source,
+    "q68_rebalance_sources": q68_rebalance_sources,
+})
+ORACLE_SQL.update({
+    "q67_cap_per_source": Q67_SQL,
+    "q68_rebalance_sources": Q68_SQL,
+})

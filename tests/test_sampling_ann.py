@@ -160,3 +160,35 @@ def test_trained_ivf_beats_sign_cell_ivf(spark):
 
     assert trained >= sign_recall, (trained, sign_recall)
     assert trained == 1.0, trained
+
+
+def test_cap_per_group_keeps_lowest_and_uses_group_limit(spark):
+    from nlu_data_warehouse_project_spark.operators.sampling import cap_per_group
+
+    df = spark.range(100).selectExpr("id", "id % 3 as g")
+    capped = cap_per_group(df, ["g"], 2, ["id"])
+    got = sorted((r["g"], r["id"]) for r in capped.collect())
+    assert got == [(0, 0), (0, 3), (1, 1), (1, 4), (2, 2), (2, 5)]
+    # rank-limit windows must run with the partial top-n pushdown — a
+    # full per-group sort at 100 TB is the thing this operator avoids
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_rebalance_by_group_is_nested_and_deterministic(spark):
+    from nlu_data_warehouse_project_spark.operators.sampling import rebalance_by_group
+
+    df = spark.range(2000).selectExpr("id", "case when id % 2 = 0 then 'web' else 'books' end as src")
+    half = rebalance_by_group(df, "src", {"web": 0.5}, id_col="id")
+    fifth = rebalance_by_group(df, "src", {"web": 0.2}, id_col="id")
+    half_web = {r["id"] for r in half.filter("src = 'web'").collect()}
+    fifth_web = {r["id"] for r in fifth.filter("src = 'web'").collect()}
+    # nested: raising the fraction only adds rows
+    assert fifth_web <= half_web
+    # roughly the target share of the 1000 web rows
+    assert 400 <= len(half_web) <= 600 and 130 <= len(fifth_web) <= 270
+    # untouched group passes through whole
+    assert half.filter("src = 'books'").count() == 1000
+    # rerun identical (no RNG anywhere)
+    again = {r["id"] for r in rebalance_by_group(df, "src", {"web": 0.5}, id_col="id").filter("src = 'web'").collect()}
+    assert again == half_web
