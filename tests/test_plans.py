@@ -46,7 +46,10 @@ def test_relational_queries_have_no_python_in_hot_path(spark, sf_smoke):
                  "q16_minhash_neardup", "q18_cosine_topk", "q21_sessionize",
                  "q22_asof_join", "q26_simhash", "q31_range_join",
                  "q42_salted_join", "q44_deterministic_split",
-                 "q46_stratified_sample", "q48_redact_pii", "q49_chunk_text"):
+                 "q46_stratified_sample", "q48_redact_pii", "q49_chunk_text",
+                 "q64_lsh_bucket_stats", "q65_session_windows",
+                 "q66_incremental_embedding_dedup", "q67_cap_per_source",
+                 "q68_rebalance_sources"):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
 
