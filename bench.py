@@ -94,8 +94,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so per-query numbers measure
-    # the query, not session startup
-    QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # the query, not session startup; non-fatal — if the warm-up query
+    # itself breaks, the per-query loop still reports every other query
+    try:
+        QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — q01's own run will report the error
+        pass
 
     # per-query failure isolation: one crashing query must not lose the
     # timings of the other 18 (r4/r5 lost two full rounds this way)

@@ -53,17 +53,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (a double round-trip would lose microsecond precision)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # legacy TIMESTAMP(NANOS) read as long via nanosAsLong
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            # plain timestamp[us] decodes as TIMESTAMP_NTZ under Spark 4's
-            # inferTimestampNTZ default; downstream operators use
-            # unix_micros/cast('long') which require LTZ — value-preserving
-            # cast since the session timezone is pinned UTC above
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # legacy TIMESTAMP(NANOS) read as long via nanosAsLong
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # the testdata's timestamp physical type has drifted between rounds
+    # (r3 TIMESTAMP(NANOS) -> r5 plain timestamp[us], which Spark 4's
+    # inferTimestampNTZ default decodes as TIMESTAMP_NTZ, breaking
+    # unix_micros/cast('long') consumers).  Normalize EVERY ntz column
+    # in every table to LTZ — value-preserving since the session
+    # timezone is pinned UTC above, and insurance against the next
+    # drift rather than a per-table special case.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
