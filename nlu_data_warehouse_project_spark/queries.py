@@ -2722,3 +2722,147 @@ ORACLE_SQL.update({
     "q67_cap_per_source": Q67_SQL,
     "q68_rebalance_sources": Q68_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: the mapInPandas feature path, fully oracle-gated
+# (the deterministic sha256 stand-in extractor is SQL-expressible, so
+# the Arrow batch plumbing itself is what the hash gate exercises)
+# ---------------------------------------------------------------------------
+
+def q69_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents' text bytes treated as opaque media payloads ->
+    ``extract_features`` (mapInPandas, Arrow batches): content hash,
+    byte size, and two feature components.  The fake extractor derives
+    features from the sha256 digest, so DuckDB reproduces every value —
+    gating schema, batch shape, and float32 truncation of the Python
+    path, not just row counts."""
+    from .operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast(
+            "struct<media_type:string,format:string,width:int,height:int,duration_ms:int,n_bytes:bigint>"
+        ).alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "sha256",
+        "n_bytes",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+        F.element_at("feature", 8).cast("double").alias("f7"),
+    )
+
+
+Q69_SQL = """
+SELECT doc_id,
+       sha256(text) AS sha256,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(CAST(('0x' || substring(sha256(text), 1, 8))::BIGINT / 4294967296.0 AS FLOAT) AS DOUBLE) AS f0,
+       CAST(CAST(('0x' || substring(sha256(text), 57, 8))::BIGINT / 4294967296.0 AS FLOAT) AS DOUBLE) AS f7
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics shapes (TPC-H Q3/Q5 style): join-order and
+# broadcast behavior on the warehouse star schema
+# ---------------------------------------------------------------------------
+
+def q70_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: top-10 unshipped orders by revenue for one segment —
+    fact filtered at the scan, dims join-reduced, top-k with an
+    explicit deterministic tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cutoff = "1997-06-15"
+    return (
+        li.filter(F.col("l_shipdate").cast("date") > F.lit(cutoff))
+        .join(orders.filter(F.col("o_orderdate").cast("date") < F.lit(cutoff)),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q70_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                      * (1 - CAST(l_discount AS DECIMAL(25,6)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-06-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1997-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q71_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue per nation where customer and supplier share
+    the nation, one region, one year — the 6-way star join; region and
+    nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.year(F.col("o_orderdate").cast("date")) == 1997)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+                    & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+Q71_SQL = """
+SELECT n_name AS nation,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                      * (1 - CAST(l_discount AS DECIMAL(25,6)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND year(CAST(o_orderdate AS DATE)) = 1997
+GROUP BY n_name
+"""
+
+
+QUERIES.update({
+    "q69_media_features": q69_media_features,
+    "q70_shipping_priority": q70_shipping_priority,
+    "q71_local_supplier_volume": q71_local_supplier_volume,
+})
+ORACLE_SQL.update({
+    "q69_media_features": Q69_SQL,
+    "q70_shipping_priority": Q70_SQL,
+    "q71_local_supplier_volume": Q71_SQL,
+})
