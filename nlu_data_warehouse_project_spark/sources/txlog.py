@@ -547,7 +547,14 @@ class TxTable:
                 if any(v[0] is None or v[1] is None for v in vals):
                     continue
                 folded[c] = [min(v[0] for v in vals), max(v[1] for v in vals)]
+        # carry every field compaction doesn't own through unchanged:
+        # current_table/bucket (the current dir is untouched — dropping
+        # them would silently lose the exchange-free join path) and any
+        # consumer extras (e.g. the ingest loop's last_batch_id replay
+        # guard, incremental consumers' watermarks)
         new_man = {
+            **{k: v for k, v in man.items()
+               if k not in ("version", "closed", "run_id", "schema", "dir_schemas", "dir_stats")},
             "version": man["version"] + 1,
             "current": man["current"],
             "closed": [compacted],

@@ -83,3 +83,25 @@ def test_ingest_quality_gate_applies_per_batch(spark, tmp_path):
     noisy = "!!! ??? !!! ??? !!!! ????........ !!!"
     process(spark.createDataFrame([(1, GOOD), (2, SHORT), (3, noisy)], SCHEMA), 0)
     assert [r["doc_id"] for r in corpus.read().collect()] == [1]
+
+
+def test_compaction_preserves_replay_guard_and_segments(spark, tmp_path):
+    """compact_closed folds append segments into one dir but must carry
+    consumer manifest extras through — losing last_batch_id would
+    re-open the replay window after every compaction."""
+    corpus = TxTable(spark, str(tmp_path / "corpus4"))
+    process = make_corpus_ingest_processor(corpus)
+    texts = [GOOD, GOOD2, "third completely distinct document with plenty of tokens to pass the gate"]
+    for i, t in enumerate(texts):
+        process(spark.createDataFrame([(i + 1, t)], SCHEMA), i)
+    assert corpus.latest_version() == 3 and len(corpus.manifest()["closed"]) == 3
+
+    v = corpus.compact_closed(min_dirs=2)
+    assert v == 4
+    man = corpus.manifest()
+    assert len(man["closed"]) == 1
+    assert man["last_batch_id"] == 2, "replay guard must survive compaction"
+    assert corpus.read().count() == 3
+    # a replay of the last pre-compaction batch is still a no-op
+    process(spark.createDataFrame([(3, texts[2])], SCHEMA), 2)
+    assert corpus.latest_version() == 4

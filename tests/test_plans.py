@@ -64,7 +64,8 @@ def test_scan_local_ops_have_no_shuffle(spark, sf_smoke):
 
 def test_dim_joins_broadcast(spark, sf_smoke):
     for name in ("q02_control_join", "q05_date_surrogate", "q10_mart_revenue",
-                 "q53_decontaminate"):
+                 "q53_decontaminate", "q70_shipping_priority",
+                 "q71_local_supplier_volume"):
         q = QUERIES[name](spark, sf_smoke)
         assert uses_broadcast_join(q), f"{name} lost its broadcast join"
 
