@@ -351,6 +351,20 @@ class TxTable:
         }
 
     # -- writes ----------------------------------------------------------
+    _OWNED_MANIFEST_KEYS = frozenset(
+        ("version", "current", "closed", "run_id", "schema",
+         "dir_schemas", "dir_stats", "current_table", "bucket")
+    )
+
+    def _carried_extras(self, prev: dict) -> dict:
+        """Consumer-owned manifest fields (ingest replay guards,
+        incremental watermarks) carry through every commit unless the
+        new commit's ``extra`` overrides them — a commit by one writer
+        must not silently erase another consumer's bookkeeping.
+        Structural keys (including current_table/bucket, which belong
+        to whichever commit last wrote the current dir) never carry."""
+        return {k: v for k, v in prev.items() if k not in self._OWNED_MANIFEST_KEYS}
+
     def commit_merge(
         self,
         current: DataFrame,
@@ -381,6 +395,7 @@ class TxTable:
         if delta_stats is not None:
             dir_stats[closed_dir] = delta_stats
         man = {
+            **self._carried_extras(prev),
             "version": prev["version"] + 1,
             "current": cur_dir,
             "closed": prev["closed"] + [closed_dir],
@@ -450,6 +465,7 @@ class TxTable:
         cur_dir = f"{_DATA_DIR}/current-{run_id}-{token}"
         cur_fields = self._write_current(df, cur_dir, prev["version"] + 1)
         man = {
+            **self._carried_extras(prev),
             "version": prev["version"] + 1,
             "current": cur_dir,
             "closed": [],
@@ -488,7 +504,10 @@ class TxTable:
         if delta_stats is not None:
             dir_stats[closed_dir] = delta_stats
         man = {
-            **{k: v for k, v in prev.items() if k not in ("version", "closed", "run_id")},
+            **self._carried_extras(prev),
+            # current is untouched by an append: its table/bucket
+            # metadata carries too
+            **{k: prev[k] for k in ("current_table", "bucket") if k in prev},
             "version": prev["version"] + 1,
             "current": prev["current"],
             "closed": prev["closed"] + [closed_dir],
@@ -553,8 +572,8 @@ class TxTable:
         # consumer extras (e.g. the ingest loop's last_batch_id replay
         # guard, incremental consumers' watermarks)
         new_man = {
-            **{k: v for k, v in man.items()
-               if k not in ("version", "closed", "run_id", "schema", "dir_schemas", "dir_stats")},
+            **self._carried_extras(man),
+            **{k: man[k] for k in ("current_table", "bucket") if k in man},
             "version": man["version"] + 1,
             "current": man["current"],
             "closed": [compacted],

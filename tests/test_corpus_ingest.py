@@ -105,3 +105,21 @@ def test_compaction_preserves_replay_guard_and_segments(spark, tmp_path):
     # a replay of the last pre-compaction batch is still a no-op
     process(spark.createDataFrame([(3, texts[2])], SCHEMA), 2)
     assert corpus.latest_version() == 4
+
+
+def test_all_commit_paths_carry_consumer_extras(spark, tmp_path):
+    """A commit by one writer must not erase another consumer's manifest
+    bookkeeping: merge and snapshot commits carry prior extras through
+    (overridable), and structural fields stay commit-owned."""
+    t = TxTable(spark, str(tmp_path / "extras"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    t.commit_snapshot(df, "r1", extra={"watermark": "2024-01-01", "last_batch_id": 4})
+    # snapshot without extras: both consumer fields survive
+    t.commit_snapshot(df, "r2")
+    man = t.manifest()
+    assert man["watermark"] == "2024-01-01" and man["last_batch_id"] == 4
+    # merge commit overriding one field keeps the other
+    t.commit_merge(df, df.limit(0), "r3", extra={"watermark": "2024-01-02"})
+    man = t.manifest()
+    assert man["watermark"] == "2024-01-02" and man["last_batch_id"] == 4
+    assert man["run_id"] == "r3"
