@@ -53,21 +53,67 @@ def _recall_vs_exact(exact: set, approx_rows) -> float:
     return round(len(exact & approx) / len(exact), 4) if exact else 1.0
 
 
+def make_clustered_corpus(spark, centers: int = 8, n_per: int = 100, dim: int = 16):
+    """A planted-cluster corpus with deterministic md5 jitter (no RNG —
+    engine/order-stable), for measuring the trained quantizer where
+    cluster structure actually exists.  Centers sit on scaled axis
+    pairs, far apart relative to the ±0.5 jitter."""
+    import hashlib
+
+    rows = []
+    vid = 0
+    for ci in range(centers):
+        base = [0.0] * dim
+        base[ci % dim] = 10.0
+        base[(ci * 3 + 1) % dim] = -10.0 if ci % 2 else 10.0
+        for _ in range(n_per):
+            jit = [
+                (int(hashlib.md5(f"{vid}:{d}".encode()).hexdigest()[:8], 16) % 1000) / 1000.0
+                - 0.5
+                for d in range(dim)
+            ]
+            rows.append((vid, [base[d] + jit[d] for d in range(dim)]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
 def ann_recalls(spark, sf_dir: str) -> dict:
-    """Recall of both ANN paths against the exact cosine top-k.
+    """Recall of the ANN paths against the exact cosine top-k.
 
     LSH (q34 config: 16 planes, 4 bands, query-side multi-probe
     nprobe=8) is the production ANN path.  IVF is measured at
     nprobe=4 of its 8 cells — q45 itself pins nprobe=1 for oracle
     determinism, and probing ALL cells would trivially report 1.0;
     half-the-cells shows how much the margin-guided probe order beats
-    the 0.5 random-probe baseline.  Random-vector corpora are
-    adversarial for a coarse quantizer (true neighbors at cos≈0.4
-    scatter across cells), which is exactly why the banded-LSH path
-    is the default at scale."""
+    the 0.5 random-probe baseline.
+
+    The trained (k-means) quantizer is reported twice, both at the
+    same nprobe=4-of-8 budget:
+
+    - on the REAL embeddings table.  That table is ISOTROPIC (measured:
+      within-label and cross-label cosine are both ~0.0), and on
+      isotropic data ANY cell-partitioned ANN's expected recall is the
+      fraction of the corpus probed — 0.5 here; no quantizer, trained
+      or not, can reach 0.9 at this budget.  The trained number shows
+      the margin over the data-oblivious sign-cell quantizer, not an
+      absolute ceiling.
+    - on a planted-cluster corpus (deterministic, generated in-bench),
+      where training the quantizer is actually worth something: cells
+      align with the modes and recall goes to ~1.0.  Floored >=0.9 by
+      tests/test_sampling_ann.py.
+
+    That split is why banded multi-probe LSH (recall 1.0 here) is the
+    default production ANN path for un-clustered corpora."""
     from pyspark.sql import functions as F
 
-    from nlu_data_warehouse_project_spark.operators.similarity import ivf_cosine_topk
+    from nlu_data_warehouse_project_spark.operators.kmeans import (
+        ivf_cosine_topk_trained,
+        kmeans_fit,
+    )
+    from nlu_data_warehouse_project_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
     from nlu_data_warehouse_project_spark.queries import _IVF_PLANES, _t
 
     exact = {
@@ -75,15 +121,35 @@ def ann_recalls(spark, sf_dir: str) -> dict:
         for r in QUERIES["q18_cosine_topk"](spark, sf_dir).collect()
     }
     emb = _t(spark, sf_dir, "embeddings")
-    ivf = ivf_cosine_topk(
-        emb.filter(F.col("vec_id") < 5), emb, planes=_IVF_PLANES, k=5, nprobe=4
-    )
-    return {
+    q = emb.filter(F.col("vec_id") < 5)
+    ivf = ivf_cosine_topk(q, emb, planes=_IVF_PLANES, k=5, nprobe=4)
+    out = {
         "lsh_topk_recall": _recall_vs_exact(
             exact, QUERIES["q34_lsh_cosine_topk"](spark, sf_dir).collect()
         ),
         "ivf_topk_recall_nprobe4of8": _recall_vs_exact(exact, ivf.collect()),
     }
+
+    # trained quantizer, real (isotropic) table — loose tol: on
+    # isotropic data the centroids wander on noise and a tight tol
+    # buys recall nothing (see docstring)
+    cents = kmeans_fit(emb, k=8, max_iters=40, tol=5e-2)
+    trained = ivf_cosine_topk_trained(q, emb, cents, k=5, nprobe=4)
+    out["ivf_topk_recall_trained_nprobe4of8"] = _recall_vs_exact(exact, trained.collect())
+
+    # trained quantizer, planted clusters — the case training is FOR
+    blobs = make_clustered_corpus(spark)
+    bq = blobs.filter(F.col("vec_id") % 100 == 0)  # one query per blob
+    bexact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(bq, blobs, k=5, vec_col="embedding").collect()
+    }
+    bcents = kmeans_fit(blobs, k=8, max_iters=20, tol=1e-2)
+    btrained = ivf_cosine_topk_trained(bq, blobs, bcents, k=5, nprobe=4)
+    out["ivf_topk_recall_trained_clustered_nprobe4of8"] = _recall_vs_exact(
+        bexact, btrained.collect()
+    )
+    return out
 
 
 def main() -> None:
@@ -133,6 +199,10 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        # totals are only cross-round comparable when every headline
+        # query ran: n_ok < len(HEADLINE) flags a non-comparable total
+        "n_ok": len(per_query),
+        "n_headline": len(HEADLINE),
         "sf": sf,
         "runs_per_query": n_runs,
         **recalls,

@@ -162,6 +162,33 @@ def test_trained_ivf_beats_sign_cell_ivf(spark):
     assert trained == 1.0, trained
 
 
+def test_trained_ivf_clustered_recall_floor(spark):
+    """Floors the bench's `ivf_topk_recall_trained_clustered_nprobe4of8`
+    metric: on the planted-cluster corpus the trained quantizer at the
+    bench's probe budget (nprobe=4 of 8 cells) must reach >=0.9 recall.
+    (On the real embeddings table that budget caps recall at ~0.5
+    because the data is isotropic — see bench.ann_recalls docstring —
+    so the floor lives on the corpus where training is meaningful.)"""
+    import bench as bench_mod
+    from nlu_data_warehouse_project_spark.operators.kmeans import (
+        ivf_cosine_topk_trained,
+        kmeans_fit,
+    )
+
+    blobs = bench_mod.make_clustered_corpus(spark, centers=8, n_per=40, dim=16)
+    queries = blobs.filter(F.col("vec_id") % 40 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, blobs, k=5, vec_col="embedding").collect()
+    }
+    cents = kmeans_fit(blobs, k=8, max_iters=20, tol=1e-2)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk_trained(queries, blobs, cents, k=5, nprobe=4).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.9
+
+
 def test_cap_per_group_keeps_lowest_and_uses_group_limit(spark):
     from nlu_data_warehouse_project_spark.operators.sampling import cap_per_group
 
