@@ -39,6 +39,35 @@ def value_hash(rows, cols) -> str:
     return hashlib.md5("\x1e".join(lines).encode()).hexdigest()
 
 
+# Approximate queries have no exact SQL oracle; gate them on recall
+# against the exact catalog twin instead (same floor as
+# tests/test_llm_ops.py), so the catalog report is self-contained —
+# no `weak` rows left to cross-check by hand.
+# name -> (exact twin query, pair columns, floor)
+RECALL_GATES = {
+    "q34_lsh_cosine_topk": ("q18_cosine_topk", ("query_id", "neighbor_id"), 0.8),
+}
+
+
+def _recall_check(name, fn, qs, spark, sf_dir, srows, scols, t0):
+    twin, (a, b), floor = RECALL_GATES[name]
+    ia, ib = scols.index(a), scols.index(b)
+    approx = {(r[ia], r[ib]) for r in srows}
+    edf = qs[twin](spark, sf_dir)
+    ecols = edf.columns
+    ja, jb = ecols.index(a), ecols.index(b)
+    exact = {(r[ja], r[jb]) for r in edf.collect()}
+    recall = len(exact & approx) / len(exact) if exact else 1.0
+    if recall >= floor:
+        print(
+            f"ok    {name}: rows={len(srows)} "
+            f"(recall {recall:.2f} >= {floor} vs {twin}) [{time.time()-t0:.1f}s]"
+        )
+        return 0
+    print(f"FAIL  {name}: recall {recall:.2f} < {floor} vs {twin}")
+    return 1
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -62,7 +91,10 @@ def main() -> int:
             failures += 1
             continue
         if name not in sqls:
-            print(f"weak  {name}: rows={len(srows)} (no oracle, rows-only check) [{time.time()-t0:.1f}s]")
+            if name in RECALL_GATES:
+                failures += _recall_check(name, fn, qs, spark, sf_dir, srows, scols, t0)
+            else:
+                print(f"weak  {name}: rows={len(srows)} (no oracle, rows-only check) [{time.time()-t0:.1f}s]")
             continue
         try:
             res = con.execute(sqls[name])
