@@ -175,10 +175,17 @@ def main() -> None:
     for name in HEADLINE:
         times = []
         try:
-            for _ in range(n_runs):
+            # one untimed warm-up per query: the first execution of a
+            # plan shape pays whole-stage-codegen compilation (~3s for
+            # the larger merges — measured: q08's first run is 5.2s vs
+            # 1.7s steady-state), which with a 3-run median otherwise
+            # lands IN the median and reads as a plan regression
+            # (r6's q08 "drift" was exactly this)
+            for i in range(n_runs + 1):
                 t0 = time.time()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                times.append(time.time() - t0)
+                if i > 0:
+                    times.append(time.time() - t0)
                 # queries that persist intermediates must not feed their
                 # cache (or their memory) into the following runs
                 spark.catalog.clearCache()
@@ -205,6 +212,7 @@ def main() -> None:
         "n_headline": len(HEADLINE),
         "sf": sf,
         "runs_per_query": n_runs,
+        "warmup_runs_per_query": 1,
         **recalls,
     }
     if errors:
