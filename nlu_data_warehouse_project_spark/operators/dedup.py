@@ -163,12 +163,14 @@ def minhash_bucket_stats(
         .groupBy("band_id", "band_sig")
         .agg(F.count("*").alias("__bsz"))
     )
+    # every count coalesces to 0: on an EMPTY input frame sum/max are
+    # NULL, and a pipeline gating on these columns must not hit a None
     over = F.col("__bsz") > max_bucket_size
     return buckets.agg(
-        F.sum("__bsz").cast("long").alias("banded_rows"),
+        F.coalesce(F.sum("__bsz"), F.lit(0)).cast("long").alias("banded_rows"),
         F.coalesce(F.sum(F.when(over, F.col("__bsz"))), F.lit(0)).cast("long").alias("dropped_rows"),
         F.count(F.when(over, 1)).cast("long").alias("dropped_buckets"),
-        F.max("__bsz").cast("long").alias("max_bucket_rows"),
+        F.coalesce(F.max("__bsz"), F.lit(0)).cast("long").alias("max_bucket_rows"),
     )
 
 
@@ -447,6 +449,9 @@ def incremental_embedding_dedup(
     ``planes``, both sides band their hyperplane sketches and the probe
     becomes an equi-join on (band, bits) — the 100 TB path, identical
     bucketing to ``embedding_neardup_pairs``.
+
+    Either way ``existing`` only needs ``vec_col`` — its ids never
+    reach the output, so both paths share one symmetric contract.
     """
     inc = incoming.select(F.col(id_col).alias("__iid"), F.col(vec_col).alias("__iv"))
     ex = existing.select(F.col(vec_col).alias("__ev"))
@@ -469,8 +474,12 @@ def incremental_embedding_dedup(
         per = len(planes) // bands
 
         def banded(df, idc, vecc):
+            # idc=None: the existing side's ids are never read (only
+            # incoming ids reach the output), so the corpus frame only
+            # needs the vector column — symmetric with the exact path
+            idx = F.col(idc) if idc is not None else F.lit(0)
             sk = with_hyperplane_sketch(
-                df.select(F.col(idc).alias("__id"), F.col(vecc).alias("__v")), "__v", planes
+                df.select(idx.alias("__id"), F.col(vecc).alias("__v")), "__v", planes
             )
             return sk.select(
                 "__id",
@@ -489,7 +498,7 @@ def incremental_embedding_dedup(
             ).select("__id", "__v", "b.band_id", "b.bits")
 
         inc_b = banded(incoming, id_col, vec_col)
-        ex_b = banded(existing, id_col, vec_col)
+        ex_b = banded(existing, None, vec_col)
         corpus_hits = (
             inc_b.alias("i")
             .join(ex_b.alias("e"), ["band_id", "bits"])

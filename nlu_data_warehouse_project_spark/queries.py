@@ -2533,10 +2533,10 @@ WITH corpus AS (
 ), buckets AS (
   SELECT band_id, band_sig, count(*) AS bsz FROM banded GROUP BY 1, 2
 )
-SELECT CAST(sum(bsz) AS BIGINT)                                        AS banded_rows,
+SELECT CAST(coalesce(sum(bsz), 0) AS BIGINT)                            AS banded_rows,
        CAST(coalesce(sum(CASE WHEN bsz > 2 THEN bsz END), 0) AS BIGINT) AS dropped_rows,
        CAST(count(CASE WHEN bsz > 2 THEN 1 END) AS BIGINT)              AS dropped_buckets,
-       CAST(max(bsz) AS BIGINT)                                         AS max_bucket_rows
+       CAST(coalesce(max(bsz), 0) AS BIGINT)                            AS max_bucket_rows
 FROM buckets
 """
 

@@ -421,6 +421,19 @@ def make_corpus_ingest_processor(
         man = corpus.manifest() or {}
         last = man.get("last_batch_id")
         if last is not None and batch_id <= last:
+            # a genuine crash-replay re-delivers exactly the LAST
+            # committed id; ids restarting far below it mean a FRESH
+            # checkpoint was pointed at an existing table, and treating
+            # those batches as replays would silently drop ALL of them
+            # (ADVICE r6) — the table must be reset (or moved) together
+            # with the checkpoint, same as Delta's txnAppId contract
+            if batch_id < last:
+                raise ValueError(
+                    f"batch_id={batch_id} is behind the corpus table's "
+                    f"last_batch_id={last} by more than a crash-replay: "
+                    "this is a fresh checkpoint pointed at an existing "
+                    "corpus table; reset or relocate one of them"
+                )
             return  # replayed micro-batch: commit already visible
         gated = batch_df.filter(
             (token_count(text_col) >= min_tokens) & (punct_ratio(text_col) < max_punct)

@@ -77,6 +77,25 @@ def test_replayed_micro_batch_is_a_noop(spark, tmp_path):
     assert sorted(r["doc_id"] for r in corpus.read().collect()) == [1, 2]
 
 
+def test_fresh_checkpoint_against_existing_table_raises(spark, tmp_path):
+    """A crash-replay re-delivers exactly the last committed batch id;
+    ids restarting BELOW it mean a fresh checkpoint was pointed at an
+    existing corpus table — silently no-opping those batches would be
+    wordless data loss (ADVICE r6), so the processor raises."""
+    import pytest
+
+    corpus = TxTable(spark, str(tmp_path / "corpus5"))
+    process = make_corpus_ingest_processor(corpus)
+    process(spark.createDataFrame([(1, GOOD)], SCHEMA), 0)
+    process(spark.createDataFrame([(2, GOOD2)], SCHEMA), 1)
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        process(spark.createDataFrame([(3, GOOD)], SCHEMA), 0)
+    # the true replay (== last) is still a silent no-op
+    v = corpus.latest_version()
+    process(spark.createDataFrame([(2, GOOD2)], SCHEMA), 1)
+    assert corpus.latest_version() == v
+
+
 def test_ingest_quality_gate_applies_per_batch(spark, tmp_path):
     corpus = TxTable(spark, str(tmp_path / "corpus3"))
     process = make_corpus_ingest_processor(corpus, min_tokens=5, max_punct=0.2)

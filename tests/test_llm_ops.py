@@ -454,3 +454,10 @@ def test_incremental_embedding_dedup_exact_and_lsh_paths_agree(spark):
     planes = [p[:4] for p in _seeded_planes(16, 4)]
     lsh = incremental_embedding_dedup(incoming, existing, threshold=0.999, planes=planes)
     assert sorted(r["vec_id"] for r in lsh.collect()) == [11, 13]
+
+    # symmetric contract (ADVICE r6): BOTH paths accept an existing
+    # frame holding only the vector column — corpus ids never surface
+    bare = existing.select("embedding")
+    for pl in (None, planes):
+        got = incremental_embedding_dedup(incoming, bare, threshold=0.999, planes=pl)
+        assert sorted(r["vec_id"] for r in got.collect()) == [11, 13]
