@@ -520,6 +520,33 @@ class TxTable:
         self._publish(man)
         return man["version"]
 
+    def commit_with_retry(self, build_and_commit, max_retries: int = 3) -> int:
+        """Re-read-and-retry recipe for the lost commit race.
+
+        ``build_and_commit(table) -> version`` must DERIVE the commit's
+        inputs from the table's state at call time (read the current
+        version, recompute the merge/delta, call one ``commit_*``) —
+        that is what makes the retry correct: after a lost race the
+        builder re-reads the ADVANCED state, so the loser's commit is
+        rebased on the winner's rather than clobbering it.  Retrying a
+        pre-built DataFrame commit blindly would be a lost-update bug,
+        which is why this takes a builder and not a frame.
+
+        A lost attempt's orphaned data dirs (written before the
+        manifest race was detected) stay invisible and are reclaimed by
+        the next ``vacuum()``.  Raises the final ``ConcurrentWriteError``
+        after ``max_retries`` losses — under that much contention the
+        caller should serialize its writers instead.
+        """
+        attempt = 0
+        while True:
+            try:
+                return build_and_commit(self)
+            except ConcurrentWriteError:
+                attempt += 1
+                if attempt > max_retries:
+                    raise
+
     def compact_closed(self, min_dirs: int = 8) -> int | None:
         """Merge the accumulated closed-delta dirs into one (the
         lakehouse small-files compaction): daily commits add one closed

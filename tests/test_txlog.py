@@ -332,3 +332,72 @@ def test_retry_preserves_failure_audit_trail(spark, tmp_path):
     logs = wh.control().logs.filter(F.col("id_config") == 1).collect()
     statuses = sorted((r["id"], r["status"]) for r in logs)
     assert [s for _i, s in statuses] == ["EF", "ES"], "EF row must survive the retry"
+
+
+def test_commit_with_retry_rebases_the_losing_writer(spark, tmp_path):
+    """Two writers race one commit slot: the loser's publish hits
+    ConcurrentWriteError, commit_with_retry re-invokes its BUILDER
+    against the advanced table, and both deltas land in consecutive
+    versions.  The lost attempt's orphan data dir stays invisible and
+    vacuum reclaims it."""
+    from nlu_data_warehouse_project_spark.sources.txlog import ConcurrentWriteError
+
+    root = str(tmp_path / "race")
+    a = TxTable(spark, root)
+
+    class RacyTable(TxTable):
+        """Injects a rival commit between the manifest read and the
+        publish — the exact window the race guard protects."""
+
+        rival = None
+
+        def _publish(self, man):
+            if RacyTable.rival is not None:
+                r, RacyTable.rival = RacyTable.rival, None
+                r()
+            super()._publish(man)
+
+    b = RacyTable(spark, root)
+    seed = spark.createDataFrame([(0, "seed")], "id long, v string")
+    a.commit_append(seed, "seed")
+
+    dfa = spark.createDataFrame([(1, "from-a")], "id long, v string")
+    dfb = spark.createDataFrame([(2, "from-b")], "id long, v string")
+    RacyTable.rival = lambda: a.commit_append(dfa, "a1")
+
+    builds = {"n": 0}
+
+    def builder(t):
+        builds["n"] += 1
+        return t.commit_append(dfb, "b1")
+
+    v = b.commit_with_retry(builder)
+    assert v == 3 and builds["n"] == 2  # lost once, rebased, landed
+    got = sorted((r["id"], r["v"]) for r in b.read().collect())
+    assert got == [(0, "seed"), (1, "from-a"), (2, "from-b")]
+
+    # the first attempt's data dir is an orphan: invisible to reads,
+    # reclaimed by vacuum
+    data_dirs = set(os.listdir(os.path.join(root, "data")))
+    live = set()
+    man = b.manifest()
+    live.update(os.path.basename(d) for d in (man["current"], *man["closed"]))
+    for vv in b.versions()[:-1]:
+        m = b.manifest(vv)
+        live.update(os.path.basename(d) for d in (m["current"], *m["closed"]))
+    orphans = data_dirs - live
+    assert orphans, "the lost attempt should have left an orphan dir"
+    dropped = b.vacuum(retain_last=1)
+    assert {os.path.basename(d.rstrip('/')) for d in dropped} >= orphans
+    assert sorted(r["id"] for r in b.read().collect()) == [0, 1, 2]
+
+    # exhausted retries surface the final error
+    RacyTable.rival = None
+
+    class AlwaysLoses(TxTable):
+        def _publish(self, man):
+            raise ConcurrentWriteError("always")
+
+    c = AlwaysLoses(spark, root)
+    with pytest.raises(ConcurrentWriteError):
+        c.commit_with_retry(lambda t: t.commit_append(dfb, "b2"), max_retries=2)
