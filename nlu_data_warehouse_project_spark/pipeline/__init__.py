@@ -284,10 +284,53 @@ class Warehouse:
         date_dim = self.spark.read.parquet(self.date_dim_dir)
         return refresh_mart(self.gold(), date_dim, out_dir, run_id)
 
+    # -- maintenance ----------------------------------------------------------
+    def maintain(self, min_dirs: int = 8, retain_last: int = 2) -> dict:
+        """Gold-table maintenance cadence: compact the accumulated
+        closed-delta dirs (one per merge day) once at least ``min_dirs``
+        exist, then vacuum data dirs outside the last ``retain_last``
+        versions (superseded pre-compaction dirs + orphans from crashed
+        writers).  At 100 TB this bounds both the small-files count
+        (history scans open O(1) dirs instead of O(days)) and the disk
+        footprint (without vacuum every compaction doubles history on
+        disk).
+
+        Safe to run after any ``run_day``; compaction below the
+        threshold is a no-op, and the lineage recorded by
+        ``compact_closed`` lets ``refresh_mart`` keep refreshing
+        incrementally as long as maintenance runs AFTER the mart
+        consumed the dirs being folded (run_day → refresh_mart →
+        maintain).  ``retain_last >= 2`` keeps one rollback version.
+        Single-writer like every TxTable mutation: do not run
+        concurrently with a ``load_to_dw``.
+        """
+        gold = self.gold()
+        if not gold.exists():
+            return {"compacted_version": None, "vacuumed": []}
+        compacted_version = gold.compact_closed(min_dirs=min_dirs)
+        vacuumed = gold.vacuum(retain_last=retain_last)
+        return {"compacted_version": compacted_version, "vacuumed": vacuumed}
+
     # -- full day ------------------------------------------------------------
-    def run_day(self, feed: DataFrame, id_config: int, day: str) -> DataFrame:
+    def run_day(
+        self,
+        feed: DataFrame,
+        id_config: int,
+        day: str,
+        maintain_every: int | None = None,
+    ) -> DataFrame:
         """P1 -> P2 -> P3 for one run date (backfillable: pass any day,
-        like the reference's optional date argv, `load_to_dw.py:489-497`)."""
+        like the reference's optional date argv, `load_to_dw.py:489-497`).
+
+        ``maintain_every=N`` folds the maintenance cadence into the
+        daily run: after the dw load, compaction+vacuum triggers once N
+        closed dirs have accumulated (i.e. roughly every N days).  Leave
+        None when a mart refreshes incrementally off this gold table and
+        schedule ``maintain()`` right after the refresh instead — see
+        ``maintain`` for the ordering contract."""
         self.extract(feed, id_config, day)
         self.load_to_staging(id_config, day)
-        return self.load_to_dw(id_config, day)
+        out = self.load_to_dw(id_config, day)
+        if maintain_every is not None:
+            self.maintain(min_dirs=maintain_every)
+        return out

@@ -240,11 +240,16 @@ def refresh_mart(gold, date_dim: DataFrame, out_dir: str, run_id: str = "mart") 
     by pytest).  All outputs are TxTable snapshot/merge commits, so a
     crash mid-refresh leaves the previous mart version readable.
 
-    Raises if gold's closed history was compacted since the last
-    refresh (the delta bookkeeping is void) — rebuild once with
+    Compaction-aware (maintenance cadence, `Warehouse.maintain`): a
+    compacted dir whose recorded sources (`compacted_lineage`) were all
+    consumed by an earlier refresh is treated as consumed — so the
+    refresh-then-compact cycle keeps refreshing without a rebuild.
+    Raises only when compaction folded consumed and unconsumed commits
+    into one dir, or history was rewritten outside the lineage (the
+    delta is then unrecoverable) — rebuild once with
     ``materialize_mart`` and resume refreshing after.
     """
-    from ..sources.txlog import TxTable
+    from ..sources.txlog import TxTable, lineage_leaves
 
     spark = gold.spark
     man = gold.manifest()
@@ -255,17 +260,37 @@ def refresh_mart(gold, date_dim: DataFrame, out_dir: str, run_id: str = "mart") 
     partials_tx = TxTable(spark, f"{out_dir}/_price_history_partials")
     consumed: list[str] = []
     watermark: str | None = None
+    lineage = man.get("compacted_lineage", {})
     if fact_tx.exists():
         m = fact_tx.manifest()
         consumed = m.get("source_closed_dirs", [])
         watermark = m.get("source_watermark")
-        if not set(consumed) <= set(man["closed"]):
-            raise RuntimeError(
-                f"gold closed history under {gold.root} was compacted/rewritten since the "
-                "last refresh; run materialize_mart once to rebuild, then resume refresh_mart"
-            )
 
-    new_dirs = [d for d in man["closed"] if d not in set(consumed)]
+    # resolve both sides to ORIGINAL commit dirs so the comparison
+    # survives compaction on either side of the bookkeeping
+    consumed_leaves: set[str] = set()
+    for c in consumed:
+        consumed_leaves |= lineage_leaves(c, lineage)
+    new_dirs: list[str] = []
+    covered: set[str] = set()
+    for d in man["closed"]:
+        leaves = lineage_leaves(d, lineage)
+        covered |= leaves
+        if leaves <= consumed_leaves:
+            continue  # fully consumed before it was compacted
+        if leaves & consumed_leaves:
+            raise RuntimeError(
+                f"gold closed history under {gold.root} was compacted across the refresh "
+                f"boundary ({d} mixes consumed and unconsumed commits); run "
+                "materialize_mart once to rebuild, then resume refresh_mart — or run "
+                "maintenance right after a refresh so compaction only folds consumed dirs"
+            )
+        new_dirs.append(d)
+    if not consumed_leaves <= covered:
+        raise RuntimeError(
+            f"gold closed history under {gold.root} was compacted/rewritten since the "
+            "last refresh; run materialize_mart once to rebuild, then resume refresh_mart"
+        )
     cur = gold.read_current().persist()
     closed_delta = gold.read_closed(dirs=new_dirs).persist()
     try:

@@ -66,6 +66,37 @@ class VersionNotFoundError(FileNotFoundError):
     manifest was pruned by ``vacuum(retain_last=...)``."""
 
 
+def lineage_leaves(dir_name: str, lineage: dict[str, list[str]]) -> set[str]:
+    """Resolve a closed dir to the set of ORIGINAL commit dirs it
+    covers, through any number of compactions: a dir with no lineage
+    entry is itself a leaf; a compacted dir expands recursively through
+    its recorded sources.  Incremental consumers compare these leaf
+    sets against their consumed-dir bookkeeping to decide whether a
+    compacted dir is new data, already-consumed data, or an
+    unrecoverable mix."""
+    srcs = lineage.get(dir_name)
+    if not srcs:
+        return {dir_name}
+    out: set[str] = set()
+    for s in srcs:
+        out |= lineage_leaves(s, lineage)
+    return out
+
+
+def _prune_lineage(lineage: dict[str, list[str]], closed: list[str]) -> dict[str, list[str]]:
+    """Keep only lineage entries reachable from the live closed list —
+    entries stranded by snapshot replaces or repeated compactions are
+    dead weight in every future manifest."""
+    keep: set[str] = set()
+    stack = list(closed)
+    while stack:
+        d = stack.pop()
+        if d in lineage and d not in keep:
+            keep.add(d)
+            stack.extend(lineage[d])
+    return {k: lineage[k] for k in sorted(keep)}
+
+
 class TxTable:
     """Versioned parquet table with atomic manifest commits.
 
@@ -353,7 +384,8 @@ class TxTable:
     # -- writes ----------------------------------------------------------
     _OWNED_MANIFEST_KEYS = frozenset(
         ("version", "current", "closed", "run_id", "schema",
-         "dir_schemas", "dir_stats", "current_table", "bucket")
+         "dir_schemas", "dir_stats", "current_table", "bucket",
+         "compacted_lineage")
     )
 
     def _carried_extras(self, prev: dict) -> dict:
@@ -396,6 +428,9 @@ class TxTable:
             dir_stats[closed_dir] = delta_stats
         man = {
             **self._carried_extras(prev),
+            # closed history only grows under a merge, so prior
+            # compaction provenance stays valid and carries
+            **{k: prev[k] for k in ("compacted_lineage",) if k in prev},
             "version": prev["version"] + 1,
             "current": cur_dir,
             "closed": prev["closed"] + [closed_dir],
@@ -506,8 +541,9 @@ class TxTable:
         man = {
             **self._carried_extras(prev),
             # current is untouched by an append: its table/bucket
-            # metadata carries too
-            **{k: prev[k] for k in ("current_table", "bucket") if k in prev},
+            # metadata carries too; an append only grows the closed
+            # list, so compaction provenance stays valid as well
+            **{k: prev[k] for k in ("current_table", "bucket", "compacted_lineage") if k in prev},
             "version": prev["version"] + 1,
             "current": prev["current"],
             "closed": prev["closed"] + [closed_dir],
@@ -593,6 +629,18 @@ class TxTable:
                 if any(v[0] is None or v[1] is None for v in vals):
                     continue
                 folded[c] = [min(v[0] for v in vals), max(v[1] for v in vals)]
+        # provenance for incremental consumers: record which closed dirs
+        # the compacted dir replaces, keeping earlier compactions'
+        # entries so the mapping back to ORIGINAL commit dirs stays
+        # resolvable across repeated compactions.  A consumer whose
+        # bookkeeping covers all of a compacted dir's leaf sources can
+        # treat the compacted dir as already consumed instead of
+        # refusing to refresh (`pipeline/mart.refresh_mart`).  Dir-name
+        # metadata only — a few strings per compaction, never data.
+        lineage = {
+            **man.get("compacted_lineage", {}),
+            compacted: list(man["closed"]),
+        }
         # carry every field compaction doesn't own through unchanged:
         # current_table/bucket (the current dir is untouched — dropping
         # them would silently lose the exchange-free join path) and any
@@ -608,6 +656,7 @@ class TxTable:
             "schema": schema_json,
             "dir_schemas": {compacted: schema_json},
             "dir_stats": {compacted: folded} if folded else {},
+            "compacted_lineage": _prune_lineage(lineage, [compacted]),
         }
         self._publish(new_man)
         return new_man["version"]

@@ -117,6 +117,59 @@ def test_refresh_mart_matches_full_rebuild(spark, tmp_path):
         assert rows_of(inc_df) == rows_of(full_df), f"{name} diverged from the full rebuild"
 
 
+def test_refresh_mart_survives_maintenance_cycle(spark, tmp_path):
+    """The maintenance cadence (VERDICT r6 #6): run_day → refresh_mart →
+    Warehouse.maintain (compaction + vacuum) must leave the incremental
+    refresh working — the compacted dir's recorded lineage marks it
+    consumed — and the tables row-identical to a full rebuild."""
+    from nlu_data_warehouse_project_spark.pipeline import Warehouse
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    dd = build_date_dim(spark, "2024-12-01", "2024-12-31")
+    dd.write.parquet(wh.date_dim_dir)
+    feed_cols = ["sku", "product_name", "price", "brand", "material", "shape",
+                 "dimension", "origin", "quantity_available", "product_url"]
+
+    def feed(rows):
+        return spark.createDataFrame(
+            [(sku, name, price, brand, "M", "Sh", "D", "O", "1", f"u{sku}")
+             for (sku, name, price, brand) in rows],
+            feed_cols,
+        )
+
+    days = [
+        ("2024-12-08", [("S1", "P1", "100", "A"), ("S2", "P2", "200", "B")]),
+        ("2024-12-09", [("S1", "P1", "150", "A")]),
+        ("2024-12-10", [("S1", "P1", "175", "A"), ("S3", "P3", "300", "A")]),
+        ("2024-12-11", [("S2", "P2", "250", "B")]),
+    ]
+    mart_dir = str(tmp_path / "mart_inc")
+    for i, (day, rows) in enumerate(days):
+        wh.run_day(feed(rows), 1, day)
+        wh.refresh_mart(mart_dir, run_id=day)
+        if i == 1:  # mid-series maintenance: folds the 2 consumed dirs
+            out = wh.maintain(min_dirs=2, retain_last=1)
+            assert out["compacted_version"] is not None
+            assert out["vacuumed"], "vacuum reclaimed the superseded dirs"
+            man = wh.gold().manifest()
+            assert len(man["closed"]) == 1 and man["closed"][0] in man["compacted_lineage"]
+
+    # a second maintenance after the series also folds cleanly
+    assert wh.maintain(min_dirs=2, retain_last=1)["compacted_version"] is not None
+    wh.run_day(feed([("S3", "P3", "350", "A")]), 1, "2024-12-12")
+    wh.refresh_mart(mart_dir, run_id="2024-12-12")
+
+    full = materialize_mart(wh.read_dw(), dd, str(tmp_path / "mart_full"), stable_sk=True)
+
+    def rows_of(df):
+        return sorted(tuple(str(v) for v in r) for r in df.select(*sorted(df.columns)).collect())
+
+    for name, full_df in full.items():
+        inc_df = TxTable(spark, f"{mart_dir}/{name}").read()
+        assert rows_of(inc_df) == rows_of(full_df), f"{name} diverged after maintenance"
+
+
 def test_refresh_mart_refuses_stale_bookkeeping_after_compaction(spark, tmp_path):
     """Gold compaction invalidates the consumed-dir bookkeeping; the
     refresh must say so instead of silently double-counting."""

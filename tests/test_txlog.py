@@ -173,6 +173,47 @@ def test_compact_closed_merges_history_dirs(spark, tmp_path):
     assert sorted((r["price"], str(r["dt_last_update"])) for r in gold.read().collect()) == before
 
 
+def test_compaction_lineage_recorded_carried_and_pruned(spark, tmp_path):
+    """Compaction provenance (`compacted_lineage`): each compaction
+    records its source dirs, the mapping resolves to ORIGINAL commit
+    dirs across repeated compactions, it carries through merge/append
+    commits, dead entries are pruned, and a snapshot replace drops it."""
+    from nlu_data_warehouse_project_spark.sources.txlog import lineage_leaves
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for i, day in enumerate(["2024-12-08", "2024-12-09", "2024-12-10"]):
+        wh.run_day(_feed(spark, [("S1", "P1", str(100 + 10 * i))]), 1, day)
+    gold = TxTable(spark, wh.dw_dir)
+    originals = list(gold.manifest()["closed"])
+
+    gold.compact_closed(min_dirs=2)
+    man = gold.manifest()
+    (c1,) = man["closed"]
+    assert man["compacted_lineage"] == {c1: originals}
+
+    # a merge commit after compaction carries the lineage unchanged
+    wh.run_day(_feed(spark, [("S1", "P1", "140")]), 1, "2024-12-11")
+    man = gold.manifest()
+    assert man["compacted_lineage"] == {c1: originals}
+    d4 = [d for d in man["closed"] if d != c1]
+
+    # second compaction: the new entry chains through the first, and
+    # lineage_leaves resolves all the way down to the original dirs
+    gold.compact_closed(min_dirs=2)
+    man = gold.manifest()
+    (c2,) = man["closed"]
+    assert set(man["compacted_lineage"]) == {c1, c2}
+    assert lineage_leaves(c2, man["compacted_lineage"]) == set(originals) | set(d4)
+
+    # a snapshot replace empties closed history → lineage is dropped
+    snap = TxTable(spark, str(tmp_path / "snap"))
+    snap.commit_append(_feed(spark, [("A", "B", "1")]), "r1")
+    snap.compact_closed(min_dirs=1)
+    assert "compacted_lineage" in snap.manifest()
+    snap.commit_snapshot(_feed(spark, [("A", "B", "2")]), "r2")
+    assert "compacted_lineage" not in snap.manifest()
+
+
 def test_txtable_works_on_uri_scheme_paths(spark, tmp_path):
     """S7 object-store abstraction: every TxTable/landing access goes
     through the Hadoop FileSystem API, so a scheme-qualified URI root
