@@ -230,13 +230,23 @@ class Warehouse:
 
             gold = self.gold()
             if gold.exists():
-                current = gold.read_current().drop("dt_dim")
+                # scope the merge to THIS source's current rows: the
+                # reference keeps one dw table per file_config row
+                # (`destination_table_dw`), so two sources carrying the
+                # same sku have independent SCD2 histories — in the
+                # single shared gold table that means the merge key is
+                # effectively (id_config, natural_key).  Other sources'
+                # current rows ride through the commit untouched.
+                current_all = gold.read_current()
+                current = current_all.filter(F.col("id_config") == id_config).drop("dt_dim")
+                current_other = current_all.filter(F.col("id_config") != id_config)
             else:
                 current = (
                     batch.limit(0)
                     .withColumn("dt_load_to_dw", F.to_date(F.lit(day)))
                     .withColumn("dt_last_update", F.to_date(F.lit(SCD2_OPEN_SENTINEL)))
                 )
+                current_other = None
 
             delta = scd2_merge(
                 current,
@@ -256,8 +266,13 @@ class Warehouse:
             delta = delta.persist()
             try:
                 open_d = F.to_date(F.lit(SCD2_OPEN_SENTINEL))
+                new_current = delta.filter(F.col("dt_last_update") == open_d)
+                if current_other is not None:
+                    new_current = new_current.unionByName(
+                        current_other.select(*new_current.columns)
+                    )
                 gold.commit_merge(
-                    current=delta.filter(F.col("dt_last_update") == open_d),
+                    current=new_current,
                     closed_delta=delta.filter(F.col("dt_last_update") != open_d),
                     run_id=day,
                 )

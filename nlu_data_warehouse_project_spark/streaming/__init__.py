@@ -316,12 +316,29 @@ def streaming_scd2_changes_tws(
     the HDFS-backed store.  Both delegate the state transition to
     ``_scd2_step`` (pure, unit-tested), so the two emission contracts
     are one implementation.  NB: the TWS state-server protocol needs
-    the ``protobuf`` package on the Python workers; the equivalence
-    test skips where it is absent.
+    the ``protobuf`` package on the Python workers (PySpark's generated
+    ``StateMessage_pb2`` imports the real ``google.protobuf`` runtime);
+    where it is absent this raises immediately with the remedy instead
+    of failing opaquely inside an executor mid-stream — use
+    ``streaming_scd2_changes`` (same emission contract, no protobuf)
+    there.  The equivalence test runs only where protobuf exists; the
+    fail-fast path and the shared ``_scd2_step`` core are tested
+    everywhere (COVERAGE.md §2.7 T4).
     """
     import datetime as _dt
 
     import pandas as pd
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "streaming_scd2_changes_tws needs the 'protobuf' package on the "
+            "driver and Python workers (transformWithStateInPandas state "
+            "protocol). Install protobuf, or use streaming_scd2_changes — "
+            "the applyInPandasWithState twin with the identical emission "
+            "contract."
+        ) from exc
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -102,6 +102,79 @@ def test_pipeline_guard_requires_prior_stage(spark, tmp_path):
         wh.load_to_dw(1, "2024-12-08")  # no LS row
 
 
+def test_pipeline_two_sources_three_days(spark, tmp_path):
+    """Multi-source control plane (reference `file_config` rows,
+    `extract_file.py:198-222`: one scrape/load cycle per source id):
+    two id_configs share one Warehouse over three days.  Each source
+    keeps an INDEPENDENT SCD2 history — even for a sku both sources
+    carry — the state machine interleaves per (id_config, day), and one
+    source failing mid-series leaves the other progressing."""
+    alerts = []
+    wh = Warehouse(spark, str(tmp_path / "wh2src"), alert=lambda m, e: alerts.append(m))
+    build_date_dim(spark, "2024-12-01", "2024-12-31").write.parquet(wh.date_dim_dir)
+    bad = spark.createDataFrame([("x",)], ["not_a_feed_col"])
+    open_d = F.col("dt_last_update") == F.lit("9999-12-31").cast("date")
+
+    # day 1: both sources carry sku S1 (same natural key!) at different
+    # prices; source 2 also has its own S9
+    wh.run_day(_feed(spark, [("S1", "P1", "100", "A")]), 1, "2024-12-08")
+    wh.run_day(_feed(spark, [("S1", "P1", "111", "A"), ("S9", "P9", "900", "Z")]), 2, "2024-12-08")
+    dw = wh.read_dw()
+    assert dw.count() == 3
+    assert {(r["id_config"], r["price"]) for r in dw.filter(open_d).collect()} == {
+        (1, 100), (2, 111), (2, 900)}
+
+    # day 2: source 1 changes S1; source 2's feed is broken — extract
+    # lands it, staging fails, source 1 is unaffected
+    wh.run_day(_feed(spark, [("S1", "P1", "150", "A")]), 1, "2024-12-09")
+    wh.extract(bad, 2, "2024-12-09")
+    with pytest.raises(Exception):
+        wh.load_to_staging(2, "2024-12-09")
+    assert len(alerts) == 1 and "id_config=2" in alerts[0]
+
+    ctrl = wh.control()
+    assert ctrl.has_log(1, "2024-12-09", [STATUS_LOAD_DW_SUCCESS])
+    assert ctrl.has_log(2, "2024-12-09", ["SF"])
+    # the guard is per-source: day 2 re-runs refused for BOTH, for
+    # their own reasons (1 complete, 2 retryable only from staging)
+    with pytest.raises(DuplicateRunError):
+        wh.extract(bad, 1, "2024-12-09")
+    with pytest.raises(DuplicateRunError):
+        wh.extract(bad, 2, "2024-12-09")
+
+    # source 1's change closed ONLY its own S1 version — source 2's
+    # S1 row (price 111) is still open: independent histories
+    dw = wh.read_dw()
+    s1_rows = dw.filter(F.col("sku") == "S1")
+    assert {(r["id_config"], r["price"]) for r in s1_rows.filter(open_d).collect()} == {
+        (1, 150), (2, 111)}
+    closed = s1_rows.filter(~open_d)
+    assert [(r["id_config"], r["price"]) for r in closed.collect()] == [(1, 100)]
+
+    # day 3: source 2 recovers (its day-2 stays SF — landing data was
+    # bad); source 1 proceeds; both merge independently
+    wh.run_day(_feed(spark, [("S1", "P1", "175", "A")]), 1, "2024-12-10")
+    wh.run_day(_feed(spark, [("S1", "P1", "222", "A")]), 2, "2024-12-10")
+    ctrl = wh.control()
+    assert ctrl.has_log(2, "2024-12-09", ["SF"])  # failed day untouched
+    assert ctrl.has_log(2, "2024-12-10", [STATUS_LOAD_DW_SUCCESS])
+    assert ctrl.has_log(1, "2024-12-10", [STATUS_LOAD_DW_SUCCESS])
+
+    dw = wh.read_dw()
+    # source 1: 100 -> 150 -> 175 (two closed, one open)
+    h1 = sorted(r["price"] for r in dw.filter((F.col("id_config") == 1) & (F.col("sku") == "S1")).collect())
+    assert h1 == [100, 150, 175]
+    # source 2: 111 -> 222 (one closed, one open) + S9 untouched open
+    h2 = sorted(r["price"] for r in dw.filter((F.col("id_config") == 2) & (F.col("sku") == "S1")).collect())
+    assert h2 == [111, 222]
+    s9 = dw.filter(F.col("sku") == "S9").collect()
+    assert len(s9) == 1 and s9[0]["price"] == 900
+    # open set: exactly one current row per (source, key)
+    cur = dw.filter(open_d)
+    assert {(r["id_config"], r["sku"], r["price"]) for r in cur.collect()} == {
+        (1, "S1", 175), (2, "S1", 222), (2, "S9", 900)}
+
+
 def test_pipeline_failure_marks_sf_and_alerts(spark, tmp_path):
     alerts = []
     wh = Warehouse(spark, str(tmp_path / "wh3"), alert=lambda m, e: alerts.append(m))

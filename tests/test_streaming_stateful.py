@@ -191,9 +191,30 @@ def _has_protobuf() -> bool:
 
 
 @pytest.mark.skipif(
+    _has_protobuf(),
+    reason="protobuf present: the fail-fast degradation path cannot trigger "
+    "(the e2e equivalence test below covers this environment instead)",
+)
+def test_tws_without_protobuf_fails_fast_with_remedy(spark, tmp_path):
+    """Where protobuf is absent (this container — see COVERAGE.md §2.7
+    T4), the TWS twin must refuse at CALL time with the remedy named,
+    not die opaquely inside an executor once the stream starts."""
+    from nlu_data_warehouse_project_spark.streaming import streaming_scd2_changes_tws
+
+    src = tmp_path / "empty-src"
+    src.mkdir()
+    sdf = spark.readStream.schema(
+        "user_id long, value double, ts timestamp, run_date date"
+    ).parquet(str(src))
+    with pytest.raises(ImportError, match="streaming_scd2_changes"):
+        streaming_scd2_changes_tws(sdf)
+
+
+@pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas state protocol needs the protobuf package "
-    "(absent in this container); the shared _scd2_step core is unit-tested above",
+    "— EXPECTED skip in this container (documented unsupported-in-container, "
+    "COVERAGE.md §2.7 T4); the fail-fast twin test above runs here instead",
 )
 def test_transform_with_state_scd2_matches_applyinpandas_form(spark, tmp_path):
     """The transformWithStateInPandas twin must emit the same change
