@@ -165,6 +165,78 @@ def simhash60(col: Column | str) -> Column:
     return out
 
 
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 — the public
+# rule-based pre-training filter).  Each signal is a pure column
+# expression (JVM-side, whole-stage codegen); the composite gate ANDs
+# the published thresholds.  RE2-safe patterns so an independent engine
+# mirrors every signal exactly.
+
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def mean_word_length(col: Column | str) -> Column:
+    """Mean token length in characters (0.0 for empty docs)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def alpha_word_fraction(col: Column | str) -> Column:
+    """Fraction of tokens containing at least one letter — prose has
+    nearly all; tables/serial dumps fail (Gopher: >= 0.8 required)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}")))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(col: Column | str) -> Column:
+    """(# chars + '...' occurrences) per word — boilerplate/markup
+    signal (Gopher: <= 0.1 required)."""
+    c = _c(col)
+    n = token_count(col)
+    hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ellipses = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    return F.when(n > 0, (hashes + ellipses).cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def required_stopword_hits(col: Column | str) -> Column:
+    """How many DISTINCT words of the required-stopword set appear
+    (Gopher: >= 2 required — catches keyword-stuffed non-prose that
+    sails through a stopword-FRACTION check)."""
+    toks = tokens(F.lower(_c(col)))
+    hit = [F.array_contains(toks, w).cast("int") for w in GOPHER_REQUIRED_STOPWORDS]
+    out = hit[0]
+    for h in hit[1:]:
+        out = out + h
+    return out
+
+
+def gopher_quality_gate(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The composite Gopher rule gate: True = keep.  Defaults are the
+    published thresholds; tighten/loosen per corpus."""
+    n = token_count(col)
+    mwl = mean_word_length(col)
+    return (
+        (n >= min_words) & (n <= max_words)
+        & (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+        & (symbol_word_ratio(col) <= max_symbol_ratio)
+        & (alpha_word_fraction(col) >= min_alpha_frac)
+        & (required_stopword_hits(col) >= min_stop_hits)
+    )
+
+
 # PII-ish scrub patterns — RE2-compatible (no lookarounds), so the same
 # pattern strings run in Spark (Java regex) and any RE2 engine
 REDACT_PATTERNS = [

@@ -2866,3 +2866,193 @@ ORACLE_SQL.update({
     "q70_shipping_priority": Q70_SQL,
     "q71_local_supplier_volume": Q71_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: Gopher-style rule-based quality gate (q72)
+# ---------------------------------------------------------------------------
+
+def q72_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule signals (Rae et al. 2021 §A1.1) and the
+    composite keep/drop gate — the standard rule-based pre-training
+    filter, complementing the score-style gate in q15.  All signals are
+    scan-local column expressions: zero shuffles, one pass over the
+    documents scan."""
+    from .functions.text import (
+        alpha_word_fraction,
+        gopher_quality_gate,
+        mean_word_length,
+        required_stopword_hits,
+        symbol_word_ratio,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dec = lambda c: c.cast("decimal(25,6)")
+    n = token_count("text")
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(dec(mean_word_length("text")), 4).cast("double").alias("mean_word_len"),
+        F.round(dec(symbol_word_ratio("text")), 4).cast("double").alias("symbol_ratio"),
+        F.round(dec(alpha_word_fraction("text")), 4).cast("double").alias("alpha_frac"),
+        required_stopword_hits("text").alias("stop_hits"),
+        gopher_quality_gate("text").cast("int").alias("keep"),
+    )  # no orderBy: scan-local zero-shuffle plan (pinned in test_plans);
+    # the oracle compare is order-insensitive
+
+
+Q72_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         {_TOKENS_SQL} AS toks,
+         {_LTOKENS_SQL} AS ltoks,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis
+  FROM documents
+), per_doc AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mwl,
+         CAST(n_hash + n_ellipsis AS DOUBLE) / len(toks) AS symr,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '\\p{{L}}'))) AS DOUBLE)
+           / len(toks) AS alphaf,
+         (CAST(list_contains(ltoks, 'the') AS INT) + CAST(list_contains(ltoks, 'be') AS INT)
+          + CAST(list_contains(ltoks, 'to') AS INT) + CAST(list_contains(ltoks, 'of') AS INT)
+          + CAST(list_contains(ltoks, 'and') AS INT) + CAST(list_contains(ltoks, 'that') AS INT)
+          + CAST(list_contains(ltoks, 'have') AS INT) + CAST(list_contains(ltoks, 'with') AS INT)
+         ) AS stop_hits
+  FROM sig
+)
+SELECT doc_id,
+       n_words,
+       CAST(round(CAST(mwl AS DECIMAL(25,6)), 4) AS DOUBLE) AS mean_word_len,
+       CAST(round(CAST(symr AS DECIMAL(25,6)), 4) AS DOUBLE) AS symbol_ratio,
+       CAST(round(CAST(alphaf AS DECIMAL(25,6)), 4) AS DOUBLE) AS alpha_frac,
+       stop_hits,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND mwl BETWEEN 3.0 AND 10.0
+            AND symr <= 0.1
+            AND alphaf >= 0.8
+            AND stop_hits >= 2 AS INT) AS keep
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+QUERIES.update({"q72_gopher_rules": q72_gopher_rules})
+ORACLE_SQL.update({"q72_gopher_rules": Q72_SQL})
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: per-source top n-grams — corpus inspection (q73)
+# ---------------------------------------------------------------------------
+
+def q73_top_ngrams_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent word bigrams per source — the corpus-inspection
+    profile behind boilerplate hunting and contamination review (what
+    phrase dominates a crawl source?).  Shape at 100 TB: explode is
+    scan-local, the count is one map-side-combined shuffle on
+    (source, ngram), and the per-source top-k runs as a WindowGroupLimit
+    partial top-n (each task keeps k rows per group before the final
+    rank) — never a full sort of the ngram space."""
+    from .functions.text import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("ngram"))
+    return (
+        docs.select("source", F.explode(shingles("text", 2)).alias("ngram"))
+        .groupBy("source", "ngram")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("source", "rank")
+    )
+
+
+_BIGRAMS_SQL = (
+    "list_transform(generate_series(1, greatest(len(%(tok)s) - 1, 1)),"
+    " i -> array_to_string((%(tok)s)[i:i+1], ' '))" % {"tok": _TOKENS_SQL}
+)
+
+Q73_SQL = f"""
+WITH exploded AS (
+  SELECT source, unnest({_BIGRAMS_SQL}) AS ngram FROM documents
+), counted AS (
+  SELECT source, ngram, count(*) AS cnt FROM exploded GROUP BY source, ngram
+), ranked AS (
+  SELECT source, ngram, cnt,
+         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, ngram ASC) AS rank
+  FROM counted
+)
+SELECT source, ngram, cnt, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY source, rank
+"""
+
+
+QUERIES.update({"q73_top_ngrams_per_source": q73_top_ngrams_per_source})
+ORACLE_SQL.update({"q73_top_ngrams_per_source": Q73_SQL})
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: embedding health check (q74)
+# ---------------------------------------------------------------------------
+
+def q74_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-table health profile: vector counts, norm
+    range, dimensionality drift, zero/degenerate vectors — the sanity
+    gate an ANN/similarity pipeline runs before indexing (a single bad
+    writer shipping unnormalized or truncated vectors poisons every
+    downstream top-k).  One map-side-combined shuffle on label; the
+    norm is a scan-local HOF fold."""
+    from .operators.similarity import norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nrm = norm("embedding")
+    return (
+        emb.select(
+            "label",
+            nrm.alias("nrm"),
+            F.size("embedding").alias("dim"),
+            (nrm < F.lit(1e-12)).cast("int").alias("is_zero"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("nrm"), 4).cast("double").alias("min_norm"),
+            F.round(F.max("nrm"), 4).cast("double").alias("max_norm"),
+            F.round(F.sum(F.col("nrm").cast("decimal(25,6)")) / F.count(F.lit(1)), 4)
+            .cast("double")
+            .alias("avg_norm"),
+            F.countDistinct("dim").alias("n_dims"),
+            F.min("dim").alias("min_dim"),
+            F.sum("is_zero").alias("n_zero"),
+        )
+        .orderBy("label")
+    )
+
+
+Q74_SQL = """
+WITH per_vec AS (
+  SELECT label,
+         sqrt(list_dot_product(embedding, embedding)) AS nrm,
+         len(embedding) AS dim
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vecs,
+       CAST(round(min(nrm), 4) AS DOUBLE) AS min_norm,
+       CAST(round(max(nrm), 4) AS DOUBLE) AS max_norm,
+       CAST(round(sum(CAST(nrm AS DECIMAL(25,6))) / count(*), 4) AS DOUBLE) AS avg_norm,
+       count(DISTINCT dim) AS n_dims,
+       CAST(min(dim) AS INT) AS min_dim,
+       CAST(sum(CAST(nrm < 1e-12 AS INT)) AS BIGINT) AS n_zero
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
+QUERIES.update({"q74_embedding_health": q74_embedding_health})
+ORACLE_SQL.update({"q74_embedding_health": Q74_SQL})

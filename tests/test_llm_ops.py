@@ -159,6 +159,45 @@ def test_text_expressions(spark):
     assert 0.0 <= rows[0]["q"] <= 1.0
 
 
+def test_gopher_rules(spark):
+    """Gopher rule signals (Rae et al. 2021 §A1.1) on edge cases the
+    q72 oracle can't cover: empty text, keyword-stuffed non-prose,
+    symbol floods, and a passing fluent document."""
+    from nlu_data_warehouse_project_spark.functions.text import (
+        alpha_word_fraction,
+        gopher_quality_gate,
+        mean_word_length,
+        required_stopword_hits,
+        symbol_word_ratio,
+    )
+
+    fluent = "the quick brown fox jumps over one lazy dog and that " + "have with be of words " * 10
+    stuffed = "buy cheap watches buy cheap watches " * 10          # no required stopwords
+    symbols = "# " * 30 + "the price of be and that have with it"  # symbol flood
+    df = spark.createDataFrame(
+        [("", ), (fluent,), (stuffed,), (symbols,), ("12 34 56 78 " * 20,)],
+        ["text"],
+    )
+    rows = df.select(
+        mean_word_length("text").alias("mwl"),
+        alpha_word_fraction("text").alias("af"),
+        symbol_word_ratio("text").alias("sr"),
+        required_stopword_hits("text").alias("sh"),
+        gopher_quality_gate("text", min_words=10).alias("keep"),
+    ).collect()
+    empty, flu, stf, sym, nums = rows
+    assert empty["mwl"] == 0.0 and empty["af"] == 0.0 and not empty["keep"]
+    assert flu["sh"] >= 2 and flu["af"] == 1.0 and flu["keep"]
+    assert stf["sh"] == 0 and not stf["keep"]          # stopword rule
+    assert sym["sr"] > 0.1 and not sym["keep"]         # symbol rule
+    assert nums["af"] == 0.0 and not nums["keep"]      # alpha rule
+    # ellipsis counts 1 per occurrence, not 3 chars
+    (e,) = spark.createDataFrame([("well ... maybe ... no",)], ["text"]).select(
+        symbol_word_ratio("text").alias("sr")
+    ).collect()
+    assert abs(e["sr"] - 2 / 5) < 1e-9
+
+
 def test_curate_corpus_end_to_end(spark):
     from nlu_data_warehouse_project_spark.pipeline.curate import curate_corpus
 

@@ -49,7 +49,8 @@ def test_relational_queries_have_no_python_in_hot_path(spark, sf_smoke):
                  "q46_stratified_sample", "q48_redact_pii", "q49_chunk_text",
                  "q64_lsh_bucket_stats", "q65_session_windows",
                  "q66_incremental_embedding_dedup", "q67_cap_per_source",
-                 "q68_rebalance_sources"):
+                 "q68_rebalance_sources", "q72_gopher_rules",
+                 "q73_top_ngrams_per_source", "q74_embedding_health"):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
 
@@ -57,7 +58,7 @@ def test_relational_queries_have_no_python_in_hot_path(spark, sf_smoke):
 def test_scan_local_ops_have_no_shuffle(spark, sf_smoke):
     # redaction and chunking are per-row transforms: any exchange in
     # their plan is a regression
-    for name in ("q48_redact_pii", "q49_chunk_text"):
+    for name in ("q48_redact_pii", "q49_chunk_text", "q72_gopher_rules"):
         q = QUERIES[name](spark, sf_smoke)
         assert shuffle_count(q) == 0, f"{name} grew a shuffle"
 
