@@ -42,3 +42,59 @@ def chunk_text(
         chunk_col,
         F.expr(f"substring({text_col}, {idx_col} * {step} + 1, {chunk_chars})"),
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col=None,
+    context_len: int = 256,
+) -> DataFrame:
+    """GPT-style sequence packing offsets: documents concatenate in
+    ``id_col`` order within each ``group_col`` stream, and the token
+    stream is cut into fixed ``context_len`` windows (documents may
+    straddle a cut — the standard concat-then-chunk pretraining
+    layout).  Emits, per document: its token count, start offset in
+    the stream, the pack (window) its first token lands in, and how
+    many packs it spans — everything a batch loader needs to
+    materialize packed examples.
+
+    ``tokens_col``: a Column with the document's token count; defaults
+    to the whitespace ``token_count`` over ``text``.
+
+    Scale shape: ONE window function partitioned by ``group_col``
+    (running sum) — packing is embarrassingly parallel across sources/
+    shards, sequential only within one source's stream, which is the
+    determinism the layout requires.  No explode, no Python; a skewed
+    giant source should be pre-split into shard groups by the caller.
+    """
+    if tokens_col is None:
+        from ..functions.text import token_count
+
+        tokens_col = token_count("text")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("n_tokens", tokens_col)
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("long")
+    end = (cum - 1).cast("long")  # last token offset (inclusive)
+    return out.select(
+        group_col,
+        id_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / context_len).cast("long").alias("pack_id"),
+        F.when(
+            F.col("n_tokens") > 0,
+            (F.floor(end / context_len) - F.floor(start / context_len) + 1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_packs_spanned"),
+    )

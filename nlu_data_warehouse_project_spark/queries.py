@@ -3056,3 +3056,42 @@ ORDER BY label
 
 QUERIES.update({"q74_embedding_health": q74_embedding_health})
 ORACLE_SQL.update({"q74_embedding_health": Q74_SQL})
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: sequence-packing offsets (q75)
+# ---------------------------------------------------------------------------
+
+def q75_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing layout per source stream (the GPT
+    pretraining batch layout): each document's start offset, containing
+    pack, and span over 256-token context windows.  One window
+    partitioned by source — parallel across sources, sequential only
+    within a stream."""
+    from .operators.chunking import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_documents(docs, "source", "doc_id", context_len=256)
+
+
+Q75_SQL = f"""
+WITH counted AS (
+  SELECT source, doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents
+), cum AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM counted
+)
+SELECT source, doc_id, n_tokens,
+       CAST(c - n_tokens AS BIGINT) AS start_offset,
+       CAST((c - n_tokens) // 256 AS BIGINT) AS pack_id,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (c - 1) // 256 - (c - n_tokens) // 256 + 1
+                 ELSE 0 END AS BIGINT) AS n_packs_spanned
+FROM cum
+"""
+
+
+QUERIES.update({"q75_pack_sequences": q75_pack_sequences})
+ORACLE_SQL.update({"q75_pack_sequences": Q75_SQL})

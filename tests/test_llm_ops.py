@@ -390,6 +390,30 @@ def test_chunk_text_windows(spark):
         chunk_text(docs, chunk_chars=4, overlap=4)
 
 
+def test_pack_documents_offsets(spark):
+    """Concat-then-chunk packing: offsets accumulate per group stream
+    in id order, straddling documents span multiple packs, empty docs
+    occupy none, and groups pack independently."""
+    from nlu_data_warehouse_project_spark.operators.chunking import pack_documents
+
+    docs = spark.createDataFrame(
+        [
+            ("a", 1, "w " * 6),    # 6 tokens: offsets 0-5, pack 0
+            ("a", 2, "w " * 3),    # 3 tokens: 6-8, straddles packs 0-1 (ctx=8)
+            ("a", 3, ""),          # empty: start 9, spans 0 packs
+            ("a", 4, "w " * 8),    # 8 tokens: 9-16, packs 1-2
+            ("b", 9, "w " * 5),    # independent stream: starts at 0 again
+        ],
+        "source string, doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_documents(docs, context_len=8).collect()}
+    assert (rows[1]["start_offset"], rows[1]["pack_id"], rows[1]["n_packs_spanned"]) == (0, 0, 1)
+    assert (rows[2]["start_offset"], rows[2]["pack_id"], rows[2]["n_packs_spanned"]) == (6, 0, 2)
+    assert (rows[3]["start_offset"], rows[3]["n_packs_spanned"]) == (9, 0)
+    assert (rows[4]["start_offset"], rows[4]["pack_id"], rows[4]["n_packs_spanned"]) == (9, 1, 2)
+    assert (rows[9]["start_offset"], rows[9]["pack_id"]) == (0, 0)
+
+
 def test_simhash_is_deterministic(spark):
     df = spark.createDataFrame([("hello world foo bar",)], ["text"])
     a = df.select(simhash60("text")).first()[0]
