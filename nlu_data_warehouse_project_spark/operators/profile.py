@@ -130,3 +130,56 @@ def corpus_profile(
             "dup_rate", F.round(1.0 - F.col("n_distinct_fp") / F.col("n_docs"), 4)
         )
     )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    shared_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-document duplicated-n-gram mass (the RefinedWeb/MassiveText
+    repetition filter family, corpus-wide flavor): per document, the
+    fraction of its DISTINCT word n-grams that also occur in at least
+    one other document.  Boilerplate-heavy pages (navigation chrome,
+    license headers, templated listings) score high and get flagged
+    even when no single document pair crosses a near-dup threshold —
+    this catches many-way diffuse duplication that pairwise MinHash
+    misses by design.
+
+    Returns (id, n_shingles, shared_frac, dup_heavy) with
+    ``dup_heavy = shared_frac > shared_threshold``.
+
+    Scale shape: explode is scan-local; the per-(doc, shingle) distinct
+    and the shingle document-frequency count are two map-side-combined
+    shuffles on the shingle key; the per-doc rollup is one more keyed
+    aggregation.  The intermediate document-frequency table is the
+    reusable corpus artifact — persist it when several filters consume
+    it.  No Python, no cross join; skew on a viral shingle is bounded
+    because the count aggregates before anything joins back.
+    """
+    from ..functions.text import shingles
+
+    doc_sh = (
+        df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
+        .distinct()
+    )
+    # document frequency per shingle, joined straight back onto the
+    # exploded rows: the join key is the shuffle key already in place
+    freq = doc_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        doc_sh.join(freq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("decimal(25,6)")
+                / F.count(F.lit(1)),
+                4,
+            )
+            .cast("double")
+            .alias("shared_frac"),
+        )
+        .withColumn("dup_heavy", (F.col("shared_frac") > F.lit(shared_threshold)).cast("int"))
+    )

@@ -3095,3 +3095,37 @@ FROM cum
 
 QUERIES.update({"q75_pack_sequences": q75_pack_sequences})
 ORACLE_SQL.update({"q75_pack_sequences": Q75_SQL})
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: duplicated n-gram mass (q76)
+# ---------------------------------------------------------------------------
+
+def q76_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-n-gram mass per document — the diffuse
+    boilerplate signal pairwise near-dup misses (RefinedWeb-style)."""
+    from .operators.profile import dup_ngram_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_ngram_fraction(docs, "text", "doc_id", shingle_n=3)
+
+
+Q76_SQL = f"""
+WITH doc_sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents
+), freq AS (
+  SELECT sh, count(*) AS df FROM doc_sh GROUP BY sh
+)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       CAST(round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DECIMAL(25,6) / count(*), 4)
+            AS DOUBLE) AS shared_frac,
+       CAST(CAST(round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DECIMAL(25,6) / count(*), 4)
+            AS DOUBLE) > 0.5 AS INT) AS dup_heavy
+FROM doc_sh JOIN freq USING (sh)
+GROUP BY doc_id
+"""
+
+
+QUERIES.update({"q76_dup_ngram_fraction": q76_dup_ngram_fraction})
+ORACLE_SQL.update({"q76_dup_ngram_fraction": Q76_SQL})

@@ -390,6 +390,28 @@ def test_chunk_text_windows(spark):
         chunk_text(docs, chunk_chars=4, overlap=4)
 
 
+def test_dup_ngram_fraction_flags_diffuse_boilerplate(spark):
+    """Many-way template duplication that no single PAIR would flag:
+    the shared navigation chrome pushes every templated doc over the
+    threshold while the unique doc stays clean."""
+    from nlu_data_warehouse_project_spark.operators.profile import dup_ngram_fraction
+
+    chrome = "home about contact privacy terms sitemap login register"
+    docs = spark.createDataFrame(
+        [
+            (1, chrome + " alpha beta"),
+            (2, chrome + " gamma delta"),
+            (3, chrome + " epsilon zeta"),
+            (4, "completely original prose with no shared phrasing at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dup_ngram_fraction(docs, shingle_n=3).collect()}
+    for d in (1, 2, 3):
+        assert rows[d]["dup_heavy"] == 1 and rows[d]["shared_frac"] > 0.5
+    assert rows[4]["dup_heavy"] == 0 and rows[4]["shared_frac"] == 0.0
+
+
 def test_pack_documents_offsets(spark):
     """Concat-then-chunk packing: offsets accumulate per group stream
     in id order, straddling documents span multiple packs, empty docs

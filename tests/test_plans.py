@@ -51,7 +51,7 @@ def test_relational_queries_have_no_python_in_hot_path(spark, sf_smoke):
                  "q66_incremental_embedding_dedup", "q67_cap_per_source",
                  "q68_rebalance_sources", "q72_gopher_rules",
                  "q73_top_ngrams_per_source", "q74_embedding_health",
-                 "q75_pack_sequences"):
+                 "q75_pack_sequences", "q76_dup_ngram_fraction"):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
 
