@@ -1,0 +1,97 @@
+"""Snapshot / corpus version diffing over TxTable time travel.
+
+The question every curation iteration asks — "what changed in the
+corpus between the version we trained on and HEAD?" — has two
+scale-distinct answers:
+
+* append-shaped tables (training corpora via ``commit_append``): the
+  answer is already materialized as the closed segments added between
+  the two manifests.  ``TxTable.read_closed_delta`` returns exactly
+  those dirs — an O(delta) manifest lookup + scan, no join, no full
+  read of either version.
+* merge/snapshot-shaped tables (SCD2 gold, dimensions): rows mutate,
+  so the diff is a key-wise comparison of the two versions.
+  ``snapshot_diff`` below is that join: one shuffle per side on the
+  key, null-safe column comparison, classification in a single pass.
+
+Both compose with the manifest log's version retention: any version
+``vacuum`` kept is diffable.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Key-wise diff of two snapshots: one output row per key whose
+    state differs, classified ``added`` / ``removed`` / ``changed``
+    (unchanged keys are dropped).  Value columns carry the NEW side
+    for added/changed rows and the OLD side for removed rows.
+
+    ``compare_cols`` defaults to every shared non-key column.  Columns
+    present in only one snapshot are ignored for comparison (schema
+    evolution between versions) but still reported from the surviving
+    side.  One shuffle per side; at 100 TB prefer diffing the CURRENT
+    sets of two versions rather than full histories — closed history
+    is immutable, so its diff is ``read_closed_delta``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    shared = [c for c in new.columns if c in set(old.columns) and c not in keys]
+    cmp_cols = [c for c in (compare_cols or shared) if c not in keys]
+    missing = set(cmp_cols) - set(shared)
+    if missing:
+        raise ValueError(f"compare_cols not shared by both snapshots: {sorted(missing)}")
+
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = reduce(
+        lambda a, b: a & b, [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    )
+    joined = o.join(n, cond, "full_outer")
+
+    in_old = reduce(lambda a, b: a | b, [F.col(f"o.{k}").isNotNull() for k in keys])
+    in_new = reduce(lambda a, b: a | b, [F.col(f"n.{k}").isNotNull() for k in keys])
+    same = (
+        reduce(lambda a, b: a & b, [F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in cmp_cols])
+        if cmp_cols
+        else F.lit(True)
+    )
+    change = (
+        F.when(in_old & ~in_new, F.lit("removed"))
+        .when(in_new & ~in_old, F.lit("added"))
+        .when(~same, F.lit("changed"))
+    )
+    side = lambda c: F.when(change == "removed", F.col(f"o.{c}")).otherwise(F.col(f"n.{c}"))
+    out_vals = [c for c in new.columns if c not in keys]
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys],
+            "change",
+            *[
+                (side(c) if c in shared else F.col(f"n.{c}")).alias(c)
+                for c in out_vals
+            ],
+        )
+    )
+
+
+def table_diff(table, v_old: int, v_new: int | None = None, key: str | list[str] = "natural_key") -> DataFrame:
+    """``snapshot_diff`` of two committed versions of a TxTable's
+    CURRENT set (the live state a consumer sees).  Current sets are
+    unique on the merge key, which the join requires; the closed
+    history between the versions is append-only and therefore
+    O(delta)-diffable via ``TxTable.read_closed_delta`` instead."""
+    return snapshot_diff(
+        table.read_current(version=v_old), table.read_current(version=v_new), key
+    )

@@ -319,6 +319,41 @@ class TxTable:
         """The full logical table: open ∪ closed history."""
         return self.read_current(version).unionByName(self.read_closed(version))
 
+    def read_closed_delta(self, since_version: int, version: int | None = None) -> DataFrame:
+        """Rows appended/closed between two versions: the closed dirs
+        present at ``version`` (default: latest) but not at
+        ``since_version``.  For an append-shaped corpus this IS the
+        corpus diff — O(delta) manifest lookup + scan, no join, no full
+        read of either version (`operators/diff.py`); for a merge table
+        it is the versions closed in between.  Compaction-aware via
+        ``compacted_lineage`` leaf resolution; raises if a compaction
+        folded pre- and post-``since_version`` dirs together (the delta
+        is then unrecoverable — diff the snapshots instead)."""
+        old_man = self.manifest(since_version)
+        new_man = self.manifest(version)
+        if old_man is None or new_man is None:
+            raise VersionNotFoundError(
+                f"both versions must exist under {self.root}: "
+                f"since={since_version}, to={version if version is not None else 'latest'}"
+            )
+        lineage = new_man.get("compacted_lineage", {})
+        old_leaves: set[str] = set()
+        for d in old_man["closed"]:
+            old_leaves |= lineage_leaves(d, lineage)
+        delta_dirs = []
+        for d in new_man["closed"]:
+            leaves = lineage_leaves(d, lineage)
+            if leaves <= old_leaves:
+                continue
+            if leaves & old_leaves:
+                raise RuntimeError(
+                    f"{d} was compacted across the v{since_version} boundary; "
+                    "the delta cannot be recovered from segments — use "
+                    "operators.diff.snapshot_diff on the two versions instead"
+                )
+            delta_dirs.append(d)
+        return self.read_closed(version=new_man["version"], dirs=delta_dirs)
+
     @staticmethod
     def _stat_value(v):
         """JSON-stable stat encoding: numbers as-is, everything else as

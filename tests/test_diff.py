@@ -1,0 +1,96 @@
+"""Version diffing: O(delta) segment diffs for append corpora
+(`TxTable.read_closed_delta`) and key-wise snapshot diffs for
+merge-shaped tables (`operators/diff.py`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nlu_data_warehouse_project_spark.operators.diff import snapshot_diff, table_diff
+from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_read_closed_delta_is_the_corpus_diff(spark, tmp_path):
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    corpus.commit_append(_df(spark, [(1, "a"), (2, "b")]), "d1")       # v1
+    corpus.commit_append(_df(spark, [(3, "c")]), "d2")                 # v2
+    corpus.commit_append(_df(spark, [(4, "d"), (5, "e")]), "d3")       # v3
+
+    delta = corpus.read_closed_delta(1)
+    assert sorted(r["doc_id"] for r in delta.collect()) == [3, 4, 5]
+    assert sorted(r["doc_id"] for r in corpus.read_closed_delta(2, 3).collect()) == [4, 5]
+    assert corpus.read_closed_delta(3).count() == 0  # v3 -> latest: empty
+
+    with pytest.raises(Exception, match="version 9"):
+        corpus.read_closed_delta(9)
+
+
+def test_read_closed_delta_across_compaction(spark, tmp_path):
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    corpus.commit_append(_df(spark, [(1, "a")]), "d1")   # v1
+    corpus.commit_append(_df(spark, [(2, "b")]), "d2")   # v2
+    corpus.compact_closed(min_dirs=2)                    # v3: folds d1+d2
+    corpus.commit_append(_df(spark, [(3, "c")]), "d4")   # v4
+
+    # the compacted dir covers exactly v2's leaves -> consumed; only d4 is new
+    assert sorted(r["doc_id"] for r in corpus.read_closed_delta(2).collect()) == [3]
+    # the fold crosses the v1 boundary -> unrecoverable from segments
+    with pytest.raises(RuntimeError, match="compacted across"):
+        corpus.read_closed_delta(1)
+
+
+def test_snapshot_diff_classifies(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, t string, v long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "CHANGED", 30), (4, None, 40), (5, "new", 50)],
+        "k long, t string, v long",
+    )
+    rows = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}
+    assert set(rows) == {1, 3, 5}  # 2 and 4 unchanged (incl. null-safe t)
+    assert rows[1]["change"] == "removed" and rows[1]["t"] == "a"   # old side
+    assert rows[3]["change"] == "changed" and rows[3]["t"] == "CHANGED"  # new side
+    assert rows[5]["change"] == "added" and rows[5]["v"] == 50
+
+    # restricted compare: only v matters -> the t change disappears
+    only_v = {r["k"]: r for r in snapshot_diff(old, new, "k", compare_cols=["v"]).collect()}
+    assert set(only_v) == {1, 5}
+    with pytest.raises(ValueError, match="not shared"):
+        snapshot_diff(old, new, "k", compare_cols=["nope"])
+
+
+def test_table_diff_on_scd2_gold(spark, tmp_path):
+    """Current-set diff across two gold versions of the pipeline."""
+    from nlu_data_warehouse_project_spark.pipeline import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    feed_cols = ["sku", "product_name", "price", "brand", "material", "shape",
+                 "dimension", "origin", "quantity_available", "product_url"]
+
+    def feed(rows):
+        return spark.createDataFrame(
+            [(sku, "P" + sku, price, "A", "M", "Sh", "D", "O", "1", "u")
+             for (sku, price) in rows],
+            feed_cols,
+        )
+
+    wh.run_day(feed([("S1", "100"), ("S2", "200")]), 1, "2024-12-08")  # gold v1
+    wh.run_day(feed([("S1", "150"), ("S3", "300")]), 1, "2024-12-09")  # gold v2
+
+    gold = wh.gold()
+    rows = {r["natural_key"]: r for r in table_diff(gold, 1, 2).collect()}
+    # S1 changed price; S3 appeared; S2 stayed open & unchanged
+    assert rows["PS1-S1"]["change"] == "changed" and rows["PS1-S1"]["price"] == 150
+    assert rows["PS3-S3"]["change"] == "added"
+    assert set(rows) == {"PS1-S1", "PS3-S3"}  # S2 unchanged -> absent
+
+    # and the closed delta between the versions is exactly S1's old version
+    closed = gold.read_closed_delta(1, 2).collect()
+    assert [(r["natural_key"], r["price"]) for r in closed] == [("PS1-S1", 100)]
