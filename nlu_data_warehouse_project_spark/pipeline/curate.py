@@ -37,6 +37,7 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     split_weights: dict[str, float] | None = None,
     seed: int = 42,
+    gopher_rules: bool = False,
 ) -> DataFrame:
     """Returns the curated corpus at document grain: the input columns
     plus ``redacted`` (scrubbed text) and ``split``.  Deterministic end
@@ -51,10 +52,17 @@ def curate_corpus(
     a pair explosion; pass ``None`` to disable the cap."""
     weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
 
-    # 1. quality gate — row-local, runs at the scan
+    # 1. quality gate — row-local, runs at the scan.  gopher_rules=True
+    #    additionally applies the published Gopher rule thresholds
+    #    (functions.text.gopher_quality_gate) in the same scan-local
+    #    pass — still zero shuffles before dedup.
     gated = df.filter(
         (token_count(text_col) >= min_tokens) & (punct_ratio(text_col) < max_punct)
     )
+    if gopher_rules:
+        from ..functions.text import gopher_quality_gate
+
+        gated = gated.filter(gopher_quality_gate(text_col, min_words=min_tokens))
     # 1.5 benchmark decontamination (optional) — broadcast probe against
     #     the eval-set shingles; runs BEFORE dedup so a clean duplicate
     #     of a contaminated doc can still survive as the group's keeper

@@ -390,6 +390,21 @@ def test_chunk_text_windows(spark):
         chunk_text(docs, chunk_chars=4, overlap=4)
 
 
+def test_curate_corpus_gopher_rules_stage(spark):
+    """gopher_rules=True drops rule-failing docs (keyword-stuffed: no
+    required stopwords) that the base score gate passes, and keeps the
+    fluent one — still a scan-local stage."""
+    from nlu_data_warehouse_project_spark.pipeline.curate import curate_corpus
+
+    fluent = "the quick brown fox and that have with be of " * 5
+    stuffed = "buy cheap watches best price deal now shop sale today " * 5
+    docs = spark.createDataFrame([(1, fluent), (2, stuffed)], "doc_id long, text string")
+    base = curate_corpus(docs, min_tokens=10)
+    assert {r["doc_id"] for r in base.collect()} == {1, 2}
+    ruled = curate_corpus(docs, min_tokens=10, gopher_rules=True)
+    assert {r["doc_id"] for r in ruled.collect()} == {1}
+
+
 def test_dup_ngram_fraction_flags_diffuse_boilerplate(spark):
     """Many-way template duplication that no single PAIR would flag:
     the shared navigation chrome pushes every templated doc over the
