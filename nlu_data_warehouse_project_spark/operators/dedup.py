@@ -291,9 +291,14 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     array.  Use this form for corpus-scale fingerprinting."""
     from ..functions.text import tokens
 
+    # explode_outer keeps zero-token docs as one null-token row: the
+    # null hash contributes null votes, every bit-vote comparison is
+    # then null -> otherwise(0), and the doc lands at the empty-text
+    # fingerprint (0) WITHOUT the distinct + restore-join (two extra
+    # shuffles) the plain-explode form needed
     hashed = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("__t"),
     ).select("__id", F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10).cast("long").alias("__h"))
     votes = hashed.groupBy("__id").agg(
         F.count("*").alias("__n"),
@@ -303,13 +308,8 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     for b in range(60):
         bit = F.when(F.col(f"__v{b}") * 2 > F.col("__n"), F.lit(1 << b)).otherwise(F.lit(0))
         fp = bit if fp is None else fp.bitwiseOR(bit)
-    sigs = votes.select(F.col("__id"), fp.alias("simhash"))
-    # rows with zero tokens vanish in the explode; restore them with
-    # the empty-text fingerprint (0)
-    ids = df.select(F.col(id_col).alias("__id")).distinct()
-    return (
-        ids.join(sigs, "__id", "left")
-        .select(F.col("__id").alias(id_col), F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    return votes.select(
+        F.col("__id").alias(id_col), fp.cast("long").alias("simhash")
     )
 
 
