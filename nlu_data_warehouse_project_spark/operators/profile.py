@@ -29,36 +29,37 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     two-level aggregation; zero-token docs come back with zeros rather
     than vanishing in the explode.
     """
+    # explode_outer keeps zero-token docs as one null-token row, so the
+    # aggregation chain carries them through at zero instead of the old
+    # distinct + restore-join (two extra shuffles); the null group is
+    # excluded from every count since it only exists for empty docs
     toks = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("__t"),
     )
     tf = toks.groupBy("__id", "__t").agg(F.count("*").alias("__tf"))
+    real = F.col("__t").isNotNull()
     stats = tf.groupBy("__id").agg(
-        F.sum("__tf").alias("n_tokens"),
-        F.count("*").alias("n_distinct_tokens"),
-        F.max("__tf").alias("__max_tf"),
+        F.sum(F.when(real, F.col("__tf")).otherwise(0)).alias("n_tokens"),
+        F.count(F.when(real, True)).alias("n_distinct_tokens"),
+        F.max(F.when(real, F.col("__tf"))).alias("__max_tf"),
     )
-    ids = df.select(F.col(id_col).alias("__id")).distinct()
-    return (
-        ids.join(stats, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce("n_tokens", F.lit(0)).cast("int").alias("n_tokens"),
-            F.coalesce("n_distinct_tokens", F.lit(0)).cast("int").alias("n_distinct_tokens"),
-            F.when(
-                F.col("n_tokens").isNotNull() & (F.col("n_tokens") > 0),
-                F.round(1.0 - F.col("n_distinct_tokens") / F.col("n_tokens"), 4),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("dup_token_frac"),
-            F.when(
-                F.col("n_tokens").isNotNull() & (F.col("n_tokens") > 0),
-                F.round(F.col("__max_tf") / F.col("n_tokens"), 4),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("top_token_share"),
+    return stats.select(
+        F.col("__id").alias(id_col),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("int").alias("n_distinct_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(1.0 - F.col("n_distinct_tokens") / F.col("n_tokens"), 4),
         )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("__max_tf") / F.col("n_tokens"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_token_share"),
     )
 
 
