@@ -289,10 +289,40 @@ def extract_features(df: DataFrame, use_fake_extractor: bool = True) -> DataFram
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def frame_sample_plan(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """WHICH frames to sample, from header metadata alone — no codec:
+    one row per (media, frame) at timestamps 0, every_ms, … <
+    duration_ms, using the duration the stdlib header sniffers already
+    parse (``attach_meta``).  Scan-local sequence + explode, pure JVM —
+    this is the half of frame sampling that IS implementable in this
+    container, and the work-list a decode stage (local ffmpeg workers,
+    a GPU service) consumes.  Media without a parsed duration yields no
+    rows (nothing to plan); the decode stub below raises honestly.
+    """
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
+    dur = F.col("meta.duration_ms")
+    n = F.ceil(dur / F.lit(every_ms)).cast("int")
+    return (
+        df.filter(dur.isNotNull() & (dur > 0))
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n - 1)))
+        .select(
+            F.col(id_col),
+            F.col("frame_idx"),
+            (F.col("frame_idx") * every_ms).cast("int").alias("frame_ts_ms"),
+        )
+    )
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """STUB for video frame sampling: the Spark plan (mapInPandas with
-    an exploding output schema — one row per sampled frame) is the real
-    design; the codec call raises."""
+    """STUB for video frame sampling: the frame WORK-LIST comes from
+    ``frame_sample_plan`` (real, tested); this operator is the decode
+    stage materializing payloads for those timestamps via mapInPandas
+    with an exploding output schema — the codec call raises."""
 
     frame_schema = T.StructType(
         [

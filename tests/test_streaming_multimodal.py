@@ -206,6 +206,32 @@ def test_attach_meta_sniffs_duration(spark):
     assert (metas[3]["format"], metas[3]["width"], metas[3]["duration_ms"]) == ("png", 8, None)
 
 
+def test_frame_sample_plan_from_headers(spark):
+    """The decode-free half of frame sampling: the work-list derives
+    from sniffed durations — wav 2000ms at 1000ms stride -> frames at
+    0/1000; mp4 2500ms -> 0/1000/2000; the image (no duration) yields
+    no rows; the plan stays JVM-side (no Python in the plan)."""
+    from nlu_data_warehouse_project_spark.operators.multimodal import frame_sample_plan
+
+    rows = [
+        Row(media_id=1, payload=_wav_bytes(32000, 64000), meta=None),
+        Row(media_id=2, payload=_mp4_bytes(1000, 2500), meta=None),
+        Row(media_id=3, payload=_png_bytes(8, 8), meta=None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).drop("meta")
+    plan = frame_sample_plan(attach_meta(media, media_type="audio", sniff=True), every_ms=1000)
+    got = sorted((r["media_id"], r["frame_idx"], r["frame_ts_ms"]) for r in plan.collect())
+    assert got == [(1, 0, 0), (1, 1, 1000), (2, 0, 0), (2, 1, 1000), (2, 2, 2000)]
+    # the planning stage itself adds no Python (the only Python above
+    # is attach_meta's Arrow header sniffer): over a stored/static meta
+    # column the whole plan is JVM-side
+    stored = attach_meta(media, media_type="audio", sniff=True).localCheckpoint(eager=True)
+    pure = frame_sample_plan(stored, every_ms=1000)
+    assert "pythonUDF" not in pure._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(ValueError, match="every_ms"):
+        frame_sample_plan(media, every_ms=0)
+
+
 def test_attach_meta_sniffs_dimensions(spark):
     rows = [
         Row(media_id=1, payload=_png_bytes(640, 480), meta=None),
