@@ -89,3 +89,72 @@ def test_scd2_invariants(spark, batches):
         versions.sort(key=lambda r: (r["dt_load_to_dw"], r["dt_last_update"]))
         for a, b in zip(versions, versions[1:]):
             assert a["dt_last_update"] <= b["dt_load_to_dw"], (k, versions)
+
+
+# --- sequence-packing invariants over generated corpora ------------------
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                       # source stream
+            st.integers(min_value=0, max_value=12),            # token count
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=7),                     # context_len
+)
+def test_pack_documents_invariants(spark, docs, ctx):
+    """Packing is a partition of each source's token stream: offsets
+    are contiguous in id order, the containing pack is consistent with
+    the offset, and spans cover exactly the doc's token range."""
+    from nlu_data_warehouse_project_spark.operators.chunking import pack_documents
+
+    rows = [(src, i, "w " * n) for i, (src, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = sorted(
+        pack_documents(df, context_len=ctx).collect(),
+        key=lambda r: (r["source"], r["doc_id"]),
+    )
+    streams: dict[str, int] = {}
+    for r in out:
+        expected_start = streams.get(r["source"], 0)
+        assert r["start_offset"] == expected_start          # contiguous, id-ordered
+        streams[r["source"]] = expected_start + r["n_tokens"]
+        assert r["pack_id"] == r["start_offset"] // ctx
+        if r["n_tokens"] == 0:
+            assert r["n_packs_spanned"] == 0
+        else:
+            last = r["start_offset"] + r["n_tokens"] - 1
+            assert r["n_packs_spanned"] == last // ctx - r["pack_id"] + 1
+
+
+# --- snapshot-diff invariants -------------------------------------------
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(st.integers(0, 9), st.integers(0, 3), max_size=8),
+    st.dictionaries(st.integers(0, 9), st.integers(0, 3), max_size=8),
+)
+def test_snapshot_diff_invariants(spark, old_kv, new_kv):
+    """Diff exactly reconstructs the set difference: applying the diff
+    to `old` yields `new` (added+changed rows in, removed keys out),
+    and unchanged keys never appear."""
+    from nlu_data_warehouse_project_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(list(old_kv.items()) or [(None, None)], "k int, v int").filter("k is not null")
+    new = spark.createDataFrame(list(new_kv.items()) or [(None, None)], "k int, v int").filter("k is not null")
+    diff = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}
+
+    for k, r in diff.items():
+        if r["change"] == "added":
+            assert k in new_kv and k not in old_kv and r["v"] == new_kv[k]
+        elif r["change"] == "removed":
+            assert k in old_kv and k not in new_kv and r["v"] == old_kv[k]
+        else:
+            assert old_kv[k] != new_kv[k] and r["v"] == new_kv[k]
+    # completeness: every differing key is reported
+    for k in set(old_kv) | set(new_kv):
+        differs = (k not in old_kv) or (k not in new_kv) or old_kv[k] != new_kv[k]
+        assert (k in diff) == differs
