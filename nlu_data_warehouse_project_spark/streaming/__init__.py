@@ -406,6 +406,7 @@ def make_corpus_ingest_processor(
     id_col: str = "doc_id",
     min_tokens: int = 10,
     max_punct: float = 0.2,
+    gopher_rules: bool = False,
 ):
     """The foreachBatch body of ``streaming_corpus_ingest``, exposed so
     its replay/idempotence contract is directly testable.
@@ -455,6 +456,12 @@ def make_corpus_ingest_processor(
         gated = batch_df.filter(
             (token_count(text_col) >= min_tokens) & (punct_ratio(text_col) < max_punct)
         )
+        if gopher_rules:
+            # same composition as the batch curate_corpus: the rule
+            # gate stays in the scan-local pass of each micro-batch
+            from ..functions.text import gopher_quality_gate
+
+            gated = gated.filter(gopher_quality_gate(text_col, min_words=min_tokens))
         if corpus.exists():
             existing = corpus.read().select("fingerprint")
             survivors = incremental_exact_dedup(
@@ -484,6 +491,7 @@ def streaming_corpus_ingest(
     min_tokens: int = 10,
     max_punct: float = 0.2,
     max_files_per_trigger: int | None = None,
+    gopher_rules: bool = False,
 ):
     """Incremental corpus curation as a stream: each ``availableNow``
     run picks up exactly the unseen landing files (checkpoint commit
@@ -498,7 +506,9 @@ def streaming_corpus_ingest(
     stream = reader.parquet(landing_glob)
     q = (
         stream.writeStream.foreachBatch(
-            make_corpus_ingest_processor(corpus, text_col, id_col, min_tokens, max_punct)
+            make_corpus_ingest_processor(
+                corpus, text_col, id_col, min_tokens, max_punct, gopher_rules
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

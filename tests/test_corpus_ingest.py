@@ -104,6 +104,19 @@ def test_ingest_quality_gate_applies_per_batch(spark, tmp_path):
     assert [r["doc_id"] for r in corpus.read().collect()] == [1]
 
 
+def test_ingest_gopher_rules_gate(spark, tmp_path):
+    """gopher_rules=True composes the published rule gate into the
+    per-micro-batch scan pass, mirroring curate_corpus: the
+    keyword-stuffed doc (no required stopwords) is dropped even though
+    it passes the score gate."""
+    corpus = TxTable(spark, str(tmp_path / "corpus_g"))
+    fluent = "the quick brown fox and that have with be of " * 5
+    stuffed = "buy cheap watches best price deal now shop sale today " * 5
+    process = make_corpus_ingest_processor(corpus, min_tokens=5, gopher_rules=True)
+    process(spark.createDataFrame([(1, fluent), (2, stuffed)], SCHEMA), 0)
+    assert [r["doc_id"] for r in corpus.read().collect()] == [1]
+
+
 def test_compaction_preserves_replay_guard_and_segments(spark, tmp_path):
     """compact_closed folds append segments into one dir but must carry
     consumer manifest extras through — losing last_batch_id would
