@@ -148,3 +148,39 @@ def rebalance_by_group(
     default_bound = int(round(default_fraction * HASH_BUCKETS))
     expr = (bucket < default_bound) if expr is None else expr.otherwise(bucket < default_bound)
     return df.filter(expr)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """``deterministic_split`` keyed on the near-dup CLUSTER instead of
+    the document: every member of a connected near-duplicate component
+    hashes on the component's min-id representative, so near-duplicates
+    can never straddle train/test — the eval-leakage hole a doc-keyed
+    split leaves open (a test doc's near-copy in train inflates every
+    metric).  Singleton docs key on their own id, so outside clusters
+    the assignment is IDENTICAL to ``deterministic_split`` — adopting
+    the safe split reshuffles only the near-dup population.
+
+    ``pairs`` is any near-dup pair table (MinHash, SimHash, embedding);
+    cluster resolution reuses ``neardup_clusters`` (raises rather than
+    emitting split components).  One label join on top of the split's
+    scan-local hash; labels are cluster-members-only, so the join
+    broadcasts in the common sparse case.
+    """
+    from .clusters import neardup_clusters
+
+    labels = neardup_clusters(pairs, id_a, id_b).withColumnRenamed("node", id_col)
+    keyed = df.join(labels, id_col, "left").withColumn(
+        "__split_key", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    return deterministic_split(keyed, "__split_key", weights, seed, split_col).drop(
+        "__split_key", "cluster_id"
+    )

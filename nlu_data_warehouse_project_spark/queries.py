@@ -3129,3 +3129,54 @@ GROUP BY doc_id
 
 QUERIES.update({"q76_dup_ngram_fraction": q76_dup_ngram_fraction})
 ORACLE_SQL.update({"q76_dup_ngram_fraction": Q76_SQL})
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: leakage-safe train/val/test split (q77)
+# ---------------------------------------------------------------------------
+
+def q77_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment keyed on near-dup clusters so duplicates never
+    straddle train/test (the q47 corpus slice: docs ∪ shifted copy
+    guarantees clusters exist to pin the semantics)."""
+    from .operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(F.col("doc_id") < 200)
+    corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    pairs = minhash_candidate_pairs(corpus, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3)
+    return leakage_safe_split(
+        corpus, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    ).select("doc_id", "split")
+
+
+Q77_SQL = f"""
+WITH RECURSIVE pairs AS (
+{_minhash_pairs_sql("WHERE doc_id < 200")}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), labels AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+), corpus2 AS (
+  SELECT doc_id FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id < 200
+), bucketed AS (
+  SELECT c.doc_id,
+         ('0x' || substring(md5('42:' || CAST(coalesce(l.cluster_id, c.doc_id) AS VARCHAR)), 1, 15))::BIGINT
+           % 10000 AS b
+  FROM corpus2 c LEFT JOIN labels l ON c.doc_id = l.node
+)
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+FROM bucketed
+"""
+
+
+QUERIES.update({"q77_leakage_safe_split": q77_leakage_safe_split})
+ORACLE_SQL.update({"q77_leakage_safe_split": Q77_SQL})

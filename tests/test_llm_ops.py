@@ -390,6 +390,33 @@ def test_chunk_text_windows(spark):
         chunk_text(docs, chunk_chars=4, overlap=4)
 
 
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Near-dup cluster members always land in ONE split, and docs
+    outside any cluster get the exact deterministic_split assignment."""
+    from nlu_data_warehouse_project_spark.operators.sampling import (
+        deterministic_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # clusters: {0,7,23} and {5,31}; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 7), (7, 23), (5, 31)], "id_a long, id_b long"
+    )
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+    safe = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs, pairs, "doc_id", w).collect()}
+    plain = {r["doc_id"]: r["split"] for r in deterministic_split(docs, "doc_id", w).collect()}
+
+    assert safe[0] == safe[7] == safe[23]
+    assert safe[5] == safe[31]
+    # cluster members inherit the representative's (min id) assignment
+    assert safe[7] == plain[0] and safe[31] == plain[5]
+    for i in set(range(40)) - {0, 7, 23, 5, 31}:
+        assert safe[i] == plain[i], f"singleton {i} moved"
+
+
 def test_curate_corpus_gopher_rules_stage(spark):
     """gopher_rules=True drops rule-failing docs (keyword-stuffed: no
     required stopwords) that the base score gate passes, and keeps the
