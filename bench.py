@@ -196,6 +196,23 @@ def main() -> None:
         per_query[name.split("_")[0]] = med
         total += med
 
+    # round-7 additions measured OUTSIDE the headline total (the 19-query
+    # total stays comparable across rounds); same median/warm-up protocol
+    extra_queries: dict[str, float] = {}
+    for name in ("q72_gopher_rules", "q73_top_ngrams_per_source", "q76_dup_ngram_fraction"):
+        times = []
+        try:
+            for i in range(n_runs + 1):
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                if i > 0:
+                    times.append(time.time() - t0)
+                spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001
+            errors[name.split("_")[0]] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
+        extra_queries[name.split("_")[0]] = round(statistics.median(times), 3)
+
     try:
         recalls = ann_recalls(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
@@ -213,6 +230,7 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": n_runs,
         "warmup_runs_per_query": 1,
+        "extra_queries": extra_queries,
         **recalls,
     }
     if errors:
