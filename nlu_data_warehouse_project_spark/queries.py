@@ -3180,3 +3180,41 @@ FROM bucketed
 
 QUERIES.update({"q77_leakage_safe_split": q77_leakage_safe_split})
 ORACLE_SQL.update({"q77_leakage_safe_split": Q77_SQL})
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: cross-source overlap matrix (q78)
+# ---------------------------------------------------------------------------
+
+def q78_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between sources: how many normalized
+    fingerprints each source pair shares — the mirror-detection /
+    crawl-provenance matrix that decides which source to drop when two
+    feeds republish each other.  Distinct (source, fp) first, so the
+    self-join fan-out per fingerprint is bounded by the number of
+    sources carrying it, never by its raw copy count."""
+    from .functions.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("source", doc_fingerprint("text").alias("fp")).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+Q78_SQL = f"""
+WITH fp AS (
+  SELECT DISTINCT source, md5(array_to_string({_LTOKENS_SQL}, ' ')) AS fp
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+QUERIES.update({"q78_source_overlap": q78_source_overlap})
+ORACLE_SQL.update({"q78_source_overlap": Q78_SQL})

@@ -390,6 +390,40 @@ def test_chunk_text_windows(spark):
         chunk_text(docs, chunk_chars=4, overlap=4)
 
 
+def test_source_overlap_matrix(spark, sf_smoke):
+    """Planted cross-source republication shows up as the symmetric
+    pair count on the normalized fingerprint (case/whitespace-mangled
+    copies still collide); the sf0.01 oracle row is 0=0, so the
+    semantics are pinned here."""
+    from nlu_data_warehouse_project_spark.queries import QUERIES
+
+    # the real catalog query on real data first (row-count sanity only)
+    QUERIES["q78_source_overlap"](spark, sf_smoke).collect()
+
+    from nlu_data_warehouse_project_spark.functions.text import doc_fingerprint
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "shared article text body"),
+            ("s2", "  SHARED   article text BODY "),  # normalized dup of s1's
+            ("s3", "shared article text body"),
+            ("s1", "unique to s1"),
+            ("s2", "unique to s2"),
+        ],
+        "source string, text string",
+    )
+    fp = docs.select("source", doc_fingerprint("text").alias("fp")).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    got = {
+        (r["sa"], r["sb"]): r["n"]
+        for r in a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {("s1", "s2"): 1, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
 def test_leakage_safe_split_keeps_clusters_together(spark):
     """Near-dup cluster members always land in ONE split, and docs
     outside any cluster get the exact deterministic_split assignment."""
