@@ -299,6 +299,57 @@ class Warehouse:
         date_dim = self.spark.read.parquet(self.date_dim_dir)
         return refresh_mart(self.gold(), date_dim, out_dir, run_id)
 
+    # -- backfill --------------------------------------------------------------
+    def backfill(
+        self,
+        feeds: Callable[[str], DataFrame],
+        id_config: int,
+        days: list[str],
+        maintain_every: int | None = None,
+    ) -> dict[str, str]:
+        """Run P1→P2→P3 for each day IN ORDER, skipping days the control
+        plane already shows complete (LWS) — the reference's optional
+        date argv generalized to a range (`load_to_dw.py:489-497` +
+        `check_file_log`).  ``feeds(day)`` supplies each day's feed.
+
+        Days must apply in ascending order and a failure STOPS the
+        backfill (returning the per-day outcomes so far): an SCD2 merge
+        applied out of order would close versions with a dt_last_update
+        BEFORE their insert date, silently corrupting history — a
+        skipped-failure backfill is not a recoverable state, a retry
+        from the failed day is.  Completed days are idempotently
+        skipped, so re-running the same range after fixing the failure
+        resumes exactly where it stopped."""
+        if days != sorted(days):
+            raise ValueError("backfill days must be in ascending order (SCD2 merges are order-sensitive)")
+        outcomes: dict[str, str] = {}
+        for day in days:
+            ctrl = self.control()
+            try:
+                if ctrl.has_log(id_config, day, [STATUS_LOAD_DW_SUCCESS]):
+                    outcomes[day] = "skipped"
+                    continue
+                # resume from the stage the day's status says failed:
+                # SF retries staging (the landing data is fine), DF
+                # retries only the merge (the staged slice is fine) —
+                # per-stage failure codes exist exactly for this
+                if ctrl.has_log(id_config, day, [STATUS_STAGING_FAILED, STATUS_EXTRACT_SUCCESS]):
+                    self.load_to_staging(id_config, day)
+                    self.load_to_dw(id_config, day)
+                    outcomes[day] = "resumed-from-staging"
+                elif ctrl.has_log(id_config, day, [STATUS_DW_FAILED, STATUS_LOAD_STAGING_SUCCESS]):
+                    self.load_to_dw(id_config, day)
+                    outcomes[day] = "resumed-from-dw"
+                else:  # never ran, or failed at extract (EF is re-extractable)
+                    self.run_day(feeds(day), id_config, day)
+                    outcomes[day] = "done"
+                if maintain_every is not None:
+                    self.maintain(min_dirs=maintain_every)
+            except Exception as exc:  # noqa: BLE001 — recorded, then stop
+                outcomes[day] = f"failed: {type(exc).__name__}"
+                break
+        return outcomes
+
     # -- maintenance ----------------------------------------------------------
     def maintain(self, min_dirs: int = 8, retain_last: int = 2) -> dict:
         """Gold-table maintenance cadence: compact the accumulated

@@ -102,6 +102,45 @@ def test_pipeline_guard_requires_prior_stage(spark, tmp_path):
         wh.load_to_dw(1, "2024-12-08")  # no LS row
 
 
+def test_backfill_resumes_and_stops_on_failure(spark, tmp_path):
+    """Backfill skips complete days, applies missing days in order,
+    STOPS at a failure (out-of-order SCD2 merges would corrupt
+    history), and a re-run after the fix resumes from the failed day's
+    failed STAGE."""
+    wh = Warehouse(spark, str(tmp_path / "whbf"))
+    days = ["2024-12-08", "2024-12-09", "2024-12-10"]
+    good = {d: _feed(spark, [("S1", "P1", str(100 + i), "A")]) for i, d in enumerate(days)}
+    # a feed that explodes when the landing write evaluates it -> the
+    # extract stage itself fails (EF), which IS re-extractable
+    exploding = spark.range(1).select(
+        F.raise_error(F.lit("feed fetch died")).alias("sku")
+    )
+
+    # day 1 pre-completed outside the backfill
+    wh.run_day(good["2024-12-08"], 1, "2024-12-08")
+
+    feeds = dict(good)
+    feeds["2024-12-09"] = exploding
+    out = wh.backfill(lambda d: feeds[d], 1, days)
+    assert out["2024-12-08"] == "skipped"
+    assert out["2024-12-09"].startswith("failed")
+    assert "2024-12-10" not in out  # stopped: day 3 never attempted
+    assert wh.control().has_log(1, "2024-12-09", ["EF"])
+    assert wh.read_dw().count() == 1  # history untouched past day 1
+
+    # fix the feed and re-run the same range: day 2 re-extracts (EF is
+    # retryable), day 3 follows — backfill is the resume
+    out = wh.backfill(lambda d: good[d], 1, days)
+    assert out == {"2024-12-08": "skipped", "2024-12-09": "done", "2024-12-10": "done"}
+    open_rows = wh.read_dw().filter(
+        F.col("dt_last_update") == F.lit("9999-12-31").cast("date")
+    ).collect()
+    assert {r["price"] for r in open_rows} == {102}  # day-3 version current
+
+    with pytest.raises(ValueError, match="ascending"):
+        wh.backfill(lambda d: good[d], 1, list(reversed(days)))
+
+
 def test_pipeline_two_sources_three_days(spark, tmp_path):
     """Multi-source control plane (reference `file_config` rows,
     `extract_file.py:198-222`: one scrape/load cycle per source id):
