@@ -400,6 +400,29 @@ def scd2_changes_to_table(
     ).drop("version_seq")
 
 
+def _replayed_batch(table, batch_id: int) -> bool:
+    """Shared exactly-once guard for the foreachBatch ingest loops:
+    True = this micro-batch's commit is already visible (skip it).
+
+    A genuine crash-replay re-delivers exactly the LAST committed id;
+    ids restarting far below it mean a FRESH checkpoint was pointed at
+    an existing table, and treating those batches as replays would
+    silently drop ALL of them (ADVICE r6) — the table must be reset
+    (or moved) together with the checkpoint, same as Delta's
+    txnVersion/txnAppId contract."""
+    man = table.manifest() or {}
+    last = man.get("last_batch_id")
+    if last is None or batch_id > last:
+        return False
+    if batch_id < last:
+        raise ValueError(
+            f"batch_id={batch_id} is behind the table's last_batch_id={last} "
+            "by more than a crash-replay: this is a fresh checkpoint pointed "
+            "at an existing table; reset or relocate one of them"
+        )
+    return True
+
+
 def make_corpus_ingest_processor(
     corpus,
     text_col: str = "text",
@@ -436,22 +459,7 @@ def make_corpus_ingest_processor(
     from ..operators.dedup import incremental_exact_dedup
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        man = corpus.manifest() or {}
-        last = man.get("last_batch_id")
-        if last is not None and batch_id <= last:
-            # a genuine crash-replay re-delivers exactly the LAST
-            # committed id; ids restarting far below it mean a FRESH
-            # checkpoint was pointed at an existing table, and treating
-            # those batches as replays would silently drop ALL of them
-            # (ADVICE r6) — the table must be reset (or moved) together
-            # with the checkpoint, same as Delta's txnAppId contract
-            if batch_id < last:
-                raise ValueError(
-                    f"batch_id={batch_id} is behind the corpus table's "
-                    f"last_batch_id={last} by more than a crash-replay: "
-                    "this is a fresh checkpoint pointed at an existing "
-                    "corpus table; reset or relocate one of them"
-                )
+        if _replayed_batch(corpus, batch_id):
             return  # replayed micro-batch: commit already visible
         gated = batch_df.filter(
             (token_count(text_col) >= min_tokens) & (punct_ratio(text_col) < max_punct)
@@ -508,6 +516,92 @@ def streaming_corpus_ingest(
         stream.writeStream.foreachBatch(
             make_corpus_ingest_processor(
                 corpus, text_col, id_col, min_tokens, max_punct, gopher_rules
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def make_embedding_ingest_processor(
+    index,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    expected_dim: int | None = None,
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+    bands: int = 4,
+):
+    """The foreachBatch body of ``streaming_embedding_ingest`` — the
+    vector-table twin of the corpus ingest loop, sharing its
+    exactly-once ``last_batch_id`` guard.
+
+    Per micro-batch: health-gate (drop null / zero-norm / wrong-dim
+    vectors — the q74 signals, applied as a filter) -> semantic dedup
+    within the batch AND against every vector already committed
+    (``incremental_embedding_dedup``: broadcast-exact by default, the
+    hyperplane-banded path with ``planes`` at scale) -> append the
+    survivors as one transactional TxTable segment.
+
+    The committed index only ever holds gated, deduplicated vectors, so
+    downstream ANN (q18/q34/q45) never sees degenerate rows; the
+    existing side of the dedup reads ONLY the vector column of the
+    index segments (column-pruned scan).
+    """
+    from ..operators.dedup import incremental_embedding_dedup
+    from ..operators.similarity import norm
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if _replayed_batch(index, batch_id):
+            return
+        v = F.col(vec_col)
+        gated = batch_df.filter(v.isNotNull() & (norm(v) > 1e-12))
+        if expected_dim is not None:
+            gated = gated.filter(F.size(v) == expected_dim)
+        existing = (
+            index.read().select(vec_col)
+            if index.exists()
+            else gated.limit(0).select(vec_col)
+        )
+        survivors = incremental_embedding_dedup(
+            gated, existing, vec_col, id_col, threshold, planes, bands
+        )
+        index.commit_append(
+            survivors, run_id=f"batch{batch_id}", extra={"last_batch_id": batch_id}
+        )
+
+    return process
+
+
+def streaming_embedding_ingest(
+    spark: SparkSession,
+    landing_glob: str,
+    schema: str,
+    index,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    expected_dim: int | None = None,
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental embedding-index maintenance as a stream: each
+    ``availableNow`` run picks up the unseen landing files, drops
+    degenerate vectors, semantically dedups against the whole index,
+    and appends one atomic TxTable segment — idempotent end to end,
+    exactly like the text-corpus loop."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(landing_glob)
+    q = (
+        stream.writeStream.foreachBatch(
+            make_embedding_ingest_processor(
+                index, vec_col, id_col, expected_dim, threshold, planes
             )
         )
         .option("checkpointLocation", checkpoint_dir)

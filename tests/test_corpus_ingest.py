@@ -155,3 +155,45 @@ def test_all_commit_paths_carry_consumer_extras(spark, tmp_path):
     man = t.manifest()
     assert man["watermark"] == "2024-01-02" and man["last_batch_id"] == 4
     assert man["run_id"] == "r3"
+
+
+def test_embedding_ingest_gates_and_dedups_across_batches(spark, tmp_path):
+    """Vector-table ingest loop: degenerate vectors (null / zero-norm /
+    wrong dim) are gated, semantic dups are dropped within the batch
+    and against the committed index, and a replayed batch is a no-op."""
+    from nlu_data_warehouse_project_spark.streaming import make_embedding_ingest_processor
+
+    index = TxTable(spark, str(tmp_path / "emb_index"))
+    process = make_embedding_ingest_processor(index, expected_dim=3, threshold=0.99)
+    schema = "vec_id long, embedding array<float>"
+
+    b1 = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),      # in-batch dup of 1 (higher id loses)
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 0.0]),      # zero norm -> gated
+            (5, None),                 # null -> gated
+            (6, [1.0, 0.0]),           # wrong dim -> gated
+        ],
+        schema,
+    )
+    process(b1, 0)
+    assert sorted(r["vec_id"] for r in index.read().collect()) == [1, 3]
+
+    # batch 2: a dup of vector 1 (new id) and a genuinely new direction
+    b2 = spark.createDataFrame(
+        [(10, [2.0, 0.0, 0.0]), (11, [0.0, 0.0, 5.0])], schema
+    )
+    process(b2, 1)
+    assert sorted(r["vec_id"] for r in index.read().collect()) == [1, 3, 11]
+
+    # replay of batch 1 is a silent no-op
+    v = index.latest_version()
+    process(b1, 1)
+    assert index.latest_version() == v
+    # fresh-checkpoint signature raises (shared guard)
+    import pytest
+
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        process(b1, 0)
