@@ -299,6 +299,30 @@ class Warehouse:
         date_dim = self.spark.read.parquet(self.date_dim_dir)
         return refresh_mart(self.gold(), date_dim, out_dir, run_id)
 
+    # -- full daily cycle ------------------------------------------------------
+    def run_cycle(
+        self,
+        feed: DataFrame,
+        id_config: int,
+        day: str,
+        mart_dir: str | None = None,
+        maintain_every: int | None = None,
+    ) -> DataFrame:
+        """The complete daily cadence in the contract-safe order:
+        run_day → refresh_mart → maintain.  The ordering matters:
+        maintenance compacts gold's closed dirs, and the incremental
+        mart can only treat a compacted dir as consumed if it refreshed
+        BEFORE the fold (see ``maintain``) — running maintenance first
+        would poison the mart's delta bookkeeping.  This helper exists
+        so callers don't have to know that; prefer it over hand-ordering
+        the three calls whenever a mart is in play."""
+        out = self.run_day(feed, id_config, day)
+        if mart_dir is not None:
+            self.refresh_mart(mart_dir, run_id=day)
+        if maintain_every is not None:
+            self.maintain(min_dirs=maintain_every)
+        return out
+
     # -- backfill --------------------------------------------------------------
     def backfill(
         self,

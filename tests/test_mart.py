@@ -170,6 +170,38 @@ def test_refresh_mart_survives_maintenance_cycle(spark, tmp_path):
         assert rows_of(inc_df) == rows_of(full_df), f"{name} diverged after maintenance"
 
 
+def test_run_cycle_orders_refresh_before_maintain(spark, tmp_path):
+    """run_cycle performs run_day → refresh_mart → maintain, so
+    compaction only ever folds mart-consumed dirs and the incremental
+    refresh never hits the mixed-compaction error."""
+    from nlu_data_warehouse_project_spark.pipeline import Warehouse
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    wh = Warehouse(spark, str(tmp_path / "whc"))
+    dd = build_date_dim(spark, "2024-12-01", "2024-12-31")
+    dd.write.parquet(wh.date_dim_dir)
+    feed_cols = ["sku", "product_name", "price", "brand", "material", "shape",
+                 "dimension", "origin", "quantity_available", "product_url"]
+
+    def feed(price):
+        return spark.createDataFrame(
+            [("S1", "P1", price, "A", "M", "Sh", "D", "O", "1", "u")], feed_cols
+        )
+
+    mart_dir = str(tmp_path / "mart")
+    for day, price in [("2024-12-08", "100"), ("2024-12-09", "150"), ("2024-12-10", "175")]:
+        wh.run_cycle(feed(price), 1, day, mart_dir=mart_dir, maintain_every=2)
+
+    # gold was compacted mid-series yet the mart kept refreshing; the
+    # final fact matches a full rebuild
+    full = materialize_mart(wh.read_dw(), dd, str(tmp_path / "mf"), stable_sk=True)
+    inc = TxTable(spark, f"{mart_dir}/fact_inventory").read()
+    assert sorted(str(r["price"]) for r in inc.collect()) == sorted(
+        str(r["price"]) for r in full["fact_inventory"].collect()
+    )
+    assert len(wh.gold().manifest()["closed"]) < 3  # compaction actually ran
+
+
 def test_refresh_mart_refuses_stale_bookkeeping_after_compaction(spark, tmp_path):
     """Gold compaction invalidates the consumed-dir bookkeeping; the
     refresh must say so instead of silently double-counting."""
