@@ -3218,3 +3218,67 @@ GROUP BY a.source, b.source
 
 QUERIES.update({"q78_source_overlap": q78_source_overlap})
 ORACLE_SQL.update({"q78_source_overlap": Q78_SQL})
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: token-rarity scoring (q79)
+# ---------------------------------------------------------------------------
+
+def q79_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean corpus-relative token rarity per document — the engine's
+    libm-free stand-in for LM-based quality scoring (a KenLM filter
+    ranks docs by per-token surprisal; rarity = N/freq is the rational
+    twin of unigram surprisal, monotone in it).  Jargon/noise-heavy
+    docs score high, common prose low.
+
+    All arithmetic is integer: rarity is scaled to parts-per-million
+    with floor division, so the score is bit-identical across engines
+    and partitionings with no decimal-scale or libm divergence.  (The
+    ppm scale bounds N at ~9e12 tokens per 64-bit overflow — shard the
+    corpus or raise the scale divisor past that.)  Shape: explode +
+    two keyed aggregations + one join on the term key."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    n_total = toks.count()
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("f"))
+    return (
+        tf.join(freq, "term")
+        .withColumn("rarity_ppm", F.expr(f"CAST({n_total} AS BIGINT) * 1000000 DIV f"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("rarity_ppm")).alias("__rsum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("__rsum DIV n_tokens").alias("mean_rarity_ppm"),
+        )
+    )
+
+
+Q79_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_LTOKENS_SQL}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), freq AS (
+  SELECT term, sum(tf) AS f FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.tf,
+         (CAST((SELECT count(*) FROM toks) AS BIGINT) * 1000000) // f AS rarity_ppm
+  FROM tf JOIN freq USING (term)
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf * rarity_ppm) // sum(tf) AS BIGINT) AS mean_rarity_ppm
+FROM scored
+GROUP BY doc_id
+"""
+
+
+QUERIES.update({"q79_token_rarity": q79_token_rarity})
+ORACLE_SQL.update({"q79_token_rarity": Q79_SQL})
