@@ -341,8 +341,10 @@ class TxTable:
         for d in old_man["closed"]:
             old_leaves |= lineage_leaves(d, lineage)
         delta_dirs = []
+        covered: set[str] = set()
         for d in new_man["closed"]:
             leaves = lineage_leaves(d, lineage)
+            covered |= leaves
             if leaves <= old_leaves:
                 continue
             if leaves & old_leaves:
@@ -352,6 +354,15 @@ class TxTable:
                     "operators.diff.snapshot_diff on the two versions instead"
                 )
             delta_dirs.append(d)
+        if not old_leaves <= covered:
+            # a snapshot replace (or out-of-band rewrite) dropped dirs the
+            # old version had — "nothing new" would be a silent lie here
+            raise RuntimeError(
+                f"closed history at v{since_version} is no longer covered by "
+                f"v{new_man['version']} (history was replaced/rewritten in "
+                "between); segment diffing does not apply — use "
+                "operators.diff.snapshot_diff on the two versions instead"
+            )
         return self.read_closed(version=new_man["version"], dirs=delta_dirs)
 
     @staticmethod

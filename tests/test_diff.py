@@ -44,6 +44,16 @@ def test_read_closed_delta_across_compaction(spark, tmp_path):
         corpus.read_closed_delta(1)
 
 
+def test_read_closed_delta_detects_history_replace(spark, tmp_path):
+    """A snapshot replace between the versions drops the old segments;
+    'no new segments' would be a silent lie — the delta must refuse."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit_append(_df(spark, [(1, "a")]), "d1")          # v1
+    t.commit_snapshot(_df(spark, [(9, "z")]), "replace")   # v2: closed=[]
+    with pytest.raises(RuntimeError, match="replaced/rewritten"):
+        t.read_closed_delta(1, 2)
+
+
 def test_snapshot_diff_classifies(spark):
     old = spark.createDataFrame(
         [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
