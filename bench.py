@@ -167,51 +167,46 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — q01's own run will report the error
         pass
 
-    # per-query failure isolation: one crashing query must not lose the
-    # timings of the other 18 (r4/r5 lost two full rounds this way)
-    per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
-    total = 0.0
-    for name in HEADLINE:
+
+    def time_query(name: str) -> float | None:
+        """Median of n_runs, after one untimed warm-up: the first
+        execution of a plan shape pays whole-stage-codegen compilation
+        (~3s for the larger merges — measured: q08's first run is 5.2s
+        vs 1.7s steady-state), which with a 3-run median otherwise
+        lands IN the median and reads as a plan regression (r6's q08
+        "drift" was exactly this).  Failures are captured per query
+        (r4/r5 lost two full rounds to one crashing query); the cache
+        is cleared between runs so queries that persist intermediates
+        don't feed the next run."""
         times = []
         try:
-            # one untimed warm-up per query: the first execution of a
-            # plan shape pays whole-stage-codegen compilation (~3s for
-            # the larger merges — measured: q08's first run is 5.2s vs
-            # 1.7s steady-state), which with a 3-run median otherwise
-            # lands IN the median and reads as a plan regression
-            # (r6's q08 "drift" was exactly this)
             for i in range(n_runs + 1):
                 t0 = time.time()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 if i > 0:
                     times.append(time.time() - t0)
-                # queries that persist intermediates must not feed their
-                # cache (or their memory) into the following runs
                 spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name.split("_")[0]] = f"{type(exc).__name__}: {exc}"[:300]
-            continue
-        med = round(statistics.median(times), 3)
-        per_query[name.split("_")[0]] = med
-        total += med
+            return None
+        return round(statistics.median(times), 3)
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        med = time_query(name)
+        if med is not None:
+            per_query[name.split("_")[0]] = med
+            total += med
 
     # round-7 additions measured OUTSIDE the headline total (the 19-query
-    # total stays comparable across rounds); same median/warm-up protocol
+    # total stays comparable across rounds); same protocol via time_query
     extra_queries: dict[str, float] = {}
     for name in ("q72_gopher_rules", "q73_top_ngrams_per_source", "q76_dup_ngram_fraction"):
-        times = []
-        try:
-            for i in range(n_runs + 1):
-                t0 = time.time()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                if i > 0:
-                    times.append(time.time() - t0)
-                spark.catalog.clearCache()
-        except Exception as exc:  # noqa: BLE001
-            errors[name.split("_")[0]] = f"{type(exc).__name__}: {exc}"[:300]
-            continue
-        extra_queries[name.split("_")[0]] = round(statistics.median(times), 3)
+        med = time_query(name)
+        if med is not None:
+            extra_queries[name.split("_")[0]] = med
 
     try:
         recalls = ann_recalls(spark, sf_dir)

@@ -69,6 +69,8 @@ def pack_documents(
     determinism the layout requires.  No explode, no Python; a skewed
     giant source should be pre-split into shard groups by the caller.
     """
+    if context_len <= 0:
+        raise ValueError(f"context_len must be positive, got {context_len}")
     if tokens_col is None:
         from ..functions.text import token_count
 

@@ -51,15 +51,18 @@ def snapshot_diff(
     if missing:
         raise ValueError(f"compare_cols not shared by both snapshots: {sorted(missing)}")
 
-    o = old.alias("o")
-    n = new.alias("n")
+    # explicit presence markers rather than key-is-not-null probes: a
+    # row whose KEY is legitimately NULL still matches via eqNullSafe,
+    # and inferring presence from the key would misclassify it
+    o = old.withColumn("__in_old", F.lit(True)).alias("o")
+    n = new.withColumn("__in_new", F.lit(True)).alias("n")
     cond = reduce(
         lambda a, b: a & b, [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
     )
     joined = o.join(n, cond, "full_outer")
 
-    in_old = reduce(lambda a, b: a | b, [F.col(f"o.{k}").isNotNull() for k in keys])
-    in_new = reduce(lambda a, b: a | b, [F.col(f"n.{k}").isNotNull() for k in keys])
+    in_old = F.col("o.__in_old").isNotNull()
+    in_new = F.col("n.__in_new").isNotNull()
     same = (
         reduce(lambda a, b: a & b, [F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in cmp_cols])
         if cmp_cols
@@ -71,7 +74,11 @@ def snapshot_diff(
         .when(~same, F.lit("changed"))
     )
     side = lambda c: F.when(change == "removed", F.col(f"o.{c}")).otherwise(F.col(f"n.{c}"))
+    # report every value column either side carries: new-side layout
+    # first, then old-only columns (dropped between versions) — a
+    # removed row must surface the attributes that were dropped with it
     out_vals = [c for c in new.columns if c not in keys]
+    old_only = [c for c in old.columns if c not in set(new.columns) and c not in keys]
     return (
         joined.withColumn("change", change)
         .filter(F.col("change").isNotNull())
@@ -82,6 +89,7 @@ def snapshot_diff(
                 (side(c) if c in shared else F.col(f"n.{c}")).alias(c)
                 for c in out_vals
             ],
+            *[F.col(f"o.{c}").alias(c) for c in old_only],
         )
     )
 

@@ -330,6 +330,7 @@ class Warehouse:
         id_config: int,
         days: list[str],
         maintain_every: int | None = None,
+        mart_dir: str | None = None,
     ) -> dict[str, str]:
         """Run P1→P2→P3 for each day IN ORDER, skipping days the control
         plane already shows complete (LWS) — the reference's optional
@@ -343,7 +344,13 @@ class Warehouse:
         skipped-failure backfill is not a recoverable state, a retry
         from the failed day is.  Completed days are idempotently
         skipped, so re-running the same range after fixing the failure
-        resumes exactly where it stopped."""
+        resumes exactly where it stopped.
+
+        When an incremental mart consumes this gold table, pass
+        ``mart_dir`` so each day refreshes the mart BEFORE maintenance
+        runs (the `run_cycle` ordering) — ``maintain_every`` alone
+        would compact dirs the mart has not consumed yet and force a
+        full mart rebuild."""
         if days != sorted(days):
             raise ValueError("backfill days must be in ascending order (SCD2 merges are order-sensitive)")
         outcomes: dict[str, str] = {}
@@ -367,6 +374,8 @@ class Warehouse:
                 else:  # never ran, or failed at extract (EF is re-extractable)
                     self.run_day(feeds(day), id_config, day)
                     outcomes[day] = "done"
+                if mart_dir is not None:
+                    self.refresh_mart(mart_dir, run_id=day)
                 if maintain_every is not None:
                     self.maintain(min_dirs=maintain_every)
             except Exception as exc:  # noqa: BLE001 — recorded, then stop

@@ -61,12 +61,18 @@ def smtp_alert(
             print(f"smtp_alert: delivery failed: {exc!r}", file=sys.stderr)
 
     def hook(message: str, exc: Exception) -> None:
-        msg = EmailMessage()
-        msg["From"] = sender
-        msg["To"] = ", ".join(recipients)
-        msg["Subject"] = f"{subject_prefix} {type(exc).__name__}: {exc}"[:200]
-        msg.set_content(message)
         try:
+            # header values must be newline-free (EmailMessage raises on
+            # CR/LF) and Spark/Py4J exception strings are almost always
+            # multi-line — sanitize BEFORE header set, and keep even the
+            # message construction inside the containment: a hook that
+            # raises would mask the pipeline failure already in flight
+            exc_line = " ".join(f"{type(exc).__name__}: {exc}".split())
+            msg = EmailMessage()
+            msg["From"] = sender
+            msg["To"] = ", ".join(recipients)
+            msg["Subject"] = f"{subject_prefix} {exc_line}"[:200]
+            msg.set_content(message)
             with transport(host, port) as server:
                 if use_starttls:
                     server.starttls()

@@ -2911,12 +2911,21 @@ WITH sig AS (
          (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis
   FROM documents
 ), per_doc AS (
+  -- zero-token guard: the Spark side returns 0.0 for empty docs
+  -- (F.when(n > 0, ...)); an unguarded /0 here is NULL in DuckDB and
+  -- the value hashes diverge the first time the corpus has one
   SELECT doc_id,
          len(toks) AS n_words,
-         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mwl,
-         CAST(n_hash + n_ellipsis AS DOUBLE) / len(toks) AS symr,
-         CAST(len(list_filter(toks, t -> regexp_matches(t, '\\p{{L}}'))) AS DOUBLE)
-           / len(toks) AS alphaf,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(toks) > 0
+              THEN CAST(n_hash + n_ellipsis AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS symr,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '\\p{{L}}'))) AS DOUBLE)
+                   / len(toks)
+              ELSE 0.0 END AS alphaf,
          (CAST(list_contains(ltoks, 'the') AS INT) + CAST(list_contains(ltoks, 'be') AS INT)
           + CAST(list_contains(ltoks, 'to') AS INT) + CAST(list_contains(ltoks, 'of') AS INT)
           + CAST(list_contains(ltoks, 'and') AS INT) + CAST(list_contains(ltoks, 'that') AS INT)
@@ -3237,16 +3246,22 @@ def q79_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm scale bounds N at ~9e12 tokens per 64-bit overflow — shard the
     corpus or raise the scale divisor past that.)  Shape: explode +
     two keyed aggregations + one join on the term key."""
+    from .functions.text import tokens as _tokens
+
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
-    ).filter(F.col("term") != "")
-    n_total = toks.count()
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("term")
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     freq = tf.groupBy("term").agg(F.sum("tf").alias("f"))
+    # the corpus total rides the plan as a broadcast 1-row aggregate —
+    # constructing this query runs NO job (q51's driver-side count is
+    # the older pattern; this is the lazy form)
+    total = F.broadcast(toks.agg(F.count("*").cast("long").alias("__n")))
     return (
         tf.join(freq, "term")
-        .withColumn("rarity_ppm", F.expr(f"CAST({n_total} AS BIGINT) * 1000000 DIV f"))
+        .crossJoin(total)
+        .withColumn("rarity_ppm", F.expr("__n * 1000000 DIV f"))
         .groupBy("doc_id")
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),

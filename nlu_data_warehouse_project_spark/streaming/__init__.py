@@ -587,6 +587,7 @@ def streaming_embedding_ingest(
     expected_dim: int | None = None,
     threshold: float = 0.95,
     planes: list[list[float]] | None = None,
+    bands: int = 4,
     max_files_per_trigger: int | None = None,
 ):
     """Incremental embedding-index maintenance as a stream: each
@@ -601,7 +602,7 @@ def streaming_embedding_ingest(
     q = (
         stream.writeStream.foreachBatch(
             make_embedding_ingest_processor(
-                index, vec_col, id_col, expected_dim, threshold, planes
+                index, vec_col, id_col, expected_dim, threshold, planes, bands
             )
         )
         .option("checkpointLocation", checkpoint_dir)

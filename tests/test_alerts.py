@@ -90,6 +90,18 @@ def test_smtp_alert_rejects_empty_recipients():
         smtp_alert("h", 25, "s@x", [])
 
 
+def test_multiline_exception_message_still_delivers():
+    """Spark/Py4J exceptions are multi-line; header values must not be.
+    The hook must sanitize — NOT raise (which would mask the pipeline
+    failure) and NOT silently fail delivery."""
+    hook = smtp_alert("h", 25, "s@x", "t@x", use_starttls=False, transport=FakeSMTP)
+    hook("m", RuntimeError("line one\nline two\r\nline three"))
+    sent = [m for s in FakeSMTP.instances for m in s.sent]
+    assert len(sent) == 1
+    assert "line one line two line three" in sent[0]["Subject"]
+    assert "\n" not in sent[0]["Subject"]
+
+
 def test_send_failure_is_contained_and_reported():
     seen = []
     hook = smtp_alert(
