@@ -77,3 +77,29 @@ class Engine:
         from .pipeline.curate import curate_corpus
 
         return curate_corpus(df, **kwargs)
+
+    def register_warehouse(self, wh: Warehouse, prefix: str = "") -> list[str]:
+        """Expose a Warehouse's tables to the SQL frontend as temp
+        views — the reference user's ad-hoc psql session becomes
+        ``eng.sql("SELECT ... FROM dw_current ...")``.  Registers
+        ``dw`` (full SCD2 history), ``dw_current`` (open versions),
+        ``dw_history`` (closed versions), plus ``date_dim`` and
+        ``staging`` when they exist.  Returns the view names."""
+        from .sources import table_exists
+
+        gold = wh.gold()
+        views: dict[str, DataFrame] = {}
+        if gold.exists():
+            views["dw"] = gold.read()
+            views["dw_current"] = gold.read_current()
+            views["dw_history"] = gold.read_closed()
+        if table_exists(self.spark, wh.date_dim_dir):
+            views["date_dim"] = self.spark.read.parquet(wh.date_dim_dir)
+        if table_exists(self.spark, wh.staging_dir):
+            views["staging"] = self.spark.read.parquet(wh.staging_dir)
+        names = []
+        for name, df in views.items():
+            full = f"{prefix}{name}"
+            df.createOrReplaceTempView(full)
+            names.append(full)
+        return names

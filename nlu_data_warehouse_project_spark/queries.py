@@ -2085,16 +2085,18 @@ def q51_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer products and one IEEE double division, no libm ulp
     divergence; ranking uses the rounded score with a term tiebreak."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # lazy corpus size: a broadcast 1-row aggregate instead of an eager
+    # driver-side count — constructing the query runs no job
+    n_docs = F.broadcast(docs.agg(F.count("*").alias("__n_docs")))
     toks = docs.select("doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")).filter(
         F.col("term") != ""
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(dfreq, "term").select(
+    scored = tf.join(dfreq, "term").crossJoin(n_docs).select(
         "doc_id",
         "term",
-        F.round((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df"), 6).alias("score"),
+        F.round((F.col("tf") * F.col("__n_docs")).cast("double") / F.col("df"), 6).alias("score"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
     return (

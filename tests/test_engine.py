@@ -18,3 +18,30 @@ def test_engine_facade(spark, sf_smoke):
 
     dd = eng.date_dim("2024-01-01", "2024-01-31")
     assert dd.count() == 31
+
+
+def test_register_warehouse_sql_views(spark, tmp_path):
+    """The reference user's ad-hoc psql becomes eng.sql over registered
+    warehouse views: full history, current set, closed history."""
+    from nlu_data_warehouse_project_spark.functions.calendar import build_date_dim
+    from nlu_data_warehouse_project_spark.pipeline import Warehouse
+
+    eng = Engine(spark)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_date_dim(spark, "2024-12-01", "2024-12-31").write.parquet(wh.date_dim_dir)
+    feed_cols = ["sku", "product_name", "price", "brand", "material", "shape",
+                 "dimension", "origin", "quantity_available", "product_url"]
+    f = lambda p: spark.createDataFrame(
+        [("S1", "P1", p, "A", "M", "Sh", "D", "O", "1", "u")], feed_cols)
+    wh.run_day(f("100"), 1, "2024-12-08")
+    wh.run_day(f("150"), 1, "2024-12-09")
+
+    names = eng.register_warehouse(wh, prefix="wh_")
+    assert set(names) >= {"wh_dw", "wh_dw_current", "wh_dw_history", "wh_date_dim", "wh_staging"}
+    assert eng.sql("SELECT count(*) AS n FROM wh_dw").first()["n"] == 2
+    cur = eng.sql("SELECT price FROM wh_dw_current").collect()
+    assert [r["price"] for r in cur] == [150]
+    hist = eng.sql(
+        "SELECT d.price, dd.year FROM wh_dw_history d JOIN wh_date_dim dd ON d.dt_dim = dd.id"
+    ).collect()
+    assert [(r["price"], r["year"]) for r in hist] == [(100, 2024)]
