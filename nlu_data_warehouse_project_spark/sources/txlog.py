@@ -707,6 +707,67 @@ class TxTable:
         self._publish(new_man)
         return new_man["version"]
 
+    def verify(self, check_rows: bool = False) -> dict:
+        """Table fsck: audit every LISTED version for readability —
+        each referenced data dir exists, its recorded schema parses,
+        and lineage entries resolve — plus orphan data dirs no retained
+        manifest references (crashed-writer leftovers; vacuum fodder,
+        not corruption).  Metadata-only by default (manifest reads +
+        one directory listing — safe to run on a 100 TB table);
+        ``check_rows=True`` additionally opens every live dir with a
+        ``limit(1)`` read to catch footer/codec corruption, at the cost
+        of touching every file.
+
+        Returns ``{"ok": bool, "errors": [...], "orphans": [...],
+        "versions_checked": [...]}`` — ``ok`` covers errors only;
+        orphans are informational.  The atomic-rename commit protocol
+        should make errors impossible (a manifest publishes only after
+        its dirs are fully written, and vacuum prunes manifests for
+        every dir it deletes), so any error here means out-of-band
+        deletion or storage loss — recover by vacuuming to a readable
+        version or restoring the missing dirs."""
+        fs = self._fs()
+        errors: list[str] = []
+        live: set[str] = set()
+        versions = self.versions()
+        for v in versions:
+            man = self.manifest(v)
+            dirs = [man["current"], *man["closed"]]
+            live.update(os.path.basename(d.rstrip("/")) for d in dirs)
+            for d in dirs:
+                if not fs.exists(self._jpath(d)):
+                    errors.append(f"v{v}: missing data dir {d}")
+            for d, schema_json in (man.get("dir_schemas") or {}).items():
+                try:
+                    StructType.fromJson(schema_json)
+                except Exception as exc:  # noqa: BLE001
+                    errors.append(f"v{v}: unparseable dir schema for {d}: {exc}")
+            lineage = man.get("compacted_lineage", {})
+            for d in man["closed"]:
+                try:
+                    lineage_leaves(d, lineage)
+                except RecursionError:
+                    errors.append(f"v{v}: cyclic compacted_lineage at {d}")
+            if check_rows and not errors:
+                for d in dirs:
+                    try:
+                        self.spark.read.parquet(os.path.join(self.root, d)).limit(1).collect()
+                    except Exception as exc:  # noqa: BLE001
+                        errors.append(f"v{v}: unreadable dir {d}: {type(exc).__name__}")
+        orphans: list[str] = []
+        data = self._jpath(_DATA_DIR)
+        if fs.exists(data):
+            for status in fs.listStatus(data):
+                name = status.getPath().getName()
+                if name not in live:
+                    orphans.append(f"{_DATA_DIR}/{name}")
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "orphans": sorted(orphans),
+            "versions_checked": versions,
+        }
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Delete data dirs not referenced by the last ``retain_last``
         manifests (orphans from crashed writers + superseded dirs), and

@@ -442,3 +442,42 @@ def test_commit_with_retry_rebases_the_losing_writer(spark, tmp_path):
     c = AlwaysLoses(spark, root)
     with pytest.raises(ConcurrentWriteError):
         c.commit_with_retry(lambda t: t.commit_append(dfb, "b2"), max_retries=2)
+
+
+def test_verify_fsck_reports_missing_dirs_and_orphans(spark, tmp_path):
+    """verify(): green on a healthy table, flags out-of-band dir loss
+    as an error per affected version, reports crashed-writer orphans
+    informationally, and recovers to ok after vacuum prunes the
+    damaged versions."""
+    import os
+    import shutil
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    t.commit_append(df, "d1")
+    t.commit_append(spark.createDataFrame([(2, "b")], "id long, v string"), "d2")
+
+    rep = t.verify(check_rows=True)
+    assert rep["ok"] and rep["errors"] == [] and rep["versions_checked"] == [1, 2]
+
+    # a crashed writer's half-written dir: orphan, NOT an error
+    os.makedirs(tmp_path / "t" / "data" / "closed-crashed-writer")
+    rep = t.verify()
+    assert rep["ok"] and rep["orphans"] == ["data/closed-crashed-writer"]
+
+    # out-of-band deletion of a live dir: error naming the versions
+    victim = t.manifest(1)["closed"][0]
+    shutil.rmtree(tmp_path / "t" / victim)
+    rep = t.verify()
+    assert not rep["ok"]
+    assert any("missing data dir" in e for e in rep["errors"])
+    # both v1 and v2 reference the deleted dir
+    assert sum("missing data dir" in e for e in rep["errors"]) == 2
+
+    # vacuum() cannot fix a deleted LIVE dir, but after a snapshot
+    # replace + vacuum the damaged versions are pruned and verify is
+    # green again
+    t.commit_snapshot(df, "repair")
+    t.vacuum(retain_last=1)
+    rep = t.verify(check_rows=True)
+    assert rep["ok"] and rep["versions_checked"] == [3]
