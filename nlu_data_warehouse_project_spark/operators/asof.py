@@ -90,3 +90,46 @@ def asof_join(
 
     out_cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
     return carried.select(*out_cols, F.col(right_ts), *[F.col(c) for c in payload_cols])
+
+
+def scd2_pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    load_col: str = "dt_load_to_dw",
+    close_col: str = "dt_last_update",
+    open_sentinel: str = "9999-12-31",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join of a fact stream to an SCD2 dimension: each
+    fact row gets the dimension version that was CURRENT at its event
+    time — the classic warehouse temporal lookup (resolve each order
+    against the customer attributes as of that order's date, not
+    today's).
+
+    A version is valid on [load, close): a fact dated exactly on a
+    close date matches the successor version (which loaded that day),
+    mirroring the merge's same-day close+insert semantics.  Facts
+    predating every version match nothing (NULL attrs under the
+    default left join).
+
+    Scale shape: a plain equi-join on the key with the interval
+    predicate evaluated inside the join — versions-per-key is small
+    (daily churn), so this is one key-partitioned sort-merge join, no
+    range-bucketing machinery needed.  For interval tables with
+    unbounded per-key versions use `rangejoin` instead.
+    """
+    d = F.to_date(F.col(f"f.{ts_col}"))
+    open_d = F.to_date(F.lit(open_sentinel))
+    cond = (
+        (F.col(f"f.{key}") == F.col(f"d.{key}"))
+        & (d >= F.col(f"d.{load_col}"))
+        & ((F.col(f"d.{close_col}") == open_d) | (d < F.col(f"d.{close_col}")))
+    )
+    dim_cols = [c for c in dim.columns if c != key]
+    return (
+        facts.alias("f")
+        .join(dim.alias("d"), cond, how)
+        .select("f.*", *[F.col(f"d.{c}").alias(c) for c in dim_cols])
+    )

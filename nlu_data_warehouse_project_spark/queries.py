@@ -3299,3 +3299,60 @@ GROUP BY doc_id
 
 QUERIES.update({"q79_token_rarity": q79_token_rarity})
 ORACLE_SQL.update({"q79_token_rarity": Q79_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join: facts resolved against SCD2 versions (q80)
+# ---------------------------------------------------------------------------
+
+def q80_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event resolved against the q08 SCD2 table's version valid
+    at the event's date — the warehouse temporal lookup the SCD2 table
+    exists to serve.  Events before the first version carry NULLs."""
+    from .operators.asof import scd2_pit_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    dim = q08_scd2_merge(spark, sf_dir).withColumnRenamed("value", "dim_value")
+    out = scd2_pit_join(ev, dim, "user_id", "ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "dim_value",
+        F.col("dt_load_to_dw").alias("version_load"),
+    )
+
+
+Q80_SQL = f"""
+WITH a AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts < TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
+), b AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts >= TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
+), dim AS (
+  SELECT a.user_id, a.value AS dim_value, DATE '{_D0}' AS dt_load_to_dw,
+         CASE WHEN b.user_id IS NOT NULL AND b.value <> a.value
+              THEN DATE '{_D1}' ELSE DATE '9999-12-31' END AS dt_last_update
+  FROM a LEFT JOIN b ON a.user_id = b.user_id
+  UNION ALL
+  SELECT b.user_id, b.value AS dim_value, DATE '{_D1}' AS dt_load_to_dw,
+         DATE '9999-12-31' AS dt_last_update
+  FROM b LEFT JOIN a ON a.user_id = b.user_id
+  WHERE a.user_id IS NULL OR a.value <> b.value
+)
+SELECT e.event_id, e.user_id, d.dim_value,
+       d.dt_load_to_dw AS version_load
+FROM events e
+LEFT JOIN dim d
+  ON e.user_id = d.user_id
+ AND CAST(e.ts AS DATE) >= d.dt_load_to_dw
+ AND (d.dt_last_update = DATE '9999-12-31' OR CAST(e.ts AS DATE) < d.dt_last_update)
+"""
+
+
+QUERIES.update({"q80_pit_join": q80_pit_join})
+ORACLE_SQL.update({"q80_pit_join": Q80_SQL})

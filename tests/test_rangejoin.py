@@ -75,3 +75,39 @@ def test_asof_equal_ts_right_rows_resolve_by_tiebreak(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["label"] == "last" and out[0]["view_event_id"] == 9
+
+
+def test_scd2_pit_join_boundaries(spark):
+    """Point-in-time semantics: a fact dated ON a close date matches
+    the successor version (same-day close+insert), facts inside an
+    interval match that version, pre-history facts carry NULLs, and
+    every fact emits exactly one row when versions partition time."""
+    from nlu_data_warehouse_project_spark.operators.asof import scd2_pit_join
+
+    dim = spark.createDataFrame(
+        [
+            (7, 1.0, "2024-01-01", "2024-01-10"),   # v1: [01-01, 01-10)
+            (7, 2.0, "2024-01-10", "9999-12-31"),   # v2: [01-10, open)
+        ],
+        "user_id long, dim_value double, dt_load_to_dw string, dt_last_update string",
+    ).select(
+        "user_id", "dim_value",
+        F.col("dt_load_to_dw").cast("date").alias("dt_load_to_dw"),
+        F.col("dt_last_update").cast("date").alias("dt_last_update"),
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, 7, "2023-12-31 09:00:00"),  # pre-history -> NULL
+            (2, 7, "2024-01-01 00:00:00"),  # first instant of v1
+            (3, 7, "2024-01-09 23:59:59"),  # last instant of v1
+            (4, 7, "2024-01-10 00:00:00"),  # close date -> v2
+            (5, 7, "2030-01-01 12:00:00"),  # far future -> open v2
+            (6, 8, "2024-01-05 00:00:00"),  # unknown key -> NULL
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    rows = {r["event_id"]: r["dim_value"] for r in scd2_pit_join(facts, dim, "user_id").collect()}
+    assert rows == {1: None, 2: 1.0, 3: 1.0, 4: 2.0, 5: 2.0, 6: None}
+    # exactly one output row per fact
+    assert scd2_pit_join(facts, dim, "user_id").count() == 6
