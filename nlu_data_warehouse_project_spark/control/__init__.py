@@ -47,7 +47,13 @@ class ControlPlane:
 
     @classmethod
     def load(cls, spark: SparkSession, config_path: str, logs_path: str) -> "ControlPlane":
-        return cls(spark, spark.read.parquet(config_path), spark.read.parquet(logs_path))
+        from ..sources.txlog import TxTable
+
+        return cls(
+            spark,
+            TxTable(spark, config_path).read_current(),
+            TxTable(spark, logs_path).read_current(),
+        )
 
     def localize(self) -> "ControlPlane":
         """Materialize both tables driver-side, cutting lineage to any
@@ -58,12 +64,20 @@ class ControlPlane:
         return ControlPlane(self.spark, cfg, lgs)
 
     def save(self, config_path: str, logs_path: str) -> "ControlPlane":
-        """Overwrite the persisted control tables; returns a localized
-        plane safe to keep mutating (overwriting a path a lazy
-        DataFrame still reads from would drop the data)."""
+        """Persist the control tables as TxTable SNAPSHOT commits, not
+        plain overwrites: the run-state machine is the exactly-once
+        guard, so it must be the LAST table that can be lost to a crash
+        mid-write — a half-deleted file_logs would forget which days
+        already ran.  A crash before the manifest rename leaves the
+        previous control state readable, identical to the gold
+        contract.  Returns a localized plane safe to keep mutating.
+        Versions accumulate one per status transition; the Warehouse
+        maintenance cadence vacuums them."""
+        from ..sources.txlog import TxTable
+
         fresh = self.localize()
-        fresh.config.write.mode("overwrite").parquet(config_path)
-        fresh.logs.write.mode("overwrite").parquet(logs_path)
+        TxTable(self.spark, config_path).commit_snapshot(fresh.config, run_id="control")
+        TxTable(self.spark, logs_path).commit_snapshot(fresh.logs, run_id="control")
         return fresh
 
     # -- S9: single-row config fetch ------------------------------------

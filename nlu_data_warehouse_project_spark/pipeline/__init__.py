@@ -107,7 +107,7 @@ class Warehouse:
 
     # -- control-plane persistence --------------------------------------
     def control(self) -> ControlPlane:
-        if table_exists(self.spark, self.logs_path):
+        if TxTable(self.spark, self.logs_path).exists():
             return ControlPlane.load(self.spark, self.config_path, self.logs_path)
         return ControlPlane.empty(self.spark)
 
@@ -403,12 +403,24 @@ class Warehouse:
         Single-writer like every TxTable mutation: do not run
         concurrently with a ``load_to_dw``.
         """
+        # control tables commit one snapshot version per status
+        # transition (~6/day/source) — bound their version count on the
+        # same cadence; keep a rollback version like gold
+        control_vacuumed: list[str] = []
+        for path in (self.config_path, self.logs_path):
+            t = TxTable(self.spark, path)
+            if t.exists():
+                control_vacuumed += t.vacuum(retain_last=max(retain_last, 2))
         gold = self.gold()
         if not gold.exists():
-            return {"compacted_version": None, "vacuumed": []}
+            return {"compacted_version": None, "vacuumed": [], "control_vacuumed": control_vacuumed}
         compacted_version = gold.compact_closed(min_dirs=min_dirs)
         vacuumed = gold.vacuum(retain_last=retain_last)
-        return {"compacted_version": compacted_version, "vacuumed": vacuumed}
+        return {
+            "compacted_version": compacted_version,
+            "vacuumed": vacuumed,
+            "control_vacuumed": control_vacuumed,
+        }
 
     # -- full day ------------------------------------------------------------
     def run_day(

@@ -102,6 +102,42 @@ def test_pipeline_guard_requires_prior_stage(spark, tmp_path):
         wh.load_to_dw(1, "2024-12-08")  # no LS row
 
 
+def test_control_tables_are_crash_safe(spark, tmp_path):
+    """The run-state machine persists via TxTable snapshot commits: a
+    crash mid-save leaves the PREVIOUS control state readable (a plain
+    overwrite would half-delete file_logs and forget which days ran),
+    and maintenance bounds the accumulated versions."""
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    wh = Warehouse(spark, str(tmp_path / "whcc"))
+    wh.run_day(_feed(spark, [("S1", "P1", "100", "A")]), 1, "2024-12-08")
+    assert wh.control().has_log(1, "2024-12-08", [STATUS_LOAD_DW_SUCCESS])
+
+    # crash injected inside the snapshot publish: state unchanged
+    logs_t = TxTable(spark, wh.logs_path)
+    v_before = logs_t.latest_version()
+    import pytest as _pytest
+
+    boom = RuntimeError("crash mid control save")
+    orig = TxTable._publish
+    try:
+        TxTable._publish = lambda self, man: (_ for _ in ()).throw(boom)
+        with _pytest.raises(RuntimeError, match="mid control save"):
+            wh._save(wh.control().insert_log(1, "f.csv", "2024-12-09", STATUS_RUNNING))
+    finally:
+        TxTable._publish = orig
+    assert TxTable(spark, wh.logs_path).latest_version() == v_before
+    ctrl = wh.control()  # still loads: previous version intact
+    assert ctrl.has_log(1, "2024-12-08", [STATUS_LOAD_DW_SUCCESS])
+    assert not ctrl.has_log(1, "2024-12-09", [STATUS_RUNNING])
+
+    # versions accumulate per transition; maintain() vacuums them
+    assert v_before > 1
+    out = wh.maintain()
+    assert out["control_vacuumed"], "stale control versions reclaimed"
+    assert wh.control().has_log(1, "2024-12-08", [STATUS_LOAD_DW_SUCCESS])
+
+
 def test_backfill_resumes_and_stops_on_failure(spark, tmp_path):
     """Backfill skips complete days, applies missing days in order,
     STOPS at a failure (out-of-order SCD2 merges would corrupt

@@ -66,7 +66,16 @@ def test_crash_before_commit_leaves_previous_version_readable(spark, tmp_path, m
     day1 = {(r["price"], str(r["dt_last_update"])) for r in wh.read_dw().collect()}
 
     boom = RuntimeError("injected crash before manifest publish")
-    monkeypatch.setattr(TxTable, "_publish", lambda self, man: (_ for _ in ()).throw(boom))
+    orig_publish = TxTable._publish
+
+    def crash_gold_only(self, man):
+        # control tables persist through the same commit protocol now —
+        # crash ONLY the gold publish, as the scenario describes
+        if self.root == wh.dw_dir:
+            raise boom
+        return orig_publish(self, man)
+
+    monkeypatch.setattr(TxTable, "_publish", crash_gold_only)
     wh.extract(_feed(spark, [("S1", "P1", "150")]), 1, "2024-12-09")
     wh.load_to_staging(1, "2024-12-09")
     with pytest.raises(RuntimeError, match="injected crash"):
