@@ -112,3 +112,72 @@ def dedup_within_window(
     prev = F.lag(F.unix_micros(F.col(ts_col).cast("timestamp"))).over(w)
     keep = prev.isNull() | (cur - prev > int(gap_seconds) * 1_000_000)
     return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_frequency: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document line dedup (RefinedWeb/CCNet-style boilerplate
+    removal): drop every line that appears in more than
+    ``max_doc_frequency`` DISTINCT documents — navbars, cookie banners,
+    copyright footers — and reassemble each document from its surviving
+    lines in original order.
+
+    The reference has no corpus-level text operator (its cleansing is
+    row-local regex, `load_to_staging.py:191-245`); this is the
+    corpus-scale twin a pretraining pipeline needs.
+
+    Shape at scale: posexplode (scan-local) → distinct(line, id) →
+    count per line → left_anti join of the exploded lines against the
+    heavy-line set → groupBy(id) reassembly.  The doc-frequency count
+    never sees a line more than once per document (distinct first), so
+    a line repeated 1M× inside ONE spam page costs one row.  The heavy
+    set (df > threshold) is tiny by construction — boilerplate is rare
+    among distinct lines — so AQE turns the anti-join into a broadcast;
+    reassembly shuffles on ``id_col`` only.  Lines join on their full
+    text, not a hash: no collision can silently drop a good line.
+
+    Documents whose every line is boilerplate come back with empty
+    text and ``n_lines_kept = 0`` — never silently dropped.
+
+    Returns ``id_col``, ``text`` (cleaned), ``n_lines_kept``,
+    ``n_lines_dropped``.
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__pos", "__line")
+    )
+    heavy = (
+        lines.select("__line", id_col)
+        .distinct()
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > int(max_doc_frequency))
+        .select("__line")
+    )
+    kept = lines.join(heavy, "__line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("__n_total") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )

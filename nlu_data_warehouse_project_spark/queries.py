@@ -3356,3 +3356,131 @@ LEFT JOIN dim d
 
 QUERIES.update({"q80_pit_join": q80_pit_join})
 ORACLE_SQL.update({"q80_pit_join": Q80_SQL})
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: cross-document line dedup (q81)
+# ---------------------------------------------------------------------------
+
+def q81_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style boilerplate removal: lines shared by more than
+    ``max_doc_frequency`` distinct documents are struck from every
+    document.  The corpus is documents(<300) wrapped with an injected
+    newsletter header (even ids) and a universal copyright footer, so
+    both heavy-line shapes exist to be removed while the bodies
+    survive."""
+    from .operators.cleanse import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("subscribe to our newsletter\n")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.lit("\nall rights reserved"),
+        ).alias("text"),
+    )
+    return dedup_lines(corpus, "text", "doc_id", max_doc_frequency=10)
+
+
+Q81_SQL = """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' || chr(10) ELSE '' END
+           || text || chr(10) || 'all rights reserved' AS text
+  FROM documents WHERE doc_id < 300
+), split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS arr FROM corpus
+), lines AS (
+  SELECT doc_id, i - 1 AS pos, arr[i] AS line
+  FROM split, unnest(generate_series(1, len(arr))) AS u(i)
+), heavy AS (
+  SELECT line FROM (SELECT DISTINCT line, doc_id FROM lines)
+  GROUP BY line HAVING count(*) > 10
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM lines l ANTI JOIN heavy h ON l.line = h.line
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text, count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(r.text, '') AS text,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_dropped
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+QUERIES.update({"q81_line_dedup": q81_line_dedup})
+ORACLE_SQL.update({"q81_line_dedup": Q81_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Star join: cross-nation volume shipping, TPC-H Q7 shape (q82)
+# ---------------------------------------------------------------------------
+
+def q82_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume between two nations by ship
+    year.  The nation pair filter lands on the two BROADCAST nation
+    dims (one per role), so the fact-side joins stay equi-joins on the
+    supplier/customer keys and the disjunction never becomes a join
+    condition over the fact table — the shape that survives 100 TB.
+    The ship-date range is a scan-level pushed filter."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = nat.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+Q82_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(CAST(l_shipdate AS DATE)) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                      * (1 - CAST(l_discount AS DECIMAL(25,6)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES.update({"q82_volume_shipping": q82_volume_shipping})
+ORACLE_SQL.update({"q82_volume_shipping": Q82_SQL})

@@ -622,3 +622,34 @@ def test_incremental_embedding_dedup_exact_and_lsh_paths_agree(spark):
     for pl in (None, planes):
         got = incremental_embedding_dedup(incoming, bare, threshold=0.999, planes=pl)
         assert sorted(r["vec_id"] for r in got.collect()) == [11, 13]
+
+
+def test_dedup_lines_removes_boilerplate_keeps_order(spark):
+    from nlu_data_warehouse_project_spark.operators.cleanse import dedup_lines
+
+    rows = [
+        (1, "FOOTER\nbody one\nFOOTER"),   # repeated inside one doc: counts once
+        (2, "body two\nFOOTER"),
+        (3, "FOOTER\nz line\na line"),     # order must survive reassembly
+        (4, "FOOTER"),                     # everything removed -> empty, not dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df, max_doc_frequency=3).collect()}
+
+    assert len(out) == 4
+    assert out[1]["text"] == "body one"
+    assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_dropped"] == 2
+    assert out[2]["text"] == "body two"
+    assert out[3]["text"] == "z line\na line"  # original order, not sorted text
+    assert out[4]["text"] == "" and out[4]["n_lines_kept"] == 0
+
+
+def test_dedup_lines_threshold_is_distinct_docs(spark):
+    from nlu_data_warehouse_project_spark.operators.cleanse import dedup_lines
+
+    # "dup" appears 5 times but in only 2 distinct docs -> survives df<=2
+    rows = [(1, "dup\ndup\ndup"), (2, "dup\ndup\nown")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df, max_doc_frequency=2).collect()}
+    assert out[1] == "dup\ndup\ndup"
+    assert out[2] == "dup\ndup\nown"
