@@ -7,6 +7,7 @@ bucketing (never an unbounded cross join), and has deterministic
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve under postponed annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -520,3 +521,141 @@ def incremental_embedding_dedup(
     return incoming.join(
         dropped.withColumnRenamed("__iid", id_col), id_col, "left_anti"
     )
+
+
+def _bloom_positions(h1, h2, num_bits: int, num_hashes: int):
+    """Kirsch-Mitzenmacher position family over two 60-bit md5 halves
+    (h1/h2 as numpy int64 arrays): pos_i = (h1 + i*h2) mod m.  Two real
+    hashes derive any k without extra digest work — the same family the
+    MinHash signatures use."""
+    import numpy as np
+
+    m = np.int64(num_bits)
+    return [((h1 + np.int64(i) * h2) % m).astype(np.int64) for i in range(num_hashes)]
+
+
+def _fp_halves(fps):
+    """Split md5 hex fingerprints into two 60-bit integer halves."""
+    import numpy as np
+
+    h1 = np.fromiter((int(s[:15], 16) for s in fps), dtype=np.int64, count=len(fps))
+    h2 = np.fromiter((int(s[15:30], 16) | 1 for s in fps), dtype=np.int64, count=len(fps))
+    return h1, h2
+
+
+def build_fingerprint_bloom(
+    fp_df: DataFrame,
+    fp_col: str = "__fp",
+    num_bits: int = 1 << 23,
+    num_hashes: int = 4,
+):
+    """Build a Bloom filter (numpy uint8 bitmap) over a fingerprint
+    column — the broadcastable membership summary of a settled corpus
+    index (md5 hex strings, as produced by ``doc_fingerprint``).
+
+    Scale shape: each partition folds its rows into a local bitmap
+    inside one Arrow pass (``mapInPandas``), the driver ORs the
+    partition bitmaps — a k-bounded collect exactly like the k-means
+    centroid reduce, num_partitions × m/8 bytes, never row data.  At
+    10^9 index entries use ~10 bits/entry (m = 2^33 ≈ 1 GiB) for ~1 %
+    false positives; past that, shard the bloom per corpus partition
+    (date/source) rather than growing m beyond broadcast range.
+
+    Deterministic: positions derive from the md5 hex itself, so two
+    engines building from the same fingerprints get identical bitmaps.
+    """
+    import numpy as np
+
+    if num_bits % 8:
+        raise ValueError(f"num_bits must be a multiple of 8, got {num_bits}")
+
+    n_bytes = num_bits // 8
+    out_schema = "bloom binary"
+
+    def fold(batches):
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            fps = pdf.iloc[:, 0].tolist()
+            if not fps:
+                continue
+            h1, h2 = _fp_halves(fps)
+            for pos in _bloom_positions(h1, h2, num_bits, num_hashes):
+                np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        yield pd.DataFrame({"bloom": [bits.tobytes()]})
+
+    parts = fp_df.select(F.col(fp_col)).mapInPandas(fold, out_schema).collect()
+    bits = np.zeros(n_bytes, dtype=np.uint8)
+    for row in parts:
+        bits |= np.frombuffer(row["bloom"], dtype=np.uint8)
+    return bits
+
+
+def bloom_incremental_dedup(
+    incoming: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    existing_is_fingerprints: bool = False,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """`incremental_exact_dedup` with a Bloom pre-filter: result-identical
+    (no false negatives — every true duplicate reaches the exact join;
+    false positives only ride along and are removed there), but the
+    settled index is summarized into a broadcast bitmap so the common
+    case — a daily crawl batch that is MOSTLY NEW — never shuffles at
+    all against the corpus:
+
+      1. bloom MISS rows are definitely new → kept with zero join work;
+      2. bloom HIT fingerprints (true dups + ~fpp of the batch) are few,
+         so they broadcast; the index is probed by a broadcast SEMI join
+         (the 100 TB index side scans in place, never shuffles);
+      3. the surviving hit rows anti-join the (small, broadcast) proven
+         dup set.
+
+    Contrast: the plain anti-join in `incremental_exact_dedup` shuffles
+    BOTH sides on the fingerprint.  Use that one when the batch overlaps
+    the corpus heavily (hit set too big to broadcast); this one when
+    overlap is the exception, which is the steady state after the first
+    few days of a crawl pipeline.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if existing_is_fingerprints:
+        fp_index = existing.select(F.col(existing.columns[0]).alias("__fp")).distinct()
+    else:
+        fp_index = existing.select(doc_fingerprint(text_col).alias("__fp")).distinct()
+
+    bits = build_fingerprint_bloom(fp_index, "__fp", num_bits, num_hashes)
+    spark = incoming.sparkSession
+    bc = spark.sparkContext.broadcast(bits.tobytes())
+
+    @pandas_udf("boolean")
+    def bloom_hit(fps: pd.Series) -> pd.Series:
+        local = np.frombuffer(bc.value, dtype=np.uint8)
+        vals = fps.tolist()
+        if not vals:
+            return pd.Series([], dtype=bool)
+        h1, h2 = _fp_halves(vals)
+        hit = np.ones(len(vals), dtype=bool)
+        for pos in _bloom_positions(h1, h2, num_bits, num_hashes):
+            hit &= (local[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        return pd.Series(hit)
+
+    keyed = incoming.withColumn("__fp", doc_fingerprint(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    batch_unique = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("__hit", bloom_hit(F.col("__fp")))
+        .persist()
+    )
+    misses = batch_unique.filter(~F.col("__hit"))
+    cand = batch_unique.filter(F.col("__hit"))
+    dup_fps = fp_index.join(
+        F.broadcast(cand.select("__fp").distinct()), "__fp", "semi"
+    )
+    survivors = cand.join(F.broadcast(dup_fps), "__fp", "left_anti")
+    return misses.unionByName(survivors).drop("__fp", "__hit")

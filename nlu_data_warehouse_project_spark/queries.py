@@ -3484,3 +3484,47 @@ GROUP BY 1, 2, 3
 
 QUERIES.update({"q82_volume_shipping": q82_volume_shipping})
 ORACLE_SQL.update({"q82_volume_shipping": Q82_SQL})
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: Bloom-prefiltered incremental dedup (q83)
+# ---------------------------------------------------------------------------
+
+def q83_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q56's incremental ingest with the Bloom fast path: the settled
+    corpus (<250) is summarized into a broadcast bitmap; the batch is
+    docs >= 250 plus re-crawled copies of docs < 50 (ids shifted), so
+    both branches are exercised — copies bloom-HIT and die in the exact
+    probe, genuinely-new rows bloom-MISS and skip the corpus entirely.
+    Result is identical to the plain anti-join (no false negatives)."""
+    from .operators.dedup import bloom_incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") < 250)
+    incoming = docs.filter(F.col("doc_id") >= 250).unionByName(
+        docs.filter(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 10000)
+    )
+    out = bloom_incremental_dedup(incoming, existing)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+Q83_SQL = f"""
+WITH existing AS (
+  SELECT DISTINCT {_FP56_SQL} AS fp FROM documents WHERE doc_id < 250
+), incoming AS (
+  SELECT doc_id, lang, n_chars, {_FP56_SQL} AS fp FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 10000, lang, n_chars, {_FP56_SQL} AS fp FROM documents WHERE doc_id < 50
+), batch_unique AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn FROM incoming
+  ) WHERE rn = 1
+)
+SELECT doc_id, lang, n_chars
+FROM batch_unique b
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = b.fp)
+"""
+
+
+QUERIES.update({"q83_bloom_incremental_dedup": q83_bloom_incremental_dedup})
+ORACLE_SQL.update({"q83_bloom_incremental_dedup": Q83_SQL})

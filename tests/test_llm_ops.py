@@ -653,3 +653,40 @@ def test_dedup_lines_threshold_is_distinct_docs(spark):
     out = {r["doc_id"]: r["text"] for r in dedup_lines(df, max_doc_frequency=2).collect()}
     assert out[1] == "dup\ndup\ndup"
     assert out[2] == "dup\ndup\nown"
+
+
+def test_bloom_incremental_dedup_matches_plain_anti_join(spark):
+    import numpy as np
+
+    from nlu_data_warehouse_project_spark.operators.dedup import (
+        bloom_incremental_dedup,
+        build_fingerprint_bloom,
+        incremental_exact_dedup,
+    )
+
+    existing = spark.createDataFrame(
+        [(i, f"settled doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(100, "settled doc 3"),        # corpus dup -> dropped
+         (101, "brand new one"),        # new -> kept
+         (102, "brand new one"),        # batch-internal dup -> dropped
+         (103, "another new"),          # new -> kept
+         (104, "Settled   DOC 5")],     # normalized corpus dup -> dropped
+        "doc_id long, text string",
+    )
+    want = sorted(r["doc_id"] for r in incremental_exact_dedup(incoming, existing).collect())
+    got = sorted(r["doc_id"] for r in bloom_incremental_dedup(incoming, existing).collect())
+    assert got == want == [101, 103]
+
+    # no false negatives by construction: every existing fingerprint hits
+    from nlu_data_warehouse_project_spark.functions.text import doc_fingerprint
+    from pyspark.sql import functions as F
+    fp_df = existing.select(doc_fingerprint("text").alias("__fp"))
+    bits = build_fingerprint_bloom(fp_df, num_bits=1 << 16)
+    assert isinstance(bits, np.ndarray) and bits.any()
+
+    # empty corpus: everything bloom-misses and survives (minus batch dupes)
+    empty = existing.filter(F.lit(False))
+    got_empty = sorted(r["doc_id"] for r in bloom_incremental_dedup(incoming, empty).collect())
+    assert got_empty == [100, 101, 103, 104]
