@@ -256,3 +256,33 @@ def redact_pii(col: Column | str) -> Column:
     for pattern, token in REDACT_PATTERNS:
         out = F.regexp_replace(out, pattern, token)
     return out
+
+
+# Content-safety word list — a PLACEHOLDER lexicon (the real deployment
+# swaps in its moderation list, e.g. an LDNOOBW set; the engine only
+# fixes the scoring semantics).  Lowercase whole-word matches.
+FLAGGED_WORDS = ["badword", "slur1", "slur2", "nsfwterm", "gore"]
+
+
+def flagged_token_fraction(col: Column | str, words: list[str] | None = None) -> Column:
+    """Fraction of tokens that are on the flagged word list (0.0 for
+    empty docs) — the C4/RefinedWeb-style word-list safety signal.
+    Whole-token equality, not substring: 'scunthorpe' never trips a
+    substring of a flagged word.  Pure higher-order expression over the
+    one tokens() array — JVM-side, no shuffle, no UDF."""
+    wl = [w.lower() for w in (words or FLAGGED_WORDS)]
+    toks = tokens(F.lower(_c(col)))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(wl)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def content_safety_gate(
+    col: Column | str,
+    words: list[str] | None = None,
+    max_flagged_fraction: float = 0.0,
+) -> Column:
+    """True = keep.  The default (0.0) drops any doc containing a
+    flagged token at all — C4's rule; raise the threshold for the
+    softer quality-weighted variants."""
+    return flagged_token_fraction(col, words) <= max_flagged_fraction

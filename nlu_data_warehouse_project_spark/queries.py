@@ -3528,3 +3528,41 @@ WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = b.fp)
 
 QUERIES.update({"q83_bloom_incremental_dedup": q83_bloom_incremental_dedup})
 ORACLE_SQL.update({"q83_bloom_incremental_dedup": Q83_SQL})
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: word-list content-safety gate (q84)
+# ---------------------------------------------------------------------------
+
+def q84_content_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style word-list safety scoring: per-doc flagged-token fraction
+    and the keep/drop gate.  The flag list is injected per-corpus (here
+    two synthetic-vocabulary words so the signal is live); matching is
+    whole-token, so substrings never false-positive.  Row-local HOF
+    expression — at 100 TB this fuses into the same scan as the other
+    text gates."""
+    from .functions.text import flagged_token_fraction
+
+    flags = ["spark", "vector"]
+    docs = _t(spark, sf_dir, "documents")
+    frac = flagged_token_fraction("text", flags)
+    return docs.select(
+        "doc_id",
+        F.round(frac, 6).alias("flagged_frac"),
+        (frac <= 0.02).alias("keep"),
+    )
+
+
+Q84_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter({_LTOKENS_SQL}, t -> t IN ('spark', 'vector'))) AS DOUBLE)
+           / len({_LTOKENS_SQL}) AS f
+  FROM documents
+)
+SELECT doc_id, round(f, 6) AS flagged_frac, f <= 0.02 AS keep FROM scored
+"""
+
+
+QUERIES.update({"q84_content_safety": q84_content_safety})
+ORACLE_SQL.update({"q84_content_safety": Q84_SQL})

@@ -158,3 +158,40 @@ def test_dedup_within_window_burst_suppression(spark):
         for r in dedup_within_window(ev, ["user_id", "event_type"], "ts", 60, ["event_id"]).collect()
     )
     assert kept == [1, 4, 5, 6]
+
+
+def test_flagged_token_fraction_whole_token_only(spark):
+    from pyspark.sql import functions as F
+
+    from nlu_data_warehouse_project_spark.functions.text import (
+        content_safety_gate,
+        flagged_token_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean text here"),
+            (2, "one badword among four"),
+            (3, "scunthorpe badwording is fine"),  # substrings never match
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["f"], r["keep"])
+        for r in df.select(
+            "id",
+            flagged_token_fraction("text").alias("f"),
+            content_safety_gate("text").alias("keep"),
+        ).collect()
+    }
+    assert out[1] == (0.0, True)
+    assert out[2] == (0.25, False)
+    assert out[3] == (0.0, True)
+    assert out[4] == (0.0, True)
+
+    # custom list + soft threshold
+    soft = df.select(
+        "id", content_safety_gate("text", ["badword"], max_flagged_fraction=0.3).alias("keep")
+    )
+    assert {r["id"]: r["keep"] for r in soft.collect()}[2] is True
