@@ -3566,3 +3566,112 @@ SELECT doc_id, round(f, 6) AS flagged_frac, f <= 0.02 AS keep FROM scored
 
 QUERIES.update({"q84_content_safety": q84_content_safety})
 ORACLE_SQL.update({"q84_content_safety": Q84_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: ordered conversion funnel (q85)
+# ---------------------------------------------------------------------------
+
+def q85_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view -> click -> purchase funnel: a stage counts
+    only if it happens AFTER the user's previous stage (min-ts chain),
+    the standard product-analytics conversion query.  Three aggregates,
+    all keyed on user_id — one shuffle key end to end, and the stage
+    frames shrink monotonically so the later joins are cheap."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select("user_id", "event_type", "ts")
+    )
+
+    def first_after(df, etype, prev):
+        out = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            out = out.join(prev, "user_id").filter(F.col("ts") > F.col("__t"))
+        return out.groupBy("user_id").agg(F.min("ts").alias("__t"))
+
+    v = first_after(ev, "view", None)
+    c = first_after(ev, "click", v)
+    p = first_after(ev, "purchase", c)
+    stage = (
+        v.select("user_id").withColumn("__s", F.lit(1))
+        .join(c.select("user_id").withColumn("__s2", F.lit(1)), "user_id", "left")
+        .join(p.select("user_id").withColumn("__s3", F.lit(1)), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("__s3").isNotNull(), "purchase")
+            .when(F.col("__s2").isNotNull(), "click")
+            .otherwise("view")
+            .alias("stage"),
+        )
+    )
+    return stage.groupBy("stage").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+Q85_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, ts FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+), v AS (
+  SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1
+)
+SELECT CASE WHEN p.user_id IS NOT NULL THEN 'purchase'
+            WHEN c.user_id IS NOT NULL THEN 'click'
+            ELSE 'view' END AS stage,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q85_funnel": q85_funnel})
+ORACLE_SQL.update({"q85_funnel": Q85_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: weekly cohort retention (q86)
+# ---------------------------------------------------------------------------
+
+def q86_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen
+    week, counted once per (cohort, weeks-since-cohort) they were
+    active in.  Two aggregates on user_id then one on the (small)
+    cohort key; the per-user distinct-week dedup happens BEFORE the
+    final count so the wide fact table collapses early."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+Q86_SQL = """
+WITH ev AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+), first AS (
+  SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1
+)
+SELECT f.cohort_week, CAST((ev.wk - f.cohort_week) / 7 AS INTEGER) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ev JOIN first f ON ev.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q86_cohort_retention": q86_cohort_retention})
+ORACLE_SQL.update({"q86_cohort_retention": Q86_SQL})

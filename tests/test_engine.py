@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from nlu_data_warehouse_project_spark.engine import Engine
 
 
@@ -45,3 +47,29 @@ def test_register_warehouse_sql_views(spark, tmp_path):
         "SELECT d.price, dd.year FROM wh_dw_history d JOIN wh_date_dim dd ON d.dt_dim = dd.id"
     ).collect()
     assert [(r["price"], r["year"]) for r in hist] == [(100, 2024)]
+
+
+def test_funnel_requires_strict_stage_order(spark, monkeypatch):
+    """A click BEFORE the first view must not advance the funnel."""
+    import nlu_data_warehouse_project_spark.queries as Q
+
+    rows = [
+        # user 1: proper view -> click -> purchase
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-01 12:00:00", "purchase"),
+        # user 2: click precedes the only view -> stuck at 'view'
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        # user 3: view then purchase without click -> stuck at 'view'
+        (3, "2024-01-01 10:00:00", "view"),
+        (3, "2024-01-01 11:00:00", "purchase"),
+        # user 4: never viewed -> not in the funnel at all
+        (4, "2024-01-01 10:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows], "user_id long, ts string, event_type string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    monkeypatch.setattr(Q, "_t", lambda spark, sf_dir, name: ev)
+    got = {r["stage"]: r["n_users"] for r in Q.q85_funnel(spark, "unused").collect()}
+    assert got == {"purchase": 1, "view": 2}
