@@ -162,3 +162,36 @@ def test_anti_and_semi_join_forms(spark, sf_smoke):
     semi = QUERIES["q20_semi_join"](spark, sf_smoke)
     assert "LeftAnti" in formatted_plan(anti)
     assert "LeftSemi" in formatted_plan(semi)
+
+
+def test_round7_queries_stay_jvm_side(spark, sf_smoke):
+    # line dedup / safety gate / funnel / retention are relational —
+    # any Python in their plans is a regression
+    for name in ("q81_line_dedup", "q82_volume_shipping", "q84_content_safety",
+                 "q85_funnel", "q86_cohort_retention"):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+
+
+def test_volume_shipping_broadcasts_both_nation_roles(spark, sf_smoke):
+    q = QUERIES["q82_volume_shipping"](spark, sf_smoke)
+    assert uses_broadcast_join(q)
+    assert has_pushed_filters(q)  # the shipdate range reaches the scan
+
+
+def test_content_safety_gate_is_scan_local(spark, sf_smoke):
+    q = QUERIES["q84_content_safety"](spark, sf_smoke)
+    assert shuffle_count(q) == 0, shuffle_count(q)
+
+
+def test_bloom_dedup_probes_index_by_broadcast(spark, sf_smoke):
+    """The bloom path's exact probe must reach the settled index as a
+    BROADCAST semi/anti join — the index side never shuffles.  The only
+    Python in the plan is the Arrow-batched bloom membership test."""
+    from nlu_data_warehouse_project_spark.plans import formatted_plan
+
+    q = QUERIES["q83_bloom_incremental_dedup"](spark, sf_smoke)
+    plan = formatted_plan(q)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert uses_broadcast_join(q)
+    assert python_udf_count(q) <= 2  # the pandas bloom probe only
