@@ -203,7 +203,8 @@ def main() -> None:
     # round-7 additions measured OUTSIDE the headline total (the 19-query
     # total stays comparable across rounds); same protocol via time_query
     extra_queries: dict[str, float] = {}
-    for name in ("q72_gopher_rules", "q73_top_ngrams_per_source", "q76_dup_ngram_fraction"):
+    for name in ("q72_gopher_rules", "q73_top_ngrams_per_source", "q76_dup_ngram_fraction",
+                 "q81_line_dedup", "q83_bloom_incremental_dedup", "q85_funnel"):
         med = time_query(name)
         if med is not None:
             extra_queries[name.split("_")[0]] = med
