@@ -1,0 +1,85 @@
+"""Declarative data-quality expectations — the warehouse gate the
+reference runs implicitly through its per-stage status checks
+(`load_to_staging.py` row-count/status guards) generalized into a
+reusable report: each check aggregates to ONE row
+(check, n_violations, passed), the suite unions them.
+
+Scale shape: every check is a single aggregate (or anti-join +
+aggregate) over its table — map-side combined, one row out, no
+collect.  The union of one-row frames is driver-cheap.  Checks run
+lazily: callers get one DataFrame for the whole suite and Spark
+schedules the table scans together (a shared input table's scans can
+be cached by the caller when several checks hit the same table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _report(name: str, violations: Column) -> list[Column]:
+    n = violations.cast("long")
+    return [
+        F.lit(name).alias("check"),
+        n.alias("n_violations"),
+        (n == 0).alias("passed"),
+    ]
+
+
+def check_predicate(df: DataFrame, name: str, cond: Column) -> DataFrame:
+    """Rows violating ``cond`` (NULL counts as a violation — an
+    expectation that cannot be evaluated is not met)."""
+    bad = F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1))
+    return df.agg(*_report(name, F.coalesce(bad, F.lit(0))))
+
+
+def check_not_null(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(c).isNotNull()
+    return check_predicate(df, name or f"not_null({','.join(cols)})", cond)
+
+
+def check_unique(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
+    """Violations = rows beyond the first per key (count - distinct
+    over non-null keys; a NULL key never collides in SQL semantics and
+    is ignored here — pair with ``check_not_null`` to forbid it)."""
+    key = F.struct(*[F.col(c) for c in cols])
+    no_null = sum(F.col(c).isNull().cast("int") for c in cols) == 0
+    keyed = F.when(no_null, key)  # NULL for null-bearing keys: both counts skip them
+    return df.agg(
+        *_report(
+            name or f"unique({','.join(cols)})",
+            F.coalesce(F.count(keyed) - F.count_distinct(keyed), F.lit(0)),
+        )
+    )
+
+
+def check_foreign_key(
+    child: DataFrame,
+    parent: DataFrame,
+    keys: dict[str, str],
+    name: str | None = None,
+) -> DataFrame:
+    """Orphaned child rows: child keys with no parent match (NULL child
+    keys are orphans — forbid them separately if NULLs are legal).  The
+    anti-join broadcasts the parent key set when dimension-sized;
+    fact-to-fact referential checks shuffle on the key as any join."""
+    cond = None
+    for ck, pk in keys.items():
+        c = F.col(f"__c.{ck}") == F.col(f"__p.{pk}")
+        cond = c if cond is None else (cond & c)
+    orphans = child.alias("__c").join(parent.alias("__p"), cond, "left_anti")
+    label = name or f"fk({','.join(keys)})"
+    return orphans.agg(*_report(label, F.coalesce(F.count(F.lit(1)), F.lit(0))))
+
+
+def run_expectations(checks: list[DataFrame]) -> DataFrame:
+    """Union the one-row check frames into the suite report."""
+    if not checks:
+        raise ValueError("no checks given")
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -3675,3 +3675,158 @@ GROUP BY 1, 2
 
 QUERIES.update({"q86_cohort_retention": q86_cohort_retention})
 ORACLE_SQL.update({"q86_cohort_retention": Q86_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Window analytics: time-range trailing frame (q87)
+# ---------------------------------------------------------------------------
+
+def q87_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 1-hour activity at every event — a RANGE frame
+    over event-time microseconds (q33's running total is the ROWS twin;
+    range frames are the ops-dashboard shape: 'how busy was this user
+    in the hour before each event').  Count and max only — exact under
+    any frame-evaluation order, so the oracle hash is stable where a
+    float sum would not be."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.max("value").over(w).alias("trailing_max"),
+    )
+
+
+Q87_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS trailing_n,
+       max(value) OVER w AS trailing_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES.update({"q87_trailing_window": q87_trailing_window})
+ORACLE_SQL.update({"q87_trailing_window": Q87_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy record linkage (q88)
+# ---------------------------------------------------------------------------
+
+def q88_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage of a dirty feed against the customer master:
+    block on a digits-prefix key (bounding the quadratic pairwise cost
+    to block-local), then edit-distance <= 1 within the block.  The
+    dirty feed is the master (<200) with a trailing character injected,
+    so every dirty row has exactly one true match at distance 1 and its
+    block neighbors sit at distance 2 — the precision boundary is
+    live.  `levenshtein` is a JVM built-in on both engines."""
+    cust = _t(spark, sf_dir, "customer")
+    digits = lambda c: F.regexp_replace(c, "[^0-9]", "")
+    master = cust.filter(F.col("c_custkey") < 200).select(
+        F.col("c_custkey").alias("master_key"),
+        F.col("c_name").alias("master_name"),
+        F.substring(digits(F.col("c_name")), 1, 8).alias("__blk"),
+    )
+    dirty = cust.filter(F.col("c_custkey") < 200).select(
+        (F.col("c_custkey") + 5000).alias("dirty_id"),
+        F.concat(F.col("c_name"), F.lit("X")).alias("dirty_name"),
+        F.substring(digits(F.col("c_name")), 1, 8).alias("__blk"),
+    )
+    return (
+        dirty.join(master, "__blk")
+        .withColumn("distance", F.levenshtein("dirty_name", "master_name"))
+        .filter(F.col("distance") <= 1)
+        .select("dirty_id", "master_key", "distance")
+    )
+
+
+Q88_SQL = """
+WITH master AS (
+  SELECT c_custkey AS master_key, c_name AS master_name,
+         substring(regexp_replace(c_name, '[^0-9]', '', 'g'), 1, 8) AS blk
+  FROM customer WHERE c_custkey < 200
+), dirty AS (
+  SELECT c_custkey + 5000 AS dirty_id, c_name || 'X' AS dirty_name,
+         substring(regexp_replace(c_name, '[^0-9]', '', 'g'), 1, 8) AS blk
+  FROM customer WHERE c_custkey < 200
+)
+SELECT dirty_id, master_key, CAST(levenshtein(dirty_name, master_name) AS INTEGER) AS distance
+FROM dirty JOIN master USING (blk)
+WHERE levenshtein(dirty_name, master_name) <= 1
+"""
+
+
+QUERIES.update({"q88_fuzzy_match": q88_fuzzy_match})
+ORACLE_SQL.update({"q88_fuzzy_match": Q88_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations report (q89)
+# ---------------------------------------------------------------------------
+
+def q89_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse gate as one report: key uniqueness, referential
+    integrity, domain rules — each check one aggregate row, the suite
+    one union.  This is the generalized form of the reference's
+    per-stage row-count/status guards (`load_to_staging.py`)."""
+    from .operators.expectations import (
+        check_foreign_key,
+        check_not_null,
+        check_predicate,
+        check_unique,
+        run_expectations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    return run_expectations(
+        [
+            check_unique(cust, ["c_custkey"]),
+            check_not_null(orders, ["o_orderkey", "o_custkey"]),
+            check_foreign_key(orders, cust, {"o_custkey": "c_custkey"}),
+            check_predicate(li, "positive_quantity", F.col("l_quantity") > 0),
+            check_predicate(
+                li, "discount_in_range", (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1)
+            ),
+        ]
+    )
+
+
+Q89_SQL = """
+SELECT 'unique(c_custkey)' AS check,
+       CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT) AS n_violations,
+       count(c_custkey) - count(DISTINCT c_custkey) = 0 AS passed
+FROM customer
+UNION ALL
+SELECT 'not_null(o_orderkey,o_custkey)',
+       CAST(sum(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'fk(o_custkey)', CAST(count(*) AS BIGINT), count(*) = 0
+FROM (SELECT 1 FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'positive_quantity',
+       CAST(sum(CASE WHEN NOT coalesce(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN NOT coalesce(l_quantity > 0, FALSE) THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'discount_in_range',
+       CAST(sum(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 1, FALSE) THEN 1 ELSE 0 END) = 0
+FROM lineitem
+"""
+
+
+QUERIES.update({"q89_expectations": q89_expectations})
+ORACLE_SQL.update({"q89_expectations": Q89_SQL})

@@ -1,0 +1,59 @@
+"""Data-quality expectations suite (operators/expectations.py, q89)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nlu_data_warehouse_project_spark.operators.expectations import (
+    check_foreign_key,
+    check_not_null,
+    check_predicate,
+    check_unique,
+    run_expectations,
+)
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_check_unique_ignores_null_keys_counts_dups(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (None,)], "k int"
+    )
+    r = _one(check_unique(df, ["k"]))
+    # two NULL keys never collide; (1,1) is one violation
+    assert r["n_violations"] == 1 and r["passed"] is False
+
+    clean = spark.createDataFrame([(1,), (2,)], "k int")
+    assert _one(check_unique(clean, ["k"]))["passed"] is True
+
+
+def test_check_predicate_null_is_violation(spark):
+    df = spark.createDataFrame([(1.0,), (-1.0,), (None,)], "v double")
+    r = _one(check_predicate(df, "positive", F.col("v") > 0))
+    assert r["n_violations"] == 2  # the negative AND the unevaluable NULL
+
+
+def test_check_foreign_key_counts_orphans(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    r = _one(check_foreign_key(child, parent, {"fk": "pk"}))
+    assert r["n_violations"] == 2  # 9 and NULL are both orphans
+
+
+def test_run_expectations_union_and_empty_table(spark):
+    df = spark.createDataFrame([], "k int, v double")
+    rep = run_expectations(
+        [
+            check_unique(df, ["k"]),
+            check_not_null(df, ["k"]),
+            check_predicate(df, "pos", F.col("v") > 0),
+        ]
+    )
+    rows = {r["check"]: r for r in rep.collect()}
+    assert len(rows) == 3
+    # an empty table violates nothing
+    assert all(r["n_violations"] == 0 and r["passed"] for r in rows.values())
