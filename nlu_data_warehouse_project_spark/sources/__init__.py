@@ -147,3 +147,82 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each testdata table as a temp view for spark.sql use."""
     for name, df in load_testdata(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    required: list[str] | None = None,
+) -> DataFrame:
+    """JSONL scan — the lingua franca of training-data interchange
+    (one JSON object per line; .gz line files decompress transparently
+    through the Hadoop codecs).  ALWAYS pass ``schema`` in production:
+    inference costs one full extra scan of the input and can mis-type
+    sparse fields.  Malformed lines become all-null rows (PERMISSIVE);
+    use ``read_jsonl_quarantined`` when bad lines must be captured for
+    a dead-letter sink instead of silently nulled.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option("multiLine", False)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if required:
+        validate_required_columns(df, required)
+    return df
+
+
+def read_jsonl_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema,
+    required: list[str] | None = None,
+    corrupt_col: str = "_corrupt_record",
+):
+    """(good, bad) JSONL scan with corrupt-line quarantine: bad = the
+    raw text of every line that failed to parse against ``schema``.
+
+    A 100 TB crawl always contains broken lines — FAILFAST turns one
+    bad byte into a dead job, DROPMALFORMED silently shrinks the
+    corpus; neither is acceptable at scale.  Spark's native reader
+    cannot project the corrupt column alone
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN, and the
+    documented cache() workaround is a non-starter on a 100 TB scan),
+    so this path scans the file as TEXT once and parses with
+    ``from_json`` — both frames derive from that one scan, parsing is
+    JVM-side, and blank lines are skipped exactly as the native reader
+    does.  Write ``bad`` to a dead-letter path and count it in the run
+    audit."""
+    from pyspark.sql.types import StringType, StructType
+
+    if not isinstance(schema, StructType):
+        raise TypeError("read_jsonl_quarantined requires an explicit StructType schema")
+    full = schema
+    if corrupt_col not in full.fieldNames():
+        full = full.add(corrupt_col, StringType(), True)
+    parsed = (
+        spark.read.text(path)
+        .filter(F.trim(F.col("value")) != "")
+        .select(
+            F.col("value"),
+            F.from_json(
+                "value", full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+            ).alias("__j"),
+        )
+    )
+    is_bad = F.col(f"__j.{corrupt_col}").isNotNull() | F.col("__j").isNull()
+    good = parsed.filter(~is_bad).select("__j.*").drop(corrupt_col)
+    if required:
+        validate_required_columns(good, required)
+    bad = parsed.filter(is_bad).select(F.col("value").alias("raw_line"))
+    return good, bad
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = None):
+    """JSONL sink (one object per line).  ``compression='gzip'|'zstd'``
+    for interchange; leave None for local test output."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

@@ -80,3 +80,42 @@ def test_upsert_and_delete(spark):
 
     left = {r["id"] for r in delete_where(target, F.col("id") == 2).collect()}
     assert left == {1, 3}
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from nlu_data_warehouse_project_spark.sources import (
+        read_jsonl,
+        read_jsonl_quarantined,
+        write_jsonl,
+    )
+
+    raw = tmp_path / "in.jsonl"
+    raw.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "this line is not json\n"
+        "\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": 3, "text": null}\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    good, bad = read_jsonl_quarantined(spark, str(raw), schema, required=["doc_id", "text"])
+
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2, 3]
+    assert "_corrupt_record" not in good.columns
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and bad_rows[0]["raw_line"] == "this line is not json"
+
+    out = tmp_path / "out"
+    write_jsonl(good, str(out))
+    back, back_bad = read_jsonl_quarantined(spark, str(out), schema)
+    assert back_bad.count() == 0
+    assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == [
+        (1, "alpha"), (2, "beta"), (3, None),
+    ]
+    # the plain reader agrees on clean input
+    plain = read_jsonl(spark, str(out), schema=schema)
+    assert plain.count() == 3
