@@ -195,3 +195,15 @@ def test_bloom_dedup_probes_index_by_broadcast(spark, sf_smoke):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert uses_broadcast_join(q)
     assert python_udf_count(q) <= 2  # the pandas bloom probe only
+
+
+def test_third_wave_queries_stay_jvm_side(spark, sf_smoke):
+    for name in ("q87_trailing_window", "q88_fuzzy_match", "q89_expectations"):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+
+
+def test_trailing_window_single_shuffle(spark, sf_smoke):
+    # one window partitioned on user_id: exactly one exchange
+    q = QUERIES["q87_trailing_window"](spark, sf_smoke)
+    assert shuffle_count(q) == 1, shuffle_count(q)

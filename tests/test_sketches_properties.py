@@ -158,3 +158,31 @@ def test_snapshot_diff_invariants(spark, old_kv, new_kv):
     for k in set(old_kv) | set(new_kv):
         differs = (k not in old_kv) or (k not in new_kv) or old_kv[k] != new_kv[k]
         assert (k in diff) == differs
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=12), min_size=1, max_size=12
+    ),
+    split=st.integers(min_value=0, max_value=12),
+)
+def test_bloom_dedup_property_equivalent_to_exact(spark, texts, split):
+    """For ANY corpus/batch split, the bloom path returns exactly the
+    plain anti-join's survivors — the no-false-negative guarantee is a
+    property, not an example."""
+    from nlu_data_warehouse_project_spark.operators.dedup import (
+        bloom_incremental_dedup,
+        incremental_exact_dedup,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    existing = df.filter(F.col("doc_id") < split)
+    incoming = df.filter(F.col("doc_id") >= split)
+    want = sorted(r["doc_id"] for r in incremental_exact_dedup(incoming, existing).collect())
+    got = sorted(
+        r["doc_id"]
+        for r in bloom_incremental_dedup(incoming, existing, num_bits=1 << 12).collect()
+    )
+    assert got == want
