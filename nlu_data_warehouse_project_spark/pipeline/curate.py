@@ -38,6 +38,8 @@ def curate_corpus(
     split_weights: dict[str, float] | None = None,
     seed: int = 42,
     gopher_rules: bool = False,
+    flagged_words: list[str] | None = None,
+    line_dedup_max_df: int | None = None,
 ) -> DataFrame:
     """Returns the curated corpus at document grain: the input columns
     plus ``redacted`` (scrubbed text) and ``split``.  Deterministic end
@@ -52,6 +54,21 @@ def curate_corpus(
     a pair explosion; pass ``None`` to disable the cap."""
     weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
 
+    # 0. cross-document line dedup (optional) — RefinedWeb ordering:
+    #    boilerplate lines are struck BEFORE anything fingerprints or
+    #    gates, so a navbar can neither glue unrelated docs into one
+    #    near-dup cluster nor carry a junk page past the length gate.
+    #    Costs two extra keyed shuffles; enable for crawl-shaped input.
+    if line_dedup_max_df is not None:
+        from ..operators.cleanse import dedup_lines
+
+        cleaned = dedup_lines(df, text_col, id_col, max_doc_frequency=line_dedup_max_df)
+        df = (
+            df.drop(text_col)
+            .join(cleaned.select(id_col, "text"), id_col)
+            .withColumnRenamed("text", text_col)
+        )
+
     # 1. quality gate — row-local, runs at the scan.  gopher_rules=True
     #    additionally applies the published Gopher rule thresholds
     #    (functions.text.gopher_quality_gate) in the same scan-local
@@ -63,6 +80,12 @@ def curate_corpus(
         from ..functions.text import gopher_quality_gate
 
         gated = gated.filter(gopher_quality_gate(text_col, min_words=min_tokens))
+    #    flagged_words adds the C4-style word-list safety gate in the
+    #    same scan-local pass (whole-token matching; zero-tolerance)
+    if flagged_words is not None:
+        from ..functions.text import content_safety_gate
+
+        gated = gated.filter(content_safety_gate(text_col, flagged_words))
     # 1.5 benchmark decontamination (optional) — broadcast probe against
     #     the eval-set shingles; runs BEFORE dedup so a clean duplicate
     #     of a contaminated doc can still survive as the group's keeper

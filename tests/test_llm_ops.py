@@ -690,3 +690,35 @@ def test_bloom_incremental_dedup_matches_plain_anti_join(spark):
     empty = existing.filter(F.lit(False))
     got_empty = sorted(r["doc_id"] for r in bloom_incremental_dedup(incoming, empty).collect())
     assert got_empty == [100, 101, 103, 104]
+
+
+def test_curate_corpus_line_dedup_and_safety_stages(spark):
+    """The optional stage-0 line dedup must strike boilerplate BEFORE
+    near-dup clustering (so a shared navbar cannot glue distinct docs
+    into one cluster), and flagged_words must gate in the same pass."""
+    from nlu_data_warehouse_project_spark.pipeline.curate import curate_corpus
+
+    nav = " ".join(f"navitem{j}" for j in range(40))
+    body = lambda i: " ".join(f"word{i}x{j}" for j in range(12))
+    rows = [(i, f"{nav}\n{body(i)}") for i in range(4)]
+    rows.append((10, body(0) + "\nbuy badpill now " * 5))  # flagged doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = curate_corpus(
+        df,
+        max_bucket_size=None,
+        line_dedup_max_df=3,
+        flagged_words=["badpill"],
+        num_hashes=8,
+        bands=4,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    # all four navbar docs survive as distinct documents (navbar struck,
+    # bodies differ); the flagged doc is gone
+    assert kept == {0, 1, 2, 3}
+
+    # without line dedup the shared navbar dominates the shingle set and
+    # collapses the four docs into one near-dup cluster
+    collapsed = {r["doc_id"] for r in curate_corpus(df, max_bucket_size=None).collect()}
+    assert collapsed < kept | {10}
+    assert len(collapsed) < 4
