@@ -3830,3 +3830,45 @@ FROM lineitem
 
 QUERIES.update({"q89_expectations": q89_expectations})
 ORACLE_SQL.update({"q89_expectations": Q89_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join (q90)
+# ---------------------------------------------------------------------------
+
+def q90_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which users' daily activity spans overlapped: per-(user, day)
+    [first, last] event intervals, overlap-joined across two user
+    cohorts keyed by day.  Exercises the exactly-once bucket-credit
+    join — the temporal-overlap shape `range_pairs_within` (point
+    deltas) cannot express."""
+    from .operators.rangejoin import interval_overlap_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    left = iv.filter(F.col("user_id") < 30)
+    right = iv.filter((F.col("user_id") >= 30) & (F.col("user_id") < 60))
+    out = interval_overlap_pairs(
+        left, right, "start_ts", "end_ts", keys=["day"], bucket_seconds=4 * 3600
+    )
+    return out.select(
+        F.col("a_user_id"), F.col("b_user_id"), F.col("a_day").alias("day")
+    )
+
+
+Q90_SQL = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS s, max(ts) AS e
+  FROM events GROUP BY 1, 2
+)
+SELECT a.user_id AS a_user_id, b.user_id AS b_user_id, a.day
+FROM iv a JOIN iv b
+  ON a.day = b.day AND a.s <= b.e AND b.s <= a.e
+WHERE a.user_id < 30 AND b.user_id >= 30 AND b.user_id < 60
+"""
+
+
+QUERIES.update({"q90_interval_overlap": q90_interval_overlap})
+ORACLE_SQL.update({"q90_interval_overlap": Q90_SQL})

@@ -111,3 +111,35 @@ def test_scd2_pit_join_boundaries(spark):
     assert rows == {1: None, 2: 1.0, 3: 1.0, 4: 2.0, 5: 2.0, 6: None}
     # exactly one output row per fact
     assert scd2_pit_join(facts, dim, "user_id").count() == 6
+
+
+def test_interval_overlap_pairs_exactly_once_and_excludes_disjoint(spark):
+    from nlu_data_warehouse_project_spark.operators.rangejoin import interval_overlap_pairs
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "iid long, start_ts string, end_ts string"
+    ).select(
+        "iid",
+        F.col("start_ts").cast("timestamp").alias("start_ts"),
+        F.col("end_ts").cast("timestamp").alias("end_ts"),
+    )
+    # long interval spanning many buckets × short ones: each overlapping
+    # pair must appear EXACTLY once despite sharing several buckets
+    left = mk([(1, "2024-01-01 00:00:00", "2024-01-01 12:00:00")])
+    right = mk([
+        (10, "2024-01-01 03:00:00", "2024-01-01 04:00:00"),   # inside
+        (11, "2024-01-01 11:30:00", "2024-01-01 13:00:00"),   # straddles the end
+        (12, "2024-01-01 12:00:00", "2024-01-01 14:00:00"),   # touches (closed) at 12:00
+        (13, "2024-01-01 15:00:00", "2024-01-01 16:00:00"),   # disjoint
+        (14, "2023-12-31 20:00:00", "2024-01-01 00:00:00"),   # touches at the start
+    ])
+    out = interval_overlap_pairs(left, right, "start_ts", "end_ts", bucket_seconds=3600)
+    pairs = sorted((r["a_iid"], r["b_iid"]) for r in out.collect())
+    assert pairs == [(1, 10), (1, 11), (1, 12), (1, 14)]
+
+    # inverted interval fails fast instead of silently matching nothing
+    import pytest as _pytest
+
+    bad = mk([(9, "2024-01-02 00:00:00", "2024-01-01 00:00:00")])
+    with _pytest.raises(Exception, match="inverted|wider"):
+        interval_overlap_pairs(bad, right, "start_ts", "end_ts", bucket_seconds=3600).collect()
