@@ -184,3 +184,25 @@ def leakage_safe_split(
     return deterministic_split(keyed, "__split_key", weights, seed, split_col).drop(
         "__split_key", "cluster_id"
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-row weighted Bernoulli: keep a row with
+    probability = its weight (clamped to [0, 1]), decided by the same
+    md5 bucket as every other sampler — so quality-weighted corpus
+    thinning ('keep good docs more often') is repeatable, engine-neutral
+    and independent of partitioning/order, unlike a rand() filter.
+
+    ``weight_col`` may be any numeric expression (e.g. a quality score
+    scaled into [0, 1]); rows with NULL weight are dropped (an
+    unevaluable keep-probability is not a keep).  Scan-local — no
+    shuffle, fuses with the other row-local gates.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    p = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(hash_bucket(id_col, seed) < (p * HASH_BUCKETS).cast("long"))

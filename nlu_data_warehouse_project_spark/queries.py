@@ -3872,3 +3872,71 @@ WHERE a.user_id < 30 AND b.user_id >= 30 AND b.user_id < 60
 
 QUERIES.update({"q90_interval_overlap": q90_interval_overlap})
 ORACLE_SQL.update({"q90_interval_overlap": Q90_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: per-user transition matrix (q91)
+# ---------------------------------------------------------------------------
+
+def q91_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style transition counts between consecutive event types
+    per user — the path-analysis primitive (what users do next).  One
+    window shuffle on user_id (lag over the per-user timeline), then a
+    map-side-combined count on the tiny (from, to) key space.  Ties on
+    ts are broken by event_id so the sequence — and the hash — is
+    deterministic."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    return (
+        steps.groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+Q91_SQL = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM steps WHERE to_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q91_event_transitions": q91_event_transitions})
+ORACLE_SQL.update({"q91_event_transitions": Q91_SQL})
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: quality-weighted sampling (q92)
+# ---------------------------------------------------------------------------
+
+def q92_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus thinning: keep probability scales with
+    document length (the stand-in weight here; a real pipeline feeds a
+    quality or rarity score).  Deterministic per row — the same doc
+    keeps or drops on every engine and every rerun."""
+    from .operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    weight = F.col("n_chars") / F.lit(2000.0)
+    return weighted_sample(docs, "doc_id", weight).select("doc_id", "source", "n_chars")
+
+
+Q92_SQL = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE ('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      < CAST(least(greatest(n_chars / 2000.0, 0.0), 1.0) * 10000 AS BIGINT)
+"""
+
+
+QUERIES.update({"q92_weighted_sample": q92_weighted_sample})
+ORACLE_SQL.update({"q92_weighted_sample": Q92_SQL})

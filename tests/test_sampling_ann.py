@@ -219,3 +219,28 @@ def test_rebalance_by_group_is_nested_and_deterministic(spark):
     # rerun identical (no RNG anywhere)
     again = {r["id"] for r in rebalance_by_group(df, "src", {"web": 0.5}, id_col="id").filter("src = 'web'").collect()}
     assert again == half_web
+
+
+def test_weighted_sample_probability_extremes_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from nlu_data_warehouse_project_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 50 else (0.0 if i < 100 else None)) for i in range(150)],
+        "id long, w double",
+    )
+    kept = sorted(r["id"] for r in weighted_sample(df, "id", "w").collect())
+    # weight 1 always kept, weight 0 never, NULL never
+    assert kept == list(range(50))
+
+    # mid-weight: deterministic across reruns and repartitions
+    mid = spark.createDataFrame([(i, 0.3) for i in range(1000)], "id long, w double")
+    a = sorted(r["id"] for r in weighted_sample(mid, "id", "w").collect())
+    b = sorted(r["id"] for r in weighted_sample(mid.repartition(7), "id", "w").collect())
+    assert a == b
+    assert 200 < len(a) < 400  # ~30%
+
+    # out-of-range weights clamp instead of misbehaving
+    wild = spark.createDataFrame([(1, 7.5), (2, -3.0)], "id long, w double")
+    assert sorted(r["id"] for r in weighted_sample(wild, "id", "w").collect()) == [1]
