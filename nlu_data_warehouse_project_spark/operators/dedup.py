@@ -598,6 +598,7 @@ def bloom_incremental_dedup(
     existing_is_fingerprints: bool = False,
     num_bits: int = 1 << 23,
     num_hashes: int = 4,
+    prebuilt_bits=None,
 ) -> DataFrame:
     """`incremental_exact_dedup` with a Bloom pre-filter: result-identical
     (no false negatives — every true duplicate reaches the exact join;
@@ -627,7 +628,18 @@ def bloom_incremental_dedup(
     else:
         fp_index = existing.select(doc_fingerprint(text_col).alias("__fp")).distinct()
 
-    bits = build_fingerprint_bloom(fp_index, "__fp", num_bits, num_hashes)
+    # prebuilt_bits: a bitmap already covering `existing` (e.g. the
+    # BloomFingerprintIndex sidecar) — skips the per-call build scan.
+    # Caller contract: it MUST cover every existing fingerprint, or the
+    # no-false-negative guarantee (and the result) breaks.
+    if prebuilt_bits is not None:
+        bits = prebuilt_bits
+        if bits.size * 8 != num_bits:
+            raise ValueError(
+                f"prebuilt_bits covers {bits.size * 8} bits, expected {num_bits}"
+            )
+    else:
+        bits = build_fingerprint_bloom(fp_index, "__fp", num_bits, num_hashes)
     spark = incoming.sparkSession
     bc = spark.sparkContext.broadcast(bits.tobytes())
 

@@ -430,6 +430,7 @@ def make_corpus_ingest_processor(
     min_tokens: int = 10,
     max_punct: float = 0.2,
     gopher_rules: bool = False,
+    use_bloom: bool = False,
 ):
     """The foreachBatch body of ``streaming_corpus_ingest``, exposed so
     its replay/idempotence contract is directly testable.
@@ -458,6 +459,18 @@ def make_corpus_ingest_processor(
     from ..functions.text import doc_fingerprint, punct_ratio, token_count
     from ..operators.dedup import incremental_exact_dedup
 
+    # use_bloom: serve the dedup's membership pre-filter from the
+    # persistent sidecar (operators/bloomindex.py) — each micro-batch
+    # folds in only the segments appended since the last one (O(delta)
+    # via read_closed_delta), instead of re-scanning the corpus
+    # fingerprints per batch.  Result-identical: the bloom only routes
+    # rows, the exact anti-join still decides.
+    bloom_index = None
+    if use_bloom:
+        from ..operators.bloomindex import BloomFingerprintIndex
+
+        bloom_index = BloomFingerprintIndex(corpus)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if _replayed_batch(corpus, batch_id):
             return  # replayed micro-batch: commit already visible
@@ -470,7 +483,9 @@ def make_corpus_ingest_processor(
             from ..functions.text import gopher_quality_gate
 
             gated = gated.filter(gopher_quality_gate(text_col, min_words=min_tokens))
-        if corpus.exists():
+        if bloom_index is not None:
+            survivors = bloom_index.dedup(gated, text_col, id_col)
+        elif corpus.exists():
             existing = corpus.read().select("fingerprint")
             survivors = incremental_exact_dedup(
                 gated, existing, text_col, id_col, existing_is_fingerprints=True
@@ -500,6 +515,7 @@ def streaming_corpus_ingest(
     max_punct: float = 0.2,
     max_files_per_trigger: int | None = None,
     gopher_rules: bool = False,
+    use_bloom: bool = False,
 ):
     """Incremental corpus curation as a stream: each ``availableNow``
     run picks up exactly the unseen landing files (checkpoint commit
@@ -515,7 +531,8 @@ def streaming_corpus_ingest(
     q = (
         stream.writeStream.foreachBatch(
             make_corpus_ingest_processor(
-                corpus, text_col, id_col, min_tokens, max_punct, gopher_rules
+                corpus, text_col, id_col, min_tokens, max_punct, gopher_rules,
+                use_bloom=use_bloom,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

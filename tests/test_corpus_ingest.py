@@ -197,3 +197,41 @@ def test_embedding_ingest_gates_and_dedups_across_batches(spark, tmp_path):
 
     with pytest.raises(ValueError, match="fresh checkpoint"):
         process(b1, 0)
+
+
+def test_streaming_corpus_ingest_bloom_path_equivalent(spark, tmp_path):
+    """use_bloom=True must produce the identical corpus, and the
+    sidecar must track the table version across micro-batches."""
+    import os
+
+    landing = str(tmp_path / "landing")
+    _write_landing(spark, landing, [(1, GOOD), (5, GOOD), (2, SHORT)])
+    _write_landing(spark, landing, [(10, GOOD), (11, GOOD2)])
+
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    streaming_corpus_ingest(
+        spark,
+        landing,
+        SCHEMA,
+        corpus,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        use_bloom=True,
+    )
+    rows = corpus.read().collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 11]
+    assert corpus.manifest()["last_batch_id"] == 1
+
+    # the sidecar lives NEXT TO the table dir and is synced
+    from nlu_data_warehouse_project_spark.operators.bloomindex import (
+        BloomFingerprintIndex,
+    )
+
+    idx = BloomFingerprintIndex(corpus)
+    assert os.path.exists(idx.path)
+    state = idx._load()
+    # written most recently at dedup time of the LAST batch — one
+    # version behind the final commit; sync() folds the tail
+    assert state is not None and state[1] >= corpus.manifest()["version"] - 1
+    idx.sync()
+    assert idx._load()[1] == corpus.manifest()["version"]
