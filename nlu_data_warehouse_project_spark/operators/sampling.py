@@ -206,3 +206,47 @@ def weighted_sample(
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     p = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
     return df.filter(hash_bucket(id_col, seed) < (p * HASH_BUCKETS).cast("long"))
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-smoothed source mixing (the multilingual
+    alpha-sampling rule: final share of group g ∝ n_g^alpha, alpha < 1
+    flattens the mix toward rare groups) realized as downsampling only:
+    keep_frac_g = (n_min / n_g)^(1-alpha), so the rarest group keeps
+    100% and no group is ever upsampled.  alpha=1 keeps everything;
+    alpha=0 equalizes counts.
+
+    Per-row keep/drop is the shared md5 bucket — deterministic and
+    nested like every other sampler.  The group-count side is a tiny
+    broadcast (one row per source); the filter itself is scan-local.
+
+    alpha=0.5 computes via sqrt, which IEEE 754 rounds correctly in
+    every engine — the keep fractions (and therefore the kept SET) are
+    bit-identical cross-engine.  Other alphas go through pow(), whose
+    last-bit rounding is libm-specific: at most a ~1e-4 sliver of rows
+    near a bucket boundary may differ between engines — fine for
+    corpus mixing, not for an exact-hash gate.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    if alpha == 0.5:
+        frac = F.sqrt(F.col("__nmin")) / F.sqrt(F.col("__n"))
+    else:
+        frac = F.pow(F.col("__nmin") / F.col("__n"), F.lit(1.0 - alpha))
+    fracs = counts.crossJoin(F.broadcast(nmin)).select(
+        group_col, frac.alias("__keep_frac")
+    )
+    bucket = hash_bucket(id_col, seed)
+    return (
+        df.join(F.broadcast(fracs), group_col)
+        .filter(bucket < F.floor(F.col("__keep_frac") * HASH_BUCKETS))
+        .drop("__keep_frac")
+    )

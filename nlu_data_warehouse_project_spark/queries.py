@@ -3940,3 +3940,41 @@ WHERE ('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT 
 
 QUERIES.update({"q92_weighted_sample": q92_weighted_sample})
 ORACLE_SQL.update({"q92_weighted_sample": Q92_SQL})
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: temperature-smoothed source mixing (q93)
+# ---------------------------------------------------------------------------
+
+def q93_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-sampling the corpus mix at alpha=0.5: final share per
+    source ∝ sqrt(n); the rarest source keeps 100%, dominant sources
+    are thinned — downsampling only, per-row deterministic.  sqrt is
+    correctly rounded everywhere, so the kept set is bit-identical
+    cross-engine (see temperature_rebalance for the general-alpha
+    caveat)."""
+    from .operators.sampling import temperature_rebalance
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_rebalance(docs, "source", "doc_id", alpha=0.5)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+
+
+Q93_SQL = """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+), nm AS (
+  SELECT min(n) AS nmin FROM counts
+), fracs AS (
+  SELECT source, sqrt(nm.nmin) / sqrt(n) AS keep_frac FROM counts, nm
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+FROM documents d JOIN fracs f ON d.source = f.source
+WHERE ('0x' || substring(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      < floor(f.keep_frac * 10000)
+GROUP BY d.source
+"""
+
+
+QUERIES.update({"q93_temperature_mix": q93_temperature_mix})
+ORACLE_SQL.update({"q93_temperature_mix": Q93_SQL})

@@ -244,3 +244,28 @@ def test_weighted_sample_probability_extremes_and_determinism(spark):
     # out-of-range weights clamp instead of misbehaving
     wild = spark.createDataFrame([(1, 7.5), (2, -3.0)], "id long, w double")
     assert sorted(r["id"] for r in weighted_sample(wild, "id", "w").collect()) == [1]
+
+
+def test_temperature_rebalance_flattens_toward_rare(spark):
+    from nlu_data_warehouse_project_spark.operators.sampling import temperature_rebalance
+
+    rows = [(i, "big") for i in range(900)] + [(i + 10000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, src string")
+
+    # alpha=1: identity — nothing dropped
+    assert temperature_rebalance(df, "src", "id", alpha=1.0).count() == 1000
+
+    # alpha=0.5: small keeps ~100%, big keeps ~sqrt(100/900)=1/3
+    kept = temperature_rebalance(df, "src", "id", alpha=0.5)
+    by = {r["src"]: r["n"] for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by["small"] > 90          # rarest group ~untouched
+    assert 240 < by["big"] < 360     # ~300
+
+    # alpha=0: counts equalized (big thinned to ~|small|)
+    eq = temperature_rebalance(df, "src", "id", alpha=0.0)
+    by0 = {r["src"]: r["n"] for r in eq.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert abs(by0["big"] - by0["small"]) < 40
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_rebalance(df, "src", "id", alpha=1.5)
