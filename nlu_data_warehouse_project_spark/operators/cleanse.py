@@ -147,8 +147,13 @@ def dedup_lines(
     Returns ``id_col``, ``text`` (cleaned), ``n_lines_kept``,
     ``n_lines_dropped``.
     """
+    import re as _re
+
+    # Spark's split() takes a Java REGEX; ``sep`` is a LITERAL separator
+    # (matching DuckDB string_split), so escape it
     lines = df.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("__pos", "__line")
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(_re.escape(sep)))).alias("__pos", "__line"),
     )
     heavy = (
         lines.select("__line", id_col)

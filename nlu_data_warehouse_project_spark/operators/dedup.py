@@ -583,7 +583,9 @@ def build_fingerprint_bloom(
                 np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
         yield pd.DataFrame({"bloom": [bits.tobytes()]})
 
-    parts = fp_df.select(F.col(fp_col)).mapInPandas(fold, out_schema).collect()
+    parts = (
+        fp_df.select(F.col(fp_col)).na.drop().mapInPandas(fold, out_schema).collect()
+    )
     bits = np.zeros(n_bytes, dtype=np.uint8)
     for row in parts:
         bits |= np.frombuffer(row["bloom"], dtype=np.uint8)

@@ -3584,15 +3584,15 @@ def q85_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "ts")
     )
 
-    def first_after(df, etype, prev):
+    def first_after(etype, prev):
         out = ev.filter(F.col("event_type") == etype)
         if prev is not None:
             out = out.join(prev, "user_id").filter(F.col("ts") > F.col("__t"))
         return out.groupBy("user_id").agg(F.min("ts").alias("__t"))
 
-    v = first_after(ev, "view", None)
-    c = first_after(ev, "click", v)
-    p = first_after(ev, "purchase", c)
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
     stage = (
         v.select("user_id").withColumn("__s", F.lit(1))
         .join(c.select("user_id").withColumn("__s2", F.lit(1)), "user_id", "left")
