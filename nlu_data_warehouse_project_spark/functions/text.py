@@ -270,7 +270,11 @@ def flagged_token_fraction(col: Column | str, words: list[str] | None = None) ->
     Whole-token equality, not substring: 'scunthorpe' never trips a
     substring of a flagged word.  Pure higher-order expression over the
     one tokens() array — JVM-side, no shuffle, no UDF."""
-    wl = [w.lower() for w in (words or FLAGGED_WORDS)]
+    wl = [w.lower() for w in (words if words is not None else FLAGGED_WORDS)]
+    if not wl:
+        # an explicitly empty lexicon flags nothing (it must NOT fall
+        # back to the placeholder list — that would drop real docs)
+        return F.lit(0.0)
     toks = tokens(F.lower(_c(col)))
     n = F.size(toks)
     hits = F.size(F.filter(toks, lambda t: t.isin(wl)))

@@ -52,19 +52,35 @@ class BloomFingerprintIndex:
         # a SIBLING of the table root, not inside it: TxTable.verify()'s
         # orphan audit and vacuum never see it
         self.path = path or (str(table.root).rstrip("/") + ".bloom")
+        # one broadcast per synced version, reused across dedup() calls
+        # (a streaming loop must not leak one broadcast per micro-batch)
+        self._bc = None
+        self._bc_version = None
 
     # -- storage ----------------------------------------------------------
+    # All IO goes through the table's Hadoop FileSystem (same as the
+    # manifests), so the sidecar works wherever the table does — local,
+    # HDFS, s3a — not just the local filesystem.
+
+    def _jpath(self, p: str):
+        return self.table._jvm().org.apache.hadoop.fs.Path(p)
 
     def _load(self):
         """(bits, synced_version) or None when absent/corrupt/mismatched."""
         import numpy as np
 
+        fs = self.table._fs()
+        jp = self._jpath(self.path)
         try:
-            with open(self.path, "rb") as f:
-                raw = f.read()
-        except FileNotFoundError:
-            return None
-        try:
+            if not fs.exists(jp):
+                return None
+            stream = fs.open(jp)
+            try:
+                raw = bytes(
+                    self.table._jvm().org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
             if raw[:4] != _MAGIC:
                 return None
             (hlen,) = struct.unpack("<I", raw[4:8])
@@ -88,16 +104,25 @@ class BloomFingerprintIndex:
                 "synced_version": int(version),
             }
         ).encode()
-        tmp = f"{self.path}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(_MAGIC + struct.pack("<I", len(meta)) + meta + bits.tobytes())
-        os.replace(tmp, self.path)  # atomic publish, same as the manifest
+        payload = _MAGIC + struct.pack("<I", len(meta)) + meta + bits.tobytes()
+        fs = self.table._fs()
+        tmp = self._jpath(f"{self.path}.tmp.{os.getpid()}")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+        dest = self._jpath(self.path)
+        # delete-then-rename (Hadoop rename refuses an existing dest on
+        # some filesystems).  A crash in the gap leaves NO sidecar -> the
+        # next sync() full-rebuilds; never an inconsistent bitmap.
+        if fs.exists(dest):
+            fs.delete(dest, False)
+        fs.rename(tmp, dest)
 
     # -- sync -------------------------------------------------------------
 
     def _fold(self, fps: DataFrame, into=None):
-        import numpy as np
-
         fresh = build_fingerprint_bloom(
             fps.select(F.col(self.fp_col)), self.fp_col, self.num_bits, self.num_hashes
         )
@@ -137,6 +162,14 @@ class BloomFingerprintIndex:
         """`bloom_incremental_dedup` against the table, with the bitmap
         served from the synced sidecar instead of rebuilt per call."""
         bits = self.sync()
+        man = self.table.manifest() if self.table.exists() else None
+        ver = int(man["version"]) if man else 0
+        if self._bc is None or self._bc_version != ver:
+            old = self._bc
+            self._bc = incoming.sparkSession.sparkContext.broadcast(bits.tobytes())
+            self._bc_version = ver
+            if old is not None:
+                old.unpersist(blocking=False)
         if self.table.exists():
             existing = self.table.read().select(self.fp_col)
         else:
@@ -149,5 +182,5 @@ class BloomFingerprintIndex:
             existing_is_fingerprints=True,
             num_bits=self.num_bits,
             num_hashes=self.num_hashes,
-            prebuilt_bits=bits,
+            prebuilt_bits=self._bc,
         )

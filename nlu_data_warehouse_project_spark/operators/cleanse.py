@@ -120,6 +120,7 @@ def dedup_lines(
     id_col: str = "doc_id",
     max_doc_frequency: int = 10,
     sep: str = "\n",
+    min_line_chars: int = 1,
 ) -> DataFrame:
     """Cross-document line dedup (RefinedWeb/CCNet-style boilerplate
     removal): drop every line that appears in more than
@@ -155,8 +156,13 @@ def dedup_lines(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), F.lit(_re.escape(sep)))).alias("__pos", "__line"),
     )
+    # lines shorter than min_line_chars (default: blank lines) are
+    # EXEMPT from the heavy filter: paragraph separators exceed any doc
+    # frequency threshold in a real corpus, and striking them corpus-wide
+    # would silently rewrite every document's structure
     heavy = (
-        lines.select("__line", id_col)
+        lines.filter(F.length("__line") >= int(min_line_chars))
+        .select("__line", id_col)
         .distinct()
         .groupBy("__line")
         .agg(F.count(F.lit(1)).alias("__df"))

@@ -633,17 +633,28 @@ def bloom_incremental_dedup(
     # prebuilt_bits: a bitmap already covering `existing` (e.g. the
     # BloomFingerprintIndex sidecar) — skips the per-call build scan.
     # Caller contract: it MUST cover every existing fingerprint, or the
-    # no-false-negative guarantee (and the result) breaks.
-    if prebuilt_bits is not None:
-        bits = prebuilt_bits
-        if bits.size * 8 != num_bits:
+    # no-false-negative guarantee (and the result) breaks.  Pass a
+    # pyspark Broadcast (of the bitmap BYTES) to also reuse one
+    # broadcast across calls — a streaming loop otherwise creates one
+    # per micro-batch and nothing ever destroys them.
+    from pyspark import Broadcast
+
+    if isinstance(prebuilt_bits, Broadcast):
+        bc = prebuilt_bits
+        if len(bc.value) * 8 != num_bits:
             raise ValueError(
-                f"prebuilt_bits covers {bits.size * 8} bits, expected {num_bits}"
+                f"prebuilt broadcast covers {len(bc.value) * 8} bits, expected {num_bits}"
             )
     else:
-        bits = build_fingerprint_bloom(fp_index, "__fp", num_bits, num_hashes)
-    spark = incoming.sparkSession
-    bc = spark.sparkContext.broadcast(bits.tobytes())
+        if prebuilt_bits is not None:
+            bits = prebuilt_bits
+            if bits.size * 8 != num_bits:
+                raise ValueError(
+                    f"prebuilt_bits covers {bits.size * 8} bits, expected {num_bits}"
+                )
+        else:
+            bits = build_fingerprint_bloom(fp_index, "__fp", num_bits, num_hashes)
+        bc = incoming.sparkSession.sparkContext.broadcast(bits.tobytes())
 
     @pandas_udf("boolean")
     def bloom_hit(fps: pd.Series) -> pd.Series:
@@ -659,12 +670,14 @@ def bloom_incremental_dedup(
 
     keyed = incoming.withColumn("__fp", doc_fingerprint(text_col))
     w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    # no persist: the two branches recompute the (cheap, vectorized)
+    # probe rather than leak a CacheManager entry per call — a streaming
+    # loop calls this every micro-batch and nothing would ever unpersist
     batch_unique = (
         keyed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .withColumn("__hit", bloom_hit(F.col("__fp")))
-        .persist()
     )
     misses = batch_unique.filter(~F.col("__hit"))
     cand = batch_unique.filter(F.col("__hit"))

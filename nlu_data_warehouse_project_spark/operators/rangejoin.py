@@ -101,9 +101,14 @@ def interval_overlap_pairs(
         e = F.unix_micros(F.col(end_col).cast("timestamp"))
         sb = F.expr(f"unix_micros(cast({start_col} as timestamp)) div {w_us}L")
         eb = F.expr(f"unix_micros(cast({end_col} as timestamp)) div {w_us}L")
-        # the guard lives INSIDE the exploded expression — a standalone
-        # assert_true column would be pruned away unevaluated
+        # NULL start/end rows are SKIPPED (explode of a NULL sequence
+        # emits nothing), matching range_pairs_within — one NULL in 10^9
+        # rows must not kill the query.  The guard below fires only on
+        # genuinely inverted/over-wide intervals, and lives INSIDE the
+        # exploded expression — a standalone assert_true column would be
+        # pruned away unevaluated.
         ok = (e >= s) & (eb - sb <= max_buckets_per_interval)
+        ok = F.when(s.isNull() | e.isNull(), F.lit(None).cast("boolean")).otherwise(ok)
         msg = (
             f"{prefix}: interval inverted or wider than "
             f"{max_buckets_per_interval} buckets of {bucket_seconds}s"

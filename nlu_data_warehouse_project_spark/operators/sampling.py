@@ -205,7 +205,9 @@ def weighted_sample(
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     p = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
-    return df.filter(hash_bucket(id_col, seed) < (p * HASH_BUCKETS).cast("long"))
+    # floor, not a truncating cast: DuckDB's double->bigint CAST rounds,
+    # so only an explicit floor keeps the kept set engine-identical
+    return df.filter(hash_bucket(id_col, seed) < F.floor(p * HASH_BUCKETS))
 
 
 def temperature_rebalance(

@@ -3556,8 +3556,10 @@ def q84_content_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q84_SQL = f"""
 WITH scored AS (
   SELECT doc_id,
-         CAST(len(list_filter({_LTOKENS_SQL}, t -> t IN ('spark', 'vector'))) AS DOUBLE)
-           / len({_LTOKENS_SQL}) AS f
+         CASE WHEN len({_LTOKENS_SQL}) > 0
+              THEN CAST(len(list_filter({_LTOKENS_SQL}, t -> t IN ('spark', 'vector'))) AS DOUBLE)
+                   / len({_LTOKENS_SQL})
+              ELSE 0.0 END AS f
   FROM documents
 )
 SELECT doc_id, round(f, 6) AS flagged_frac, f <= 0.02 AS keep FROM scored
@@ -3934,7 +3936,7 @@ Q92_SQL = """
 SELECT doc_id, source, n_chars
 FROM documents
 WHERE ('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
-      < CAST(least(greatest(n_chars / 2000.0, 0.0), 1.0) * 10000 AS BIGINT)
+      < CAST(floor(least(greatest(n_chars / 2000.0, 0.0), 1.0) * 10000) AS BIGINT)
 """
 
 
