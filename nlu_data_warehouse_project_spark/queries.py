@@ -3980,3 +3980,43 @@ GROUP BY d.source
 
 QUERIES.update({"q93_temperature_mix": q93_temperature_mix})
 ORACLE_SQL.update({"q93_temperature_mix": Q93_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: fixed-width histogram per type (q94)
+# ---------------------------------------------------------------------------
+
+def q94_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type (20 bins over [0, 500],
+    out-of-range clamped to the edge bins) — the monitoring-dashboard
+    shape.  Bin assignment is explicit floor arithmetic (identical
+    IEEE ops on both engines; width_bucket is not portable), and the
+    aggregation is one map-side-combined count on the tiny
+    (type, bin) key space — the scan dominates at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(F.floor((F.col("value") - F.lit(0.0)) / F.lit(25.0)), F.lit(0)),
+        F.lit(19),
+    ).cast("int")
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("lo", (F.col("bin") * 25.0).cast("double"))
+        .withColumn("hi", ((F.col("bin") + 1) * 25.0).cast("double"))
+    )
+
+
+Q94_SQL = """
+WITH binned AS (
+  SELECT event_type,
+         CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19) AS INTEGER) AS bin
+  FROM events
+)
+SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(bin * 25.0 AS DOUBLE) AS lo, CAST((bin + 1) * 25.0 AS DOUBLE) AS hi
+FROM binned GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q94_value_histogram": q94_value_histogram})
+ORACLE_SQL.update({"q94_value_histogram": Q94_SQL})

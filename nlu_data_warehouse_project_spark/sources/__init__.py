@@ -219,10 +219,20 @@ def read_jsonl_quarantined(
     return good, bad
 
 
-def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = None):
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    partition_by: list[str] | None = None,
+):
     """JSONL sink (one object per line).  ``compression='gzip'|'zstd'``
-    for interchange; leave None for local test output."""
+    for interchange; ``partition_by=["split"]`` lays the export out as
+    ``split=train/``, ``split=val/``… so a trainer reads its split with
+    partition pruning and no filter scan."""
     writer = df.write.mode(mode)
     if compression:
         writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     writer.json(path)

@@ -195,3 +195,14 @@ def test_flagged_token_fraction_whole_token_only(spark):
         "id", content_safety_gate("text", ["badword"], max_flagged_fraction=0.3).alias("keep")
     )
     assert {r["id"]: r["keep"] for r in soft.collect()}[2] is True
+
+
+def test_flagged_empty_lexicon_flags_nothing(spark):
+    from pyspark.sql import functions as F
+
+    from nlu_data_warehouse_project_spark.functions.text import flagged_token_fraction
+
+    df = spark.createDataFrame([(1, "badword gore slur1")], "id long, text string")
+    # an explicitly EMPTY list must not fall back to the placeholder set
+    r = df.select(flagged_token_fraction("text", []).alias("f")).first()
+    assert r["f"] == 0.0

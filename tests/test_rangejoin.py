@@ -143,3 +143,21 @@ def test_interval_overlap_pairs_exactly_once_and_excludes_disjoint(spark):
     bad = mk([(9, "2024-01-02 00:00:00", "2024-01-01 00:00:00")])
     with _pytest.raises(Exception, match="inverted|wider"):
         interval_overlap_pairs(bad, right, "start_ts", "end_ts", bucket_seconds=3600).collect()
+
+
+def test_interval_overlap_skips_null_timestamps(spark):
+    from nlu_data_warehouse_project_spark.operators.rangejoin import interval_overlap_pairs
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 02:00:00"), (2, None, "2024-01-01 01:00:00")],
+        "iid long, start_ts string, end_ts string",
+    ).select("iid", F.col("start_ts").cast("timestamp").alias("start_ts"),
+             F.col("end_ts").cast("timestamp").alias("end_ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 01:00:00", "2024-01-01 03:00:00")],
+        "iid long, start_ts string, end_ts string",
+    ).select("iid", F.col("start_ts").cast("timestamp").alias("start_ts"),
+             F.col("end_ts").cast("timestamp").alias("end_ts"))
+    # the NULL-start row is skipped, not a job-killing 'inverted' error
+    out = interval_overlap_pairs(left, right, "start_ts", "end_ts", bucket_seconds=3600)
+    assert sorted((r["a_iid"], r["b_iid"]) for r in out.collect()) == [(1, 10)]

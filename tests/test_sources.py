@@ -119,3 +119,21 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     # the plain reader agrees on clean input
     plain = read_jsonl(spark, str(out), schema=schema)
     assert plain.count() == 3
+
+
+def test_write_jsonl_partitioned_by_split(spark, tmp_path):
+    import os
+
+    from nlu_data_warehouse_project_spark.sources import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "a", "train"), (2, "b", "train"), (3, "c", "test")],
+        "doc_id long, text string, split string",
+    )
+    out = str(tmp_path / "export")
+    write_jsonl(df, out, partition_by=["split"])
+    assert sorted(d for d in os.listdir(out) if d.startswith("split=")) == [
+        "split=test", "split=train",
+    ]
+    train = spark.read.json(f"{out}/split=train")
+    assert sorted(r["doc_id"] for r in train.collect()) == [1, 2]
