@@ -103,3 +103,65 @@ def table_diff(table, v_old: int, v_new: int | None = None, key: str | list[str]
     return snapshot_diff(
         table.read_current(version=v_old), table.read_current(version=v_new), key
     )
+
+
+def schema_diff(table, since_version: int, version: int | None = None) -> list[dict]:
+    """Schema drift between two versions of a TxTable, from the
+    manifests alone — no data scan.  Returns a list of
+    ``{"column", "change", "old_type", "new_type"}`` dicts
+    (change ∈ added / removed / retyped), empty when identical.
+
+    This is the audit view of the commit-time evolution rules: adds are
+    legal (history null-fills), retypes are refused at commit — so a
+    ``retyped`` row here means the rules were bypassed out-of-band and
+    the table needs `verify()`.
+    """
+    from pyspark.sql.types import StructType
+
+    # manifest() raises VersionNotFoundError itself for missing/vacuumed
+    # versions — no need to re-wrap
+    old_man = table.manifest(since_version)
+    new_man = table.manifest(version)
+    old = {f.name: f.dataType.simpleString() for f in table._manifest_schema(old_man).fields}
+    new = {f.name: f.dataType.simpleString() for f in table._manifest_schema(new_man).fields}
+    out = []
+    for c in sorted(set(old) | set(new)):
+        if c not in new:
+            out.append({"column": c, "change": "removed", "old_type": old[c], "new_type": None})
+        elif c not in old:
+            out.append({"column": c, "change": "added", "old_type": None, "new_type": new[c]})
+        elif old[c] != new[c]:
+            out.append({"column": c, "change": "retyped", "old_type": old[c], "new_type": new[c]})
+    return out
+
+
+def table_history(table) -> list[dict]:
+    """Per-version audit log from the manifests (no data scan):
+    version, run_id, commit kind (append/merge/snapshot inferred from
+    the closed-dir delta), closed-dir count, and schema column count —
+    the `DESCRIBE HISTORY` twin for a TxTable."""
+    out = []
+    prev_closed: set[str] = set()
+    for v in table.versions():
+        man = table.manifest(v)
+        if man is None:
+            continue
+        closed = set(man.get("closed", []))
+        added = closed - prev_closed
+        out.append(
+            {
+                "version": v,
+                "run_id": man.get("run_id"),
+                "new_closed_dirs": len(added),
+                "total_closed_dirs": len(closed),
+                "n_columns": len(table._manifest_schema(man).fields),
+                "extra": {
+                    k: man[k]
+                    for k in man
+                    if k not in ("version", "run_id", "closed", "current", "schema",
+                                 "dir_schemas", "stats", "compacted_lineage")
+                },
+            }
+        )
+        prev_closed = closed
+    return out

@@ -104,3 +104,32 @@ def test_table_diff_on_scd2_gold(spark, tmp_path):
     # and the closed delta between the versions is exactly S1's old version
     closed = gold.read_closed_delta(1, 2).collect()
     assert [(r["natural_key"], r["price"]) for r in closed] == [("PS1-S1", 100)]
+
+
+def test_schema_diff_and_table_history(spark, tmp_path):
+    from nlu_data_warehouse_project_spark.operators.diff import schema_diff, table_history
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    d1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    t.commit_append(d1, "day1")
+    d2 = spark.createDataFrame([(2, "b", 3.5)], "id long, v string, score double")
+    t.commit_append(d2, "day2")
+
+    drift = schema_diff(t, 1)
+    assert drift == [
+        {"column": "score", "change": "added", "old_type": None, "new_type": "double"}
+    ]
+    assert schema_diff(t, 2, 2) == []
+
+    hist = table_history(t)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert [h["run_id"] for h in hist] == ["day1", "day2"]
+    assert all(h["new_closed_dirs"] == 1 for h in hist)
+    assert hist[0]["n_columns"] == 2 and hist[1]["n_columns"] == 3
+
+    import pytest as _pytest
+
+    from nlu_data_warehouse_project_spark.sources.txlog import VersionNotFoundError
+    with _pytest.raises(VersionNotFoundError):
+        schema_diff(t, 99)
