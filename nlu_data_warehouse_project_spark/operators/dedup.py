@@ -670,14 +670,19 @@ def bloom_incremental_dedup(
 
     keyed = incoming.withColumn("__fp", doc_fingerprint(text_col))
     w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
-    # no persist: the two branches recompute the (cheap, vectorized)
-    # probe rather than leak a CacheManager entry per call — a streaming
-    # loop calls this every micro-batch and nothing would ever unpersist
+    # localCheckpoint, not persist: the miss/candidate branches and the
+    # final union reference this subplan several times (up to 7 Python
+    # operator instances without materialization), but a persist() is
+    # never unpersisted by a caller — a streaming loop would leak one
+    # CacheManager entry per micro-batch.  localCheckpoint materializes
+    # once (batch-sized, executor-local) and the ContextCleaner frees
+    # its blocks when the frame goes out of scope.
     batch_unique = (
         keyed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .withColumn("__hit", bloom_hit(F.col("__fp")))
+        .localCheckpoint()
     )
     misses = batch_unique.filter(~F.col("__hit"))
     cand = batch_unique.filter(F.col("__hit"))
