@@ -4020,3 +4020,85 @@ FROM binned GROUP BY 1, 2
 
 QUERIES.update({"q94_value_histogram": q94_value_histogram})
 ORACLE_SQL.update({"q94_value_histogram": Q94_SQL})
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (q95)
+# ---------------------------------------------------------------------------
+
+def q95_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the irregular-rollup shape (by status,
+    by priority, and the grand total, but NOT their cross product) that
+    plain rollup/cube (q19/q28/q61) cannot express.  Spark's DataFrame
+    API has no groupingSets method; the SQL form compiles to the same
+    single Expand+Aggregate plan Catalyst gives rollup — one shuffle."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q95_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS LONG) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_price,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid
+        FROM __q95_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+Q95_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_price,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+QUERIES.update({"q95_grouping_sets": q95_grouping_sets})
+ORACLE_SQL.update({"q95_grouping_sets": Q95_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Forward-fill imputation (q96)
+# ---------------------------------------------------------------------------
+
+def q96_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user last-observation-carried-forward over the event
+    timeline: NULLed-out readings (every 3rd event here, so the
+    pattern is deterministic) take the most recent earlier value —
+    the standard gap-filling imputation for sensor/telemetry feeds.
+    One window shuffle on the key; ``last(ignorenulls)`` scans the
+    running frame, never the whole partition per row."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    gapped = ev.withColumn(
+        "reading", F.when(F.col("event_id") % 3 != 0, F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return gapped.select(
+        "event_id",
+        "user_id",
+        F.last("reading", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+Q96_SQL = """
+WITH gapped AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 3 <> 0 THEN value END AS reading
+  FROM events
+)
+SELECT event_id, user_id,
+       last_value(reading IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM gapped
+"""
+
+
+QUERIES.update({"q96_forward_fill": q96_forward_fill})
+ORACLE_SQL.update({"q96_forward_fill": Q96_SQL})
