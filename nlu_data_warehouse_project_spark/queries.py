@@ -4102,3 +4102,47 @@ FROM gapped
 
 QUERIES.update({"q96_forward_fill": q96_forward_fill})
 ORACLE_SQL.update({"q96_forward_fill": Q96_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Sliding time windows (q97)
+# ---------------------------------------------------------------------------
+
+def q97_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event lands in 4
+    overlapping windows) — the alerting/trend shape q12's tumbling
+    hours cannot express.  Built-in ``F.window`` with a slide emits the
+    per-row window structs scan-locally; the aggregation shuffles once
+    on the (window, type) key.  Identical to the Structured Streaming
+    windowed-agg form, so batch results reconcile with a streaming
+    deployment by construction."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+Q97_SQL = """
+WITH hits AS (
+  SELECT e.event_type,
+         to_timestamp((((epoch_us(e.ts) // 900000000) - k.k) * 900)::BIGINT) AS window_start
+  FROM events e, unnest(generate_series(0, 3)) AS k(k)
+  WHERE ((epoch_us(e.ts) // 900000000) - k.k) * 900000000 + 3600000000 > epoch_us(e.ts)
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM hits
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q97_sliding_window": q97_sliding_window})
+ORACLE_SQL.update({"q97_sliding_window": Q97_SQL})
