@@ -74,16 +74,22 @@ def windowed_event_counts(
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling-window counts with a watermark: late rows
-    beyond ``watermark`` are dropped and their windows finalized.  Works
-    identically on a batch DataFrame (watermark is a no-op there), so
-    the same query is testable batch-first."""
+    """Event-time windowed counts with a watermark: late rows beyond
+    ``watermark`` are dropped and their windows finalized.  ``slide``
+    makes the windows overlap (e.g. 1-hour windows every 15 minutes —
+    the alerting shape, q97); default is tumbling.  Works identically
+    on a batch DataFrame (watermark is a no-op there), so the same
+    query is testable batch-first."""
     df = events
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (
-        df.groupBy(F.window(F.col(ts_col), window_duration).alias("win"), F.col("event_type"))
+        df.groupBy(
+            F.window(F.col(ts_col), window_duration, slide or window_duration).alias("win"),
+            F.col("event_type"),
+        )
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
             F.col("win.start").alias("window_start"),

@@ -440,3 +440,37 @@ def test_sessionize_streaming_with_watermark(spark, tmp_path):
         (7, "2024-01-01 00:00:00", 3),
         (9, "2024-01-01 05:00:00", 1),
     }
+
+
+def test_sliding_window_streaming_matches_batch(spark, event_stream_dir, tmp_path):
+    """1h windows sliding every 30min: the streaming run over 2
+    micro-batches must agree with the batch run of the SAME query."""
+    from nlu_data_warehouse_project_spark.streaming import windowed_event_counts
+
+    agg = windowed_event_counts(
+        _read_stream(spark, event_stream_dir), "1 hour", watermark="10 hours", slide="30 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM slide_counts").collect()
+    }
+    batch = spark.read.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).option("header", True).csv(event_stream_dir)
+    batch_got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in windowed_event_counts(batch, "1 hour", slide="30 minutes").collect()
+    }
+    assert stream_got == batch_got
+    # overlapping windows: an event at 00:10 appears in the 23:30 AND
+    # 00:00 windows
+    assert ("2023-12-31 23:30:00", "click") in batch_got
