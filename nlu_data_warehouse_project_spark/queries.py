@@ -4146,3 +4146,57 @@ GROUP BY 1, 2
 
 QUERIES.update({"q97_sliding_window": q97_sliding_window})
 ORACLE_SQL.update({"q97_sliding_window": Q97_SQL})
+
+
+# ---------------------------------------------------------------------------
+# SCD2 churn metrics (q98)
+# ---------------------------------------------------------------------------
+
+def q98_scd2_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-audit view over the q08 SCD2 table: versions per key,
+    whether the key is still open, and its version date range — the
+    report a warehouse owner reads to spot churn-heavy keys (candidates
+    for attribute pruning) and keys closed without a successor (data
+    bugs).  One keyed aggregate over the version table."""
+    dim = q08_scd2_merge(spark, sf_dir)
+    open_ = F.col("dt_last_update") == F.lit("9999-12-31").cast("date")
+    return dim.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.max(open_).alias("is_open"),
+        F.min("dt_load_to_dw").alias("first_load"),
+        F.max("dt_load_to_dw").alias("last_load"),
+    )
+
+
+Q98_SQL = f"""
+WITH a AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts < TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
+), b AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts >= TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
+), dim AS (
+  SELECT a.user_id, DATE '{_D0}' AS dt_load_to_dw,
+         CASE WHEN b.user_id IS NOT NULL AND b.value <> a.value
+              THEN DATE '{_D1}' ELSE DATE '9999-12-31' END AS dt_last_update
+  FROM a LEFT JOIN b ON a.user_id = b.user_id
+  UNION ALL
+  SELECT b.user_id, DATE '{_D1}', DATE '9999-12-31'
+  FROM b LEFT JOIN a ON a.user_id = b.user_id
+  WHERE a.user_id IS NULL OR a.value <> b.value
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       max(dt_last_update = DATE '9999-12-31') AS is_open,
+       min(dt_load_to_dw) AS first_load,
+       max(dt_load_to_dw) AS last_load
+FROM dim GROUP BY user_id
+"""
+
+
+QUERIES.update({"q98_scd2_churn": q98_scd2_churn})
+ORACLE_SQL.update({"q98_scd2_churn": Q98_SQL})
