@@ -4200,3 +4200,99 @@ FROM dim GROUP BY user_id
 
 QUERIES.update({"q98_scd2_churn": q98_scd2_churn})
 ORACLE_SQL.update({"q98_scd2_churn": Q98_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Bucketed table checksum (q99)
+# ---------------------------------------------------------------------------
+
+def q99_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive per-bucket content checksum of a table — the
+    anti-entropy primitive for replica/migration reconciliation: two
+    engines (or two clusters) compare 64 bucket digests instead of
+    shipping rows, and a mismatched bucket localizes the diff to 1/64
+    of the keyspace.  Row hash = 60-bit md5 slice of the canonical
+    column rendering; bucket digest = SUM of row hashes (commutative —
+    partitioning and row order cannot change it); map-side combined,
+    one tiny shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    row = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_quantity"),
+        F.col("l_returnflag"),
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    # accumulate in DECIMAL(38,0) (sums of 60-bit values overflow int64
+    # under ANSI), reduce mod 2^60 at the end — still commutative
+    return (
+        li.groupBy((F.col("l_orderkey") % 64).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.sum(h.cast("decimal(38,0)")) % F.lit(1152921504606846976))
+            .cast("long")
+            .alias("checksum"),
+        )
+    )
+
+
+Q99_SQL = """
+SELECT CAST(l_orderkey % 64 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(('0x' || substring(md5(
+             l_orderkey || '|' || l_linenumber || '|' || l_quantity || '|' || l_returnflag
+           ), 1, 15))::BIGINT) % 1152921504606846976 AS BIGINT) AS checksum
+FROM lineitem
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q99_table_checksum": q99_table_checksum})
+ORACLE_SQL.update({"q99_table_checksum": Q99_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Source health dashboard (q100)
+# ---------------------------------------------------------------------------
+
+def q100_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus health report a crawl operator reads daily:
+    volume, exact-dup load (rows minus distinct normalized
+    fingerprints), language spread, and size profile — one wide row per
+    source, all counts (integer arithmetic, engine-exact).  Two keyed
+    aggregates sharing the source key; the fingerprint distinct rides
+    the same shuffle."""
+    from .functions.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source", "lang", "n_chars", doc_fingerprint("text").alias("__fp")
+    )
+    return keyed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("__fp").cast("long").alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct("__fp")).cast("long").alias("n_dup_rows"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr("sum(n_chars) DIV count(*)").alias("mean_chars"),
+    )
+
+
+Q100_SQL = f"""
+WITH keyed AS (
+  SELECT source, lang, n_chars, {_FP56_SQL} AS fp FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_rows,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+FROM keyed GROUP BY source
+"""
+
+
+QUERIES.update({"q100_source_health": q100_source_health})
+ORACLE_SQL.update({"q100_source_health": Q100_SQL})
