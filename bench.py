@@ -204,7 +204,8 @@ def main() -> None:
     # total stays comparable across rounds); same protocol via time_query
     extra_queries: dict[str, float] = {}
     for name in ("q72_gopher_rules", "q73_top_ngrams_per_source", "q76_dup_ngram_fraction",
-                 "q81_line_dedup", "q83_bloom_incremental_dedup", "q85_funnel"):
+                 "q81_line_dedup", "q83_bloom_incremental_dedup", "q85_funnel",
+                 "q90_interval_overlap", "q97_sliding_window"):
         med = time_query(name)
         if med is not None:
             extra_queries[name.split("_")[0]] = med
