@@ -186,3 +186,23 @@ def test_bloom_dedup_property_equivalent_to_exact(spark, texts, split):
         for r in bloom_incremental_dedup(incoming, existing, num_bits=1 << 12).collect()
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.text(alphabet="xy z", min_size=0, max_size=6), min_size=1, max_size=5),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_dedup_lines_identity_when_nothing_heavy(spark, docs):
+    """With the threshold above the corpus size no line is ever heavy:
+    every document must reconstruct EXACTLY (order, duplicates, blanks)
+    — the round-trip invariant of the explode/reassemble machinery."""
+    from nlu_data_warehouse_project_spark.operators.cleanse import dedup_lines
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df, max_doc_frequency=len(docs) + 1).collect()}
+    assert out == {i: t for i, t in rows}
