@@ -670,19 +670,25 @@ def bloom_incremental_dedup(
 
     keyed = incoming.withColumn("__fp", doc_fingerprint(text_col))
     w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
-    # localCheckpoint, not persist: the miss/candidate branches and the
-    # final union reference this subplan several times (up to 7 Python
-    # operator instances without materialization), but a persist() is
-    # never unpersisted by a caller — a streaming loop would leak one
-    # CacheManager entry per micro-batch.  localCheckpoint materializes
-    # once (batch-sized, executor-local) and the ContextCleaner frees
-    # its blocks when the frame goes out of scope.
+    # lazy localCheckpoint, not persist(): the miss/candidate branches
+    # and the final union reference this subplan several times (up to 7
+    # Python operator instances without materialization), but a
+    # persist() is never unpersisted by any caller — a streaming loop
+    # would leak one CacheManager entry per micro-batch, while
+    # checkpoint blocks are freed by the ContextCleaner when the frame
+    # goes out of scope.  eager=False keeps plan CONSTRUCTION job-free
+    # (plan tests/audits build this without running anything); the
+    # checkpoint materializes once at the first action.  Tradeoff:
+    # blocks are executor-local and unreplicated, so an executor loss
+    # mid-action fails that action — in the streaming loop the
+    # foreachBatch retry recomputes the batch from source, which is the
+    # standard recovery there.
     batch_unique = (
         keyed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .withColumn("__hit", bloom_hit(F.col("__fp")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     misses = batch_unique.filter(~F.col("__hit"))
     cand = batch_unique.filter(F.col("__hit"))

@@ -116,8 +116,6 @@ def schema_diff(table, since_version: int, version: int | None = None) -> list[d
     ``retyped`` row here means the rules were bypassed out-of-band and
     the table needs `verify()`.
     """
-    from pyspark.sql.types import StructType
-
     # manifest() raises VersionNotFoundError itself for missing/vacuumed
     # versions — no need to re-wrap
     old_man = table.manifest(since_version)
@@ -137,21 +135,32 @@ def schema_diff(table, since_version: int, version: int | None = None) -> list[d
 
 def table_history(table) -> list[dict]:
     """Per-version audit log from the manifests (no data scan):
-    version, run_id, commit kind (append/merge/snapshot inferred from
-    the closed-dir delta), closed-dir count, and schema column count —
-    the `DESCRIBE HISTORY` twin for a TxTable."""
+    version, run_id, commit ``kind`` (append = closed dirs grew with
+    the current set untouched; merge/snapshot = the current dir was
+    replaced; compaction = closed dirs shrank), closed-dir count, and
+    schema column count — the `DESCRIBE HISTORY` twin for a TxTable."""
     out = []
     prev_closed: set[str] = set()
+    prev_current = None
     for v in table.versions():
         man = table.manifest(v)
-        if man is None:
-            continue
         closed = set(man.get("closed", []))
         added = closed - prev_closed
+        current = man.get("current")
+        if closed < prev_closed:
+            kind = "compaction"
+        elif prev_current is not None and current != prev_current:
+            # the current set was replaced: a merge also appends its
+            # closed delta, a pure snapshot does not
+            kind = "merge" if added else "snapshot"
+        else:
+            kind = "append"
+        prev_current = current
         out.append(
             {
                 "version": v,
                 "run_id": man.get("run_id"),
+                "kind": kind,
                 "new_closed_dirs": len(added),
                 "total_closed_dirs": len(closed),
                 "n_columns": len(table._manifest_schema(man).fields),

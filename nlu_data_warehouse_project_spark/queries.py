@@ -4029,19 +4029,19 @@ ORACLE_SQL.update({"q94_value_histogram": Q94_SQL})
 def q95_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the irregular-rollup shape (by status,
     by priority, and the grand total, but NOT their cross product) that
-    plain rollup/cube (q19/q28/q61) cannot express.  Spark's DataFrame
-    API has no groupingSets method; the SQL form compiles to the same
-    single Expand+Aggregate plan Catalyst gives rollup — one shuffle."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q95_orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(count(*) AS LONG) AS n_orders,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_price,
-               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid
-        FROM __q95_orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+    plain rollup/cube (q19/q28/q61) cannot express.  Spark 4's
+    DataFrame ``groupingSets`` compiles to the same single
+    Expand+Aggregate plan Catalyst gives rollup — one shuffle, no
+    session temp-view side effects."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total_price"),
+        F.grouping_id("o_orderstatus", "o_orderpriority").cast("int").alias("gid"),
     )
 
 
@@ -4133,7 +4133,7 @@ def q97_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q97_SQL = """
 WITH hits AS (
   SELECT e.event_type,
-         to_timestamp((((epoch_us(e.ts) // 900000000) - k.k) * 900)::BIGINT) AS window_start
+         make_timestamp(((epoch_us(e.ts) // 900000000) - k.k) * 900000000) AS window_start
   FROM events e, unnest(generate_series(0, 3)) AS k(k)
   WHERE ((epoch_us(e.ts) // 900000000) - k.k) * 900000000 + 3600000000 > epoch_us(e.ts)
 )
@@ -4169,32 +4169,13 @@ def q98_scd2_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q98_SQL = f"""
-WITH a AS (
-  SELECT user_id, value FROM (
-    SELECT user_id, value,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
-    FROM events WHERE ts < TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
-), b AS (
-  SELECT user_id, value FROM (
-    SELECT user_id, value,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
-    FROM events WHERE ts >= TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
-), dim AS (
-  SELECT a.user_id, DATE '{_D0}' AS dt_load_to_dw,
-         CASE WHEN b.user_id IS NOT NULL AND b.value <> a.value
-              THEN DATE '{_D1}' ELSE DATE '9999-12-31' END AS dt_last_update
-  FROM a LEFT JOIN b ON a.user_id = b.user_id
-  UNION ALL
-  SELECT b.user_id, DATE '{_D1}', DATE '9999-12-31'
-  FROM b LEFT JOIN a ON a.user_id = b.user_id
-  WHERE a.user_id IS NULL OR a.value <> b.value
-)
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_versions,
        max(dt_last_update = DATE '9999-12-31') AS is_open,
        min(dt_load_to_dw) AS first_load,
        max(dt_load_to_dw) AS last_load
-FROM dim GROUP BY user_id
+FROM ({Q08_SQL}) dim
+GROUP BY user_id
 """
 
 

@@ -125,6 +125,7 @@ def test_schema_diff_and_table_history(spark, tmp_path):
     hist = table_history(t)
     assert [h["version"] for h in hist] == [1, 2]
     assert [h["run_id"] for h in hist] == ["day1", "day2"]
+    assert [h["kind"] for h in hist] == ["append", "append"]
     assert all(h["new_closed_dirs"] == 1 for h in hist)
     assert hist[0]["n_columns"] == 2 and hist[1]["n_columns"] == 3
 

@@ -73,6 +73,9 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # pin the session zone: the Spark side runs under a pinned UTC
+    # session, and any tz-sensitive oracle expression must see the same
+    con.execute("SET TimeZone='UTC'")
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
