@@ -522,6 +522,7 @@ def streaming_corpus_ingest(
     max_files_per_trigger: int | None = None,
     gopher_rules: bool = False,
     use_bloom: bool = False,
+    source_format: str = "parquet",
 ):
     """Incremental corpus curation as a stream: each ``availableNow``
     run picks up exactly the unseen landing files (checkpoint commit
@@ -529,11 +530,21 @@ def streaming_corpus_ingest(
     whole already-ingested corpus, and appends the survivors as one
     atomic TxTable segment — the daily-crawl ingestion loop of a
     training-data pipeline, idempotent end to end.  Returns the
-    finished StreamingQuery."""
+    finished StreamingQuery.
+
+    ``source_format``: "parquet" (default) or "json" (JSONL landing —
+    the crawl-interchange format; malformed lines become all-null rows
+    under PERMISSIVE and die at the quality gate rather than killing
+    the stream)."""
+    if source_format not in ("parquet", "json"):
+        raise ValueError(f"source_format must be parquet or json, got {source_format}")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(landing_glob)
+    if source_format == "json":
+        stream = reader.option("mode", "PERMISSIVE").json(landing_glob)
+    else:
+        stream = reader.parquet(landing_glob)
     q = (
         stream.writeStream.foreachBatch(
             make_corpus_ingest_processor(

@@ -235,3 +235,33 @@ def test_streaming_corpus_ingest_bloom_path_equivalent(spark, tmp_path):
     assert state is not None and state[1] >= corpus.manifest()["version"] - 1
     idx.sync()
     assert idx._load()[1] == corpus.manifest()["version"]
+
+
+def test_streaming_corpus_ingest_jsonl_landing(spark, tmp_path):
+    """JSONL landing files stream through the same ingest loop; a
+    malformed line becomes an all-null row and dies at the quality
+    gate instead of killing the stream."""
+    import json as _json
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b1.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": GOOD}) + "\n"
+        + "NOT JSON AT ALL\n"
+        + _json.dumps({"doc_id": 2, "text": SHORT}) + "\n"
+    )
+    (landing / "b2.jsonl").write_text(
+        _json.dumps({"doc_id": 10, "text": GOOD}) + "\n"
+        + _json.dumps({"doc_id": 11, "text": GOOD2}) + "\n"
+    )
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    streaming_corpus_ingest(
+        spark,
+        str(landing),
+        SCHEMA,
+        corpus,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        source_format="json",
+    )
+    assert sorted(r["doc_id"] for r in corpus.read().collect()) == [1, 11]
