@@ -265,3 +265,30 @@ def test_streaming_corpus_ingest_jsonl_landing(spark, tmp_path):
         source_format="json",
     )
     assert sorted(r["doc_id"] for r in corpus.read().collect()) == [1, 11]
+
+
+def test_replayed_micro_batch_with_bloom_sidecar(spark, tmp_path):
+    """Crash-replay under use_bloom=True: the replayed batch is a no-op
+    BEFORE the sidecar is consulted, the sidecar stays consistent with
+    the table version, and the next batch dedups correctly against
+    everything committed — the replay guard and the bloom protocol
+    compose without either breaking the other's invariant."""
+    corpus = TxTable(spark, str(tmp_path / "corpus_bloom_replay"))
+    process = make_corpus_ingest_processor(corpus, use_bloom=True)
+    b0 = spark.createDataFrame([(1, GOOD)], SCHEMA)
+    process(b0, 0)
+    v_after = corpus.latest_version()
+    process(b0, 0)  # replay: no new version, no sidecar regression
+    assert corpus.latest_version() == v_after
+    # batch 1 carries a dup of batch 0 (dropped via the bloom path) and
+    # a new doc (kept)
+    process(spark.createDataFrame([(10, GOOD), (11, GOOD2)], SCHEMA), 1)
+    assert sorted(r["doc_id"] for r in corpus.read().collect()) == [1, 11]
+
+    from nlu_data_warehouse_project_spark.operators.bloomindex import (
+        BloomFingerprintIndex,
+    )
+
+    idx = BloomFingerprintIndex(corpus)
+    idx.sync()
+    assert idx._load()[1] == corpus.manifest()["version"]
