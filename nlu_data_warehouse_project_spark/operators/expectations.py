@@ -83,3 +83,24 @@ def run_expectations(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def check_functional_dependency(
+    df: DataFrame,
+    determinant: list[str],
+    dependent: list[str],
+    name: str | None = None,
+) -> DataFrame:
+    """FD violation check: every determinant group must carry exactly
+    one distinct dependent tuple (orderkey → orderdate, key → dimension
+    attributes).  Violations = groups with more than one.  One keyed
+    aggregate (count_distinct combines map-side); a struct over the
+    dependent columns is never NULL, so NULL-bearing tuples count as
+    distinct values — two rows (k, NULL) and (k, x) ARE a violation."""
+    det = [F.col(c) for c in determinant]
+    dep = F.struct(*[F.col(c) for c in dependent])
+    groups = df.groupBy(*det).agg(F.count_distinct(dep).alias("__n"))
+    label = name or f"fd({','.join(determinant)}->{','.join(dependent)})"
+    return groups.agg(
+        *_report(label, F.coalesce(F.count(F.when(F.col("__n") > 1, 1)), F.lit(0)))
+    )

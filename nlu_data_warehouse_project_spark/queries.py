@@ -4277,3 +4277,42 @@ FROM keyed GROUP BY source
 
 QUERIES.update({"q100_source_health": q100_source_health})
 ORACLE_SQL.update({"q100_source_health": Q100_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit (q101)
+# ---------------------------------------------------------------------------
+
+def q101_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD audit rows: one dependency that must hold in the warehouse
+    (an order has exactly one order date — violated rows mean a broken
+    load) and one that must NOT (users emit many event types — a pass
+    here would mean the feed collapsed).  Both directions gated, so the
+    check itself is checked."""
+    from .operators.expectations import check_functional_dependency, run_expectations
+
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    return run_expectations(
+        [
+            check_functional_dependency(orders, ["o_orderkey"], ["o_orderdate"]),
+            check_functional_dependency(ev, ["user_id"], ["event_type"]),
+        ]
+    )
+
+
+Q101_SQL = """
+SELECT 'fd(o_orderkey->o_orderdate)' AS check,
+       CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_violations,
+       count(CASE WHEN n > 1 THEN 1 END) = 0 AS passed
+FROM (SELECT o_orderkey, count(DISTINCT o_orderdate) AS n FROM orders GROUP BY 1)
+UNION ALL
+SELECT 'fd(user_id->event_type)',
+       CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT),
+       count(CASE WHEN n > 1 THEN 1 END) = 0
+FROM (SELECT user_id, count(DISTINCT event_type) AS n FROM events GROUP BY 1)
+"""
+
+
+QUERIES.update({"q101_fd_audit": q101_fd_audit})
+ORACLE_SQL.update({"q101_fd_audit": Q101_SQL})

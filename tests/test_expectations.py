@@ -57,3 +57,20 @@ def test_run_expectations_union_and_empty_table(spark):
     assert len(rows) == 3
     # an empty table violates nothing
     assert all(r["n_violations"] == 0 and r["passed"] for r in rows.values())
+
+
+def test_check_functional_dependency(spark):
+    from nlu_data_warehouse_project_spark.operators.expectations import (
+        check_functional_dependency,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "c"), (3, None), (3, "x")],
+        "k int, v string",
+    )
+    r = _one(check_functional_dependency(df, ["k"], ["v"]))
+    # k=2 (two values) and k=3 (NULL vs x) violate; k=1 holds
+    assert r["n_violations"] == 2 and r["passed"] is False
+
+    holds = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k int, v string")
+    assert _one(check_functional_dependency(holds, ["k"], ["v"]))["passed"] is True
