@@ -4316,3 +4316,46 @@ FROM (SELECT user_id, count(DISTINCT event_type) AS n FROM events GROUP BY 1)
 
 QUERIES.update({"q101_fd_audit": q101_fd_audit})
 ORACLE_SQL.update({"q101_fd_audit": Q101_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Percentile outlier trim (q102)
+# ---------------------------------------------------------------------------
+
+def q102_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile fences: docs outside their language's
+    [p05, p95] char-length band are flagged for trim — the robust
+    (quantile-based, outlier-immune) twin of a z-score filter, with no
+    stddev float-divergence risk.  Exact `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition (the q57
+    precedent); the fence table is language-sized and broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    fences = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("__lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("__hi"),
+    )
+    return (
+        docs.join(F.broadcast(fences), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            ((F.col("n_chars") < F.col("__lo")) | (F.col("n_chars") > F.col("__hi"))).alias(
+                "trim"
+            ),
+        )
+    )
+
+
+Q102_SQL = """
+WITH fences AS (
+  SELECT lang, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang, n_chars, (n_chars < lo OR n_chars > hi) AS trim
+FROM documents d JOIN fences f ON d.lang = f.lang
+"""
+
+
+QUERIES.update({"q102_outlier_trim": q102_outlier_trim})
+ORACLE_SQL.update({"q102_outlier_trim": Q102_SQL})
