@@ -207,3 +207,26 @@ def test_trailing_window_single_shuffle(spark, sf_smoke):
     # one window partitioned on user_id: exactly one exchange
     q = QUERIES["q87_trailing_window"](spark, sf_smoke)
     assert shuffle_count(q) == 1, shuffle_count(q)
+
+
+def test_fourth_wave_queries_stay_jvm_side(spark, sf_smoke):
+    for name in ("q91_event_transitions", "q92_weighted_sample", "q93_temperature_mix",
+                 "q94_value_histogram", "q95_grouping_sets", "q96_forward_fill",
+                 "q97_sliding_window", "q98_scd2_churn", "q99_table_checksum",
+                 "q100_source_health", "q101_fd_audit", "q102_outlier_trim"):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+
+
+def test_checksum_and_histogram_single_shuffle(spark, sf_smoke):
+    # one keyed aggregate each: exactly one exchange
+    for name in ("q99_table_checksum", "q94_value_histogram"):
+        q = QUERIES[name](spark, sf_smoke)
+        assert shuffle_count(q) == 1, f"{name}: {shuffle_count(q)}"
+
+
+def test_weighted_and_mix_samplers_broadcast_or_scan_local(spark, sf_smoke):
+    # weighted_sample is a pure scan-local filter; temperature mixing
+    # joins only a broadcast source-count frame
+    assert shuffle_count(QUERIES["q92_weighted_sample"](spark, sf_smoke)) == 0
+    assert uses_broadcast_join(QUERIES["q93_temperature_mix"](spark, sf_smoke))
