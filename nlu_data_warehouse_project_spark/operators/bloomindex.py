@@ -132,6 +132,11 @@ class BloomFingerprintIndex:
         """Bring the bitmap up to the table's current version; returns
         the numpy uint8 bitmap.  O(delta) when the stored version's
         delta is recoverable, O(corpus) rebuild otherwise."""
+        return self._sync()[0]
+
+    def _sync(self):
+        """(bits, synced_version) — the version rides along so callers
+        needing both don't re-read the manifest."""
         import numpy as np
 
         man = self.table.manifest() if self.table.exists() else None
@@ -140,13 +145,13 @@ class BloomFingerprintIndex:
         if state is not None:
             bits, synced = state
             if synced == ver:
-                return bits
+                return bits, ver
             if 0 < synced < ver:
                 try:
                     delta = self.table.read_closed_delta(synced)
                     bits = self._fold(delta, into=bits)
                     self._store(bits, ver)
-                    return bits
+                    return bits, ver
                 except Exception:  # noqa: BLE001 — unrecoverable delta: rebuild
                     pass
         if ver == 0:
@@ -154,16 +159,14 @@ class BloomFingerprintIndex:
         else:
             bits = self._fold(self.table.read())
         self._store(bits, ver)
-        return bits
+        return bits, ver
 
     # -- use --------------------------------------------------------------
 
     def dedup(self, incoming: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
         """`bloom_incremental_dedup` against the table, with the bitmap
         served from the synced sidecar instead of rebuilt per call."""
-        bits = self.sync()
-        man = self.table.manifest() if self.table.exists() else None
-        ver = int(man["version"]) if man else 0
+        bits, ver = self._sync()
         if self._bc is None or self._bc_version != ver:
             old = self._bc
             self._bc = incoming.sparkSession.sparkContext.broadcast(bits.tobytes())

@@ -104,3 +104,37 @@ def check_functional_dependency(
     return groups.agg(
         *_report(label, F.coalesce(F.count(F.when(F.col("__n") > 1, 1)), F.lit(0)))
     )
+
+
+def check_predicates(df: DataFrame, conds: dict[str, Column]) -> DataFrame:
+    """Several row-predicate checks in ONE scan of ``df`` (the
+    one-check-per-aggregate form scans the table once per rule — at
+    warehouse scale, rules over the same fact table must share the
+    pass).  Same per-row NULL-is-a-violation semantics as
+    ``check_predicate``; one row out per rule via a posexploded
+    aggregate."""
+    if not conds:
+        raise ValueError("no predicates given")
+    sums = [
+        F.coalesce(
+            F.sum(F.when(F.coalesce(c, F.lit(False)), 0).otherwise(1)), F.lit(0)
+        ).cast("long").alias(f"__v{i}")
+        for i, c in enumerate(conds.values())
+    ]
+    one = df.agg(*sums)
+    names = list(conds)
+    packed = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("check"),
+                        F.col(f"__v{i}").alias("n_violations"),
+                        (F.col(f"__v{i}") == 0).alias("passed"),
+                    )
+                    for i, n in enumerate(names)
+                ]
+            )
+        ).alias("r")
+    )
+    return packed.select("r.check", "r.n_violations", "r.passed")

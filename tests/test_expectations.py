@@ -74,3 +74,18 @@ def test_check_functional_dependency(spark):
 
     holds = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k int, v string")
     assert _one(check_functional_dependency(holds, ["k"], ["v"]))["passed"] is True
+
+
+def test_check_predicates_single_scan_matches_per_check(spark):
+    from nlu_data_warehouse_project_spark.operators.expectations import (
+        check_predicate,
+        check_predicates,
+    )
+
+    df = spark.createDataFrame([(1.0, 0.5), (-2.0, 1.5), (None, 0.0)], "a double, b double")
+    conds = {"a_pos": F.col("a") > 0, "b_unit": (F.col("b") >= 0) & (F.col("b") <= 1)}
+    multi = {r["check"]: (r["n_violations"], r["passed"]) for r in check_predicates(df, conds).collect()}
+    for name, cond in conds.items():
+        single = check_predicate(df, name, cond).first()
+        assert multi[name] == (single["n_violations"], single["passed"])
+    assert multi == {"a_pos": (2, False), "b_unit": (1, False)}
