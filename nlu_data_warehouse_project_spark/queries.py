@@ -4359,3 +4359,73 @@ FROM documents d JOIN fences f ON d.lang = f.lang
 
 QUERIES.update({"q102_outlier_trim": q102_outlier_trim})
 ORACLE_SQL.update({"q102_outlier_trim": Q102_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift monitor (q103)
+# ---------------------------------------------------------------------------
+
+def q103_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared-style drift score between a reference corpus slice
+    (doc_id < 250) and a candidate slice (>= 250): per source, how far
+    the candidate's char-length histogram moved from the reference's —
+    the retrain/re-crawl alarm of a data pipeline.  All arithmetic in
+    DECIMAL (counts → exact division at fixed scale), so the score is
+    bit-identical cross-engine where a float PSI/KL would drift in the
+    last bit.  Shape: one binned count per slice, one broadcast-sized
+    join on (source, bin), one final aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    bin_ = F.least(F.floor(F.col("n_chars") / 400), F.lit(4)).cast("int")
+
+    def hist(pred, n_col):
+        return (
+            docs.filter(pred)
+            .groupBy("source", bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).cast("long").alias(n_col))
+        )
+
+    ref = hist(F.col("doc_id") < 250, "n_ref")
+    cand = hist(F.col("doc_id") >= 250, "n_cand")
+    j = ref.join(cand, ["source", "bin"], "full").fillna(0, ["n_ref", "n_cand"])
+    # chi2 term: (cand - ref)^2 / (ref + 1), DECIMAL(25,6) division
+    term = (
+        ((F.col("n_cand") - F.col("n_ref")) * (F.col("n_cand") - F.col("n_ref")))
+        .cast("decimal(25,6)")
+        / (F.col("n_ref") + 1).cast("decimal(25,6)")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("n_ref").cast("long").alias("n_ref"),
+            F.sum("n_cand").cast("long").alias("n_cand"),
+            F.round(F.sum(term), 4).cast("double").alias("chi2"),
+        )
+    )
+
+
+Q103_SQL = """
+WITH binned AS (
+  SELECT source,
+         CAST(least(floor(n_chars / 400), 4) AS INTEGER) AS bin,
+         doc_id < 250 AS is_ref
+  FROM documents
+), ref AS (
+  SELECT source, bin, count(*) AS n_ref FROM binned WHERE is_ref GROUP BY 1, 2
+), cand AS (
+  SELECT source, bin, count(*) AS n_cand FROM binned WHERE NOT is_ref GROUP BY 1, 2
+), j AS (
+  SELECT coalesce(ref.source, cand.source) AS source,
+         coalesce(n_ref, 0) AS n_ref, coalesce(n_cand, 0) AS n_cand
+  FROM ref FULL JOIN cand ON ref.source = cand.source AND ref.bin = cand.bin
+)
+SELECT source,
+       CAST(sum(n_ref) AS BIGINT) AS n_ref,
+       CAST(sum(n_cand) AS BIGINT) AS n_cand,
+       CAST(round(sum(CAST((n_cand - n_ref) * (n_cand - n_ref) AS DECIMAL(25,6))
+                      / CAST(n_ref + 1 AS DECIMAL(25,6))), 4) AS DOUBLE) AS chi2
+FROM j GROUP BY source
+"""
+
+
+QUERIES.update({"q103_length_drift": q103_length_drift})
+ORACLE_SQL.update({"q103_length_drift": Q103_SQL})
