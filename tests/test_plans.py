@@ -213,7 +213,8 @@ def test_fourth_wave_queries_stay_jvm_side(spark, sf_smoke):
     for name in ("q91_event_transitions", "q92_weighted_sample", "q93_temperature_mix",
                  "q94_value_histogram", "q95_grouping_sets", "q96_forward_fill",
                  "q97_sliding_window", "q98_scd2_churn", "q99_table_checksum",
-                 "q100_source_health", "q101_fd_audit", "q102_outlier_trim"):
+                 "q100_source_health", "q101_fd_audit", "q102_outlier_trim",
+                 "q103_length_drift"):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
 
