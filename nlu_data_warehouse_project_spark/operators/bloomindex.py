@@ -92,16 +92,22 @@ class BloomFingerprintIndex:
                 or bits.size != self.num_bits // 8
             ):
                 return None  # parameters changed: rebuild
-            return bits, int(meta["synced_version"])
+            return bits, int(meta["synced_version"]), meta.get("synced_current")
         except Exception:  # noqa: BLE001 — any corruption means rebuild
             return None
 
-    def _store(self, bits, version: int) -> None:
+    def _store(self, bits, version: int, current: str | None) -> None:
         meta = json.dumps(
             {
                 "num_bits": self.num_bits,
                 "num_hashes": self.num_hashes,
                 "synced_version": int(version),
+                # the current dir the synced version pointed at: the
+                # O(delta) path is only sound for append-shaped commits
+                # (current untouched); a merge/snapshot/migration that
+                # REPLACES current can carry fingerprints the closed
+                # delta never sees, so a changed current forces rebuild
+                "synced_current": current,
             }
         ).encode()
         payload = _MAGIC + struct.pack("<I", len(meta)) + meta + bits.tobytes()
@@ -141,16 +147,21 @@ class BloomFingerprintIndex:
 
         man = self.table.manifest() if self.table.exists() else None
         ver = int(man["version"]) if man else 0
+        cur = man.get("current") if man else None
         state = self._load()
         if state is not None:
-            bits, synced = state
+            bits, synced, synced_cur = state
             if synced == ver:
                 return bits, ver
-            if 0 < synced < ver:
+            # O(delta) only when every commit since `synced` was
+            # append-shaped: the current dir must be the very one the
+            # sidecar was synced against (sidecars written before the
+            # current-dir tag existed have synced_cur=None → rebuild).
+            if 0 < synced < ver and synced_cur is not None and synced_cur == cur:
                 try:
                     delta = self.table.read_closed_delta(synced)
                     bits = self._fold(delta, into=bits)
-                    self._store(bits, ver)
+                    self._store(bits, ver, cur)
                     return bits, ver
                 except Exception:  # noqa: BLE001 — unrecoverable delta: rebuild
                     pass
@@ -158,7 +169,7 @@ class BloomFingerprintIndex:
             bits = np.zeros(self.num_bits // 8, dtype=np.uint8)
         else:
             bits = self._fold(self.table.read())
-        self._store(bits, ver)
+        self._store(bits, ver, cur)
         return bits, ver
 
     # -- use --------------------------------------------------------------

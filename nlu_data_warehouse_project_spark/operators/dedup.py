@@ -659,14 +659,22 @@ def bloom_incremental_dedup(
     @pandas_udf("boolean")
     def bloom_hit(fps: pd.Series) -> pd.Series:
         local = np.frombuffer(bc.value, dtype=np.uint8)
-        vals = fps.tolist()
-        if not vals:
+        if fps.empty:
             return pd.Series([], dtype=bool)
-        h1, h2 = _fp_halves(vals)
-        hit = np.ones(len(vals), dtype=bool)
-        for pos in _bloom_positions(h1, h2, num_bits, num_hashes):
-            hit &= (local[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
-        return pd.Series(hit)
+        # NULL fingerprints (NULL text) are definite MISSES: the index
+        # never stores NULL, and the exact twin keeps NULL keys (NULL
+        # never equi-matches an anti-join) — mask them out before the
+        # hash math, which needs real hex strings.
+        mask = fps.notna().to_numpy()
+        out = np.zeros(len(fps), dtype=bool)
+        vals = fps[mask].tolist()
+        if vals:
+            h1, h2 = _fp_halves(vals)
+            hit = np.ones(len(vals), dtype=bool)
+            for pos in _bloom_positions(h1, h2, num_bits, num_hashes):
+                hit &= (local[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+            out[mask] = hit
+        return pd.Series(out)
 
     keyed = incoming.withColumn("__fp", doc_fingerprint(text_col))
     w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())

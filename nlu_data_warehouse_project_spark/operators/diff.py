@@ -146,15 +146,23 @@ def table_history(table) -> list[dict]:
         man = table.manifest(v)
         closed = set(man.get("closed", []))
         added = closed - prev_closed
+        removed = prev_closed - closed
         current = man.get("current")
-        if closed < prev_closed:
-            kind = "compaction"
-        elif prev_current is not None and current != prev_current:
-            # the current set was replaced: a merge also appends its
-            # closed delta, a pure snapshot does not
-            kind = "merge" if added else "snapshot"
+        if prev_current is None or current == prev_current:
+            # current untouched: an append only grows the closed list; a
+            # compaction REPLACES closed dirs with a new dir recorded in
+            # compacted_lineage (closed=[compacted] is not a subset of
+            # prev_closed, so subset tests misfire — check lineage instead)
+            if removed and any(d in man.get("compacted_lineage", {}) for d in added):
+                kind = "compaction"
+            else:
+                kind = "append"
         else:
-            kind = "append"
+            # the current set was replaced: a merge also appends its
+            # closed delta (and never drops history); a snapshot resets
+            # closed to [] — which is a strict SUBSET of prev_closed, so
+            # it must be classified here, not as a compaction
+            kind = "merge" if added and not removed else "snapshot"
         prev_current = current
         out.append(
             {

@@ -3397,7 +3397,10 @@ WITH corpus AS (
   SELECT doc_id, i - 1 AS pos, arr[i] AS line
   FROM split, unnest(generate_series(1, len(arr))) AS u(i)
 ), heavy AS (
-  SELECT line FROM (SELECT DISTINCT line, doc_id FROM lines)
+  -- mirror dedup_lines' min_line_chars exemption (default 1): lines
+  -- shorter than the floor (empty lines) are never struck by the engine,
+  -- so they must not enter the heavy set here either
+  SELECT line FROM (SELECT DISTINCT line, doc_id FROM lines WHERE len(line) >= 1)
   GROUP BY line HAVING count(*) > 10
 ), kept AS (
   SELECT l.doc_id, l.pos, l.line FROM lines l ANTI JOIN heavy h ON l.line = h.line

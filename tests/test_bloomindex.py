@@ -95,3 +95,47 @@ def test_sidecar_full_rebuild_when_delta_unrecoverable(spark, tmp_path, monkeypa
     )
     assert got == [12]
     assert idx._load()[1] == corpus.manifest()["version"]
+
+
+def test_sidecar_rebuilds_when_current_dir_replaced(spark, tmp_path):
+    """Regression: a snapshot/merge commit replaces the CURRENT dir while
+    the closed-delta read still succeeds — the O(delta) path would
+    silently omit fingerprints now living in the new current dir,
+    breaking the no-false-negative guarantee.  A changed current must
+    force a full rebuild."""
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    corpus.commit_snapshot(_with_fp(_docs(spark, [(1, "alpha")])), run_id="s0")
+    idx = BloomFingerprintIndex(corpus, num_bits=BITS)
+    idx.sync()
+
+    # replace current with a superset: 'epsilon' exists ONLY in the new
+    # current dir; no closed delta carries it
+    corpus.commit_snapshot(
+        _with_fp(_docs(spark, [(1, "alpha"), (2, "epsilon")])), run_id="s1"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in idx.dedup(_docs(spark, [(10, "epsilon"), (11, "brand new")])).collect()
+    )
+    assert got == [11]  # epsilon is a known dup and must be dropped
+    assert idx._load()[1] == corpus.manifest()["version"]
+
+
+def test_bloom_dedup_tolerates_null_text(spark, tmp_path):
+    """Regression: NULL text -> NULL fingerprint crashed the bloom-probe
+    pandas UDF (int(None[:15],16)).  Parity target is
+    incremental_exact_dedup: NULL keys are kept (NULL never
+    equi-matches), deduped to one survivor by the keep-first window."""
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    corpus.commit_append(_with_fp(_docs(spark, [(1, "alpha")])), run_id="b0")
+    idx = BloomFingerprintIndex(corpus, num_bits=BITS)
+
+    batch = _docs(spark, [(10, "alpha"), (11, None), (12, None), (13, "fresh")])
+    got = sorted(r["doc_id"] for r in idx.dedup(batch).collect())
+    want = sorted(
+        r["doc_id"]
+        for r in incremental_exact_dedup(
+            batch, corpus.read().select("fingerprint"), existing_is_fingerprints=True
+        ).collect()
+    )
+    assert got == want == [11, 13]

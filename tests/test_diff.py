@@ -134,3 +134,38 @@ def test_schema_diff_and_table_history(spark, tmp_path):
     from nlu_data_warehouse_project_spark.sources.txlog import VersionNotFoundError
     with _pytest.raises(VersionNotFoundError):
         schema_diff(t, 99)
+
+
+def test_table_history_classifies_compaction_merge_snapshot(spark, tmp_path):
+    """Regression: a compaction publishes closed=[new-compacted-dir] (NOT a
+    subset of prev_closed) and a snapshot publishes closed=[] (which IS a
+    strict subset) — subset tests alone mislabel both."""
+    from nlu_data_warehouse_project_spark.operators.diff import table_history
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    d = lambda i: spark.createDataFrame([(i, f"v{i}")], "id long, v string")  # noqa: E731
+    t.commit_append(d(1), "day1")
+    t.commit_append(d(2), "day2")
+    t.compact_closed(min_dirs=2)
+    t.commit_merge(d(3), d(4), "merge1")
+    t.commit_snapshot(d(5), "snap1")
+
+    kinds = [h["kind"] for h in table_history(t)]
+    assert kinds == ["append", "append", "compaction", "merge", "snapshot"]
+
+
+def test_table_history_snapshot_table(spark, tmp_path):
+    """A snapshot-shaped table (closed always []) must read as
+    snapshot commits, never compactions."""
+    from nlu_data_warehouse_project_spark.operators.diff import table_history
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "snap"))
+    d = lambda i: spark.createDataFrame([(i,)], "id long")  # noqa: E731
+    t.commit_snapshot(d(1), "s1")
+    t.commit_snapshot(d(2), "s2")
+    kinds = [h["kind"] for h in table_history(t)]
+    # v1 has no prior current to compare; a fresh table's first commit
+    # reads as append (the seed); later replacements as snapshot
+    assert kinds[1] == "snapshot"
