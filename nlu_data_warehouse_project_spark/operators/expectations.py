@@ -93,17 +93,21 @@ def check_functional_dependency(
 ) -> DataFrame:
     """FD violation check: every determinant group must carry exactly
     one distinct dependent tuple (orderkey → orderdate, key → dimension
-    attributes).  Violations = groups with more than one.  One keyed
-    aggregate (count_distinct combines map-side); a struct over the
-    dependent columns is never NULL, so NULL-bearing tuples count as
-    distinct values — two rows (k, NULL) and (k, x) ARE a violation."""
-    det = [F.col(c) for c in determinant]
+    attributes).  Violations = SURPLUS distinct dependent tuples,
+    Σ_groups (n_distinct − 1) = count_distinct(det, dep) −
+    count_distinct(det): zero iff the FD holds, and computable in ONE
+    aggregate over the table (both distinct-counts share a single
+    Expand-based pass) instead of a per-group aggregate followed by a
+    global one — half the exchanges of the groupBy form.  A struct over
+    the dependent columns is never NULL, so NULL-bearing tuples count
+    as distinct values — two rows (k, NULL) and (k, x) ARE a
+    violation."""
+    det_s = F.struct(*[F.col(c) for c in determinant])
     dep = F.struct(*[F.col(c) for c in dependent])
-    groups = df.groupBy(*det).agg(F.count_distinct(dep).alias("__n"))
+    pair = F.struct(det_s.alias("d"), dep.alias("v"))
     label = name or f"fd({','.join(determinant)}->{','.join(dependent)})"
-    return groups.agg(
-        *_report(label, F.coalesce(F.count(F.when(F.col("__n") > 1, 1)), F.lit(0)))
-    )
+    surplus = F.count_distinct(pair) - F.count_distinct(det_s)
+    return df.agg(*_report(label, F.coalesce(surplus, F.lit(0))))
 
 
 def check_predicates(df: DataFrame, conds: dict[str, Column]) -> DataFrame:

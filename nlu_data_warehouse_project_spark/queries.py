@@ -4306,14 +4306,15 @@ def q101_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q101_SQL = """
 SELECT 'fd(o_orderkey->o_orderdate)' AS check,
-       CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_violations,
-       count(CASE WHEN n > 1 THEN 1 END) = 0 AS passed
-FROM (SELECT o_orderkey, count(DISTINCT o_orderdate) AS n FROM orders GROUP BY 1)
+       CAST(count(DISTINCT (o_orderkey, o_orderdate)) - count(DISTINCT o_orderkey)
+            AS BIGINT) AS n_violations,
+       count(DISTINCT (o_orderkey, o_orderdate)) = count(DISTINCT o_orderkey) AS passed
+FROM orders
 UNION ALL
 SELECT 'fd(user_id->event_type)',
-       CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT),
-       count(CASE WHEN n > 1 THEN 1 END) = 0
-FROM (SELECT user_id, count(DISTINCT event_type) AS n FROM events GROUP BY 1)
+       CAST(count(DISTINCT (user_id, event_type)) - count(DISTINCT user_id) AS BIGINT),
+       count(DISTINCT (user_id, event_type)) = count(DISTINCT user_id)
+FROM events
 """
 
 
@@ -4432,3 +4433,432 @@ FROM j GROUP BY source
 
 QUERIES.update({"q103_length_drift": q103_length_drift})
 ORACLE_SQL.update({"q103_length_drift": Q103_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Decorrelation family (q104-q106): the three classic correlated-subquery
+# shapes (TPC-H Q17 / Q2 / Q20), hand-decorrelated into broadcast agg-joins.
+# The DuckDB oracles keep the NATIVE correlated-subquery form, so these are
+# genuine cross-engine semantics checks of the rewrite, not restatements.
+# ---------------------------------------------------------------------------
+
+def q104_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20 % of their part's average quantity — "compare each row to its
+    group's aggregate computed in a (correlated) subquery".
+
+    Decorrelation: the per-part aggregate becomes one groupBy over the
+    brand-restricted lineitem slice, and the comparison a broadcast
+    equi-join back onto the same slice — two passes over a slice the
+    broadcast part filter already pruned at the scan, no per-row
+    subquery execution, no shuffle of the fact table (both the part
+    filter and the part-stats join are broadcast).
+
+    The threshold compare is multiplied out (5·qty·cnt < Σqty, all
+    DECIMAL) so no engine ever divides: avg computation is the one
+    place a correlated-aggregate rewrite can drift in the last ULP and
+    flip rows at the boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_f = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    qd = F.col("l_quantity").cast("decimal(12,2)")
+    li_sel = li.join(F.broadcast(part_f), li["l_partkey"] == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    stats = li_sel.groupBy("l_partkey").agg(
+        F.sum(qd).alias("__sum_qty"), F.count(F.lit(1)).cast("decimal(12,0)").alias("__cnt")
+    )
+    small = li_sel.join(F.broadcast(stats), "l_partkey").filter(
+        qd * F.lit(5).cast("decimal(2,0)") * F.col("__cnt") < F.col("__sum_qty")
+    )
+    return small.agg(
+        F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("revenue_small_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_small_qty_lines"),
+    )
+
+
+Q104_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+         AS revenue_small_qty,
+       CAST(count(*) AS BIGINT) AS n_small_qty_lines
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+  AND CAST(l_quantity AS DECIMAL(12,2)) * 5
+        * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      < (SELECT sum(CAST(l_quantity AS DECIMAL(12,2)))
+         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+QUERIES.update({"q104_small_qty_revenue": q104_small_qty_revenue})
+ORACLE_SQL.update({"q104_small_qty_revenue": Q104_SQL})
+
+
+def q105_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every PROMO part, the ASIA supplier offering
+    its minimum observed price (ties broken by the smaller supplier
+    key) — the "row whose value equals its group's correlated min"
+    select.  The oracle keeps BOTH correlated subqueries (min price per
+    part, then min suppkey among the tied-at-min offers).
+
+    Decorrelation: ONE map-side-combined aggregate — min of the
+    (price, suppkey, name) struct per part (struct ordering IS the
+    tie-break order) — replaces both correlated-aggregate joins with a
+    single exchange of partially-aggregated rows and no sort; the dims
+    (region-filtered suppliers, PROMO parts) prune the offer scan via
+    broadcast before anything shuffles.  At 100 TB this is the plan a
+    window row_number cannot match: the window must shuffle and SORT
+    every offer row per part, the struct-min combines locally and
+    ships one row per (mapper, part)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey", "p_name")
+    )
+    sup_asia = (
+        sup.join(F.broadcast(nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])),
+                 sup["s_nationkey"] == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    offers = (
+        li.join(F.broadcast(sup_asia), li["l_suppkey"] == sup_asia["s_suppkey"])
+        .join(F.broadcast(part_f), li["l_partkey"] == part_f["p_partkey"])
+        .select("p_partkey", "p_name", "l_suppkey", "s_name", "l_extendedprice")
+    )
+    best = F.min(F.struct("l_extendedprice", "l_suppkey", "s_name")).alias("__best")
+    return (
+        offers.groupBy("p_partkey", "p_name")
+        .agg(best)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("__best.s_name").alias("supplier"),
+            F.round(_dec(F.col("__best.l_extendedprice")), 2).cast("double").alias("min_price"),
+        )
+    )
+
+
+Q105_SQL = """
+WITH offers AS (
+  SELECT DISTINCT p_partkey, p_name, l_suppkey, s_name,
+                  l_extendedprice AS price
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  JOIN part     ON p_partkey = l_partkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+)
+SELECT p_partkey, p_name, s_name AS supplier,
+       CAST(round(CAST(price AS DECIMAL(25,6)), 2) AS DOUBLE) AS min_price
+FROM offers o
+WHERE price = (SELECT min(price) FROM offers o2 WHERE o2.p_partkey = o.p_partkey)
+  AND l_suppkey = (SELECT min(l_suppkey) FROM offers o3
+                   WHERE o3.p_partkey = o.p_partkey AND o3.price = o.price)
+"""
+
+
+QUERIES.update({"q105_min_cost_supplier": q105_min_cost_supplier})
+ORACLE_SQL.update({"q105_min_cost_supplier": Q105_SQL})
+
+
+def q106_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than a QUARTER
+    of some red part's total 1996-98 volume — a nested IN whose inner query
+    compares a group aggregate against a correlated aggregate one level
+    up.
+
+    Decorrelation: per-(part, supplier) sums, then per-part totals (a
+    second aggregate over the FIRST aggregate's already-tiny output),
+    the totals BROADCAST back onto the per-frame (red parts are
+    dimension-sized, so no third exchange), and a broadcast SEMI join
+    into supplier — which needs no distinct on its right side, semi
+    semantics dedup for free.  The date range is a pushed scan filter
+    and the red part set a broadcast semi-join, so only aggregated
+    rows ever shuffle.  The quarter-of-total compare is 4·q > Σq in
+    DECIMAL — no 0.25 multiply, no float boundary."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    li_red = li.join(F.broadcast(red), li["l_partkey"] == F.col("p_partkey"), "semi")
+    per = li_red.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("__q")
+    )
+    tot = per.groupBy("l_partkey").agg(F.sum("__q").alias("__tot"))
+    dom = (
+        per.join(F.broadcast(tot), "l_partkey")
+        .filter(F.col("__q") * F.lit(4).cast("decimal(2,0)") > F.col("__tot"))
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(F.broadcast(dom), sup["s_suppkey"] == F.col("l_suppkey"), "semi")
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .select("s_name", F.col("n_name").alias("nation"))
+    )
+
+
+Q106_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(25,6))) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY 1, 2
+)
+SELECT s_name, n_name AS nation
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per
+  WHERE q * 4 > (SELECT sum(q) FROM per p2 WHERE p2.l_partkey = per.l_partkey)
+)
+"""
+
+
+QUERIES.update({"q106_dominant_suppliers": q106_dominant_suppliers})
+ORACLE_SQL.update({"q106_dominant_suppliers": Q106_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space drift monitor (q107) — q103's semantic twin
+# ---------------------------------------------------------------------------
+
+def q107_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid shift between a reference embedding slice
+    (vec_id < 250) and a candidate slice (>= 250): the L1 distance
+    between the two slices' mean vectors — the "did the encoder or the
+    corpus move?" alarm that completes the drift family (length q103,
+    schema via schema_diff, distribution q103, embedding here).
+
+    Exact cross-engine arithmetic by construction: means never
+    materialize — the per-dimension comparison is multiplied out to
+    |S_cand·n_ref − S_ref·n_cand| over DECIMAL sums (the q103/q99
+    trick), with ONE division at the very end, so the score is
+    bit-identical to the oracle rather than ULP-close.  Shape: one
+    posexplode + one map-side-combined (label, pos) aggregate (the q59
+    centroid shuffle, 64·|labels| rows), then a label-sized rollup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") < 250).alias("__is_ref"),
+        F.posexplode("embedding").alias("pos", "__v"),
+    )
+    vd = F.col("__v").cast("decimal(25,6)")
+    sums = ex.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("__is_ref"), vd)).cast("decimal(20,6)").alias("__s_ref"),
+        F.count(F.when(F.col("__is_ref"), F.lit(1))).cast("decimal(10,0)").alias("__n_ref"),
+        F.sum(F.when(~F.col("__is_ref"), vd)).cast("decimal(20,6)").alias("__s_cand"),
+        F.count(F.when(~F.col("__is_ref"), F.lit(1))).cast("decimal(10,0)").alias("__n_cand"),
+    )
+    term = F.abs(
+        F.col("__s_cand") * F.col("__n_ref") - F.col("__s_ref") * F.col("__n_cand")
+    )
+    return sums.groupBy("label").agg(
+        F.max("__n_ref").cast("long").alias("n_ref"),
+        F.max("__n_cand").cast("long").alias("n_cand"),
+        # the ONE division happens in doubles: the numerator/denominator
+        # are exact DECIMALs, and an IEEE double quotient of identical
+        # inputs is identical everywhere — a DECIMAL division would
+        # round at each engine's own result scale first (observed 1-ulp
+        # split at a half tie)
+        F.round(
+            F.sum(term).cast("double")
+            / (F.max("__n_ref") * F.max("__n_cand")).cast("double"),
+            6,
+        ).alias("l1_shift"),
+    )
+
+
+Q107_SQL = """
+WITH ex AS (
+  -- v goes float -> DOUBLE -> DECIMAL: Spark always promotes a float
+  -- through its exact binary double expansion before a decimal cast,
+  -- while a direct float->decimal cast here rounds the float's shortest
+  -- decimal repr — 1-ulp splits at 6dp ties.  Via DOUBLE both engines
+  -- round the same exact value, and a dyadic float can never tie at
+  -- the 7th decimal digit, so the cast is bit-identical.
+  SELECT label, vec_id < 250 AS is_ref,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), sums AS (
+  SELECT label, pos,
+         CAST(sum(CASE WHEN is_ref THEN CAST(v AS DECIMAL(25,6)) END)
+              AS DECIMAL(20,6)) AS s_ref,
+         CAST(count(CASE WHEN is_ref THEN 1 END) AS DECIMAL(10,0)) AS n_ref,
+         CAST(sum(CASE WHEN NOT is_ref THEN CAST(v AS DECIMAL(25,6)) END)
+              AS DECIMAL(20,6)) AS s_cand,
+         CAST(count(CASE WHEN NOT is_ref THEN 1 END) AS DECIMAL(10,0)) AS n_cand
+  FROM ex GROUP BY 1, 2
+)
+SELECT label,
+       CAST(max(n_ref) AS BIGINT) AS n_ref,
+       CAST(max(n_cand) AS BIGINT) AS n_cand,
+       round(CAST(sum(abs(s_cand * n_ref - s_ref * n_cand)) AS DOUBLE)
+             / CAST(max(n_ref) * max(n_cand) AS DOUBLE), 6) AS l1_shift
+FROM sums GROUP BY label
+"""
+
+
+QUERIES.update({"q107_embedding_drift": q107_embedding_drift})
+ORACLE_SQL.update({"q107_embedding_drift": Q107_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Dispersion statistics: exact-arithmetic stddev / corr (q108)
+# ---------------------------------------------------------------------------
+
+def q108_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag price stddev and quantity↔price correlation — the
+    profile family's second moment, WITHOUT `stddev`/`corr` built-ins:
+    their float accumulation is partition-order-dependent, so two runs
+    (let alone two engines) can disagree in the last ULP.  Instead the
+    five power sums (n, Σx, Σy, Σx², Σy², Σxy) accumulate in DECIMAL —
+    exact, order-independent, map-side combined — and only the final
+    sqrt/division happen in doubles, where IEEE-correct rounding makes
+    identical inputs give identical outputs on every engine.
+
+    Scale note: DECIMAL(25,4) power sums cover ~1e6 rows of 1e5-scale
+    prices; at warehouse scale shard the aggregation (these sums fold
+    commutatively, like the q99 checksums) or rescale units before
+    widening the decimals."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("__n"),
+        F.sum(x).cast("decimal(20,2)").alias("__sx"),
+        F.sum(y).cast("decimal(25,2)").alias("__sy"),
+        F.sum(x * x).cast("decimal(25,4)").alias("__sxx"),
+        F.sum(y * y).cast("decimal(30,4)").alias("__syy"),
+        F.sum(x * y).cast("decimal(30,4)").alias("__sxy"),
+    )
+    var_y_num = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    var_x_num = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    cov_num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    den = (F.col("__n") * (F.col("__n") - 1)).cast("double")
+    return sums.select(
+        "l_returnflag",
+        F.col("__n").cast("long").alias("n_rows"),
+        F.round(F.sqrt(var_y_num / den), 4).alias("stddev_price"),
+        F.round(cov_num / F.sqrt(var_x_num * var_y_num), 6).alias("corr_qty_price"),
+    )
+
+
+Q108_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DECIMAL(12,0)) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(25,2)) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
+              AS DECIMAL(25,4)) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(30,4)) AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DECIMAL(30,4)) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       round(sqrt(CAST(n * syy - sy * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)), 4)
+         AS stddev_price,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+         AS corr_qty_price
+FROM sums
+"""
+
+
+QUERIES.update({"q108_dispersion_stats": q108_dispersion_stats})
+ORACLE_SQL.update({"q108_dispersion_stats": Q108_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert (q109) — q85's latency half
+# ---------------------------------------------------------------------------
+
+def q109_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transition conversion latency for the q85 funnel: among
+    users who advanced view→click (resp. click→purchase), the median
+    and p90 of the time between their stage-entry timestamps — the
+    second half of every real funnel dashboard (q85 counts, this
+    times).
+
+    Reuses the exact q85 min-ts stage chain (same single shuffle key,
+    user_id), then aggregates each transition's per-user delta with
+    exact `percentile` — the deltas are BIGINT microseconds, and the
+    percentile interpolation is the same linear form as DuckDB's
+    `quantile_cont` (q57/q102 precedent), converted to seconds in one
+    IEEE double division at the end."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select("user_id", "event_type", "ts")
+    )
+
+    def first_after(etype, prev):
+        out = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            out = out.join(prev.select("user_id", "__t"), "user_id").filter(
+                F.col("ts") > F.col("__t")
+            )
+        return out.groupBy("user_id").agg(F.min("ts").alias("__t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+
+    def leg(frm, to, name):
+        d = (
+            frm.select("user_id", F.col("__t").alias("__t0"))
+            .join(to.select("user_id", F.col("__t").alias("__t1")), "user_id")
+            .select(
+                (F.unix_micros(F.col("__t1")) - F.unix_micros(F.col("__t0"))).alias("__us")
+            )
+        )
+        return d.agg(
+            F.lit(name).alias("transition"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.expr("percentile(__us, 0.5)") / F.lit(1000000.0), 4).alias("median_sec"),
+            F.round(F.expr("percentile(__us, 0.9)") / F.lit(1000000.0), 4).alias("p90_sec"),
+        )
+
+    return leg(v, c, "view->click").unionByName(leg(c, p, "click->purchase"))
+
+
+Q109_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, ts FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+), v AS (
+  SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1
+), vc AS (
+  SELECT epoch_us(c.t) - epoch_us(v.t) AS us FROM v JOIN c ON v.user_id = c.user_id
+), cp AS (
+  SELECT epoch_us(p.t) - epoch_us(c.t) AS us FROM c JOIN p ON c.user_id = p.user_id
+)
+SELECT 'view->click' AS transition, CAST(count(*) AS BIGINT) AS n_users,
+       round(quantile_cont(us, 0.5) / 1000000.0, 4) AS median_sec,
+       round(quantile_cont(us, 0.9) / 1000000.0, 4) AS p90_sec
+FROM vc
+UNION ALL
+SELECT 'click->purchase', CAST(count(*) AS BIGINT),
+       round(quantile_cont(us, 0.5) / 1000000.0, 4),
+       round(quantile_cont(us, 0.9) / 1000000.0, 4)
+FROM cp
+"""
+
+
+QUERIES.update({"q109_funnel_latency": q109_funnel_latency})
+ORACLE_SQL.update({"q109_funnel_latency": Q109_SQL})

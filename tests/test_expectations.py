@@ -72,6 +72,12 @@ def test_check_functional_dependency(spark):
     # k=2 (two values) and k=3 (NULL vs x) violate; k=1 holds
     assert r["n_violations"] == 2 and r["passed"] is False
 
+    # surplus semantics: a 3-valued group contributes 2 violations
+    tri = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "x")], "k int, v string"
+    )
+    assert _one(check_functional_dependency(tri, ["k"], ["v"]))["n_violations"] == 2
+
     holds = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k int, v string")
     assert _one(check_functional_dependency(holds, ["k"], ["v"]))["passed"] is True
 

@@ -231,3 +231,39 @@ def test_weighted_and_mix_samplers_broadcast_or_scan_local(spark, sf_smoke):
     # joins only a broadcast source-count frame
     assert shuffle_count(QUERIES["q92_weighted_sample"](spark, sf_smoke)) == 0
     assert uses_broadcast_join(QUERIES["q93_temperature_mix"](spark, sf_smoke))
+
+
+def test_decorrelation_family_plans(spark, sf_smoke):
+    # q104-q106: correlated-subquery shapes hand-decorrelated into
+    # broadcast agg-joins — all JVM-side, dims broadcast, fact filters
+    # pushed to the scan, and shuffles bounded (only aggregated rows
+    # ever cross an exchange)
+    for name, max_shuffles in (
+        ("q104_small_qty_revenue", 2),   # part-stats agg + final single-row agg
+        ("q105_min_cost_supplier", 1),   # ONE struct-min aggregate, no window sort
+        ("q106_dominant_suppliers", 3),  # per-(part,supp) agg, per-part agg, bcast-back
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+        assert uses_broadcast_join(q), f"{name} lost its broadcast join"
+        assert has_pushed_filters(q), f"{name} lost scan pushdown"
+        assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
+
+
+def test_round8_queries_stay_jvm_side(spark, sf_smoke):
+    for name in ("q107_embedding_drift", "q108_dispersion_stats", "q109_funnel_latency"):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+
+
+def test_dispersion_stats_single_shuffle(spark, sf_smoke):
+    # five power sums in ONE map-side-combined aggregate: one exchange
+    q = QUERIES["q108_dispersion_stats"](spark, sf_smoke)
+    assert shuffle_count(q) == 1, shuffle_count(q)
+
+
+def test_embedding_drift_bounded_shuffles(spark, sf_smoke):
+    # posexplode -> (label, pos) agg -> label rollup: the explode never
+    # shuffles raw vector rows, only the 64·|labels| aggregate
+    q = QUERIES["q107_embedding_drift"](spark, sf_smoke)
+    assert shuffle_count(q) <= 2, shuffle_count(q)
