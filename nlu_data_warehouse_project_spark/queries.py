@@ -4862,3 +4862,225 @@ FROM cp
 
 QUERIES.update({"q109_funnel_latency": q109_funnel_latency})
 ORACLE_SQL.update({"q109_funnel_latency": Q109_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Robust dispersion: median absolute deviation (q110)
+# ---------------------------------------------------------------------------
+
+def q110_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median absolute deviation of doc length — the
+    robust companion to q108's moment statistics (one wild outlier
+    moves a stddev arbitrarily, it moves a MAD not at all).  Two exact
+    percentile passes with the group-median table BROADCAST back
+    between them (languages are dimension-sized); `percentile` and
+    `quantile_cont` share the linear-interpolation definition, the
+    q57/q102 precedent."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    med = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("__med"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "lang", F.abs(F.col("n_chars") - F.col("__med")).alias("__dev")
+    )
+    mad = dev.groupBy("lang").agg(
+        F.round(F.expr("percentile(__dev, 0.5)"), 4).alias("mad")
+    )
+    return (
+        med.join(mad, "lang")
+        .select("lang", "n_docs", F.round(F.col("__med"), 4).alias("median_len"), "mad")
+    )
+
+
+Q110_SQL = """
+WITH med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS m, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+), dev AS (
+  SELECT d.lang, abs(d.n_chars - med.m) AS dv FROM documents d JOIN med ON d.lang = med.lang
+)
+, madt AS (
+  SELECT lang, quantile_cont(dv, 0.5) AS mad FROM dev GROUP BY lang
+)
+SELECT med.lang, med.n_docs, round(med.m, 4) AS median_len, round(madt.mad, 4) AS mad
+FROM med JOIN madt ON med.lang = madt.lang
+"""
+
+
+QUERIES.update({"q110_mad": q110_mad})
+ORACLE_SQL.update({"q110_mad": Q110_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build (q111)
+# ---------------------------------------------------------------------------
+
+def q111_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build over the corpus: per term, document frequency
+    (distinct docs), total term frequency, and the smallest posting
+    (first doc id) — the aggregate skeleton every BM25/retrieval
+    pipeline materializes before training a retriever on the corpus.
+
+    Shape: tokenize scan-locally (split + explode, no Python), then ONE
+    aggregate keyed on the term with `count_distinct(doc_id)` — the
+    distinct runs inside the same Expand-based pass as the plain
+    count, so the index builds in a single shuffle of (term, doc)
+    pairs.  Term keys are Zipf-skewed at corpus scale; AQE's skew
+    handling (or a two-level term+salt pre-agg) covers the head."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "[^A-Za-z]+")).alias("__tok"),
+    ).select("doc_id", F.lower(F.col("__tok")).alias("term"))
+    toks = toks.filter(F.length("term") >= 3)
+    return toks.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+Q111_SQL = """
+WITH toks AS (
+  SELECT doc_id, lower(tok) AS term
+  FROM documents, unnest(string_split_regex(text, '[^A-Za-z]+')) AS t(tok)
+  WHERE len(tok) >= 3
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS tf,
+       min(doc_id) AS first_doc
+FROM toks GROUP BY term
+"""
+
+
+QUERIES.update({"q111_inverted_index": q111_inverted_index})
+ORACLE_SQL.update({"q111_inverted_index": Q111_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Global-avg compare + anti join (TPC-H Q22 shape, q112)
+# ---------------------------------------------------------------------------
+
+def q112_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per market segment, customers whose balance
+    beats the global positive-balance average but who placed no order
+    since 1999 — a scalar correlated-aggregate compare plus NOT EXISTS
+    over a date-scoped order set (the lapsed-high-value-accounts
+    report).
+
+    Decorrelation: the scalar average becomes one single-row aggregate
+    cross-joined (broadcast, one row) onto the customer scan; the NOT
+    EXISTS becomes an anti join on the custkeys of the date-filtered
+    orders (the date lands on the order scan as a pushed filter).  The compare is
+    multiplied out (bal·n > Σbal over DECIMAL) so no engine divides.
+    At warehouse scale the anti join shuffles both sides on custkey —
+    correct and unavoidable (the order set is fact-sized); everything
+    else is broadcast or scan-local."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).cast("decimal(25,2)").alias("__sum"),
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("__cnt"),
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(bal * F.col("__cnt") > F.col("__sum"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("1999-01-01")).select("o_custkey")
+    idle = rich.join(recent, rich["c_custkey"] == F.col("o_custkey"), "anti")
+    return idle.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_custs"),
+        F.round(F.sum(bal), 2).cast("double").alias("total_bal"),
+    )
+
+
+Q112_SQL = """
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2))
+        * (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0)
+      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c2
+         WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q112_idle_rich_customers": q112_idle_rich_customers})
+ORACLE_SQL.update({"q112_idle_rich_customers": Q112_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation by largest remainder (q113)
+# ---------------------------------------------------------------------------
+
+def q113_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a fixed 1M-char training budget across sources in
+    proportion to their corpus mass, using the largest-remainder
+    (Hamilton) method: floor the proportional shares, then hand the
+    leftover units to the largest fractional remainders (source name
+    breaks ties).  The rounding rule every mixture config file needs
+    once token budgets are integers — and a pure-integer computation
+    (shares via BIGINT multiply/div/mod), so the result is bit-exact
+    on any engine by construction.  Shape: ONE aggregate over the
+    corpus, then whole-frame window functions over the |sources|-sized
+    result — the unpartitioned windows are deliberate (they run on a
+    frame the first groupBy already collapsed to dimension size, the
+    one case where a global window is free).  Integer division uses
+    `div` (BIGINT-exact on both engines) — a double `/` would silently
+    lose exactness past 2^53."""
+    B = 1_000_000
+    docs = _t(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("n_chars"))
+    g = Window.partitionBy()
+    # rem = (n*B) mod tot is the fractional part scaled by tot: ranking
+    # by it descending == ranking by fractional remainder descending
+    return (
+        sizes.withColumn("__tot", F.sum("n_chars").over(g))
+        .withColumn("__fl", F.expr(f"(n_chars * {B}) div __tot"))
+        .withColumn("__rem", (F.col("n_chars") * B) % F.col("__tot"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.col("__rem").desc(), F.col("source").asc())
+            ),
+        )
+        .withColumn("__short", F.lit(B) - F.sum("__fl").over(g))
+        .select(
+            "source",
+            "n_chars",
+            (F.col("__fl") + F.when(F.col("__rk") <= F.col("__short"), 1).otherwise(0))
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+
+
+Q113_SQL = """
+WITH sizes AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_chars) AS t FROM sizes
+), alloc AS (
+  SELECT source, n_chars,
+         CAST((n_chars * 1000000) // t AS BIGINT) AS fl,
+         (n_chars * 1000000) % t AS rem,
+         row_number() OVER (ORDER BY (n_chars * 1000000) % t DESC, source ASC) AS rk
+  FROM sizes, tot
+), short AS (
+  SELECT 1000000 - sum(fl) AS s FROM alloc
+)
+SELECT source, n_chars,
+       CAST(fl + CASE WHEN rk <= short.s THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM alloc, short
+"""
+
+
+QUERIES.update({"q113_budget_allocation": q113_budget_allocation})
+ORACLE_SQL.update({"q113_budget_allocation": Q113_SQL})

@@ -267,3 +267,15 @@ def test_embedding_drift_bounded_shuffles(spark, sf_smoke):
     # shuffles raw vector rows, only the 64·|labels| aggregate
     q = QUERIES["q107_embedding_drift"](spark, sf_smoke)
     assert shuffle_count(q) <= 2, shuffle_count(q)
+
+
+def test_round8_second_wave_plans(spark, sf_smoke):
+    for name, max_shuffles in (
+        ("q110_mad", 3),                  # two percentile aggs + broadcast-median join
+        ("q111_inverted_index", 2),       # tokenize scan-local, one term-keyed agg
+        ("q112_idle_rich_customers", 2),  # scalar-agg broadcast + anti join + final agg
+        ("q113_budget_allocation", 2),    # corpus agg + dimension-sized global window
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+        assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
