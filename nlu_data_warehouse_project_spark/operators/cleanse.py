@@ -192,3 +192,44 @@ def dedup_lines(
             .alias("n_lines_dropped"),
         )
     )
+
+
+def survivorship_merge(
+    df: DataFrame,
+    key_cols: list[str],
+    rules: dict[str, object],
+) -> DataFrame:
+    """Golden-record merge: collapse duplicate rows per key into one
+    survivor using per-column survivorship rules — the MDM step after
+    duplicate DETECTION (dedup_keep_first keeps one physical row; this
+    builds the best logical row from all of them).
+
+    ``rules`` maps output column -> rule:
+      - ``"min"`` / ``"max"``: extreme value over the group
+      - ``("first", order_col)``: the column's first NON-NULL value in
+        ascending ``order_col`` order (recency/priority source pick) —
+        implemented with ``min_by`` over null-filtered rows, so a NULL
+        in the earliest row falls through to the next, like a COALESCE
+        down the ordered duplicates.
+
+    One map-side-combined aggregate keyed on ``key_cols``; every rule
+    is a single aggregate expression, so adding columns never adds
+    shuffles.  Cites the reference's keep-MIN dedup policy
+    (load_to_staging.py dedup CTE) which this generalizes."""
+    aggs = []
+    for col, rule in rules.items():
+        if rule == "min":
+            aggs.append(F.min(col).alias(col))
+        elif rule == "max":
+            aggs.append(F.max(col).alias(col))
+        elif isinstance(rule, tuple) and len(rule) == 2 and rule[0] == "first":
+            order_col = rule[1]
+            # min_by over rows where the value is non-null: the first
+            # non-null down the order wins; all-null groups yield NULL
+            aggs.append(
+                F.min_by(col, F.when(F.col(col).isNotNull(), F.col(order_col))).alias(col)
+            )
+        else:
+            raise ValueError(f"unknown survivorship rule for {col}: {rule!r}")
+    aggs.append(F.count(F.lit(1)).cast("long").alias("n_merged"))
+    return df.groupBy(*key_cols).agg(*aggs)

@@ -5084,3 +5084,178 @@ FROM alloc, short
 
 QUERIES.update({"q113_budget_allocation": q113_budget_allocation})
 ORACLE_SQL.update({"q113_budget_allocation": Q113_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (q114)
+# ---------------------------------------------------------------------------
+
+def q114_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day 7-day active users — sliding DISTINCT, which no window
+    frame computes directly (q97's sliding windows count rows; distinct
+    needs the contribution trick): dedup to (user, day) first, explode
+    each into the 7 report days it contributes to, and count_distinct
+    per report day.  The explode runs AFTER the dedup, so it multiplies
+    users×days (tiny), never raw events; report days are clipped to
+    days that actually occur via a broadcast semi join."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__off"), "d"
+    ).select("user_id", F.date_add(F.col("d"), F.col("__off")).alias("day"))
+    return (
+        contrib.join(F.broadcast(days), contrib["day"] == days["d"], "semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
+
+
+Q114_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), days AS (
+  SELECT DISTINCT d FROM ud
+)
+SELECT days.d AS day, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+FROM days JOIN ud ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q114_rolling_wau": q114_rolling_wau})
+ORACLE_SQL.update({"q114_rolling_wau": Q114_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Survivorship (golden record) merge (q115)
+# ---------------------------------------------------------------------------
+
+def q115_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record construction over exact-duplicate document
+    clusters: per content fingerprint, the surviving logical row takes
+    the smallest doc_id (stable identity), the longest char count, and
+    the first non-null language down the doc_id order — the
+    master-data-management step after duplicate detection.  One
+    map-side-combined aggregate (`operators/cleanse.survivorship_merge`)."""
+    from .operators.cleanse import survivorship_merge
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "fingerprint", doc_fingerprint("text")
+    )
+    return survivorship_merge(
+        docs,
+        ["fingerprint"],
+        {
+            "doc_id": "min",
+            "n_chars": "max",
+            "lang": ("first", "doc_id"),
+            "source": ("first", "doc_id"),
+        },
+    )
+
+
+Q115_SQL = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       min(doc_id) AS doc_id,
+       max(n_chars) AS n_chars,
+       arg_min(lang, CASE WHEN lang IS NOT NULL THEN doc_id END) AS lang,
+       arg_min(source, CASE WHEN source IS NOT NULL THEN doc_id END) AS source,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM documents
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q115_golden_record": q115_golden_record})
+ORACLE_SQL.update({"q115_golden_record": Q115_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Per-group quantile normalization (q116)
+# ---------------------------------------------------------------------------
+
+def q116_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score normalization: each doc's char length mapped to
+    its percentile WITHIN its source — the rank transform that makes
+    per-source quality thresholds comparable before mixing sources
+    (source A's "top 20%" and source B's mean different raw lengths).
+    percent_rank = (rank−1)/(n−1) is definitionally identical on both
+    engines, and for group sizes below 2^26 the division of two small
+    exact integers rounds identically in IEEE doubles.  ONE window
+    shuffle on the source key."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").asc())
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("length_pctile"),
+    )
+
+
+Q116_SQL = """
+SELECT doc_id, source, n_chars,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars ASC), 6)
+         AS length_pctile
+FROM documents
+"""
+
+
+QUERIES.update({"q116_quantile_normalize": q116_quantile_normalize})
+ORACLE_SQL.update({"q116_quantile_normalize": Q116_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Join-skew diagnostic report (q117)
+# ---------------------------------------------------------------------------
+
+def q117_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight skew report for a join key: the 20 heaviest lineitem
+    part keys with their share of all rows (basis points, exact integer
+    arithmetic) and the salt factor a salted join would need to cap any
+    single (key, salt) task at ~1000 rows — the number you feed
+    `operators/scale.salted_join` (or trust AQE's skew splitter to find
+    at runtime; this report is how you know in ADVANCE).  One
+    map-side-combined count, then a whole-frame rank over the already-
+    aggregated keys with a deterministic key tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    g = Window.partitionBy()
+    ranked = (
+        per.withColumn("__tot", F.sum("n_rows").over(g))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n_rows").desc(), F.col("l_partkey").asc())
+            ),
+        )
+        .filter(F.col("__rk") <= 20)
+    )
+    return ranked.select(
+        "l_partkey",
+        "n_rows",
+        F.expr("(n_rows * 10000) div __tot").cast("long").alias("share_bp"),
+        F.expr("(n_rows + 999) div 1000").cast("long").alias("salt_factor"),
+    )
+
+
+Q117_SQL = """
+WITH per AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT sum(n_rows) AS t FROM per
+), ranked AS (
+  SELECT l_partkey, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, l_partkey ASC) AS rk
+  FROM per
+)
+SELECT l_partkey, n_rows,
+       CAST((n_rows * 10000) // t AS BIGINT) AS share_bp,
+       CAST((n_rows + 999) // 1000 AS BIGINT) AS salt_factor
+FROM ranked, tot WHERE rk <= 20
+"""
+
+
+QUERIES.update({"q117_skew_report": q117_skew_report})
+ORACLE_SQL.update({"q117_skew_report": Q117_SQL})

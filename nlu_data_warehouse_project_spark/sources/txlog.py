@@ -431,7 +431,7 @@ class TxTable:
     _OWNED_MANIFEST_KEYS = frozenset(
         ("version", "current", "closed", "run_id", "schema",
          "dir_schemas", "dir_stats", "current_table", "bucket",
-         "compacted_lineage")
+         "compacted_lineage", "restored_from")
     )
 
     def _carried_extras(self, prev: dict) -> dict:
@@ -706,6 +706,45 @@ class TxTable:
         }
         self._publish(new_man)
         return new_man["version"]
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE: roll the table back to a prior version by
+        publishing a NEW manifest that points at that version's data
+        dirs — metadata-only (no data copy, instant at any size), and
+        history-preserving: the bad commits stay readable for audit,
+        and the restore itself is just another version (restorable
+        again, vacuumable later).  The revived dirs are referenced by
+        the new LATEST manifest, so ``vacuum(retain_last=1)`` keeps
+        them — restore never races data retention.
+
+        Consumer-owned extras (ingest replay guards, watermarks) carry
+        from the CURRENT latest manifest, not the restore target:
+        bookkeeping describes what consumers have seen, which a data
+        rollback does not un-see (a consumer that must reprocess resets
+        its own field).  ``restored_from`` records provenance.  The
+        superseded latest's bucket catalog entry is retired; if the
+        target's own catalog entry was dropped when it was superseded,
+        reads fall back to the plain parquet path (correct, minus the
+        exchange-free join until the next bucketed commit)."""
+        target = self.manifest(version)  # raises VersionNotFoundError if pruned
+        latest = self.manifest()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        structural = (
+            "current", "closed", "schema", "dir_schemas", "dir_stats",
+            "current_table", "bucket", "compacted_lineage",
+        )
+        man = {
+            **self._carried_extras(latest),
+            **{k: target[k] for k in structural if k in target},
+            "version": latest["version"] + 1,
+            "run_id": f"restore-v{version}",
+            "restored_from": int(version),
+        }
+        self._publish(man)
+        if latest.get("current_table") and latest["current_table"] != man.get("current_table"):
+            self._drop_stale_bucket_table(latest)
+        return man["version"]
 
     def verify(self, check_rows: bool = False) -> dict:
         """Table fsck: audit every LISTED version for readability —

@@ -206,3 +206,32 @@ def test_flagged_empty_lexicon_flags_nothing(spark):
     # an explicitly EMPTY list must not fall back to the placeholder set
     r = df.select(flagged_token_fraction("text", []).alias("f")).first()
     assert r["f"] == 0.0
+
+
+def test_survivorship_merge_rules(spark):
+    from nlu_data_warehouse_project_spark.operators.cleanse import survivorship_merge
+
+    df = spark.createDataFrame(
+        [
+            ("k1", 3, 100, None, "s3"),     # earliest row's lang is NULL
+            ("k1", 1, 80, None, None),      # earliest overall: both NULL
+            ("k1", 2, 120, "vi", "s2"),     # first non-null lang
+            ("k2", 7, 50, None, None),      # all-null group -> NULL survives
+        ],
+        "k string, id int, n int, lang string, src string",
+    )
+    out = {
+        r["k"]: r
+        for r in survivorship_merge(
+            df, ["k"], {"id": "min", "n": "max", "lang": ("first", "id"), "src": ("first", "id")}
+        ).collect()
+    }
+    assert out["k1"]["id"] == 1 and out["k1"]["n"] == 120
+    # NULLs in earlier rows fall through to the first non-null
+    assert out["k1"]["lang"] == "vi" and out["k1"]["src"] == "s2"
+    assert out["k1"]["n_merged"] == 3
+    assert out["k2"]["lang"] is None and out["k2"]["n_merged"] == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        survivorship_merge(df, ["k"], {"id": "median"})

@@ -279,3 +279,15 @@ def test_round8_second_wave_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
         assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
+
+
+def test_round8_third_wave_plans(spark, sf_smoke):
+    for name, max_shuffles in (
+        ("q114_rolling_wau", 4),        # (user,day) dedup, day dim, 2-phase count_distinct
+        ("q115_golden_record", 1),      # ONE survivorship aggregate
+        ("q116_quantile_normalize", 1), # one window on the source key
+        ("q117_skew_report", 2),        # key count agg + dimension-sized rank
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+        assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"

@@ -490,3 +490,59 @@ def test_verify_fsck_reports_missing_dirs_and_orphans(spark, tmp_path):
     t.vacuum(retain_last=1)
     rep = t.verify(check_rows=True)
     assert rep["ok"] and rep["versions_checked"] == [3]
+
+
+def test_restore_rolls_back_without_copying_data(spark, tmp_path):
+    from nlu_data_warehouse_project_spark.operators.diff import table_history
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    d = lambda *ids: spark.createDataFrame([(i, f"v{i}") for i in ids], "id long, v string")  # noqa: E731
+    t.commit_append(d(1), "day1")
+    t.commit_append(d(2), "day2")
+    t.commit_append(d(3), "bad-load")          # the commit to undo
+
+    v = t.restore(2)
+    assert v == 4
+    # the table reads exactly as v2 again, metadata-only
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+    assert t.manifest()["restored_from"] == 2
+    # history preserved: the bad version still time-travels for audit
+    assert sorted(r["id"] for r in t.read(version=3).collect()) == [1, 2, 3]
+
+    # restore is itself just a commit: appends continue from it
+    t.commit_append(d(4), "day4")
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 4]
+    # restored_from does not leak into later manifests
+    assert "restored_from" not in t.manifest()
+
+    # vacuum keeps the restored dirs (they are referenced by retained
+    # manifests) and prunes the bad commit's delta
+    t.vacuum(retain_last=2)
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 4]
+    assert t.verify()["ok"]
+
+
+def test_restore_invalidates_bloom_sidecar_delta_path(spark, tmp_path):
+    """A restore SHRINKS the closed list while keeping version numbers
+    advancing — the sidecar's O(delta) path must not survive it with a
+    bitmap that over-covers (false positives are legal) or, worse,
+    under-covers after a follow-up append."""
+    from nlu_data_warehouse_project_spark.functions.text import doc_fingerprint
+    from nlu_data_warehouse_project_spark.operators.bloomindex import BloomFingerprintIndex
+
+    t = TxTable(spark, str(tmp_path / "corpus"))
+    docs = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    wfp = lambda df: df.withColumn("fingerprint", doc_fingerprint("text"))  # noqa: E731
+    t.commit_append(wfp(docs([(1, "alpha")])), "b0")
+    idx = BloomFingerprintIndex(t, num_bits=1 << 14)
+    idx.sync()
+    t.commit_append(wfp(docs([(2, "beta")])), "b1")
+    t.restore(1)                                  # undo b1
+    t.commit_append(wfp(docs([(3, "gamma")])), "b2")
+
+    got = sorted(
+        r["doc_id"]
+        for r in idx.dedup(docs([(10, "alpha"), (11, "beta"), (12, "gamma"), (13, "new")])).collect()
+    )
+    # beta was rolled back: it IS new again; alpha/gamma are dups
+    assert got == [11, 13]
