@@ -200,12 +200,15 @@ def main() -> None:
             per_query[name.split("_")[0]] = med
             total += med
 
-    # round-7 additions measured OUTSIDE the headline total (the 19-query
+    # round-7/8 additions measured OUTSIDE the headline total (the 19-query
     # total stays comparable across rounds); same protocol via time_query
     extra_queries: dict[str, float] = {}
     for name in ("q72_gopher_rules", "q73_top_ngrams_per_source", "q76_dup_ngram_fraction",
                  "q81_line_dedup", "q83_bloom_incremental_dedup", "q85_funnel",
-                 "q90_interval_overlap", "q97_sliding_window"):
+                 "q90_interval_overlap", "q97_sliding_window",
+                 "q104_small_qty_revenue", "q105_min_cost_supplier",
+                 "q107_embedding_drift", "q108_dispersion_stats",
+                 "q111_inverted_index", "q114_rolling_wau", "q115_golden_record"):
         med = time_query(name)
         if med is not None:
             extra_queries[name.split("_")[0]] = med
