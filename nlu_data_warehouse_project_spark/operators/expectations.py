@@ -142,3 +142,45 @@ def check_predicates(df: DataFrame, conds: dict[str, Column]) -> DataFrame:
         ).alias("r")
     )
     return packed.select("r.check", "r.n_violations", "r.passed")
+
+
+class ExpectationsFailedError(RuntimeError):
+    """A guarded commit was refused: the batch violated its contract."""
+
+
+def enforce(checks: list[DataFrame]) -> list[dict]:
+    """Run an expectations suite and RAISE on any failed check —
+    the enforcement form of ``run_expectations`` (which only reports).
+    Returns the suite rows (as dicts) when everything passed; the
+    collect is suite-sized (one row per check), never data-sized."""
+    rows = [r.asDict() for r in run_expectations(checks).collect()]
+    failed = [r for r in rows if not r["passed"]]
+    if failed:
+        detail = "; ".join(f"{r['check']}: {r['n_violations']} violations" for r in failed)
+        raise ExpectationsFailedError(f"{len(failed)} expectation(s) failed: {detail}")
+    return rows
+
+
+def guarded_commit(table, df, run_id: str, check_fns, mode: str = "append", extra=None) -> int:
+    """Data-contract enforcement AT THE COMMIT BOUNDARY: evaluate every
+    check against the batch and refuse to publish if any fails — bad
+    data never becomes a visible version, and the (crash-safe) TxTable
+    protocol means a refused commit leaves nothing behind.
+
+    ``check_fns`` are callables ``df -> check frame`` (e.g.
+    ``lambda d: check_not_null(d, ["doc_id"])``), so the same contract
+    list can guard every ingest batch.  The checks and the write are
+    separate actions over ``df``; for non-deterministic or expensive
+    inputs, pass a persisted/localCheckpoint'ed frame so the validated
+    rows are the written rows.
+
+    The reference enforces this implicitly by row-count/status guards
+    between stages (`load_to_staging.py`); this is the declarative,
+    per-batch form.
+    """
+    enforce([fn(df) for fn in check_fns])
+    if mode == "append":
+        return table.commit_append(df, run_id, extra=extra)
+    if mode == "snapshot":
+        return table.commit_snapshot(df, run_id, extra=extra)
+    raise ValueError(f"unknown mode {mode!r} (append|snapshot)")

@@ -5259,3 +5259,142 @@ FROM ranked, tot WHERE rk <= 20
 
 QUERIES.update({"q117_skew_report": q117_skew_report})
 ORACLE_SQL.update({"q117_skew_report": Q117_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly flags on daily volumes (q118)
+# ---------------------------------------------------------------------------
+
+def q118_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on the daily event volume: flag days
+    whose count deviates from the median by more than 3 MADs — the
+    outlier-immune alarm (q108's mean/stddev would let one broken day
+    drag the threshold toward itself; median/MAD does not).  Two exact
+    percentile whole-frame windows over the DAY-sized frame (the raw
+    events collapse in the first groupBy); the robust z
+    divides in IEEE doubles and is NULL when MAD is zero on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    # whole-frame windows on the day-sized aggregate (the q113 pattern):
+    # scalar-agg branches re-executed the daily subtree per branch (7
+    # exchanges); the windowed form is one exchange after the groupBy
+    g = Window.partitionBy()
+    return (
+        daily.withColumn("__med", F.expr("percentile(n_events, 0.5)").over(g))
+        .withColumn("__dev", F.abs(F.col("n_events") - F.col("__med")))
+        .withColumn("__mad", F.expr("percentile(__dev, 0.5)").over(g))
+        .select(
+            "day",
+            "n_events",
+            (F.col("__dev") > 3 * F.col("__mad")).alias("anomaly"),
+            F.when(
+                F.col("__mad") > 0, F.round(F.col("__dev") / F.col("__mad"), 4)
+            ).alias("robust_z"),
+        )
+    )
+
+
+Q118_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), med AS (
+  SELECT quantile_cont(n_events, 0.5) AS m FROM daily
+), dev AS (
+  SELECT day, n_events, abs(n_events - med.m) AS dv FROM daily, med
+), mad AS (
+  SELECT quantile_cont(dv, 0.5) AS md FROM dev
+)
+SELECT day, n_events, dv > 3 * mad.md AS anomaly,
+       CASE WHEN mad.md > 0 THEN round(dv / mad.md, 4) END AS robust_z
+FROM dev, mad
+"""
+
+
+QUERIES.update({"q118_volume_anomalies": q118_volume_anomalies})
+ORACLE_SQL.update({"q118_volume_anomalies": Q118_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Term co-occurrence lift (q119)
+# ---------------------------------------------------------------------------
+
+def q119_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-pair association mining over the corpus: for term pairs
+    co-occurring in 5+ documents, the lift n·c(a,b) / (c(a)·c(b)) —
+    the PMI-style signal behind phrase detection and topic seeding.
+
+    Shape: dedup to distinct (doc, term) FIRST (q111's index input),
+    self-join on doc_id with term_a < term_b — pair blow-up is bounded
+    by (terms-per-doc)², which curation caps (at web scale feed the
+    top-k salient terms per doc, q51, instead of the raw vocabulary);
+    then one pair-keyed aggregate, term counts broadcast back twice,
+    and one IEEE-double division for the lift."""
+    docs = _t(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), "[^A-Za-z]+")).alias("__tok")
+        )
+        .select("doc_id", F.lower(F.col("__tok")).alias("term"))
+        .filter(F.length("term") >= 3)
+        .distinct()
+        # three consumers (term counts + both self-join sides): lazy
+        # localCheckpoint materializes the tokenize+dedup once instead
+        # of once per branch (the repo-wide multi-branch reuse pattern)
+        .localCheckpoint(eager=False)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    tc = dt.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    a = dt.select("doc_id", F.col("term").alias("term_a"))
+    b = dt.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= 5)
+    )
+    return (
+        pairs.join(F.broadcast(tc.select(F.col("term").alias("term_a"), F.col("__c").alias("__ca"))), "term_a")
+        .join(F.broadcast(tc.select(F.col("term").alias("term_b"), F.col("__c").alias("__cb"))), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_co",
+            F.round(
+                (F.col("n_co") * F.col("__n")).cast("double")
+                / (F.col("__ca") * F.col("__cb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+Q119_SQL = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, lower(tok) AS term
+  FROM documents, unnest(string_split_regex(text, '[^A-Za-z]+')) AS t(tok)
+  WHERE len(tok) >= 3
+), tc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY 1
+), n AS (
+  SELECT count(*) AS nd FROM documents
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n_co
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT term_a, term_b, n_co,
+       round(CAST(n_co * n.nd AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN tc ca ON ca.term = pairs.term_a
+JOIN tc cb ON cb.term = pairs.term_b, n
+"""
+
+
+QUERIES.update({"q119_term_cooccurrence": q119_term_cooccurrence})
+ORACLE_SQL.update({"q119_term_cooccurrence": Q119_SQL})

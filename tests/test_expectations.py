@@ -95,3 +95,29 @@ def test_check_predicates_single_scan_matches_per_check(spark):
         single = check_predicate(df, name, cond).first()
         assert multi[name] == (single["n_violations"], single["passed"])
     assert multi == {"a_pos": (2, False), "b_unit": (1, False)}
+
+
+def test_guarded_commit_blocks_bad_batches(spark, tmp_path):
+    from nlu_data_warehouse_project_spark.operators.expectations import (
+        ExpectationsFailedError,
+        check_not_null,
+        check_unique,
+        guarded_commit,
+    )
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    contract = [
+        lambda d: check_not_null(d, ["id"]),
+        lambda d: check_unique(d, ["id"]),
+    ]
+    good = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    assert guarded_commit(t, good, "day1", contract) == 1
+
+    bad = spark.createDataFrame([(3, "c"), (3, "d"), (None, "e")], "id long, v string")
+    import pytest as _pytest
+    with _pytest.raises(ExpectationsFailedError, match="2 expectation"):
+        guarded_commit(t, bad, "day2", contract)
+    # the refused commit published nothing: version unchanged, data clean
+    assert t.manifest()["version"] == 1
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]

@@ -291,3 +291,17 @@ def test_round8_third_wave_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
         assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
+
+
+def test_round8_fourth_wave_plans(spark, sf_smoke):
+    for name, max_shuffles in (
+        ("q118_volume_anomalies", 3),   # daily agg + two tiny percentile aggs
+        ("q119_term_cooccurrence", 4),  # (doc,term) dedup, doc self-join, pair agg
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+        assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
+    # q118's scalar joins are broadcast NESTED-LOOP (1-row frames), which
+    # uses_broadcast_join (hash-join probe) doesn't see; q119's term-count
+    # joins are real broadcast hash joins
+    assert uses_broadcast_join(QUERIES["q119_term_cooccurrence"](spark, sf_smoke))
