@@ -5398,3 +5398,153 @@ JOIN tc cb ON cb.term = pairs.term_b, n
 
 QUERIES.update({"q119_term_cooccurrence": q119_term_cooccurrence})
 ORACLE_SQL.update({"q119_term_cooccurrence": Q119_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Concentration index / Gini (q120)
+# ---------------------------------------------------------------------------
+
+def q120_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of event volume across users — the one-number
+    answer to "is engagement concentrated in a few whales?" that
+    volume dashboards (q100) can't see.  Computed on the rank form
+    G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ ascending: every term
+    is BIGINT until the single IEEE-double division, so the index is
+    exact cross-engine (no float cumsum).  Ties rank deterministically
+    by user id; the ranked frame is USER-dimension sized — the raw
+    events collapse in the first aggregate, so the whole-frame window
+    is free (q113 pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("__x"))
+    ranked = per.withColumn(
+        "__i",
+        F.row_number().over(Window.orderBy(F.col("__x").asc(), F.col("user_id").asc())),
+    )
+    g = Window.partitionBy()
+    stats = ranked.select(
+        F.sum(F.col("__i") * F.col("__x")).over(g).alias("__ix"),
+        F.sum("__x").over(g).alias("__sx"),
+        F.count(F.lit(1)).over(g).alias("__n"),
+    ).limit(1)
+    return stats.select(
+        F.col("__n").cast("long").alias("n_users"),
+        F.col("__sx").cast("long").alias("total_events"),
+        F.round(
+            (2 * F.col("__ix") - (F.col("__n") + 1) * F.col("__sx")).cast("double")
+            / (F.col("__n") * F.col("__sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+Q120_SQL = """
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x ASC, user_id ASC) AS i FROM per
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(x) AS BIGINT) AS total_events,
+       round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+             / CAST(count(*) * sum(x) AS DOUBLE), 6) AS gini
+FROM ranked
+"""
+
+
+QUERIES.update({"q120_user_concentration": q120_user_concentration})
+ORACLE_SQL.update({"q120_user_concentration": Q120_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week movers (q121)
+# ---------------------------------------------------------------------------
+
+def q121_weekly_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week volume change per event type: count, absolute
+    delta, and percent change vs the previous week (NULL on the first
+    week) — the trend panel of every monitoring dashboard.  One
+    map-side-combined (type, week) count, one lag window on the tiny
+    aggregate; delta is BIGINT, pct is one IEEE-double division."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy(F.col("week").asc())
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "n_events",
+        (F.col("n_events") - prev).cast("long").alias("delta"),
+        F.round((F.col("n_events") - prev).cast("double") / prev.cast("double"), 4).alias(
+            "pct_change"
+        ),
+    )
+
+
+Q121_SQL = """
+WITH weekly AS (
+  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, n_events,
+       CAST(n_events - lag(n_events) OVER w AS BIGINT) AS delta,
+       round(CAST(n_events - lag(n_events) OVER w AS DOUBLE)
+             / CAST(lag(n_events) OVER w AS DOUBLE), 4) AS pct_change
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY week ASC)
+"""
+
+
+QUERIES.update({"q121_weekly_movers": q121_weekly_movers})
+ORACLE_SQL.update({"q121_weekly_movers": Q121_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Order fulfillment latency percentiles (q122)
+# ---------------------------------------------------------------------------
+
+def q122_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days from order to LAST shipment, percentiled per order
+    priority — the SLA panel over a genuine fact-to-fact join (orders ×
+    lineitem shuffle on the order key; no dimension shortcut exists at
+    100 TB, and none is taken).  The per-order max collapses lineitem
+    before the percentile aggregate; day deltas are exact integers
+    (datediff), percentile interpolation per the q57 precedent."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("__last"))
+    lat = orders.join(last_ship, orders["o_orderkey"] == F.col("l_orderkey")).select(
+        "o_orderpriority",
+        F.datediff(F.col("__last").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "__days"
+        ),
+    )
+    return lat.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.expr("percentile(__days, 0.5)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(__days, 0.9)"), 4).alias("p90_days"),
+        F.round(F.expr("percentile(__days, 0.99)"), 4).alias("p99_days"),
+    )
+
+
+Q122_SQL = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last FROM lineitem GROUP BY 1
+), lat AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(last AS DATE)) AS days
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(quantile_cont(days, 0.5), 4) AS p50_days,
+       round(quantile_cont(days, 0.9), 4) AS p90_days,
+       round(quantile_cont(days, 0.99), 4) AS p99_days
+FROM lat GROUP BY 1
+"""
+
+
+QUERIES.update({"q122_fulfillment_latency": q122_fulfillment_latency})
+ORACLE_SQL.update({"q122_fulfillment_latency": Q122_SQL})

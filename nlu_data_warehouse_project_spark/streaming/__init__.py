@@ -437,6 +437,7 @@ def make_corpus_ingest_processor(
     max_punct: float = 0.2,
     gopher_rules: bool = False,
     use_bloom: bool = False,
+    contract=None,
 ):
     """The foreachBatch body of ``streaming_corpus_ingest``, exposed so
     its replay/idempotence contract is directly testable.
@@ -455,6 +456,14 @@ def make_corpus_ingest_processor(
     checkpoint into an existing table must also reset the table (the
     same pairing Delta's txnVersion/txnAppId idempotent writes
     require).
+
+    ``contract``: optional list of ``df -> check frame`` callables
+    (``operators/expectations``) evaluated against each batch's
+    SURVIVORS before the commit — a violated contract raises and FAILS
+    the micro-batch (stop-the-line semantics: the checkpoint does not
+    advance, nothing publishes, and the stream surfaces the error; the
+    quality gate above is for expected noise, the contract for
+    must-never-happen invariants).
 
     Scale shape: the existing-fingerprint side is a column-pruned scan
     of the corpus segments (only the ~32-byte md5 column is read), the
@@ -502,6 +511,13 @@ def make_corpus_ingest_processor(
                 text_col, id_col, existing_is_fingerprints=True,
             )
         delta = survivors.withColumn("fingerprint", doc_fingerprint(text_col))
+        if contract:
+            from ..operators.expectations import enforce
+
+            # checks + write are separate actions: checkpoint the batch
+            # plan once so the validated rows ARE the written rows
+            delta = delta.localCheckpoint(eager=False)
+            enforce([fn(delta) for fn in contract])
         corpus.commit_append(
             delta, run_id=f"batch{batch_id}", extra={"last_batch_id": batch_id}
         )
@@ -523,6 +539,7 @@ def streaming_corpus_ingest(
     gopher_rules: bool = False,
     use_bloom: bool = False,
     source_format: str = "parquet",
+    contract=None,
 ):
     """Incremental corpus curation as a stream: each ``availableNow``
     run picks up exactly the unseen landing files (checkpoint commit
@@ -549,7 +566,7 @@ def streaming_corpus_ingest(
         stream.writeStream.foreachBatch(
             make_corpus_ingest_processor(
                 corpus, text_col, id_col, min_tokens, max_punct, gopher_rules,
-                use_bloom=use_bloom,
+                use_bloom=use_bloom, contract=contract,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

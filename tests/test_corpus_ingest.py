@@ -292,3 +292,32 @@ def test_replayed_micro_batch_with_bloom_sidecar(spark, tmp_path):
     idx = BloomFingerprintIndex(corpus)
     idx.sync()
     assert idx._load()[1] == corpus.manifest()["version"]
+
+
+def test_ingest_contract_fails_the_batch_and_publishes_nothing(spark, tmp_path):
+    """Stop-the-line: a violated contract raises inside the processor,
+    the commit never publishes, and a compliant retry (the fixed feed)
+    goes through on the SAME batch id."""
+    import pytest as _pytest
+
+    from nlu_data_warehouse_project_spark.operators.expectations import (
+        ExpectationsFailedError,
+        check_not_null,
+        check_unique,
+    )
+
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    contract = [
+        lambda d: check_not_null(d, ["doc_id"]),
+        lambda d: check_unique(d, ["doc_id"]),
+    ]
+    process = make_corpus_ingest_processor(corpus, min_tokens=5, contract=contract)
+
+    bad = spark.createDataFrame([(None, GOOD)], SCHEMA)
+    with _pytest.raises(ExpectationsFailedError, match="not_null"):
+        process(bad, 0)
+    assert not corpus.exists() or corpus.manifest() is None
+
+    good = spark.createDataFrame([(1, GOOD)], SCHEMA)
+    process(good, 0)  # the fixed feed replays the same micro-batch id
+    assert [r["doc_id"] for r in corpus.read().collect()] == [1]

@@ -305,3 +305,14 @@ def test_round8_fourth_wave_plans(spark, sf_smoke):
     # uses_broadcast_join (hash-join probe) doesn't see; q119's term-count
     # joins are real broadcast hash joins
     assert uses_broadcast_join(QUERIES["q119_term_cooccurrence"](spark, sf_smoke))
+
+
+def test_round8_fifth_wave_plans(spark, sf_smoke):
+    for name, max_shuffles in (
+        ("q120_user_concentration", 3),  # user agg + rank + whole-frame sums
+        ("q121_weekly_movers", 2),       # (type, week) agg + lag window
+        ("q122_fulfillment_latency", 3), # per-order max, fact-fact join, priority agg
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+        assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
