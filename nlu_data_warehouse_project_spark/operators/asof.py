@@ -32,6 +32,7 @@ def asof_join(
     right_ts: str,
     tolerance: float | None = None,
     tiebreak: str | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Backward as-of left join; right payload columns (everything but
     ``on``/``right_ts``) are appended, plus ``right_ts`` itself.
@@ -40,7 +41,13 @@ def asof_join(
     right rows sharing the same (key, ts): the row with the HIGHEST
     tiebreak value wins (matching the `ORDER BY ts DESC, id DESC LIMIT
     1` shape of a correlated-subquery oracle).  Without it, equal-ts
-    right rows yield an arbitrary payload (ADVICE r1 #2)."""
+    right rows yield an arbitrary payload (ADVICE r1 #2).
+
+    ``strict=True`` matches only right rows STRICTLY before the left
+    timestamp (``<``, attribution semantics: a cause cannot share its
+    effect's instant) instead of the default ``<=`` — implemented purely
+    by the merge order (left rows sort BEFORE right rows at equal ts,
+    so the carry cannot see them), same single shuffle."""
     payload_cols = [c for c in right.columns if c not in (on, right_ts)]
 
     l_tagged = left.select(
@@ -63,12 +70,15 @@ def asof_join(
     )
 
     merged = l_tagged.unionByName(r_tagged)
-    # right rows sort before left rows at equal ts (<= semantics); among
-    # equal-ts right rows the tiebreak ascends, so last() carries the
-    # highest-tiebreak payload (nulls first keeps no-tiebreak behavior)
+    # default: right rows sort before left rows at equal ts (<=
+    # semantics); strict: left rows first, so an equal-ts right row is
+    # invisible to the carry (<).  Among equal-ts right rows the
+    # tiebreak ascends, so last() carries the highest-tiebreak payload
+    # (nulls first keeps no-tiebreak behavior)
+    side_order = F.col("__is_left").desc() if strict else F.col("__is_left").asc()
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__tb").asc_nulls_first())
+        .orderBy(F.col("__ts").asc(), side_order, F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = merged.select(

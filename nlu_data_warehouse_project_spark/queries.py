@@ -5548,3 +5548,324 @@ FROM lat GROUP BY 1
 
 QUERIES.update({"q122_fulfillment_latency": q122_fulfillment_latency})
 ORACLE_SQL.update({"q122_fulfillment_latency": Q122_SQL})
+
+
+# ---------------------------------------------------------------------------
+# In-session conversion funnel (q123) — q21 × q85 composition
+# ---------------------------------------------------------------------------
+
+def q123_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q85 funnel constrained to a single session: a session
+    converts only if view → click → purchase happen in strict order
+    WITHIN it (q21's 30-minute-gap sessions) — the stricter product
+    question ("do users convert in one sitting?").  Sessionize with
+    the lag/cumsum windows (one user-keyed shuffle), then the min-ts
+    stage chain keyed on (user, session); every aggregate and join
+    shares that one key family."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("user_id", "session_id", "event_type", "ts")
+        .localCheckpoint(eager=False)  # three stage filters reuse the sessionized frame
+    )
+    keys = ["user_id", "session_id"]
+
+    def first_after(etype, prev):
+        out = sess.filter(F.col("event_type") == etype)
+        if prev is not None:
+            out = out.join(prev, keys).filter(F.col("ts") > F.col("__t"))
+        return out.groupBy(*keys).agg(F.min("ts").alias("__t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    stage = (
+        v.select(*keys).withColumn("__s2", F.lit(None))
+        .join(c.select(*keys).withColumn("__c", F.lit(1)), keys, "left")
+        .join(p.select(*keys).withColumn("__p", F.lit(1)), keys, "left")
+        .select(
+            F.when(F.col("__p").isNotNull(), "purchase")
+            .when(F.col("__c").isNotNull(), "click")
+            .otherwise("view")
+            .alias("stage"),
+        )
+    )
+    return stage.groupBy("stage").agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+
+
+Q123_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), sess AS (
+  SELECT user_id, event_type, ts,
+         sum(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+), v AS (
+  SELECT user_id, session_id, min(ts) AS t FROM sess
+  WHERE event_type = 'view' GROUP BY 1, 2
+), c AS (
+  SELECT s.user_id, s.session_id, min(s.ts) AS t
+  FROM sess s JOIN v ON s.user_id = v.user_id AND s.session_id = v.session_id
+  WHERE s.event_type = 'click' AND s.ts > v.t GROUP BY 1, 2
+), p AS (
+  SELECT s.user_id, s.session_id, min(s.ts) AS t
+  FROM sess s JOIN c ON s.user_id = c.user_id AND s.session_id = c.session_id
+  WHERE s.event_type = 'purchase' AND s.ts > c.t GROUP BY 1, 2
+)
+SELECT CASE WHEN p.user_id IS NOT NULL THEN 'purchase'
+            WHEN c.user_id IS NOT NULL THEN 'click'
+            ELSE 'view' END AS stage,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id AND v.session_id = c.session_id
+LEFT JOIN p ON v.user_id = p.user_id AND v.session_id = p.session_id
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q123_session_funnel": q123_session_funnel})
+ORACLE_SQL.update({"q123_session_funnel": Q123_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Dedup-savings histogram (q124)
+# ---------------------------------------------------------------------------
+
+def q124_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size distribution: how many clusters of
+    each size, and the rows dedup would strike — the before-you-run-it
+    savings estimate for q14's exact dedup (and the monitoring view
+    that catches a boilerplate flood as a fat tail).  Two stacked
+    map-side-combined aggregates; the second runs over cluster-count
+    rows, so the histogram is nearly free after the fingerprint
+    groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    # corpus = docs + full copy + copy of the first 100 (q14's synthetic-
+    # duplicate convention), so size-2 and size-3 clusters exist
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 100).withColumn("doc_id", F.col("doc_id") + 2000000)
+    )
+    clusters = corpus.groupBy(doc_fingerprint("text").alias("__fp")).agg(
+        F.count(F.lit(1)).alias("__size")
+    )
+    return (
+        clusters.groupBy(F.col("__size").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("long").alias("rows_saved"),
+        )
+    )
+
+
+Q124_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 100
+), clusters AS (
+  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         CAST(count(*) AS BIGINT) AS size
+  FROM corpus GROUP BY 1
+)
+SELECT size AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST((size - 1) * count(*) AS BIGINT) AS rows_saved
+FROM clusters GROUP BY size
+"""
+
+
+QUERIES.update({"q124_dedup_savings": q124_dedup_savings})
+ORACLE_SQL.update({"q124_dedup_savings": Q124_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: nation share within region (q125)
+# ---------------------------------------------------------------------------
+
+def q125_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its REGION's revenue — the
+    ratio-to-report window shape (the number every per-group breakdown
+    dashboard shows next to the absolute).  Star join with both dims
+    broadcast, one (region, nation) aggregate in DECIMAL, then a
+    region-partitioned window sum over the NATION-sized aggregate and
+    one IEEE-double division."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    dims = (
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(25,6)") - _dec("l_discount"))
+    per = (
+        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("__rev"))
+    )
+    w = Window.partitionBy("region")
+    return per.select(
+        "region",
+        "nation",
+        F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("__rev").cast("double") / F.sum("__rev").over(w).cast("double"), 6
+        ).alias("share_of_region"),
+    )
+
+
+Q125_SQL = """
+WITH per AS (
+  SELECT r_name AS region, n_name AS nation,
+         sum(CAST(l_extendedprice AS DECIMAL(25,6))
+             * (CAST(1 AS DECIMAL(25,6)) - CAST(l_discount AS DECIMAL(25,6)))) AS rev
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+         AS share_of_region
+FROM per
+"""
+
+
+QUERIES.update({"q125_revenue_share": q125_revenue_share})
+ORACLE_SQL.update({"q125_revenue_share": Q125_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (q126)
+# ---------------------------------------------------------------------------
+
+def q126_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth along the corpus: per 50-doc bucket, how many
+    terms appear for the FIRST time, and the cumulative vocabulary —
+    the diversity curve that flattens when a crawl starts re-fetching
+    the same content (a dedup/diversity alarm upstream of q111's
+    index).  The vocabulary is word BIGRAMS (unigram vocabularies
+    saturate in the first bucket on any natural corpus — the curve
+    needs combinatorial terms to show its shape).  First-seen is one
+    min aggregate per bigram; the bucket rollup and running sum operate
+    on term/bucket-sized frames; all integers."""
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.split(F.lower(F.col("text")), "[^a-z]+")
+    bigrams = F.expr(
+        "transform(sequence(0, size(__arr) - 2), "
+        "i -> concat(__arr[i], ' ', __arr[i + 1]))"
+    )
+    toks = (
+        docs.select("doc_id", arr.alias("__arr"))
+        .filter(F.size("__arr") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("term"))
+        .filter(~F.col("term").rlike("^ | $|  "))  # drop pairs touching split edges
+    )
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("__first"))
+    buckets = first.groupBy(F.expr("__first div 50").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_terms")
+    )
+    w = Window.orderBy(F.col("bucket").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.select(
+        "bucket",
+        "n_new_terms",
+        F.sum("n_new_terms").over(w).cast("long").alias("cum_vocab"),
+    )
+
+
+Q126_SQL = """
+WITH arrs AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS arr FROM documents
+), grams AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS term
+  FROM arrs, unnest(generate_series(1, len(arr) - 1)) AS u(i)
+  WHERE len(arr) >= 2
+), first AS (
+  SELECT term, min(doc_id) AS first_doc FROM grams
+  WHERE NOT regexp_matches(term, '^ | $|  ')
+  GROUP BY 1
+), buckets AS (
+  SELECT CAST(first_doc // 50 AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_new_terms
+  FROM first GROUP BY 1
+)
+SELECT bucket, n_new_terms,
+       CAST(sum(n_new_terms) OVER (ORDER BY bucket ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+FROM buckets
+"""
+
+
+QUERIES.update({"q126_vocab_growth": q126_vocab_growth})
+ORACLE_SQL.update({"q126_vocab_growth": Q126_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution via STRICT as-of (q127)
+# ---------------------------------------------------------------------------
+
+def q127_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase joined to the user's most
+    recent click STRICTLY before it and at most 1 hour old; purchases
+    with no such click are organic (NULL).  q22's as-of twin with the
+    two knobs that make it attribution: strict `<` (a cause cannot
+    share its effect's instant — `asof_join(strict=True)`) and a
+    staleness tolerance.  Same single user-keyed shuffle as q22."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        tolerance=3600.0, tiebreak="click_event_id", strict=True,
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("click_event_id").alias("attributed_click_id"),
+    )
+
+
+Q127_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       (SELECT c.event_id FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts < p.ts AND date_diff('second', c.ts, p.ts) <= 3600
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS attributed_click_id
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+QUERIES.update({"q127_attribution": q127_attribution})
+ORACLE_SQL.update({"q127_attribution": Q127_SQL})

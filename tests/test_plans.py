@@ -316,3 +316,17 @@ def test_round8_fifth_wave_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
         assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
+
+
+def test_round8_sixth_wave_plans(spark, sf_smoke):
+    for name, max_shuffles in (
+        ("q123_session_funnel", 6),     # sessionize window + 3 stage aggs + 2 stage joins, all on one shrinking key family
+        ("q124_dedup_savings", 2),      # fingerprint agg + size histogram agg
+        ("q125_revenue_share", 2),      # star agg + region window on nation-sized frame
+        ("q126_vocab_growth", 3),       # bigram first-seen agg + bucket agg + running sum
+        ("q127_attribution", 1),        # the as-of union carry: one user-keyed shuffle
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+        assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
+    assert uses_broadcast_join(QUERIES["q125_revenue_share"](spark, sf_smoke))

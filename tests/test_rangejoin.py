@@ -161,3 +161,35 @@ def test_interval_overlap_skips_null_timestamps(spark):
     # the NULL-start row is skipped, not a job-killing 'inverted' error
     out = interval_overlap_pairs(left, right, "start_ts", "end_ts", bucket_seconds=3600)
     assert sorted((r["a_iid"], r["b_iid"]) for r in out.collect()) == [(1, 10)]
+
+
+def test_asof_strict_excludes_equal_ts_right_rows(spark):
+    """strict=True is attribution semantics: a right row AT the left
+    timestamp must not match; earlier rows still carry forward."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(seconds=5))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, base - dt.timedelta(seconds=60), 1, "earlier"), (1, base, 2, "same-instant")],
+        "user_id long, click_ts timestamp, click_id long, label string",
+    )
+    strict = {
+        r["ts"]: r["label"]
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="click_ts",
+            tiebreak="click_id", strict=True,
+        ).collect()
+    }
+    # at ts==base the same-instant click is invisible; 5s later it matches
+    assert strict[base] == "earlier"
+    assert strict[base + dt.timedelta(seconds=5)] == "same-instant"
+
+    default = {
+        r["ts"]: r["label"]
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="click_ts",
+            tiebreak="click_id",
+        ).collect()
+    }
+    assert default[base] == "same-instant"  # <= semantics unchanged
