@@ -210,7 +210,9 @@ def survivorship_merge(
         ascending ``order_col`` order (recency/priority source pick) —
         implemented with ``min_by`` over null-filtered rows, so a NULL
         in the earliest row falls through to the next, like a COALESCE
-        down the ordered duplicates.
+        down the ordered duplicates.  ``order_col`` must be unique per
+        key (an id, a load timestamp): ``min_by`` breaks order ties
+        arbitrarily, which would make the survivor run-dependent.
 
     One map-side-combined aggregate keyed on ``key_cols``; every rule
     is a single aggregate expression, so adding columns never adds

@@ -89,3 +89,81 @@ def repartition_for_key_work(df: DataFrame, keys: list[str], partitions: int | N
     introducing their own."""
     cols = [F.col(k) for k in keys]
     return df.repartition(partitions, *cols) if partitions else df.repartition(*cols)
+
+
+def zorder_value(
+    cols: list,
+    mins: list[int],
+    maxs: list[int],
+    bits: int = 16,
+):
+    """Z-curve (Morton) key over 2-3 numeric columns: each value is
+    leveled into ``bits``-bit cells by a pure-integer shift — down
+    when the span overflows ``bits`` bits, UP when it underfills them
+    (a 4-bit key must stretch across the same bit positions as a
+    20-bit one or the interleave degenerates to a single-column sort);
+    no doubles anywhere, so micro-timestamp keys beyond 2^53 level
+    exactly.  Then the columns' bits interleave.  Sorting by this key clusters rows that
+    are close in EVERY dimension, which is what makes multi-column
+    min/max pruning work where a single sort key only helps itself."""
+    if not 2 <= len(cols) <= 3:
+        raise ValueError(f"zorder interleaves 2-3 columns, got {len(cols)}")
+    if len(mins) != len(cols) or len(maxs) != len(cols):
+        raise ValueError("mins/maxs must match cols")
+    n = len(cols)
+    levels = (1 << bits) - 1
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        c = F.col(c) if isinstance(c, str) else c
+        lo, hi = int(lo), int(hi)
+        span = max(hi - lo, 1)
+        shift = span.bit_length() - bits
+        base = c.cast("long") - F.lit(lo)
+        lvl = F.shiftright(base, shift) if shift >= 0 else F.shiftleft(base, -shift)
+        scaled.append(F.least(F.lit(levels), lvl))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, sc in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(sc, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 64,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Lay a table out along a Z-curve over ``cols`` so that per-file
+    min/max statistics prune scans filtered on ANY of them — the
+    layout move for the second and third filter column, where date
+    partitioning (first column) and a linear sort (one column) stop
+    helping.  ``repartitionByRange`` on the z-key gives files covering
+    disjoint curve segments; the within-file sort tightens footer
+    stats further.
+
+    The column min/max pair used for scaling is one 2·k-value
+    aggregate (never row data).  Linear scaling assumes roughly
+    uniform key ranges — for heavy skew, rank-based leveling (ntile)
+    would balance better at the cost of a full sort; at 100 TB run
+    this per date partition, not globally, so each partition's range
+    is local and the rewrite is bounded."""
+    row = df.agg(
+        *[F.min(F.col(c).cast("long")).alias(f"__lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("long")).alias(f"__hi_{c}") for c in cols],
+    ).collect()[0]
+    mins = [row[f"__lo_{c}"] for c in cols]
+    maxs = [row[f"__hi_{c}"] for c in cols]
+    z = zorder_value(list(cols), mins, maxs, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

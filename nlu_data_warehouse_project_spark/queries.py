@@ -5593,7 +5593,7 @@ def q123_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = first_after("click", v)
     p = first_after("purchase", c)
     stage = (
-        v.select(*keys).withColumn("__s2", F.lit(None))
+        v.select(*keys)
         .join(c.select(*keys).withColumn("__c", F.lit(1)), keys, "left")
         .join(p.select(*keys).withColumn("__p", F.lit(1)), keys, "left")
         .select(
@@ -5869,3 +5869,46 @@ FROM events p WHERE p.event_type = 'purchase'
 
 QUERIES.update({"q127_attribution": q127_attribution})
 ORACLE_SQL.update({"q127_attribution": Q127_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (q128)
+# ---------------------------------------------------------------------------
+
+def q128_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (q58's pivot, reversed): per-returnflag metric
+    sums melted into (flag, metric, value) rows — the shape metric
+    stores and chart frontends ingest.  The unpivot is a scan-local
+    Expand over the already-aggregated wide frame (3 rows per input
+    row, zero shuffle added); the DuckDB twin uses native UNPIVOT, so
+    the gate checks Spark's `unpivot` semantics against an independent
+    implementation."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_price"),
+        F.round(F.sum(_dec("l_discount")), 2).cast("double").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+Q128_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_price,
+         CAST(round(sum(CAST(l_discount AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, metric, value
+FROM (UNPIVOT wide ON sum_qty, sum_price, sum_disc INTO NAME metric VALUE value)
+"""
+
+
+QUERIES.update({"q128_unpivot_metrics": q128_unpivot_metrics})
+ORACLE_SQL.update({"q128_unpivot_metrics": Q128_SQL})

@@ -330,3 +330,11 @@ def test_round8_sixth_wave_plans(spark, sf_smoke):
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
         assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
     assert uses_broadcast_join(QUERIES["q125_revenue_share"](spark, sf_smoke))
+
+
+def test_unpivot_adds_no_shuffle(spark, sf_smoke):
+    # melt is an Expand over the aggregated wide frame: exactly the
+    # groupBy exchange, nothing for the reshape
+    q = QUERIES["q128_unpivot_metrics"](spark, sf_smoke)
+    assert python_udf_count(q) == 0
+    assert shuffle_count(q) == 1, shuffle_count(q)
