@@ -137,7 +137,8 @@ def table_history(table) -> list[dict]:
     """Per-version audit log from the manifests (no data scan):
     version, run_id, commit ``kind`` (append = closed dirs grew with
     the current set untouched; merge/snapshot = the current dir was
-    replaced; compaction = closed dirs shrank), closed-dir count, and
+    replaced; compaction = closed dirs replaced by a lineage-recorded
+    dir; restore = a ``restored_from`` rollback), closed-dir count, and
     schema column count — the `DESCRIBE HISTORY` twin for a TxTable."""
     out = []
     prev_closed: set[str] = set()
@@ -148,7 +149,13 @@ def table_history(table) -> list[dict]:
         added = closed - prev_closed
         removed = prev_closed - closed
         current = man.get("current")
-        if prev_current is None or current == prev_current:
+        if man.get("restored_from") is not None:
+            # a restore publishes the TARGET's dirs under a new version:
+            # closed may shrink with nothing added and current may
+            # revert — every structural heuristic below misreads it, so
+            # the explicit provenance field decides first
+            kind = "restore"
+        elif prev_current is None or current == prev_current:
             # current untouched: an append only grows the closed list; a
             # compaction REPLACES closed dirs with a new dir recorded in
             # compacted_lineage (closed=[compacted] is not a subset of

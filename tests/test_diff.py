@@ -169,3 +169,17 @@ def test_table_history_snapshot_table(spark, tmp_path):
     # v1 has no prior current to compare; a fresh table's first commit
     # reads as append (the seed); later replacements as snapshot
     assert kinds[1] == "snapshot"
+
+
+def test_table_history_labels_restores(spark, tmp_path):
+    from nlu_data_warehouse_project_spark.operators.diff import table_history
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    d = lambda i: spark.createDataFrame([(i,)], "id long")  # noqa: E731
+    t.commit_append(d(1), "day1")
+    t.commit_append(d(2), "day2")
+    t.restore(1)
+    t.commit_append(d(3), "day3")
+    kinds = [h["kind"] for h in table_history(t)]
+    assert kinds == ["append", "append", "restore", "append"]
