@@ -252,3 +252,47 @@ def temperature_rebalance(
         .filter(bucket < F.floor(F.col("__keep_frac") * HASH_BUCKETS))
         .drop("__keep_frac")
     )
+
+
+def match_distribution(
+    df: DataFrame,
+    ref: DataFrame,
+    bucket_col: Column | str,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample ``df`` so its distribution over ``bucket_col``
+    matches a REFERENCE slice's proportions — the distribution-matching
+    sampler ("make the new crawl look like the curated corpus" along
+    length/quality/language bins) that temperature mixing (which only
+    reshapes counts per group) cannot express.
+
+    keep_frac_b = (ref_b / cand_b) / max_b'(ref_b' / cand_b'): the
+    bucket the reference over-represents most keeps 100 % and every
+    other bucket thins to land EXACTLY on the reference shape in
+    expectation — downsampling only, never upsampling.  Buckets absent
+    from the reference drop entirely (their target share is zero);
+    buckets absent from the candidate are unreachable and simply
+    missing from the output.
+
+    Per-row keep/drop is the shared md5 bucket — deterministic,
+    partition-independent, nested like every sampler here.  The
+    per-bucket fraction table is one tiny broadcast; the filter is
+    scan-local.  Ratios divide in IEEE doubles (identical exact BIGINT
+    counts in → identical fractions out, the q93 rule)."""
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    cand = df.groupBy(b.alias("__b")).agg(F.count(F.lit(1)).cast("long").alias("__nc"))
+    refc = ref.groupBy(b.alias("__b")).agg(F.count(F.lit(1)).cast("long").alias("__nr"))
+    ratios = cand.join(refc, "__b").withColumn(
+        "__ratio", F.col("__nr").cast("double") / F.col("__nc").cast("double")
+    )
+    g = Window.partitionBy()
+    fracs = ratios.withColumn(
+        "__keep", F.col("__ratio") / F.max("__ratio").over(g)
+    ).select("__b", "__keep")
+    return (
+        df.withColumn("__b", b)
+        .join(F.broadcast(fracs), "__b")
+        .filter(hash_bucket(id_col, seed) < F.floor(F.col("__keep") * HASH_BUCKETS))
+        .drop("__b", "__keep")
+    )

@@ -5912,3 +5912,142 @@ FROM (UNPIVOT wide ON sum_qty, sum_price, sum_disc INTO NAME metric VALUE value)
 
 QUERIES.update({"q128_unpivot_metrics": q128_unpivot_metrics})
 ORACLE_SQL.update({"q128_unpivot_metrics": Q128_SQL})
+
+
+# ---------------------------------------------------------------------------
+# ntile decile profile (q129)
+# ---------------------------------------------------------------------------
+
+def q129_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders bucketed into spend deciles (ntile over total price, ties
+    broken by order key for determinism) with per-decile count and
+    DECIMAL revenue — the classic customer-value segmentation, and the
+    window-family member (ntile) the catalog didn't exercise yet.
+    One global-sort window (inherent to exact global deciles — at
+    100 TB swap in approx percentile fences, q102, to avoid the single
+    ordered partition), then a tiny 10-key aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+Q129_SQL = """
+WITH d AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile
+  FROM orders
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
+FROM d GROUP BY decile
+"""
+
+
+QUERIES.update({"q129_order_deciles": q129_order_deciles})
+ORACLE_SQL.update({"q129_order_deciles": Q129_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Sequence gap detection (q130)
+# ---------------------------------------------------------------------------
+
+def q130_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuity audit: for each user, the days between first and last
+    activity with NO events — the completeness check that catches a
+    feed that silently skipped a partition (expectations validate
+    what arrived; this finds what DIDN'T).  Per-user present-day dedup,
+    span from one min/max aggregate, missing = span − present (pure
+    integers, no calendar explode — the explode form materializes
+    users×days and is never needed for the COUNT)."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    per = ud.groupBy("user_id").agg(
+        F.min("d").alias("__first"),
+        F.max("d").alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("days_active"),
+    )
+    span = (F.datediff(F.col("__last"), F.col("__first")) + 1).cast("long")
+    return per.select(
+        "user_id",
+        F.col("__first").alias("first_day"),
+        F.col("__last").alias("last_day"),
+        "days_active",
+        (span - F.col("days_active")).alias("days_missing"),
+    ).filter(F.col("days_missing") > 0)
+
+
+Q130_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), per AS (
+  SELECT user_id, min(d) AS first_day, max(d) AS last_day,
+         CAST(count(*) AS BIGINT) AS days_active
+  FROM ud GROUP BY 1
+)
+SELECT user_id, first_day, last_day, days_active,
+       CAST(date_diff('day', first_day, last_day) + 1 - days_active AS BIGINT)
+         AS days_missing
+FROM per
+WHERE date_diff('day', first_day, last_day) + 1 - days_active > 0
+"""
+
+
+QUERIES.update({"q130_activity_gaps": q130_activity_gaps})
+ORACLE_SQL.update({"q130_activity_gaps": Q130_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Distribution-matched sampling (q131)
+# ---------------------------------------------------------------------------
+
+def q131_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the candidate slice (doc_id >= 250) so its
+    char-length histogram matches the reference slice's (doc_id < 250)
+    proportions — `sampling.match_distribution` over q103's length
+    bins: the "make the new crawl look like the curated corpus"
+    sampler, reported as kept count per bin."""
+    from .operators.sampling import match_distribution
+
+    docs = _t(spark, sf_dir, "documents")
+    bin_ = F.least(F.floor(F.col("n_chars") / 400), F.lit(4)).cast("int")
+    ref = docs.filter(F.col("doc_id") < 250)
+    cand = docs.filter(F.col("doc_id") >= 250)
+    kept = match_distribution(cand, ref, bin_, "doc_id")
+    return kept.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+
+
+Q131_SQL = """
+WITH binned AS (
+  SELECT doc_id, CAST(least(floor(n_chars / 400), 4) AS INTEGER) AS bin,
+         doc_id < 250 AS is_ref
+  FROM documents
+), cand AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS nc FROM binned WHERE NOT is_ref GROUP BY 1
+), refc AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS nr FROM binned WHERE is_ref GROUP BY 1
+), fracs AS (
+  SELECT cand.bin,
+         (CAST(nr AS DOUBLE) / CAST(nc AS DOUBLE))
+           / max(CAST(nr AS DOUBLE) / CAST(nc AS DOUBLE)) OVER () AS keep
+  FROM cand JOIN refc ON cand.bin = refc.bin
+)
+SELECT b.bin, CAST(count(*) AS BIGINT) AS n_kept
+FROM binned b JOIN fracs f ON b.bin = f.bin
+WHERE NOT b.is_ref
+  AND ('0x' || substring(md5('42:' || CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      < floor(f.keep * 10000)
+GROUP BY b.bin
+"""
+
+
+QUERIES.update({"q131_distribution_match": q131_distribution_match})
+ORACLE_SQL.update({"q131_distribution_match": Q131_SQL})

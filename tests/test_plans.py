@@ -338,3 +338,14 @@ def test_unpivot_adds_no_shuffle(spark, sf_smoke):
     q = QUERIES["q128_unpivot_metrics"](spark, sf_smoke)
     assert python_udf_count(q) == 0
     assert shuffle_count(q) == 1, shuffle_count(q)
+
+
+def test_round8_seventh_wave_plans(spark, sf_smoke):
+    for name, max_shuffles in (
+        ("q129_order_deciles", 2),       # global ntile sort + decile agg
+        ("q130_activity_gaps", 2),       # (user, day) dedup + per-user agg
+        ("q131_distribution_match", 4),  # two bin counts + bin agg, fracs broadcast
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+        assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"

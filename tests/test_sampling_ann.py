@@ -269,3 +269,30 @@ def test_temperature_rebalance_flattens_toward_rare(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         temperature_rebalance(df, "src", "id", alpha=1.5)
+
+
+def test_match_distribution_matches_reference_shape(spark):
+    from nlu_data_warehouse_project_spark.operators.sampling import match_distribution
+
+    # reference: 50/50 over buckets a/b; candidate: 80/20 plus a bucket
+    # the reference lacks entirely
+    ref = spark.createDataFrame(
+        [(i, "a") for i in range(50)] + [(1000 + i, "b") for i in range(50)], "id long, b string"
+    )
+    cand = spark.createDataFrame(
+        [(2000 + i, "a") for i in range(800)]
+        + [(4000 + i, "b") for i in range(200)]
+        + [(6000 + i, "zz") for i in range(100)],
+        "id long, b string",
+    )
+    kept = match_distribution(cand, ref, "b", "id")
+    by = {r["b"]: r["n"] for r in kept.groupBy("b").agg(F.count("*").alias("n")).collect()}
+    # bucket absent from the reference is dropped entirely
+    assert "zz" not in by
+    # b is the most-under-represented candidate bucket: keeps ~100%
+    assert by["b"] >= 190
+    # a thins to roughly match b (ref shape 50/50): ratio near 1
+    assert abs(by["a"] - by["b"]) <= 0.15 * by["b"], by
+    # deterministic: same kept set on re-run
+    again = {r["id"] for r in match_distribution(cand, ref, "b", "id").collect()}
+    assert again == {r["id"] for r in kept.collect()}
