@@ -3593,7 +3593,11 @@ def q85_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = ev.filter(F.col("event_type") == etype)
         if prev is not None:
             out = out.join(prev, "user_id").filter(F.col("ts") > F.col("__t"))
-        return out.groupBy("user_id").agg(F.min("ts").alias("__t"))
+        # each stage feeds the next stage AND the final stage classify:
+        # lazy-checkpoint so the chain materializes once per stage
+        return (
+            out.groupBy("user_id").agg(F.min("ts").alias("__t")).localCheckpoint(eager=False)
+        )
 
     v = first_after("view", None)
     c = first_after("click", v)
@@ -4808,7 +4812,12 @@ def q109_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out.join(prev.select("user_id", "__t"), "user_id").filter(
                 F.col("ts") > F.col("__t")
             )
-        return out.groupBy("user_id").agg(F.min("ts").alias("__t"))
+        # each stage frame feeds BOTH the next stage and its latency
+        # leg: lazy-checkpoint so the chain materializes once per stage
+        # instead of re-running per consumer (9 exchanges -> 4)
+        return (
+            out.groupBy("user_id").agg(F.min("ts").alias("__t")).localCheckpoint(eager=False)
+        )
 
     v = first_after("view", None)
     c = first_after("click", v)
