@@ -5037,8 +5037,13 @@ def q113_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks ties).  The rounding rule every mixture config file needs
     once token budgets are integers — and a pure-integer computation
     (shares via BIGINT multiply/div/mod), so the result is bit-exact
-    on any engine by construction.  Shape: ONE aggregate over the
-    corpus, then whole-frame window functions over the |sources|-sized
+    on any engine by construction (BIGINT bound: n_chars·B must stay
+    under 2^63 ≈ 9.2e18 — beyond ~9e12 chars per source, rescale the
+    weights to kilochars first; the method is unit-invariant and
+    decimal `div` is NOT a portable escape hatch — Spark's overflows
+    into a BIGINT result and DuckDB's returns a double).  Shape: ONE
+    aggregate over the corpus, then whole-frame window functions over
+    the |sources|-sized
     result — the unpartitioned windows are deliberate (they run on a
     frame the first groupBy already collapsed to dimension size, the
     one case where a global window is free).  Integer division uses

@@ -68,6 +68,7 @@ WEIGHTS = {
     "test_rangejoin.py": 22,
     "test_ntz_robustness.py": 17,
     "test_calendar.py": 14,
+    "test_round8_properties.py": 45,
 }
 
 
