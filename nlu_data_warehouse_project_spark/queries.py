@@ -6065,3 +6065,121 @@ GROUP BY b.bin
 
 QUERIES.update({"q131_distribution_match": q131_distribution_match})
 ORACLE_SQL.update({"q131_distribution_match": Q131_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week returning-user rate (q132)
+# ---------------------------------------------------------------------------
+
+def q132_returning_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling retention rate: of last week's active users, the share
+    active again THIS week — the week-over-week health number (q86's
+    cohort triangle answers "how do cohorts age", this answers "is this
+    week worse than last").  Weekly user sets via one dedup, then a
+    week-shifted self-join on (user, week) — the share divides two
+    BIGINTs in an IEEE double.  NULL rate for the first week (no prior
+    week to return from)."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct().localCheckpoint(eager=False)  # both join sides reuse the dedup
+    prev = uw.select("user_id", F.date_add(F.col("wk"), 7).alias("wk"))
+    ret = (
+        uw.join(prev.withColumn("__came_back", F.lit(1)), ["user_id", "wk"], "left")
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.count("__came_back").cast("long").alias("n_returning"),
+        )
+    )
+    # the first calendar week has no predecessor: its rate is NULL, not 0
+    first_wk = uw.agg(F.min("wk").alias("__w0"))
+    return (
+        ret.crossJoin(F.broadcast(first_wk))
+        .select(
+            F.col("wk").alias("week"),
+            "n_active",
+            "n_returning",
+            F.when(
+                F.col("wk") > F.col("__w0"),
+                F.round(F.col("n_returning").cast("double") / F.col("n_active").cast("double"), 4),
+            ).alias("returning_rate"),
+        )
+    )
+
+
+Q132_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+), ret AS (
+  SELECT a.wk, CAST(count(*) AS BIGINT) AS n_active,
+         CAST(count(b.user_id) AS BIGINT) AS n_returning
+  FROM uw a LEFT JOIN uw b
+    ON a.user_id = b.user_id AND b.wk = a.wk - INTERVAL 7 DAY
+  GROUP BY 1
+)
+SELECT wk AS week, n_active, n_returning,
+       CASE WHEN wk > (SELECT min(wk) FROM uw)
+            THEN round(CAST(n_returning AS DOUBLE) / CAST(n_active AS DOUBLE), 4) END
+         AS returning_rate
+FROM ret
+"""
+
+
+QUERIES.update({"q132_returning_rate": q132_returning_rate})
+ORACLE_SQL.update({"q132_returning_rate": Q132_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Top-percentile revenue concentration (q133)
+# ---------------------------------------------------------------------------
+
+def q133_top_order_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share of the top 1 % of orders (rank-thresholded, at
+    least one order) — the concentration SLICE the q120 Gini summarizes
+    into one number.  All-DECIMAL sums, integer rank threshold via
+    BIGINT `div`, one double division at the end; the rank window's
+    global sort carries only (price, key) pairs."""
+    orders = _t(spark, sf_dir, "orders")
+    ranked = orders.select(
+        _dec("o_totalprice").alias("__p"),
+        F.row_number().over(
+            Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        ).alias("__rk"),
+    )
+    g = Window.partitionBy()
+    cut = ranked.withColumn("__n", F.count(F.lit(1)).over(g)).withColumn(
+        "__k", F.greatest(F.lit(1), F.expr("__n div 100"))
+    )
+    return cut.agg(
+        F.max("__k").cast("long").alias("n_top_orders"),
+        F.round(F.sum(F.when(F.col("__rk") <= F.col("__k"), F.col("__p"))), 2)
+        .cast("double")
+        .alias("top_revenue"),
+        F.round(
+            F.sum(F.when(F.col("__rk") <= F.col("__k"), F.col("__p"))).cast("double")
+            / F.sum("__p").cast("double"),
+            6,
+        ).alias("top_share"),
+    )
+
+
+Q133_SQL = """
+WITH ranked AS (
+  SELECT CAST(o_totalprice AS DECIMAL(25,6)) AS p,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk,
+         count(*) OVER () AS n
+  FROM orders
+), cut AS (
+  SELECT p, rk, greatest(1, n // 100) AS k FROM ranked
+)
+SELECT CAST(max(k) AS BIGINT) AS n_top_orders,
+       CAST(round(sum(CASE WHEN rk <= k THEN p END), 2) AS DOUBLE) AS top_revenue,
+       round(CAST(sum(CASE WHEN rk <= k THEN p END) AS DOUBLE)
+             / CAST(sum(p) AS DOUBLE), 6) AS top_share
+FROM cut
+"""
+
+
+QUERIES.update({"q133_top_order_share": q133_top_order_share})
+ORACLE_SQL.update({"q133_top_order_share": Q133_SQL})

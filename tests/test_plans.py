@@ -349,3 +349,13 @@ def test_round8_seventh_wave_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
         assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
+
+
+def test_round8_eighth_wave_plans(spark, sf_smoke):
+    for name, max_shuffles in (
+        ("q132_returning_rate", 4),   # (user,week) dedup + shifted self-join + week agg
+        ("q133_top_order_share", 2),  # global rank sort + single-row agg
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+        assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
