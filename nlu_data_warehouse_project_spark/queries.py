@@ -6183,3 +6183,92 @@ FROM cut
 
 QUERIES.update({"q133_top_order_share": q133_top_order_share})
 ORACLE_SQL.update({"q133_top_order_share": Q133_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Customer order-count distribution (TPC-H Q13 shape, q134)
+# ---------------------------------------------------------------------------
+
+def q134_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by how many orders they
+    placed, INCLUDING the zero-order customers — the left join that
+    must survive the aggregation (an inner join silently erases the
+    most interesting bucket).  Two stacked aggregates: per-customer
+    count over the join (zero preserved via count of the right side's
+    key), then a histogram over the already-customer-sized frame."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+Q134_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+)
+GROUP BY c_count
+"""
+
+
+QUERIES.update({"q134_custdist": q134_custdist})
+ORACLE_SQL.update({"q134_custdist": Q134_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Sole-late-supplier blame analysis (TPC-H Q21 shape, q135)
+# ---------------------------------------------------------------------------
+
+def q135_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: for finalized multi-supplier orders, find the
+    orders where EXACTLY ONE supplier shipped late (>60 days after the
+    order date) — the classic double-correlated EXISTS / NOT EXISTS
+    ("another supplier exists; no OTHER supplier was late") collapsed
+    into ONE aggregate: per order, distinct suppliers and distinct
+    LATE suppliers via a conditional count_distinct sharing the same
+    Expand pass (the q101 trick).  No self-joins of the fact table at
+    all — the textbook rewrite replaces two correlated probes with two
+    columns of one groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60), F.col("l_suppkey")
+    )
+    per = j.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.count_distinct(late).cast("long").alias("n_late"),
+    )
+    return per.filter((F.col("n_suppliers") > 1) & (F.col("n_late") == 1)).select(
+        F.col("l_orderkey").alias("orderkey"), "n_suppliers"
+    )
+
+
+Q135_SQL = """
+WITH per AS (
+  SELECT l_orderkey,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         CAST(count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                  THEN l_suppkey END) AS BIGINT) AS n_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1
+)
+SELECT l_orderkey AS orderkey, n_suppliers
+FROM per WHERE n_suppliers > 1 AND n_late = 1
+"""
+
+
+QUERIES.update({"q135_sole_blame": q135_sole_blame})
+ORACLE_SQL.update({"q135_sole_blame": Q135_SQL})

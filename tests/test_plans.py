@@ -359,3 +359,13 @@ def test_round8_eighth_wave_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
         assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
+
+
+def test_round8_ninth_wave_plans(spark, sf_smoke):
+    for name, max_shuffles in (
+        ("q134_custdist", 3),   # left join + per-customer agg + histogram agg
+        ("q135_sole_blame", 3), # join + ONE expand agg (two distincts share it)
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+        assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
