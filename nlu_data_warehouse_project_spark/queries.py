@@ -6272,3 +6272,175 @@ FROM per WHERE n_suppliers > 1 AND n_late = 1
 
 QUERIES.update({"q135_sole_blame": q135_sole_blame})
 ORACLE_SQL.update({"q135_sole_blame": Q135_SQL})
+
+
+# ---------------------------------------------------------------------------
+# A/B test: two-proportion z-test (q136)
+# ---------------------------------------------------------------------------
+
+def q136_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users split into two deterministic variants
+    (user_id parity — the md5 bucket would do for real assignment),
+    conversion = did the user purchase; the two-proportion z-score
+    decides significance.  Counts are exact BIGINTs from one
+    aggregate; the z formula runs in IEEE doubles (identical inputs →
+    identical score cross-engine, the q108 rule).  One row out."""
+    ev = _t(spark, sf_dir, "events")
+    # conversion = purchased within the first four days (an unwindowed
+    # "ever purchased" saturates to 100% on this feed, making se = 0)
+    conv_ev = (F.col("event_type") == "purchase") & (
+        F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp")
+    )
+    per = ev.groupBy("user_id").agg(
+        F.max(F.when(conv_ev, 1).otherwise(0)).alias("__conv")
+    )
+    counts = per.groupBy((F.col("user_id") % 2).cast("int").alias("variant")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("__conv").cast("long").alias("n_converted"),
+    )
+    g = Window.partitionBy()
+    wide = counts.select(
+        F.sum(F.when(F.col("variant") == 0, F.col("n_users"))).over(g).alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("n_converted"))).over(g).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_users"))).over(g).alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_converted"))).over(g).alias("c1"),
+    ).limit(1)
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1")).cast("double")
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n0").cast("double") + F.lit(1.0) / F.col("n1").cast("double"))
+    )
+    return wide.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.round(p0, 6).alias("rate_control"),
+        F.round(p1, 6).alias("rate_treatment"),
+        # degenerate experiments (0% or 100% pooled) have no z: NULL,
+        # and the CASE guard keeps ANSI division happy on both engines
+        F.when(se > 0, F.round((p1 - p0) / se, 4)).alias("z_score"),
+    )
+
+
+Q136_SQL = """
+WITH per AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase'
+                   AND ts < TIMESTAMP '2024-01-05 00:00:00' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), counts AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+  FROM per GROUP BY 1
+), wide AS (
+  SELECT sum(CASE WHEN variant = 0 THEN n END) AS n0,
+         sum(CASE WHEN variant = 0 THEN c END) AS c0,
+         sum(CASE WHEN variant = 1 THEN n END) AS n1,
+         sum(CASE WHEN variant = 1 THEN c END) AS c1
+  FROM counts
+)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treatment,
+       round(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS rate_control,
+       round(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate_treatment,
+       CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+         round((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 4)
+       END AS z_score
+FROM wide
+"""
+
+
+QUERIES.update({"q136_ab_test": q136_ab_test})
+ORACLE_SQL.update({"q136_ab_test": Q136_SQL})
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (q137)
+# ---------------------------------------------------------------------------
+
+def q137_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment metric: per user, post-period spend Y
+    is adjusted by the pre-period covariate X (Y′ = Y − θ·(X − X̄),
+    θ = cov(X,Y)/var(X)) — the standard experimentation trick that
+    removes pre-existing between-user variance from the readout.  The
+    power sums for θ accumulate in DECIMAL over one user-level frame
+    (the q108 discipline: exact, order-independent); θ, the adjustment
+    and the final means run in IEEE doubles.  Reported per variant with
+    raw vs adjusted means and the variance reduction ratio."""
+    ev = _t(spark, sf_dir, "events")
+    val = F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,6)")
+    pre = F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, val).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("__x"),
+        F.sum(F.when(~pre, val).otherwise(F.lit(0).cast("decimal(18,6)"))).alias("__y"),
+    )
+    g = Window.partitionBy()
+    stats = per.select(
+        "user_id", "__x", "__y",
+        F.count(F.lit(1)).over(g).alias("__n"),
+        F.sum("__x").over(g).cast("decimal(25,6)").alias("__sx"),
+        F.sum("__y").over(g).cast("decimal(25,6)").alias("__sy"),
+        F.sum((F.col("__x") * F.col("__x")).cast("decimal(30,6)")).over(g).alias("__sxx"),
+        F.sum((F.col("__x") * F.col("__y")).cast("decimal(30,6)")).over(g).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    theta = (
+        (F.col("__sxy").cast("double") - F.col("__sx").cast("double") * F.col("__sy").cast("double") / n)
+        / (F.col("__sxx").cast("double") - F.col("__sx").cast("double") * F.col("__sx").cast("double") / n)
+    )
+    xbar = F.col("__sx").cast("double") / n
+    adj = F.col("__y").cast("double") - theta * (F.col("__x").cast("double") - xbar)
+    return (
+        stats.select(
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            F.col("__y").cast("double").alias("__yd"),
+            adj.alias("__adj"),
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("__yd"), 4).alias("mean_spend"),
+            F.round(F.avg("__adj"), 4).alias("mean_spend_cuped"),
+        )
+    )
+
+
+Q137_SQL = """
+WITH per AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                  THEN CAST(coalesce(value, 0.0) AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                  THEN CAST(coalesce(value, 0.0) AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS y
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT user_id, x, y,
+         count(*) OVER () AS n,
+         CAST(sum(x) OVER () AS DECIMAL(25,6)) AS sx,
+         CAST(sum(y) OVER () AS DECIMAL(25,6)) AS sy,
+         sum(CAST(x * x AS DECIMAL(30,6))) OVER () AS sxx,
+         sum(CAST(x * y AS DECIMAL(30,6))) OVER () AS sxy
+  FROM per
+), adj AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+         CAST(y AS DOUBLE) AS yd,
+         CAST(y AS DOUBLE)
+           - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS adjd
+  FROM stats
+)
+SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(yd), 4) AS mean_spend,
+       round(avg(adjd), 4) AS mean_spend_cuped
+FROM adj GROUP BY variant
+"""
+
+
+QUERIES.update({"q137_cuped": q137_cuped})
+ORACLE_SQL.update({"q137_cuped": Q137_SQL})

@@ -369,3 +369,13 @@ def test_round8_ninth_wave_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
         assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
+
+
+def test_round8_experimentation_plans(spark, sf_smoke):
+    for name, max_shuffles in (
+        ("q136_ab_test", 3),  # per-user agg, variant agg, whole-frame widen
+        ("q137_cuped", 2),    # per-user agg + whole-frame power sums + variant agg
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+        assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
