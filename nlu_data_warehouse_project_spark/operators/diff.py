@@ -122,9 +122,22 @@ def schema_diff(table, since_version: int, version: int | None = None) -> list[d
     new_man = table.manifest(version)
     old = {f.name: f.dataType.simpleString() for f in table._manifest_schema(old_man).fields}
     new = {f.name: f.dataType.simpleString() for f in table._manifest_schema(new_man).fields}
+    renames = new_man.get("column_renames", {})
+    renamed_from = {}  # new name -> the prior name it left in `old`
+    for c, priors in renames.items():
+        if c in new and c not in old:
+            src = next((p for p in priors if p in old and p not in new), None)
+            if src is not None:
+                renamed_from[c] = src
+    consumed = set(renamed_from.values())
     out = []
     for c in sorted(set(old) | set(new)):
-        if c not in new:
+        if c in renamed_from:
+            out.append({"column": c, "change": f"renamed from {renamed_from[c]}",
+                        "old_type": old[renamed_from[c]], "new_type": new[c]})
+        elif c in consumed:
+            continue  # reported as the rename, not a remove
+        elif c not in new:
             out.append({"column": c, "change": "removed", "old_type": old[c], "new_type": None})
         elif c not in old:
             out.append({"column": c, "change": "added", "old_type": None, "new_type": new[c]})
@@ -138,11 +151,13 @@ def table_history(table) -> list[dict]:
     version, run_id, commit ``kind`` (append = closed dirs grew with
     the current set untouched; merge/snapshot = the current dir was
     replaced; compaction = closed dirs replaced by a lineage-recorded
-    dir; restore = a ``restored_from`` rollback), closed-dir count, and
+    dir; restore = a ``restored_from`` rollback; rename = the
+    column-rename map moved), closed-dir count, and
     schema column count — the `DESCRIBE HISTORY` twin for a TxTable."""
     out = []
     prev_closed: set[str] = set()
     prev_current = None
+    prev_renames: dict = {}
     for v in table.versions():
         man = table.manifest(v)
         closed = set(man.get("closed", []))
@@ -155,6 +170,11 @@ def table_history(table) -> list[dict]:
             # revert — every structural heuristic below misreads it, so
             # the explicit provenance field decides first
             kind = "restore"
+        elif man.get("column_renames", {}) != prev_renames:
+            # a rename commit is metadata-only: dirs untouched, only the
+            # schema + rename map move (checked after restore — a restore
+            # across a rename boundary changes the map too)
+            kind = "rename"
         elif prev_current is None or current == prev_current:
             # current untouched: an append only grows the closed list; a
             # compaction REPLACES closed dirs with a new dir recorded in
@@ -188,4 +208,5 @@ def table_history(table) -> list[dict]:
             }
         )
         prev_closed = closed
+        prev_renames = man.get("column_renames", {})
     return out

@@ -44,7 +44,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
@@ -221,22 +221,40 @@ class TxTable:
         # pre-evolution manifest: fall back to the current dir's footer
         return self.spark.read.parquet(os.path.join(self.root, man["current"])).schema
 
-    def _align_to(self, df: DataFrame, target: StructType, src_desc: str) -> DataFrame:
+    def _align_to(
+        self, df: DataFrame, target: StructType, src_desc: str, renames: dict | None = None
+    ) -> DataFrame:
         have = {f.name: f for f in df.schema.fields}
         cols = []
         for f in target.fields:
-            if f.name in have:
-                if have[f.name].dataType != f.dataType:
+            src = f.name if f.name in have else next(
+                (p for p in (renames or {}).get(f.name, []) if p in have), None
+            )
+            if src is not None:
+                if have[src].dataType != f.dataType:
                     raise SchemaEvolutionError(
-                        f"column '{f.name}' of {src_desc} was written as "
-                        f"{have[f.name].dataType.simpleString()} but the table schema now says "
+                        f"column '{src}' of {src_desc} was written as "
+                        f"{have[src].dataType.simpleString()} but the table schema now says "
                         f"{f.dataType.simpleString()}; a retype cannot be reconciled automatically "
                         "— migrate with an explicit cast + commit_snapshot/compact_closed"
                     )
-                cols.append(F.col(f.name))
+                cols.append(F.col(src).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
+
+    def _apply_renames(self, df: DataFrame, man: dict) -> DataFrame:
+        """Rename-only projection for the CURRENT dir: its parquet files
+        keep their write-time column names forever (rename_column is
+        metadata-only), so a read maps prior names forward.  No-op (and
+        no extra projection node) when the table never renamed."""
+        renames = man.get("column_renames")
+        if not renames:
+            return df
+        prior_to_new = {p: new for new, priors in renames.items() for p in priors}
+        if not any(c in prior_to_new for c in df.columns):
+            return df
+        return df.select(*[F.col(c).alias(prior_to_new.get(c, c)) for c in df.columns])
 
     # -- reads -----------------------------------------------------------
     # every read takes an optional version: manifests are immutable and
@@ -254,7 +272,9 @@ class TxTable:
         table = man.get("current_table")
         if table is not None and self.spark.catalog.tableExists(table):
             return self.spark.table(table)
-        return self.spark.read.parquet(os.path.join(self.root, man["current"]))
+        return self._apply_renames(
+            self.spark.read.parquet(os.path.join(self.root, man["current"])), man
+        )
 
     def _write_current(self, df: DataFrame, cur_dir: str, version: int) -> dict:
         """Write the new current dir; returns the manifest fields that
@@ -309,7 +329,9 @@ class TxTable:
             df = self.spark.read.schema(schema).parquet(
                 *[os.path.join(self.root, d) for d in dirs]
             )
-            parts.append(self._align_to(df, target, f"closed dirs {dirs}"))
+            parts.append(
+                self._align_to(df, target, f"closed dirs {dirs}", man.get("column_renames"))
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -707,6 +729,61 @@ class TxTable:
         self._publish(new_man)
         return new_man["version"]
 
+    def rename_column(self, old: str, new: str, run_id: str | None = None) -> int:
+        """RENAME COLUMN, metadata-only (Delta column-mapping style):
+        publish a manifest whose schema carries the new name and whose
+        ``column_renames`` map records the lineage — no data file is
+        touched at any table size.  Reads resolve old names forward:
+        the current dir through a rename projection, closed dirs inside
+        the same ``_align_to`` pass that handles added columns; a later
+        ``compact_closed`` rewrites history under the new name, and the
+        map keeps covering the current dir until a snapshot/merge
+        replaces it.  Time travel to a pre-rename version still reads
+        the OLD name — the rename belongs to the versions after it.
+
+        Caveats by design: per-dir stats recorded under the old name
+        stop pruning (reads stay correct, just unpruned, until
+        compaction re-records them), and a bucketed current's catalog
+        entry is retired (its table schema has the old name); the next
+        bucketed commit rebuilds it.  Chained renames resolve through
+        the accumulated prior-name list."""
+        man = self.manifest()
+        if man is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        schema = self._manifest_schema(man)
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column '{old}' in {names}")
+        if new in names:
+            raise ValueError(f"column '{new}' already exists in {names}")
+        renames = {k: list(v) for k, v in man.get("column_renames", {}).items()}
+        prior = renames.pop(old, [])
+        renames[new] = [old, *prior]
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in schema.fields
+            ]
+        )
+        man_new = {
+            **self._carried_extras(man),
+            **{
+                k: man[k]
+                for k in ("current", "closed", "dir_schemas", "dir_stats", "compacted_lineage")
+                if k in man
+            },
+            "version": man["version"] + 1,
+            "run_id": run_id or f"rename-{old}-to-{new}",
+            "schema": json.loads(new_schema.json()),
+            "column_renames": renames,
+        }
+        self._publish(man_new)
+        if man.get("current_table"):
+            # the catalog entry's schema still says `old`: retire it so
+            # reads fall back to the parquet path + rename projection
+            self._drop_stale_bucket_table(man)
+        return man_new["version"]
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE: roll the table back to a prior version by
         publishing a NEW manifest that points at that version's data
@@ -732,7 +809,7 @@ class TxTable:
             raise FileNotFoundError(f"no committed version under {self.root}")
         structural = (
             "current", "closed", "schema", "dir_schemas", "dir_stats",
-            "current_table", "bucket", "compacted_lineage",
+            "current_table", "bucket", "compacted_lineage", "column_renames",
         )
         man = {
             **self._carried_extras(latest),

@@ -546,3 +546,68 @@ def test_restore_invalidates_bloom_sidecar_delta_path(spark, tmp_path):
     )
     # beta was rolled back: it IS new again; alpha/gamma are dups
     assert got == [11, 13]
+
+
+def test_rename_column_is_metadata_only_and_reads_resolve(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit_append(
+        spark.createDataFrame([(1, "a")], "id long, val string"), "day1"
+    )
+    t.commit_append(
+        spark.createDataFrame([(2, "b")], "id long, val string"), "day2"
+    )
+    v = t.rename_column("val", "value")
+    # reads resolve old dirs to the new name, data intact
+    got = sorted((r["id"], r["value"]) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "b")]
+    assert "val" not in t.read().columns
+
+    # appends under the NEW name mix with old dirs
+    t.commit_append(spark.createDataFrame([(3, "c")], "id long, value string"), "day3")
+    got = sorted((r["id"], r["value"]) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    # time travel to a pre-rename version reads the OLD name
+    assert "val" in t.read_closed(version=v - 1).columns
+
+    # chained rename resolves through the prior-name list
+    t.rename_column("value", "text_value")
+    got = sorted((r["id"], r["text_value"]) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.rename_column("nope", "x")
+    with _pytest.raises(ValueError):
+        t.rename_column("text_value", "id")
+
+
+def test_rename_column_diff_history_and_compaction(spark, tmp_path):
+    from nlu_data_warehouse_project_spark.operators.diff import schema_diff, table_history
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([(1, "a")], "id long, val string"), "day1")
+    t.commit_append(spark.createDataFrame([(2, "b")], "id long, val string"), "day2")
+    t.rename_column("val", "value")
+
+    drift = schema_diff(t, 2)
+    assert drift == [
+        {"column": "value", "change": "renamed from val",
+         "old_type": "string", "new_type": "string"}
+    ]
+    assert [h["kind"] for h in table_history(t)] == ["append", "append", "rename"]
+
+    # compaction rewrites history under the new name; reads stay green
+    assert t.compact_closed(min_dirs=2) is not None
+    got = sorted((r["id"], r["value"]) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_rename_column_on_bucketed_current_falls_back(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"), bucket_cols=["natural_key"])
+    df = spark.createDataFrame([("k1", 10), ("k2", 20)], "natural_key string, price int")
+    t.commit_merge(df, df.limit(0), "day1")
+    t.rename_column("price", "unit_price")
+    # catalog entry retired; parquet fallback applies the rename
+    got = sorted((r["natural_key"], r["unit_price"]) for r in t.read_current().collect())
+    assert got == [("k1", 10), ("k2", 20)]
