@@ -361,3 +361,59 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round(F.col("cos"), 4).alias("cos"), "rank")
     )
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-k most similar corpus vectors carrying a DIFFERENT label —
+    the negatives that actually teach a retriever something (random
+    negatives are trivially far; these sit right at the decision
+    boundary).  Same plan shape and guard rail as ``cosine_topk``
+    (broadcast query side, corpus scanned once, per-query window); the
+    label exclusion is a row-local filter BEFORE the ranking, so the
+    top-k is over negatives only, not a post-filter that returns
+    fewer than k."""
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"hard_negative_topk with > max_queries={max_queries} query vectors: "
+            "the brute-force path scores |Q| x |corpus| pairs — bucket the corpus "
+            "(lsh/ivf) or raise max_queries if the scan is intentional"
+        )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("__ql"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__cl"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(~F.col("__ql").eqNullSafe(F.col("__cl")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("__cl").alias("neg_label"),
+            cosine("__qv", "__cv").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neg_label", F.round(F.col("cos"), 4).alias("cos"), "rank")
+    )

@@ -6444,3 +6444,41 @@ FROM adj GROUP BY variant
 
 QUERIES.update({"q137_cuped": q137_cuped})
 ORACLE_SQL.update({"q137_cuped": Q137_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (q138)
+# ---------------------------------------------------------------------------
+
+def q138_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each query embedding,
+    the 3 most similar vectors with a DIFFERENT label
+    (`similarity.hard_negative_topk`) — q18's top-k with the label
+    exclusion applied BEFORE ranking, so every query gets k true
+    negatives at the decision boundary."""
+    from .operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
+
+
+Q138_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+         list_dot_product(q.embedding, c.embedding)
+           / (sqrt(list_dot_product(q.embedding, q.embedding))
+              * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos_raw
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.label IS DISTINCT FROM c.label
+), ranked AS (
+  SELECT query_id, neighbor_id, neg_label, round(cos_raw, 4) AS cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, neg_label, cos, rank FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES.update({"q138_hard_negatives": q138_hard_negatives})
+ORACLE_SQL.update({"q138_hard_negatives": Q138_SQL})

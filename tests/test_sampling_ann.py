@@ -296,3 +296,24 @@ def test_match_distribution_matches_reference_shape(spark):
     # deterministic: same kept set on re-run
     again = {r["id"] for r in match_distribution(cand, ref, "b", "id").collect()}
     assert again == {r["id"] for r in kept.collect()}
+
+
+def test_hard_negative_topk_excludes_own_label(spark):
+    from nlu_data_warehouse_project_spark.operators.similarity import hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0], 7),     # query
+        (1, [0.99, 0.1], 7),    # same label, MOST similar -> must be excluded
+        (2, [0.9, 0.2], 8),     # different label -> best negative
+        (3, [0.0, 1.0], 9),     # different label, orthogonal
+        (4, [1.0, 0.01], None), # NULL label: distinct from 7 -> eligible
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negative_topk(df.filter(F.col("vec_id") == 0), df, k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.collect()]
+    assert (1, 1) not in got and (1, 2) not in got
+    assert got[0][0] == 4 and got[1][0] == 2  # ranked by similarity among negatives
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hard_negative_topk(df, df, k=1, max_queries=2)
