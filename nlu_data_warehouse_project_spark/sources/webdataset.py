@@ -1,0 +1,116 @@
+"""WebDataset-style tar-shard export/import for training corpora.
+
+The interchange format sequence-training loaders actually consume
+(webdataset/torchdata): a directory of ``shard-NNNNN.tar`` files, each
+holding one ``{key}.{ext}`` entry per sample, streamed sequentially at
+train time.  The writer here builds each shard INSIDE one partition
+(no driver collect, no shuffle beyond the explicit shard assignment);
+the reader turns shards back into a DataFrame via ``binaryFile`` +
+an Arrow-batched tar parse, so a corpus can round-trip engine ⇄
+trainer without a row-by-row export script.
+
+Determinism: shard assignment is the shared md5 bucket (partition- and
+run-independent), and entries within a shard are written in key order
+— two runs produce byte-identical shards (modulo tar mtime fields,
+which are pinned to 0).
+
+Scale notes: one shard = one partition = one task; ``shard_size_rows``
+bounds memory per task.  The writer targets a filesystem PATH visible
+to every executor (local dir in local mode; a shared/fuse mount on a
+cluster — tar construction is partition-local either way).  The reader
+is fully location-transparent (``binaryFile`` goes through Hadoop FS).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    ext: str = "txt",
+    rows_per_shard: int = 1000,
+    seed: int = 42,
+) -> int:
+    """Export ``df`` as WebDataset tar shards; returns the shard count.
+
+    Shard id = md5-bucket(key) mod n_shards — deterministic and
+    engine-portable like every sampler here, so a re-export after a
+    node loss produces the same shard membership.  NULL text writes an
+    empty entry (the trainer's collate decides policy); NULL keys are
+    refused — a sample without identity cannot round-trip.
+    """
+    from ..operators.sampling import hash_bucket
+
+    n_rows = df.count()
+    n_shards = max(1, -(-n_rows // rows_per_shard))
+    if df.filter(F.col(key_col).isNull()).limit(1).count():
+        raise ValueError(f"NULL {key_col} rows cannot be exported to keyed shards")
+    os.makedirs(path, exist_ok=True)
+    shard = F.pmod(hash_bucket(key_col, seed, buckets=1 << 30), F.lit(n_shards))
+    assigned = (
+        df.select(
+            F.col(key_col).cast("string").alias("__key"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+            shard.alias("__shard"),
+        )
+        .repartition(n_shards, "__shard")
+    )
+
+    def write_partition(rows) -> None:
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r["__shard"], []).append((r["__key"], r["__text"]))
+        for sid, items in by_shard.items():
+            out = os.path.join(path, f"shard-{sid:05d}.tar")
+            with tarfile.open(out, "w") as tar:
+                for key, text in sorted(items):
+                    data = text.encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    tar.addfile(info, io.BytesIO(data))
+
+    assigned.foreachPartition(write_partition)
+    return n_shards
+
+
+def read_webdataset_shards(
+    spark: SparkSession,
+    path: str,
+    ext: str = "txt",
+    key_col: str = "key",
+    text_col: str = "text",
+) -> DataFrame:
+    """Read a WebDataset shard directory back into (key, text, shard)
+    rows.  ``binaryFile`` streams each tar through Hadoop FS (local,
+    hdfs, s3a); the parse is one Arrow batch per shard — shards are
+    the unit of parallelism exactly as they are at training time."""
+    bins = spark.read.format("binaryFile").load(os.path.join(path, "*.tar"))
+    suffix = "." + ext
+
+    def parse(batches):
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                shard = os.path.basename(fpath)
+                keys, texts = [], []
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    for m in tar.getmembers():
+                        if not m.name.endswith(suffix):
+                            continue
+                        keys.append(m.name[: -len(suffix)])
+                        texts.append(tar.extractfile(m).read().decode("utf-8"))
+                yield pd.DataFrame({key_col: keys, text_col: texts, "shard": shard})
+
+    return bins.select("path", "content").mapInPandas(
+        parse, f"{key_col} string, {text_col} string, shard string"
+    )

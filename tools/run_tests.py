@@ -69,6 +69,7 @@ WEIGHTS = {
     "test_ntz_robustness.py": 17,
     "test_calendar.py": 14,
     "test_round8_properties.py": 45,
+    "test_webdataset.py": 16,
 }
 
 
