@@ -40,14 +40,22 @@ def write_webdataset_shards(
     ext: str = "txt",
     rows_per_shard: int = 1000,
     seed: int = 42,
+    payload_col: str | None = None,
+    payload_ext: str = "bin",
+    meta_cols: list[str] | None = None,
 ) -> int:
     """Export ``df`` as WebDataset tar shards; returns the shard count.
 
-    Shard id = md5-bucket(key) mod n_shards — deterministic and
-    engine-portable like every sampler here, so a re-export after a
-    node loss produces the same shard membership.  NULL text writes an
-    empty entry (the trainer's collate decides policy); NULL keys are
-    refused — a sample without identity cannot round-trip.
+    Each sample key contributes up to three entries, the multimodal
+    layout trainers expect: ``{key}.{ext}`` (text), ``{key}.{payload_ext}``
+    (an opaque BINARY column — image/audio bytes — when ``payload_col``
+    is given), and ``{key}.json`` (the ``meta_cols`` as a JSON object,
+    canonical key order).  Shard id = md5-bucket(key) mod n_shards —
+    deterministic and engine-portable like every sampler here, so a
+    re-export after a node loss produces the same shard membership.
+    NULL text/payload write empty entries (the trainer's collate
+    decides policy); NULL keys are refused — a sample without identity
+    cannot round-trip.
     """
     from ..operators.sampling import hash_bucket
 
@@ -57,28 +65,41 @@ def write_webdataset_shards(
         raise ValueError(f"NULL {key_col} rows cannot be exported to keyed shards")
     os.makedirs(path, exist_ok=True)
     shard = F.pmod(hash_bucket(key_col, seed, buckets=1 << 30), F.lit(n_shards))
-    assigned = (
-        df.select(
-            F.col(key_col).cast("string").alias("__key"),
-            F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
-            shard.alias("__shard"),
+    cols = [
+        F.col(key_col).cast("string").alias("__key"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+        shard.alias("__shard"),
+    ]
+    if payload_col is not None:
+        cols.append(F.coalesce(F.col(payload_col), F.lit(b"")).alias("__payload"))
+    if meta_cols:
+        # canonical JSON (sorted keys, no floats mangled by the engine):
+        # built JVM-side so the bytes are engine-stable
+        cols.append(
+            F.to_json(F.struct(*[F.col(c) for c in sorted(meta_cols)])).alias("__meta")
         )
-        .repartition(n_shards, "__shard")
-    )
+    assigned = df.select(*cols).repartition(n_shards, "__shard")
 
     def write_partition(rows) -> None:
         by_shard: dict[int, list] = {}
         for r in rows:
-            by_shard.setdefault(r["__shard"], []).append((r["__key"], r["__text"]))
+            by_shard.setdefault(r["__shard"], []).append(r)
         for sid, items in by_shard.items():
             out = os.path.join(path, f"shard-{sid:05d}.tar")
             with tarfile.open(out, "w") as tar:
-                for key, text in sorted(items):
-                    data = text.encode("utf-8")
-                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+
+                def add(name: str, data: bytes) -> None:
+                    info = tarfile.TarInfo(name=name)
                     info.size = len(data)
                     info.mtime = 0
                     tar.addfile(info, io.BytesIO(data))
+
+                for r in sorted(items, key=lambda r: r["__key"]):
+                    add(f"{r['__key']}.{ext}", r["__text"].encode("utf-8"))
+                    if payload_col is not None:
+                        add(f"{r['__key']}.{payload_ext}", bytes(r["__payload"]))
+                    if meta_cols:
+                        add(f"{r['__key']}.json", r["__meta"].encode("utf-8"))
 
     assigned.foreachPartition(write_partition)
     return n_shards

@@ -57,3 +57,32 @@ def test_webdataset_refuses_null_keys_and_keeps_null_text(spark, tmp_path):
     write_webdataset_shards(nulltext, out, rows_per_shard=10)
     got = {r["key"]: r["text"] for r in read_webdataset_shards(spark, out).collect()}
     assert got == {"1": "", "2": "ok"}
+
+
+def test_webdataset_multimodal_entries(spark, tmp_path):
+    """The (txt + bin + json) per-key layout: payload bytes intact,
+    metadata canonical, all three entries share the key."""
+    import io
+    import tarfile
+
+    rows = [(1, "caption one", bytearray(b"\x89PNG\r\nfakebytes"), "en", 11),
+            (2, "caption two", None, "vi", 22)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, payload binary, lang string, n int")
+    out = str(tmp_path / "mm")
+    write_webdataset_shards(
+        df, out, payload_col="payload", payload_ext="png", meta_cols=["lang", "n"],
+        rows_per_shard=10,
+    )
+    entries = {}
+    for f in sorted(os.listdir(out)):
+        with tarfile.open(os.path.join(out, f)) as tar:
+            for m in tar.getmembers():
+                entries[m.name] = tar.extractfile(m).read()
+    assert entries["1.png"] == b"\x89PNG\r\nfakebytes"
+    assert entries["2.png"] == b""                      # NULL payload -> empty entry
+    assert entries["1.txt"] == b"caption one"
+    import json
+    assert json.loads(entries["1.json"]) == {"lang": "en", "n": 11}
+    # text-only reader still works against multimodal shards
+    back = read_webdataset_shards(spark, out)
+    assert {r["key"]: r["text"] for r in back.collect()} == {"1": "caption one", "2": "caption two"}
