@@ -86,3 +86,23 @@ def test_webdataset_multimodal_entries(spark, tmp_path):
     # text-only reader still works against multimodal shards
     back = read_webdataset_shards(spark, out)
     assert {r["key"]: r["text"] for r in back.collect()} == {"1": "caption one", "2": "caption two"}
+
+
+def test_curate_then_export_shards_end_to_end(spark, sf_smoke, tmp_path):
+    """The pipeline's whole point in one pass: curate the corpus, keep
+    the train split, export WebDataset shards, read them back — the set
+    a trainer sees is exactly the curated train split (redacted text)."""
+    from nlu_data_warehouse_project_spark.pipeline.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    curated = curate_corpus(docs, min_tokens=3)
+    train = curated.filter(F.col("split") == "train").select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    out = str(tmp_path / "train-shards")
+    write_webdataset_shards(train, out, rows_per_shard=100)
+
+    back = read_webdataset_shards(spark, out)
+    got = {(r["key"], r["text"]) for r in back.collect()}
+    want = {(str(r["doc_id"]), r["text"] or "") for r in train.collect()}
+    assert got == want and len(got) > 0
