@@ -59,10 +59,20 @@ def write_webdataset_shards(
     """
     from ..operators.sampling import hash_bucket
 
-    n_rows = df.count()
-    n_shards = max(1, -(-n_rows // rows_per_shard))
-    if df.filter(F.col(key_col).isNull()).limit(1).count():
+    guard = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(key_col).alias("__nk"),
+        F.count_distinct(key_col).alias("__nd"),
+    ).collect()[0]
+    n_rows = guard["__n"]
+    if guard["__nk"] != n_rows:
         raise ValueError(f"NULL {key_col} rows cannot be exported to keyed shards")
+    if guard["__nd"] != n_rows:
+        raise ValueError(
+            f"{key_col} is not unique ({n_rows - guard['__nd']} duplicate rows): "
+            "duplicate tar entry names would silently shadow samples — dedup first"
+        )
+    n_shards = max(1, -(-n_rows // rows_per_shard))
     os.makedirs(path, exist_ok=True)
     shard = F.pmod(hash_bucket(key_col, seed, buckets=1 << 30), F.lit(n_shards))
     cols = [

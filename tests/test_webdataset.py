@@ -106,3 +106,9 @@ def test_curate_then_export_shards_end_to_end(spark, sf_smoke, tmp_path):
     got = {(r["key"], r["text"]) for r in back.collect()}
     want = {(str(r["doc_id"]), r["text"] or "") for r in train.collect()}
     assert got == want and len(got) > 0
+
+
+def test_webdataset_refuses_duplicate_keys(spark, tmp_path):
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="not unique"):
+        write_webdataset_shards(dup, str(tmp_path / "dup"))
