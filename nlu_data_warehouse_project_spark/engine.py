@@ -78,6 +78,19 @@ class Engine:
 
         return curate_corpus(df, **kwargs)
 
+    def export_shards(self, df: DataFrame, path: str, **kwargs) -> int:
+        """Export a corpus as WebDataset tar shards (the trainer
+        interchange format); see `sources/webdataset.py`."""
+        from .sources.webdataset import write_webdataset_shards
+
+        return write_webdataset_shards(df, path, **kwargs)
+
+    def read_shards(self, path: str, **kwargs) -> DataFrame:
+        """Read a WebDataset shard directory back into a DataFrame."""
+        from .sources.webdataset import read_webdataset_shards
+
+        return read_webdataset_shards(self.spark, path, **kwargs)
+
     def register_warehouse(self, wh: Warehouse, prefix: str = "") -> list[str]:
         """Expose a Warehouse's tables to the SQL frontend as temp
         views — the reference user's ad-hoc psql session becomes
