@@ -405,16 +405,20 @@ class TxTable:
         range for ``col`` overlaps the predicate.  Dirs without stats
         (pre-stats commits, or a column not in ``stats_cols``) are
         always scanned — pruning is a pure optimization, never a
-        semantics change; the row filter is applied regardless."""
+        semantics change; the row filter is applied regardless.  Stats
+        recorded under a column's PRIOR name (dirs written before a
+        ``rename_column``) still prune: the lookup resolves through the
+        rename lineage."""
         man = self.manifest(version)
         if man is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
         stats = man.get("dir_stats", {})
+        names = [col, *man.get("column_renames", {}).get(col, [])]
         lo_n = self._stat_value(lo) if lo is not None else None
         hi_n = self._stat_value(hi) if hi is not None else None
         keep = []
         for d in man["closed"]:
-            s = stats.get(d, {}).get(col)
+            s = next((v for n in names if (v := stats.get(d, {}).get(n)) is not None), None)
             if s is None or s[0] is None or s[1] is None:
                 keep.append(d)  # unknown range: must scan
                 continue

@@ -611,3 +611,18 @@ def test_rename_column_on_bucketed_current_falls_back(spark, tmp_path):
     # catalog entry retired; parquet fallback applies the rename
     got = sorted((r["natural_key"], r["unit_price"]) for r in t.read_current().collect())
     assert got == [("k1", 10), ("k2", 20)]
+
+
+def test_pruning_survives_column_rename(spark, tmp_path):
+    """dir_stats recorded under the old name keep pruning after a
+    rename: the lookup resolves through the rename lineage."""
+    t = TxTable(spark, str(tmp_path / "t"), stats_cols=["day"])
+    t.commit_append(spark.createDataFrame([(1, 10)], "id long, day int"), "d1")
+    t.commit_append(spark.createDataFrame([(2, 20)], "id long, day int"), "d2")
+    t.rename_column("day", "load_day")
+    pruned = t.read_closed_pruned("load_day", lo=15)
+    assert [r["id"] for r in pruned.collect()] == [2]
+    # the disjoint dir was skipped, not just filtered: one input file group
+    man = t.manifest()
+    stats = man["dir_stats"]
+    assert all("day" in s for s in stats.values())  # stats still keyed old-name
