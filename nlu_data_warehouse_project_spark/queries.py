@@ -6482,3 +6482,109 @@ SELECT query_id, neighbor_id, neg_label, cos, rank FROM ranked WHERE rank <= 3
 
 QUERIES.update({"q138_hard_negatives": q138_hard_negatives})
 ORACLE_SQL.update({"q138_hard_negatives": Q138_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast evaluation (q139)
+# ---------------------------------------------------------------------------
+
+def q139_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline scorecard: predict each day's event volume
+    with the seasonal-naive rule (same weekday last week) and report
+    MAE and MAPE per event type — the floor every real forecasting
+    model must beat, and the residual feed anomaly alarms (q118)
+    watch.  One (type, day) count, one lag-7 window over the tiny
+    aggregate, exact integer errors, two double divisions at the
+    end."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    scored = daily.withColumn("pred", F.lag("n", 7).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.abs(F.col("n") - F.col("pred"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+        F.round(F.sum(err).cast("double") / F.count(F.lit(1)).cast("double"), 4).alias("mae"),
+        F.round(
+            F.sum(err.cast("double") / F.col("n").cast("double"))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("mape"),
+    )
+
+
+Q139_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, n,
+         lag(n, 7) OVER (PARTITION BY event_type ORDER BY day ASC) AS pred
+  FROM daily
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days_scored,
+       round(CAST(sum(abs(n - pred)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS mae,
+       round(sum(CAST(abs(n - pred) AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(count(*) AS DOUBLE), 4) AS mape
+FROM scored WHERE pred IS NOT NULL
+GROUP BY event_type
+"""
+
+
+QUERIES.update({"q139_forecast_eval": q139_forecast_eval})
+ORACLE_SQL.update({"q139_forecast_eval": Q139_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Pareto coverage (q140)
+# ---------------------------------------------------------------------------
+
+def q140_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many parts cover 80 % of revenue — the 80/20 answer q120's
+    Gini and q133's top-slice imply but don't state.  Per-part DECIMAL
+    revenue, one descending rank + running sum over the part-sized
+    aggregate, and the threshold compare multiplied out (5·cum ≥
+    4·total in DECIMAL — no 0.8 float anywhere), so the crossing rank
+    is exact on every engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice")).alias("__rev"))
+    w = Window.orderBy(F.col("__rev").desc(), F.col("l_partkey").asc())
+    g = Window.partitionBy()
+    ranked = (
+        per.withColumn("__cum", F.sum("__rev").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__tot", F.sum("__rev").over(g))
+        .withColumn("__n", F.count(F.lit(1)).over(g))
+    )
+    covering = ranked.filter(
+        F.col("__cum") * F.lit(5).cast("decimal(2,0)") >= F.col("__tot") * F.lit(4).cast("decimal(2,0)")
+    )
+    return covering.agg(
+        (F.max("__n") - F.count(F.lit(1)) + 1).cast("long").alias("n_parts_for_80pct"),
+        F.max("__n").cast("long").alias("n_parts_total"),
+    )
+
+
+Q140_SQL = """
+WITH per AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS rev
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT rev,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(rev) OVER () AS tot,
+         count(*) OVER () AS n
+  FROM per
+)
+SELECT CAST(max(n) - count(*) + 1 AS BIGINT) AS n_parts_for_80pct,
+       CAST(max(n) AS BIGINT) AS n_parts_total
+FROM ranked WHERE cum * 5 >= tot * 4
+"""
+
+
+QUERIES.update({"q140_pareto_coverage": q140_pareto_coverage})
+ORACLE_SQL.update({"q140_pareto_coverage": Q140_SQL})

@@ -379,3 +379,13 @@ def test_round8_experimentation_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
         assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
+
+
+def test_round8_final_wave_plans(spark, sf_smoke):
+    for name, max_shuffles in (
+        ("q139_forecast_eval", 3),   # (type,day) agg + lag window + type agg
+        ("q140_pareto_coverage", 3), # part agg + ordered cumsum + final agg
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
+        assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
