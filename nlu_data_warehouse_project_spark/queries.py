@@ -6138,8 +6138,12 @@ def q133_top_order_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue share of the top 1 % of orders (rank-thresholded, at
     least one order) — the concentration SLICE the q120 Gini summarizes
     into one number.  All-DECIMAL sums, integer rank threshold via
-    BIGINT `div`, one double division at the end; the rank window's
-    global sort carries only (price, key) pairs."""
+    BIGINT `div`, one double division at the end.  The exact-rank
+    window is a SINGLE-partition sort of (price, key) pairs — fine to
+    ~10^8 orders; past that trade rank-exactness for a value-threshold
+    cutoff (percentile + tie adjustment) like q129's documented swap,
+    or pre-shrink with a per-partition top-k (WindowGroupLimit keeps k
+    pairs per mapper before the global sort)."""
     orders = _t(spark, sf_dir, "orders")
     ranked = orders.select(
         _dec("o_totalprice").alias("__p"),
