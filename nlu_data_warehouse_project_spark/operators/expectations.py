@@ -178,9 +178,9 @@ def guarded_commit(table, df, run_id: str, check_fns, mode: str = "append", extr
     between stages (`load_to_staging.py`); this is the declarative,
     per-batch form.
     """
+    if mode not in ("append", "snapshot"):
+        raise ValueError(f"unknown mode {mode!r} (append|snapshot)")
     enforce([fn(df) for fn in check_fns])
     if mode == "append":
         return table.commit_append(df, run_id, extra=extra)
-    if mode == "snapshot":
-        return table.commit_snapshot(df, run_id, extra=extra)
-    raise ValueError(f"unknown mode {mode!r} (append|snapshot)")
+    return table.commit_snapshot(df, run_id, extra=extra)

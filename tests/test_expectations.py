@@ -121,3 +121,20 @@ def test_guarded_commit_blocks_bad_batches(spark, tmp_path):
     # the refused commit published nothing: version unchanged, data clean
     assert t.manifest()["version"] == 1
     assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+
+
+def test_guarded_commit_snapshot_mode_and_bad_mode(spark, tmp_path):
+    from nlu_data_warehouse_project_spark.operators.expectations import (
+        check_not_null,
+        guarded_commit,
+    )
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    d = spark.createDataFrame([(1, "a")], "id long, v string")
+    assert guarded_commit(t, d, "s1", [lambda x: check_not_null(x, ["id"])], mode="snapshot") == 1
+    assert t.read_current().count() == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown mode"):
+        guarded_commit(t, d, "s2", [lambda x: check_not_null(x, ["id"])], mode="merge")

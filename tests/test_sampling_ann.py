@@ -317,3 +317,14 @@ def test_hard_negative_topk_excludes_own_label(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hard_negative_topk(df, df, k=1, max_queries=2)
+
+
+def test_match_distribution_null_buckets_drop(spark):
+    from nlu_data_warehouse_project_spark.operators.sampling import match_distribution
+
+    ref = spark.createDataFrame([(1, "a")], "id long, b string")
+    cand = spark.createDataFrame([(10, "a"), (11, None)], "id long, b string")
+    kept = {r["id"] for r in match_distribution(cand, ref, "b", "id").collect()}
+    # a NULL bucket never equi-matches the reference: dropped, like any
+    # bucket the reference lacks
+    assert 11 not in kept
