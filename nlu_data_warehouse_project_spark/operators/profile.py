@@ -13,7 +13,7 @@ never disagree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, tokens
@@ -183,4 +183,42 @@ def dup_ngram_fraction(
             .alias("shared_frac"),
         )
         .withColumn("dup_heavy", (F.col("shared_frac") > F.lit(shared_threshold)).cast("int"))
+    )
+
+
+def histogram_drift(
+    ref: DataFrame,
+    cand: DataFrame,
+    group_col: str,
+    bin_expr: Column,
+) -> DataFrame:
+    """Chi-squared-style drift score between two slices' per-group
+    value histograms (the q103 computation as a reusable operator, so
+    the streaming ingest loop can score each micro-batch against a
+    settled reference): per group, Σ (n_cand − n_ref)² / (n_ref + 1)
+    over the shared bins.  All arithmetic in DECIMAL — counts are
+    exact, the one division happens at fixed scale — so the score is
+    bit-identical across engines and runs.  Shape: one map-side
+    combined count per slice on the tiny (group, bin) key space, one
+    equi-join on it, one rollup."""
+
+    def hist(df: DataFrame, n_col: str) -> DataFrame:
+        return df.groupBy(F.col(group_col).alias("__g"), bin_expr.alias("__bin")).agg(
+            F.count(F.lit(1)).cast("long").alias(n_col)
+        )
+
+    j = (
+        hist(ref, "n_ref")
+        .join(hist(cand, "n_cand"), ["__g", "__bin"], "full")
+        .fillna(0, ["n_ref", "n_cand"])
+    )
+    term = (
+        ((F.col("n_cand") - F.col("n_ref")) * (F.col("n_cand") - F.col("n_ref")))
+        .cast("decimal(25,6)")
+        / (F.col("n_ref") + 1).cast("decimal(25,6)")
+    )
+    return j.groupBy(F.col("__g").alias(group_col)).agg(
+        F.sum("n_ref").cast("long").alias("n_ref"),
+        F.sum("n_cand").cast("long").alias("n_cand"),
+        F.round(F.sum(term), 4).cast("double").alias("chi2"),
     )

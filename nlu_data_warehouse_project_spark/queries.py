@@ -4381,33 +4381,18 @@ def q103_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL (counts → exact division at fixed scale), so the score is
     bit-identical cross-engine where a float PSI/KL would drift in the
     last bit.  Shape: one binned count per slice, one broadcast-sized
-    join on (source, bin), one final aggregate."""
+    join on (source, bin), one final aggregate
+    (`operators/profile.histogram_drift` — the same operator the
+    streaming ingest monitor scores micro-batches with)."""
+    from .operators.profile import histogram_drift
+
     docs = _t(spark, sf_dir, "documents")
     bin_ = F.least(F.floor(F.col("n_chars") / 400), F.lit(4)).cast("int")
-
-    def hist(pred, n_col):
-        return (
-            docs.filter(pred)
-            .groupBy("source", bin_.alias("bin"))
-            .agg(F.count(F.lit(1)).cast("long").alias(n_col))
-        )
-
-    ref = hist(F.col("doc_id") < 250, "n_ref")
-    cand = hist(F.col("doc_id") >= 250, "n_cand")
-    j = ref.join(cand, ["source", "bin"], "full").fillna(0, ["n_ref", "n_cand"])
-    # chi2 term: (cand - ref)^2 / (ref + 1), DECIMAL(25,6) division
-    term = (
-        ((F.col("n_cand") - F.col("n_ref")) * (F.col("n_cand") - F.col("n_ref")))
-        .cast("decimal(25,6)")
-        / (F.col("n_ref") + 1).cast("decimal(25,6)")
-    )
-    return (
-        j.groupBy("source")
-        .agg(
-            F.sum("n_ref").cast("long").alias("n_ref"),
-            F.sum("n_cand").cast("long").alias("n_cand"),
-            F.round(F.sum(term), 4).cast("double").alias("chi2"),
-        )
+    return histogram_drift(
+        docs.filter(F.col("doc_id") < 250),
+        docs.filter(F.col("doc_id") >= 250),
+        "source",
+        bin_,
     )
 
 

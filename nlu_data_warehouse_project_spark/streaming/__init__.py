@@ -662,3 +662,49 @@ def streaming_embedding_ingest(
     )
     q.awaitTermination()
     return q
+
+
+def make_drift_monitor_processor(
+    reference: DataFrame,
+    reports,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    bin_width: int = 400,
+    n_bins: int = 5,
+    alarm_chi2: float | None = None,
+    on_alarm=None,
+):
+    """foreachBatch body that scores every micro-batch's value
+    histogram against a settled REFERENCE slice (q103's
+    `histogram_drift`, per batch) and appends one report segment per
+    batch to the ``reports`` TxTable — the distribution-drift alarm
+    wired INTO the ingest loop instead of a nightly query.  Each report
+    row is (group, n_ref, n_cand, chi2, batch_id); ``alarm_chi2`` plus
+    an ``on_alarm(rows)`` hook turns threshold crossings into pages
+    (the hook receives the report-sized row list, never batch data).
+
+    Replay-safe like the corpus ingest: a replayed micro-batch sees its
+    batch_id already recorded and becomes a no-op, so crash/retry never
+    double-reports.  The reference histogram is dimension-sized and
+    re-aggregated per batch from the (tiny) reference frame — persist
+    the reference beforehand if it derives from an expensive plan."""
+    from ..operators.profile import histogram_drift
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if _replayed_batch(reports, batch_id):
+            return
+        bin_expr = F.least(
+            F.floor(F.col(value_col) / bin_width), F.lit(n_bins - 1)
+        ).cast("int")
+        report = histogram_drift(reference, batch_df, group_col, bin_expr).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        rows = report.collect()  # report is |groups|-sized, never batch data
+        out = batch_df.sparkSession.createDataFrame(rows, report.schema)
+        reports.commit_append(out, run_id=f"drift{batch_id}", extra={"last_batch_id": batch_id})
+        if alarm_chi2 is not None and on_alarm is not None:
+            hot = [r for r in rows if r["chi2"] is not None and r["chi2"] > alarm_chi2]
+            if hot:
+                on_alarm(hot)
+
+    return process

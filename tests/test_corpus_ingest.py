@@ -321,3 +321,32 @@ def test_ingest_contract_fails_the_batch_and_publishes_nothing(spark, tmp_path):
     good = spark.createDataFrame([(1, GOOD)], SCHEMA)
     process(good, 0)  # the fixed feed replays the same micro-batch id
     assert [r["doc_id"] for r in corpus.read().collect()] == [1]
+
+
+def test_drift_monitor_scores_batches_and_alarms(spark, tmp_path):
+    from nlu_data_warehouse_project_spark.streaming import make_drift_monitor_processor
+
+    SCHEMA2 = "doc_id long, source string, n_chars long"
+    ref = spark.createDataFrame(
+        [(i, "web", 100 + (i % 3) * 50) for i in range(30)], SCHEMA2
+    )
+    reports = TxTable(spark, str(tmp_path / "drift"))
+    alarms: list = []
+    process = make_drift_monitor_processor(
+        ref, reports, alarm_chi2=5.0, on_alarm=lambda rows: alarms.extend(rows)
+    )
+
+    # batch 0: same shape as the reference -> low chi2, no alarm
+    same = spark.createDataFrame([(100 + i, "web", 100 + (i % 3) * 50) for i in range(30)], SCHEMA2)
+    process(same, 0)
+    # batch 1: everything lands in a far bin -> large chi2, alarm fires
+    shifted = spark.createDataFrame([(200 + i, "web", 1900) for i in range(30)], SCHEMA2)
+    process(shifted, 1)
+
+    rows = {(r["batch_id"], r["source"]): r["chi2"] for r in reports.read().collect()}
+    assert rows[(0, "web")] < 5.0 < rows[(1, "web")]
+    assert [r["batch_id"] for r in alarms] == [1]
+
+    # replayed micro-batch is a no-op (no duplicate report, no re-alarm)
+    process(shifted, 1)
+    assert reports.read().count() == 2 and len(alarms) == 1
