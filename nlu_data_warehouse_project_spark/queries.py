@@ -6577,3 +6577,75 @@ FROM ranked WHERE cum * 5 >= tot * 4
 
 QUERIES.update({"q140_pareto_coverage": q140_pareto_coverage})
 ORACLE_SQL.update({"q140_pareto_coverage": Q140_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands interval union (q141)
+# ---------------------------------------------------------------------------
+
+def q141_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TOTAL COVERED TIME across overlapping activity
+    intervals (event start + `value`-seconds duration) — the classic
+    gaps-and-islands problem: an interval starts a new island iff it
+    begins after the running MAX end of everything before it (a lag(1)
+    comparison is wrong — an earlier long interval can swallow several
+    successors).  One user-keyed window builds island ids (running-max
+    frame ending at 1 PRECEDING, then a cumulative sum), islands
+    aggregate to their spans, spans sum per user — all BIGINT
+    microseconds, with the double→int duration via floor (CAST rounds
+    on one engine and truncates on the other)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("__s"),
+        (F.unix_micros(F.col("ts")) + F.floor(F.col("value") * 1000000).cast("long")).alias(
+            "__e"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("__s").asc(), F.col("event_id").asc())
+    prev_max_end = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "__new", F.when(prev_max_end.isNull() | (F.col("__s") > prev_max_end), 1).otherwise(0)
+    ).withColumn("__island", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands = marked.groupBy("user_id", "__island").agg(
+        F.min("__s").alias("__is"), F.max("__e").alias("__ie")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("__ie") - F.col("__is")).cast("long").alias("covered_us"),
+    )
+
+
+Q141_SQL = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+  FROM events WHERE value IS NOT NULL
+), marked AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR s > max(e) OVER (PARTITION BY user_id ORDER BY s ASC, event_id ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM iv
+), islands AS (
+  SELECT user_id,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island,
+         s, e
+  FROM marked
+), spans AS (
+  SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+FROM spans GROUP BY user_id
+"""
+
+
+QUERIES.update({"q141_interval_union": q141_interval_union})
+ORACLE_SQL.update({"q141_interval_union": Q141_SQL})

@@ -389,3 +389,10 @@ def test_round8_final_wave_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
         assert shuffle_count(q) <= max_shuffles, f"{name}: {shuffle_count(q)}"
+
+
+def test_interval_union_single_window_shuffle(spark, sf_smoke):
+    # islands + span agg + user rollup: all on the user key family
+    q = QUERIES["q141_interval_union"](spark, sf_smoke)
+    assert python_udf_count(q) == 0
+    assert shuffle_count(q) <= 2, shuffle_count(q)
