@@ -6649,3 +6649,66 @@ FROM spans GROUP BY user_id
 
 QUERIES.update({"q141_interval_union": q141_interval_union})
 ORACLE_SQL.update({"q141_interval_union": Q141_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Two-ledger reconciliation (q142)
+# ---------------------------------------------------------------------------
+
+def q142_ledger_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation report between two independent revenue ledgers:
+    per order day, the order-header total (o_totalprice) vs the
+    line-level rollup (Σ price·(1−discount)·(1+tax)) — the
+    close-the-books check every warehouse runs between a summary feed
+    and its detail feed.  Two DECIMAL aggregates on different tables,
+    one full-outer join on the day key (a missing day on EITHER side
+    must surface, not vanish), exact DECIMAL delta.  At 100 TB both
+    sides collapse to |days| rows before the join — the reconcile
+    itself is free; the scans dominate."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    header = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(_dec("o_totalprice")).alias("__hdr")
+    )
+    one = F.lit(1).cast("decimal(25,6)")
+    detail_rev = _dec("l_extendedprice") * (one - _dec("l_discount")) * (one + _dec("l_tax"))
+    detail = (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(detail_rev).alias("__dtl"))
+    )
+    j = header.join(detail, "day", "full")
+    zero = F.lit(0).cast("decimal(25,6)")
+    return j.select(
+        "day",
+        F.round(F.coalesce(F.col("__hdr"), zero), 2).cast("double").alias("header_rev"),
+        F.round(F.coalesce(F.col("__dtl"), zero), 2).cast("double").alias("detail_rev"),
+        F.round(F.coalesce(F.col("__dtl"), zero) - F.coalesce(F.col("__hdr"), zero), 2)
+        .cast("double")
+        .alias("delta"),
+    )
+
+
+Q142_SQL = """
+WITH header AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS hdr
+  FROM orders GROUP BY 1
+), detail AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(l_extendedprice AS DECIMAL(25,6))
+             * (CAST(1 AS DECIMAL(25,6)) - CAST(l_discount AS DECIMAL(25,6)))
+             * (CAST(1 AS DECIMAL(25,6)) + CAST(l_tax AS DECIMAL(25,6)))) AS dtl
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1
+)
+SELECT coalesce(header.day, detail.day) AS day,
+       CAST(round(coalesce(hdr, 0), 2) AS DOUBLE) AS header_rev,
+       CAST(round(coalesce(dtl, 0), 2) AS DOUBLE) AS detail_rev,
+       CAST(round(coalesce(dtl, 0) - coalesce(hdr, 0), 2) AS DOUBLE) AS delta
+FROM header FULL JOIN detail ON header.day = detail.day
+"""
+
+
+QUERIES.update({"q142_ledger_reconcile": q142_ledger_reconcile})
+ORACLE_SQL.update({"q142_ledger_reconcile": Q142_SQL})

@@ -396,3 +396,9 @@ def test_interval_union_single_window_shuffle(spark, sf_smoke):
     q = QUERIES["q141_interval_union"](spark, sf_smoke)
     assert python_udf_count(q) == 0
     assert shuffle_count(q) <= 2, shuffle_count(q)
+
+
+def test_ledger_reconcile_plan(spark, sf_smoke):
+    q = QUERIES["q142_ledger_reconcile"](spark, sf_smoke)
+    assert python_udf_count(q) == 0
+    assert shuffle_count(q) <= 4, shuffle_count(q)  # two aggs + detail join + day join
