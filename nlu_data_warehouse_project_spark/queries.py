@@ -6712,3 +6712,42 @@ FROM header FULL JOIN detail ON header.day = detail.day
 
 QUERIES.update({"q142_ledger_reconcile": q142_ledger_reconcile})
 ORACLE_SQL.update({"q142_ledger_reconcile": Q142_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Top-k WITH TIES (q143)
+# ---------------------------------------------------------------------------
+
+def q143_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PRICE TIERS per brand including every tied part — the
+    dense_rank twin of q11's row_number top-k, and a different
+    contract users regularly mean ("the two highest prices" vs "two
+    rows"): a tie never silently drops a part, so the result size is
+    data-dependent.  Same single window shuffle; WindowGroupLimit
+    still prunes per-partition because the rank filter is a prefix
+    predicate."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        part.withColumn("tier", F.dense_rank().over(w))
+        .filter(F.col("tier") <= 2)
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("retailprice"),
+            "tier",
+        )
+    )
+
+
+Q143_SQL = """
+SELECT p_brand, p_partkey, round(p_retailprice, 2) AS retailprice, tier
+FROM (
+  SELECT *, dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS tier
+  FROM part
+) WHERE tier <= 2
+"""
+
+
+QUERIES.update({"q143_topk_with_ties": q143_topk_with_ties})
+ORACLE_SQL.update({"q143_topk_with_ties": Q143_SQL})

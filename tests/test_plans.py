@@ -402,3 +402,9 @@ def test_ledger_reconcile_plan(spark, sf_smoke):
     q = QUERIES["q142_ledger_reconcile"](spark, sf_smoke)
     assert python_udf_count(q) == 0
     assert shuffle_count(q) <= 4, shuffle_count(q)  # two aggs + detail join + day join
+
+
+def test_topk_with_ties_single_shuffle(spark, sf_smoke):
+    q = QUERIES["q143_topk_with_ties"](spark, sf_smoke)
+    assert python_udf_count(q) == 0
+    assert shuffle_count(q) == 1, shuffle_count(q)
