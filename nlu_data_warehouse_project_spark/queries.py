@@ -6751,3 +6751,77 @@ FROM (
 
 QUERIES.update({"q143_topk_with_ties": q143_topk_with_ties})
 ORACLE_SQL.update({"q143_topk_with_ties": Q143_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Floor-at-zero running balance (q144)
+# ---------------------------------------------------------------------------
+
+def q144_floored_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user credit balance where signups deposit `value` and
+    purchases withdraw it, FLOORED AT ZERO — the inventory/prepaid
+    semantics b_t = max(0, b_{t-1} + x_t), which looks iterative but
+    has a closed window form: b_t = prefix_t − min(0, running_min of
+    prefix) (the queueing-theory workload identity).  Two frames over
+    one user-keyed sort, all DECIMAL — no recursion, no UDF, no state
+    store.  Reported as each user's final raw vs floored balance and
+    the deficit the floor absorbed."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase") & F.col("value").isNotNull()
+    )
+    signed = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", _dec("value")).otherwise(-_dec("value")).alias(
+            "__x"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    zero = F.lit(0).cast("decimal(25,6)")
+    with_prefix = signed.withColumn("__p", F.sum("__x").over(run)).withColumn(
+        "__floor_adj", F.least(zero, F.min("__p").over(run))
+    )
+    final = with_prefix.groupBy("user_id").agg(
+        F.max_by(F.col("__p"), F.struct(F.col("ts"), F.col("event_id"))).alias("__pf"),
+        F.max_by(F.col("__p") - F.col("__floor_adj"), F.struct(F.col("ts"), F.col("event_id"))).alias("__bf"),
+    )
+    return final.select(
+        "user_id",
+        F.round(F.col("__pf"), 2).cast("double").alias("final_raw"),
+        F.round(F.col("__bf"), 2).cast("double").alias("final_floored"),
+        F.round(F.col("__bf") - F.col("__pf"), 2).cast("double").alias("absorbed_deficit"),
+    )
+
+
+Q144_SQL = """
+WITH signed AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(25,6))
+              ELSE -CAST(value AS DECIMAL(25,6)) END AS x
+  FROM events
+  WHERE event_type IN ('signup', 'purchase') AND value IS NOT NULL
+), prefixed AS (
+  SELECT user_id, ts, event_id,
+         sum(x) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM signed
+), pref AS (
+  SELECT user_id, ts, event_id, p,
+         least(CAST(0 AS DECIMAL(25,6)),
+               min(p) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS floor_adj
+  FROM prefixed
+)
+SELECT user_id,
+       CAST(round(p, 2) AS DOUBLE) AS final_raw,
+       CAST(round(p - floor_adj, 2) AS DOUBLE) AS final_floored,
+       CAST(round(-floor_adj, 2) AS DOUBLE) AS absorbed_deficit
+FROM pref
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+QUERIES.update({"q144_floored_balance": q144_floored_balance})
+ORACLE_SQL.update({"q144_floored_balance": Q144_SQL})

@@ -408,3 +408,10 @@ def test_topk_with_ties_single_shuffle(spark, sf_smoke):
     q = QUERIES["q143_topk_with_ties"](spark, sf_smoke)
     assert python_udf_count(q) == 0
     assert shuffle_count(q) == 1, shuffle_count(q)
+
+
+def test_floored_balance_single_sort_family(spark, sf_smoke):
+    # three frames over ONE user-keyed sort: a single exchange
+    q = QUERIES["q144_floored_balance"](spark, sf_smoke)
+    assert python_udf_count(q) == 0
+    assert shuffle_count(q) <= 2, shuffle_count(q)
