@@ -6825,3 +6825,66 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
 
 QUERIES.update({"q144_floored_balance": q144_floored_balance})
 ORACLE_SQL.update({"q144_floored_balance": Q144_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence test (q145)
+# ---------------------------------------------------------------------------
+
+def q145_independence_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are language and source independent?  Pearson chi² over the
+    lang×source contingency table — the categorical-association test
+    (a skewed crawl shows up here before it shows up in any mean).
+    One count aggregate builds the table; marginals ride whole-frame
+    windows over the CELL-sized frame; each cell's term
+    (obs·N − rowtot·coltot)² / (N·rowtot·coltot) divides identical
+    exact integers in IEEE doubles, is then pinned to DECIMAL(25,10)
+    so the cross-cell SUM is order-independent (a raw double sum is
+    partition-order-dependent), and rounds once at the end."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    g = Window.partitionBy()
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    t = (
+        cells.withColumn("__n", F.sum("__o").over(g))
+        .withColumn("__rt", F.sum("__o").over(wl))
+        .withColumn("__ct", F.sum("__o").over(ws))
+    )
+    num = F.col("__o") * F.col("__n") - F.col("__rt") * F.col("__ct")
+    term = ((num * num).cast("double") / (F.col("__n") * F.col("__rt") * F.col("__ct")).cast("double")).cast(
+        "decimal(25,10)"
+    )
+    return t.agg(
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        ((F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round(F.sum(term), 4).cast("double").alias("chi2"),
+    )
+
+
+Q145_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT lang, source, o,
+         sum(o) OVER () AS n,
+         sum(o) OVER (PARTITION BY lang) AS rt,
+         sum(o) OVER (PARTITION BY source) AS ct
+  FROM cells
+)
+SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+       CAST(round(sum(CAST(CAST((o * n - rt * ct) * (o * n - rt * ct) AS DOUBLE)
+                           / CAST(n * rt * ct AS DOUBLE) AS DECIMAL(25,10))), 4)
+            AS DOUBLE) AS chi2
+FROM t
+"""
+
+
+QUERIES.update({"q145_independence_test": q145_independence_test})
+ORACLE_SQL.update({"q145_independence_test": Q145_SQL})

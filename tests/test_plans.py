@@ -415,3 +415,10 @@ def test_floored_balance_single_sort_family(spark, sf_smoke):
     q = QUERIES["q144_floored_balance"](spark, sf_smoke)
     assert python_udf_count(q) == 0
     assert shuffle_count(q) <= 2, shuffle_count(q)
+
+
+def test_independence_test_bounded_shuffles(spark, sf_smoke):
+    # cell agg + three marginal windows + final agg — all on cell-sized data
+    q = QUERIES["q145_independence_test"](spark, sf_smoke)
+    assert python_udf_count(q) == 0
+    assert shuffle_count(q) <= 5, shuffle_count(q)
