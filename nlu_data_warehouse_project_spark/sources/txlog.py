@@ -338,8 +338,22 @@ class TxTable:
         return out
 
     def read(self, version: int | None = None) -> DataFrame:
-        """The full logical table: open ∪ closed history."""
-        return self.read_current(version).unionByName(self.read_closed(version))
+        """The full logical table: open ∪ closed history.  The current
+        side aligns to the manifest schema when it lags it (an
+        append-table's seed current dir keeps its day-1 schema while
+        appended deltas may have added columns) — no projection is
+        inserted in the common already-aligned case, so a bucketed
+        current's exchange-free join path is preserved."""
+        man = self.manifest(version)
+        if man is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        cur = self.read_current(version)
+        target = self._manifest_schema(man)
+        if [(f.name, f.dataType) for f in cur.schema.fields] != [
+            (f.name, f.dataType) for f in target.fields
+        ]:
+            cur = self._align_to(cur, target, "current dir", man.get("column_renames"))
+        return cur.unionByName(self.read_closed(version))
 
     def read_closed_delta(self, since_version: int, version: int | None = None) -> DataFrame:
         """Rows appended/closed between two versions: the closed dirs
@@ -457,7 +471,7 @@ class TxTable:
     _OWNED_MANIFEST_KEYS = frozenset(
         ("version", "current", "closed", "run_id", "schema",
          "dir_schemas", "dir_stats", "current_table", "bucket",
-         "compacted_lineage", "restored_from")
+         "compacted_lineage", "restored_from", "column_renames")
     )
 
     def _carried_extras(self, prev: dict) -> dict:
@@ -466,8 +480,32 @@ class TxTable:
         new commit's ``extra`` overrides them — a commit by one writer
         must not silently erase another consumer's bookkeeping.
         Structural keys (including current_table/bucket, which belong
-        to whichever commit last wrote the current dir) never carry."""
+        to whichever commit last wrote the current dir, and
+        column_renames, whose lifetime each commit type decides
+        explicitly — ADVICE r8) never carry."""
         return {k: v for k, v in prev.items() if k not in self._OWNED_MANIFEST_KEYS}
+
+    def _check_rename_collision(self, prev: dict, new_schema: StructType) -> None:
+        """Commit-time guard (ADVICE r8): while the rename map is still
+        live (old dirs carry prior column names), a commit whose schema
+        REINTRODUCES one of those prior names would make reads ambiguous
+        — ``_align_to``/``_apply_renames`` could no longer tell the
+        retired physical column from the new logical one.  Refuse it;
+        the escape hatch is ``compact_closed()`` + ``commit_snapshot``
+        (which retires the map) before reusing the name."""
+        renames = prev.get("column_renames")
+        if not renames:
+            return
+        priors = {p for ps in renames.values() for p in ps}
+        hit = sorted(f.name for f in new_schema.fields if f.name in priors)
+        if hit:
+            raise SchemaEvolutionError(
+                f"columns {hit} were previously renamed away "
+                f"(live rename map: {renames}) and old data dirs still carry "
+                "them; committing a schema that reuses a retired name would "
+                "make history reads ambiguous.  compact_closed() then "
+                "commit_snapshot() to retire the map first."
+            )
 
     def commit_merge(
         self,
@@ -487,6 +525,7 @@ class TxTable:
         """
         prev = self.manifest() or {"version": 0, "closed": []}
         self._check_retypes(prev, current.schema)
+        self._check_rename_collision(prev, current.schema)
         token = uuid.uuid4().hex[:8]
         cur_dir = f"{_DATA_DIR}/current-{run_id}-{token}"
         closed_dir = f"{_DATA_DIR}/closed-{run_id}-{token}"
@@ -501,8 +540,11 @@ class TxTable:
         man = {
             **self._carried_extras(prev),
             # closed history only grows under a merge, so prior
-            # compaction provenance stays valid and carries
-            **{k: prev[k] for k in ("compacted_lineage",) if k in prev},
+            # compaction provenance stays valid and carries; the rename
+            # map carries too — old closed dirs still need it (the new
+            # current dir is written under the live schema, so the
+            # rename projection no-ops on it)
+            **{k: prev[k] for k in ("compacted_lineage", "column_renames") if k in prev},
             "version": prev["version"] + 1,
             "current": cur_dir,
             "closed": prev["closed"] + [closed_dir],
@@ -573,6 +615,12 @@ class TxTable:
         cur_fields = self._write_current(df, cur_dir, prev["version"] + 1)
         man = {
             **self._carried_extras(prev),
+            # column_renames deliberately DROPPED (ADVICE r8): a
+            # snapshot replaces the only data dir with one written under
+            # the live schema and empties the closed list, so no
+            # physical file carries a prior name any more — keeping the
+            # map would wrongly re-project a legitimately reintroduced
+            # old column name on future reads
             "version": prev["version"] + 1,
             "current": cur_dir,
             "closed": [],
@@ -597,6 +645,7 @@ class TxTable:
         a half-written delta dir without its manifest is invisible."""
         prev = self.manifest()
         self._check_retypes(prev or {"version": 0}, delta.schema)
+        self._check_rename_collision(prev or {}, delta.schema)
         token = uuid.uuid4().hex[:8]
         closed_dir = f"{_DATA_DIR}/closed-{run_id}-{token}"
         delta.write.parquet(os.path.join(self.root, closed_dir))
@@ -615,7 +664,11 @@ class TxTable:
             # current is untouched by an append: its table/bucket
             # metadata carries too; an append only grows the closed
             # list, so compaction provenance stays valid as well
-            **{k: prev[k] for k in ("current_table", "bucket", "compacted_lineage") if k in prev},
+            **{
+                k: prev[k]
+                for k in ("current_table", "bucket", "compacted_lineage", "column_renames")
+                if k in prev
+            },
             "version": prev["version"] + 1,
             "current": prev["current"],
             "closed": prev["closed"] + [closed_dir],
@@ -720,7 +773,11 @@ class TxTable:
         # guard, incremental consumers' watermarks)
         new_man = {
             **self._carried_extras(man),
-            **{k: man[k] for k in ("current_table", "bucket") if k in man},
+            # column_renames carries: compaction rewrites CLOSED history
+            # under the new names, but the untouched current dir still
+            # has its write-time (old) names until a snapshot/merge
+            # replaces it
+            **{k: man[k] for k in ("current_table", "bucket", "column_renames") if k in man},
             "version": man["version"] + 1,
             "current": man["current"],
             "closed": [compacted],
@@ -815,6 +872,10 @@ class TxTable:
             "current", "closed", "schema", "dir_schemas", "dir_stats",
             "current_table", "bucket", "compacted_lineage", "column_renames",
         )
+        # column_renames pins to the TARGET (ADVICE r8): it is an owned
+        # key, so _carried_extras can never leak the latest version's
+        # rename map over a pre-rename target — a restore across a
+        # rename boundary reads back under the target's own names
         man = {
             **self._carried_extras(latest),
             **{k: target[k] for k in structural if k in target},

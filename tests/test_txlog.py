@@ -626,3 +626,71 @@ def test_pruning_survives_column_rename(spark, tmp_path):
     man = t.manifest()
     stats = man["dir_stats"]
     assert all("day" in s for s in stats.values())  # stats still keyed old-name
+
+
+def test_restore_across_rename_boundary_reads_back(spark, tmp_path):
+    """ADVICE r8 (high): restore() to a PRE-rename version must not
+    carry the later rename map — the restored table reads back under
+    the target's own column names."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([(1, "a")], "id long, val string"), "day1")
+    t.rename_column("val", "value")
+
+    t.restore(1)
+    # the pre-rename schema is back, and read() resolves (the r8 bug
+    # raised AnalysisException "Cannot resolve column name value")
+    got = sorted((r["id"], r["val"]) for r in t.read().collect())
+    assert got == [(1, "a")]
+    assert "column_renames" not in (t.manifest() or {})
+
+    # restore FORWARD to the post-rename version brings the map back
+    t.restore(2)
+    got = sorted((r["id"], r["value"]) for r in t.read().collect())
+    assert got == [(1, "a")]
+
+
+def test_snapshot_retires_rename_map_and_frees_old_name(spark, tmp_path):
+    """ADVICE r8 (low): a snapshot replaces the only data dir with one
+    written under the live schema, so the rename map is retired — a
+    later commit may legitimately reintroduce the old column name
+    without being re-projected on read."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([(1, "a")], "id long, val string"), "day1")
+    t.rename_column("val", "value")
+    t.commit_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, value string"), "snap"
+    )
+    assert "column_renames" not in t.manifest()
+
+    # reintroducing the retired name is now legal and reads verbatim
+    t.commit_append(
+        spark.createDataFrame([(2, "b", "raw")], "id long, value string, val string"),
+        "day2",
+    )
+    cols = set(t.read().columns)
+    assert {"val", "value"} <= cols
+    got = sorted((r["id"], r["value"], r["val"]) for r in t.read().collect())
+    assert got == [(1, "a", None), (2, "b", "raw")]
+
+
+def test_commit_reusing_renamed_away_name_is_refused(spark, tmp_path):
+    """While old dirs still carry a prior name, a commit whose schema
+    reuses that name would make history reads ambiguous — refused at
+    commit time, with compact+snapshot as the documented escape."""
+    from nlu_data_warehouse_project_spark.sources.txlog import SchemaEvolutionError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([(1, "a")], "id long, val string"), "day1")
+    t.rename_column("val", "value")
+    with pytest.raises(SchemaEvolutionError, match="renamed away"):
+        t.commit_append(
+            spark.createDataFrame([(2, "b", "x")], "id long, value string, val string"),
+            "day2",
+        )
+    # merge-shaped commits are guarded the same way
+    with pytest.raises(SchemaEvolutionError, match="renamed away"):
+        t.commit_merge(
+            spark.createDataFrame([(2, "b", "x")], "id long, value string, val string"),
+            spark.createDataFrame([], "id long, value string, val string"),
+            "day2",
+        )
