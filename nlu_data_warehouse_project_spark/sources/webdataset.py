@@ -24,12 +24,22 @@ is fully location-transparent (``binaryFile`` goes through Hadoop FS).
 from __future__ import annotations
 
 import io
+import json
 import os
 import tarfile
+import uuid
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_MANIFEST = "_manifest.json"
+
+
+class IncompleteShardSetError(RuntimeError):
+    """The shard directory has no committed manifest (the export job
+    never finished) or a manifest entry is missing on disk — refusing
+    to train on a silently partial corpus."""
 
 
 def write_webdataset_shards(
@@ -56,6 +66,17 @@ def write_webdataset_shards(
     NULL text/payload write empty entries (the trainer's collate
     decides policy); NULL keys are refused — a sample without identity
     cannot round-trip.
+
+    Commit protocol (ADVICE r8): each task writes its shard to a
+    uuid-fresh temp name and atomically renames it into place (a
+    retried or speculative attempt can never leave a torn tar — the
+    last rename wins, and shard content is deterministic so both
+    attempts carry identical bytes), and the driver publishes
+    ``_manifest.json`` (the sorted non-empty shard list) only after
+    the whole job succeeds.  A job that dies mid-export leaves temp
+    litter and possibly some final shards but NO manifest, and
+    ``read_webdataset_shards`` refuses a manifest-less directory — a
+    partial shard set is never mistaken for a complete one.
     """
     from ..operators.sampling import hash_bucket
 
@@ -90,16 +111,17 @@ def write_webdataset_shards(
         )
     assigned = df.select(*cols).repartition(n_shards, "__shard")
 
-    def write_partition(rows) -> None:
+    def write_partition(rows):
         by_shard: dict[int, list] = {}
         for r in rows:
             by_shard.setdefault(r["__shard"], []).append(r)
         for sid, items in by_shard.items():
-            out = os.path.join(path, f"shard-{sid:05d}.tar")
-            with tarfile.open(out, "w") as tar:
+            name = f"shard-{sid:05d}.tar"
+            tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}-{name}")
+            with tarfile.open(tmp, "w") as tar:
 
-                def add(name: str, data: bytes) -> None:
-                    info = tarfile.TarInfo(name=name)
+                def add(entry: str, data: bytes) -> None:
+                    info = tarfile.TarInfo(name=entry)
                     info.size = len(data)
                     info.mtime = 0
                     tar.addfile(info, io.BytesIO(data))
@@ -110,8 +132,23 @@ def write_webdataset_shards(
                         add(f"{r['__key']}.{payload_ext}", bytes(r["__payload"]))
                     if meta_cols:
                         add(f"{r['__key']}.json", r["__meta"].encode("utf-8"))
+            # same-directory rename: atomic on POSIX/HDFS-style stores —
+            # a reader (or a racing attempt) sees the old bytes or the
+            # new, never a torn file
+            os.replace(tmp, os.path.join(path, name))
+            yield name
 
-    assigned.foreachPartition(write_partition)
+    # rdd.mapPartitions (not foreachPartition) so each task reports the
+    # shard names it committed; the collect is bounded by n_shards
+    # strings — driver-safe at any data size
+    written = sorted(assigned.rdd.mapPartitions(write_partition).collect())
+    if len(set(written)) != len(written):
+        raise RuntimeError(f"duplicate shard files written: {written}")
+    manifest = {"n_shards": n_shards, "n_rows": n_rows, "shards": written}
+    tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}-manifest")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, sort_keys=True)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
     return n_shards
 
 
@@ -125,8 +162,30 @@ def read_webdataset_shards(
     """Read a WebDataset shard directory back into (key, text, shard)
     rows.  ``binaryFile`` streams each tar through Hadoop FS (local,
     hdfs, s3a); the parse is one Arrow batch per shard — shards are
-    the unit of parallelism exactly as they are at training time."""
-    bins = spark.read.format("binaryFile").load(os.path.join(path, "*.tar"))
+    the unit of parallelism exactly as they are at training time.
+
+    Reads ONLY the shards the committed ``_manifest.json`` lists
+    (ADVICE r8): no manifest → the export never completed →
+    ``IncompleteShardSetError``; a listed shard missing on disk raises
+    too.  Stale shards from an earlier export to the same path are
+    ignored — the manifest is the source of truth, not the glob."""
+    man_path = os.path.join(path, _MANIFEST)
+    if not os.path.exists(man_path):
+        raise IncompleteShardSetError(
+            f"no {_MANIFEST} under {path}: the shard export never completed "
+            "(or predates the manifest protocol) — re-run write_webdataset_shards"
+        )
+    with open(man_path, encoding="utf-8") as f:
+        manifest = json.load(f)
+    shards = manifest["shards"]
+    missing = [s for s in shards if not os.path.exists(os.path.join(path, s))]
+    if missing:
+        raise IncompleteShardSetError(f"manifest lists missing shard files: {missing}")
+    if not shards:
+        return spark.createDataFrame(
+            [], f"{key_col} string, {text_col} string, shard string"
+        )
+    bins = spark.read.format("binaryFile").load([os.path.join(path, s) for s in shards])
     suffix = "." + ext
 
     def parse(batches):

@@ -74,7 +74,7 @@ def test_webdataset_multimodal_entries(spark, tmp_path):
         rows_per_shard=10,
     )
     entries = {}
-    for f in sorted(os.listdir(out)):
+    for f in sorted(f for f in os.listdir(out) if f.endswith(".tar")):
         with tarfile.open(os.path.join(out, f)) as tar:
             for m in tar.getmembers():
                 entries[m.name] = tar.extractfile(m).read()
@@ -112,3 +112,46 @@ def test_webdataset_refuses_duplicate_keys(spark, tmp_path):
     dup = spark.createDataFrame([(1, "a"), (1, "b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="not unique"):
         write_webdataset_shards(dup, str(tmp_path / "dup"))
+
+
+def test_webdataset_reader_refuses_uncommitted_export(spark, tmp_path):
+    """ADVICE r8: a shard directory without a committed manifest (the
+    export job died mid-flight) must not read as a complete corpus,
+    and a manifest entry missing on disk is equally fatal."""
+    from nlu_data_warehouse_project_spark.sources.webdataset import (
+        IncompleteShardSetError,
+    )
+
+    docs = _docs(spark, 30)
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(docs, out, rows_per_shard=10)
+
+    # simulate a died-before-commit export: shards present, no manifest
+    os.remove(os.path.join(out, "_manifest.json"))
+    with pytest.raises(IncompleteShardSetError, match="never completed"):
+        read_webdataset_shards(spark, out)
+
+    # re-commit, then lose a listed shard out-of-band
+    write_webdataset_shards(docs, out, rows_per_shard=10)
+    victim = sorted(f for f in os.listdir(out) if f.endswith(".tar"))[0]
+    os.remove(os.path.join(out, victim))
+    with pytest.raises(IncompleteShardSetError, match="missing shard"):
+        read_webdataset_shards(spark, out)
+
+
+def test_webdataset_manifest_ignores_stale_shards(spark, tmp_path):
+    """A smaller re-export over the same path: shards from the earlier,
+    larger export that the new manifest does not list are ignored — the
+    manifest, not the directory glob, defines the corpus."""
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(_docs(spark, 300), out, rows_per_shard=10)  # 30 shards
+    write_webdataset_shards(_docs(spark, 20), out, rows_per_shard=10)   # 2 shards
+    back = read_webdataset_shards(spark, out)
+    got = {r["key"] for r in back.collect()}
+    assert got == {str(i) for i in range(20)}
+
+
+def test_webdataset_no_temp_litter_after_success(spark, tmp_path):
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(_docs(spark, 30), out, rows_per_shard=10)
+    assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
