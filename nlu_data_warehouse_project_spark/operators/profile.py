@@ -212,11 +212,24 @@ def histogram_drift(
         .join(hist(cand, "n_cand"), ["__g", "__bin"], "full")
         .fillna(0, ["n_ref", "n_cand"])
     )
-    term = (
-        ((F.col("n_cand") - F.col("n_ref")) * (F.col("n_cand") - F.col("n_ref")))
-        .cast("decimal(25,6)")
-        / (F.col("n_ref") + 1).cast("decimal(25,6)")
-    )
+    return _drift_score_from_counts(j, group_col)
+
+
+def _drift_score_from_counts(j: DataFrame, group_col: str) -> DataFrame:
+    """Score a pre-counted (``__g``, ``n_ref``, ``n_cand``) frame.
+
+    The count difference is cast to DECIMAL(19,0) BEFORE squaring
+    (ADVICE r8): a BIGINT square silently wraps once |n_cand − n_ref|
+    exceeds ~3.04e9, well inside the 100 TB framing.  DECIMAL(19,0)
+    holds any BIGINT difference exactly and its square is exact in the
+    DECIMAL(38,0) product, so per-(group,bin) diffs are now good to
+    ~1e16 (diff² ≤ ~1e32 against the 38−6 integer digits of the
+    division result).  The division lands at Spark's derived
+    DECIMAL(38,6) — per-term HALF_UP at a fixed scale, then an exact
+    decimal sum — so scores stay order-independent and cross-engine
+    reproducible."""
+    d = (F.col("n_cand") - F.col("n_ref")).cast("decimal(19,0)")
+    term = (d * d) / (F.col("n_ref") + 1).cast("decimal(25,6)")
     return j.groupBy(F.col("__g").alias(group_col)).agg(
         F.sum("n_ref").cast("long").alias("n_ref"),
         F.sum("n_cand").cast("long").alias("n_cand"),

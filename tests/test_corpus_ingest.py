@@ -350,3 +350,20 @@ def test_drift_monitor_scores_batches_and_alarms(spark, tmp_path):
     # replayed micro-batch is a no-op (no duplicate report, no re-alarm)
     process(shifted, 1)
     assert reports.read().count() == 2 and len(alarms) == 1
+
+
+def test_drift_score_survives_bigint_overflow_counts(spark):
+    """ADVICE r8: the chi² term squares the count diff in DECIMAL, not
+    BIGINT — a per-(group,bin) difference of 4e9 (whose BIGINT square
+    wraps negative) scores exactly 1.6e19."""
+    from nlu_data_warehouse_project_spark.operators.profile import (
+        _drift_score_from_counts,
+    )
+
+    j = spark.createDataFrame(
+        [("g", 0, 4_000_000_000), ("h", 3, 10)],
+        "__g string, n_ref long, n_cand long",
+    )
+    got = {r["g"]: r["chi2"] for r in _drift_score_from_counts(j, "g").collect()}
+    assert got["g"] == 1.6e19
+    assert got["h"] == 12.25  # 49/4 — small-count behavior unchanged
