@@ -2,9 +2,11 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line with per-query wall seconds.
 
-Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
-the per-query MEDIAN; the headline value is the sum of medians (single
-runs at this scale carry multi-hundred-ms JVM/GC noise).  The LSH
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 5, VERDICT r8
+#4) and reports the per-query MEDIAN; the headline value is the sum of
+medians (single runs at this scale carry multi-hundred-ms JVM/GC
+noise).  ``load_avg`` (os.getloadavg at start/end) rides the JSON so a
+noisy-machine run is distinguishable from a code regression.  The LSH
 top-k's recall against the exact top-k is measured alongside so the
 approximate path's speed/recall trade stays visible round over round.
 
@@ -155,7 +157,8 @@ def ann_recalls(spark, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("nlu-dw-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -230,6 +233,10 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": n_runs,
         "warmup_runs_per_query": 1,
+        # 32-core box: a 1-min load avg well above ~32 at start or end
+        # means the total is contention, not code (r8's +7.7% "wobble")
+        "load_avg_start": load_start,
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "extra_queries": extra_queries,
         **recalls,
     }
