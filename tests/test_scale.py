@@ -121,3 +121,80 @@ def test_zorder_rejects_bad_arity(spark):
         zorder_value(["a"], [0], [1])
     with _pytest.raises(ValueError):
         zorder_value(["a", "b"], [0], [1, 2])
+
+
+def _rank_fixture(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 37 + 11, F.lit(997)).alias("v"),  # dup values: ties
+    )
+
+
+def test_exact_global_rank_matches_window_row_number(spark):
+    """exact_global_rank == the single-partition window row_number on
+    the same total order — across asc/desc, ties, and more partitions
+    than the data strictly needs (empty range partitions)."""
+    from pyspark.sql import Window
+
+    from nlu_data_warehouse_project_spark.operators.scale import exact_global_rank
+
+    df = _rank_fixture(spark)
+    for order, wspec in (
+        ([F.col("v").asc(), F.col("k").asc()],
+         Window.orderBy(F.col("v").asc(), F.col("k").asc())),
+        ([F.col("v").desc(), F.col("k").asc()],
+         Window.orderBy(F.col("v").desc(), F.col("k").asc())),
+    ):
+        ref = {r["k"]: r["r"] for r in
+               df.select("k", F.row_number().over(wspec).alias("r")).collect()}
+        got = {r["k"]: r["rank"] for r in
+               exact_global_rank(df, order, num_partitions=8).collect()}
+        assert got == ref
+    # more partitions than rows: empty partitions must not shift offsets
+    tiny = _rank_fixture(spark, n=5)
+    got = {r["k"]: r["rank"] for r in exact_global_rank(
+        tiny, [F.col("v").asc(), F.col("k").asc()], num_partitions=16).collect()}
+    ref = {r["k"]: r["r"] for r in tiny.select(
+        "k", F.row_number().over(Window.orderBy(F.col("v").asc(), F.col("k").asc())).alias("r")
+    ).collect()}
+    assert got == ref
+
+
+def test_exact_global_ntile_matches_window_ntile(spark):
+    """The closed-form bucket assignment reproduces SQL ntile's
+    ceil/floor split exactly, including B that doesn't divide N and
+    N < B."""
+    from pyspark.sql import Window
+
+    from nlu_data_warehouse_project_spark.operators.scale import exact_global_ntile
+
+    w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+    order = [F.col("v").asc(), F.col("k").asc()]
+    for n, b in ((1000, 7), (1000, 10), (10, 4), (3, 8)):
+        df = _rank_fixture(spark, n=n)
+        ref = {r["k"]: r["b"] for r in df.select("k", F.ntile(b).over(w).alias("b")).collect()}
+        got = {r["k"]: r["bucket"] for r in
+               exact_global_ntile(df, order, b, num_partitions=6).collect()}
+        assert got == ref, (n, b)
+
+
+def test_exact_prefix_sum_matches_window_and_keeps_decimal(spark):
+    from pyspark.sql import Window
+
+    from nlu_data_warehouse_project_spark.operators.scale import exact_prefix_sum
+
+    df = _rank_fixture(spark).withColumn("d", F.col("v").cast("decimal(25,6)"))
+    w = Window.orderBy(F.col("v").desc(), F.col("k").asc())
+    ref = {r["k"]: (r["c"], r["r"]) for r in df.select(
+        "k",
+        F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("c"),
+        F.row_number().over(w).alias("r"),
+    ).collect()}
+    out = exact_prefix_sum(
+        df, [F.col("v").desc(), F.col("k").asc()], "d",
+        cum_col="c", rank_col="r", num_partitions=5,
+    )
+    got = {r["k"]: (r["c"], r["r"]) for r in out.collect()}
+    assert got == ref
+    # DECIMAL survives: no silent drift to (38,18) or double
+    assert dict(out.dtypes)["c"].startswith("decimal"), out.dtypes
