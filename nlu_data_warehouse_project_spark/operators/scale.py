@@ -213,6 +213,44 @@ def exact_global_ntile(
     )
 
 
+def approx_value_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    bucket_col: str = "bucket",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The documented 100 TB swap for ``exact_global_ntile`` (VERDICT
+    r8 #6): bucket rows by percentile FENCES from one
+    ``percentile_approx`` sketch aggregate — a map-side-combinable
+    scan, a broadcast one-row fence frame, and a scan-local bucket
+    assignment.  NO range shuffle, NO sort, NO checkpoint: the only
+    data movement is the sketch merge.
+
+    Semantics differ from ntile exactly where approximation is the
+    point: buckets are VALUE intervals (``1 + #fences < value``), so
+    ties on a fence value stay together instead of being split by
+    rank, and bucket sizes are equal only up to sketch error.  With
+    ``accuracy`` above the row count the Greenwald-Khanna summary
+    stores every value and the fences are the exact discrete
+    quantiles (DuckDB ``quantile_disc`` returns the identical
+    elements — which is what makes the q146 oracle pairing
+    tolerance-free at test scale); at the default 10k it is a true
+    sketch whose memory stays bounded at any data size."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    fences = df.agg(
+        F.percentile_approx(value_col, probs, accuracy).alias("__fences")
+    )
+    return (
+        df.crossJoin(F.broadcast(fences))
+        .withColumn(
+            bucket_col,
+            F.expr(f"1 + size(filter(__fences, f -> f < {value_col}))").cast("int"),
+        )
+        .drop("__fences")
+    )
+
+
 def exact_prefix_sum(
     df: DataFrame,
     order_cols: list,

@@ -6891,3 +6891,58 @@ FROM t
 
 QUERIES.update({"q145_independence_test": q145_independence_test})
 ORACLE_SQL.update({"q145_independence_test": Q145_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Approximate order deciles — the q129 100 TB swap, wired (q146)
+# ---------------------------------------------------------------------------
+
+def q146_order_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q129's documented swap made real (VERDICT r8 #6): spend deciles
+    from `operators/scale.approx_value_buckets` — percentile FENCES out
+    of one mergeable percentile_approx sketch, broadcast to a
+    scan-local bucket assignment.  No range shuffle, no sort, no
+    checkpoint; the sketch merge is the only data movement.  At
+    accuracy=1e6 (> any test-scale row count) the fences are the exact
+    discrete quantiles, and DuckDB's quantile_disc returns the
+    IDENTICAL elements — so the oracle pairing is hash-exact with no
+    tolerance, while the same plan at default accuracy is a true
+    bounded-memory sketch at 100 TB.  Value-interval semantics: fence
+    ties stay together, so bucket counts may differ from exact ntile's
+    equal split — that asymmetry is the approximation, visible in the
+    (q129, q146) pair."""
+    from .operators.scale import approx_value_buckets
+
+    orders = _t(spark, sf_dir, "orders")
+    binned = approx_value_buckets(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        n_buckets=10,
+        bucket_col="decile",
+        accuracy=1_000_000,
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
+    )
+
+
+Q146_SQL = """
+WITH fences AS (
+  SELECT quantile_disc(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS f
+  FROM orders
+), binned AS (
+  SELECT o_totalprice,
+         1 + len(list_filter(f, x -> x < o_totalprice)) AS decile
+  FROM orders, fences
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
+FROM binned GROUP BY 1
+"""
+
+
+QUERIES.update({"q146_order_deciles_approx": q146_order_deciles_approx})
+ORACLE_SQL.update({"q146_order_deciles_approx": Q146_SQL})

@@ -462,3 +462,14 @@ def test_exact_rank_spreads_sort_over_partitions(spark, sf_smoke):
         num_partitions=8,
     )
     assert ranked.rdd.getNumPartitions() >= 2
+
+
+def test_approx_deciles_plan_is_sketch_only(spark, sf_smoke):
+    """q146: one sketch aggregate + broadcast fences + final 10-key
+    agg — no window, no range shuffle, no Python."""
+    from nlu_data_warehouse_project_spark.plans import window_count
+
+    q = QUERIES["q146_order_deciles_approx"](spark, sf_smoke)
+    assert python_udf_count(q) == 0
+    assert window_count(q) == 0
+    assert shuffle_count(q) <= 2, shuffle_count(q)
