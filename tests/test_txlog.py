@@ -694,3 +694,93 @@ def test_commit_reusing_renamed_away_name_is_refused(spark, tmp_path):
             spark.createDataFrame([], "id long, value string, val string"),
             "day2",
         )
+
+
+def test_two_threaded_writers_race_same_base_version(spark, tmp_path):
+    """VERDICT r8 #2, the non-injected form: two OS threads, two
+    TxTable handles on one root, both building against the same base
+    version at the same time.  Exactly one publish wins the atomic
+    rename; the loser's commit_with_retry rebases onto the winner and
+    lands its rows with no duplicates; history and the bloom sidecar
+    stay correct afterwards."""
+    import threading
+
+    from nlu_data_warehouse_project_spark.operators.diff import table_history
+
+    root = str(tmp_path / "race2")
+    seed_t = TxTable(spark, root)
+    seed_t.commit_append(
+        spark.createDataFrame([(0, "seed")], "id long, v string"), "seed"
+    )
+
+    barrier = threading.Barrier(2, timeout=60)
+    results: dict[str, int] = {}
+    errors: list[BaseException] = []
+
+    def writer(tag: str, row_id: int) -> None:
+        try:
+            t = TxTable(spark, root)
+            df = spark.createDataFrame([(row_id, f"from-{tag}")], "id long, v string")
+            aligned = {"done": False}
+
+            def build(tt):
+                base = tt.manifest()["version"]
+                if not aligned["done"]:
+                    aligned["done"] = True
+                    barrier.wait()  # both first attempts see the same base
+                results[f"{tag}_base"] = base
+                return tt.commit_append(df, f"{tag}-run")
+
+            results[tag] = t.commit_with_retry(build, max_retries=3)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    th_a = threading.Thread(target=writer, args=("a", 1))
+    th_b = threading.Thread(target=writer, args=("b", 2))
+    th_a.start(); th_b.start()
+    th_a.join(120); th_b.join(120)
+    assert not errors, errors
+
+    # consecutive versions, both rows landed exactly once
+    assert sorted((results["a"], results["b"])) == [2, 3]
+    final = TxTable(spark, root)
+    got = sorted((r["id"], r["v"]) for r in final.read().collect())
+    assert got == [(0, "seed"), (1, "from-a"), (2, "from-b")]
+    assert [h["kind"] for h in table_history(final)] == ["append", "append", "append"]
+
+    # the sidecar built over the raced history dedups against ALL rows
+    from nlu_data_warehouse_project_spark.functions.text import doc_fingerprint
+    from nlu_data_warehouse_project_spark.operators.bloomindex import (
+        BloomFingerprintIndex,
+    )
+
+    fp_root = str(tmp_path / "race-fp")
+    fp_t = TxTable(spark, fp_root)
+    docs = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    wfp = lambda df: df.withColumn("fingerprint", doc_fingerprint("text"))  # noqa: E731
+    barrier2 = threading.Barrier(2, timeout=60)
+    errs2: list[BaseException] = []
+
+    def fp_writer(tag: str, did: int, text: str) -> None:
+        try:
+            t = TxTable(spark, fp_root)
+            aligned = {"done": False}
+
+            def build(tt):
+                if not aligned["done"]:
+                    aligned["done"] = True
+                    barrier2.wait()
+                return tt.commit_append(wfp(docs([(did, text)])), f"{tag}")
+
+            t.commit_with_retry(build, max_retries=3)
+        except BaseException as e:  # noqa: BLE001
+            errs2.append(e)
+
+    ta = threading.Thread(target=fp_writer, args=("fa", 1, "alpha"))
+    tb = threading.Thread(target=fp_writer, args=("fb", 2, "beta"))
+    ta.start(); tb.start(); ta.join(120); tb.join(120)
+    assert not errs2, errs2
+    idx = BloomFingerprintIndex(TxTable(spark, fp_root), num_bits=1 << 14)
+    idx.sync()
+    fresh = idx.dedup(docs([(10, "alpha"), (11, "beta"), (12, "gamma")]))
+    assert sorted(r["doc_id"] for r in fresh.collect()) == [12]
