@@ -161,6 +161,29 @@ def enforce(checks: list[DataFrame]) -> list[dict]:
     return rows
 
 
+def check_drift(
+    df: DataFrame,
+    reference: DataFrame,
+    group_col: str,
+    bin_expr: Column,
+    max_chi2: float,
+    name: str | None = None,
+) -> DataFrame:
+    """Distribution drift as a data-contract check (VERDICT r8 #5): the
+    q103 ``histogram_drift`` score of ``df`` against a settled
+    ``reference``, folded to the (check, n_violations, passed) suite
+    shape — n_violations = groups whose chi² exceeds ``max_chi2``.
+    Drop it into a ``contract=`` list / ``guarded_commit`` and a
+    drifted batch STOPS THE LINE instead of publishing."""
+    from .profile import histogram_drift
+
+    rep = histogram_drift(reference, df, group_col, bin_expr)
+    bad = F.sum(F.when(F.col("chi2") > F.lit(max_chi2), 1).otherwise(0))
+    return rep.agg(
+        *_report(name or f"drift_chi2_le_{max_chi2}", F.coalesce(bad, F.lit(0)))
+    )
+
+
 def guarded_commit(table, df, run_id: str, check_fns, mode: str = "append", extra=None) -> int:
     """Data-contract enforcement AT THE COMMIT BOUNDARY: evaluate every
     check against the batch and refuse to publish if any fails — bad
