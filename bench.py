@@ -132,6 +132,13 @@ def ann_recalls(spark, sf_dir: str) -> dict:
         "ivf_topk_recall_nprobe4of8": _recall_vs_exact(exact, ivf.collect()),
     }
 
+    # PQ tier (q147 parameters): ADC shortlist + exact re-rank
+    from nlu_data_warehouse_project_spark.operators.pq import ivf_pq_topk, pq_fit
+
+    cb = pq_fit(emb, m=16, ksub=32)
+    pq = ivf_pq_topk(q, emb, cb, _IVF_PLANES, k=5, nprobe=8, shortlist=128)
+    out["pq_adc_topk_recall"] = _recall_vs_exact(exact, pq.collect())
+
     # trained quantizer, real (isotropic) table — loose tol: on
     # isotropic data the centroids wander on noise and a tight tol
     # buys recall nothing (see docstring)

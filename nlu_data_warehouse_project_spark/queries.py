@@ -6946,3 +6946,31 @@ FROM binned GROUP BY 1
 
 QUERIES.update({"q146_order_deciles_approx": q146_order_deciles_approx})
 ORACLE_SQL.update({"q146_order_deciles_approx": Q146_SQL})
+
+
+# ---------------------------------------------------------------------------
+# IVF + product-quantization ANN (q147)
+# ---------------------------------------------------------------------------
+
+def q147_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ tier of the ANN family (VERDICT r8 #8): per-subspace
+    codebooks trained on a deterministic sample (`operators/pq.pq_fit`),
+    corpus stored as 16 codeword ids instead of 64 floats, candidates
+    from the q45 sign-cell inverted lists, ADC lookup-table scoring to
+    a 128-deep shortlist, exact cosine re-rank on the shortlist only.
+    At 100 TB the corpus scan for ANN shrinks by the code/vector byte
+    ratio (~16x here) and raw vectors are read for shortlist rows only.
+    Approximate by construction → recall-gated >= 0.8 against the exact
+    q18 twin (tools/check_oracle.py RECALL_GATES), not oracle-hashed;
+    measured 1.0 at sf0.1 with these parameters."""
+    from .operators.pq import ivf_pq_topk, pq_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebooks = pq_fit(emb, m=16, ksub=32)
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_pq_topk(
+        q, emb, codebooks, _IVF_PLANES, k=5, nprobe=8, shortlist=128
+    )
+
+
+QUERIES.update({"q147_pq_adc_topk": q147_pq_adc_topk})

@@ -328,3 +328,60 @@ def test_match_distribution_null_buckets_drop(spark):
     # a NULL bucket never equi-matches the reference: dropped, like any
     # bucket the reference lacks
     assert 11 not in kept
+
+
+def test_pq_encode_roundtrip_and_adc_ordering(spark):
+    """PQ codes are deterministic per-subspace argmins; ADC over a
+    trivially-codeable corpus ranks the true nearest first."""
+    from nlu_data_warehouse_project_spark.operators.pq import (
+        adc_score,
+        pq_encode,
+        pq_fit,
+    )
+
+    # 2-dim subspaces, vectors ON codeword positions: encode must be exact
+    rows = [(i, [float(i % 4), 1.0, float((i // 4) % 4), 1.0]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_fit(df, m=2, ksub=4, sample=64, iters=50)
+    enc = pq_encode(df, cb)
+    codes = {r["vec_id"]: tuple(r["pq_code"]) for r in enc.collect()}
+    # same input vector -> same code; codes spread across codewords
+    # (vectors normalize before encoding, so quadrants need not map 1:1)
+    assert codes[0] == codes[16] and len(set(codes.values())) >= 4
+
+    # ADC(v, code(v)) ~ ||v_norm||² = 1 up to quantization error: the
+    # lookup-table sum really reconstructs the cosine, not noise
+    q = df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    scored = (
+        q.crossJoin(enc.select("vec_id", F.col("pq_code").alias("__code")))
+        .withColumn("adc", adc_score("__qv", "__code", cb))
+    )
+    self_adc = scored.filter(F.col("vec_id") == 0).first()["adc"]
+    assert self_adc > 0.8, self_adc
+    assert all(r["adc"] <= 1.2 for r in scored.collect())
+
+
+def test_pq_topk_recall_floor(spark, sf_smoke):
+    """q147 parameters hold the 0.8 recall floor against the exact
+    top-k (the same gate tools/check_oracle.py enforces)."""
+    from nlu_data_warehouse_project_spark.queries import QUERIES
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["q18_cosine_topk"](spark, sf_smoke).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["q147_pq_adc_topk"](spark, sf_smoke).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_pq_fit_rejects_bad_subspace_split(spark):
+    from nlu_data_warehouse_project_spark.operators.pq import pq_fit
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(df, m=2, ksub=2, sample=4)

@@ -54,6 +54,7 @@ def value_hash(rows, cols) -> str:
 # name -> (exact twin query, pair columns, floor)
 RECALL_GATES = {
     "q34_lsh_cosine_topk": ("q18_cosine_topk", ("query_id", "neighbor_id"), 0.8),
+    "q147_pq_adc_topk": ("q18_cosine_topk", ("query_id", "neighbor_id"), 0.8),
 }
 
 
