@@ -6974,3 +6974,299 @@ def q147_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"q147_pq_adc_topk": q147_pq_adc_topk})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: late-shipment priority audit (q148)
+# ---------------------------------------------------------------------------
+
+def q148_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders per priority shipped anything AFTER the order
+    date window — TPC-H Q4's correlated EXISTS, adapted to this
+    schema's columns (l_shipdate > o_orderdate + 60 days stands in for
+    commit-vs-receipt lateness).  The decorrelation is a LEFT SEMI join
+    with the comparison folded into the join condition: each order
+    counts once however many lineitems are late, no DISTINCT, no
+    subquery re-scan.  The oracle keeps DuckDB's NATIVE correlated
+    EXISTS — a genuine cross-engine check of the decorrelation."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        late,
+        (orders.o_orderkey == late.l_orderkey)
+        & (late.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_late_orders")
+    )
+
+
+Q148_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q148_late_ship_priority": q148_late_ship_priority})
+ORACLE_SQL.update({"q148_late_ship_priority": Q148_SQL})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: local supplier volume (q149)
+# ---------------------------------------------------------------------------
+
+def q149_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per ASIA nation where the CUSTOMER and the SUPPLIER sit
+    in the same nation — TPC-H Q5's join cycle (the equality
+    c_nationkey = s_nationkey closes the loop and is what makes this a
+    cycle, not a star).  Dimensions (nation ⨝ region filter) broadcast;
+    the fact joins stay orderkey/custkey/suppkey equi-joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    asia_nat = nat.join(
+        F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+        nat.n_regionkey == reg.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(asia_nat), cust.c_nationkey == asia_nat.n_nationkey)
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+Q149_SQL = """
+SELECT n_name AS nation,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                      * (1 - CAST(l_discount AS DECIMAL(25,6)))), 2) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q149_local_supplier_volume": q149_local_supplier_volume})
+ORACLE_SQL.update({"q149_local_supplier_volume": Q149_SQL})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-revenue top customers (q150)
+# ---------------------------------------------------------------------------
+
+def q150_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 customers with the most revenue on RETURNED items ('R'
+    flag) — TPC-H Q10: returns fact filter -> star join -> per-customer
+    DECIMAL revenue -> distributed top-k (orderBy+limit plans as
+    TakeOrderedAndProject: per-partition top 20, one merge — never a
+    global sort; the q117 pattern).  Ordering ties break on the
+    customer key so the top-20 SET is deterministic cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    per = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("__rev")
+        )
+    )
+    top = per.orderBy(F.col("__rev").desc(), F.col("c_custkey").asc()).limit(20)
+    return top.select(
+        "c_custkey",
+        "c_name",
+        F.col("n_name").alias("nation"),
+        F.round("__rev", 2).cast("double").alias("returned_revenue"),
+    )
+
+
+Q150_SQL = """
+WITH per AS (
+  SELECT c_custkey, c_name, n_name AS nation,
+         sum(CAST(l_extendedprice AS DECIMAL(25,6))
+             * (1 - CAST(l_discount AS DECIMAL(25,6)))) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, nation,
+       CAST(round(rev, 2) AS DOUBLE) AS returned_revenue
+FROM per ORDER BY rev DESC, c_custkey ASC LIMIT 20
+"""
+
+
+QUERIES.update({"q150_returned_top_customers": q150_returned_top_customers})
+ORACLE_SQL.update({"q150_returned_top_customers": Q150_SQL})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share by month (q151)
+# ---------------------------------------------------------------------------
+
+def q151_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each ship-month's revenue carried by PROMO-type parts —
+    TPC-H Q14's conditional-aggregate ratio, per month instead of one
+    scalar.  Part is the broadcast side; numerator and denominator stay
+    exact DECIMAL and meet in ONE IEEE-double division (the engine-
+    stability rule: exact operands → identical quotient everywhere)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per = j.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")).agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)).alias("__promo"),
+        F.sum(rev).alias("__total"),
+    )
+    return per.select(
+        "ship_month",
+        F.round(
+            F.lit(100.0) * F.coalesce(F.col("__promo"), F.lit(0).cast("decimal(25,6)")).cast("double")
+            / F.col("__total").cast("double"),
+            4,
+        ).alias("promo_share_pct"),
+    )
+
+
+Q151_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(100.0 * CAST(coalesce(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+                 CAST(l_extendedprice AS DECIMAL(25,6))
+                 * (1 - CAST(l_discount AS DECIMAL(25,6))) END), 0) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                 * (1 - CAST(l_discount AS DECIMAL(25,6)))) AS DOUBLE), 4)
+         AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q151_promo_share": q151_promo_share})
+ORACLE_SQL.update({"q151_promo_share": Q151_SQL})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders (q152)
+# ---------------------------------------------------------------------------
+
+def q152_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 250 units, with their
+    customer — TPC-H Q18's HAVING-IN-subquery, decorrelated the way the
+    optimizer should: ONE per-order quantity aggregate reused as both
+    the filter and the output column (the naive form aggregates
+    lineitem twice).  Quantities sum in DECIMAL so the > 250 edge is
+    exact.  The oracle keeps the NATIVE IN + HAVING form."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per = li.groupBy("l_orderkey").agg(F.sum(_dec("l_quantity")).alias("__qty"))
+    big = per.filter(F.col("__qty") > 250)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice"),
+            F.col("__qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+Q152_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST((SELECT sum(CAST(l_quantity AS DECIMAL(25,6))) FROM lineitem
+             WHERE l_orderkey = o_orderkey) AS DOUBLE) AS total_qty
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(25,6))) > 250
+)
+"""
+
+
+QUERIES.update({"q152_large_volume_orders": q152_large_volume_orders})
+ORACLE_SQL.update({"q152_large_volume_orders": Q152_SQL})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive-arm revenue (q153)
+# ---------------------------------------------------------------------------
+
+def q153_disjunctive_arm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue matched by three OR-ed (brand, size-band, quantity-band)
+    arms — TPC-H Q19's disjunction of conjunctions, the shape that
+    tests whether the common join key stays an equi-join with the OR
+    pushed to a residual filter (a naive plan unions three scans or,
+    worse, falls to a nested loop).  One lineitem⨝part equi-join on
+    partkey; the arms are a single boolean column."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 45)
+    )
+    hit = j.filter(arm1 | arm2 | arm3)
+    return hit.agg(
+        F.round(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+Q153_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                      * (1 - CAST(l_discount AS DECIMAL(25,6)))), 2) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 45)
+"""
+
+
+QUERIES.update({"q153_disjunctive_arm_revenue": q153_disjunctive_arm_revenue})
+ORACLE_SQL.update({"q153_disjunctive_arm_revenue": Q153_SQL})

@@ -473,3 +473,29 @@ def test_approx_deciles_plan_is_sketch_only(spark, sf_smoke):
     assert python_udf_count(q) == 0
     assert window_count(q) == 0
     assert shuffle_count(q) <= 2, shuffle_count(q)
+
+
+def test_round9_tpch_wave_plans(spark, sf_smoke):
+    """q148-q153: dimensions broadcast, Python-free, bounded shuffles;
+    q148's EXISTS decorrelates to one semi join, q150's top-20 is a
+    TakeOrderedAndProject (no global sort), q153's OR-arms stay one
+    equi-join."""
+    from nlu_data_warehouse_project_spark.plans import formatted_plan
+
+    for name, max_shuffles in (
+        ("q148_late_ship_priority", 3),
+        ("q149_local_supplier_volume", 4),
+        ("q150_returned_top_customers", 3),
+        ("q151_promo_share", 1),
+        ("q152_large_volume_orders", 3),
+        ("q153_disjunctive_arm_revenue", 1),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+    for name in ("q149_local_supplier_volume", "q150_returned_top_customers",
+                 "q151_promo_share", "q153_disjunctive_arm_revenue"):
+        assert uses_broadcast_join(QUERIES[name](spark, sf_smoke)), name
+    assert "TakeOrderedAndProject" in formatted_plan(
+        QUERIES["q150_returned_top_customers"](spark, sf_smoke)
+    )
