@@ -7270,3 +7270,282 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 
 QUERIES.update({"q153_disjunctive_arm_revenue": q153_disjunctive_arm_revenue})
 ORACLE_SQL.update({"q153_disjunctive_arm_revenue": Q153_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination check (q154)
+# ---------------------------------------------------------------------------
+
+def q154_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the TRAIN split leak into the HOLDOUT? — the n-gram
+    contamination audit every LLM data pipeline runs before trusting an
+    eval number (holdout = doc_id % 10 == 0 here).  A holdout doc is
+    contaminated when ANY of its distinct 5-gram word shingles also
+    appears in the train split.  Shape at 100 TB: shingles are
+    scan-local, both sides dedup map-side, the probe is ONE left-semi
+    equi-join on the shingle hash space (uniform, no skew), and the
+    rollup is source-sized.  Zero-contamination sources survive via the
+    left join against the holdout base."""
+    from .functions.text import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    hold = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    hg = (
+        hold.select("doc_id", "source", F.explode(shingles("text", 5)).alias("__g"))
+        .distinct()
+    )
+    tg = train.select(F.explode(shingles("text", 5)).alias("__g")).distinct()
+    shared = hg.join(tg, "__g", "left_semi")
+    per_doc = shared.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_shared")
+    )
+    base = hold.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_holdout")
+    )
+    contam = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_contaminated"),
+        F.sum("__n_shared").cast("long").alias("n_shared_ngrams"),
+    )
+    return base.join(contam, "source", "left").fillna(
+        0, ["n_contaminated", "n_shared_ngrams"]
+    )
+
+
+_5GRAMS_SQL = (
+    "list_transform(generate_series(1, greatest(len(%(tok)s) - 4, 1)),"
+    " i -> array_to_string((%(tok)s)[i:i+4], ' '))" % {"tok": _TOKENS_SQL}
+)
+
+Q154_SQL = f"""
+WITH hg AS (
+  SELECT DISTINCT doc_id, source, unnest({_5GRAMS_SQL}) AS g
+  FROM documents WHERE doc_id % 10 = 0
+), tg AS (
+  SELECT DISTINCT unnest({_5GRAMS_SQL}) AS g
+  FROM documents WHERE doc_id % 10 <> 0
+), per_doc AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_shared
+  FROM hg WHERE g IN (SELECT g FROM tg)
+  GROUP BY 1, 2
+), base AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_holdout
+  FROM documents WHERE doc_id % 10 = 0 GROUP BY 1
+)
+SELECT base.source, n_holdout,
+       CAST(coalesce(count(per_doc.doc_id), 0) AS BIGINT) AS n_contaminated,
+       CAST(coalesce(sum(n_shared), 0) AS BIGINT) AS n_shared_ngrams
+FROM base LEFT JOIN per_doc ON base.source = per_doc.source
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q154_contamination_check": q154_contamination_check})
+ORACLE_SQL.update({"q154_contamination_check": Q154_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Retention cohort matrix (q155)
+# ---------------------------------------------------------------------------
+
+def q155_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic cohort-retention triangle: users cohorted by the
+    Monday of their FIRST active week; for every (cohort, week offset),
+    how many distinct cohort members were active — the engagement decay
+    curve per acquisition vintage.  Per-user first day is one min
+    aggregate; offsets are integer day arithmetic (`div 7` — no float
+    weeks); the matrix aggregate is map-side combinable on the tiny
+    (cohort, offset) key space after the per-(user, day) dedup."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("__d")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("__d").alias("__first"))
+    j = ud.join(first, "user_id")
+    return (
+        j.groupBy(
+            F.date_trunc("week", F.col("__first")).cast("date").alias("cohort_week"),
+            F.expr("datediff(__d, __first) div 7").cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+Q155_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), first AS (
+  SELECT user_id, min(d) AS first_d FROM ud GROUP BY 1
+)
+SELECT CAST(date_trunc('week', first_d) AS DATE) AS cohort_week,
+       CAST(date_diff('day', first_d, d) // 7 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active
+FROM ud JOIN first ON ud.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q155_retention_cohorts": q155_retention_cohorts})
+ORACLE_SQL.update({"q155_retention_cohorts": Q155_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining by lift (q156)
+# ---------------------------------------------------------------------------
+
+def q156_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's strongest word collocations: bigrams ranked by
+    LIFT = c_xy · N_tokens / (c_x · c_y) — the monotone twin of PMI
+    (PMI = log lift) kept as an exact-integer ratio so no engine's
+    libm log enters the hash.  Min support 5; top 15 by (lift, bigram)
+    via a distributed TakeOrdered — never a full sort of the bigram
+    space.  Lowercased alpha tokenization, edge-touching pairs dropped
+    (the q126 convention)."""
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.split(F.lower(F.col("text")), "[^a-z]+")
+    base = docs.select(arr.alias("__arr")).filter(F.size("__arr") >= 2)
+    uni = (
+        base.select(F.explode("__arr").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    bigrams = F.expr(
+        "transform(sequence(0, size(__arr) - 2), "
+        "i -> struct(__arr[i] as x, __arr[i + 1] as y))"
+    )
+    bi = (
+        base.select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.x").alias("__x"), F.col("b.y").alias("__y"))
+        .filter((F.col("__x") != "") & (F.col("__y") != ""))
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cxy"))
+        .filter(F.col("__cxy") >= 5)
+    )
+    n_tok = uni.agg(F.sum("__c").cast("long").alias("__n"))
+    ux = uni.select(F.col("tok").alias("__x"), F.col("__c").alias("__cx"))
+    uy = uni.select(F.col("tok").alias("__y"), F.col("__c").alias("__cy"))
+    scored = (
+        bi.join(ux, "__x")
+        .join(uy, "__y")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            F.concat_ws(" ", "__x", "__y").alias("bigram"),
+            F.col("__cxy").alias("n_pair"),
+            F.round(
+                (F.col("__cxy") * F.col("__n")).cast("double")
+                / (F.col("__cx") * F.col("__cy")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), F.col("bigram").asc()).limit(15)
+
+
+Q156_SQL = """
+WITH arrs AS (
+  SELECT string_split_regex(lower(text), '[^a-z]+') AS arr FROM documents
+  WHERE len(string_split_regex(lower(text), '[^a-z]+')) >= 2
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(arr) AS tok FROM arrs) WHERE tok <> '' GROUP BY 1
+), n AS (
+  SELECT sum(c) AS n_tok FROM uni
+), bi AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+  FROM (
+    SELECT arr[i] AS x, arr[i + 1] AS y
+    FROM arrs, unnest(generate_series(1, len(arr) - 1)) AS u(i)
+  )
+  WHERE x <> '' AND y <> ''
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT x || ' ' || y AS bigram, cxy AS n_pair,
+       round(CAST(cxy * n_tok AS DOUBLE) / CAST(ux.c * uy.c AS DOUBLE), 4) AS lift
+FROM bi
+JOIN uni ux ON bi.x = ux.tok
+JOIN uni uy ON bi.y = uy.tok
+CROSS JOIN n
+ORDER BY lift DESC, bigram ASC LIMIT 15
+"""
+
+
+QUERIES.update({"q156_collocations": q156_collocations})
+ORACLE_SQL.update({"q156_collocations": Q156_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity matrix (q157)
+# ---------------------------------------------------------------------------
+
+def q157_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the
+    "which classes does the encoder confuse" matrix.  Counts cancel in
+    centroid cosine (cos(S_a/n_a, S_b/n_b) = cos(S_a, S_b)), so the
+    whole computation runs on exact DECIMAL per-(label, pos) SUM
+    vectors: dot and squared norms are exact decimal products (widths
+    chosen so no engine hits its precision cap), and ONE final
+    double sqrt+division — identical IEEE ops on identical inputs, so
+    the matrix hashes bit-identically cross-engine.  Shape: ONE
+    posexplode aggregate over the corpus, localCheckpointed (the
+    q85/q109 stage-reuse pattern — the |labels|·dim frame feeds three
+    consumers, and without the pin each would re-run the corpus scan),
+    then a broadcast pos join and label-pair rollups."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.col("__v").cast("decimal(25,6)")
+    sums = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "__v"))
+        .groupBy("label", "pos")
+        .agg(F.sum(vd).cast("decimal(18,6)").alias("__s"))
+        .localCheckpoint(eager=False)
+    )
+    a = sums.select(F.col("label").alias("label_a"), "pos", F.col("__s").alias("__sa"))
+    b = sums.select(F.col("label").alias("label_b"), "pos", F.col("__s").alias("__sb"))
+    pairs = a.join(F.broadcast(b), "pos").filter(F.col("label_a") < F.col("label_b"))
+    dots = pairs.groupBy("label_a", "label_b").agg(
+        F.sum(F.col("__sa") * F.col("__sb")).alias("__dot")
+    )
+    norms = sums.groupBy("label").agg(F.sum(F.col("__s") * F.col("__s")).alias("__ssq"))
+    na = norms.select(F.col("label").alias("label_a"), F.col("__ssq").alias("__ssqa"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("__ssq").alias("__ssqb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("__dot").cast("double")
+                / F.sqrt(F.col("__ssqa").cast("double") * F.col("__ssqb").cast("double")),
+                6,
+            ).alias("centroid_cos"),
+        )
+    )
+
+
+Q157_SQL = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), sums AS (
+  SELECT label, pos,
+         CAST(sum(CAST(v AS DECIMAL(25,6))) AS DECIMAL(18,6)) AS s
+  FROM ex GROUP BY 1, 2
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.s * b.s) AS dot
+  FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+), norms AS (
+  SELECT label, sum(s * s) AS ssq FROM sums GROUP BY 1
+)
+SELECT label_a, label_b,
+       round(CAST(dot AS DOUBLE)
+             / sqrt(CAST(na.ssq AS DOUBLE) * CAST(nb.ssq AS DOUBLE)), 6)
+         AS centroid_cos
+FROM dots
+JOIN norms na ON label_a = na.label
+JOIN norms nb ON label_b = nb.label
+"""
+
+
+QUERIES.update({"q157_centroid_similarity": q157_centroid_similarity})
+ORACLE_SQL.update({"q157_centroid_similarity": Q157_SQL})

@@ -286,7 +286,7 @@ def test_round8_third_wave_plans(spark, sf_smoke):
         ("q114_rolling_wau", 4),        # (user,day) dedup, day dim, 2-phase count_distinct
         ("q115_golden_record", 1),      # ONE survivorship aggregate
         ("q116_quantile_normalize", 1), # one window on the source key
-        ("q117_skew_report", 2),        # key count agg + dimension-sized rank
+        ("q117_skew_report", 3),        # key count agg + TakeOrdered top-20 + total agg (r9 rewrite)
     ):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
@@ -384,7 +384,7 @@ def test_round8_experimentation_plans(spark, sf_smoke):
 def test_round8_final_wave_plans(spark, sf_smoke):
     for name, max_shuffles in (
         ("q139_forecast_eval", 3),   # (type,day) agg + lag window + type agg
-        ("q140_pareto_coverage", 3), # part agg + ordered cumsum + final agg
+        ("q140_pareto_coverage", 4), # part agg + pid-window prefix sum + totals + final agg (r9)
     ):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, f"{name} fell off the JVM path"
@@ -498,4 +498,23 @@ def test_round9_tpch_wave_plans(spark, sf_smoke):
         assert uses_broadcast_join(QUERIES[name](spark, sf_smoke)), name
     assert "TakeOrderedAndProject" in formatted_plan(
         QUERIES["q150_returned_top_customers"](spark, sf_smoke)
+    )
+
+
+def test_round9_pipeline_wave_plans(spark, sf_smoke):
+    """q154-q157: Python-free, bounded shuffles; q156's global top-15
+    is a TakeOrderedAndProject, and q154's probe is a semi join."""
+    from nlu_data_warehouse_project_spark.plans import formatted_plan
+
+    for name, max_shuffles in (
+        ("q154_contamination_check", 6),
+        ("q155_retention_cohorts", 4),
+        ("q156_collocations", 5),
+        ("q157_centroid_similarity", 4),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+    assert "TakeOrderedAndProject" in formatted_plan(
+        QUERIES["q156_collocations"](spark, sf_smoke)
     )
