@@ -156,20 +156,34 @@ def exact_global_rank(
     )
 
 
-def _cumulative_offsets(parted: DataFrame, agg_expr) -> DataFrame:
-    """Per-partition aggregate of ``agg_expr`` (count for ranks, sum
-    for prefix sums) rolled into exclusive cumulative offsets.  One
+def _cumulative_offsets(parted: DataFrame, agg_expr, how: str = "sum") -> DataFrame:
+    """Per-partition aggregate of ``agg_expr`` (count for ranks,
+    sum/max/min for prefix aggregates) rolled into EXCLUSIVE cumulative
+    offsets — partition p's offset folds partitions 0..p-1 only.  One
     tiny job: the groupBy key space is the partition-id set, so both
-    the shuffle and the collect are bounded by the partition count."""
+    the shuffle and the collect are bounded by the partition count.
+    For max/min the first partition's offset is NULL (no predecessor);
+    consumers combine with greatest/least, which skip NULLs."""
     import decimal
 
     agg_df = parted.groupBy("__pid").agg(agg_expr.alias("__v"))
     vtype = agg_df.schema["__v"].dataType.simpleString()
     rows = sorted(agg_df.collect(), key=lambda r: r["__pid"])
-    out, acc = [], decimal.Decimal(0) if vtype.startswith("decimal") else 0
-    for r in rows:
-        out.append((int(r["__pid"]), acc))
-        acc += r["__v"]
+    out: list = []
+    if how == "sum":
+        acc = decimal.Decimal(0) if vtype.startswith("decimal") else 0
+        for r in rows:
+            out.append((int(r["__pid"]), acc))
+            acc += r["__v"]
+    elif how in ("max", "min"):
+        pick = max if how == "max" else min
+        acc = None
+        for r in rows:
+            out.append((int(r["__pid"]), acc))
+            if r["__v"] is not None:
+                acc = r["__v"] if acc is None else pick(acc, r["__v"])
+    else:
+        raise ValueError(f"how={how!r} (sum|max|min)")
     # the offsets frame carries the aggregate's EXACT type (long
     # counts, DECIMAL(p,s) sums) so downstream arithmetic keeps its
     # cross-engine bit-exactness instead of inheriting Python-Decimal
@@ -251,6 +265,60 @@ def approx_value_buckets(
     )
 
 
+def exact_prefix_agg(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    how: str = "sum",
+    cum_col: str = "cum",
+    rank_col: str | None = None,
+    num_partitions: int | None = None,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Exact running sum/max/min over a total order, distributed: local
+    prefix aggregates inside each range partition (a window PARTITIONED
+    by ``__pid`` — every sort task is one range chunk, never the whole
+    table) plus broadcast per-partition offsets.  The value's exact
+    type carries through (DECIMAL sums stay DECIMAL — the offsets
+    frame is built from the collected ``Decimal`` values), so running
+    DECIMAL ledgers keep their cross-engine bit-exactness.
+
+    ``exclusive=True`` aggregates STRICTLY-preceding rows only (the
+    first row in the total order gets NULL for max/min, the additive
+    identity for sum) — the frame a sort-based skyline or
+    "best-so-far" comparison needs."""
+    from pyspark.sql import Window
+
+    fns = {"sum": F.sum, "max": F.max, "min": F.min}
+    if how not in fns:
+        raise ValueError(f"how={how!r} (sum|max|min)")
+    fn = fns[how]
+    parted = _range_parted_with_ids(df, order_cols, num_partitions)
+    roff = _cumulative_offsets(parted, F.count(F.lit(1)))
+    voff = _cumulative_offsets(parted, fn(value_col), how).withColumnRenamed("__off", "__voff")
+    hi = -1 if exclusive else 0
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__idx")
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = fn(value_col).over(w)
+    if how == "sum":
+        combined = F.coalesce(F.col("__voff"), F.lit(0)) + F.coalesce(local, F.lit(0))
+    elif how == "max":
+        combined = F.greatest(F.col("__voff"), local)
+    else:
+        combined = F.least(F.col("__voff"), local)
+    out = (
+        parted.join(F.broadcast(roff), "__pid")
+        .join(F.broadcast(voff), "__pid")
+        .withColumn(cum_col, combined)
+    )
+    if rank_col is not None:
+        out = out.withColumn(rank_col, (F.col("__off") + F.col("__idx") + 1).cast("long"))
+    return out.drop("__pid", "__idx", "__off", "__voff")
+
+
 def exact_prefix_sum(
     df: DataFrame,
     order_cols: list,
@@ -259,31 +327,11 @@ def exact_prefix_sum(
     rank_col: str | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Exact running total over a total order, distributed: local
-    cumulative sums inside each range partition (a window PARTITIONED
-    by ``__pid`` — every sort task is one range chunk, never the whole
-    table) plus broadcast per-partition sum offsets.  The value's
-    exact type carries through (DECIMAL sums stay DECIMAL — the
-    offsets frame is built from the collected ``Decimal`` values), so
-    running DECIMAL ledgers keep their cross-engine bit-exactness."""
-    from pyspark.sql import Window
-
-    parted = _range_parted_with_ids(df, order_cols, num_partitions)
-    roff = _cumulative_offsets(parted, F.count(F.lit(1)))
-    voff = _cumulative_offsets(parted, F.sum(value_col)).withColumnRenamed("__off", "__voff")
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy("__idx")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    """Inclusive exact running total — ``exact_prefix_agg(how='sum')``."""
+    return exact_prefix_agg(
+        df, order_cols, value_col, how="sum", cum_col=cum_col,
+        rank_col=rank_col, num_partitions=num_partitions,
     )
-    out = (
-        parted.join(F.broadcast(roff), "__pid")
-        .join(F.broadcast(voff), "__pid")
-        .withColumn(cum_col, F.col("__voff") + F.sum(value_col).over(w))
-    )
-    if rank_col is not None:
-        out = out.withColumn(rank_col, (F.col("__off") + F.col("__idx") + 1).cast("long"))
-    return out.drop("__pid", "__idx", "__off", "__voff")
 
 
 def zorder_value(

@@ -7549,3 +7549,157 @@ JOIN norms nb ON label_b = nb.label
 
 QUERIES.update({"q157_centroid_similarity": q157_centroid_similarity})
 ORACLE_SQL.update({"q157_centroid_similarity": Q157_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles by rank selection (q158)
+# ---------------------------------------------------------------------------
+
+def q158_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete quantiles (p25/50/75/90) of order value by rank
+    selection over `operators/scale.exact_global_rank` — the exact
+    complement of q146's sketch fences: quantile_disc(p) is the element
+    at rank ceil(p·n), and the rank frame is range-partitioned, so the
+    selection is a broadcast join against four target ranks instead of
+    any single-partition sort.  `ceil` runs on exact integers (p scaled
+    to quarters/tenths — no float boundary)."""
+    from .operators.scale import exact_global_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    ranked = exact_global_rank(
+        orders.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        rank_col="__rk",
+    )
+    tot = orders.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # ceil(p*n) in integers: (num*n + den - 1) div den
+    targets = (
+        spark.createDataFrame([(25,), (50,), (75,), (90,)], "pct int")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pct",
+            F.expr("(pct * __n + 99) div 100").cast("long").alias("__target"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(targets), ranked["__rk"] == targets["__target"])
+        .select("pct", F.col("o_totalprice").alias("value"))
+    )
+
+
+Q158_SQL = """
+SELECT 25 AS pct, quantile_disc(o_totalprice, 0.25) AS value FROM orders
+UNION ALL SELECT 50, quantile_disc(o_totalprice, 0.50) FROM orders
+UNION ALL SELECT 75, quantile_disc(o_totalprice, 0.75) FROM orders
+UNION ALL SELECT 90, quantile_disc(o_totalprice, 0.90) FROM orders
+"""
+
+
+QUERIES.update({"q158_exact_quantiles": q158_exact_quantiles})
+ORACLE_SQL.update({"q158_exact_quantiles": Q158_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Price/size skyline (q159)
+# ---------------------------------------------------------------------------
+
+def q159_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto frontier of the part catalog: parts no other part
+    beats on BOTH price and size — sort-based skyline over
+    `operators/scale.exact_prefix_agg(how='max', exclusive=True)`:
+    order by (price asc, size desc, key asc); a part survives iff its
+    size strictly exceeds the best size among all STRICTLY-preceding
+    rows (cheaper, or same price and bigger — so same-(price,size)
+    duplicates keep the min key).  The prefix max is distributed the
+    same way as the rank family — range partitions + broadcast
+    offsets, no single-partition window at any size."""
+    from .operators.scale import exact_prefix_agg
+
+    part = _t(spark, sf_dir, "part")
+    pm = exact_prefix_agg(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        [F.col("p_retailprice").asc(), F.col("p_size").desc(), F.col("p_partkey").asc()],
+        "p_size",
+        how="max",
+        cum_col="__best_before",
+        exclusive=True,
+    )
+    return pm.filter(
+        F.col("__best_before").isNull() | (F.col("p_size") > F.col("__best_before"))
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+Q159_SQL = """
+WITH ranked AS (
+  SELECT p_partkey, p_retailprice, p_size,
+         max(p_size) OVER (ORDER BY p_retailprice ASC, p_size DESC, p_partkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_before
+  FROM part
+)
+SELECT p_partkey, p_retailprice, p_size
+FROM ranked WHERE best_before IS NULL OR p_size > best_before
+"""
+
+
+QUERIES.update({"q159_price_size_skyline": q159_price_size_skyline})
+ORACLE_SQL.update({"q159_price_size_skyline": Q159_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution (q160)
+# ---------------------------------------------------------------------------
+
+def q160_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — q127's last-touch sibling:
+    every click in the hour STRICTLY before a purchase shares the
+    credit equally (1/n per touch), and each click's total credit sums
+    over the purchases it touched.  The touch join is a user-keyed
+    equi-join with the time band as a residual predicate (one shuffle
+    on user_id, exactly the q22/q31 shape); credits divide exact
+    integers in IEEE doubles (1/n then summed after a per-click
+    integer rollup — n_touches and per-pair counts stay BIGINT)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("__pid_ev"), F.col("user_id"), F.col("ts").alias("__pts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("__cts"), F.col("event_id").alias("click_event_id")
+    )
+    touches = purchases.join(clicks, "user_id").filter(
+        (F.col("__cts") < F.col("__pts"))
+        & (F.col("__cts") >= F.col("__pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    per_purchase = touches.groupBy("__pid_ev").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_touch")
+    )
+    credited = touches.join(per_purchase, "__pid_ev").select(
+        "click_event_id",
+        (F.lit(1.0) / F.col("__n_touch").cast("double")).alias("__credit"),
+    )
+    return credited.groupBy("click_event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases_touched"),
+        F.round(F.sum("__credit"), 6).alias("total_credit"),
+    )
+
+
+Q160_SQL = """
+WITH touches AS (
+  SELECT p.event_id AS pid, c.event_id AS click_event_id
+  FROM events p JOIN events c
+    ON p.user_id = c.user_id
+   AND p.event_type = 'purchase' AND c.event_type = 'click'
+   AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+), per_purchase AS (
+  SELECT pid, CAST(count(*) AS BIGINT) AS n_touch FROM touches GROUP BY 1
+)
+SELECT click_event_id,
+       CAST(count(*) AS BIGINT) AS n_purchases_touched,
+       round(sum(1.0 / CAST(n_touch AS DOUBLE)), 6) AS total_credit
+FROM touches JOIN per_purchase USING (pid)
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q160_linear_attribution": q160_linear_attribution})
+ORACLE_SQL.update({"q160_linear_attribution": Q160_SQL})

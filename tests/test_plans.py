@@ -518,3 +518,20 @@ def test_round9_pipeline_wave_plans(spark, sf_smoke):
     assert "TakeOrderedAndProject" in formatted_plan(
         QUERIES["q156_collocations"](spark, sf_smoke)
     )
+
+
+def test_round9_rank_showcase_plans(spark, sf_smoke):
+    """q158-q160: rank-family consumers stay window-free (q158/q159 ride
+    the broadcast-offset machinery), attribution is one user-keyed
+    equi-join family; all Python-free."""
+    from nlu_data_warehouse_project_spark.plans import window_count
+
+    for name, max_windows, max_shuffles in (
+        ("q158_exact_quantiles", 0, 2),
+        ("q159_price_size_skyline", 1, 1),   # the pid-partitioned prefix window
+        ("q160_linear_attribution", 0, 4),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert window_count(q) <= max_windows, (name, window_count(q))
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))

@@ -198,3 +198,32 @@ def test_exact_prefix_sum_matches_window_and_keeps_decimal(spark):
     assert got == ref
     # DECIMAL survives: no silent drift to (38,18) or double
     assert dict(out.dtypes)["c"].startswith("decimal"), out.dtypes
+
+
+def test_exact_prefix_agg_max_min_exclusive(spark):
+    """Prefix max/min (inclusive and exclusive) match the window
+    reference, across partition boundaries and the NULL-for-first-row
+    exclusive edge."""
+    from pyspark.sql import Window
+
+    from nlu_data_warehouse_project_spark.operators.scale import exact_prefix_agg
+
+    df = _rank_fixture(spark, n=500)
+    order = [F.col("k").asc()]
+    w = Window.orderBy(F.col("k").asc())
+    ref = {r["k"]: (r["mx"], r["mn"], r["xmx"]) for r in df.select(
+        "k",
+        F.max("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("mx"),
+        F.min("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("mn"),
+        F.max("v").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("xmx"),
+    ).collect()}
+    mx = {r["k"]: r["c"] for r in exact_prefix_agg(
+        df, order, "v", how="max", cum_col="c", num_partitions=7).collect()}
+    mn = {r["k"]: r["c"] for r in exact_prefix_agg(
+        df, order, "v", how="min", cum_col="c", num_partitions=7).collect()}
+    xmx = {r["k"]: r["c"] for r in exact_prefix_agg(
+        df, order, "v", how="max", cum_col="c", num_partitions=7,
+        exclusive=True).collect()}
+    assert all(ref[k][0] == mx[k] for k in ref)
+    assert all(ref[k][1] == mn[k] for k in ref)
+    assert xmx[0] is None and all(ref[k][2] == xmx[k] for k in ref)
