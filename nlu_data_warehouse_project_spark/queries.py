@@ -7703,3 +7703,162 @@ GROUP BY 1
 
 QUERIES.update({"q160_linear_attribution": q160_linear_attribution})
 ORACLE_SQL.update({"q160_linear_attribution": Q160_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Densified daily event series (q161)
+# ---------------------------------------------------------------------------
+
+def q161_dense_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the COMPLETE daily count series over the
+    corpus's [min, max] day span — days with zero events appear as
+    explicit 0 rows (a model-training feature pipeline needs dense
+    series; a groupBy emits only observed days and silently teaches the
+    model that gaps never happen).  The day spine is one `sequence`
+    over the global min/max (a 1-row aggregate exploded — rows =
+    days × types, never data-sized), cross-joined with the type dim
+    and left-joined to the observed counts."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("__lo"),
+        F.max(F.col("ts").cast("date")).alias("__hi"),
+    ).select(F.explode(F.expr("sequence(__lo, __hi, interval 1 day)")).alias("day"))
+    types = ev.select("event_type").distinct()
+    observed = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    spine = days.crossJoin(F.broadcast(types))
+    return (
+        spine.join(observed, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+Q161_SQL = """
+WITH span AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+), days AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM span
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), observed AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT days.day, types.event_type,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events
+FROM days CROSS JOIN types
+LEFT JOIN observed ON days.day = observed.day AND types.event_type = observed.event_type
+"""
+
+
+QUERIES.update({"q161_dense_daily_series": q161_dense_daily_series})
+ORACLE_SQL.update({"q161_dense_daily_series": Q161_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate by day (q162)
+# ---------------------------------------------------------------------------
+
+def q162_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (q21's 30-minute-gap
+    sessionization, one user-keyed sort) containing exactly one event,
+    keyed by the session's first day.  The per-session rollup reuses
+    the session window's exchange; the day rollup divides exact BIGINTs
+    in one IEEE division."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800)
+    sess = ev.withColumn(
+        "__new", F.when(F.lag("ts").over(w).isNull() | gap, 1).otherwise(0)
+    ).withColumn(
+        "__sid", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per = sess.groupBy("user_id", "__sid").agg(
+        F.min(F.col("ts").cast("date")).alias("__day"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    return per.groupBy(F.col("__day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)).cast("long").alias("n_bounce"),
+        F.round(
+            F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
+Q162_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+), per AS (
+  SELECT user_id, sid, min(CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM s GROUP BY 1, 2
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+FROM per GROUP BY 1
+"""
+
+
+QUERIES.update({"q162_bounce_rate": q162_bounce_rate})
+ORACLE_SQL.update({"q162_bounce_rate": Q162_SQL})
+
+
+# ---------------------------------------------------------------------------
+# HLL approximate distinct users (q163)
+# ---------------------------------------------------------------------------
+
+def q163_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via HyperLogLog++
+    (`approx_count_distinct`, rsd 2 %) — THE cardinality primitive at
+    100 TB, where exact count_distinct is a full shuffle of the key
+    space and the sketch is a mergeable few-KB aggregate.  Sketch
+    estimates are engine-specific by nature, so this is gated by the
+    TOLERANCE gate in tools/check_oracle.py (each estimate within 5 %
+    of the exact per-type count from the q163 twin), the
+    approximate-operator analog of q34/q147's recall floor."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).cast("long").alias("approx_users")
+    )
+
+
+def q163x_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin for q163's tolerance gate (not itself a catalog
+    entry shape worth keeping separate — q100-family covers exact
+    distincts — but the gate needs a same-keyed exact frame)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+
+
+QUERIES.update({
+    "q163_approx_distinct_users": q163_approx_distinct_users,
+    "q163x_exact_distinct_users": q163x_exact_distinct_users,
+})
+ORACLE_SQL.update({
+    "q163x_exact_distinct_users": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM events GROUP BY 1
+""",
+})

@@ -535,3 +535,17 @@ def test_round9_rank_showcase_plans(spark, sf_smoke):
         assert python_udf_count(q) == 0, name
         assert window_count(q) <= max_windows, (name, window_count(q))
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+
+
+def test_round9_series_wave_plans(spark, sf_smoke):
+    """q161-q163: densify's spine is a broadcast cross join of two tiny
+    frames; bounce reuses the session window's single user exchange;
+    HLL is one mergeable aggregate."""
+    for name, max_shuffles in (
+        ("q161_dense_daily_series", 4),
+        ("q162_bounce_rate", 2),
+        ("q163_approx_distinct_users", 1),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))

@@ -57,6 +57,43 @@ RECALL_GATES = {
     "q147_pq_adc_topk": ("q18_cosine_topk", ("query_id", "neighbor_id"), 0.8),
 }
 
+# Sketch estimators (HLL counts etc.) are numeric approximations, not
+# top-k sets: gate each estimate within rel_tol of the exact twin's
+# value, joined on the key columns.
+# name -> (exact twin query, key cols, approx col, exact col, rel_tol)
+TOLERANCE_GATES = {
+    "q163_approx_distinct_users": (
+        "q163x_exact_distinct_users", ("event_type",), "approx_users", "exact_users", 0.05,
+    ),
+}
+
+
+def _tolerance_check(name, qs, spark, sf_dir, srows, scols, t0):
+    twin, keys, acol, ecol, tol = TOLERANCE_GATES[name]
+    ki = [scols.index(k) for k in keys]
+    ai = scols.index(acol)
+    approx = {tuple(r[i] for i in ki): r[ai] for r in srows}
+    edf = qs[twin](spark, sf_dir)
+    ecols = edf.columns
+    kj = [ecols.index(k) for k in keys]
+    ej = ecols.index(ecol)
+    exact = {tuple(r[i] for i in kj): r[ej] for r in edf.collect()}
+    if set(approx) != set(exact):
+        print(f"FAIL  {name}: key sets differ from {twin}")
+        return 1
+    worst = max(
+        abs(approx[k] - exact[k]) / exact[k] if exact[k] else abs(approx[k])
+        for k in exact
+    )
+    if worst <= tol:
+        print(
+            f"ok    {name}: rows={len(srows)} "
+            f"(max rel err {worst:.3f} <= {tol} vs {twin}) [{time.time()-t0:.1f}s]"
+        )
+        return 0
+    print(f"FAIL  {name}: max rel err {worst:.3f} > {tol} vs {twin}")
+    return 1
+
 
 def _recall_check(name, fn, qs, spark, sf_dir, srows, scols, t0):
     twin, (a, b), floor = RECALL_GATES[name]
@@ -126,6 +163,8 @@ def main() -> int:
         if name not in sqls:
             if name in RECALL_GATES:
                 failures += _recall_check(name, fn, qs, spark, sf_dir, srows, scols, t0)
+            elif name in TOLERANCE_GATES:
+                failures += _tolerance_check(name, qs, spark, sf_dir, srows, scols, t0)
             else:
                 print(f"weak  {name}: rows={len(srows)} (no oracle, rows-only check) [{time.time()-t0:.1f}s]")
             continue
