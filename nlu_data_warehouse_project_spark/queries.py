@@ -7862,3 +7862,124 @@ SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
 FROM events GROUP BY 1
 """,
 })
+
+
+# ---------------------------------------------------------------------------
+# Dedup pressure over ingest order (q164)
+# ---------------------------------------------------------------------------
+
+def q164_dedup_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate PRESSURE along the ingest timeline: per 100-doc
+    bucket, how many docs repeat a fingerprint first seen in an
+    earlier doc (q124 sizes the clusters; this shows WHEN the
+    duplicates arrive — a crawl that starts re-fetching shows a rising
+    curve, the q126 vocab-flattening signal from the other side).
+    First-seen is one min aggregate per fingerprint; a doc is a dup
+    iff its id is not its fingerprint's min.  Same synthetic corpus
+    convention as q14/q124 so clusters actually exist."""
+    from .functions.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    ).unionByName(docs.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    ))
+    fp = corpus.select("doc_id", doc_fingerprint("text").alias("__fp"))
+    first = fp.groupBy("__fp").agg(F.min("doc_id").alias("__first"))
+    flagged = fp.join(first, "__fp").select(
+        "doc_id", (F.col("doc_id") != F.col("__first")).alias("__is_dup")
+    )
+    return (
+        flagged.groupBy(F.expr("doc_id div 100").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("__is_dup").cast("int")).cast("long").alias("n_dups"),
+            F.round(
+                F.sum(F.col("__is_dup").cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+Q164_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 100
+), fp AS (
+  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+  FROM corpus
+), first AS (
+  SELECT f, min(doc_id) AS first_doc FROM fp GROUP BY 1
+)
+SELECT CAST(doc_id // 100 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id <> first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       round(CAST(sum(CASE WHEN doc_id <> first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM fp JOIN first USING (f)
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q164_dedup_pressure": q164_dedup_pressure})
+ORACLE_SQL.update({"q164_dedup_pressure": Q164_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Per-type daily trend slopes (q165)
+# ---------------------------------------------------------------------------
+
+def q165_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of daily volume per event type — the
+    one-number "is this stream growing?" answer, computed the
+    engine-stable way: x = integer day index, y = BIGINT daily count,
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with every moment an
+    exact integer aggregate and ONE IEEE-double division at the end
+    (the q120/q137 rule: floats may divide, never accumulate).  Two
+    stacked aggregates on tiny frames after the per-day rollup."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")).alias("__x")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__y"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    den = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    return m.select(
+        "event_type",
+        F.col("__n").alias("n_days"),
+        F.round(num / den, 6).alias("slope_events_per_day"),
+    )
+
+
+Q165_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_events_per_day
+FROM m
+"""
+
+
+QUERIES.update({"q165_trend_slopes": q165_trend_slopes})
+ORACLE_SQL.update({"q165_trend_slopes": Q165_SQL})

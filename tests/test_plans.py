@@ -549,3 +549,13 @@ def test_round9_series_wave_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+
+
+def test_round9_trend_wave_plans(spark, sf_smoke):
+    for name, max_shuffles in (
+        ("q164_dedup_pressure", 3),
+        ("q165_trend_slopes", 2),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
