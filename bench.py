@@ -218,7 +218,12 @@ def main() -> None:
                  "q90_interval_overlap", "q97_sliding_window",
                  "q104_small_qty_revenue", "q105_min_cost_supplier",
                  "q107_embedding_drift", "q108_dispersion_stats",
-                 "q111_inverted_index", "q114_rolling_wau", "q115_golden_record"):
+                 "q111_inverted_index", "q114_rolling_wau", "q115_golden_record",
+                 # round 9: the distributed-rank family + the new heavy text ops
+                 "q129_order_deciles", "q140_pareto_coverage",
+                 "q146_order_deciles_approx", "q150_returned_top_customers",
+                 "q154_contamination_check", "q156_collocations",
+                 "q164_dedup_pressure"):
         med = time_query(name)
         if med is not None:
             extra_queries[name.split("_")[0]] = med
