@@ -722,3 +722,57 @@ def test_curate_corpus_line_dedup_and_safety_stages(spark):
     collapsed = {r["doc_id"] for r in curate_corpus(df, max_bucket_size=None).collect()}
     assert collapsed < kept | {10}
     assert len(collapsed) < 4
+
+
+def test_minhash_band_index_incremental_neardup(spark, tmp_path):
+    """Persistent LSH sidecar: batch near-dedup against the settled
+    corpus via the saved band table matches the direct two-phase
+    computation, sync is O(delta) on appends, rebuilds on restore, and
+    is idempotent."""
+    from nlu_data_warehouse_project_spark.operators.minhashindex import MinHashBandIndex
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    base = ("the quick brown fox jumps over the lazy dog near the old river bank "
+            "while morning light settles on the quiet water")
+    alt = ("a completely different story about training data pipelines running "
+            "at petabyte scale with deterministic sampling everywhere")
+    near = base.replace("quiet water", "quiet harbor")        # high jaccard dup
+    docs = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    corpus.commit_append(docs([(1, base)]), "d1")
+    idx = MinHashBandIndex(corpus, threshold=0.5)
+    assert idx.sync() == 1
+    rows_v1 = idx.index.read().count()
+    assert rows_v1 > 0
+
+    # O(delta): appending one doc grows the band table by ONE doc's bands
+    corpus.commit_append(docs([(2, alt)]), "d2")
+    assert idx.sync() == 2
+    assert idx.index.read().count() == 2 * rows_v1
+    assert idx.sync() == 2  # idempotent: no new index version
+    assert idx.index.latest_version() == 2
+
+    # batch: 10=near-dup of corpus 1, 11=exact dup of corpus 2,
+    # 12+13=mutual in-batch dups (lowest survives), 14=fresh
+    batch = docs([
+        (10, near), (11, alt),
+        (12, base.replace("morning", "evening")), (13, base.replace("morning", "evening")),
+        (14, "entirely novel text about spark physical plans and broadcast joins "
+             "with no overlap whatsoever against anything settled"),
+    ])
+    got = sorted(r["doc_id"] for r in idx.dedup(batch).collect())
+    # 12 near-dups corpus doc 1 too (single word changed) -> dropped;
+    # so the survivors are exactly the genuinely novel doc
+    assert got == [14], got
+
+    # restore shrinks the corpus -> sync must rebuild, and doc 2's
+    # bands must be gone from the index
+    corpus.restore(1)
+    assert idx.sync() == 3
+    man = idx.index.manifest()
+    assert man["synced_corpus_version"] == 3
+    assert idx.index.read().count() == rows_v1
+    # alt is ingestable again after the rollback
+    got2 = sorted(r["doc_id"] for r in idx.dedup(docs([(20, alt)])).collect())
+    assert got2 == [20]
