@@ -437,6 +437,8 @@ def make_corpus_ingest_processor(
     max_punct: float = 0.2,
     gopher_rules: bool = False,
     use_bloom: bool = False,
+    near_dedup: bool = False,
+    near_threshold: float = 0.8,
     contract=None,
 ):
     """The foreachBatch body of ``streaming_corpus_ingest``, exposed so
@@ -486,6 +488,19 @@ def make_corpus_ingest_processor(
 
         bloom_index = BloomFingerprintIndex(corpus)
 
+    # near_dedup: ALSO drop paraphrase-level copies (exact shingle
+    # Jaccard >= near_threshold) of the settled corpus or of a lower-id
+    # batch row, via the persistent MinHash band sidecar — sync() per
+    # micro-batch folds only the segments the previous batches
+    # committed (O(delta), the near-dup twin of use_bloom)
+    mh_index = None
+    if near_dedup:
+        from ..operators.minhashindex import MinHashBandIndex
+
+        mh_index = MinHashBandIndex(
+            corpus, text_col=text_col, id_col=id_col, threshold=near_threshold
+        )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if _replayed_batch(corpus, batch_id):
             return  # replayed micro-batch: commit already visible
@@ -510,6 +525,9 @@ def make_corpus_ingest_processor(
                 gated, gated.limit(0).select(F.lit("").alias("fingerprint")),
                 text_col, id_col, existing_is_fingerprints=True,
             )
+        if mh_index is not None:
+            mh_index.sync()
+            survivors = mh_index.dedup(survivors)
         delta = survivors.withColumn("fingerprint", doc_fingerprint(text_col))
         if contract:
             from ..operators.expectations import enforce

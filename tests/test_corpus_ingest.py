@@ -427,3 +427,27 @@ def test_drift_alarm_and_contract_block_publish_end_to_end(spark, tmp_path):
     assert corpus.read().count() == 30                    # no drifted rows
     assert [r["batch_id"] for r in alarms] == [1]
     assert alarms[0]["chi2"] is not None and alarms[0]["chi2"] > 5.0
+
+
+def test_ingest_near_dedup_gate_via_minhash_sidecar(spark, tmp_path):
+    """near_dedup=True: each micro-batch near-dedups against the
+    settled corpus through the persistent MinHash band sidecar (synced
+    O(delta) per batch) on top of the exact-fingerprint gate."""
+    corpus = TxTable(spark, str(tmp_path / "corpus_nd"))
+    base = ("the quick brown fox jumps over the lazy dog near the old river "
+            "bank while morning light settles on the quiet water")
+    process = make_corpus_ingest_processor(
+        corpus, min_tokens=5, near_dedup=True, near_threshold=0.5
+    )
+    process(spark.createDataFrame([(1, base)], SCHEMA), 0)
+    assert [r["doc_id"] for r in corpus.read().collect()] == [1]
+
+    near = base.replace("quiet water", "quiet harbor")
+    fresh = ("entirely novel text about spark physical plans and broadcast "
+             "joins with no overlap against anything settled at all")
+    process(spark.createDataFrame([(2, near), (3, fresh)], SCHEMA), 1)
+    assert sorted(r["doc_id"] for r in corpus.read().collect()) == [1, 3]
+
+    # replay of batch 1 is still a no-op (no sidecar double-fold)
+    process(spark.createDataFrame([(2, near), (3, fresh)], SCHEMA), 1)
+    assert corpus.read().count() == 2
