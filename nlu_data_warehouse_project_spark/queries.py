@@ -7983,3 +7983,122 @@ FROM m
 
 QUERIES.update({"q165_trend_slopes": q165_trend_slopes})
 ORACLE_SQL.update({"q165_trend_slopes": Q165_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Weighted median price per return flag (q166)
+# ---------------------------------------------------------------------------
+
+def q166_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of extended price per return flag —
+    the robust "typical shipped unit price" (an unweighted median
+    over-counts small lines).  Defined exactly: the smallest price
+    whose cumulative quantity reaches half the flag's total, with the
+    half compare multiplied out (2·cum >= tot in DECIMAL — no 0.5
+    float).  The window frames are (flag x DISTINCT price) after the
+    pre-aggregate — bounded by the 2-decimal price domain, not the
+    row count — and partition by flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    wp = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(_dec("l_quantity")).alias("__w")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    c = wp.withColumn("__cum", F.sum("__w").over(wcum)).withColumn(
+        "__tot", F.sum("__w").over(wtot)
+    )
+    crossed = c.filter(
+        F.col("__cum") * F.lit(2).cast("decimal(2,0)") >= F.col("__tot")
+    )
+    return crossed.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").cast("double").alias("weighted_median_price"),
+        F.max("__tot").cast("double").alias("total_qty"),
+    )
+
+
+Q166_SQL = """
+WITH wp AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(CAST(l_quantity AS DECIMAL(25,6))) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM wp
+)
+SELECT l_returnflag,
+       CAST(min(l_extendedprice) AS DOUBLE) AS weighted_median_price,
+       CAST(max(tot) AS DOUBLE) AS total_qty
+FROM c WHERE cum * 2 >= tot
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q166_weighted_median": q166_weighted_median})
+ORACLE_SQL.update({"q166_weighted_median": Q166_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Customer-spend concentration (HHI) per nation (q167)
+# ---------------------------------------------------------------------------
+
+def q167_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of customer spend per nation — the
+    antitrust-style "is one whale the whole market" number, the
+    per-group cousin of q120's global Gini.  HHI = Σ revᵢ² / (Σ rev)²
+    over each nation's customers; revenues pin to DECIMAL(18,6) so the
+    squares are exact DECIMAL(37,12) on both engines (no precision-cap
+    rounding), and the one division runs in IEEE doubles.  Two stacked
+    keyed aggregates — no windows at all."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    per_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(_dec("o_totalprice")).cast("decimal(18,6)").alias("__rev"))
+    )
+    agg = per_cust.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("__rev") * F.col("__rev")).alias("__sq"),
+        F.sum("__rev").alias("__tot"),
+    )
+    return agg.select(
+        "nation",
+        "n_customers",
+        F.round(
+            F.col("__sq").cast("double")
+            / (F.col("__tot").cast("double") * F.col("__tot").cast("double")),
+            8,
+        ).alias("hhi"),
+    )
+
+
+Q167_SQL = """
+WITH per_cust AS (
+  SELECT n_name AS nation, c_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(18,6)) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       -- one operand widened to DECIMAL(19,6): DuckDB's width-18
+       -- multiply stays INT64-backed and overflows; 18+19 = width 37
+       -- runs on HUGEINT and is exact at scale 12, matching Spark's
+       -- (18,6)x(18,6) -> (37,12) exact product
+       round(CAST(sum(rev * CAST(rev AS DECIMAL(19,6))) AS DOUBLE)
+             / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)), 8) AS hhi
+FROM per_cust GROUP BY 1
+"""
+
+
+QUERIES.update({"q167_spend_concentration": q167_spend_concentration})
+ORACLE_SQL.update({"q167_spend_concentration": Q167_SQL})

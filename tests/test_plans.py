@@ -559,3 +559,14 @@ def test_round9_trend_wave_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+
+
+def test_round9_final_wave_plans(spark, sf_smoke):
+    for name, max_shuffles in (
+        ("q166_weighted_median", 2),   # price pre-agg + flag window family
+        ("q167_spend_concentration", 3),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+    assert uses_broadcast_join(QUERIES["q167_spend_concentration"](spark, sf_smoke))
