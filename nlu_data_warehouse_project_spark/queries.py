@@ -8102,3 +8102,167 @@ FROM per_cust GROUP BY 1
 
 QUERIES.update({"q167_spend_concentration": q167_spend_concentration})
 ORACLE_SQL.update({"q167_spend_concentration": Q167_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year revenue growth per nation (q168)
+# ---------------------------------------------------------------------------
+
+def q168_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation: DECIMAL
+    yearly revenue, lag() within each nation's year series (frames are
+    nation x year — dimension-sized), growth as one IEEE division of
+    exact decimals, NULL for the first year.  The standard reporting
+    shape the mart layer serves."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("year"))
+        .agg(F.sum(_dec("o_totalprice")).alias("__rev"))
+    )
+    w = Window.partitionBy("nation").orderBy("year")
+    out = yearly.withColumn("__prev", F.lag("__rev").over(w))
+    return out.select(
+        "nation",
+        "year",
+        F.round("__rev", 2).cast("double").alias("revenue"),
+        F.round(
+            (F.col("__rev") - F.col("__prev")).cast("double")
+            / F.col("__prev").cast("double"),
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
+Q168_SQL = """
+WITH yearly AS (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS year,
+         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, year,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(CAST(rev - lag(rev) OVER (PARTITION BY nation ORDER BY year) AS DOUBLE)
+             / CAST(lag(rev) OVER (PARTITION BY nation ORDER BY year) AS DOUBLE), 6)
+         AS yoy_growth
+FROM yearly
+"""
+
+
+QUERIES.update({"q168_yoy_growth": q168_yoy_growth})
+ORACLE_SQL.update({"q168_yoy_growth": Q168_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Share-of-parent hierarchical rollup (q169)
+# ---------------------------------------------------------------------------
+
+def q169_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its REGION's revenue and each region's
+    share of the world — the percent-of-parent numbers every
+    hierarchical report shows.  One base aggregate at nation grain;
+    parent totals via windows over the nation-sized frame (25 rows —
+    dimension-bounded, never data); all shares divide exact DECIMALs
+    in IEEE doubles."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(_dec("o_totalprice")).alias("__rev"))
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    t = base.withColumn("__rtot", F.sum("__rev").over(wr)).withColumn(
+        "__gtot", F.sum("__rev").over(wg)
+    )
+    return t.select(
+        "region",
+        "nation",
+        F.round("__rev", 2).cast("double").alias("revenue"),
+        F.round(F.col("__rev").cast("double") / F.col("__rtot").cast("double"), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("__rtot").cast("double") / F.col("__gtot").cast("double"), 6).alias(
+            "region_share_of_world"
+        ),
+    )
+
+
+Q169_SQL = """
+WITH base AS (
+  SELECT r_name AS region, n_name AS nation,
+         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE)
+             / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+         AS share_of_region,
+       round(CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE)
+             / CAST(sum(rev) OVER () AS DOUBLE), 6) AS region_share_of_world
+FROM base
+"""
+
+
+QUERIES.update({"q169_share_of_parent": q169_share_of_parent})
+ORACLE_SQL.update({"q169_share_of_parent": Q169_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy product-name matching (q170)
+# ---------------------------------------------------------------------------
+
+def q170_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate product NAMES by edit distance — the fuzzy
+    entity-resolution primitive the cleanse layer's exact natural-key
+    dedup can't see (typos, word swaps).  Classic blocked comparison:
+    candidate pairs only within the same (brand, size) block (an
+    equi-join — never an all-pairs cross), then `levenshtein` <= 4 on
+    the candidates; both engines implement the same DP distance, so the
+    pair set is exact cross-engine."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("__b"), F.col("p_size").alias("__s"),
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("__b"), F.col("p_size").alias("__s"),
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(b, ["__b", "__s"]).filter(F.col("key_a") < F.col("key_b"))
+    return (
+        pairs.withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+Q170_SQL = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
+QUERIES.update({"q170_fuzzy_name_pairs": q170_fuzzy_name_pairs})
+ORACLE_SQL.update({"q170_fuzzy_name_pairs": Q170_SQL})

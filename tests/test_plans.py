@@ -570,3 +570,14 @@ def test_round9_final_wave_plans(spark, sf_smoke):
         assert python_udf_count(q) == 0, name
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
     assert uses_broadcast_join(QUERIES["q167_spend_concentration"](spark, sf_smoke))
+
+
+def test_round9_reporting_wave_plans(spark, sf_smoke):
+    for name, max_shuffles in (
+        ("q168_yoy_growth", 3),
+        ("q169_share_of_parent", 3),
+        ("q170_fuzzy_name_pairs", 1),   # one (brand,size) block join
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
