@@ -186,7 +186,11 @@ def ivf_pq_topk(
         planes,
         out_col="__cell",
     )
-    c = pq_encode(c, codebooks, vec_col="__cv", out_col="__code")
+    # the candidate/ADC path carries ONLY (cell, code, id) for the
+    # corpus side — the raw vector is dropped here and re-joined for
+    # shortlist rows alone, which is the whole point of the PQ byte
+    # shrink (the codes, not the vectors, ride the candidate join)
+    c = pq_encode(c, codebooks, vec_col="__cv", out_col="__code").drop("__cv")
     q = with_ivf_probe_cells(
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")),
         "__qv",
@@ -196,12 +200,15 @@ def ivf_pq_topk(
 
     cand = q.join(c, "__cell").filter(F.col("query_id") != F.col("neighbor_id"))
     adc = cand.select(
-        "query_id", "neighbor_id", "__qv", "__cv",
+        "query_id", "neighbor_id", "__qv",
         adc_score("__qv", "__code", codebooks).alias("__adc"),
     )
     ws = Window.partitionBy("query_id").orderBy(F.col("__adc").desc(), F.col("neighbor_id").asc())
     short = adc.withColumn("__srk", F.row_number().over(ws)).filter(F.col("__srk") <= shortlist)
-    scored = short.select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos"))
+    raw = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = short.join(raw, "neighbor_id").select(
+        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

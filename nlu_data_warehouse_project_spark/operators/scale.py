@@ -255,12 +255,13 @@ def approx_value_buckets(
     fences = df.agg(
         F.percentile_approx(value_col, probs, accuracy).alias("__fences")
     )
+    # Column-API higher-order filter (not an expr string): the lambda
+    # variable lives in its own namespace, so no column name — not even
+    # one called "f" — can shadow or be shadowed
+    n_below = F.size(F.filter("__fences", lambda fence: fence < F.col(value_col)))
     return (
         df.crossJoin(F.broadcast(fences))
-        .withColumn(
-            bucket_col,
-            F.expr(f"1 + size(filter(__fences, f -> f < {value_col}))").cast("int"),
-        )
+        .withColumn(bucket_col, (F.lit(1) + n_below).cast("int"))
         .drop("__fences")
     )
 
@@ -294,7 +295,6 @@ def exact_prefix_agg(
         raise ValueError(f"how={how!r} (sum|max|min)")
     fn = fns[how]
     parted = _range_parted_with_ids(df, order_cols, num_partitions)
-    roff = _cumulative_offsets(parted, F.count(F.lit(1)))
     voff = _cumulative_offsets(parted, fn(value_col), how).withColumnRenamed("__off", "__voff")
     hi = -1 if exclusive else 0
     w = (
@@ -309,14 +309,14 @@ def exact_prefix_agg(
         combined = F.greatest(F.col("__voff"), local)
     else:
         combined = F.least(F.col("__voff"), local)
-    out = (
-        parted.join(F.broadcast(roff), "__pid")
-        .join(F.broadcast(voff), "__pid")
-        .withColumn(cum_col, combined)
-    )
+    out = parted.join(F.broadcast(voff), "__pid").withColumn(cum_col, combined)
     if rank_col is not None:
-        out = out.withColumn(rank_col, (F.col("__off") + F.col("__idx") + 1).cast("long"))
-    return out.drop("__pid", "__idx", "__off", "__voff")
+        # the row-count offsets job only runs when ranks are requested
+        roff = _cumulative_offsets(parted, F.count(F.lit(1)))
+        out = out.join(F.broadcast(roff), "__pid").withColumn(
+            rank_col, (F.col("__off") + F.col("__idx") + 1).cast("long")
+        ).drop("__off")
+    return out.drop("__pid", "__idx", "__voff")
 
 
 def exact_prefix_sum(

@@ -823,6 +823,19 @@ class TxTable:
             raise ValueError(f"no column '{old}' in {names}")
         if new in names:
             raise ValueError(f"column '{new}' already exists in {names}")
+        # refuse renaming ONTO a retired prior name: old dirs still
+        # physically carry that name, and _align_to resolves a target
+        # field by direct name match before consulting the rename map —
+        # reintroducing it would silently read the retired column's
+        # bytes as the new logical column (same ambiguity class as
+        # _check_rename_collision, via the rename path)
+        priors = {p for ps in man.get("column_renames", {}).values() for p in ps}
+        if new in priors:
+            raise ValueError(
+                f"column name '{new}' was previously renamed away and old data "
+                "dirs still carry it; compact_closed() + commit_snapshot() to "
+                "retire the rename map before reusing the name"
+            )
         renames = {k: list(v) for k, v in man.get("column_renames", {}).items()}
         prior = renames.pop(old, [])
         renames[new] = [old, *prior]

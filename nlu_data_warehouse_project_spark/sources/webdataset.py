@@ -76,7 +76,12 @@ def write_webdataset_shards(
     the whole job succeeds.  A job that dies mid-export leaves temp
     litter and possibly some final shards but NO manifest, and
     ``read_webdataset_shards`` refuses a manifest-less directory — a
-    partial shard set is never mistaken for a complete one.
+    partial shard set is never mistaken for a complete one.  A
+    RE-export over a non-empty directory first retracts the previous
+    manifest, so a re-export that dies mid-flight cannot leave the old
+    manifest live over partially overwritten shards (readers see "no
+    committed export" until the new manifest publishes — the export is
+    not atomic for concurrent readers, by design).
     """
     from ..operators.sampling import hash_bucket
 
@@ -95,6 +100,13 @@ def write_webdataset_shards(
         )
     n_shards = max(1, -(-n_rows // rows_per_shard))
     os.makedirs(path, exist_ok=True)
+    # retract any previous export's manifest BEFORE touching shards: a
+    # crash below must leave the directory unreadable, never the old
+    # manifest over a mixed-generation shard set
+    try:
+        os.remove(os.path.join(path, _MANIFEST))
+    except FileNotFoundError:
+        pass
     shard = F.pmod(hash_bucket(key_col, seed, buckets=1 << 30), F.lit(n_shards))
     cols = [
         F.col(key_col).cast("string").alias("__key"),
@@ -168,17 +180,32 @@ def read_webdataset_shards(
     (ADVICE r8): no manifest → the export never completed →
     ``IncompleteShardSetError``; a listed shard missing on disk raises
     too.  Stale shards from an earlier export to the same path are
-    ignored — the manifest is the source of truth, not the glob."""
-    man_path = os.path.join(path, _MANIFEST)
-    if not os.path.exists(man_path):
+    ignored — the manifest is the source of truth, not the glob.  The
+    manifest and existence checks go through the Hadoop FileSystem
+    (like ``binaryFile`` itself), so the read path stays
+    location-transparent — local, hdfs://, s3a:// — even though the
+    WRITER targets a posix-visible path by contract."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jman = jvm.org.apache.hadoop.fs.Path(os.path.join(path, _MANIFEST))
+    fs = jman.getFileSystem(hconf)
+    if not fs.exists(jman):
         raise IncompleteShardSetError(
             f"no {_MANIFEST} under {path}: the shard export never completed "
             "(or predates the manifest protocol) — re-run write_webdataset_shards"
         )
-    with open(man_path, encoding="utf-8") as f:
-        manifest = json.load(f)
+    stream = fs.open(jman)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    manifest = json.loads(raw.decode("utf-8"))
     shards = manifest["shards"]
-    missing = [s for s in shards if not os.path.exists(os.path.join(path, s))]
+    missing = [
+        s
+        for s in shards
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(os.path.join(path, s)))
+    ]
     if missing:
         raise IncompleteShardSetError(f"manifest lists missing shard files: {missing}")
     if not shards:

@@ -556,6 +556,8 @@ def streaming_corpus_ingest(
     max_files_per_trigger: int | None = None,
     gopher_rules: bool = False,
     use_bloom: bool = False,
+    near_dedup: bool = False,
+    near_threshold: float = 0.8,
     source_format: str = "parquet",
     contract=None,
 ):
@@ -584,7 +586,8 @@ def streaming_corpus_ingest(
         stream.writeStream.foreachBatch(
             make_corpus_ingest_processor(
                 corpus, text_col, id_col, min_tokens, max_punct, gopher_rules,
-                use_bloom=use_bloom, contract=contract,
+                use_bloom=use_bloom, near_dedup=near_dedup,
+                near_threshold=near_threshold, contract=contract,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -784,3 +784,20 @@ def test_two_threaded_writers_race_same_base_version(spark, tmp_path):
     idx.sync()
     fresh = idx.dedup(docs([(10, "alpha"), (11, "beta"), (12, "gamma")]))
     assert sorted(r["doc_id"] for r in fresh.collect()) == [12]
+
+
+def test_rename_onto_retired_prior_name_is_refused(spark, tmp_path):
+    """Renaming a column ONTO a previously-renamed-away name would make
+    _align_to read the retired column's bytes as the new logical
+    column (direct name match wins over the rename map) — refused."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit_append(
+        spark.createDataFrame([(1, "a", "b")], "id long, a string, b string"), "d1"
+    )
+    t.rename_column("a", "x")
+    with pytest.raises(ValueError, match="renamed away"):
+        t.rename_column("b", "a")
+    # the legal rename still works and reads resolve
+    t.rename_column("b", "y")
+    got = t.read().collect()[0]
+    assert (got["x"], got["y"]) == ("a", "b")

@@ -155,3 +155,40 @@ def test_webdataset_no_temp_litter_after_success(spark, tmp_path):
     out = str(tmp_path / "wds")
     write_webdataset_shards(_docs(spark, 30), out, rows_per_shard=10)
     assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
+
+
+def test_reexport_crash_cannot_leave_stale_manifest(spark, tmp_path, monkeypatch):
+    """A re-export that dies mid-flight (here: at manifest publish,
+    after overwriting some shards) must not leave the PREVIOUS
+    manifest live over a mixed-generation shard set: the old manifest
+    is retracted before any shard is touched, so the reader refuses
+    the directory until a new export commits."""
+    import nlu_data_warehouse_project_spark.sources.webdataset as wds
+    from nlu_data_warehouse_project_spark.sources.webdataset import (
+        IncompleteShardSetError,
+    )
+
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(_docs(spark, 300), out, rows_per_shard=10)  # gen A
+    assert read_webdataset_shards(spark, out).count() == 300
+
+    class Boom(RuntimeError):
+        pass
+
+    def exploding_dump(*a, **k):
+        raise Boom("crash at manifest publish")
+
+    monkeypatch.setattr(wds.json, "dump", exploding_dump)
+    with pytest.raises(Boom):
+        write_webdataset_shards(_docs(spark, 20), out, rows_per_shard=10)  # gen B
+    monkeypatch.undo()
+
+    # gen B overwrote shard files but never committed; gen A's manifest
+    # was retracted up front -> the directory reads as UNCOMMITTED, not
+    # as a silently mixed gen A
+    with pytest.raises(IncompleteShardSetError, match="never completed"):
+        read_webdataset_shards(spark, out)
+
+    # a successful re-export recovers the directory
+    write_webdataset_shards(_docs(spark, 20), out, rows_per_shard=10)
+    assert read_webdataset_shards(spark, out).count() == 20
