@@ -8266,3 +8266,398 @@ WHERE levenshtein(a.p_name, b.p_name) <= 4
 
 QUERIES.update({"q170_fuzzy_name_pairs": q170_fuzzy_name_pairs})
 ORACLE_SQL.update({"q170_fuzzy_name_pairs": Q170_SQL})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: discount-band revenue uplift (q171)
+# ---------------------------------------------------------------------------
+
+def q171_discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue that would be recovered by dropping mid-band discounts
+    on small orders, per ship year — TPC-H Q6's pure filter-aggregate:
+    zero joins, every predicate lives at the parquet scan (pushdown on
+    l_quantity and l_discount; the year comes off the same scan), the
+    aggregate is a map-side-combined DECIMAL sum.  This is the query
+    class where a columnar scan + codegen does ALL the work — at
+    100 TB the plan is one scan, no exchange except the final 6-row
+    fold.  Double literals compare identically in both engines (same
+    parquet doubles, same IEEE compare), so the band edges are safe."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+            .cast("double")
+            .alias("uplift_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+Q171_SQL = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                      * CAST(l_discount AS DECIMAL(25,6))), 2) AS DOUBLE)
+         AS uplift_revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q171_discount_uplift": q171_discount_uplift})
+ORACLE_SQL.update({"q171_discount_uplift": Q171_SQL})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share (q172)
+# ---------------------------------------------------------------------------
+
+def q172_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3's share of ECONOMY-part revenue sold to AMERICA
+    customers, per order year — TPC-H Q8: the widest join tree in the
+    suite (fact ⨝ part ⨝ orders ⨝ customer ⨝ nation ⨝ region ⨝
+    supplier ⨝ nation again, two independent nation lookups).  Both
+    nation dims and the filtered part dim broadcast; the share is a
+    conditional DECIMAL sum over the SAME aggregate pass as the total
+    (one shuffle keyed by year, not two scans), divided once in IEEE
+    doubles.  Self-joining `nation` twice needs independent aliases —
+    the supplier-side lookup must not collapse into the customer-side
+    one."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    cust_nat = (
+        nat.join(
+            F.broadcast(reg.filter(F.col("r_name") == "AMERICA")),
+            nat.n_regionkey == reg.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("__cn_key"))
+    )
+    supp_nat = nat.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("__supp_nation")
+    )
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    j = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nat), cust.c_nationkey == F.col("__cn_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nat), supp.s_nationkey == F.col("__sn_key"))
+    )
+    per = j.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.sum(F.when(F.col("__supp_nation") == "NATION_3", rev)).alias("__target"),
+        F.sum(rev).alias("__total"),
+    )
+    return per.select(
+        "order_year",
+        F.round(
+            F.coalesce(F.col("__target"), F.lit(0).cast("decimal(25,6)")).cast("double")
+            / F.col("__total").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    )
+
+
+Q172_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       round(CAST(coalesce(sum(CASE WHEN sn.n_name = 'NATION_3' THEN
+                 CAST(l_extendedprice AS DECIMAL(25,6))
+                 * (1 - CAST(l_discount AS DECIMAL(25,6))) END), 0) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                 * (1 - CAST(l_discount AS DECIMAL(25,6)))) AS DOUBLE), 6)
+         AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q172_national_market_share": q172_national_market_share})
+ORACLE_SQL.update({"q172_national_market_share": Q172_SQL})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-line profit by nation and year (q173)
+# ---------------------------------------------------------------------------
+
+def q173_product_line_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on widget-family parts per (supplier nation, order year)
+    — TPC-H Q9's profit rollup, with `p_retailprice * quantity`
+    standing in for ps_supplycost (this schema has no partsupp; see
+    q105's Q2 adaptation note).  The `p_name LIKE '%widget%'` filter
+    reduces part BEFORE the broadcast, so the fact-side hash probe
+    carries only matching parts; profit is exact DECIMAL end to end
+    (sum of products of (25,6) casts), rounded once at the edge."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    profit = _dec("l_extendedprice") * (1 - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    j = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").contains("widget"))),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year")
+    ).agg(
+        F.round(F.sum(profit), 2).cast("double").alias("profit"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+Q173_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                      * (1 - CAST(l_discount AS DECIMAL(25,6)))
+                      - CAST(p_retailprice AS DECIMAL(25,6))
+                      * CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS profit,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q173_product_line_profit": q173_product_line_profit})
+ORACLE_SQL.update({"q173_product_line_profit": Q173_SQL})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: important-stock scalar-threshold filter (q174)
+# ---------------------------------------------------------------------------
+
+def q174_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose EUROPE-supplied revenue exceeds 0.1% of ALL
+    EUROPE-supplied revenue — TPC-H Q11's group-by-HAVING-above-a-
+    scalar-subquery.  The decorrelation: the per-part aggregate is
+    computed ONCE, the global total is a second aggregate OVER THE
+    SAME grouped frame (a rollup of the per-part sums, not a rescan of
+    the fact), and the threshold compare is a broadcast one-row cross
+    join.  The oracle keeps DuckDB's NATIVE scalar subquery.  The
+    compare happens in IEEE doubles of exact DECIMAL operands —
+    deterministic and identical cross-engine (strict > on continuous
+    values; both sides round to double the same way)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+            nat.n_regionkey == reg.r_regionkey,
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("__value"))
+    )
+    total = per_part.agg(F.sum("__value").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("__value").cast("double") > F.col("__total").cast("double") * 0.001
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("__value", 2).cast("double").alias("stock_value"),
+        )
+    )
+
+
+Q174_SQL = """
+WITH eu AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT l_partkey AS partkey,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+         AS stock_value
+FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+GROUP BY 1
+HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) >
+  (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) * 0.001
+   FROM lineitem JOIN eu ON l_suppkey = s_suppkey)
+"""
+
+
+QUERIES.update({"q174_important_stock": q174_important_stock})
+ORACLE_SQL.update({"q174_important_stock": Q174_SQL})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: late-shipment priority split (q175)
+# ---------------------------------------------------------------------------
+
+def q175_late_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per ship year, how many LATE lineitems (shipped >30 days after
+    the order date — this schema's lateness stand-in, as in q148)
+    belong to critical-priority orders vs everything else — TPC-H
+    Q12's conditional-count split.  One fact-fact equi-join on
+    orderkey, the lateness predicate folded into the join output, two
+    counts from one pass (`sum(case ...)`), no second scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        li.l_shipdate > F.date_add(orders.o_orderdate, 30)
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(F.year("l_shipdate").alias("ship_year")).agg(
+        F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("n_critical"),
+        F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias("n_regular"),
+    )
+
+
+Q175_SQL = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_critical,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_regular
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q175_late_priority_split": q175_late_priority_split})
+ORACLE_SQL.update({"q175_late_priority_split": Q175_SQL})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier by quarter revenue (q176)
+# ---------------------------------------------------------------------------
+
+def q176_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) whose 1997-H1 shipped revenue equals the
+    maximum over all suppliers — TPC-H Q15's view + scalar-max
+    equality.  The max is a 1-row aggregate over the (supplier-sized)
+    revenue frame, broadcast back — NOT a whole-frame window (the r8
+    verdict's key-sized-frame rule).  The equality compare stays in
+    exact DECIMAL, so 'ties with the max' is well-defined and
+    identical cross-engine — comparing rounded doubles here could
+    admit a false tie.  The oracle keeps the native scalar subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-07-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))).alias("__rev")
+        )
+    )
+    best = rev.agg(F.max("__rev").alias("__best"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("__rev") == F.col("__best"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            F.round("__rev", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q176_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(25,6))
+             * (1 - CAST(l_discount AS DECIMAL(25,6)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-07-01'
+  GROUP BY 1
+)
+SELECT s_suppkey AS suppkey, s_name AS supplier,
+       CAST(round(total_rev, 2) AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+QUERIES.update({"q176_top_supplier": q176_top_supplier})
+ORACLE_SQL.update({"q176_top_supplier": Q176_SQL})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier diversity per part attribute (q177)
+# ---------------------------------------------------------------------------
+
+def q177_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier count per (brand, type, size) for non-PROMO,
+    non-Brand#1 parts, EXCLUDING suppliers in arrears — TPC-H Q16,
+    with the lineitem fact as the part↔supplier bridge (no partsupp
+    in this schema) and `s_acctbal < 0` standing in for the complaint
+    filter.  Q16's NOT IN subquery decorrelates to a broadcast
+    LEFT ANTI join (safe here because s_suppkey is non-null; a
+    nullable NOT IN column would need the three-valued-logic guard).
+    The oracle keeps the native NOT IN."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep_part = part.filter(
+        (F.col("p_brand") != "Brand#1") & (~F.col("p_type").startswith("PROMO"))
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(keep_part), F.col("l_partkey") == keep_part.p_partkey)
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt")
+    )
+
+
+Q177_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES.update({"q177_supplier_diversity": q177_supplier_diversity})
+ORACLE_SQL.update({"q177_supplier_diversity": Q177_SQL})
