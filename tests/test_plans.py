@@ -581,3 +581,30 @@ def test_round9_reporting_wave_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+
+
+def test_tpch_completion_wave_plans(spark, sf_smoke):
+    """q171-q177 (TPC-H Q6/Q8/Q9/Q11/Q12/Q15/Q16 shapes): Python-free,
+    bounded shuffles, dims broadcast.  q171 is the pure-scan query —
+    exactly the one groupBy exchange; q174/q176's scalar thresholds are
+    broadcast one-row cross joins, not whole-frame windows."""
+    for name, max_shuffles in (
+        ("q171_discount_uplift", 1),
+        ("q172_national_market_share", 6),   # 1 at smoke (AQE broadcasts facts)
+        ("q173_product_line_profit", 5),
+        ("q174_important_stock", 3),
+        ("q175_late_priority_split", 3),
+        ("q176_top_supplier", 3),
+        ("q177_supplier_diversity", 3),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+    for name in ("q172_national_market_share", "q173_product_line_profit",
+                 "q174_important_stock", "q176_top_supplier",
+                 "q177_supplier_diversity"):
+        assert uses_broadcast_join(QUERIES[name](spark, sf_smoke)), name
+    # the Q6 shape does ALL its work at the scan: pushdown + one exchange
+    q171 = QUERIES["q171_discount_uplift"](spark, sf_smoke)
+    assert has_pushed_filters(q171)
+    assert shuffle_count(q171) == 1
