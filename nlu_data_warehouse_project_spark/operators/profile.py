@@ -235,3 +235,68 @@ def _drift_score_from_counts(j: DataFrame, group_col: str) -> DataFrame:
         F.sum("n_cand").cast("long").alias("n_cand"),
         F.round(F.sum(term), 4).cast("double").alias("chi2"),
     )
+
+
+def rare_ngram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Per-document rare-bigram rate — the counts-only twin of n-gram
+    LM perplexity filtering (reference has no analog; this is the
+    standard 'perplexity-proxy' gate a training-data pipeline runs
+    before expensive model-based scoring).
+
+    A document whose word bigrams are mostly corpus-rare is gibberish,
+    OCR noise, or a unique-boilerplate page; a document of common
+    bigrams is ordinary prose.  True LM scoring sums ``log P(w|ctx)``
+    — but libm logs differ across engines in the last ulp, so the
+    HASH-GATED surface is kept in exact integers: a bigram is *rare*
+    when its total corpus occurrence count is <= ``rare_max_count``,
+    and the score is the exact ratio ``n_rare / n_bigrams`` (one IEEE
+    division at the edge).  Monotone in the same signal the log sum
+    reads; deterministic everywhere.
+
+    Two wordcount-shaped passes at 100 TB: corpus bigram counts build
+    with map-side combine, and the per-doc probe is an equi-join that
+    reuses the count table's hash partitioning — no all-pairs work,
+    no broadcast of the (unbounded) bigram vocabulary.  Tokenization
+    is the corpus convention: lowercase, alpha runs (q126/q156), edge
+    empties dropped.  Docs with fewer than two tokens have no bigrams
+    and are returned with ``n_bigrams = 0`` and a NULL rate.
+    """
+    arr = F.split(F.lower(F.col(text_col)), "[^a-z]+")
+    bigrams = F.expr(
+        "transform(sequence(0, size(__arr) - 2), "
+        "i -> struct(__arr[i] as x, __arr[i + 1] as y))"
+    )
+    base = df.select(F.col(id_col), arr.alias("__arr"))
+    grams = (
+        base.filter(F.size("__arr") >= 2)
+        .select(id_col, F.explode(bigrams).alias("b"))
+        .select(id_col, F.col("b.x").alias("__x"), F.col("b.y").alias("__y"))
+        .filter((F.col("__x") != "") & (F.col("__y") != ""))
+    )
+    counts = grams.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    per_doc = (
+        grams.join(counts, ["__x", "__y"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("__c") <= rare_max_count, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce("n_rare", F.lit(0).cast("long")).alias("n_rare"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(F.col("n_rare").cast("double") / F.col("n_bigrams").cast("double"), 6),
+        ).alias("rare_rate"),
+    )

@@ -8661,3 +8661,48 @@ GROUP BY 1, 2, 3
 
 QUERIES.update({"q177_supplier_diversity": q177_supplier_diversity})
 ORACLE_SQL.update({"q177_supplier_diversity": Q177_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Rare-bigram quality scoring — the perplexity-proxy gate (q178)
+# ---------------------------------------------------------------------------
+
+def q178_rare_ngram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-bigram rate over the corpus
+    (`profile.rare_ngram_score`): the counts-only stand-in for n-gram
+    LM perplexity filtering.  Exact integers until one IEEE division,
+    so the hash gate holds cross-engine — no libm log in the surface.
+    Two wordcount-shaped passes; the per-doc probe join reuses the
+    count table's hash partitioning."""
+    from .operators.profile import rare_ngram_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return rare_ngram_score(docs, "text", "doc_id", rare_max_count=2)
+
+
+Q178_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS arr FROM documents
+), grams AS (
+  SELECT doc_id, arr[i] AS x, arr[i + 1] AS y
+  FROM base, unnest(generate_series(1, len(arr) - 1)) AS u(i)
+  WHERE arr[i] <> '' AND arr[i + 1] <> ''
+), counts AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY 1, 2
+), per_doc AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM grams g JOIN counts USING (x, y) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(n_rare, 0) AS n_rare,
+       CASE WHEN n_bigrams > 0
+            THEN round(CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+       END AS rare_rate
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+QUERIES.update({"q178_rare_ngram_score": q178_rare_ngram_score})
+ORACLE_SQL.update({"q178_rare_ngram_score": Q178_SQL})

@@ -776,3 +776,42 @@ def test_minhash_band_index_incremental_neardup(spark, tmp_path):
     # alt is ingestable again after the rollback
     got2 = sorted(r["doc_id"] for r in idx.dedup(docs([(20, alt)])).collect())
     assert got2 == [20]
+
+
+def test_rare_ngram_score_separates_common_from_unique_text(spark):
+    """Docs 1-3 share the same bigrams (each corpus count >= 3, never
+    rare at the k=2 default); doc 4 is one-of-a-kind gibberish (every
+    bigram count 1 -> rate 1.0); doc 5 has < 2 tokens -> no bigrams,
+    NULL rate."""
+    from nlu_data_warehouse_project_spark.operators.profile import rare_ngram_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat sat"),
+            (3, "the cat sat"),
+            (4, "zx qv plorb wug"),
+            (5, "hello"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in rare_ngram_score(docs).collect()}
+    assert got[1]["n_bigrams"] == 2 and got[1]["n_rare"] == 0
+    assert got[1]["rare_rate"] == 0.0
+    assert got[4]["n_bigrams"] == 3 and got[4]["n_rare"] == 3
+    assert got[4]["rare_rate"] == 1.0
+    assert got[5]["n_bigrams"] == 0 and got[5]["rare_rate"] is None
+
+
+def test_rare_ngram_score_counts_multiplicity(spark):
+    """A bigram repeated INSIDE one doc counts every occurrence: 'ab ab
+    ab ab' has 3 occurrences of (ab,ab) -> corpus count 3 > 2 -> not
+    rare, even though no other doc shares it."""
+    from nlu_data_warehouse_project_spark.operators.profile import rare_ngram_score
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ab"), (2, "xy zz")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in rare_ngram_score(docs).collect()}
+    assert got[1]["n_bigrams"] == 3 and got[1]["n_rare"] == 0
+    assert got[2]["n_bigrams"] == 1 and got[2]["n_rare"] == 1
