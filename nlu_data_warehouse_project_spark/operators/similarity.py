@@ -417,3 +417,94 @@ def hard_negative_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "neg_label", F.round(F.col("cos"), 4).alias("cos"), "rank")
     )
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 0,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Rademacher Johnson-Lindenstrauss projection: y = (X @ R) / sqrt(d')
+    with R[i][j] drawn ±1 from a seeded generator.
+
+    THE byte-shrink primitive of the similarity family at 100 TB: a
+    64-dim float corpus projected to 16 dims is 4x fewer bytes through
+    every downstream shuffle, and by the JL lemma pairwise distances
+    (hence cosine order, for normalized vectors) are preserved within
+    ~1/sqrt(d') distortion.  Composes with every rung of the ANN
+    ladder: project -> band/bucket on the projected vectors -> exact
+    re-rank on raw vectors for the shortlist only (the ivf_pq_topk
+    join shape).
+
+    R is NOT broadcast data — it regenerates identically inside each
+    Arrow batch from (seed, in_dim), so the closure ships two ints.
+    The sanctioned Pandas-UDF slow path: a matmul has no built-in
+    expression form.  Output is array<double> (the projection leaves
+    float32 range immediately).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def project(vectors: pd.Series) -> pd.Series:
+        mat = np.vstack(vectors.to_numpy()).astype(np.float64)  # batch x d
+        rng = np.random.default_rng(seed)
+        r = rng.choice((-1.0, 1.0), size=(mat.shape[1], out_dim))
+        proj = mat @ r / np.sqrt(out_dim)
+        return pd.Series(list(proj))
+
+    return df.withColumn(out_col, project(F.col(vec_col)))
+
+
+def projected_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    out_dim: int = 16,
+    seed: int = 0,
+    shortlist: int = 20,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-to-fine top-k: score in the PROJECTED space (out_dim
+    dims, ~in_dim/out_dim x fewer bytes and flops per pair), keep a
+    per-query ``shortlist``, then exact-cosine re-rank on the RAW
+    vectors for shortlist rows only — the same
+    shortlist-then-re-join-raw shape as ``ivf_pq_topk``.
+
+    Same output contract as ``cosine_topk`` (query_id, neighbor_id,
+    cos, rank), recall-gated against the exact twin in the catalog
+    (q179 vs q18, the q34 discipline).
+    """
+    qp = random_project(queries, vec_col, out_dim, seed, "__pq").select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("__pq"),
+    )
+    cp = random_project(corpus, vec_col, out_dim, seed, "__pc").select(
+        F.col(corpus_id).alias("neighbor_id"), F.col("__pc")
+    )
+    coarse = (
+        F.broadcast(qp)
+        .crossJoin(cp)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", cosine("__pq", "__pc").alias("__coarse"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("__coarse").desc(), F.col("neighbor_id").asc()
+    )
+    short = coarse.withColumn("__srk", F.row_number().over(ws)).filter(
+        F.col("__srk") <= shortlist
+    )
+    raw = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = short.join(raw, "neighbor_id").select(
+        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round(F.col("cos"), 4).alias("cos"), "rank")
+    )

