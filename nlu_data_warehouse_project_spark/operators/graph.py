@@ -1,0 +1,60 @@
+"""Distributed graph traversal over edge DataFrames.
+
+The curation family already walks graphs implicitly (connected
+components over near-dup pairs, `clusters.neardup_clusters`); this
+module exposes the other traversal primitive a warehouse needs:
+bounded-depth BFS ("what is within k hops of X" — co-purchase
+exploration, contamination blast-radius, citation neighborhoods).
+
+Spark-first shape: one equi-join per hop (frontier ⨝ edges), the
+visited set pruned with a LEFT ANTI join so a node is expanded exactly
+once, `localCheckpoint` per round to cut the iterative lineage (the
+`neardup_clusters` discipline).  Each hop shuffles only the frontier —
+never the full vertex set — so a k-hop query on a 100 TB edge table
+costs k bounded joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_hops(
+    edges: DataFrame,
+    start,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Minimum hop count from ``start`` to every node reachable within
+    ``max_hops`` directed edges.
+
+    Returns (node, hops) with hops in [0, max_hops]; the start node is
+    row (start, 0).  Edges are followed src -> dst; pass a
+    symmetrized edge set for undirected traversal.  BFS layering makes
+    the first time a node is seen its true minimum distance, so the
+    visited-set prune is not an approximation.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops={max_hops} must be >= 0")
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    frontier = (
+        edges.sparkSession.createDataFrame([(start,)], ["node"])
+        .withColumn("hops", F.lit(0).cast("int"))
+    )
+    visited = frontier
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.__s)
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

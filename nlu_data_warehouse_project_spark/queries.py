@@ -8733,3 +8733,53 @@ def q179_projected_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"q179_projected_cosine_topk": q179_projected_cosine_topk})
+
+
+# ---------------------------------------------------------------------------
+# Bounded BFS over the co-order part graph — recursive-CTE oracle (q180)
+# ---------------------------------------------------------------------------
+
+def q180_coorder_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop count from part 0 to every part within 3 hops of
+    the CO-ORDER graph (parts are adjacent when some order contains
+    both) — the 'blast radius' traversal (contamination spread,
+    recommendation neighborhoods).  Spark side: `graph.bfs_hops`,
+    one frontier⨝edges join per hop with an anti-join visited prune —
+    the frontier shuffles, never the vertex set.  The ORACLE is a
+    DuckDB RECURSIVE CTE in native form — the only entry in the
+    catalog whose cross-engine twin is recursive SQL, checking the
+    iterative decomposition against a fixpoint evaluator."""
+    from .operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "__o")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    out = bfs_hops(edges, 0, max_hops=3)
+    return out.select(F.col("node").alias("partkey"), F.col("hops").cast("int").alias("hops"))
+
+
+Q180_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), walk(node, hop) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.hop < 3
+)
+SELECT node AS partkey, CAST(min(hop) AS INT) AS hops
+FROM walk GROUP BY 1
+"""
+
+
+QUERIES.update({"q180_coorder_blast_radius": q180_coorder_blast_radius})
+ORACLE_SQL.update({"q180_coorder_blast_radius": Q180_SQL})

@@ -815,3 +815,38 @@ def test_rare_ngram_score_counts_multiplicity(spark):
     got = {r["doc_id"]: r for r in rare_ngram_score(docs).collect()}
     assert got[1]["n_bigrams"] == 3 and got[1]["n_rare"] == 0
     assert got[2]["n_bigrams"] == 1 and got[2]["n_rare"] == 1
+
+
+def test_bfs_hops_chain_and_direction(spark):
+    """Chain 1->2->3->4->5 from 1 with max_hops=3: nodes 1-4 at hops
+    0-3, node 5 unreachable within budget.  Edges are DIRECTED: from
+    3, node 2 is not reached."""
+    from nlu_data_warehouse_project_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, 1, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    fwd = {r["node"]: r["hops"] for r in bfs_hops(edges, 3, max_hops=3).collect()}
+    assert fwd == {3: 0, 4: 1, 5: 2}
+
+
+def test_bfs_hops_takes_minimum_over_paths(spark):
+    """Diamond with a long way around: 1->2->3->4 and 1->4 directly.
+    Node 4 reports hop 1, not 3 — BFS layering, not path enumeration."""
+    from nlu_data_warehouse_project_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, 1, max_hops=3).collect()}
+    assert got[4] == 1 and got[3] == 2
+
+
+def test_bfs_hops_zero_budget_and_isolated_start(spark):
+    from nlu_data_warehouse_project_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert [(r["node"], r["hops"]) for r in bfs_hops(edges, 1, max_hops=0).collect()] == [(1, 0)]
+    assert [(r["node"], r["hops"]) for r in bfs_hops(edges, 99, max_hops=5).collect()] == [(99, 0)]
