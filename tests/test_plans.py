@@ -608,3 +608,17 @@ def test_tpch_completion_wave_plans(spark, sf_smoke):
     q171 = QUERIES["q171_discount_uplift"](spark, sf_smoke)
     assert has_pushed_filters(q171)
     assert shuffle_count(q171) == 1
+
+
+def test_capability_wave_plans_q178_q180(spark, sf_smoke):
+    """q178 rare-ngram: two wordcount-shaped aggs + probe join, zero
+    Python.  q179's projection matmul is a sanctioned pandas-UDF site
+    (no built-in matmul) — everything around it stays JVM.  q180 BFS
+    materializes per hop via localCheckpoint, so plan properties are
+    per-round; pinned by its unit tests instead."""
+    q = QUERIES["q178_rare_ngram_score"](spark, sf_smoke)
+    assert python_udf_count(q) == 0
+    assert shuffle_count(q) <= 5, shuffle_count(q)
+    q179 = QUERIES["q179_projected_cosine_topk"](spark, sf_smoke)
+    assert python_udf_count(q179) <= 2, python_udf_count(q179)  # one per projected side
+    assert uses_broadcast_join(q179)
