@@ -8783,3 +8783,173 @@ FROM walk GROUP BY 1
 
 QUERIES.update({"q180_coorder_blast_radius": q180_coorder_blast_radius})
 ORACLE_SQL.update({"q180_coorder_blast_radius": Q180_SQL})
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification (q181)
+# ---------------------------------------------------------------------------
+
+def q181_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every part labeled A/B/C by cumulative revenue share (A = the
+    head covering 70%, B = to 90%, C = the tail) — the inventory-
+    policy twin of q140's Pareto point.  The running DECIMAL sum is
+    `operators/scale.exact_prefix_sum` (range partitions + broadcast
+    offsets — the part frame grows with data, never a single-partition
+    window), and the class boundaries are multiplied out in DECIMAL
+    (10·cum vs 7·total / 9·total) so no float ratio enters the label.
+    Oracle: the native cumulative window over the same total order."""
+    from .operators.scale import exact_prefix_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice")).alias("__rev"))
+    tot = per.agg(F.sum("__rev").alias("__tot"))
+    ten = F.lit(10).cast("decimal(2,0)")
+    ranked = exact_prefix_sum(
+        per, [F.col("__rev").desc(), F.col("l_partkey").asc()], "__rev", cum_col="__cum"
+    ).crossJoin(F.broadcast(tot))
+    return ranked.select(
+        F.col("l_partkey").alias("partkey"),
+        F.round("__rev", 2).cast("double").alias("revenue"),
+        F.when(F.col("__cum") * ten <= F.col("__tot") * F.lit(7).cast("decimal(2,0)"), "A")
+        .when(F.col("__cum") * ten <= F.col("__tot") * F.lit(9).cast("decimal(2,0)"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+Q181_SQL = """
+WITH per AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS rev
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT l_partkey, rev,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(rev) OVER () AS tot
+  FROM per
+)
+SELECT l_partkey AS partkey,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+            WHEN cum * 10 <= tot * 9 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+QUERIES.update({"q181_abc_classification": q181_abc_classification})
+ORACLE_SQL.update({"q181_abc_classification": Q181_SQL})
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (q182)
+# ---------------------------------------------------------------------------
+
+def q182_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM: per customer, quartile labels on Recency (last
+    order date), Frequency (order count), Monetary (DECIMAL spend),
+    composed to 'R#F#M#'.  Each quartile is
+    `operators/scale.exact_global_ntile` over a TOTAL order (customer
+    key tiebreak) — three distributed ntiles instead of three
+    single-partition windows; SQL ntile's ceil/floor law in integer
+    arithmetic makes the buckets bit-identical to the native window
+    ntile in the oracle.  Quartile 1 is best on every axis."""
+    from .operators.scale import exact_global_ntile
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("__spend"),
+    )
+    r = exact_global_ntile(per, [F.col("__last").desc(), F.col("o_custkey").asc()], 4, "__r")
+    f = exact_global_ntile(r, [F.col("n_orders").desc(), F.col("o_custkey").asc()], 4, "__f")
+    m = exact_global_ntile(f, [F.col("__spend").desc(), F.col("o_custkey").asc()], 4, "__m")
+    return m.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("n_orders"),
+        F.round("__spend", 2).cast("double").alias("spend"),
+        F.concat(F.lit("R"), "__r", F.lit("F"), "__f", F.lit("M"), "__m").alias("rfm"),
+    )
+
+
+Q182_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_order,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS spend
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey AS custkey, n_orders,
+       CAST(round(spend, 2) AS DOUBLE) AS spend,
+       'R' || ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC)
+       || 'F' || ntile(4) OVER (ORDER BY n_orders DESC, o_custkey ASC)
+       || 'M' || ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS rfm
+FROM per
+"""
+
+
+QUERIES.update({"q182_rfm_segmentation": q182_rfm_segmentation})
+ORACLE_SQL.update({"q182_rfm_segmentation": Q182_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (q183)
+# ---------------------------------------------------------------------------
+
+def q183_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top association rules a -> b over order baskets: confidence =
+    orders containing BOTH / orders containing a, min pair support 3,
+    top 20 by (confidence, a, b).  Pair counts come from the same
+    order-keyed self-join as q180's graph (distinct parts per order
+    first — a part twice in one basket is one basket hit), item
+    supports from one aggregate, and the rule score is an exact
+    integer ratio divided ONCE in doubles.  Directional: a->b and
+    b->a have different confidences."""
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("p")).distinct()
+    item = basket.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("__ca"))
+    a = basket.select("__o", F.col("p").alias("part_a"))
+    b = basket.select("__o", F.col("p").alias("part_b"))
+    pair = (
+        a.join(b, "__o")
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    scored = pair.join(
+        item.select(F.col("p").alias("part_a"), "__ca"), "part_a"
+    ).select(
+        "part_a",
+        "part_b",
+        "n_both",
+        F.round(F.col("n_both").cast("double") / F.col("__ca").cast("double"), 6).alias(
+            "confidence"
+        ),
+    )
+    return scored.orderBy(
+        F.col("confidence").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)
+
+
+Q183_SQL = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), item AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS ca FROM basket GROUP BY 1
+), pair AS (
+  SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM basket a JOIN basket b ON a.o = b.o AND a.p <> b.p
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT part_a, part_b, n_both,
+       round(CAST(n_both AS DOUBLE) / CAST(ca AS DOUBLE), 6) AS confidence
+FROM pair JOIN item ON part_a = p
+ORDER BY confidence DESC, part_a ASC, part_b ASC LIMIT 20
+"""
+
+
+QUERIES.update({"q183_basket_rules": q183_basket_rules})
+ORACLE_SQL.update({"q183_basket_rules": Q183_SQL})

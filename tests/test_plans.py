@@ -622,3 +622,30 @@ def test_capability_wave_plans_q178_q180(spark, sf_smoke):
     q179 = QUERIES["q179_projected_cosine_topk"](spark, sf_smoke)
     assert python_udf_count(q179) <= 2, python_udf_count(q179)  # one per projected side
     assert uses_broadcast_join(q179)
+
+
+def test_business_wave_plans_q181_q183(spark, sf_smoke):
+    """q181/q182 route ALL global ordering through the exact-rank
+    family — no window operator and no single-partition exchange may
+    appear (the one-task global sort); q183 is integer joins + one
+    TakeOrdered.  Zero Python anywhere."""
+    from nlu_data_warehouse_project_spark.plans import (
+        formatted_plan,
+        single_partition_exchange_count,
+        window_count,
+    )
+
+    # q181's prefix sum keeps ONE window partitioned by the range-
+    # partition id (the q140 precedent); q182's ntiles use none
+    for name, max_windows in (
+        ("q181_abc_classification", 1),
+        ("q182_rfm_segmentation", 0),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert window_count(q) <= max_windows, (name, window_count(q))
+        assert single_partition_exchange_count(q) == 0, name
+    q183 = QUERIES["q183_basket_rules"](spark, sf_smoke)
+    assert python_udf_count(q183) == 0
+    assert window_count(q183) == 0
+    assert "TakeOrderedAndProject" in formatted_plan(q183)
