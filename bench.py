@@ -223,7 +223,12 @@ def main() -> None:
                  "q129_order_deciles", "q140_pareto_coverage",
                  "q146_order_deciles_approx", "q150_returned_top_customers",
                  "q154_contamination_check", "q156_collocations",
-                 "q164_dedup_pressure"):
+                 "q164_dedup_pressure",
+                 # round-9 late wave: widest TPC-H join, corpus bigram probe,
+                 # recursive-oracle BFS, rank-family business queries
+                 "q172_national_market_share", "q178_rare_ngram_score",
+                 "q180_coorder_blast_radius", "q181_abc_classification",
+                 "q182_rfm_segmentation"):
         med = time_query(name)
         if med is not None:
             extra_queries[name.split("_")[0]] = med
