@@ -729,3 +729,53 @@ def make_drift_monitor_processor(
                 on_alarm(hot)
 
     return process
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: str = "15 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: each left row matches
+    right rows with the same key whose timestamp falls in
+    ``[left_ts, left_ts + tolerance]`` — the attribution/enrichment
+    primitive (impression -> click within N minutes, order ->
+    first shipment, sensor -> acknowledgment).
+
+    This is the one Structured Streaming surface the rest of the
+    module doesn't reach: both sides buffer state, and it is the
+    TIME-RANGE predicate plus the two watermarks that let Spark evict
+    it — a left row can stop waiting once the right watermark passes
+    ``left_ts + tolerance``, so state is bounded by (watermark +
+    tolerance) x arrival rate, never by stream length.  Without the
+    range condition Spark would (rightly) refuse to plan the join as
+    unbounded-state.
+
+    Column names must be disjoint across the two sides (rename before
+    calling) — the join keeps both key columns so outer rows stay
+    attributable.  ``join_type`` may be ``inner`` / ``leftOuter`` /
+    ``rightOuter`` / ``fullOuter`` per Spark's stream-stream support
+    matrix; outer results for a row emit only after its side's
+    watermark closes the possibility of a future match.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"left/right column names must be disjoint for a stream-stream "
+            f"join (both sides are kept); rename {sorted(overlap)} first"
+        )
+    l = left.withWatermark(left_ts, left_watermark)
+    r = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance}"))
+    )
+    return l.join(r, cond, join_type)

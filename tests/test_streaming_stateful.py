@@ -474,3 +474,72 @@ def test_sliding_window_streaming_matches_batch(spark, event_stream_dir, tmp_pat
     # overlapping windows: an event at 00:10 appears in the 23:30 AND
     # 00:00 windows
     assert ("2023-12-31 23:30:00", "click") in batch_got
+
+
+def test_streaming_interval_join_attributes_clicks_to_impressions(spark, tmp_path):
+    """Stream-stream inner join with a 15-minute attribution window:
+    click at +10m matches, click at +20m does not, clicks BEFORE the
+    impression never match, and a second user's click doesn't leak.
+    Both sides arrive as real file streams across micro-batches."""
+    from nlu_data_warehouse_project_spark.streaming import streaming_interval_join
+
+    imp_dir = tmp_path / "imps"
+    clk_dir = tmp_path / "clicks"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    (imp_dir / "b0.csv").write_text(
+        "imp_id,imp_user,imp_ts\n1,7,2024-01-01 10:00:00\n2,8,2024-01-01 10:00:00"
+    )
+    (clk_dir / "b0.csv").write_text(
+        "click_id,click_user,click_ts\n100,7,2024-01-01 10:10:00"   # +10m: match
+    )
+    (clk_dir / "b1.csv").write_text(
+        "click_id,click_user,click_ts\n"
+        "101,7,2024-01-01 10:20:00\n"                               # +20m: outside
+        "102,8,2024-01-01 09:55:00\n"                               # before: never
+        "103,8,2024-01-01 10:14:00"                                 # +14m user 8: match
+    )
+    imps = (
+        spark.readStream.schema("imp_id long, imp_user long, imp_ts timestamp")
+        .option("header", True).option("maxFilesPerTrigger", 1).csv(str(imp_dir))
+    )
+    clicks = (
+        spark.readStream.schema("click_id long, click_user long, click_ts timestamp")
+        .option("header", True).option("maxFilesPerTrigger", 1).csv(str(clk_dir))
+    )
+    joined = streaming_interval_join(
+        imps, clicks,
+        left_key="imp_user", right_key="click_user",
+        left_ts="imp_ts", right_ts="click_ts",
+        tolerance="15 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["imp_id"], r["click_id"])
+        for r in spark.sql("SELECT imp_id, click_id FROM attrib").collect()
+    }
+    assert got == {(1, 100), (2, 103)}
+
+
+def test_streaming_interval_join_refuses_column_collisions(spark, tmp_path):
+    from nlu_data_warehouse_project_spark.streaming import streaming_interval_join
+
+    d = tmp_path / "collide"
+    d.mkdir()
+    (d / "b0.csv").write_text("user_id,ts\n1,2024-01-01 00:00:00")
+    a = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("header", True).csv(str(d))
+    )
+    with pytest.raises(ValueError, match="disjoint"):
+        streaming_interval_join(
+            a, a, left_key="user_id", right_key="user_id",
+            left_ts="ts", right_ts="ts",
+        )
