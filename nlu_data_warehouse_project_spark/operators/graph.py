@@ -38,7 +38,12 @@ def bfs_hops(
     """
     if max_hops < 0:
         raise ValueError(f"max_hops={max_hops} must be >= 0")
-    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    # materialize the edge set ONCE: every hop probes it, and an edge
+    # frame that is itself a join (e.g. the co-order self-join) would
+    # otherwise recompute per hop — measured 3x the whole traversal
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).localCheckpoint(eager=True)
     frontier = (
         edges.sparkSession.createDataFrame([(start,)], ["node"])
         .withColumn("hops", F.lit(0).cast("int"))
