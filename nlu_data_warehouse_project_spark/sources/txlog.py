@@ -46,6 +46,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -125,9 +126,13 @@ class TxTable:
         bucket_cols: list[str] | None = None,
         num_buckets: int = 32,
         stats_cols: list[str] | None = None,
+        clock=time.time,
     ):
         self.spark = spark
         self.root = root
+        # wall-clock source for commit stamps (time travel by
+        # timestamp); injectable so tests pin deterministic histories
+        self._clock = clock
         self.bucket_cols = bucket_cols
         self.num_buckets = num_buckets
         # columns whose per-dir min/max ride the manifest: readers prune
@@ -343,6 +348,33 @@ class TxTable:
             out = out.unionByName(p)
         return out
 
+    def version_as_of(self, ts: float) -> int:
+        """The version that was LIVE at wall-clock time ``ts`` (epoch
+        seconds): the largest version whose ``committed_at`` <= ts.
+        Raises ``VersionNotFoundError`` when ts predates the first
+        still-retained commit — manifests pruned by
+        ``vacuum(retain_last=...)`` are not reachable, the same
+        retention contract as ``read(version=...)``.  Pre-stamp
+        manifests (written before commit timestamps existed) are
+        treated as unreachable by timestamp rather than guessed at."""
+        best = None
+        best_ts = None
+        for v in self.versions():
+            ca = (self.manifest(v) or {}).get("committed_at")
+            if ca is not None and ca <= ts and (best_ts is None or ca >= best_ts):
+                best, best_ts = v, ca
+        if best is None:
+            raise VersionNotFoundError(
+                f"no committed version of {self.root} at or before ts={ts}; "
+                f"earliest retained commit stamps: "
+                f"{[(v, (self.manifest(v) or {}).get('committed_at')) for v in self.versions()[:3]]}"
+            )
+        return best
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """Timestamp time travel: ``read(version_as_of(ts))``."""
+        return self.read(self.version_as_of(ts))
+
     def read(self, version: int | None = None) -> DataFrame:
         """The full logical table: open ∪ closed history.  The current
         side aligns to the manifest schema when it lags it (an
@@ -477,7 +509,8 @@ class TxTable:
     _OWNED_MANIFEST_KEYS = frozenset(
         ("version", "current", "closed", "run_id", "schema",
          "dir_schemas", "dir_stats", "current_table", "bucket",
-         "compacted_lineage", "restored_from", "column_renames")
+         "compacted_lineage", "restored_from", "column_renames",
+         "committed_at")
     )
 
     def _carried_extras(self, prev: dict) -> dict:
@@ -590,6 +623,11 @@ class TxTable:
                 )
 
     def _publish(self, man: dict) -> None:
+        # every commit path funnels through here: stamp the wall-clock
+        # commit time for timestamp time travel (version_as_of /
+        # read(as_of=...)).  An OWNED manifest key — each commit gets
+        # its own stamp, never a carried one
+        man["committed_at"] = float(self._clock())
         fs = self._fs()
         fs.mkdirs(self._jpath(_LOG_DIR))
         final = self._jpath(_LOG_DIR, f"v{man['version']:010d}.json")

@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from nlu_data_warehouse_project_spark.pipeline import Warehouse
-from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+from nlu_data_warehouse_project_spark.sources.txlog import TxTable, VersionNotFoundError
 
 FEED_COLS = ["sku", "product_name", "price", "brand", "material", "shape",
              "dimension", "origin", "quantity_available", "product_url"]
@@ -801,3 +801,36 @@ def test_rename_onto_retired_prior_name_is_refused(spark, tmp_path):
     t.rename_column("b", "y")
     got = t.read().collect()[0]
     assert (got["x"], got["y"]) == ("a", "b")
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """Commits stamp committed_at from the injected clock; read_as_of
+    resolves the version live at that instant.  The stamp is an OWNED
+    key: each commit gets its own, never a carried one."""
+    ticks = iter([100.0, 200.0, 300.0])
+    t = TxTable(spark, str(tmp_path / "t"), clock=lambda: next(ticks))
+    t.commit_append(spark.createDataFrame([(1,)], "id long"), "d1")   # v1 @100
+    t.commit_append(spark.createDataFrame([(2,)], "id long"), "d2")   # v2 @200
+    t.commit_append(spark.createDataFrame([(3,)], "id long"), "d3")   # v3 @300
+
+    assert t.manifest(2)["committed_at"] == 200.0
+    assert t.version_as_of(250.0) == 2
+    assert t.version_as_of(200.0) == 2          # boundary: <= is live
+    assert t.version_as_of(9999.0) == 3
+    assert sorted(r["id"] for r in t.read_as_of(250.0).collect()) == [1, 2]
+
+    with pytest.raises(VersionNotFoundError, match="at or before"):
+        t.version_as_of(50.0)
+
+
+def test_time_travel_respects_vacuum_retention(spark, tmp_path):
+    """After vacuum prunes old manifests, a ts pointing into the pruned
+    range raises instead of silently resolving to a nearby version."""
+    ticks = iter([100.0, 200.0, 300.0])
+    t = TxTable(spark, str(tmp_path / "t"), clock=lambda: next(ticks))
+    for i, d in enumerate(["d1", "d2", "d3"]):
+        t.commit_append(spark.createDataFrame([(i,)], "id long"), d)
+    t.vacuum(retain_last=1)
+    assert t.version_as_of(350.0) == 3
+    with pytest.raises(VersionNotFoundError):
+        t.version_as_of(150.0)
