@@ -8953,3 +8953,102 @@ ORDER BY confidence DESC, part_a ASC, part_b ASC LIMIT 20
 
 QUERIES.update({"q183_basket_rules": q183_basket_rules})
 ORACLE_SQL.update({"q183_basket_rules": Q183_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Longest daily-activity streak per user (q184)
+# ---------------------------------------------------------------------------
+
+def q184_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per user — the classic
+    date-arithmetic islands trick: within a user's distinct active
+    days in order, day - row_number() is CONSTANT exactly along a
+    consecutive run, so grouping by that anchor date splits streaks
+    with zero self-joins.  Windows are user-keyed over per-user
+    distinct DAYS (bounded by the calendar, not event volume — the
+    q141 frame discipline).  All dates and counts, nothing floating."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("__day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("__day")
+    anchored = days.withColumn(
+        "__anchor", F.date_sub(F.col("__day"), F.row_number().over(w))
+    )
+    streaks = anchored.groupBy("user_id", "__anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("__len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("__len").cast("long").alias("longest_streak"),
+        F.sum("__len").cast("long").alias("n_active_days"),
+    )
+
+
+Q184_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), anchored AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+           AS anchor
+  FROM days
+), streaks AS (
+  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+  FROM anchored GROUP BY 1, 2
+)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS n_active_days
+FROM streaks GROUP BY 1
+"""
+
+
+QUERIES.update({"q184_longest_streak": q184_longest_streak})
+ORACLE_SQL.update({"q184_longest_streak": Q184_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users over time (q185)
+# ---------------------------------------------------------------------------
+
+def q185_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audience-growth curve: per HOUR, how many users were active
+    for the FIRST time, and the running total of users ever seen —
+    the first-seen trick that turns 'cumulative COUNT(DISTINCT)'
+    (which neither engine can window) into an ordinary cumulative sum
+    of an aggregate: each user contributes one row at min(ts)'s hour.
+    The running sum is a whole-frame window over the
+    ALREADY-AGGREGATED hour frame (calendar-sized, the sanctioned
+    exception to the no-global-window rule — cf. q168's dimension
+    frames).  Hours ride as epoch microseconds (the q141 convention:
+    no timestamp stringification in the hash)."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("__first"))
+    daily = first.groupBy(
+        F.unix_micros(F.date_trunc("hour", "__first")).alias("hour_us")
+    ).agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+    w = Window.orderBy("hour_us").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "hour_us",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+Q185_SQL = """
+WITH first AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+), daily AS (
+  SELECT epoch_us(date_trunc('hour', first_ts)) AS hour_us,
+         CAST(count(*) AS BIGINT) AS new_users
+  FROM first GROUP BY 1
+)
+SELECT hour_us, new_users,
+       CAST(sum(new_users) OVER (ORDER BY hour_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily
+"""
+
+
+QUERIES.update({"q185_cumulative_uniques": q185_cumulative_uniques})
+ORACLE_SQL.update({"q185_cumulative_uniques": Q185_SQL})
