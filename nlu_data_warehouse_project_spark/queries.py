@@ -124,6 +124,7 @@ GROUP BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------------------
 
 def q02_control_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer -> nation -> region broadcast dimension lookup (J1's control equi-join shape)."""
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
@@ -152,6 +153,7 @@ GROUP BY r_name, n_name
 # ---------------------------------------------------------------------------
 
 def q03_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows in the feed absent from the dimension — J2's insert-new anti join."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -174,6 +176,7 @@ GROUP BY c_mktsegment
 # ---------------------------------------------------------------------------
 
 def q04_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-key rows whose tracked attributes differ — J3's theta change detection."""
     ev = _t(spark, sf_dir, "events")
     w_first = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     w_last = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
@@ -215,6 +218,7 @@ WHERE first_value <> last_value
 # ---------------------------------------------------------------------------
 
 def q05_date_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order dates joined to the generated date_dim for surrogate keys (J5's dim-lookup update-join)."""
     orders = _t(spark, sf_dir, "orders")
     dates = orders.select(F.col("o_orderdate").cast("date").alias("full_date")).distinct()
     dim = dense_ids(dates, ["full_date"], "id")
@@ -241,6 +245,7 @@ GROUP BY dd.id
 # ---------------------------------------------------------------------------
 
 def q06_null_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 sentinel repair: NULL text/numeric columns coalesced to the reference's sentinels."""
     li = _t(spark, sf_dir, "lineitem")
     dirty = li.select(
         F.nullif(F.col("l_linestatus"), F.lit("O")).alias("status_dirty"),
@@ -270,6 +275,7 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def q07_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/F2 keyed dedup: min-orderkey keeper per duplicate key group."""
     li = _t(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
     # extend the ordering until it is, or the keeper is nondeterministic
@@ -304,6 +310,7 @@ _D0, _D1 = "2024-01-01", "2024-01-16"
 
 
 def q08_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core SCD2 daily merge: insert-new + close-changed + keep-unchanged in one pass (J2+J3+J4)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
 
@@ -360,6 +367,7 @@ WHERE a.user_id IS NULL OR a.value <> b.value
 # ---------------------------------------------------------------------------
 
 def q09_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generated date dimension (D1-D12 calendar attributes) for a year slice."""
     from .functions.calendar import build_date_dim
 
     return build_date_dim(spark, "2024-01-01", "2025-12-31")
@@ -424,6 +432,7 @@ FROM wk
 # ---------------------------------------------------------------------------
 
 def q10_mart_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join revenue mart: fact x broadcast dims, DECIMAL revenue per (nation, year)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -466,6 +475,7 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — per-group rank with deterministic ties."""
     part = _t(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
     return (
@@ -489,6 +499,7 @@ FROM (
 # ---------------------------------------------------------------------------
 
 def q12_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts and value sums per (hour, type) — the hourly rollup shape."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -513,6 +524,7 @@ GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def q13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed field extraction from the events props JSON column."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
@@ -577,6 +589,7 @@ GROUP BY lang
 # ---------------------------------------------------------------------------
 
 def q15_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document char/token/punct-ratio stats from functions.text."""
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.select(
@@ -692,6 +705,7 @@ Q16_SQL = _minhash_pairs_sql()
 # ---------------------------------------------------------------------------
 
 def q17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity on LSH candidate pairs — the near-dup verify stage."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
     return ngram_jaccard_pairs(corpus, "text", "doc_id", shingle_n=3, threshold=0.8)
@@ -740,6 +754,7 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 # ---------------------------------------------------------------------------
 
 def q18_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 neighbors for 5 query vectors — the ANN correctness baseline."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return cosine_topk(queries, emb, k=5)
@@ -767,6 +782,7 @@ FROM (
 # ---------------------------------------------------------------------------
 
 def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over (nation, year) with grouping-set subtotal rows."""
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
@@ -792,6 +808,7 @@ GROUP BY ROLLUP (r_name, n_name)
 # ---------------------------------------------------------------------------
 
 def q20_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one open order — P7's existence probe as a LEFT SEMI join."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
     return (
@@ -814,6 +831,7 @@ GROUP BY c_mktsegment
 # ---------------------------------------------------------------------------
 
 def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (30-min rule) via lag + cumulative flag."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     with_gap = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
@@ -868,6 +886,7 @@ GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the latest order at or before its timestamp."""
     from .operators.asof import asof_join
 
     ev = _t(spark, sf_dir, "events")
@@ -967,6 +986,7 @@ ORACLE_SQL: dict[str, str] = {
 # ---------------------------------------------------------------------------
 
 def q23_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-membership language ID per document, counts per language."""
     from .functions.text import lang_id
 
     docs = _t(spark, sf_dir, "documents")
@@ -1012,6 +1032,7 @@ SELECT detected_lang, count(*) AS n_docs FROM picked GROUP BY detected_lang
 # ---------------------------------------------------------------------------
 
 def q24_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 document fingerprints — the exact-dedup key (F2's hash twin)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
@@ -1028,6 +1049,7 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 def q25_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish token counts per source."""
     from .functions.text import bpe_ish_token_count, token_count
 
     docs = _t(spark, sf_dir, "documents")
@@ -1067,6 +1089,7 @@ GROUP BY lang
 # ---------------------------------------------------------------------------
 
 def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document via per-bit majority vote aggregate."""
     from .operators.dedup import simhash_table
 
     docs = _t(spark, sf_dir, "documents")
@@ -1093,6 +1116,7 @@ FROM hashed
 # ---------------------------------------------------------------------------
 
 def q27_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-duplicate pairs above 0.95 on sign-sketch candidates."""
     from .operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
@@ -1123,6 +1147,7 @@ WHERE a.vec_id < b.vec_id
 # ---------------------------------------------------------------------------
 
 def q28_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate over (returnflag, linestatus) with all subtotal combinations."""
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
@@ -1151,6 +1176,7 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts pivoted to one column per status."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
@@ -1177,6 +1203,7 @@ GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 def q30_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group price percentiles (bounded groups)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25_qty"),
@@ -1204,6 +1231,7 @@ GROUP BY l_returnflag
 # ---------------------------------------------------------------------------
 
 def q31_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events binned into value-range buckets via the rangejoin operator."""
     # time-bucketed rewrite: equi-join on (user_id, 60s bucket) with the
     # right side exploded into adjacent buckets, so candidate pairs are
     # bounded by per-bucket density instead of per-user row count
@@ -1233,6 +1261,7 @@ GROUP BY a.user_id
 # ---------------------------------------------------------------------------
 
 def q32_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra on customer key sets."""
     ev = _t(spark, sf_dir, "events")
     half1 = ev.filter(F.col("ts") < F.lit(_SNAP_SPLIT).cast("timestamp")).select("user_id").distinct()
     half2 = ev.filter(F.col("ts") >= F.lit(_SNAP_SPLIT).cast("timestamp")).select("user_id").distinct()
@@ -1263,6 +1292,7 @@ SELECT cohort, count(*) AS n_users FROM labeled GROUP BY cohort
 # ---------------------------------------------------------------------------
 
 def q33_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue total per customer over order dates (user-keyed frames)."""
     orders = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -1310,6 +1340,7 @@ def _seeded_planes(num_planes: int = 16, dim: int = 64) -> list[list[float]]:
 
 
 def q34_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH approximate cosine top-k (bucket collisions -> exact re-rank)."""
     from .operators.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1359,6 +1390,7 @@ ORACLE_SQL.update(
 # ---------------------------------------------------------------------------
 
 def q35_cleanse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's C1-C7 cleanse chain (currency strip, digit filter, natural key) on the feed snapshot."""
     from .functions.cleansing import clean_price, digits_only, natural_key
 
     part = _t(spark, sf_dir, "part")
@@ -1397,6 +1429,7 @@ FROM part
 # ---------------------------------------------------------------------------
 
 def q36_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 read: the version row current as of a given date."""
     dw = q08_scd2_merge(spark, sf_dir)
     asof = F.to_date(F.lit(_D1))
     return dw.filter((F.col("dt_load_to_dw") <= asof) & (F.col("dt_last_update") > asof)).select(
@@ -1430,6 +1463,7 @@ ORACLE_SQL.update(
 # ---------------------------------------------------------------------------
 
 def q37_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long stack of per-status counts."""
     wide = q29_pivot(spark, sf_dir)
     return wide.unpivot(
         ids=["user_id"],
@@ -1451,6 +1485,7 @@ GROUP BY user_id, event_type
 # ---------------------------------------------------------------------------
 
 def q38_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item heavy hitters over order priorities (>= 1% share)."""
     from .operators.sketches import heavy_hitters
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1481,6 +1516,7 @@ ORACLE_SQL.update({
 # ---------------------------------------------------------------------------
 
 def q39_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of customer and supplier nation footprints with null-side markers."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -1516,6 +1552,7 @@ LEFT JOIN (
 # ---------------------------------------------------------------------------
 
 def q40_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 orders by price via TakeOrdered — never a full sort."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
@@ -1537,6 +1574,7 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 
 def q41_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex field extraction over document text (RE2-compatible pattern)."""
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.withColumn("src_num", F.regexp_extract("source", r"src(\d+)", 1).cast("int"))
@@ -1618,6 +1656,7 @@ GROUP BY l_returnflag
 # ---------------------------------------------------------------------------
 
 def q43_mart_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 price-history mart: every version interval joined to the date dim."""
     from .functions.calendar import build_date_dim
     from .operators.scd2 import resolve_date_key
     from .pipeline.mart import report_price_history
@@ -1738,6 +1777,7 @@ _IVF_PLANES = [p[:] for p in _seeded_planes(3, 64)]
 
 
 def q45_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cosine top-k: sign-cell inverted lists, multi-probe, exact re-rank within probed cells."""
     from .operators.similarity import ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1779,6 +1819,7 @@ FROM ranked WHERE rank <= 5
 # ---------------------------------------------------------------------------
 
 def q46_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample (md5-bucket decisions)."""
     from .operators.sampling import stratified_exact_sample
 
     docs = _t(spark, sf_dir, "documents")
@@ -1818,6 +1859,7 @@ ORACLE_SQL.update({
 # ---------------------------------------------------------------------------
 
 def q47_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs: min-label clusters."""
     from .operators.clusters import neardup_clusters
 
     # 200-doc slice: the closure is iterative (its cost is rounds x job
@@ -1907,6 +1949,7 @@ FROM red
 # ---------------------------------------------------------------------------
 
 def q49_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token document chunking with overlap (operators.chunking)."""
     from .operators.chunking import chunk_text
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2051,6 +2094,7 @@ ORACLE_SQL.update({"q50_curate_corpus": Q50_SQL})
 # ---------------------------------------------------------------------------
 
 def q52_dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup scoped to a sliding event-time window."""
     from .operators.cleanse import dedup_within_window
 
     ev = _t(spark, sf_dir, "events")
@@ -2165,6 +2209,7 @@ LEFT JOIN hits h USING (doc_id)
 # ---------------------------------------------------------------------------
 
 def q54_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (dup-token fraction, top-token share)."""
     from .operators.profile import repetition_stats
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2195,6 +2240,7 @@ LEFT JOIN stats s USING (doc_id)
 
 
 def q55_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health: volume, language mix, duplication rate."""
     from .operators.profile import corpus_profile
 
     docs = _t(spark, sf_dir, "documents")
@@ -2350,6 +2396,7 @@ SELECT user_id, 'purchase_and_error' AS cohort FROM (
 # ---------------------------------------------------------------------------
 
 def q61_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (source, lang) document counts."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
