@@ -9099,3 +9099,80 @@ FROM daily
 
 QUERIES.update({"q185_cumulative_uniques": q185_cumulative_uniques})
 ORACLE_SQL.update({"q185_cumulative_uniques": Q185_SQL})
+
+
+# ---------------------------------------------------------------------------
+# FIFO layer allocation (q186)
+# ---------------------------------------------------------------------------
+
+def q186_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory allocation: each part's shipments form supply
+    LAYERS in ship order; a demand of half the total quantity
+    (integer div) consumes the earliest layers first.  Cumulative
+    ranges turn 'consume in order' into pure arithmetic — a layer is
+    fully consumed iff its cumulative end <= demand, and the boundary
+    layer's partial take is demand - cum_before.  Windows are
+    part-keyed (frames bounded by per-part shipment count, not data
+    volume); every quantity is integral in this data so the double ->
+    int cast is exact on both engines; zero floats anywhere else."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("int")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("l_shipdate").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    layers = li.select(
+        "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber", qty.alias("__q")
+    ).withColumn("__cum", F.sum("__q").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    per = layers.groupBy("l_partkey").agg(
+        F.sum("__q").cast("long").alias("total_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_layers"),
+    ).withColumn("__demand", F.expr("total_qty div 2"))
+    j = layers.join(per, "l_partkey")
+    return j.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.max("total_qty").alias("total_qty"),
+        F.max("n_layers").alias("n_layers"),
+        F.max("__demand").cast("long").alias("demand"),
+        F.sum(F.when(F.col("__cum") <= F.col("__demand"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_layers_fully_consumed"),
+        F.max(
+            F.when(
+                (F.col("__cum") > F.col("__demand"))
+                & (F.col("__cum") - F.col("__q") < F.col("__demand")),
+                F.col("__demand") - (F.col("__cum") - F.col("__q")),
+            )
+        )
+        .cast("long")
+        .alias("boundary_take"),
+    )
+
+
+Q186_SQL = """
+WITH layers AS (
+  SELECT l_partkey, CAST(l_quantity AS INT) AS q,
+         sum(CAST(l_quantity AS INT)) OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM lineitem
+), per AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS total_qty,
+         CAST(count(*) AS BIGINT) AS n_layers,
+         sum(q) // 2 AS demand
+  FROM layers GROUP BY 1
+)
+SELECT layers.l_partkey AS partkey,
+       max(total_qty) AS total_qty,
+       max(n_layers) AS n_layers,
+       CAST(max(demand) AS BIGINT) AS demand,
+       CAST(sum(CASE WHEN cum <= demand THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_layers_fully_consumed,
+       CAST(max(CASE WHEN cum > demand AND cum - q < demand
+                THEN demand - (cum - q) END) AS BIGINT) AS boundary_take
+FROM layers JOIN per USING (l_partkey)
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q186_fifo_allocation": q186_fifo_allocation})
+ORACLE_SQL.update({"q186_fifo_allocation": Q186_SQL})
