@@ -9176,3 +9176,125 @@ GROUP BY 1
 
 QUERIES.update({"q186_fifo_allocation": q186_fifo_allocation})
 ORACLE_SQL.update({"q186_fifo_allocation": Q186_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period revenue waterfall (q187)
+# ---------------------------------------------------------------------------
+
+def q187_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue BRIDGE from 1996 to 1997: the year-over-year delta
+    decomposed into new / lost / expanded / contracted / flat customer
+    segments (every BI review's waterfall chart).  One conditional
+    aggregate per customer builds both period revenues in a single
+    pass — no self-join of two period scans; the segment label and the
+    delta are pure DECIMAL comparisons/differences (equality is exact,
+    so 'flat' is well-defined cross-engine), rounded once per segment
+    at the edge."""
+    orders = _t(spark, sf_dir, "orders")
+    zero = F.lit(0).cast("decimal(25,6)")
+    per = (
+        orders.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.year("o_orderdate") == 1996, _dec("o_totalprice"))), zero
+            ).alias("__r96"),
+            F.coalesce(
+                F.sum(F.when(F.year("o_orderdate") == 1997, _dec("o_totalprice"))), zero
+            ).alias("__r97"),
+        )
+    )
+    seg = (
+        F.when(F.col("__r96") == zero, "new")
+        .when(F.col("__r97") == zero, "lost")
+        .when(F.col("__r97") > F.col("__r96"), "expanded")
+        .when(F.col("__r97") < F.col("__r96"), "contracted")
+        .otherwise("flat")
+    )
+    return (
+        per.withColumn("segment", seg)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum(F.col("__r97") - F.col("__r96")), 2)
+            .cast("double")
+            .alias("revenue_delta"),
+        )
+    )
+
+
+Q187_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         coalesce(sum(CASE WHEN year(o_orderdate) = 1996
+                  THEN CAST(o_totalprice AS DECIMAL(25,6)) END), 0) AS r96,
+         coalesce(sum(CASE WHEN year(o_orderdate) = 1997
+                  THEN CAST(o_totalprice AS DECIMAL(25,6)) END), 0) AS r97
+  FROM orders
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY 1
+)
+SELECT CASE WHEN r96 = 0 THEN 'new'
+            WHEN r97 = 0 THEN 'lost'
+            WHEN r97 > r96 THEN 'expanded'
+            WHEN r97 < r96 THEN 'contracted'
+            ELSE 'flat' END AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(round(sum(r97 - r96), 2) AS DOUBLE) AS revenue_delta
+FROM per GROUP BY 1
+"""
+
+
+QUERIES.update({"q187_revenue_waterfall": q187_revenue_waterfall})
+ORACLE_SQL.update({"q187_revenue_waterfall": Q187_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Inter-purchase gap distribution (q188)
+# ---------------------------------------------------------------------------
+
+def q188_purchase_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the time BETWEEN a customer's consecutive
+    orders, in whole weeks — the reorder-cadence histogram that prices
+    retention campaigns.  lag() inside customer-keyed frames (bounded
+    by per-customer order count), datediff in integer days, bucket =
+    days div 7 (Spark `div` / DuckDB `//`, the q113 rule — never
+    `/` + cast, which rounds on one engine and truncates on the
+    other)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("__d").asc(), F.col("o_orderkey").asc()
+    )
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("__d"),
+        )
+        .withColumn("__prev", F.lag("__d").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(F.expr("datediff(__d, __prev) div 7").alias("gap_weeks"))
+    )
+    return gaps.groupBy("gap_weeks").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps")
+    )
+
+
+Q188_SQL = """
+WITH gaps AS (
+  SELECT date_diff('day',
+           lag(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC),
+           CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT gap_days // 7 AS gap_weeks, CAST(count(*) AS BIGINT) AS n_gaps
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q188_purchase_gap_histogram": q188_purchase_gap_histogram})
+ORACLE_SQL.update({"q188_purchase_gap_histogram": Q188_SQL})
