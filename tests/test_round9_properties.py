@@ -120,3 +120,68 @@ def test_approx_buckets_are_total_and_monotone(spark, vals, b):
     by_val = sorted((r["v"], r["bucket"]) for r in got)
     assert all(1 <= bk <= b for _, bk in by_val)
     assert [bk for _, bk in by_val] == sorted(bk for _, bk in by_val)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)),
+        min_size=1, max_size=25,
+    ),
+    hops=st.integers(min_value=0, max_value=4),
+)
+@settings(**SETTINGS)
+def test_bfs_hops_matches_pure_python_bfs(spark, edges, hops):
+    """bfs_hops == a dict-based BFS on arbitrary small digraphs
+    (self-loops, duplicate edges, unreachable islands included)."""
+    from nlu_data_warehouse_project_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(e, 0, max_hops=hops).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    expect = {0: 0}
+    frontier = [0]
+    for h in range(1, hops + 1):
+        nxt = sorted({d for s in frontier for d in adj.get(s, ()) if d not in expect})
+        for d in nxt:
+            expect[d] = h
+        frontier = nxt
+    assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij".split()), min_size=0, max_size=6),
+        min_size=1, max_size=12,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+@settings(**SETTINGS)
+def test_rare_ngram_score_matches_pure_python_counts(spark, texts, k):
+    """rare_ngram_score == a Counter-based reference on arbitrary
+    small corpora: per-doc bigram multiset probed against global
+    occurrence counts, rate = rare/total."""
+    from collections import Counter
+
+    from nlu_data_warehouse_project_spark.operators.profile import rare_ngram_score
+
+    docs = [(i, " ".join(words)) for i, words in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in rare_ngram_score(df, rare_max_count=k).collect()}
+
+    per_doc: dict[int, list[tuple[str, str]]] = {}
+    global_counts: Counter = Counter()
+    for i, words in enumerate(texts):
+        grams = [(words[j], words[j + 1]) for j in range(len(words) - 1)]
+        per_doc[i] = grams
+        global_counts.update(grams)
+    for i, grams in per_doc.items():
+        n_rare = sum(1 for g in grams if global_counts[g] <= k)
+        assert got[i]["n_bigrams"] == len(grams), (i, texts[i])
+        assert got[i]["n_rare"] == n_rare
+        if grams:
+            assert got[i]["rare_rate"] == round(n_rare / len(grams), 6)
+        else:
+            assert got[i]["rare_rate"] is None
