@@ -9298,3 +9298,77 @@ GROUP BY 1
 
 QUERIES.update({"q188_purchase_gap_histogram": q188_purchase_gap_histogram})
 ORACLE_SQL.update({"q188_purchase_gap_histogram": Q188_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Triangle census of the co-order graph (q189)
+# ---------------------------------------------------------------------------
+
+def q189_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count and transitivity of the co-order part
+    graph — the canonical multi-way distributed self-join: ordering
+    every edge (a < b) makes each triangle countable EXACTLY once as
+    e(a,b) ⨝ e(b,c) ⨝ e(a,c), a two-hop equi-join chain with no
+    dedup pass.  Wedges come from the degree aggregate
+    (Σ d·(d−1)/2, exact integers — d·(d−1) is always even), and
+    global transitivity 3T/W is the single IEEE division at the edge.
+    At 100 TB the join chain shuffles on edge endpoints — the
+    standard vertex-cut strategy; skew on hub nodes is the known cost
+    (Σ d² intermediates) and is bounded here by the order-size cap on
+    co-order degree."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("s"))
+    b = li.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("d"))
+    edges = (
+        a.join(b, "__o").filter(F.col("s") < F.col("d")).select("s", "d").distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    e2 = edges.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    e3 = edges.select(F.col("s").alias("a"), F.col("d").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    und = edges.select(F.col("s").alias("node")).unionAll(
+        edges.select(F.col("d").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    wedges = deg.agg(
+        F.sum(F.expr("(__deg * (__deg - 1)) div 2")).cast("long").alias("n_wedges")
+    )
+    return tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles").cast("double") / F.col("n_wedges").cast("double"),
+            6,
+        ).alias("transitivity"),
+    )
+
+
+Q189_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.d = e2.s
+  JOIN edges e3 ON e3.s = e1.s AND e3.d = e2.d
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT s AS node FROM edges UNION ALL SELECT d FROM edges)
+  GROUP BY 1
+), wedges AS (
+  SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT n_triangles, n_wedges,
+       round(3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
+         AS transitivity
+FROM tri CROSS JOIN wedges
+"""
+
+
+QUERIES.update({"q189_triangle_census": q189_triangle_census})
+ORACLE_SQL.update({"q189_triangle_census": Q189_SQL})
