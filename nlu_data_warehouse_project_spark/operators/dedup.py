@@ -705,3 +705,56 @@ def bloom_incremental_dedup(
     )
     survivors = cand.join(F.broadcast(dup_fps), "__fp", "left_anti")
     return misses.unionByName(survivors).drop("__fp", "__hit")
+
+
+def semantic_prune(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, find
+    near-duplicate pairs ONLY within a cluster, keep the minimum id
+    of each near-dup group plus every unpaired row.
+
+    This is the scale trick the paper is about: clustering caps the
+    quadratic term — candidate pairs are Σ|cluster|² instead of N²,
+    and the cluster join is an equi-join on the assigned cell, so the
+    shuffle key is the cell id.  Composed entirely from existing
+    parts: ``kmeans_fit`` (deterministic seeding) →
+    ``with_nearest_cells`` (broadcast-centroid Arrow matmul) →
+    within-cell pair join (rounded cosine >= threshold, the q27
+    convention) → ``dedup_by_clusters`` (min-label survivors, so
+    transitive dup chains inside a cluster collapse to one keeper).
+
+    Near-dup pairs SPLIT across two clusters are missed — the
+    documented SemDeDup recall trade; raise k for tighter clusters
+    and fewer in-cell comparisons, or lower it for higher recall.
+    Pass precomputed ``centroids`` to skip training (e.g. reuse the
+    IVF quantizer's)."""
+    from .clusters import dedup_by_clusters
+    from .kmeans import kmeans_fit, with_nearest_cells
+
+    if centroids is None:
+        centroids = kmeans_fit(df, vec_col, id_col, k=k)
+    cells = with_nearest_cells(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col, centroids, nprobe=1
+    ).select(
+        F.col(id_col), F.col(vec_col), F.element_at(F.col("__cells"), 1).alias("__cell")
+    )
+    a = cells.select(
+        F.col("__cell"), F.col(id_col).alias("__ia"), F.col(vec_col).alias("__va")
+    )
+    b = cells.select(
+        F.col("__cell"), F.col(id_col).alias("__ib"), F.col(vec_col).alias("__vb")
+    )
+    pairs = (
+        a.join(b, "__cell")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .filter(F.round(cosine("__va", "__vb"), 4) >= threshold)
+        .select(F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"))
+    )
+    return dedup_by_clusters(df, pairs, id_col=id_col)

@@ -850,3 +850,53 @@ def test_bfs_hops_zero_budget_and_isolated_start(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     assert [(r["node"], r["hops"]) for r in bfs_hops(edges, 1, max_hops=0).collect()] == [(1, 0)]
     assert [(r["node"], r["hops"]) for r in bfs_hops(edges, 99, max_hops=5).collect()] == [(99, 0)]
+
+
+def test_semantic_prune_collapses_planted_duplicate_groups(spark):
+    """Four well-separated cluster centers; each contributes one
+    'original' plus two near-copies (cos > 0.99) and one genuinely
+    distinct member (orthogonal-ish jitter, cos < 0.95).  semantic_prune
+    keeps exactly the min-id of each dup group plus the distinct
+    member — 8 survivors of 16."""
+    import numpy as np
+
+    from nlu_data_warehouse_project_spark.operators.dedup import semantic_prune
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 32)) * 10
+    rows = []
+    vid = 0
+    for c in centers:
+        base = c + rng.normal(size=32) * 0.01
+        for _ in range(3):                      # original + 2 near-copies
+            rows.append((vid, [float(x) for x in base + rng.normal(size=32) * 0.001]))
+            vid += 1
+        # same cluster, but far enough to stay below the threshold
+        # (center norm ~10*sqrt(32); jitter norm ~20*sqrt(32) -> cos ~0.45)
+        rows.append((vid, [float(x) for x in c + rng.normal(size=32) * 20.0]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    kept = sorted(r["vec_id"] for r in semantic_prune(df, k=4, threshold=0.95).collect())
+    assert kept == [0, 3, 4, 7, 8, 11, 12, 15], kept
+
+
+def test_semantic_prune_accepts_precomputed_centroids(spark):
+    """Passing centroids skips training: with one catch-all centroid
+    the operator degrades to exact all-pairs semantics — both planted
+    dups collapse."""
+    from nlu_data_warehouse_project_spark.operators.dedup import semantic_prune
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0, 0.0]),   # dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_prune(df, centroids=[[1.0, 1.0, 0.0, 0.0]]).collect()
+    )
+    assert kept == [1, 3]
