@@ -40,6 +40,10 @@ def curate_corpus(
     gopher_rules: bool = False,
     flagged_words: list[str] | None = None,
     line_dedup_max_df: int | None = None,
+    embeddings: DataFrame | None = None,
+    embedding_col: str = "embedding",
+    semantic_k: int = 8,
+    semantic_threshold: float = 0.95,
 ) -> DataFrame:
     """Returns the curated corpus at document grain: the input columns
     plus ``redacted`` (scrubbed text) and ``split``.  Deterministic end
@@ -102,6 +106,25 @@ def curate_corpus(
         exact, text_col, id_col, num_hashes, bands, shingle_n, max_bucket_size=max_bucket_size
     )
     kept = dedup_by_clusters(exact, pairs, id_col)
+    # 3.5 semantic dedup (optional) — SemDeDup over a caller-supplied
+    #     embedding table keyed by id_col: paraphrase-level copies the
+    #     text-shingle stages can't see.  Runs on the near-dup
+    #     SURVIVORS only (the cheapest point), and docs WITHOUT an
+    #     embedding pass through untouched — a partially-embedded
+    #     corpus must not silently lose its unembedded tail.
+    if embeddings is not None:
+        from ..operators.dedup import semantic_prune
+
+        scoped = kept.select(id_col).join(
+            embeddings.select(id_col, embedding_col), id_col
+        )
+        pruned = semantic_prune(
+            scoped, vec_col=embedding_col, id_col=id_col,
+            k=semantic_k, threshold=semantic_threshold,
+        ).select(id_col)
+        has_emb = kept.join(embeddings.select(id_col), id_col, "left_semi")
+        no_emb = kept.join(embeddings.select(id_col), id_col, "left_anti")
+        kept = has_emb.join(pruned, id_col, "left_semi").unionByName(no_emb)
     # 4. PII redaction — codegen'd regexp chain
     red = kept.withColumn("redacted", redact_pii(text_col))
     # 5. deterministic split — scan-local md5 bucket

@@ -900,3 +900,33 @@ def test_semantic_prune_accepts_precomputed_centroids(spark):
         for r in semantic_prune(df, centroids=[[1.0, 1.0, 0.0, 0.0]]).collect()
     )
     assert kept == [1, 3]
+
+
+def test_curate_corpus_semantic_stage_prunes_paraphrases(spark):
+    """curate_corpus(embeddings=...): two docs with different TEXT
+    (invisible to shingle dedup) but near-identical embeddings — the
+    semantic stage keeps the lower id; a doc WITHOUT an embedding
+    passes through untouched."""
+    from nlu_data_warehouse_project_spark.pipeline.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "a swift russet fox vaulted over an idle hound this morning"),
+            (3, "completely unrelated text about distributed query planning"),
+            (4, "this document has no embedding row but plenty of words here"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.002, 0.0, 0.0]),   # paraphrase of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "doc_id long, embedding array<float>",
+    )
+    out = curate_corpus(
+        docs, min_tokens=5, embeddings=emb, semantic_k=2, semantic_threshold=0.95
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
