@@ -236,3 +236,31 @@ def write_jsonl(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — the interchange format for Hive/Trino/Presto-side
+    consumers (parquet stays the native format everywhere else in this
+    engine).  ORC carries the same column-pruning + predicate-pushdown
+    + min/max-stripe-skipping contract as parquet in Spark, so a
+    downstream read is not a downgrade."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, required: list[str] | None = None) -> DataFrame:
+    """ORC scan with the same fail-fast required-column validation as
+    ``read_feed_csv`` (S3's contract: a missing column is a pipeline
+    bug, not a null-fill situation)."""
+    df = spark.read.orc(path)
+    if required:
+        validate_required_columns(df, required)
+    return df

@@ -137,3 +137,27 @@ def test_write_jsonl_partitioned_by_split(spark, tmp_path):
     ]
     train = spark.read.json(f"{out}/split=train")
     assert sorted(r["doc_id"] for r in train.collect()) == [1, 2]
+
+
+def test_orc_roundtrip_pushdown_and_required_columns(spark, tmp_path):
+    """ORC round-trips with partition layout; a predicate reaches the
+    ORC scan (PushedFilters); missing required columns fail fast."""
+    import pytest
+
+    from nlu_data_warehouse_project_spark.plans import has_pushed_filters
+    from nlu_data_warehouse_project_spark.sources import (
+        MissingColumnsError,
+        read_orc,
+        write_orc,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(60)], "id long, part int, s string"
+    )
+    out = str(tmp_path / "orc")
+    write_orc(df, out, partition_by=["part"])
+    got = read_orc(spark, out, required=["id", "s", "part"])
+    assert got.count() == 60
+    assert has_pushed_filters(got.filter(F.col("id") > 30).select("id"))
+    with pytest.raises(MissingColumnsError):
+        read_orc(spark, out, required=["id", "nope"])
