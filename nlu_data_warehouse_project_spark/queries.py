@@ -9372,3 +9372,46 @@ FROM tri CROSS JOIN wedges
 
 QUERIES.update({"q189_triangle_census": q189_triangle_census})
 ORACLE_SQL.update({"q189_triangle_census": Q189_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Co-order degree distribution (q190)
+# ---------------------------------------------------------------------------
+
+def q190_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the co-order part graph —
+    the skew diagnostic that decides whether q189's triangle join or
+    q180's BFS needs salting (a heavy-tailed hub profile blows up the
+    Σd² intermediate; a flat profile doesn't).  Degrees from one
+    distinct-edge aggregate; the log2 bucket is integer bit-length
+    arithmetic (floor(log2(d)) = bit_length(d) - 1 — no libm log in
+    the hash, the q156 discipline)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("s"))
+    b = li.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("d"))
+    edges = a.join(b, "__o").filter(F.col("s") != F.col("d")).select("s", "d").distinct()
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    # floor(log2(deg)) = bit length - 1, via the binary string form —
+    # exact integer arithmetic, portable (Spark conv/DuckDB bin)
+    bucket = (F.length(F.conv(F.col("__deg").cast("string"), 10, 2)) - F.lit(1)).cast("int")
+    return deg.select(bucket.alias("log2_degree")).groupBy("log2_degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+
+
+Q190_SQL = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), deg AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+)
+SELECT CAST(length(bin(deg)) - 1 AS INT) AS log2_degree,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM deg GROUP BY 1
+"""
+
+
+QUERIES.update({"q190_degree_distribution": q190_degree_distribution})
+ORACLE_SQL.update({"q190_degree_distribution": Q190_SQL})
