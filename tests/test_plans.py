@@ -649,3 +649,22 @@ def test_business_wave_plans_q181_q183(spark, sf_smoke):
     assert python_udf_count(q183) == 0
     assert window_count(q183) == 0
     assert "TakeOrderedAndProject" in formatted_plan(q183)
+
+
+def test_reporting_wave_plans_q184_q190(spark, sf_smoke):
+    """q184-q190: Python-free, bounded shuffles.  q185's one window is
+    the sanctioned whole-frame sum over the calendar-sized aggregated
+    hour frame; q186/q188's windows are key-partitioned; q189/q190
+    audit post-checkpoint (the edge set materializes once)."""
+    for name, max_shuffles in (
+        ("q184_longest_streak", 3),
+        ("q185_cumulative_uniques", 3),
+        ("q186_fifo_allocation", 3),
+        ("q187_revenue_waterfall", 2),
+        ("q188_purchase_gap_histogram", 3),
+        ("q189_triangle_census", 8),   # 3-way self-join + degree agg
+        ("q190_degree_distribution", 3),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
