@@ -393,6 +393,54 @@ class TxTable:
             cur = self._align_to(cur, target, "current dir", man.get("column_renames"))
         return cur.unionByName(self.read_closed(version))
 
+    def table_changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed (Delta-CDF-shaped): every row whose dir
+        ENTERED the closed history in ``(since_version, to_version]``,
+        tagged with ``_commit_version`` and ``_commit_run_id`` so an
+        incremental consumer can attribute rows to commits and resume
+        mid-span.  Walks each intermediate version and reads exactly
+        the dirs that version introduced (one aligned read per
+        version), so the tags are exact, not inferred.
+
+        Compaction PRODUCTS are skipped — a compaction rewrites rows
+        that some earlier commit already fed into the feed (either
+        inside the span, attributed to their true commit, or before
+        it).  Requires the span's manifests to still be retained:
+        a vacuum past ``since_version`` raises ``VersionNotFoundError``
+        (the same retention contract as ``read(version=...)``)."""
+        to_v = to_version if to_version is not None else self.latest_version()
+        if to_v is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        retained = self.versions()
+        span = [v for v in retained if since_version <= v <= to_v]
+        if since_version not in span or to_v not in span:
+            raise VersionNotFoundError(
+                f"table_changes({since_version}, {to_v}) needs every manifest in "
+                f"the span retained; available: {retained}"
+            )
+        tag = lambda df, v, run: df.withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        ).withColumn("_commit_run_id", F.lit(run))
+        prev_closed = set(self.manifest(since_version)["closed"])
+        out = None
+        for v in span:
+            if v == since_version:
+                continue
+            man = self.manifest(v)
+            lineage = man.get("compacted_lineage", {})
+            fresh = [
+                d for d in man["closed"]
+                if d not in prev_closed and d not in lineage
+            ]
+            prev_closed = set(man["closed"])
+            if not fresh:
+                continue
+            part = tag(self.read_closed(v, dirs=fresh), v, man.get("run_id"))
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            return tag(self.read_closed(to_v).limit(0), 0, None)
+        return out
+
     def read_closed_delta(self, since_version: int, version: int | None = None) -> DataFrame:
         """Rows appended/closed between two versions: the closed dirs
         present at ``version`` (default: latest) but not at

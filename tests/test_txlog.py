@@ -834,3 +834,43 @@ def test_time_travel_respects_vacuum_retention(spark, tmp_path):
     assert t.version_as_of(350.0) == 3
     with pytest.raises(VersionNotFoundError):
         t.version_as_of(150.0)
+
+
+def test_table_changes_tags_rows_with_their_commit(spark, tmp_path):
+    """CDF over three appends: each row carries the _commit_version /
+    _commit_run_id of the commit that introduced it; half-open span
+    semantics (since exclusive, to inclusive)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i, d in enumerate(["d1", "d2", "d3"], start=1):
+        t.commit_append(spark.createDataFrame([(i,)], "id long"), d)
+
+    feed = t.table_changes(1).collect()
+    assert sorted((r["id"], r["_commit_version"], r["_commit_run_id"]) for r in feed) == [
+        (2, 2, "d2"),
+        (3, 3, "d3"),
+    ]
+    assert t.table_changes(1, to_version=2).collect()[0]["id"] == 2
+    assert t.table_changes(3).count() == 0
+
+
+def test_table_changes_skips_compaction_products(spark, tmp_path):
+    """A compaction rewrites already-fed rows: the feed after
+    compaction must not re-emit them, and a post-compaction append is
+    still attributed correctly."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    v1 = t.commit_append(spark.createDataFrame([(1,)], "id long"), "d1")
+    t.commit_append(spark.createDataFrame([(2,)], "id long"), "d2")
+    t.compact_closed(min_dirs=2)
+    t.commit_append(spark.createDataFrame([(3,)], "id long"), "d3")
+
+    feed = t.table_changes(v1).collect()
+    assert sorted((r["id"], r["_commit_run_id"]) for r in feed) == [(2, "d2"), (3, "d3")]
+
+
+def test_table_changes_refuses_vacuumed_span(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i, d in enumerate(["d1", "d2", "d3", "d4"], start=1):
+        t.commit_append(spark.createDataFrame([(i,)], "id long"), d)
+    t.vacuum(retain_last=2)
+    with pytest.raises(VersionNotFoundError, match="retained"):
+        t.table_changes(1)
