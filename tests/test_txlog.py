@@ -874,3 +874,52 @@ def test_table_changes_refuses_vacuumed_span(spark, tmp_path):
     t.vacuum(retain_last=2)
     with pytest.raises(VersionNotFoundError, match="retained"):
         t.table_changes(1)
+
+
+def test_two_threaded_merge_writers_rebase_preserves_both_updates(spark, tmp_path):
+    """The MERGE-shaped twin of the append race: two writers each
+    read the current set, update a DIFFERENT key, and commit_merge at
+    the same base version.  The loser's commit_with_retry builder
+    RE-READS the advanced current set, so the winner's update survives
+    in the rebased commit — blindly retrying the pre-built frame would
+    be the classic lost update."""
+    import threading
+
+    root = str(tmp_path / "mrace")
+    seed = TxTable(spark, root)
+    cur0 = spark.createDataFrame([("k1", 1), ("k2", 2)], "k string, v int")
+    seed.commit_merge(cur0, cur0.limit(0), "seed")
+
+    barrier = threading.Barrier(2, timeout=60)
+    errors: list[BaseException] = []
+
+    def writer(key: str, newval: int) -> None:
+        try:
+            t = TxTable(spark, root)
+            first = {"done": False}
+
+            def build(tt):
+                cur = tt.read_current()
+                updated = cur.withColumn(
+                    "v",
+                    F.when(F.col("k") == key, F.lit(newval)).otherwise(F.col("v")),
+                )
+                updated = spark.createDataFrame(updated.collect(), updated.schema)
+                if not first["done"]:
+                    first["done"] = True
+                    barrier.wait()  # both first attempts build on base v1
+                return tt.commit_merge(updated, updated.limit(0), f"w-{key}")
+
+            t.commit_with_retry(build, max_retries=3)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    ta = threading.Thread(target=writer, args=("k1", 10))
+    tb = threading.Thread(target=writer, args=("k2", 20))
+    ta.start(); tb.start(); ta.join(60); tb.join(60)
+    assert not errors, errors
+
+    final = TxTable(spark, root)
+    assert final.manifest()["version"] == 3  # seed + two serialized merges
+    got = {(r["k"], r["v"]) for r in final.read_current().collect()}
+    assert got == {("k1", 10), ("k2", 20)}, got
