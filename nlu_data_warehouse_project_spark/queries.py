@@ -9415,3 +9415,83 @@ FROM deg GROUP BY 1
 
 QUERIES.update({"q190_degree_distribution": q190_degree_distribution})
 ORACLE_SQL.update({"q190_degree_distribution": Q190_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Session entry-path analysis (q191)
+# ---------------------------------------------------------------------------
+
+def q191_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session ENTRY PATHS: the first three event types of every
+    session (q21's 30-min rule), counted across sessions — the
+    onboarding-funnel view of raw event streams.  The ordered
+    collect is the shape to get right at scale: ``collect_list`` has
+    NO deterministic order under Spark's partitioned execution, so the
+    path is built by sorting an array of (epoch_us, event_id, type)
+    structs per session (struct comparison is lexicographic — exactly
+    the (ts, id) total order) and slicing three — session-bounded
+    arrays, never a global sort.  DuckDB mirrors with its native
+    ordered ``list()`` aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("__prev", F.lag("ts").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("ts").cast("long") - F.col("__prev").cast("long") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__sid", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    paths = (
+        sess.groupBy("user_id", "__sid")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("t"),
+                    F.col("event_id").alias("i"),
+                    F.col("event_type").alias("e"),
+                )
+            ).alias("__evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.slice(F.expr("transform(array_sort(__evs), s -> s.e)"), 1, 3),
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    return counted.orderBy(F.col("n_sessions").desc(), F.col("path").asc()).limit(15)
+
+
+Q191_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM g
+), sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+), paths AS (
+  SELECT array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>') AS path
+  FROM sess GROUP BY user_id, sid
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path ASC LIMIT 15
+"""
+
+
+QUERIES.update({"q191_session_paths": q191_session_paths})
+ORACLE_SQL.update({"q191_session_paths": Q191_SQL})
