@@ -405,7 +405,13 @@ class TxTable:
         Compaction PRODUCTS are skipped — a compaction rewrites rows
         that some earlier commit already fed into the feed (either
         inside the span, attributed to their true commit, or before
-        it).  Requires the span's manifests to still be retained:
+        it).  A RESTORE that re-introduces previously-closed dirs
+        re-emits them (they re-enter the live history at the restore
+        commit — correct for consumers tracking live state; an
+        exactly-once consumer replaying across a restore should do
+        its own consumed-dir bookkeeping via ``lineage_leaves``, the
+        ``read_closed_delta`` contract).  Requires the span's
+        manifests to still be retained:
         a vacuum past ``since_version`` raises ``VersionNotFoundError``
         (the same retention contract as ``read(version=...)``)."""
         to_v = to_version if to_version is not None else self.latest_version()
@@ -420,7 +426,7 @@ class TxTable:
             )
         tag = lambda df, v, run: df.withColumn(
             "_commit_version", F.lit(v).cast("long")
-        ).withColumn("_commit_run_id", F.lit(run))
+        ).withColumn("_commit_run_id", F.lit(run).cast("string"))
         prev_closed = set(self.manifest(since_version)["closed"])
         out = None
         for v in span:
