@@ -9495,3 +9495,69 @@ ORDER BY n_sessions DESC, path ASC LIMIT 15
 
 QUERIES.update({"q191_session_paths": q191_session_paths})
 ORACLE_SQL.update({"q191_session_paths": Q191_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Near-dup component census — recursive oracle for the CC operator (q192)
+# ---------------------------------------------------------------------------
+
+def q192_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component census of q170's fuzzy-name pair graph:
+    per component (labeled by its minimum member, the dedup keeper),
+    the member count.  The Spark side is `clusters.neardup_clusters`
+    — the ITERATIVE min-label propagation every near-dup dedup in
+    this engine rides on — and the oracle recomputes the same
+    fixpoint as a native WITH RECURSIVE label walk, so the engine's
+    CC machinery itself is cross-checked against an independent
+    evaluator (the q180 discipline, applied to the operator that
+    matters most)."""
+    from .operators.clusters import neardup_clusters
+
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("__b"), F.col("p_size").alias("__s"),
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("__b"), F.col("p_size").alias("__s"),
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+    )
+    pairs = (
+        a.join(b, ["__b", "__s"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 4)
+        .select("key_a", "key_b")
+    )
+    labels = neardup_clusters(pairs, "key_a", "key_b")
+    return labels.groupBy(F.col("cluster_id").alias("component")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+Q192_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+), edges AS (
+  SELECT key_a AS src, key_b AS dst FROM pairs
+  UNION ALL
+  SELECT key_b, key_a FROM pairs
+), walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label
+  FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.label < e.dst
+), labels AS (
+  SELECT node, min(label) AS component FROM walk GROUP BY 1
+)
+SELECT component, CAST(count(*) AS BIGINT) AS n_members
+FROM labels GROUP BY 1
+"""
+
+
+QUERIES.update({"q192_component_census": q192_component_census})
+ORACLE_SQL.update({"q192_component_census": Q192_SQL})
