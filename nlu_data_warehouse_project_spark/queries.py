@@ -9561,3 +9561,56 @@ FROM labels GROUP BY 1
 
 QUERIES.update({"q192_component_census": q192_component_census})
 ORACLE_SQL.update({"q192_component_census": Q192_SQL})
+
+
+# ---------------------------------------------------------------------------
+# ID-continuity gap report — distributed lag via exclusive prefix-max (q193)
+# ---------------------------------------------------------------------------
+
+def q193_id_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-ID ranges in the URGENT-order key slice — the
+    reconciliation report a feed-continuity audit produces (which id
+    ranges never arrived, as intervals, not q130's bare counts).  The
+    interesting part is HOW lag() distributes: a global
+    `lag() OVER (ORDER BY k)` is a single-partition sort, so the
+    predecessor comes from `scale.exact_prefix_agg(how='max',
+    exclusive=True)` instead — over sorted distinct keys the running
+    max of the strict predecessors IS lag(k), computed on range
+    partitions with broadcast offsets.  Pure integer output; oracle
+    keeps the native window form."""
+    from .operators.scale import exact_prefix_agg
+
+    orders = _t(spark, sf_dir, "orders")
+    u = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    lagged = exact_prefix_agg(
+        u, [F.col("k").asc()], "k", how="max", exclusive=True, cum_col="__prev"
+    )
+    return (
+        lagged.filter(F.col("k") - F.col("__prev") > 1)
+        .select(
+            (F.col("__prev") + 1).cast("long").alias("gap_start"),
+            (F.col("k") - 1).cast("long").alias("gap_end"),
+            (F.col("k") - F.col("__prev") - 1).cast("long").alias("gap_len"),
+        )
+    )
+
+
+Q193_SQL = """
+WITH u AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+), lagged AS (
+  SELECT k, lag(k) OVER (ORDER BY k) AS prev FROM u
+)
+SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+       CAST(k - 1 AS BIGINT) AS gap_end,
+       CAST(k - prev - 1 AS BIGINT) AS gap_len
+FROM lagged WHERE k - prev > 1
+"""
+
+
+QUERIES.update({"q193_id_gap_report": q193_id_gap_report})
+ORACLE_SQL.update({"q193_id_gap_report": Q193_SQL})
