@@ -427,6 +427,8 @@ class TxTable:
         tag = lambda df, v, run: df.withColumn(
             "_commit_version", F.lit(v).cast("long")
         ).withColumn("_commit_run_id", F.lit(run).cast("string"))
+        final_man = self.manifest(to_v)
+        final_schema = self._manifest_schema(final_man)
         prev_closed = set(self.manifest(since_version)["closed"])
         out = None
         for v in span:
@@ -441,7 +443,17 @@ class TxTable:
             prev_closed = set(man["closed"])
             if not fresh:
                 continue
-            part = tag(self.read_closed(v, dirs=fresh), v, man.get("run_id"))
+            # read under v's manifest, then align to the FEED-END schema:
+            # a rename or added column later in the span must not make
+            # the per-version parts union-incompatible (the rename map of
+            # to_v resolves each part's period-correct column names)
+            part = self._align_to(
+                self.read_closed(v, dirs=fresh),
+                final_schema,
+                f"table_changes v{v}",
+                final_man.get("column_renames"),
+            )
+            part = tag(part, v, man.get("run_id"))
             out = part if out is None else out.unionByName(part)
         if out is None:
             return tag(self.read_closed(to_v).limit(0), 0, None)

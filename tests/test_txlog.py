@@ -923,3 +923,21 @@ def test_two_threaded_merge_writers_rebase_preserves_both_updates(spark, tmp_pat
     assert final.manifest()["version"] == 3  # seed + two serialized merges
     got = {(r["k"], r["v"]) for r in final.read_current().collect()}
     assert got == {("k1", 10), ("k2", 20)}, got
+
+
+def test_table_changes_across_rename_and_added_column(spark, tmp_path):
+    """A rename and a schema add INSIDE the feed span: every part
+    aligns to the feed-end schema (old-name dirs resolve through the
+    rename map, pre-add rows null-fill), so the union is coherent and
+    values land under the final column names."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([(1, "a")], "id long, val string"), "d1")
+    t.commit_append(spark.createDataFrame([(2, "b")], "id long, val string"), "d2")
+    t.rename_column("val", "value")                              # v3
+    t.commit_append(
+        spark.createDataFrame([(3, "c", "x")], "id long, value string, note string"),
+        "d4",
+    )
+    feed = t.table_changes(1).collect()
+    got = sorted((r["id"], r["value"], r["note"], r["_commit_version"]) for r in feed)
+    assert got == [(2, "b", None, 2), (3, "c", "x", 4)], got
