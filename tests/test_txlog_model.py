@@ -159,3 +159,60 @@ def test_txtable_random_op_sequences_match_model(spark, tmp_path, seed):
             assert got_cols == want_cols, (v, got_cols, want_cols)
             assert got_rows == want_rows, (v,)
     assert t.verify()["ok"]
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_version_as_of_matches_model_under_random_ops(spark, tmp_path, seed):
+    """Time-travel fuzz: a counting clock stamps every commit; after a
+    random op sequence, version_as_of(ts) must return the LARGEST
+    retained version whose stamp <= ts for every ts in range, and
+    raise below the earliest retained stamp.  Vacuum prunes both the
+    version and its stamp from reachability."""
+    from nlu_data_warehouse_project_spark.sources.txlog import VersionNotFoundError
+
+    rng = random.Random(seed)
+    tick = [0.0]
+
+    def clock():
+        tick[0] += 10.0
+        return tick[0]
+
+    t = TxTable(spark, str(tmp_path / f"tt{seed}"), clock=clock)
+    stamps: dict[int, float] = {}
+
+    def do_commit():
+        df = spark.createDataFrame([(rng.randint(0, 99),)], "id long")
+        if rng.random() < 0.3:
+            v = t.commit_snapshot(df, f"s{len(stamps)}")
+        else:
+            v = t.commit_append(df, f"a{len(stamps)}")
+        stamps[v] = t.manifest(v)["committed_at"]
+
+    def do_restore():
+        if len(stamps) >= 2:
+            v = t.restore(rng.choice(sorted(stamps)))
+            stamps[v] = t.manifest(v)["committed_at"]
+
+    def do_vacuum():
+        t.vacuum(retain_last=rng.randint(1, 3))
+        kept = set(t.versions())
+        for v in list(stamps):
+            if v not in kept:
+                del stamps[v]
+
+    do_commit()
+    for _ in range(10):
+        rng.choice([do_commit, do_commit, do_restore, do_vacuum])()
+
+    # stamps strictly increase with version (counting clock)
+    ordered = sorted(stamps)
+    assert all(stamps[a] < stamps[b] for a, b in zip(ordered, ordered[1:]))
+
+    lo = min(stamps.values())
+    for ts in [lo - 5.0] + [s + d for s in stamps.values() for d in (0.0, 1.0)]:
+        want = max((v for v, s in stamps.items() if s <= ts), default=None)
+        if want is None:
+            with pytest.raises(VersionNotFoundError):
+                t.version_as_of(ts)
+        else:
+            assert t.version_as_of(ts) == want, (ts, want)
