@@ -9614,3 +9614,71 @@ FROM lagged WHERE k - prev > 1
 
 QUERIES.update({"q193_id_gap_report": q193_id_gap_report})
 ORACLE_SQL.update({"q193_id_gap_report": Q193_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Business-day fulfillment latency — calendar-free integer arithmetic (q194)
+# ---------------------------------------------------------------------------
+
+def _weekday_count_sql(day_expr: str, intdiv: str = "DIV") -> str:
+    """Weekdays in epoch days [0, d] as a closed form — the SAME
+    formula on both engines (only the integer-division spelling
+    differs: Spark ``DIV``, DuckDB ``//`` — the q113 rule), so NO
+    engine day-of-week convention (Spark 1=Sunday, DuckDB 0=Sunday,
+    ISO 1=Monday) ever enters the computation: epoch day 0 is a
+    Thursday, q = (d+1) div 7 full weeks contribute 5 each, and the
+    remainder walks Thu,Fri,Sat,Sun,Mon,Tue,Wed whose cumulative
+    weekday counts are [0,1,2,2,2,3,4,5]."""
+    d = day_expr
+    return (
+        f"(5 * (({d} + 1) {intdiv} 7) + "
+        f"CASE (({d} + 1) % 7) WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 "
+        f"WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 WHEN 6 THEN 4 END)"
+    )
+
+
+def q194_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment latency in BUSINESS days (order exclusive, first
+    ship inclusive), histogrammed per order priority — without a
+    calendar table and without any engine day-of-week function: both
+    engines evaluate the SAME closed-form weekday count over epoch-day
+    integers (`_weekday_count_sql`), so the convention mismatch that
+    usually breaks cross-engine date logic (Spark's Sunday=1 vs
+    DuckDB's Sunday=0 vs ISO) is not merely handled but absent."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("__ship")
+    )
+    j = orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("__ship"), F.lit("1970-01-01").cast("date")).alias("__ds"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("__do"),
+    )
+    bd = F.expr(_weekday_count_sql("__ds")) - F.expr(_weekday_count_sql("__do"))
+    return (
+        j.select("o_orderpriority", bd.cast("int").alias("__bd"))
+        .groupBy("o_orderpriority", F.col("__bd").alias("business_days"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+Q194_SQL = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS ship FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1970-01-01', ship) AS ds,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dd
+  FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+       CAST({_weekday_count_sql('ds', '//')} - {_weekday_count_sql('dd', '//')} AS INT)
+         AS business_days,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM j GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q194_business_day_latency": q194_business_day_latency})
+ORACLE_SQL.update({"q194_business_day_latency": Q194_SQL})
