@@ -9682,3 +9682,134 @@ FROM j GROUP BY 1, 2
 
 QUERIES.update({"q194_business_day_latency": q194_business_day_latency})
 ORACLE_SQL.update({"q194_business_day_latency": Q194_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Frequent 3-itemsets with Apriori pruning (q195)
+# ---------------------------------------------------------------------------
+
+def q195_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets (min support 2) — the
+    Apriori step above q183's pair rules.  The Spark side prunes with
+    the Apriori property BEFORE the expensive third join: a candidate
+    (x,y,z) is only counted if its (x,y) prefix is itself frequent
+    (support(triple) <= support(any sub-pair), so pruning never
+    changes the RESULT — it shrinks the intermediate by the frequent-
+    pair selectivity, which is the whole algorithm).  The oracle
+    counts triples directly with HAVING: same set, independently
+    derived."""
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = basket.select("__o", F.col("p").alias("x"))
+    b = basket.select("__o", F.col("p").alias("y"))
+    c = basket.select("__o", F.col("p").alias("z"))
+    pairs = a.join(b, "__o").filter(F.col("x") < F.col("y"))
+    fp = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("x", "y")
+    )
+    pruned = pairs.join(fp, ["x", "y"], "left_semi")
+    return (
+        pruned.join(c, "__o")
+        .filter(F.col("z") > F.col("y"))
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+Q195_SQL = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+)
+SELECT a.p AS x, b.p AS y, c.p AS z, CAST(count(*) AS BIGINT) AS support
+FROM basket a
+JOIN basket b ON a.o = b.o AND a.p < b.p
+JOIN basket c ON b.o = c.o AND b.p < c.p
+GROUP BY 1, 2, 3 HAVING count(*) >= 2
+"""
+
+
+QUERIES.update({"q195_frequent_triples": q195_frequent_triples})
+ORACLE_SQL.update({"q195_frequent_triples": Q195_SQL})
+
+
+# ---------------------------------------------------------------------------
+# One-scan column null/blank profile (q196)
+# ---------------------------------------------------------------------------
+
+def q196_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness report over documents — the first thing
+    a data-profiling pass emits: NULL count, blank count (empty after
+    trim, strings only), fill rate.  ALL columns profile in ONE scan
+    (a single aggregate row of conditional sums, unpivoted with
+    stack) — the per-column-query form scans the table once per
+    column, which at 100 TB is the difference between one pass and
+    five."""
+    docs = _t(spark, sf_dir, "documents")
+    string_cols = {"text", "lang", "source"}
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"))
+        blank = (
+            F.when(F.col(c).isNotNull() & (F.trim(F.col(c)) == ""), 1).otherwise(0)
+            if c in string_cols
+            else F.lit(0)
+        )
+        aggs.append(F.sum(blank).alias(f"__blank_{c}"))
+    one = docs.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', __null_{c}, __blank_{c}" for c in cols)
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) as (column_name, n_null, n_blank)"
+        ),
+        F.col("__n"),
+    ).select(
+        "column_name",
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_blank").cast("long").alias("n_blank"),
+        F.round(
+            (F.col("__n") - F.col("n_null") - F.col("n_blank")).cast("double")
+            / F.col("__n").cast("double"),
+            6,
+        ).alias("fill_rate"),
+    )
+
+
+Q196_SQL = """
+WITH one AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_doc_id,
+         0 AS blank_doc_id,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+         sum(CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1 ELSE 0 END) AS blank_text,
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+         sum(CASE WHEN lang IS NOT NULL AND trim(lang) = '' THEN 1 ELSE 0 END) AS blank_lang,
+         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS null_source,
+         sum(CASE WHEN source IS NOT NULL AND trim(source) = '' THEN 1 ELSE 0 END) AS blank_source,
+         sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS null_n_chars,
+         0 AS blank_n_chars
+  FROM documents
+)
+SELECT u.column_name,
+       CAST(u.n_null AS BIGINT) AS n_null,
+       CAST(u.n_blank AS BIGINT) AS n_blank,
+       round(CAST(n - u.n_null - u.n_blank AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS fill_rate
+FROM one, LATERAL (VALUES
+  ('doc_id', null_doc_id, blank_doc_id),
+  ('text', null_text, blank_text),
+  ('lang', null_lang, blank_lang),
+  ('source', null_source, blank_source),
+  ('n_chars', null_n_chars, blank_n_chars)
+) AS u(column_name, n_null, n_blank)
+"""
+
+
+QUERIES.update({"q196_null_profile": q196_null_profile})
+ORACLE_SQL.update({"q196_null_profile": Q196_SQL})
