@@ -9813,3 +9813,59 @@ FROM one, LATERAL (VALUES
 
 QUERIES.update({"q196_null_profile": q196_null_profile})
 ORACLE_SQL.update({"q196_null_profile": Q196_SQL})
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing — dyadic-exact, recursive oracle (q197)
+# ---------------------------------------------------------------------------
+
+def q197_ewma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily order counts,
+    alpha = 1/2 — the recursive smoother that normally CANNOT be
+    hash-gated cross-engine.  Here it can, by construction, twice
+    over: (a) with alpha an exact binary fraction and integer inputs
+    the early intermediates are dyadic rationals represented exactly,
+    and (b) once the series outruns 53 bits, Spark's prefix-array
+    FOLD applies the IDENTICAL IEEE operation sequence (acc*0.5 +
+    x*0.5 in day order) as the oracle's literal recursion, so both
+    engines round the same way at every step — bit-identical doubles
+    with no tolerance in the surface.  The frame is the
+    calendar-sized day series (the sanctioned whole-frame exception);
+    the fold is one higher-order `aggregate` per row over its prefix."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    arr = F.collect_list(F.col("n_orders").cast("double")).over(w)
+    ewma = F.expr(
+        "aggregate(slice(__arr, 2, size(__arr) - 1), __arr[0], "
+        "(acc, x) -> acc * 0.5D + x * 0.5D)"
+    )
+    return (
+        daily.withColumn("__arr", arr)
+        .withColumn("ewma", ewma)
+        .select("day", "n_orders", "ewma")
+    )
+
+
+Q197_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), series AS (
+  SELECT day, n_orders,
+         row_number() OVER (ORDER BY day) AS i FROM daily
+), walk(i, ewma) AS (
+  SELECT i, CAST(n_orders AS DOUBLE) FROM series WHERE i = 1
+  UNION ALL
+  SELECT s.i, w.ewma * 0.5 + CAST(s.n_orders AS DOUBLE) * 0.5
+  FROM walk w JOIN series s ON s.i = w.i + 1
+)
+SELECT s.day, s.n_orders, w.ewma
+FROM series s JOIN walk w ON s.i = w.i
+"""
+
+
+QUERIES.update({"q197_ewma_daily_orders": q197_ewma_daily_orders})
+ORACLE_SQL.update({"q197_ewma_daily_orders": Q197_SQL})
