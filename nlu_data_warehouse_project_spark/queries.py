@@ -9869,3 +9869,108 @@ FROM series s JOIN walk w ON s.i = w.i
 
 QUERIES.update({"q197_ewma_daily_orders": q197_ewma_daily_orders})
 ORACLE_SQL.update({"q197_ewma_daily_orders": Q197_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Small-cell suppression (k-anonymity reporting) (q198)
+# ---------------------------------------------------------------------------
+
+def q198_suppressed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-aware publication of the (nation, segment) customer
+    count table: cells with fewer than k=25 members are SUPPRESSED
+    into one '__other__' row per nation (count preserved, identity
+    not) — the k-anonymity small-cell rule every published contingency
+    table applies.  One aggregate + a relabel + one re-aggregate;
+    exact integers; the suppressed mass stays accounted for, never
+    silently dropped (the bucket-cap audit discipline)."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    cells = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    relabeled = cells.select(
+        "nation",
+        F.when(F.col("__n") >= 25, F.col("segment")).otherwise("__other__").alias("segment"),
+        "__n",
+    )
+    return relabeled.groupBy("nation", "segment").agg(
+        F.sum("__n").cast("long").alias("n_customers"),
+        F.count(F.lit(1)).cast("long").alias("n_cells_merged"),
+    )
+
+
+Q198_SQL = """
+WITH cells AS (
+  SELECT n_name AS nation, c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), relabeled AS (
+  SELECT nation,
+         CASE WHEN n >= 25 THEN segment ELSE '__other__' END AS segment, n
+  FROM cells
+)
+SELECT nation, segment,
+       CAST(sum(n) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_cells_merged
+FROM relabeled GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q198_suppressed_cells": q198_suppressed_cells})
+ORACLE_SQL.update({"q198_suppressed_cells": Q198_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (q199)
+# ---------------------------------------------------------------------------
+
+def q199_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals — the
+    Benford's-law forensic screen for fabricated or truncated
+    financials.  The digit comes from the INTEGER-CENTS string (2-dp
+    amounts scale to exact integers; integer-to-string formatting is
+    stable on every engine, unlike double formatting), so no log10
+    and no float printing in the surface; observed share is one IEEE
+    division at the edge."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digits = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    ).filter(F.col("digit") > 0)
+    tot = digits.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(F.col("n_orders").cast("double") / F.col("__n").cast("double"), 6).alias(
+                "observed_share"
+            ),
+        )
+    )
+
+
+Q199_SQL = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+           AS digit
+  FROM orders
+), d AS (
+  SELECT digit FROM digits WHERE digit > 0
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM d
+)
+SELECT digit, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(count(*) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS observed_share
+FROM d CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q199_benford_audit": q199_benford_audit})
+ORACLE_SQL.update({"q199_benford_audit": Q199_SQL})
