@@ -668,3 +668,22 @@ def test_reporting_wave_plans_q184_q190(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+
+
+def test_closing_wave_plans_q195_q199(spark, sf_smoke):
+    """q195's Apriori prune must appear as a LeftSemi before the third
+    join; q196-q199 are Python-free with bounded shuffles."""
+    from nlu_data_warehouse_project_spark.plans import formatted_plan
+
+    q195 = QUERIES["q195_frequent_triples"](spark, sf_smoke)
+    assert "LeftSemi" in formatted_plan(q195)
+    for name, max_shuffles in (
+        ("q195_frequent_triples", 8),
+        ("q196_null_profile", 1),
+        ("q197_ewma_daily_orders", 3),
+        ("q198_suppressed_cells", 3),
+        ("q199_benford_audit", 3),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
