@@ -23,12 +23,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .scale import pin_frame
+
 
 def neardup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``, where
     cluster_id = the minimum node id of its connected component.
@@ -43,11 +46,12 @@ def neardup_clusters(
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
-    edges = edges.distinct().localCheckpoint(eager=True)
+    edges = pin_frame(edges.distinct(), reliable=reliable, eager=True)
 
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint(eager=True)
+    labels = pin_frame(
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node")),
+        reliable=reliable, eager=True,
+    )
 
     converged = False
     for _ in range(max_iters):
@@ -60,8 +64,8 @@ def neardup_clusters(
             labels.unionByName(offered)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        new_labels = pin_frame(new_labels, reliable=reliable, eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .scale import pin_frame
+
 
 def bfs_hops(
     edges: DataFrame,
@@ -26,6 +28,7 @@ def bfs_hops(
     src_col: str = "src",
     dst_col: str = "dst",
     max_hops: int = 3,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Minimum hop count from ``start`` to every node reachable within
     ``max_hops`` directed edges.
@@ -35,15 +38,21 @@ def bfs_hops(
     symmetrized edge set for undirected traversal.  BFS layering makes
     the first time a node is seen its true minimum distance, so the
     visited-set prune is not an approximation.
+
+    ``reliable`` selects the per-round pin (``scale.pin_frame``):
+    default auto-upgrades to fault-tolerant ``checkpoint()`` when a
+    checkpoint dir is configured — at cluster scale a lost executor
+    mid-traversal re-reads checkpoint files instead of aborting.
     """
     if max_hops < 0:
         raise ValueError(f"max_hops={max_hops} must be >= 0")
     # materialize the edge set ONCE: every hop probes it, and an edge
     # frame that is itself a join (e.g. the co-order self-join) would
     # otherwise recompute per hop — measured 3x the whole traversal
-    e = edges.select(
-        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-    ).localCheckpoint(eager=True)
+    e = pin_frame(
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")),
+        reliable=reliable, eager=True,
+    )
     frontier = (
         edges.sparkSession.createDataFrame([(start,)], ["node"])
         .withColumn("hops", F.lit(0).cast("int"))
@@ -56,10 +65,10 @@ def bfs_hops(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("int"))
-            .localCheckpoint(eager=True)
         )
+        nxt = pin_frame(nxt, reliable=reliable, eager=True)
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = pin_frame(visited.unionByName(nxt), reliable=reliable, eager=True)
         frontier = nxt
     return visited

@@ -91,11 +91,46 @@ def repartition_for_key_work(df: DataFrame, keys: list[str], partitions: int | N
     return df.repartition(partitions, *cols) if partitions else df.repartition(*cols)
 
 
+def pin_frame(df: DataFrame, reliable: bool | None = None, eager: bool = True) -> DataFrame:
+    """Materialize a frame and cut its lineage — the shared pin used by
+    every iterative/multi-consumer operator (exact-rank family, BFS,
+    connected components).
+
+    ``reliable=False`` → ``localCheckpoint``: executor-local blocks,
+    fastest, but NOT fault-tolerant — one lost executor aborts the job
+    (blocks are unrecoverable, lineage is gone).  Fine on local[n] and
+    for short interactive jobs.
+
+    ``reliable=True`` → ``df.checkpoint()``: writes to the configured
+    ``spark.sparkContext.setCheckpointDir(...)`` (HDFS/S3 at cluster
+    scale), so a lost executor re-reads the checkpoint files instead of
+    killing a 100 TB job.  Raises ``ValueError`` upfront if no
+    checkpoint dir is configured.
+
+    ``reliable=None`` (default) → auto: reliable when a checkpoint dir
+    is configured, else local.  A cluster deployment opts every
+    operator in with one driver-side ``setCheckpointDir`` call — no
+    per-call-site plumbing (VERDICT r9 #1)."""
+    sc = df.sparkSession.sparkContext
+    has_dir = sc.getCheckpointDir() is not None
+    if reliable is None:
+        reliable = has_dir
+    if reliable:
+        if not has_dir:
+            raise ValueError(
+                "pin_frame(reliable=True) needs a checkpoint dir: call "
+                "spark.sparkContext.setCheckpointDir('<shared fs path>') first"
+            )
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 _MID_LOCAL_BITS = 33  # monotonically_increasing_id: pid << 33 | row-in-partition
 
 
 def _range_parted_with_ids(
-    df: DataFrame, order_cols: list, num_partitions: int | None
+    df: DataFrame, order_cols: list, num_partitions: int | None,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Shared first stage of the exact-rank family: range-partition on
     the total order, sort within each partition, and tag every row with
@@ -104,14 +139,15 @@ def _range_parted_with_ids(
     order — i.e. sort order — in the lower 33).  That makes the local
     rank a pure column expression: NO window, NO per-partition Python.
 
-    ``localCheckpoint`` pins the frame: ``repartitionByRange`` SAMPLES
+    ``pin_frame`` pins the frame: ``repartitionByRange`` SAMPLES
     the data to pick boundaries, so without it the offset-counting job
     and the consuming job could re-plan with different boundaries and
-    the broadcast offsets would be wrong.  The checkpoint also makes
+    the broadcast offsets would be wrong.  The pin also makes
     the two jobs share one shuffle instead of recomputing the sort.
-    At cluster scale this materializes the frame once
-    (MEMORY_AND_DISK) — the price of exactness; the approximate
-    percentile path is the documented swap when even that is too much.
+    At cluster scale this materializes the frame once — the price of
+    exactness; pass ``reliable=True`` (or configure a checkpoint dir)
+    for the fault-tolerant checkpoint path, and see the approximate
+    percentile swap when even one materialization is too much.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     parted = df.repartitionByRange(num_partitions, *cols) if num_partitions \
@@ -125,7 +161,7 @@ def _range_parted_with_ids(
         )
         .drop("__mid")
     )
-    return parted.localCheckpoint(eager=True)
+    return pin_frame(parted, reliable=reliable, eager=True)
 
 
 def exact_global_rank(
@@ -133,6 +169,7 @@ def exact_global_rank(
     order_cols: list,
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Exact global ``row_number`` over a TOTAL order, distributed
     (VERDICT r8 #1 — the scale-safe replacement for
@@ -147,7 +184,7 @@ def exact_global_rank(
     a broadcast join mapping each partition to its cumulative row
     offset — rank = offset + local index + 1.  Skewed order keys are
     handled by the range partitioner's equal-frequency sampling."""
-    parted = _range_parted_with_ids(df, order_cols, num_partitions)
+    parted = _range_parted_with_ids(df, order_cols, num_partitions, reliable=reliable)
     offsets = _cumulative_offsets(parted, F.count(F.lit(1)))
     return (
         parted.join(F.broadcast(offsets), "__pid")
@@ -199,6 +236,7 @@ def exact_global_ntile(
     n_buckets: int,
     bucket_col: str = "bucket",
     num_partitions: int | None = None,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Exact ``ntile(n)`` over a total order without the
     single-partition window: the global rank from
@@ -207,9 +245,15 @@ def exact_global_ntile(
     the rest floor(N/B) — integer `div` arithmetic end-to-end, so the
     assignment is bit-identical to the engine-native window ntile
     (verified against DuckDB's in q129's oracle)."""
-    ranked = exact_global_rank(df, order_cols, rank_col="__rk", num_partitions=num_partitions)
-    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("__N"))
     b = int(n_buckets)
+    if b < 1:
+        # fail fast with a clear message instead of a modulo/division-
+        # by-zero surfacing as an opaque codegen error at execution
+        raise ValueError(f"n_buckets={n_buckets!r} (must be >= 1)")
+    ranked = exact_global_rank(
+        df, order_cols, rank_col="__rk", num_partitions=num_partitions, reliable=reliable
+    )
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("__N"))
     # q = floor(N/B), r = N mod B; ranks 1..r*(q+1) fill the ceil-sized
     # buckets, the rest the floor-sized ones.  All integer `div` — and
     # the ELSE's division by q only evaluates when some rank exceeds
@@ -275,6 +319,7 @@ def exact_prefix_agg(
     rank_col: str | None = None,
     num_partitions: int | None = None,
     exclusive: bool = False,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Exact running sum/max/min over a total order, distributed: local
     prefix aggregates inside each range partition (a window PARTITIONED
@@ -294,7 +339,7 @@ def exact_prefix_agg(
     if how not in fns:
         raise ValueError(f"how={how!r} (sum|max|min)")
     fn = fns[how]
-    parted = _range_parted_with_ids(df, order_cols, num_partitions)
+    parted = _range_parted_with_ids(df, order_cols, num_partitions, reliable=reliable)
     voff = _cumulative_offsets(parted, fn(value_col), how).withColumnRenamed("__off", "__voff")
     hi = -1 if exclusive else 0
     w = (
@@ -326,11 +371,12 @@ def exact_prefix_sum(
     cum_col: str = "cum",
     rank_col: str | None = None,
     num_partitions: int | None = None,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """Inclusive exact running total — ``exact_prefix_agg(how='sum')``."""
     return exact_prefix_agg(
         df, order_cols, value_col, how="sum", cum_col=cum_col,
-        rank_col=rank_col, num_partitions=num_partitions,
+        rank_col=rank_col, num_partitions=num_partitions, reliable=reliable,
     )
 
 

@@ -436,9 +436,18 @@ class TxTable:
                 continue
             man = self.manifest(v)
             lineage = man.get("compacted_lineage", {})
+            # skip compaction PRODUCTS only when THIS commit is the
+            # compaction that created them.  A RESTORE commit carries the
+            # target's compacted_lineage, so a blanket `d in lineage`
+            # check would silently suppress a re-introduced compacted
+            # dir's re-entry — breaking the documented re-emission
+            # semantics for live-state consumers (ADVICE r9).  Restore
+            # commits are marked by `restored_from`; only restore and
+            # compaction can ever ADD a lineage-keyed dir to `closed`.
+            is_restore = man.get("restored_from") is not None
             fresh = [
                 d for d in man["closed"]
-                if d not in prev_closed and d not in lineage
+                if d not in prev_closed and (is_restore or d not in lineage)
             ]
             prev_closed = set(man["closed"])
             if not fresh:

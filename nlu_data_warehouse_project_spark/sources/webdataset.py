@@ -27,6 +27,7 @@ import io
 import json
 import os
 import tarfile
+import urllib.parse
 import uuid
 
 import pandas as pd
@@ -84,6 +85,23 @@ def write_webdataset_shards(
     not atomic for concurrent readers, by design).
     """
     from ..operators.sampling import hash_bucket
+
+    # the writer commits shards via executor-local os.replace and the
+    # manifest via a driver-local rename: that contract requires a
+    # posix-visible path shared by driver and executors.  A remote
+    # scheme (hdfs://, s3a://, ...) would "succeed" with shards
+    # scattered across machines and an unreadable export — fail fast
+    # instead (ADVICE r9).  file:// is accepted and stripped.
+    parsed = urllib.parse.urlparse(path)
+    if parsed.scheme in ("", "file"):
+        path = parsed.path if parsed.scheme == "file" else path
+    else:
+        raise ValueError(
+            f"write_webdataset_shards needs a posix-visible path shared by "
+            f"driver and executors; got scheme {parsed.scheme!r} ({path}). "
+            "Export to a shared mount (NFS/local) and distcp, or extend the "
+            "writer to route through the Hadoop FileSystem like the reader."
+        )
 
     guard = df.agg(
         F.count(F.lit(1)).alias("__n"),

@@ -227,3 +227,75 @@ def test_exact_prefix_agg_max_min_exclusive(spark):
     assert all(ref[k][0] == mx[k] for k in ref)
     assert all(ref[k][1] == mn[k] for k in ref)
     assert xmx[0] is None and all(ref[k][2] == xmx[k] for k in ref)
+
+
+def test_exact_global_ntile_rejects_bad_bucket_count(spark):
+    """ADVICE r9: n_buckets < 1 must raise upfront, not surface as a
+    division-by-zero inside generated SQL at execution time."""
+    from nlu_data_warehouse_project_spark.operators.scale import exact_global_ntile
+
+    df = spark.range(5).withColumnRenamed("id", "v")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="n_buckets"):
+            exact_global_ntile(df, ["v"], bad)
+
+
+def test_pin_frame_reliable_checkpoint_survives_block_loss(spark, tmp_path):
+    """VERDICT r9 #1: with a checkpoint dir configured, the iterative
+    family's pin is a RELIABLE checkpoint — data lives in checkpoint
+    files, so nuking every executor-local block (the local[n] stand-in
+    for losing an executor) leaves the frame recomputable with the
+    same result.  Also pins: reliable=True without a dir fails fast,
+    and auto mode (reliable=None) upgrades when the dir is set."""
+    from nlu_data_warehouse_project_spark.operators.clusters import neardup_clusters
+    from nlu_data_warehouse_project_spark.operators.graph import bfs_hops
+    from nlu_data_warehouse_project_spark.operators.scale import (
+        exact_global_rank,
+        pin_frame,
+    )
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        pin_frame(spark.range(3), reliable=True)
+
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        df = spark.range(500).withColumn("v", F.pmod(F.col("id"), F.lit(7)))
+        r = exact_global_rank(df, ["v", "id"], reliable=True, num_partitions=8)
+        expected = [
+            (row["id"], i + 1)
+            for i, row in enumerate(
+                sorted(df.collect(), key=lambda x: (x["v"], x["id"]))
+            )
+        ]
+        assert sorted((x["id"], x["rank"]) for x in r.collect()) == sorted(expected)
+        # files actually landed under the configured dir
+        assert any(p.is_file() for p in (tmp_path / "ckpt").rglob("*"))
+        # kill every block-manager entry; the checkpointed frame must
+        # re-read its FILES, not depend on executor-local blocks
+        for rdd in sc._jsc.getPersistentRDDs().values():
+            rdd.unpersist(True)
+        assert sorted((x["id"], x["rank"]) for x in r.collect()) == sorted(expected)
+
+        # auto mode: BFS + CC run reliably end-to-end with the dir set
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        cc = {
+            (row["node"], row["cluster_id"])
+            for row in neardup_clusters(pairs).collect()
+        }
+        assert cc == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+        )
+        hops = {
+            (row["node"], row["hops"])
+            for row in bfs_hops(edges, 1, max_hops=2).collect()
+        }
+        assert hops == {(1, 0), (2, 1), (3, 2)}
+    finally:
+        # unset so later tests in this JVM keep the local-pin default
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(spark._jvm.scala.Option.apply(None))
+        assert sc.getCheckpointDir() is None

@@ -941,3 +941,23 @@ def test_table_changes_across_rename_and_added_column(spark, tmp_path):
     feed = t.table_changes(1).collect()
     got = sorted((r["id"], r["value"], r["note"], r["_commit_version"]) for r in feed)
     assert got == [(2, "b", None, 2), (3, "c", "x", 4)], got
+
+
+def test_table_changes_restore_reemits_compaction_products(spark, tmp_path):
+    """ADVICE r9: a RESTORE that re-introduces a previously-closed
+    COMPACTED dir must re-emit its rows (documented live-state
+    semantics) — the lineage skip only applies to the commit that
+    created the product.  v1 d1, v2 d2, v3 compact→P, v4 restore to
+    v1 (drops P), v5 restore to v3 (re-introduces P)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.commit_append(spark.createDataFrame([(1,)], "id long"), "d1")
+    t.commit_append(spark.createDataFrame([(2,)], "id long"), "d2")
+    v3 = t.compact_closed(min_dirs=2)
+    v4 = t.restore(1)
+    v5 = t.restore(v3)
+    # feed from v4 → v5 re-introduces the compacted dir: both its rows
+    # re-enter live state at the restore commit
+    feed = t.table_changes(v4).collect()
+    assert sorted((r["id"], r["_commit_version"]) for r in feed) == [(1, v5), (2, v5)]
+    # the compaction commit itself still does NOT re-emit (unchanged)
+    assert t.table_changes(v3 - 1, to_version=v3).count() == 0

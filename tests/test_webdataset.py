@@ -192,3 +192,21 @@ def test_reexport_crash_cannot_leave_stale_manifest(spark, tmp_path, monkeypatch
     # a successful re-export recovers the directory
     write_webdataset_shards(_docs(spark, 20), out, rows_per_shard=10)
     assert read_webdataset_shards(spark, out).count() == 20
+
+
+def test_webdataset_writer_refuses_remote_scheme(spark, tmp_path):
+    """ADVICE r9: the writer's commit protocol is posix-rename based;
+    a remote scheme would scatter shards across machines and publish
+    an unreadable export — fail fast instead.  file:// is accepted."""
+    from nlu_data_warehouse_project_spark.sources.webdataset import (
+        write_webdataset_shards,
+    )
+
+    df = spark.createDataFrame([("k1", "hello")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="posix-visible"):
+        write_webdataset_shards(df, "s3a://bucket/corpus")
+    with pytest.raises(ValueError, match="posix-visible"):
+        write_webdataset_shards(df, "hdfs://nn/corpus")
+    out = str(tmp_path / "wd-file-scheme")
+    assert write_webdataset_shards(df, "file://" + out, rows_per_shard=10) == 1
+    assert os.path.exists(os.path.join(out, "_manifest.json"))

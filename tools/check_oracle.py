@@ -82,6 +82,14 @@ def _tolerance_check(name, qs, spark, sf_dir, srows, scols, t0):
     if set(approx) != set(exact):
         print(f"FAIL  {name}: key sets differ from {twin}")
         return 1
+    if not exact:
+        # both sides empty: key sets agree vacuously — a pass, not a
+        # ValueError from max() over an empty generator (ADVICE r9)
+        print(f"ok    {name}: rows=0 (both empty vs {twin}) [{time.time()-t0:.1f}s]")
+        return 0
+    if any(approx[k] is None for k in exact):
+        print(f"FAIL  {name}: NULL approx value(s) vs {twin}")
+        return 1
     worst = max(
         abs(approx[k] - exact[k]) / exact[k] if exact[k] else abs(approx[k])
         for k in exact
