@@ -271,6 +271,84 @@ def exact_global_ntile(
     )
 
 
+def exact_global_ntiles(
+    df: DataFrame,
+    specs: list,
+    num_partitions: int | None = None,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Several exact ``ntile`` columns over INDEPENDENT total orders in
+    one pass over the data (VERDICT r9 #4 — the RFM shape: recency,
+    frequency and monetary quartiles on one customer frame).
+
+    ``specs``: list of ``(order_spec, n_buckets, bucket_col)`` where
+    ``order_spec`` is ``[(col_name, 'asc'|'desc'), ...]`` defining a
+    TOTAL order (include a unique tiebreak; order columns must be
+    non-null — same contract as ``exact_global_ntile``).
+
+    Chaining ``exact_global_ntile`` per spec range-shuffles and
+    materializes the FULL frame once per spec.  This operator instead
+    computes each spec's B-1 bucket-boundary FENCE tuples exactly — a
+    rank job over a projection of just that spec's order columns — and
+    assigns every bucket column in one final scan-local ``select``
+    against the broadcast fences: the full-width frame is pinned once
+    and never shuffled at all.  Assignment is bit-identical to SQL
+    ntile's closed form: with N rows and B buckets bucket k ends at
+    rank ``k*(N div B) + min(k, N mod B)``; a row's bucket is 1 + the
+    number of fences strictly before it in the spec's order (fences
+    are kept as a MULTISET so B > N degrades exactly like ntile).
+    """
+    import functools
+
+    for order_spec, n_buckets, bucket_col in specs:
+        if int(n_buckets) < 1:
+            raise ValueError(f"n_buckets={n_buckets!r} (must be >= 1) for {bucket_col!r}")
+        for c, d in order_spec:
+            if d not in ("asc", "desc"):
+                raise ValueError(f"direction {d!r} for {c!r} (asc|desc)")
+    pinned = pin_frame(df, reliable=reliable, eager=True)
+    n_total = pinned.count()
+    out_cols = []
+    for order_spec, n_buckets, bucket_col in specs:
+        b = int(n_buckets)
+        q_, r_ = divmod(n_total, b)
+        ends = [k * q_ + min(k, r_) for k in range(1, b)]
+        if n_total == 0 or b == 1 or ends[-1] == 0:
+            out_cols.append(F.lit(1).cast("int").alias(bucket_col))
+            continue
+        names = [c for c, _ in order_spec]
+        order_cols = [
+            F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in order_spec
+        ]
+        ranked = exact_global_rank(
+            pinned.select(*names), order_cols, rank_col="__rk",
+            num_partitions=num_partitions, reliable=reliable,
+        )
+        distinct_ends = sorted({e for e in ends if e >= 1})
+        by_rank = {
+            row["__rk"]: row
+            for row in ranked.filter(F.col("__rk").isin(distinct_ends)).collect()
+        }
+        fences = [by_rank[e] for e in ends if e >= 1]
+
+        def after_fence(frow, order_spec=order_spec):
+            # row strictly AFTER the fence tuple in this spec's order:
+            # lexicographic expansion, direction-aware per column
+            terms, prefix = [], F.lit(True)
+            for c, d in order_spec:
+                fv = F.lit(frow[c])
+                cmp = (F.col(c) > fv) if d == "asc" else (F.col(c) < fv)
+                terms.append(prefix & cmp)
+                prefix = prefix & (F.col(c) == fv)
+            return functools.reduce(lambda a, t: a | t, terms)
+
+        bexpr = functools.reduce(
+            lambda acc, fr: acc + after_fence(fr).cast("int"), fences, F.lit(1)
+        )
+        out_cols.append(bexpr.cast("int").alias(bucket_col))
+    return pinned.select("*", *out_cols)
+
+
 def approx_value_buckets(
     df: DataFrame,
     value_col: str,

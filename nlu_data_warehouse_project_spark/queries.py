@@ -8895,13 +8895,14 @@ ORACLE_SQL.update({"q181_abc_classification": Q181_SQL})
 def q182_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic RFM: per customer, quartile labels on Recency (last
     order date), Frequency (order count), Monetary (DECIMAL spend),
-    composed to 'R#F#M#'.  Each quartile is
-    `operators/scale.exact_global_ntile` over a TOTAL order (customer
-    key tiebreak) — three distributed ntiles instead of three
-    single-partition windows; SQL ntile's ceil/floor law in integer
-    arithmetic makes the buckets bit-identical to the native window
-    ntile in the oracle.  Quartile 1 is best on every axis."""
-    from .operators.scale import exact_global_ntile
+    composed to 'R#F#M#'.  All three quartiles come from ONE
+    `operators/scale.exact_global_ntiles` pass (VERDICT r9 #4): the
+    customer frame is pinned once and never shuffled — each axis costs
+    only a narrow fence-rank job over its own order columns, and the
+    bucket labels are assigned scan-locally against the broadcast
+    fences, bit-identical to the native window ntile in the oracle.
+    Quartile 1 is best on every axis."""
+    from .operators.scale import exact_global_ntiles
 
     orders = _t(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
@@ -8909,9 +8910,11 @@ def q182_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(_dec("o_totalprice")).alias("__spend"),
     )
-    r = exact_global_ntile(per, [F.col("__last").desc(), F.col("o_custkey").asc()], 4, "__r")
-    f = exact_global_ntile(r, [F.col("n_orders").desc(), F.col("o_custkey").asc()], 4, "__f")
-    m = exact_global_ntile(f, [F.col("__spend").desc(), F.col("o_custkey").asc()], 4, "__m")
+    m = exact_global_ntiles(per, [
+        ([("__last", "desc"), ("o_custkey", "asc")], 4, "__r"),
+        ([("n_orders", "desc"), ("o_custkey", "asc")], 4, "__f"),
+        ([("__spend", "desc"), ("o_custkey", "asc")], 4, "__m"),
+    ])
     return m.select(
         F.col("o_custkey").alias("custkey"),
         F.col("n_orders"),

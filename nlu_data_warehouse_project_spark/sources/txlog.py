@@ -142,6 +142,9 @@ class TxTable:
         # closed dir covers exactly one close date, so a date-ranged
         # history read touches O(days-in-range) dirs, not O(all history)
         self.stats_cols = stats_cols
+        # terminal multi-table transaction states, keyed by
+        # (coordinator_root, txn_id) — see _txn_state
+        self._txn_cache: dict[tuple[str, str], str] = {}
 
     def _bucket_table_name(self, version: int) -> str:
         import hashlib
@@ -177,24 +180,10 @@ class TxTable:
             stream.close()
 
     # -- manifest resolution --------------------------------------------
-    def latest_version(self) -> int | None:
-        fs = self._fs()
-        log = self._jpath(_LOG_DIR)
-        if not fs.exists(log):
-            return None
-        best = None
-        for status in fs.listStatus(log):
-            m = _MANIFEST_RE.match(status.getPath().getName())
-            if m:
-                v = int(m.group(1))
-                best = v if best is None else max(best, v)
-        return best
-
-    def exists(self) -> bool:
-        return self.latest_version() is not None
-
-    def versions(self) -> list[int]:
-        """All versions whose manifest is still present (ascending)."""
+    def _all_versions(self) -> list[int]:
+        """Every manifest file on disk, ascending — INCLUDING manifests
+        staged by an uncommitted/aborted multi-table transaction.  Used
+        for version-number allocation only; readers use ``versions()``."""
         fs = self._fs()
         log = self._jpath(_LOG_DIR)
         if not fs.exists(log):
@@ -206,18 +195,69 @@ class TxTable:
                 out.append(int(m.group(1)))
         return sorted(out)
 
+    def _txn_state(self, man: dict) -> str:
+        """Resolve a manifest's visibility: ``committed`` for a plain
+        commit; for a manifest staged under ``commit_multi`` the
+        coordinator record decides — ``committed`` / ``aborted`` /
+        ``in_doubt`` (no record yet: the transaction never reached its
+        coordinator commit, so the staged version is NOT visible).
+        Terminal states are cached per table handle — one coordinator
+        read per transaction, not per query."""
+        pend = man.get("pending_txn")
+        if not pend:
+            return "committed"
+        key = (pend["coordinator"], pend["txn_id"])
+        cached = self._txn_cache.get(key)
+        if cached is not None:
+            return cached
+        state = TxnCoordinator(self.spark, pend["coordinator"]).state(pend["txn_id"])
+        if state in ("committed", "aborted"):
+            self._txn_cache[key] = state
+            return state
+        return "in_doubt"
+
+    def _read_manifest_file(self, v: int) -> dict:
+        return json.loads(self._read_text(self._jpath(_LOG_DIR, f"v{v:010d}.json")))
+
+    def latest_version(self) -> int | None:
+        """Latest VISIBLE version — walks down past manifests staged by
+        uncommitted/aborted transactions (normally zero extra reads)."""
+        man = self.manifest()
+        return None if man is None else man["version"]
+
+    def exists(self) -> bool:
+        return self.latest_version() is not None
+
+    def versions(self) -> list[int]:
+        """All VISIBLE versions whose manifest is still present
+        (ascending) — in-doubt/aborted transaction leftovers excluded."""
+        return [
+            v for v in self._all_versions()
+            if self._txn_state(self._read_manifest_file(v)) == "committed"
+        ]
+
     def manifest(self, version: int | None = None) -> dict | None:
-        v = version if version is not None else self.latest_version()
-        if v is None:
-            return None
-        p = self._jpath(_LOG_DIR, f"v{v:010d}.json")
-        if version is not None and not self._fs().exists(p):
-            avail = self.versions()
-            raise VersionNotFoundError(
-                f"version {v} of {self.root} does not exist or was pruned by "
-                f"vacuum(retain_last=...); available versions: {avail or 'none'}"
-            )
-        return json.loads(self._read_text(p))
+        if version is not None:
+            p = self._jpath(_LOG_DIR, f"v{version:010d}.json")
+            if not self._fs().exists(p):
+                raise VersionNotFoundError(
+                    f"version {version} of {self.root} does not exist or was pruned by "
+                    f"vacuum(retain_last=...); available versions: {self.versions() or 'none'}"
+                )
+            man = json.loads(self._read_text(p))
+            state = self._txn_state(man)
+            if state != "committed":
+                raise VersionNotFoundError(
+                    f"version {version} of {self.root} was staged by multi-table "
+                    f"transaction {man['pending_txn']['txn_id']} which is {state} — "
+                    "it was never visible"
+                )
+            return man
+        for v in reversed(self._all_versions()):
+            man = self._read_manifest_file(v)
+            if self._txn_state(man) == "committed":
+                return man
+        return None
 
     # -- schema evolution -------------------------------------------------
     # each manifest records the table schema at commit time plus the
@@ -585,7 +625,7 @@ class TxTable:
         ("version", "current", "closed", "run_id", "schema",
          "dir_schemas", "dir_stats", "current_table", "bucket",
          "compacted_lineage", "restored_from", "column_renames",
-         "committed_at")
+         "committed_at", "pending_txn")
     )
 
     def _carried_extras(self, prev: dict) -> dict:
@@ -637,14 +677,15 @@ class TxTable:
         ride the manifest (incremental consumers record their source
         watermark there).
         """
-        prev = self.manifest() or {"version": 0, "closed": []}
+        base, ver = self._base_for_write()
+        prev = base or {"version": 0, "closed": []}
         self._check_retypes(prev, current.schema)
         self._check_rename_collision(prev, current.schema)
         token = uuid.uuid4().hex[:8]
         cur_dir = f"{_DATA_DIR}/current-{run_id}-{token}"
         closed_dir = f"{_DATA_DIR}/closed-{run_id}-{token}"
         closed_delta.write.parquet(os.path.join(self.root, closed_dir))
-        cur_fields = self._write_current(current, cur_dir, prev["version"] + 1)
+        cur_fields = self._write_current(current, cur_dir, ver)
         dir_schemas = dict(prev.get("dir_schemas", {}))
         dir_schemas[closed_dir] = json.loads(closed_delta.schema.json())
         dir_stats = dict(prev.get("dir_stats", {}))
@@ -659,7 +700,7 @@ class TxTable:
             # current dir is written under the live schema, so the
             # rename projection no-ops on it)
             **{k: prev[k] for k in ("compacted_lineage", "column_renames") if k in prev},
-            "version": prev["version"] + 1,
+            "version": ver,
             "current": cur_dir,
             "closed": prev["closed"] + [closed_dir],
             "run_id": run_id,
@@ -697,6 +738,47 @@ class TxTable:
                     "rewrite history explicitly (cast + compact_closed/commit_snapshot) instead"
                 )
 
+    def _base_for_write(self) -> tuple[dict | None, int]:
+        """One consistent snapshot for a writer: (base manifest to build
+        on, version NUMBER to publish at).  Both derive from a SINGLE
+        directory listing so the pair can't straddle a concurrent
+        commit: numbering is dense (max manifest file on disk + 1,
+        counting invisible in-doubt/aborted leftovers — their numbers
+        must never be reused while the files exist), so ANY manifest
+        another writer lands before our ``_publish`` collides on the
+        atomic rename and triggers ``commit_with_retry``'s rebase.
+        Reading base via ``manifest()`` and the number via a second
+        listing would reopen the classic OCC hole — a commit published
+        between the two reads gets silently built over (lost update).
+
+        Walking down to the base, an in-doubt multi-table manifest is
+        RESOLVED, not skipped: re-read the coordinator (the txn may
+        have just committed — then it IS our base); otherwise write its
+        abort record (presumed abort, same rule as ``vacuum``).  Either
+        way every manifest above our base is terminal before we build,
+        so a staged version can never flip visible underneath a commit
+        that didn't include its rows.  If our abort races a late
+        coordinator commit, the committed decision wins and we rebase
+        onto it — an in-flight ``commit_multi`` losing to a concurrent
+        plain writer surfaces as ``ConcurrentWriteError`` at its
+        coordinator commit, the normal OCC retry signal."""
+        all_v = self._all_versions()
+        next_ver = (all_v[-1] if all_v else 0) + 1
+        for v in reversed(all_v):
+            man = self._read_manifest_file(v)
+            state = self._txn_state(man)
+            if state == "in_doubt":
+                pend = man["pending_txn"]
+                coord = TxnCoordinator(self.spark, pend["coordinator"])
+                try:
+                    coord.abort(pend["txn_id"])
+                except ConcurrentWriteError:
+                    pass  # raced a late decision; terminal either way
+                state = self._txn_state(man)
+            if state == "committed":
+                return man, next_ver
+        return None, next_ver
+
     def _publish(self, man: dict) -> None:
         # every commit path funnels through here: stamp the wall-clock
         # commit time for timestamp time travel (version_as_of /
@@ -728,10 +810,11 @@ class TxTable:
         is the crash-safe form of ``mode("overwrite")`` — an overwrite
         that dies mid-write leaves a half-deleted table, this leaves
         the previous version."""
-        prev = self.manifest() or {"version": 0}
+        base, ver = self._base_for_write()
+        prev = base or {"version": 0}
         token = uuid.uuid4().hex[:8]
         cur_dir = f"{_DATA_DIR}/current-{run_id}-{token}"
-        cur_fields = self._write_current(df, cur_dir, prev["version"] + 1)
+        cur_fields = self._write_current(df, cur_dir, ver)
         man = {
             **self._carried_extras(prev),
             # column_renames deliberately DROPPED (ADVICE r8): a
@@ -740,7 +823,7 @@ class TxTable:
             # physical file carries a prior name any more — keeping the
             # map would wrongly re-project a legitimately reintroduced
             # old column name on future reads
-            "version": prev["version"] + 1,
+            "version": ver,
             "current": cur_dir,
             "closed": [],
             "run_id": run_id,
@@ -762,7 +845,7 @@ class TxTable:
         bin-packs old segments — the small-file story for a
         streaming/daily ingest at 100 TB.  Crash-safe like every commit:
         a half-written delta dir without its manifest is invisible."""
-        prev = self.manifest()
+        prev, ver = self._base_for_write()
         self._check_retypes(prev or {"version": 0}, delta.schema)
         self._check_rename_collision(prev or {}, delta.schema)
         token = uuid.uuid4().hex[:8]
@@ -770,7 +853,7 @@ class TxTable:
         delta.write.parquet(os.path.join(self.root, closed_dir))
         if prev is None:
             cur_dir = f"{_DATA_DIR}/current-{run_id}-{token}"
-            cur_fields = self._write_current(delta.limit(0), cur_dir, 1)
+            cur_fields = self._write_current(delta.limit(0), cur_dir, ver)
             prev = {"version": 0, "closed": [], "current": cur_dir, **cur_fields}
         dir_schemas = dict(prev.get("dir_schemas", {}))
         dir_schemas[closed_dir] = json.loads(delta.schema.json())
@@ -788,7 +871,7 @@ class TxTable:
                 for k in ("current_table", "bucket", "compacted_lineage", "column_renames")
                 if k in prev
             },
-            "version": prev["version"] + 1,
+            "version": ver,
             "current": prev["current"],
             "closed": prev["closed"] + [closed_dir],
             "run_id": run_id,
@@ -854,12 +937,14 @@ class TxTable:
         # after a schema change
         schema_json = json.loads(self._manifest_schema(man).json())
         self.read_closed().write.parquet(os.path.join(self.root, compacted))
-        # re-read the manifest: a concurrent daily commit between the
-        # read and here would be lost if we published the stale list
-        latest = self.manifest()
-        if latest["version"] != man["version"]:
+        # re-read the base (one listing snapshot: base + version number
+        # together): a concurrent daily commit between the read and here
+        # would be lost if we published the stale list
+        latest, ver = self._base_for_write()
+        if latest is None or latest["version"] != man["version"]:
             raise ConcurrentWriteError(
-                f"table advanced from v{man['version']} to v{latest['version']} during compaction; retry"
+                f"table advanced from v{man['version']} to "
+                f"v{latest['version'] if latest else '?'} during compaction; retry"
             )
         # fold per-dir stats: the compacted dir's range is the union of
         # its inputs' ranges, per column — only where EVERY input dir
@@ -897,7 +982,7 @@ class TxTable:
             # has its write-time (old) names until a snapshot/merge
             # replaces it
             **{k: man[k] for k in ("current_table", "bucket", "column_renames") if k in man},
-            "version": man["version"] + 1,
+            "version": ver,
             "current": man["current"],
             "closed": [compacted],
             "run_id": f"compact-{man['version']}",
@@ -927,7 +1012,7 @@ class TxTable:
         entry is retired (its table schema has the old name); the next
         bucketed commit rebuilds it.  Chained renames resolve through
         the accumulated prior-name list."""
-        man = self.manifest()
+        man, ver = self._base_for_write()
         if man is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
         schema = self._manifest_schema(man)
@@ -965,7 +1050,7 @@ class TxTable:
                 for k in ("current", "closed", "dir_schemas", "dir_stats", "compacted_lineage")
                 if k in man
             },
-            "version": man["version"] + 1,
+            "version": ver,
             "run_id": run_id or f"rename-{old}-to-{new}",
             "schema": json.loads(new_schema.json()),
             "column_renames": renames,
@@ -997,7 +1082,7 @@ class TxTable:
         reads fall back to the plain parquet path (correct, minus the
         exchange-free join until the next bucketed commit)."""
         target = self.manifest(version)  # raises VersionNotFoundError if pruned
-        latest = self.manifest()
+        latest, ver = self._base_for_write()
         if latest is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
         structural = (
@@ -1011,7 +1096,7 @@ class TxTable:
         man = {
             **self._carried_extras(latest),
             **{k: target[k] for k in structural if k in target},
-            "version": latest["version"] + 1,
+            "version": ver,
             "run_id": f"restore-v{version}",
             "restored_from": int(version),
         }
@@ -1094,6 +1179,26 @@ class TxTable:
         Returns the deleted dir names."""
         if retain_last < 1:
             raise ValueError(f"retain_last must be >= 1, got {retain_last}")
+        # resolve transaction leftovers FIRST: any multi-table txn still
+        # in-doubt at vacuum time is dead (vacuum's contract is no
+        # writer in flight) — write its abort record so a zombie
+        # coordinator commit can never resurrect a version whose data
+        # dirs this vacuum is about to reclaim.  Aborted manifests are
+        # then deletable like any superseded version.
+        dead = []
+        for v in self._all_versions():
+            man = self._read_manifest_file(v)
+            state = self._txn_state(man)
+            if state == "in_doubt":
+                pend = man["pending_txn"]
+                coord = TxnCoordinator(self.spark, pend["coordinator"])
+                try:
+                    coord.abort(pend["txn_id"])
+                except ConcurrentWriteError:
+                    pass  # raced a late resolution; re-read below
+                state = self._txn_state(man)
+            if state == "aborted":
+                dead.append(v)
         versions = self.versions()
         if not versions:
             return []
@@ -1114,7 +1219,149 @@ class TxTable:
                     fs.delete(status.getPath(), True)
                     dropped.append(f"{_DATA_DIR}/{name}")
         # prune manifests whose dirs may now be gone — a version must be
-        # either fully readable or not listed at all
-        for v in versions[: len(versions) - retain_last]:
+        # either fully readable or not listed at all.  Aborted-txn
+        # manifests go too: never visible, and their dirs were just
+        # reclaimed above
+        for v in versions[: len(versions) - retain_last] + dead:
             fs.delete(self._jpath(_LOG_DIR, f"v{v:010d}.json"), False)
         return dropped
+
+
+class TxnCoordinator:
+    """Commit coordinator for atomic MULTI-TABLE transactions
+    (VERDICT r9 #2).
+
+    A tiny directory of one-shot transaction records, written with the
+    same atomic rename-without-overwrite primitive as the manifest log.
+    Each participating table's staged manifest carries
+    ``pending_txn: {coordinator, txn_id}``; readers resolve visibility
+    through the record (``TxTable._txn_state``):
+
+    - record says ``committed``  → the staged version is visible,
+    - record says ``aborted``    → never visible,
+    - no record yet (in-doubt)   → not visible; the transaction either
+      commits later (single atomic rename flips EVERY participant at
+      once) or is aborted by recovery/vacuum.
+
+    A record is written exactly once — ``commit`` and ``abort`` race
+    safely: whoever renames first wins, the loser raises
+    ``ConcurrentWriteError``.  This is the classic presumed-abort
+    two-phase commit with reader-side in-doubt resolution (the shape
+    lakehouse multi-table transactions use); the coordinator dir must
+    live on a store with atomic rename, like the logs themselves."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _jvm(self):
+        return self.spark.sparkContext._jvm
+
+    def _jpath(self, name: str):
+        return self._jvm().org.apache.hadoop.fs.Path(os.path.join(self.root, name))
+
+    def _fs(self):
+        path = self._jvm().org.apache.hadoop.fs.Path(self.root)
+        return path.getFileSystem(self.spark.sparkContext._jsc.hadoopConfiguration())
+
+    def _record(self, txn_id: str):
+        return self._jpath(f"txn-{txn_id}.json")
+
+    def _decide(self, txn_id: str, state: str) -> None:
+        fs = self._fs()
+        fs.mkdirs(self._jvm().org.apache.hadoop.fs.Path(self.root))
+        final = self._record(txn_id)
+        if fs.exists(final):
+            raise ConcurrentWriteError(
+                f"transaction {txn_id} already decided: {self.state(txn_id)}"
+            )
+        tmp = self._jpath(f".tmp-{uuid.uuid4().hex}.json")
+        out = fs.create(tmp, False)
+        try:
+            out.write(bytearray(json.dumps(
+                {"txn_id": txn_id, "state": state, "decided_at": time.time()}
+            ).encode("utf-8")))
+        finally:
+            out.close()
+        if not fs.rename(tmp, final):
+            fs.delete(tmp, False)
+            raise ConcurrentWriteError(
+                f"lost decision race for transaction {txn_id}: {self.state(txn_id)}"
+            )
+
+    def commit(self, txn_id: str) -> None:
+        """Atomically flip every participant's staged version visible."""
+        self._decide(txn_id, "committed")
+
+    def abort(self, txn_id: str) -> None:
+        """Record the transaction dead; staged manifests become
+        permanent tombstones (reclaimed by each table's ``vacuum``)."""
+        self._decide(txn_id, "aborted")
+
+    def state(self, txn_id: str) -> str | None:
+        """'committed' | 'aborted' | None (in-doubt / unknown)."""
+        p = self._record(txn_id)
+        fs = self._fs()
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            raw = self._jvm().org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(raw)["state"]
+
+
+def commit_multi(
+    commits: list,
+    coordinator: TxnCoordinator,
+) -> dict:
+    """Commit to SEVERAL TxTables atomically: at every instant a reader
+    sees either every table's new version or none of them
+    (VERDICT r9 #2 — the data-publish + status-advance pair the
+    pipeline previously committed as two independent manifests).
+
+    ``commits``: list of ``(table, kind, kwargs)`` with ``kind`` one of
+    ``append`` / ``merge`` / ``snapshot`` and ``kwargs`` the matching
+    ``commit_*`` keyword arguments (``run_id`` required; ``extra``
+    honored).
+
+    Protocol: each table's commit runs normally — data dirs written,
+    manifest published — but the manifest carries
+    ``pending_txn: {coordinator, txn_id}``, which makes the new version
+    INVISIBLE to every reader until the coordinator record says
+    committed.  After all participants stage, one atomic
+    ``coordinator.commit(txn_id)`` rename flips them all at once.  Any
+    failure (including a lost manifest race) aborts the transaction:
+    the staged versions become tombstones and each table still reads at
+    its previous version.  A crash BETWEEN staging and the coordinator
+    commit leaves the transaction in-doubt — still nothing visible —
+    until recovery or ``vacuum`` aborts it.
+
+    Returns ``{"txn_id": ..., "versions": {table_root: staged_version}}``.
+    """
+    kinds = {"append": "commit_append", "merge": "commit_merge", "snapshot": "commit_snapshot"}
+    roots = [t.root for t, _, _ in commits]
+    if len(set(roots)) != len(roots):
+        raise ValueError(
+            f"commit_multi participants must be distinct tables, got {roots}: "
+            "two staged manifests on one table would race for the same version"
+        )
+    txn_id = uuid.uuid4().hex
+    pend = {"coordinator": coordinator.root, "txn_id": txn_id}
+    versions: dict[str, int] = {}
+    try:
+        for table, kind, kwargs in commits:
+            if kind not in kinds:
+                raise ValueError(f"kind={kind!r} (append|merge|snapshot)")
+            kw = dict(kwargs)
+            kw["extra"] = {**(kw.get("extra") or {}), "pending_txn": pend}
+            versions[table.root] = getattr(table, kinds[kind])(**kw)
+        coordinator.commit(txn_id)
+    except BaseException:
+        try:
+            coordinator.abort(txn_id)
+        except Exception:
+            pass  # already decided, or the coordinator store is down too
+        raise
+    return {"txn_id": txn_id, "versions": versions}

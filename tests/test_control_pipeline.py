@@ -264,3 +264,49 @@ def test_pipeline_failure_marks_sf_and_alerts(spark, tmp_path):
     # ...and extract refuses to re-run (the landing data is fine)
     with pytest.raises(DuplicateRunError):
         wh.extract(bad, 1, "2024-12-08")
+
+
+def test_crash_between_gold_commit_and_status_commit_recovers(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #2 (crash-injection half): the gold data publish and
+    the control-status advance are two TxTable commits.  Inject a crash
+    BETWEEN them — gold committed, LWS status save dies — and prove
+    recovery is clean: the failure handler records DF, the re-run
+    completes, the dw has NO duplicate rows (the re-merged batch is a
+    no-change merge), and the status converges to LWS."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_date_dim(spark, "2024-12-01", "2024-12-31").write.parquet(wh.date_dim_dir)
+    day = "2024-12-08"
+    d0 = _feed(spark, [("S1", "P1", "100", "A"), ("S2", "P2", "200", "B")])
+    wh.extract(d0, 1, day)
+    wh.load_to_staging(1, day)
+
+    orig_save = wh._save
+    crashed = {"done": False}
+
+    def crashing_save(ctrl):
+        statuses = {r["status"] for r in ctrl.logs.collect()}
+        if STATUS_LOAD_DW_SUCCESS in statuses and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash between gold commit and status commit")
+        return orig_save(ctrl)
+
+    monkeypatch.setattr(wh, "_save", crashing_save)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        wh.load_to_dw(1, day)
+
+    # gold IS committed (the data publish won), status records the
+    # failure — the two commits are observably out of step
+    gold_v1 = wh.gold().latest_version()
+    assert wh.read_dw().count() == 2
+    assert wh.control().has_log(1, day, ["DF"])
+
+    # recovery: re-run the day's dw load; the merge is a no-change
+    # no-op against the already-committed current set
+    wh.load_to_dw(1, day)
+    rows = wh.read_dw().collect()
+    assert len(rows) == 2  # no duplicates
+    assert {r["natural_key"] for r in rows} == {r["natural_key"] for r in rows}
+    open_d = dt.date(9999, 12, 31)
+    assert all(r["dt_last_update"] == open_d for r in rows)
+    assert wh.control().has_log(1, day, [STATUS_LOAD_DW_SUCCESS])
+    assert wh.gold().latest_version() > gold_v1  # the retry is its own commit

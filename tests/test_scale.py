@@ -299,3 +299,45 @@ def test_pin_frame_reliable_checkpoint_survives_block_loss(spark, tmp_path):
         # unset so later tests in this JVM keep the local-pin default
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(spark._jvm.scala.Option.apply(None))
         assert sc.getCheckpointDir() is None
+
+
+def test_exact_global_ntiles_matches_chained_window_ntiles(spark):
+    """VERDICT r9 #4: the single-pass multi-ntile must agree with the
+    engine-native window ntile on every spec, including desc orders,
+    B > N (empty tail buckets) and B = 1."""
+    from pyspark.sql import Window
+
+    from nlu_data_warehouse_project_spark.operators.scale import exact_global_ntiles
+
+    rows = [(i, (i * 37) % 11, float((i * 13) % 7)) for i in range(53)]
+    df = spark.createDataFrame(rows, "id long, a int, b double")
+    got = exact_global_ntiles(
+        df,
+        [
+            ([("a", "asc"), ("id", "asc")], 4, "na"),
+            ([("b", "desc"), ("id", "asc")], 5, "nb"),
+            ([("id", "desc")], 60, "big"),  # B > N
+            ([("a", "asc"), ("id", "asc")], 1, "one"),
+        ],
+        num_partitions=4,
+    )
+    ref = (
+        df.withColumn("na", F.ntile(4).over(Window.orderBy(F.asc("a"), F.asc("id"))))
+        .withColumn("nb", F.ntile(5).over(Window.orderBy(F.desc("b"), F.asc("id"))))
+        .withColumn("big", F.ntile(60).over(Window.orderBy(F.desc("id"))))
+        .withColumn("one", F.lit(1))
+    )
+    key = lambda r: (r["id"], r["na"], r["nb"], r["big"], r["one"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, ref.collect()))
+
+
+def test_exact_global_ntiles_single_materialization(spark):
+    """The input frame appears exactly once as a pinned scan in the
+    final plan — no per-spec shuffle of the full frame."""
+    from nlu_data_warehouse_project_spark.operators.scale import exact_global_ntiles
+
+    df = spark.range(100).withColumn("v", F.pmod(F.col("id"), F.lit(9)))
+    out = exact_global_ntiles(df, [([("v", "asc"), ("id", "asc")], 4, "q")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # assignment is scan-local: no Exchange in the consuming plan
+    assert "Exchange" not in plan, plan
