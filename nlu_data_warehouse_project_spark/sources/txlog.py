@@ -51,7 +51,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import DecimalType, StructField, StructType
 
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
@@ -272,6 +272,30 @@ class TxTable:
         # pre-evolution manifest: fall back to the current dir's footer
         return self.spark.read.parquet(os.path.join(self.root, man["current"])).schema
 
+    # lossless numeric promotions a long-lived table may accumulate
+    # (VERDICT r9 #3): every value of the old type is exactly
+    # representable in the new one, so casting old dirs at read time
+    # can never change a value or overflow
+    _INT_WIDTH = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+    @classmethod
+    def _is_safe_widening(cls, old_dt, new_dt) -> bool:
+        o, n = old_dt.typeName(), new_dt.typeName()
+        if o in cls._INT_WIDTH and n in cls._INT_WIDTH:
+            return cls._INT_WIDTH[n] > cls._INT_WIDTH[o]
+        if o == "float" and n == "double":
+            return True
+        if isinstance(old_dt, DecimalType) and isinstance(new_dt, DecimalType):
+            # scale and integer-digit capacity must both be
+            # non-decreasing (and something must actually grow):
+            # decimal(10,2) -> decimal(12,2) or (12,4), never (12,1)
+            return (
+                (new_dt.precision, new_dt.scale) != (old_dt.precision, old_dt.scale)
+                and new_dt.scale >= old_dt.scale
+                and new_dt.precision - new_dt.scale >= old_dt.precision - old_dt.scale
+            )
+        return False
+
     def _align_to(
         self, df: DataFrame, target: StructType, src_desc: str, renames: dict | None = None
     ) -> DataFrame:
@@ -282,14 +306,19 @@ class TxTable:
                 (p for p in (renames or {}).get(f.name, []) if p in have), None
             )
             if src is not None:
-                if have[src].dataType != f.dataType:
+                if have[src].dataType == f.dataType:
+                    cols.append(F.col(src).alias(f.name))
+                elif self._is_safe_widening(have[src].dataType, f.dataType):
+                    # dir written before a safe-widening commit: the
+                    # lossless cast IS the migration — no history rewrite
+                    cols.append(F.col(src).cast(f.dataType).alias(f.name))
+                else:
                     raise SchemaEvolutionError(
                         f"column '{src}' of {src_desc} was written as "
                         f"{have[src].dataType.simpleString()} but the table schema now says "
                         f"{f.dataType.simpleString()}; a retype cannot be reconciled automatically "
                         "— migrate with an explicit cast + commit_snapshot/compact_closed"
                     )
-                cols.append(F.col(src).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
@@ -723,18 +752,27 @@ class TxTable:
             self.spark.sql(f"DROP TABLE IF EXISTS {stale}")
 
     def _check_retypes(self, prev: dict, new_schema: StructType) -> None:
-        """Commit-time guard: refuse a commit that retypes an existing
-        column — it would poison every subsequent history read (the
-        read-side ``_align_to`` would raise on each old dir forever).
-        Added and dropped columns are legal evolution."""
+        """Commit-time guard on retyping an existing column.  SAFE
+        WIDENINGS (int ladder, float->double, decimal precision/scale
+        growth — ``_is_safe_widening``) are accepted: the commit
+        records the widened schema in the manifest and old dirs are
+        losslessly cast at read by ``_align_to``; time travel to a
+        pre-widening version still reads the old type because each
+        manifest owns its own schema (VERDICT r9 #3).  Anything else
+        (narrowing, cross-family retype) still refuses — it would
+        poison every subsequent history read.  Added and dropped
+        columns are legal evolution."""
         if prev.get("version", 0) == 0:
             return
         old = {f.name: f.dataType for f in self._manifest_schema(prev).fields}
         for f in new_schema.fields:
             if f.name in old and old[f.name] != f.dataType:
+                if self._is_safe_widening(old[f.name], f.dataType):
+                    continue
                 raise SchemaEvolutionError(
                     f"commit would retype column '{f.name}' from "
-                    f"{old[f.name].simpleString()} to {f.dataType.simpleString()}; "
+                    f"{old[f.name].simpleString()} to {f.dataType.simpleString()} "
+                    "and that is not a lossless widening; "
                     "rewrite history explicitly (cast + compact_closed/commit_snapshot) instead"
                 )
 

@@ -687,3 +687,28 @@ def test_closing_wave_plans_q195_q199(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+
+
+def test_q85_funnel_keeps_sort_merge_at_bench_scale(spark):
+    """VERDICT r9 #7: q85 is the one cross-scale plan drift in
+    PLAN_AUDIT — at sf0.001 the shrunken stage frames flip to broadcast
+    (3 exchanges), at the bench scale sf0.1 the funnel must stay
+    sort-merge on its single user_id shuffle key (4 exchanges, no
+    broadcast).  Pin BOTH so a future regression to
+    broadcast-everywhere (stage frames are user-count-sized — NOT
+    broadcastable at 100 TB) or to extra exchanges is caught rather
+    than re-adjudicated each round."""
+    import os
+
+    bench_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(bench_sf):
+        import pytest
+
+        pytest.skip(f"bench-scale dir {bench_sf} not present")
+    q = QUERIES["q85_funnel"](spark, bench_sf)
+    assert not uses_broadcast_join(q), (
+        "q85 stage frames are user-count-sized; broadcasting them at bench "
+        "scale means the planner thinks they're dims — would OOM at 100 TB"
+    )
+    assert shuffle_count(q) <= 4, "funnel gained exchanges beyond the user_id chain"
+    assert python_udf_count(q) == 0

@@ -442,3 +442,34 @@ def test_projected_cosine_topk_respects_cluster_structure(spark):
     for r in got:
         assert r["neighbor_id"] % 4 == r["query_id"] % 4, r
         assert 1 <= r["rank"] <= 5
+
+def test_ivf_topk_default_trains_itself(spark):
+    """VERDICT r9 #6: the naive-caller entry point `ivf_topk` with no
+    centroids/planes trains its own quantizer on a deterministic
+    sample — on the planted-cluster corpus it must hit the same >=0.9
+    floor as the explicitly-trained path, and two runs must agree
+    (deterministic seeding).  planes= opts into the sign-cell path and
+    refuses to also take centroids."""
+    import bench as bench_mod
+    from nlu_data_warehouse_project_spark.operators.kmeans import ivf_topk
+    from nlu_data_warehouse_project_spark.queries import _IVF_PLANES
+
+    blobs = bench_mod.make_clustered_corpus(spark, centers=8, n_per=40, dim=16)
+    queries = blobs.filter(F.col("vec_id") % 40 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(queries, blobs, k=5, vec_col="embedding").collect()
+    }
+    got1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, blobs, k=5, nprobe=4, n_cells=8, max_iters=20, tol=1e-2).collect()
+    }
+    got2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, blobs, k=5, nprobe=4, n_cells=8, max_iters=20, tol=1e-2).collect()
+    }
+    assert got1 == got2, "self-training must be deterministic"
+    assert len(exact & got1) / len(exact) >= 0.9
+
+    with pytest.raises(ValueError, match="not both"):
+        ivf_topk(queries, blobs, planes=_IVF_PLANES, centroids=[[1.0] * 16])

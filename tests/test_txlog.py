@@ -961,3 +961,158 @@ def test_table_changes_restore_reemits_compaction_products(spark, tmp_path):
     assert sorted((r["id"], r["_commit_version"]) for r in feed) == [(1, v5), (2, v5)]
     # the compaction commit itself still does NOT re-emit (unchanged)
     assert t.table_changes(v3 - 1, to_version=v3).count() == 0
+
+def test_schema_widening_int_to_long(spark, tmp_path):
+    """VERDICT r9 #3: lossless type widenings are accepted evolution.
+    Commit int rows, append long rows: the live schema widens, old dirs
+    cast at read, time travel to v1 still returns int, and a NARROWING
+    commit still refuses."""
+    from nlu_data_warehouse_project_spark.sources.txlog import SchemaEvolutionError
+
+    t = TxTable(spark, str(tmp_path / "widen"))
+    d1 = spark.createDataFrame([(1, 10)], "k int, v int")
+    t.commit_append(d1, run_id="d1")
+    d2 = spark.createDataFrame([(2, 2**40)], "k int, v long")
+    t.commit_append(d2, run_id="d2")
+
+    out = t.read()
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert {r["v"] for r in out.collect()} == {10, 2**40}
+
+    # time travel: v1's manifest owns the pre-widening schema
+    old = t.read(1)
+    assert dict(old.dtypes)["v"] == "int"
+    assert [r["v"] for r in old.collect()] == [10]
+
+    # narrowing back to int refuses
+    d3 = spark.createDataFrame([(3, 30)], "k int, v int")
+    with pytest.raises(SchemaEvolutionError, match="not a lossless widening"):
+        t.commit_append(d3, run_id="d3")
+
+
+def test_schema_widening_float_decimal_and_refusals(spark, tmp_path):
+    """float->double and decimal(p,s)->decimal(p+k,s) widen; scale
+    shrink and cross-family retypes refuse."""
+    from nlu_data_warehouse_project_spark.sources.txlog import SchemaEvolutionError
+
+    t = TxTable(spark, str(tmp_path / "widen2"))
+    t.commit_append(
+        spark.createDataFrame([(1, 1.5, "9999999.99")], "k int, f float, d string")
+        .select("k", "f", F.col("d").cast("decimal(9,2)").alias("d")),
+        run_id="d1",
+    )
+    t.commit_append(
+        spark.createDataFrame([(2, 2.5, "99999999999.999")], "k int, f double, d string")
+        .select("k", "f", F.col("d").cast("decimal(14,3)").alias("d")),
+        run_id="d2",
+    )
+    out = t.read()
+    assert dict(out.dtypes)["f"] == "double"
+    assert dict(out.dtypes)["d"] == "decimal(14,3)"
+    vals = {str(r["d"]) for r in out.collect()}
+    assert vals == {"9999999.990", "99999999999.999"}
+
+    # decimal scale shrink loses digits -> refuse
+    with pytest.raises(SchemaEvolutionError):
+        t.commit_append(
+            spark.createDataFrame([(3, 3.5, "1")], "k int, f double, d string")
+            .select("k", "f", F.col("d").cast("decimal(14,1)").alias("d")),
+            run_id="d3",
+        )
+    # cross-family retype (long -> string) -> refuse
+    with pytest.raises(SchemaEvolutionError):
+        t.commit_append(
+            spark.createDataFrame([("x", 4.5, "1")], "k string, f double, d string")
+            .select("k", "f", F.col("d").cast("decimal(14,3)").alias("d")),
+            run_id="d4",
+        )
+
+
+def test_schema_widening_via_merge_keeps_history_readable(spark, tmp_path):
+    """A merge commit that widens: old closed dirs (int) and the new
+    current (long) reconcile in one read; no history rewrite needed."""
+    t = TxTable(spark, str(tmp_path / "widen3"))
+    t.commit_merge(
+        current=spark.createDataFrame([(1, 100)], "k int, v int"),
+        closed_delta=spark.createDataFrame([(0, 50)], "k int, v int"),
+        run_id="d1",
+    )
+    t.commit_merge(
+        current=spark.createDataFrame([(1, 2**41)], "k int, v long"),
+        closed_delta=spark.createDataFrame([(1, 100)], "k int, v long"),
+        run_id="d2",
+    )
+    out = t.read()
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert sorted(r["v"] for r in out.collect()) == [50, 100, 2**41]
+
+def test_cdf_tail_consumer_round_trip_with_restore(spark, tmp_path):
+    """VERDICT r9 #5: an incremental consumer tails ``table_changes``
+    into a DOWNSTREAM TxTable and must converge to the batch rebuild.
+
+    Three append commits stream through one at a time (watermark
+    recorded in the downstream manifest ``extra``, the documented
+    pattern).  Then a snapshot replaces the live table (no closed rows
+    -> empty feed) and a RESTORE re-introduces the old closed dirs:
+    the feed RE-EMITS them at the restore commit — correct for
+    live-state consumers — and an exactly-once consumer handles the
+    replay with its own bookkeeping (primary-key anti-join here).
+    End state: downstream == upstream.read_closed(), both after the
+    three appends and after the restore."""
+    up = TxTable(spark, str(tmp_path / "up"))
+    down = TxTable(spark, str(tmp_path / "down"))
+
+    def consume():
+        """Tail (last_consumed, latest] into downstream, exactly-once
+        via primary-key anti-join; watermark rides the manifest.  The
+        FIRST tail is an initial snapshot (table_changes needs its
+        since-manifest retained, and there is no v0) — the standard
+        CDC bootstrap."""
+        last = (down.manifest() or {}).get("src_version")
+        latest = up.latest_version()
+        if latest == last:
+            return None
+        if last is None:
+            feed = up.read_closed(latest)
+        else:
+            feed = up.table_changes(last, latest).drop("_commit_version", "_commit_run_id")
+        if down.exists():
+            feed = feed.join(down.read(), "id", "left_anti")
+        down.commit_append(feed, run_id=f"cdf-{latest}", extra={"src_version": latest})
+        return feed
+
+    def assert_converged():
+        want = sorted((r["id"], r["v"]) for r in up.read_closed().collect())
+        got = sorted((r["id"], r["v"]) for r in down.read().collect())
+        assert got == want
+
+    for lo, hi in ((1, 3), (4, 6), (7, 9)):
+        up.commit_append(
+            spark.createDataFrame([(i, i * 10) for i in range(lo, hi + 1)], "id int, v int"),
+            run_id=f"d{lo}",
+        )
+        consume()
+    assert_converged()  # 9 rows, three tails == batch rebuild
+
+    # snapshot: live table replaced, closed history emptied -> the CDF
+    # has nothing closed-entering; consumer sees an empty increment
+    up.commit_snapshot(
+        spark.createDataFrame([(100, 0)], "id int, v int"), run_id="snap"
+    )
+    inc = consume()
+    assert inc is not None and inc.count() == 0
+
+    # restore to the 3-append state: the old closed dirs RE-ENTER the
+    # live history -> the feed re-emits all 9 rows tagged with the
+    # restore commit (live-state consumers want exactly this)
+    restored_v = up.restore(3)
+    raw = up.table_changes((down.manifest() or {})["src_version"]).collect()
+    assert len(raw) == 9
+    assert {r["_commit_version"] for r in raw} == {restored_v}
+    assert {r["_commit_run_id"] for r in raw} == {"restore-v3"}
+
+    # ...and the exactly-once consumer absorbs the replay: anti-join
+    # drops all 9 already-consumed rows; end state still == rebuild
+    consume()
+    assert_converged()
+    assert (down.manifest() or {})["src_version"] == restored_v
