@@ -254,9 +254,13 @@ def decode_png(payload: bytes) -> dict:
     """Pure-stdlib PNG decode (VERDICT r8 #3): zlib-inflate the IDAT
     stream and invert the five scanline filters (None/Sub/Up/Average/
     Paeth) per the PNG spec.  Supports the non-interlaced 8-bit-depth
-    color types (gray, RGB, gray+alpha, RGBA) — palette and interlaced
-    images still fail fast.  Returns ``{format, width, height,
-    channels, pixels}`` with ``pixels`` as row-major raw samples.
+    color types (gray, RGB, gray+alpha, RGBA) plus PLTE indexed color
+    (VERDICT r9 #8 — real corpora are full of palette PNGs): indices
+    unfilter as one byte per pixel, then expand through the palette to
+    RGB, or RGBA when a tRNS chunk supplies per-entry alpha.
+    Sub-8-bit palette depths and Adam7 interlacing still fail fast.
+    Returns ``{format, width, height, channels, pixels}`` with
+    ``pixels`` as row-major raw samples.
 
     This is deliberately plain Python: decode is already the Python
     side of an Arrow-batched ``mapInPandas``, images arrive one batch
@@ -264,13 +268,17 @@ def decode_png(payload: bytes) -> dict:
     set by the batching, not this loop."""
     if not isinstance(payload, (bytes, bytearray)) or payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, header = 8, bytearray(), None
+    pos, idat, header, plte, trns = 8, bytearray(), None, None, None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         ctype = payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + length]
         if ctype == b"IHDR":
             header = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -279,12 +287,17 @@ def decode_png(payload: bytes) -> dict:
     if header is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = header
-    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+    if depth != 8 or interlace != 0 or (color not in _PNG_CHANNELS and color != 3):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color} interlace={interlace}: only "
-            "non-interlaced 8-bit gray/RGB/gray+alpha/RGBA decode here"
+            "non-interlaced 8-bit gray/RGB/gray+alpha/RGBA/palette decode here"
         )
-    channels = _PNG_CHANNELS[color]
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/malformed PLTE chunk")
+        channels = 1  # one index byte per pixel through the unfilter
+    else:
+        channels = _PNG_CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
     stride = w * channels
     if len(raw) != h * (stride + 1):
@@ -320,6 +333,20 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"PNG filter byte {f} invalid")
         out += line
         prev = line
+    if color == 3:
+        # expand indices through the palette: RGB, or RGBA when tRNS
+        # supplies alpha (entries past the tRNS length are opaque)
+        n_entries = len(plte) // 3
+        alpha = trns if trns is not None else b""
+        expanded = bytearray()
+        for idx in out:
+            if idx >= n_entries:
+                raise ValueError(f"palette index {idx} >= {n_entries} PLTE entries")
+            expanded += plte[idx * 3:idx * 3 + 3]
+            if trns is not None:
+                expanded.append(alpha[idx] if idx < len(alpha) else 255)
+        out = expanded
+        channels = 4 if trns is not None else 3
     return {
         "format": "png", "width": w, "height": h,
         "channels": channels, "pixels": bytes(out),

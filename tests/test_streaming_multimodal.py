@@ -347,11 +347,108 @@ def test_png_decode_roundtrip_and_filters():
              + chunk(b"IDAT", zlib.compress(forward(ftype))) + chunk(b"IEND", b""))
         assert decode_png(p)["pixels"] == b"".join(rows), f"filter {ftype}"
 
-    # palette/interlace stay fail-fast
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
-    pal = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    # sub-8-bit palette and interlace stay fail-fast
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0)  # depth 4 palette
+    pal4 = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
-        decode_png(pal)
+        decode_png(pal4)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # Adam7 RGB
+    inter = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(inter)
+    # depth-8 palette with a PLTE missing is malformed, not unsupported
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    pal8 = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(pal8)
+
+
+def _palette_png(w, h, entries, indices, trns=None):
+    """Hand-built depth-8 indexed-color PNG (filter 0 scanlines)."""
+    import struct
+    import zlib
+
+    from nlu_data_warehouse_project_spark.operators.multimodal import _PNG_SIG
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+    raw = b"".join(b"\x00" + bytes(indices[y * w:(y + 1) * w]) for y in range(h))
+    out = _PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+    out += chunk(b"PLTE", b"".join(bytes(e) for e in entries))
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_palette_decode_rgb_and_trns_alpha():
+    """VERDICT r9 #8: depth-8 PLTE indexed color decodes for real —
+    indices expand through the palette to RGB; a tRNS chunk upgrades
+    the expansion to RGBA (entries beyond its length opaque); an
+    out-of-range index is a hard error, not garbage pixels."""
+    from nlu_data_warehouse_project_spark.operators.multimodal import decode_png
+
+    entries = [(255, 0, 0), (0, 128, 0), (0, 0, 255)]
+    img = decode_png(_palette_png(2, 2, entries, [0, 1, 2, 1]))
+    assert (img["width"], img["height"], img["channels"]) == (2, 2, 3)
+    assert img["pixels"] == bytes((255, 0, 0, 0, 128, 0, 0, 0, 255, 0, 128, 0))
+
+    # tRNS: entry 0 transparent, entry 1 half, entry 2 opaque (past end)
+    img = decode_png(_palette_png(2, 2, entries, [0, 1, 2, 1], trns=[0, 128]))
+    assert img["channels"] == 4
+    assert img["pixels"] == bytes(
+        (255, 0, 0, 0, 0, 128, 0, 128, 0, 0, 255, 255, 0, 128, 0, 128)
+    )
+
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(_palette_png(1, 1, entries, [7]))
+
+
+def test_png_palette_through_shards_with_real_features(spark, tmp_path):
+    """The VERDICT r9 #8 done-gate: a generated palette PNG rides the
+    shard export and the REAL feature extractor end to end — features
+    reflect the palette-EXPANDED pixels (w, h, 3 channels, exact
+    per-channel means), proving the decode feeds the pipeline, not
+    just the unit test."""
+    from nlu_data_warehouse_project_spark.operators.multimodal import extract_features
+    from nlu_data_warehouse_project_spark.sources.webdataset import (
+        write_webdataset_shards,
+    )
+
+    # 4x2 image: top row all entry0, bottom row all entry1
+    entries = [(200, 40, 0), (0, 40, 200)]
+    png = _palette_png(4, 2, entries, [0, 0, 0, 0, 1, 1, 1, 1])
+    df = spark.createDataFrame(
+        [(1, "palette img", bytearray(png))],
+        "doc_id long, text string, payload binary",
+    )
+    out = str(tmp_path / "pal-shards")
+    write_webdataset_shards(df, out, payload_col="payload", payload_ext="png",
+                            rows_per_shard=10)
+
+    import os
+    import tarfile
+
+    payload = None
+    for f in sorted(f for f in os.listdir(out) if f.endswith(".tar")):
+        with tarfile.open(os.path.join(out, f)) as tar:
+            for m in tar.getmembers():
+                if m.name.endswith(".png"):
+                    payload = tar.extractfile(m).read()
+    assert payload == png, "shard round-trip must be byte-exact"
+
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), None)],
+        "media_id long, payload binary, meta struct<media_type:string,format:string,width:int,height:int,duration_ms:int,n_bytes:bigint>",
+    )
+    f = extract_features(media, use_fake_extractor=False).collect()[0]["feature"]
+    assert (f[0], f[1], f[2]) == (4.0, 2.0, 3.0)
+    # channel means over the EXPANDED rgb: R=(200+0)/2, G=40, B=(0+200)/2
+    assert abs(f[3] - (sum((200, 40, 0)) + sum((0, 40, 200))) / 6) < 1e-3
+    assert abs(f[4] - 100.0) < 1e-3  # R mean
+    assert abs(f[5] - 40.0) < 1e-3   # G mean
+    assert abs(f[6] - 100.0) < 1e-3  # B mean
 
 
 def test_png_pipeline_real_features_through_shards(spark, tmp_path):
