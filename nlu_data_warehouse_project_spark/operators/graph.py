@@ -72,3 +72,80 @@ def bfs_hops(
         visited = pin_frame(visited.unionByName(nxt), reliable=reliable, eager=True)
         frontier = nxt
     return visited
+
+
+def pagerank_rounds(
+    edges: DataFrame,
+    rounds: int = 3,
+    damping_pct: int = 85,
+    unit: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Fixed-round PageRank power iteration in EXACT integer
+    arithmetic: ranks are BIGINT "mass units" (``unit`` total mass
+    split evenly), each round distributes ``rank DIV out_degree`` along
+    every edge and damps with integer percent arithmetic —
+    ``new = ((100-d)*(unit DIV n)) DIV 100 + (d * in_mass) DIV 100``.
+    No floating point anywhere, so the result is bit-identical across
+    engines AND across partitionings (float summation order is the
+    classic reason iterative rank scores can't be hash-compared;
+    integer sums are associative).  Truncation mass from DIV simply
+    evaporates, as does mass at dangling nodes (no out-edges) — both
+    deterministic.  Returns (node, rank_units).
+
+    Shape per round: one equi-join of the rank frame against the
+    pinned edge set on src + one sum by dst — frontier-free PageRank
+    shuffles the rank VECTOR (|V| rows), never re-materializes edges
+    (pinned once, the `bfs_hops` discipline); ``reliable`` selects the
+    fault-tolerant checkpoint path per round (VERDICT r9 #1)."""
+    if rounds < 0:
+        raise ValueError(f"rounds={rounds} must be >= 0")
+    if not (0 <= damping_pct <= 100):
+        raise ValueError(f"damping_pct={damping_pct} must be in [0, 100]")
+    e = pin_frame(
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")),
+        reliable=reliable, eager=True,
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    nodes = pin_frame(nodes, reliable=reliable, eager=True)
+    deg = (
+        e.groupBy("__s").agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+        .withColumnRenamed("__s", "__dn")
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_units", F.lit(0).cast("long"))
+    r0 = unit // n
+    base = ((100 - damping_pct) * r0) // 100
+    rank = nodes.withColumn("rank_units", F.lit(r0).cast("long"))
+    for _ in range(rounds):
+        contrib = rank.join(deg, F.col("node") == F.col("__dn")).select(
+            F.col("node").alias("__cs"),
+            # integer division, NOT `/`: long / long is a DOUBLE in
+            # Spark, and a double quotient that rounds up past the
+            # true floor would break the exact-arithmetic contract
+            F.expr("rank_units div __deg").cast("long").alias("__c"),
+        )
+        mass = (
+            e.join(contrib, F.col("__s") == F.col("__cs"))
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum("__c").cast("long").alias("__m"))
+        )
+        rank = (
+            nodes.join(mass, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct}L * coalesce(__m, 0L)) div 100")
+                ).cast("long").alias("rank_units"),
+            )
+        )
+        rank = pin_frame(rank, reliable=reliable, eager=True)
+    return rank

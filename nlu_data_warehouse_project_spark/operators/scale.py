@@ -534,3 +534,67 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def exact_global_percentiles(
+    df: DataFrame,
+    value_col: str,
+    ps: list,
+    num_partitions: int | None = None,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Exact linearly-interpolated percentiles (the type-7 definition
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share) of one
+    numeric column over the WHOLE frame, distributed.
+
+    Spark's own ``percentile(col, p)`` aggregate is exact but buffers
+    EVERY value in a single aggregation state — fine per-group (q57,
+    q102), a driver/executor-memory killer as a GLOBAL aggregate at
+    100 TB.  This instead rides the exact-rank machinery: range
+    shuffle + broadcast offsets give every row its global rank, the
+    <= 2*len(ps) rows sitting at the percentile cut ranks are filtered
+    out (a broadcast-able frame), and the interpolation
+    ``v_lo + frac * (v_hi - v_lo)`` runs as a plain column expression
+    against the broadcast spec table.  No window, no global sort
+    task, no value buffer anywhere.
+
+    Returns (p DOUBLE, value DOUBLE) one row per requested percentile.
+    NULLs are excluded (the percentile() convention).  The rank
+    arithmetic is integral; the only floats are (n-1)*p and the final
+    interpolation — both single IEEE expressions an oracle can
+    replicate verbatim."""
+    import math
+
+    for p in ps:
+        if not (0.0 <= float(p) <= 1.0):
+            raise ValueError(f"percentile {p!r} outside [0, 1]")
+    vals = df.select(F.col(value_col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    ranked = exact_global_rank(
+        vals, [F.col("__v").asc()], rank_col="__rk",
+        num_partitions=num_partitions, reliable=reliable,
+    )
+    n = ranked.count()  # cheap: the ranked frame's input is pinned
+    if n == 0:
+        raise ValueError("exact_global_percentiles of an empty/all-NULL column")
+    specs = []
+    for p in ps:
+        h = (n - 1) * float(p)
+        lo = int(math.floor(h)) + 1
+        hi = min(lo + 1, n)
+        specs.append((float(p), lo, hi, h - math.floor(h)))
+    spark = df.sparkSession
+    spec_df = spark.createDataFrame(specs, "p double, __lo long, __hi long, __frac double")
+    need = sorted({r for _, lo, hi, _ in specs for r in (lo, hi)})
+    picked = F.broadcast(ranked.filter(F.col("__rk").isin(need)))
+    return (
+        spec_df.join(
+            picked.select(F.col("__rk").alias("__lo"), F.col("__v").alias("__vlo")), "__lo"
+        )
+        .join(picked.select(F.col("__rk").alias("__hi"), F.col("__v").alias("__vhi")), "__hi")
+        .select(
+            "p",
+            (F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))).alias("value"),
+        )
+    )

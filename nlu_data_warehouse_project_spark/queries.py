@@ -9977,3 +9977,643 @@ GROUP BY 1
 
 QUERIES.update({"q199_benford_audit": q199_benford_audit})
 ORACLE_SQL.update({"q199_benford_audit": Q199_SQL})
+
+
+# ---------------------------------------------------------------------------
+# PageRank, 3 exact integer rounds (q200)
+# ---------------------------------------------------------------------------
+
+def q200_coorder_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three PageRank power-iteration rounds over the URGENT-order
+    co-order part graph (`graph.pagerank_rounds`) — "which parts sit
+    at the center of the purchase network".  Iterative rank scores
+    normally CANNOT be hash-gated cross-engine (float mass sums are
+    partition-order-dependent); this operator keeps ALL mass in BIGINT
+    units with integer div damping, so the Spark loop and the oracle's
+    three UNROLLED join/aggregate CTEs produce bit-identical ranks.
+    Scale shape: edges pinned once, each round shuffles only the |V|
+    rank vector (join on src + sum by dst); `reliable=` upgrades the
+    per-round pin to a fault-tolerant checkpoint."""
+    from .operators.graph import pagerank_rounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    lu = li.join(urgent, li.l_orderkey == urgent.o_orderkey).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = lu.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("src"))
+    b = lu.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "__o").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    pr = pagerank_rounds(edges, rounds=3, damping_pct=85)
+    return pr.select(
+        F.col("node").alias("partkey"), F.col("rank_units").cast("long").alias("rank_units")
+    )
+
+
+Q200_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  JOIN orders o ON o.o_orderkey = a.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
+), k AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         1000000000000 // CAST(count(*) AS BIGINT) AS r0,
+         ((100 - 85) * (1000000000000 // CAST(count(*) AS BIGINT))) // 100 AS base
+  FROM nodes
+), rr0 AS (
+  SELECT node, (SELECT r0 FROM k) AS r FROM nodes
+), m1 AS (
+  SELECT e.dst AS node, sum(r.r // deg.d) AS m
+  FROM e JOIN rr0 r ON r.node = e.src JOIN deg ON deg.src = e.src GROUP BY 1
+), rr1 AS (
+  SELECT n2.node, (SELECT base FROM k) + (85 * COALESCE(m1.m, 0)) // 100 AS r
+  FROM nodes n2 LEFT JOIN m1 ON n2.node = m1.node
+), m2 AS (
+  SELECT e.dst AS node, sum(r.r // deg.d) AS m
+  FROM e JOIN rr1 r ON r.node = e.src JOIN deg ON deg.src = e.src GROUP BY 1
+), rr2 AS (
+  SELECT n2.node, (SELECT base FROM k) + (85 * COALESCE(m2.m, 0)) // 100 AS r
+  FROM nodes n2 LEFT JOIN m2 ON n2.node = m2.node
+), m3 AS (
+  SELECT e.dst AS node, sum(r.r // deg.d) AS m
+  FROM e JOIN rr2 r ON r.node = e.src JOIN deg ON deg.src = e.src GROUP BY 1
+), rr3 AS (
+  SELECT n2.node, (SELECT base FROM k) + (85 * COALESCE(m3.m, 0)) // 100 AS r
+  FROM nodes n2 LEFT JOIN m3 ON n2.node = m3.node
+)
+SELECT node AS partkey, CAST(r AS BIGINT) AS rank_units FROM rr3
+"""
+
+
+QUERIES.update({"q200_coorder_pagerank": q200_coorder_pagerank})
+ORACLE_SQL.update({"q200_coorder_pagerank": Q200_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-interval merge: supplier ship-window coverage (q201)
+# ---------------------------------------------------------------------------
+
+def q201_ship_window_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-supplier fulfillment windows (each
+    shipment opens a 7-day window) into maximal busy intervals — the
+    gaps-and-islands pattern on RANGES rather than points (q184 does
+    consecutive days, q193 integer id gaps): an interval starts a new
+    island exactly when its start exceeds the running max of all
+    previous ends.  Reports windows and covered days per supplier.
+    Dates are epoch-day INTEGERS end to end (the q194 discipline), so
+    both engines run identical integer arithmetic.  The window is
+    partitioned per supplier — bounded partitions, no global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("__s"),
+    ).withColumn("__e", F.col("__s") + F.lit(6))
+    w_prev = (
+        Window.partitionBy("suppkey").orderBy("__s", "__e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("suppkey").orderBy("__s", "__e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = (
+        iv.withColumn("__pm", F.max("__e").over(w_prev))
+        .withColumn(
+            "__new",
+            F.when(F.col("__pm").isNull() | (F.col("__s") > F.col("__pm")), 1).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(w_cum))
+    )
+    isl = g.groupBy("suppkey", "__isl").agg(
+        F.min("__s").alias("__s0"), F.max("__e").alias("__e1")
+    )
+    return isl.groupBy("suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.col("__e1") - F.col("__s0") + 1).cast("long").alias("covered_days"),
+    )
+
+
+Q201_SQL = """
+WITH iv AS (
+  SELECT l_suppkey AS suppkey,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) + 6 AS e
+  FROM lineitem
+), g AS (
+  SELECT suppkey, s, e,
+         max(e) OVER (PARTITION BY suppkey ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+), flagged AS (
+  SELECT suppkey, s, e,
+         sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY suppkey ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM g
+), islands AS (
+  SELECT suppkey, isl, min(s) AS s0, max(e) AS e1 FROM flagged GROUP BY 1, 2
+)
+SELECT suppkey, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(e1 - s0 + 1) AS BIGINT) AS covered_days
+FROM islands GROUP BY 1
+"""
+
+
+QUERIES.update({"q201_ship_window_coverage": q201_ship_window_coverage})
+ORACLE_SQL.update({"q201_ship_window_coverage": Q201_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Value-change islands: event run-length distribution (q202)
+# ---------------------------------------------------------------------------
+
+def q202_event_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long do users stay in one behavior?  Consecutive runs of
+    the SAME event type per user (ordered by ts with the event_id
+    tiebreak), rolled into a (event_type, run_length) -> run count
+    histogram — the value-CHANGE islands twin of q184's
+    consecutive-day islands: a run boundary is `lag(type) != type`,
+    the island id its running sum.  Per-user windows: bounded
+    partitions, no global sort."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    g = (
+        ev.withColumn("__prev", F.lag("event_type").over(w))
+        .withColumn(
+            "__chg",
+            F.when(
+                F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type")), 1
+            ).otherwise(0),
+        )
+        .withColumn("__run", F.sum("__chg").over(w_cum))
+    )
+    runs = g.groupBy("user_id", "__run", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__len")
+    )
+    return runs.groupBy("event_type", F.col("__len").alias("run_length")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs")
+    )
+
+
+Q202_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+), runs AS (
+  SELECT user_id, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM flagged
+), per_run AS (
+  SELECT user_id, run, event_type, CAST(count(*) AS BIGINT) AS len
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT event_type, len AS run_length, CAST(count(*) AS BIGINT) AS n_runs
+FROM per_run GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q202_event_run_lengths": q202_event_run_lengths})
+ORACLE_SQL.update({"q202_event_run_lengths": Q202_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median per brand (q203)
+# ---------------------------------------------------------------------------
+
+def q203_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted LOWER median of line price per part brand —
+    "the price at which half the UNITS (not half the lines) ship":
+    the smallest price whose running weight reaches half the brand's
+    total (`2*cum >= total` keeps the crossing test integral, no
+    halving division).  Scale shape: lines first collapse to
+    (brand, price) -> weight with a map-side-combined aggregate, so
+    the per-brand window ranks DISTINCT prices, not raw lines — the
+    partition is the brand's price-point count, orders of magnitude
+    below its line count at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per_price = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", _dec("l_extendedprice").alias("__price"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("__w"))
+    )
+    w_cum = (
+        Window.partitionBy("p_brand").orderBy("__price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("p_brand")
+    g = per_price.withColumn("__cum", F.sum("__w").over(w_cum)).withColumn(
+        "__tot", F.sum("__w").over(tot)
+    )
+    return (
+        g.filter(F.lit(2) * F.col("__cum") >= F.col("__tot"))
+        .groupBy("p_brand")
+        .agg(
+            F.min("__price").alias("weighted_median_price"),
+            F.max("__tot").cast("long").alias("total_units"),
+        )
+    )
+
+
+Q203_SQL = """
+WITH per_price AS (
+  SELECT p_brand, CAST(l_extendedprice AS DECIMAL(25,6)) AS price,
+         sum(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), g AS (
+  SELECT p_brand, price, w,
+         sum(w) OVER (PARTITION BY p_brand ORDER BY price
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(w) OVER (PARTITION BY p_brand) AS tot
+  FROM per_price
+)
+SELECT p_brand, min(price) AS weighted_median_price,
+       CAST(max(tot) AS BIGINT) AS total_units
+FROM g WHERE 2 * cum >= tot GROUP BY 1
+"""
+
+
+QUERIES.update({"q203_weighted_median_price": q203_weighted_median_price})
+ORACLE_SQL.update({"q203_weighted_median_price": Q203_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Readability screen per source (q204)
+# ---------------------------------------------------------------------------
+
+def q204_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style reading-ease proxy per corpus source — the
+    document-quality screen next to q72's Gopher rules: words are
+    ASCII-letter runs, syllables the classic vowel-group proxy,
+    sentences terminal punctuation (floored at 1/doc).  All three are
+    `regexp_count` with patterns whose semantics agree between Java
+    regex and RE2 (plain character classes, no anchors/backrefs), and
+    the per-source sums are exact BIGINTs — the only floats are the
+    two divisions inside the published formula, identically shaped in
+    the oracle.  Scan-local counting + one map-side-combined agg."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z]+")).cast("long").alias("__wd"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast("long").alias("__sy"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]")).cast("long"), F.lit(1).cast("long")
+        ).alias("__st"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__wd").cast("long").alias("words"),
+        F.sum("__sy").cast("long").alias("syllables"),
+        F.sum("__st").cast("long").alias("sentences"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+        - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words").cast("double"))
+    )
+    return agg.select(
+        "source", "n_docs", "words", "syllables", "sentences",
+        F.round(flesch, 4).alias("flesch_proxy"),
+    )
+
+
+Q204_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS wd,
+         CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sy,
+         greatest(CAST(length(regexp_extract_all(text, '[.!?]')) AS BIGINT),
+                  CAST(1 AS BIGINT)) AS st
+  FROM documents
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(wd) AS BIGINT) AS words,
+         CAST(sum(sy) AS BIGINT) AS syllables,
+         CAST(sum(st) AS BIGINT) AS sentences
+  FROM per_doc GROUP BY 1
+)
+SELECT source, n_docs, words, syllables, sentences,
+       round(206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                     - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)), 4)
+         AS flesch_proxy
+FROM agg
+"""
+
+
+QUERIES.update({"q204_readability_by_source": q204_readability_by_source})
+ORACLE_SQL.update({"q204_readability_by_source": Q204_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window z-score anomalies on the daily order series (q205)
+# ---------------------------------------------------------------------------
+
+def q205_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order-count anomalies: each day scored against the mean
+    and sample stddev of the STRICTLY PRECEDING 7 days (a trailing
+    frame never leaks the day being scored), |z| >= 1.5 flagged — the
+    ops-dashboard spike detector beside q197's EWMA smoother.  The
+    window runs over the DAILY series (calendar-grain, bounded — the
+    q185/q197 class, not a scale risk); counts stay BIGINT into the
+    variance formula, which both engines evaluate in the same
+    expression shape."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    g = (
+        daily.withColumn("__k", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("__s", F.sum("n_orders").over(w).cast("long"))
+        .withColumn("__ss", F.sum(F.col("n_orders") * F.col("n_orders")).over(w).cast("long"))
+        .filter(F.col("__k") == 7)
+    )
+    mean = F.col("__s").cast("double") / F.lit(7.0)
+    var = (
+        F.col("__ss").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / F.lit(7.0)
+    ) / F.lit(6.0)
+    # a zero-variance trailing week has no z-scale; exclude it BEFORE
+    # the division (ANSI mode rightly refuses 0-divides) — documented
+    # behavior, mirrored in the oracle's WHERE var > 0
+    g = g.withColumn("__var", var).filter(F.col("__var") > 0)
+    z = (F.col("n_orders").cast("double") - mean) / F.sqrt(F.col("__var"))
+    return (
+        g.select(
+            "day", "n_orders",
+            F.round(mean, 4).alias("trailing_mean"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= 1.5)
+    )
+
+
+Q205_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), g AS (
+  SELECT day, n_orders,
+         CAST(count(*) OVER w AS BIGINT) AS k,
+         CAST(sum(n_orders) OVER w AS BIGINT) AS s,
+         CAST(sum(n_orders * n_orders) OVER w AS BIGINT) AS ss
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), varr AS (
+  SELECT day, n_orders, s,
+         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 7.0) / 6.0 AS var
+  FROM g WHERE k = 7
+), scored AS (
+  SELECT day, n_orders,
+         round(CAST(s AS DOUBLE) / 7.0, 4) AS trailing_mean,
+         round((CAST(n_orders AS DOUBLE) - CAST(s AS DOUBLE) / 7.0) / sqrt(var), 4) AS zscore
+  FROM varr WHERE var > 0
+)
+SELECT day, n_orders, trailing_mean, zscore FROM scored WHERE abs(zscore) >= 1.5
+"""
+
+
+QUERIES.update({"q205_rolling_zscore": q205_rolling_zscore})
+ORACLE_SQL.update({"q205_rolling_zscore": Q205_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Exact GLOBAL percentiles, distributed (q206)
+# ---------------------------------------------------------------------------
+
+def q206_global_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of line price over the WHOLE
+    fact table (`scale.exact_global_percentiles`).  The per-group
+    `percentile()` queries (q57/q102/q110) are safe because groups
+    bound the aggregation buffer; a GLOBAL `percentile()` buffers
+    every value in one state — at 100 TB that aggregate IS the
+    out-of-memory.  This rides the exact-rank machinery instead:
+    range shuffle + broadcast offsets, filter the <= 2 cut-rank rows
+    per percentile, interpolate as a column expression.  The oracle
+    evaluates the IDENTICAL type-7 formula via row_number, so the
+    comparison pins the definition, not an engine built-in."""
+    from .operators.scale import exact_global_percentiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = exact_global_percentiles(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99])
+    return out.select("p", F.round(F.col("value"), 6).alias("value"))
+
+
+Q206_SQL = """
+WITH v AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+), r AS (
+  SELECT x, row_number() OVER (ORDER BY x) AS rk FROM v
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM v
+), ps AS (
+  SELECT CAST(p AS DOUBLE) AS p FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(p)
+), sp AS (
+  SELECT p,
+         CAST(floor((n - 1) * p) AS BIGINT) + 1 AS lo,
+         least(CAST(floor((n - 1) * p) AS BIGINT) + 2, n) AS hi,
+         (n - 1) * p - floor((n - 1) * p) AS frac
+  FROM ps CROSS JOIN n
+)
+SELECT sp.p, round(vlo.x + sp.frac * (vhi.x - vlo.x), 6) AS value
+FROM sp JOIN r vlo ON vlo.rk = sp.lo JOIN r vhi ON vhi.rk = sp.hi
+"""
+
+
+QUERIES.update({"q206_global_price_percentiles": q206_global_price_percentiles})
+ORACLE_SQL.update({"q206_global_price_percentiles": Q206_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier / skyline (q207)
+# ---------------------------------------------------------------------------
+
+def q207_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (price, size) SKYLINE of the part catalog: points no other
+    point beats on both axes (cheaper-or-equal AND bigger-or-equal
+    with one strict) — "best value for money" frontiers, distinct
+    from q140/q181's cumulative-share Pareto.  Sort-based skyline at
+    scale: dedup to distinct (price, size) points, order by (price
+    asc, size desc), and a point survives iff its size exceeds the
+    running max over STRICTLY preceding points —
+    `scale.exact_prefix_agg(how='max', exclusive=True)`, range
+    partitions + broadcast offsets, never a single-partition sort."""
+    from .operators.scale import exact_prefix_agg
+
+    part = _t(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_retailprice").cast("decimal(25,6)").alias("price"),
+        F.col("p_size").cast("int").alias("psize"),
+    ).distinct()
+    g = exact_prefix_agg(
+        pts, [F.col("price").asc(), F.col("psize").desc()], "psize",
+        how="max", cum_col="__pm", exclusive=True,
+    )
+    return g.filter(F.col("__pm").isNull() | (F.col("psize") > F.col("__pm"))).select(
+        "price", "psize"
+    )
+
+
+Q207_SQL = """
+WITH pts AS (
+  SELECT DISTINCT CAST(p_retailprice AS DECIMAL(25,6)) AS price,
+                  CAST(p_size AS INT) AS psize
+  FROM part
+), g AS (
+  SELECT price, psize,
+         max(psize) OVER (ORDER BY price, psize DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM pts
+)
+SELECT price, psize FROM g WHERE pm IS NULL OR psize > pm
+"""
+
+
+QUERIES.update({"q207_skyline_parts": q207_skyline_parts})
+ORACLE_SQL.update({"q207_skyline_parts": Q207_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality index (q208)
+# ---------------------------------------------------------------------------
+
+def q208_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal index of order volume: average daily orders
+    per weekday over the overall daily average (index 1.0 = a flat
+    week) — the seasonality profile a forecaster divides out before
+    trend-fitting (q197's EWMA smooths; this EXPLAINS the weekly
+    ripple).  The weekday comes from the epoch-day closed form
+    ``(epoch_day + 3) % 7`` (Monday=0) — pure integer arithmetic both
+    engines share, the q194 discipline, no dow() convention anywhere."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("__day")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    wd = daily.select(
+        (
+            (F.datediff(F.col("__day"), F.lit("1970-01-01").cast("date")) + 3) % 7
+        ).cast("int").alias("weekday"),
+        "__n",
+    )
+    per = wd.groupBy("weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("days"),
+        F.sum("__n").cast("long").alias("orders"),
+    )
+    tot = per.agg(
+        F.sum("days").cast("long").alias("__d"), F.sum("orders").cast("long").alias("__s")
+    )
+    idx = (F.col("orders").cast("double") / F.col("days").cast("double")) / (
+        F.col("__s").cast("double") / F.col("__d").cast("double")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select("weekday", "days", "orders", F.round(idx, 6).alias("seasonal_index"))
+    )
+
+
+Q208_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), wd AS (
+  SELECT CAST((date_diff('day', DATE '1970-01-01', day) + 3) % 7 AS INT) AS weekday, n
+  FROM daily
+), per AS (
+  SELECT weekday, CAST(count(*) AS BIGINT) AS days, CAST(sum(n) AS BIGINT) AS orders
+  FROM wd GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(days) AS BIGINT) AS d, CAST(sum(orders) AS BIGINT) AS s FROM per
+)
+SELECT weekday, days, orders,
+       round((CAST(orders AS DOUBLE) / CAST(days AS DOUBLE))
+             / (CAST(s AS DOUBLE) / CAST(d AS DOUBLE)), 6) AS seasonal_index
+FROM per CROSS JOIN tot
+"""
+
+
+QUERIES.update({"q208_weekday_seasonality": q208_weekday_seasonality})
+ORACLE_SQL.update({"q208_weekday_seasonality": Q208_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl concentration per supplier nation (q209)
+# ---------------------------------------------------------------------------
+
+def q209_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-market concentration per nation: the Herfindahl index
+    sum(share_i^2) computed as sum(rev_i^2) / (sum(rev_i))^2, so the
+    ONLY floats are the final division — per-supplier revenues round
+    to DECIMAL(18,2) and both the squares and their sums stay exact
+    DECIMAL (a float share-then-square would make the HHI depend on
+    partition summation order, unhashable cross-engine).  1/n = every
+    supplier equal, 1 = monopoly — the antitrust screen for the
+    procurement dashboard."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    per_supp = (
+        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.round(F.sum(rev), 2).cast("decimal(18,2)").alias("__rev"))
+    )
+    per_nation = per_supp.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum(F.col("__rev") * F.col("__rev")).alias("__sumsq"),
+        F.sum("__rev").alias("__tot"),
+    )
+    hhi = F.col("__sumsq").cast("double") / (
+        F.col("__tot").cast("double") * F.col("__tot").cast("double")
+    )
+    return per_nation.select(
+        F.col("n_name").alias("nation"), "n_suppliers", F.round(hhi, 6).alias("hhi")
+    )
+
+
+Q209_SQL = """
+WITH per_supp AS (
+  SELECT n_name, s_suppkey,
+         -- DECIMAL(19,2), not (18,2): DuckDB stores precision <= 18 in
+         -- int64 and rev*rev overflows it; 19 forces int128.  The
+         -- VALUES are identical to the Spark side's (18,2) — only the
+         -- storage width differs, and both squares land at scale 4.
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                        * (1 - CAST(l_discount AS DECIMAL(25,6)))), 2)
+              AS DECIMAL(19,2)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+), per_nation AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+         sum(rev * rev) AS sumsq, sum(rev) AS tot
+  FROM per_supp GROUP BY 1
+)
+SELECT n_name AS nation, n_suppliers,
+       round(CAST(sumsq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi
+FROM per_nation
+"""
+
+
+QUERIES.update({"q209_hhi_concentration": q209_hhi_concentration})
+ORACLE_SQL.update({"q209_hhi_concentration": Q209_SQL})
