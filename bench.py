@@ -237,7 +237,12 @@ def main() -> None:
                  # recursive-oracle BFS, rank-family business queries
                  "q172_national_market_share", "q178_rare_ngram_score",
                  "q180_coorder_blast_radius", "q181_abc_classification",
-                 "q182_rfm_segmentation"):
+                 "q182_rfm_segmentation",
+                 # round 10: integer-exact PageRank (heaviest new op),
+                 # global percentiles through the rank machinery,
+                 # skyline via exclusive prefix-max
+                 "q200_coorder_pagerank", "q206_global_price_percentiles",
+                 "q207_skyline_parts"):
         med = time_query(name)
         if med is not None:
             extra_queries[name.split("_")[0]] = med

@@ -10617,3 +10617,296 @@ FROM per_nation
 
 QUERIES.update({"q209_hhi_concentration": q209_hhi_concentration})
 ORACLE_SQL.update({"q209_hhi_concentration": Q209_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Mutual best partners (q210)
+# ---------------------------------------------------------------------------
+
+def q210_mutual_best_partners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-supplier pairs that are EACH OTHER's #1 by revenue —
+    reciprocal-best matching (the stable-pairing screen account teams
+    run before assigning key-account managers).  Revenue per (cust,
+    supp) aggregates once in exact DECIMAL; each side's argmax is a
+    row_number over its OWN key's partition (deterministic ties:
+    revenue desc, partner key asc); the mutual join then matches the
+    two argmax frames on BOTH keys.  Partitions are per-customer /
+    per-supplier — bounded, no global window."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    pair = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("custkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        # round BEFORE ranking: Spark reduces the product's decimal
+        # scale to 6 under precision-loss rules while DuckDB keeps 12,
+        # and an argmax over differently-scaled revenues can pick
+        # different winners; at scale 2 both engines rank identical
+        # numbers
+        .agg(F.round(F.sum(rev), 2).alias("pair_revenue"))
+    )
+    w_c = Window.partitionBy("custkey").orderBy(
+        F.col("pair_revenue").desc(), F.col("suppkey").asc()
+    )
+    w_s = Window.partitionBy("suppkey").orderBy(
+        F.col("pair_revenue").desc(), F.col("custkey").asc()
+    )
+    best = (
+        pair.withColumn("__rc", F.row_number().over(w_c))
+        .withColumn("__rs", F.row_number().over(w_s))
+    )
+    return (
+        best.filter((F.col("__rc") == 1) & (F.col("__rs") == 1))
+        .select("custkey", "suppkey", "pair_revenue")
+    )
+
+
+Q210_SQL = """
+WITH pair AS (
+  SELECT o_custkey AS custkey, l_suppkey AS suppkey,
+         round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                   * (1 - CAST(l_discount AS DECIMAL(25,6)))), 2) AS pair_revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), best AS (
+  SELECT custkey, suppkey, pair_revenue,
+         row_number() OVER (PARTITION BY custkey ORDER BY pair_revenue DESC, suppkey) AS rc,
+         row_number() OVER (PARTITION BY suppkey ORDER BY pair_revenue DESC, custkey) AS rs
+  FROM pair
+)
+SELECT custkey, suppkey, pair_revenue FROM best WHERE rc = 1 AND rs = 1
+"""
+
+
+QUERIES.update({"q210_mutual_best_partners": q210_mutual_best_partners})
+ORACLE_SQL.update({"q210_mutual_best_partners": Q210_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder budget apportionment (q211)
+# ---------------------------------------------------------------------------
+
+def q211_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a 10,000-unit budget across customer nations in
+    proportion to revenue by Hamilton's largest-remainder method —
+    the apportionment algorithm whose floor/remainder arithmetic is
+    pure integers: revenue collapses to exact CENTS, every nation gets
+    floor(budget * cents / total), and the leftover units go to the
+    largest remainders (nation-name tiebreak).  The allocation sums to
+    EXACTLY 10,000 — the invariant naive per-row rounding breaks.
+    The remainder ranking windows over the NATION frame (dimension-
+    sized, the documented bounded-window class).  budget*total_cents
+    must fit int64 — at warehouse scale run the same algorithm on
+    revenue rounded to whole units."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    per_nation = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((F.round(F.sum(rev), 2) * 100).cast("long").alias("__cents"))
+    )
+    tot = per_nation.agg(F.sum("__cents").cast("long").alias("__tot"))
+    g = per_nation.crossJoin(F.broadcast(tot)).select(
+        "n_name", "__cents", "__tot",
+        F.expr("(10000 * __cents) div __tot").alias("__floor"),
+        F.expr("(10000 * __cents) % __tot").alias("__rem"),
+    )
+    leftover = g.agg((F.lit(10000) - F.sum("__floor")).cast("long").alias("__k"))
+    w = Window.orderBy(F.col("__rem").desc(), F.col("n_name").asc())
+    return (
+        g.withColumn("__rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            F.col("n_name").alias("nation"),
+            (F.col("__floor") + F.when(F.col("__rn") <= F.col("__k"), 1).otherwise(0))
+            .cast("long")
+            .alias("budget_units"),
+        )
+    )
+
+
+Q211_SQL = """
+WITH per_nation AS (
+  SELECT n_name,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                        * (1 - CAST(l_discount AS DECIMAL(25,6)))), 2) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS tot FROM per_nation
+), g AS (
+  SELECT n_name, cents, tot,
+         (10000 * cents) // tot AS fl,
+         (10000 * cents) % tot AS rem
+  FROM per_nation CROSS JOIN tot
+), leftover AS (
+  SELECT CAST(10000 - sum(fl) AS BIGINT) AS k FROM g
+), ranked AS (
+  SELECT n_name, fl, row_number() OVER (ORDER BY rem DESC, n_name) AS rn FROM g
+)
+SELECT n_name AS nation,
+       CAST(fl + CASE WHEN rn <= (SELECT k FROM leftover) THEN 1 ELSE 0 END AS BIGINT)
+         AS budget_units
+FROM ranked
+"""
+
+
+QUERIES.update({"q211_budget_apportionment": q211_budget_apportionment})
+ORACLE_SQL.update({"q211_budget_apportionment": Q211_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-payment screen (q212)
+# ---------------------------------------------------------------------------
+
+def q212_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate duplicate payments: order PAIRS from the same
+    customer, at most 3 days apart, whose totals agree within 25% of
+    the smaller — the accounts-payable double-pay screen (exact-total
+    matching finds nothing in real AP data either: the duplicate is
+    usually the same invoice re-keyed with small edits).  Self-join is
+    an EQUI-join on custkey — per-customer order counts are bounded,
+    so the pair blowup is quadratic in a SMALL per-key group, not in
+    the table — with date and amount proximity as residual filters
+    and `a.key < b.key` emitting each pair once (the q189
+    ordered-pair discipline)."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderkey").alias("k"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    )
+    a = o.select("o_custkey", F.col("p").alias("p1"), F.col("k").alias("k1"), F.col("d").alias("d1"))
+    b = o.select("o_custkey", F.col("p").alias("p2"), F.col("k").alias("k2"), F.col("d").alias("d2"))
+    return (
+        a.join(b, "o_custkey")
+        .filter(
+            (F.col("k1") < F.col("k2"))
+            & (F.abs(F.col("d1") - F.col("d2")) <= 3)
+            & (F.abs(F.col("p1") - F.col("p2")) <= 0.25 * F.least("p1", "p2"))
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("k1").alias("orderkey_a"),
+            F.col("k2").alias("orderkey_b"),
+            _dec("p1").alias("amount_a"),
+            _dec("p2").alias("amount_b"),
+            F.abs(F.col("d1") - F.col("d2")).cast("int").alias("day_gap"),
+        )
+    )
+
+
+Q212_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_totalprice AS p, o_orderkey AS k,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+  FROM orders
+)
+SELECT a.o_custkey AS custkey, a.k AS orderkey_a, b.k AS orderkey_b,
+       CAST(a.p AS DECIMAL(25,6)) AS amount_a,
+       CAST(b.p AS DECIMAL(25,6)) AS amount_b,
+       CAST(abs(a.d - b.d) AS INT) AS day_gap
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey
+ AND a.k < b.k AND abs(a.d - b.d) <= 3
+ AND abs(a.p - b.p) <= 0.25 * least(a.p, b.p)
+"""
+
+
+QUERIES.update({"q212_duplicate_payment_screen": q212_duplicate_payment_screen})
+ORACLE_SQL.update({"q212_duplicate_payment_screen": Q212_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index 1996 -> 1997 (q213)
+# ---------------------------------------------------------------------------
+
+def q213_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Laspeyres price index for 1997 with 1996 as base —
+    sum(p1*q0) / sum(p0*q0) over parts traded in BOTH years — the
+    inflation measure procurement reports on a fixed base-year
+    basket.  Exactness discipline: per (part, year) the unit price is
+    integer MICRO-units, `sum_price_micros DIV sum_qty` (one floored
+    integer division, no engine decimal-division scale rules), both
+    index sums are then pure BIGINT dot products, and the single
+    final division is the only float.  Per-part shapes: one fact
+    aggregate + a self-equijoin on partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+    per = (
+        j.select(
+            "l_partkey",
+            F.year(F.col("o_orderdate")).alias("__y"),
+            _dec("l_extendedprice").alias("__p"),
+            F.col("l_quantity").cast("long").alias("__q"),
+        )
+        .filter(F.col("__y").isin(1996, 1997))
+        .groupBy("l_partkey", "__y")
+        .agg(
+            (F.round(F.sum("__p"), 6) * 1000000).cast("long").alias("__pu"),
+            F.sum("__q").alias("__qty"),
+        )
+        .withColumn("__price_u", F.expr("__pu div __qty"))
+    )
+    y0 = per.filter(F.col("__y") == 1996).select(
+        "l_partkey", F.col("__price_u").alias("__p0"), F.col("__qty").alias("__q0")
+    )
+    y1 = per.filter(F.col("__y") == 1997).select(
+        "l_partkey", F.col("__price_u").alias("__p1")
+    )
+    both = y0.join(y1, "l_partkey")
+    agg = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("__p1") * F.col("__q0")).cast("long").alias("__num"),
+        F.sum(F.col("__p0") * F.col("__q0")).cast("long").alias("__den"),
+    )
+    return agg.select(
+        "n_parts",
+        F.round(F.col("__num").cast("double") / F.col("__den").cast("double"), 6).alias(
+            "laspeyres_index"
+        ),
+    )
+
+
+Q213_SQL = """
+WITH per AS (
+  SELECT l_partkey, CAST(year(o_orderdate) AS INT) AS y,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 6) * 1000000 AS BIGINT)
+           // CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS price_u,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2
+), y0 AS (
+  SELECT l_partkey, price_u AS p0, qty AS q0 FROM per WHERE y = 1996
+), y1 AS (
+  SELECT l_partkey, price_u AS p1 FROM per WHERE y = 1997
+), both_y AS (
+  SELECT y0.l_partkey, p0, q0, p1 FROM y0 JOIN y1 ON y0.l_partkey = y1.l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(p1 * q0) AS DOUBLE) / CAST(sum(p0 * q0) AS DOUBLE), 6)
+         AS laspeyres_index
+FROM both_y
+"""
+
+
+QUERIES.update({"q213_laspeyres_price_index": q213_laspeyres_price_index})
+ORACLE_SQL.update({"q213_laspeyres_price_index": Q213_SQL})
