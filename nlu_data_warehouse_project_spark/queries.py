@@ -10910,3 +10910,315 @@ FROM both_y
 
 QUERIES.update({"q213_laspeyres_price_index": q213_laspeyres_price_index})
 ORACLE_SQL.update({"q213_laspeyres_price_index": Q213_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Event-type audience overlap (q214)
+# ---------------------------------------------------------------------------
+
+def q214_event_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard similarity between event types' USER SETS — "do the
+    people who error overlap with the people who purchase?" — the
+    set-similarity matrix over audiences (the corpus-dedup Jaccard of
+    q17, lifted from shingle sets to behavioral sets).  Shape:
+    distinct (user, type) once, self-equijoin on user for pairwise
+    intersections (type ordering emits each pair once), set sizes
+    broadcast back — counts only, one final division."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+Q214_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), sizes AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       round(CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
+QUERIES.update({"q214_event_audience_jaccard": q214_event_audience_jaccard})
+ORACLE_SQL.update({"q214_event_audience_jaccard": Q214_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Single-source supply risk (q215)
+# ---------------------------------------------------------------------------
+
+def q215_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue at single-source risk, per brand: parts whose ENTIRE
+    1997 volume came from exactly one supplier, with the revenue that
+    one supplier carries — the supply-chain fragility report.  One
+    fact aggregate per (part, n_distinct suppliers), a HAVING on the
+    distinct count, then a brand rollup with the part dim broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    j = li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+    per_part = (
+        j.filter(F.year("o_orderdate") == 1997)
+        .groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("__nsupp"),
+            F.round(F.sum(rev), 2).alias("__rev"),
+        )
+        .filter(F.col("__nsupp") == 1)
+    )
+    return (
+        per_part.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            per_part.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("single_source_parts"),
+            F.sum("__rev").alias("revenue_at_risk"),
+        )
+    )
+
+
+Q215_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nsupp,
+         round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                   * (1 - CAST(l_discount AS DECIMAL(25,6)))), 2) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1997
+  GROUP BY 1
+  HAVING count(DISTINCT l_suppkey) = 1
+)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS single_source_parts,
+       sum(rev) AS revenue_at_risk
+FROM per_part JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q215_single_source_risk": q215_single_source_risk})
+ORACLE_SQL.update({"q215_single_source_risk": Q215_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue (q216)
+# ---------------------------------------------------------------------------
+
+def q216_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gini coefficient of customer revenue concentration — the
+    one-number inequality summary behind q140/q181's Pareto views —
+    via the closed form G = 2*sum(i*x_i)/(n*sum(x_i)) - (n+1)/n over
+    ascending ranks.  The rank is `scale.exact_global_rank` (range
+    shuffle + broadcast offsets — NEVER a single-partition global
+    window over all customers), rank*revenue products and both sums
+    stay exact (BIGINT x DECIMAL), and the two final divisions are
+    the only floats.  The custkey tiebreak makes tied revenues'
+    consecutive ranks sum identically under any tie permutation."""
+    from .operators.scale import exact_global_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum(_dec("o_totalprice")), 2).alias("__rev")
+    )
+    ranked = exact_global_rank(
+        per_cust, [F.col("__rev").asc(), F.col("o_custkey").asc()], rank_col="__i"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("__i") * F.col("__rev")).alias("__s1"),
+        F.sum("__rev").alias("__s0"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("__s1").cast("double")
+        / (F.col("n_customers").cast("double") * F.col("__s0").cast("double"))
+        - (F.col("n_customers") + 1).cast("double") / F.col("n_customers").cast("double")
+    )
+    return agg.select("n_customers", F.round(gini, 6).alias("gini"))
+
+
+Q216_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS rev
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM per_cust
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+         sum(i * rev) AS s1, sum(rev) AS s0
+  FROM ranked
+)
+SELECT n_customers,
+       round(2.0 * CAST(s1 AS DOUBLE) / (CAST(n_customers AS DOUBLE) * CAST(s0 AS DOUBLE))
+             - CAST(n_customers + 1 AS DOUBLE) / CAST(n_customers AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+
+QUERIES.update({"q216_revenue_gini": q216_revenue_gini})
+ORACLE_SQL.update({"q216_revenue_gini": Q216_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent rollup (q217)
+# ---------------------------------------------------------------------------
+
+def q217_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level share report every BI tool calls "percent of
+    parent": each nation's revenue as a share of its REGION and of
+    the world, on one row — built from three exact DECIMAL aggregates
+    (nation, region, total) joined back, never window-over-everything;
+    the region and total frames are dimension-sized broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    per_nation = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("nation_rev"))
+    )
+    per_region = per_nation.groupBy("r_name").agg(F.sum("nation_rev").alias("__region_rev"))
+    total = per_nation.agg(F.sum("nation_rev").alias("__total_rev"))
+    return (
+        per_nation.join(F.broadcast(per_region), "r_name")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "nation_rev",
+            F.round(
+                F.col("nation_rev").cast("double") / F.col("__region_rev").cast("double"), 6
+            ).alias("pct_of_region"),
+            F.round(
+                F.col("nation_rev").cast("double") / F.col("__total_rev").cast("double"), 6
+            ).alias("pct_of_total"),
+        )
+    )
+
+
+Q217_SQL = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         round(sum(CAST(l_extendedprice AS DECIMAL(25,6))
+                   * (1 - CAST(l_discount AS DECIMAL(25,6)))), 2) AS nation_rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), per_region AS (
+  SELECT r_name, sum(nation_rev) AS region_rev FROM per_nation GROUP BY 1
+), total AS (
+  SELECT sum(nation_rev) AS total_rev FROM per_nation
+)
+SELECT r_name AS region, n_name AS nation, nation_rev,
+       round(CAST(nation_rev AS DOUBLE) / CAST(region_rev AS DOUBLE), 6) AS pct_of_region,
+       round(CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS pct_of_total
+FROM per_nation JOIN per_region USING (r_name) CROSS JOIN total
+"""
+
+
+QUERIES.update({"q217_percent_of_parent": q217_percent_of_parent})
+ORACLE_SQL.update({"q217_percent_of_parent": Q217_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Wilson-bound return-rate ranking (q218)
+# ---------------------------------------------------------------------------
+
+def q218_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per brand ranked by the WILSON LOWER BOUND (z =
+    1.96), not the raw proportion — the small-sample-honest ranking
+    (a brand with 2 returns out of 3 lines must not outrank one with
+    300 of 1000).  Counts are exact BIGINTs from one fact aggregate;
+    the Wilson formula is a single identical float expression on both
+    engines.  The broadcast part-dim join keys the rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long").alias("n_returned"),
+        )
+    )
+    p = F.col("n_returned").cast("double") / F.col("n_lines").cast("double")
+    n = F.col("n_lines").cast("double")
+    z2 = F.lit(1.96 * 1.96)
+    wilson = (
+        p + z2 / (F.lit(2.0) * n)
+        - F.lit(1.96) * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n)
+    ) / (F.lit(1.0) + z2 / n)
+    return agg.select(
+        "p_brand", "n_lines", "n_returned",
+        F.round(p, 6).alias("return_rate"),
+        F.round(wilson, 6).alias("wilson_lower_bound"),
+    )
+
+
+Q218_SQL = """
+WITH agg AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n_lines, n_returned,
+       round(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS return_rate,
+       round((CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+              + (1.96 * 1.96) / (2.0 * CAST(n_lines AS DOUBLE))
+              - 1.96 * sqrt(((CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE))
+                             * (1.0 - CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE))
+                             + (1.96 * 1.96) / (4.0 * CAST(n_lines AS DOUBLE)))
+                            / CAST(n_lines AS DOUBLE)))
+             / (1.0 + (1.96 * 1.96) / CAST(n_lines AS DOUBLE)), 6) AS wilson_lower_bound
+FROM agg
+"""
+
+
+QUERIES.update({"q218_return_rate_wilson": q218_return_rate_wilson})
+ORACLE_SQL.update({"q218_return_rate_wilson": Q218_SQL})

@@ -629,12 +629,16 @@ class TxTable:
             out = out.filter(F.col(col) <= F.lit(hi))
         return out
 
-    def _closed_stats(self, closed_delta: DataFrame) -> dict | None:
+    def _closed_stats(self, closed_delta: DataFrame, extra_cols: list | None = None) -> dict | None:
         """Per-column [min, max] of the delta being committed (one tiny
-        agg job over the already-persisted merge output)."""
-        if not self.stats_cols:
+        agg job over the already-persisted merge output).
+        ``extra_cols`` widens the recorded set beyond ``stats_cols``
+        (clustered compaction records its cluster column so the
+        rewrite's pruning benefit is immediately usable)."""
+        wanted = list(dict.fromkeys([*(self.stats_cols or []), *(extra_cols or [])]))
+        if not wanted:
             return None
-        cols = [c for c in self.stats_cols if c in closed_delta.columns]
+        cols = [c for c in wanted if c in closed_delta.columns]
         if not cols:
             return None
         aggs = []
@@ -948,18 +952,35 @@ class TxTable:
                 if attempt > max_retries:
                     raise
 
-    def compact_closed(self, min_dirs: int = 8) -> int | None:
-        """Merge the accumulated closed-delta dirs into one (the
-        lakehouse small-files compaction): daily commits add one closed
-        dir each, and a year of them makes every history scan open 365
+    def compact_closed(
+        self,
+        min_dirs: int = 8,
+        cluster_by: str | None = None,
+        n_output_dirs: int = 4,
+    ) -> int | None:
+        """Merge the accumulated closed-delta dirs (the lakehouse
+        small-files compaction): daily commits add one closed dir
+        each, and a year of them makes every history scan open 365
         directory listings and hundreds of undersized parquet files.
 
         Rewrites ONLY when at least ``min_dirs`` closed dirs exist,
-        into a single sorted dir, and publishes it with a normal
-        manifest commit — readers never see a partial state, and the
-        superseded dirs stay on disk until ``vacuum()`` (time-travel to
-        prior manifests keeps working).  Returns the new version, or
-        None if below the threshold.
+        and publishes with a normal manifest commit — readers never
+        see a partial state, and the superseded dirs stay on disk
+        until ``vacuum()`` (time-travel to prior manifests keeps
+        working).  Returns the new version, or None if below the
+        threshold.
+
+        ``cluster_by`` turns the rewrite into CLUSTERED compaction
+        (the Z-order/liquid-clustering idea in its 1-D form): history
+        is range-partitioned on the column into ``n_output_dirs``
+        output dirs, each covering a narrow value band, and each dir's
+        [min, max] for the cluster column is re-recorded EXACTLY —
+        so ``read_closed_pruned(cluster_by, lo, hi)`` afterwards skips
+        whole bands instead of scanning every dir whose daily range
+        straddled the predicate.  Boundaries come from the range
+        partitioner's equal-frequency sampling (works for any
+        orderable type, dates included).  Un-clustered compaction
+        keeps the single-dir form with union-folded stats.
 
         At 100 TB run this on a maintenance cadence, not per-merge:
         compaction cost is one full history rewrite, amortized over
@@ -968,13 +989,44 @@ class TxTable:
         man = self.manifest()
         if man is None or len(man["closed"]) < min_dirs:
             return None
+        if cluster_by is not None and n_output_dirs < 1:
+            raise ValueError(f"n_output_dirs={n_output_dirs} must be >= 1")
         token = uuid.uuid4().hex[:8]
         compacted = f"{_DATA_DIR}/closed-compacted-{token}"
         # read_closed aligns every old dir to the manifest schema, so
         # compaction doubles as the explicit history-migration step
         # after a schema change
-        schema_json = json.loads(self._manifest_schema(man).json())
-        self.read_closed().write.parquet(os.path.join(self.root, compacted))
+        schema = self._manifest_schema(man)
+        schema_json = json.loads(schema.json())
+        full = self.read_closed()
+        if cluster_by is None:
+            full.write.parquet(os.path.join(self.root, compacted))
+            new_dirs = [compacted]
+        else:
+            if cluster_by not in [f.name for f in schema.fields]:
+                raise ValueError(
+                    f"cluster_by column '{cluster_by}' not in table schema "
+                    f"{[f.name for f in schema.fields]}"
+                )
+            # one hive-partitioned write: range-partition on the cluster
+            # column, tag each task's rows with its partition id, and
+            # let partitionBy land every band in its own subdir — each
+            # subdir then registers as an independent closed dir (the
+            # partition column is directory metadata, not file bytes,
+            # so per-dir schemas stay the plain table schema)
+            (
+                full.repartitionByRange(n_output_dirs, F.col(cluster_by))
+                .sortWithinPartitions(cluster_by)
+                .withColumn("__cluster", F.spark_partition_id())
+                .write.partitionBy("__cluster")
+                .parquet(os.path.join(self.root, compacted))
+            )
+            fs = self._fs()
+            new_dirs = sorted(
+                f"{compacted}/{st.getPath().getName()}"
+                for st in fs.listStatus(self._jpath(compacted))
+                if st.isDirectory() and st.getPath().getName().startswith("__cluster=")
+            )
         # re-read the base (one listing snapshot: base + version number
         # together): a concurrent daily commit between the read and here
         # would be lost if we published the stale list
@@ -984,18 +1036,35 @@ class TxTable:
                 f"table advanced from v{man['version']} to "
                 f"v{latest['version'] if latest else '?'} during compaction; retry"
             )
-        # fold per-dir stats: the compacted dir's range is the union of
-        # its inputs' ranges, per column — only where EVERY input dir
-        # recorded that column (else the range would silently under-cover)
-        prev_stats = man.get("dir_stats", {})
-        folded: dict = {}
-        if man["closed"] and all(d in prev_stats for d in man["closed"]):
-            common = set.intersection(*(set(prev_stats[d]) for d in man["closed"]))
-            for c in common:
-                vals = [prev_stats[d][c] for d in man["closed"]]
-                if any(v[0] is None or v[1] is None for v in vals):
-                    continue
-                folded[c] = [min(v[0] for v in vals), max(v[1] for v in vals)]
+        new_stats: dict = {}
+        if cluster_by is not None:
+            # clustered rewrite: re-record EXACT per-band stats from the
+            # written data (stats_cols plus the cluster column) — the
+            # whole point of the rewrite is tight, non-overlapping
+            # ranges, which a union fold cannot produce
+            for d in new_dirs:
+                s = self._closed_stats(
+                    self.spark.read.schema(schema).parquet(os.path.join(self.root, d)),
+                    extra_cols=[cluster_by],
+                )
+                if s:
+                    new_stats[d] = s
+        else:
+            # fold per-dir stats: the compacted dir's range is the union
+            # of its inputs' ranges, per column — only where EVERY input
+            # dir recorded that column (else the range would silently
+            # under-cover)
+            prev_stats = man.get("dir_stats", {})
+            folded: dict = {}
+            if man["closed"] and all(d in prev_stats for d in man["closed"]):
+                common = set.intersection(*(set(prev_stats[d]) for d in man["closed"]))
+                for c in common:
+                    vals = [prev_stats[d][c] for d in man["closed"]]
+                    if any(v[0] is None or v[1] is None for v in vals):
+                        continue
+                    folded[c] = [min(v[0] for v in vals), max(v[1] for v in vals)]
+            if folded:
+                new_stats[compacted] = folded
         # provenance for incremental consumers: record which closed dirs
         # the compacted dir replaces, keeping earlier compactions'
         # entries so the mapping back to ORIGINAL commit dirs stays
@@ -1006,7 +1075,10 @@ class TxTable:
         # metadata only — a few strings per compaction, never data.
         lineage = {
             **man.get("compacted_lineage", {}),
-            compacted: list(man["closed"]),
+            # every output dir replaces the SAME input set: a consumer
+            # whose bookkeeping covers all leaves may treat each band
+            # as consumed (bands partition the rows, not the sources)
+            **{d: list(man["closed"]) for d in new_dirs},
         }
         # carry every field compaction doesn't own through unchanged:
         # current_table/bucket (the current dir is untouched — dropping
@@ -1022,12 +1094,12 @@ class TxTable:
             **{k: man[k] for k in ("current_table", "bucket", "column_renames") if k in man},
             "version": ver,
             "current": man["current"],
-            "closed": [compacted],
+            "closed": new_dirs,
             "run_id": f"compact-{man['version']}",
             "schema": schema_json,
-            "dir_schemas": {compacted: schema_json},
-            "dir_stats": {compacted: folded} if folded else {},
-            "compacted_lineage": _prune_lineage(lineage, [compacted]),
+            "dir_schemas": {d: schema_json for d in new_dirs},
+            "dir_stats": new_stats,
+            "compacted_lineage": _prune_lineage(lineage, new_dirs),
         }
         self._publish(new_man)
         return new_man["version"]

@@ -1116,3 +1116,63 @@ def test_cdf_tail_consumer_round_trip_with_restore(spark, tmp_path):
     consume()
     assert_converged()
     assert (down.manifest() or {})["src_version"] == restored_v
+
+def test_clustered_compaction_tightens_pruning_stats(spark, tmp_path):
+    """compact_closed(cluster_by=...) range-partitions history into
+    value bands with EXACT re-recorded stats: content identical, band
+    ranges (near-)disjoint, a narrow predicate overlaps only its band
+    (daily dirs each straddled the whole key range, so pre-compaction
+    NOTHING pruned), time travel and the CDF product-skip intact."""
+    t = TxTable(spark, str(tmp_path / "clust"), stats_cols=["v"])
+    # 8 "daily" appends; each day's rows span the WHOLE key range, so
+    # per-day [min, max] on k is always [0, 79] — unprunable by k
+    for day in range(8):
+        rows = [(k, day * 100 + k) for k in range(0, 80, 10)]
+        t.commit_append(
+            spark.createDataFrame(rows, "k int, v int"), run_id=f"d{day}"
+        )
+    before = sorted((r["k"], r["v"]) for r in t.read().collect())
+    v_pre = t.latest_version()
+
+    ver = t.compact_closed(min_dirs=8, cluster_by="k", n_output_dirs=4)
+    assert ver == v_pre + 1
+
+    man = t.manifest()
+    bands = man["closed"]
+    assert 1 < len(bands) <= 4
+    assert all("__cluster=" in d for d in bands)
+    # content unchanged
+    after = sorted((r["k"], r["v"]) for r in t.read().collect())
+    assert after == before
+
+    # exact per-band stats on the CLUSTER column, recorded even though
+    # k is not in stats_cols; bands must not all straddle the full range
+    stats = man["dir_stats"]
+    ranges = [tuple(stats[d]["k"]) for d in bands]
+    assert all(lo is not None and hi is not None for lo, hi in ranges)
+    spans = sorted(ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"bands overlap: {spans}"
+    # a narrow predicate overlaps exactly one band now
+    overlapping = [d for d in bands if stats[d]["k"][0] <= 5 and stats[d]["k"][1] >= 5]
+    assert len(overlapping) == 1
+    got = sorted(r["v"] for r in t.read_closed_pruned("k", lo=5, hi=5).collect())
+    assert got == sorted(v for k, v in before if k == 5)
+
+    # stats_cols ("v") recorded per band too
+    assert all("v" in stats[d] for d in bands)
+
+    # time travel to the pre-compaction version still reads all dirs
+    assert sorted((r["k"], r["v"]) for r in t.read(v_pre).collect()) == before
+    # CDF: the bands are compaction products — not re-emitted
+    assert t.table_changes(v_pre).count() == 0
+
+
+def test_clustered_compaction_validates_column(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "clustbad"))
+    for day in range(2):
+        t.commit_append(spark.createDataFrame([(day,)], "k int"), run_id=f"d{day}")
+    with pytest.raises(ValueError, match="cluster_by"):
+        t.compact_closed(min_dirs=2, cluster_by="nope")
+    with pytest.raises(ValueError, match="n_output_dirs"):
+        t.compact_closed(min_dirs=2, cluster_by="k", n_output_dirs=0)
