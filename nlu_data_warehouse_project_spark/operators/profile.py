@@ -13,6 +13,7 @@ never disagree.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -299,4 +300,59 @@ def rare_ngram_score(
             F.col("n_bigrams") > 0,
             F.round(F.col("n_rare").cast("double") / F.col("n_bigrams").cast("double"), 6),
         ).alias("rare_rate"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic
+    low-information-content screen (Gopher/C4-era quality stacks use
+    it exactly like this): near-1.0 ratios mean random/encrypted/
+    already-compressed bytes, very low ratios mean degenerate
+    repetition (lorem-loops, keyword stuffing); prose sits in a
+    recognizable band.  Complements `repetition_stats`, which sees
+    token-level repeats but is blind to sub-token/byte-level ones.
+
+    No SQL engine exposes DEFLATE, so this is one of the sanctioned
+    Python sites: an Arrow-batched pandas UDF (zlib is C-speed, the
+    per-batch loop is bytes-bounded), scan-local — no shuffle, no
+    state, embarrassingly parallel at any corpus size.  Level is
+    pinned (and zlib output is deterministic for a given level), so
+    the ratio is stable across runs and partitionings.
+
+    Returns (id, n_bytes, n_compressed, compression_ratio) with
+    ratio = compressed/raw rounded to 6; empty/NULL docs report
+    NULL ratio rather than a 0-divide."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _zsize(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            b = t.encode("utf-8")
+            out.append([len(b), len(zlib.compress(b, level))])
+        return pd.Series(out)
+
+    out = df.select(
+        F.col(id_col).alias("doc_id"), _zsize(F.col(text_col)).alias("__z")
+    ).select(
+        "doc_id",
+        F.col("__z")[0].alias("n_bytes"),
+        F.col("__z")[1].alias("n_compressed"),
+    )
+    return out.withColumn(
+        "compression_ratio",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.round(F.col("n_compressed").cast("double") / F.col("n_bytes").cast("double"), 6),
+        ),
     )

@@ -11222,3 +11222,270 @@ FROM agg
 
 QUERIES.update({"q218_return_rate_wilson": q218_return_rate_wilson})
 ORACLE_SQL.update({"q218_return_rate_wilson": Q218_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Abandoned carts: click with no purchase inside the window (q219)
+# ---------------------------------------------------------------------------
+
+def q219_abandoned_carts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who clicked but did NOT purchase within 24 hours of that
+    click — the funnel-NEGATIVE query (q85 counts conversions; ops
+    teams retarget the complement).  Per user: count abandoned clicks
+    via a windowed NOT-EXISTS, expressed as a LEFT ANTI join of clicks
+    against purchases on user with the time-range residual — the
+    anti-join form Catalyst executes as one shuffle on user_id, no
+    correlated subquery per row.  Users with at least 3 abandoned
+    clicks, with their worst (longest-quiet) click hour reported."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("__ct"), F.col("event_id").alias("__cid")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("__pu"), F.col("ts").alias("__pt")
+    )
+    abandoned = clicks.join(
+        purch,
+        (clicks.user_id == F.col("__pu"))
+        & (F.col("__pt") > F.col("__ct"))
+        & (F.col("__pt") <= F.col("__ct") + F.expr("INTERVAL 24 HOURS")),
+        "left_anti",
+    )
+    return (
+        abandoned.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("abandoned_clicks"),
+            F.max("__ct").alias("last_abandoned_click"),
+        )
+        .filter(F.col("abandoned_clicks") >= 3)
+    )
+
+
+Q219_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts AS ct FROM events WHERE event_type = 'click'
+), abandoned AS (
+  SELECT c.user_id, c.ct
+  FROM clicks c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      AND p.ts > c.ct AND p.ts <= c.ct + INTERVAL 24 HOURS
+  )
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS abandoned_clicks,
+       max(ct) AS last_abandoned_click
+FROM abandoned GROUP BY 1 HAVING count(*) >= 3
+"""
+
+
+QUERIES.update({"q219_abandoned_carts": q219_abandoned_carts})
+ORACLE_SQL.update({"q219_abandoned_carts": Q219_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Price-ending forensics (q220)
+# ---------------------------------------------------------------------------
+
+def q220_price_ending_forensics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of the CENTS ending of part retail prices — the
+    psychological-pricing / hand-keyed-price forensic twin of q199's
+    Benford screen (a synthetic or machine-generated price book is
+    near-uniform in its endings; a human one spikes at .99/.95/.00).
+    The ending is integer-cents modulo 100 (the q199 integer-cents
+    discipline — no float formatting anywhere); top 10 endings by
+    count with their share."""
+    part = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    d = part.select((cents % 100).cast("int").alias("cents_ending"))
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    agg = (
+        d.groupBy("cents_ending")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cents_ending", "n_parts",
+            F.round(F.col("n_parts").cast("double") / F.col("__n").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("n_parts").desc(), F.col("cents_ending").asc())
+    return (
+        agg.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .drop("__rn")
+    )
+
+
+Q220_SQL = """
+WITH d AS (
+  SELECT CAST(CAST(round(p_retailprice * 100) AS BIGINT) % 100 AS INT) AS cents_ending
+  FROM part
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM d
+), agg AS (
+  SELECT cents_ending, CAST(count(*) AS BIGINT) AS n_parts,
+         round(CAST(count(*) AS DOUBLE) / CAST(max(tot.n) AS DOUBLE), 6) AS share
+  FROM d CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT cents_ending, n_parts, share FROM (
+  SELECT *, row_number() OVER (ORDER BY n_parts DESC, cents_ending) AS rn FROM agg
+) WHERE rn <= 10
+"""
+
+
+QUERIES.update({"q220_price_ending_forensics": q220_price_ending_forensics})
+ORACLE_SQL.update({"q220_price_ending_forensics": Q220_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend of daily orders (q221)
+# ---------------------------------------------------------------------------
+
+def q221_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Theil-Sen robust trend of daily order volume: the LOWER
+    MEDIAN of all pairwise slopes (count_j - count_i)/(day_j - day_i)
+    — immune to the outlier days that wreck an OLS fit (q205 flags
+    them; this estimates THROUGH them).  The pairwise self-join is
+    over the DAILY aggregate (calendar-grain: ~700 rows -> ~250k
+    pairs, a bounded intermediate documented the q185/q197 way —
+    never pairs of raw orders).  Slopes are identical IEEE divisions
+    of exact integers; the median is an explicit lower-median
+    row_number selection, not an engine quantile built-in."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("__day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .select(
+            F.datediff(F.col("__day"), F.lit("1970-01-01").cast("date")).alias("__d"),
+            "__n",
+        )
+    )
+    a = daily.select(F.col("__d").alias("d1"), F.col("__n").alias("n1"))
+    b = daily.select(F.col("__d").alias("d2"), F.col("__n").alias("n2"))
+    slopes = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(
+            (
+                (F.col("n2") - F.col("n1")).cast("double")
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("__slope"),
+            "d1", "d2",
+        )
+    )
+    w = Window.orderBy(F.col("__slope").asc(), F.col("d1").asc(), F.col("d2").asc())
+    ranked = slopes.withColumn("__rn", F.row_number().over(w))
+    tot = slopes.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("__rn") == F.expr("(__m + 1) div 2"))
+        .select(
+            F.col("__m").alias("n_pairs"),
+            F.round(F.col("__slope"), 6).alias("theil_sen_slope"),
+        )
+    )
+
+
+Q221_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), slopes AS (
+  SELECT CAST(b.n - a.n AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope,
+         a.d AS d1, b.d AS d2
+  FROM daily a JOIN daily b ON a.d < b.d
+), ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope, d1, d2) AS rn,
+         count(*) OVER () AS m
+  FROM slopes
+)
+SELECT CAST(m AS BIGINT) AS n_pairs, round(slope, 6) AS theil_sen_slope
+FROM ranked WHERE rn = (m + 1) // 2
+"""
+
+
+QUERIES.update({"q221_theil_sen_trend": q221_theil_sen_trend})
+ORACLE_SQL.update({"q221_theil_sen_trend": Q221_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-order graph (q222)
+# ---------------------------------------------------------------------------
+
+def q222_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the URGENT co-order part graph: the
+    Pearson correlation of endpoint degrees over edges — do hub parts
+    co-order with other hubs (assortative, r > 0) or with leaves
+    (disassortative, r < 0)?  Completes the graph-metric family
+    (q189 triangles, q190 degree profile, q200 PageRank).  All five
+    correlation sums (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs over
+    integer degrees; the Pearson formula is the single final float."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    lu = li.join(urgent, li.l_orderkey == urgent.o_orderkey).select("l_orderkey", "l_partkey")
+    a = lu.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("src"))
+    b = lu.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "__o").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    dx = deg.select(F.col("src").alias("__sx"), F.col("__deg").alias("__dx"))
+    dy = deg.select(F.col("src").alias("__sy"), F.col("__deg").alias("__dy"))
+    ed = (
+        edges.join(dx, edges.src == F.col("__sx"))
+        .join(dy, edges.dst == F.col("__sy"))
+        .select("__dx", "__dy")
+    )
+    agg = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("__dx").cast("long").alias("__sx_"),
+        F.sum("__dy").cast("long").alias("__sy_"),
+        F.sum(F.col("__dx") * F.col("__dy")).cast("long").alias("__sxy"),
+        F.sum(F.col("__dx") * F.col("__dx")).cast("long").alias("__sxx"),
+        F.sum(F.col("__dy") * F.col("__dy")).cast("long").alias("__syy"),
+    )
+    n = F.col("n_edges").cast("double")
+    num = n * F.col("__sxy").cast("double") - F.col("__sx_").cast("double") * F.col("__sy_").cast("double")
+    den = F.sqrt(
+        (n * F.col("__sxx").cast("double") - F.col("__sx_").cast("double") * F.col("__sx_").cast("double"))
+        * (n * F.col("__syy").cast("double") - F.col("__sy_").cast("double") * F.col("__sy_").cast("double"))
+    )
+    return agg.select("n_edges", F.round(num / den, 6).alias("assortativity"))
+
+
+Q222_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  JOIN orders o ON o.o_orderkey = a.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
+), ed AS (
+  SELECT dx.d AS x, dy.d AS y
+  FROM e JOIN deg dx ON e.src = dx.src JOIN deg dy ON e.dst = dy.src
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM ed
+)
+SELECT n_edges,
+       round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS assortativity
+FROM agg
+"""
+
+
+QUERIES.update({"q222_degree_assortativity": q222_degree_assortativity})
+ORACLE_SQL.update({"q222_degree_assortativity": Q222_SQL})

@@ -113,3 +113,34 @@ def test_exact_percentiles_nulls_and_validation(spark):
     empty = spark.createDataFrame([(None,)], "x double")
     with pytest.raises(ValueError, match="empty"):
         exact_global_percentiles(empty, "x", [0.5])
+
+
+def test_compression_ratio_orders_texts_sensibly(spark):
+    """zlib ratio: repetitive << prose << random-ish; empty/NULL safe;
+    deterministic across calls; values equal a driver-side zlib run."""
+    import zlib
+
+    from nlu_data_warehouse_project_spark.operators.profile import compression_ratio
+
+    rep = "spam " * 400
+    prose = (
+        "The quick brown fox jumps over the lazy dog while the curious cat "
+        "watches from the fence, wondering why foxes bother with dogs at all. "
+    ) * 10
+    randomish = "".join(chr(33 + (i * 7919) % 90) for i in range(2000))
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, randomish), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"] < got[3]["compression_ratio"]
+    for i, txt in ((1, rep), (2, prose), (3, randomish)):
+        b = txt.encode()
+        assert got[i]["n_bytes"] == len(b)
+        assert got[i]["n_compressed"] == len(zlib.compress(b, 6))
+        assert got[i]["compression_ratio"] == round(len(zlib.compress(b, 6)) / len(b), 6)
+    assert got[4]["compression_ratio"] is None and got[4]["n_bytes"] == 0
+    assert got[5]["n_bytes"] is None and got[5]["compression_ratio"] is None
+
+    again = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df).collect()}
+    assert again == {k: v["compression_ratio"] for k, v in got.items()}
