@@ -11353,7 +11353,9 @@ def q221_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, a bounded intermediate documented the q185/q197 way —
     never pairs of raw orders).  Slopes are identical IEEE divisions
     of exact integers; the median is an explicit lower-median
-    row_number selection, not an engine quantile built-in."""
+    selection via exact_global_rank (range-shuffled distributed
+    row_number — no single-partition Window sort), not an engine
+    quantile built-in."""
     orders = _t(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(F.col("o_orderdate").cast("date").alias("__day"))
@@ -11375,8 +11377,9 @@ def q221_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d1", "d2",
         )
     )
-    w = Window.orderBy(F.col("__slope").asc(), F.col("d1").asc(), F.col("d2").asc())
-    ranked = slopes.withColumn("__rn", F.row_number().over(w))
+    from .operators.scale import exact_global_rank
+
+    ranked = exact_global_rank(slopes, ["__slope", "d1", "d2"], rank_col="__rn")
     tot = slopes.agg(F.count(F.lit(1)).cast("long").alias("__m"))
     return (
         ranked.crossJoin(F.broadcast(tot))
@@ -11489,3 +11492,62 @@ FROM agg
 
 QUERIES.update({"q222_degree_assortativity": q222_degree_assortativity})
 ORACLE_SQL.update({"q222_degree_assortativity": Q222_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality screen (q223)
+# ---------------------------------------------------------------------------
+
+def q223_compression_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zlib compression-ratio quality screen over the document
+    corpus, banded into curation verdicts: very low ratios are
+    degenerate repetition (keyword stuffing, lorem loops), near-1.0
+    ratios are random/already-compressed bytes, prose sits in a
+    recognizable middle band — the Gopher/C4-style byte-level twin of
+    q15's token-level stats.  Per-band output keeps every aggregate an
+    exact BIGINT sum (doc count, raw bytes, compressed bytes); the only
+    float is the final single IEEE division per band (the q222
+    convention), so the result is engine- and partitioning-stable.
+
+    No SQL engine exposes DEFLATE, so there is no ORACLE_SQL entry;
+    the cross-checking gate is a driver-side Python recompute
+    (tools/check_oracle.py PYTHON_GATES) that re-runs zlib over the
+    same parquet and must hash-match — plus the zlib-equality pytest
+    on the operator itself (tests/test_round10_properties.py)."""
+    from .operators.profile import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    rated = compression_ratio(docs, text_col="text", id_col="doc_id")
+    banded = rated.select(
+        F.when(F.col("compression_ratio").isNull(), F.lit("empty"))
+        .when(F.col("compression_ratio") < 0.45, F.lit("low_entropy"))
+        .when(F.col("compression_ratio") < 0.6, F.lit("prose_band"))
+        .otherwise(F.lit("high_entropy"))
+        .alias("verdict"),
+        F.coalesce(F.col("n_bytes"), F.lit(0)).alias("__nb"),
+        F.coalesce(F.col("n_compressed"), F.lit(0)).alias("__nc"),
+    )
+    agg = banded.groupBy("verdict").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nb").cast("long").alias("total_bytes"),
+        F.sum("__nc").cast("long").alias("total_compressed"),
+    )
+    return agg.select(
+        "verdict",
+        "n_docs",
+        "total_bytes",
+        "total_compressed",
+        F.when(
+            F.col("total_bytes") > 0,
+            F.round(
+                F.col("total_compressed").cast("double")
+                / F.col("total_bytes").cast("double"),
+                6,
+            ),
+        ).alias("band_ratio"),
+    )
+
+
+QUERIES.update({"q223_compression_screen": q223_compression_screen})
+# No ORACLE_SQL entry: DEFLATE is not SQL-expressible.  The strong gate
+# is the Python recompute in tools/check_oracle.py (PYTHON_GATES).

@@ -127,7 +127,17 @@ def test_compression_ratio_orders_texts_sensibly(spark):
         "The quick brown fox jumps over the lazy dog while the curious cat "
         "watches from the fence, wondering why foxes bother with dogs at all. "
     ) * 10
-    randomish = "".join(chr(33 + (i * 7919) % 90) for i in range(2000))
+    # Genuinely incompressible text: hex of a chained SHA-256 stream.
+    # (A chr(33 + i*k % 90) generator is PERIODIC with period 90 and
+    # zlib-compresses BETTER than prose — the round-10 version of this
+    # fixture made the ordering premise false.)
+    import hashlib
+
+    chunks, h = [], b"seed"
+    while sum(len(c) for c in chunks) < 2000:
+        h = hashlib.sha256(h).digest()
+        chunks.append(h.hex())
+    randomish = "".join(chunks)[:2000]
     df = spark.createDataFrame(
         [(1, rep), (2, prose), (3, randomish), (4, ""), (5, None)],
         "doc_id long, text string",
@@ -144,3 +154,47 @@ def test_compression_ratio_orders_texts_sensibly(spark):
 
     again = {r["doc_id"]: r["compression_ratio"] for r in compression_ratio(df).collect()}
     assert again == {k: v["compression_ratio"] for k, v in got.items()}
+
+
+def test_q223_compression_screen_matches_python_recompute(spark):
+    """The catalog entry (banded corpus screen) equals an independent
+    driver-side zlib recompute at sf0.001 — the same gate
+    tools/check_oracle.py's PYTHON_GATES applies at sf0.01."""
+    import decimal
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from nlu_data_warehouse_project_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["verdict"]: (r["n_docs"], r["total_bytes"], r["total_compressed"], r["band_ratio"])
+        for r in QUERIES["q223_compression_screen"](spark, sf_dir).collect()
+    }
+
+    def r6(x):
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    agg: dict = {}
+    for t in tbl.column("text").to_pylist():
+        b = t.encode("utf-8") if t is not None else b""
+        if not b:
+            band, nb, nc = "empty", 0, 0
+        else:
+            nb, nc = len(b), len(zlib.compress(b, 6))
+            r = r6(nc / nb)
+            band = "low_entropy" if r < 0.45 else "prose_band" if r < 0.6 else "high_entropy"
+        a = agg.setdefault(band, [0, 0, 0])
+        a[0] += 1
+        a[1] += nb
+        a[2] += nc
+    want = {
+        k: (v[0], v[1], v[2], r6(v[2] / v[1]) if v[1] else None) for k, v in agg.items()
+    }
+    assert got == want

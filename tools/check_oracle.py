@@ -69,6 +69,60 @@ TOLERANCE_GATES = {
 }
 
 
+def _round_half_up6(x: float) -> float:
+    """Spark F.round / DuckDB round semantics on a double: shortest-repr
+    decimal, scale 6, HALF_UP.  Python's built-in round() is
+    half-to-even and would diverge on exact .5 ties."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _py_oracle_compression_screen(con):
+    """Driver-side Python recompute of q223: zlib over the same parquet
+    bytes, same banding, same exact-integer sums — DEFLATE has no SQL
+    spelling, so the 'oracle' is an independent non-Spark execution."""
+    import zlib
+
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    agg: dict[str, list[int]] = {}
+    for _, t in rows:
+        b = t.encode("utf-8") if t is not None else b""
+        if not b:
+            band, nb, nc = "empty", 0, 0
+        else:
+            nb, nc = len(b), len(zlib.compress(b, 6))
+            r = _round_half_up6(nc / nb)
+            band = (
+                "low_entropy" if r < 0.45
+                else "prose_band" if r < 0.6
+                else "high_entropy"
+            )
+        a = agg.setdefault(band, [0, 0, 0])
+        a[0] += 1
+        a[1] += nb
+        a[2] += nc
+    cols = ["verdict", "n_docs", "total_bytes", "total_compressed", "band_ratio"]
+    out = [
+        (k, v[0], v[1], v[2], _round_half_up6(v[2] / v[1]) if v[1] else None)
+        for k, v in agg.items()
+    ]
+    return cols, out
+
+
+# Queries whose semantics exist in Python's stdlib but not in SQL
+# (zlib DEFLATE): the oracle is a driver-side Python recompute over the
+# same parquet, compared with the SAME rowcount/columns/value-hash
+# machinery as the SQL twins.  name -> callable(duckdb_con) -> (cols, rows)
+PYTHON_GATES = {
+    "q223_compression_screen": _py_oracle_compression_screen,
+}
+
+
 def _tolerance_check(name, qs, spark, sf_dir, srows, scols, t0):
     twin, keys, acol, ecol, tol = TOLERANCE_GATES[name]
     ki = [scols.index(k) for k in keys]
@@ -169,7 +223,7 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
-        if name not in sqls:
+        if name not in sqls and name not in PYTHON_GATES:
             if name in RECALL_GATES:
                 failures += _recall_check(name, fn, qs, spark, sf_dir, srows, scols, t0)
             elif name in TOLERANCE_GATES:
@@ -178,11 +232,14 @@ def main() -> int:
                 print(f"weak  {name}: rows={len(srows)} (no oracle, rows-only check) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(sqls[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            if name in PYTHON_GATES:
+                dcols, drows = PYTHON_GATES[name](con)
+            else:
+                res = con.execute(sqls[name])
+                dcols = [d[0] for d in res.description]
+                drows = res.fetchall()
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: oracle error: {e}")
             failures += 1
             continue
         problems = []
