@@ -108,8 +108,9 @@ class Engine:
             views["dw_history"] = gold.read_closed()
         if table_exists(self.spark, wh.date_dim_dir):
             views["date_dim"] = self.spark.read.parquet(wh.date_dim_dir)
-        if table_exists(self.spark, wh.staging_dir):
-            views["staging"] = self.spark.read.parquet(wh.staging_dir)
+        staging = wh.staging()
+        if staging.exists():
+            views["staging"] = staging.read()
         names = []
         for name, df in views.items():
             full = f"{prefix}{name}"

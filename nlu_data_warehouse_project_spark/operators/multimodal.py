@@ -250,15 +250,123 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 
 
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass —
+# the spec's fixed 8x8 sampling pattern; empty passes (a dimension
+# rounds to zero pixels) contribute NO bytes, not even filter bytes
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter_lines(
+    raw: bytes, i: int, width: int, height: int, channels: int, depth: int
+) -> tuple[list[bytearray], int]:
+    """Invert the five PNG scanline filters over ``height`` scanlines of
+    a (sub)image starting at offset ``i`` in the inflated stream.
+    Filtering operates on the PACKED bytes (sub-8 depths pack several
+    pixels per byte; bpp is then 1 per the spec).  Returns the
+    unfiltered packed scanlines and the next offset."""
+    stride = (width * channels * depth + 7) // 8
+    bpp = max(1, (channels * depth + 7) // 8)
+    prev = bytearray(stride)
+    lines: list[bytearray] = []
+    for _ in range(height):
+        if i >= len(raw):
+            raise ValueError("PNG data stream truncated")
+        f = raw[i]
+        line = bytearray(raw[i + 1:i + 1 + stride])
+        if len(line) != stride:
+            raise ValueError("PNG scanline truncated")
+        i += 1 + stride
+        if f == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 255
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 255
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 255
+        elif f != 0:
+            raise ValueError(f"PNG filter byte {f} invalid")
+        lines.append(line)
+        prev = line
+    return lines, i
+
+
+def _png_unpack_pixels(
+    line: bytearray, width: int, channels: int, depth: int
+) -> list[tuple]:
+    """Packed scanline bytes -> per-pixel sample tuples (raw values,
+    no depth scaling — the caller decides index vs intensity)."""
+    if depth == 8:
+        return [tuple(line[x * channels:(x + 1) * channels]) for x in range(width)]
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    out = []
+    for x in range(width):
+        b = line[x // per_byte]
+        shift = 8 - depth * ((x % per_byte) + 1)
+        out.append(((b >> shift) & mask,))
+    return out
+
+
+def _png_decode_general(
+    raw: bytes, w: int, h: int, channels: int, depth: int, color: int, interlace: int
+) -> bytearray:
+    """The slow-but-complete PNG sample path: Adam7 pass reassembly
+    and/or sub-8-bit unpack.  Returns row-major 8-bit samples (palette
+    indices unscaled; sub-8 GRAY scaled to the full range by the exact
+    integer factor 255/(2^depth - 1), which is what every decoder
+    emits for 1/2/4-bit intensities)."""
+    grid: list[list[tuple | None]] = [[None] * w for _ in range(h)]
+    i = 0
+    passes = _ADAM7 if interlace == 1 else [(0, 0, 1, 1)]
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        lines, i = _png_unfilter_lines(raw, i, pw, ph, channels, depth)
+        for j, line in enumerate(lines):
+            row = grid[y0 + j * dy]
+            for k, s in enumerate(_png_unpack_pixels(line, pw, channels, depth)):
+                row[x0 + k * dx] = s
+    if i != len(raw):
+        raise ValueError(f"PNG data length {len(raw)} != consumed {i}")
+    scale = 255 // ((1 << depth) - 1) if (depth < 8 and color == 0) else 1
+    out = bytearray()
+    for row in grid:
+        for s in row:
+            if s is None:
+                raise ValueError("PNG interlace passes left uncovered pixels")
+            for v in s:
+                out.append((v * scale) & 255)
+    return out
+
+
 def decode_png(payload: bytes) -> dict:
     """Pure-stdlib PNG decode (VERDICT r8 #3): zlib-inflate the IDAT
     stream and invert the five scanline filters (None/Sub/Up/Average/
-    Paeth) per the PNG spec.  Supports the non-interlaced 8-bit-depth
-    color types (gray, RGB, gray+alpha, RGBA) plus PLTE indexed color
-    (VERDICT r9 #8 — real corpora are full of palette PNGs): indices
-    unfilter as one byte per pixel, then expand through the palette to
-    RGB, or RGBA when a tRNS chunk supplies per-entry alpha.
-    Sub-8-bit palette depths and Adam7 interlacing still fail fast.
+    Paeth) per the PNG spec.  Supports the 8-bit color types (gray,
+    RGB, gray+alpha, RGBA), PLTE indexed color with tRNS alpha
+    (VERDICT r9 #8), 1/2/4-bit gray and palette depths, and Adam7
+    interlacing (VERDICT r10 #7 — real crawl corpora contain both):
+    each Adam7 pass unfilters as an independent sub-image and
+    reassembles on the spec's fixed 8x8 grid; sub-8 depths unpack
+    bit-packed pixels (gray scales by 255/(2^d - 1), palette indices
+    pass through).  16-bit depth still fails fast.
     Returns ``{format, width, height, channels, pixels}`` with
     ``pixels`` as row-major raw samples.
 
@@ -287,52 +395,38 @@ def decode_png(payload: bytes) -> dict:
     if header is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = header
-    if depth != 8 or interlace != 0 or (color not in _PNG_CHANNELS and color != 3):
+    sub8_ok = depth in (1, 2, 4) and color in (0, 3)
+    if (
+        (depth != 8 and not sub8_ok)
+        or interlace not in (0, 1)
+        or (color not in _PNG_CHANNELS and color != 3)
+    ):
         raise NotImplementedError(
-            f"PNG depth={depth} color_type={color} interlace={interlace}: only "
-            "non-interlaced 8-bit gray/RGB/gray+alpha/RGBA/palette decode here"
+            f"PNG depth={depth} color_type={color} interlace={interlace}: "
+            "8-bit gray/RGB/gray+alpha/RGBA/palette plus 1/2/4-bit "
+            "gray/palette decode here (Adam7 or not); 16-bit does not"
         )
     if color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/malformed PLTE chunk")
-        channels = 1  # one index byte per pixel through the unfilter
+        channels = 1  # one index per pixel through the unfilter
     else:
         channels = _PNG_CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError(f"PNG data length {len(raw)} != {h}*({stride}+1)")
-    out = bytearray()
-    prev = bytearray(stride)
-    bpp = channels
-    i = 0
-    for _ in range(h):
-        f = raw[i]
-        line = bytearray(raw[i + 1:i + 1 + stride])
-        i += 1 + stride
-        if f == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 255
-        elif f == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 255
-        elif f == 3:  # Average
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 255
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 255
-        elif f != 0:
-            raise ValueError(f"PNG filter byte {f} invalid")
-        out += line
-        prev = line
+    if interlace == 1 or depth != 8:
+        # general path (VERDICT r10 #7): Adam7 reassembly and/or sub-8
+        # bit unpack — each Adam7 pass is an independently-filtered
+        # sub-image; sub-8 gray scales to full 8-bit range, palette
+        # indices pass through unscaled
+        out = _png_decode_general(raw, w, h, channels, depth, color, interlace)
+    else:
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            raise ValueError(f"PNG data length {len(raw)} != {h}*({stride}+1)")
+        lines, i = _png_unfilter_lines(raw, 0, w, h, channels, depth)
+        out = bytearray()
+        for line in lines:
+            out += line
     if color == 3:
         # expand indices through the palette: RGB, or RGBA when tRNS
         # supplies alpha (entries past the tRNS length are opaque)

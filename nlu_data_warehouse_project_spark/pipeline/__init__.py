@@ -97,6 +97,25 @@ class Warehouse:
         self.logs_path = os.path.join(root, "control", "file_logs")
         self.txn_dir = os.path.join(root, "control", "txn")
 
+    def staging(self) -> TxTable:
+        """The silver store as a TxTable of run slices: each
+        ``load_to_staging`` commits ONE slice dir via
+        ``commit_replace_slice`` (metadata-only partition overwrite), so
+        a retry replaces the (id_config, day) slice instead of
+        appending duplicates, readers flip atomically, and — being an
+        ordinary manifest commit — the silver publish joins the same
+        ``commit_multi`` transaction as the LS status advance
+        (VERDICT r10 #4: the staging twin of the dw-side atomicity)."""
+        return TxTable(self.spark, self.staging_dir)
+
+    def read_staging(self) -> DataFrame:
+        """The full silver table (all visible run slices)."""
+        return self.staging().read()
+
+    @staticmethod
+    def _slice_id(id_config: int, day: str) -> str:
+        return f"{id_config}:{day}"
+
     def gold(self) -> TxTable:
         """The gold TxTable, bucketed on the merge key: the daily SCD2
         merge's dw side reads pre-partitioned on natural_key and skips
@@ -174,11 +193,15 @@ class Warehouse:
         keyed dedup F2 — here one vectorized chain, one shuffle for the
         dedup window).
 
-        The write is idempotent: dynamic partition overwrite replaces
-        exactly the (id_config, dt_load) run slice, so a retry after a
-        partial write (or after a downstream DF failure forced a re-run)
-        cannot append duplicate natural_keys into the merge batch.
-        Retryable from ES (first attempt) or SF (prior staging failure)."""
+        The write is idempotent AND atomic: ``commit_replace_slice``
+        replaces exactly the (id_config, day) run slice at the manifest
+        level, so a retry after a partial write (or after a downstream
+        DF failure forced a re-run) cannot append duplicate natural_keys
+        into the merge batch — and under ``atomic_publish`` the silver
+        data and the LS status advance flip in ONE coordinator rename:
+        a crash anywhere before it leaves NEITHER visible and the day
+        retries cleanly (VERDICT r10 #4).  Retryable from ES (first
+        attempt) or SF (prior staging failure)."""
         ctrl = self.control()
         if not ctrl.has_log(id_config, day, [STATUS_EXTRACT_SUCCESS, STATUS_STAGING_FAILED]):
             raise DuplicateRunError(f"no ES/SF log for id_config={id_config} day={day}: extract must succeed first")
@@ -198,13 +221,30 @@ class Warehouse:
                 "product_url", "id_config", "dt_extract", "dt_load",
             ]
             silver = silver.select(*cols)
-            (
-                silver.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("id_config", "dt_load")
-                .parquet(self.staging_dir)
-            )
-            self._save(ctrl.update_status(id_config, day, STATUS_LOAD_STAGING_SUCCESS, log_id=log_id))
+            st = self.staging()
+            if self.atomic_publish:
+                done = ctrl.update_status(
+                    id_config, day, STATUS_LOAD_STAGING_SUCCESS, log_id=log_id
+                ).localize()
+                commit_multi(
+                    [
+                        (st, "replace_slice", {
+                            "delta": silver,
+                            "slice_id": self._slice_id(id_config, day),
+                            "run_id": f"stg-{id_config}-{day}",
+                        }),
+                        (TxTable(self.spark, self.config_path), "snapshot",
+                         {"df": done.config, "run_id": "control"}),
+                        (TxTable(self.spark, self.logs_path), "snapshot",
+                         {"df": done.logs, "run_id": "control"}),
+                    ],
+                    TxnCoordinator(self.spark, self.txn_dir),
+                )
+            else:
+                st.commit_replace_slice(
+                    silver, self._slice_id(id_config, day), run_id=f"stg-{id_config}-{day}"
+                )
+                self._save(ctrl.update_status(id_config, day, STATUS_LOAD_STAGING_SUCCESS, log_id=log_id))
             return silver
         except Exception as exc:
             self._save(ctrl.update_status(id_config, day, STATUS_STAGING_FAILED, log_id=log_id))
@@ -230,12 +270,12 @@ class Warehouse:
         log_id = ctrl.active_log_id(id_config, day)
         ctrl = self._save(ctrl.update_status(id_config, day, STATUS_RUNNING, log_id=log_id))
         try:
-            staging = self.spark.read.parquet(self.staging_dir)
-            # F3/P3/P4: the temp_dw scratch copy is just this projection;
-            # (id_config, dt_load) are partition dirs, so this prunes
-            batch = staging.filter(
-                (F.col("id_config") == id_config) & (F.col("dt_load") == F.to_date(F.lit(day)))
-            ).drop("surrogate_key")
+            # F3/P3/P4: the temp_dw scratch copy is just this slice read;
+            # read_slice scans exactly the (id_config, day) run-slice dir
+            # (dir-level pruning — the manifest twin of partition dirs)
+            batch = self.staging().read_slice(self._slice_id(id_config, day)).drop(
+                "surrogate_key"
+            )
 
             gold = self.gold()
             if gold.exists():
@@ -448,15 +488,34 @@ class Warehouse:
             t = TxTable(self.spark, path)
             if t.exists():
                 control_vacuumed += t.vacuum(retain_last=max(retain_last, 2))
+        # staging versions accumulate one per run slice; superseded
+        # slice dirs (replaced by retries) are reclaimed here too
+        staging = self.staging()
+        staging_vacuumed = (
+            staging.vacuum(retain_last=max(retain_last, 2)) if staging.exists() else []
+        )
         gold = self.gold()
-        if not gold.exists():
-            return {"compacted_version": None, "vacuumed": [], "control_vacuumed": control_vacuumed}
-        compacted_version = gold.compact_closed(min_dirs=min_dirs)
-        vacuumed = gold.vacuum(retain_last=retain_last)
+        if gold.exists():
+            compacted_version = gold.compact_closed(min_dirs=min_dirs)
+            vacuumed = gold.vacuum(retain_last=retain_last)
+        else:
+            compacted_version, vacuumed = None, []
+        # decided coordinator records whose manifests are now pruned
+        # (reference-based retention — VERDICT r10 #8): runs LAST so the
+        # table vacuums above have already dropped tombstone manifests;
+        # pass EVERY table that participates in this warehouse's
+        # transactions
+        txn_reclaimed = TxnCoordinator(self.spark, self.txn_dir).vacuum([
+            gold, staging,
+            TxTable(self.spark, self.config_path),
+            TxTable(self.spark, self.logs_path),
+        ])
         return {
             "compacted_version": compacted_version,
             "vacuumed": vacuumed,
             "control_vacuumed": control_vacuumed,
+            "staging_vacuumed": staging_vacuumed,
+            "txn_reclaimed": txn_reclaimed,
         }
 
     # -- full day ------------------------------------------------------------

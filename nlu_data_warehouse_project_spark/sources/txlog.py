@@ -658,7 +658,7 @@ class TxTable:
         ("version", "current", "closed", "run_id", "schema",
          "dir_schemas", "dir_stats", "current_table", "bucket",
          "compacted_lineage", "restored_from", "column_renames",
-         "committed_at", "pending_txn")
+         "committed_at", "pending_txn", "txn_stale_table", "dir_slices")
     )
 
     def _carried_extras(self, prev: dict) -> dict:
@@ -743,17 +743,49 @@ class TxTable:
             **cur_fields,
             **(extra or {}),
         }
-        self._publish(man)
-        self._drop_stale_bucket_table(prev)
+        self._stage_or_drop_stale(man, prev)
         return man["version"]
 
-    def _drop_stale_bucket_table(self, prev: dict) -> None:
-        """Retire the superseded version's catalog entry (external table
-        — data untouched; time-travel reads of that version fall back to
-        the plain parquet path)."""
-        stale = prev.get("current_table")
+    def _stage_or_drop_stale(self, man: dict, prev: dict) -> None:
+        """Publish, then retire the superseded version's bucket catalog
+        entry — UNLESS this commit is staged under ``commit_multi``
+        (ADVICE r10): the transaction may still abort, and until the
+        coordinator decides, the superseded version IS the visible one,
+        so dropping its catalog table here would strip the live
+        version's exchange-free bucketed read path.  Instead the stale
+        name rides the staged manifest (``txn_stale_table``); the
+        coordinator commit finalizes the drop, vacuum handles the abort
+        side, and the next plain commit self-heals a crash in between."""
+        if "pending_txn" in man:
+            stale = prev.get("current_table")
+            if stale:
+                man["txn_stale_table"] = stale
+            self._publish(man)
+        else:
+            self._publish(man)
+            self._drop_stale_bucket_table(prev)
+
+    def _finalize_txn_commit(self, version: int) -> None:
+        """After the coordinator committed: perform the catalog drop the
+        staged commit deferred.  Idempotent (DROP IF EXISTS); a crash
+        before this point is healed by the next plain commit's sweep."""
+        man = self._read_manifest_file(version)
+        stale = man.get("txn_stale_table")
         if stale:
             self.spark.sql(f"DROP TABLE IF EXISTS {stale}")
+
+    def _drop_stale_bucket_table(self, prev: dict, keep: str | None = None) -> None:
+        """Retire the superseded version's catalog entry (external table
+        — data untouched; time-travel reads of that version fall back to
+        the plain parquet path).  Also sweeps a ``txn_stale_table`` the
+        previous commit deferred (a commit_multi participant whose
+        coordinator crashed between the decision rename and the
+        finalize drop — ADVICE r10): the next plain commit self-heals
+        it here.  ``keep`` protects a table the NEW manifest still
+        references (restore back onto a deferred-drop target)."""
+        for stale in (prev.get("current_table"), prev.get("txn_stale_table")):
+            if stale and stale != keep:
+                self.spark.sql(f"DROP TABLE IF EXISTS {stale}")
 
     def _check_retypes(self, prev: dict, new_schema: StructType) -> None:
         """Commit-time guard on retyping an existing column.  SAFE
@@ -874,8 +906,7 @@ class TxTable:
             **cur_fields,
             **(extra or {}),
         }
-        self._publish(man)
-        self._drop_stale_bucket_table(prev)
+        self._stage_or_drop_stale(man, prev)
         return man["version"]
 
     def commit_append(self, delta: DataFrame, run_id: str, extra: dict | None = None) -> int:
@@ -924,6 +955,83 @@ class TxTable:
         }
         self._publish(man)
         return man["version"]
+
+    def commit_replace_slice(
+        self,
+        delta: DataFrame,
+        slice_id: str,
+        run_id: str,
+        extra: dict | None = None,
+    ) -> int:
+        """Transactional PARTITION OVERWRITE as a metadata-only manifest
+        op (the Delta ``replaceWhere`` / Iceberg overwrite-partitions
+        shape, VERDICT r10 #4): the delta becomes one new closed dir
+        tagged with ``slice_id``, and any prior dir carrying the same
+        tag leaves the closed list — no data rewrite, the old dirs stay
+        on disk for time travel until ``vacuum``.  Retrying a slice is
+        therefore idempotent AT THE READER (exactly one dir per slice is
+        ever visible), which is what the pipeline's staging stage needs:
+        a re-run after a crash or a downstream failure replaces the
+        (id_config, day) run slice instead of appending duplicates,
+        and because this is an ordinary manifest commit it participates
+        in ``commit_multi`` — silver data + status advance flip in one
+        coordinator rename (reference ``load_to_staging.py:478-564``'s
+        DELETE-then-INSERT slice reload, made atomic).
+
+        ``read_slice(slice_id)`` scans exactly that slice's dir — the
+        dir-level twin of hive partition pruning, O(slice) not O(table)."""
+        prev, ver = self._base_for_write()
+        self._check_retypes(prev or {"version": 0}, delta.schema)
+        self._check_rename_collision(prev or {}, delta.schema)
+        token = uuid.uuid4().hex[:8]
+        closed_dir = f"{_DATA_DIR}/closed-{run_id}-{token}"
+        delta.write.parquet(os.path.join(self.root, closed_dir))
+        if prev is None:
+            cur_dir = f"{_DATA_DIR}/current-{run_id}-{token}"
+            cur_fields = self._write_current(delta.limit(0), cur_dir, ver)
+            prev = {"version": 0, "closed": [], "current": cur_dir, **cur_fields}
+        slices = dict(prev.get("dir_slices", {}))
+        keep = [d for d in prev["closed"] if slices.get(d) != slice_id]
+        slices = {d: s for d, s in slices.items() if d in keep}
+        slices[closed_dir] = slice_id
+        dir_schemas = {
+            d: s for d, s in prev.get("dir_schemas", {}).items() if d in keep
+        }
+        dir_schemas[closed_dir] = json.loads(delta.schema.json())
+        dir_stats = {d: s for d, s in prev.get("dir_stats", {}).items() if d in keep}
+        delta_stats = self._closed_stats(delta)
+        if delta_stats is not None:
+            dir_stats[closed_dir] = delta_stats
+        man = {
+            **self._carried_extras(prev),
+            **{
+                k: prev[k]
+                for k in ("current_table", "bucket", "column_renames")
+                if k in prev
+            },
+            "version": ver,
+            "current": prev["current"],
+            "closed": keep + [closed_dir],
+            "run_id": run_id,
+            "schema": json.loads(delta.schema.json()),
+            "dir_schemas": dir_schemas,
+            "dir_stats": dir_stats,
+            "dir_slices": slices,
+            **(extra or {}),
+        }
+        self._publish(man)
+        return man["version"]
+
+    def read_slice(self, slice_id: str, version: int | None = None) -> DataFrame:
+        """One slice of a ``commit_replace_slice`` table: scans exactly
+        the dir(s) tagged with ``slice_id`` — never the whole table."""
+        man = self.manifest(version)
+        if man is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        dirs = [d for d in man["closed"] if man.get("dir_slices", {}).get(d) == slice_id]
+        if not dirs:
+            return self.read_current(version).limit(0)
+        return self.read_closed(version, dirs=dirs)
 
     def commit_with_retry(self, build_and_commit, max_retries: int = 3) -> int:
         """Re-read-and-retry recipe for the lost commit race.
@@ -989,6 +1097,13 @@ class TxTable:
         man = self.manifest()
         if man is None or len(man["closed"]) < min_dirs:
             return None
+        if man.get("dir_slices"):
+            raise ValueError(
+                "compact_closed on a slice-replaced table would fold the "
+                "slice tags away and break commit_replace_slice's "
+                "replacement semantics; slices are already bounded (one "
+                "dir per slice) — vacuum reclaims superseded ones"
+            )
         if cluster_by is not None and n_output_dirs < 1:
             raise ValueError(f"n_output_dirs={n_output_dirs} must be >= 1")
         token = uuid.uuid4().hex[:8]
@@ -1211,8 +1326,12 @@ class TxTable:
             "restored_from": int(version),
         }
         self._publish(man)
-        if latest.get("current_table") and latest["current_table"] != man.get("current_table"):
-            self._drop_stale_bucket_table(latest)
+        if latest.get("current_table") != man.get("current_table") and (
+            latest.get("current_table") or latest.get("txn_stale_table")
+        ):
+            # keep= protects a restore back onto the very version whose
+            # catalog drop a crashed commit_multi deferred
+            self._drop_stale_bucket_table(latest, keep=man.get("current_table"))
         return man["version"]
 
     def verify(self, check_rows: bool = False) -> dict:
@@ -1310,9 +1429,13 @@ class TxTable:
             if state == "aborted":
                 dead.append(v)
         versions = self.versions()
-        if not versions:
-            return []
-        retained = versions[-retain_last:]
+        # NO early return on empty versions (ADVICE r10): with zero
+        # committed versions the dead aborted-txn leftovers are still
+        # real manifests + data dirs + catalog entries, and the live
+        # set below is simply empty — everything under the data dir is
+        # unreferenced and reclaimable right now, not "once some
+        # committed version appears".
+        retained = versions[-retain_last:] if versions else []
         live: set[str] = set()
         for v in retained:
             man = self.manifest(v)
@@ -1328,11 +1451,21 @@ class TxTable:
                 if name not in live:
                     fs.delete(status.getPath(), True)
                     dropped.append(f"{_DATA_DIR}/{name}")
+        # an aborted staged version may have registered its OWN bucket
+        # catalog entry at staging time (_write_current): drop it before
+        # its manifest goes, or the entry leaks forever — and its
+        # version number can later be reused by a real commit whose
+        # _write_current would then be shadowed by a catalog entry
+        # pointing at reclaimed data (ADVICE r10)
+        for v in dead:
+            man = self._read_manifest_file(v)
+            if man.get("current_table"):
+                self.spark.sql(f"DROP TABLE IF EXISTS {man['current_table']}")
         # prune manifests whose dirs may now be gone — a version must be
         # either fully readable or not listed at all.  Aborted-txn
         # manifests go too: never visible, and their dirs were just
         # reclaimed above
-        for v in versions[: len(versions) - retain_last] + dead:
+        for v in versions[: max(0, len(versions) - retain_last)] + dead:
             fs.delete(self._jpath(_LOG_DIR, f"v{v:010d}.json"), False)
         return dropped
 
@@ -1421,6 +1554,43 @@ class TxnCoordinator:
             stream.close()
         return json.loads(raw)["state"]
 
+    def vacuum(self, tables: list) -> list[str]:
+        """Reclaim DECIDED transaction records (``txn-*.json``) that no
+        surviving manifest of any participant table references — without
+        this they accumulate forever (VERDICT r10 #8).  Retention is
+        REFERENCE-based, which automatically matches each table's
+        manifest retention: a committed txn's record lives exactly as
+        long as some manifest still carries its ``pending_txn`` (delete
+        it earlier and that committed version would flip INVISIBLE —
+        no record means in-doubt means hidden); an aborted txn's record
+        lives until every table's ``vacuum`` has pruned the tombstone
+        manifests (aborted-then-kept, reclaimed on the next sweep).
+        In-doubt transactions have no record to delete.
+
+        ``tables`` must include EVERY table that ever participated in a
+        transaction under this coordinator — same no-writer-in-flight
+        contract as table vacuum.  Returns the reclaimed txn ids."""
+        referenced: set[str] = set()
+        for t in tables:
+            for v in t._all_versions():
+                pend = t._read_manifest_file(v).get("pending_txn")
+                if pend and pend["coordinator"] == self.root:
+                    referenced.add(pend["txn_id"])
+        fs = self._fs()
+        root = self._jvm().org.apache.hadoop.fs.Path(self.root)
+        if not fs.exists(root):
+            return []
+        removed = []
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if not (name.startswith("txn-") and name.endswith(".json")):
+                continue
+            txn_id = name[len("txn-"):-len(".json")]
+            if txn_id not in referenced:
+                fs.delete(status.getPath(), False)
+                removed.append(txn_id)
+        return sorted(removed)
+
 
 def commit_multi(
     commits: list,
@@ -1450,7 +1620,12 @@ def commit_multi(
 
     Returns ``{"txn_id": ..., "versions": {table_root: staged_version}}``.
     """
-    kinds = {"append": "commit_append", "merge": "commit_merge", "snapshot": "commit_snapshot"}
+    kinds = {
+        "append": "commit_append",
+        "merge": "commit_merge",
+        "snapshot": "commit_snapshot",
+        "replace_slice": "commit_replace_slice",
+    }
     roots = [t.root for t, _, _ in commits]
     if len(set(roots)) != len(roots):
         raise ValueError(
@@ -1474,4 +1649,11 @@ def commit_multi(
         except Exception:
             pass  # already decided, or the coordinator store is down too
         raise
+    # post-decision finalize: perform the bucket-catalog drops each
+    # participant deferred at staging time (ADVICE r10 — dropping them
+    # pre-decision would strip the then-visible version's bucketed read
+    # path on abort).  Idempotent; a crash right here is healed by each
+    # table's next plain commit.
+    for table, _, _ in commits:
+        table._finalize_txn_commit(versions[table.root])
     return {"txn_id": txn_id, "versions": versions}

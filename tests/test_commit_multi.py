@@ -138,3 +138,155 @@ def test_commit_multi_refuses_duplicate_participant(spark, tmp_path):
             ],
             coord,
         )
+
+
+def _table_exists(spark, name: str) -> bool:
+    return spark.catalog.tableExists(name)
+
+
+def test_abort_preserves_visible_versions_bucketed_read_path(spark, tmp_path):
+    """ADVICE r10 txlog:747 — a commit_merge/commit_snapshot staged
+    under commit_multi must NOT drop the previous version's bucket
+    catalog table at staging time: if the txn aborts, that version is
+    still the visible one and would permanently lose its exchange-free
+    bucketed read path.  The drop is deferred to the coordinator
+    commit; on abort the staged version's own catalog entry is
+    reclaimed by vacuum."""
+    root = str(tmp_path / "bk")
+    t = TxTable(spark, root, bucket_cols=["id"], num_buckets=4)
+    t.commit_snapshot(spark.createDataFrame([(1,), (2,)], "id long"), "seed")
+    v1_table = t.manifest()["current_table"]
+    assert _table_exists(spark, v1_table)
+    coord = TxnCoordinator(spark, str(tmp_path / "coord"))
+    other = _seed(spark, str(tmp_path / "other"), [1])
+
+    class Boom(RuntimeError):
+        pass
+
+    real_commit = coord.commit
+
+    def exploding_commit(txn_id):
+        raise Boom("crash at coordinator commit")
+
+    coord.commit = exploding_commit
+    with pytest.raises(Boom):
+        commit_multi(
+            [
+                (t, "snapshot", {"df": spark.createDataFrame([(9,)], "id long"), "run_id": "d2"}),
+                (other, "append", {"delta": spark.createDataFrame([(2,)], "id long"), "run_id": "d2"}),
+            ],
+            coord,
+        )
+    coord.commit = real_commit
+    # aborted: the visible version's bucket table SURVIVED the abort
+    assert _table_exists(spark, v1_table)
+    assert t.manifest()["current_table"] == v1_table
+    assert sorted(r["id"] for r in t.read_current().collect()) == [1, 2]
+    # the aborted staged version registered its own catalog entry at
+    # staging; vacuum reclaims it along with the tombstone manifest
+    staged_tables = [
+        n for n in (t._bucket_table_name(v) for v in t._all_versions())
+        if n != v1_table and _table_exists(spark, n)
+    ]
+    assert staged_tables  # the staged entry exists pre-vacuum
+    t.vacuum(retain_last=1)
+    for n in staged_tables:
+        assert not _table_exists(spark, n)
+    assert _table_exists(spark, v1_table)  # live version untouched
+
+
+def test_committed_txn_finalizes_deferred_catalog_drop(spark, tmp_path):
+    """The happy path: after the coordinator commits, the superseded
+    version's deferred bucket-table drop IS performed (commit_multi
+    finalize), and the new version's table is live."""
+    root = str(tmp_path / "bk2")
+    t = TxTable(spark, root, bucket_cols=["id"], num_buckets=4)
+    t.commit_snapshot(spark.createDataFrame([(1,)], "id long"), "seed")
+    v1_table = t.manifest()["current_table"]
+    other = _seed(spark, str(tmp_path / "other2"), [1])
+    coord = TxnCoordinator(spark, str(tmp_path / "coord2"))
+    commit_multi(
+        [
+            (t, "snapshot", {"df": spark.createDataFrame([(9,)], "id long"), "run_id": "d2"}),
+            (other, "append", {"delta": spark.createDataFrame([(2,)], "id long"), "run_id": "d2"}),
+        ],
+        coord,
+    )
+    assert not _table_exists(spark, v1_table)  # deferred drop finalized
+    v2_table = t.manifest()["current_table"]
+    assert _table_exists(spark, v2_table)
+    # the staged manifest records what it deferred (self-heal hook)
+    assert t.manifest()["txn_stale_table"] == v1_table
+
+
+def test_vacuum_reclaims_dead_leftovers_with_zero_committed_versions(spark, tmp_path):
+    """ADVICE r10 txlog:1313 — vacuum on a table whose ONLY manifests
+    are aborted-txn tombstones (no committed version ever) must still
+    reclaim the tombstone manifests and their data dirs, not return []
+    until some committed version appears."""
+    import os
+
+    root = str(tmp_path / "fresh")
+    t = TxTable(spark, root)
+    coord = TxnCoordinator(spark, str(tmp_path / "coord3"))
+    txn = uuid.uuid4().hex
+    pend = {"coordinator": coord.root, "txn_id": txn}
+    t.commit_append(
+        spark.createDataFrame([(1,)], "id long"), "d1", extra={"pending_txn": pend}
+    )
+    coord.abort(txn)
+    assert t.versions() == [] and t._all_versions() == [1]
+    dropped = t.vacuum(retain_last=1)
+    assert dropped  # the orphaned data dirs were reclaimed NOW
+    assert t._all_versions() == []
+    data_dir = os.path.join(root, "data")
+    assert not os.path.exists(data_dir) or os.listdir(data_dir) == []
+
+
+def test_coordinator_vacuum_reference_based_retention(spark, tmp_path):
+    """VERDICT r10 #8 — decided txn records are reclaimed once no
+    surviving manifest references them; records still referenced (a
+    committed txn whose manifests live, or an aborted txn whose
+    tombstones haven't been table-vacuumed yet) are KEPT — deleting a
+    referenced committed record would flip the version invisible."""
+    a = _seed(spark, str(tmp_path / "a"), [1])
+    b = _seed(spark, str(tmp_path / "b"), [10])
+    coord = TxnCoordinator(spark, str(tmp_path / "coord4"))
+    res = commit_multi(
+        [
+            (a, "append", {"delta": spark.createDataFrame([(2,)], "id long"), "run_id": "d2"}),
+            (b, "append", {"delta": spark.createDataFrame([(20,)], "id long"), "run_id": "d2"}),
+        ],
+        coord,
+    )
+    committed_txn = res["txn_id"]
+    # an aborted txn, manifests still on disk as tombstones
+    txn2 = uuid.uuid4().hex
+    a.commit_append(
+        spark.createDataFrame([(3,)], "id long"), "d3",
+        extra={"pending_txn": {"coordinator": coord.root, "txn_id": txn2}},
+    )
+    coord.abort(txn2)
+    # both records referenced -> nothing reclaimed
+    assert coord.vacuum([a, b]) == []
+    assert coord.state(committed_txn) == "committed"
+    assert coord.state(txn2) == "aborted"
+    # table vacuum prunes a's tombstone AND the committed manifests
+    # older than the retain window on both tables
+    a.vacuum(retain_last=1)
+    b.vacuum(retain_last=1)
+    # a's latest committed manifest still carries committed_txn's
+    # pending_txn -> that record must survive; txn2's tombstone is gone
+    # -> its record is reclaimable
+    removed = coord.vacuum([a, b])
+    assert removed == [txn2]
+    assert coord.state(committed_txn) == "committed"
+    assert sorted(r["id"] for r in a.read().collect()) == [1, 2]
+    # once nothing references the committed record it goes too: rebase
+    # a and b onto plain commits, vacuum the old manifests away
+    a.commit_append(spark.createDataFrame([(4,)], "id long"), "d4")
+    b.commit_append(spark.createDataFrame([(40,)], "id long"), "d4")
+    a.vacuum(retain_last=1)
+    b.vacuum(retain_last=1)
+    assert coord.vacuum([a, b]) == [committed_txn]
+    assert sorted(r["id"] for r in a.read().collect()) == [1, 2, 4]

@@ -16,6 +16,7 @@ from nlu_data_warehouse_project_spark.schemas import (
     FILE_CONFIG_SCHEMA,
     STATUS_EXTRACT_SUCCESS,
     STATUS_LOAD_DW_SUCCESS,
+    STATUS_LOAD_STAGING_SUCCESS,
     STATUS_RUNNING,
 )
 
@@ -381,3 +382,47 @@ def test_atomic_publish_happy_path_and_txn_hygiene(spark, tmp_path):
     closed = wh.gold().read_closed().collect()
     assert len(closed) == 1 and closed[0]["price"] == 100.0  # S1 v1 closed
     assert wh.control().has_log(1, "2024-12-09", [STATUS_LOAD_DW_SUCCESS])
+
+
+def test_staging_atomic_publish_crash_leaves_neither_visible(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #4 — the STAGING twin of the dw atomicity test: with
+    ``atomic_publish=True`` the silver slice publish and the LS status
+    advance are ONE multi-table transaction.  Crash after all
+    participants staged but before the coordinator commit: no silver
+    slice visible, no LS status, SF recorded, and the retry completes
+    with exactly one slice (no duplicates)."""
+    from nlu_data_warehouse_project_spark.sources.txlog import TxnCoordinator
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert wh.atomic_publish
+    day = "2024-12-08"
+    wh.extract(_feed(spark, [("S1", "P1", "100", "A"), ("S2", "P2", "200", "B")]), 1, day)
+
+    orig_commit = TxnCoordinator.commit
+    crashed = {"done": False}
+
+    def crashing_commit(self, txn_id):
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash before coordinator commit")
+        return orig_commit(self, txn_id)
+
+    monkeypatch.setattr(TxnCoordinator, "commit", crashing_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        wh.load_to_staging(1, day)
+
+    # NEITHER visible: no committed staging version, no LS status
+    assert wh.staging().latest_version() is None
+    assert not wh.control().has_log(1, day, [STATUS_LOAD_STAGING_SUCCESS])
+    # the failure arm recorded SF through a plain commit — retryable
+    assert wh.control().has_log(1, day, ["SF"])
+
+    # retry flips both together, and the slice is exactly one copy
+    wh.load_to_staging(1, day)
+    assert wh.control().has_log(1, day, [STATUS_LOAD_STAGING_SUCCESS])
+    staged = wh.staging().read_slice("1:2024-12-08")
+    assert staged.count() == 2
+    assert staged.select("natural_key").distinct().count() == 2
+    # and the dw stage runs off the atomic slice unchanged
+    wh.load_to_dw(1, day)
+    assert len(wh.gold().read_current().collect()) == 2

@@ -712,3 +712,59 @@ def test_q85_funnel_keeps_sort_merge_at_bench_scale(spark):
     )
     assert shuffle_count(q) <= 4, "funnel gained exchanges beyond the user_id chain"
     assert python_udf_count(q) == 0
+
+
+def test_q200_pagerank_round_plan_never_rematerializes_edges(spark, sf_smoke, monkeypatch):
+    """VERDICT r10 #5 (q200 pin): each PageRank round must join the
+    rank VECTOR against the PINNED edge set — if the pin regressed, the
+    co-order self-join (the expensive edge materialization) would
+    reappear as a parquet re-scan in every round's plan.  Capture the
+    per-round frame just before it is pinned and assert: no parquet
+    scan anywhere in it (all inputs are checkpointed ExistingRDD
+    scans), no single-partition exchange, zero Python."""
+    from nlu_data_warehouse_project_spark.operators import graph
+    from nlu_data_warehouse_project_spark.plans import (
+        formatted_plan,
+        single_partition_exchange_count,
+    )
+
+    captured = []
+    real_pin = graph.pin_frame
+
+    def capturing_pin(df, **kw):
+        captured.append(df)
+        return real_pin(df, **kw)
+
+    monkeypatch.setattr(graph, "pin_frame", capturing_pin)
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").limit(400)
+    a = li.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "__o").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    graph.pagerank_rounds(edges, rounds=2)
+
+    # captures: edges, nodes, then one rank frame per round
+    assert len(captured) == 4
+    for round_frame in captured[2:]:
+        plan = formatted_plan(round_frame)
+        assert "Scan parquet" not in plan, "a round re-materialized the edge self-join"
+        assert single_partition_exchange_count(round_frame) == 0
+        assert python_udf_count(round_frame) == 0
+
+
+def test_q206_global_percentiles_plan_has_no_single_partition_sort(spark, sf_smoke):
+    """VERDICT r10 #5 (q206 pin): exact_global_percentiles must ride
+    the range-shuffle + broadcast-offsets machinery — a regression to a
+    global Window or a single-state percentile() would appear as a
+    single-partition exchange (the one-task sort that IS the job at
+    100 TB) or a window operator."""
+    from nlu_data_warehouse_project_spark.plans import (
+        single_partition_exchange_count,
+        window_count,
+    )
+
+    q = QUERIES["q206_global_price_percentiles"](spark, sf_smoke)
+    assert single_partition_exchange_count(q) == 0
+    assert window_count(q) == 0
+    assert python_udf_count(q) == 0
+    assert uses_broadcast_join(q)  # the cut-rank offsets join broadcasts

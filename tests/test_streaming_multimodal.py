@@ -347,15 +347,15 @@ def test_png_decode_roundtrip_and_filters():
              + chunk(b"IDAT", zlib.compress(forward(ftype))) + chunk(b"IEND", b""))
         assert decode_png(p)["pixels"] == b"".join(rows), f"filter {ftype}"
 
-    # sub-8-bit palette and interlace stay fail-fast
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0)  # depth 4 palette
-    pal4 = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    # 16-bit depth and sub-8 NON-gray/palette stay fail-fast
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit RGB
+    deep = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
-        decode_png(pal4)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # Adam7 RGB
-    inter = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+        decode_png(deep)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)  # 4-bit RGB (illegal combo)
+    rgb4 = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
-        decode_png(inter)
+        decode_png(rgb4)
     # depth-8 palette with a PLTE missing is malformed, not unsupported
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     pal8 = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
@@ -495,3 +495,144 @@ def test_png_pipeline_real_features_through_shards(spark, tmp_path):
         assert abs(f[3] - sum(px) / len(px)) < 1e-3        # mean over all samples
         assert abs(f[5] - 128.0) < 1e-3                    # G channel is constant 128
     assert back.count() == 2
+
+
+def _independent_png(w, h, channels, pixels, depth=8, color=None, interlace=0,
+                     plte=None, trns=None):
+    """Test-side PNG encoder, written independently of the module's
+    (supports Adam7 pass extraction and sub-8 bit packing, filter 0
+    everywhere) — the forward direction the decoder must invert.
+    ``pixels``: per-pixel sample tuples, row-major."""
+    import struct
+    import zlib
+
+    from nlu_data_warehouse_project_spark.operators.multimodal import _PNG_SIG
+
+    if color is None:
+        color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+    def pack_line(samples):
+        if depth == 8:
+            return bytes(v for s in samples for v in s)
+        per_byte = 8 // depth
+        out = bytearray((len(samples) + per_byte - 1) // per_byte)
+        for x, (v,) in enumerate(samples):
+            shift = 8 - depth * ((x % per_byte) + 1)
+            out[x // per_byte] |= (v & ((1 << depth) - 1)) << shift
+        return bytes(out)
+
+    grid = [pixels[y * w:(y + 1) * w] for y in range(h)]
+    raw = b""
+    if interlace:
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        for x0, y0, dx, dy in passes:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for j in range(ph):
+                samples = [grid[y0 + j * dy][x0 + k * dx] for k in range(pw)]
+                raw += b"\x00" + pack_line(samples)
+    else:
+        for row in grid:
+            raw += b"\x00" + pack_line(row)
+    out = _PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", b"".join(bytes(e) for e in plte))
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_adam7_interlaced_decode():
+    """VERDICT r10 #7: Adam7-interlaced PNGs decode for real — RGB and
+    gray, at sizes that exercise empty passes (tiny images skip whole
+    passes) and partial passes (dimensions not multiples of 8)."""
+    from nlu_data_warehouse_project_spark.operators.multimodal import decode_png
+
+    # 9x5 RGB: odd size -> every pass is partial, none aligned
+    w, h = 9, 5
+    px = [((13 * i) % 256, (7 * i + 3) % 256, (29 * i + 11) % 256)
+          for i in range(w * h)]
+    img = decode_png(_independent_png(w, h, 3, px, interlace=1))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    assert img["pixels"] == bytes(v for s in px for v in s)
+
+    # 3x2 gray: passes 1-5 are EMPTY at this size (x0/y0 out of range)
+    px = [(i * 40,) for i in range(6)]
+    img = decode_png(_independent_png(3, 2, 1, px, interlace=1))
+    assert img["pixels"] == bytes(v for s in px for v in s)
+
+    # 1x1: only pass 1 exists
+    img = decode_png(_independent_png(1, 1, 1, [(200,)], interlace=1))
+    assert img["pixels"] == bytes([200])
+
+
+def test_png_sub8_gray_and_palette_decode():
+    """VERDICT r10 #7: 1/2/4-bit depths decode — gray scales by the
+    exact 255/(2^d-1) factor, palette indices expand unscaled through
+    PLTE (+tRNS alpha), and Adam7 composes with sub-8 packing."""
+    from nlu_data_warehouse_project_spark.operators.multimodal import decode_png
+
+    # 4-bit gray 5x2 (odd width: last nibble of each line is padding)
+    vals = [1, 15, 0, 7, 8, 3, 12, 5, 10, 2]
+    img = decode_png(_independent_png(5, 2, 1, [(v,) for v in vals], depth=4, color=0))
+    assert (img["width"], img["height"], img["channels"]) == (5, 2, 1)
+    assert img["pixels"] == bytes(v * 17 for v in vals)
+
+    # 1-bit gray 10x1: packed across byte boundary
+    bits = [1, 0, 1, 1, 0, 0, 1, 0, 1, 1]
+    img = decode_png(_independent_png(10, 1, 1, [(b,) for b in bits], depth=1, color=0))
+    assert img["pixels"] == bytes(b * 255 for b in bits)
+
+    # 2-bit palette 3x3 with tRNS -> RGBA expansion
+    entries = [(250, 0, 0), (0, 250, 0), (0, 0, 250), (99, 99, 99)]
+    idx = [0, 1, 2, 3, 0, 1, 2, 3, 0]
+    img = decode_png(_independent_png(
+        3, 3, 1, [(i,) for i in idx], depth=2, color=3, plte=entries, trns=[10, 20]
+    ))
+    assert img["channels"] == 4
+    want = b"".join(
+        bytes(entries[i]) + bytes([10 if i == 0 else 20 if i == 1 else 255])
+        for i in idx
+    )
+    assert img["pixels"] == want
+
+    # 4-bit palette + Adam7 together (the real-corpus combination)
+    idx = [(i % 3,) for i in range(7 * 3)]
+    img = decode_png(_independent_png(
+        7, 3, 1, idx, depth=4, color=3, interlace=1, plte=entries
+    ))
+    assert img["channels"] == 3
+    assert img["pixels"] == b"".join(bytes(entries[i]) for (i,) in idx)
+
+
+def test_png_interlaced_through_feature_extractor(spark):
+    """Done-gate for VERDICT r10 #7: a generated Adam7 + 4-bit-palette
+    PNG rides the REAL feature extractor — per-channel means reflect
+    the deinterlaced, palette-expanded pixels."""
+    from nlu_data_warehouse_project_spark.operators.multimodal import extract_features
+
+    entries = [(200, 40, 0), (0, 40, 200)]
+    # 4x2, top row entry0, bottom row entry1, interlaced 4-bit palette
+    idx = [(0,)] * 4 + [(1,)] * 4
+    png = _independent_png(4, 2, 1, idx, depth=4, color=3, interlace=1, plte=entries)
+    df = spark.createDataFrame(
+        [(1, bytearray(png), None)],
+        "media_id long, payload binary, meta struct<media_type:string,format:string,width:int,height:int,duration_ms:int,n_bytes:bigint>",
+    )
+    feats = extract_features(df, use_fake_extractor=False).collect()
+    assert len(feats) == 1
+    f = feats[0]["feature"]
+    # layout per _png_feature: [w, h, ch, overall mean, per-channel means]
+    assert (f[0], f[1], f[2]) == (4.0, 2.0, 3.0)
+    assert abs(f[4] - 100.0) < 1e-9  # R mean: (200+0)/2
+    assert abs(f[5] - 40.0) < 1e-9   # G mean
+    assert abs(f[6] - 100.0) < 1e-9  # B mean

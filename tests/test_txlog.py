@@ -112,9 +112,7 @@ def test_staging_retry_is_idempotent(spark, tmp_path):
     wh._save(ctrl.update_status(1, "2024-12-08", "SF", log_id=log_id))
     wh.load_to_staging(1, "2024-12-08")
 
-    staged = spark.read.parquet(wh.staging_dir).filter(
-        (F.col("id_config") == 1) & (F.col("dt_load") == F.to_date(F.lit("2024-12-08")))
-    )
+    staged = wh.staging().read_slice("1:2024-12-08")
     assert staged.count() == 2, "retried slice must replace, not append"
     assert staged.select("natural_key").distinct().count() == 2
 
@@ -1176,3 +1174,94 @@ def test_clustered_compaction_validates_column(spark, tmp_path):
         t.compact_closed(min_dirs=2, cluster_by="nope")
     with pytest.raises(ValueError, match="n_output_dirs"):
         t.compact_closed(min_dirs=2, cluster_by="k", n_output_dirs=0)
+
+
+def test_commit_replace_slice_semantics(spark, tmp_path):
+    """commit_replace_slice: per-slice replacement at the manifest level
+    — replaced dirs leave the closed list but stay readable via time
+    travel; read_slice scans exactly one slice; vacuum reclaims
+    superseded slice dirs; compact_closed refuses on sliced tables."""
+    import pytest as _pytest
+
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "sl"))
+    v1 = t.commit_replace_slice(
+        spark.createDataFrame([(1, "a")], "id long, v string"), "day1", "r1"
+    )
+    t.commit_replace_slice(
+        spark.createDataFrame([(2, "b")], "id long, v string"), "day2", "r2"
+    )
+    # replace day1: reader sees the new copy only
+    v3 = t.commit_replace_slice(
+        spark.createDataFrame([(1, "a2"), (3, "c")], "id long, v string"), "day1", "r3"
+    )
+    assert sorted((r["id"], r["v"]) for r in t.read().collect()) == [
+        (1, "a2"), (2, "b"), (3, "c")
+    ]
+    assert sorted(r["id"] for r in t.read_slice("day1").collect()) == [1, 3]
+    assert [r["v"] for r in t.read_slice("day2").collect()] == ["b"]
+    assert t.read_slice("day3").count() == 0  # unknown slice: empty, typed
+    # time travel: v1 still shows the original day1 rows
+    assert [(r["id"], r["v"]) for r in t.read(version=v1).collect()] == [(1, "a")]
+    assert [r["v"] for r in t.read_slice("day1", version=v1).collect()] == ["a"]
+    with _pytest.raises(ValueError, match="slice-replaced"):
+        t.compact_closed(min_dirs=1)
+    # vacuum to the latest version: the superseded day1 dir is reclaimed
+    dropped = t.vacuum(retain_last=1)
+    assert dropped  # the replaced day1 dir (and old manifests' leftovers)
+    assert sorted((r["id"], r["v"]) for r in t.read().collect()) == [
+        (1, "a2"), (2, "b"), (3, "c")
+    ]
+    assert v3 == 3
+
+
+def test_clustered_compaction_prunes_bands_at_bench_scale(spark, tmp_path):
+    """VERDICT r10 #6 — the pruning PROOF at bench scale (sf0.1
+    lineitem, ~600k rows), measured on the actual scan, not the
+    manifest: commit 8 appends that each straddle the FULL shipdate
+    range (hash-bucketed rows — pruning can skip nothing), then
+    compact clustered on l_shipdate into 4 bands and assert a narrow
+    date predicate (a) reads files from exactly ONE of the 4 band dirs
+    (``inputFiles()``), and (b) returns the identical rows."""
+    import os
+
+    import pytest as _pytest
+
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    bench_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(bench_sf):
+        _pytest.skip(f"bench sf dir {bench_sf} not present")
+    li = spark.read.parquet(f"{bench_sf}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    t = TxTable(spark, str(tmp_path / "cl"), stats_cols=["l_shipdate"])
+    for b in range(8):
+        t.commit_append(li.filter(F.col("l_orderkey") % 8 == b), f"b{b}")
+    man = t.manifest()
+    # pre-clustering: every dir straddles the full range -> no dir is
+    # prunable for a mid-range predicate
+    lo, hi = "1998-06-01", "1998-06-30"  # mid-range of the 1995-2001 span
+    pre = t.read_closed_pruned("l_shipdate", lo, hi)
+    pre_dirs = {p.split("/data/")[1].split("/")[0] for p in pre.inputFiles()}
+    assert len(pre_dirs) == 8, "hash-bucketed appends must all straddle"
+
+    ver = t.compact_closed(min_dirs=8, cluster_by="l_shipdate", n_output_dirs=4)
+    assert ver is not None
+    assert len(t.manifest()["closed"]) == 4
+    post = t.read_closed_pruned("l_shipdate", lo, hi)
+    post_dirs = {
+        p.split("/data/")[1].rsplit("/", 1)[0] for p in post.inputFiles()
+    }
+    assert len(post_dirs) == 1, (
+        f"a one-month predicate must hit exactly one of 4 bands, got {post_dirs}"
+    )
+    # and pruning is a pure optimization: identical rows
+    want = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in li.filter(F.col("l_shipdate").between(lo, hi)).collect()
+    )
+    got = sorted((r["l_orderkey"], r["l_linenumber"]) for r in post.collect())
+    assert got == want
+    assert man["version"] + 1 == ver
