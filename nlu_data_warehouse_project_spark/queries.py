@@ -8129,7 +8129,7 @@ def q167_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q167_SQL = """
 WITH per_cust AS (
   SELECT n_name AS nation, c_custkey,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(18,6)) AS rev
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(19,6)) AS rev
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
@@ -11551,3 +11551,578 @@ def q223_compression_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"q223_compression_screen": q223_compression_screen})
 # No ORACLE_SQL entry: DEFLATE is not SQL-expressible.  The strong gate
 # is the Python recompute in tools/check_oracle.py (PYTHON_GATES).
+
+
+# ---------------------------------------------------------------------------
+# Inequality / concentration family (q224-q225)
+# ---------------------------------------------------------------------------
+
+def q224_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime spend — the standard
+    inequality measure over the revenue base (how concentrated is the
+    business on its biggest customers).  Definitional form over sorted
+    values: G = 2*Sum(i*x_i)/(n*Sum(x)) - (n+1)/n with i the 1-based
+    rank in ascending spend order.  Spends are exact DECIMAL sums, the
+    rank comes from `scale.exact_global_rank` (range shuffle — no
+    single-partition sort over the customer base), Sum(i*x_i) is an
+    exact DECIMAL(38,6) sum of decimal*integer products, and the only
+    floats are the final divisions of two exact scalars — the same
+    one-float-at-the-end discipline as q222."""
+    from .operators.scale import exact_global_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("__x"))
+    ranked = exact_global_rank(per, ["__x", "o_custkey"], rank_col="__i")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("__x").alias("__s0"),
+        F.sum(F.col("__x") * F.col("__i").cast("decimal(12,0)")).alias("__s1"),
+    )
+    n = F.col("n_customers").cast("double")
+    s0 = F.col("__s0").cast("double")
+    s1 = F.col("__s1").cast("double")
+    return agg.select(
+        "n_customers",
+        F.round(F.lit(2.0) * s1 / (n * s0) - (n + F.lit(1.0)) / n, 6).alias("gini"),
+    )
+
+
+Q224_SQL = """
+WITH per AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(25,6))) AS x
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM per
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+         sum(x) AS s0,
+         sum(x * CAST(i AS DECIMAL(12,0))) AS s1
+  FROM ranked
+)
+SELECT n_customers,
+       round(2.0 * CAST(s1 AS DOUBLE) / (CAST(n_customers AS DOUBLE) * CAST(s0 AS DOUBLE))
+             - (CAST(n_customers AS DOUBLE) + 1.0) / CAST(n_customers AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+
+QUERIES.update({"q224_gini_customer_spend": q224_gini_customer_spend})
+ORACLE_SQL.update({"q224_gini_customer_spend": Q224_SQL})
+
+
+def q225_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation — the antitrust screen (HHI > 0.25 flags a concentrated
+    market).  HHI = Sum(share_i^2) = Sum(rev_i^2)/(Sum rev_i)^2, so no
+    per-supplier division ever happens: revenues are exact DECIMAL
+    sums, squares stay DECIMAL (19,6 -> 38,12: 19 digits forces DuckDB's
+    int128 multiply path; (25,6)^2 would overflow its 38 cap), and the single
+    final division runs in doubles.  One shuffle for the supplier agg,
+    one for the nation agg; nation is a broadcast dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r"))
+        .withColumn("__r18", F.col("__r").cast("decimal(19,6)"))
+    )
+    per_nation = rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("__r18").alias("__s1"),
+        F.sum(F.col("__r18") * F.col("__r18")).alias("__s2"),
+    )
+    s1 = F.col("__s1").cast("double")
+    return (
+        per_nation.join(F.broadcast(nat), per_nation.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            F.round(F.col("__s2").cast("double") / (s1 * s1), 6).alias("hhi"),
+        )
+    )
+
+
+Q225_SQL = """
+WITH rev AS (
+  SELECT s_nationkey, s_suppkey,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(19,6)) AS r
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), per AS (
+  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+         sum(r) AS s1, sum(r * r) AS s2
+  FROM rev GROUP BY 1
+)
+SELECT n_name AS nation, n_suppliers,
+       round(CAST(s2 AS DOUBLE) / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6) AS hhi
+FROM per JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+QUERIES.update({"q225_supplier_hhi": q225_supplier_hhi})
+ORACLE_SQL.update({"q225_supplier_hhi": Q225_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Clamped running inventory balance (q226)
+# ---------------------------------------------------------------------------
+
+def q226_clamped_inventory_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory simulation with a floor at zero: returns ('R' flag)
+    restock a part, other ships deplete it, and the balance can never
+    go negative — the recursive b_t = max(0, b_{t-1} + d_t) that looks
+    like it needs an iterative loop.  It doesn't: the reflection
+    identity b_t = S_t - min(0, min_{k<=t} S_k) (S = plain prefix sum)
+    turns the clamp into two KEY-PARTITIONED windows per part — the
+    q194 closed-form discipline, no recursion, no single-partition
+    sort, exact integers end to end.  Reported per part: active days,
+    end balance, stockout-day count, peak balance."""
+    li = _t(spark, sf_dir, "lineitem")
+    flow = (
+        li.filter(F.col("l_partkey") % 50 == 0)
+        .groupBy(
+            "l_partkey", F.col("l_shipdate").cast("date").alias("__day")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+                .otherwise(-F.col("l_quantity"))
+                .cast("long")
+            ).alias("__d")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bal = (
+        flow.withColumn("__s", F.sum("__d").over(w))
+        .withColumn("__m", F.min("__s").over(w))
+        .withColumn("__bal", F.col("__s") - F.least(F.lit(0).cast("long"), F.col("__m")))
+    )
+    return (
+        bal.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max_by("__bal", F.col("__day")).cast("long").alias("end_balance"),
+            F.sum(F.when(F.col("__bal") == 0, 1).otherwise(0)).cast("long").alias("n_stockout_days"),
+            F.max("__bal").cast("long").alias("peak_balance"),
+        )
+    )
+
+
+Q226_SQL = """
+WITH flow AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE -l_quantity END) AS BIGINT) AS d
+  FROM lineitem WHERE l_partkey % 50 = 0
+  GROUP BY 1, 2
+), s AS (
+  SELECT l_partkey, day,
+         sum(d) OVER (PARTITION BY l_partkey ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM flow
+), b AS (
+  SELECT l_partkey, day,
+         run - least(CAST(0 AS BIGINT),
+                     min(run) OVER (PARTITION BY l_partkey ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS bal
+  FROM s
+)
+SELECT l_partkey AS partkey, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max_by(bal, day) AS BIGINT) AS end_balance,
+       CAST(sum(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stockout_days,
+       CAST(max(bal) AS BIGINT) AS peak_balance
+FROM b GROUP BY 1
+"""
+
+
+QUERIES.update({"q226_clamped_inventory_balance": q226_clamped_inventory_balance})
+ORACLE_SQL.update({"q226_clamped_inventory_balance": Q226_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (q227)
+# ---------------------------------------------------------------------------
+
+def q227_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line quantity and extended
+    price — the robust monotone-association twin of q108's Pearson,
+    with proper AVERAGE ranks for ties.  The tie-aware rank never
+    touches a global window: for value v with cnt occurrences and
+    `smaller` values below it, 2*avg_rank = 2*smaller + cnt + 1 — all
+    integers off a distinct-value count frame, with `smaller` from
+    `scale.exact_prefix_agg(exclusive=True)` (range partitions +
+    broadcast offsets; quantity has ~50 distinct values, price ~10^5 —
+    neither may become a one-task sort).  Doubled ranks keep
+    everything BIGINT; the x2 factors cancel in the Pearson formula,
+    whose five sums run as DECIMAL(18,0) products (36 digits — inside
+    both engines' caps) and meet in one final float expression."""
+    from .operators.scale import exact_prefix_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def doubled_ranks(col: str) -> DataFrame:
+        vals = li.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt")
+        )
+        pref = exact_prefix_agg(
+            vals, ["__v"], "__cnt", how="sum", cum_col="__smaller", exclusive=True
+        )
+        return pref.select(
+            F.col("__v").alias(f"__{col}_v"),
+            (2 * F.col("__smaller") + F.col("__cnt") + 1).cast("long").alias(f"__{col}_r2"),
+        )
+
+    rx = doubled_ranks("l_quantity")
+    ry = doubled_ranks("l_extendedprice")
+    rows = (
+        li.select("l_quantity", "l_extendedprice")
+        .join(F.broadcast(rx), li.l_quantity == rx[f"__l_quantity_v"])
+        .join(ry, li.l_extendedprice == ry[f"__l_extendedprice_v"])
+        .select(
+            F.col("__l_quantity_r2").alias("__x"),
+            F.col("__l_extendedprice_r2").alias("__y"),
+        )
+    )
+    d18 = "decimal(18,0)"
+    agg = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("__x").cast(d18).alias("__sx"),
+        F.sum("__y").cast(d18).alias("__sy"),
+        F.sum(F.col("__x").cast(d18) * F.col("__y").cast(d18)).alias("__sxy"),
+        F.sum(F.col("__x").cast(d18) * F.col("__x").cast(d18)).alias("__sxx"),
+        F.sum(F.col("__y").cast(d18) * F.col("__y").cast(d18)).alias("__syy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    return agg.select(
+        "n_rows",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("spearman_rho"),
+    )
+
+
+Q227_SQL = """
+WITH r AS (
+  SELECT CAST(2 * rank() OVER (ORDER BY l_quantity)
+              + count(*) OVER (PARTITION BY l_quantity) - 1 AS BIGINT) AS x,
+         CAST(2 * rank() OVER (ORDER BY l_extendedprice)
+              + count(*) OVER (PARTITION BY l_extendedprice) - 1 AS BIGINT) AS y
+  FROM lineitem
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(x) AS DECIMAL(18,0)) AS sx, CAST(sum(y) AS DECIMAL(18,0)) AS sy,
+         sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS sxy,
+         sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx,
+         sum(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS syy
+  FROM r
+)
+SELECT n_rows,
+       round((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS spearman_rho
+FROM agg
+"""
+
+
+QUERIES.update({"q227_spearman_qty_price": q227_spearman_qty_price})
+ORACLE_SQL.update({"q227_spearman_qty_price": Q227_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (q228)
+# ---------------------------------------------------------------------------
+
+def q228_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of extended price — "the price at which
+    half the SHIPPED UNITS are cheaper": order rows by price, take the
+    first whose cumulative weight reaches half the total.  The running
+    weight comes from `scale.exact_prefix_sum` (range shuffle +
+    broadcast offsets — the global-window shape this repo never
+    allows), the total rides a broadcast 1-row aggregate, and because
+    cumulative weight is monotone along the order, "first qualifying
+    row" is a single min(struct) aggregate over the qualifying suffix.
+    Integer weights, one output row."""
+    from .operators.scale import exact_prefix_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("__w"),
+    )
+    cum = exact_prefix_sum(
+        rows, ["l_extendedprice", "l_orderkey", "l_linenumber"], "__w", cum_col="__cw"
+    )
+    tot = rows.agg(F.sum("__w").cast("long").alias("__tw"))
+    qual = cum.crossJoin(F.broadcast(tot)).filter(2 * F.col("__cw") >= F.col("__tw"))
+    return qual.groupBy("__tw").agg(
+        F.min(
+            F.struct("l_extendedprice", "l_orderkey", "l_linenumber")
+        )["l_extendedprice"].alias("weighted_median_price")
+    ).select(
+        F.col("__tw").alias("total_units"), "weighted_median_price"
+    )
+
+
+Q228_SQL = """
+WITH rows_w AS (
+  SELECT l_extendedprice, l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), cum AS (
+  SELECT l_extendedprice, w,
+         sum(w) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER () AS tw
+  FROM rows_w
+)
+SELECT CAST(tw AS BIGINT) AS total_units,
+       min(l_extendedprice) AS weighted_median_price
+FROM cum WHERE 2 * cw >= tw
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q228_weighted_median_price": q228_weighted_median_price})
+ORACLE_SQL.update({"q228_weighted_median_price": Q228_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (q229)
+# ---------------------------------------------------------------------------
+
+def q229_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: every purchase event is
+    credited to the user's most recent NON-purchase event strictly
+    before it ('none' when the purchase opens the history).  One
+    key-partitioned window per user — last(non-purchase type,
+    ignoreNulls) over ROWS UNBOUNDED PRECEDING..1 PRECEDING — then a
+    small group-by; purchase values sum as DECIMAL before the rounded
+    double (the q01 discipline).  The strictly-before frame plus the
+    (ts, event_id) tiebreak makes attribution deterministic under
+    same-timestamp bursts."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = ev.withColumn(
+        "__touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    ).filter(F.col("event_type") == "purchase")
+    return (
+        attributed.groupBy(F.coalesce(F.col("__touch"), F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("attributed_value"),
+        )
+    )
+
+
+Q229_SQL = """
+WITH t AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT coalesce(touch, 'none') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS attributed_value
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q229_last_touch_attribution": q229_last_touch_attribution})
+ORACLE_SQL.update({"q229_last_touch_attribution": Q229_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix (q230)
+# ---------------------------------------------------------------------------
+
+def q230_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (from_type, to_type) pair, the count of consecutive same-user
+    transitions and the conditional probability P(to | from).  lag()
+    is key-partitioned per user (never global), counts are exact
+    integers, and each probability is ONE integer division in doubles
+    — the row-stochastic matrix a session-model or anomaly detector
+    consumes."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(F.col("__prev").alias("from_type"), F.col("event_type").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "p",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from).cast("double"),
+            6,
+        ),
+    )
+
+
+Q230_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM counts
+"""
+
+
+QUERIES.update({"q230_event_transition_matrix": q230_event_transition_matrix})
+ORACLE_SQL.update({"q230_event_transition_matrix": Q230_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-invoice forensics (q231)
+# ---------------------------------------------------------------------------
+
+def q231_duplicate_invoice_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit screen for double billing: pairs of orders by the SAME
+    customer for NEARLY the same total (within $1000) inside a 90-day
+    window — the classic AP forensics rule, loosened from exact-match
+    because legitimate duplicates rarely repeat to the cent.  The
+    self-join keys on custkey, so the candidate space is
+    Sum(orders-per-customer^2) — bounded by the per-customer order
+    count (~tens), never an all-pairs blowup; amount proximity and the
+    date window are residual filters.  Canonical pair order (k1 < k2),
+    integer day gaps."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey", "o_totalprice",
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("__c"), F.col("o_totalprice").alias("__pa"),
+        F.col("k").alias("order_a"), F.col("d").alias("__da"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("__c2"), F.col("o_totalprice").alias("__pb"),
+        F.col("k").alias("order_b"), F.col("d").alias("__db"),
+    )
+    pairs = (
+        a.join(b, F.col("__c") == F.col("__c2"))
+        .filter(F.col("order_a") < F.col("order_b"))
+        .filter(F.abs(F.col("__pa") - F.col("__pb")) <= 1000.0)
+        .withColumn("day_gap", F.abs(F.datediff(F.col("__db"), F.col("__da"))).cast("long"))
+        .filter(F.col("day_gap") <= 90)
+    )
+    return pairs.select(
+        F.col("__c").alias("custkey"),
+        "order_a", "order_b",
+        F.col("__pa").alias("amount_a"),
+        F.col("__pb").alias("amount_b"),
+        "day_gap",
+    )
+
+
+Q231_SQL = """
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       a.o_totalprice AS amount_a, b.o_totalprice AS amount_b,
+       CAST(abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                          CAST(b.o_orderdate AS DATE))) AS BIGINT) AS day_gap
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE abs(a.o_totalprice - b.o_totalprice) <= 1000.0
+  AND abs(date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE))) <= 90
+"""
+
+
+QUERIES.update({"q231_duplicate_invoice_screen": q231_duplicate_invoice_screen})
+ORACLE_SQL.update({"q231_duplicate_invoice_screen": Q231_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity profile (q232)
+# ---------------------------------------------------------------------------
+
+def q232_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio and hapax-legomena fraction per language — the
+    lexical-diversity pair every corpus quality report carries (low TTR
+    flags template spam, a high hapax share flags OCR noise or
+    vocabulary churn).  Tokenization is a single-space split identical
+    in both engines (the corpus is space-delimited); counts are exact
+    integers off one explode + two aggs, the ratios are final single
+    divisions.  Complements q15 (length stats) and q223 (byte-level
+    compressibility)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("__tok"))
+        .filter(F.col("__tok") != "")
+    )
+    per_word = toks.groupBy("lang", "__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    agg = per_word.groupBy("lang").agg(
+        F.sum("__cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("__cnt") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+    )
+    return agg.select(
+        "lang", "n_tokens", "n_types", "n_hapax",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 6).alias("ttr"),
+        F.round(F.col("n_hapax").cast("double") / F.col("n_types").cast("double"), 6).alias("hapax_frac"),
+    )
+
+
+Q232_SQL = """
+WITH toks AS (
+  SELECT lang, tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE tok <> ''
+), per_word AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+), agg AS (
+  SELECT lang,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM per_word GROUP BY 1
+)
+SELECT lang, n_tokens, n_types, n_hapax,
+       round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_frac
+FROM agg
+"""
+
+
+QUERIES.update({"q232_lexical_diversity": q232_lexical_diversity})
+ORACLE_SQL.update({"q232_lexical_diversity": Q232_SQL})
