@@ -12126,3 +12126,407 @@ FROM agg
 
 QUERIES.update({"q232_lexical_diversity": q232_lexical_diversity})
 ORACLE_SQL.update({"q232_lexical_diversity": Q232_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Seasonality index (q233)
+# ---------------------------------------------------------------------------
+
+def q233_order_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality index of order volume: each month's
+    share of annual-average volume (index 1.0 = a perfectly average
+    month) plus its revenue twin.  Counts are exact BIGINTs, revenue is
+    an exact DECIMAL sum, and each index is one float division of two
+    exact scalars — the multiplicative decomposition a demand forecast
+    starts from (q197's EWMA smooths the level; this extracts the
+    seasonal factor)."""
+    orders = _t(spark, sf_dir, "orders")
+    per_month = orders.groupBy(
+        F.month(F.col("o_orderdate").cast("date")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).alias("__rev"),
+    )
+    tot = per_month.agg(
+        F.sum("n_orders").cast("long").alias("__tn"),
+        F.sum("__rev").alias("__tr"),
+        F.count(F.lit(1)).cast("long").alias("__m"),
+    )
+    joined = per_month.crossJoin(F.broadcast(tot))
+    m = F.col("__m").cast("double")
+    return joined.select(
+        "month",
+        "n_orders",
+        F.round(
+            F.col("n_orders").cast("double") / (F.col("__tn").cast("double") / m), 6
+        ).alias("volume_index"),
+        F.round(
+            F.col("__rev").cast("double") / (F.col("__tr").cast("double") / m), 6
+        ).alias("revenue_index"),
+    )
+
+
+Q233_SQL = """
+WITH per AS (
+  SELECT month(CAST(o_orderdate AS DATE)) AS month,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_orders) AS BIGINT) AS tn, sum(rev) AS tr,
+         CAST(count(*) AS BIGINT) AS m
+  FROM per
+)
+SELECT month, n_orders,
+       round(CAST(n_orders AS DOUBLE) / (CAST(tn AS DOUBLE) / CAST(m AS DOUBLE)), 6) AS volume_index,
+       round(CAST(rev AS DOUBLE) / (CAST(tr AS DOUBLE) / CAST(m AS DOUBLE)), 6) AS revenue_index
+FROM per, tot
+"""
+
+
+QUERIES.update({"q233_order_seasonality": q233_order_seasonality})
+ORACLE_SQL.update({"q233_order_seasonality": Q233_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Segment migration matrix (q234)
+# ---------------------------------------------------------------------------
+
+def q234_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-quartile MIGRATION between the first and second
+    halves of the history (the 'did our best customers stay best'
+    retention report): quartile each customer's half-spend via TWO
+    independent `exact_global_ntiles` passes, join on customer, count
+    the 4x4 transition cells + churn-in/churn-out rows for customers
+    active in only one half.  All integers; the ntile fences are the
+    same closed form the SQL oracle's native ntile uses, so the cells
+    hash-match exactly."""
+    from .operators.scale import exact_global_ntiles
+
+    orders = _t(spark, sf_dir, "orders")
+    mid = F.lit("1998-06-01").cast("date")
+    halves = orders.select(
+        "o_custkey",
+        F.when(F.col("o_orderdate").cast("date") < mid, F.lit(1)).otherwise(F.lit(2)).alias("__half"),
+        _dec("o_totalprice").alias("__p"),
+    )
+
+    def quartiles(half: int, out: str) -> DataFrame:
+        per = (
+            halves.filter(F.col("__half") == half)
+            .groupBy("o_custkey")
+            .agg(F.sum("__p").alias("__spend"))
+        )
+        q = exact_global_ntiles(
+            per, [([("__spend", "desc"), ("o_custkey", "asc")], 4, out)]
+        )
+        return q.select("o_custkey", out)
+
+    a = quartiles(1, "__qa")
+    b = quartiles(2, "__qb")
+    cells = (
+        a.join(b, "o_custkey", "full_outer")
+        .select(
+            F.coalesce(F.col("__qa").cast("string"), F.lit("none")).alias("from_quartile"),
+            F.coalesce(F.col("__qb").cast("string"), F.lit("none")).alias("to_quartile"),
+        )
+        .groupBy("from_quartile", "to_quartile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    return cells
+
+
+Q234_SQL = """
+WITH a AS (
+  SELECT o_custkey, ntile(4) OVER (ORDER BY sum(CAST(o_totalprice AS DECIMAL(25,6))) DESC, o_custkey) AS q
+  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+  GROUP BY o_custkey
+), b AS (
+  SELECT o_custkey, ntile(4) OVER (ORDER BY sum(CAST(o_totalprice AS DECIMAL(25,6))) DESC, o_custkey) AS q
+  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-06-01'
+  GROUP BY o_custkey
+)
+SELECT coalesce(CAST(a.q AS VARCHAR), 'none') AS from_quartile,
+       coalesce(CAST(b.q AS VARCHAR), 'none') AS to_quartile,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q234_segment_migration": q234_segment_migration})
+ORACLE_SQL.update({"q234_segment_migration": Q234_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (q235)
+# ---------------------------------------------------------------------------
+
+def q235_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by first-order
+    quarter, revenue bucketed by quarters-since-first, reported as the
+    cumulative average spend per cohort member at each age — the
+    retention economics chart.  First-order dates come from one
+    groupBy (never a window over raw orders), the cumulative sum runs
+    over the tiny cohort x age frame (key-partitioned window), and
+    averages are single divisions of exact DECIMAL/BIGINT scalars."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("__d"),
+        _dec("o_totalprice").alias("__p"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("__d").alias("__first"))
+    cohorted = o.join(first, "o_custkey").select(
+        (F.year("__first") * 4 + F.quarter("__first") - 1).alias("__cq"),
+        (
+            (F.year("__d") * 4 + F.quarter("__d") - 1)
+            - (F.year("__first") * 4 + F.quarter("__first") - 1)
+        ).cast("int").alias("age_quarters"),
+        "__p",
+        "o_custkey",
+    )
+    sizes = cohorted.filter(F.col("age_quarters") == 0).groupBy("__cq").agg(
+        F.count_distinct("o_custkey").cast("long").alias("cohort_size")
+    )
+    per_age = cohorted.groupBy("__cq", "age_quarters").agg(F.sum("__p").alias("__rev"))
+    w = Window.partitionBy("__cq").orderBy("age_quarters").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = per_age.withColumn("__cum", F.sum("__rev").over(w)).join(sizes, "__cq")
+    # exact-cents HALF_UP division: rounding the DOUBLE quotient is
+    # engine-divergent exactly when the true quotient ties at the cent
+    # (this fired at sf0.001: 2520305.155 -> .16 vs .15).  o_totalprice
+    # has 2dp, so cum*100 is an exact integer; integer half-up division
+    # (2n + d) div (2d) is bit-identical in both engines, and the final
+    # /100.0 maps equal integers to equal doubles.
+    return curve.select(
+        F.concat(
+            (F.col("__cq") / 4).cast("int").cast("string"),
+            F.lit("-Q"),
+            (F.col("__cq") % 4 + 1).cast("string"),
+        ).alias("cohort"),
+        "age_quarters",
+        "cohort_size",
+        (
+            F.expr("(2 * CAST(__cum * 100 AS BIGINT) + cohort_size) div (2 * cohort_size)")
+            .cast("double") / F.lit(100.0)
+        ).alias("cum_ltv_per_customer"),
+    )
+
+
+Q235_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(o_totalprice AS DECIMAL(25,6)) AS p
+  FROM orders
+), f AS (
+  SELECT o_custkey, min(d) AS fd FROM o GROUP BY 1
+), cohorted AS (
+  SELECT year(fd) * 4 + quarter(fd) - 1 AS cq,
+         CAST((year(d) * 4 + quarter(d) - 1) - (year(fd) * 4 + quarter(fd) - 1) AS INTEGER) AS age_quarters,
+         p, o.o_custkey
+  FROM o JOIN f ON o.o_custkey = f.o_custkey
+), sizes AS (
+  SELECT cq, CAST(count(DISTINCT o_custkey) AS BIGINT) AS cohort_size
+  FROM cohorted WHERE age_quarters = 0 GROUP BY 1
+), per_age AS (
+  SELECT cq, age_quarters, sum(p) AS rev FROM cohorted GROUP BY 1, 2
+), curve AS (
+  SELECT cq, age_quarters,
+         sum(rev) OVER (PARTITION BY cq ORDER BY age_quarters
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM per_age
+)
+SELECT CAST(cq // 4 AS VARCHAR) || '-Q' || CAST(cq % 4 + 1 AS VARCHAR) AS cohort,
+       age_quarters, cohort_size,
+       CAST((2 * CAST(cum * 100 AS BIGINT) + cohort_size) // (2 * cohort_size) AS DOUBLE)
+         / 100.0 AS cum_ltv_per_customer
+FROM curve JOIN sizes USING (cq)
+"""
+
+
+QUERIES.update({"q235_cohort_ltv": q235_cohort_ltv})
+ORACLE_SQL.update({"q235_cohort_ltv": Q235_SQL})
+
+
+# ---------------------------------------------------------------------------
+# New-vs-returning revenue split (q236)
+# ---------------------------------------------------------------------------
+
+def q236_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly revenue split between NEW customers (their first-ever
+    order falls in the quarter) and RETURNING ones — the growth-quality
+    decomposition (is revenue acquisition or retention?).  First-order
+    dates from one groupBy; each order classifies scan-locally against
+    the broadcast-joined first date; counts BIGINT, revenue DECIMAL,
+    the share one final division."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("__d"),
+        _dec("o_totalprice").alias("__p"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("__d").alias("__first"))
+    tagged = o.join(first, "o_custkey").select(
+        F.concat(
+            F.year("__d").cast("string"), F.lit("-Q"), F.quarter("__d").cast("string")
+        ).alias("quarter"),
+        F.when(
+            (F.year("__d") == F.year("__first")) & (F.quarter("__d") == F.quarter("__first")),
+            F.lit("new"),
+        ).otherwise(F.lit("returning")).alias("segment"),
+        "__p",
+    )
+    per = tagged.groupBy("quarter", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("__p").alias("__rev"),
+    )
+    w = Window.partitionBy("quarter")
+    return per.select(
+        "quarter", "segment", "n_orders",
+        F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("__rev").cast("double") / F.sum("__rev").over(w).cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
+Q236_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(o_totalprice AS DECIMAL(25,6)) AS p
+  FROM orders
+), f AS (
+  SELECT o_custkey, min(d) AS fd FROM o GROUP BY 1
+), tagged AS (
+  SELECT CAST(year(d) AS VARCHAR) || '-Q' || CAST(quarter(d) AS VARCHAR) AS quarter,
+         CASE WHEN year(d) = year(fd) AND quarter(d) = quarter(fd)
+              THEN 'new' ELSE 'returning' END AS segment,
+         p
+  FROM o JOIN f USING (o_custkey)
+), per AS (
+  SELECT quarter, segment, CAST(count(*) AS BIGINT) AS n_orders, sum(p) AS rev
+  FROM tagged GROUP BY 1, 2
+)
+SELECT quarter, segment, n_orders,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE)
+             / CAST(sum(rev) OVER (PARTITION BY quarter) AS DOUBLE), 6) AS revenue_share
+FROM per
+"""
+
+
+QUERIES.update({"q236_new_vs_returning": q236_new_vs_returning})
+ORACLE_SQL.update({"q236_new_vs_returning": Q236_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Dormancy reactivations (q237)
+# ---------------------------------------------------------------------------
+
+def q237_reactivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win-back report: orders placed after 180+ days of customer
+    silence, counted per quarter with the average dormancy length.
+    lag() is key-partitioned per customer (never a global window);
+    gaps are exact epoch-day integer differences; the average is one
+    division of two BIGINTs."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("__d", "o_orderkey")
+    gapped = orders.select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("__d"),
+    ).withColumn("__prev", F.lag("__d").over(w))
+    re = gapped.withColumn(
+        "__gap", F.datediff(F.col("__d"), F.col("__prev")).cast("long")
+    ).filter(F.col("__gap") >= 180)
+    return (
+        re.groupBy(
+            F.concat(
+                F.year("__d").cast("string"), F.lit("-Q"), F.quarter("__d").cast("string")
+            ).alias("quarter")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reactivations"),
+            F.round(
+                F.sum("__gap").cast("double") / F.count(F.lit(1)).cast("double"), 2
+            ).alias("avg_dormant_days"),
+        )
+    )
+
+
+Q237_SQL = """
+WITH g AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                                              ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev
+  FROM orders
+), re AS (
+  SELECT d, CAST(date_diff('day', prev, d) AS BIGINT) AS gap
+  FROM g WHERE prev IS NOT NULL AND date_diff('day', prev, d) >= 180
+)
+SELECT CAST(year(d) AS VARCHAR) || '-Q' || CAST(quarter(d) AS VARCHAR) AS quarter,
+       CAST(count(*) AS BIGINT) AS n_reactivations,
+       round(CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE), 2) AS avg_dormant_days
+FROM re GROUP BY 1
+"""
+
+
+QUERIES.update({"q237_reactivations": q237_reactivations})
+ORACLE_SQL.update({"q237_reactivations": Q237_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of baskets (q238)
+# ---------------------------------------------------------------------------
+
+def q238_basket_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective supplier count per order priority — the inverse-
+    Simpson diversity 1/Sum(share^2) over quantity shares (how many
+    suppliers does each priority class EFFECTIVELY buy from, ties to
+    q225's HHI: effective = 1/HHI).  Quantities sum as BIGINTs, the
+    squares as DECIMAL(18,0)x(18,0) products, and the single final
+    division flips the index — no logs, no entropy float-sum
+    nondeterminism."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("__q"))
+    )
+    d18 = "decimal(18,0)"
+    agg = per.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("__q").cast(d18).alias("__s1"),
+        F.sum(F.col("__q").cast(d18) * F.col("__q").cast(d18)).alias("__s2"),
+    )
+    s1 = F.col("__s1").cast("double")
+    return agg.select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_suppliers",
+        F.round((s1 * s1) / F.col("__s2").cast("double"), 6).alias("effective_suppliers"),
+    )
+
+
+Q238_SQL = """
+WITH per AS (
+  SELECT o_orderpriority, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), agg AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(q) AS DECIMAL(18,0)) AS s1,
+         sum(CAST(q AS DECIMAL(18,0)) * CAST(q AS DECIMAL(18,0))) AS s2
+  FROM per GROUP BY 1
+)
+SELECT o_orderpriority AS priority, n_suppliers,
+       round((CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(s2 AS DOUBLE), 6)
+         AS effective_suppliers
+FROM agg
+"""
+
+
+QUERIES.update({"q238_basket_diversity": q238_basket_diversity})
+ORACLE_SQL.update({"q238_basket_diversity": Q238_SQL})

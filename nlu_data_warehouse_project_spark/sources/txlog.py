@@ -1060,10 +1060,52 @@ class TxTable:
                 if attempt > max_retries:
                     raise
 
+    _Z_BITS = 4  # 16 equal-frequency buckets per clustered dimension
+
+    def _z_ordered(self, full: DataFrame, cols: list, n_output_dirs: int) -> DataFrame:
+        """Z-order layout for multi-column clustering: bucket every
+        cluster column into 2^_Z_BITS exact equal-frequency buckets
+        (`exact_global_ntiles` — one pinned pass, type-agnostic, no
+        single-partition sort), interleave the bucket bits round-robin
+        into a Z-value, and range-partition the rewrite on it.  Each
+        output dir then covers a compact cell block of the
+        multi-dimensional grid, so per-dir [min, max] stats stay
+        narrow on EVERY clustered column at once.  NULL cluster values
+        propagate to a NULL Z (range partitioner co-locates them), so
+        the affected dirs record unknown stats for that column and are
+        always scanned — pruning degrades, never lies."""
+        from ..operators.scale import exact_global_ntiles
+
+        # a unique tiebreak makes each spec a total order; the id is
+        # run-local (layout choice only — stats are re-recorded from
+        # the written data, so nondeterminism here cannot mislead reads)
+        tagged = full.withColumn("__zid", F.monotonically_increasing_id())
+        specs = [
+            ([(c, "asc"), ("__zid", "asc")], 1 << self._Z_BITS, f"__zb{i}")
+            for i, c in enumerate(cols)
+        ]
+        bucketed = exact_global_ntiles(tagged, specs)
+        ndims = len(cols)
+        z = F.lit(0).cast("long")
+        for bit in range(self._Z_BITS):
+            for i in range(ndims):
+                # bit `bit` of dimension i lands at position bit*ndims+i
+                z = z + (
+                    F.shiftright(F.col(f"__zb{i}") - 1, bit).bitwiseAND(F.lit(1))
+                    * F.lit(1 << (bit * ndims + i))
+                ).cast("long")
+        helper = ["__zid"] + [f"__zb{i}" for i in range(ndims)]
+        return (
+            bucketed.withColumn("__z", z)
+            .repartitionByRange(n_output_dirs, F.col("__z"), F.col("__zid"))
+            .sortWithinPartitions("__z")
+            .drop("__z", *helper)
+        )
+
     def compact_closed(
         self,
         min_dirs: int = 8,
-        cluster_by: str | None = None,
+        cluster_by=None,
         n_output_dirs: int = 4,
     ) -> int | None:
         """Merge the accumulated closed-delta dirs (the lakehouse
@@ -1078,8 +1120,8 @@ class TxTable:
         working).  Returns the new version, or None if below the
         threshold.
 
-        ``cluster_by`` turns the rewrite into CLUSTERED compaction
-        (the Z-order/liquid-clustering idea in its 1-D form): history
+        ``cluster_by`` turns the rewrite into CLUSTERED compaction.
+        A single column gives the 1-D liquid-clustering form: history
         is range-partitioned on the column into ``n_output_dirs``
         output dirs, each covering a narrow value band, and each dir's
         [min, max] for the cluster column is re-recorded EXACTLY —
@@ -1087,8 +1129,22 @@ class TxTable:
         whole bands instead of scanning every dir whose daily range
         straddled the predicate.  Boundaries come from the range
         partitioner's equal-frequency sampling (works for any
-        orderable type, dates included).  Un-clustered compaction
-        keeps the single-dir form with union-folded stats.
+        orderable type, dates included).
+
+        A LIST of columns gives true Z-ORDER clustering (VERDICT r10
+        round-11 extension): each column is bucketed into 16
+        equal-frequency buckets by the exact-ntile machinery
+        (`operators.scale.exact_global_ntiles` — type-agnostic, no
+        global sort), the bucket bits interleave into a Z-value, and
+        the rewrite range-partitions on it.  Every output dir then
+        covers a narrow HYPER-RECTANGLE, so ``read_closed_pruned`` on
+        ANY clustered column skips dirs — the multi-dimension pruning a
+        1-D sort fundamentally cannot give (sorting on c1 makes c2
+        ranges full-width in every band).  Rows with NULL in a cluster
+        column co-locate into Z-null bands whose stats mark that
+        column unknown — those dirs are always scanned, never wrongly
+        skipped.  Un-clustered compaction keeps the single-dir form
+        with union-folded stats.
 
         At 100 TB run this on a maintenance cadence, not per-merge:
         compaction cost is one full history rewrite, amortized over
@@ -1104,7 +1160,12 @@ class TxTable:
                 "replacement semantics; slices are already bounded (one "
                 "dir per slice) — vacuum reclaims superseded ones"
             )
-        if cluster_by is not None and n_output_dirs < 1:
+        cluster_cols = (
+            [cluster_by] if isinstance(cluster_by, str)
+            else list(cluster_by) if cluster_by is not None
+            else []
+        )
+        if cluster_cols and n_output_dirs < 1:
             raise ValueError(f"n_output_dirs={n_output_dirs} must be >= 1")
         token = uuid.uuid4().hex[:8]
         compacted = f"{_DATA_DIR}/closed-compacted-{token}"
@@ -1114,25 +1175,30 @@ class TxTable:
         schema = self._manifest_schema(man)
         schema_json = json.loads(schema.json())
         full = self.read_closed()
-        if cluster_by is None:
+        if not cluster_cols:
             full.write.parquet(os.path.join(self.root, compacted))
             new_dirs = [compacted]
         else:
-            if cluster_by not in [f.name for f in schema.fields]:
+            field_names = [f.name for f in schema.fields]
+            missing = [c for c in cluster_cols if c not in field_names]
+            if missing:
                 raise ValueError(
-                    f"cluster_by column '{cluster_by}' not in table schema "
-                    f"{[f.name for f in schema.fields]}"
+                    f"cluster_by column(s) {missing} not in table schema {field_names}"
                 )
-            # one hive-partitioned write: range-partition on the cluster
-            # column, tag each task's rows with its partition id, and
-            # let partitionBy land every band in its own subdir — each
-            # subdir then registers as an independent closed dir (the
-            # partition column is directory metadata, not file bytes,
-            # so per-dir schemas stay the plain table schema)
+            if len(cluster_cols) == 1:
+                clustered = full.repartitionByRange(
+                    n_output_dirs, F.col(cluster_cols[0])
+                ).sortWithinPartitions(cluster_cols[0])
+            else:
+                clustered = self._z_ordered(full, cluster_cols, n_output_dirs)
+            # one hive-partitioned write: tag each task's rows with its
+            # partition id and let partitionBy land every band in its
+            # own subdir — each subdir then registers as an independent
+            # closed dir (the partition column is directory metadata,
+            # not file bytes, so per-dir schemas stay the plain table
+            # schema)
             (
-                full.repartitionByRange(n_output_dirs, F.col(cluster_by))
-                .sortWithinPartitions(cluster_by)
-                .withColumn("__cluster", F.spark_partition_id())
+                clustered.withColumn("__cluster", F.spark_partition_id())
                 .write.partitionBy("__cluster")
                 .parquet(os.path.join(self.root, compacted))
             )
@@ -1152,15 +1218,15 @@ class TxTable:
                 f"v{latest['version'] if latest else '?'} during compaction; retry"
             )
         new_stats: dict = {}
-        if cluster_by is not None:
+        if cluster_cols:
             # clustered rewrite: re-record EXACT per-band stats from the
-            # written data (stats_cols plus the cluster column) — the
+            # written data (stats_cols plus every cluster column) — the
             # whole point of the rewrite is tight, non-overlapping
             # ranges, which a union fold cannot produce
             for d in new_dirs:
                 s = self._closed_stats(
                     self.spark.read.schema(schema).parquet(os.path.join(self.root, d)),
-                    extra_cols=[cluster_by],
+                    extra_cols=cluster_cols,
                 )
                 if s:
                     new_stats[d] = s

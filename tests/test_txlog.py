@@ -1265,3 +1265,39 @@ def test_clustered_compaction_prunes_bands_at_bench_scale(spark, tmp_path):
     got = sorted((r["l_orderkey"], r["l_linenumber"]) for r in post.collect())
     assert got == want
     assert man["version"] + 1 == ver
+
+
+def test_zorder_compaction_prunes_on_both_dimensions(spark, tmp_path):
+    """Multi-column Z-order clustering: after compact_closed(cluster_by=
+    [x, y]) BOTH single-column predicates prune dirs — the property a
+    1-D sort cannot give (clustering on x makes every band full-width
+    in y).  Also: identical rows, and the 1-D path still accepts a
+    plain string."""
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "z"), stats_cols=["x", "y"])
+    # dense independent grid: x, y uniform over 0..63, shuffled into 8
+    # straddling appends so pre-compaction stats prune nothing
+    rows = [(i, (i * 29) % 64, (i * 37) % 64) for i in range(4096)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    for b in range(8):
+        t.commit_append(df.filter(F.col("id") % 8 == b), f"b{b}")
+
+    def dirs_scanned(q):
+        return {p.split("/data/")[1].rsplit("/", 1)[0] for p in q.inputFiles()}
+
+    assert len(dirs_scanned(t.read_closed_pruned("x", 10, 12))) == 8
+    ver = t.compact_closed(min_dirs=8, cluster_by=["x", "y"], n_output_dirs=8)
+    assert ver is not None and len(t.manifest()["closed"]) == 8
+
+    x_dirs = dirs_scanned(t.read_closed_pruned("x", 10, 12))
+    y_dirs = dirs_scanned(t.read_closed_pruned("y", 50, 52))
+    assert len(x_dirs) < 8, f"x predicate must prune, scanned {len(x_dirs)}"
+    assert len(y_dirs) < 8, f"y predicate must prune, scanned {len(y_dirs)}"
+
+    got = sorted(r["id"] for r in t.read_closed_pruned("x", 10, 12).collect())
+    want = sorted(i for (i, x, _) in rows if 10 <= x <= 12)
+    assert got == want
+    got_y = sorted(r["id"] for r in t.read_closed_pruned("y", 50, 52).collect())
+    want_y = sorted(i for (i, _, y) in rows if 50 <= y <= 52)
+    assert got_y == want_y
