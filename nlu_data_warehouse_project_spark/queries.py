@@ -12530,3 +12530,484 @@ FROM agg
 
 QUERIES.update({"q238_basket_diversity": q238_basket_diversity})
 ORACLE_SQL.update({"q238_basket_diversity": Q238_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Time-to-second-order (q239)
+# ---------------------------------------------------------------------------
+
+def q239_second_order_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles of days between a customer's FIRST and SECOND
+    order — the activation metric growth teams watch.  The first two
+    dates per customer come from one groupBy (min + the min-above-min;
+    no per-customer window sort), the gap is an integer day count, and
+    the percentile set rides `scale.exact_global_percentiles` — never
+    a single-state global percentile buffer."""
+    from .operators.scale import exact_global_percentiles
+
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select("o_custkey", F.col("o_orderdate").cast("date").alias("__d"))
+    per = o.groupBy("o_custkey").agg(F.min("__d").alias("__f"))
+    second = (
+        o.join(per, "o_custkey")
+        .filter(F.col("__d") > F.col("__f"))
+        .groupBy("o_custkey", "__f")
+        .agg(F.min("__d").alias("__s"))
+    )
+    gaps = second.select(
+        F.datediff(F.col("__s"), F.col("__f")).cast("double").alias("__gap")
+    )
+    out = exact_global_percentiles(gaps, "__gap", [0.25, 0.5, 0.75, 0.9])
+    return out.select("p", F.round(F.col("value"), 6).alias("days"))
+
+
+Q239_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+), f AS (
+  SELECT o_custkey, min(d) AS fd FROM o GROUP BY 1
+), s AS (
+  SELECT o.o_custkey, fd, min(d) AS sd
+  FROM o JOIN f USING (o_custkey) WHERE d > fd
+  GROUP BY 1, 2
+), gaps AS (
+  SELECT CAST(date_diff('day', fd, sd) AS DOUBLE) AS gap FROM s
+), r AS (
+  SELECT gap, row_number() OVER (ORDER BY gap) AS rk FROM gaps
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM gaps
+), ps AS (
+  SELECT CAST(p AS DOUBLE) AS p FROM (VALUES (0.25), (0.5), (0.75), (0.9)) t(p)
+), sp AS (
+  SELECT p, CAST(floor((n - 1) * p) AS BIGINT) + 1 AS lo,
+         (n - 1) * p - floor((n - 1) * p) AS frac, n
+  FROM ps, n
+)
+SELECT sp.p,
+       round(rlo.gap + sp.frac * (rhi.gap - rlo.gap), 6) AS days
+FROM sp
+JOIN r rlo ON rlo.rk = sp.lo
+JOIN r rhi ON rhi.rk = least(sp.lo + 1, sp.n)
+"""
+
+
+QUERIES.update({"q239_second_order_latency": q239_second_order_latency})
+ORACLE_SQL.update({"q239_second_order_latency": Q239_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Order-value histogram with cumulative share (q240)
+# ---------------------------------------------------------------------------
+
+def q240_order_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width order-value bands ($25k) with each band's share of
+    orders and CUMULATIVE share of revenue — the tabular Lorenz curve
+    (q224 compresses it to one Gini number; this keeps the shape).
+    Band ids are integer division (identical div/// semantics pinned
+    by q194), sums are exact, and every share is one final division.
+    The one global-order window runs over the AGGREGATED band frame —
+    bounded by the $25k banding of the price cap (<= ~25 rows at any
+    data size; the q185 sanctioned shape), never over data-scaled
+    rows."""
+    orders = _t(spark, sf_dir, "orders")
+    # band from integer CENTS with integer division: decimal division
+    # + cast rounds in DuckDB but truncates in Spark — int div agrees
+    banded = orders.select(
+        F.expr("CAST(o_totalprice AS DECIMAL(25,2)) * 100").cast("long")
+        .alias("__cents"),
+        _dec("o_totalprice").alias("__p"),
+    ).select(
+        F.expr("__cents div 2500000").cast("int").alias("band"), "__p"
+    )
+    per = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("__p").alias("__rev"),
+    )
+    w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(
+        F.sum("n_orders").cast("long").alias("__tn"), F.sum("__rev").alias("__tr")
+    )
+    return (
+        per.withColumn("__cumrev", F.sum("__rev").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_orders",
+            F.round(F.col("n_orders").cast("double") / F.col("__tn").cast("double"), 6).alias("order_share"),
+            F.round(F.col("__cumrev").cast("double") / F.col("__tr").cast("double"), 6).alias("cum_revenue_share"),
+        )
+    )
+
+
+Q240_SQL = """
+WITH banded AS (
+  SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT) // 2500000 AS INTEGER) AS band,
+         CAST(o_totalprice AS DECIMAL(25,6)) AS p
+  FROM orders
+), per AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n_orders, sum(p) AS rev
+  FROM banded GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_orders) AS BIGINT) AS tn, sum(rev) AS tr FROM per
+)
+SELECT band, n_orders,
+       round(CAST(n_orders AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS order_share,
+       round(CAST(sum(rev) OVER (ORDER BY band
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(tr AS DOUBLE), 6) AS cum_revenue_share
+FROM per, tot
+"""
+
+
+QUERIES.update({"q240_order_value_bands": q240_order_value_bands})
+ORACLE_SQL.update({"q240_order_value_bands": Q240_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Ship-latency SLA by priority (q241)
+# ---------------------------------------------------------------------------
+
+def q241_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship latency per order priority: median / p90 /
+    p99 plus the share inside a 30-day SLA — the ops dashboard row.
+    First-ship is a min() per order (never a window over lineitem),
+    latencies are integer days, the per-priority percentile groups are
+    bounded (5 groups — the q30 bounded-group license), and the SLA
+    share is one integer division."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("__ship")
+    )
+    lat = (
+        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("__ship"), F.col("o_orderdate").cast("date"))
+            .cast("double").alias("__days"),
+        )
+    )
+    return lat.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.expr("percentile(__days, 0.5)"), 4).alias("median_days"),
+        F.round(F.expr("percentile(__days, 0.9)"), 4).alias("p90_days"),
+        F.round(F.expr("percentile(__days, 0.99)"), 4).alias("p99_days"),
+        F.round(
+            F.sum(F.when(F.col("__days") <= 30, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("sla30_share"),
+    )
+
+
+Q241_SQL = """
+WITH fs AS (
+  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS ship FROM lineitem GROUP BY 1
+), lat AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), ship) AS DOUBLE) AS days
+  FROM orders JOIN fs ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(quantile_cont(days, 0.5), 4) AS median_days,
+       round(quantile_cont(days, 0.9), 4) AS p90_days,
+       round(quantile_cont(days, 0.99), 4) AS p99_days,
+       round(CAST(sum(CASE WHEN days <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS sla30_share
+FROM lat GROUP BY 1
+"""
+
+
+QUERIES.update({"q241_ship_latency_sla": q241_ship_latency_sla})
+ORACLE_SQL.update({"q241_ship_latency_sla": Q241_SQL})
+
+
+# ---------------------------------------------------------------------------
+# ABC-XYZ classification (q242)
+# ---------------------------------------------------------------------------
+
+def q242_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC-XYZ inventory matrix: parts classed by revenue
+    contribution (A/B/C — cumulative 70/90% cuts, the q181 machinery)
+    crossed with demand variability (X/Y/Z — coefficient of variation
+    of monthly quantity under 0.5 / under 1.0 / above).  CV uses the
+    q108 exact-power-sum discipline (no stddev built-in); the
+    cumulative revenue share rides exact_prefix_sum.  Output: the 9+
+    cell counts — the planner's stocking-policy grid."""
+    from .operators.scale import exact_prefix_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r")
+    )
+    tot = rev.agg(F.sum("__r").alias("__tr"))
+    cum = exact_prefix_sum(
+        rev, [F.col("__r").desc(), F.col("l_partkey").asc()], "__r", cum_col="__cum"
+    )
+    abc = cum.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        F.when(
+            F.col("__cum").cast("double") / F.col("__tr").cast("double") <= 0.7, "A"
+        ).when(
+            F.col("__cum").cast("double") / F.col("__tr").cast("double") <= 0.9, "B"
+        ).otherwise("C").alias("abc"),
+    )
+    monthly = li.groupBy(
+        "l_partkey",
+        F.year(F.col("l_shipdate").cast("date")).alias("__y"),
+        F.month(F.col("l_shipdate").cast("date")).alias("__m"),
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").alias("__q"))
+    sums = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("__n"),
+        F.sum("__q").cast("decimal(20,2)").alias("__s"),
+        F.sum(F.col("__q") * F.col("__q")).cast("decimal(30,4)").alias("__ss"),
+    )
+    # CV^2 = (n*Σq² - (Σq)²) / (Σq)² — all-decimal numerator/denominator,
+    # ONE float division, compared against squared thresholds so no sqrt
+    num = (F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")).cast("double")
+    den = (F.col("__s") * F.col("__s")).cast("double")
+    xyz = sums.select(
+        F.col("l_partkey").alias("__pk"),
+        F.when(num / den <= 0.25, "X").when(num / den <= 1.0, "Y").otherwise("Z").alias("xyz"),
+    )
+    return (
+        abc.join(xyz, abc.l_partkey == F.col("__pk"))
+        .groupBy("abc", "xyz")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+
+
+Q242_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS r
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT sum(r) AS tr FROM rev
+), abc AS (
+  SELECT l_partkey,
+         CASE WHEN CAST(sum(r) OVER (ORDER BY r DESC, l_partkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / CAST(tr AS DOUBLE) <= 0.7 THEN 'A'
+              WHEN CAST(sum(r) OVER (ORDER BY r DESC, l_partkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / CAST(tr AS DOUBLE) <= 0.9 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM rev, tot
+), monthly AS (
+  SELECT l_partkey, year(CAST(l_shipdate AS DATE)) AS y, month(CAST(l_shipdate AS DATE)) AS m,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS q
+  FROM lineitem GROUP BY 1, 2, 3
+), sums AS (
+  SELECT l_partkey,
+         CAST(count(*) AS DECIMAL(12,0)) AS n,
+         CAST(sum(q) AS DECIMAL(20,2)) AS s,
+         CAST(sum(q * q) AS DECIMAL(30,4)) AS ss
+  FROM monthly GROUP BY 1
+), xyz AS (
+  SELECT l_partkey,
+         CASE WHEN CAST(n * ss - s * s AS DOUBLE) / CAST(s * s AS DOUBLE) <= 0.25 THEN 'X'
+              WHEN CAST(n * ss - s * s AS DOUBLE) / CAST(s * s AS DOUBLE) <= 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM sums
+)
+SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts
+FROM abc JOIN xyz USING (l_partkey)
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q242_abc_xyz_matrix": q242_abc_xyz_matrix})
+ORACLE_SQL.update({"q242_abc_xyz_matrix": Q242_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Price-tier mix shift (q243)
+# ---------------------------------------------------------------------------
+
+def q243_price_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue MIX SHIFT across price tiers (unit-price
+    bands cut at $1000/$2000): each (year, tier) cell's revenue share
+    of its year, plus the share delta vs the prior year — separates
+    'selling more' from 'selling up'.  Tier cuts are integer-cents
+    comparisons (no float band edges), shares one division each, and
+    the delta joins each year to its predecessor on the tiny
+    year x tier frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    priced = li.select(
+        F.year(F.col("l_shipdate").cast("date")).alias("year"),
+        F.expr(
+            "CASE WHEN CAST(l_extendedprice / l_quantity AS DECIMAL(25,2)) < 1000 THEN 'budget' "
+            "WHEN CAST(l_extendedprice / l_quantity AS DECIMAL(25,2)) < 2000 THEN 'mid' "
+            "ELSE 'premium' END"
+        ).alias("tier"),
+        _dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("__r"),
+    )
+    per = priced.groupBy("year", "tier").agg(F.sum("__r").alias("__rev"))
+    w_year = Window.partitionBy("year")
+    shared = per.withColumn(
+        "share",
+        F.round(F.col("__rev").cast("double") / F.sum("__rev").over(w_year).cast("double"), 6),
+    )
+    prev = shared.select(
+        (F.col("year") + 1).alias("year"), F.col("tier"), F.col("share").alias("__prev")
+    )
+    return (
+        shared.join(prev, ["year", "tier"], "left")
+        .select(
+            "year", "tier", "share",
+            F.round(F.col("share") - F.col("__prev"), 6).alias("share_delta"),
+        )
+    )
+
+
+Q243_SQL = """
+WITH priced AS (
+  SELECT year(CAST(l_shipdate AS DATE)) AS year,
+         CASE WHEN CAST(l_extendedprice / l_quantity AS DECIMAL(25,2)) < 1000 THEN 'budget'
+              WHEN CAST(l_extendedprice / l_quantity AS DECIMAL(25,2)) < 2000 THEN 'mid'
+              ELSE 'premium' END AS tier,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6)) AS r
+  FROM lineitem
+), per AS (
+  SELECT year, tier, sum(r) AS rev FROM priced GROUP BY 1, 2
+), shared AS (
+  SELECT year, tier,
+         round(CAST(rev AS DOUBLE)
+               / CAST(sum(rev) OVER (PARTITION BY year) AS DOUBLE), 6) AS share
+  FROM per
+)
+SELECT s.year, s.tier, s.share,
+       round(s.share - p.share, 6) AS share_delta
+FROM shared s LEFT JOIN shared p ON p.year = s.year - 1 AND p.tier = s.tier
+"""
+
+
+QUERIES.update({"q243_price_mix_shift": q243_price_mix_shift})
+ORACLE_SQL.update({"q243_price_mix_shift": Q243_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Duplication rate per language (q244)
+# ---------------------------------------------------------------------------
+
+def q244_dup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication RATE per language — the curation KPI the
+    dedup family (q14/q24) feeds: over the duplicated test corpus,
+    docs per distinct normalized fingerprint and the share of docs a
+    keep-min-id dedup would remove.  One fingerprint agg, exact
+    integers, final single divisions."""
+    from .functions.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    keyed = corpus.withColumn("fp", doc_fingerprint("text"))
+    per = keyed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("fp").cast("long").alias("n_distinct"),
+    )
+    return per.select(
+        "lang", "n_docs", "n_distinct",
+        F.round(
+            (F.col("n_docs") - F.col("n_distinct")).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+Q244_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents
+), keyed AS (
+  SELECT lang,
+         md5(array_to_string(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> ''), ' ')) AS fp
+  FROM corpus
+), per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct
+  FROM keyed GROUP BY 1
+)
+SELECT lang, n_docs, n_distinct,
+       round(CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+FROM per
+"""
+
+
+QUERIES.update({"q244_dup_rate_by_lang": q244_dup_rate_by_lang})
+ORACLE_SQL.update({"q244_dup_rate_by_lang": Q244_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Intra-cluster coherence without pairs (q245)
+# ---------------------------------------------------------------------------
+
+def q245_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise dot product WITHIN each embedding label — computed
+    WITHOUT forming any pair: Sum_{i != j} <v_i, v_j> =
+    ||Sum v||^2 - Sum ||v||^2, so one O(n*d) pass replaces the O(n^2)
+    self-join (at 100 TB this identity IS the difference between a
+    feasible coherence report and an impossible one).  Components
+    route float -> double -> DECIMAL(13,6) (the round-8 dyadic-float
+    lemma makes that rounding bit-identical across engines), per-dim
+    sums and both norm aggregates stay exact DECIMAL, and the mean is
+    one final division.  High coherence = a tight label; near-zero =
+    a label that is semantic noise."""
+    e = _t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", "vec_id", F.posexplode("embedding").alias("__i", "__x")
+    ).select(
+        "label", "vec_id", "__i",
+        F.col("__x").cast("double").cast("decimal(13,6)").alias("__xd"),
+    )
+    per_dim = comp.groupBy("label", "__i").agg(
+        F.sum("__xd").cast("decimal(19,6)").alias("__s")
+    )
+    norm_of_sum = per_dim.groupBy("label").agg(
+        F.sum(F.col("__s") * F.col("__s")).alias("__ns")
+    )
+    self_norms = comp.groupBy("label").agg(
+        F.sum(F.col("__xd") * F.col("__xd")).alias("__sn"),
+        F.count_distinct("vec_id").cast("long").alias("n_vectors"),
+    )
+    joined = norm_of_sum.join(self_norms, "label")
+    n = F.col("n_vectors").cast("double")
+    return joined.select(
+        "label", "n_vectors",
+        F.round(
+            (F.col("__ns").cast("double") - F.col("__sn").cast("double")) / (n * (n - 1)),
+            6,
+        ).alias("mean_pairwise_dot"),
+        F.round(F.col("__sn").cast("double") / n, 6).alias("mean_self_dot"),
+    )
+
+
+Q245_SQL = """
+WITH comp AS (
+  SELECT label, vec_id, i,
+         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(13,6)) AS xd
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), per_dim AS (
+  SELECT label, i, CAST(sum(xd) AS DECIMAL(19,6)) AS s
+  FROM comp GROUP BY 1, 2
+), ns AS (
+  SELECT label, sum(s * s) AS ns FROM per_dim GROUP BY 1
+), sn AS (
+  SELECT label, sum(xd * xd) AS sn,
+         CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vectors
+  FROM comp GROUP BY 1
+)
+SELECT label, n_vectors,
+       round((CAST(ns AS DOUBLE) - CAST(sn AS DOUBLE))
+             / (CAST(n_vectors AS DOUBLE) * (CAST(n_vectors AS DOUBLE) - 1)), 6)
+         AS mean_pairwise_dot,
+       round(CAST(sn AS DOUBLE) / CAST(n_vectors AS DOUBLE), 6) AS mean_self_dot
+FROM ns JOIN sn USING (label)
+"""
+
+
+QUERIES.update({"q245_label_coherence": q245_label_coherence})
+ORACLE_SQL.update({"q245_label_coherence": Q245_SQL})
