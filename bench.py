@@ -242,7 +242,12 @@ def main() -> None:
                  # global percentiles through the rank machinery,
                  # skyline via exclusive prefix-max
                  "q200_coorder_pagerank", "q206_global_price_percentiles",
-                 "q207_skyline_parts"):
+                 "q207_skyline_parts",
+                 # round 11: rank-machinery inequality stats, the
+                 # tie-aware Spearman (two prefix-agg frames), the
+                 # pair-free coherence identity over embeddings
+                 "q224_gini_customer_spend", "q227_spearman_qty_price",
+                 "q242_abc_xyz_matrix", "q245_label_coherence"):
         med = time_query(name)
         if med is not None:
             extra_queries[name.split("_")[0]] = med
