@@ -13011,3 +13011,338 @@ FROM ns JOIN sn USING (label)
 
 QUERIES.update({"q245_label_coherence": q245_label_coherence})
 ORACLE_SQL.update({"q245_label_coherence": Q245_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent rollup (q246)
+# ---------------------------------------------------------------------------
+
+def q246_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level percent-of-parent report: each nation's revenue share
+    OF ITS REGION and each region's share of the world — the
+    drill-down layout BI front-ends ask engines for.  One fact agg,
+    two broadcast dims, shares by key-partitioned window sums over the
+    25-row nation frame, single final divisions."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__rev"))
+    )
+    w_reg = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return rev.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("__rev").cast("double") / F.sum("__rev").over(w_reg).cast("double"), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("__rev").over(w_reg).cast("double") / F.sum("__rev").over(w_all).cast("double"),
+            6,
+        ).alias("region_share_of_world"),
+    )
+
+
+Q246_SQL = """
+WITH rev AS (
+  SELECT r_name, n_name,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name AS region, n_name AS nation,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE)
+             / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share_of_region,
+       round(CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+             / CAST(sum(rev) OVER () AS DOUBLE), 6) AS region_share_of_world
+FROM rev
+"""
+
+
+QUERIES.update({"q246_share_of_parent": q246_share_of_parent})
+ORACLE_SQL.update({"q246_share_of_parent": Q246_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Retention triangle (q247)
+# ---------------------------------------------------------------------------
+
+def q247_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic cohort retention triangle: % of each first-order-
+    quarter cohort that placed ANY order at each quarter age — q235's
+    LTV curve counts money, this counts heads.  Distinct actives per
+    (cohort, age) are exact; each rate is one integer division."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select("o_custkey", F.col("o_orderdate").cast("date").alias("__d"))
+    first = o.groupBy("o_custkey").agg(F.min("__d").alias("__f"))
+    aged = o.join(first, "o_custkey").select(
+        (F.year("__f") * 4 + F.quarter("__f") - 1).alias("__cq"),
+        (
+            (F.year("__d") * 4 + F.quarter("__d") - 1)
+            - (F.year("__f") * 4 + F.quarter("__f") - 1)
+        ).cast("int").alias("age_quarters"),
+        "o_custkey",
+    )
+    active = aged.groupBy("__cq", "age_quarters").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_active")
+    )
+    size = aged.filter(F.col("age_quarters") == 0).groupBy("__cq").agg(
+        F.count_distinct("o_custkey").cast("long").alias("cohort_size")
+    )
+    return (
+        active.join(size, "__cq")
+        .select(
+            F.concat(
+                (F.col("__cq") / 4).cast("int").cast("string"),
+                F.lit("-Q"),
+                (F.col("__cq") % 4 + 1).cast("string"),
+            ).alias("cohort"),
+            "age_quarters",
+            "cohort_size",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention_rate"),
+        )
+    )
+
+
+Q247_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+), f AS (
+  SELECT o_custkey, min(d) AS fd FROM o GROUP BY 1
+), aged AS (
+  SELECT year(fd) * 4 + quarter(fd) - 1 AS cq,
+         CAST((year(d) * 4 + quarter(d) - 1) - (year(fd) * 4 + quarter(fd) - 1) AS INTEGER) AS age_quarters,
+         o.o_custkey
+  FROM o JOIN f USING (o_custkey)
+), active AS (
+  SELECT cq, age_quarters, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active
+  FROM aged GROUP BY 1, 2
+), size AS (
+  SELECT cq, CAST(count(DISTINCT o_custkey) AS BIGINT) AS cohort_size
+  FROM aged WHERE age_quarters = 0 GROUP BY 1
+)
+SELECT CAST(cq // 4 AS VARCHAR) || '-Q' || CAST(cq % 4 + 1 AS VARCHAR) AS cohort,
+       age_quarters, cohort_size, n_active,
+       round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6) AS retention_rate
+FROM active JOIN size USING (cq)
+"""
+
+
+QUERIES.update({"q247_retention_triangle": q247_retention_triangle})
+ORACLE_SQL.update({"q247_retention_triangle": Q247_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Session co-occurrence lift (q248)
+# ---------------------------------------------------------------------------
+
+def q248_event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIFT between event types co-occurring within the same user-hour
+    'session': P(a,b)/(P(a)P(b)) over session-distinct type sets — the
+    association screen behind 'users who error also churn'.  Pairs
+    come from a self-join of session-distinct types (bounded by 5
+    event types per session, never raw events squared); probabilities
+    are exact session counts; each lift is a single float expression.
+    Ordered pairs a < b reported once."""
+    ev = _t(spark, sf_dir, "events")
+    sess = ev.select(
+        F.col("user_id"),
+        F.expr("unix_micros(ts) div 3600000000").alias("__hour"),
+        "event_type",
+    ).distinct()
+    n_sessions = sess.select("user_id", "__hour").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    per_type = sess.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    a = sess.select("user_id", "__hour", F.col("event_type").alias("type_a"))
+    b = sess.select("user_id", "__hour", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "__hour"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ca = per_type.select(F.col("event_type").alias("type_a"), F.col("__cnt").alias("__ca"))
+    cb = per_type.select(F.col("event_type").alias("type_b"), F.col("__cnt").alias("__cb"))
+    joined = pairs.join(F.broadcast(ca), "type_a").join(F.broadcast(cb), "type_b") \
+        .crossJoin(F.broadcast(n_sessions))
+    n = F.col("__n").cast("double")
+    return joined.select(
+        "type_a", "type_b", "n_both",
+        F.round(
+            (F.col("n_both").cast("double") * n)
+            / (F.col("__ca").cast("double") * F.col("__cb").cast("double")),
+            6,
+        ).alias("lift"),
+    )
+
+
+Q248_SQL = """
+WITH sess AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 3600000000 AS hour, event_type
+  FROM events
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT DISTINCT user_id, hour FROM sess)
+), per_type AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM sess GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM sess a JOIN sess b
+    ON a.user_id = b.user_id AND a.hour = b.hour AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       round((CAST(n_both AS DOUBLE) * CAST(n.n AS DOUBLE))
+             / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN per_type ca ON ca.event_type = type_a
+JOIN per_type cb ON cb.event_type = type_b
+CROSS JOIN n
+"""
+
+
+QUERIES.update({"q248_event_cooccurrence_lift": q248_event_cooccurrence_lift})
+ORACLE_SQL.update({"q248_event_cooccurrence_lift": Q248_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Customer survival curve (q249)
+# ---------------------------------------------------------------------------
+
+def q249_customer_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer 'survival' curve: the share of ever-acquired customers
+    whose observed ordering LIFESPAN (last minus first order date)
+    reaches 90/180/365/730 days — the churn complement of q247's
+    per-cohort triangle, collapsed to one curve.  Lifespans are integer
+    day diffs off one min/max groupBy; the threshold grid joins as a
+    broadcast 4-row frame (no per-threshold rescan); each rate is one
+    integer division."""
+    orders = _t(spark, sf_dir, "orders")
+    span = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).cast("long").alias("__life")
+    )
+    grid = spark.createDataFrame([(90,), (180,), (365,), (730,)], "threshold_days int")
+    tot = span.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    survived = (
+        span.crossJoin(F.broadcast(grid))
+        .filter(F.col("__life") >= F.col("threshold_days"))
+        .groupBy("threshold_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_surviving"))
+    )
+    return (
+        survived.crossJoin(F.broadcast(tot))
+        .select(
+            "threshold_days", "n_surviving",
+            F.round(
+                F.col("n_surviving").cast("double") / F.col("__n").cast("double"), 6
+            ).alias("survival_rate"),
+        )
+    )
+
+
+Q249_SQL = """
+WITH span AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', min(CAST(o_orderdate AS DATE)),
+                        max(CAST(o_orderdate AS DATE))) AS BIGINT) AS life
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM span
+), grid AS (
+  SELECT CAST(t AS INTEGER) AS threshold_days FROM (VALUES (90), (180), (365), (730)) g(t)
+)
+SELECT threshold_days,
+       CAST(count(*) AS BIGINT) AS n_surviving,
+       round(CAST(count(*) AS DOUBLE) / CAST(any_value(n) AS DOUBLE), 6) AS survival_rate
+FROM span, grid, tot
+WHERE life >= threshold_days
+GROUP BY threshold_days
+"""
+
+
+QUERIES.update({"q249_customer_survival": q249_customer_survival})
+ORACLE_SQL.update({"q249_customer_survival": Q249_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Backlog aging (q250)
+# ---------------------------------------------------------------------------
+
+def q250_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aged into 30/90/365-day buckets as of the
+    corpus's LAST order date (a derived reference — never wall-clock,
+    so the result is reproducible forever): order counts and value at
+    risk per bucket and priority.  The reference date is a broadcast
+    1-row aggregate; ages are integer day diffs; value sums are exact
+    DECIMAL rounded once."""
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("__ref"))
+    aged = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_orderpriority",
+            _dec("o_totalprice").alias("__p"),
+            F.datediff(F.col("__ref"), F.col("o_orderdate").cast("date"))
+            .cast("long").alias("__age"),
+        )
+    )
+    bucket = (
+        F.when(F.col("__age") <= 30, "0-30d")
+        .when(F.col("__age") <= 90, "31-90d")
+        .when(F.col("__age") <= 365, "91-365d")
+        .otherwise("365d+")
+    )
+    return (
+        aged.groupBy(
+            F.col("o_orderpriority").alias("priority"), bucket.alias("age_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("__p"), 2).cast("double").alias("value_at_risk"),
+        )
+    )
+
+
+Q250_SQL = """
+WITH ref AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS ref FROM orders
+), aged AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(25,6)) AS p,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), ref) AS BIGINT) AS age
+  FROM orders, ref WHERE o_orderstatus = 'O'
+)
+SELECT o_orderpriority AS priority,
+       CASE WHEN age <= 30 THEN '0-30d' WHEN age <= 90 THEN '31-90d'
+            WHEN age <= 365 THEN '91-365d' ELSE '365d+' END AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(p), 2) AS DOUBLE) AS value_at_risk
+FROM aged GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q250_backlog_aging": q250_backlog_aging})
+ORACLE_SQL.update({"q250_backlog_aging": Q250_SQL})
