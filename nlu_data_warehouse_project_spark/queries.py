@@ -13157,13 +13157,23 @@ def q248_event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from a self-join of session-distinct types (bounded by 5
     event types per session, never raw events squared); probabilities
     are exact session counts; each lift is a single float expression.
-    Ordered pairs a < b reported once."""
+    Ordered pairs a < b reported once.  The session-distinct frame is
+    pinned once and feeds all four consumers (the q185/q200 multi-
+    branch discipline)."""
+    from .operators.scale import pin_frame
+
     ev = _t(spark, sf_dir, "events")
-    sess = ev.select(
-        F.col("user_id"),
-        F.expr("unix_micros(ts) div 3600000000").alias("__hour"),
-        "event_type",
-    ).distinct()
+    # the session-distinct frame feeds FOUR branches (session count,
+    # per-type counts, both pair sides) — pin it once or each branch
+    # re-shuffles the distinct over the full event stream
+    sess = pin_frame(
+        ev.select(
+            F.col("user_id"),
+            F.expr("unix_micros(ts) div 3600000000").alias("__hour"),
+            "event_type",
+        ).distinct(),
+        eager=True,
+    )
     n_sessions = sess.select("user_id", "__hour").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )

@@ -768,3 +768,51 @@ def test_q206_global_percentiles_plan_has_no_single_partition_sort(spark, sf_smo
     assert window_count(q) == 0
     assert python_udf_count(q) == 0
     assert uses_broadcast_join(q)  # the cut-rank offsets join broadcasts
+
+
+def test_round11_wave_plans(spark, sf_smoke):
+    """q224-q250 discipline: zero Python in every relational plan; the
+    rank-machinery queries (Gini, Spearman, weighted median, ABC-XYZ)
+    carry NO single-partition exchange; bounded shuffles on the heavy
+    joins."""
+    from nlu_data_warehouse_project_spark.plans import (
+        single_partition_exchange_count,
+    )
+
+    for name in (
+        "q224_gini_customer_spend", "q227_spearman_qty_price",
+        "q228_weighted_median_price", "q242_abc_xyz_matrix",
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert single_partition_exchange_count(q) == 0, name
+
+    for name, max_shuffles in (
+        ("q225_supplier_hhi", 3),
+        ("q226_clamped_inventory_balance", 2),
+        ("q229_last_touch_attribution", 2),
+        ("q230_event_transition_matrix", 3),
+        ("q231_duplicate_invoice_screen", 2),
+        ("q232_lexical_diversity", 2),
+        ("q233_order_seasonality", 3),
+        ("q236_new_vs_returning", 4),
+        ("q237_reactivations", 2),
+        ("q238_basket_diversity", 3),
+        ("q241_ship_latency_sla", 3),
+        ("q243_price_mix_shift", 4),
+        ("q244_dup_rate_by_lang", 2),
+        ("q246_share_of_parent", 3),
+        ("q247_retention_triangle", 6),
+        ("q248_event_cooccurrence_lift", 5),
+        ("q249_customer_survival", 4),
+        ("q250_backlog_aging", 2),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+
+    # q245's pair-free identity: the ONLY join is the tiny label-frame
+    # meet — no pairwise self-join of vectors may ever appear
+    q245 = QUERIES["q245_label_coherence"](spark, sf_smoke)
+    assert python_udf_count(q245) == 0
+    assert shuffle_count(q245) <= 4, shuffle_count(q245)
