@@ -303,6 +303,34 @@ def rare_ngram_score(
     )
 
 
+def with_compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Attach the zlib compression ratio as a column (NULL for
+    empty/NULL text) — the gate-composable form of
+    ``compression_ratio``: the streaming corpus ingest filters on it
+    scan-locally inside each micro-batch, no projection, no join."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            b = t.encode("utf-8")
+            out.append(round(len(zlib.compress(b, level)) / len(b), 6) if b else None)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
 def compression_ratio(
     df: DataFrame,
     text_col: str = "text",

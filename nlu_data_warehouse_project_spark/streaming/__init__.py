@@ -439,6 +439,7 @@ def make_corpus_ingest_processor(
     use_bloom: bool = False,
     near_dedup: bool = False,
     near_threshold: float = 0.8,
+    compression_band: tuple | None = None,
     contract=None,
 ):
     """The foreachBatch body of ``streaming_corpus_ingest``, exposed so
@@ -513,6 +514,18 @@ def make_corpus_ingest_processor(
             from ..functions.text import gopher_quality_gate
 
             gated = gated.filter(gopher_quality_gate(text_col, min_words=min_tokens))
+        if compression_band is not None:
+            # the q223 byte-level screen as an ingest gate: ratios below
+            # the band are degenerate repetition (lorem loops, keyword
+            # stuffing) that token-level rules under-catch; ratios above
+            # it are random/already-compressed bytes.  Arrow-batched,
+            # scan-local — rides the same micro-batch pass as the rules
+            from ..operators.profile import with_compression_ratio
+
+            lo, hi = compression_band
+            gated = with_compression_ratio(gated, text_col, "__zratio").filter(
+                F.col("__zratio").between(lo, hi)
+            ).drop("__zratio")
         if bloom_index is not None:
             survivors = bloom_index.dedup(gated, text_col, id_col)
         elif corpus.exists():
@@ -558,6 +571,7 @@ def streaming_corpus_ingest(
     use_bloom: bool = False,
     near_dedup: bool = False,
     near_threshold: float = 0.8,
+    compression_band: tuple | None = None,
     source_format: str = "parquet",
     contract=None,
 ):
@@ -587,7 +601,8 @@ def streaming_corpus_ingest(
             make_corpus_ingest_processor(
                 corpus, text_col, id_col, min_tokens, max_punct, gopher_rules,
                 use_bloom=use_bloom, near_dedup=near_dedup,
-                near_threshold=near_threshold, contract=contract,
+                near_threshold=near_threshold,
+                compression_band=compression_band, contract=contract,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

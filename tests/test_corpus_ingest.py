@@ -451,3 +451,49 @@ def test_ingest_near_dedup_gate_via_minhash_sidecar(spark, tmp_path):
     # replay of batch 1 is still a no-op (no sidecar double-fold)
     process(spark.createDataFrame([(2, near), (3, fresh)], SCHEMA), 1)
     assert corpus.read().count() == 2
+
+
+def test_ingest_compression_band_gate(spark, tmp_path):
+    """The q223 byte-level screen as an ingest gate: degenerate
+    repetition (ultra-low zlib ratio) and high-entropy noise (ratio
+    near 1) die in the micro-batch's scan-local pass even when they
+    clear the token/punct rules; prose survives.  Values match a
+    driver-side zlib run exactly (the operator's pytest contract)."""
+    import hashlib
+    import zlib
+
+    import base64
+
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    process = make_corpus_ingest_processor(
+        corpus, compression_band=(0.3, 0.75), min_tokens=5, max_punct=0.9
+    )
+    # degenerate: 400x one word — token count high, punct low, zlib
+    # ratio ~0.01; noise: base85 of a sha-chain, space-chunked so it
+    # clears the token gate, ratio ~0.81; single-copy prose ~0.68
+    degenerate = "spam " * 400
+    prose = (
+        "the quick brown fox jumps over the lazy dog while the curious cat "
+        "watches from the fence wondering why foxes bother at all and some "
+        "more words with varied content about pipelines and scale"
+    )
+    chunks, h = [], b"seed"
+    while sum(len(c) for c in chunks) < 3000:
+        h = hashlib.sha256(h).digest()
+        chunks.append(base64.b85encode(h).decode())
+    noise = " ".join("".join(chunks)[i:i + 10] for i in range(0, 2000, 10))
+
+    def ratio(t):
+        b = t.encode()
+        return len(zlib.compress(b, 6)) / len(b)
+
+    assert ratio(degenerate) < 0.3
+    assert 0.3 < ratio(prose) < 0.75
+    assert ratio(noise) > 0.75
+
+    batch = spark.createDataFrame(
+        [(1, degenerate), (2, prose), (3, noise)], SCHEMA
+    )
+    process(batch, 0)
+    kept = [r["doc_id"] for r in corpus.read().select("doc_id").collect()]
+    assert kept == [2]
