@@ -13356,3 +13356,99 @@ FROM aged GROUP BY 1, 2
 
 QUERIES.update({"q250_backlog_aging": q250_backlog_aging})
 ORACLE_SQL.update({"q250_backlog_aging": Q250_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Keyed pseudonymization (q251)
+# ---------------------------------------------------------------------------
+
+def q251_pseudonymized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style keyed pseudonymization of an export: customer keys
+    replaced by sha256(secret || key) tokens — deterministic, so
+    referential integrity SURVIVES the masking (joins and group-bys on
+    the token behave exactly like the original key) while the raw id
+    never leaves.  The proof is in the output: per-segment distinct
+    token count == distinct customer count, and a token-keyed order
+    count matches the identity-keyed one.  Pairs with
+    ``TxTable.delete_where`` (erasure) as the privacy toolkit.  The
+    'secret' is a fixed literal here so the oracle can replay it; a
+    deployment passes a vault-held salt."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    tok = F.sha2(F.concat(F.lit("pepper-v1:"), F.col("c_custkey").cast("string")), 256)
+    masked = cust.select(
+        tok.alias("cust_token"), "c_mktsegment", "c_custkey"
+    )
+    joined = orders.join(masked, orders.o_custkey == masked.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count_distinct("cust_token").cast("long").alias("n_tokens"),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    ).withColumn(
+        "integrity_ok", (F.col("n_tokens") == F.col("n_customers")).cast("boolean")
+    ).withColumnRenamed("c_mktsegment", "segment")
+
+
+Q251_SQL = """
+WITH masked AS (
+  SELECT sha256('pepper-v1:' || CAST(c_custkey AS VARCHAR)) AS cust_token,
+         c_mktsegment, c_custkey
+  FROM customer
+)
+SELECT c_mktsegment AS segment,
+       CAST(count(DISTINCT cust_token) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       count(DISTINCT cust_token) = count(DISTINCT o_custkey) AS integrity_ok
+FROM orders JOIN masked ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q251_pseudonymized_export": q251_pseudonymized_export})
+ORACLE_SQL.update({"q251_pseudonymized_export": Q251_SQL})
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (q252)
+# ---------------------------------------------------------------------------
+
+def q252_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit on top of q198's k-anonymity: for each
+    quasi-identifier cell (nation x market segment), the count of
+    DISTINCT sensitive values (order priority) — a cell can be k-big
+    yet still leak when every member shares one sensitive value.
+    Reports cells below l=3 as violations.  Exact distinct counts,
+    one boolean flag, no suppression here (q198 owns the remediation
+    step; this is the detector)."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("o_orderpriority").cast("long").alias("n_sensitive_values"),
+        )
+    )
+    return cells.withColumn(
+        "l_violation", (F.col("n_sensitive_values") < 3).cast("boolean")
+    )
+
+
+Q252_SQL = """
+SELECT n_name AS nation, c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_sensitive_values,
+       count(DISTINCT o_orderpriority) < 3 AS l_violation
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q252_l_diversity_audit": q252_l_diversity_audit})
+ORACLE_SQL.update({"q252_l_diversity_audit": Q252_SQL})

@@ -658,7 +658,8 @@ class TxTable:
         ("version", "current", "closed", "run_id", "schema",
          "dir_schemas", "dir_stats", "current_table", "bucket",
          "compacted_lineage", "restored_from", "column_renames",
-         "committed_at", "pending_txn", "txn_stale_table", "dir_slices")
+         "committed_at", "pending_txn", "txn_stale_table", "dir_slices",
+         "delete_predicate")
     )
 
     def _carried_extras(self, prev: dict) -> dict:
@@ -1032,6 +1033,105 @@ class TxTable:
         if not dirs:
             return self.read_current(version).limit(0)
         return self.read_closed(version, dirs=dirs)
+
+    def delete_where(self, condition, run_id: str = "delete") -> dict:
+        """Targeted row erasure (the GDPR right-to-be-forgotten op a
+        training-data corpus needs): rewrite ONLY the dirs that
+        actually contain matching rows — dirs with zero hits keep
+        their files byte-identical — and publish one ordinary manifest
+        commit.  SQL DELETE semantics: rows where ``condition`` is
+        TRUE go; NULL-condition rows stay.
+
+        Contracts:
+        - Prior versions still read the deleted rows (time travel is
+          the audit trail); ERASURE COMPLETES at ``vacuum()``, which
+          reclaims the replaced dirs — run delete_where + vacuum for a
+          hard erasure, delete_where alone for a soft one.
+        - Rewritten dirs enter ``compacted_lineage`` mapped to the dir
+          they replace, so the CDF (``table_changes``) and incremental
+          consumers treat them exactly like compaction products:
+          surviving rows are NOT re-emitted (they were already fed).
+          Deleted rows do not generate CDF delete events — consumers
+          needing erasure propagation read the recorded
+          ``delete_predicate`` from this commit's manifest.
+        - Rewritten dirs are written under the CURRENT manifest schema
+          (rename/widening migration rides along, the compaction
+          rule); slice tags (``commit_replace_slice``) carry to the
+          rewritten dir; per-dir stats are re-recorded exactly.
+
+        Returns ``{"version", "n_deleted", "rewritten"}``; a
+        zero-match delete publishes nothing and returns version None.
+        Single-writer like every TxTable mutation."""
+        man, ver = self._base_for_write()
+        if man is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        delete_hit = F.coalesce(cond, F.lit(False))
+        token = uuid.uuid4().hex[:8]
+        schema = self._manifest_schema(man)
+        schema_json = json.loads(schema.json())
+        dir_schemas = dict(man.get("dir_schemas", {}))
+        dir_stats = dict(man.get("dir_stats", {}))
+        dir_slices = dict(man.get("dir_slices", {}))
+        lineage = dict(man.get("compacted_lineage", {}))
+        new_closed: list[str] = []
+        rewritten: list[str] = []
+        n_deleted = 0
+        for i, d in enumerate(man["closed"]):
+            part = self.read_closed(man["version"], dirs=[d])
+            hits = part.filter(delete_hit).count()
+            if hits == 0:
+                new_closed.append(d)
+                continue
+            n_deleted += hits
+            nd = f"{_DATA_DIR}/closed-{run_id}-{token}-{i}"
+            part.filter(~delete_hit).write.parquet(os.path.join(self.root, nd))
+            new_closed.append(nd)
+            rewritten.append(d)
+            dir_schemas.pop(d, None)
+            dir_schemas[nd] = schema_json
+            dir_stats.pop(d, None)
+            s = self._closed_stats(
+                self.spark.read.schema(schema).parquet(os.path.join(self.root, nd))
+            )
+            if s is not None:
+                dir_stats[nd] = s
+            if d in dir_slices:
+                dir_slices[nd] = dir_slices.pop(d)
+            lineage[nd] = [d]
+        cur = self.read_current(man["version"])
+        cur_hits = cur.filter(delete_hit).count()
+        cur_fields: dict = {}
+        cur_dir = man["current"]
+        if cur_hits:
+            n_deleted += cur_hits
+            cur_dir = f"{_DATA_DIR}/current-{run_id}-{token}"
+            cur_fields = self._write_current(cur.filter(~delete_hit), cur_dir, ver)
+        else:
+            cur_fields = {
+                k: man[k] for k in ("current_table", "bucket") if k in man
+            }
+        if n_deleted == 0:
+            return {"version": None, "n_deleted": 0, "rewritten": []}
+        new_man = {
+            **self._carried_extras(man),
+            **{k: man[k] for k in ("column_renames",) if k in man},
+            "version": ver,
+            "current": cur_dir,
+            "closed": new_closed,
+            "run_id": run_id,
+            "schema": schema_json,
+            "dir_schemas": dir_schemas,
+            "dir_stats": dir_stats,
+            "compacted_lineage": lineage,
+            "delete_predicate": str(condition),
+            **({"dir_slices": dir_slices} if dir_slices else {}),
+            **cur_fields,
+        }
+        self._publish(new_man)
+        if cur_hits and man.get("current_table"):
+            self._drop_stale_bucket_table(man)
+        return {"version": ver, "n_deleted": n_deleted, "rewritten": rewritten}
 
     def commit_with_retry(self, build_and_commit, max_retries: int = 3) -> int:
         """Re-read-and-retry recipe for the lost commit race.

@@ -1301,3 +1301,91 @@ def test_zorder_compaction_prunes_on_both_dimensions(spark, tmp_path):
     got_y = sorted(r["id"] for r in t.read_closed_pruned("y", 50, 52).collect())
     want_y = sorted(i for (i, _, y) in rows if 50 <= y <= 52)
     assert got_y == want_y
+
+
+def test_delete_where_rewrites_only_hit_dirs(spark, tmp_path):
+    """GDPR erasure: delete_where rewrites ONLY dirs containing
+    matching rows (untouched dirs keep their exact files), prior
+    versions still read the deleted rows until vacuum completes the
+    erasure, the CDF does not re-emit survivors, and NULL-condition
+    rows follow SQL DELETE semantics (kept)."""
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "del"), stats_cols=["uid"])
+    t.commit_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "uid long, v string"), "d1"
+    )
+    t.commit_append(
+        spark.createDataFrame([(3, "c"), (4, "d")], "uid long, v string"), "d2"
+    )
+    t.commit_append(
+        spark.createDataFrame([(2, "e"), (None, "n")], "uid long, v string"), "d3"
+    )
+    man_before = t.manifest()
+    res = t.delete_where(F.col("uid") == 2, run_id="erase-u2")
+    assert res["n_deleted"] == 2 and len(res["rewritten"]) == 2
+    man = t.manifest()
+    # the d2 dir had no hits: same dir name survives in the manifest
+    untouched = [d for d in man_before["closed"] if "d2" in d]
+    assert untouched and untouched[0] in man["closed"]
+    # survivors + the NULL-uid row remain
+    assert sorted((r["uid"], r["v"]) for r in t.read().collect()
+                  if r["uid"] is not None) == [(1, "a"), (3, "c"), (4, "d")]
+    assert [r["v"] for r in t.read().collect() if r["uid"] is None] == ["n"]
+    # time travel: the audit trail still shows uid=2 rows pre-delete
+    old_rows = {(r["uid"], r["v"]) for r in t.read(version=man_before["version"]).collect()}
+    assert (2, "b") in old_rows and (2, "e") in old_rows
+    # CDF across the delete: survivors are NOT re-emitted
+    cdf = t.table_changes(man_before["version"])
+    assert cdf.count() == 0
+    # stats re-recorded for rewritten dirs: the d1 replacement keeps
+    # uid=1 only (range shrank to [1,1]); the d3 replacement holds just
+    # the NULL-uid row, so its range is honestly unknown (None)
+    rewritten_new = [d for d in man["closed"] if d not in man_before["closed"]]
+    mins = sorted(
+        (man["dir_stats"][d]["uid"][0] is not None) for d in rewritten_new
+    )
+    assert mins == [False, True]
+    one_dir = [d for d in rewritten_new if man["dir_stats"][d]["uid"][0] is not None]
+    assert man["dir_stats"][one_dir[0]]["uid"] == [1, 1]
+    # erasure completes at vacuum: replaced dirs reclaimed, reads intact
+    dropped = t.vacuum(retain_last=1)
+    assert any(any(x in d for x in res["rewritten"]) for d in dropped)
+    assert sorted(r["v"] for r in t.read().collect()) == ["a", "c", "d", "n"]
+    # zero-match delete publishes nothing
+    v_now = t.latest_version()
+    res2 = t.delete_where(F.col("uid") == 99)
+    assert res2 == {"version": None, "n_deleted": 0, "rewritten": []}
+    assert t.latest_version() == v_now
+
+
+def test_delete_where_slices_and_current(spark, tmp_path):
+    """delete_where composes with commit_replace_slice (tags carry to
+    the rewritten dir; read_slice stays correct) and rewrites a hit
+    CURRENT dir (snapshot-shaped tables)."""
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "sl"))
+    t.commit_replace_slice(
+        spark.createDataFrame([(1, "x"), (2, "y")], "uid long, v string"), "day1", "r1"
+    )
+    t.commit_replace_slice(
+        spark.createDataFrame([(3, "z")], "uid long, v string"), "day2", "r2"
+    )
+    t.delete_where(F.col("uid") == 1, run_id="erase")
+    assert sorted(r["v"] for r in t.read_slice("day1").collect()) == ["y"]
+    assert [r["v"] for r in t.read_slice("day2").collect()] == ["z"]
+
+    snap = TxTable(spark, str(tmp_path / "snap"))
+    snap.commit_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "uid long, v string"), "s1"
+    )
+    res = snap.delete_where("uid = 1", run_id="erase")
+    assert res["n_deleted"] == 1
+    assert [r["v"] for r in snap.read_current().collect()] == ["b"]
+    assert snap.manifest()["delete_predicate"] == "uid = 1"
+    # the predicate is an OWNED key: the next commit does not carry it
+    snap.commit_snapshot(
+        spark.createDataFrame([(9, "q")], "uid long, v string"), "s2"
+    )
+    assert "delete_predicate" not in snap.manifest()
