@@ -13452,3 +13452,187 @@ GROUP BY 1, 2
 
 QUERIES.update({"q252_l_diversity_audit": q252_l_diversity_audit})
 ORACLE_SQL.update({"q252_l_diversity_audit": Q252_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Weekend effect (q253)
+# ---------------------------------------------------------------------------
+
+def q253_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday order volume and revenue indices per year.
+    Day-of-week comes from PURE epoch-day arithmetic —
+    (epoch_day + 3) % 7 with 0=Monday (1970-01-01 was a Thursday) —
+    the q194 rule: engine day-of-week conventions (Spark 1=Sunday,
+    DuckDB 0=Sunday) never enter the query.  The index compares each
+    class's PER-DAY average against the year's per-day average, so a
+    2-day weekend isn't penalized for having fewer days."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    tagged = orders.select(
+        F.year(F.col("o_orderdate").cast("date")).alias("year"),
+        F.when(((d + 3) % 7) >= 5, F.lit("weekend")).otherwise(F.lit("weekday")).alias("day_class"),
+        d.alias("__d"),
+        _dec("o_totalprice").alias("__p"),
+    )
+    per = tagged.groupBy("year", "day_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count_distinct("__d").cast("long").alias("__days"),
+        F.sum("__p").alias("__rev"),
+    )
+    w = Window.partitionBy("year")
+    per_day = F.col("n_orders").cast("double") / F.col("__days").cast("double")
+    year_per_day = (
+        F.sum("n_orders").over(w).cast("double") / F.sum("__days").over(w).cast("double")
+    )
+    rev_per_day = F.col("__rev").cast("double") / F.col("__days").cast("double")
+    year_rev_per_day = (
+        F.sum("__rev").over(w).cast("double") / F.sum("__days").over(w).cast("double")
+    )
+    return per.select(
+        "year", "day_class", "n_orders",
+        F.round(per_day / year_per_day, 6).alias("volume_index"),
+        F.round(rev_per_day / year_rev_per_day, 6).alias("revenue_index"),
+    )
+
+
+Q253_SQL = """
+WITH tagged AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS year,
+         CASE WHEN (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 3) % 7 >= 5
+              THEN 'weekend' ELSE 'weekday' END AS day_class,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(o_totalprice AS DECIMAL(25,6)) AS p
+  FROM orders
+), per AS (
+  SELECT year, day_class, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(count(DISTINCT d) AS BIGINT) AS days, sum(p) AS rev
+  FROM tagged GROUP BY 1, 2
+)
+SELECT year, day_class, n_orders,
+       round((CAST(n_orders AS DOUBLE) / CAST(days AS DOUBLE))
+             / (CAST(sum(n_orders) OVER (PARTITION BY year) AS DOUBLE)
+                / CAST(sum(days) OVER (PARTITION BY year) AS DOUBLE)), 6) AS volume_index,
+       round((CAST(rev AS DOUBLE) / CAST(days AS DOUBLE))
+             / (CAST(sum(rev) OVER (PARTITION BY year) AS DOUBLE)
+                / CAST(sum(days) OVER (PARTITION BY year) AS DOUBLE)), 6) AS revenue_index
+FROM per
+"""
+
+
+QUERIES.update({"q253_weekend_effect": q253_weekend_effect})
+ORACLE_SQL.update({"q253_weekend_effect": Q253_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Top-1% revenue concentration (q254)
+# ---------------------------------------------------------------------------
+
+def q254_top_percentile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline concentration number: share of total revenue held
+    by the top 1% / 5% / 10% of customers.  Customer ranks come from
+    `exact_global_rank` over descending spend (range shuffle, no
+    single-partition sort); the percentile cut sizes use ceil via
+    integer arithmetic ((n*p + 99) div 100); shares are exact DECIMAL
+    sums meeting in single divisions.  One pass, three cuts from the
+    same ranked frame — the q182 one-materialization discipline."""
+    from .operators.scale import exact_global_rank, pin_frame
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("__x"))
+    ranked = pin_frame(
+        exact_global_rank(per, [F.col("__x").desc(), F.col("o_custkey").asc()], rank_col="__r"),
+        eager=True,
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"), F.sum("__x").alias("__t")
+    )
+    grid = orders.sparkSession.createDataFrame([(1,), (5,), (10,)], "pct int")
+    joined = ranked.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(grid)).filter(
+        F.col("__r") <= F.expr("(__n * pct + 99) div 100")
+    )
+    return joined.groupBy("pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(
+            F.sum("__x").cast("double") / F.max("__t").cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
+Q254_SQL = """
+WITH per AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(25,6))) AS x
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC, o_custkey) AS r FROM per
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS t FROM per
+), grid AS (
+  SELECT CAST(p AS INTEGER) AS pct FROM (VALUES (1), (5), (10)) g(p)
+)
+SELECT pct, CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(x) AS DOUBLE) / CAST(any_value(t) AS DOUBLE), 6) AS revenue_share
+FROM ranked, tot, grid
+WHERE r <= (n * pct + 99) // 100
+GROUP BY pct
+"""
+
+
+QUERIES.update({"q254_top_percentile_share": q254_top_percentile_share})
+ORACLE_SQL.update({"q254_top_percentile_share": Q254_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Rapid repeat purchases (q255)
+# ---------------------------------------------------------------------------
+
+def q255_rapid_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers re-buying the SAME part within 14 days — the
+    consumable-detection / accidental-double-order screen.  Purchase
+    events per (customer, part) get a key-partitioned lag; gaps are
+    integer days; output is the per-week count of rapid repeats and
+    the median gap.  The (customer, part) frames are order-count
+    bounded, never a global window."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    buys = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_custkey", "l_partkey",
+            F.col("o_orderdate").cast("date").alias("__d"),
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("o_custkey", "l_partkey").orderBy("__d", "o_orderkey")
+    gapped = buys.withColumn("__prev", F.lag("__d").over(w)).withColumn(
+        "__gap", F.datediff(F.col("__d"), F.col("__prev")).cast("long")
+    ).filter((F.col("__gap").isNotNull()) & (F.col("__gap") <= 14))
+    return gapped.groupBy(
+        F.concat(
+            F.year("__d").cast("string"), F.lit("-Q"), F.quarter("__d").cast("string")
+        ).alias("quarter")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rapid_repeats"),
+        F.round(F.expr("percentile(__gap, 0.5)"), 4).alias("median_gap_days"),
+    )
+
+
+Q255_SQL = """
+WITH buys AS (
+  SELECT o_custkey, l_partkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), gapped AS (
+  SELECT d, CAST(date_diff('day',
+                 lag(d) OVER (PARTITION BY o_custkey, l_partkey ORDER BY d, o_orderkey),
+                 d) AS BIGINT) AS gap
+  FROM buys
+)
+SELECT CAST(year(d) AS VARCHAR) || '-Q' || CAST(quarter(d) AS VARCHAR) AS quarter,
+       CAST(count(*) AS BIGINT) AS n_rapid_repeats,
+       round(quantile_cont(CAST(gap AS DOUBLE), 0.5), 4) AS median_gap_days
+FROM gapped WHERE gap IS NOT NULL AND gap <= 14
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q255_rapid_repeat_purchases": q255_rapid_repeat_purchases})
+ORACLE_SQL.update({"q255_rapid_repeat_purchases": Q255_SQL})
