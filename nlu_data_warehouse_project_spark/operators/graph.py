@@ -82,6 +82,7 @@ def pagerank_rounds(
     src_col: str = "src",
     dst_col: str = "dst",
     reliable: bool | None = None,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Fixed-round PageRank power iteration in EXACT integer
     arithmetic: ranks are BIGINT "mass units" (``unit`` total mass
@@ -99,11 +100,21 @@ def pagerank_rounds(
     pinned edge set on src + one sum by dst — frontier-free PageRank
     shuffles the rank VECTOR (|V| rows), never re-materializes edges
     (pinned once, the `bfs_hops` discipline); ``reliable`` selects the
-    fault-tolerant checkpoint path per round (VERDICT r9 #1)."""
+    fault-tolerant checkpoint path per round (VERDICT r9 #1).
+
+    ``seeds``: PERSONALIZED PageRank — teleport mass restarts at the
+    seed set instead of uniformly (the 'related to THESE items'
+    recommender form): init splits the unit mass over the seeds, and
+    each round's teleport term ``((100-d) * (unit DIV |S|)) DIV 100``
+    lands ONLY on seed nodes.  Same exact-integer arithmetic, same
+    per-round shape — personalization changes two literals and a
+    seed-membership flag, nothing about the plan."""
     if rounds < 0:
         raise ValueError(f"rounds={rounds} must be >= 0")
     if not (0 <= damping_pct <= 100):
         raise ValueError(f"damping_pct={damping_pct} must be in [0, 100]")
+    if seeds is not None and not seeds:
+        raise ValueError("seeds must be a non-empty list (or None for uniform)")
     e = pin_frame(
         edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")),
         reliable=reliable, eager=True,
@@ -121,9 +132,30 @@ def pagerank_rounds(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_units", F.lit(0).cast("long"))
-    r0 = unit // n
-    base = ((100 - damping_pct) * r0) // 100
-    rank = nodes.withColumn("rank_units", F.lit(r0).cast("long"))
+    if seeds is None:
+        r0 = unit // n
+        base = ((100 - damping_pct) * r0) // 100
+        nodes = nodes.withColumn("__seed", F.lit(True))
+        rank = nodes.withColumn("rank_units", F.lit(r0).cast("long"))
+    else:
+        seed_list = sorted(set(seeds))
+        seed_df = edges.sparkSession.createDataFrame(
+            [(s,) for s in seed_list], nodes.select("node").schema
+        ).withColumn("__is_seed", F.lit(True))
+        nodes = nodes.join(F.broadcast(seed_df), "node", "left").select(
+            "node", F.coalesce(F.col("__is_seed"), F.lit(False)).alias("__seed")
+        )
+        ns = nodes.filter(F.col("__seed")).count()
+        if ns == 0:
+            raise ValueError("no seed appears in the edge set's node space")
+        r0 = unit // ns
+        base = ((100 - damping_pct) * r0) // 100
+        rank = nodes.withColumn(
+            "rank_units",
+            F.when(F.col("__seed"), F.lit(r0)).otherwise(F.lit(0)).cast("long"),
+        )
+    nodes = pin_frame(nodes, reliable=reliable, eager=True)
+    base_term = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0)).cast("long")
     for _ in range(rounds):
         contrib = rank.join(deg, F.col("node") == F.col("__dn")).select(
             F.col("node").alias("__cs"),
@@ -141,11 +173,12 @@ def pagerank_rounds(
             nodes.join(mass, "node", "left")
             .select(
                 "node",
+                "__seed",
                 (
-                    F.lit(base)
+                    base_term
                     + F.expr(f"({damping_pct}L * coalesce(__m, 0L)) div 100")
                 ).cast("long").alias("rank_units"),
             )
         )
         rank = pin_frame(rank, reliable=reliable, eager=True)
-    return rank
+    return rank.select("node", "rank_units")

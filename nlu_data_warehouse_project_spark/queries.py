@@ -13636,3 +13636,93 @@ GROUP BY 1
 
 QUERIES.update({"q255_rapid_repeat_purchases": q255_rapid_repeat_purchases})
 ORACLE_SQL.update({"q255_rapid_repeat_purchases": Q255_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (q256)
+# ---------------------------------------------------------------------------
+
+def q256_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank over the URGENT co-order part graph,
+    teleporting to a deterministic seed slice (partkey % 199 == 0) —
+    'parts related to THESE parts', the recommender form of q200.
+    Same integer-exact power iteration (`graph.pagerank_rounds` with
+    ``seeds=``): unit mass splits over the seeds, the teleport term
+    lands only on seeds, every quantity is a BIGINT — which is what
+    lets an ITERATIVE personalized rank be hash-compared against the
+    2-round unrolled CTE oracle at all.  Top 50 by rank with id
+    tiebreak (TakeOrdered — never a global sort)."""
+    from .operators.graph import pagerank_rounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    lu = li.join(urgent, li.l_orderkey == urgent.o_orderkey).select("l_orderkey", "l_partkey")
+    a = lu.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("src"))
+    b = lu.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "__o").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    seed_rows = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") % 199 == 0)
+        .collect()
+    )
+    seeds = sorted(r["node"] for r in seed_rows)
+    ranked = pagerank_rounds(edges, rounds=2, seeds=seeds)
+    return (
+        ranked.orderBy(F.col("rank_units").desc(), F.col("node").asc())
+        .limit(50)
+        .select("node", "rank_units")
+    )
+
+
+Q256_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  JOIN orders o ON o.o_orderkey = a.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), seeds AS (
+  SELECT node FROM nodes WHERE node % 199 = 0
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
+), k AS (
+  SELECT 1000000000000 // CAST(count(*) AS BIGINT) AS r0,
+         ((100 - 85) * (1000000000000 // CAST(count(*) AS BIGINT))) // 100 AS base
+  FROM seeds
+), rr0 AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN (SELECT r0 FROM k) ELSE 0 END AS r
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+), m1 AS (
+  SELECT e.dst AS node, sum(r.r // deg.d) AS m
+  FROM e JOIN rr0 r ON r.node = e.src JOIN deg ON deg.src = e.src GROUP BY 1
+), rr1 AS (
+  SELECT n2.node,
+         CASE WHEN s.node IS NOT NULL THEN (SELECT base FROM k) ELSE 0 END
+           + (85 * COALESCE(m1.m, 0)) // 100 AS r
+  FROM nodes n2 LEFT JOIN seeds s ON n2.node = s.node
+  LEFT JOIN m1 ON n2.node = m1.node
+), m2 AS (
+  SELECT e.dst AS node, sum(r.r // deg.d) AS m
+  FROM e JOIN rr1 r ON r.node = e.src JOIN deg ON deg.src = e.src GROUP BY 1
+), rr2 AS (
+  SELECT n2.node,
+         CASE WHEN s.node IS NOT NULL THEN (SELECT base FROM k) ELSE 0 END
+           + (85 * COALESCE(m2.m, 0)) // 100 AS r
+  FROM nodes n2 LEFT JOIN seeds s ON n2.node = s.node
+  LEFT JOIN m2 ON n2.node = m2.node
+)
+SELECT node, CAST(r AS BIGINT) AS rank_units
+FROM rr2 ORDER BY r DESC, node ASC LIMIT 50
+"""
+
+
+QUERIES.update({"q256_personalized_pagerank": q256_personalized_pagerank})
+ORACLE_SQL.update({"q256_personalized_pagerank": Q256_SQL})

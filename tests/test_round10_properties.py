@@ -198,3 +198,55 @@ def test_q223_compression_screen_matches_python_recompute(spark):
         k: (v[0], v[1], v[2], r6(v[2] / v[1]) if v[1] else None) for k, v in agg.items()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+        min_size=1, max_size=20, unique=True,
+    ),
+    rounds=st.integers(0, 3),
+    seed_picks=st.sets(st.integers(0, 7), min_size=1, max_size=3),
+)
+def test_personalized_pagerank_matches_pure_python(spark, edges, rounds, seed_picks):
+    """pagerank_rounds(seeds=...) == the reference PERSONALIZED power
+    iteration: unit mass split over the seeds, teleport term lands only
+    on seeds, exact integer arithmetic."""
+    from nlu_data_warehouse_project_spark.operators.graph import pagerank_rounds
+
+    nodes = sorted({v for e in edges for v in e})
+    seeds = sorted(s for s in seed_picks if s in nodes)
+    if not seeds:
+        seeds = [nodes[0]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_rounds(df, rounds=rounds, seeds=seeds).collect()
+    }
+
+    UNIT, D = 10**12, 85
+    r0 = UNIT // len(seeds)
+    base = ((100 - D) * r0) // 100
+    deg = {v: 0 for v in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    rank = {v: (r0 if v in seeds else 0) for v in nodes}
+    for _ in range(rounds):
+        mass = {v: 0 for v in nodes}
+        for s, d in edges:
+            mass[d] += rank[s] // deg[s]
+        rank = {
+            v: (base if v in seeds else 0) + (D * mass[v]) // 100 for v in nodes
+        }
+    assert got == rank
+
+
+def test_personalized_pagerank_validates_seeds(spark):
+    from nlu_data_warehouse_project_spark.operators.graph import pagerank_rounds
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank_rounds(e, seeds=[])
+    with pytest.raises(ValueError, match="node space"):
+        pagerank_rounds(e, seeds=[99])
