@@ -12,9 +12,12 @@ composed by ``run_day``.  Each stage:
 
 Data layering (parquet lakehouse):
   bronze  landing/id_config=*/dt=*/  raw feed CSV, partition-pruned
-  silver  staging/id_config=*/dt_load=*/  typed, cleansed, deduped;
-          the run slice is overwritten idempotently (dynamic partition
-          overwrite), so a retried day never appends duplicates
+  silver  staging/ (TxTable manifest log of run slices): typed,
+          cleansed, deduped; each (id_config, day) run commits ONE
+          slice via commit_replace_slice — a retried day REPLACES its
+          slice at the manifest level (never appends duplicates), and
+          under atomic_publish the slice + LS status flip in one
+          multi-table transaction
   gold    dw/ (TxTable manifest log) + date_dim/
 
 Gold persistence is the TxTable commit log (`sources/txlog.py`): the
