@@ -13726,3 +13726,274 @@ FROM rr2 ORDER BY r DESC, node ASC LIMIT 50
 
 QUERIES.update({"q256_personalized_pagerank": q256_personalized_pagerank})
 ORACLE_SQL.update({"q256_personalized_pagerank": Q256_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Seasonality-adjusted outlier days (q257)
+# ---------------------------------------------------------------------------
+
+def q257_adjusted_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous DAYS after removing known seasonality: each day's
+    order count divided by (overall daily mean x its month index x its
+    day-of-week index) — the multiplicative-decomposition residual, so
+    a busy-but-normal December Monday stops looking like an incident
+    (q205 flags raw outliers; this flags SURPRISES).  Month/dow
+    indices are per-day-normalized exact-count ratios (q233/q253
+    composed), dow from epoch-day arithmetic, and the top 20 residuals
+    come from TakeOrdered with a date tiebreak — never a global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.month(F.col("o_orderdate").cast("date")).alias("__m"),
+        ((d + 3) % 7).alias("__w"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    tot = daily.agg(
+        F.sum("n_orders").cast("long").alias("__tn"),
+        F.count(F.lit(1)).cast("long").alias("__days"),
+    )
+    mi = daily.groupBy("__m").agg(
+        F.sum("n_orders").cast("long").alias("__mn"),
+        F.count(F.lit(1)).cast("long").alias("__md"),
+    )
+    wi = daily.groupBy("__w").agg(
+        F.sum("n_orders").cast("long").alias("__wn"),
+        F.count(F.lit(1)).cast("long").alias("__wd"),
+    )
+    overall = F.col("__tn").cast("double") / F.col("__days").cast("double")
+    m_idx = (F.col("__mn").cast("double") / F.col("__md").cast("double")) / overall
+    w_idx = (F.col("__wn").cast("double") / F.col("__wd").cast("double")) / overall
+    joined = (
+        daily.join(F.broadcast(mi), "__m")
+        .join(F.broadcast(wi), "__w")
+        .crossJoin(F.broadcast(tot))
+    )
+    resid = F.col("n_orders").cast("double") / (overall * m_idx * w_idx)
+    return (
+        joined.select("day", "n_orders", F.round(resid, 6).alias("residual_index"))
+        .orderBy(F.col("residual_index").desc(), F.col("day").asc())
+        .limit(20)
+    )
+
+
+Q257_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         month(CAST(o_orderdate AS DATE)) AS m,
+         (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 3) % 7 AS w,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2, 3
+), tot AS (
+  SELECT CAST(sum(n_orders) AS BIGINT) AS tn, CAST(count(*) AS BIGINT) AS days FROM daily
+), mi AS (
+  SELECT m, CAST(sum(n_orders) AS BIGINT) AS mn, CAST(count(*) AS BIGINT) AS md
+  FROM daily GROUP BY 1
+), wi AS (
+  SELECT w, CAST(sum(n_orders) AS BIGINT) AS wn, CAST(count(*) AS BIGINT) AS wd
+  FROM daily GROUP BY 1
+)
+SELECT day, n_orders,
+       round(CAST(n_orders AS DOUBLE)
+             / ((CAST(tn AS DOUBLE) / CAST(days AS DOUBLE))
+                * ((CAST(mn AS DOUBLE) / CAST(md AS DOUBLE)) / (CAST(tn AS DOUBLE) / CAST(days AS DOUBLE)))
+                * ((CAST(wn AS DOUBLE) / CAST(wd AS DOUBLE)) / (CAST(tn AS DOUBLE) / CAST(days AS DOUBLE)))),
+             6) AS residual_index
+FROM daily JOIN mi USING (m) JOIN wi USING (w) CROSS JOIN tot
+ORDER BY residual_index DESC, day ASC LIMIT 20
+"""
+
+
+QUERIES.update({"q257_adjusted_outlier_days": q257_adjusted_outlier_days})
+ORACLE_SQL.update({"q257_adjusted_outlier_days": Q257_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order arrivals (q258)
+# ---------------------------------------------------------------------------
+
+def q258_out_of_order_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-linearity audit: orders whose date PRECEDES the running
+    maximum date over orderkey order are late arrivals — data landing
+    out of sequence, the thing watermark sizing must know.  The
+    running max rides `scale.exact_prefix_agg(how='max',
+    exclusive=True)` over range partitions (the q193 shape — never a
+    global window), lateness is an integer day diff, and the report
+    buckets lateness per year with exact counts."""
+    from .operators.scale import exact_prefix_agg
+
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("__d"),
+    )
+    lagged = exact_prefix_agg(
+        o, ["o_orderkey"], "__d", how="max", cum_col="__maxprev", exclusive=True
+    )
+    late = lagged.filter(
+        F.col("__maxprev").isNotNull() & (F.col("__d") < F.col("__maxprev"))
+    ).select((F.col("__maxprev") - F.col("__d")).alias("__late"))
+    tot = o.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    agg = late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_late"),
+        F.max("__late").cast("long").alias("max_lateness_days"),
+        F.sum("__late").cast("long").alias("__sum_late"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n_late",
+        "max_lateness_days",
+        F.round(
+            F.col("__sum_late").cast("double") / F.col("n_late").cast("double"), 4
+        ).alias("avg_lateness_days"),
+        F.round(
+            F.col("n_late").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("late_share"),
+    )
+
+
+Q258_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+  FROM orders
+), lagged AS (
+  SELECT d,
+         max(d) OVER (ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxprev
+  FROM o
+), late AS (
+  SELECT maxprev - d AS late FROM lagged WHERE maxprev IS NOT NULL AND d < maxprev
+)
+SELECT CAST(count(*) AS BIGINT) AS n_late,
+       CAST(max(late) AS BIGINT) AS max_lateness_days,
+       round(CAST(sum(late) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_lateness_days,
+       round(CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM o) AS DOUBLE), 6) AS late_share
+FROM late
+"""
+
+
+QUERIES.update({"q258_out_of_order_arrivals": q258_out_of_order_arrivals})
+ORACLE_SQL.update({"q258_out_of_order_arrivals": Q258_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Hourly error-rate alarms (q259)
+# ---------------------------------------------------------------------------
+
+def q259_error_rate_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose error share exceeds mean + 3 sigma of the hourly
+    error-share distribution — the on-call alert rule, evaluated the
+    q108 way: per-hour shares are single divisions of exact counts,
+    and the mean/sigma of those shares come from exact DECIMAL power
+    sums over the (bounded, hour-grain) share frame — no float
+    accumulation anywhere a partition order could touch."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("__e"),
+    )
+    # share as an exact DECIMAL(18,12): numerator*1e12 div denominator
+    # (integer HALF_UP would also work; truncating div is fine for a
+    # threshold statistic as long as BOTH engines truncate identically)
+    shared = hourly.withColumn(
+        "__s", F.expr("(__e * 1000000000000L) div __n").cast("decimal(19,0)")
+    )
+    stats = shared.agg(
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("__m"),
+        F.sum("__s").cast("decimal(25,0)").alias("__sum"),
+        F.sum(F.col("__s") * F.col("__s")).cast("decimal(38,0)").alias("__ss"),
+    )
+    m = F.col("__m").cast("double")
+    mu = F.col("__sum").cast("double") / m
+    var = (m * F.col("__ss").cast("double") - F.col("__sum").cast("double") * F.col("__sum").cast("double")) / (m * m)
+    joined = shared.crossJoin(F.broadcast(stats))
+    flagged = joined.filter(F.col("__s").cast("double") > mu + 3 * F.sqrt(var))
+    return flagged.select(
+        "hour",
+        F.col("__n").alias("n_events"),
+        F.col("__e").alias("n_errors"),
+        F.round(F.col("__s").cast("double") / 1e12, 6).alias("error_share"),
+    )
+
+
+Q259_SQL = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+  FROM events GROUP BY 1
+), shared AS (
+  SELECT hour, n, e, CAST((e * 1000000000000) // n AS DECIMAL(19,0)) AS s
+  FROM hourly
+), stats AS (
+  SELECT CAST(count(*) AS DECIMAL(12,0)) AS m,
+         CAST(sum(s) AS DECIMAL(25,0)) AS su,
+         CAST(sum(s * s) AS DECIMAL(38,0)) AS ss
+  FROM shared
+)
+SELECT hour, n AS n_events, e AS n_errors,
+       round(CAST(s AS DOUBLE) / 1e12, 6) AS error_share
+FROM shared, stats
+WHERE CAST(s AS DOUBLE) > CAST(su AS DOUBLE) / CAST(m AS DOUBLE)
+      + 3 * sqrt((CAST(m AS DOUBLE) * CAST(ss AS DOUBLE)
+                  - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                 / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+"""
+
+
+QUERIES.update({"q259_error_rate_alarms": q259_error_rate_alarms})
+ORACLE_SQL.update({"q259_error_rate_alarms": Q259_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Part-name keyword revenue (q260)
+# ---------------------------------------------------------------------------
+
+def q260_keyword_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attributed to each part-NAME keyword: explode p_name on
+    single spaces (engine-identical tokenization, the q232 rule), join
+    tokens to line revenue through the part dimension, report the top
+    15 keywords.  The fact side aggregates to per-part revenue FIRST
+    (one shuffle on the fact), so the token explode multiplies a
+    part-sized frame, never the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r")
+    )
+    toks = part.select(
+        "p_partkey", F.explode(F.split(F.col("p_name"), " ")).alias("keyword")
+    ).filter(F.col("keyword") != "")
+    joined = toks.join(per_part, toks.p_partkey == per_part.l_partkey)
+    return (
+        joined.groupBy("keyword")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("__r"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("keyword").asc())
+        .limit(15)
+    )
+
+
+Q260_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS r
+  FROM lineitem GROUP BY 1
+), toks AS (
+  SELECT p_partkey, tok AS keyword
+  FROM part, unnest(string_split(p_name, ' ')) AS t(tok)
+  WHERE tok <> ''
+)
+SELECT keyword, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(round(sum(r), 2) AS DOUBLE) AS revenue
+FROM toks JOIN per_part ON p_partkey = l_partkey
+GROUP BY 1 ORDER BY revenue DESC, keyword ASC LIMIT 15
+"""
+
+
+QUERIES.update({"q260_keyword_revenue": q260_keyword_revenue})
+ORACLE_SQL.update({"q260_keyword_revenue": Q260_SQL})
