@@ -13997,3 +13997,229 @@ GROUP BY 1 ORDER BY revenue DESC, keyword ASC LIMIT 15
 
 QUERIES.update({"q260_keyword_revenue": q260_keyword_revenue})
 ORACLE_SQL.update({"q260_keyword_revenue": Q260_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Order-value trend movers (q261)
+# ---------------------------------------------------------------------------
+
+def q261_order_value_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose average order value moved most between the first
+    and second halves of the history — account-growth/shrink flags for
+    the sales team.  Per-half averages use the q235 integer-cents
+    HALF_UP division ((2n+d) div (2d)) so the deltas are bit-identical
+    cross-engine; top 15 by absolute delta with customer tiebreak via
+    TakeOrdered."""
+    orders = _t(spark, sf_dir, "orders")
+    mid = F.lit("1998-06-01").cast("date")
+    halves = orders.select(
+        "o_custkey",
+        F.when(F.col("o_orderdate").cast("date") < mid, 1).otherwise(2).alias("__h"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)").alias("__cents"),
+    )
+    per = halves.groupBy("o_custkey", "__h").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__cents").cast("long").alias("__s"),
+    ).withColumn("__avg_c", F.expr("(2 * __s + __n) div (2 * __n)"))
+    a = per.filter(F.col("__h") == 1).select(
+        "o_custkey", F.col("__n").alias("n_orders_h1"), F.col("__avg_c").alias("__a1")
+    )
+    b = per.filter(F.col("__h") == 2).select(
+        "o_custkey", F.col("__n").alias("n_orders_h2"), F.col("__avg_c").alias("__a2")
+    )
+    both = a.join(b, "o_custkey")
+    return (
+        both.select(
+            F.col("o_custkey").alias("custkey"),
+            "n_orders_h1", "n_orders_h2",
+            (F.col("__a1").cast("double") / 100).alias("avg_value_h1"),
+            (F.col("__a2").cast("double") / 100).alias("avg_value_h2"),
+            (F.col("__a2") - F.col("__a1")).alias("__delta_c"),
+        )
+        .withColumn("delta", F.col("__delta_c").cast("double") / 100)
+        .orderBy(F.abs(F.col("__delta_c")).desc(), F.col("custkey").asc())
+        .limit(15)
+        .drop("__delta_c")
+    )
+
+
+Q261_SQL = """
+WITH halves AS (
+  SELECT o_custkey,
+         CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-06-01' THEN 1 ELSE 2 END AS h,
+         CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), per AS (
+  SELECT o_custkey, h, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+         (2 * CAST(sum(cents) AS BIGINT) + count(*)) // (2 * count(*)) AS avg_c
+  FROM halves GROUP BY 1, 2
+), both_h AS (
+  SELECT a.o_custkey, a.n AS n_orders_h1, b.n AS n_orders_h2,
+         a.avg_c AS a1, b.avg_c AS a2
+  FROM per a JOIN per b ON a.o_custkey = b.o_custkey AND a.h = 1 AND b.h = 2
+)
+SELECT o_custkey AS custkey, n_orders_h1, n_orders_h2,
+       CAST(a1 AS DOUBLE) / 100 AS avg_value_h1,
+       CAST(a2 AS DOUBLE) / 100 AS avg_value_h2,
+       CAST(a2 - a1 AS DOUBLE) / 100 AS delta
+FROM both_h
+ORDER BY abs(a2 - a1) DESC, custkey ASC LIMIT 15
+"""
+
+
+QUERIES.update({"q261_order_value_movers": q261_order_value_movers})
+ORACLE_SQL.update({"q261_order_value_movers": Q261_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Single-supplier dependency risk (q262)
+# ---------------------------------------------------------------------------
+
+def q262_single_supplier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration risk per brand: how many of its
+    traded parts have exactly ONE supplier in the whole shipment
+    history, and how much revenue rides on those single-sourced parts.
+    Two exact aggregations and a broadcast dim join — the
+    procurement-risk dashboard row."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_suppkey").cast("long").alias("__ns"),
+        F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r"),
+    )
+    joined = per_part.join(F.broadcast(part), per_part.l_partkey == part.p_partkey)
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.when(F.col("__ns") == 1, 1).otherwise(0)).cast("long").alias("n_single_sourced"),
+        F.round(
+            F.sum(F.when(F.col("__ns") == 1, F.col("__r")).otherwise(F.lit(0).cast("decimal(25,6)"))), 2
+        ).cast("double").alias("single_source_revenue"),
+        F.round(
+            F.sum(F.when(F.col("__ns") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("single_source_share"),
+    )
+
+
+Q262_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ns,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS r
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_sourced,
+       CAST(round(sum(CASE WHEN ns = 1 THEN r ELSE CAST(0 AS DECIMAL(25,6)) END), 2) AS DOUBLE)
+         AS single_source_revenue,
+       round(CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS single_source_share
+FROM per_part JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q262_single_supplier_risk": q262_single_supplier_risk})
+ORACLE_SQL.update({"q262_single_supplier_risk": Q262_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Discount effectiveness (q263)
+# ---------------------------------------------------------------------------
+
+def q263_discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does discounting move volume?  Average line quantity and revenue
+    per discount band (integer-percent bands from the exact cents of
+    the discount column — no float band edges), with each band's share
+    of lines.  The pricing-analytics primitive behind markdown
+    planning."""
+    li = _t(spark, sf_dir, "lineitem")
+    banded = li.select(
+        F.expr("CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT)").alias("discount_pct"),
+        F.col("l_quantity").cast("long").alias("__q"),
+        _dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("__r"),
+    )
+    tot = banded.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    per = banded.groupBy("discount_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.expr("(2 * sum(__q) + count(1)) div (2 * count(1))").alias("avg_quantity_halfup"),
+        F.round(F.sum("__r"), 2).cast("double").alias("revenue"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "discount_pct", "n_lines", "avg_quantity_halfup", "revenue",
+        F.round(F.col("n_lines").cast("double") / F.col("__n").cast("double"), 6).alias("line_share"),
+    )
+
+
+Q263_SQL = """
+WITH banded AS (
+  SELECT CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT) AS discount_pct,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6)) AS r
+  FROM lineitem
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM banded
+)
+SELECT discount_pct, CAST(count(*) AS BIGINT) AS n_lines,
+       (2 * CAST(sum(q) AS BIGINT) + count(*)) // (2 * count(*)) AS avg_quantity_halfup,
+       CAST(round(sum(r), 2) AS DOUBLE) AS revenue,
+       round(CAST(count(*) AS DOUBLE) / CAST(any_value(n) AS DOUBLE), 6) AS line_share
+FROM banded, tot
+GROUP BY discount_pct
+"""
+
+
+QUERIES.update({"q263_discount_effectiveness": q263_discount_effectiveness})
+ORACLE_SQL.update({"q263_discount_effectiveness": Q263_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate (q264)
+# ---------------------------------------------------------------------------
+
+def q264_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: user-hour sessions containing exactly ONE
+    event, as a share of that day's sessions — the engagement-health
+    line chart.  Session keys ride the q248 unix_micros hour grain;
+    counts exact; one division per day."""
+    ev = _t(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.col("user_id"),
+        F.expr("unix_micros(ts) div 3600000000").alias("__hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    daily = sess.groupBy(
+        F.expr("__hour div 24").alias("__day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)).cast("long").alias("n_bounces"),
+    )
+    return daily.select(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("__day").cast("int")).alias("day"),
+        "n_sessions", "n_bounces",
+        F.round(
+            F.col("n_bounces").cast("double") / F.col("n_sessions").cast("double"), 6
+        ).alias("bounce_rate"),
+    )
+
+
+Q264_SQL = """
+WITH sess AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), daily AS (
+  SELECT hour // 24 AS day_idx,
+         CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+  FROM sess GROUP BY 1
+)
+SELECT DATE '1970-01-01' + CAST(day_idx AS INTEGER) AS day,
+       n_sessions, n_bounces,
+       round(CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6) AS bounce_rate
+FROM daily
+"""
+
+
+QUERIES.update({"q264_session_bounce_rate": q264_session_bounce_rate})
+ORACLE_SQL.update({"q264_session_bounce_rate": Q264_SQL})
