@@ -14223,3 +14223,169 @@ FROM daily
 
 QUERIES.update({"q264_session_bounce_rate": q264_session_bounce_rate})
 ORACLE_SQL.update({"q264_session_bounce_rate": Q264_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Document quality bands (q265)
+# ---------------------------------------------------------------------------
+
+def q265_doc_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality banding on ENGINE-IDENTICAL integer metrics:
+    token count and mean word length (integer HALF_UP), banded into
+    the keep/review/drop buckets a curation pass acts on — the
+    SQL-expressible core of the q72 Gopher stack (regex-dialect
+    metrics stay in the pytest-gated operators; this row is the
+    cross-engine-auditable slice).  Counts per (lang, verdict)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("__toks"),
+    ).select(
+        "doc_id", "lang",
+        F.size("__toks").cast("long").alias("__ntok"),
+        F.aggregate(
+            "__toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("__chars"),
+    )
+    scored = toks.withColumn(
+        "__mwl2",  # 2x mean word length, integer HALF_UP x2 precision
+        F.expr("(2 * __chars + __ntok) div (2 * __ntok)"),
+    )
+    verdict = (
+        F.when(F.col("__ntok") < 20, "drop_short")
+        .when((F.col("__mwl2") < 3) | (F.col("__mwl2") > 12), "review_word_shape")
+        .otherwise("keep")
+    )
+    return scored.groupBy("lang", verdict.alias("verdict")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ntok").cast("long").alias("total_tokens"),
+    )
+
+
+Q265_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         CAST(len(tk) AS BIGINT) AS ntok,
+         CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT) AS chars
+  FROM toks
+), banded AS (
+  SELECT lang, ntok,
+         (2 * chars + ntok) // (2 * ntok) AS mwl2
+  FROM scored
+)
+SELECT lang,
+       CASE WHEN ntok < 20 THEN 'drop_short'
+            WHEN mwl2 < 3 OR mwl2 > 12 THEN 'review_word_shape'
+            ELSE 'keep' END AS verdict,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS total_tokens
+FROM banded GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q265_doc_quality_bands": q265_doc_quality_bands})
+ORACLE_SQL.update({"q265_doc_quality_bands": Q265_SQL})
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier suppliers (q266)
+# ---------------------------------------------------------------------------
+
+def q266_iqr_outlier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose account balance falls outside Tukey's fences
+    (Q1 - 1.5 IQR, Q3 + 1.5 IQR) of their OWN nation — the per-group
+    outlier screen (q110's MAD is the robust global twin; this is the
+    boxplot rule auditors expect).  Per-nation quartiles are
+    bounded-group percentiles (25 groups); fences broadcast back; the
+    output lists the flagged suppliers with their fence distances."""
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    fences = supp.groupBy("s_nationkey").agg(
+        F.expr("percentile(s_acctbal, 0.25)").alias("__q1"),
+        F.expr("percentile(s_acctbal, 0.75)").alias("__q3"),
+    ).select(
+        "s_nationkey",
+        "__q1", "__q3",
+        (F.col("__q1") - 1.5 * (F.col("__q3") - F.col("__q1"))).alias("__lo"),
+        (F.col("__q3") + 1.5 * (F.col("__q3") - F.col("__q1"))).alias("__hi"),
+    )
+    joined = supp.join(
+        F.broadcast(fences.withColumnRenamed("s_nationkey", "__nk")),
+        supp.s_nationkey == F.col("__nk"),
+    )
+    flagged = joined.filter(
+        (F.col("s_acctbal") < F.col("__lo")) | (F.col("s_acctbal") > F.col("__hi"))
+    )
+    return (
+        flagged.join(F.broadcast(nat), flagged.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_acctbal").alias("acctbal"),
+            F.round(F.col("__lo"), 4).alias("fence_lo"),
+            F.round(F.col("__hi"), 4).alias("fence_hi"),
+        )
+    )
+
+
+Q266_SQL = """
+WITH fences AS (
+  SELECT s_nationkey,
+         quantile_cont(s_acctbal, 0.25) AS q1,
+         quantile_cont(s_acctbal, 0.75) AS q3
+  FROM supplier GROUP BY 1
+), f2 AS (
+  SELECT s_nationkey, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM fences
+)
+SELECT n_name AS nation, s_suppkey AS suppkey, s_acctbal AS acctbal,
+       round(lo, 4) AS fence_lo, round(hi, 4) AS fence_hi
+FROM supplier JOIN f2 USING (s_nationkey)
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal < lo OR s_acctbal > hi
+"""
+
+
+QUERIES.update({"q266_iqr_outlier_suppliers": q266_iqr_outlier_suppliers})
+ORACLE_SQL.update({"q266_iqr_outlier_suppliers": Q266_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Lines-per-order profile (q267)
+# ---------------------------------------------------------------------------
+
+def q267_lines_per_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lines-per-order distribution — the fan-out statistic every
+    join-size estimate in this pipeline rests on (the q200/q222
+    co-order self-join cost is Sum of THESE counts squared): exact
+    histogram plus the implied self-join pair mass per bucket, so the
+    planner's 'is the co-order graph affordable' check is one glance."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("__k"))
+    hist = per.groupBy(F.col("__k").alias("lines_per_order")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return hist.select(
+        "lines_per_order",
+        "n_orders",
+        (F.col("lines_per_order") * (F.col("lines_per_order") - 1) * F.col("n_orders"))
+        .cast("long").alias("coorder_pair_mass"),
+    )
+
+
+Q267_SQL = """
+WITH per AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k FROM lineitem GROUP BY 1
+)
+SELECT k AS lines_per_order, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(k * (k - 1) * count(*) AS BIGINT) AS coorder_pair_mass
+FROM per GROUP BY 1
+"""
+
+
+QUERIES.update({"q267_lines_per_order_profile": q267_lines_per_order_profile})
+ORACLE_SQL.update({"q267_lines_per_order_profile": Q267_SQL})
