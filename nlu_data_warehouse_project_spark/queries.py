@@ -11558,22 +11558,26 @@ QUERIES.update({"q223_compression_screen": q223_compression_screen})
 # ---------------------------------------------------------------------------
 
 def q224_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of customer lifetime spend — the standard
-    inequality measure over the revenue base (how concentrated is the
-    business on its biggest customers).  Definitional form over sorted
-    values: G = 2*Sum(i*x_i)/(n*Sum(x)) - (n+1)/n with i the 1-based
-    rank in ascending spend order.  Spends are exact DECIMAL sums, the
-    rank comes from `scale.exact_global_rank` (range shuffle — no
-    single-partition sort over the customer base), Sum(i*x_i) is an
-    exact DECIMAL(38,6) sum of decimal*integer products, and the only
-    floats are the final divisions of two exact scalars — the same
-    one-float-at-the-end discipline as q222."""
-    from .operators.scale import exact_global_rank
-
+    """PER-SEGMENT Gini of customer lifetime spend — the GROUPED form
+    of q216's single global coefficient (which market segments are
+    winner-take-all?).  Grouping changes the legal plan: ranks are a
+    ``row_number`` window PARTITIONED by segment (key-partitioned
+    windows are always in-bounds; it is only the global, partition-free
+    form that q216's exact_global_rank machinery exists to replace).
+    Per-segment Sum(i*x_i) stays an exact DECIMAL(38,6) sum; the only
+    floats are the final per-segment divisions."""
     orders = _t(spark, sf_dir, "orders")
-    per = orders.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("__x"))
-    ranked = exact_global_rank(per, ["__x", "o_custkey"], rank_col="__i")
-    agg = ranked.agg(
+    cust = _t(spark, sf_dir, "customer")
+    per = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("__x"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("__x").asc(), F.col("o_custkey").asc()
+    )
+    ranked = per.withColumn("__i", F.row_number().over(w))
+    agg = ranked.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("__x").alias("__s0"),
         F.sum(F.col("__x") * F.col("__i").cast("decimal(12,0)")).alias("__s1"),
@@ -11582,6 +11586,7 @@ def q224_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     s0 = F.col("__s0").cast("double")
     s1 = F.col("__s1").cast("double")
     return agg.select(
+        "segment",
         "n_customers",
         F.round(F.lit(2.0) * s1 / (n * s0) - (n + F.lit(1.0)) / n, 6).alias("gini"),
     )
@@ -11589,17 +11594,19 @@ def q224_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q224_SQL = """
 WITH per AS (
-  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(25,6))) AS x
-  FROM orders GROUP BY 1
+  SELECT c_mktsegment, o_custkey, sum(CAST(o_totalprice AS DECIMAL(25,6))) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
 ), ranked AS (
-  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM per
+  SELECT c_mktsegment, x,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY x, o_custkey) AS i
+  FROM per
 ), agg AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_customers,
-         sum(x) AS s0,
-         sum(x * CAST(i AS DECIMAL(12,0))) AS s1
-  FROM ranked
+  SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_customers,
+         sum(x) AS s0, sum(x * CAST(i AS DECIMAL(12,0))) AS s1
+  FROM ranked GROUP BY 1
 )
-SELECT n_customers,
+SELECT segment, n_customers,
        round(2.0 * CAST(s1 AS DOUBLE) / (CAST(n_customers AS DOUBLE) * CAST(s0 AS DOUBLE))
              - (CAST(n_customers AS DOUBLE) + 1.0) / CAST(n_customers AS DOUBLE), 6) AS gini
 FROM agg
