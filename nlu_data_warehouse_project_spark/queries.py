@@ -11617,15 +11617,14 @@ QUERIES.update({"q224_gini_customer_spend": q224_gini_customer_spend})
 ORACLE_SQL.update({"q224_gini_customer_spend": Q224_SQL})
 
 
-def q225_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Herfindahl-Hirschman index of supplier revenue concentration per
-    nation — the antitrust screen (HHI > 0.25 flags a concentrated
-    market).  HHI = Sum(share_i^2) = Sum(rev_i^2)/(Sum rev_i)^2, so no
-    per-supplier division ever happens: revenues are exact DECIMAL
-    sums, squares stay DECIMAL (19,6 -> 38,12: 19 digits forces DuckDB's
-    int128 multiply path; (25,6)^2 would overflow its 38 cap), and the single
-    final division runs in doubles.  One shuffle for the supplier agg,
-    one for the nation agg; nation is a broadcast dim."""
+def q225_supplier_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CR4 concentration ratio per nation — the top-4 suppliers' share
+    of national revenue, the regulator's OTHER concentration statistic
+    (q209's HHI weighs the whole distribution; CR4 answers 'how much
+    do the four biggest control?' and moves differently when the tail
+    fragments).  Top-4 per nation is a key-partitioned rank window
+    over the supplier frame (bounded groups), revenue stays exact
+    DECIMAL end to end, one final division per nation."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
@@ -11633,20 +11632,25 @@ def q225_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("s_nationkey", "s_suppkey")
         .agg(F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r"))
-        .withColumn("__r18", F.col("__r").cast("decimal(19,6)"))
     )
-    per_nation = rev.groupBy("s_nationkey").agg(
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("__r").desc(), F.col("s_suppkey").asc()
+    )
+    ranked = rev.withColumn("__rk", F.row_number().over(w))
+    per_nation = ranked.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),
-        F.sum("__r18").alias("__s1"),
-        F.sum(F.col("__r18") * F.col("__r18")).alias("__s2"),
+        F.sum("__r").alias("__tot"),
+        F.sum(F.when(F.col("__rk") <= 4, F.col("__r")).otherwise(
+            F.lit(0).cast("decimal(25,6)"))).alias("__top4"),
     )
-    s1 = F.col("__s1").cast("double")
     return (
         per_nation.join(F.broadcast(nat), per_nation.s_nationkey == nat.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
             "n_suppliers",
-            F.round(F.col("__s2").cast("double") / (s1 * s1), 6).alias("hhi"),
+            F.round(
+                F.col("__top4").cast("double") / F.col("__tot").cast("double"), 6
+            ).alias("cr4"),
         )
     )
 
@@ -11654,22 +11658,27 @@ def q225_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q225_SQL = """
 WITH rev AS (
   SELECT s_nationkey, s_suppkey,
-         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DECIMAL(19,6)) AS r
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS r
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   GROUP BY 1, 2
+), ranked AS (
+  SELECT s_nationkey, r,
+         row_number() OVER (PARTITION BY s_nationkey ORDER BY r DESC, s_suppkey) AS rk
+  FROM rev
 ), per AS (
   SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
-         sum(r) AS s1, sum(r * r) AS s2
-  FROM rev GROUP BY 1
+         sum(r) AS tot,
+         sum(CASE WHEN rk <= 4 THEN r ELSE CAST(0 AS DECIMAL(25,6)) END) AS top4
+  FROM ranked GROUP BY 1
 )
 SELECT n_name AS nation, n_suppliers,
-       round(CAST(s2 AS DOUBLE) / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6) AS hhi
+       round(CAST(top4 AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cr4
 FROM per JOIN nation ON s_nationkey = n_nationkey
 """
 
 
-QUERIES.update({"q225_supplier_hhi": q225_supplier_hhi})
-ORACLE_SQL.update({"q225_supplier_hhi": Q225_SQL})
+QUERIES.update({"q225_supplier_cr4": q225_supplier_cr4})
+ORACLE_SQL.update({"q225_supplier_cr4": Q225_SQL})
 
 
 # ---------------------------------------------------------------------------
@@ -11849,8 +11858,10 @@ ORACLE_SQL.update({"q227_spearman_qty_price": Q227_SQL})
 # ---------------------------------------------------------------------------
 
 def q228_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantity-weighted median of extended price — "the price at which
-    half the SHIPPED UNITS are cheaper": order rows by price, take the
+    """GLOBAL quantity-weighted median of extended price — "the price
+    at which half the SHIPPED UNITS are cheaper" (q203 is the
+    per-brand GROUPED twin, whose per-key windows are legal; the
+    global form is exactly what needs the exact-prefix machinery): order rows by price, take the
     first whose cumulative weight reaches half the total.  The running
     weight comes from `scale.exact_prefix_sum` (range shuffle +
     broadcast offsets — the global-window shape this repo never
@@ -11964,116 +11975,130 @@ ORACLE_SQL.update({"q229_last_touch_attribution": Q229_SQL})
 # Markov transition matrix (q230)
 # ---------------------------------------------------------------------------
 
-def q230_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix of the event stream: for
-    each (from_type, to_type) pair, the count of consecutive same-user
-    transitions and the conditional probability P(to | from).  lag()
-    is key-partitioned per user (never global), counts are exact
-    integers, and each probability is ONE integer division in doubles
-    — the row-stochastic matrix a session-model or anomaly detector
-    consumes."""
+def q230_second_order_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND-order Markov transitions: P(next | prev2, prev1) over
+    same-user event triples — one memory level beyond q91's pair
+    counts, which is exactly what distinguishes 'error after
+    click->view' from 'error after error->error' (the sequence-model
+    depth question).  Two key-partitioned lags per user, exact triple
+    counts, and each conditional probability is ONE division by the
+    (prev2, prev1) context total — a row-stochastic tensor sliced as
+    rows."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.withColumn("__prev", F.lag("event_type").over(w))
-        .filter(F.col("__prev").isNotNull())
-        .select(F.col("__prev").alias("from_type"), F.col("event_type").alias("to_type"))
+    triples = (
+        ev.withColumn("__p1", F.lag("event_type", 1).over(w))
+        .withColumn("__p2", F.lag("event_type", 2).over(w))
+        .filter(F.col("__p2").isNotNull())
+        .select(
+            F.col("__p2").alias("prev2"),
+            F.col("__p1").alias("prev1"),
+            F.col("event_type").alias("next_type"),
+        )
     )
-    counts = pairs.groupBy("from_type", "to_type").agg(
+    counts = triples.groupBy("prev2", "prev1", "next_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_transitions")
     )
-    w_from = Window.partitionBy("from_type")
+    w_ctx = Window.partitionBy("prev2", "prev1")
     return counts.withColumn(
         "p",
         F.round(
             F.col("n_transitions").cast("double")
-            / F.sum("n_transitions").over(w_from).cast("double"),
+            / F.sum("n_transitions").over(w_ctx).cast("double"),
             6,
         ),
     )
 
 
 Q230_SQL = """
-WITH pairs AS (
-  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
-         event_type AS to_type
+WITH triples AS (
+  SELECT lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev2,
+         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev1,
+         event_type AS next_type
   FROM events
 ), counts AS (
-  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
-  FROM pairs WHERE from_type IS NOT NULL
-  GROUP BY 1, 2
+  SELECT prev2, prev1, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM triples WHERE prev2 IS NOT NULL
+  GROUP BY 1, 2, 3
 )
-SELECT from_type, to_type, n_transitions,
+SELECT prev2, prev1, next_type, n_transitions,
        round(CAST(n_transitions AS DOUBLE)
-             / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+             / CAST(sum(n_transitions) OVER (PARTITION BY prev2, prev1) AS DOUBLE), 6) AS p
 FROM counts
 """
 
 
-QUERIES.update({"q230_event_transition_matrix": q230_event_transition_matrix})
-ORACLE_SQL.update({"q230_event_transition_matrix": Q230_SQL})
+QUERIES.update({"q230_second_order_transitions": q230_second_order_transitions})
+ORACLE_SQL.update({"q230_second_order_transitions": Q230_SQL})
 
 
 # ---------------------------------------------------------------------------
 # Duplicate-invoice forensics (q231)
 # ---------------------------------------------------------------------------
 
-def q231_duplicate_invoice_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audit screen for double billing: pairs of orders by the SAME
-    customer for NEARLY the same total (within $1000) inside a 90-day
-    window — the classic AP forensics rule, loosened from exact-match
-    because legitimate duplicates rarely repeat to the cent.  The
-    self-join keys on custkey, so the candidate space is
-    Sum(orders-per-customer^2) — bounded by the per-customer order
-    count (~tens), never an all-pairs blowup; amount proximity and the
-    date window are residual filters.  Canonical pair order (k1 < k2),
-    integer day gaps."""
+def q231_regular_cadence_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subscription-LIKE customers: 4+ orders whose inter-order gaps
+    are REGULAR (max gap <= 3x min gap, no same-day doubles) — the
+    cadence signature replenishment/auto-order programs leave, and the
+    complement of q237's dormancy view (q212 screens PAIRS of charges;
+    this classifies CUSTOMERS by their whole timeline).  One
+    key-partitioned lag per customer, integer gap stats, the average
+    gap in HALF_UP integer form."""
     orders = _t(spark, sf_dir, "orders")
     o = orders.select(
-        "o_custkey", "o_totalprice",
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderdate").cast("date").alias("d"),
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("__d"),
+        "o_orderkey",
     )
-    a = o.select(
-        F.col("o_custkey").alias("__c"), F.col("o_totalprice").alias("__pa"),
-        F.col("k").alias("order_a"), F.col("d").alias("__da"),
+    w = Window.partitionBy("o_custkey").orderBy("__d", "o_orderkey")
+    gapped = o.withColumn("__prev", F.lag("__d").over(w)).withColumn(
+        "__gap", F.datediff(F.col("__d"), F.col("__prev")).cast("long")
     )
-    b = o.select(
-        F.col("o_custkey").alias("__c2"), F.col("o_totalprice").alias("__pb"),
-        F.col("k").alias("order_b"), F.col("d").alias("__db"),
+    per = gapped.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("__gap").cast("long").alias("min_gap_days"),
+        F.max("__gap").cast("long").alias("max_gap_days"),
+        F.sum("__gap").cast("long").alias("__gap_sum"),
     )
-    pairs = (
-        a.join(b, F.col("__c") == F.col("__c2"))
-        .filter(F.col("order_a") < F.col("order_b"))
-        .filter(F.abs(F.col("__pa") - F.col("__pb")) <= 1000.0)
-        .withColumn("day_gap", F.abs(F.datediff(F.col("__db"), F.col("__da"))).cast("long"))
-        .filter(F.col("day_gap") <= 90)
+    rec = per.filter(
+        (F.col("n_orders") >= 4)
+        & (F.col("min_gap_days") >= 1)
+        & (F.col("max_gap_days") <= 3 * F.col("min_gap_days"))
     )
-    return pairs.select(
-        F.col("__c").alias("custkey"),
-        "order_a", "order_b",
-        F.col("__pa").alias("amount_a"),
-        F.col("__pb").alias("amount_b"),
-        "day_gap",
+    return rec.select(
+        F.col("o_custkey").alias("custkey"),
+        "n_orders", "min_gap_days", "max_gap_days",
+        F.expr("(2 * __gap_sum + (n_orders - 1)) div (2 * (n_orders - 1))")
+        .alias("avg_gap_days_halfup"),
     )
 
 
 Q231_SQL = """
-SELECT a.o_custkey AS custkey,
-       a.o_orderkey AS order_a, b.o_orderkey AS order_b,
-       a.o_totalprice AS amount_a, b.o_totalprice AS amount_b,
-       CAST(abs(date_diff('day', CAST(a.o_orderdate AS DATE),
-                          CAST(b.o_orderdate AS DATE))) AS BIGINT) AS day_gap
-FROM orders a
-JOIN orders b
-  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
-WHERE abs(a.o_totalprice - b.o_totalprice) <= 1000.0
-  AND abs(date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE))) <= 90
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey FROM orders
+), gapped AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey),
+              d) AS BIGINT) AS gap
+  FROM o
+), per AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(min(gap) AS BIGINT) AS min_gap_days,
+         CAST(max(gap) AS BIGINT) AS max_gap_days,
+         CAST(sum(gap) AS BIGINT) AS gap_sum
+  FROM gapped GROUP BY 1
+)
+SELECT o_custkey AS custkey, n_orders, min_gap_days, max_gap_days,
+       (2 * gap_sum + (n_orders - 1)) // (2 * (n_orders - 1)) AS avg_gap_days_halfup
+FROM per
+WHERE n_orders >= 4 AND min_gap_days >= 1 AND max_gap_days <= 3 * min_gap_days
 """
 
 
-QUERIES.update({"q231_duplicate_invoice_screen": q231_duplicate_invoice_screen})
-ORACLE_SQL.update({"q231_duplicate_invoice_screen": Q231_SQL})
+QUERIES.update({"q231_regular_cadence_customers": q231_regular_cadence_customers})
+ORACLE_SQL.update({"q231_regular_cadence_customers": Q231_SQL})
 
 
 # ---------------------------------------------------------------------------
@@ -13024,61 +13049,78 @@ ORACLE_SQL.update({"q245_label_coherence": Q245_SQL})
 # Percent-of-parent rollup (q246)
 # ---------------------------------------------------------------------------
 
-def q246_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level percent-of-parent report: each nation's revenue share
-    OF ITS REGION and each region's share of the world — the
-    drill-down layout BI front-ends ask engines for.  One fact agg,
-    two broadcast dims, shares by key-partitioned window sums over the
-    25-row nation frame, single final divisions."""
+def q246_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The year-over-year REVENUE BRIDGE per nation: decompose each
+    year's revenue change into a VOLUME effect (quantity change at
+    last year's realized unit price) and a PRICE/MIX effect (the
+    remainder) — the waterfall finance asks for when 'revenue is up
+    4%' needs a why (q217 slices one period into shares; this explains
+    the DELTA between periods).  Per-(nation, year) quantity and
+    revenue are exact sums; the realized unit price is never
+    materialized as a float — volume_effect = (q2 - q1) * (r1 / q1)
+    is computed as (q2 - q1) * r1 / q1 with DECIMAL numerators and ONE
+    final double division, so both engines agree bit-for-bit."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
-    reg = _t(spark, sf_dir, "region")
-    rev = (
+    per = (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
-        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__rev"))
+        .groupBy("n_name", F.year(F.col("l_shipdate").cast("date")).alias("year"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("__q"),
+            F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r"),
+        )
     )
-    w_reg = Window.partitionBy("r_name")
-    w_all = Window.partitionBy()
-    return rev.select(
-        F.col("r_name").alias("region"),
+    prev = per.select(
+        F.col("n_name").alias("__n2"), (F.col("year") + 1).alias("__y2"),
+        F.col("__q").alias("__q1"), F.col("__r").alias("__r1"),
+    )
+    both = per.join(
+        prev, (per.n_name == F.col("__n2")) & (per.year == F.col("__y2"))
+    )
+    delta = F.col("__r").cast("double") - F.col("__r1").cast("double")
+    # (q2-q1)*r1 is exact (BIGINT x DECIMAL -> DECIMAL); / q1 is the
+    # one float division
+    vol = (
+        ((F.col("__q") - F.col("__q1")).cast("decimal(19,0)") * F.col("__r1")).cast("double")
+        / F.col("__q1").cast("double")
+    )
+    return both.select(
         F.col("n_name").alias("nation"),
-        F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
-        F.round(
-            F.col("__rev").cast("double") / F.sum("__rev").over(w_reg).cast("double"), 6
-        ).alias("share_of_region"),
-        F.round(
-            F.sum("__rev").over(w_reg).cast("double") / F.sum("__rev").over(w_all).cast("double"),
-            6,
-        ).alias("region_share_of_world"),
+        "year",
+        F.round(delta, 2).alias("revenue_delta"),
+        F.round(vol, 2).alias("volume_effect"),
+        F.round(delta - vol, 2).alias("price_mix_effect"),
     )
 
 
 Q246_SQL = """
-WITH rev AS (
-  SELECT r_name, n_name,
-         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS rev
+WITH per AS (
+  SELECT n_name, year(CAST(l_shipdate AS DATE)) AS year,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS r
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
-  JOIN region ON n_regionkey = r_regionkey
   GROUP BY 1, 2
+), both_y AS (
+  SELECT a.n_name, a.year, a.q AS q2, a.r AS r2, b.q AS q1, b.r AS r1
+  FROM per a JOIN per b ON a.n_name = b.n_name AND a.year = b.year + 1
 )
-SELECT r_name AS region, n_name AS nation,
-       CAST(round(rev, 2) AS DOUBLE) AS revenue,
-       round(CAST(rev AS DOUBLE)
-             / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share_of_region,
-       round(CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)
-             / CAST(sum(rev) OVER () AS DOUBLE), 6) AS region_share_of_world
-FROM rev
+SELECT n_name AS nation, year,
+       round(CAST(r2 AS DOUBLE) - CAST(r1 AS DOUBLE), 2) AS revenue_delta,
+       round(CAST(CAST(q2 - q1 AS DECIMAL(19,0)) * r1 AS DOUBLE) / CAST(q1 AS DOUBLE), 2)
+         AS volume_effect,
+       round((CAST(r2 AS DOUBLE) - CAST(r1 AS DOUBLE))
+             - CAST(CAST(q2 - q1 AS DECIMAL(19,0)) * r1 AS DOUBLE) / CAST(q1 AS DOUBLE), 2)
+         AS price_mix_effect
+FROM both_y
 """
 
 
-QUERIES.update({"q246_share_of_parent": q246_share_of_parent})
-ORACLE_SQL.update({"q246_share_of_parent": Q246_SQL})
+QUERIES.update({"q246_revenue_bridge": q246_revenue_bridge})
+ORACLE_SQL.update({"q246_revenue_bridge": Q246_SQL})
 
 
 # ---------------------------------------------------------------------------
@@ -13086,8 +13128,10 @@ ORACLE_SQL.update({"q246_share_of_parent": Q246_SQL})
 # ---------------------------------------------------------------------------
 
 def q247_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The classic cohort retention triangle: % of each first-order-
-    quarter cohort that placed ANY order at each quarter age — q235's
+    """PURCHASE-retention triangle on ORDERS at quarter grain: % of
+    each first-order-quarter cohort that placed ANY order at each
+    quarter age (q86/q155 are the weekly EVENT-engagement twins;
+    buying again and showing up again decay very differently) — q235's
     LTV curve counts money, this counts heads.  Distinct actives per
     (cohort, age) are exact; each rate is one integer division."""
     orders = _t(spark, sf_dir, "orders")
@@ -13466,7 +13510,10 @@ ORACLE_SQL.update({"q252_l_diversity_audit": Q252_SQL})
 # ---------------------------------------------------------------------------
 
 def q253_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekend-vs-weekday order volume and revenue indices per year.
+    """Weekend-vs-weekday order volume and revenue indices PER YEAR
+    (q208 profiles the seven weekdays over the whole history; this
+    tracks the weekend/weekday CLASS gap as a yearly trend with a
+    revenue twin).
     Day-of-week comes from PURE epoch-day arithmetic —
     (epoch_day + 3) % 7 with 0=Monday (1970-01-01 was a Thursday) —
     the q194 rule: engine day-of-week conventions (Spark 1=Sunday,
@@ -13536,7 +13583,9 @@ ORACLE_SQL.update({"q253_weekend_effect": Q253_SQL})
 
 def q254_top_percentile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The headline concentration number: share of total revenue held
-    by the top 1% / 5% / 10% of customers.  Customer ranks come from
+    by the top 1% / 5% / 10% of CUSTOMERS in one multi-cut pass
+    (q133 reports the single top-1%-of-ORDERS slice; customer-level
+    concentration is what account strategy acts on).  Customer ranks come from
     `exact_global_rank` over descending spend (range shuffle, no
     single-partition sort); the percentile cut sizes use ceil via
     integer arithmetic ((n*p + 99) div 100); shares are exact DECIMAL
@@ -14082,53 +14131,70 @@ ORACLE_SQL.update({"q261_order_value_movers": Q261_SQL})
 # Single-supplier dependency risk (q262)
 # ---------------------------------------------------------------------------
 
-def q262_single_supplier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supply-chain concentration risk per brand: how many of its
-    traded parts have exactly ONE supplier in the whole shipment
-    history, and how much revenue rides on those single-sourced parts.
-    Two exact aggregations and a broadcast dim join — the
-    procurement-risk dashboard row."""
+def q262_supplier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-base churn per year: suppliers active in year Y that
+    never ship again in Y+1 (churned), suppliers new in Y+1, and the
+    retention rate — the vendor-relationship health trend (q215 owns
+    the single-source RISK view; this is the TURNOVER view).  Active
+    sets are distinct (year, supplier) pairs; churn/new/retained come
+    from one self-join of the tiny year-supplier frame on adjacent
+    years; all integers plus one division."""
     li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part")
-    per_part = li.groupBy("l_partkey").agg(
-        F.count_distinct("l_suppkey").cast("long").alias("__ns"),
-        F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r"),
+    ys = li.select(
+        F.year(F.col("l_shipdate").cast("date")).alias("__y"), "l_suppkey"
+    ).distinct()
+    a = ys.select(F.col("__y").alias("year"), F.col("l_suppkey").alias("__s"))
+    b = ys.select((F.col("__y") - 1).alias("year"), F.col("l_suppkey").alias("__s2"))
+    joined = a.join(b, (a.year == b.year) & (F.col("__s") == F.col("__s2")), "full_outer")
+    per = joined.groupBy(F.coalesce(a.year, b.year).alias("year")).agg(
+        F.sum(F.when(F.col("__s").isNotNull(), 1).otherwise(0)).cast("long").alias("n_active"),
+        F.sum(
+            F.when(F.col("__s").isNotNull() & F.col("__s2").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_churned_next_year"),
+        F.sum(
+            F.when(F.col("__s").isNull() & F.col("__s2").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_new_next_year"),
     )
-    joined = per_part.join(F.broadcast(part), per_part.l_partkey == part.p_partkey)
-    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_parts"),
-        F.sum(F.when(F.col("__ns") == 1, 1).otherwise(0)).cast("long").alias("n_single_sourced"),
-        F.round(
-            F.sum(F.when(F.col("__ns") == 1, F.col("__r")).otherwise(F.lit(0).cast("decimal(25,6)"))), 2
-        ).cast("double").alias("single_source_revenue"),
-        F.round(
-            F.sum(F.when(F.col("__ns") == 1, 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("single_source_share"),
+    # the last year has no Y+1 observation window: churn there is
+    # right-censored, drop it rather than report a fake 100% churn
+    last = ys.agg(F.max("__y").alias("__max"))
+    return (
+        per.crossJoin(F.broadcast(last))
+        .filter((F.col("year") < F.col("__max")) & (F.col("n_active") > 0))
+        .select(
+            "year", "n_active", "n_churned_next_year", "n_new_next_year",
+            F.round(
+                (F.col("n_active") - F.col("n_churned_next_year")).cast("double")
+                / F.col("n_active").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
     )
 
 
 Q262_SQL = """
-WITH per_part AS (
-  SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ns,
-         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS r
-  FROM lineitem GROUP BY 1
+WITH ys AS (
+  SELECT DISTINCT year(CAST(l_shipdate AS DATE)) AS y, l_suppkey FROM lineitem
+), j AS (
+  SELECT a.y AS ya, a.l_suppkey AS sa, b.y - 1 AS yb, b.l_suppkey AS sb
+  FROM ys a FULL OUTER JOIN ys b
+    ON a.y = b.y - 1 AND a.l_suppkey = b.l_suppkey
+), per AS (
+  SELECT coalesce(ya, yb) AS year,
+         CAST(sum(CASE WHEN sa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN sa IS NOT NULL AND sb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_churned_next_year,
+         CAST(sum(CASE WHEN sa IS NULL AND sb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_next_year
+  FROM j GROUP BY 1
 )
-SELECT p_brand AS brand,
-       CAST(count(*) AS BIGINT) AS n_parts,
-       CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_sourced,
-       CAST(round(sum(CASE WHEN ns = 1 THEN r ELSE CAST(0 AS DECIMAL(25,6)) END), 2) AS DOUBLE)
-         AS single_source_revenue,
-       round(CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 6) AS single_source_share
-FROM per_part JOIN part ON l_partkey = p_partkey
-GROUP BY 1
+SELECT year, n_active, n_churned_next_year, n_new_next_year,
+       round(CAST(n_active - n_churned_next_year AS DOUBLE)
+             / CAST(n_active AS DOUBLE), 6) AS retention_rate
+FROM per WHERE year < (SELECT max(y) FROM ys) AND n_active > 0
 """
 
 
-QUERIES.update({"q262_single_supplier_risk": q262_single_supplier_risk})
-ORACLE_SQL.update({"q262_single_supplier_risk": Q262_SQL})
+QUERIES.update({"q262_supplier_churn": q262_supplier_churn})
+ORACLE_SQL.update({"q262_supplier_churn": Q262_SQL})
 
 
 # ---------------------------------------------------------------------------

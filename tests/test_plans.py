@@ -788,11 +788,11 @@ def test_round11_wave_plans(spark, sf_smoke):
         assert single_partition_exchange_count(q) == 0, name
 
     for name, max_shuffles in (
-        ("q225_supplier_hhi", 3),
+        ("q225_supplier_cr4", 3),
         ("q226_clamped_inventory_balance", 2),
         ("q229_last_touch_attribution", 2),
-        ("q230_event_transition_matrix", 3),
-        ("q231_duplicate_invoice_screen", 2),
+        ("q230_second_order_transitions", 3),
+        ("q231_regular_cadence_customers", 2),
         ("q232_lexical_diversity", 2),
         ("q233_order_seasonality", 3),
         ("q236_new_vs_returning", 4),
@@ -801,7 +801,7 @@ def test_round11_wave_plans(spark, sf_smoke):
         ("q241_ship_latency_sla", 3),
         ("q243_price_mix_shift", 4),
         ("q244_dup_rate_by_lang", 2),
-        ("q246_share_of_parent", 3),
+        ("q246_revenue_bridge", 4),
         ("q247_retention_triangle", 6),
         ("q248_event_cooccurrence_lift", 5),
         ("q249_customer_survival", 4),
