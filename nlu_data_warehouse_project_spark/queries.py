@@ -11919,56 +11919,78 @@ ORACLE_SQL.update({"q228_weighted_median_price": Q228_SQL})
 # Last-touch attribution (q229)
 # ---------------------------------------------------------------------------
 
-def q229_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marketing-style last-touch attribution: every purchase event is
-    credited to the user's most recent NON-purchase event strictly
-    before it ('none' when the purchase opens the history).  One
-    key-partitioned window per user — last(non-purchase type,
-    ignoreNulls) over ROWS UNBOUNDED PRECEDING..1 PRECEDING — then a
-    small group-by; purchase values sum as DECIMAL before the rounded
-    double (the q01 discipline).  The strictly-before frame plus the
-    (ts, event_id) tiebreak makes attribution deterministic under
-    same-timestamp bursts."""
+def q229_attribution_model_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch vs LAST-touch attribution disagreement per channel —
+    the model-sensitivity report (q127/q160 implement single models at
+    the pair level; the strategic question is where the models
+    DISAGREE, because budget moves only when they do).  One
+    key-partitioned pass per user computes both credits: first() and
+    last() (ignoreNulls) of the non-purchase type over the
+    strictly-before frame; per-channel purchase counts under each
+    model meet in one output row with the credit swing."""
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    attributed = ev.withColumn(
-        "__touch",
-        F.last(
-            F.when(F.col("event_type") != "purchase", F.col("event_type")),
-            ignorenulls=True,
-        ).over(w),
-    ).filter(F.col("event_type") == "purchase")
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attributed = (
+        ev.withColumn("__last", F.last(touch, ignorenulls=True).over(w))
+        .withColumn("__first", F.first(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+    last_c = attributed.groupBy(
+        F.coalesce(F.col("__last"), F.lit("none")).alias("channel")
+    ).agg(F.count(F.lit(1)).cast("long").alias("last_touch_purchases"))
+    first_c = attributed.groupBy(
+        F.coalesce(F.col("__first"), F.lit("none")).alias("channel")
+    ).agg(F.count(F.lit(1)).cast("long").alias("first_touch_purchases"))
     return (
-        attributed.groupBy(F.coalesce(F.col("__touch"), F.lit("none")).alias("channel"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_purchases"),
-            F.round(F.sum(_dec("value")), 2).cast("double").alias("attributed_value"),
+        last_c.join(first_c, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("last_touch_purchases", F.lit(0)).alias("last_touch_purchases"),
+            F.coalesce("first_touch_purchases", F.lit(0)).alias("first_touch_purchases"),
+            (
+                F.coalesce("last_touch_purchases", F.lit(0))
+                - F.coalesce("first_touch_purchases", F.lit(0))
+            ).cast("long").alias("credit_swing"),
         )
     )
 
 
 Q229_SQL = """
 WITH t AS (
-  SELECT event_type, value,
+  SELECT event_type,
          last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft
   FROM events
+), p AS (
+  SELECT coalesce(lt, 'none') AS lc, coalesce(ft, 'none') AS fc
+  FROM t WHERE event_type = 'purchase'
+), lastc AS (
+  SELECT lc AS channel, CAST(count(*) AS BIGINT) AS last_touch_purchases
+  FROM p GROUP BY 1
+), firstc AS (
+  SELECT fc AS channel, CAST(count(*) AS BIGINT) AS first_touch_purchases
+  FROM p GROUP BY 1
 )
-SELECT coalesce(touch, 'none') AS channel,
-       CAST(count(*) AS BIGINT) AS n_purchases,
-       CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS attributed_value
-FROM t WHERE event_type = 'purchase'
-GROUP BY 1
+SELECT coalesce(lastc.channel, firstc.channel) AS channel,
+       CAST(coalesce(last_touch_purchases, 0) AS BIGINT) AS last_touch_purchases,
+       CAST(coalesce(first_touch_purchases, 0) AS BIGINT) AS first_touch_purchases,
+       CAST(coalesce(last_touch_purchases, 0) - coalesce(first_touch_purchases, 0) AS BIGINT)
+         AS credit_swing
+FROM lastc FULL OUTER JOIN firstc USING (channel)
 """
 
 
-QUERIES.update({"q229_last_touch_attribution": q229_last_touch_attribution})
-ORACLE_SQL.update({"q229_last_touch_attribution": Q229_SQL})
+QUERIES.update({"q229_attribution_model_gap": q229_attribution_model_gap})
+ORACLE_SQL.update({"q229_attribution_model_gap": Q229_SQL})
 
 
 # ---------------------------------------------------------------------------
@@ -14251,51 +14273,91 @@ ORACLE_SQL.update({"q263_discount_effectiveness": Q263_SQL})
 # Session bounce rate (q264)
 # ---------------------------------------------------------------------------
 
-def q264_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily bounce rate: user-hour sessions containing exactly ONE
-    event, as a share of that day's sessions — the engagement-health
-    line chart.  Session keys ride the q248 unix_micros hour grain;
-    counts exact; one division per day."""
+def q264_session_exit_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What sessions END on: the distribution of each session's LAST
+    event type — the exit-analysis complement of q191's entry paths
+    (and of q162's bounce rate, which only counts the 1-event case):
+    sessions ending on 'error' are rage-quits, on 'purchase' completed
+    journeys.  Sessions are q21's 30-minute-gap kind; the last event
+    per session is a max_by over the (ts, event_id) order struct —
+    deterministic under same-ts bursts; exit shares are single
+    divisions."""
     ev = _t(spark, sf_dir, "events")
-    sess = ev.groupBy(
-        F.col("user_id"),
-        F.expr("unix_micros(ts) div 3600000000").alias("__hour"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    daily = sess.groupBy(
-        F.expr("__hour div 24").alias("__day")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_sessions"),
-        F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)).cast("long").alias("n_bounces"),
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
     )
-    return daily.select(
-        F.date_add(F.lit("1970-01-01").cast("date"), F.col("__day").cast("int")).alias("day"),
-        "n_sessions", "n_bounces",
+    sessions = with_gap.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    w_last = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    exits = (
+        sessions.withColumn("__rn", F.row_number().over(w_last))
+        .withColumn(
+            "__len",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("user_id", "session_id")
+            ).cast("long"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "session_id", F.col("event_type").alias("exit_type"), "__len")
+    )
+    tot = exits.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    per = exits.groupBy("exit_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("__len") == 1, 1).otherwise(0)).cast("long").alias("n_single_event"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "exit_type", "n_sessions", "n_single_event",
         F.round(
-            F.col("n_bounces").cast("double") / F.col("n_sessions").cast("double"), 6
-        ).alias("bounce_rate"),
+            F.col("n_sessions").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("exit_share"),
     )
 
 
 Q264_SQL = """
-WITH sess AS (
-  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
-         CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
-), daily AS (
-  SELECT hour // 24 AS day_idx,
-         CAST(count(*) AS BIGINT) AS n_sessions,
-         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
-  FROM sess GROUP BY 1
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM g
+), sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), exits AS (
+  SELECT user_id, session_id, event_type AS exit_type, len
+  FROM (
+    SELECT user_id, session_id, event_type,
+           row_number() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           CAST(count(*) OVER (PARTITION BY user_id, session_id) AS BIGINT) AS len
+    FROM sess
+  ) WHERE rn = 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM exits
 )
-SELECT DATE '1970-01-01' + CAST(day_idx AS INTEGER) AS day,
-       n_sessions, n_bounces,
-       round(CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6) AS bounce_rate
-FROM daily
+SELECT exit_type, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_event,
+       round(CAST(count(*) AS DOUBLE) / CAST(any_value(n) AS DOUBLE), 6) AS exit_share
+FROM exits, tot GROUP BY exit_type
 """
 
 
-QUERIES.update({"q264_session_bounce_rate": q264_session_bounce_rate})
-ORACLE_SQL.update({"q264_session_bounce_rate": Q264_SQL})
+QUERIES.update({"q264_session_exit_types": q264_session_exit_types})
+ORACLE_SQL.update({"q264_session_exit_types": Q264_SQL})
 
 
 # ---------------------------------------------------------------------------

@@ -790,7 +790,7 @@ def test_round11_wave_plans(spark, sf_smoke):
     for name, max_shuffles in (
         ("q225_supplier_cr4", 3),
         ("q226_clamped_inventory_balance", 2),
-        ("q229_last_touch_attribution", 2),
+        ("q229_attribution_model_gap", 4),
         ("q230_second_order_transitions", 3),
         ("q231_regular_cadence_customers", 2),
         ("q232_lexical_diversity", 2),
