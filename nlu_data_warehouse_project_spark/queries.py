@@ -13000,8 +13000,9 @@ ORACLE_SQL.update({"q244_dup_rate_by_lang": Q244_SQL})
 # ---------------------------------------------------------------------------
 
 def q245_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean pairwise dot product WITHIN each embedding label — computed
-    WITHOUT forming any pair: Sum_{i != j} <v_i, v_j> =
+    """Mean pairwise dot product WITHIN each embedding label (q59
+    exposes the per-label centroids themselves; this scores their
+    tightness) — computed WITHOUT forming any pair: Sum_{i != j} <v_i, v_j> =
     ||Sum v||^2 - Sum ||v||^2, so one O(n*d) pass replaces the O(n^2)
     self-join (at 100 TB this identity IS the difference between a
     feasible coherence report and an impossible one).  Components
@@ -13225,7 +13226,10 @@ ORACLE_SQL.update({"q247_retention_triangle": Q247_SQL})
 
 def q248_event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIFT between event types co-occurring within the same user-hour
-    'session': P(a,b)/(P(a)P(b)) over session-distinct type sets — the
+    'session': P(a,b)/(P(a)P(b)) over session-distinct type sets —
+    TIME-LOCALIZED association normalized by independence (q214's
+    audience Jaccard asks whether the same PEOPLE ever do both; this
+    asks whether they do both in the same sitting) — the
     association screen behind 'users who error also churn'.  Pairs
     come from a self-join of session-distinct types (bounded by 5
     event types per session, never raw events squared); probabilities
