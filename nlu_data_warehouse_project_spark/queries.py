@@ -14528,3 +14528,187 @@ FROM per GROUP BY 1
 
 QUERIES.update({"q267_lines_per_order_profile": q267_lines_per_order_profile})
 ORACLE_SQL.update({"q267_lines_per_order_profile": Q267_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Cross-supplier price dispersion (q268)
+# ---------------------------------------------------------------------------
+
+def q268_price_dispersion_arbitrage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procurement arbitrage screen: for parts bought from 3+
+    suppliers, the spread between the cheapest and dearest supplier's
+    average unit price (same part, same period — a real price
+    difference, not product mix).  Per-(part, supplier) unit price =
+    exact cents DIV units (integer HALF_UP); spread ratio is one final
+    division; top 20 widest by TakeOrdered.  q108's dispersion is
+    statistical (variance by flag); this is ACTIONABLE (switch
+    suppliers, save the spread)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.expr("CAST(CAST(l_extendedprice AS DECIMAL(25,2)) * 100 AS BIGINT)"))
+        .cast("long").alias("__cents"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("__units"),
+    ).withColumn("__unit_c", F.expr("(2 * __cents + __units) div (2 * __units)"))
+    agg = per.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.min("__unit_c").cast("long").alias("__min_c"),
+        F.max("__unit_c").cast("long").alias("__max_c"),
+    ).filter(F.col("n_suppliers") >= 3)
+    return (
+        agg.select(
+            "partkey", "n_suppliers",
+            (F.col("__min_c").cast("double") / 100).alias("min_unit_price"),
+            (F.col("__max_c").cast("double") / 100).alias("max_unit_price"),
+            F.round(
+                (F.col("__max_c") - F.col("__min_c")).cast("double")
+                / F.col("__min_c").cast("double"),
+                6,
+            ).alias("spread_ratio"),
+        )
+        .orderBy(F.col("spread_ratio").desc(), F.col("partkey").asc())
+        .limit(20)
+    )
+
+
+Q268_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(25,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units
+  FROM lineitem GROUP BY 1, 2
+), priced AS (
+  SELECT l_partkey, (2 * cents + units) // (2 * units) AS unit_c
+  FROM per
+), agg AS (
+  SELECT l_partkey AS partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(min(unit_c) AS BIGINT) AS min_c, CAST(max(unit_c) AS BIGINT) AS max_c
+  FROM priced GROUP BY 1 HAVING count(*) >= 3
+)
+SELECT partkey, n_suppliers,
+       CAST(min_c AS DOUBLE) / 100 AS min_unit_price,
+       CAST(max_c AS DOUBLE) / 100 AS max_unit_price,
+       round(CAST(max_c - min_c AS DOUBLE) / CAST(min_c AS DOUBLE), 6) AS spread_ratio
+FROM agg ORDER BY spread_ratio DESC, partkey ASC LIMIT 20
+"""
+
+
+QUERIES.update({"q268_price_dispersion_arbitrage": q268_price_dispersion_arbitrage})
+ORACLE_SQL.update({"q268_price_dispersion_arbitrage": Q268_SQL})
+
+
+# ---------------------------------------------------------------------------
+# User activity burstiness (q269)
+# ---------------------------------------------------------------------------
+
+def q269_activity_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, variance/mean) of per-user
+    hourly event counts, by event type — burstiness > 1 means events
+    clump (retry storms, doomscrolls), ~1 is Poisson-like background.
+    Hourly counts are exact integers; variance uses the q108 exact
+    power sums over the count frame (never a float stddev); one final
+    division pair per type."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", "user_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("__h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    d18 = "decimal(18,0)"
+    sums = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_hours"),
+        F.sum("__c").cast(d18).alias("__s"),
+        F.sum(F.col("__c").cast(d18) * F.col("__c").cast(d18)).alias("__ss"),
+    )
+    n = F.col("n_user_hours").cast("double")
+    mean = F.col("__s").cast("double") / n
+    var = (n * F.col("__ss").cast("double") - F.col("__s").cast("double") * F.col("__s").cast("double")) / (n * n)
+    return sums.select(
+        "event_type", "n_user_hours",
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(var / mean, 6).alias("fano_factor"),
+    )
+
+
+Q269_SQL = """
+WITH hourly AS (
+  SELECT event_type, user_id, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+), sums AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_user_hours,
+         CAST(sum(c) AS DECIMAL(18,0)) AS s,
+         sum(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS ss
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, n_user_hours,
+       round(CAST(s AS DOUBLE) / CAST(n_user_hours AS DOUBLE), 6) AS mean_per_hour,
+       round(((CAST(n_user_hours AS DOUBLE) * CAST(ss AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+              / (CAST(n_user_hours AS DOUBLE) * CAST(n_user_hours AS DOUBLE)))
+             / (CAST(s AS DOUBLE) / CAST(n_user_hours AS DOUBLE)), 6) AS fano_factor
+FROM sums
+"""
+
+
+QUERIES.update({"q269_activity_burstiness": q269_activity_burstiness})
+ORACLE_SQL.update({"q269_activity_burstiness": Q269_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Bilateral trade matrix (q270)
+# ---------------------------------------------------------------------------
+
+def q270_bilateral_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer-nation x supplier-nation revenue matrix — the full
+    bilateral trade table (q172 extracts ONE nation's share in one
+    region; this is the whole flow field, with each cell's share of
+    its customer-nation row for sourcing-dependence reads).  Two
+    broadcast dim joins on the fact, one aggregate on the 625-cell key
+    space, row shares by key-partitioned window."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    cn = nat.select(F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation"))
+    sn = nat.select(F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation"))
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("__cnk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("__snk"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r"))
+    )
+    w = Window.partitionBy("cust_nation")
+    return cells.select(
+        "cust_nation", "supp_nation",
+        F.round(F.col("__r"), 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("__r").cast("double") / F.sum("__r").over(w).cast("double"), 6
+        ).alias("row_share"),
+    )
+
+
+Q270_SQL = """
+WITH cells AS (
+  SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS r
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT cust_nation, supp_nation,
+       CAST(round(r, 2) AS DOUBLE) AS revenue,
+       round(CAST(r AS DOUBLE)
+             / CAST(sum(r) OVER (PARTITION BY cust_nation) AS DOUBLE), 6) AS row_share
+FROM cells
+"""
+
+
+QUERIES.update({"q270_bilateral_trade_matrix": q270_bilateral_trade_matrix})
+ORACLE_SQL.update({"q270_bilateral_trade_matrix": Q270_SQL})
