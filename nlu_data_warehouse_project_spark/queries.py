@@ -13823,13 +13823,20 @@ def q257_adjusted_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     indices are per-day-normalized exact-count ratios (q233/q253
     composed), dow from epoch-day arithmetic, and the top 20 residuals
     come from TakeOrdered with a date tiebreak — never a global sort."""
+    from .operators.scale import pin_frame
+
     orders = _t(spark, sf_dir, "orders")
     d = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("day"),
-        F.month(F.col("o_orderdate").cast("date")).alias("__m"),
-        ((d + 3) % 7).alias("__w"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    # the daily frame feeds FOUR consumers (total, month index, weekday
+    # index, final join) — pin it once (the q248 discipline)
+    daily = pin_frame(
+        orders.groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.month(F.col("o_orderdate").cast("date")).alias("__m"),
+            ((d + 3) % 7).alias("__w"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_orders")),
+        eager=True,
+    )
     tot = daily.agg(
         F.sum("n_orders").cast("long").alias("__tn"),
         F.count(F.lit(1)).cast("long").alias("__days"),

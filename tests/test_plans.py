@@ -816,3 +816,43 @@ def test_round11_wave_plans(spark, sf_smoke):
     q245 = QUERIES["q245_label_coherence"](spark, sf_smoke)
     assert python_udf_count(q245) == 0
     assert shuffle_count(q245) <= 4, shuffle_count(q245)
+
+
+def test_round11_late_wave_plans(spark, sf_smoke):
+    """q251-q270: zero Python everywhere; q254's rank rides the pinned
+    exact-rank frame (no single-partition exchange); bounded shuffles
+    on the rest."""
+    from nlu_data_warehouse_project_spark.plans import (
+        single_partition_exchange_count,
+    )
+
+    q254 = QUERIES["q254_top_percentile_share"](spark, sf_smoke)
+    assert python_udf_count(q254) == 0
+    assert single_partition_exchange_count(q254) == 0
+    q258 = QUERIES["q258_out_of_order_arrivals"](spark, sf_smoke)
+    assert python_udf_count(q258) == 0
+    assert single_partition_exchange_count(q258) == 0
+
+    for name, max_shuffles in (
+        ("q251_pseudonymized_export", 4),
+        ("q252_l_diversity_audit", 3),
+        ("q253_weekend_effect", 3),
+        ("q255_rapid_repeat_purchases", 3),
+        ("q256_personalized_pagerank", 2),   # post-checkpoint rank frame
+        ("q257_adjusted_outlier_days", 3),
+        ("q259_error_rate_alarms", 3),
+        ("q260_keyword_revenue", 4),
+        ("q261_order_value_movers", 4),
+        ("q262_supplier_churn", 5),
+        ("q263_discount_effectiveness", 3),
+        ("q264_session_exit_types", 4),
+        ("q265_doc_quality_bands", 2),
+        ("q266_iqr_outlier_suppliers", 3),
+        ("q267_lines_per_order_profile", 2),
+        ("q268_price_dispersion_arbitrage", 3),
+        ("q269_activity_burstiness", 2),
+        ("q270_bilateral_trade_matrix", 4),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
