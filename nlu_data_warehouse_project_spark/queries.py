@@ -14719,3 +14719,286 @@ FROM cells
 
 QUERIES.update({"q270_bilateral_trade_matrix": q270_bilateral_trade_matrix})
 ORACLE_SQL.update({"q270_bilateral_trade_matrix": Q270_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Waiting-time paradox (q271)
+# ---------------------------------------------------------------------------
+
+def q271_waiting_time_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inspection paradox, measured: the mean inter-order gap vs
+    the LENGTH-BIASED mean a randomly-arriving observer experiences
+    (E[g^2]/E[g]) — the gap between 'orders come every X days' and
+    'a support ticket lands mid-wait and waits X*k'.  The ratio is the
+    burstiness of the order process (1 = perfectly regular; q269's
+    Fano is the count-domain twin).  Gaps are integer days from
+    key-partitioned lags; both moments are exact DECIMAL sums; two
+    final divisions."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("__d", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("__d"),
+        )
+        .withColumn("__prev", F.lag("__d").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(F.datediff(F.col("__d"), F.col("__prev")).cast("long").alias("__g"))
+    )
+    d18 = "decimal(18,0)"
+    agg = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("__g").cast(d18).alias("__s1"),
+        F.sum(F.col("__g").cast(d18) * F.col("__g").cast(d18)).alias("__s2"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("__s1").cast("double") / n
+    biased = F.col("__s2").cast("double") / F.col("__s1").cast("double")
+    return agg.select(
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_days"),
+        F.round(biased, 6).alias("observed_mean_gap_days"),
+        F.round(biased / mean, 6).alias("inspection_ratio"),
+    )
+
+
+Q271_SQL = """
+WITH gaps AS (
+  SELECT CAST(date_diff('day',
+              lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                  ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS g
+  FROM orders
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(g) AS DECIMAL(18,0)) AS s1,
+         sum(CAST(g AS DECIMAL(18,0)) * CAST(g AS DECIMAL(18,0))) AS s2
+  FROM gaps WHERE g IS NOT NULL
+)
+SELECT n_gaps,
+       round(CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_days,
+       round(CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE), 6) AS observed_mean_gap_days,
+       round((CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE))
+             / (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6) AS inspection_ratio
+FROM agg
+"""
+
+
+QUERIES.update({"q271_waiting_time_paradox": q271_waiting_time_paradox})
+ORACLE_SQL.update({"q271_waiting_time_paradox": Q271_SQL})
+
+
+# ---------------------------------------------------------------------------
+# CUSUM level-shift detection (q272)
+# ---------------------------------------------------------------------------
+
+def q272_weekly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM chart of weekly order volume: the running sum of
+    (week - overall weekly mean) deviations — a sustained level shift
+    shows as a persistent slope where single-point rules (q205's
+    z-score, q259's 3-sigma) stay quiet.  Exactness trick: the
+    deviation sum is kept as INTEGER n_weeks-scaled units
+    (n_weeks * week_count - total_orders), so the cumsum is a BIGINT
+    and only the final rescale divides.  The week frame is
+    calendar-bounded (the q185 sanctioned window); output flags
+    |cusum| peaks."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    weekly = orders.groupBy(F.expr(
+        "CAST((datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') + 3) div 7 AS BIGINT)"
+    ).alias("week_idx")).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    tot = weekly.agg(
+        F.sum("n_orders").cast("long").alias("__t"),
+        F.count(F.lit(1)).cast("long").alias("__w"),
+    )
+    w_cum = Window.orderBy("week_idx").rowsBetween(Window.unboundedPreceding, 0)
+    scaled = weekly.crossJoin(F.broadcast(tot)).withColumn(
+        "__dev", F.col("__w") * F.col("n_orders") - F.col("__t")
+    )
+    cum = scaled.withColumn("__cusum_scaled", F.sum("__dev").over(w_cum))
+    return cum.select(
+        "week_idx", "n_orders",
+        F.round(
+            F.col("__cusum_scaled").cast("double") / F.col("__w").cast("double"), 4
+        ).alias("cusum"),
+    )
+
+
+Q272_SQL = """
+WITH weekly AS (
+  SELECT (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 3) // 7 AS week_idx,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_orders) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS w FROM weekly
+)
+SELECT week_idx, n_orders,
+       round(CAST(sum(w * n_orders - t) OVER (ORDER BY week_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(w AS DOUBLE), 4) AS cusum
+FROM weekly, tot
+"""
+
+
+QUERIES.update({"q272_weekly_cusum": q272_weekly_cusum})
+ORACLE_SQL.update({"q272_weekly_cusum": Q272_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Signup-to-purchase conversion latency (q273)
+# ---------------------------------------------------------------------------
+
+def q273_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation funnel latency: per user, the time from FIRST signup
+    event to FIRST subsequent purchase — conversion share and the
+    latency quartiles (q109 measures step-to-step funnel latency
+    inside sessions; this is the account-level activation clock).
+    Two min-aggregates (never a window over raw events), integer
+    second gaps, bounded-group percentiles."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(ts)")).alias("__su")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.expr("unix_micros(ts)").alias("__pu")
+    )
+    first_after = (
+        s.join(p, "user_id")
+        .filter(F.col("__pu") >= F.col("__su"))
+        .groupBy("user_id", "__su")
+        .agg(F.min("__pu").alias("__fp"))
+    )
+    n_signup = s.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    lat = first_after.select(
+        (F.expr("(__fp - __su) div 1000000")).cast("double").alias("__sec")
+    )
+    agg = lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(__sec, 0.25)"), 4).alias("p25_seconds"),
+        F.round(F.expr("percentile(__sec, 0.5)"), 4).alias("median_seconds"),
+        F.round(F.expr("percentile(__sec, 0.75)"), 4).alias("p75_seconds"),
+    )
+    return agg.crossJoin(F.broadcast(n_signup)).select(
+        F.col("__n").alias("n_signed_up"),
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("conversion_rate"),
+        "p25_seconds", "median_seconds", "p75_seconds",
+    )
+
+
+Q273_SQL = """
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS su FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), p AS (
+  SELECT user_id, epoch_us(ts) AS pu FROM events WHERE event_type = 'purchase'
+), fa AS (
+  SELECT s.user_id, su, min(pu) AS fp
+  FROM s JOIN p ON s.user_id = p.user_id AND pu >= su
+  GROUP BY 1, 2
+), lat AS (
+  SELECT CAST((fp - su) // 1000000 AS DOUBLE) AS sec FROM fa
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_converted,
+         round(quantile_cont(sec, 0.25), 4) AS p25_seconds,
+         round(quantile_cont(sec, 0.5), 4) AS median_seconds,
+         round(quantile_cont(sec, 0.75), 4) AS p75_seconds
+  FROM lat
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signed_up,
+       n_converted,
+       round(CAST(n_converted AS DOUBLE)
+             / CAST((SELECT count(*) FROM s) AS DOUBLE), 6) AS conversion_rate,
+       p25_seconds, median_seconds, p75_seconds
+FROM agg
+"""
+
+
+QUERIES.update({"q273_signup_to_purchase": q273_signup_to_purchase})
+ORACLE_SQL.update({"q273_signup_to_purchase": Q273_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Revenue autocorrelation at lag 7 (q274)
+# ---------------------------------------------------------------------------
+
+def q274_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 autocorrelation of daily revenue — 'does this week
+    predict next week?', the one-number stationarity check a
+    forecaster runs before q197's EWMA.  The lag pairing is a
+    DATE-SHIFT SELF-JOIN on the day frame (never an ordered window),
+    revenue is exact integer cents, the five Pearson sums are exact
+    DECIMAL products (19,0 casts keep DuckDB on int128), and the
+    final correlation is one float expression.  Lags 1 and 7 reported
+    side by side."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("__d")
+    ).agg(
+        F.sum(F.expr("CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)"))
+        .cast("long").alias("__c")
+    )
+    from .operators.scale import pin_frame
+
+    daily = pin_frame(daily, eager=True)
+    grid = orders.sparkSession.createDataFrame([(1,), (7,)], "lag_days int")
+    a = daily.crossJoin(F.broadcast(grid)).select(
+        "lag_days", F.col("__d").alias("__da"), F.col("__c").alias("__x")
+    )
+    b = daily.select(F.col("__d").alias("__db"), F.col("__c").alias("__y"))
+    pairs = a.join(b, F.col("__da") == F.col("__db") + F.col("lag_days"))
+    d19 = "decimal(19,0)"
+    agg = pairs.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("__x").cast(d19).alias("__sx"),
+        F.sum("__y").cast(d19).alias("__sy"),
+        F.sum(F.col("__x").cast(d19) * F.col("__y").cast(d19)).alias("__sxy"),
+        F.sum(F.col("__x").cast(d19) * F.col("__x").cast(d19)).alias("__sxx"),
+        F.sum(F.col("__y").cast(d19) * F.col("__y").cast(d19)).alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    return agg.select(
+        "lag_days", "n_pairs",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("autocorrelation"),
+    )
+
+
+Q274_SQL = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), grid AS (
+  SELECT CAST(g AS INTEGER) AS lag_days FROM (VALUES (1), (7)) t(g)
+), pairs AS (
+  SELECT lag_days, a.c AS x, b.c AS y
+  FROM daily a CROSS JOIN grid JOIN daily b ON a.d = b.d + lag_days
+), agg AS (
+  SELECT lag_days, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS DECIMAL(19,0)) AS sx, CAST(sum(y) AS DECIMAL(19,0)) AS sy,
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+         sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+         sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT lag_days, n_pairs,
+       round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS autocorrelation
+FROM agg
+"""
+
+
+QUERIES.update({"q274_revenue_autocorrelation": q274_revenue_autocorrelation})
+ORACLE_SQL.update({"q274_revenue_autocorrelation": Q274_SQL})
