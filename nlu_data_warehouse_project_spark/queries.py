@@ -15002,3 +15002,57 @@ FROM agg
 
 QUERIES.update({"q274_revenue_autocorrelation": q274_revenue_autocorrelation})
 ORACLE_SQL.update({"q274_revenue_autocorrelation": Q274_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Event-stream integrity audit (q275)
+# ---------------------------------------------------------------------------
+
+def q275_event_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity screen on the EVENT stream: per event
+    type, how many of its users have no signup event at all ('ghost'
+    activity — instrumentation gaps or imported accounts), and how
+    many acted BEFORE their first signup (clock skew or backfilled
+    ids).  Anti-join + as-of-style min compare, all on the distinct
+    user frame — the q101-FD style audit, pointed at behavioral data."""
+    ev = _t(spark, sf_dir, "events")
+    first_signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(ts)")).alias("__su")
+    )
+    tagged = (
+        ev.filter(F.col("event_type") != "signup")
+        .select("user_id", "event_type", F.expr("unix_micros(ts)").alias("__t"))
+        .join(F.broadcast(first_signup), "user_id", "left")
+    )
+    return tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count_distinct(
+            F.when(F.col("__su").isNull(), F.col("user_id"))
+        ).cast("long").alias("n_ghost_users"),
+        F.sum(
+            F.when(F.col("__su").isNotNull() & (F.col("__t") < F.col("__su")), 1).otherwise(0)
+        ).cast("long").alias("n_pre_signup_events"),
+    )
+
+
+Q275_SQL = """
+WITH fs AS (
+  SELECT user_id, min(epoch_us(ts)) AS su FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), tagged AS (
+  SELECT e.user_id, e.event_type, epoch_us(e.ts) AS t, fs.su
+  FROM events e LEFT JOIN fs ON e.user_id = fs.user_id
+  WHERE e.event_type <> 'signup'
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT CASE WHEN su IS NULL THEN user_id END) AS BIGINT) AS n_ghost_users,
+       CAST(sum(CASE WHEN su IS NOT NULL AND t < su THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_signup_events
+FROM tagged GROUP BY 1
+"""
+
+
+QUERIES.update({"q275_event_integrity_audit": q275_event_integrity_audit})
+ORACLE_SQL.update({"q275_event_integrity_audit": Q275_SQL})
