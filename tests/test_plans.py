@@ -857,3 +857,22 @@ def test_round11_late_wave_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+
+
+def test_round11_final_wave_plans(spark, sf_smoke):
+    """q271-q275: zero Python; q274's lag pairing is a date-shift join
+    on the pinned day frame (no ordered window anywhere)."""
+    from nlu_data_warehouse_project_spark.plans import window_count
+
+    q274 = QUERIES["q274_revenue_autocorrelation"](spark, sf_smoke)
+    assert python_udf_count(q274) == 0
+    assert window_count(q274) == 0
+    for name, max_shuffles in (
+        ("q271_waiting_time_paradox", 2),
+        ("q272_weekly_cusum", 4),
+        ("q273_signup_to_purchase", 4),
+        ("q275_event_integrity_audit", 3),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
