@@ -15056,3 +15056,151 @@ FROM tagged GROUP BY 1
 
 QUERIES.update({"q275_event_integrity_audit": q275_event_integrity_audit})
 ORACLE_SQL.update({"q275_event_integrity_audit": Q275_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate sentences (q276)
+# ---------------------------------------------------------------------------
+
+def q276_cross_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between language pairs — the cross-lingual
+    contamination screen (a 'vi' shard whose word set half-overlaps
+    'en' is mislabeled or code-switched; q23's lang-id gates docs, this
+    audits the LABELS in aggregate; q78's fingerprint overlap sees
+    whole-doc copies, not lexicon bleed).  Distinct (lang, word) first
+    — the pair join fans out per WORD by the languages carrying it,
+    never by raw token count; exact set sizes, one division."""
+    from .operators.scale import pin_frame
+
+    docs = _t(spark, sf_dir, "documents")
+    # the distinct (lang, word) frame feeds THREE consumers — pin once
+    lw = pin_frame(
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("__w"))
+        .filter(F.col("__w") != "")
+        .distinct(),
+        eager=True,
+    )
+    sizes = lw.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("__sz"))
+    a = lw.select(F.col("lang").alias("lang_a"), "__w")
+    b = lw.select(F.col("lang").alias("lang_b"), "__w")
+    inter = (
+        a.join(b, "__w")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("__sz").alias("__za"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("__sz").alias("__zb"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a").join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a", "lang_b", "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("__za") + F.col("__zb") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+Q276_SQL = """
+WITH lw AS (
+  SELECT DISTINCT lang, w
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+), sizes AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS sz FROM lw GROUP BY 1
+), inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM lw a JOIN lw b ON a.w = b.w AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT lang_a, lang_b, n_shared,
+       round(CAST(n_shared AS DOUBLE)
+             / CAST(sa.sz + sb.sz - n_shared AS DOUBLE), 6) AS vocab_jaccard
+FROM inter
+JOIN sizes sa ON sa.lang = lang_a
+JOIN sizes sb ON sb.lang = lang_b
+"""
+
+
+QUERIES.update({"q276_cross_lang_vocab_overlap": q276_cross_lang_vocab_overlap})
+ORACLE_SQL.update({"q276_cross_lang_vocab_overlap": Q276_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Label confusion via exact-decimal centroids (q277)
+# ---------------------------------------------------------------------------
+
+def q277_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-confusion screen over the embedding space: for every
+    label, which OTHER label's centroid its vectors sit closest to
+    (by dot product) and how often — high off-diagonal mass means two
+    labels are semantically entangled (q245 scores a label's internal
+    tightness; this finds which NEIGHBOR it bleeds into).  The whole
+    computation stays in EXACT DECIMAL so the argmax is
+    hash-comparable cross-engine: components route float -> double ->
+    DECIMAL(13,6) (q245's dyadic lemma), centroids are
+    mean-free SUM vectors (same argmax as the mean — n is constant
+    per label), dots are DECIMAL(19,6)x(19,6) per-dim products summed
+    exactly, and the winner per (vector, other-label) is an integer
+    count rollup.  Ties break toward the lower label id."""
+    e = _t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", "vec_id", F.posexplode("embedding").alias("__i", "__x")
+    ).select(
+        "label", "vec_id", "__i",
+        F.col("__x").cast("double").cast("decimal(13,6)").alias("__xd"),
+    )
+    cents = comp.groupBy(F.col("label").alias("__cl"), F.col("__i").alias("__ci")).agg(
+        F.sum("__xd").cast("decimal(19,6)").alias("__s")
+    )
+    dots = (
+        comp.join(
+            F.broadcast(cents),
+            (comp.__i == F.col("__ci")) & (comp.label != F.col("__cl")),
+        )
+        .groupBy("label", "vec_id", "__cl")
+        .agg(F.sum(F.col("__xd").cast("decimal(19,6)") * F.col("__s")).alias("__dot"))
+    )
+    w = Window.partitionBy("label", "vec_id").orderBy(
+        F.col("__dot").desc(), F.col("__cl").asc()
+    )
+    nearest = dots.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return (
+        nearest.groupBy(
+            F.col("label").alias("label"),
+            F.col("__cl").alias("nearest_other_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+
+
+Q277_SQL = """
+WITH comp AS (
+  SELECT label, vec_id, i,
+         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(13,6)) AS xd
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), cents AS (
+  SELECT label AS cl, i AS ci, CAST(sum(xd) AS DECIMAL(19,6)) AS s
+  FROM comp GROUP BY 1, 2
+), dots AS (
+  SELECT comp.label, comp.vec_id, cents.cl,
+         sum(CAST(comp.xd AS DECIMAL(19,6)) * cents.s) AS dot
+  FROM comp JOIN cents ON comp.i = cents.ci AND comp.label <> cents.cl
+  GROUP BY 1, 2, 3
+), nearest AS (
+  SELECT label, cl,
+         row_number() OVER (PARTITION BY label, vec_id
+                            ORDER BY dot DESC, cl ASC) AS rn
+  FROM dots
+)
+SELECT label, cl AS nearest_other_label, CAST(count(*) AS BIGINT) AS n_vectors
+FROM nearest WHERE rn = 1
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q277_label_confusion": q277_label_confusion})
+ORACLE_SQL.update({"q277_label_confusion": Q277_SQL})

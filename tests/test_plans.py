@@ -876,3 +876,17 @@ def test_round11_final_wave_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+
+
+def test_q276_q277_plans(spark, sf_smoke):
+    """q276's pair join fans out per word by languages-carrying-it;
+    q277 is all-DECIMAL with a key-partitioned nearest window and a
+    broadcast centroid frame — zero Python in both."""
+    for name, max_shuffles in (
+        ("q276_cross_lang_vocab_overlap", 5),
+        ("q277_label_confusion", 5),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+    assert uses_broadcast_join(QUERIES["q277_label_confusion"](spark, sf_smoke))
