@@ -659,7 +659,7 @@ class TxTable:
          "dir_schemas", "dir_stats", "current_table", "bucket",
          "compacted_lineage", "restored_from", "column_renames",
          "committed_at", "pending_txn", "txn_stale_table", "dir_slices",
-         "delete_predicate")
+         "delete_predicate", "update_predicate")
     )
 
     def _carried_extras(self, prev: dict) -> dict:
@@ -1062,11 +1062,65 @@ class TxTable:
         Returns ``{"version", "n_deleted", "rewritten"}``; a
         zero-match delete publishes nothing and returns version None.
         Single-writer like every TxTable mutation."""
+        res = self._rewrite_matching(
+            condition, lambda df, hit: df.filter(~hit), run_id, "delete_predicate"
+        )
+        res["n_deleted"] = res.pop("n_matched")
+        return res
+
+    def update_where(self, condition, assignments: dict, run_id: str = "update") -> dict:
+        """Targeted row UPDATE — the SET twin of ``delete_where``
+        (completing the DML surface: append / merge / replace-slice /
+        delete / update): rows where ``condition`` is TRUE get each
+        assignment column replaced by its expression, everything else
+        (including NULL-condition rows) keeps its value, and ONLY the
+        dirs containing matching rows rewrite.  Each assignment is
+        cast back to the column's CURRENT type — an update can never
+        smuggle in a retype (the ``_check_retypes`` invariant holds by
+        construction).  Same audit/CDF contracts as delete_where: time
+        travel shows pre-update values, ``update_predicate`` rides the
+        manifest, rewritten dirs are lineage-mapped so consumers don't
+        re-consume, and updated VALUES do not generate CDF events.
+
+        Returns ``{"version", "n_updated", "rewritten"}``; zero
+        matches publish nothing."""
+        man = self.manifest()
+        if man is None:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        schema = {f.name: f.dataType for f in self._manifest_schema(man).fields}
+        missing = [c for c in assignments if c not in schema]
+        if missing:
+            raise ValueError(
+                f"update_where assignments reference unknown column(s) {missing}; "
+                f"table schema has {sorted(schema)}"
+            )
+
+        def apply(df, hit):
+            out = df
+            for c, expr in assignments.items():
+                e = F.expr(expr) if isinstance(expr, str) else expr
+                out = out.withColumn(
+                    c, F.when(hit, e.cast(schema[c])).otherwise(F.col(c))
+                )
+            return out
+
+        res = self._rewrite_matching(condition, apply, run_id, "update_predicate")
+        res["n_updated"] = res.pop("n_matched")
+        return res
+
+    def _rewrite_matching(
+        self, condition, apply_fn, run_id: str, predicate_key: str
+    ) -> dict:
+        """Shared engine of delete_where/update_where: find the dirs
+        whose rows match ``condition``, rewrite exactly those through
+        ``apply_fn(df, hit_col)``, leave every other dir byte-identical,
+        and publish one manifest commit with re-recorded stats, carried
+        slice tags, and compaction-style lineage entries."""
         man, ver = self._base_for_write()
         if man is None:
             raise FileNotFoundError(f"no committed version under {self.root}")
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        delete_hit = F.coalesce(cond, F.lit(False))
+        hit = F.coalesce(cond, F.lit(False))
         token = uuid.uuid4().hex[:8]
         schema = self._manifest_schema(man)
         schema_json = json.loads(schema.json())
@@ -1076,43 +1130,43 @@ class TxTable:
         lineage = dict(man.get("compacted_lineage", {}))
         new_closed: list[str] = []
         rewritten: list[str] = []
-        n_deleted = 0
+        n_matched = 0
         for i, d in enumerate(man["closed"]):
             part = self.read_closed(man["version"], dirs=[d])
-            hits = part.filter(delete_hit).count()
+            hits = part.filter(hit).count()
             if hits == 0:
                 new_closed.append(d)
                 continue
-            n_deleted += hits
+            n_matched += hits
             nd = f"{_DATA_DIR}/closed-{run_id}-{token}-{i}"
-            part.filter(~delete_hit).write.parquet(os.path.join(self.root, nd))
+            apply_fn(part, hit).write.parquet(os.path.join(self.root, nd))
             new_closed.append(nd)
             rewritten.append(d)
             dir_schemas.pop(d, None)
             dir_schemas[nd] = schema_json
             dir_stats.pop(d, None)
-            s = self._closed_stats(
+            st = self._closed_stats(
                 self.spark.read.schema(schema).parquet(os.path.join(self.root, nd))
             )
-            if s is not None:
-                dir_stats[nd] = s
+            if st is not None:
+                dir_stats[nd] = st
             if d in dir_slices:
                 dir_slices[nd] = dir_slices.pop(d)
             lineage[nd] = [d]
         cur = self.read_current(man["version"])
-        cur_hits = cur.filter(delete_hit).count()
+        cur_hits = cur.filter(hit).count()
         cur_fields: dict = {}
         cur_dir = man["current"]
         if cur_hits:
-            n_deleted += cur_hits
+            n_matched += cur_hits
             cur_dir = f"{_DATA_DIR}/current-{run_id}-{token}"
-            cur_fields = self._write_current(cur.filter(~delete_hit), cur_dir, ver)
+            cur_fields = self._write_current(apply_fn(cur, hit), cur_dir, ver)
         else:
             cur_fields = {
                 k: man[k] for k in ("current_table", "bucket") if k in man
             }
-        if n_deleted == 0:
-            return {"version": None, "n_deleted": 0, "rewritten": []}
+        if n_matched == 0:
+            return {"version": None, "n_matched": 0, "rewritten": []}
         new_man = {
             **self._carried_extras(man),
             **{k: man[k] for k in ("column_renames",) if k in man},
@@ -1124,14 +1178,14 @@ class TxTable:
             "dir_schemas": dir_schemas,
             "dir_stats": dir_stats,
             "compacted_lineage": lineage,
-            "delete_predicate": str(condition),
+            predicate_key: str(condition),
             **({"dir_slices": dir_slices} if dir_slices else {}),
             **cur_fields,
         }
         self._publish(new_man)
         if cur_hits and man.get("current_table"):
             self._drop_stale_bucket_table(man)
-        return {"version": ver, "n_deleted": n_deleted, "rewritten": rewritten}
+        return {"version": ver, "n_matched": n_matched, "rewritten": rewritten}
 
     def commit_with_retry(self, build_and_commit, max_retries: int = 3) -> int:
         """Re-read-and-retry recipe for the lost commit race.

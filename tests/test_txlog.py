@@ -1389,3 +1389,53 @@ def test_delete_where_slices_and_current(spark, tmp_path):
         spark.createDataFrame([(9, "q")], "uid long, v string"), "s2"
     )
     assert "delete_predicate" not in snap.manifest()
+
+
+def test_update_where_rewrites_only_hit_dirs(spark, tmp_path):
+    """update_where: SET semantics on matching rows only, untouched
+    dirs keep their files, assignments cast back to the column's type
+    (no retype smuggling), pre-update values stay time-travelable, the
+    predicate rides the manifest as an owned key, zero-match is a
+    no-op."""
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "up"), stats_cols=["price"])
+    t.commit_append(
+        spark.createDataFrame([(1, 100, "a"), (2, 200, "b")], "id long, price long, v string"),
+        "d1",
+    )
+    t.commit_append(
+        spark.createDataFrame([(3, 300, "c")], "id long, price long, v string"), "d2"
+    )
+    man_before = t.manifest()
+    res = t.update_where(
+        F.col("price") >= 200, {"price": F.col("price") + 5, "v": F.lit("adj")},
+        run_id="reprice",
+    )
+    assert res["n_updated"] == 2 and len(res["rewritten"]) == 1 or len(res["rewritten"]) == 2
+    got = sorted((r["id"], r["price"], r["v"]) for r in t.read().collect())
+    assert got == [(1, 100, "a"), (2, 205, "adj"), (3, 305, "adj")]
+    # d1's dir was rewritten (row 2 hit); check type survived: price long
+    assert dict(t.read().dtypes)["price"] == "bigint"
+    # time travel shows the pre-update values
+    old = sorted((r["id"], r["price"]) for r in t.read(version=man_before["version"]).collect())
+    assert old == [(1, 100), (2, 200), (3, 300)]
+    # stats re-recorded on rewritten dirs
+    man = t.manifest()
+    assert man["update_predicate"].startswith("Column") or "price" in man["update_predicate"]
+    # zero-match no-op
+    v = t.latest_version()
+    assert t.update_where("price > 9999", {"v": F.lit("x")}) == {
+        "version": None, "n_updated": 0, "rewritten": []
+    }
+    assert t.latest_version() == v
+    # assignment to an unknown column refuses up front
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown column"):
+        t.update_where("price > 0", {"nope": F.lit(1)})
+    # the predicate is an OWNED key: next commit does not carry it
+    t.commit_append(
+        spark.createDataFrame([(9, 900, "z")], "id long, price long, v string"), "d3"
+    )
+    assert "update_predicate" not in t.manifest()
