@@ -15204,3 +15204,115 @@ GROUP BY 1, 2
 
 QUERIES.update({"q277_label_confusion": q277_label_confusion})
 ORACLE_SQL.update({"q277_label_confusion": Q277_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Order-state consistency audit (q278)
+# ---------------------------------------------------------------------------
+
+def q278_order_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table STATE consistency: orders marked open ('O') whose
+    every line already shipped more than 90 days before the corpus
+    reference date — status-field rot the control plane should have
+    advanced (q275 audits the event stream's referential integrity;
+    this audits the relational pair).  One per-order max over
+    lineitem, a broadcast reference date, exact counts and value at
+    stake per priority."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("__last")
+    )
+    ref = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("__ref"))
+    stale = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .join(last_ship, orders.o_orderkey == last_ship.l_orderkey)
+        .crossJoin(F.broadcast(ref))
+        .filter(F.datediff(F.col("__ref"), F.col("__last")) > 90)
+    )
+    return stale.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_stale_open"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("value_at_stake"),
+        F.max(F.datediff(F.col("__ref"), F.col("__last"))).cast("long").alias("max_staleness_days"),
+    )
+
+
+Q278_SQL = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last FROM lineitem GROUP BY 1
+), ref AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS ref FROM orders
+), stale AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(25,6)) AS p,
+         date_diff('day', last, ref) AS staleness
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey CROSS JOIN ref
+  WHERE o_orderstatus = 'O' AND date_diff('day', last, ref) > 90
+)
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_stale_open,
+       CAST(round(sum(p), 2) AS DOUBLE) AS value_at_stake,
+       CAST(max(staleness) AS BIGINT) AS max_staleness_days
+FROM stale GROUP BY 1
+"""
+
+
+QUERIES.update({"q278_order_state_audit": q278_order_state_audit})
+ORACLE_SQL.update({"q278_order_state_audit": Q278_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Month-end rush (q279)
+# ---------------------------------------------------------------------------
+
+def q279_month_end_rush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pull-forward detector: the share of each year's order volume
+    and revenue landing in the LAST FIVE days of a month — a rising
+    month-end spike is quota-chasing / sandbagging in the order desk.
+    Month-end membership is pure date arithmetic (day >= day(last_day)
+    - 4, identical builtins both engines); exact counts and DECIMAL
+    sums; two divisions per year."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    tagged = orders.select(
+        F.year(d).alias("year"),
+        (F.dayofmonth(d) >= F.dayofmonth(F.last_day(d)) - 4).alias("__rush"),
+        _dec("o_totalprice").alias("__p"),
+    )
+    per = tagged.groupBy("year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("__rush"), 1).otherwise(0)).cast("long").alias("n_rush"),
+        F.sum("__p").alias("__rev"),
+        F.sum(F.when(F.col("__rush"), F.col("__p")).otherwise(
+            F.lit(0).cast("decimal(25,6)"))).alias("__rush_rev"),
+    )
+    return per.select(
+        "year", "n_orders", "n_rush",
+        F.round(F.col("n_rush").cast("double") / F.col("n_orders").cast("double"), 6)
+        .alias("rush_order_share"),
+        F.round(F.col("__rush_rev").cast("double") / F.col("__rev").cast("double"), 6)
+        .alias("rush_revenue_share"),
+    )
+
+
+Q279_SQL = """
+WITH tagged AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS year,
+         day(CAST(o_orderdate AS DATE)) >= day(last_day(CAST(o_orderdate AS DATE))) - 4 AS rush,
+         CAST(o_totalprice AS DECIMAL(25,6)) AS p
+  FROM orders
+), per AS (
+  SELECT year, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN rush THEN 1 ELSE 0 END) AS BIGINT) AS n_rush,
+         sum(p) AS rev,
+         sum(CASE WHEN rush THEN p ELSE CAST(0 AS DECIMAL(25,6)) END) AS rush_rev
+  FROM tagged GROUP BY 1
+)
+SELECT year, n_orders, n_rush,
+       round(CAST(n_rush AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS rush_order_share,
+       round(CAST(rush_rev AS DOUBLE) / CAST(rev AS DOUBLE), 6) AS rush_revenue_share
+FROM per
+"""
+
+
+QUERIES.update({"q279_month_end_rush": q279_month_end_rush})
+ORACLE_SQL.update({"q279_month_end_rush": Q279_SQL})

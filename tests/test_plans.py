@@ -890,3 +890,13 @@ def test_q276_q277_plans(spark, sf_smoke):
         assert python_udf_count(q) == 0, name
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
     assert uses_broadcast_join(QUERIES["q277_label_confusion"](spark, sf_smoke))
+
+
+def test_q278_q279_plans(spark, sf_smoke):
+    for name, max_shuffles in (
+        ("q278_order_state_audit", 3),
+        ("q279_month_end_rush", 2),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
