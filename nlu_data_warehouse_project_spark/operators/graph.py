@@ -82,7 +82,7 @@ def pagerank_rounds(
     src_col: str = "src",
     dst_col: str = "dst",
     reliable: bool | None = None,
-    seeds: list | None = None,
+    seeds: list | DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-round PageRank power iteration in EXACT integer
     arithmetic: ranks are BIGINT "mass units" (``unit`` total mass
@@ -108,13 +108,18 @@ def pagerank_rounds(
     each round's teleport term ``((100-d) * (unit DIV |S|)) DIV 100``
     lands ONLY on seed nodes.  Same exact-integer arithmetic, same
     per-round shape — personalization changes two literals and a
-    seed-membership flag, nothing about the plan."""
+    seed-membership flag, nothing about the plan.  Accepts either a
+    small driver-side list OR a single-column DataFrame (VERDICT r11
+    #3): a formula-derived seed set grows with the graph, and a
+    DataFrame keeps the whole path lazy — no collect round-trip
+    through the driver; the membership join broadcasts either way
+    (a personalization set is dimension-sized by construction)."""
     if rounds < 0:
         raise ValueError(f"rounds={rounds} must be >= 0")
     if not (0 <= damping_pct <= 100):
         raise ValueError(f"damping_pct={damping_pct} must be in [0, 100]")
-    if seeds is not None and not seeds:
-        raise ValueError("seeds must be a non-empty list (or None for uniform)")
+    if isinstance(seeds, (list, tuple, set)) and not seeds:
+        raise ValueError("seeds must be non-empty (or None for uniform)")
     e = pin_frame(
         edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")),
         reliable=reliable, eager=True,
@@ -138,10 +143,21 @@ def pagerank_rounds(
         nodes = nodes.withColumn("__seed", F.lit(True))
         rank = nodes.withColumn("rank_units", F.lit(r0).cast("long"))
     else:
-        seed_list = sorted(set(seeds))
-        seed_df = edges.sparkSession.createDataFrame(
-            [(s,) for s in seed_list], nodes.select("node").schema
-        ).withColumn("__is_seed", F.lit(True))
+        if isinstance(seeds, DataFrame):
+            if len(seeds.columns) != 1:
+                raise ValueError(
+                    f"a seeds DataFrame must have exactly one column, got {seeds.columns}"
+                )
+            seed_df = (
+                seeds.select(F.col(seeds.columns[0]).alias("node"))
+                .distinct()
+                .withColumn("__is_seed", F.lit(True))
+            )
+        else:
+            seed_list = sorted(set(seeds))
+            seed_df = edges.sparkSession.createDataFrame(
+                [(s,) for s in seed_list], nodes.select("node").schema
+            ).withColumn("__is_seed", F.lit(True))
         nodes = nodes.join(F.broadcast(seed_df), "node", "left").select(
             "node", F.coalesce(F.col("__is_seed"), F.lit(False)).alias("__seed")
         )

@@ -309,9 +309,18 @@ def _png_unpack_pixels(
     line: bytearray, width: int, channels: int, depth: int
 ) -> list[tuple]:
     """Packed scanline bytes -> per-pixel sample tuples (raw values,
-    no depth scaling — the caller decides index vs intensity)."""
+    no depth scaling — the caller decides index vs intensity).  16-bit
+    samples are two bytes big-endian per the spec (VERDICT r11 #4)."""
     if depth == 8:
         return [tuple(line[x * channels:(x + 1) * channels]) for x in range(width)]
+    if depth == 16:
+        return [
+            tuple(
+                (line[2 * (x * channels + c)] << 8) | line[2 * (x * channels + c) + 1]
+                for c in range(channels)
+            )
+            for x in range(width)
+        ]
     per_byte = 8 // depth
     mask = (1 << depth) - 1
     out = []
@@ -352,7 +361,11 @@ def _png_decode_general(
             if s is None:
                 raise ValueError("PNG interlace passes left uncovered pixels")
             for v in s:
-                out.append((v * scale) & 255)
+                # 16-bit samples downsample by the HIGH byte (the
+                # standard 16->8 reduction every decoder uses for an
+                # 8-bit surface; exact for the v = hi*257 gradients
+                # 16-bit encoders emit for 8-bit content)
+                out.append(v >> 8 if depth == 16 else (v * scale) & 255)
     return out
 
 
@@ -366,7 +379,9 @@ def decode_png(payload: bytes) -> dict:
     each Adam7 pass unfilters as an independent sub-image and
     reassembles on the spec's fixed 8x8 grid; sub-8 depths unpack
     bit-packed pixels (gray scales by 255/(2^d - 1), palette indices
-    pass through).  16-bit depth still fails fast.
+    pass through); 16-bit gray/RGB/gray+alpha/RGBA (VERDICT r11 #4)
+    unfilters on the 2-byte-per-sample stride and downsamples each
+    big-endian sample by its high byte onto the 8-bit surface.
     Returns ``{format, width, height, channels, pixels}`` with
     ``pixels`` as row-major raw samples.
 
@@ -396,15 +411,16 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = header
     sub8_ok = depth in (1, 2, 4) and color in (0, 3)
+    d16_ok = depth == 16 and color in _PNG_CHANNELS  # no 16-bit palette in the spec
     if (
-        (depth != 8 and not sub8_ok)
+        (depth != 8 and not sub8_ok and not d16_ok)
         or interlace not in (0, 1)
         or (color not in _PNG_CHANNELS and color != 3)
     ):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color} interlace={interlace}: "
-            "8-bit gray/RGB/gray+alpha/RGBA/palette plus 1/2/4-bit "
-            "gray/palette decode here (Adam7 or not); 16-bit does not"
+            "8/16-bit gray/RGB/gray+alpha/RGBA, 8-bit palette and "
+            "1/2/4-bit gray/palette decode here (Adam7 or not)"
         )
     if color == 3:
         if plte is None or len(plte) % 3:
@@ -447,13 +463,20 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
-def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+def encode_png(
+    width: int, height: int, channels: int, pixels: bytes, depth: int = 8
+) -> bytes:
     """Minimal stdlib PNG encoder (filter 0 on every scanline) — the
-    fixture/export twin of ``decode_png``; round-trips exactly."""
+    fixture/export twin of ``decode_png``; round-trips exactly.  With
+    ``depth=16`` every sample in ``pixels`` is two bytes big-endian
+    (the spec's 16-bit layout), so ``pixels`` carries
+    ``height*width*channels*2`` bytes."""
+    if depth not in (8, 16):
+        raise ValueError(f"encode_png writes depth 8 or 16, got {depth}")
     color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
-    stride = width * channels
+    stride = width * channels * (depth // 8)
     if len(pixels) != height * stride:
-        raise ValueError(f"need {height * stride} samples, got {len(pixels)}")
+        raise ValueError(f"need {height * stride} bytes, got {len(pixels)}")
     raw = b"".join(
         b"\x00" + pixels[y * stride:(y + 1) * stride] for y in range(height)
     )
@@ -464,7 +487,7 @@ def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

@@ -21,6 +21,8 @@ Three tools a cluster-scale deployment of this engine leans on:
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -504,6 +506,7 @@ def write_zordered(
     n_files: int = 64,
     bits: int = 16,
     mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
 ) -> None:
     """Lay a table out along a Z-curve over ``cols`` so that per-file
     min/max statistics prune scans filtered on ANY of them — the
@@ -516,22 +519,107 @@ def write_zordered(
     The column min/max pair used for scaling is one 2·k-value
     aggregate (never row data).  Linear scaling assumes roughly
     uniform key ranges — for heavy skew, rank-based leveling (ntile)
-    would balance better at the cost of a full sort; at 100 TB run
-    this per date partition, not globally, so each partition's range
-    is local and the rewrite is bounded."""
-    row = df.agg(
-        *[F.min(F.col(c).cast("long")).alias(f"__lo_{c}") for c in cols],
-        *[F.max(F.col(c).cast("long")).alias(f"__hi_{c}") for c in cols],
-    ).collect()[0]
-    mins = [row[f"__lo_{c}"] for c in cols]
-    maxs = [row[f"__hi_{c}"] for c in cols]
-    z = zorder_value(list(cols), mins, maxs, bits=bits)
+    would balance better at the cost of a full sort.
+
+    ``partition_by`` (VERDICT r11 #5) is the 100 TB path: hive-style
+    partition dirs with the z-layout applied WITHIN each partition —
+    min/max computed per partition (one groupBy row per partition
+    value: partition-metadata-sized, like the Hive catalog itself),
+    each value leveled against its OWN partition's span (a global
+    span would waste the level bits of every partition whose local
+    range is a narrow slice of it), and the range shuffle keyed on
+    (partition, z) so each output task — hence each written file —
+    covers one partition's contiguous curve segment.  A later
+    re-z-order of one day rewrites one dir, not the table."""
+    if partition_by is None:
+        row = df.agg(
+            *[F.min(F.col(c).cast("long")).alias(f"__lo_{c}") for c in cols],
+            *[F.max(F.col(c).cast("long")).alias(f"__hi_{c}") for c in cols],
+        ).collect()[0]
+        mins = [row[f"__lo_{c}"] for c in cols]
+        maxs = [row[f"__hi_{c}"] for c in cols]
+        z = zorder_value(list(cols), mins, maxs, bits=bits)
+        (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode(mode)
+            .parquet(path)
+        )
+        return
+    if not 2 <= len(cols) <= 3:
+        raise ValueError(f"zorder interleaves 2-3 columns, got {len(cols)}")
+    pby = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    overlap = set(pby) & set(cols)
+    if overlap:
+        raise ValueError(
+            f"partition_by columns {sorted(overlap)} are already pruned by the "
+            "partition dirs — z-order the NEXT filter columns instead"
+        )
+    # one row per live partition: bounded metadata, not row data
+    bounds = (
+        df.groupBy(*pby)
+        .agg(
+            *[F.min(F.col(c).cast("long")).alias(f"__lo_{c}") for c in cols],
+            *[F.max(F.col(c).cast("long")).alias(f"__hi_{c}") for c in cols],
+        )
+        .collect()
+    )
+    # per-(partition, col) shift precomputed driver-side (the shift is
+    # span.bit_length()-bits — integer arithmetic the SQL layer lacks),
+    # then shipped back as a broadcast frame: every row levels against
+    # its own partition's bounds as a plain column expression
+    spark = df.sparkSession
+    brows = []
+    for r in bounds:
+        rec = [r[p] for p in pby]
+        for c in cols:
+            lo = int(r[f"__lo_{c}"]) if r[f"__lo_{c}"] is not None else 0
+            hi = int(r[f"__hi_{c}"]) if r[f"__hi_{c}"] is not None else 0
+            span = max(hi - lo, 1)
+            rec += [lo, span.bit_length() - bits]
+        brows.append(tuple(rec))
+    bschema = df.select(
+        *pby,
+        *[e for c in cols for e in (
+            F.lit(0).cast("long").alias(f"__lo_{c}"),
+            F.lit(0).cast("int").alias(f"__sh_{c}"),
+        )],
+    ).schema
+    bdf = spark.createDataFrame(brows, bschema)
+    # null-safe membership: a NULL partition value is a legal hive
+    # partition (__HIVE_DEFAULT_PARTITION__) and must not vanish
+    # through an equi-join
+    cond = functools.reduce(
+        lambda a, b: a & b, [df[p].eqNullSafe(bdf[p]) for p in pby]
+    )
+    leveled = df.join(F.broadcast(bdf), cond)
+    for p in pby:
+        leveled = leveled.drop(bdf[p])
+    levels = (1 << bits) - 1
+    zcols = []
+    for c in cols:
+        sh = F.col(f"__sh_{c}")
+        lvl = F.when(
+            sh >= 0, F.expr(f"shiftright(CAST({c} AS LONG) - __lo_{c}, __sh_{c})")
+        ).otherwise(F.expr(f"shiftleft(CAST({c} AS LONG) - __lo_{c}, -__sh_{c})"))
+        zcols.append(F.least(F.lit(levels), F.coalesce(lvl, F.lit(0))))
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, sc in enumerate(zcols):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(sc, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    helper = [f"__lo_{c}" for c in cols] + [f"__sh_{c}" for c in cols]
     (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, F.col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
+        leveled.withColumn("__z", z)
+        .repartitionByRange(n_files, *[F.col(p) for p in pby], F.col("__z"))
+        .sortWithinPartitions(*pby, "__z")
+        .drop("__z", *helper)
         .write.mode(mode)
+        .partitionBy(*pby)
         .parquet(path)
     )
 

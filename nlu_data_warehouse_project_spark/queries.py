@@ -13733,8 +13733,15 @@ def q256_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands only on seeds, every quantity is a BIGINT — which is what
     lets an ITERATIVE personalized rank be hash-compared against the
     2-round unrolled CTE oracle at all.  Top 50 by rank with id
-    tiebreak (TakeOrdered — never a global sort)."""
+    tiebreak (TakeOrdered — never a global sort).
+
+    The seed set is passed as a DATAFRAME (VERDICT r11 #3): it is
+    formula-derived (every partkey ≡ 0 mod 199), so it grows with the
+    graph — collecting it to a driver list would round-trip O(|V|/199)
+    keys through the driver at 100× scale.  `pagerank_rounds` joins it
+    broadcast (pinned in tests/test_plans.py)."""
     from .operators.graph import pagerank_rounds
+    from .operators.scale import pin_frame
 
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -13742,18 +13749,17 @@ def q256_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     lu = li.join(urgent, li.l_orderkey == urgent.o_orderkey).select("l_orderkey", "l_partkey")
     a = lu.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("src"))
     b = lu.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "__o").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    edges = pin_frame(
+        a.join(b, "__o").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct(),
+        eager=True,
     )
-    seed_rows = (
+    seed_df = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .filter(F.col("node") % 199 == 0)
-        .collect()
     )
-    seeds = sorted(r["node"] for r in seed_rows)
-    ranked = pagerank_rounds(edges, rounds=2, seeds=seeds)
+    ranked = pagerank_rounds(edges, rounds=2, seeds=seed_df)
     return (
         ranked.orderBy(F.col("rank_units").desc(), F.col("node").asc())
         .limit(50)

@@ -775,6 +775,22 @@ class TxTable:
         if stale:
             self.spark.sql(f"DROP TABLE IF EXISTS {stale}")
 
+    def _sweep_deferred_stale(self, man: dict, prev: dict) -> None:
+        """Self-heal a crashed ``commit_multi`` finalize from a PLAIN
+        append/replace_slice commit too (ADVICE r11): those kinds keep
+        prev's current dir (so ``_drop_stale_bucket_table(prev)`` must
+        NOT run — it would drop the carried live table), but prev's
+        ``txn_stale_table`` deferred-drop marker is a table superseded
+        when prev itself committed — dead no matter how THIS commit's
+        transaction resolves, so sweeping it immediately is safe even
+        for a staged append.  Without this, one plain append after a
+        crashed finalize made the marker vanish (not carried — it is
+        structural, ``_carried_extras`` drops it) and the superseded
+        catalog entry leaked, later dangling over vacuumed data."""
+        marker = prev.get("txn_stale_table")
+        if marker and marker != man.get("current_table"):
+            self.spark.sql(f"DROP TABLE IF EXISTS {marker}")
+
     def _drop_stale_bucket_table(self, prev: dict, keep: str | None = None) -> None:
         """Retire the superseded version's catalog entry (external table
         — data untouched; time-travel reads of that version fall back to
@@ -955,6 +971,7 @@ class TxTable:
             **(extra or {}),
         }
         self._publish(man)
+        self._sweep_deferred_stale(man, prev)
         return man["version"]
 
     def commit_replace_slice(
@@ -1010,6 +1027,16 @@ class TxTable:
                 for k in ("current_table", "bucket", "column_renames")
                 if k in prev
             },
+            # compaction provenance CARRIES like commit_append's, but
+            # pruned to the surviving closed list: delete_where/
+            # update_where on a sliced table record lineage for the
+            # dirs they rewrite, and dropping the map here made
+            # read_closed_delta/table_changes ending at this version
+            # treat those rewritten dirs as brand-new data — a CDF
+            # double-feed of every surviving row (ADVICE r11)
+            "compacted_lineage": _prune_lineage(
+                prev.get("compacted_lineage", {}), keep + [closed_dir]
+            ),
             "version": ver,
             "current": prev["current"],
             "closed": keep + [closed_dir],
@@ -1021,6 +1048,7 @@ class TxTable:
             **(extra or {}),
         }
         self._publish(man)
+        self._sweep_deferred_stale(man, prev)
         return man["version"]
 
     def read_slice(self, slice_id: str, version: int | None = None) -> DataFrame:
@@ -1224,21 +1252,38 @@ class TxTable:
         into a Z-value, and range-partition the rewrite on it.  Each
         output dir then covers a compact cell block of the
         multi-dimensional grid, so per-dir [min, max] stats stay
-        narrow on EVERY clustered column at once.  NULL cluster values
-        propagate to a NULL Z (range partitioner co-locates them), so
-        the affected dirs record unknown stats for that column and are
-        always scanned — pruning degrades, never lies."""
-        from ..operators.scale import exact_global_ntiles
+        narrow on EVERY clustered column at once.  Rows with a NULL in
+        ANY cluster column are split out BEFORE the ntile pass
+        (ADVICE r11: ``exact_global_ntiles`` documents a non-null
+        order-column contract — a bucket fence landing on a NULL value
+        would evaluate the fence comparison to NULL for every row and
+        collapse that whole dimension's buckets to NULL, silently
+        degrading the layout to a single band) and rejoin with a NULL
+        sentinel Z: the range partitioner co-locates them, the affected
+        dirs record unknown stats for that column and are always
+        scanned — pruning degrades, never lies."""
+        import functools
+
+        from ..operators.scale import exact_global_ntiles, pin_frame
 
         # a unique tiebreak makes each spec a total order; the id is
         # run-local (layout choice only — stats are re-recorded from
-        # the written data, so nondeterminism here cannot mislead reads)
-        tagged = full.withColumn("__zid", F.monotonically_increasing_id())
+        # the written data, so nondeterminism here cannot mislead reads).
+        # Pin before the null split so both branches read one
+        # materialization instead of re-scanning every closed dir twice
+        tagged = pin_frame(
+            full.withColumn("__zid", F.monotonically_increasing_id()), eager=True
+        )
+        null_any = functools.reduce(
+            lambda a, b: a | b, [F.col(c).isNull() for c in cols]
+        )
+        non_null = tagged.filter(~null_any)
+        with_nulls = tagged.filter(null_any)
         specs = [
             ([(c, "asc"), ("__zid", "asc")], 1 << self._Z_BITS, f"__zb{i}")
             for i, c in enumerate(cols)
         ]
-        bucketed = exact_global_ntiles(tagged, specs)
+        bucketed = exact_global_ntiles(non_null, specs)
         ndims = len(cols)
         z = F.lit(0).cast("long")
         for bit in range(self._Z_BITS):
@@ -1248,12 +1293,14 @@ class TxTable:
                     F.shiftright(F.col(f"__zb{i}") - 1, bit).bitwiseAND(F.lit(1))
                     * F.lit(1 << (bit * ndims + i))
                 ).cast("long")
-        helper = ["__zid"] + [f"__zb{i}" for i in range(ndims)]
+        keep_cols = list(tagged.columns)
+        zeds = bucketed.withColumn("__z", z).select(*keep_cols, "__z").unionByName(
+            with_nulls.select(*keep_cols, F.lit(None).cast("long").alias("__z"))
+        )
         return (
-            bucketed.withColumn("__z", z)
-            .repartitionByRange(n_output_dirs, F.col("__z"), F.col("__zid"))
+            zeds.repartitionByRange(n_output_dirs, F.col("__z"), F.col("__zid"))
             .sortWithinPartitions("__z")
-            .drop("__z", *helper)
+            .drop("__z", "__zid")
         )
 
     def compact_closed(
@@ -1676,11 +1723,21 @@ class TxTable:
         # its manifest goes, or the entry leaks forever — and its
         # version number can later be reused by a real commit whose
         # _write_current would then be shadowed by a catalog entry
-        # pointing at reclaimed data (ADVICE r10)
+        # pointing at reclaimed data (ADVICE r10).  BUT a staged
+        # append/replace_slice manifest CARRIES the live version's
+        # current_table (the current dir is untouched by those kinds),
+        # so a name still referenced by any RETAINED manifest must
+        # survive the sweep — dropping it would strip the visible
+        # version's bucketed read path while its manifest still
+        # promises the exchange-free scan (ADVICE r11)
+        referenced = {
+            self._read_manifest_file(v).get("current_table") for v in retained
+        } - {None}
         for v in dead:
             man = self._read_manifest_file(v)
-            if man.get("current_table"):
-                self.spark.sql(f"DROP TABLE IF EXISTS {man['current_table']}")
+            stale = man.get("current_table")
+            if stale and stale not in referenced:
+                self.spark.sql(f"DROP TABLE IF EXISTS {stale}")
         # prune manifests whose dirs may now be gone — a version must be
         # either fully readable or not listed at all.  Aborted-txn
         # manifests go too: never visible, and their dirs were just

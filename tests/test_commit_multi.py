@@ -290,3 +290,76 @@ def test_coordinator_vacuum_reference_based_retention(spark, tmp_path):
     b.vacuum(retain_last=1)
     assert coord.vacuum([a, b]) == [committed_txn]
     assert sorted(r["id"] for r in a.read().collect()) == [1, 2, 4]
+
+
+def test_vacuum_after_aborted_staged_append_keeps_live_bucket_table(spark, tmp_path):
+    """ADVICE r11 txlog vacuum: a staged commit_append CARRIES the live
+    version's current_table (appends don't touch the current dir), so
+    vacuum's dead-manifest catalog sweep must not drop a name any
+    RETAINED manifest still references — before the fix, vacuum after
+    an aborted commit_multi append on a bucketed table silently
+    stripped the visible version's exchange-free bucketed read path."""
+    root = str(tmp_path / "bk3")
+    t = TxTable(spark, root, bucket_cols=["id"], num_buckets=4)
+    t.commit_snapshot(spark.createDataFrame([(1,), (2,)], "id long"), "seed")
+    v1_table = t.manifest()["current_table"]
+    assert _table_exists(spark, v1_table)
+    coord = TxnCoordinator(spark, str(tmp_path / "coord5"))
+    txn = uuid.uuid4().hex
+    t.commit_append(
+        spark.createDataFrame([(3,)], "id long"), "d2",
+        extra={"pending_txn": {"coordinator": coord.root, "txn_id": txn}},
+    )
+    coord.abort(txn)
+    # the tombstone manifest references the LIVE table, not its own
+    t.vacuum(retain_last=1)
+    assert _table_exists(spark, v1_table), "vacuum dropped the live version's bucket table"
+    assert t.manifest()["current_table"] == v1_table
+    assert sorted(r["id"] for r in t.read_current().collect()) == [1, 2]
+
+
+def test_plain_append_sweeps_crashed_finalize_marker(spark, tmp_path):
+    """ADVICE r11 txlog:769 — the 'next plain commit self-heals a
+    crashed finalize' claim must hold for commit_append and
+    commit_replace_slice too: they keep prev's current dir (so the full
+    _drop_stale_bucket_table sweep would be wrong), but prev's
+    txn_stale_table marker names a table superseded when prev itself
+    committed — dead regardless — and before the fix one plain append
+    made the marker vanish and the catalog entry leak forever."""
+    root = str(tmp_path / "bk4")
+    t = TxTable(spark, root, bucket_cols=["id"], num_buckets=4)
+    t.commit_snapshot(spark.createDataFrame([(1,)], "id long"), "seed")
+    v1_table = t.manifest()["current_table"]
+    coord = TxnCoordinator(spark, str(tmp_path / "coord6"))
+    txn = uuid.uuid4().hex
+    t.commit_snapshot(
+        spark.createDataFrame([(9,)], "id long"), "d2",
+        extra={"pending_txn": {"coordinator": coord.root, "txn_id": txn}},
+    )
+    coord.commit(txn)  # crash simulated: decision written, finalize never ran
+    assert t.manifest()["txn_stale_table"] == v1_table
+    assert _table_exists(spark, v1_table)  # the leak before the sweep
+    v2_table = t.manifest()["current_table"]
+    # a PLAIN append self-heals the deferred drop without touching the
+    # carried live table
+    t.commit_append(spark.createDataFrame([(10,)], "id long"), "d3")
+    assert not _table_exists(spark, v1_table), "crashed finalize's marker was not swept"
+    assert _table_exists(spark, v2_table)
+    assert t.manifest()["current_table"] == v2_table
+    assert sorted(r["id"] for r in t.read().collect()) == [9, 10]
+    # replace_slice sweeps the same way
+    t2 = TxTable(spark, str(tmp_path / "bk5"), bucket_cols=["id"], num_buckets=4)
+    t2.commit_snapshot(spark.createDataFrame([(1,)], "id long"), "seed")
+    s1_table = t2.manifest()["current_table"]
+    txn2 = uuid.uuid4().hex
+    t2.commit_snapshot(
+        spark.createDataFrame([(5,)], "id long"), "d2",
+        extra={"pending_txn": {"coordinator": coord.root, "txn_id": txn2}},
+    )
+    coord.commit(txn2)
+    assert _table_exists(spark, s1_table)
+    t2.commit_replace_slice(
+        spark.createDataFrame([(6,)], "id long"), "day1", "d3"
+    )
+    assert not _table_exists(spark, s1_table)
+    assert _table_exists(spark, t2.manifest()["current_table"])

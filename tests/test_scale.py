@@ -341,3 +341,53 @@ def test_exact_global_ntiles_single_materialization(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # assignment is scan-local: no Exchange in the consuming plan
     assert "Exchange" not in plan, plan
+
+
+def test_zorder_partition_by_clusters_within_each_partition(spark, tmp_path):
+    """VERDICT r11 #5: write_zordered(partition_by=) makes the 'per
+    date partition at 100 TB' advice executable — hive dirs per
+    partition value, per-PARTITION min/max (day2's x range is offset
+    +100000, so a global span would level both days' values into a few
+    coarse cells and de-cluster day1 entirely), and per-file ranges
+    narrow on BOTH z columns within EVERY partition dir."""
+    from nlu_data_warehouse_project_spark.operators.scale import write_zordered
+
+    rows = []
+    for day, off in (("2024-01-01", 0), ("2024-01-02", 100000)):
+        rows += [
+            (day, off + (i * 29) % 64, (i * 37) % 64, i) for i in range(2048)
+        ]
+    df = spark.createDataFrame(rows, "day string, x long, y long, id long")
+    zpath = str(tmp_path / "zp")
+    write_zordered(df, zpath, ["x", "y"], n_files=16, bits=6, partition_by="day")
+
+    import os
+
+    dirs = sorted(d for d in os.listdir(zpath) if d.startswith("day="))
+    assert dirs == ["day=2024-01-01", "day=2024-01-02"]
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == len(rows)
+
+    def per_file_avg_range(day, col):
+        part = spark.read.parquet(f"{zpath}/day={day}").withColumn(
+            "__f", F.input_file_name()
+        )
+        got = part.groupBy("__f").agg((F.max(col) - F.min(col)).alias("w")).collect()
+        return sum(r["w"] for r in got) / len(got), len(got)
+
+    for day in ("2024-01-01", "2024-01-02"):
+        for col in ("x", "y"):
+            avg_w, n_files = per_file_avg_range(day, col)
+            # full span per day is 63; clustered files must cover a
+            # fraction of it on BOTH dimensions
+            assert n_files > 1
+            assert avg_w < 0.6 * 63, f"{day}/{col}: avg per-file range {avg_w}"
+
+    # guardrails: overlap with partition cols refused; arity enforced
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already pruned"):
+        write_zordered(df, str(tmp_path / "zz"), ["day", "x"], partition_by="day")
+    with _pytest.raises(ValueError, match="2-3 columns"):
+        write_zordered(df, str(tmp_path / "zz"), ["x"], partition_by="day")

@@ -347,8 +347,9 @@ def test_png_decode_roundtrip_and_filters():
              + chunk(b"IDAT", zlib.compress(forward(ftype))) + chunk(b"IEND", b""))
         assert decode_png(p)["pixels"] == b"".join(rows), f"filter {ftype}"
 
-    # 16-bit depth and sub-8 NON-gray/palette stay fail-fast
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit RGB
+    # 16-bit palette (spec-illegal) and sub-8 NON-gray/palette stay
+    # fail-fast; 16-bit gray/RGB/RGBA decode since VERDICT r11 #4
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)  # 16-bit palette
     deep = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_png(deep)
@@ -518,6 +519,8 @@ def _independent_png(w, h, channels, pixels, depth=8, color=None, interlace=0,
     def pack_line(samples):
         if depth == 8:
             return bytes(v for s in samples for v in s)
+        if depth == 16:
+            return b"".join(struct.pack(">H", v) for s in samples for v in s)
         per_byte = 8 // depth
         out = bytearray((len(samples) + per_byte - 1) // per_byte)
         for x, (v,) in enumerate(samples):
@@ -636,3 +639,69 @@ def test_png_interlaced_through_feature_extractor(spark):
     assert abs(f[4] - 100.0) < 1e-9  # R mean: (200+0)/2
     assert abs(f[5] - 40.0) < 1e-9   # G mean
     assert abs(f[6] - 100.0) < 1e-9  # B mean
+
+
+def test_png_16bit_decode_matches_8bit_path_downsampled():
+    """VERDICT r11 #4: 16-bit gray and RGB decode — the filter
+    machinery runs on the 2-byte-per-sample stride and each big-endian
+    sample downsamples by its high byte, so a 16-bit encode of 8-bit
+    content (v -> v*257, the standard bit-replication upsample)
+    decodes bit-identically to the plain 8-bit path."""
+    import struct
+    import zlib
+
+    from nlu_data_warehouse_project_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    # 16-bit GRAY 5x3 of upsampled 8-bit content == the 8-bit decode
+    vals = [(i * 17) % 256 for i in range(15)]
+    png8 = _independent_png(5, 3, 1, [(v,) for v in vals])
+    png16 = _independent_png(5, 3, 1, [(v * 257,) for v in vals], depth=16)
+    assert decode_png(png16)["pixels"] == decode_png(png8)["pixels"] == bytes(vals)
+
+    # 16-bit RGB with arbitrary (non-replicated) samples: high byte
+    px = [((i * 4099) % 65536, (i * 257 + 9) % 65536, (i * 33331) % 65536)
+          for i in range(12)]
+    img = decode_png(_independent_png(4, 3, 3, px, depth=16))
+    assert (img["width"], img["height"], img["channels"]) == (4, 3, 3)
+    assert img["pixels"] == bytes(v >> 8 for s in px for v in s)
+
+    # 16-bit + Adam7 (odd size -> partial passes) and 16-bit RGBA
+    img = decode_png(_independent_png(9, 5, 1, [((i * 701) % 65536,)
+                                                for i in range(45)], depth=16, interlace=1))
+    assert img["pixels"] == bytes(((i * 701) % 65536) >> 8 for i in range(45))
+    rgba = [((i, 2 * i, 3 * i, 65535 - i)) for i in range(0, 6000, 1000)]
+    img = decode_png(_independent_png(3, 2, 4, rgba, depth=16))
+    assert img["channels"] == 4
+    assert img["pixels"] == bytes(v >> 8 for s in rgba for v in s)
+
+    # filter inversion at the 16-bit bpp: hand-filtered Sub(1)/Up(2)
+    # scanlines over 16-bit gray must invert to the flat encoding
+    w, h = 4, 3
+    orig = [[(y * w + x) * 2500 % 65536 for x in range(w)] for y in range(h)]
+    def line_bytes(row):
+        return bytearray(b"".join(struct.pack(">H", v) for v in row))
+    l0 = line_bytes(orig[0])
+    l1 = line_bytes(orig[1])
+    sub = bytearray(l1)
+    for x in range(len(l1) - 1, 1, -1):
+        sub[x] = (l1[x] - l1[x - 2]) & 255  # bpp=2 for 16-bit gray
+    l2 = line_bytes(orig[2])
+    up = bytearray((l2[x] - l1[x]) & 255 for x in range(len(l2)))
+    raw = b"\x00" + bytes(l0) + b"\x01" + bytes(sub) + b"\x02" + bytes(up)
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+    png = (_PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert decode_png(png)["pixels"] == bytes(v >> 8 for row in orig for v in row)
+
+    # module encoder round-trips its own 16-bit form
+    p16 = encode_png(3, 2, 1, b"".join(struct.pack(">H", v * 257) for v in range(6)),
+                     depth=16)
+    assert decode_png(p16)["pixels"] == bytes(range(6))

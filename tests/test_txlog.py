@@ -1439,3 +1439,78 @@ def test_update_where_rewrites_only_hit_dirs(spark, tmp_path):
         spark.createDataFrame([(9, 900, "z")], "id long, price long, v string"), "d3"
     )
     assert "update_predicate" not in t.manifest()
+
+
+def test_replace_slice_carries_delete_lineage_no_cdf_double_feed(spark, tmp_path):
+    """ADVICE r11 txlog:1010 — commit_replace_slice must CARRY (and
+    prune) compacted_lineage like commit_append: delete_where on a
+    sliced table records lineage for the rewritten dirs, and before the
+    fix the next replace_slice erased the map, so a CDF consumer
+    crossing that version saw the rewritten dirs as brand-new data and
+    re-consumed every surviving row (double-feed)."""
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "rs"))
+    t.commit_replace_slice(
+        spark.createDataFrame([(1, "a"), (2, "b")], "uid long, v string"), "day1", "r1"
+    )
+    t.commit_replace_slice(
+        spark.createDataFrame([(3, "c")], "uid long, v string"), "day2", "r2"
+    )
+    v_consumed = t.latest_version()
+    res = t.delete_where(F.col("uid") == 2, run_id="erase")
+    assert res["n_deleted"] == 1 and len(res["rewritten"]) == 1
+    t.commit_replace_slice(
+        spark.createDataFrame([(4, "d")], "uid long, v string"), "day3", "r3"
+    )
+    man = t.manifest()
+    # the lineage entry for the rewritten day1 dir survived the slice commit
+    assert man.get("compacted_lineage"), "replace_slice dropped compacted_lineage"
+    # CDF since the pre-delete version emits ONLY day3's genuinely-new
+    # rows — the day1 survivor (1,'a') is not re-fed
+    cdf = t.table_changes(v_consumed)
+    assert sorted(r["v"] for r in cdf.collect()) == ["d"]
+    # and replacing day1 itself prunes its (now-stranded) lineage entry
+    t.commit_replace_slice(
+        spark.createDataFrame([(7, "g")], "uid long, v string"), "day1", "r4"
+    )
+    assert t.manifest().get("compacted_lineage", {}) == {}
+
+
+def test_zorder_with_null_cluster_values_keeps_layout_quality(spark, tmp_path):
+    """ADVICE r11 txlog:1219 — rows with NULL cluster values must be
+    split out of the exact-ntile fence computation: with enough NULLs a
+    fence row landed on a NULL (NULLS FIRST under asc), every fence
+    comparison evaluated NULL, and the whole dimension's buckets
+    collapsed to a single band.  After the fix: non-null rows still get
+    a multi-band Z layout (both dimensions prune), NULL rows co-locate
+    under a sentinel and are never lost."""
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "zn"), stats_cols=["x", "y"])
+    # 25% NULL x (> 1/16 of rows, so pre-fix the first fences landed on
+    # NULLs and the x dimension collapsed); y stays dense
+    rows = [
+        (i, None if i % 4 == 0 else (i * 29) % 64, (i * 37) % 64)
+        for i in range(4096)
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    for b in range(8):
+        t.commit_append(df.filter(F.col("id") % 8 == b), f"b{b}")
+
+    ver = t.compact_closed(min_dirs=8, cluster_by=["x", "y"], n_output_dirs=8)
+    assert ver is not None and len(t.manifest()["closed"]) == 8
+
+    def dirs_scanned(q):
+        return {p.split("/data/")[1].rsplit("/", 1)[0] for p in q.inputFiles()}
+
+    x_dirs = dirs_scanned(t.read_closed_pruned("x", 10, 12))
+    y_dirs = dirs_scanned(t.read_closed_pruned("y", 50, 52))
+    assert len(x_dirs) < 8, f"x pruning collapsed under NULLs: scanned {len(x_dirs)}"
+    assert len(y_dirs) < 8, f"y pruning collapsed under NULLs: scanned {len(y_dirs)}"
+    # no row lost or duplicated, NULLs included
+    assert t.read().count() == 4096
+    assert t.read().filter(F.col("x").isNull()).count() == 1024
+    got = sorted(r["id"] for r in t.read_closed_pruned("x", 10, 12).collect())
+    want = sorted(i for (i, x, _) in rows if x is not None and 10 <= x <= 12)
+    assert got == want
