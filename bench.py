@@ -49,6 +49,21 @@ HEADLINE = [
     "q58_event_matrix",
 ]
 
+# VERDICT r11 #2: the heaviest catalog plans graduate from
+# extra_queries into the GATED headline set, so a regression there
+# fails a number instead of hiding in judge analysis.  They are
+# tracked separately from the round-7 list: ``value`` (the gated
+# total) sums ALL headline queries, while ``legacy19_total`` keeps
+# the round-3-comparable 19-query sum for the 2x-of-baseline rule's
+# like-for-like history.
+HEAVY_HEADLINE = [
+    "q180_coorder_blast_radius",
+    "q182_rfm_segmentation",
+    "q200_coorder_pagerank",
+    "q227_spearman_qty_price",
+    "q242_abc_xyz_matrix",
+]
+
 
 def _recall_vs_exact(exact: set, approx_rows) -> float:
     approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
@@ -212,8 +227,14 @@ def main() -> None:
         return round(statistics.median(times), 3)
 
     per_query: dict[str, float] = {}
-    total = 0.0
+    legacy_total = 0.0
     for name in HEADLINE:
+        med = time_query(name)
+        if med is not None:
+            per_query[name.split("_")[0]] = med
+            legacy_total += med
+    total = legacy_total
+    for name in HEAVY_HEADLINE:
         med = time_query(name)
         if med is not None:
             per_query[name.split("_")[0]] = med
@@ -236,18 +257,16 @@ def main() -> None:
                  # round-9 late wave: widest TPC-H join, corpus bigram probe,
                  # recursive-oracle BFS, rank-family business queries
                  "q172_national_market_share", "q178_rare_ngram_score",
-                 "q180_coorder_blast_radius", "q181_abc_classification",
-                 "q182_rfm_segmentation",
-                 # round 10: integer-exact PageRank (heaviest new op),
-                 # global percentiles through the rank machinery,
-                 # skyline via exclusive prefix-max
-                 "q200_coorder_pagerank", "q206_global_price_percentiles",
+                 "q181_abc_classification",
+                 # round 10: global percentiles through the rank
+                 # machinery, skyline via exclusive prefix-max
+                 "q206_global_price_percentiles",
                  "q207_skyline_parts",
                  # round 11: rank-machinery inequality stats, the
-                 # tie-aware Spearman (two prefix-agg frames), the
                  # pair-free coherence identity over embeddings
-                 "q224_gini_customer_spend", "q227_spearman_qty_price",
-                 "q242_abc_xyz_matrix", "q245_label_coherence"):
+                 # (q180/q182/q200/q227/q242 graduated to HEAVY_HEADLINE)
+                 "q224_gini_customer_spend",
+                 "q245_label_coherence"):
         med = time_query(name)
         if med is not None:
             extra_queries[name.split("_")[0]] = med
@@ -263,9 +282,12 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         # totals are only cross-round comparable when every headline
-        # query ran: n_ok < len(HEADLINE) flags a non-comparable total
+        # query ran: n_ok < n_headline flags a non-comparable total
         "n_ok": len(per_query),
-        "n_headline": len(HEADLINE),
+        "n_headline": len(HEADLINE) + len(HEAVY_HEADLINE),
+        # the round-3-comparable 19-query sum (the 2x-of-baseline
+        # rule's like-for-like history; ``value`` gates the full set)
+        "legacy19_total": round(legacy_total, 3),
         "sf": sf,
         "runs_per_query": n_runs,
         "warmup_runs_per_query": 1,

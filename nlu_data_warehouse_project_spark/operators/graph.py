@@ -29,6 +29,7 @@ def bfs_hops(
     dst_col: str = "dst",
     max_hops: int = 3,
     reliable: bool | None = None,
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Minimum hop count from ``start`` to every node reachable within
     ``max_hops`` directed edges.
@@ -38,6 +39,21 @@ def bfs_hops(
     symmetrized edge set for undirected traversal.  BFS layering makes
     the first time a node is seen its true minimum distance, so the
     visited-set prune is not an approximation.
+
+    Duplicate edges are legal input: every hop dedups its output, so
+    min-hop results are invariant to edge multiplicity — a caller can
+    skip the edge-level DISTINCT (the most expensive shuffle of a
+    co-order edge build) entirely.
+
+    ``broadcast_frontier=True`` hints the frontier and visited sides
+    of the per-hop joins as broadcasts: both are bounded by the
+    REACHABLE node set, so for neighborhood-bounded traversals (a
+    3-hop blast radius the caller will act on directly) this turns
+    every hop into a map-side probe of the pinned edge frame — the
+    edge set is never re-shuffled.  Leave False when the reachable
+    set may not fit an executor (whole-graph traversals at
+    billion-node scale); the sort-merge path shuffles but never
+    breaks.
 
     ``reliable`` selects the per-round pin (``scale.pin_frame``):
     default auto-upgrades to fault-tolerant ``checkpoint()`` when a
@@ -49,27 +65,117 @@ def bfs_hops(
     # materialize the edge set ONCE: every hop probes it, and an edge
     # frame that is itself a join (e.g. the co-order self-join) would
     # otherwise recompute per hop — measured 3x the whole traversal
-    e = pin_frame(
-        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")),
-        reliable=reliable, eager=True,
-    )
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    if broadcast_frontier:
+        # the broadcast path probes the pinned frame IN PLACE, so its
+        # partition count IS the traversal's parallelism — and AQE
+        # loves to coalesce a join-built edge frame into a few fat
+        # partitions (measured: 3 partitions -> 5x slower hops).  One
+        # up-front rebalance on __s fixes every hop.
+        n_shuffle = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        e = e.repartition(n_shuffle, "__s")
+    e = pin_frame(e, reliable=reliable, eager=True)
+    hint = F.broadcast if broadcast_frontier else (lambda df: df)
     frontier = (
         edges.sparkSession.createDataFrame([(start,)], ["node"])
         .withColumn("hops", F.lit(0).cast("int"))
     )
     visited = frontier
     for h in range(1, max_hops + 1):
+        fr = hint(frontier.select(F.col("node").alias("__fn")))
         nxt = (
-            frontier.join(e, frontier.node == e.__s)
+            e.join(fr, F.col("__fn") == F.col("__s"))
             .select(F.col("__d").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(hint(visited.select("node")), "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("int"))
         )
         nxt = pin_frame(nxt, reliable=reliable, eager=True)
         if nxt.isEmpty():
             break
         visited = pin_frame(visited.unionByName(nxt), reliable=reliable, eager=True)
+        frontier = nxt
+    return visited
+
+
+def bfs_hops_bipartite(
+    membership: DataFrame,
+    start,
+    left_col: str,
+    right_col: str,
+    max_hops: int = 3,
+    reliable: bool | None = None,
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """Minimum CO-MEMBERSHIP hop count (two left nodes are adjacent
+    when they share a right node — parts sharing an order, docs
+    sharing a cluster) computed WITHOUT materializing the co-member
+    edge set: each hop expands frontier-left -> rights -> lefts over
+    the raw membership frame.
+
+    This is the 100 TB form of ``bfs_hops`` over a co-occurrence
+    graph: the explicit edge build is a self-join whose output grows
+    QUADRATICALLY in group size (one 1000-line order mints ~1M edges),
+    while the membership frame stays linear in the input.  One
+    bipartite hop pair ≡ one co-member hop exactly (a length-h
+    co-member path is a length-2h alternating path and vice versa),
+    and pruning visited rights is sound for the same BFS-layering
+    reason as visited lefts — any part reachable through an
+    already-expanded order was found no later than that expansion.
+
+    Returns (node, hops) over LEFT nodes, hops in [0, max_hops], like
+    ``bfs_hops``.  ``broadcast_frontier`` as there — both frontiers
+    are bounded by the reachable neighborhood (default True: the
+    operator exists for neighborhood enumeration)."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops={max_hops} must be >= 0")
+    m = membership.select(
+        F.col(left_col).alias("__l"), F.col(right_col).alias("__r")
+    )
+    if broadcast_frontier:
+        # probe-in-place parallelism == pinned partition count (see
+        # bfs_hops: AQE coalescing a source frame into a few fat
+        # partitions makes every hop serial)
+        n_shuffle = int(
+            membership.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        m = m.repartition(n_shuffle, "__l")
+    m = pin_frame(m, reliable=reliable, eager=True)
+    hint = F.broadcast if broadcast_frontier else (lambda df: df)
+    frontier = (
+        membership.sparkSession.createDataFrame([(start,)], ["node"])
+        .withColumn("hops", F.lit(0).cast("int"))
+    )
+    visited = frontier
+    for h in range(1, max_hops + 1):
+        # ONE fused job per hop: probe -> distinct rights -> probe ->
+        # distinct lefts -> visited anti-join -> pin.  Fixed job cost
+        # dominates these bounded frontiers (measured ~0.6s/job on
+        # local[32] regardless of size), so fewer, fatter jobs win;
+        # the distincts keep both probe outputs deduped in-plan, and
+        # the visited prune alone preserves BFS layering — pruning
+        # expanded rights as well would save re-probes but costs an
+        # extra materialization per hop that measures slower.
+        fr = hint(frontier.select(F.col("node").alias("__fn")))
+        rights = (
+            m.join(fr, F.col("__fn") == F.col("__l"))
+            .select(F.col("__r").alias("__fr"))
+            .distinct()
+        )
+        nxt = (
+            m.join(hint(rights), F.col("__fr") == F.col("__r"))
+            .select(F.col("__l").alias("node"))
+            .distinct()
+            .join(hint(visited.select("node")), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+        )
+        nxt = pin_frame(nxt, reliable=reliable, eager=True)
+        if nxt.isEmpty():
+            break
+        # the running union stays a plain plan over pinned inputs
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 

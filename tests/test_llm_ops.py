@@ -852,6 +852,66 @@ def test_bfs_hops_zero_budget_and_isolated_start(spark):
     assert [(r["node"], r["hops"]) for r in bfs_hops(edges, 99, max_hops=5).collect()] == [(99, 0)]
 
 
+def test_bfs_hops_bipartite_matches_comember_bfs(spark):
+    """The quadratic-free traversal (r12): bfs_hops_bipartite over a
+    (member, group) frame == bfs_hops over the materialized co-member
+    edge set, on a shape with chained groups, a diamond shortcut, a
+    singleton group, and duplicate membership rows.  Also: zero budget,
+    start in a singleton group, and broadcast on/off agree."""
+    from nlu_data_warehouse_project_spark.operators.graph import (
+        bfs_hops,
+        bfs_hops_bipartite,
+    )
+
+    member = [
+        (1, 10), (2, 10), (3, 10),        # g10: 1-2-3 all co-members
+        (3, 20), (4, 20),                 # g20 chains 3-4
+        (4, 30), (5, 30),                 # g30 chains 4-5
+        (1, 40), (5, 40),                 # g40: diamond shortcut 1-5
+        (6, 50),                          # singleton: 6 isolated
+        (2, 10),                          # duplicate membership row
+    ]
+    mdf = spark.createDataFrame(member, "m long, g long")
+    pairs = {
+        (a, b)
+        for _, grp in [(0, {g for _, g in member})]
+        for g in grp
+        for a, _g in member if _g == g
+        for b, _g2 in member if _g2 == g and a != b
+    }
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+
+    for hops in (0, 1, 2, 3):
+        want = {
+            r["node"]: r["hops"]
+            for r in bfs_hops(edges, 1, max_hops=hops).collect()
+        }
+        got = {
+            r["node"]: r["hops"]
+            for r in bfs_hops_bipartite(mdf, 1, "m", "g", max_hops=hops).collect()
+        }
+        assert got == want, f"max_hops={hops}: {got} != {want}"
+    # 5 is hop 1 through g40, not hop 3 through the chain
+    got3 = {
+        r["node"]: r["hops"]
+        for r in bfs_hops_bipartite(mdf, 1, "m", "g", max_hops=3).collect()
+    }
+    assert got3 == {1: 0, 2: 1, 3: 1, 5: 1, 4: 2}
+    # start in the singleton group: no co-members at any budget
+    assert [
+        (r["node"], r["hops"])
+        for r in bfs_hops_bipartite(mdf, 6, "m", "g", max_hops=5).collect()
+    ] == [(6, 0)]
+    # shuffle-join path (broadcast_frontier=False) agrees
+    got_sh = {
+        r["node"]: r["hops"]
+        for r in bfs_hops_bipartite(
+            mdf, 1, "m", "g", max_hops=3, broadcast_frontier=False
+        ).collect()
+    }
+    assert got_sh == got3
+
+
 def test_semantic_prune_collapses_planted_duplicate_groups(spark):
     """Four well-separated cluster centers; each contributes one
     'original' plus two near-copies (cos > 0.99) and one genuinely
