@@ -15344,3 +15344,97 @@ FROM per
 
 QUERIES.update({"q279_month_end_rush": q279_month_end_rush})
 ORACLE_SQL.update({"q279_month_end_rush": Q279_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Price-correction audit through the DML surface (q280)
+# ---------------------------------------------------------------------------
+
+def q280_price_correction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-11 DML surface as a standing oracle-green consumer
+    (VERDICT r11 #6): the part catalog lands in a TxTable as two
+    ``commit_replace_slice`` partitions (small/large sizes), a
+    ``update_where`` price correction (+10% on Brand#17 small parts)
+    rewrites ONLY the dir containing hits, and the audit reads back
+    every guarantee the DML makes:
+
+    - ``post_update``    — the corrected current state,
+    - ``pre_update``     — TIME TRAVEL to the pre-correction version
+      (the audit trail survives the in-place update),
+    - ``post_slice_small`` — ``read_slice`` after DML (the slice tag
+      carries to the rewritten dir),
+    - ``cdf_reemitted``  — ``table_changes`` across the correction is
+      EMPTY (rewrite lineage keeps surviving rows out of the CDF),
+    - ``rewritten_dirs`` — exactly the one hit slice was rewritten
+      (the O(hit-dirs) bound, not O(table)).
+
+    All five rows are plain SQL over the raw part table for the
+    oracle: the correction is a CASE expression, the rewrite scope a
+    distinct-count of hit slices.  Sums ride DECIMAL(25,6) per the
+    cross-engine discipline."""
+    import tempfile
+
+    from .sources.txlog import TxTable
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    t = TxTable(spark, tempfile.mkdtemp(prefix="q280-"))
+    t.commit_replace_slice(part.filter(F.col("p_size") <= 25), "small", "load-small")
+    t.commit_replace_slice(part.filter(F.col("p_size") > 25), "large", "load-large")
+    v_pre = t.latest_version()
+    hit = (F.col("p_brand") == "Brand#17") & (F.col("p_size") <= 25)
+    res = t.update_where(
+        hit, {"p_retailprice": F.col("p_retailprice") * 1.1}, run_id="correct-b17"
+    )
+    d = "decimal(25,6)"
+
+    def summarize(df: DataFrame, state: str) -> DataFrame:
+        return df.agg(
+            F.lit(state).alias("state"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(F.col("p_retailprice").cast(d)), F.lit(0).cast(d)).alias("sum_retail"),
+        )
+
+    scope = spark.createDataFrame(
+        [("rewritten_dirs", len(res["rewritten"]))], "state string, n_rows long"
+    ).select("state", "n_rows", F.lit(0).cast(d).alias("sum_retail"))
+    return (
+        summarize(t.read(), "post_update")
+        .unionByName(summarize(t.read(version=v_pre), "pre_update"))
+        .unionByName(summarize(t.read_slice("small"), "post_slice_small"))
+        .unionByName(summarize(t.table_changes(v_pre), "cdf_reemitted"))
+        .unionByName(scope)
+    )
+
+
+Q280_SQL = """
+WITH adj AS (
+  SELECT p_size,
+         CASE WHEN p_brand = 'Brand#17' AND p_size <= 25
+              THEN p_retailprice * 1.1 ELSE p_retailprice END AS price
+  FROM part
+)
+SELECT 'post_update' AS state, CAST(count(*) AS BIGINT) AS n_rows,
+       sum(CAST(price AS DECIMAL(25,6))) AS sum_retail
+FROM adj
+UNION ALL
+SELECT 'pre_update', CAST(count(*) AS BIGINT),
+       sum(CAST(p_retailprice AS DECIMAL(25,6)))
+FROM part
+UNION ALL
+SELECT 'post_slice_small', CAST(count(*) AS BIGINT),
+       sum(CAST(price AS DECIMAL(25,6)))
+FROM adj WHERE p_size <= 25
+UNION ALL
+SELECT 'cdf_reemitted', 0, CAST(0 AS DECIMAL(25,6))
+UNION ALL
+SELECT 'rewritten_dirs',
+       CAST(count(DISTINCT CASE WHEN p_size <= 25 THEN 1 END) AS BIGINT),
+       CAST(0 AS DECIMAL(25,6))
+FROM part WHERE p_brand = 'Brand#17' AND p_size <= 25
+"""
+
+
+QUERIES.update({"q280_price_correction_audit": q280_price_correction_audit})
+ORACLE_SQL.update({"q280_price_correction_audit": Q280_SQL})
