@@ -180,6 +180,102 @@ def bfs_hops_bipartite(
     return visited
 
 
+def bellman_ford_rounds(
+    edges: DataFrame,
+    start,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    reliable: bool | None = None,
+) -> DataFrame:
+    """``rounds`` Bellman-Ford relaxations from ``start``: the
+    minimum WEIGHTED distance to every node over paths of at most
+    ``rounds`` edges — the weighted sibling of ``bfs_hops`` (hop
+    counts) and the third member of the bounded-iteration graph
+    family (``pagerank_rounds``, ``kcore_peel_rounds``).  INTEGER
+    weights keep every distance exact, so the iterative loop is
+    hash-comparable against ``rounds`` unrolled SQL CTEs; negative
+    weights are legal (classic Bellman-Ford), cycles are harmless at
+    a fixed round budget.
+
+    Returns (node, dist).  Per-round shape: the distance vector joins
+    the pinned edge set on src and re-minimizes by node — the
+    distance vector (|V| rows) is the only thing that shuffles."""
+    if rounds < 0:
+        raise ValueError(f"rounds={rounds} must be >= 0")
+    e = pin_frame(
+        edges.select(
+            F.col(src_col).alias("__s"),
+            F.col(dst_col).alias("__d"),
+            F.col(weight_col).cast("long").alias("__w"),
+        ),
+        reliable=reliable, eager=True,
+    )
+    dist = (
+        edges.sparkSession.createDataFrame([(start,)], ["node"])
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for _ in range(rounds):
+        relax = dist.join(e, dist.node == e.__s).select(
+            F.col("__d").alias("node"), (F.col("dist") + F.col("__w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+        dist = pin_frame(dist, reliable=reliable, eager=True)
+    return dist
+
+
+def kcore_peel_rounds(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    reliable: bool | None = None,
+) -> DataFrame:
+    """``rounds`` iterations of k-core peeling: each round computes
+    every node's out-degree over the CURRENT edge set and drops nodes
+    below ``k`` together with all their incident edges (pass a
+    symmetrized edge set so out-degree == degree).  Run to a fixpoint
+    this yields the classic k-core; a FIXED round count keeps every
+    quantity an exact integer AND makes the result expressible as
+    ``rounds`` unrolled SQL CTEs — the same bounded-iteration
+    discipline as ``pagerank_rounds``, so cross-engine hash gates
+    work on an iterative graph algorithm.
+
+    Returns (node, degree) of the surviving nodes with their
+    post-peel degrees.  Per-round shape: one degree aggregation (|V|
+    rows) + two semi-joins against the keep set; the edge frame pins
+    per round (it shrinks monotonically), never the raw input."""
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    if rounds < 0:
+        raise ValueError(f"rounds={rounds} must be >= 0")
+    e = pin_frame(
+        edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")),
+        reliable=reliable, eager=True,
+    )
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("__s")
+            .agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("__s")
+        )
+        e = (
+            e.join(keep, "__s", "left_semi")
+            .join(keep.withColumnRenamed("__s", "__d"), "__d", "left_semi")
+        )
+        e = pin_frame(e, reliable=reliable, eager=True)
+    return e.groupBy(F.col("__s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+
+
 def pagerank_rounds(
     edges: DataFrame,
     rounds: int = 3,

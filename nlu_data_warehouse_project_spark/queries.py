@@ -15438,3 +15438,255 @@ FROM part WHERE p_brand = 'Brand#17' AND p_size <= 25
 
 QUERIES.update({"q280_price_correction_audit": q280_price_correction_audit})
 ORACLE_SQL.update({"q280_price_correction_audit": Q280_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b over a bounded contingency grid (q281)
+# ---------------------------------------------------------------------------
+
+def q281_kendall_tau_discount_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between line discount and
+    quantity — the PAIR-counting robust association next to q227's
+    Spearman.  Naive Kendall is O(n²) over ROWS; both columns here are
+    DOMAIN-BOUNDED (11 discount steps x 50 quantities), so the exact
+    statistic comes from the 550-cell CONTINGENCY GRID: one 600k-row
+    groupBy, then concordant/discordant mass from a broadcast
+    grid-self-join (<=550² cell pairs, constant at ANY data scale)
+    and tie terms from the marginals.  Every count is exact BIGINT
+    summed as DECIMAL(25,0) (pair products reach ~n²); one final
+    double sqrt.  tau_b = (nc-nd)/sqrt((n0-n1)(n0-n2))."""
+    li = _t(spark, sf_dir, "lineitem")
+    grid = li.groupBy(
+        F.col("l_discount").alias("__d"), F.col("l_quantity").alias("__q")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    g1 = grid.select(
+        F.col("__d").alias("__d1"), F.col("__q").alias("__q1"), F.col("__c").alias("__c1")
+    )
+    g2 = grid.select(
+        F.col("__d").alias("__d2"), F.col("__q").alias("__q2"), F.col("__c").alias("__c2")
+    )
+    d25 = "decimal(25,0)"
+    pairs = g1.join(
+        F.broadcast(g2),
+        (F.col("__d2") > F.col("__d1"))
+        & (F.col("__q2") != F.col("__q1")),
+    ).agg(
+        F.coalesce(F.sum(F.when(
+            F.col("__q2") > F.col("__q1"),
+            (F.col("__c1") * F.col("__c2")).cast(d25),
+        )), F.lit(0).cast(d25)).alias("__nc"),
+        F.coalesce(F.sum(F.when(
+            F.col("__q2") < F.col("__q1"),
+            (F.col("__c1") * F.col("__c2")).cast(d25),
+        )), F.lit(0).cast(d25)).alias("__nd"),
+    )
+    dmarg = grid.groupBy("__d").agg(F.sum("__c").cast("long").alias("__t")).agg(
+        F.sum((F.col("__t") * (F.col("__t") - 1) / 2).cast(d25)).alias("__n1")
+    )
+    qmarg = grid.groupBy("__q").agg(F.sum("__c").cast("long").alias("__t")).agg(
+        F.sum((F.col("__t") * (F.col("__t") - 1) / 2).cast(d25)).alias("__n2")
+    )
+    n0 = li.agg(F.count(F.lit(1)).cast("long").alias("__n")).select(
+        ((F.col("__n").cast(d25) * (F.col("__n") - 1).cast(d25)) / 2).cast(d25).alias("__n0"),
+        F.col("__n").alias("n_rows"),
+    )
+    out = pairs.crossJoin(F.broadcast(dmarg)).crossJoin(F.broadcast(qmarg)).crossJoin(
+        F.broadcast(n0)
+    )
+    return out.select(
+        "n_rows",
+        F.col("__nc").alias("concordant"),
+        F.col("__nd").alias("discordant"),
+        F.round(
+            (F.col("__nc").cast("double") - F.col("__nd").cast("double"))
+            / F.sqrt(
+                (F.col("__n0").cast("double") - F.col("__n1").cast("double"))
+                * (F.col("__n0").cast("double") - F.col("__n2").cast("double"))
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )
+
+
+Q281_SQL = """
+WITH grid AS (
+  SELECT l_discount AS d, l_quantity AS q, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), pairs AS (
+  SELECT
+    coalesce(sum(CASE WHEN g2.q > g1.q
+                      THEN CAST(g1.c * g2.c AS DECIMAL(25,0)) END),
+             CAST(0 AS DECIMAL(25,0))) AS nc,
+    coalesce(sum(CASE WHEN g2.q < g1.q
+                      THEN CAST(g1.c * g2.c AS DECIMAL(25,0)) END),
+             CAST(0 AS DECIMAL(25,0))) AS nd
+  FROM grid g1 JOIN grid g2 ON g2.d > g1.d AND g2.q <> g1.q
+), dm AS (
+  SELECT sum(CAST(t * (t - 1) / 2 AS DECIMAL(25,0))) AS n1
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM grid GROUP BY d)
+), qm AS (
+  SELECT sum(CAST(t * (t - 1) / 2 AS DECIMAL(25,0))) AS n2
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM grid GROUP BY q)
+), n0 AS (
+  SELECT CAST(CAST(count(*) AS DECIMAL(25,0)) * CAST(count(*) - 1 AS DECIMAL(25,0)) / 2
+              AS DECIMAL(25,0)) AS n0,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem
+)
+SELECT n_rows, nc AS concordant, nd AS discordant,
+       round((CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))
+             / sqrt((CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE))
+                    * (CAST(n0 AS DOUBLE) - CAST(n2 AS DOUBLE))), 6) AS kendall_tau_b
+FROM pairs, dm, qm, n0
+"""
+
+
+QUERIES.update({"q281_kendall_tau_discount_qty": q281_kendall_tau_discount_qty})
+ORACLE_SQL.update({"q281_kendall_tau_discount_qty": Q281_SQL})
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling rounds over the co-order graph (q282)
+# ---------------------------------------------------------------------------
+
+def q282_kcore_purchase_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three k-core PEELING rounds (k=15) over the URGENT co-order
+    part graph (`graph.kcore_peel_rounds`) — "the stable core of the
+    purchase network once weakly-connected parts are stripped away",
+    the cohesion census next to q200's centrality.  Fixed rounds keep
+    the iterative peel exactly reproducible as three unrolled CTEs on
+    the oracle side (the pagerank_rounds discipline: bounded
+    iteration => hash-comparable graph algorithm).  Output: surviving
+    nodes bucketed by post-peel degree band, plus the survivor count
+    — the summary a capacity planner reads, not the 10k-row core
+    listing."""
+    from .operators.graph import kcore_peel_rounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    lu = li.join(urgent, li.l_orderkey == urgent.o_orderkey).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = lu.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("src"))
+    b = lu.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "__o").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    core = kcore_peel_rounds(edges, k=15, rounds=3)
+    return (
+        core.groupBy(
+            (F.floor(F.col("degree") / 10) * 10).cast("long").alias("degree_band")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+
+
+Q282_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  JOIN orders o ON o.o_orderkey = a.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), k1 AS (
+  SELECT src FROM e0 GROUP BY src HAVING count(*) >= 15
+), e1 AS (
+  SELECT e.src, e.dst FROM e0 e
+  JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src
+), k2 AS (
+  SELECT src FROM e1 GROUP BY src HAVING count(*) >= 15
+), e2 AS (
+  SELECT e.src, e.dst FROM e1 e
+  JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src
+), k3 AS (
+  SELECT src FROM e2 GROUP BY src HAVING count(*) >= 15
+), e3 AS (
+  SELECT e.src, e.dst FROM e2 e
+  JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src
+), core AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS degree FROM e3 GROUP BY 1
+)
+SELECT CAST(floor(degree / 10) * 10 AS BIGINT) AS degree_band,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM core GROUP BY 1
+"""
+
+
+QUERIES.update({"q282_kcore_purchase_network": q282_kcore_purchase_network})
+ORACLE_SQL.update({"q282_kcore_purchase_network": Q282_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths via Bellman-Ford rounds (q283)
+# ---------------------------------------------------------------------------
+
+def q283_substitution_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted 'substitution distance' from part 0: co-order edges
+    weighted INVERSELY to co-purchase strength (w = (1000+c-1) DIV c
+    for c shared line pairs — strongly co-ordered parts are 'close'),
+    then three Bellman-Ford relaxation rounds
+    (`graph.bellman_ford_rounds`) give the min-weight path distance
+    over paths of <= 3 edges — q180's blast radius upgraded from hop
+    counts to affinity-weighted reach.  Pure integer weights (ceil
+    division spelled DIV — no float enters), so the iterative loop
+    hash-matches three unrolled CTEs.  Output: distance bands with
+    node counts."""
+    from .operators.graph import bellman_ford_rounds
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "__o")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .select(
+            "src", "dst",
+            F.expr("CAST((1000 + __c - 1) DIV __c AS LONG)").alias("w"),
+        )
+    )
+    dist = bellman_ford_rounds(edges, 0, rounds=3)
+    return (
+        dist.groupBy((F.floor(F.col("dist") / 250) * 250).cast("long").alias("dist_band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+
+
+Q283_SQL = """
+WITH e AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         CAST((1000 + count(*) - 1) // count(*) AS BIGINT) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+), d0 AS (
+  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+), d1 AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT e.dst, d0.dist + e.w FROM d0 JOIN e ON d0.node = e.src
+  ) GROUP BY 1
+), d2 AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL
+    SELECT e.dst, d1.dist + e.w FROM d1 JOIN e ON d1.node = e.src
+  ) GROUP BY 1
+), d3 AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL
+    SELECT e.dst, d2.dist + e.w FROM d2 JOIN e ON d2.node = e.src
+  ) GROUP BY 1
+)
+SELECT CAST(floor(dist / 250) * 250 AS BIGINT) AS dist_band,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM d3 GROUP BY 1
+"""
+
+
+QUERIES.update({"q283_substitution_distance": q283_substitution_distance})
+ORACLE_SQL.update({"q283_substitution_distance": Q283_SQL})

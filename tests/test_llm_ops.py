@@ -990,3 +990,46 @@ def test_curate_corpus_semantic_stage_prunes_paraphrases(spark):
         docs, min_tokens=5, embeddings=emb, semantic_k=2, semantic_threshold=0.95
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_kcore_peel_rounds_cascades(spark):
+    """4-clique (every degree 3) + a pendant chain: k=2 peeling removes
+    the chain one link per round (the cascade fixed-point iteration
+    approaches), while the clique survives with degrees intact.
+    rounds=0 returns raw degrees."""
+    from nlu_data_warehouse_project_spark.operators.graph import kcore_peel_rounds
+
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b]
+    chain = [(4, 5), (5, 4), (5, 6), (6, 5), (6, 7), (7, 6)]
+    e = spark.createDataFrame(clique + chain, "src long, dst long")
+
+    raw = {r["node"]: r["degree"] for r in kcore_peel_rounds(e, 2, rounds=0).collect()}
+    assert raw == {1: 3, 2: 3, 3: 3, 4: 4, 5: 2, 6: 2, 7: 1}
+    # round 1 drops 7 (deg 1); 6 falls to 1 -> round 2 drops 6; then 5
+    r1 = {r["node"]: r["degree"] for r in kcore_peel_rounds(e, 2, rounds=1).collect()}
+    assert r1 == {1: 3, 2: 3, 3: 3, 4: 4, 5: 2, 6: 1}
+    r3 = {r["node"]: r["degree"] for r in kcore_peel_rounds(e, 2, rounds=3).collect()}
+    assert r3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k="):
+        kcore_peel_rounds(e, 0)
+
+
+def test_bellman_ford_rounds_weighted_min_and_budget(spark):
+    """Direct expensive edge vs cheaper 2-edge path: one round sees
+    only the direct edge, two rounds find the cheaper detour.  A
+    negative-weight shortcut is honored (classic Bellman-Ford), and
+    unreachable nodes never appear."""
+    from nlu_data_warehouse_project_spark.operators.graph import bellman_ford_rounds
+
+    e = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 3), (2, 4, 2), (2, 3, -1), (9, 1, 1)],
+        "src long, dst long, w long",
+    )
+    d1 = {r["node"]: r["dist"] for r in bellman_ford_rounds(e, 1, rounds=1).collect()}
+    assert d1 == {1: 0, 2: 3, 4: 10}
+    d2 = {r["node"]: r["dist"] for r in bellman_ford_rounds(e, 1, rounds=2).collect()}
+    assert d2 == {1: 0, 2: 3, 4: 5, 3: 2}  # detour 1->2->4 beats direct
+    d0 = {r["node"]: r["dist"] for r in bellman_ford_rounds(e, 1, rounds=0).collect()}
+    assert d0 == {1: 0}
