@@ -15690,3 +15690,450 @@ FROM d3 GROUP BY 1
 
 QUERIES.update({"q283_substitution_distance": q283_substitution_distance})
 ORACLE_SQL.update({"q283_substitution_distance": Q283_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Two-way effects decomposition (q284)
+# ---------------------------------------------------------------------------
+
+def q284_nation_year_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ADDITIVE decomposition of the nation x year revenue
+    grid (the means version of Tukey's median polish): every cell is
+    grand + nation_effect + year_effect + residual, where effects are
+    row/column cell-means minus the grand cell-mean.  The residual
+    ranks 'surprising' nation-years AFTER stripping what the nation
+    always does and what the year did to everyone — the two-way
+    anomaly screen q257 (seasonality-adjusted days) does in one
+    dimension.  Cell revenues are exact DECIMAL sums; the grid is
+    dimension-bounded (25 nations x order years), so the effect means
+    are tiny broadcast aggregates, and every division happens ONCE in
+    double off exact inputs (identical IEEE results cross-engine).
+    Output: each cell with its residual, rounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("year"),
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r")
+        )
+    )
+    grand = cells.agg(
+        (F.sum("__r").cast("double") / F.count(F.lit(1)).cast("double")).alias("__g")
+    )
+    rows_ = cells.groupBy("nation").agg(
+        (F.sum("__r").cast("double") / F.count(F.lit(1)).cast("double")).alias("__rm")
+    )
+    cols_ = cells.groupBy("year").agg(
+        (F.sum("__r").cast("double") / F.count(F.lit(1)).cast("double")).alias("__cm")
+    )
+    out = (
+        cells.join(F.broadcast(rows_), "nation")
+        .join(F.broadcast(cols_), "year")
+        .crossJoin(F.broadcast(grand))
+    )
+    return out.select(
+        "nation", "year",
+        F.round(F.col("__r"), 2).cast("double").alias("revenue"),
+        F.round(F.col("__rm") - F.col("__g"), 4).alias("nation_effect"),
+        F.round(F.col("__cm") - F.col("__g"), 4).alias("year_effect"),
+        F.round(
+            F.col("__r").cast("double") - F.col("__rm") - F.col("__cm") + F.col("__g"), 4
+        ).alias("residual"),
+    )
+
+
+Q284_SQL = """
+WITH cells AS (
+  SELECT n_name AS nation, year(CAST(o_orderdate AS DATE)) AS year,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS r
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), g AS (
+  SELECT CAST(sum(r) AS DOUBLE) / count(*) AS gm FROM cells
+), rm AS (
+  SELECT nation, CAST(sum(r) AS DOUBLE) / count(*) AS rm FROM cells GROUP BY 1
+), cm AS (
+  SELECT year, CAST(sum(r) AS DOUBLE) / count(*) AS cm FROM cells GROUP BY 1
+)
+SELECT c.nation, c.year,
+       CAST(round(c.r, 2) AS DOUBLE) AS revenue,
+       round(rm.rm - g.gm, 4) AS nation_effect,
+       round(cm.cm - g.gm, 4) AS year_effect,
+       round(CAST(c.r AS DOUBLE) - rm.rm - cm.cm + g.gm, 4) AS residual
+FROM cells c JOIN rm ON c.nation = rm.nation JOIN cm ON c.year = cm.year, g
+"""
+
+
+QUERIES.update({"q284_nation_year_effects": q284_nation_year_effects})
+ORACLE_SQL.update({"q284_nation_year_effects": Q284_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Decile-stratified discount uplift (q285)
+# ---------------------------------------------------------------------------
+
+def q285_stratified_discount_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does discounting move volume ONCE PRICE IS HELD FIXED?  q263
+    answers unconditionally; this is the stratified (observational
+    causal) version: lines are cut into exact global price deciles
+    (`scale.exact_global_ntiles` — range shuffle + broadcast fences,
+    no one-task sort), and within each stratum the mean quantity of
+    DISCOUNTED lines (>= 5%) is compared to UNDISCOUNTED ones
+    (discount = 0).  Per-stratum gap = treated mean - control mean,
+    each a single double division off exact integer sums — the
+    confounder (expensive items get deeper discounts AND ship in
+    different quantities) is controlled by the stratification."""
+    from .operators.scale import exact_global_ntiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("__q"),
+        F.expr("CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT)").alias("__d"),
+    )
+    tiled = exact_global_ntiles(
+        li,
+        [([("l_extendedprice", "asc"), ("l_orderkey", "asc"), ("l_linenumber", "asc")],
+          10, "price_decile")],
+    )
+    per = (
+        tiled.filter((F.col("__d") == 0) | (F.col("__d") >= 5))
+        .groupBy("price_decile")
+        .agg(
+            F.sum(F.when(F.col("__d") >= 5, 1).otherwise(0)).cast("long").alias("n_treated"),
+            F.sum(F.when(F.col("__d") == 0, 1).otherwise(0)).cast("long").alias("n_control"),
+            F.sum(F.when(F.col("__d") >= 5, F.col("__q")).otherwise(0)).cast("long").alias("__qt"),
+            F.sum(F.when(F.col("__d") == 0, F.col("__q")).otherwise(0)).cast("long").alias("__qc"),
+        )
+    )
+    return per.select(
+        "price_decile", "n_treated", "n_control",
+        F.round(
+            F.col("__qt").cast("double") / F.col("n_treated").cast("double")
+            - F.col("__qc").cast("double") / F.col("n_control").cast("double"),
+            6,
+        ).alias("qty_uplift"),
+    )
+
+
+Q285_SQL = """
+WITH tiled AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(CAST(l_discount AS DECIMAL(5,2)) * 100 AS BIGINT) AS d,
+         ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS price_decile
+  FROM lineitem
+)
+SELECT price_decile,
+       CAST(sum(CASE WHEN d >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+       CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+       round(CAST(sum(CASE WHEN d >= 5 THEN q ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN d >= 5 THEN 1 ELSE 0 END)
+             - CAST(sum(CASE WHEN d = 0 THEN q ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN d = 0 THEN 1 ELSE 0 END), 6) AS qty_uplift
+FROM tiled
+WHERE d = 0 OR d >= 5
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q285_stratified_discount_uplift": q285_stratified_discount_uplift})
+ORACLE_SQL.update({"q285_stratified_discount_uplift": Q285_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Order fill milestones (q286)
+# ---------------------------------------------------------------------------
+
+def q286_order_fill_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order COMPLETION profile per priority: days from order date
+    until HALF the order's lines had shipped and until the LAST line
+    shipped (q241 measures first-ship SLA; fulfillment planners care
+    when the order is USABLE and when it is CLOSED).  Per-order k-th
+    smallest ship date rides an order-partitioned window (order
+    groups are a handful of lines — bounded partitions at any scale);
+    the per-priority LOWER MEDIANS then come from a (priority, days)
+    COUNT GRID cumulative (latencies are small-domain integers), not
+    a five-fat-partition window."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    ranked = li.select(
+        "l_orderkey",
+        F.col("l_shipdate").cast("date").alias("__sd"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")).alias("__n"),
+    )
+    per_order = ranked.groupBy("l_orderkey").agg(
+        F.max(
+            F.when(F.col("__rn") == F.expr("(__n + 1) div 2"), F.col("__sd"))
+        ).alias("__half"),
+        F.max("__sd").alias("__full"),
+    )
+    lat = per_order.join(orders, per_order.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("__half"), F.col("o_orderdate").cast("date")).cast("long").alias("__hd"),
+        F.datediff(F.col("__full"), F.col("o_orderdate").cast("date")).cast("long").alias("__fd"),
+    )
+
+    def lower_median(days_col: str, out: str) -> DataFrame:
+        grid = lat.groupBy("priority", F.col(days_col).alias("__v")).agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        wg = Window.partitionBy("priority").orderBy("__v")
+        cum = grid.select(
+            "priority", "__v",
+            F.sum("__c").over(wg).alias("__cum"),
+            F.sum("__c").over(Window.partitionBy("priority")).alias("__tot"),
+        )
+        return (
+            cum.filter(F.col("__cum") >= (F.col("__tot") + 1) / 2)
+            .groupBy("priority")
+            .agg(F.min("__v").cast("long").alias(out))
+        )
+
+    return (
+        lat.groupBy("priority").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .join(lower_median("__hd", "median_half_days"), "priority")
+        .join(lower_median("__fd", "median_full_days"), "priority")
+    )
+
+
+Q286_SQL = """
+WITH ranked AS (
+  SELECT l_orderkey, CAST(l_shipdate AS DATE) AS sd,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM lineitem
+), per_order AS (
+  SELECT l_orderkey,
+         max(CASE WHEN rn = (n + 1) // 2 THEN sd END) AS half_d,
+         max(sd) AS full_d
+  FROM ranked GROUP BY 1
+), lat AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), half_d) AS BIGINT) AS hd,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), full_d) AS BIGINT) AS fd
+  FROM per_order JOIN orders ON l_orderkey = o_orderkey
+), mh AS (
+  SELECT priority, CAST(min(v) AS BIGINT) AS median_half_days FROM (
+    SELECT priority, hd AS v,
+           sum(count(*)) OVER (PARTITION BY priority ORDER BY hd) AS cum,
+           sum(count(*)) OVER (PARTITION BY priority) AS tot
+    FROM lat GROUP BY priority, hd
+  ) WHERE cum >= (tot + 1) / 2 GROUP BY 1
+), mf AS (
+  SELECT priority, CAST(min(v) AS BIGINT) AS median_full_days FROM (
+    SELECT priority, fd AS v,
+           sum(count(*)) OVER (PARTITION BY priority ORDER BY fd) AS cum,
+           sum(count(*)) OVER (PARTITION BY priority) AS tot
+    FROM lat GROUP BY priority, fd
+  ) WHERE cum >= (tot + 1) / 2 GROUP BY 1
+)
+SELECT l.priority, CAST(count(*) AS BIGINT) AS n_orders,
+       mh.median_half_days, mf.median_full_days
+FROM lat l JOIN mh ON l.priority = mh.priority JOIN mf ON l.priority = mf.priority
+GROUP BY 1, 3, 4
+"""
+
+
+QUERIES.update({"q286_order_fill_milestones": q286_order_fill_milestones})
+ORACLE_SQL.update({"q286_order_fill_milestones": Q286_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Momentum streaks (q287)
+# ---------------------------------------------------------------------------
+
+def q287_momentum_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of STRICTLY RISING daily order counts per order
+    priority — the momentum twin of q184's presence streak (that one
+    asks 'was there activity', this asks 'was it accelerating').
+    Gaps-and-islands over the per-priority DAILY SERIES: the series
+    frame is dimension-bounded (priorities x distinct days), so its
+    windows are metadata-scale like q161's dense series, never
+    row-scale.  Ties on streak length break to the EARLIEST start
+    day."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("__d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    wp = Window.partitionBy("priority").orderBy("__d")
+    flagged = daily.select(
+        "priority", "__d", "__c",
+        F.when(
+            F.lag("__c").over(wp).isNotNull() & (F.col("__c") > F.lag("__c").over(wp)),
+            0,
+        ).otherwise(1).alias("__brk"),
+    )
+    islands = flagged.withColumn(
+        "__island", F.sum("__brk").over(wp)
+    )
+    runs = islands.groupBy("priority", "__island").agg(
+        F.count(F.lit(1)).cast("long").alias("__len"),
+        F.min("__d").alias("__start"),
+    )
+    best = runs.groupBy("priority").agg(F.max("__len").alias("__best"))
+    return (
+        runs.join(best, "priority")
+        .filter(F.col("__len") == F.col("__best"))
+        .groupBy("priority")
+        .agg(
+            F.max("__len").cast("long").alias("longest_rising_streak"),
+            F.min("__start").alias("streak_start"),
+        )
+    )
+
+
+Q287_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+), flagged AS (
+  SELECT priority, d, c,
+         CASE WHEN lag(c) OVER (PARTITION BY priority ORDER BY d) IS NOT NULL
+                   AND c > lag(c) OVER (PARTITION BY priority ORDER BY d)
+              THEN 0 ELSE 1 END AS brk
+  FROM daily
+), islands AS (
+  SELECT priority, d,
+         sum(brk) OVER (PARTITION BY priority ORDER BY d) AS island
+  FROM flagged
+), runs AS (
+  SELECT priority, island, CAST(count(*) AS BIGINT) AS len, min(d) AS start
+  FROM islands GROUP BY 1, 2
+)
+SELECT priority,
+       CAST(max(len) AS BIGINT) AS longest_rising_streak,
+       min(start) FILTER (WHERE len = best) AS streak_start
+FROM (SELECT r.*, max(len) OVER (PARTITION BY priority) AS best FROM runs r)
+WHERE len = best
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q287_momentum_streaks": q287_momentum_streaks})
+ORACLE_SQL.update({"q287_momentum_streaks": Q287_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Two-predictor OLS via normal equations (q288)
+# ---------------------------------------------------------------------------
+
+def q288_revenue_trend_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue regressed on day index AND a weekend flag in ONE
+    closed-form pass — q165 fits a single-predictor trend; real trend
+    questions need the calendar confounder partialled out.  The 3x3
+    normal equations solve by Cramer's rule: every moment (n, Sx1,
+    Sx2, Sx1x1, Sx1x2, Sx2x2, Sy, Sx1y, Sx2y) is an EXACT sum
+    (integer day index, 0/1 flag, DECIMAL revenue), and the
+    determinants divide once in double — no iterative fitting, no
+    float accumulation order anywhere.  Output: intercept, per-day
+    slope, weekend effect, R²."""
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("__d")).agg(
+        F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r")
+    )
+    base = daily.agg(F.min("__d").alias("__d0"))
+    obs = daily.crossJoin(F.broadcast(base)).select(
+        F.datediff(F.col("__d"), F.col("__d0")).cast("long").alias("__x1"),
+        (F.dayofweek(F.col("__d")).isin(1, 7)).cast("long").alias("__x2"),
+        F.col("__r").cast("double").alias("__y"),
+    )
+    m = obs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("__x1").cast("double").alias("sx1"),
+        F.sum("__x2").cast("double").alias("sx2"),
+        F.sum(F.col("__x1") * F.col("__x1")).cast("double").alias("s11"),
+        F.sum(F.col("__x1") * F.col("__x2")).cast("double").alias("s12"),
+        F.sum(F.col("__x2") * F.col("__x2")).cast("double").alias("s22"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x1") * F.col("__y")).alias("s1y"),
+        F.sum(F.col("__x2") * F.col("__y")).alias("s2y"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+    )
+    # Cramer on [[n,sx1,sx2],[sx1,s11,s12],[sx2,s12,s22]] b = [sy,s1y,s2y]
+    det = (
+        F.col("n") * (F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12"))
+        - F.col("sx1") * (F.col("sx1") * F.col("s22") - F.col("s12") * F.col("sx2"))
+        + F.col("sx2") * (F.col("sx1") * F.col("s12") - F.col("s11") * F.col("sx2"))
+    )
+    d0 = (
+        F.col("sy") * (F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12"))
+        - F.col("sx1") * (F.col("s1y") * F.col("s22") - F.col("s12") * F.col("s2y"))
+        + F.col("sx2") * (F.col("s1y") * F.col("s12") - F.col("s11") * F.col("s2y"))
+    )
+    d1 = (
+        F.col("n") * (F.col("s1y") * F.col("s22") - F.col("s12") * F.col("s2y"))
+        - F.col("sy") * (F.col("sx1") * F.col("s22") - F.col("s12") * F.col("sx2"))
+        + F.col("sx2") * (F.col("sx1") * F.col("s2y") - F.col("s1y") * F.col("sx2"))
+    )
+    d2 = (
+        F.col("n") * (F.col("s11") * F.col("s2y") - F.col("s1y") * F.col("s12"))
+        - F.col("sx1") * (F.col("sx1") * F.col("s2y") - F.col("s1y") * F.col("sx2"))
+        + F.col("sy") * (F.col("sx1") * F.col("s12") - F.col("s11") * F.col("sx2"))
+    )
+    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    sse = (
+        F.col("syy") - b0 * F.col("sy") - b1 * F.col("s1y") - b2 * F.col("s2y")
+    )
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(b0, 4).alias("intercept"),
+        F.round(b1, 4).alias("slope_per_day"),
+        F.round(b2, 4).alias("weekend_effect"),
+        F.round(F.lit(1.0) - sse / sst, 6).alias("r2"),
+    )
+
+
+Q288_SQL = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS r
+  FROM lineitem GROUP BY 1
+), obs AS (
+  SELECT CAST(date_diff('day', (SELECT min(d) FROM daily), d) AS BIGINT) AS x1,
+         CAST(CASE WHEN dayofweek(d) IN (0, 6) THEN 1 ELSE 0 END AS BIGINT) AS x2,
+         CAST(r AS DOUBLE) AS y
+  FROM daily
+), m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x1) AS DOUBLE) AS sx1, CAST(sum(x2) AS DOUBLE) AS sx2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11, CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+         sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y, sum(y * y) AS syy
+  FROM obs
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round((sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y))
+             / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)), 4) AS intercept,
+       round((n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2))
+             / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)), 4) AS slope_per_day,
+       round((n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2))
+             / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2)), 4) AS weekend_effect,
+       round(1.0 - (syy
+             - ((sy*(s11*s22 - s12*s12) - sx1*(s1y*s22 - s12*s2y) + sx2*(s1y*s12 - s11*s2y))
+                / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2))) * sy
+             - ((n*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2) + sx2*(sx1*s2y - s1y*sx2))
+                / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2))) * s1y
+             - ((n*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2) + sy*(sx1*s12 - s11*sx2))
+                / (n*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2) + sx2*(sx1*s12 - s11*sx2))) * s2y)
+             / (syy - sy * sy / n), 6) AS r2
+FROM m
+"""
+
+
+QUERIES.update({"q288_revenue_trend_ols2": q288_revenue_trend_ols2})
+ORACLE_SQL.update({"q288_revenue_trend_ols2": Q288_SQL})
