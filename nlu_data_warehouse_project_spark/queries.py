@@ -16137,3 +16137,221 @@ FROM m
 
 QUERIES.update({"q288_revenue_trend_ols2": q288_revenue_trend_ols2})
 ORACLE_SQL.update({"q288_revenue_trend_ols2": Q288_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Erasure audit through delete_where (q289)
+# ---------------------------------------------------------------------------
+
+def q289_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q280's twin for the DELETE side of the DML surface: customers
+    land in a TxTable as two appends (even/odd keys), a GDPR erasure
+    (`delete_where` on custkey % 97 == 0) rewrites only the hit dirs,
+    and the audit reads back the contract: corrected current state,
+    time-travel pre state (the legally-required audit trail until
+    vacuum), EMPTY CDF across the erasure, the O(hit-dirs) rewrite
+    bound, and a POST-VACUUM re-read proving reclamation never
+    changes visible data.  Oracle: CASE/filter SQL on the raw
+    customer table; the rewrite scope is the distinct parity count
+    among erased keys (keys hit both parity dirs iff both parities
+    contain multiples of 97)."""
+    import tempfile
+
+    from .sources.txlog import TxTable
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t = TxTable(spark, tempfile.mkdtemp(prefix="q289-"))
+    t.commit_append(cust.filter(F.col("c_custkey") % 2 == 0), "even")
+    t.commit_append(cust.filter(F.col("c_custkey") % 2 == 1), "odd")
+    v_pre = t.latest_version()
+    res = t.delete_where(F.col("c_custkey") % 97 == 0, run_id="erase")
+    d = "decimal(25,6)"
+
+    def summarize(df: DataFrame, state: str) -> DataFrame:
+        return df.agg(
+            F.lit(state).alias("state"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum(F.col("c_acctbal").cast(d)), F.lit(0).cast(d)).alias("sum_balance"),
+        )
+
+    from .operators.scale import pin_frame
+
+    # the pre-delete/CDF reads reference dirs vacuum is about to
+    # reclaim: MATERIALIZE them before the vacuum (exactly the
+    # retention race a real audit job must respect)
+    before_vacuum = pin_frame(
+        summarize(t.read(), "post_delete")
+        .unionByName(summarize(t.read(version=v_pre), "pre_delete"))
+        .unionByName(summarize(t.table_changes(v_pre), "cdf_reemitted")),
+        eager=True,
+    )
+    scope = spark.createDataFrame(
+        [("rewritten_dirs", len(res["rewritten"]))], "state string, n_rows long"
+    ).select("state", "n_rows", F.lit(0).cast(d).alias("sum_balance"))
+    t.vacuum(retain_last=1)
+    post_vac = summarize(t.read(), "post_vacuum")
+    return before_vacuum.unionByName(scope).unionByName(post_vac)
+
+
+Q289_SQL = """
+WITH erased AS (
+  SELECT * FROM customer WHERE c_custkey % 97 = 0
+), kept AS (
+  SELECT * FROM customer WHERE c_custkey % 97 <> 0
+)
+SELECT 'post_delete' AS state, CAST(count(*) AS BIGINT) AS n_rows,
+       coalesce(sum(CAST(c_acctbal AS DECIMAL(25,6))), CAST(0 AS DECIMAL(25,6))) AS sum_balance
+FROM kept
+UNION ALL
+SELECT 'pre_delete', CAST(count(*) AS BIGINT),
+       coalesce(sum(CAST(c_acctbal AS DECIMAL(25,6))), CAST(0 AS DECIMAL(25,6)))
+FROM customer
+UNION ALL
+SELECT 'cdf_reemitted', 0, CAST(0 AS DECIMAL(25,6))
+UNION ALL
+SELECT 'rewritten_dirs', CAST(count(DISTINCT c_custkey % 2) AS BIGINT), CAST(0 AS DECIMAL(25,6))
+FROM erased
+UNION ALL
+SELECT 'post_vacuum', CAST(count(*) AS BIGINT),
+       coalesce(sum(CAST(c_acctbal AS DECIMAL(25,6))), CAST(0 AS DECIMAL(25,6)))
+FROM kept
+"""
+
+
+QUERIES.update({"q289_erasure_audit": q289_erasure_audit})
+ORACLE_SQL.update({"q289_erasure_audit": Q289_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Near-dup similarity threshold sweep (q290)
+# ---------------------------------------------------------------------------
+
+def q290_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-tuning view the near-dup family (q16/q17) feeds:
+    exact 3-gram Jaccard over ALL LSH candidate pairs, histogrammed
+    into 0.1-wide bands — one pass answers 'how many pairs would each
+    threshold setting kill?', so the dedup threshold is picked from
+    the actual similarity mass instead of folklore.  Same banded-LSH
+    candidate generation as q16 (never all-pairs); the sweep only
+    drops q17's threshold filter and groups the verified scores."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", shingle_n=3, threshold=0.0)
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("long").alias("jaccard_band")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+Q290_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), exploded AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM corpus
+), hx AS (
+  SELECT doc_id, md5(sh) AS hx FROM exploded
+), ab AS (
+  SELECT doc_id,
+         ('0x' || substring(hx, 1, 15))::BIGINT AS a,
+         (('0x' || substring(hx, 17, 15))::BIGINT | 1) AS b
+  FROM hx
+), sigs AS (
+  SELECT doc_id, [{_MINHASH_MINS_SQL}] AS sig
+  FROM ab GROUP BY doc_id
+), shsets AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM corpus
+), banded AS (
+  SELECT doc_id, band_id, array_to_string(sig[band_id * 2 + 1 : band_id * 2 + 2], '|') AS band_sig
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(band_id)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+), scored AS (
+  SELECT round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS j
+  FROM cand
+  JOIN shsets sa ON sa.doc_id = id_a
+  JOIN shsets sb ON sb.doc_id = id_b
+)
+SELECT CAST(floor(j * 10) AS BIGINT) AS jaccard_band,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM scored GROUP BY 1
+"""
+
+
+QUERIES.update({"q290_neardup_threshold_sweep": q290_neardup_threshold_sweep})
+ORACLE_SQL.update({"q290_neardup_threshold_sweep": Q290_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Subject-access report (q291)
+# ---------------------------------------------------------------------------
+
+def q291_subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR Art. 15 companion to q289's erasure (Art. 17) and q251's
+    pseudonymization: for a deterministic subject set (custkey % 499
+    == 0), the per-category record counts a data-subject access
+    request must enumerate — customer master rows, orders, order
+    lines, and earliest/latest touch dates.  One broadcast semi-join
+    per fact table against the subject frame; no per-subject loop
+    anywhere (a DSAR batch at 100 TB is a join, not N queries)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    subjects = cust.filter(F.col("c_custkey") % 499 == 0).select("c_custkey")
+    sub_orders = orders.join(F.broadcast(subjects), orders.o_custkey == subjects.c_custkey)
+    sub_lines = li.join(
+        F.broadcast(sub_orders.select("o_orderkey", "o_custkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    a = subjects.agg(
+        F.lit("customer_master").alias("category"),
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.lit(None).cast("date").alias("earliest"),
+        F.lit(None).cast("date").alias("latest"),
+    )
+    b = sub_orders.agg(
+        F.lit("orders").alias("category"),
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.count_distinct("o_custkey").cast("long").alias("n_subjects"),
+        F.min(F.col("o_orderdate").cast("date")).alias("earliest"),
+        F.max(F.col("o_orderdate").cast("date")).alias("latest"),
+    )
+    c = sub_lines.agg(
+        F.lit("order_lines").alias("category"),
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.count_distinct("o_custkey").cast("long").alias("n_subjects"),
+        F.min(F.col("l_shipdate").cast("date")).alias("earliest"),
+        F.max(F.col("l_shipdate").cast("date")).alias("latest"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+Q291_SQL = """
+WITH subjects AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 499 = 0
+), so AS (
+  SELECT o.* FROM orders o JOIN subjects s ON o.o_custkey = s.c_custkey
+), sl AS (
+  SELECT l.*, so.o_custkey AS cust FROM lineitem l JOIN so ON l.l_orderkey = so.o_orderkey
+)
+SELECT 'customer_master' AS category, CAST(count(*) AS BIGINT) AS n_records,
+       CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(NULL AS DATE) AS earliest, CAST(NULL AS DATE) AS latest
+FROM subjects
+UNION ALL
+SELECT 'orders', CAST(count(*) AS BIGINT), CAST(count(DISTINCT o_custkey) AS BIGINT),
+       min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))
+FROM so
+UNION ALL
+SELECT 'order_lines', CAST(count(*) AS BIGINT), CAST(count(DISTINCT cust) AS BIGINT),
+       min(CAST(l_shipdate AS DATE)), max(CAST(l_shipdate AS DATE))
+FROM sl
+"""
+
+
+QUERIES.update({"q291_subject_access_report": q291_subject_access_report})
+ORACLE_SQL.update({"q291_subject_access_report": Q291_SQL})
