@@ -16355,3 +16355,273 @@ FROM sl
 
 QUERIES.update({"q291_subject_access_report": q291_subject_access_report})
 ORACLE_SQL.update({"q291_subject_access_report": Q291_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Silhouette-lite cluster quality (q292)
+# ---------------------------------------------------------------------------
+
+def q292_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-approximated SILHOUETTE per embedding label — the
+    cluster-quality one-number q245 (within-label coherence) and q277
+    (confusion) lead up to: for every vector, a = distance to its OWN
+    label centroid, b = the nearest OTHER centroid, s = (b-a)/max(a,b)
+    in [-1, 1].  Exact cross-engine: centroids are the q59 discipline
+    (per-dim DECIMAL sums, round 4), per-(vector, label) squared
+    distances sum component terms as DECIMAL(30,12) (float addition
+    order never enters), and each vector's silhouette rounds to 6
+    before the exact DECIMAL mean per label.  Labels are bounded, so
+    the all-centroids probe is a broadcast fan-out of lim labels per
+    component row, never a pairwise vector join."""
+    from .operators.kmeans import grouped_mean_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = grouped_mean_vectors(emb, "label").select(
+        F.col("label").alias("__cl"), "pos", F.col("centroid").alias("__c")
+    )
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "__v")
+    )
+    d2 = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "__cl")
+        .agg(
+            F.sum(
+                ((F.col("__v").cast("double") - F.col("__c"))
+                 * (F.col("__v").cast("double") - F.col("__c"))).cast("decimal(30,12)")
+            ).alias("__d2")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("__cl") == F.col("label"), F.col("__d2"))).alias("__a2"),
+        F.min(F.when(F.col("__cl") != F.col("label"), F.col("__d2"))).alias("__b2"),
+    )
+    s = ab.select(
+        "label",
+        F.round(
+            (F.sqrt(F.col("__b2").cast("double")) - F.sqrt(F.col("__a2").cast("double")))
+            / F.greatest(
+                F.sqrt(F.col("__a2").cast("double")), F.sqrt(F.col("__b2").cast("double"))
+            ),
+            6,
+        ).cast("decimal(18,6)").alias("__s"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(
+            (F.sum("__s") / F.count(F.lit(1))).cast("double"), 4
+        ).alias("mean_silhouette"),
+    )
+
+
+Q292_SQL = """
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label AS cl, pos,
+         CAST(round(sum(CAST(v AS DECIMAL(25,6))) / count(*), 4) AS DOUBLE) AS c
+  FROM ex GROUP BY 1, 2
+), d2 AS (
+  SELECT ex.vec_id, ex.label, cent.cl,
+         sum(CAST((ex.v - cent.c) * (ex.v - cent.c) AS DECIMAL(30,12))) AS dd
+  FROM ex JOIN cent ON ex.pos = cent.pos
+  GROUP BY 1, 2, 3
+), ab AS (
+  SELECT vec_id, label,
+         max(CASE WHEN cl = label THEN dd END) AS a2,
+         min(CASE WHEN cl <> label THEN dd END) AS b2
+  FROM d2 GROUP BY 1, 2
+), s AS (
+  SELECT label,
+         CAST(round((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                    / greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE))), 6)
+              AS DECIMAL(18,6)) AS sv
+  FROM ab
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(round(sum(sv) / count(*), 4) AS DOUBLE) AS mean_silhouette
+FROM s GROUP BY 1
+"""
+
+
+QUERIES.update({"q292_label_silhouette": q292_label_silhouette})
+ORACLE_SQL.update({"q292_label_silhouette": Q292_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate spread (q293)
+# ---------------------------------------------------------------------------
+
+def q293_cross_source_dup_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do exact duplicates LEAK ACROSS sources?  q78 measures pairwise
+    source overlap; this is the CLUSTER-level census: every exact-dup
+    cluster (q24's normalized fingerprint, >= 2 docs) bucketed by how
+    many distinct sources it spans — the 1-source row is in-crawl
+    boilerplate, the multi-source rows are syndication/mirror mass
+    that per-source dedup would MISS (the reason cross-corpus dedup
+    runs globally).  Corpus = documents ∪ a '-mirror'-sourced copy
+    (the q14/q16 convention: syndication exists by construction, on
+    top of any natural in-source dups).  Counts only; one groupBy
+    cascade."""
+    from .functions.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text",
+            F.concat(F.col("source"), F.lit("-mirror")).alias("source"),
+        )
+    )
+    clusters = corpus.select(
+        doc_fingerprint("text").alias("__fp"), "source"
+    ).groupBy("__fp").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.count_distinct("source").cast("long").alias("__ns"),
+    ).filter(F.col("__n") >= 2)
+    return clusters.groupBy(F.col("__ns").alias("n_sources")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("__n").cast("long").alias("n_docs"),
+    )
+
+
+Q293_SQL = f"""
+WITH corpus AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, source || '-mirror' FROM documents
+), clusters AS (
+  SELECT md5(array_to_string({_LTOKENS_SQL}, ' ')) AS fp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT source) AS BIGINT) AS ns
+  FROM corpus GROUP BY 1
+  HAVING count(*) >= 2
+)
+SELECT ns AS n_sources, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n) AS BIGINT) AS n_docs
+FROM clusters GROUP BY 1
+"""
+
+
+QUERIES.update({"q293_cross_source_dup_spread": q293_cross_source_dup_spread})
+ORACLE_SQL.update({"q293_cross_source_dup_spread": Q293_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Peak open-order concurrency (q294)
+# ---------------------------------------------------------------------------
+
+def q294_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak CONCURRENT open orders per year — the sweep-line classic
+    (q201 merges intervals; this stacks them): each order is open from
+    its order date through its last shipment, turned into +1/-1 DELTA
+    rows, aggregated per day, and cumulated over the DAY-GRANULAR
+    series (calendar-bounded, like q161's dense series — the running
+    sum is over ~2.5k rows of metadata regardless of fact scale).
+    Output per year: the peak and the FIRST day it was hit."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    span = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("__close")
+    ).join(orders, F.col("l_orderkey") == orders.o_orderkey).select(
+        F.col("o_orderdate").cast("date").alias("__open"), "__close"
+    )
+    deltas = span.select(F.col("__open").alias("__d"), F.lit(1).alias("__delta")).unionByName(
+        span.select(F.date_add(F.col("__close"), 1).alias("__d"), F.lit(-1).alias("__delta"))
+    )
+    daily = deltas.groupBy("__d").agg(F.sum("__delta").cast("long").alias("__net"))
+    w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select("__d", F.sum("__net").over(w).cast("long").alias("__open_now"))
+    yearly = cum.groupBy(F.year("__d").alias("year")).agg(
+        F.max("__open_now").cast("long").alias("peak_open_orders")
+    )
+    return (
+        cum.join(
+            yearly,
+            (F.year(F.col("__d")) == yearly.year)
+            & (F.col("__open_now") == F.col("peak_open_orders")),
+        )
+        .groupBy("year", "peak_open_orders")
+        .agg(F.min("__d").alias("first_peak_day"))
+    )
+
+
+Q294_SQL = """
+WITH span AS (
+  SELECT CAST(o_orderdate AS DATE) AS open_d, max(CAST(l_shipdate AS DATE)) AS close_d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, o_orderdate
+), deltas AS (
+  SELECT open_d AS d, 1 AS delta FROM span
+  UNION ALL
+  SELECT close_d + INTERVAL 1 DAY, -1 FROM span
+), daily AS (
+  SELECT CAST(d AS DATE) AS d, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY 1
+), cum AS (
+  SELECT d, CAST(sum(net) OVER (ORDER BY d) AS BIGINT) AS open_now FROM daily
+), yearly AS (
+  SELECT year(d) AS year, CAST(max(open_now) AS BIGINT) AS peak_open_orders
+  FROM cum GROUP BY 1
+)
+SELECT y.year, y.peak_open_orders, min(c.d) AS first_peak_day
+FROM cum c JOIN yearly y ON year(c.d) = y.year AND c.open_now = y.peak_open_orders
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q294_peak_open_orders": q294_peak_open_orders})
+ORACLE_SQL.update({"q294_peak_open_orders": Q294_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase novelty per quarter (q295)
+# ---------------------------------------------------------------------------
+
+def q295_copurchase_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How fast does the co-purchase GRAPH grow?  Per order quarter,
+    the number of part PAIRS co-ordered for the FIRST time — q185
+    tracks first-seen users (nodes); this tracks first-seen EDGES,
+    the saturation curve that tells a recommender when its item-item
+    matrix stops learning.  First-seen = min order date per undirected
+    pair (src < dst halves the self-join); one groupBy after the
+    co-order join, then a calendar-bounded quarter rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_orderkey").alias("__o"),
+        "l_partkey",
+        F.col("o_orderdate").cast("date").alias("__d"),
+    )
+    a = lo.select("__o", F.col("l_partkey").alias("__pa"), "__d")
+    b = lo.select(F.col("__o").alias("__o2"), F.col("l_partkey").alias("__pb"))
+    first_seen = (
+        a.join(b, (F.col("__o") == F.col("__o2")) & (F.col("__pa") < F.col("__pb")))
+        .groupBy("__pa", "__pb")
+        .agg(F.min("__d").alias("__first"))
+    )
+    return first_seen.groupBy(
+        F.concat(
+            F.year("__first").cast("string"), F.lit("-Q"), F.quarter("__first").cast("string")
+        ).alias("quarter")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new_pairs"))
+
+
+Q295_SQL = """
+WITH lo AS (
+  SELECT l_orderkey AS o, l_partkey AS p, CAST(o_orderdate AS DATE) AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), first_seen AS (
+  SELECT a.p AS pa, b.p AS pb, min(a.d) AS first_d
+  FROM lo a JOIN lo b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+)
+SELECT CAST(year(first_d) AS VARCHAR) || '-Q' || CAST(quarter(first_d) AS VARCHAR) AS quarter,
+       CAST(count(*) AS BIGINT) AS n_new_pairs
+FROM first_seen GROUP BY 1
+"""
+
+
+QUERIES.update({"q295_copurchase_novelty": q295_copurchase_novelty})
+ORACLE_SQL.update({"q295_copurchase_novelty": Q295_SQL})
