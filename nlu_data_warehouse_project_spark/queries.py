@@ -16625,3 +16625,259 @@ FROM first_seen GROUP BY 1
 
 QUERIES.update({"q295_copurchase_novelty": q295_copurchase_novelty})
 ORACLE_SQL.update({"q295_copurchase_novelty": Q295_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact mode (q296)
+# ---------------------------------------------------------------------------
+
+def q296_modal_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE of line quantity per return flag, with an explicit
+    tie policy (smallest value wins) and the mode's share of lines —
+    the most-common-value primitive (q38's heavy hitters threshold by
+    share; the mode is the argmax).  Two groupBys and a broadcast
+    max-count join — never a sort, and engine-independent because the
+    tie policy is spelled out instead of inherited from whatever
+    ``mode()`` an engine ships."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("__q"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    best = counts.groupBy("flag").agg(
+        F.max("__c").alias("__best"), F.sum("__c").cast("long").alias("__tot")
+    )
+    return (
+        counts.join(F.broadcast(best), "flag")
+        .filter(F.col("__c") == F.col("__best"))
+        .groupBy("flag", "__best", "__tot")
+        .agg(F.min("__q").cast("long").alias("modal_quantity"))
+        .select(
+            "flag", "modal_quantity",
+            F.col("__best").cast("long").alias("n_lines_at_mode"),
+            F.round(F.col("__best").cast("double") / F.col("__tot").cast("double"), 6)
+            .alias("mode_share"),
+        )
+    )
+
+
+Q296_SQL = """
+WITH counts AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT flag, max(c) AS best, CAST(sum(c) AS BIGINT) AS tot FROM counts GROUP BY 1
+)
+SELECT counts.flag, CAST(min(q) AS BIGINT) AS modal_quantity,
+       CAST(best AS BIGINT) AS n_lines_at_mode,
+       round(CAST(best AS DOUBLE) / tot, 6) AS mode_share
+FROM counts JOIN best ON counts.flag = best.flag AND counts.c = best.best
+GROUP BY 1, 3, 4
+"""
+
+
+QUERIES.update({"q296_modal_quantity": q296_modal_quantity})
+ORACLE_SQL.update({"q296_modal_quantity": Q296_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Supplier latency consistency (q297)
+# ---------------------------------------------------------------------------
+
+def q297_supplier_latency_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which supplier BASE is erratic?  Per supplier, the coefficient
+    of variation of ship latency (order date -> line ship date) from
+    EXACT integer power sums (q108/q242 discipline: CV² = (nΣx²-(Σx)²)
+    /(Σx)², one float at the comparison), suppliers flagged erratic at
+    CV² > 0.25 (CV > 50%), rolled up per nation — q241 profiles
+    latency by priority, q266 flags balance outliers; this is the
+    operational-consistency screen procurement actually ranks vendors
+    by.  Suppliers with a single line carry CV 0 by convention."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("__x"),
+    )
+    per = lat.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__ss"),
+    )
+    flagged = per.select(
+        "l_suppkey",
+        (
+            (F.col("__n") > 1)
+            & (
+                (F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")).cast("double")
+                > F.lit(0.25) * (F.col("__s") * F.col("__s")).cast("double")
+            )
+        ).alias("__erratic"),
+    )
+    return (
+        flagged.join(supp, flagged.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.col("__erratic").cast("long")).cast("long").alias("n_erratic"),
+        )
+    )
+
+
+Q297_SQL = """
+WITH lat AS (
+  SELECT l_suppkey,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS x
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ss
+  FROM lat GROUP BY 1
+), flagged AS (
+  SELECT l_suppkey,
+         n > 1 AND CAST(n * ss - s * s AS DOUBLE) > 0.25 * CAST(s * s AS DOUBLE) AS erratic
+  FROM per
+)
+SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CASE WHEN erratic THEN 1 ELSE 0 END) AS BIGINT) AS n_erratic
+FROM flagged
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q297_supplier_latency_consistency": q297_supplier_latency_consistency})
+ORACLE_SQL.update({"q297_supplier_latency_consistency": Q297_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Semi-additive month-end snapshot (q298)
+# ---------------------------------------------------------------------------
+
+def q298_month_end_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEMI-ADDITIVE measure every finance mart needs and naive
+    SUM rollups get wrong: open-order count AT month end (point-in-
+    time, not summed over the month).  Rides q294's sweep-line
+    cumulative — the balance only changes on delta days, so each
+    month's closing value is the cumulative at its LAST delta day
+    within the month (months with no order activity are absent by
+    construction).  The day series is calendar-bounded metadata."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    span = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("__close")
+    ).join(orders, F.col("l_orderkey") == orders.o_orderkey).select(
+        F.col("o_orderdate").cast("date").alias("__open"), "__close"
+    )
+    deltas = span.select(F.col("__open").alias("__d"), F.lit(1).alias("__delta")).unionByName(
+        span.select(F.date_add(F.col("__close"), 1).alias("__d"), F.lit(-1).alias("__delta"))
+    )
+    daily = deltas.groupBy("__d").agg(F.sum("__delta").cast("long").alias("__net"))
+    w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select("__d", F.sum("__net").over(w).cast("long").alias("__bal"))
+    monthly = cum.groupBy(
+        F.year("__d").alias("year"), F.month("__d").alias("month")
+    ).agg(F.max("__d").alias("__last"))
+    return (
+        monthly.join(cum, monthly.__last == cum.__d)
+        .select("year", "month", F.col("__bal").alias("open_orders_at_month_end"))
+    )
+
+
+Q298_SQL = """
+WITH span AS (
+  SELECT CAST(o_orderdate AS DATE) AS open_d, max(CAST(l_shipdate AS DATE)) AS close_d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, o_orderdate
+), deltas AS (
+  SELECT open_d AS d, 1 AS delta FROM span
+  UNION ALL
+  SELECT close_d + INTERVAL 1 DAY, -1 FROM span
+), daily AS (
+  SELECT CAST(d AS DATE) AS d, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY 1
+), cum AS (
+  SELECT d, CAST(sum(net) OVER (ORDER BY d) AS BIGINT) AS bal FROM daily
+), monthly AS (
+  SELECT year(d) AS year, month(d) AS month, max(d) AS last_d FROM cum GROUP BY 1, 2
+)
+SELECT m.year, m.month, c.bal AS open_orders_at_month_end
+FROM monthly m JOIN cum c ON m.last_d = c.d
+"""
+
+
+QUERIES.update({"q298_month_end_open_orders": q298_month_end_open_orders})
+ORACLE_SQL.update({"q298_month_end_open_orders": Q298_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Slice skew report (q299)
+# ---------------------------------------------------------------------------
+
+def q299_slice_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-operations health check on the slice-committed
+    TxTable surface: orders land as one ``commit_replace_slice`` per
+    order YEAR, and the report reads each slice back (`read_slice` —
+    O(slice), the dir-level partition-pruning twin) to measure skew:
+    rows per slice, share, and the ratio to the mean slice — the
+    number an operator checks before picking a partition key.  The
+    oracle recomputes the same census from the raw table; matching
+    proves slice commits neither lose nor duplicate rows."""
+    import tempfile
+
+    from .sources.txlog import TxTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.col("o_orderdate").cast("date")).alias("__y")
+    )
+    years = [r["__y"] for r in orders.select("__y").distinct().collect()]
+    t = TxTable(spark, tempfile.mkdtemp(prefix="q299-"))
+    for y in sorted(years):
+        t.commit_replace_slice(
+            orders.filter(F.col("__y") == y), f"y{y}", f"load-{y}"
+        )
+    per = None
+    for y in sorted(years):
+        row = t.read_slice(f"y{y}").agg(
+            F.lit(int(y)).alias("year"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        per = row if per is None else per.unionByName(row)
+    tot = per.agg(
+        F.sum("n_rows").cast("long").alias("__tot"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "year", "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("__tot").cast("double"), 6)
+        .alias("row_share"),
+        F.round(
+            F.col("n_rows").cast("double")
+            / (F.col("__tot").cast("double") / F.col("__k").cast("double")),
+            6,
+        ).alias("skew_vs_mean"),
+    )
+
+
+Q299_SQL = """
+WITH per AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS year, CAST(count(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS k FROM per
+)
+SELECT year, n_rows,
+       round(CAST(n_rows AS DOUBLE) / tot, 6) AS row_share,
+       round(CAST(n_rows AS DOUBLE) / (CAST(tot AS DOUBLE) / k), 6) AS skew_vs_mean
+FROM per, tot
+"""
+
+
+QUERIES.update({"q299_slice_skew_report": q299_slice_skew_report})
+ORACLE_SQL.update({"q299_slice_skew_report": Q299_SQL})
