@@ -15455,10 +15455,18 @@ def q281_kendall_tau_discount_qty(spark: SparkSession, sf_dir: str) -> DataFrame
     and tie terms from the marginals.  Every count is exact BIGINT
     summed as DECIMAL(25,0) (pair products reach ~n²); one final
     double sqrt.  tau_b = (nc-nd)/sqrt((n0-n1)(n0-n2))."""
+    from .operators.scale import pin_frame
+
     li = _t(spark, sf_dir, "lineitem")
-    grid = li.groupBy(
-        F.col("l_discount").alias("__d"), F.col("l_quantity").alias("__q")
-    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    # FOUR consumers read the grid (both self-join sides + two
+    # marginals): pin the 550-row frame once or each consumer re-runs
+    # the 600k-row aggregation
+    grid = pin_frame(
+        li.groupBy(
+            F.col("l_discount").alias("__d"), F.col("l_quantity").alias("__q")
+        ).agg(F.count(F.lit(1)).cast("long").alias("__c")),
+        eager=True,
+    )
     g1 = grid.select(
         F.col("__d").alias("__d1"), F.col("__q").alias("__q1"), F.col("__c").alias("__c1")
     )
@@ -15709,11 +15717,16 @@ def q284_nation_year_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tiny broadcast aggregates, and every division happens ONCE in
     double off exact inputs (identical IEEE results cross-engine).
     Output: each cell with its residual, rounded."""
+    from .operators.scale import pin_frame
+
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
-    cells = (
+    # FOUR consumers (grand, row means, column means, the final join)
+    # read the cell grid: pin the 175-row frame once or each re-runs
+    # the fact-table join cascade
+    cells = pin_frame(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
@@ -15723,7 +15736,8 @@ def q284_nation_year_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r")
-        )
+        ),
+        eager=True,
     )
     grand = cells.agg(
         (F.sum("__r").cast("double") / F.count(F.lit(1)).cast("double")).alias("__g")

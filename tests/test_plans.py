@@ -900,3 +900,39 @@ def test_q278_q279_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+
+
+def test_round12_wave_plans(spark, sf_smoke):
+    """q280-q299 discipline: zero Python UDFs in every relational plan,
+    bounded shuffles.  The DML-audit trio (q280/q289/q299) builds temp
+    TxTables, so their frames are unions over pinned/committed state —
+    they get the no-Python pin and a looser shuffle budget."""
+    for name, max_shuffles in (
+        ("q281_kendall_tau_discount_qty", 6),
+        ("q282_kcore_purchase_network", 4),
+        ("q283_substitution_distance", 3),
+        ("q284_nation_year_effects", 6),
+        ("q285_stratified_discount_uplift", 3),
+        ("q286_order_fill_milestones", 8),
+        ("q287_momentum_streaks", 6),
+        ("q288_revenue_trend_ols2", 4),
+        ("q290_neardup_threshold_sweep", 6),
+        ("q291_subject_access_report", 8),
+        ("q292_label_silhouette", 6),
+        ("q293_cross_source_dup_spread", 4),
+        ("q294_peak_open_orders", 8),
+        ("q295_copurchase_novelty", 4),
+        ("q296_modal_quantity", 4),
+        ("q297_supplier_latency_consistency", 6),
+        ("q298_month_end_open_orders", 8),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+    for name in (
+        "q280_price_correction_audit",
+        "q289_erasure_audit",
+        "q299_slice_skew_report",
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
