@@ -16895,3 +16895,210 @@ FROM per, tot
 
 QUERIES.update({"q299_slice_skew_report": q299_slice_skew_report})
 ORACLE_SQL.update({"q299_slice_skew_report": Q299_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Attribution-window sensitivity sweep (q300)
+# ---------------------------------------------------------------------------
+
+def q300_attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How sensitive is attribution to the lookback window?  q127
+    fixes 1 hour by policy; this computes, in ONE as-of pass with an
+    unbounded tolerance, each purchase's gap to its most recent prior
+    click, then reads off the attributed share at 15m / 1h / 6h / 24h
+    — the sweep that justifies (or indicts) the policy number.  Gap
+    in whole seconds via unix_micros (integer floor both engines);
+    organic purchases (no prior click ever) count in the denominator,
+    exactly as q127 treats them."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        tiebreak="click_event_id", strict=True,
+    )
+    gapped = out.select(
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.unix_micros(F.col("click_ts").cast("timestamp"))) / 1000000
+        ).cast("long").alias("__gap")
+    )
+    agg = gapped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        *[
+            F.sum(
+                F.when(F.col("__gap").isNotNull() & (F.col("__gap") <= secs), 1).otherwise(0)
+            ).cast("long").alias(f"__w{name}")
+            for name, secs in (("15m", 900), ("1h", 3600), ("6h", 21600), ("24h", 86400))
+        ],
+    )
+    return agg.select(
+        "n_purchases",
+        *[
+            F.round(F.col(f"__w{n}").cast("double") / F.col("n_purchases").cast("double"), 6)
+            .alias(f"share_{n}")
+            for n in ("15m", "1h", "6h", "24h")
+        ],
+    )
+
+
+Q300_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_event_id
+  FROM events WHERE event_type = 'click'
+), matched AS (
+  SELECT p.event_id,
+         (epoch_us(p.ts) - (SELECT max(epoch_us(c.click_ts)) FROM clicks c
+                            WHERE c.user_id = p.user_id AND c.click_ts < p.ts)) // 1000000 AS gap
+  FROM purchases p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+       round(CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 900 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS share_15m,
+       round(CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 3600 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS share_1h,
+       round(CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 21600 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS share_6h,
+       round(CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 86400 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS share_24h
+FROM matched
+"""
+
+
+QUERIES.update({"q300_attribution_window_sweep": q300_attribution_window_sweep})
+ORACLE_SQL.update({"q300_attribution_window_sweep": Q300_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (q301)
+# ---------------------------------------------------------------------------
+
+def q301_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary (k = 10 / 100 /
+    1000): the concentration curve that sizes a tokenizer vocabulary —
+    q126 tracks vocab GROWTH over ingest, q79 token rarity per doc;
+    this is the corpus-level 'how few types carry how much mass'
+    answer.  Vocabulary ranks ride `exact_global_rank` over
+    (count desc, token asc) — the vocab frame grows sublinearly but
+    unboundedly, so no single-partition sort — and coverage is three
+    CASE sums over exact BIGINT masses."""
+    from .functions.text import tokens as _tokens
+    from .operators.scale import exact_global_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens(F.lower(F.col("text")))).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    ranked = exact_global_rank(
+        vocab, [F.col("__c").desc(), F.col("__t").asc()], rank_col="__r"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("__c").cast("long").alias("__tot"),
+        *[
+            F.sum(F.when(F.col("__r") <= k, F.col("__c")).otherwise(0))
+            .cast("long").alias(f"__top{k}")
+            for k in (10, 100, 1000)
+        ],
+    )
+    return agg.select(
+        "vocab_size",
+        F.col("__tot").alias("total_tokens"),
+        *[
+            F.round(F.col(f"__top{k}").cast("double") / F.col("__tot").cast("double"), 6)
+            .alias(f"top{k}_share")
+            for k in (10, 100, 1000)
+        ],
+    )
+
+
+Q301_SQL = f"""
+WITH vocab AS (
+  SELECT t AS tok, CAST(count(*) AS BIGINT) AS c
+  FROM documents, unnest({_LTOKENS_SQL}) AS u(t)
+  GROUP BY 1
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS r FROM vocab
+)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(c) AS BIGINT) AS total_tokens,
+       round(CAST(sum(CASE WHEN r <= 10 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS top10_share,
+       round(CAST(sum(CASE WHEN r <= 100 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS top100_share,
+       round(CAST(sum(CASE WHEN r <= 1000 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS top1000_share
+FROM ranked
+"""
+
+
+QUERIES.update({"q301_vocab_coverage": q301_vocab_coverage})
+ORACLE_SQL.update({"q301_vocab_coverage": Q301_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness sweep (q302)
+# ---------------------------------------------------------------------------
+
+def q302_watermark_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark TUNING off the replayed stream: treating event_id as
+    arrival order (q258's convention), each event's LATENESS is how
+    far its event time lags the running max event time at its arrival
+    — then one pass reads off the drop rate a 15m / 1h / 6h watermark
+    delay would cause.  The running max rides
+    `scale.exact_prefix_agg(how='max')` over arrival order (range
+    partitions + broadcast offsets — row-scale, never a
+    single-partition window).  This is the number you set
+    ``withWatermark`` with, measured instead of guessed."""
+    from .operators.scale import exact_prefix_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("__us")
+    )
+    with_max = exact_prefix_agg(
+        ev, ["event_id"], "__us", how="max", cum_col="__seen_max"
+    )
+    late = with_max.select(
+        ((F.col("__seen_max") - F.col("__us")) / 1000000).cast("long").alias("__late_s")
+    )
+    agg = late.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        *[
+            F.sum(F.when(F.col("__late_s") > secs, 1).otherwise(0)).cast("long").alias(f"__d{name}")
+            for name, secs in (("15m", 900), ("1h", 3600), ("6h", 21600))
+        ],
+        F.max("__late_s").cast("long").alias("max_lateness_s"),
+    )
+    return agg.select(
+        "n_events",
+        *[
+            F.round(F.col(f"__d{n}").cast("double") / F.col("n_events").cast("double"), 6)
+            .alias(f"dropped_at_{n}")
+            for n in ("15m", "1h", "6h")
+        ],
+        "max_lateness_s",
+    )
+
+
+Q302_SQL = """
+WITH arr AS (
+  SELECT event_id, epoch_us(ts) AS us FROM events
+), with_max AS (
+  SELECT (max(us) OVER (ORDER BY event_id) - us) // 1000000 AS late_s FROM arr
+)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CASE WHEN late_s > 900 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dropped_at_15m,
+       round(CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dropped_at_1h,
+       round(CAST(sum(CASE WHEN late_s > 21600 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dropped_at_6h,
+       CAST(max(late_s) AS BIGINT) AS max_lateness_s
+FROM with_max
+"""
+
+
+QUERIES.update({"q302_watermark_lateness_sweep": q302_watermark_lateness_sweep})
+ORACLE_SQL.update({"q302_watermark_lateness_sweep": Q302_SQL})
