@@ -266,7 +266,13 @@ def main() -> None:
                  # pair-free coherence identity over embeddings
                  # (q180/q182/q200/q227/q242 graduated to HEAVY_HEADLINE)
                  "q224_gini_customer_spend",
-                 "q245_label_coherence"):
+                 "q245_label_coherence",
+                 # round 12: bounded-grid tau, Jaccard sweep, edge
+                 # novelty (self-join heavy), vocab rank machinery
+                 "q281_kendall_tau_discount_qty",
+                 "q290_neardup_threshold_sweep",
+                 "q295_copurchase_novelty",
+                 "q301_vocab_coverage"):
         med = time_query(name)
         if med is not None:
             extra_queries[name.split("_")[0]] = med

@@ -925,6 +925,9 @@ def test_round12_wave_plans(spark, sf_smoke):
         ("q296_modal_quantity", 4),
         ("q297_supplier_latency_consistency", 6),
         ("q298_month_end_open_orders", 8),
+        ("q300_attribution_window_sweep", 4),
+        ("q301_vocab_coverage", 6),
+        ("q302_watermark_lateness_sweep", 4),
     ):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
