@@ -17102,3 +17102,234 @@ FROM with_max
 
 QUERIES.update({"q302_watermark_lateness_sweep": q302_watermark_lateness_sweep})
 ORACLE_SQL.update({"q302_watermark_lateness_sweep": Q302_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate position profile (q303)
+# ---------------------------------------------------------------------------
+
+def q303_boilerplate_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE does boilerplate live?  q81 strikes corpus-duplicated
+    lines; this is the diagnostic that justifies it: per line
+    POSITION (first / middle / last), the share of lines whose exact
+    text recurs in 3+ documents.  Same injected-header/footer corpus
+    convention as q81 (even ids get a newsletter header, everyone a
+    copyright footer), so the profile shows the real-crawl shape:
+    duplication concentrated at the edges.  posexplode keeps the line
+    index; the line-frequency frame is a vocab-scale groupBy."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("subscribe to our newsletter\n")).otherwise(F.lit("")),
+            F.col("text"),
+            F.lit("\ncopyright example inc"),
+        ).alias("__t"),
+    )
+    lines = corpus.select(
+        "doc_id", F.posexplode(F.split(F.col("__t"), "\n")).alias("__i", "__line")
+    ).filter(F.trim(F.col("__line")) != "")
+    counted = lines.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).select(
+        "__line",
+        F.when(F.col("__i") == 0, "first")
+        .when(F.col("__i") == F.col("__n") - 1, "last")
+        .otherwise("middle").alias("position"),
+    )
+    freq = lines.groupBy("__line").agg(
+        F.count_distinct("doc_id").cast("long").alias("__df")
+    )
+    return (
+        counted.join(freq, "__line")
+        .groupBy("position")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.sum(F.when(F.col("__df") >= 3, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("duplicated_share"),
+        )
+    )
+
+
+Q303_SQL = """
+WITH corpus AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' || chr(10) ELSE '' END)
+         || text || chr(10) || 'copyright example inc' AS t
+  FROM documents WHERE doc_id < 300
+), lines AS (
+  SELECT doc_id, generate_subscripts(string_split(t, chr(10)), 1) - 1 AS i,
+         unnest(string_split(t, chr(10))) AS line
+  FROM corpus
+), nonempty AS (
+  SELECT * FROM lines WHERE trim(line) <> ''
+), positioned AS (
+  SELECT line,
+         CASE WHEN i = 0 THEN 'first'
+              WHEN i = max(i) OVER (PARTITION BY doc_id) THEN 'last'
+              ELSE 'middle' END AS position
+  FROM nonempty
+), freq AS (
+  SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM nonempty GROUP BY 1
+)
+SELECT position, CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS duplicated_share
+FROM positioned JOIN freq USING (line)
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q303_boilerplate_position_profile": q303_boilerplate_position_profile})
+ORACLE_SQL.update({"q303_boilerplate_position_profile": Q303_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Dedup keeper-policy sensitivity (q304)
+# ---------------------------------------------------------------------------
+
+def q304_keeper_policy_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does the DEDUP KEEPER POLICY matter?  The exact-dup
+    family keeps min-id (q14); retrieval pipelines often keep the
+    LONGEST copy instead.  Over the mirrored corpus (q293's
+    convention, plus natural dups), count the clusters where the two
+    policies pick DIFFERENT keepers and the byte mass that changes
+    hands — if this is ~0 the policy argument is moot, if not the
+    curation doc needs a decision.  Longest-copy ties break to min id,
+    spelled explicitly (engine-independent argmax via struct
+    ordering)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "n_chars")
+    )
+    from .functions.text import doc_fingerprint
+
+    tagged = corpus.select(
+        doc_fingerprint("text").alias("__fp"), "doc_id",
+        F.col("n_chars").cast("long").alias("__len"),
+    )
+    clusters = tagged.groupBy("__fp").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.min("doc_id").alias("__keep_minid"),
+        F.max(F.struct(F.col("__len"), (-F.col("doc_id")).alias("__neg"))).alias("__best"),
+        F.sum("__len").cast("long").alias("__mass"),
+    ).filter(F.col("__n") >= 2)
+    diff = clusters.select(
+        "__n", "__mass",
+        (F.col("__keep_minid") != -F.col("__best.__neg")).alias("__differs"),
+    )
+    return diff.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.col("__differs").cast("long")).cast("long").alias("n_policy_differs"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("__differs"), F.col("__mass")).otherwise(0)).cast("double")
+                / F.sum("__mass").cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mass_share_affected"),
+    )
+
+
+Q304_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, n_chars FROM documents
+), tagged AS (
+  SELECT md5(array_to_string({_LTOKENS_SQL}, ' ')) AS fp, doc_id,
+         CAST(n_chars AS BIGINT) AS len
+  FROM corpus
+), base AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS n,
+         min(doc_id) AS keep_minid,
+         max(len) AS maxlen,
+         CAST(sum(len) AS BIGINT) AS mass
+  FROM tagged GROUP BY fp
+  HAVING count(*) >= 2
+), keepers AS (
+  SELECT t.fp, min(t.doc_id) AS keep_longest
+  FROM tagged t JOIN base b ON t.fp = b.fp AND t.len = b.maxlen
+  GROUP BY 1
+), clusters AS (
+  SELECT b.*, k.keep_longest FROM base b JOIN keepers k ON b.fp = k.fp
+)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN keep_minid <> keep_longest THEN 1 ELSE 0 END) AS BIGINT) AS n_policy_differs,
+       round(coalesce(CAST(sum(CASE WHEN keep_minid <> keep_longest THEN mass ELSE 0 END) AS DOUBLE)
+             / sum(mass), 0.0), 6) AS mass_share_affected
+FROM clusters
+"""
+
+
+QUERIES.update({"q304_keeper_policy_sensitivity": q304_keeper_policy_sensitivity})
+ORACLE_SQL.update({"q304_keeper_policy_sensitivity": Q304_SQL})
+
+
+# ---------------------------------------------------------------------------
+# IVF cell balance report (q305)
+# ---------------------------------------------------------------------------
+
+def _planes_sql_bits() -> str:
+    """The q305 oracle's sign-bit expression for each _IVF_PLANES
+    hyperplane, with full-precision float literals so DuckDB computes
+    the SAME dot products the Spark expression does."""
+    bits = []
+    for plane in _IVF_PLANES:
+        lits = ", ".join(repr(float(x)) for x in plane)
+        bits.append(
+            f"(CASE WHEN list_dot_product(embedding, [{lits}]) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+def q305_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index OPERATIONS view: how balanced are the sign-cell
+    quantizer's inverted lists?  Probe cost and recall both ride cell
+    balance (a 60%-mass cell makes nprobe=1 either slow or blind), so
+    this is the report an index operator checks before trusting q45's
+    latency — q299's skew census, for the vector index.  Cells come
+    from the SAME q45 hyperplanes (`hyperplane_sketch`, sequential
+    fold); the oracle recomputes each dot against full-precision
+    plane literals, so the hash gate covers the assignment itself."""
+    from .operators.similarity import hyperplane_sketch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        hyperplane_sketch("embedding", _IVF_PLANES).alias("cell")
+    ).groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    tot = cells.agg(
+        F.sum("n_vectors").cast("long").alias("__tot"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "cell", "n_vectors",
+        F.round(F.col("n_vectors").cast("double") / F.col("__tot").cast("double"), 6)
+        .alias("mass_share"),
+        F.round(
+            F.col("n_vectors").cast("double")
+            / (F.col("__tot").cast("double") / F.col("__k").cast("double")),
+            6,
+        ).alias("skew_vs_mean"),
+    )
+
+
+Q305_SQL = f"""
+WITH cells AS (
+  SELECT {_planes_sql_bits()} AS cell, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM embeddings GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_vectors) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS k FROM cells
+)
+SELECT cell, n_vectors,
+       round(CAST(n_vectors AS DOUBLE) / tot, 6) AS mass_share,
+       round(CAST(n_vectors AS DOUBLE) / (CAST(tot AS DOUBLE) / k), 6) AS skew_vs_mean
+FROM cells, tot
+"""
+
+
+QUERIES.update({"q305_ivf_cell_balance": q305_ivf_cell_balance})
+ORACLE_SQL.update({"q305_ivf_cell_balance": Q305_SQL})

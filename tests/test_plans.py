@@ -928,6 +928,9 @@ def test_round12_wave_plans(spark, sf_smoke):
         ("q300_attribution_window_sweep", 4),
         ("q301_vocab_coverage", 6),
         ("q302_watermark_lateness_sweep", 4),
+        ("q303_boilerplate_position_profile", 6),
+        ("q304_keeper_policy_sensitivity", 4),
+        ("q305_ivf_cell_balance", 4),
     ):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
