@@ -17333,3 +17333,199 @@ FROM cells, tot
 
 QUERIES.update({"q305_ivf_cell_balance": q305_ivf_cell_balance})
 ORACLE_SQL.update({"q305_ivf_cell_balance": Q305_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Customer trajectory census (q306)
+# ---------------------------------------------------------------------------
+
+def q306_customer_trajectory_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is each customer's spend GROWING or SHRINKING?  Per customer, a
+    closed-form OLS slope of order value over order sequence (1..n),
+    classed by its SIGN ONLY — sign(n·Σxy − Σx·Σy) is a pure integer
+    expression over cents and sequence indexes, so the per-group
+    regression needs NO division, NO float, and hash-gates exactly
+    (q288 fits one global model; this fits one per customer and
+    censuses the signs per market segment).  Customers need 3+ orders
+    to vote; the order index is a customer-keyed window (bounded
+    groups, the q21 discipline)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("__x"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)").alias("__y"),
+    )
+    per = seq.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+    ).filter(F.col("__n") >= 3)
+    signed = per.select(
+        "o_custkey",
+        F.signum(
+            (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+        ).cast("long").alias("__sign"),
+    )
+    return (
+        signed.join(cust, signed.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.when(F.col("__sign") > 0, 1).otherwise(0)).cast("long").alias("n_growing"),
+            F.sum(F.when(F.col("__sign") < 0, 1).otherwise(0)).cast("long").alias("n_shrinking"),
+            F.sum(F.when(F.col("__sign") == 0, 1).otherwise(0)).cast("long").alias("n_flat"),
+        )
+    )
+
+
+Q306_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS x,
+         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS y
+  FROM orders
+), per AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM seq GROUP BY 1
+  HAVING count(*) >= 3
+), signed AS (
+  SELECT o_custkey,
+         CAST(sign(CAST(n * sxy - sx * sy AS DOUBLE)) AS BIGINT) AS s
+  FROM per
+)
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_growing,
+       CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shrinking,
+       CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat
+FROM signed JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q306_customer_trajectory_census": q306_customer_trajectory_census})
+ORACLE_SQL.update({"q306_customer_trajectory_census": Q306_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Supplier mixing by basket size (q307)
+# ---------------------------------------------------------------------------
+
+def q307_supplier_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do bigger orders spread across more suppliers?  Per order-size
+    band (lines per order), the mean distinct-supplier count as an
+    exact HALF_UP rational (q263's (2Σ+n) div (2n) integer division)
+    plus the single-supplier share — q267 profiles the size fan-out
+    itself, q135 blames sole suppliers on failed orders; this is the
+    consolidation-opportunity view procurement reads."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("__lines"),
+        F.count_distinct("l_suppkey").cast("long").alias("__supps"),
+    )
+    return (
+        per_order.groupBy(
+            F.least(F.col("__lines"), F.lit(7)).cast("long").alias("lines_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr("(2 * sum(__supps) + count(1)) div (2 * count(1))")
+            .cast("long").alias("avg_suppliers_halfup"),
+            F.round(
+                F.sum(F.when(F.col("__supps") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("single_supplier_share"),
+        )
+    )
+
+
+Q307_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS lines,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supps
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(least(lines, 7) AS BIGINT) AS lines_band,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST((2 * sum(supps) + count(*)) // (2 * count(*)) AS BIGINT) AS avg_suppliers_halfup,
+       round(CAST(sum(CASE WHEN supps = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS single_supplier_share
+FROM per_order GROUP BY 1
+"""
+
+
+QUERIES.update({"q307_supplier_mixing": q307_supplier_mixing})
+ORACLE_SQL.update({"q307_supplier_mixing": Q307_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Embedding dimension variance profile (q308)
+# ---------------------------------------------------------------------------
+
+def q308_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-lite diagnostics for the vector table: per-DIMENSION
+    variance from exact power sums (components cast DECIMAL(25,6), so
+    float summation order never enters), each dimension's share of
+    total variance, and a flat/informative flag — the first thing to
+    check before trusting cosine distances (a few dominant dimensions
+    make every neighbor list about those dimensions).  q74 profiles
+    norms and dimensionality; this profiles the per-axis SPREAD."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(F.posexplode("embedding").alias("pos", "__v")).select(
+        # DECIMAL(12,6): small enough that v*v = DECIMAL(25,12) is an
+        # EXACT product on both engines (a (25,6) square overflows
+        # precision 38 and each engine truncates differently)
+        "pos", F.col("__v").cast("double").cast("decimal(12,6)").alias("__v")
+    )
+    per = comp.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).cast("decimal(38,12)").alias("__ss"),
+    )
+    var = per.select(
+        "pos",
+        (
+            (F.col("__n").cast("double") * F.col("__ss").cast("double")
+             - F.col("__s").cast("double") * F.col("__s").cast("double"))
+            / (F.col("__n").cast("double") * F.col("__n").cast("double"))
+        ).alias("__var"),
+    )
+    tot = var.agg(F.sum(F.round(F.col("__var"), 9).cast("decimal(25,9)")).alias("__tv"))
+    return var.crossJoin(F.broadcast(tot)).select(
+        F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("__var"), 6).alias("variance"),
+        F.round(F.col("__var") / F.col("__tv").cast("double"), 6).alias("variance_share"),
+    )
+
+
+Q308_SQL = """
+WITH comp AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,6)) AS v
+  FROM embeddings
+), per AS (
+  SELECT pos, CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
+         CAST(sum(v * v) AS DECIMAL(38,12)) AS ss
+  FROM comp GROUP BY 1
+), var AS (
+  SELECT pos,
+         (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS v
+  FROM per
+), tot AS (
+  SELECT sum(CAST(round(v, 9) AS DECIMAL(25,9))) AS tv FROM var
+)
+SELECT CAST(pos AS INT) AS pos,
+       round(v, 6) AS variance,
+       round(v / CAST(tv AS DOUBLE), 6) AS variance_share
+FROM var, tot
+"""
+
+
+QUERIES.update({"q308_embedding_dim_variance": q308_embedding_dim_variance})
+ORACLE_SQL.update({"q308_embedding_dim_variance": Q308_SQL})

@@ -931,6 +931,9 @@ def test_round12_wave_plans(spark, sf_smoke):
         ("q303_boilerplate_position_profile", 6),
         ("q304_keeper_policy_sensitivity", 4),
         ("q305_ivf_cell_balance", 4),
+        ("q306_customer_trajectory_census", 5),
+        ("q307_supplier_mixing", 4),
+        ("q308_embedding_dim_variance", 4),
     ):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
