@@ -17529,3 +17529,205 @@ FROM var, tot
 
 QUERIES.update({"q308_embedding_dim_variance": q308_embedding_dim_variance})
 ORACLE_SQL.update({"q308_embedding_dim_variance": Q308_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Contrarian movers (q309)
+# ---------------------------------------------------------------------------
+
+def q309_contrarian_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who GREW while their nation SHRANK (and vice versa)
+    between 1996 and 1997 — the against-the-trend screen that
+    separates account-level wins from market tides (q246's bridge
+    decomposes the nation total; this asks who moved AGAINST it).
+    Customer and nation deltas are exact DECIMAL sums compared at
+    zero; only customers active in BOTH years vote (a new or lost
+    customer is q236/q246 material, not a contrarian)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.year(F.col("o_orderdate").cast("date")).isin(1996, 1997))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_custkey").alias("__ck"),
+            F.year(F.col("o_orderdate").cast("date")).alias("__y"),
+        )
+        .agg(F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r"))
+    )
+    per_cust = rev.groupBy("nation", "__ck").agg(
+        F.sum(F.when(F.col("__y") == 1996, F.col("__r"))).alias("__r96"),
+        F.sum(F.when(F.col("__y") == 1997, F.col("__r"))).alias("__r97"),
+    ).filter(F.col("__r96").isNotNull() & F.col("__r97").isNotNull())
+    per_nation = per_cust.groupBy("nation").agg(
+        (F.sum("__r97") - F.sum("__r96")).alias("__nd")
+    )
+    return (
+        per_cust.join(F.broadcast(per_nation), "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_both_years"),
+            F.sum(
+                F.when(
+                    ((F.col("__r97") - F.col("__r96")) > 0) & (F.col("__nd") < 0), 1
+                ).when(
+                    ((F.col("__r97") - F.col("__r96")) < 0) & (F.col("__nd") > 0), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_contrarian"),
+            F.round(F.max("__nd"), 2).cast("double").alias("nation_delta"),
+        )
+    )
+
+
+Q309_SQL = """
+WITH rev AS (
+  SELECT n_name AS nation, o_custkey AS ck, year(CAST(o_orderdate AS DATE)) AS y,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS r
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+  GROUP BY 1, 2, 3
+), per_cust AS (
+  SELECT nation, ck,
+         sum(CASE WHEN y = 1996 THEN r END) AS r96,
+         sum(CASE WHEN y = 1997 THEN r END) AS r97
+  FROM rev GROUP BY 1, 2
+  HAVING sum(CASE WHEN y = 1996 THEN r END) IS NOT NULL
+     AND sum(CASE WHEN y = 1997 THEN r END) IS NOT NULL
+), per_nation AS (
+  SELECT nation, sum(r97) - sum(r96) AS nd FROM per_cust GROUP BY 1
+)
+SELECT c.nation,
+       CAST(count(*) AS BIGINT) AS n_both_years,
+       CAST(sum(CASE WHEN (c.r97 - c.r96 > 0 AND n.nd < 0)
+                       OR (c.r97 - c.r96 < 0 AND n.nd > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_contrarian,
+       CAST(round(max(n.nd), 2) AS DOUBLE) AS nation_delta
+FROM per_cust c JOIN per_nation n ON c.nation = n.nation
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q309_contrarian_movers": q309_contrarian_movers})
+ORACLE_SQL.update({"q309_contrarian_movers": Q309_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Per-year decile boundary drift (q310)
+# ---------------------------------------------------------------------------
+
+def q310_price_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the price DECILE BOUNDARIES sit, per ship year — the
+    distribution-drift report (q206 reads global percentiles once;
+    this tracks the fences over time, the thing a pricing team plots).
+    ONE `exact_global_rank` pass over (year, price, tiebreak) serves
+    every year: a row's within-year rank is its global rank minus the
+    year's broadcast offset, and the boundary for decile k is the
+    value at within-year rank ceil(k·n/10) — integer arithmetic on
+    ranks, no per-year loop, no fat per-year window partition."""
+    from .operators.scale import exact_global_rank, pin_frame
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.year(F.col("l_shipdate").cast("date")).alias("__y"),
+        "l_extendedprice", "l_orderkey", "l_linenumber",
+    )
+    ranked = pin_frame(
+        exact_global_rank(
+            li,
+            [F.col("__y").asc(), F.col("l_extendedprice").asc(),
+             F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+            rank_col="__gr",
+        ),
+        eager=True,
+    )
+    per_year = ranked.groupBy("__y").agg(
+        F.min("__gr").alias("__off"), F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    with_local = ranked.join(F.broadcast(per_year), "__y").select(
+        "__y", "l_extendedprice",
+        (F.col("__gr") - F.col("__off") + 1).cast("long").alias("__lr"),
+        "__n",
+    )
+    cuts = None
+    for k in range(1, 10):
+        c = with_local.filter(
+            F.col("__lr") == F.expr(f"CAST(({k} * __n + 9) div 10 AS LONG)")
+        ).select(
+            F.col("__y").alias("year"), F.lit(k).alias("decile"),
+            F.col("l_extendedprice").cast("double").alias("boundary_price"),
+        )
+        cuts = c if cuts is None else cuts.unionByName(c)
+    return cuts
+
+
+Q310_SQL = """
+WITH ranked AS (
+  SELECT year(CAST(l_shipdate AS DATE)) AS y, l_extendedprice,
+         row_number() OVER (PARTITION BY year(CAST(l_shipdate AS DATE))
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS lr,
+         count(*) OVER (PARTITION BY year(CAST(l_shipdate AS DATE))) AS n
+  FROM lineitem
+)
+SELECT y AS year, k.k AS decile, CAST(l_extendedprice AS DOUBLE) AS boundary_price
+FROM ranked, unnest([1,2,3,4,5,6,7,8,9]) AS k(k)
+WHERE lr = (k.k * n + 9) // 10
+"""
+
+
+QUERIES.update({"q310_price_decile_drift": q310_price_decile_drift})
+ORACLE_SQL.update({"q310_price_decile_drift": Q310_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Dense-sequence conformance audit (q311)
+# ---------------------------------------------------------------------------
+
+def q311_linenumber_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-conformance primitive: l_linenumber must be DENSE 1..n
+    within every order (the contract a line-level CDC feed implies).
+    Three integer facts per order decide it without sorting anything:
+    count, min, max — dense ⇔ min=1 ∧ max=count.  Violations counted
+    per order year; q193 audits gaps in a global key space, this
+    audits per-GROUP sequence density."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.min("l_linenumber").cast("long").alias("__mn"),
+        F.max("l_linenumber").cast("long").alias("__mx"),
+    )
+    flagged = per.select(
+        "l_orderkey",
+        ((F.col("__mn") != 1) | (F.col("__mx") != F.col("__n"))).alias("__bad"),
+    )
+    return (
+        flagged.join(orders, flagged.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year(F.col("o_orderdate").cast("date")).alias("year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("__bad").cast("long")).cast("long").alias("n_violations"),
+        )
+    )
+
+
+Q311_SQL = """
+WITH per AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(l_linenumber) AS BIGINT) AS mn, CAST(max(l_linenumber) AS BIGINT) AS mx
+  FROM lineitem GROUP BY 1
+)
+SELECT year(CAST(o_orderdate AS DATE)) AS year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN mn <> 1 OR mx <> n THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM per JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q311_linenumber_density_audit": q311_linenumber_density_audit})
+ORACLE_SQL.update({"q311_linenumber_density_audit": Q311_SQL})

@@ -934,6 +934,11 @@ def test_round12_wave_plans(spark, sf_smoke):
         ("q306_customer_trajectory_census", 5),
         ("q307_supplier_mixing", 4),
         ("q308_embedding_dim_variance", 4),
+        ("q309_contrarian_movers", 6),
+        # 9 decile branches over the pinned rank frame: one broadcast
+        # offset-agg exchange per branch, rank machinery paid once
+        ("q310_price_decile_drift", 10),
+        ("q311_linenumber_density_audit", 4),
     ):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
