@@ -17731,3 +17731,307 @@ GROUP BY 1
 
 QUERIES.update({"q311_linenumber_density_audit": q311_linenumber_density_audit})
 ORACLE_SQL.update({"q311_linenumber_density_audit": Q311_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Return contagion within orders (q312)
+# ---------------------------------------------------------------------------
+
+def q312_return_contagion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do returns infect the WHOLE order or single lines?  Every order
+    with at least one 'R' line classified as fully_returned / partial,
+    per order year — the process question behind return handling (a
+    fully-returned order is a delivery/customer failure, a partial one
+    a product failure).  Two integer counts per order decide the
+    class; shares are one float division at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long").alias("__r"),
+    ).filter(F.col("__r") > 0)
+    return (
+        per.join(orders, per.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year(F.col("o_orderdate").cast("date")).alias("year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders_with_returns"),
+            F.sum((F.col("__r") == F.col("__n")).cast("long")).cast("long").alias("n_fully_returned"),
+            F.round(
+                F.sum((F.col("__r") == F.col("__n")).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("full_return_share"),
+        )
+    )
+
+
+Q312_SQL = """
+WITH per AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM lineitem GROUP BY 1
+  HAVING sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
+)
+SELECT year(CAST(o_orderdate AS DATE)) AS year,
+       CAST(count(*) AS BIGINT) AS n_orders_with_returns,
+       CAST(sum(CASE WHEN r = n THEN 1 ELSE 0 END) AS BIGINT) AS n_fully_returned,
+       round(CAST(sum(CASE WHEN r = n THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS full_return_share
+FROM per JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q312_return_contagion": q312_return_contagion})
+ORACLE_SQL.update({"q312_return_contagion": Q312_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox detector (q313)
+# ---------------------------------------------------------------------------
+
+def q313_simpson_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the quantity↔price association FLIP inside brands?  The
+    Simpson's-paradox screen: the covariance SIGN of (quantity,
+    extended price) globally vs within each part brand — sign(n·Σxy −
+    Σx·Σy) is pure integer arithmetic over cents and units (q306's
+    division-free trick), so both the global verdict and all 25 brand
+    verdicts are exact.  Reports the global sign and how many brands
+    agree / oppose / are flat — a majority-opposite answer means every
+    per-brand analysis must condition before trusting the pooled
+    number."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    obs = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("__b"),
+        F.col("l_quantity").cast("long").alias("__x"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)").alias("__y"),
+    )
+    per_brand = obs.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("decimal(25,0)").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("decimal(25,0)").alias("__sxy"),
+    )
+    signed = per_brand.select(
+        F.signum(
+            (F.col("__n").cast("decimal(25,0)") * F.col("__sxy")
+             - F.col("__sx").cast("decimal(25,0)") * F.col("__sy")).cast("double")
+        ).cast("long").alias("__sign")
+    )
+    glob = per_brand.agg(
+        F.signum(
+            (
+                F.sum(F.col("__n")).cast("decimal(30,0)")
+                * F.sum(F.col("__sxy").cast("decimal(30,0)"))
+                - F.sum(F.col("__sx")).cast("decimal(30,0)")
+                * F.sum(F.col("__sy").cast("decimal(30,0)"))
+            ).cast("double")
+        ).cast("long").alias("global_sign")
+    )
+    counts = signed.crossJoin(F.broadcast(glob)).groupBy("global_sign").agg(
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        F.sum((F.col("__sign") == F.col("global_sign")).cast("long")).cast("long").alias("n_agree"),
+        F.sum(((F.col("__sign") != 0) & (F.col("__sign") != F.col("global_sign"))).cast("long"))
+        .cast("long").alias("n_oppose"),
+        F.sum((F.col("__sign") == 0).cast("long")).cast("long").alias("n_flat"),
+    )
+    return counts
+
+
+Q313_SQL = """
+WITH obs AS (
+  SELECT p_brand AS b, CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), per_brand AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS DECIMAL(25,0)) AS sy,
+         CAST(sum(x * y) AS DECIMAL(25,0)) AS sxy
+  FROM obs GROUP BY 1
+), signed AS (
+  SELECT CAST(sign(CAST(CAST(n AS DECIMAL(25,0)) * sxy
+                        - CAST(sx AS DECIMAL(25,0)) * sy AS DOUBLE)) AS BIGINT) AS s
+  FROM per_brand
+), overall AS (
+  SELECT CAST(sign(CAST(CAST(sum(n) AS DECIMAL(30,0)) * sum(CAST(sxy AS DECIMAL(30,0)))
+                        - CAST(sum(sx) AS DECIMAL(30,0)) * sum(CAST(sy AS DECIMAL(30,0)))
+                   AS DOUBLE)) AS BIGINT) AS global_sign
+  FROM per_brand
+)
+SELECT global_sign,
+       CAST(count(*) AS BIGINT) AS n_brands,
+       CAST(sum(CASE WHEN s = global_sign THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       CAST(sum(CASE WHEN s <> 0 AND s <> global_sign THEN 1 ELSE 0 END) AS BIGINT) AS n_oppose,
+       CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat
+FROM signed, overall
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q313_simpson_detector": q313_simpson_detector})
+ORACLE_SQL.update({"q313_simpson_detector": Q313_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Ranking stability audit (q314)
+# ---------------------------------------------------------------------------
+
+def q314_ranking_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is 'top 10 parts by revenue' a real ranking or sampling noise?
+    The split-half stability audit: orders are split 50/50 by the q44
+    deterministic md5 bucket (same row → same half on any engine or
+    run), the top-10 revenue parts are computed INDEPENDENTLY on each
+    half, and the report is the overlap — 10/10 means the ranking is
+    robust, 3/10 means nobody should ship it.  Rank selection is
+    TakeOrdered-shaped on each half's part aggregate (never a full
+    sort); the halves share one scan lineage."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    bucketed = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_partkey",
+        _dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("__r"),
+        (
+            F.expr(
+                "CAST(CONV(substring(md5(CONCAT('42:', CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2"
+            )
+        ).alias("__half"),
+    )
+    per = bucketed.groupBy("__half", "l_partkey").agg(F.sum("__r").alias("__rev"))
+    w = Window.partitionBy("__half").orderBy(
+        F.col("__rev").desc(), F.col("l_partkey").asc()
+    )
+    top = per.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= 10)
+    a = top.filter(F.col("__half") == 0).select(F.col("l_partkey").alias("__pa"))
+    b = top.filter(F.col("__half") == 1).select(F.col("l_partkey").alias("__pb"))
+    return a.join(b, a.__pa == b.__pb, "full").agg(
+        F.lit(10).cast("long").alias("k"),
+        F.sum((F.col("__pa").isNotNull() & F.col("__pb").isNotNull()).cast("long"))
+        .cast("long").alias("overlap"),
+        F.round(
+            F.sum((F.col("__pa").isNotNull() & F.col("__pb").isNotNull()).cast("long"))
+            .cast("double") / 10.0, 4,
+        ).alias("stability"),
+    )
+
+
+Q314_SQL = """
+WITH bucketed AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6)) AS r,
+         ('0x' || substring(md5('42:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 2 AS half
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per AS (
+  SELECT half, l_partkey, sum(r) AS rev FROM bucketed GROUP BY 1, 2
+), top AS (
+  SELECT half, l_partkey,
+         row_number() OVER (PARTITION BY half ORDER BY rev DESC, l_partkey ASC) AS rk
+  FROM per
+), t AS (SELECT half, l_partkey FROM top WHERE rk <= 10)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS overlap,
+       round(CAST(count(*) AS DOUBLE) / 10.0, 4) AS stability
+FROM t a JOIN t b ON a.l_partkey = b.l_partkey AND a.half = 0 AND b.half = 1
+"""
+
+
+QUERIES.update({"q314_ranking_stability": q314_ranking_stability})
+ORACLE_SQL.update({"q314_ranking_stability": Q314_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed revenue score (q315)
+# ---------------------------------------------------------------------------
+
+def q315_decayed_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted revenue per market segment: each order's cents
+    weighted by 2^-(age in quarters, capped at 10) relative to the
+    corpus's last order date — the exponential-decay score every churn
+    model and recommender freshness term uses, computed EXACTLY:
+    cents × 2^(10-age) is integer arithmetic, one /2^10 maps to double
+    at the end.  The report compares each segment's decayed share to
+    its raw share — segments living in the past fall, recently-hot
+    segments rise."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    mx = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("__mx"))
+    # month-BOUNDARY age (year*12+month index difference): the one
+    # integer definition both engines can spell identically —
+    # months_between is fractional and date_diff('month') counts
+    # boundaries, and they disagree around month ends
+    aged = orders.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)").alias("__cents"),
+        F.least(
+            F.expr(
+                "CAST(((year(__mx) * 12 + month(__mx)) "
+                "- (year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)))) div 3 AS BIGINT)"
+            ),
+            F.lit(10).cast("long"),
+        ).alias("__ageq"),
+    )
+    weighted = aged.select(
+        "o_custkey", "__cents",
+        # SQL shiftleft accepts a column shift amount (the PySpark
+        # wrapper insists on a Python int)
+        F.expr("__cents * shiftleft(CAST(1 AS BIGINT), CAST(10 - __ageq AS INT))")
+        .alias("__wcents"),
+    )
+    per_seg = (
+        weighted.join(cust, weighted.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum("__cents").cast("decimal(25,0)").alias("__raw"),
+            F.sum("__wcents").cast("decimal(30,0)").alias("__dec"),
+        )
+    )
+    tot = per_seg.agg(
+        F.sum("__raw").alias("__traw"), F.sum("__dec").alias("__tdec")
+    )
+    return per_seg.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        F.round(F.col("__raw").cast("double") / F.col("__traw").cast("double"), 6)
+        .alias("raw_share"),
+        F.round(F.col("__dec").cast("double") / F.col("__tdec").cast("double"), 6)
+        .alias("decayed_share"),
+        F.round(
+            F.col("__dec").cast("double") / F.col("__tdec").cast("double")
+            - F.col("__raw").cast("double") / F.col("__traw").cast("double"),
+            6,
+        ).alias("recency_tilt"),
+    )
+
+
+Q315_SQL = """
+WITH mx AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders
+), aged AS (
+  SELECT o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents,
+         least(CAST(((year(mxd) * 12 + month(mxd))
+                     - (year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)))) // 3
+               AS BIGINT), 10) AS ageq
+  FROM orders, mx
+), weighted AS (
+  SELECT o_custkey, cents, cents * (1 << (10 - ageq)) AS wcents FROM aged
+), per_seg AS (
+  SELECT c_mktsegment AS segment,
+         CAST(sum(cents) AS DECIMAL(25,0)) AS raw,
+         CAST(sum(wcents) AS DECIMAL(30,0)) AS dec
+  FROM weighted JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+), tot AS (
+  SELECT sum(raw) AS traw, sum(dec) AS tdec FROM per_seg
+)
+SELECT segment,
+       round(CAST(raw AS DOUBLE) / CAST(traw AS DOUBLE), 6) AS raw_share,
+       round(CAST(dec AS DOUBLE) / CAST(tdec AS DOUBLE), 6) AS decayed_share,
+       round(CAST(dec AS DOUBLE) / CAST(tdec AS DOUBLE)
+             - CAST(raw AS DOUBLE) / CAST(traw AS DOUBLE), 6) AS recency_tilt
+FROM per_seg, tot
+"""
+
+
+QUERIES.update({"q314_ranking_stability": q314_ranking_stability})
+QUERIES.update({"q315_decayed_revenue_share": q315_decayed_revenue_share})
+ORACLE_SQL.update({"q315_decayed_revenue_share": Q315_SQL})

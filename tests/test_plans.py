@@ -939,6 +939,10 @@ def test_round12_wave_plans(spark, sf_smoke):
         # offset-agg exchange per branch, rank machinery paid once
         ("q310_price_decile_drift", 10),
         ("q311_linenumber_density_audit", 4),
+        ("q312_return_contagion", 4),
+        ("q313_simpson_detector", 5),
+        ("q314_ranking_stability", 6),
+        ("q315_decayed_revenue_share", 5),
     ):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
