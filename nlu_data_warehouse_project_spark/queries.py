@@ -18032,6 +18032,5 @@ FROM per_seg, tot
 """
 
 
-QUERIES.update({"q314_ranking_stability": q314_ranking_stability})
 QUERIES.update({"q315_decayed_revenue_share": q315_decayed_revenue_share})
 ORACLE_SQL.update({"q315_decayed_revenue_share": Q315_SQL})

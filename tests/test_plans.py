@@ -941,7 +941,9 @@ def test_round12_wave_plans(spark, sf_smoke):
         ("q311_linenumber_density_audit", 4),
         ("q312_return_contagion", 4),
         ("q313_simpson_detector", 5),
-        ("q314_ranking_stability", 6),
+        # two half-ranked branches over one scan: per-half agg +
+        # window exchanges on each side of the overlap join
+        ("q314_ranking_stability", 8),
         ("q315_decayed_revenue_share", 5),
     ):
         q = QUERIES[name](spark, sf_smoke)
