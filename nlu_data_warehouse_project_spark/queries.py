@@ -18034,3 +18034,330 @@ FROM per_seg, tot
 
 QUERIES.update({"q315_decayed_revenue_share": q315_decayed_revenue_share})
 ORACLE_SQL.update({"q315_decayed_revenue_share": Q315_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Anti-affinity pairs: substitutes, not complements (q316)
+# ---------------------------------------------------------------------------
+
+def q316_substitute_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEGATIVE-association complement of q183/q248: brand pairs
+    whose co-occurrence in order baskets falls furthest BELOW
+    independence (bottom-10 by lift, support floor 20 orders each) —
+    the substitution signal ('customers buy one OR the
+    other') that assortment planning reads opposite to the complement
+    signal.  Lift stays a comparison of integer products (c_xy·N vs
+    c_x·c_y/2) — no division decides membership; BRAND grain keeps
+    the pair space bounded (25²) at any data scale."""
+    from .operators.scale import pin_frame
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    # FOUR consumers read the distinct (order, brand) frame (count,
+    # singles, both self-join sides): pin it once
+    ob = pin_frame(
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("__o"), F.col("p_brand").alias("__b"))
+        .distinct(),
+        eager=True,
+    )
+    n_orders = ob.agg(F.count_distinct("__o").cast("long").alias("__n"))
+    singles = pin_frame(
+        ob.groupBy("__b").agg(F.count(F.lit(1)).cast("long").alias("__c")), eager=True
+    )
+    a = ob.select("__o", F.col("__b").alias("__ba"))
+    b = ob.select(F.col("__o").alias("__o2"), F.col("__b").alias("__bb"))
+    pairs = (
+        a.join(b, (F.col("__o") == F.col("__o2")) & (F.col("__ba") < F.col("__bb")))
+        .groupBy("__ba", "__bb")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cxy"))
+    )
+    sa = singles.select(F.col("__b").alias("__ba"), F.col("__c").alias("__ca"))
+    sb = singles.select(F.col("__b").alias("__bb"), F.col("__c").alias("__cb"))
+    joined = (
+        pairs.join(F.broadcast(sa), "__ba")
+        .join(F.broadcast(sb), "__bb")
+        .crossJoin(F.broadcast(n_orders))
+        .filter((F.col("__ca") >= 20) & (F.col("__cb") >= 20))
+    )
+    scored = joined.select(
+        F.col("__ba").alias("brand_a"),
+        F.col("__bb").alias("brand_b"),
+        F.col("__cxy").alias("n_together"),
+        (
+            F.col("__cxy").cast("double") * F.col("__n").cast("double")
+            / (F.col("__ca").cast("double") * F.col("__cb").cast("double"))
+        ).alias("__lift"),
+    )
+    # bottom-10 of a BOUNDED pair frame (25² brands): the window is
+    # metadata-scale at any fact size
+    wl = Window.orderBy(F.col("__lift").asc(), F.col("brand_a").asc(), F.col("brand_b").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(wl))
+        .filter(F.col("__rk") <= 10)
+        .select("brand_a", "brand_b", "n_together", F.round(F.col("__lift"), 6).alias("lift"))
+    )
+
+
+Q316_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n_orders AS (
+  SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM ob
+), singles AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c FROM ob GROUP BY 1
+), pairs AS (
+  SELECT a.b AS ba, bb.b AS bb, CAST(count(*) AS BIGINT) AS cxy
+  FROM ob a JOIN ob bb ON a.o = bb.o AND a.b < bb.b
+  GROUP BY 1, 2
+)
+, scored AS (
+  SELECT ba AS brand_a, bb AS brand_b, cxy AS n_together,
+         CAST(cxy AS DOUBLE) * n / (CAST(sa.c AS DOUBLE) * sb.c) AS lift
+  FROM pairs
+  JOIN singles sa ON sa.b = ba
+  JOIN singles sb ON sb.b = bb
+  CROSS JOIN n_orders
+  WHERE sa.c >= 20 AND sb.c >= 20
+)
+SELECT brand_a, brand_b, n_together, round(lift, 6) AS lift
+FROM (SELECT *, row_number() OVER (ORDER BY lift ASC, brand_a ASC, brand_b ASC) AS rk FROM scored)
+WHERE rk <= 10
+"""
+
+
+QUERIES.update({"q316_substitute_parts": q316_substitute_parts})
+ORACLE_SQL.update({"q316_substitute_parts": Q316_SQL})
+
+
+# ---------------------------------------------------------------------------
+# First-order-value LTV cohorts (q317)
+# ---------------------------------------------------------------------------
+
+def q317_first_value_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a big FIRST order predict a valuable customer?  Customers
+    bucketed into quartiles of their first-order value
+    (`exact_global_ntiles` over the first-order frame — never a
+    one-task sort), each bucket reporting mean SUBSEQUENT revenue
+    (orders after the first) as a HALF_UP integer-cents rational and
+    the share of customers who ever ordered again — the
+    acquisition-quality curve (q235 cohorts by TIME; this cohorts by
+    first-ticket SIZE)."""
+    from .operators.scale import exact_global_ntiles
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)").alias("__cents"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    firsts = seq.filter(F.col("__rn") == 1).select(
+        "o_custkey", F.col("__cents").alias("__first_cents")
+    )
+    rest = seq.filter(F.col("__rn") > 1).groupBy("o_custkey").agg(
+        F.sum("__cents").cast("long").alias("__later_cents"),
+    )
+    tiled = exact_global_ntiles(
+        firsts, [([("__first_cents", "asc"), ("o_custkey", "asc")], 4, "first_value_quartile")]
+    )
+    joined = tiled.join(rest, "o_custkey", "left")
+    return joined.groupBy("first_value_quartile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(
+            F.sum(F.when(F.col("__later_cents").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("repeat_share"),
+        F.expr(
+            "(2 * sum(coalesce(__later_cents, 0)) + count(1)) div (2 * count(1))"
+        ).cast("long").alias("avg_later_cents_halfup"),
+    )
+
+
+Q317_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), firsts AS (
+  SELECT o_custkey, cents AS first_cents,
+         ntile(4) OVER (ORDER BY cents, o_custkey) AS first_value_quartile
+  FROM seq WHERE rn = 1
+), rest AS (
+  SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS later_cents
+  FROM seq WHERE rn > 1 GROUP BY 1
+)
+SELECT first_value_quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(CASE WHEN later_cents IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS repeat_share,
+       CAST((2 * sum(coalesce(later_cents, 0)) + count(*)) // (2 * count(*)) AS BIGINT) AS avg_later_cents_halfup
+FROM firsts LEFT JOIN rest USING (o_custkey)
+GROUP BY 1
+"""
+
+
+QUERIES.update({"q317_first_value_ltv": q317_first_value_ltv})
+ORACLE_SQL.update({"q317_first_value_ltv": Q317_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Language label-vs-heuristic confusion (q318)
+# ---------------------------------------------------------------------------
+
+def q318_lang_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-QA for the corpus: the confusion matrix between each
+    document's RECORDED lang label and the stopword-vote `lang_id`
+    heuristic (q23's detector), with per-label agreement share — the
+    first audit a curation team runs on third-party language labels
+    (a high-volume disagreement cell is either a mislabeled shard or
+    a heuristic blind spot; both need eyes)."""
+    from .functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("lang").alias("label_lang"), lang_id("text").alias("detected_lang")
+    )
+    cells = pairs.groupBy("label_lang", "detected_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    per_label = cells.groupBy("label_lang").agg(
+        F.sum("n_docs").cast("long").alias("__tot")
+    )
+    return cells.join(F.broadcast(per_label), "label_lang").select(
+        "label_lang", "detected_lang", "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("__tot").cast("double"), 6)
+        .alias("share_of_label"),
+        (F.col("label_lang") == F.col("detected_lang")).alias("agrees"),
+    )
+
+
+Q318_SQL = f"""
+WITH scored AS (
+  SELECT lang AS label_lang,
+         {_score_sql(_SW['en'])} AS s_en,
+         {_score_sql(_SW['de'])} AS s_de,
+         {_score_sql(_SW['es'])} AS s_es,
+         {_score_sql(_SW['fr'])} AS s_fr,
+         {_score_sql(_SW['zh'])} AS s_zh
+  FROM documents
+), picked AS (
+  SELECT label_lang,
+         CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+              WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
+              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+              WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+              ELSE 'de' END AS detected_lang
+  FROM scored
+), cells AS (
+  SELECT label_lang, detected_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM picked GROUP BY 1, 2
+), per_label AS (
+  SELECT label_lang, CAST(sum(n_docs) AS BIGINT) AS tot FROM cells GROUP BY 1
+)
+SELECT label_lang, detected_lang, n_docs,
+       round(CAST(n_docs AS DOUBLE) / tot, 6) AS share_of_label,
+       label_lang = detected_lang AS agrees
+FROM cells JOIN per_label USING (label_lang)
+"""
+
+
+QUERIES.update({"q318_lang_label_confusion": q318_lang_label_confusion})
+ORACLE_SQL.update({"q318_lang_label_confusion": Q318_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Little's law cross-derivation audit (q319)
+# ---------------------------------------------------------------------------
+
+def q319_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law (L = λ·W) as a CROSS-DERIVATION conformance gate:
+    total order-days computed two independent ways — the sweep-line
+    time integral (q294's +1/−1 cumulative, each balance weighted by
+    the days until the next change) and the direct per-order sum of
+    durations — must agree to the INTEGER, and then L (time-average
+    open orders), λ (arrivals/day) and W (mean open days) are one
+    division each off the shared exact numbers.  A mismatch would
+    mean the sweep machinery drops or double-counts interval mass;
+    equality is the identity Little's law reduces to on a closed
+    window."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    span = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("__close")
+    ).join(orders, F.col("l_orderkey") == orders.o_orderkey).select(
+        F.col("o_orderdate").cast("date").alias("__open"), "__close"
+    )
+    direct = span.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.datediff(F.col("__close"), F.col("__open")).cast("long") + 1
+        ).cast("long").alias("order_days_direct"),
+        F.min("__open").alias("__t0"),
+        F.max("__close").alias("__t1"),
+    )
+    deltas = span.select(F.col("__open").alias("__d"), F.lit(1).alias("__delta")).unionByName(
+        span.select(F.date_add(F.col("__close"), 1).alias("__d"), F.lit(-1).alias("__delta"))
+    )
+    daily = deltas.groupBy("__d").agg(F.sum("__delta").cast("long").alias("__net"))
+    w = Window.orderBy("__d")
+    stepped = daily.select(
+        "__d",
+        F.sum("__net").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__bal"),
+        F.lead("__d").over(w).alias("__next"),
+    )
+    sweep = stepped.filter(F.col("__next").isNotNull()).agg(
+        F.sum(
+            F.col("__bal") * F.datediff(F.col("__next"), F.col("__d")).cast("long")
+        ).cast("long").alias("order_days_sweep")
+    )
+    out = direct.crossJoin(F.broadcast(sweep))
+    t_days = (F.datediff(F.col("__t1"), F.col("__t0")).cast("long") + 1).cast("double")
+    return out.select(
+        "n_orders", "order_days_direct", "order_days_sweep",
+        (F.col("order_days_direct") == F.col("order_days_sweep")).alias("littles_law_ok"),
+        F.round(F.col("order_days_direct").cast("double") / t_days, 6).alias("l_avg_open"),
+        F.round(F.col("n_orders").cast("double") / t_days, 6).alias("lambda_per_day"),
+        F.round(
+            F.col("order_days_direct").cast("double") / F.col("n_orders").cast("double"), 6
+        ).alias("w_mean_days"),
+    )
+
+
+Q319_SQL = """
+WITH span AS (
+  SELECT CAST(o_orderdate AS DATE) AS open_d, max(CAST(l_shipdate AS DATE)) AS close_d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, o_orderdate
+), direct AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(date_diff('day', open_d, close_d) + 1) AS BIGINT) AS order_days_direct,
+         min(open_d) AS t0, max(close_d) AS t1
+  FROM span
+), deltas AS (
+  SELECT open_d AS d, 1 AS delta FROM span
+  UNION ALL
+  SELECT close_d + INTERVAL 1 DAY, -1 FROM span
+), daily AS (
+  SELECT CAST(d AS DATE) AS d, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY 1
+), stepped AS (
+  SELECT d, sum(net) OVER (ORDER BY d) AS bal, lead(d) OVER (ORDER BY d) AS nxt
+  FROM daily
+), sweep AS (
+  SELECT CAST(sum(bal * date_diff('day', d, nxt)) AS BIGINT) AS order_days_sweep
+  FROM stepped WHERE nxt IS NOT NULL
+)
+SELECT n_orders, order_days_direct, order_days_sweep,
+       order_days_direct = order_days_sweep AS littles_law_ok,
+       round(CAST(order_days_direct AS DOUBLE) / (date_diff('day', t0, t1) + 1), 6) AS l_avg_open,
+       round(CAST(n_orders AS DOUBLE) / (date_diff('day', t0, t1) + 1), 6) AS lambda_per_day,
+       round(CAST(order_days_direct AS DOUBLE) / n_orders, 6) AS w_mean_days
+FROM direct, sweep
+"""
+
+
+QUERIES.update({"q319_littles_law_audit": q319_littles_law_audit})
+ORACLE_SQL.update({"q319_littles_law_audit": Q319_SQL})

@@ -945,6 +945,10 @@ def test_round12_wave_plans(spark, sf_smoke):
         # window exchanges on each side of the overlap join
         ("q314_ranking_stability", 8),
         ("q315_decayed_revenue_share", 5),
+        ("q316_substitute_parts", 8),
+        ("q317_first_value_ltv", 6),
+        ("q318_lang_label_confusion", 4),
+        ("q319_littles_law_audit", 8),
     ):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
