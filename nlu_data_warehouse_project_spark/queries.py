@@ -18361,3 +18361,82 @@ FROM direct, sweep
 
 QUERIES.update({"q319_littles_law_audit": q319_littles_law_audit})
 ORACLE_SQL.update({"q319_littles_law_audit": Q319_SQL})
+
+
+# ---------------------------------------------------------------------------
+# ABC class migration (q320)
+# ---------------------------------------------------------------------------
+
+def q320_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which parts changed INVENTORY CLASS between 1996 and 1997?  The
+    q181 ABC cut (cumulative revenue share: A to 70%, B to 90%, C
+    tail) computed per year via `exact_prefix_sum` over each year's
+    part-revenue order, then the 3x3 transition matrix with the
+    year-over-year mass — q234 migrates customer QUARTILES; this
+    migrates the cumulative-share classes a stocking policy hangs on
+    (an A->C part is a delisting candidate, C->A a supply risk).
+    Parts active in only one year are classed 'none' on the other
+    side, so entries and exits are visible, not dropped."""
+    from .operators.scale import exact_prefix_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+
+    def abc_for(year: int, out: str) -> DataFrame:
+        rev = (
+            lo.filter(F.year(F.col("o_orderdate").cast("date")) == year)
+            .groupBy("l_partkey")
+            .agg(F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r"))
+        )
+        tot = rev.agg(F.sum("__r").alias("__tr"))
+        cum = exact_prefix_sum(
+            rev, [F.col("__r").desc(), F.col("l_partkey").asc()], "__r", cum_col="__cum"
+        )
+        return cum.crossJoin(F.broadcast(tot)).select(
+            "l_partkey",
+            F.when(F.col("__cum") * 10 <= F.col("__tr") * 7, "A")
+            .when(F.col("__cum") * 10 <= F.col("__tr") * 9, "B")
+            .otherwise("C").alias(out),
+        )
+
+    a96 = abc_for(1996, "class_1996")
+    a97 = abc_for(1997, "class_1997")
+    both = a96.join(a97, "l_partkey", "full").select(
+        F.coalesce(F.col("class_1996"), F.lit("none")).alias("class_1996"),
+        F.coalesce(F.col("class_1997"), F.lit("none")).alias("class_1997"),
+    )
+    return both.groupBy("class_1996", "class_1997").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+
+
+Q320_SQL = """
+WITH rev AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS y, l_partkey,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+  GROUP BY 1, 2
+), classed AS (
+  SELECT y, l_partkey,
+         CASE WHEN sum(r) OVER (PARTITION BY y ORDER BY r DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10
+                   <= sum(r) OVER (PARTITION BY y) * 7 THEN 'A'
+              WHEN sum(r) OVER (PARTITION BY y ORDER BY r DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10
+                   <= sum(r) OVER (PARTITION BY y) * 9 THEN 'B'
+              ELSE 'C' END AS cls
+  FROM rev
+), a96 AS (SELECT l_partkey, cls FROM classed WHERE y = 1996),
+a97 AS (SELECT l_partkey, cls FROM classed WHERE y = 1997)
+SELECT coalesce(a96.cls, 'none') AS class_1996,
+       coalesce(a97.cls, 'none') AS class_1997,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM a96 FULL JOIN a97 ON a96.l_partkey = a97.l_partkey
+GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"q320_abc_migration": q320_abc_migration})
+ORACLE_SQL.update({"q320_abc_migration": Q320_SQL})

@@ -949,6 +949,8 @@ def test_round12_wave_plans(spark, sf_smoke):
         ("q317_first_value_ltv", 6),
         ("q318_lang_label_confusion", 4),
         ("q319_littles_law_audit", 8),
+        # two per-year prefix-sum passes + the full-join matrix
+        ("q320_abc_migration", 12),
     ):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
