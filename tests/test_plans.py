@@ -743,10 +743,10 @@ def test_q200_pagerank_round_plan_never_rematerializes_edges(spark, sf_smoke, mo
     edges = a.join(b, "__o").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
     graph.pagerank_rounds(edges, rounds=2)
 
-    # captures: edges, nodes, seed-flagged nodes, then one rank frame
-    # per round
-    assert len(captured) == 5
-    for round_frame in captured[3:]:
+    # captures: edges, degree-folded edges, nodes, seed-flagged nodes,
+    # then one rank frame per round
+    assert len(captured) == 6
+    for round_frame in captured[4:]:
         plan = formatted_plan(round_frame)
         assert "Scan parquet" not in plan, "a round re-materialized the edge self-join"
         assert single_partition_exchange_count(round_frame) == 0

@@ -283,9 +283,10 @@ def test_personalized_pagerank_accepts_seed_dataframe(spark, monkeypatch):
         for r in graph.pagerank_rounds(df, rounds=2, seeds=seed_df).collect()
     }
     assert got == want
-    # captures: edges, nodes, seed-flagged nodes, one rank frame/round
-    assert len(captured) == 5
-    assert "BroadcastHashJoin" in formatted_plan(captured[2])
+    # captures: edges, degree-folded edges, nodes, seed-flagged nodes,
+    # one rank frame per round
+    assert len(captured) == 6
+    assert "BroadcastHashJoin" in formatted_plan(captured[3])
 
     with pytest.raises(ValueError, match="exactly one column"):
         graph.pagerank_rounds(
