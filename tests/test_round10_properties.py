@@ -295,3 +295,113 @@ def test_personalized_pagerank_accepts_seed_dataframe(spark, monkeypatch):
     # an all-miss seed frame hits the same node-space validation
     with pytest.raises(ValueError, match="node space"):
         graph.pagerank_rounds(df, seeds=spark.createDataFrame([(99,)], "node long"))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+        min_size=1, max_size=25, unique=True,
+    ),
+    k=st.integers(1, 3),
+    rounds=st.integers(0, 3),
+)
+def test_kcore_peel_matches_pure_python(spark, edges, k, rounds):
+    """kcore_peel_rounds == the reference peel loop on arbitrary
+    digraphs: per round, nodes with out-degree < k drop with all their
+    incident edges (both endpoints)."""
+    from nlu_data_warehouse_project_spark.operators.graph import kcore_peel_rounds
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore_peel_rounds(df, k, rounds=rounds).collect()
+    }
+
+    e = set(edges)
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for s, _d in e:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        e = {(s, d) for (s, d) in e if s in keep and d in keep}
+    want: dict[int, int] = {}
+    for s, _d in e:
+        want[s] = want.get(s, 0) + 1
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7), st.integers(-3, 9)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1, max_size=25, unique_by=lambda e: (e[0], e[1]),
+    ),
+    rounds=st.integers(0, 4),
+)
+def test_bellman_ford_matches_pure_python(spark, edges, rounds):
+    """bellman_ford_rounds == the reference relaxation loop, including
+    NEGATIVE weights and cycles (harmless at a fixed round budget) and
+    an unreachable remainder (absent from the output)."""
+    from nlu_data_warehouse_project_spark.operators.graph import bellman_ford_rounds
+
+    start = edges[0][0]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bellman_ford_rounds(df, start, rounds=rounds).collect()
+    }
+
+    dist = {start: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    assert got == dist
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    member=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(100, 104)),
+        min_size=1, max_size=20, unique=True,
+    ),
+    hops=st.integers(0, 3),
+)
+def test_bipartite_bfs_matches_pure_python(spark, member, hops):
+    """bfs_hops_bipartite == BFS over the materialized co-member graph
+    on arbitrary membership frames (the quadratic-free equivalence,
+    property-tested)."""
+    from nlu_data_warehouse_project_spark.operators.graph import bfs_hops_bipartite
+
+    start = member[0][0]
+    df = spark.createDataFrame(member, "m long, g long")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops_bipartite(df, start, "m", "g", max_hops=hops).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    by_g: dict[int, set[int]] = {}
+    for m, g in member:
+        by_g.setdefault(g, set()).add(m)
+    for g, ms in by_g.items():
+        for a in ms:
+            adj.setdefault(a, set()).update(ms - {a})
+    want = {start: 0}
+    frontier = {start}
+    for h in range(1, hops + 1):
+        nxt = set()
+        for n in frontier:
+            nxt |= adj.get(n, set())
+        nxt -= set(want)
+        for n in nxt:
+            want[n] = h
+        frontier = nxt
+        if not frontier:
+            break
+    assert got == want
