@@ -18440,3 +18440,194 @@ GROUP BY 1, 2
 
 QUERIES.update({"q320_abc_migration": q320_abc_migration})
 ORACLE_SQL.update({"q320_abc_migration": Q320_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Header/detail reconciliation (q321)
+# ---------------------------------------------------------------------------
+
+def q321_header_detail_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic warehouse audit q142's two-ledger check doesn't
+    cover: does each ORDER HEADER total equal its LINE DETAIL sum
+    (Σ extendedprice·(1−discount)·(1+tax))?  Per order year: order
+    count, mismatches beyond a $1 tolerance, and the worst absolute
+    gap — the invariant a billing pipeline must hold and a synthetic
+    feed often doesn't (the report QUANTIFIES the drift instead of
+    assuming it away).  Per-row products are deterministic doubles on
+    both engines; comparisons and max are order-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(
+            _dec(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * (F.lit(1.0) + F.col("l_tax"))
+            )
+        ).alias("__detail")
+    )
+    joined = detail.join(orders, detail.l_orderkey == orders.o_orderkey).select(
+        F.year(F.col("o_orderdate").cast("date")).alias("year"),
+        F.abs(
+            F.col("o_totalprice").cast("double") - F.col("__detail").cast("double")
+        ).alias("__gap"),
+    )
+    return joined.groupBy("year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum((F.col("__gap") > 1.0).cast("long")).cast("long").alias("n_mismatched"),
+        F.round(F.max("__gap"), 2).alias("max_gap"),
+    )
+
+
+Q321_SQL = """
+WITH detail AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS d
+  FROM lineitem GROUP BY 1
+), joined AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS year,
+         abs(CAST(o_totalprice AS DOUBLE) - CAST(d AS DOUBLE)) AS gap
+  FROM detail JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT year, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN gap > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+       round(max(gap), 2) AS max_gap
+FROM joined GROUP BY 1
+"""
+
+
+QUERIES.update({"q321_header_detail_reconciliation": q321_header_detail_reconciliation})
+ORACLE_SQL.update({"q321_header_detail_reconciliation": Q321_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Bullwhip variance amplification (q322)
+# ---------------------------------------------------------------------------
+
+def q322_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bullwhip-effect proxy: is SHIPPED daily quantity more
+    volatile than ORDERED daily demand?  CV² of both daily series
+    (order-date quantity vs ship-date quantity) from exact integer
+    power sums over the calendar-bounded day frames, and their ratio
+    — amplification > 1 is the signature of batching/backlog dynamics
+    downstream of demand (q294's concurrency is the level; this is
+    the variance transfer)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+
+    def daily_cv2(df: DataFrame, date_col, label: str) -> DataFrame:
+        daily = df.groupBy(F.col(date_col).cast("date").alias("__d")).agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("__q")
+        )
+        return daily.agg(
+            F.lit(label).alias("series"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("__q").cast("long").alias("__s"),
+            F.sum(F.col("__q") * F.col("__q")).cast("decimal(38,0)").alias("__ss"),
+        ).select(
+            "series", "n_days",
+            F.round(
+                (F.col("n_days").cast("double") * F.col("__ss").cast("double")
+                 - F.col("__s").cast("double") * F.col("__s").cast("double"))
+                / (F.col("__s").cast("double") * F.col("__s").cast("double")),
+                6,
+            ).alias("cv2"),
+        )
+
+    ordered = daily_cv2(
+        li.join(orders, li.l_orderkey == orders.o_orderkey), "o_orderdate", "ordered"
+    )
+    shipped = daily_cv2(li, "l_shipdate", "shipped")
+    both = ordered.unionByName(shipped)
+    ratio = (
+        shipped.select(F.col("cv2").alias("__sc"))
+        .crossJoin(ordered.select(F.col("cv2").alias("__oc")))
+        .select(
+            F.lit("amplification").alias("series"),
+            F.lit(0).cast("long").alias("n_days"),
+            F.round(F.col("__sc") / F.col("__oc"), 6).alias("cv2"),
+        )
+    )
+    return both.unionByName(ratio)
+
+
+Q322_SQL = """
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1
+), sd AS (
+  SELECT CAST(l_shipdate AS DATE) AS d, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1
+), o AS (
+  SELECT 'ordered' AS series, CAST(count(*) AS BIGINT) AS n_days,
+         round((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(q AS DECIMAL(38,0)) * q) AS DOUBLE)
+                - CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE))
+               / (CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE)), 6) AS cv2
+  FROM od
+), s AS (
+  SELECT 'shipped' AS series, CAST(count(*) AS BIGINT) AS n_days,
+         round((CAST(count(*) AS DOUBLE) * CAST(sum(CAST(q AS DECIMAL(38,0)) * q) AS DOUBLE)
+                - CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE))
+               / (CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE)), 6) AS cv2
+  FROM sd
+)
+SELECT * FROM o
+UNION ALL
+SELECT * FROM s
+UNION ALL
+SELECT 'amplification', CAST(0 AS BIGINT), round(s.cv2 / o.cv2, 6) FROM o, s
+"""
+
+
+QUERIES.update({"q322_bullwhip_ratio": q322_bullwhip_ratio})
+ORACLE_SQL.update({"q322_bullwhip_ratio": Q322_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Engagement diversity bands (q323)
+# ---------------------------------------------------------------------------
+
+def q323_engagement_diversity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral segmentation by event-type DIVERSITY: each user's
+    effective number of event types (inverse Simpson n²/Σc²) banded
+    WITHOUT ever computing the ratio — band edges cross-multiply as
+    integer comparisons (effective ≥ k ⇔ k·Σc² ≤ n²), so a float
+    never decides a band (q238 reports the diversity NUMBER per
+    priority; this classifies users on the exact rational).  Bands:
+    mono (<1.5), low ([1.5,2.5)), multi (≥2.5)."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    user = per.groupBy("user_id").agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__ss"),
+    )
+    banded = user.select(
+        F.when(2 * F.col("__n") * F.col("__n") < 3 * F.col("__ss"), "mono")
+        .when(2 * F.col("__n") * F.col("__n") < 5 * F.col("__ss"), "low")
+        .otherwise("multi").alias("diversity_band"),
+    )
+    return banded.groupBy("diversity_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+Q323_SQL = """
+WITH per AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), u AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n, CAST(sum(c * c) AS BIGINT) AS ss
+  FROM per GROUP BY 1
+)
+SELECT CASE WHEN 2 * n * n < 3 * ss THEN 'mono'
+            WHEN 2 * n * n < 5 * ss THEN 'low'
+            ELSE 'multi' END AS diversity_band,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u GROUP BY 1
+"""
+
+
+QUERIES.update({"q323_engagement_diversity_bands": q323_engagement_diversity_bands})
+ORACLE_SQL.update({"q323_engagement_diversity_bands": Q323_SQL})

@@ -951,6 +951,9 @@ def test_round12_wave_plans(spark, sf_smoke):
         ("q319_littles_law_audit", 8),
         # two per-year prefix-sum passes + the full-join matrix
         ("q320_abc_migration", 12),
+        ("q321_header_detail_reconciliation", 4),
+        ("q322_bullwhip_ratio", 8),
+        ("q323_engagement_diversity_bands", 3),
     ):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
