@@ -391,3 +391,22 @@ def test_zorder_partition_by_clusters_within_each_partition(spark, tmp_path):
         write_zordered(df, str(tmp_path / "zz"), ["day", "x"], partition_by="day")
     with _pytest.raises(ValueError, match="2-3 columns"):
         write_zordered(df, str(tmp_path / "zz"), ["x"], partition_by="day")
+
+
+def test_zorder_partition_by_null_partition_value_survives(spark, tmp_path):
+    """A NULL partition value is a legal hive partition
+    (__HIVE_DEFAULT_PARTITION__): the per-partition bounds join is
+    null-safe, so those rows neither vanish nor crash the leveling."""
+    from nlu_data_warehouse_project_spark.operators.scale import write_zordered
+
+    rows = [("d1", i % 50, (i * 7) % 50, i) for i in range(400)]
+    rows += [(None, i % 50, (i * 7) % 50, 1000 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, "day string, x long, y long, id long")
+    zpath = str(tmp_path / "zn")
+    write_zordered(df, zpath, ["x", "y"], n_files=4, bits=4, partition_by="day")
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == 500
+    # hive writes NULL as the default-partition dir; reads restore NULL
+    assert back.filter(F.col("day").isNull()).count() == 100
+    assert back.filter(F.col("day") == "d1").count() == 400
