@@ -363,3 +363,37 @@ def test_plain_append_sweeps_crashed_finalize_marker(spark, tmp_path):
     )
     assert not _table_exists(spark, s1_table)
     assert _table_exists(spark, t2.manifest()["current_table"])
+
+
+def test_staged_append_sweep_is_safe_under_abort(spark, tmp_path):
+    """The crashed-finalize marker a STAGED append sweeps names a table
+    superseded when the PREVIOUS version committed — dead no matter how
+    the new transaction resolves.  So after the staged append's txn
+    ABORTS, the visible version still reads correctly and the swept
+    marker's table is gone (not resurrected, not missed)."""
+    root = str(tmp_path / "bk6")
+    t = TxTable(spark, root, bucket_cols=["id"], num_buckets=4)
+    t.commit_snapshot(spark.createDataFrame([(1,)], "id long"), "seed")
+    v1_table = t.manifest()["current_table"]
+    coord = TxnCoordinator(spark, str(tmp_path / "coord7"))
+    # crashed finalize: snapshot committed under a txn, drop deferred
+    txn1 = uuid.uuid4().hex
+    t.commit_snapshot(
+        spark.createDataFrame([(5,)], "id long"), "d2",
+        extra={"pending_txn": {"coordinator": coord.root, "txn_id": txn1}},
+    )
+    coord.commit(txn1)
+    assert t.manifest()["txn_stale_table"] == v1_table
+    v2_table = t.manifest()["current_table"]
+    # a STAGED append sweeps the marker at staging time...
+    txn2 = uuid.uuid4().hex
+    t.commit_append(
+        spark.createDataFrame([(6,)], "id long"), "d3",
+        extra={"pending_txn": {"coordinator": coord.root, "txn_id": txn2}},
+    )
+    assert not _table_exists(spark, v1_table)
+    # ...and an ABORT of that txn leaves the visible version intact
+    coord.abort(txn2)
+    assert t.manifest()["current_table"] == v2_table
+    assert _table_exists(spark, v2_table)
+    assert sorted(r["id"] for r in t.read().collect()) == [5]
