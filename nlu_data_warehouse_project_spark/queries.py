@@ -9838,7 +9838,20 @@ def q197_ewma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines round the same way at every step — bit-identical doubles
     with no tolerance in the surface.  The frame is the
     calendar-sized day series (the sanctioned whole-frame exception);
-    the fold is one higher-order `aggregate` per row over its prefix."""
+    the fold is one higher-order `aggregate` per row over its prefix.
+
+    QUADRATIC CEILING (stated per VERDICT r12 #7): the prefix-array
+    fold does O(days^2) element work on ONE partition — with D days,
+    collect_list materializes D prefixes totalling D*(D+1)/2 doubles
+    and the fold touches each once.  TPC-H's calendar is ~2,400 days
+    (~3M elements, milliseconds), and the bound grows with TIME, not
+    data volume, so this holds at 100 TB of orders over the same
+    years.  It breaks if the series key ever stops being
+    calendar-bounded (per-user series, minute grain over decades); the
+    linear-work alternative is the recursive form itself — one
+    sequential pass via `applyInPandas` per series key (state carried
+    across rows, O(D) total), at the cost of leaving whole-stage
+    codegen."""
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
@@ -15578,9 +15591,10 @@ def q282_kcore_purchase_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = lu.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("src"))
     b = lu.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "__o").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
-    )
+    # no .distinct() here: kcore_peel_rounds dedups its pinned edge
+    # frame itself (multiplicity-invariant since r13), so deduping in
+    # the caller would just shuffle the co-order edges twice
+    edges = a.join(b, "__o").filter(F.col("src") != F.col("dst")).select("src", "dst")
     core = kcore_peel_rounds(edges, k=15, rounds=3)
     return (
         core.groupBy(
@@ -16835,34 +16849,21 @@ ORACLE_SQL.update({"q298_month_end_open_orders": Q298_SQL})
 # ---------------------------------------------------------------------------
 
 def q299_slice_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-operations health check on the slice-committed
-    TxTable surface: orders land as one ``commit_replace_slice`` per
-    order YEAR, and the report reads each slice back (`read_slice` —
-    O(slice), the dir-level partition-pruning twin) to measure skew:
-    rows per slice, share, and the ratio to the mean slice — the
-    number an operator checks before picking a partition key.  The
-    oracle recomputes the same census from the raw table; matching
-    proves slice commits neither lose nor duplicate rows."""
-    import tempfile
-
-    from .sources.txlog import TxTable
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", F.year(F.col("o_orderdate").cast("date")).alias("__y")
-    )
-    years = [r["__y"] for r in orders.select("__y").distinct().collect()]
-    t = TxTable(spark, tempfile.mkdtemp(prefix="q299-"))
-    for y in sorted(years):
-        t.commit_replace_slice(
-            orders.filter(F.col("__y") == y), f"y{y}", f"load-{y}"
-        )
-    per = None
-    for y in sorted(years):
-        row = t.read_slice(f"y{y}").agg(
-            F.lit(int(y)).alias("year"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-        )
-        per = row if per is None else per.unionByName(row)
+    """Partition-skew census over the slice key (order YEAR): rows per
+    would-be slice, share, and the ratio to the mean slice — the
+    number an operator checks BEFORE committing per-year
+    ``commit_replace_slice`` partitions (is the key balanced enough to
+    slice on?).  ONE grouped pass over orders with a year-independent
+    plan shape — no driver-side year enumeration, no per-year union
+    branches, no collect (VERDICT r12 #4 rewrote the TxTable
+    round-trip form, which also leaked a /tmp orders copy per
+    invocation — ADVICE r12; the slice-commit/read_slice surface
+    itself stays pinned by `tests/test_txlog.py`).  The scalar totals
+    land via the one-row broadcast crossJoin pattern."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).alias("year")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     tot = per.agg(
         F.sum("n_rows").cast("long").alias("__tot"),
         F.count(F.lit(1)).cast("long").alias("__k"),
@@ -18631,3 +18632,158 @@ FROM u GROUP BY 1
 
 QUERIES.update({"q323_engagement_diversity_bands": q323_engagement_diversity_bands})
 ORACLE_SQL.update({"q323_engagement_diversity_bands": Q323_SQL})
+
+# ---------------------------------------------------------------------------
+# Run-to-tolerance PageRank with iteration audit (q324)
+# ---------------------------------------------------------------------------
+
+def q324_pagerank_tolerance_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank run to an integer L1-delta STOP (`graph.pagerank_fixpoint`,
+    VERDICT r12 #3) on the nation<->region membership graph — the
+    convergence LOGIC gate next to q200/q256's data-scaled fixed-round
+    runs.  The graph is sf-INVARIANT (TPC-H's 25 nations + 5 regions
+    are constants), so the exact-integer delta sequence — hence the
+    stopping round — is one deterministic number at every scale
+    factor: with tol = 450e9 mass units the iteration stops at ROUND 7
+    (delta 427,436,117,690 <= tol; round 6's 502,866,020,825 is not),
+    and the oracle unrolls exactly seven integer-arithmetic rounds.
+    ``rounds_run`` / ``converged`` come from the operator's iteration
+    audit and are gated as literal columns — the convergence DECISION
+    is part of the hash, not just the rank vector.  Region nodes are
+    offset by +100 into the shared key space."""
+    from .operators.graph import pagerank_fixpoint
+
+    nation = _t(spark, sf_dir, "nation")
+    half = nation.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey") + 100).cast("long").alias("dst"),
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    rank, audit = pagerank_fixpoint(
+        edges, tol_units=450_000_000_000, max_rounds=50
+    )
+    return rank.select(
+        "node",
+        "rank_units",
+        F.lit(audit["rounds_run"]).cast("long").alias("rounds_run"),
+        F.lit(bool(audit["converged"])).alias("converged"),
+    )
+
+
+def _pagerank_unrolled_sql(rounds: int) -> str:
+    """Integer-exact PageRank as ``rounds`` unrolled CTEs over the
+    nation<->region graph — the DuckDB twin of `pagerank_fixpoint`'s
+    loop body (same mass-unit DIV arithmetic, damping 85%)."""
+    parts = ["""
+WITH e AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS src,
+         CAST(n_regionkey + 100 AS BIGINT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(n_regionkey + 100 AS BIGINT),
+         CAST(n_nationkey AS BIGINT) FROM nation
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+), ed AS (
+  SELECT e.src, e.dst, d.deg FROM e JOIN deg d ON e.src = d.src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+), r0 AS (
+  SELECT node, CAST(1000000000000 // 30 AS BIGINT) AS rank_units FROM nodes
+)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""", r{k} AS (
+  SELECT n.node,
+         CAST(((100 - 85) * (1000000000000 // 30)) // 100
+              + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS rank_units
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank_units // e.deg) AS mass
+    FROM r{k - 1} r JOIN ed e ON r.node = e.src
+    GROUP BY 1
+  ) m ON n.node = m.node
+)""")
+    parts.append(f"""
+SELECT node, rank_units, CAST({rounds} AS BIGINT) AS rounds_run,
+       TRUE AS converged
+FROM r{rounds}""")
+    return "".join(parts)
+
+
+Q324_SQL = _pagerank_unrolled_sql(7)
+
+
+QUERIES.update({"q324_pagerank_tolerance_stop": q324_pagerank_tolerance_stop})
+ORACLE_SQL.update({"q324_pagerank_tolerance_stop": Q324_SQL})
+
+
+# ---------------------------------------------------------------------------
+# k-core run to fixpoint (q325)
+# ---------------------------------------------------------------------------
+
+def q325_kcore_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE 15-core of the URGENT co-order part graph — `graph.kcore_peel`
+    run to the FIXPOINT (VERDICT r12 #3), not a fixed round budget:
+    q282 reports the state after three peel rounds; this peels until
+    the edge count stops changing (5 rounds at sf0.001, 16 at sf0.01)
+    and reports the true stable core.  A fixpoint is hash-gateable
+    because extra peel rounds are no-ops once stable: the oracle
+    unrolls TWENTY rounds — strictly more than either fixture needs —
+    and must land on the identical core.  Output: post-peel degree
+    bands + survivor counts (the q282 summary shape), so the two
+    queries read side-by-side as 'after 3 rounds' vs 'at the core'."""
+    from .operators.graph import kcore_peel
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    lu = li.join(urgent, li.l_orderkey == urgent.o_orderkey).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = lu.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("src"))
+    b = lu.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "__o").filter(F.col("src") != F.col("dst")).select("src", "dst")
+    core, _audit = kcore_peel(edges, k=15)
+    return core.groupBy(
+        (F.floor(F.col("degree") / 10) * 10).cast("long").alias("degree_band")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+
+
+def _kcore_unrolled_sql(rounds: int, k: int) -> str:
+    """k-core peeling as ``rounds`` unrolled keep/edge CTE pairs over
+    the URGENT co-order graph — rounds beyond the fixpoint are no-ops,
+    so any unroll >= the fixture's convergence depth is exact."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    # reference, and e{r} references e{r-1} three times (directly and
+    # via k{r} twice) — 20 plain rounds would inline e0 ~3^20 times
+    # (observed as a "too many open files" parquet-scan explosion)
+    parts = [f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  JOIN orders o ON o.o_orderkey = a.l_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", k{r} AS MATERIALIZED (
+  SELECT src FROM e{r - 1} GROUP BY src HAVING count(*) >= {k}
+), e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  JOIN k{r} a ON e.src = a.src JOIN k{r} b ON e.dst = b.src
+)""")
+    parts.append(f""", core AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM e{rounds} GROUP BY 1
+)
+SELECT CAST(floor(degree / 10) * 10 AS BIGINT) AS degree_band,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM core GROUP BY 1""")
+    return "".join(parts)
+
+
+Q325_SQL = _kcore_unrolled_sql(20, 15)
+
+
+QUERIES.update({"q325_kcore_fixpoint": q325_kcore_fixpoint})
+ORACLE_SQL.update({"q325_kcore_fixpoint": Q325_SQL})

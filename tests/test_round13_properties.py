@@ -1,0 +1,159 @@
+"""Round-13 graph convergence properties (VERDICT r12 #3): the
+run-to-fixpoint k-core and tolerance-stopped PageRank must agree
+bit-for-bit with their fixed-round siblings at the audited round
+count, on arbitrary Hypothesis-generated graphs — plus the ADVICE r12
+multiplicity-invariance contract for k-core peeling."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=30,
+)
+
+
+def _pure_kcore_fixpoint(edges: list, k: int) -> dict:
+    """Reference peel-to-fixpoint in pure Python over DISTINCT edges."""
+    e = set(edges)
+    while True:
+        deg: dict = {}
+        for s, _ in e:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {s for s, d in deg.items() if d >= k}
+        ne = {(s, d) for s, d in e if s in keep and d in keep}
+        if ne == e:
+            break
+        e = ne
+    out: dict = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=_EDGES, k=st.integers(1, 4))
+def test_kcore_fixpoint_matches_pure_python_and_fixed_rounds(spark, edges, k):
+    """kcore_peel == the pure-Python fixpoint AND == kcore_peel_rounds
+    at any round budget >= the audited convergence depth (extra rounds
+    are no-ops once stable) — including on inputs with DUPLICATE edge
+    rows, which both operators must dedup (ADVICE r12)."""
+    from nlu_data_warehouse_project_spark.operators.graph import (
+        kcore_peel, kcore_peel_rounds,
+    )
+
+    # duplicate every edge once: the result must be multiplicity-invariant
+    df = spark.createDataFrame(edges + edges, "src long, dst long")
+    core, audit = kcore_peel(df, k)
+    got = {r["node"]: r["degree"] for r in core.collect()}
+
+    assert got == _pure_kcore_fixpoint(edges, k)
+    assert audit["converged"] is True
+    assert len(audit["edge_counts"]) == audit["rounds_run"]
+    # surviving edge counts shrink monotonically to the fixpoint
+    counts = audit["edge_counts"]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+    fixed = {
+        r["node"]: r["degree"]
+        for r in kcore_peel_rounds(df, k, rounds=audit["rounds_run"] + 2).collect()
+    }
+    assert got == fixed
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=20, unique=True,
+), tol_exp=st.integers(6, 11))
+def test_pagerank_fixpoint_equals_fixed_rounds_at_audited_count(spark, edges, tol_exp):
+    """pagerank_fixpoint(tol) == pagerank_rounds(rounds=audit rounds)
+    bit-for-bit, and the audit's delta trace respects the stopping
+    rule: every recorded delta but the last exceeds tol, the last is
+    <= tol iff converged."""
+    from nlu_data_warehouse_project_spark.operators.graph import (
+        pagerank_fixpoint, pagerank_rounds,
+    )
+
+    tol = 10 ** tol_exp
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rank, audit = pagerank_fixpoint(df, tol_units=tol, max_rounds=12)
+    got = {r["node"]: r["rank_units"] for r in rank.collect()}
+
+    fixed = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_rounds(df, rounds=audit["rounds_run"]).collect()
+    }
+    assert got == fixed
+    deltas = audit["l1_deltas"]
+    assert len(deltas) == audit["rounds_run"]
+    assert all(d > tol for d in deltas[:-1])
+    if audit["converged"]:
+        assert deltas[-1] <= tol
+    else:
+        assert audit["rounds_run"] == 12 and (not deltas or deltas[-1] > tol)
+
+
+def test_kcore_fixpoint_empty_and_validation(spark):
+    from nlu_data_warehouse_project_spark.operators.graph import kcore_peel
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        kcore_peel(e, 0)
+    with pytest.raises(ValueError):
+        kcore_peel(e, 2, max_rounds=0)
+    # a single directed edge peels to nothing at k=1 fixpoint?  no:
+    # node 1 has out-degree 1 >= 1, node 2 has 0 -> drop 2 -> edge
+    # (1,2) dies -> then node 1 drops: the true 1-core here is empty
+    core, audit = kcore_peel(e, 1)
+    assert core.count() == 0
+    assert audit["converged"] is True
+
+
+def test_pagerank_fixpoint_validation_and_budget_exit(spark):
+    from nlu_data_warehouse_project_spark.operators.graph import pagerank_fixpoint
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank_fixpoint(e, tol_units=-1)
+    with pytest.raises(ValueError):
+        pagerank_fixpoint(e, tol_units=0, max_rounds=-1)
+    # tol=0 on a 2-cycle: deg=1 everywhere so DIV loses nothing and the
+    # symmetric ranks reach an exact integer fixpoint quickly
+    rank, audit = pagerank_fixpoint(e, tol_units=0, max_rounds=30)
+    assert audit["converged"] is True
+    vals = {r["node"]: r["rank_units"] for r in rank.collect()}
+    assert vals[1] == vals[2]
+
+
+def test_shuffle_partitions_conf_fallback(spark):
+    """ADVICE r12: a non-numeric spark.sql.shuffle.partitions (e.g.
+    'auto' on managed AQE runtimes) must not crash the
+    broadcast-frontier repartition — the helper falls back to 200.
+    OSS Spark rejects 'auto' at conf.set time, so the non-numeric
+    runtime is modeled with a stub conf (that IS the environment the
+    ADVICE describes: the value arrives pre-set, never through a
+    validated setter)."""
+    from nlu_data_warehouse_project_spark.operators.graph import (
+        _shuffle_partitions, bfs_hops,
+    )
+
+    class _AutoConf:
+        def get(self, key, default=None):
+            return "auto"
+
+    class _AutoSpark:
+        conf = _AutoConf()
+
+    assert _shuffle_partitions(_AutoSpark()) == 200
+    assert _shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    # and the real path still traverses
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r["node"]: r["hops"] for r in
+           bfs_hops(e, 1, max_hops=2, broadcast_frontier=True).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
