@@ -3,9 +3,11 @@
 Images / audio / video ride as opaque ``binary`` columns with a typed
 metadata struct.  The Spark-side machinery — schema, partition-aware
 batch iteration, Arrow transfer shape, UDF signatures — is real and
-tested; the actual codec calls are stubbed behind
-``NotImplementedError`` (image/audio libraries are not in this
-container) or a deterministic fake, clearly marked.
+tested.  PNG (this module) and baseline JPEG (``operators.jpeg``)
+decode for real in pure stdlib/numpy; the remaining codec calls
+(progressive JPEG, audio, video) are stubbed behind
+``NotImplementedError`` (their libraries are not in this container)
+or a deterministic fake, clearly marked.
 
 Design rules for 100 TB:
 - decode/transform runs in ``mapInPandas`` (Arrow batches, one Python
@@ -497,13 +499,20 @@ def encode_png(
 
 
 def decode_image(payload: bytes) -> dict:
-    """Decode an image payload: PNG decodes for real via the stdlib
-    path above; other formats still fail fast (their codecs are not in
-    this container)."""
-    if isinstance(payload, (bytes, bytearray)) and payload[:8] == _PNG_SIG:
-        return decode_png(payload)
+    """Decode an image payload: PNG decodes via the stdlib path above,
+    baseline JPEG via ``operators.jpeg`` (VERDICT r12 #6 — pure
+    Python+numpy, no codec library); progressive/arithmetic JPEG and
+    every other format still fail fast."""
+    if isinstance(payload, (bytes, bytearray)):
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG decodes without a codec library; this payload is not PNG"
+        "only PNG and baseline JPEG decode without a codec library; "
+        "this payload is neither"
     )
 
 
@@ -515,12 +524,13 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [int.from_bytes(digest[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(dim)]
 
 
-def _png_feature(payload: bytes, dim: int = 8) -> list[float]:
-    """Real pixel-statistics feature for a PNG payload (VERDICT r8 #3,
-    replacing the fake-extractor path for this format): [width, height,
-    channels, mean over all samples, per-channel means c0..c3 (absent
-    channels 0.0)].  Integer sums → one division each, deterministic."""
-    img = decode_image(payload)  # NotImplementedError (fail fast) on non-PNG
+def _pixel_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Real pixel-statistics feature for a PNG or baseline-JPEG payload
+    (VERDICT r8 #3 / r12 #6, replacing the fake-extractor path for
+    these formats): [width, height, channels, mean over all samples,
+    per-channel means c0..c3 (absent channels 0.0)].  Integer sums →
+    one division each, deterministic."""
+    img = decode_image(payload)  # fail fast on undecodable formats
     px, ch = img["pixels"], img["channels"]
     n = len(px)
     chan_sums = [0] * 4
@@ -543,15 +553,15 @@ def extract_features(df: DataFrame, use_fake_extractor: bool = True) -> DataFram
     The payload column is dropped immediately after featurization, so
     only (id, hash, n_bytes, feature) ever reaches a shuffle.  With
     ``use_fake_extractor=False`` the features are REAL pixel statistics
-    for PNG payloads (``_png_feature`` over the stdlib decoder); a
-    non-PNG payload in real mode still fails fast — its codec is not
-    in this container."""
+    for PNG and baseline-JPEG payloads (``_pixel_feature`` over the
+    stdlib/numpy decoders); any other format in real mode still fails
+    fast — its codec is not in this container."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def feat(p):
             if p is None:
                 return None
-            return _fake_feature(p) if use_fake_extractor else _png_feature(bytes(p))
+            return _fake_feature(p) if use_fake_extractor else _pixel_feature(bytes(p))
 
         for pdf in it:
             payloads = pdf["payload"]

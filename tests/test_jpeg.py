@@ -1,0 +1,127 @@
+"""Baseline JPEG codec (VERDICT r12 #6): encode_jpeg fixtures round-
+trip through decode_jpeg with bounded DCT error, the header parser
+agrees with the decoder, subsampled/restart-interval streams decode,
+and the unsupported variants keep their honest fail-fasts.
+
+No image library exists in this container (that is WHY the codec is
+hand-rolled), so the spec-compliance evidence is: (a) lossless
+round-trip at flat quant=1 on sub-range gradients, (b) the marker
+stream is parsed by `parse_image_header`, an independent older code
+path, and (c) structural checks on the emitted segments."""
+
+from __future__ import annotations
+
+import pytest
+
+from nlu_data_warehouse_project_spark.operators.jpeg import (
+    _ZIGZAG, decode_jpeg, encode_jpeg,
+)
+from nlu_data_warehouse_project_spark.operators.multimodal import (
+    decode_image, parse_image_header,
+)
+
+
+def _gray(w: int, h: int) -> bytes:
+    return bytes(((x * 7 + y * 11) % 256) for y in range(h) for x in range(w))
+
+
+def _rgb(w: int, h: int) -> bytes:
+    return bytes(
+        v for y in range(h) for x in range(w)
+        for v in ((x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256)
+    )
+
+
+def test_zigzag_is_the_spec_walk():
+    # spot anchors of the canonical table + permutation property
+    assert _ZIGZAG[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert _ZIGZAG[-4:] == [47, 55, 62, 63]
+    assert sorted(_ZIGZAG) == list(range(64))
+
+
+def test_gray_roundtrip_exact_at_flat_quant():
+    """Gradient within one DCT block's dynamic range, quant=1: the
+    only loss is FDCT/IDCT float rounding, which round() absorbs."""
+    w, h = 16, 13  # non-multiple-of-8 exercises edge padding + crop
+    px = _gray(w, h)
+    img = decode_jpeg(encode_jpeg(w, h, 1, px))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 1)
+    assert img["format"] == "jpeg"
+    assert max(abs(a - b) for a, b in zip(px, img["pixels"])) == 0
+
+
+def test_rgb_roundtrip_within_color_rounding():
+    w, h = 24, 17
+    px = _rgb(w, h)
+    img = decode_jpeg(encode_jpeg(w, h, 3, px))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    # YCbCr forward+inverse rounding costs at most ~2 counts
+    assert max(abs(a - b) for a, b in zip(px, img["pixels"])) <= 2
+
+
+def test_420_subsampling_roundtrip_flat_chroma():
+    """Gray-valued RGB has constant (128) chroma, so 2x2 box
+    subsampling is lossless and the upsampling path is isolated."""
+    w, h = 24, 17
+    px = bytes(v for y in range(h) for x in range(w)
+               for v in (((x * 9 + y * 4) % 256,) * 3))
+    img = decode_jpeg(encode_jpeg(w, h, 3, px, subsample_420=True))
+    assert max(abs(a - b) for a, b in zip(px, img["pixels"])) <= 2
+
+
+def test_restart_intervals_reset_dc_predictors():
+    w, h = 24, 17
+    px = _rgb(w, h)
+    payload = encode_jpeg(w, h, 3, px, restart_interval=2)
+    assert b"\xff\xd0" in payload or b"\xff\xd1" in payload  # RSTn emitted
+    img = decode_jpeg(payload)
+    assert max(abs(a - b) for a, b in zip(px, img["pixels"])) <= 2
+
+
+def test_coarse_quant_decodes_and_loses_bounded():
+    w, h = 16, 16
+    px = _gray(w, h)
+    img = decode_jpeg(encode_jpeg(w, h, 1, px, quant=16))
+    # quantizer step 16 bounds per-coefficient error by 8; the spatial
+    # error stays well under the step on smooth content
+    assert max(abs(a - b) for a, b in zip(px, img["pixels"])) <= 16
+
+
+def test_header_parser_agrees_with_decoder():
+    payload = encode_jpeg(40, 25, 3, _rgb(40, 25))
+    assert parse_image_header(payload) == ("jpeg", 40, 25)
+    assert decode_image(payload)["width"] == 40  # dispatch via signature
+
+
+def test_progressive_and_malformed_fail_fast():
+    payload = bytearray(encode_jpeg(16, 13, 1, _gray(16, 13)))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive|SOF2"):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    # truncated scan: entropy data runs out mid-block
+    good = encode_jpeg(16, 13, 1, _gray(16, 13))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) - (len(good) - good.index(b"\xff\xda")) // 2])
+
+
+def test_feature_path_consumes_jpeg(spark):
+    """extract_features(use_fake_extractor=False) — the Arrow-batched
+    mapInPandas real-pixel path — now featurizes JPEG payloads."""
+    from nlu_data_warehouse_project_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_features,
+    )
+
+    w, h = 16, 8
+    solid = bytes([100, 150, 200] * (w * h))
+    payload = encode_jpeg(w, h, 3, solid)
+    df = spark.createDataFrame([(1, payload, None)], MEDIA_SCHEMA)
+    feat = extract_features(df, use_fake_extractor=False).collect()[0]["feature"]
+    assert feat[0] == float(w) and feat[1] == float(h) and feat[2] == 3.0
+    # per-channel means within codec rounding of the solid color
+    assert abs(feat[4] - 100.0) <= 2 and abs(feat[5] - 150.0) <= 2
+    assert abs(feat[6] - 200.0) <= 2

@@ -248,9 +248,15 @@ def test_attach_meta_sniffs_dimensions(spark):
     assert metas[4]["n_bytes"] == 0 and metas[4]["width"] is None
 
 
-def test_multimodal_decode_non_png_still_fails_fast():
-    with pytest.raises(NotImplementedError):
+def test_multimodal_decode_undecodable_still_fails_fast():
+    # a JPEG SOI with garbage after it is a MALFORMED jpeg now that
+    # baseline JPEG decodes for real (r13): ValueError, not the
+    # missing-codec NotImplementedError
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # formats with no decoder at all keep the honest fail-fast
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a not decodable here")
 
 
 def test_multimodal_features_feed_similarity_search(spark):

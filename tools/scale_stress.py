@@ -1,0 +1,240 @@
+"""Scale-stress harness (VERDICT r12 #1): measure how the heavy
+headline queries actually scale, instead of arguing it from plans.
+
+Inflates sf0.1 by key-space remapping — K disjoint copies of each
+fact table with keys offset by ``copy * 10_000_000`` (the q290
+``doc_id + 1000000`` trick, applied table-wide) — into a throwaway
+gitignored dir, then times the HEAVY_HEADLINE set plus the two
+corpus-shaped headliners (q16 MinHash LSH, q45 IVF top-k) at 1x and
+each inflated factor, and fits the per-query scaling exponent
+``alpha = ln(t_K / t_1) / ln(K)`` (1.0 = linear, <1 = fixed job
+overhead amortizing, >1 = super-linear — the thing the harness
+exists to catch).
+
+Why remapping preserves the WORKLOAD SHAPE and not just the byte
+count:
+
+- orders / lineitem / customer / part / supplier: every key column is
+  offset per copy, so joins stay key-correct and group-by cardinality
+  (customers, parts, orders) inflates Kx — q182's RFM frame, q242's
+  part census, and q200/q180's co-order graph all grow Kx in keys,
+  not just in rows per key.
+- documents: doc_id offsets AND every token gets a per-copy suffix.
+  Verbatim copies would put each doc's K twins in the same LSH bucket
+  and mint O(K^2) candidate pairs PER DOC — a data-construction
+  quadratic that would smear the plan measurement.  Salting every
+  token keeps each copy's internal near-dup structure byte-identical
+  to the base corpus while making cross-copy shingles disjoint, so
+  q16's candidate volume scales exactly Kx.
+- embeddings: vec_id offsets only; q45's query set pins vec_id < 5 so
+  the probe count stays fixed while the probed corpus grows Kx (the
+  "same dashboard, 10x the data" read pattern).
+- region / nation / events: symlinked unchanged (dimension tables are
+  sf-invariant; events is outside the stress set).
+
+Usage:
+    python tools/scale_stress.py                 # copies 3 and 10, 3 runs
+    python tools/scale_stress.py --copies 10 --runs 2
+    python tools/scale_stress.py --queries q200_coorder_pagerank
+
+Prints one JSON line and (unless --no-md) rewrites SCALING.md.
+Inflated dirs are cached under .scale_stress/ (gitignored) keyed by a
+marker recording base dir + copies; delete the dir to force rebuild.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nlu_data_warehouse_project_spark.queries import QUERIES  # noqa: E402
+from nlu_data_warehouse_project_spark.session import get_spark  # noqa: E402
+
+STRIDE = 10_000_000
+# key columns offset by copy * STRIDE; fk pairs share the stride so
+# every join in the stress set stays key-correct across copies
+REMAP = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SYMLINK = ["region", "nation", "events"]
+
+STRESS_QUERIES = [
+    "q180_coorder_blast_radius",
+    "q182_rfm_segmentation",
+    "q200_coorder_pagerank",
+    "q227_spearman_qty_price",
+    "q242_abc_xyz_matrix",
+    "q16_minhash_neardup",
+    "q45_ivf_topk",
+]
+
+
+def build_inflated(spark, base: str, out: str, copies: int) -> str:
+    """Materialize ``copies`` disjoint key-remapped copies of the base
+    tables under ``out`` (idempotent via a marker file)."""
+    marker = os.path.join(out, "_SCALE_STRESS.json")
+    want = {"base": os.path.abspath(base), "copies": copies, "stride": STRIDE}
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            if json.load(f) == want:
+                return out
+    os.makedirs(out, exist_ok=True)
+    for name, keys in REMAP.items():
+        df = spark.read.parquet(f"{base}/{name}.parquet")
+        parts = []
+        for i in range(copies):
+            c = df
+            if i > 0:
+                for k in keys:
+                    c = c.withColumn(k, F.col(k) + F.lit(i * STRIDE))
+                if name == "documents":
+                    # per-copy token salt: keeps within-copy shingles
+                    # identical to the base corpus, makes cross-copy
+                    # shingles disjoint (see module docstring)
+                    c = c.withColumn(
+                        "text",
+                        F.expr(
+                            f"array_join(transform(split(text, ' '), "
+                            f"w -> concat(w, '~{i}')), ' ')"
+                        ),
+                    )
+            parts.append(c)
+        import functools
+
+        out_df = functools.reduce(lambda a, b: a.unionByName(b), parts)
+        out_df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    for name in SYMLINK:
+        dst = f"{out}/{name}.parquet"
+        if not os.path.lexists(dst):
+            os.symlink(os.path.abspath(f"{base}/{name}.parquet"), dst)
+    with open(marker, "w", encoding="utf-8") as f:
+        json.dump(want, f)
+    return out
+
+
+def time_query(spark, name: str, sf_dir: str, n_runs: int) -> float:
+    """bench.py's protocol: one untimed codegen warm-up, then the
+    median of ``n_runs`` noop-sink materializations."""
+    times = []
+    for i in range(n_runs + 1):
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        if i > 0:
+            times.append(time.time() - t0)
+        spark.catalog.clearCache()
+    return round(statistics.median(times), 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--copies", default="3,10",
+                    help="comma-separated inflation factors (1x always runs)")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_stress"))
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--queries", default=",".join(STRESS_QUERIES))
+    ap.add_argument("--no-md", action="store_true", help="skip rewriting SCALING.md")
+    args = ap.parse_args()
+    copies = sorted({int(c) for c in args.copies.split(",") if int(c) > 1})
+    names = [q for q in args.queries.split(",") if q]
+
+    spark = get_spark("scale-stress")
+    dirs = {1: args.base}
+    for k in copies:
+        d = os.path.join(args.out, f"x{k}")
+        print(f"# building {k}x inflated dir at {d} ...", file=sys.stderr)
+        dirs[k] = build_inflated(spark, args.base, d, k)
+
+    results: dict[str, dict] = {}
+    for name in names:
+        row: dict = {}
+        for k in sorted(dirs):
+            t = time_query(spark, name, dirs[k], args.runs)
+            row[f"sec@{k}x"] = t
+            print(f"# {name} @{k}x: {t}s", file=sys.stderr)
+        t1 = row["sec@1x"]
+        for k in copies:
+            tk = row[f"sec@{k}x"]
+            row[f"ratio@{k}x"] = round(tk / t1, 2)
+            row[f"alpha@{k}x"] = round(math.log(tk / t1) / math.log(k), 2)
+        results[name] = row
+
+    report = {
+        "metric": "scale_stress",
+        "base": args.base,
+        "copies": [1] + copies,
+        "runs_per_query": args.runs,
+        "queries": results,
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
+    }
+    print(json.dumps(report))
+    if not args.no_md:
+        write_scaling_md(report)
+    spark.stop()
+
+
+def write_scaling_md(report: dict) -> None:
+    copies = [k for k in report["copies"] if k != 1]
+    kmax = max(copies)
+    lines = [
+        "# SCALING — measured scale-stress curve",
+        "",
+        f"Harness: `tools/scale_stress.py` (runs={report['runs_per_query']}, "
+        f"median after 1 warm-up, noop sink; base={report['base']}, "
+        f"load_avg at finish {report['load_avg']}).",
+        "",
+        "Data inflated by key-space remapping into disjoint per-copy key",
+        "ranges (stride 10M); documents token-salted per copy so LSH",
+        "candidate volume scales Kx instead of K^2 (see the harness",
+        "docstring).  `alpha` is the fitted exponent ln(t_K/t_1)/ln(K):",
+        "1.0 = linear in data volume, <1 = the ~0.6s/job fixed cost and",
+        "constant-size stages (dictionaries, dimension joins, probe",
+        "sets) amortizing, >1 = super-linear (a plan that would NOT",
+        "survive 100x — none may ship in that state).",
+        "",
+        "Read the RATIOS, not the 1x column: all three scales of one",
+        "query run back-to-back in one session, so each row's ratios are",
+        "internally fair, but absolute seconds are NOT comparable to",
+        "BENCH_r{N}.json (different session, and the harness itself",
+        "loads the machine while it runs).",
+        "",
+        "| query | " + " | ".join(f"sec@{k}x" for k in report["copies"])
+        + " | " + " | ".join(f"alpha@{k}x" for k in copies) + " |",
+        "|---|" + "---|" * (len(report["copies"]) + len(copies)),
+    ]
+    for name, row in report["queries"].items():
+        cells = [f"{row[f'sec@{k}x']}" for k in report["copies"]]
+        cells += [f"{row[f'alpha@{k}x']}" for k in copies]
+        lines.append(f"| {name} | " + " | ".join(cells) + " |")
+    worst = max(report["queries"].items(), key=lambda kv: kv[1][f"alpha@{kmax}x"])
+    lines += [
+        "",
+        f"Worst exponent at {kmax}x: `{worst[0]}` "
+        f"(alpha={worst[1][f'alpha@{kmax}x']}).",
+        "",
+    ]
+    md = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "SCALING.md")
+    with open(md, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    print(f"# wrote {md}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
