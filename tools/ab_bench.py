@@ -27,6 +27,20 @@ fix required.  (Full-suite bench totals are additionally inflated by
 late-suite JVM/GC pressure — the same queries run ~20% faster in a
 5-query session than at the tail of a 53-query one, which is why this
 harness compares small like-for-like sessions.)
+
+Round-13 finding (2026-08-15), VERDICT r12 #2 (q18 +21% / q21 +20%
+in BENCH_r11->r12): 3 interleaved pairs, HEAD vs r11 final
+(dd5995f), min-of-3 per query, idle machine (1-min load 0.5):
+
+    q01(control) 1.005/1.014   q18 0.662/0.705   q21 0.440/0.446
+
+q18 is 6% FASTER at HEAD than at r11, q21 within 1.5%, control
+within 1% — the r12 drift was machine variance (the same verdict as
+the r11 cluster; both queries sit late in the 57-query bench
+session where JVM pressure inflates small queries the most).  No
+code fix required.  The query list is overridable per run via
+SPARK_GRAFT_AB_QUERIES so this file never has to change inside the
+checkouts being compared.
 """
 
 from __future__ import annotations
@@ -37,12 +51,16 @@ import statistics
 import sys
 import time
 
+# default set = the r11 drift cluster; override per run with
+# SPARK_GRAFT_AB_QUERIES=q18_cosine_topk,q21_sessionize (r12's watch
+# items need a different list, and editing the file would change the
+# checkout under test)
 QUERIES_UNDER_TEST = [
-    "q01_pricing_summary",
-    "q05_date_surrogate",
-    "q07_dedup_keep_first",
-    "q08_scd2_merge",
-    "q10_mart_revenue",
+    q for q in os.environ.get(
+        "SPARK_GRAFT_AB_QUERIES",
+        "q01_pricing_summary,q05_date_surrogate,q07_dedup_keep_first,"
+        "q08_scd2_merge,q10_mart_revenue",
+    ).split(",") if q
 ]
 
 
