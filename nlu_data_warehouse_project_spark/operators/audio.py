@@ -1,0 +1,229 @@
+"""Pure-stdlib+numpy WAV (RIFF/PCM) audio codec and feature path.
+
+Audio was the second honestly-stubbed modality (after JPEG, closed in
+r13 too): WAV needs NO codec library — PCM samples sit in plain
+little-endian integer/float frames behind a RIFF chunk walk, exactly
+like PNG pixels behind zlib.  This module decodes PCM 8/16/24/32-bit
+integer and IEEE float32/float64 WAV (including WAVE_FORMAT_EXTENSIBLE
+wrappers), provides the fixture/export encoder twin, and exposes the
+Arrow-batched ``extract_audio_features`` mapInPandas path over
+``multimodal.MEDIA_SCHEMA`` rows.  Compressed formats (ADPCM, MP3,
+mu-law) keep the honest ``NotImplementedError`` fail-fast.
+
+Scale shape (the multimodal design rules): payloads never shuffle —
+decode + featurize per Arrow batch inside the partition, project the
+narrow numeric features, shuffle those.  Sample conversion is numpy
+(one ``frombuffer`` + scale per payload), never a Python per-sample
+loop."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401 (call-site convenience)
+from pyspark.sql import types as T
+
+_PCM, _FLOAT, _EXTENSIBLE = 1, 3, 0xFFFE
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a RIFF/WAVE payload to float64 samples in [-1, 1].
+
+    Returns ``{format, sample_rate, channels, n_frames, samples}``
+    with ``samples`` a numpy array of shape (n_frames, channels).
+    Integer PCM normalizes by 2^(bits-1) (8-bit WAV is unsigned per
+    the spec: offset by -128 first); float payloads pass through.
+    """
+    if not isinstance(payload, (bytes, bytearray)) or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        (csize,) = struct.unpack("<I", payload[i + 4:i + 8])
+        body = payload[i + 8:i + 8 + csize]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt/data chunk")
+    code, channels, rate, _brate, _align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if code == _EXTENSIBLE:
+        if len(fmt) < 26:
+            raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk truncated")
+        # the real format code is the first two GUID bytes (little-endian)
+        (code,) = struct.unpack("<H", fmt[24:26])
+    if code not in (_PCM, _FLOAT):
+        raise NotImplementedError(
+            f"WAV format code {code}: only PCM and IEEE-float decode "
+            "without a codec library (ADPCM/mu-law/MP3 fail fast)"
+        )
+    if channels < 1:
+        raise ValueError("WAV with zero channels")
+    frame = channels * (bits // 8)
+    if frame == 0 or len(data) % frame:
+        raise ValueError(f"WAV data size {len(data)} not a multiple of frame {frame}")
+    if code == _FLOAT:
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"float WAV with {bits} bits")
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        # little-endian 24-bit -> int32 with sign extension via the
+        # high-byte trick: place the 3 bytes in the TOP of an int32
+        as32 = (
+            raw[:, 0].astype(np.uint32) << 8
+            | raw[:, 1].astype(np.uint32) << 16
+            | raw[:, 2].astype(np.uint32) << 24
+        ).astype(np.int32)
+        x = as32.astype(np.float64) / (2.0 ** 31)
+    elif bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64) / (2.0 ** 31)
+    else:
+        raise NotImplementedError(f"PCM WAV with {bits} bits")
+    samples = x.reshape(-1, channels)
+    return {
+        "format": "wav",
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "n_frames": samples.shape[0],
+        "samples": samples,
+    }
+
+
+def encode_wav(
+    sample_rate: int,
+    samples,
+    bits: int = 16,
+    float_format: bool = False,
+) -> bytes:
+    """Minimal WAV encoder — ``encode_png``/``encode_jpeg``'s audio
+    sibling.  ``samples``: array-like of shape (n,) or (n, channels)
+    with values in [-1, 1].  Integer widths 8/16/24/32 quantize by
+    round(x * 2^(bits-1)) clamped to range; ``float_format=True``
+    writes IEEE float32 (bits ignored)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    channels = x.shape[1]
+    if float_format:
+        bits = 32
+        body = x.astype("<f4").tobytes()
+        code = _FLOAT
+    elif bits in (8, 16, 24, 32):
+        full = 2 ** (bits - 1)
+        q = np.clip(np.round(x * full), -full, full - 1).astype(np.int64)
+        if bits == 8:
+            body = (q + 128).astype(np.uint8).tobytes()
+        elif bits == 16:
+            body = q.astype("<i2").tobytes()
+        elif bits == 24:
+            q32 = q.astype("<i4").tobytes()
+            body = b"".join(q32[j:j + 3] for j in range(0, len(q32), 4))
+        else:
+            body = q.astype("<i4").tobytes()
+        code = _PCM
+    else:
+        raise ValueError(f"encode_wav writes 8/16/24/32-bit PCM or float32, got {bits}")
+    frame = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", code, channels, sample_rate, sample_rate * frame, frame, bits
+    )
+    pad = b"\x00" if len(body) & 1 else b""
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body + pad
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _audio_feature(payload: bytes) -> list[float]:
+    """Deterministic signal statistics for one WAV payload:
+    [duration_s, sample_rate, channels, rms, peak, zero_crossing_rate]
+    — the audio twin of ``multimodal._pixel_feature`` (mean-level
+    stats, one pass, numpy)."""
+    wav = decode_wav(payload)
+    x = wav["samples"]
+    n = x.size
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    peak = float(np.max(np.abs(x))) if n else 0.0
+    if wav["n_frames"] > 1:
+        zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    else:
+        zc = 0.0
+    return [
+        wav["n_frames"] / wav["sample_rate"] if wav["sample_rate"] else 0.0,
+        float(wav["sample_rate"]),
+        float(wav["channels"]),
+        rms,
+        peak,
+        zc,
+    ]
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("sample_rate", T.DoubleType(), True),
+        T.StructField("channels", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("zero_crossing_rate", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched mapInPandas audio featurization over
+    ``multimodal.MEDIA_SCHEMA`` rows — payloads decode inside the
+    partition and only the narrow numeric features ever shuffle (the
+    multimodal design rule).  Undecodable payloads fail the task fast
+    (same policy as the image path: dirty CLASSIFICATION belongs in
+    ``attach_meta``; a decode stage asked to decode garbage should
+    scream, not fabricate)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _audio_feature(bytes(p)) if p is not None else [None] * 6
+                for p in pdf["payload"]
+            ]
+            cols = list(zip(*feats)) if feats else [[]] * 6
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sha256": [
+                        hashlib.sha256(bytes(p)).hexdigest() if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "duration_s": cols[0],
+                    "sample_rate": cols[1],
+                    "channels": cols[2],
+                    "rms": cols[3],
+                    "peak": cols[4],
+                    "zero_crossing_rate": cols[5],
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)

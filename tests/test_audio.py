@@ -1,0 +1,94 @@
+"""WAV codec + audio feature path: encode/decode round-trips at every
+PCM width and float32, header-parser agreement, fail-fasts for
+compressed formats, and the Arrow-batched feature extraction."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from nlu_data_warehouse_project_spark.operators.audio import (
+    _audio_feature, decode_wav, encode_wav, extract_audio_features,
+)
+from nlu_data_warehouse_project_spark.operators.multimodal import parse_av_header
+
+
+def _sine(n: int = 480, rate: int = 8000, freq: float = 440.0, amp: float = 0.5):
+    return np.array([amp * math.sin(2 * math.pi * freq * i / rate) for i in range(n)])
+
+
+@pytest.mark.parametrize("bits,tol", [(8, 1 / 120), (16, 1 / 3e4), (24, 1 / 7e6), (32, 1e-9)])
+def test_pcm_roundtrip_all_widths(bits, tol):
+    x = _sine()
+    wav = decode_wav(encode_wav(8000, x, bits=bits))
+    assert (wav["sample_rate"], wav["channels"], wav["n_frames"]) == (8000, 1, 480)
+    assert wav["format"] == "wav"
+    assert float(np.max(np.abs(wav["samples"][:, 0] - x))) < tol
+
+
+def test_float32_and_stereo_roundtrip():
+    left, right = _sine(), _sine(freq=880.0, amp=0.25)
+    x = np.stack([left, right], axis=1)
+    wav = decode_wav(encode_wav(44100, x, float_format=True))
+    assert wav["channels"] == 2 and wav["sample_rate"] == 44100
+    assert float(np.max(np.abs(wav["samples"] - x))) < 1e-6
+
+
+def test_header_parser_agrees_on_duration():
+    payload = encode_wav(8000, _sine(n=4000), bits=16)  # 0.5 s
+    assert parse_av_header(payload) == ("wav", 500)
+
+
+def test_extensible_wrapper_decodes_and_compressed_fails_fast():
+    payload = bytearray(encode_wav(8000, _sine(), bits=16))
+    fmt_at = payload.index(b"fmt ")
+    # rewrap as WAVE_FORMAT_EXTENSIBLE: grow the fmt chunk to 40 bytes
+    # (cbSize=22, valid bits, mask, GUID starting with the real code)
+    old_fmt = bytes(payload[fmt_at + 8:fmt_at + 24])
+    ext = old_fmt[:0] + struct.pack("<H", 0xFFFE) + old_fmt[2:]
+    ext += struct.pack("<HHI", 22, 16, 4) + struct.pack("<H", 1) + b"\x00" * 14
+    rebuilt = (
+        bytes(payload[:fmt_at]) + b"fmt " + struct.pack("<I", len(ext)) + ext
+        + bytes(payload[fmt_at + 24:])
+    )
+    rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    wav = decode_wav(rebuilt)
+    assert wav["n_frames"] == 480
+    # ADPCM (format 2): honest fail-fast
+    bad = bytearray(encode_wav(8000, _sine(), bits=16))
+    bad[fmt_at + 8:fmt_at + 10] = struct.pack("<H", 2)
+    with pytest.raises(NotImplementedError, match="ADPCM|format code"):
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
+    with pytest.raises(ValueError):
+        decode_wav(b"ID3 an mp3, not a wav")
+
+
+def test_audio_feature_values():
+    # full-scale 50%-amplitude sine: rms = amp/sqrt(2), zcr ~ 2f/rate
+    feats = _audio_feature(encode_wav(8000, _sine(n=8000), bits=16))
+    dur, rate, ch, rms, peak, zcr = feats
+    assert (dur, rate, ch) == (1.0, 8000.0, 1.0)
+    assert abs(rms - 0.5 / math.sqrt(2)) < 0.01
+    assert abs(peak - 0.5) < 0.01
+    assert abs(zcr - 2 * 440 / 8000) < 0.01
+
+
+def test_extract_audio_features_mapinpandas(spark):
+    from nlu_data_warehouse_project_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (1, encode_wav(8000, _sine(n=8000), bits=16), None),
+        (2, encode_wav(16000, _sine(n=4000, amp=0.9), bits=24), None),
+        (3, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert got[1]["duration_s"] == 1.0 and got[1]["sample_rate"] == 8000.0
+    assert got[2]["duration_s"] == 0.25 and abs(got[2]["peak"] - 0.9) < 0.01
+    assert got[3]["rms"] is None and got[3]["n_bytes"] == 0
+    assert got[1]["sha256"] is not None
