@@ -33,21 +33,42 @@ def asof_join(
     tolerance: float | None = None,
     tiebreak: str | None = None,
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join; right payload columns (everything but
+    """As-of left join; right payload columns (everything but
     ``on``/``right_ts``) are appended, plus ``right_ts`` itself.
 
-    ``tiebreak`` names a right-side column that deterministically orders
-    right rows sharing the same (key, ts): the row with the HIGHEST
-    tiebreak value wins (matching the `ORDER BY ts DESC, id DESC LIMIT
-    1` shape of a correlated-subquery oracle).  Without it, equal-ts
-    right rows yield an arbitrary payload (ADVICE r1 #2).
+    ``direction`` (r13):
+    - ``"backward"`` (default): latest right row with ``right_ts <=
+      left_ts`` — the classic as-of.
+    - ``"forward"``: EARLIEST right row with ``right_ts >= left_ts``
+      ("time to next event": post-purchase re-engagement, next restock
+      after a stockout).  Same one-shuffle merge, mirrored: the carry
+      runs over the descending time order.
+    - ``"nearest"``: whichever of the two is closer in absolute time;
+      exact ties prefer the backward match (a cause over an effect).
+      Costs both carries + one id-equijoin to pick per row — 3
+      shuffles, still join-shaped, never a correlated subquery.
 
-    ``strict=True`` matches only right rows STRICTLY before the left
-    timestamp (``<``, attribution semantics: a cause cannot share its
-    effect's instant) instead of the default ``<=`` — implemented purely
-    by the merge order (left rows sort BEFORE right rows at equal ts,
-    so the carry cannot see them), same single shuffle."""
+    ``tiebreak`` names a right-side column that deterministically orders
+    right rows sharing the same (key, ts): backward keeps the HIGHEST
+    tiebreak (the `ORDER BY ts DESC, id DESC LIMIT 1` oracle shape),
+    forward the LOWEST (`ORDER BY ts ASC, id ASC LIMIT 1`) — each
+    direction mirrors its natural correlated-subquery twin.  Without
+    it, equal-ts right rows yield an arbitrary payload (ADVICE r1 #2).
+
+    ``strict=True`` excludes right rows AT the left timestamp (``<`` /
+    ``>``, attribution semantics: a cause cannot share its effect's
+    instant) — implemented purely by the merge order, same shuffle.
+
+    ``tolerance`` (seconds) nulls out matches farther than the bound in
+    the match direction (for ``nearest``, applied before picking)."""
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, left_ts, right_ts, tolerance, tiebreak, strict
+        )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction={direction!r}: backward | forward | nearest")
     payload_cols = [c for c in right.columns if c not in (on, right_ts)]
 
     l_tagged = left.select(
@@ -70,15 +91,20 @@ def asof_join(
     )
 
     merged = l_tagged.unionByName(r_tagged)
-    # default: right rows sort before left rows at equal ts (<=
-    # semantics); strict: left rows first, so an equal-ts right row is
-    # invisible to the carry (<).  Among equal-ts right rows the
-    # tiebreak ascends, so last() carries the highest-tiebreak payload
-    # (nulls first keeps no-tiebreak behavior)
+    # backward: time ascends and right rows sort before left rows at
+    # equal ts (<= semantics); strict puts left rows first, hiding
+    # equal-ts right rows from the carry (<).  forward mirrors both on
+    # a DESCENDING time order.  Among equal-ts right rows the tiebreak
+    # is ordered so last() carries the direction's natural winner:
+    # highest for backward, lowest for forward (nulls first keeps
+    # no-tiebreak behavior in both).
+    fwd = direction == "forward"
+    ts_order = F.col("__ts").desc() if fwd else F.col("__ts").asc()
     side_order = F.col("__is_left").desc() if strict else F.col("__is_left").asc()
+    tb_order = F.col("__tb").desc_nulls_first() if fwd else F.col("__tb").asc_nulls_first()
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__ts").asc(), side_order, F.col("__tb").asc_nulls_first())
+        .orderBy(ts_order, side_order, tb_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = merged.select(
@@ -91,7 +117,8 @@ def asof_join(
     ).filter(F.col("__is_left") == 1)
 
     if tolerance is not None:
-        stale = F.col("__ts").cast("double") - F.col(right_ts).cast("double") > tolerance
+        gap = F.col("__ts").cast("double") - F.col(right_ts).cast("double")
+        stale = (-gap if fwd else gap) > tolerance
         carried = carried.select(
             "__key", "__ts", "__is_left", "__left",
             F.when(stale, F.lit(None).cast("timestamp")).otherwise(F.col(right_ts)).alias(right_ts),
@@ -100,6 +127,54 @@ def asof_join(
 
     out_cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
     return carried.select(*out_cols, F.col(right_ts), *[F.col(c) for c in payload_cols])
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: float | None,
+    tiebreak: str | None,
+    strict: bool,
+) -> DataFrame:
+    """nearest = per-row argmin(|gap|) over the backward and forward
+    carries, ties to backward.  The left frame is stamped with a row id
+    and PINNED so both carries see identical ids (a recomputed
+    monotonically_increasing_id could renumber — the pin freezes it),
+    then one id-equijoin picks a side per row."""
+    from .scale import pin_frame
+
+    stamped = pin_frame(
+        left.withColumn("__asof_id", F.monotonically_increasing_id()), eager=True
+    )
+    b = asof_join(stamped, right, on, left_ts, right_ts, tolerance,
+                  tiebreak, strict, "backward")
+    f = asof_join(stamped, right, on, left_ts, right_ts, tolerance,
+                  tiebreak, strict, "forward")
+    payload_cols = [c for c in right.columns if c not in (on, right_ts)]
+    fsel = f.select(
+        F.col("__asof_id"),
+        F.col(right_ts).alias("__f_rts"),
+        *[F.col(c).alias(f"__f_{c}") for c in payload_cols],
+    )
+    j = b.join(fsel, "__asof_id")
+    lts = F.col(left_ts).cast("timestamp").cast("double")
+    bgap = lts - F.col(right_ts).cast("double")          # >= 0 when matched
+    fgap = F.col("__f_rts").cast("double") - lts          # >= 0 when matched
+    use_fwd = F.col("__f_rts").isNotNull() & (
+        F.col(right_ts).isNull() | (fgap < bgap)          # tie -> backward
+    )
+    picked = j.select(
+        *[F.col(c) for c in left.columns],
+        F.when(use_fwd, F.col("__f_rts")).otherwise(F.col(right_ts)).alias(right_ts),
+        *[
+            F.when(use_fwd, F.col(f"__f_{c}")).otherwise(F.col(c)).alias(c)
+            for c in payload_cols
+        ],
+    )
+    return picked
 
 
 def scd2_pit_join(

@@ -18787,3 +18787,165 @@ Q325_SQL = _kcore_unrolled_sql(20, 15)
 
 QUERIES.update({"q325_kcore_fixpoint": q325_kcore_fixpoint})
 ORACLE_SQL.update({"q325_kcore_fixpoint": Q325_SQL})
+
+# ---------------------------------------------------------------------------
+# Forward as-of: post-purchase re-engagement (q326)
+# ---------------------------------------------------------------------------
+
+def q326_post_purchase_reengagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from each purchase to the user's NEXT click — q300's
+    attribution sweep mirrored through the r13 FORWARD as-of
+    (`asof.asof_join(direction='forward')`, strict: a click sharing
+    the purchase's instant is not re-engagement): does the purchase
+    end the session or start one?  Same one-shuffle merge-carry plan
+    as the backward as-of, time order flipped.  Gap in whole seconds
+    (both engines floor positive micros identically); users who never
+    click again stay in the denominator."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        tiebreak="click_event_id", strict=True, direction="forward",
+    )
+    gapped = out.select(
+        (
+            (F.unix_micros(F.col("click_ts").cast("timestamp"))
+             - F.unix_micros(F.col("ts").cast("timestamp"))) / 1000000
+        ).cast("long").alias("__gap")
+    )
+    agg = gapped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        *[
+            F.sum(
+                F.when(F.col("__gap").isNotNull() & (F.col("__gap") <= secs), 1).otherwise(0)
+            ).cast("long").alias(f"__w{name}")
+            for name, secs in (("1m", 60), ("15m", 900), ("1h", 3600), ("24h", 86400))
+        ],
+    )
+    return agg.select(
+        "n_purchases",
+        *[
+            F.round(F.col(f"__w{n}").cast("double") / F.col("n_purchases").cast("double"), 6)
+            .alias(f"share_{n}")
+            for n in ("1m", "15m", "1h", "24h")
+        ],
+    )
+
+
+Q326_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+), matched AS (
+  SELECT p.event_id,
+         ((SELECT min(epoch_us(c.click_ts)) FROM clicks c
+           WHERE c.user_id = p.user_id AND c.click_ts > p.ts)
+          - epoch_us(p.ts)) // 1000000 AS gap
+  FROM purchases p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+       round(CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 60 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS share_1m,
+       round(CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 900 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS share_15m,
+       round(CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 3600 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS share_1h,
+       round(CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 86400 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS share_24h
+FROM matched
+"""
+
+
+QUERIES.update({"q326_post_purchase_reengagement": q326_post_purchase_reengagement})
+ORACLE_SQL.update({"q326_post_purchase_reengagement": Q326_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of: signed purchase-to-click proximity census (q327)
+# ---------------------------------------------------------------------------
+
+def q327_nearest_click_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the NEAREST click either direction
+    (`asof_join(direction='nearest')`: argmin |gap| over the backward
+    and forward carries, exact tie -> backward) — "does buying happen
+    inside click activity or away from it?".  The signed gap stays in
+    exact MICROSECONDS end-to-end: negative division floors vs
+    truncates differently across engines, so banding compares raw
+    integer micros against literal thresholds instead of dividing.
+    Output: five proximity bands with counts."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        tiebreak="click_event_id", direction="nearest",
+    )
+    g = out.select(
+        (
+            F.unix_micros(F.col("click_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("__gap_us")
+    )
+    hour = 3600 * 1000000
+    band = (
+        F.when(F.col("__gap_us").isNull(), "no_click")
+        .when(F.col("__gap_us") < -hour, "before_far")
+        .when(F.col("__gap_us") < 0, "before_1h")
+        .when(F.col("__gap_us") <= hour, "after_1h")
+        .otherwise("after_far")
+    )
+    return g.select(band.alias("proximity_band")).groupBy("proximity_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases")
+    )
+
+
+Q327_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, epoch_us(ts) AS pts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, epoch_us(ts) AS cts FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT p.event_id, p.pts,
+         (SELECT max(c.cts) FROM clicks c
+          WHERE c.user_id = p.user_id AND c.cts <= p.pts) AS bts,
+         (SELECT min(c.cts) FROM clicks c
+          WHERE c.user_id = p.user_id AND c.cts >= p.pts) AS fts
+  FROM purchases p
+), g AS (
+  SELECT CASE
+           WHEN bts IS NULL AND fts IS NULL THEN NULL
+           WHEN bts IS NULL THEN fts - pts
+           WHEN fts IS NULL THEN bts - pts
+           WHEN (fts - pts) < (pts - bts) THEN fts - pts
+           ELSE bts - pts
+         END AS gap_us
+  FROM m
+)
+SELECT CASE
+         WHEN gap_us IS NULL THEN 'no_click'
+         WHEN gap_us < -3600000000 THEN 'before_far'
+         WHEN gap_us < 0 THEN 'before_1h'
+         WHEN gap_us <= 3600000000 THEN 'after_1h'
+         ELSE 'after_far'
+       END AS proximity_band,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM g GROUP BY 1
+"""
+
+
+QUERIES.update({"q327_nearest_click_gap": q327_nearest_click_gap})
+ORACLE_SQL.update({"q327_nearest_click_gap": Q327_SQL})

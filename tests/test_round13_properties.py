@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 _EDGES = st.lists(
     st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
@@ -157,3 +158,90 @@ def test_shuffle_partitions_conf_fallback(spark):
     got = {r["node"]: r["hops"] for r in
            bfs_hops(e, 1, max_hops=2, broadcast_frontier=True).collect()}
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# as-of join directions (r13): forward / nearest vs a pure-Python oracle
+# ---------------------------------------------------------------------------
+
+def _py_asof(levents, revents, direction, strict):
+    """Reference: levents/revents are (key, ts, id); returns
+    {left id: right id or None} under asof_join's documented tie rules."""
+    out = {}
+    for lk, lt, lid in levents:
+        back = [(rt, rid) for rk, rt, rid in revents
+                if rk == lk and (rt < lt if strict else rt <= lt)]
+        fwd = [(rt, rid) for rk, rt, rid in revents
+               if rk == lk and (rt > lt if strict else rt >= lt)]
+        b = max(back, key=lambda x: (x[0], x[1])) if back else None
+        f = min(fwd, key=lambda x: (x[0], x[1])) if fwd else None
+        if direction == "backward":
+            pick = b
+        elif direction == "forward":
+            pick = f
+        else:  # nearest: smaller |gap|, tie -> backward
+            if b is None:
+                pick = f
+            elif f is None:
+                pick = b
+            else:
+                pick = f if (f[0] - lt) < (lt - b[0]) else b
+        out[lid] = pick[1] if pick else None
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    levents=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)),
+                     min_size=1, max_size=12),
+    revents=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)),
+                     min_size=0, max_size=12),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    strict=st.booleans(),
+)
+def test_asof_directions_match_pure_python(spark, levents, revents, direction, strict):
+    import datetime
+
+    from nlu_data_warehouse_project_spark.operators.asof import asof_join
+
+    def ts(t):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=t)
+
+    lrows = [(k, ts(t), i) for i, (k, t) in enumerate(levents)]
+    rrows = [(k, ts(t), i) for i, (k, t) in enumerate(revents)]
+    ldf = spark.createDataFrame(lrows, "k long, lts timestamp, lid long")
+    rdf = spark.createDataFrame(
+        rrows or [(None, None, None)], "k long, rts timestamp, rid long"
+    ).filter(F.col("k").isNotNull())
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+                           tiebreak="rid", strict=strict,
+                           direction=direction).collect()
+    }
+    lev = [(k, t, i) for i, (k, t) in enumerate(levents)]
+    rev = [(k, t, i) for i, (k, t) in enumerate(revents)]
+    assert got == _py_asof(lev, rev, direction, strict)
+
+
+def test_asof_forward_tolerance_and_bad_direction(spark):
+    import datetime
+
+    from nlu_data_warehouse_project_spark.operators.asof import asof_join
+
+    base = datetime.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(1, base, 10)], "k long, lts timestamp, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(1, base + datetime.timedelta(seconds=90), 7)],
+        "k long, rts timestamp, rid long",
+    )
+    hit = asof_join(ldf, rdf, "k", "lts", "rts", tolerance=120,
+                    direction="forward").collect()[0]
+    assert hit["rid"] == 7
+    miss = asof_join(ldf, rdf, "k", "lts", "rts", tolerance=60,
+                     direction="forward").collect()[0]
+    assert miss["rid"] is None and miss["rts"] is None
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(ldf, rdf, "k", "lts", "rts", direction="sideways")
