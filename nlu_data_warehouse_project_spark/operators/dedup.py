@@ -284,6 +284,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by n-gram CONTAINMENT (Broder's asymmetric
+    coefficient): ``|A ∩ B| / min(|A|, |B|)`` — the quote/subset
+    detector Jaccard systematically misses.  A document embedded
+    verbatim inside a 10x-longer one has Jaccard ~0.1 (union dominated
+    by the container) but containment ~1.0; training-data curation
+    cares exactly about that shape (boilerplate inclusion, quoted
+    articles, truncated re-crawls).
+
+    Same two-phase plan as ``ngram_jaccard_pairs``: MinHash+LSH
+    candidates, exact set verification on candidates only — the
+    min-side normalization is one extra ``least()`` over the already
+    computed set sizes.  Returns (id_a, id_b, containment, jaccard):
+    both coefficients ride along so a caller can select the
+    "contained but not near-identical" band (containment high, jaccard
+    low) without a second pass.  NOTE the recall caveat: LSH bands
+    gate on JACCARD collision probability, so extreme container/
+    containee length ratios (Jaccard -> 0) escape candidate
+    generation; for a dedicated containment sweep, block on a
+    prefix/anchor key instead (see q328's prefix-block form)."""
+    cands = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("__sh"),
+    )
+    joined = (
+        cands.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
+    min_side = F.least(F.size("__sh_a"), F.size("__sh_b")).cast("double")
+    return (
+        joined.withColumn("containment", F.round(inter / min_side, 4))
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
+    )
+
+
 def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash) for every row — semantically identical to the
     ``simhash60`` column expression, but computed as explode → groupBy

@@ -235,6 +235,92 @@ def bellman_ford_rounds(
     return dist
 
 
+def bellman_ford_fixpoint(
+    edges: DataFrame,
+    start,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    reliable: bool | None = None,
+    max_rounds: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Bellman-Ford run to the FIXPOINT — true single-source shortest
+    paths, the convergence sibling of ``bellman_ford_rounds`` (same
+    per-round relax: dist ⨝ pinned edges, min by node).  Stops at the
+    first round that changes NOTHING (no new node reached, no distance
+    lowered); with non-negative-cycle graphs that happens within |V|
+    rounds, so the default budget is the node count (+1 detection
+    round).  If the budget exhausts while distances are STILL falling,
+    a reachable NEGATIVE CYCLE exists (the classic BF certificate) and
+    the audit flags it — distances in that state are not shortest
+    paths, so the caller must check ``audit["negative_cycle"]``.
+
+    Change detection is one outer-join + count over the two pinned
+    |reached|-row distance vectors per round — integer-exact, no
+    Python in the plan.  Returns ``(dist, audit)`` with audit
+    ``{"rounds_run", "converged", "changed_counts", "negative_cycle"}``.
+    """
+    if max_rounds is not None and max_rounds < 0:
+        raise ValueError(f"max_rounds={max_rounds} must be >= 0")
+    e = pin_frame(
+        edges.select(
+            F.col(src_col).alias("__s"),
+            F.col(dst_col).alias("__d"),
+            F.col(weight_col).cast("long").alias("__w"),
+        ),
+        reliable=reliable, eager=True,
+    )
+    if max_rounds is None:
+        n_nodes = (
+            e.select(F.col("__s").alias("n"))
+            .unionByName(e.select(F.col("__d").alias("n")))
+            .distinct()
+            .count()
+        )
+        max_rounds = n_nodes + 1
+    dist = (
+        edges.sparkSession.createDataFrame([(start,)], ["node"])
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    dist = pin_frame(dist, reliable=reliable, eager=True)
+    changed_counts: list[int] = []
+    converged = False
+    rounds_run = 0
+    while rounds_run < max_rounds:
+        relax = dist.join(e, dist.node == e.__s).select(
+            F.col("__d").alias("node"), (F.col("dist") + F.col("__w")).alias("dist")
+        )
+        new = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+        new = pin_frame(new, reliable=reliable, eager=True)
+        rounds_run += 1
+        changed = (
+            new.join(
+                dist.select(F.col("node"), F.col("dist").alias("__old")),
+                "node", "left",
+            )
+            .filter(F.col("__old").isNull() | (F.col("dist") != F.col("__old")))
+            .count()
+        )
+        changed_counts.append(changed)
+        dist = new
+        if changed == 0:
+            converged = True
+            break
+    audit = {
+        "rounds_run": rounds_run,
+        "converged": converged,
+        "changed_counts": changed_counts,
+        # still relaxing when the |V|+1 budget ran out == a reachable
+        # negative cycle (any simple shortest path has < |V| edges)
+        "negative_cycle": not converged,
+    }
+    return dist, audit
+
+
 def kcore_peel_rounds(
     edges: DataFrame,
     k: int,

@@ -18949,3 +18949,406 @@ FROM g GROUP BY 1
 
 QUERIES.update({"q327_nearest_click_gap": q327_nearest_click_gap})
 ORACLE_SQL.update({"q327_nearest_click_gap": Q327_SQL})
+
+# ---------------------------------------------------------------------------
+# Prefix-truncation containment pairs (q328)
+# ---------------------------------------------------------------------------
+
+def q328_prefix_truncation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-re-crawl detection: pairs where one document is a
+    byte-level PREFIX of another — the crawl artifact (cut-off page
+    versions) that shingle-based near-dup treats as merely similar and
+    exact dedup misses entirely.  Corpus = documents ∪ a 60%-length
+    prefix copy (ids +1000000), the q16 planted-pair discipline.
+
+    Scale shape: BLOCKED equi-join on the first-32-chars key (a prefix
+    pair must share it; docs shorter than 32 chars can't participate
+    and are filtered), then exact verification by substring equality —
+    never an all-pairs comparison, the LSH-candidates pattern with a
+    prefix anchor instead of minhash bands.  Output: (contained,
+    container, share of the container's length), exact integer lengths
+    under a round(…,4) double."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, (length(text) * 3) div 5)").alias("text"),
+    )
+    corpus = docs.unionByName(trunc).filter(F.length("text") >= 32)
+    blocked = corpus.select(
+        "doc_id", "text",
+        F.substring("text", 1, 32).alias("__blk"),
+        F.length("text").alias("__len"),
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("id_contained"), F.col("text").alias("__ta"),
+        F.col("__blk"), F.col("__len").alias("__la"),
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("id_container"), F.col("text").alias("__tb"),
+        F.col("__blk"), F.col("__len").alias("__lb"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(
+            (F.col("__la") < F.col("__lb"))
+            & (F.expr("substring(__tb, 1, __la)") == F.col("__ta"))
+        )
+        .select(
+            "id_contained", "id_container",
+            F.round(F.col("__la").cast("double") / F.col("__lb").cast("double"), 4)
+            .alias("length_share"),
+        )
+    )
+
+
+Q328_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substring(text, 1, (length(text) * 3) // 5) FROM documents
+), blocked AS (
+  SELECT doc_id, text, substring(text, 1, 32) AS blk, length(text) AS len
+  FROM corpus WHERE length(text) >= 32
+)
+SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+       round(CAST(a.len AS DOUBLE) / b.len, 4) AS length_share
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.len < b.len
+ AND substring(b.text, 1, a.len) = a.text
+"""
+
+
+QUERIES.update({"q328_prefix_truncation_pairs": q328_prefix_truncation_pairs})
+ORACLE_SQL.update({"q328_prefix_truncation_pairs": Q328_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Quote/subset containment on LSH candidates (q329)
+# ---------------------------------------------------------------------------
+
+def q329_quote_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-CONTAINMENT near-dups (`dedup.ngram_containment_pairs`,
+    r13): corpus = documents ∪ a half-token quote (ids +1000000), and
+    the output keeps pairs with containment >= 0.9 but Jaccard < 0.8 —
+    exactly the quote/subset band the q17 Jaccard verifier drops.
+    Candidates still come from the shared MinHash+LSH stage (hash-
+    deterministic, so the oracle replays it verbatim in SQL); the
+    containment coefficient is one extra least() over set sizes at the
+    verify stage.  Half-token truncation keeps Jaccard ~0.5, inside
+    LSH's collision reach — the deep-containment recall caveat is
+    documented on the operator and handled by q328's prefix blocks."""
+    from .operators.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.expr(r"filter(split(trim(text), '\\s+'), t -> t != '')")
+    quote = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.expr(
+                r"slice(filter(split(trim(text), '\\s+'), t -> t != ''), 1, "
+                r"greatest(6, size(filter(split(trim(text), '\\s+'), t -> t != '')) div 2))"
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(quote)
+    pairs = ngram_containment_pairs(corpus, "text", "doc_id", shingle_n=3, threshold=0.9)
+    return pairs.filter(F.col("jaccard") < 0.8).select(
+        "id_a", "id_b", "containment", "jaccard"
+    )
+
+
+Q329_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(({_TOKENS_SQL})[1 : greatest(6, len({_TOKENS_SQL}) // 2)], ' ')
+  FROM documents
+), exploded AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM corpus
+), hx AS (
+  SELECT doc_id, md5(sh) AS hx FROM exploded
+), ab AS (
+  SELECT doc_id,
+         ('0x' || substring(hx, 1, 15))::BIGINT AS a,
+         (('0x' || substring(hx, 17, 15))::BIGINT | 1) AS b
+  FROM hx
+), sigs AS (
+  SELECT doc_id, [{_MINHASH_MINS_SQL}] AS sig
+  FROM ab GROUP BY doc_id
+), shsets AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM corpus
+), banded AS (
+  SELECT doc_id, band_id, array_to_string(sig[band_id * 2 + 1 : band_id * 2 + 2], '|') AS band_sig
+  FROM sigs, unnest([0, 1, 2, 3]) AS t(band_id)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+), verified AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / least(len(sa.sh), len(sb.sh)), 4) AS containment,
+         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+  FROM cand
+  JOIN shsets sa ON sa.doc_id = id_a
+  JOIN shsets sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, containment, jaccard
+FROM verified
+WHERE containment >= 0.9 AND jaccard < 0.8
+"""
+
+
+QUERIES.update({"q329_quote_containment_pairs": q329_quote_containment_pairs})
+ORACLE_SQL.update({"q329_quote_containment_pairs": Q329_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Window family completion: percent_rank + cume_dist (q330)
+# ---------------------------------------------------------------------------
+
+def q330_balance_distribution_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each supplier's account-balance standing WITHIN its nation:
+    ``percent_rank`` and ``cume_dist`` — the last two rank-family
+    window functions the catalog hadn't exercised (rank/dense_rank/
+    row_number/ntile landed rounds ago).  Both are exact rationals
+    ((rank-1)/(n-1), cume_cnt/n) rounded at 6, gated against DuckDB's
+    native windows.  PARTITIONED windows (by nation) are the
+    scale-sanctioned kind: each sort task is one nation's suppliers,
+    never a global sort; ties on balance resolve by the deterministic
+    suppkey tiebreak."""
+    sup = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    return sup.select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("nationkey"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+Q330_SQL = """
+SELECT s_suppkey, s_nationkey AS nationkey,
+       round(percent_rank() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal ASC, s_suppkey ASC), 6) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY s_nationkey
+                               ORDER BY s_acctbal ASC, s_suppkey ASC), 6) AS cume
+FROM supplier
+"""
+
+
+QUERIES.update({"q330_balance_distribution_rank": q330_balance_distribution_rank})
+ORACLE_SQL.update({"q330_balance_distribution_rank": Q330_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean via exact rank fences (q331)
+# ---------------------------------------------------------------------------
+
+def q331_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean order value at [P5, P95] — q102 TRIMS the
+    tails away; winsorizing CLAMPS them to the fence values, the
+    robust-mean variant that keeps the row count.  Fences come from
+    `scale.exact_global_rank` (range-shuffle, no single-task window):
+    fence_lo = the value at rank ceil(0.05 N), fence_hi at
+    ceil(0.95 N) — rank-based, so both engines pick the identical
+    concrete value with the suppkey... orderkey tiebreak.  Clamp +
+    DECIMAL mean in one final pass; raw mean rides along to show the
+    robustification delta."""
+    from .operators.scale import exact_global_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    ranked = exact_global_rank(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        rank_col="__rk",
+    )
+    ranked = ranked.cache()
+    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    fences = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("__rk") == F.expr("CAST(ceil(__n * 0.05) AS LONG)"))
+            | (F.col("__rk") == F.expr("CAST(ceil(__n * 0.95) AS LONG)"))
+        )
+        .crossJoin(F.broadcast(tot.select(F.col("__n").alias("__n2"))))
+        .agg(
+            F.min(F.when(F.col("__rk") == F.expr("CAST(ceil(__n * 0.05) AS LONG)"),
+                         F.col("o_totalprice"))).alias("__lo"),
+            F.min(F.when(F.col("__rk") == F.expr("CAST(ceil(__n * 0.95) AS LONG)"),
+                         F.col("o_totalprice"))).alias("__hi"),
+        )
+    )
+    clamped = ranked.crossJoin(F.broadcast(fences)).select(
+        F.greatest(F.least(F.col("o_totalprice"), F.col("__hi")), F.col("__lo"))
+        .alias("__w"),
+        "o_totalprice", "__lo", "__hi",
+    )
+    return clamped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.min("__lo"), 2).cast("double").alias("fence_lo"),
+        F.round(F.min("__hi"), 2).cast("double").alias("fence_hi"),
+        F.round(F.sum(_dec("__w")) / F.count(F.lit(1)), 6).cast("double")
+        .alias("winsorized_mean"),
+        F.round(F.sum(_dec("o_totalprice")) / F.count(F.lit(1)), 6).cast("double")
+        .alias("raw_mean"),
+    )
+
+
+Q331_SQL = """
+WITH r AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rk,
+         count(*) OVER () AS n
+  FROM orders
+), fences AS (
+  SELECT min(CASE WHEN rk = CAST(ceil(n * 0.05) AS BIGINT) THEN o_totalprice END) AS lo,
+         min(CASE WHEN rk = CAST(ceil(n * 0.95) AS BIGINT) THEN o_totalprice END) AS hi
+  FROM r
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(min(lo), 2) AS DOUBLE) AS fence_lo,
+       CAST(round(min(hi), 2) AS DOUBLE) AS fence_hi,
+       CAST(round(sum(CAST(greatest(least(o_totalprice, hi), lo) AS DECIMAL(25,6)))
+                  / count(*), 6) AS DOUBLE) AS winsorized_mean,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))) / count(*), 6) AS DOUBLE)
+         AS raw_mean
+FROM r, fences
+"""
+
+
+QUERIES.update({"q331_winsorized_revenue": q331_winsorized_revenue})
+ORACLE_SQL.update({"q331_winsorized_revenue": Q331_SQL})
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of daily revenue (q332)
+# ---------------------------------------------------------------------------
+
+def q332_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year MAXIMUM DRAWDOWN of daily order revenue — "the worst
+    slide off the best day an ops dashboard would have shown": the
+    running peak of the daily-revenue series minus the current day,
+    maximized per year.  All DECIMAL until the final round: exact
+    daily sums, a running max over them — windows partitioned BY YEAR
+    over the calendar-bounded daily series (the sanctioned shape: each
+    sort task is one year's <=366 rows).  Tiebreak-free because
+    drawdown maximizes a DECIMAL difference, not a row identity."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).alias("year"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.sum(_dec("o_totalprice")).alias("__rev"))
+    # NOTE the series under the peak: CUMULATIVE revenue is a prefix
+    # sum of positive dailies, hence monotone within a year — its
+    # drawdown is 0 by construction.  The dashboard quantity is the
+    # drawdown of the DAILY series: peak daily revenue so far minus
+    # today's, maximized.
+    wd = (
+        Window.partitionBy("year").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = daily.select(
+        "year",
+        (F.max("__rev").over(wd) - F.col("__rev")).alias("__dd"),
+    )
+    return dd.groupBy("year").agg(
+        F.round(F.max("__dd"), 2).cast("double").alias("max_drawdown")
+    )
+
+
+Q332_SQL = """
+WITH daily AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS year, CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+  FROM orders GROUP BY 1, 2
+), dd AS (
+  SELECT year,
+         max(rev) OVER (PARTITION BY year ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - rev AS d
+  FROM daily
+)
+SELECT year, CAST(round(max(d), 2) AS DOUBLE) AS max_drawdown
+FROM dd GROUP BY 1
+"""
+
+
+QUERIES.update({"q332_revenue_drawdown": q332_revenue_drawdown})
+ORACLE_SQL.update({"q332_revenue_drawdown": Q332_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Bellman-Ford run to fixpoint: true substitution distances (q333)
+# ---------------------------------------------------------------------------
+
+def q333_substitution_distance_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE shortest substitution distances from part 0 —
+    `graph.bellman_ford_fixpoint` (r13) on q283's inverse-affinity
+    co-order graph, run until nothing relaxes (4 rounds at both
+    fixtures: audited changed-counts hit 0) instead of q283's 3-round
+    budget.  Positive integer weights mean convergence within the
+    graph's hop diameter and no negative cycle (the audit asserts it);
+    the oracle unrolls EIGHT relaxation rounds — strictly past
+    convergence, and no-op rounds are exact no-ops in min() arithmetic
+    — as MATERIALIZED CTEs (plain CTEs inline the previous round ~2x
+    per reference).  Output: q283's distance-band census, now of the
+    fixpoint."""
+    from .operators.graph import bellman_ford_fixpoint
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("__o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "__o")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .select(
+            "src", "dst",
+            F.expr("CAST((1000 + __c - 1) DIV __c AS LONG)").alias("w"),
+        )
+    )
+    dist, audit = bellman_ford_fixpoint(edges, 0, max_rounds=20)
+    if audit["negative_cycle"]:  # impossible with positive weights
+        raise ValueError("negative cycle on a positive-weight graph")
+    return (
+        dist.groupBy((F.floor(F.col("dist") / 250) * 250).cast("long").alias("dist_band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    )
+
+
+def _bf_unrolled_sql(rounds: int) -> str:
+    parts = ["""
+WITH e AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         CAST((1000 + count(*) - 1) // count(*) AS BIGINT) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+), d0 AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""", d{k} AS MATERIALIZED (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst, d{k - 1}.dist + e.w FROM d{k - 1} JOIN e ON d{k - 1}.node = e.src
+  ) GROUP BY 1
+)""")
+    parts.append(f"""
+SELECT CAST(floor(dist / 250) * 250 AS BIGINT) AS dist_band,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM d{rounds} GROUP BY 1""")
+    return "".join(parts)
+
+
+Q333_SQL = _bf_unrolled_sql(8)
+
+
+QUERIES.update({"q333_substitution_distance_fixpoint": q333_substitution_distance_fixpoint})
+ORACLE_SQL.update({"q333_substitution_distance_fixpoint": Q333_SQL})

@@ -245,3 +245,87 @@ def test_asof_forward_tolerance_and_bad_direction(spark):
     assert miss["rid"] is None and miss["rts"] is None
     with pytest.raises(ValueError, match="direction"):
         asof_join(ldf, rdf, "k", "lts", "rts", direction="sideways")
+
+
+# ---------------------------------------------------------------------------
+# Bellman-Ford fixpoint (r13): true shortest paths + negative-cycle flag
+# ---------------------------------------------------------------------------
+
+def _py_shortest(edges, start):
+    """Reference Bellman-Ford to fixpoint (non-negative weights)."""
+    dist = {start: 0}
+    for _ in range(len({v for e in edges for v in e[:2]}) + 1):
+        changed = False
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < dist.get(d, float("inf")):
+                dist[d] = dist[s] + w
+                changed = True
+        if not changed:
+            break
+    return dist
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6), st.integers(1, 9))
+    .filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=18,
+))
+def test_bellman_ford_fixpoint_matches_pure_python(spark, edges, ):
+    from nlu_data_warehouse_project_spark.operators.graph import (
+        bellman_ford_fixpoint, bellman_ford_rounds,
+    )
+
+    start = edges[0][0]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    dist, audit = bellman_ford_fixpoint(df, start)
+    got = {r["node"]: r["dist"] for r in dist.collect()}
+    assert got == _py_shortest(edges, start)
+    assert audit["converged"] is True and audit["negative_cycle"] is False
+    assert audit["changed_counts"][-1] == 0
+    # fixed-round twin agrees at the audited depth
+    fixed = {
+        r["node"]: r["dist"]
+        for r in bellman_ford_rounds(df, start, rounds=audit["rounds_run"]).collect()
+    }
+    assert got == fixed
+
+
+def test_bellman_ford_negative_cycle_flagged(spark):
+    from nlu_data_warehouse_project_spark.operators.graph import bellman_ford_fixpoint
+
+    # 1 -> 2 -> 3 -> 1 with total weight -1: distances fall forever
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 1, -3)], "src long, dst long, w long"
+    )
+    _dist, audit = bellman_ford_fixpoint(e, 1)
+    assert audit["negative_cycle"] is True and audit["converged"] is False
+    # and a negative EDGE without a negative cycle still converges
+    e2 = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 10), (3, 2, -8)], "src long, dst long, w long"
+    )
+    dist, audit2 = bellman_ford_fixpoint(e2, 1)
+    assert audit2["negative_cycle"] is False
+    assert {r["node"]: r["dist"] for r in dist.collect()} == {1: 0, 2: 2, 3: 10}
+
+
+def test_ngram_containment_finds_subset_pairs(spark):
+    """A verbatim first-half truncation has containment 1.0 but
+    jaccard well under 1 — the pair Jaccard-thresholded dedup misses."""
+    from nlu_data_warehouse_project_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    full = " ".join(words)
+    half = " ".join(words[:20])
+    df = spark.createDataFrame(
+        [(1, full), (2, half), (3, "совершенно другой текст без общих слов")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_containment_pairs(df, threshold=0.9).collect()
+    assert {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])) for r in pairs} == {(1, 2)}
+    row = pairs[0]
+    assert row["containment"] == 1.0 and row["jaccard"] < 0.6
+    # the jaccard verifier at the same 0.9 bar finds nothing
+    assert ngram_jaccard_pairs(df, threshold=0.9).count() == 0
