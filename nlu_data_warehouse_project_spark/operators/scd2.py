@@ -156,3 +156,60 @@ def resolve_date_key(
     )
     out = dw.drop(dim_id_col).join(dim, F.col(date_col) == F.col("__dim_date"), "left")
     return out.withColumn(dim_id_col, F.col("__dim_id")).drop("__dim_id", "__dim_date")
+
+
+def scd3_merge(
+    dim: DataFrame,
+    batch: DataFrame,
+    key: str,
+    attrs: list[str],
+    run_date: str,
+    ts_col: str = "dt_last_update",
+    prev_suffix: str = "_prev",
+) -> DataFrame:
+    """SCD TYPE-3 merge (r13): one row per key, each tracked attribute
+    carried as (current, ``<attr>_prev``) column pairs — the "previous
+    value" dimension pattern for attributes where only the last
+    transition matters (prior segment, prior price band) and version
+    explosion is unwanted.  The third member of the slowly-changing
+    family next to ``scd2_merge`` (full history) and
+    ``upsert`` (type-1, overwrite).
+
+    ``dim`` carries ``key`` + attrs + their ``_prev`` twins + ``ts_col``
+    (pass an empty frame with that schema to bootstrap); ``batch`` is
+    the staged run slice, unique on ``key`` (the F2 staging-dedup
+    contract, same as scd2_merge).  Semantics per key:
+
+    - batch-only: insert; every ``_prev`` NULL, ``ts_col`` = run_date.
+    - in both, any attr differs (null-safe): current <- batch value,
+      ``_prev`` <- the OLD current, ``ts_col`` = run_date.  All
+      tracked attrs shift together (one change event per row).
+    - in both, all equal: row unchanged (``_prev``/``ts_col`` keep
+      their old values — a no-op batch is a no-op merge).
+    - dim-only: unchanged.
+
+    ONE full-outer join on the key — single shuffle, no history union,
+    at 100 TB the same cost as the type-1 upsert."""
+    d, b = dim.alias("d"), batch.alias("b")
+    joined = d.join(b, F.col(f"d.{key}").eqNullSafe(F.col(f"b.{key}")), "full_outer")
+    in_dim = F.col(f"d.{key}").isNotNull()
+    in_batch = F.col(f"b.{key}").isNotNull()
+    changed = in_dim & in_batch & ~_attrs_equal("d", "b", attrs)
+    cols = [F.coalesce(F.col(f"d.{key}"), F.col(f"b.{key}")).alias(key)]
+    for a in attrs:
+        cols.append(
+            F.when(in_batch & (changed | ~in_dim), F.col(f"b.{a}"))
+            .otherwise(F.col(f"d.{a}"))
+            .alias(a)
+        )
+        cols.append(
+            F.when(changed, F.col(f"d.{a}"))
+            .otherwise(F.when(in_dim, F.col(f"d.{a}{prev_suffix}")))
+            .alias(f"{a}{prev_suffix}")
+        )
+    cols.append(
+        F.when(changed | ~in_dim, F.lit(run_date).cast("date"))
+        .otherwise(F.col(f"d.{ts_col}"))
+        .alias(ts_col)
+    )
+    return joined.select(*cols)

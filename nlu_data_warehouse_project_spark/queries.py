@@ -19352,3 +19352,188 @@ Q333_SQL = _bf_unrolled_sql(8)
 
 QUERIES.update({"q333_substitution_distance_fixpoint": q333_substitution_distance_fixpoint})
 ORACLE_SQL.update({"q333_substitution_distance_fixpoint": Q333_SQL})
+
+# ---------------------------------------------------------------------------
+# SCD type-3 merge: previous-value dimension (q334)
+# ---------------------------------------------------------------------------
+
+def q334_scd3_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q08 two-snapshot feed pushed through SCD TYPE-3
+    (`scd2.scd3_merge`, r13): one row per user with (value,
+    value_prev, last-change date) instead of q08's full version
+    history — the dimension pattern for "what was it before the last
+    change".  Chained like q08 (bootstrap from empty, then day D0's
+    snapshot, then D1's); users whose value never changed keep a NULL
+    prev and their FIRST load date, users D1 changed carry the D0
+    value in prev.  One full-outer join per merge, the type-1 cost
+    profile with one column pair of memory."""
+    from .operators.scd2 import scd3_merge
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def snapshot(pred):
+        return (
+            ev.filter(pred)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value")
+        )
+
+    snap_a = snapshot(F.col("ts") < F.lit(_SNAP_SPLIT).cast("timestamp"))
+    snap_b = snapshot(F.col("ts") >= F.lit(_SNAP_SPLIT).cast("timestamp"))
+    empty = spark.createDataFrame(
+        [], "user_id bigint, value double, value_prev double, dt_last_update date"
+    )
+    d1 = scd3_merge(empty, snap_a, key="user_id", attrs=["value"], run_date=_D0).persist()
+    d2 = scd3_merge(d1, snap_b, key="user_id", attrs=["value"], run_date=_D1)
+    return d2.select("user_id", "value", "value_prev", "dt_last_update")
+
+
+Q334_SQL = f"""
+WITH a AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts < TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
+), b AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts >= TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
+)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       CASE WHEN b.user_id IS NOT NULL AND (a.user_id IS NULL OR a.value <> b.value)
+            THEN b.value ELSE a.value END AS value,
+       CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL AND a.value <> b.value
+            THEN a.value END AS value_prev,
+       CASE WHEN b.user_id IS NOT NULL AND (a.user_id IS NULL OR a.value <> b.value)
+            THEN DATE '{_D1}' ELSE DATE '{_D0}' END AS dt_last_update
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+"""
+
+
+QUERIES.update({"q334_scd3_value_history": q334_scd3_value_history})
+ORACLE_SQL.update({"q334_scd3_value_history": Q334_SQL})
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity-interval integrity audit (q335)
+# ---------------------------------------------------------------------------
+
+def q335_scd2_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit a versioned dimension runs nightly: per key, EXACTLY
+    one open version (sentinel close date), and consecutive versions
+    must tile time — next version's load date equal to the previous
+    close (gap = lost history, overlap = double-truth).  Runs q08's
+    chained SCD2 merges, then one key-partitioned lead() pass over the
+    version intervals; the oracle rebuilds the same SCD2 state in SQL
+    and audits it identically, so a merge bug that emits overlapping
+    or current-less keys flips a NUMBER, not just a pytest.  Output:
+    one census row (keys, versions, multi/zero-current, overlaps,
+    gaps)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def snapshot(pred):
+        return (
+            ev.filter(pred)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value")
+        )
+
+    snap_a = snapshot(F.col("ts") < F.lit(_SNAP_SPLIT).cast("timestamp"))
+    snap_b = snapshot(F.col("ts") >= F.lit(_SNAP_SPLIT).cast("timestamp"))
+    empty = spark.createDataFrame(
+        [], "user_id bigint, value double, dt_load_to_dw date, dt_last_update date"
+    )
+    dw1 = scd2_merge(empty, snap_a, key="user_id", attrs=["value"], run_date=_D0).persist()
+    ver = scd2_merge(dw1, snap_b, key="user_id", attrs=["value"], run_date=_D1)
+
+    sentinel = F.lit("9999-12-31").cast("date")
+    wv = Window.partitionBy("user_id").orderBy(
+        F.col("dt_load_to_dw").asc(), F.col("dt_last_update").asc()
+    )
+    stepped = ver.select(
+        "user_id", "dt_load_to_dw", "dt_last_update",
+        F.lead("dt_load_to_dw").over(wv).alias("__next_load"),
+        (F.col("dt_last_update") == sentinel).cast("int").alias("__is_open"),
+    )
+    per_key = stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__is_open").cast("long").alias("__n_open"),
+        F.sum(
+            F.when(
+                F.col("__next_load").isNotNull()
+                & (F.col("__next_load") > F.col("dt_last_update")), 1
+            ).otherwise(0)
+        ).cast("long").alias("__gaps"),
+        F.sum(
+            F.when(
+                F.col("__next_load").isNotNull()
+                & (F.col("__next_load") < F.col("dt_last_update")), 1
+            ).otherwise(0)
+        ).cast("long").alias("__overlaps"),
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__n").cast("long").alias("n_versions"),
+        F.sum(F.when(F.col("__n_open") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_multi_current"),
+        F.sum(F.when(F.col("__n_open") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_zero_current"),
+        F.sum("__overlaps").cast("long").alias("n_overlaps"),
+        F.sum("__gaps").cast("long").alias("n_gaps"),
+    )
+
+
+Q335_SQL = f"""
+WITH a AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts < TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
+), b AS (
+  SELECT user_id, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts >= TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
+), ver AS (
+  SELECT a.user_id, DATE '{_D0}' AS dt_load_to_dw,
+         CASE WHEN b.user_id IS NOT NULL AND b.value <> a.value
+              THEN DATE '{_D1}' ELSE DATE '9999-12-31' END AS dt_last_update
+  FROM a LEFT JOIN b ON a.user_id = b.user_id
+  UNION ALL
+  SELECT b.user_id, DATE '{_D1}', DATE '9999-12-31'
+  FROM b LEFT JOIN a ON a.user_id = b.user_id
+  WHERE a.user_id IS NULL OR a.value <> b.value
+), stepped AS (
+  SELECT user_id, dt_load_to_dw, dt_last_update,
+         lead(dt_load_to_dw) OVER (PARTITION BY user_id
+                                   ORDER BY dt_load_to_dw ASC, dt_last_update ASC)
+           AS next_load,
+         CASE WHEN dt_last_update = DATE '9999-12-31' THEN 1 ELSE 0 END AS is_open
+  FROM ver
+), per_key AS (
+  SELECT user_id, count(*) AS n, sum(is_open) AS n_open,
+         -- n_olap, not "overlaps": OVERLAPS is a SQL operator keyword
+         -- and sum(overlaps) is a parser error (the q286 `glob` lesson)
+         sum(CASE WHEN next_load IS NOT NULL AND next_load > dt_last_update
+                  THEN 1 ELSE 0 END) AS n_gap,
+         sum(CASE WHEN next_load IS NOT NULL AND next_load < dt_last_update
+                  THEN 1 ELSE 0 END) AS n_olap
+  FROM stepped GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_versions,
+       CAST(sum(CASE WHEN n_open > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_current,
+       CAST(sum(CASE WHEN n_open = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_current,
+       CAST(sum(n_olap) AS BIGINT) AS n_overlaps,
+       CAST(sum(n_gap) AS BIGINT) AS n_gaps
+FROM per_key
+"""
+
+
+QUERIES.update({"q335_scd2_interval_audit": q335_scd2_interval_audit})
+ORACLE_SQL.update({"q335_scd2_interval_audit": Q335_SQL})

@@ -91,3 +91,51 @@ def test_resolve_date_key_broadcast_lookup(spark):
     out = {r["natural_key"]: r["dt_dim"] for r in resolve_date_key(dw, date_dim).collect()}
     assert out["k"] == 8 and out["k2"] == 9
     assert out["k3"] is None  # out-of-range date -> no surrogate
+
+
+def test_scd3_merge_full_matrix(spark):
+    """SCD type-3 (r13): new key inserts with NULL prev; a changed key
+    shifts current->prev and stamps the run date; an unchanged key is a
+    strict no-op (prev and date keep their OLD values); a key absent
+    from the batch is untouched; all tracked attrs shift TOGETHER on
+    one change event."""
+    import datetime as _dt
+
+    from nlu_data_warehouse_project_spark.operators.scd2 import scd3_merge
+
+    empty = spark.createDataFrame(
+        [], "k string, price double, size string, "
+            "price_prev double, size_prev string, dt_last_update date"
+    )
+    b0 = spark.createDataFrame(
+        [("a", 1.0, "S"), ("b", 2.0, "M")], "k string, price double, size string"
+    )
+    d1 = scd3_merge(empty, b0, key="k", attrs=["price", "size"], run_date="2024-01-01")
+    rows = {r["k"]: r for r in d1.collect()}
+    assert rows["a"]["price"] == 1.0 and rows["a"]["price_prev"] is None
+    assert rows["a"]["dt_last_update"] == _dt.date(2024, 1, 1)
+
+    # day 2: a changes price only (both attrs shift), b unchanged, c new
+    b1 = spark.createDataFrame(
+        [("a", 9.0, "S"), ("b", 2.0, "M"), ("c", 3.0, "L")],
+        "k string, price double, size string",
+    )
+    d2 = scd3_merge(d1, b1, key="k", attrs=["price", "size"], run_date="2024-02-02")
+    rows = {r["k"]: r for r in d2.collect()}
+    assert rows["a"]["price"] == 9.0 and rows["a"]["price_prev"] == 1.0
+    assert rows["a"]["size"] == "S" and rows["a"]["size_prev"] == "S"
+    assert rows["a"]["dt_last_update"] == _dt.date(2024, 2, 2)
+    # unchanged key: prev stays NULL, date stays day-1 (no-op merge)
+    assert rows["b"]["price_prev"] is None
+    assert rows["b"]["dt_last_update"] == _dt.date(2024, 1, 1)
+    assert rows["c"]["price"] == 3.0 and rows["c"]["price_prev"] is None
+
+    # day 3: batch without a or c -> both untouched; a second change to
+    # a key OVERWRITES prev (type-3 keeps only the last transition)
+    b2 = spark.createDataFrame([("b", 7.0, "XL")], "k string, price double, size string")
+    d3 = scd3_merge(d2, b2, key="k", attrs=["price", "size"], run_date="2024-03-03")
+    rows = {r["k"]: r for r in d3.collect()}
+    assert rows["a"]["price"] == 9.0 and rows["a"]["price_prev"] == 1.0
+    assert rows["b"]["price"] == 7.0 and rows["b"]["price_prev"] == 2.0
+    assert rows["b"]["size_prev"] == "M" and rows["b"]["dt_last_update"] == _dt.date(2024, 3, 3)
+    assert set(rows) == {"a", "b", "c"}
