@@ -272,7 +272,16 @@ def main() -> None:
                  "q281_kendall_tau_discount_qty",
                  "q290_neardup_threshold_sweep",
                  "q295_copurchase_novelty",
-                 "q301_vocab_coverage"):
+                 "q301_vocab_coverage",
+                 # round 13: nearest as-of (3-shuffle pick), containment
+                 # verify, rank-fence winsorizing, SCD2 interval audit
+                 # (the iterative fixpoint trio q324/q325/q333 stays out:
+                 # wall = data-dependent round count x fixed job cost,
+                 # which the scale_stress harness measures instead)
+                 "q327_nearest_click_gap",
+                 "q329_quote_containment_pairs",
+                 "q331_winsorized_revenue",
+                 "q335_scd2_interval_audit"):
         med = time_query(name)
         if med is not None:
             extra_queries[name.split("_")[0]] = med

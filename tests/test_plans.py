@@ -965,3 +965,30 @@ def test_round12_wave_plans(spark, sf_smoke):
     ):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
+
+
+def test_round13_wave_plans(spark, sf_smoke):
+    """q324-q335 discipline: zero Python UDFs, bounded shuffles.  The
+    iterative trio (q324/q325/q333) returns a final select over PINNED
+    frames, so its visible plan is shallow by construction — the
+    per-round shapes are pinned by the operator property tests; the
+    budgets here bound the post-iteration aggregation."""
+    for name, max_shuffles in (
+        ("q324_pagerank_tolerance_stop", 2),
+        ("q325_kcore_fixpoint", 4),
+        ("q326_post_purchase_reengagement", 3),
+        ("q327_nearest_click_gap", 5),
+        # blocked prefix self-join broadcasts at smoke scale (0
+        # shuffles); allow the sort-merge form at scale
+        ("q328_prefix_truncation_pairs", 3),
+        ("q329_quote_containment_pairs", 4),
+        ("q330_balance_distribution_rank", 2),
+        ("q331_winsorized_revenue", 6),
+        ("q332_revenue_drawdown", 4),
+        ("q333_substitution_distance_fixpoint", 3),
+        ("q334_scd3_value_history", 8),
+        ("q335_scd2_interval_audit", 8),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, name
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
