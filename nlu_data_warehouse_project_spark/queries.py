@@ -19537,3 +19537,103 @@ FROM per_key
 
 QUERIES.update({"q335_scd2_interval_audit": q335_scd2_interval_audit})
 ORACLE_SQL.update({"q335_scd2_interval_audit": Q335_SQL})
+
+# ---------------------------------------------------------------------------
+# Brand loyalty bands — integer-exact share classification (q336)
+# ---------------------------------------------------------------------------
+
+def q336_brand_loyalists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers classified by how concentrated their purchasing is on
+    ONE brand, by top-brand share of their line items: focused
+    (>= 1/5 — twice the ~11% median share of this assortment), tilted
+    ([1/8, 1/5)), diffuse (< 1/8) — the q323 discipline applied to a
+    share-of-max instead of a diversity index: band edges decide on
+    INTEGER cross-multiplication (5*max >= total, 8*max >= total), no
+    float ratio ever computed.  Plan: lineitem ⨝ broadcast part for
+    the brand, orders ⨝ for the customer, one (customer, brand) count,
+    one max/sum per customer, one band census."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    per = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    cust = per.groupBy("o_custkey").agg(
+        F.max("__c").cast("long").alias("__mx"),
+        F.sum("__c").cast("long").alias("__tot"),
+    )
+    banded = cust.select(
+        F.when(5 * F.col("__mx") >= F.col("__tot"), "focused")
+        .when(8 * F.col("__mx") >= F.col("__tot"), "tilted")
+        .otherwise("diffuse").alias("loyalty_band"),
+    )
+    return banded.groupBy("loyalty_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+Q336_SQL = """
+WITH per AS (
+  SELECT o_custkey, p_brand, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), cust AS (
+  SELECT o_custkey, max(c) AS mx, sum(c) AS tot FROM per GROUP BY 1
+)
+SELECT CASE WHEN 5 * mx >= tot THEN 'focused'
+            WHEN 8 * mx >= tot THEN 'tilted'
+            ELSE 'diffuse' END AS loyalty_band,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM cust GROUP BY 1
+"""
+
+
+QUERIES.update({"q336_brand_loyalists": q336_brand_loyalists})
+ORACLE_SQL.update({"q336_brand_loyalists": Q336_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Metadata-integrity flags via boolean aggregates (q337)
+# ---------------------------------------------------------------------------
+
+def q337_metadata_integrity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source documents metadata audit with BOOLEAN aggregates —
+    the aggregate family (bool_and/bool_or) the catalog hadn't
+    exercised: does the stored ``n_chars`` match ``length(text)`` for
+    EVERY doc of the source (one stale writer flips it), does ANY doc
+    miss a language tag, plus the count of each violation so the flag
+    is actionable.  One map-side-combined pass; booleans and integer
+    counts only — nothing to round."""
+    docs = _t(spark, sf_dir, "documents")
+    ok = F.col("n_chars") == F.length("text")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.bool_and(ok).alias("all_nchars_consistent"),
+        F.sum(F.when(~ok, 1).otherwise(0)).cast("long").alias("n_nchars_wrong"),
+        F.bool_or(F.col("lang").isNull()).alias("any_lang_missing"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).cast("long")
+        .alias("n_lang_missing"),
+    )
+
+
+Q337_SQL = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       bool_and(n_chars = length(text)) AS all_nchars_consistent,
+       CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nchars_wrong,
+       bool_or(lang IS NULL) AS any_lang_missing,
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lang_missing
+FROM documents GROUP BY 1
+"""
+
+
+QUERIES.update({"q337_metadata_integrity_flags": q337_metadata_integrity_flags})
+ORACLE_SQL.update({"q337_metadata_integrity_flags": Q337_SQL})
