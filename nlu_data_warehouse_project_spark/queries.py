@@ -19637,3 +19637,52 @@ FROM documents GROUP BY 1
 
 QUERIES.update({"q337_metadata_integrity_flags": q337_metadata_integrity_flags})
 ORACLE_SQL.update({"q337_metadata_integrity_flags": Q337_SQL})
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketch rollup (q338 + exact twin)
+# ---------------------------------------------------------------------------
+
+def q338_hll_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users via MERGEABLE HLL sketches: one
+    ``hll_sketch_agg`` per DAY, then ``hll_union_agg`` rolls the daily
+    sketches into weeks — the two-level partial-aggregation pattern
+    that makes incremental distinct counts possible at warehouse scale
+    (store the day sketches once; any coarser rollup is a cheap union,
+    never a re-scan — the property q163's one-shot
+    approx_count_distinct cannot offer).  Spark-native datasketches
+    binaries don't exist in DuckDB, so the gate is the q163 tolerance
+    discipline: estimates within 5% of the exact twin
+    (q338x_exact_rollup_distinct), keyed by week."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 12).alias("__sk")
+    )
+    weekly = daily.groupBy(F.trunc("day", "week").alias("week")).agg(
+        F.hll_union_agg("__sk").alias("__sk")
+    )
+    return weekly.select(
+        "week", F.hll_sketch_estimate("__sk").cast("long").alias("approx_users")
+    )
+
+
+def q338x_exact_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of q338: weekly exact distinct users (the value the
+    sketch rollup must land within 5% of)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.trunc(F.col("ts").cast("date"), "week").alias("week")
+    ).agg(F.count_distinct("user_id").cast("long").alias("exact_users"))
+
+
+Q338X_SQL = """
+SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM events GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "q338_hll_rollup_distinct": q338_hll_rollup_distinct,
+    "q338x_exact_rollup_distinct": q338x_exact_rollup_distinct,
+})
+ORACLE_SQL.update({"q338x_exact_rollup_distinct": Q338X_SQL})

@@ -66,6 +66,9 @@ TOLERANCE_GATES = {
     "q163_approx_distinct_users": (
         "q163x_exact_distinct_users", ("event_type",), "approx_users", "exact_users", 0.05,
     ),
+    "q338_hll_rollup_distinct": (
+        "q338x_exact_rollup_distinct", ("week",), "approx_users", "exact_users", 0.05,
+    ),
 }
 
 
