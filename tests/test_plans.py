@@ -988,6 +988,10 @@ def test_round13_wave_plans(spark, sf_smoke):
         ("q333_substitution_distance_fixpoint", 3),
         ("q334_scd3_value_history", 8),
         ("q335_scd2_interval_audit", 8),
+        ("q336_brand_loyalists", 4),
+        ("q337_metadata_integrity_flags", 2),
+        ("q338_hll_rollup_distinct", 3),
+        ("q338x_exact_rollup_distinct", 3),
     ):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name

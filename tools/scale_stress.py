@@ -81,6 +81,10 @@ STRESS_QUERIES = [
     "q242_abc_xyz_matrix",
     "q16_minhash_neardup",
     "q45_ivf_topk",
+    # iterative connected-components over the near-dup pair graph: the
+    # round-count-dependent operator class the fixed-round bench can't
+    # characterize — its scaling exponent belongs in SCALING.md
+    "q47_neardup_clusters",
 ]
 
 
