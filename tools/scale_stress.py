@@ -122,6 +122,23 @@ def build_inflated(spark, base: str, out: str, copies: int) -> str:
 
         out_df = functools.reduce(lambda a, b: a.unionByName(b), parts)
         out_df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        # inflation invariant: exactly copies x base rows landed, and
+        # the remapped key spaces didn't collide (distinct primary keys
+        # scale by exactly the same factor) — a remap bug here would
+        # silently corrupt every measured exponent
+        got = spark.read.parquet(f"{out}/{name}.parquet")
+        n_base, n_got = df.count(), got.count()
+        if n_got != copies * n_base:
+            raise AssertionError(
+                f"{name}: inflated rows {n_got} != {copies} * {n_base}"
+            )
+        pk = keys[0]
+        k_base = df.select(pk).distinct().count()
+        k_got = got.select(pk).distinct().count()
+        if k_got != copies * k_base:
+            raise AssertionError(
+                f"{name}: distinct {pk} {k_got} != {copies} * {k_base} (key collision)"
+            )
     for name in SYMLINK:
         dst = f"{out}/{name}.parquet"
         if not os.path.lexists(dst):
