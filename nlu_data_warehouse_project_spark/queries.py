@@ -19686,3 +19686,75 @@ QUERIES.update({
     "q338x_exact_rollup_distinct": q338x_exact_rollup_distinct,
 })
 ORACLE_SQL.update({"q338x_exact_rollup_distinct": Q338X_SQL})
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing — coupled recurrences, hash-gated (q339)
+# ---------------------------------------------------------------------------
+
+def q339_holt_trend_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend) of daily
+    order counts, alpha = beta = 1/2 — q197's cross-engine hash trick
+    extended to COUPLED recurrences:
+
+        a      = level + trend                 (prior one-step forecast)
+        level' = y/2 + a/2
+        trend' = (level' - level)/2 + trend/2
+
+    Dyadic coefficients and integer inputs keep early steps exact, and
+    past 53 bits BOTH engines evaluate the SAME IEEE expression tree in
+    the same day order — Spark's fold inlines level' into the trend
+    update, the oracle's recursive CTE spells the identical arithmetic
+    — so every double matches bit-for-bit with no tolerance.  `fc` is
+    the one-step-ahead forecast level'+trend' (pure arithmetic of the
+    gated columns).  Same O(days^2) prefix-array ceiling as q197
+    (calendar-bounded; see that docstring for the bound and the linear
+    alternative)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    arr = F.collect_list(F.col("n_orders").cast("double")).over(w)
+    # acc = struct(l, t); l' referenced twice in t' must be INLINED so
+    # the oracle can replicate the exact expression tree
+    lvl_new = "(x * 0.5D + (acc.l + acc.t) * 0.5D)"
+    state = F.expr(
+        "aggregate(slice(__arr, 2, size(__arr) - 1), "
+        "named_struct('l', __arr[0], 't', 0.0D), "
+        f"(acc, x) -> named_struct('l', {lvl_new}, "
+        f"'t', ({lvl_new} - acc.l) * 0.5D + acc.t * 0.5D))"
+    )
+    return (
+        daily.withColumn("__arr", arr)
+        .withColumn("__s", state)
+        .select(
+            "day", "n_orders",
+            F.col("__s.l").alias("level"),
+            F.col("__s.t").alias("trend"),
+            (F.col("__s.l") + F.col("__s.t")).alias("fc"),
+        )
+    )
+
+
+Q339_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), series AS (
+  SELECT day, n_orders, row_number() OVER (ORDER BY day) AS i FROM daily
+), walk(i, l, t) AS (
+  SELECT i, CAST(n_orders AS DOUBLE), CAST(0 AS DOUBLE) FROM series WHERE i = 1
+  UNION ALL
+  SELECT s.i,
+         (CAST(s.n_orders AS DOUBLE) * 0.5 + (w.l + w.t) * 0.5),
+         ((CAST(s.n_orders AS DOUBLE) * 0.5 + (w.l + w.t) * 0.5) - w.l) * 0.5
+           + w.t * 0.5
+  FROM walk w JOIN series s ON s.i = w.i + 1
+)
+SELECT s.day, s.n_orders, w.l AS level, w.t AS trend, w.l + w.t AS fc
+FROM series s JOIN walk w ON s.i = w.i
+"""
+
+
+QUERIES.update({"q339_holt_trend_daily_orders": q339_holt_trend_daily_orders})
+ORACLE_SQL.update({"q339_holt_trend_daily_orders": Q339_SQL})

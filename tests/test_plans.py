@@ -992,6 +992,9 @@ def test_round13_wave_plans(spark, sf_smoke):
         ("q337_metadata_integrity_flags", 2),
         ("q338_hll_rollup_distinct", 3),
         ("q338x_exact_rollup_distinct", 3),
+        # calendar-sized global window (the sanctioned whole-frame
+        # exception, stated in its docstring) + one day aggregation
+        ("q339_holt_trend_daily_orders", 3),
     ):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
