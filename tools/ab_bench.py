@@ -41,6 +41,18 @@ session where JVM pressure inflates small queries the most).  No
 code fix required.  The query list is overridable per run via
 SPARK_GRAFT_AB_QUERIES so this file never has to change inside the
 checkouts being compared.
+
+Round-13 addendum (same day): the round-end local bench read q16
++21% / q242 +20% vs BENCH_r12 — exactly at the 1.2x investigate
+line — so the same protocol ran against the r12 final (f09e85f):
+3 clean interleaved pairs, min-of-3,
+
+    q01(control) 1.002/1.045   q16 1.770/1.819   q242 2.590/2.602
+
+HEAD is marginally FASTER on both (and their code is byte-untouched
+this round).  Note both checkouts measure q16/q242 higher in a
+3-query session than in r12's full bench — session composition
+shifts absolute numbers; only interleaved mins are like-for-like.
 """
 
 from __future__ import annotations
