@@ -19758,3 +19758,58 @@ FROM series s JOIN walk w ON s.i = w.i
 
 QUERIES.update({"q339_holt_trend_daily_orders": q339_holt_trend_daily_orders})
 ORACLE_SQL.update({"q339_holt_trend_daily_orders": Q339_SQL})
+
+# ---------------------------------------------------------------------------
+# Native session_window in batch, gated cross-engine (q340)
+# ---------------------------------------------------------------------------
+
+def q340_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN ``session_window`` run in batch and gated
+    against a gaps-and-islands oracle — pinning the native operator's
+    exact boundary semantics (probed, not assumed: two events exactly
+    one gap apart MERGE, i.e. a new session starts only when the
+    inter-event gap is STRICTLY greater; session_end = last event +
+    gap).  q21 gates the catalog's own lag-based sessionizer; this
+    gates the engine primitive a Structured Streaming deployment would
+    use, so batch backfills and the streaming job agree on session
+    identity by construction.  One shuffle on (user, session)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+Q340_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), grouped AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM grouped GROUP BY user_id, sid
+"""
+
+
+QUERIES.update({"q340_session_window_native": q340_session_window_native})
+ORACLE_SQL.update({"q340_session_window_native": Q340_SQL})

@@ -995,6 +995,7 @@ def test_round13_wave_plans(spark, sf_smoke):
         # calendar-sized global window (the sanctioned whole-frame
         # exception, stated in its docstring) + one day aggregation
         ("q339_holt_trend_daily_orders", 3),
+        ("q340_session_window_native", 2),
     ):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name

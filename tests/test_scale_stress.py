@@ -1,0 +1,62 @@
+"""The scale-stress harness's inflation is itself correctness-gated:
+counts and key spaces must scale exactly, the token salt must preserve
+within-copy text and break cross-copy shingles, and the cache marker
+must make rebuilds idempotent."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from tools.scale_stress import STRIDE, build_inflated
+
+
+def test_build_inflated_invariants(spark, sf_smoke, tmp_path):
+    out = build_inflated(spark, sf_smoke, str(tmp_path / "x2"), 2)
+
+    # row and key spaces exactly doubled (build_inflated also asserts
+    # this internally; re-checking here pins the invariant in CI)
+    for name, pk in (("orders", "o_orderkey"), ("documents", "doc_id")):
+        base = spark.read.parquet(f"{sf_smoke}/{name}.parquet")
+        got = spark.read.parquet(f"{out}/{name}.parquet")
+        assert got.count() == 2 * base.count()
+        assert got.select(pk).distinct().count() == 2 * base.select(pk).distinct().count()
+
+    # fk consistency: every inflated lineitem orderkey resolves
+    li = spark.read.parquet(f"{out}/lineitem.parquet")
+    o = spark.read.parquet(f"{out}/orders.parquet")
+    orphans = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count()
+    assert orphans == 0
+
+    # token salt: copy-1 docs have every token suffixed, so the copy
+    # shares NO tokens with its base twin while keeping the same count
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    pair = (
+        docs.filter(F.col("doc_id") < STRIDE).select(
+            F.col("doc_id").alias("id"), F.col("text").alias("t0"))
+        .join(
+            docs.filter(F.col("doc_id") >= STRIDE).select(
+                (F.col("doc_id") - STRIDE).alias("id"), F.col("text").alias("t1")),
+            "id",
+        )
+        .select(
+            F.size(F.split("t0", " ")).alias("n0"),
+            F.size(F.split("t1", " ")).alias("n1"),
+            F.size(F.array_intersect(F.split("t0", " "), F.split("t1", " ")))
+            .alias("common"),
+        )
+    )
+    row = pair.agg(
+        F.sum(F.when(F.col("n0") != F.col("n1"), 1).otherwise(0)).alias("len_mismatch"),
+        F.max("common").alias("max_common"),
+    ).collect()[0]
+    assert row["len_mismatch"] == 0 and row["max_common"] == 0
+
+    # idempotent: the marker short-circuits a rebuild
+    marker = json.load(open(os.path.join(out, "_SCALE_STRESS.json")))
+    assert marker["copies"] == 2 and marker["stride"] == STRIDE
+    before = os.path.getmtime(f"{out}/orders.parquet")
+    build_inflated(spark, sf_smoke, out, 2)
+    assert os.path.getmtime(f"{out}/orders.parquet") == before
