@@ -9848,10 +9848,10 @@ def q197_ewma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     data volume, so this holds at 100 TB of orders over the same
     years.  It breaks if the series key ever stops being
     calendar-bounded (per-user series, minute grain over decades); the
-    linear-work alternative is the recursive form itself — one
-    sequential pass via `applyInPandas` per series key (state carried
-    across rows, O(D) total), at the cost of leaving whole-stage
-    codegen."""
+    linear-work alternative EXISTS as `operators/smooth.ewma_by_key`
+    — one sequential applyInPandas pass per series key, O(D) total,
+    reproducing this fold's doubles BIT-FOR-BIT (property-tested) at
+    the cost of leaving whole-stage codegen."""
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")

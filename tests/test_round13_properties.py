@@ -329,3 +329,79 @@ def test_ngram_containment_finds_subset_pairs(spark):
     assert row["containment"] == 1.0 and row["jaccard"] < 0.6
     # the jaccard verifier at the same 0.9 bar finds nothing
     assert ngram_jaccard_pairs(df, threshold=0.9).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Linear sequential smoothing == the quadratic fold twins, bit-for-bit
+# ---------------------------------------------------------------------------
+
+def test_linear_ewma_matches_q197_fold_bitwise(spark, sf_smoke):
+    """operators/smooth.ewma_by_key (O(n) applyInPandas) reproduces
+    q197's prefix-fold EWMA bit-for-bit on the real daily series —
+    the documented linear alternative is not an approximation."""
+    from nlu_data_warehouse_project_spark.operators.smooth import ewma_by_key
+    from nlu_data_warehouse_project_spark.queries import QUERIES
+    from pyspark.sql import functions as F2
+
+    fold = {r["day"]: r["ewma"]
+            for r in QUERIES["q197_ewma_daily_orders"](spark, sf_smoke).collect()}
+    daily = (
+        spark.read.parquet(f"{sf_smoke}/orders.parquet")
+        .groupBy(F2.col("o_orderdate").cast("date").alias("day"))
+        .agg(F2.count(F2.lit(1)).cast("double").alias("n"))
+        .withColumn("k", F2.lit(1))
+    )
+    lin = {r["day"]: r["ewma"]
+           for r in ewma_by_key(daily, ["k"], "day", "n").collect()}
+    assert lin == fold  # exact float equality, all days
+
+
+def test_linear_holt_matches_q339_fold_bitwise(spark, sf_smoke):
+    from nlu_data_warehouse_project_spark.operators.smooth import holt_by_key
+    from nlu_data_warehouse_project_spark.queries import QUERIES
+    from pyspark.sql import functions as F2
+
+    fold = {r["day"]: (r["level"], r["trend"])
+            for r in QUERIES["q339_holt_trend_daily_orders"](spark, sf_smoke).collect()}
+    daily = (
+        spark.read.parquet(f"{sf_smoke}/orders.parquet")
+        .groupBy(F2.col("o_orderdate").cast("date").alias("day"))
+        .agg(F2.count(F2.lit(1)).cast("double").alias("n"))
+        .withColumn("k", F2.lit(1))
+    )
+    lin = {r["day"]: (r["level"], r["trend"])
+           for r in holt_by_key(daily, ["k"], "day", "n").collect()}
+    assert lin == fold
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(series=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 100)), min_size=1, max_size=25,
+))
+def test_ewma_by_key_per_key_recursion(spark, series):
+    """Multi-key: each key's recursion runs independently over its own
+    order, matching a pure-Python reference."""
+    from nlu_data_warehouse_project_spark.operators.smooth import ewma_by_key
+
+    rows = [(k, i, float(v)) for i, (k, v) in enumerate(series)]
+    df = spark.createDataFrame(rows, "k long, i long, v double")
+    got = {(r["k"], r["i"]): r["ewma"]
+           for r in ewma_by_key(df, ["k"], "i", "v").collect()}
+    acc: dict = {}
+    want = {}
+    for k, i, v in rows:
+        acc[k] = v if k not in acc else acc[k] * 0.5 + v * 0.5
+        want[(k, i)] = acc[k]
+    assert got == want
+
+
+def test_smooth_validation(spark):
+    from nlu_data_warehouse_project_spark.operators.smooth import (
+        ewma_by_key, holt_by_key,
+    )
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "k long, i long, v double")
+    with pytest.raises(ValueError):
+        ewma_by_key(df, ["k"], "i", "v", alpha=0.0)
+    with pytest.raises(ValueError):
+        holt_by_key(df, ["k"], "i", "v", beta=1.5)
