@@ -2,13 +2,27 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line with per-query wall seconds.
 
+DRIFT-PROOF SESSION COMPOSITION (VERDICT r13 #1).  Three rounds in a
+row (r11/r12/r13) the recorded series moved 10-20% on byte-untouched
+code, and each time an interleaved A/B (tools/ab_bench.py) adjudicated
+it as session/machine drift: as the catalog grew, the single shared
+JVM ran ever more queries before the tail, shifting JIT/GC pressure
+under the gated totals.  The fix is structural — each gated group now
+runs in its OWN FRESH JVM subprocess with a frozen query set and
+order, so its numbers are like-for-like across rounds BY CONSTRUCTION:
+
+  legacy19  the round-3-comparable 19-query set (FROZEN — never grows)
+  heavy     the 5 graduated heavy plans (FROZEN since r11)
+  extras    ungated catalog additions (grows per round; its growth can
+            no longer contaminate the gated groups — separate JVM)
+  gates     ANN recalls + the 6 no-oracle gate metrics (VERDICT r13 #7)
+
 Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 5, VERDICT r8
-#4) and reports the per-query MEDIAN; the headline value is the sum of
-medians (single runs at this scale carry multi-hundred-ms JVM/GC
-noise).  ``load_avg`` (os.getloadavg at start/end) rides the JSON so a
-noisy-machine run is distinguishable from a code regression.  The LSH
-top-k's recall against the exact top-k is measured alongside so the
-approximate path's speed/recall trade stays visible round over round.
+#4) after one untimed codegen warm-up and reports the per-query
+MEDIAN; the headline value is the sum of medians.  ``load_avg`` per
+group (os.getloadavg at group start/end) plus a ``load_gate`` verdict
+ride the JSON so a noisy-machine run is distinguishable from a code
+regression without a manual A/B.
 
 Each query is fully materialized via the no-op sink (forces execution
 of every partition without a driver-side collect bottleneck).
@@ -19,15 +33,19 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
-from nlu_data_warehouse_project_spark.queries import QUERIES  # noqa: E402
-from nlu_data_warehouse_project_spark.session import get_spark  # noqa: E402
+# a 1-min load already this high at group start means the group's
+# numbers are contention-shaped, not code-shaped (32-core box; the
+# bench itself drives load ~2-3)
+LOAD_GATE_1MIN = 8.0
 
-HEADLINE = [
+LEGACY19 = [
     "q01_pricing_summary",
     "q05_date_surrogate",
     "q07_dedup_keep_first",
@@ -49,13 +67,11 @@ HEADLINE = [
     "q58_event_matrix",
 ]
 
-# VERDICT r11 #2: the heaviest catalog plans graduate from
-# extra_queries into the GATED headline set, so a regression there
-# fails a number instead of hiding in judge analysis.  They are
-# tracked separately from the round-7 list: ``value`` (the gated
-# total) sums ALL headline queries, while ``legacy19_total`` keeps
-# the round-3-comparable 19-query sum for the 2x-of-baseline rule's
-# like-for-like history.
+# VERDICT r11 #2: the heaviest catalog plans graduate from extras into
+# the GATED headline set, so a regression there fails a number instead
+# of hiding in judge analysis.  ``value`` (the gated total) sums both
+# gated groups; ``legacy19_total`` keeps the round-3-comparable
+# 19-query sum for the 2x-of-baseline rule's like-for-like history.
 HEAVY_HEADLINE = [
     "q180_coorder_blast_radius",
     "q182_rfm_segmentation",
@@ -63,6 +79,51 @@ HEAVY_HEADLINE = [
     "q227_spearman_qty_price",
     "q242_abc_xyz_matrix",
 ]
+
+# round-7+ additions measured OUTSIDE the gated totals; this list may
+# grow per round (its own JVM, so growth is composition-neutral for
+# the gated groups)
+EXTRAS = [
+    "q72_gopher_rules", "q73_top_ngrams_per_source", "q76_dup_ngram_fraction",
+    "q81_line_dedup", "q83_bloom_incremental_dedup", "q85_funnel",
+    "q90_interval_overlap", "q97_sliding_window",
+    "q104_small_qty_revenue", "q105_min_cost_supplier",
+    "q107_embedding_drift", "q108_dispersion_stats",
+    "q111_inverted_index", "q114_rolling_wau", "q115_golden_record",
+    # round 9: the distributed-rank family + the new heavy text ops
+    "q129_order_deciles", "q140_pareto_coverage",
+    "q146_order_deciles_approx", "q150_returned_top_customers",
+    "q154_contamination_check", "q156_collocations",
+    "q164_dedup_pressure",
+    # round-9 late wave: widest TPC-H join, corpus bigram probe,
+    # recursive-oracle BFS, rank-family business queries
+    "q172_national_market_share", "q178_rare_ngram_score",
+    "q181_abc_classification",
+    # round 10: global percentiles through the rank machinery,
+    # skyline via exclusive prefix-max
+    "q206_global_price_percentiles",
+    "q207_skyline_parts",
+    # round 11: rank-machinery inequality stats, the pair-free
+    # coherence identity over embeddings
+    "q224_gini_customer_spend",
+    "q245_label_coherence",
+    # round 12: bounded-grid tau, Jaccard sweep, edge novelty
+    # (self-join heavy), vocab rank machinery
+    "q281_kendall_tau_discount_qty",
+    "q290_neardup_threshold_sweep",
+    "q295_copurchase_novelty",
+    "q301_vocab_coverage",
+    # round 13: nearest as-of (3-shuffle pick), containment verify,
+    # rank-fence winsorizing, SCD2 interval audit (the iterative
+    # fixpoint trio q324/q325/q333 stays out: wall = data-dependent
+    # round count x fixed job cost — scale_stress measures them)
+    "q327_nearest_click_gap",
+    "q329_quote_containment_pairs",
+    "q331_winsorized_revenue",
+    "q335_scd2_interval_audit",
+]
+
+GROUPS = {"legacy19": LEGACY19, "heavy": HEAVY_HEADLINE, "extras": EXTRAS}
 
 
 def _recall_vs_exact(exact: set, approx_rows) -> float:
@@ -132,7 +193,7 @@ def ann_recalls(spark, sf_dir: str) -> dict:
         cosine_topk,
         ivf_cosine_topk,
     )
-    from nlu_data_warehouse_project_spark.queries import _IVF_PLANES, _t
+    from nlu_data_warehouse_project_spark.queries import QUERIES, _IVF_PLANES, _t
 
     exact = {
         (r["query_id"], r["neighbor_id"])
@@ -185,111 +246,186 @@ def ann_recalls(spark, sf_dir: str) -> dict:
     return out
 
 
+def no_oracle_gates(spark, sf_dir: str) -> dict:
+    """VERDICT r13 #7: the six catalog queries without a literal DuckDB
+    oracle each carry a REAL gate (recall floor / tolerance vs an exact
+    twin / driver-side Python recompute) in tools/check_oracle.py — but
+    the driver's CORRECTNESS rotation reports them as bare
+    ``no_oracle``, which reads as "unchecked".  Emit each gate's
+    measured value as a named bench metric so every consumer of
+    BENCH_r{N}.json sees the check and its margin.
+
+    Values: ``gate_*_recall`` >= the 0.8 floor; ``gate_*_rel_err`` <=
+    the 0.05 tolerance; ``gate_q223_python_match`` is an exact
+    value-hash equality (True required)."""
+    from nlu_data_warehouse_project_spark.queries import QUERIES
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from check_oracle import (  # noqa: E402
+        RECALL_GATES, TOLERANCE_GATES, _py_oracle_compression_screen, value_hash,
+    )
+
+    out: dict = {}
+    exact_twins: dict[str, list] = {}
+
+    def twin_rows(name):
+        if name not in exact_twins:
+            exact_twins[name] = QUERIES[name](spark, sf_dir).collect()
+        return exact_twins[name]
+
+    for name, (twin, (a, b), floor) in RECALL_GATES.items():
+        erows = twin_rows(twin)
+        exact = {(r[a], r[b]) for r in erows}
+        arows = QUERIES[name](spark, sf_dir).collect()
+        approx = {(r[a], r[b]) for r in arows}
+        rec = round(len(exact & approx) / len(exact), 4) if exact else 1.0
+        out[f"gate_{name.split('_')[0]}_recall"] = rec
+        out[f"gate_{name.split('_')[0]}_recall_floor"] = floor
+
+    for name, (twin, keys, acol, ecol, tol) in TOLERANCE_GATES.items():
+        approx = {tuple(r[k] for k in keys): r[acol]
+                  for r in QUERIES[name](spark, sf_dir).collect()}
+        exact = {tuple(r[k] for k in keys): r[ecol] for r in twin_rows(twin)}
+        worst = max(
+            (abs(approx[k] - exact[k]) / exact[k] if exact[k] else abs(approx[k]))
+            for k in exact
+        ) if exact else 0.0
+        out[f"gate_{name.split('_')[0]}_rel_err"] = round(worst, 4)
+        out[f"gate_{name.split('_')[0]}_rel_err_tol"] = tol
+
+    # q223: DEFLATE has no SQL spelling — the gate is a driver-side
+    # Python (zlib) recompute over the same parquet, hash-compared
+    import duckdb
+
+    sdf = QUERIES["q223_compression_screen"](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    pcols, prows = _py_oracle_compression_screen(con)
+    con.close()
+    out["gate_q223_python_match"] = bool(
+        len(srows) == len(prows) and value_hash(srows, scols) == value_hash(prows, pcols)
+    )
+    return out
+
+
+def run_group(group: str) -> None:
+    """Child-process entry: one fresh JVM, the group's frozen query
+    list in its frozen order, bench discipline (1 untimed warm-up +
+    median of n_runs, cache cleared between runs).  Prints ONE JSON
+    line on stdout."""
+    from nlu_data_warehouse_project_spark.queries import QUERIES
+    from nlu_data_warehouse_project_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    load_start = [round(x, 2) for x in os.getloadavg()]
+    spark = get_spark(f"nlu-dw-bench-{group}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    errors: dict[str, str] = {}
+    per_query: dict[str, float] = {}
+
+    if group in GROUPS:
+        # warm the JVM + parquet footers once so the first timed query
+        # measures the query, not session startup; non-fatal
+        try:
+            QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001 — a real failure reports per query
+            pass
+        for name in GROUPS[group]:
+            times = []
+            try:
+                for i in range(n_runs + 1):
+                    t0 = time.time()
+                    QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    if i > 0:
+                        times.append(time.time() - t0)
+                    spark.catalog.clearCache()
+            except Exception as exc:  # noqa: BLE001 — report, keep benching
+                errors[name.split("_")[0]] = f"{type(exc).__name__}: {exc}"[:300]
+                continue
+            per_query[name.split("_")[0]] = round(statistics.median(times), 3)
+        result: dict = {"group": group, "queries": per_query}
+    elif group == "gates":
+        result = {"group": group}
+        try:
+            result.update(ann_recalls(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            result["ann_recall_err"] = f"{type(exc).__name__}: {exc}"[:300]
+        try:
+            result.update(no_oracle_gates(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            result["no_oracle_gate_err"] = f"{type(exc).__name__}: {exc}"[:300]
+    else:
+        raise SystemExit(f"unknown group {group!r}")
+
+    if errors:
+        result["errors"] = errors
+    result["load_avg_start"] = load_start
+    result["load_avg_end"] = [round(x, 2) for x in os.getloadavg()]
+    print(json.dumps(result))
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--group":
+        run_group(sys.argv[2])
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
-    load_start = [round(x, 2) for x in os.getloadavg()]
-    spark = get_spark("nlu-dw-bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so per-query numbers measure
-    # the query, not session startup; non-fatal — if the warm-up query
-    # itself breaks, the per-query loop still reports every other query
-    try:
-        QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    except Exception:  # noqa: BLE001 — q01's own run will report the error
-        pass
-
-    errors: dict[str, str] = {}
-
-    def time_query(name: str) -> float | None:
-        """Median of n_runs, after one untimed warm-up: the first
-        execution of a plan shape pays whole-stage-codegen compilation
-        (~3s for the larger merges — measured: q08's first run is 5.2s
-        vs 1.7s steady-state), which with a 3-run median otherwise
-        lands IN the median and reads as a plan regression (r6's q08
-        "drift" was exactly this).  Failures are captured per query
-        (r4/r5 lost two full rounds to one crashing query); the cache
-        is cleared between runs so queries that persist intermediates
-        don't feed the next run."""
-        times = []
-        try:
-            for i in range(n_runs + 1):
-                t0 = time.time()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                if i > 0:
-                    times.append(time.time() - t0)
-                spark.catalog.clearCache()
-        except Exception as exc:  # noqa: BLE001 — report, keep benching
-            errors[name.split("_")[0]] = f"{type(exc).__name__}: {exc}"[:300]
-            return None
-        return round(statistics.median(times), 3)
+    group_results: dict[str, dict] = {}
+    group_errors: dict[str, str] = {}
+    for group in ("legacy19", "heavy", "extras", "gates"):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--group", group],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        line = next(
+            (ln for ln in reversed(proc.stdout.splitlines()) if ln.startswith("{")),
+            None,
+        )
+        if proc.returncode != 0 or line is None:
+            group_errors[group] = (proc.stderr or proc.stdout or "no output")[-400:]
+            continue
+        group_results[group] = json.loads(line)
 
     per_query: dict[str, float] = {}
-    legacy_total = 0.0
-    for name in HEADLINE:
-        med = time_query(name)
-        if med is not None:
-            per_query[name.split("_")[0]] = med
-            legacy_total += med
-    total = legacy_total
-    for name in HEAVY_HEADLINE:
-        med = time_query(name)
-        if med is not None:
-            per_query[name.split("_")[0]] = med
-            total += med
+    legacy_total = sum(group_results.get("legacy19", {}).get("queries", {}).values())
+    per_query.update(group_results.get("legacy19", {}).get("queries", {}))
+    per_query.update(group_results.get("heavy", {}).get("queries", {}))
+    total = sum(per_query.values())
+    extra_queries = dict(group_results.get("extras", {}).get("queries", {}))
 
-    # round-7/8 additions measured OUTSIDE the headline total (the 19-query
-    # total stays comparable across rounds); same protocol via time_query
-    extra_queries: dict[str, float] = {}
-    for name in ("q72_gopher_rules", "q73_top_ngrams_per_source", "q76_dup_ngram_fraction",
-                 "q81_line_dedup", "q83_bloom_incremental_dedup", "q85_funnel",
-                 "q90_interval_overlap", "q97_sliding_window",
-                 "q104_small_qty_revenue", "q105_min_cost_supplier",
-                 "q107_embedding_drift", "q108_dispersion_stats",
-                 "q111_inverted_index", "q114_rolling_wau", "q115_golden_record",
-                 # round 9: the distributed-rank family + the new heavy text ops
-                 "q129_order_deciles", "q140_pareto_coverage",
-                 "q146_order_deciles_approx", "q150_returned_top_customers",
-                 "q154_contamination_check", "q156_collocations",
-                 "q164_dedup_pressure",
-                 # round-9 late wave: widest TPC-H join, corpus bigram probe,
-                 # recursive-oracle BFS, rank-family business queries
-                 "q172_national_market_share", "q178_rare_ngram_score",
-                 "q181_abc_classification",
-                 # round 10: global percentiles through the rank
-                 # machinery, skyline via exclusive prefix-max
-                 "q206_global_price_percentiles",
-                 "q207_skyline_parts",
-                 # round 11: rank-machinery inequality stats, the
-                 # pair-free coherence identity over embeddings
-                 # (q180/q182/q200/q227/q242 graduated to HEAVY_HEADLINE)
-                 "q224_gini_customer_spend",
-                 "q245_label_coherence",
-                 # round 12: bounded-grid tau, Jaccard sweep, edge
-                 # novelty (self-join heavy), vocab rank machinery
-                 "q281_kendall_tau_discount_qty",
-                 "q290_neardup_threshold_sweep",
-                 "q295_copurchase_novelty",
-                 "q301_vocab_coverage",
-                 # round 13: nearest as-of (3-shuffle pick), containment
-                 # verify, rank-fence winsorizing, SCD2 interval audit
-                 # (the iterative fixpoint trio q324/q325/q333 stays out:
-                 # wall = data-dependent round count x fixed job cost,
-                 # which the scale_stress harness measures instead)
-                 "q327_nearest_click_gap",
-                 "q329_quote_containment_pairs",
-                 "q331_winsorized_revenue",
-                 "q335_scd2_interval_audit"):
-        med = time_query(name)
-        if med is not None:
-            extra_queries[name.split("_")[0]] = med
+    errors: dict[str, str] = {}
+    for g in group_results.values():
+        errors.update(g.get("errors", {}))
 
-    try:
-        recalls = ann_recalls(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001
-        recalls = {"ann_recall_err": f"{type(exc).__name__}: {exc}"[:300]}
+    gates = {
+        k: v
+        for k, v in group_results.get("gates", {}).items()
+        if k not in ("group", "load_avg_start", "load_avg_end", "errors")
+    }
+
+    load_by_group = {
+        g: {"start": r.get("load_avg_start"), "end": r.get("load_avg_end")}
+        for g, r in group_results.items()
+    }
+    load_gate_ok = all(
+        (r.get("load_avg_start") or [0.0])[0] <= LOAD_GATE_1MIN
+        for g, r in group_results.items()
+        if g in ("legacy19", "heavy")
+    )
 
     report = {
         "metric": "headline_queries_total",
@@ -299,24 +435,28 @@ def main() -> None:
         # totals are only cross-round comparable when every headline
         # query ran: n_ok < n_headline flags a non-comparable total
         "n_ok": len(per_query),
-        "n_headline": len(HEADLINE) + len(HEAVY_HEADLINE),
+        "n_headline": len(LEGACY19) + len(HEAVY_HEADLINE),
         # the round-3-comparable 19-query sum (the 2x-of-baseline
         # rule's like-for-like history; ``value`` gates the full set)
         "legacy19_total": round(legacy_total, 3),
         "sf": sf,
         "runs_per_query": n_runs,
         "warmup_runs_per_query": 1,
-        # 32-core box: a 1-min load avg well above ~32 at start or end
-        # means the total is contention, not code (r8's +7.7% "wobble")
-        "load_avg_start": load_start,
-        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        # session composition is pinned per group (fresh JVM, frozen
+        # set/order) — the r11/r12/r13 drift class is gone by
+        # construction; load_gate flags residual machine contention
+        "session_composition": "fresh-jvm-per-group",
+        "load_gate_1min_max": LOAD_GATE_1MIN,
+        "load_gate_ok": load_gate_ok,
+        "load_avg_by_group": load_by_group,
         "extra_queries": extra_queries,
-        **recalls,
+        **gates,
     }
     if errors:
         report["errors"] = errors
+    if group_errors:
+        report["group_errors"] = group_errors
     print(json.dumps(report))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -255,6 +255,15 @@ def bellman_ford_fixpoint(
     the audit flags it — distances in that state are not shortest
     paths, so the caller must check ``audit["negative_cycle"]``.
 
+    The certificate is only valid when the budget covered >= |V|
+    rounds (ADVICE r13): with a caller-supplied smaller
+    ``max_rounds``, a deep positive-weight graph that merely ran out
+    of budget is NOT evidence of a cycle, so |V| is always computed
+    (one distinct count over the already-pinned edge frame) and
+    ``negative_cycle`` asserts only when ``rounds_run >= |V|``;
+    plain budget exhaustion is reported separately as
+    ``audit["budget_exhausted"]``.
+
     Change detection is one outer-join + count over the two pinned
     |reached|-row distance vectors per round — integer-exact, no
     Python in the plan.  Returns ``(dist, audit)`` with audit
@@ -270,13 +279,13 @@ def bellman_ford_fixpoint(
         ),
         reliable=reliable, eager=True,
     )
+    n_nodes = (
+        e.select(F.col("__s").alias("n"))
+        .unionByName(e.select(F.col("__d").alias("n")))
+        .distinct()
+        .count()
+    )
     if max_rounds is None:
-        n_nodes = (
-            e.select(F.col("__s").alias("n"))
-            .unionByName(e.select(F.col("__d").alias("n")))
-            .distinct()
-            .count()
-        )
         max_rounds = n_nodes + 1
     dist = (
         edges.sparkSession.createDataFrame([(start,)], ["node"])
@@ -314,9 +323,11 @@ def bellman_ford_fixpoint(
         "rounds_run": rounds_run,
         "converged": converged,
         "changed_counts": changed_counts,
-        # still relaxing when the |V|+1 budget ran out == a reachable
-        # negative cycle (any simple shortest path has < |V| edges)
-        "negative_cycle": not converged,
+        # still relaxing after >= |V| rounds == a reachable negative
+        # cycle (any simple shortest path has < |V| edges); with a
+        # smaller caller budget, exhaustion proves nothing (ADVICE r13)
+        "negative_cycle": not converged and rounds_run >= n_nodes,
+        "budget_exhausted": not converged,
     }
     return dist, audit
 

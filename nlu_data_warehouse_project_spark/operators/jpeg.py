@@ -204,6 +204,18 @@ def decode_jpeg(payload: bytes) -> dict:
             restart = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            # ADVICE r13: the MCU loop below assumes ONE interleaved
+            # scan covering every SOF component.  A spec-legal baseline
+            # JPEG may instead ship per-component scans (ns <
+            # len(comps)); decoding only the first with interleaved
+            # geometry would silently return wrong pixels (zero chroma
+            # planes -> neutral color), so fail fast like SOF2 does.
+            if ns != len(comps):
+                raise NotImplementedError(
+                    f"JPEG non-interleaved / multi-scan baseline (SOS has {ns} "
+                    f"of {len(comps)} components): only a single interleaved "
+                    "scan decodes here"
+                )
             for c in range(ns):
                 cs, tdta = seg[1 + c * 2:3 + c * 2]
                 idx = next(i for i, comp in enumerate(comps) if comp["id"] == cs)

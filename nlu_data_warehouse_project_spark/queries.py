@@ -19176,7 +19176,6 @@ def q331_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__rk") == F.expr("CAST(ceil(__n * 0.05) AS LONG)"))
             | (F.col("__rk") == F.expr("CAST(ceil(__n * 0.95) AS LONG)"))
         )
-        .crossJoin(F.broadcast(tot.select(F.col("__n").alias("__n2"))))
         .agg(
             F.min(F.when(F.col("__rk") == F.expr("CAST(ceil(__n * 0.05) AS LONG)"),
                          F.col("o_totalprice"))).alias("__lo"),
@@ -19403,14 +19402,20 @@ WITH a AS (
     FROM events WHERE ts >= TIMESTAMP '{_SNAP_SPLIT}') WHERE rn = 1
 )
 SELECT COALESCE(a.user_id, b.user_id) AS user_id,
-       CASE WHEN b.user_id IS NOT NULL AND (a.user_id IS NULL OR a.value <> b.value)
+       CASE WHEN b.user_id IS NOT NULL
+                 AND (a.user_id IS NULL OR a.value IS DISTINCT FROM b.value)
             THEN b.value ELSE a.value END AS value,
-       CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL AND a.value <> b.value
+       CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+                 AND a.value IS DISTINCT FROM b.value
             THEN a.value END AS value_prev,
-       CASE WHEN b.user_id IS NOT NULL AND (a.user_id IS NULL OR a.value <> b.value)
+       CASE WHEN b.user_id IS NOT NULL
+                 AND (a.user_id IS NULL OR a.value IS DISTINCT FROM b.value)
             THEN DATE '{_D1}' ELSE DATE '{_D0}' END AS dt_last_update
 FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
 """
+# change detection above is IS DISTINCT FROM, not <> (ADVICE r13):
+# scd3_merge compares with eqNullSafe, so a NULL snapshot value must
+# classify as changed/unchanged identically in both engines.
 
 
 QUERIES.update({"q334_scd3_value_history": q334_scd3_value_history})

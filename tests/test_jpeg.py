@@ -109,6 +109,19 @@ def test_progressive_and_malformed_fail_fast():
         decode_jpeg(good[: len(good) - (len(good) - good.index(b"\xff\xda")) // 2])
 
 
+def test_multiscan_baseline_fails_fast():
+    """ADVICE r13: a spec-legal baseline JPEG with per-component scans
+    (SOS ns < SOF component count) must fail fast, not decode the
+    first scan with interleaved geometry and return plausible-looking
+    wrong pixels (zeroed chroma planes)."""
+    payload = bytearray(encode_jpeg(16, 8, 3, bytes([100, 150, 200] * (16 * 8))))
+    sos = payload.index(b"\xff\xda")
+    assert payload[sos + 4] == 3  # SOS ns byte of the 3-component scan
+    payload[sos + 4] = 1  # simulate the first scan of a 3-scan stream
+    with pytest.raises(NotImplementedError, match="multi-scan|interleaved"):
+        decode_jpeg(bytes(payload))
+
+
 def test_feature_path_consumes_jpeg(spark):
     """extract_features(use_fake_extractor=False) — the Arrow-batched
     mapInPandas real-pixel path — now featurizes JPEG payloads."""

@@ -309,6 +309,27 @@ def test_bellman_ford_negative_cycle_flagged(spark):
     assert {r["node"]: r["dist"] for r in dist.collect()} == {1: 0, 2: 2, 3: 10}
 
 
+def test_bellman_ford_small_budget_is_not_a_cycle(spark):
+    """ADVICE r13: a deep positive-weight chain that merely runs out
+    of a caller-supplied small budget must report budget_exhausted,
+    NOT a negative cycle (the BF certificate needs >= |V| rounds)."""
+    from nlu_data_warehouse_project_spark.operators.graph import bellman_ford_fixpoint
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(8)], "src long, dst long, w long"
+    )
+    _dist, audit = bellman_ford_fixpoint(chain, 0, max_rounds=3)
+    assert audit["converged"] is False
+    assert audit["budget_exhausted"] is True
+    assert audit["negative_cycle"] is False  # 3 < |V| = 9: no certificate
+    # the true cycle case still certifies (budget covers |V|)
+    cyc = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 1, -3)], "src long, dst long, w long"
+    )
+    _d, a2 = bellman_ford_fixpoint(cyc, 1)
+    assert a2["negative_cycle"] is True and a2["budget_exhausted"] is True
+
+
 def test_ngram_containment_finds_subset_pairs(spark):
     """A verbatim first-half truncation has containment 1.0 but
     jaccard well under 1 — the pair Jaccard-thresholded dedup misses."""

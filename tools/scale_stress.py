@@ -141,8 +141,13 @@ def build_inflated(spark, base: str, out: str, copies: int) -> str:
             )
     for name in SYMLINK:
         dst = f"{out}/{name}.parquet"
-        if not os.path.lexists(dst):
-            os.symlink(os.path.abspath(f"{base}/{name}.parquet"), dst)
+        # ADVICE r13: on a rebuild into the same out dir with a
+        # different --base, a skipped-on-lexists symlink would keep
+        # pointing at the OLD base and silently mix scale factors —
+        # always re-point the link when (re)building
+        if os.path.lexists(dst):
+            os.remove(dst)
+        os.symlink(os.path.abspath(f"{base}/{name}.parquet"), dst)
     with open(marker, "w", encoding="utf-8") as f:
         json.dump(want, f)
     return out
