@@ -11442,7 +11442,17 @@ def q222_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (disassortative, r < 0)?  Completes the graph-metric family
     (q189 triangles, q190 degree profile, q200 PageRank).  All five
     correlation sums (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs over
-    integer degrees; the Pearson formula is the single final float."""
+    integer degrees; the Pearson formula is the single final float.
+
+    SCALE BOUND (VERDICT r13 #5): unlike q180/q200 — whose metrics are
+    definable on the bipartite membership table — assortativity is a
+    sum OVER DISTINCT EDGES, so the co-order edge set must be
+    materialized here; the per-order self-join fans out k(k-1) pairs
+    for a k-line order.  TPC-H caps k at 7 (≤42 pairs/order — linear
+    in practice, measured sub-linear in SCALING.md's stress row), but
+    a general basket corpus does NOT cap k: with heavy baskets, first
+    cap the fan-out (e.g. top-k lines per order by quantity, or
+    sample pairs per order) before reusing this plan."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
@@ -19818,3 +19828,124 @@ FROM grouped GROUP BY user_id, sid
 
 QUERIES.update({"q340_session_window_native": q340_session_window_native})
 ORACLE_SQL.update({"q340_session_window_native": Q340_SQL})
+
+# ---------------------------------------------------------------------------
+# Linear per-key smoothers, oracle-gated (q341/q342) — VERDICT r13 #3
+# ---------------------------------------------------------------------------
+
+def q341_ewma_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation EWMA of daily order counts through the LINEAR
+    O(n)-per-key smoother (`smooth.ewma_by_key`, one sequential
+    applyInPandas pass per key) — the designated 100x-scale path for
+    per-key unbounded series, previously property-tested against the
+    q197 fold but never cross-engine-gated.  ~25 keys x the calendar
+    day series, alpha = 1/2: dyadic coefficients + the identical IEEE
+    operation order (acc*0.5 + x*0.5 in day order) make every double
+    bit-identical to the oracle's per-key recursive CTE, so the
+    Arrow-batched Python stage is hash-gated with NO tolerance.
+    Sanctioned py-in-plan (sequential recurrence; see smooth.py)."""
+    from .operators.smooth import ewma_by_key
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return ewma_by_key(daily, ["nation"], "day", "n_orders", alpha=0.5)
+
+
+Q341_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT n.n_name AS nation, CAST(o.o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), series AS (
+  SELECT nation, day, n_orders,
+         row_number() OVER (PARTITION BY nation ORDER BY day) AS i
+  FROM daily
+), walk(nation, i, ewma) AS (
+  SELECT nation, i, CAST(n_orders AS DOUBLE) FROM series WHERE i = 1
+  UNION ALL
+  SELECT s.nation, s.i, w.ewma * 0.5 + CAST(s.n_orders AS DOUBLE) * 0.5
+  FROM walk w JOIN series s ON s.nation = w.nation AND s.i = w.i + 1
+)
+SELECT s.nation, s.day, s.n_orders, w.ewma
+FROM series s JOIN walk w ON w.nation = s.nation AND w.i = s.i
+"""
+
+
+def q342_holt_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Holt level+trend smoothing through the linear
+    O(n)-per-key `smooth.holt_by_key` — q341's coupled-recurrence
+    sibling (level' referenced by the trend update), gating that the
+    sequential Python stage reproduces the oracle's per-key recursive
+    CTE bit-for-bit at alpha = beta = 1/2.  `fc` = level + trend is
+    the one-step-ahead forecast.  Same scale story as q341: one
+    Arrow batch per nation, state in-worker, O(days) per key."""
+    from .operators.smooth import holt_by_key
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    sm = holt_by_key(daily, ["nation"], "day", "n_orders", alpha=0.5, beta=0.5)
+    return sm.select(
+        "nation", "day", "n_orders", "level", "trend",
+        (F.col("level") + F.col("trend")).alias("fc"),
+    )
+
+
+Q342_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT n.n_name AS nation, CAST(o.o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), series AS (
+  SELECT nation, day, n_orders,
+         row_number() OVER (PARTITION BY nation ORDER BY day) AS i
+  FROM daily
+), walk(nation, i, l, t) AS (
+  SELECT nation, i, CAST(n_orders AS DOUBLE), CAST(0 AS DOUBLE)
+  FROM series WHERE i = 1
+  UNION ALL
+  SELECT s.nation, s.i,
+         (CAST(s.n_orders AS DOUBLE) * 0.5 + (w.l + w.t) * 0.5),
+         ((CAST(s.n_orders AS DOUBLE) * 0.5 + (w.l + w.t) * 0.5) - w.l) * 0.5
+           + w.t * 0.5
+  FROM walk w JOIN series s ON s.nation = w.nation AND s.i = w.i + 1
+)
+SELECT s.nation, s.day, s.n_orders, w.l AS level, w.t AS trend,
+       w.l + w.t AS fc
+FROM series s JOIN walk w ON w.nation = s.nation AND w.i = s.i
+"""
+
+
+QUERIES.update({
+    "q341_ewma_by_nation": q341_ewma_by_nation,
+    "q342_holt_by_nation": q342_holt_by_nation,
+})
+ORACLE_SQL.update({
+    "q341_ewma_by_nation": Q341_SQL,
+    "q342_holt_by_nation": Q342_SQL,
+})

@@ -54,9 +54,39 @@ def test_build_inflated_invariants(spark, sf_smoke, tmp_path):
     ).collect()[0]
     assert row["len_mismatch"] == 0 and row["max_common"] == 0
 
+    # embedding perturbation (VERDICT r13 #2): copy-1 vectors must be
+    # NEAR their base twin, never verbatim — distinct on every vector,
+    # each element within the ±EPS x rms bound
+    from tools.scale_stress import PERTURB_EPS
+
+    emb = spark.read.parquet(f"{out}/embeddings.parquet")
+    epair = (
+        emb.filter(F.col("vec_id") < STRIDE).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("e0"))
+        .join(
+            emb.filter(F.col("vec_id") >= STRIDE).select(
+                (F.col("vec_id") - STRIDE).alias("id"), F.col("embedding").alias("e1")),
+            "id",
+        )
+        .select(
+            F.expr("aggregate(zip_with(e0, e1, (a, b) -> CAST(abs(a - b) AS DOUBLE)), "
+                   "0.0D, (acc, x) -> greatest(acc, x))").alias("max_delta"),
+            F.expr("sqrt(aggregate(e0, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * x) "
+                   "/ greatest(size(e0), 1))").alias("rms"),
+        )
+    )
+    erow = epair.agg(
+        F.sum(F.when(F.col("max_delta") == 0.0, 1).otherwise(0)).alias("verbatim"),
+        # float32 storage rounds the perturbed value, so allow a hair
+        F.max(F.col("max_delta") / F.col("rms")).alias("worst_rel"),
+    ).collect()[0]
+    assert erow["verbatim"] == 0  # no copy survives identical
+    assert erow["worst_rel"] <= PERTURB_EPS * 1.01
+
     # idempotent: the marker short-circuits a rebuild
     marker = json.load(open(os.path.join(out, "_SCALE_STRESS.json")))
     assert marker["copies"] == 2 and marker["stride"] == STRIDE
+    assert marker["version"] >= 2  # perturbation generation
     before = os.path.getmtime(f"{out}/orders.parquet")
     build_inflated(spark, sf_smoke, out, 2)
     assert os.path.getmtime(f"{out}/orders.parquet") == before

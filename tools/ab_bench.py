@@ -53,6 +53,32 @@ HEAD is marginally FASTER on both (and their code is byte-untouched
 this round).  Note both checkouts measure q16/q242 higher in a
 3-query session than in r12's full bench — session composition
 shifts absolute numbers; only interleaved mins are like-for-like.
+
+Round-14 finding (2026-08-15), VERDICT r13 #1 — the ACTUAL top
+movers of the r12->r13 drift (q08 +31.6%, q07 +29.4%, q05 +25.5%,
+q182 +20.2%, q01 +19.7%), which r13's addendum skipped.  Two
+interleaved sessions vs the r12 final (f09e85f), min-of-3 per query
+(HEAD/r12):
+
+    q01 0.965/0.981   q05 0.554/0.589   q07 0.925/0.929
+    q08 1.144/1.184   q182 2.533/2.405
+
+HEAD is FASTER on q01/q05/q07/q08; q182 reads +5.3% — the same
+magnitude as the q01 control's spread across the two sessions (HEAD
+q01 mins were 0.965 then 0.942 vs r12's 0.981 then 0.915), and in
+the first session HEAD's q182 hit 2.214, below r12's best anywhere.
+Verdict: the entire r13 drift cluster was session/machine variance;
+no code regression.  (The r12 side of session 1 ran its own older
+harness, which predates SPARK_GRAFT_AB_QUERIES and fell back to the
+default list — when A/B-ing old checkouts, invoke THIS file against
+the old worktree path so both sides run the same list.)
+
+This was the THIRD consecutive round of manual drift adjudication,
+so the structural fix landed with it: bench.py now runs each gated
+group (legacy19, heavy) in its own fresh JVM subprocess with a
+frozen query set and order — the recorded series is like-for-like
+across rounds by construction, and this harness remains only for
+ad-hoc forensics.
 """
 
 from __future__ import annotations
