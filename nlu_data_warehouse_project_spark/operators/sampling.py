@@ -296,3 +296,49 @@ def match_distribution(
         .filter(hash_bucket(id_col, seed) < F.floor(F.col("__keep") * HASH_BUCKETS))
         .drop("__b", "__keep")
     )
+
+
+def priority_sample_topk(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str,
+    weight_col: Column | str,
+    seed: int = 42,
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Weighted WITHOUT-replacement top-k per stratum via PRIORITY
+    SAMPLING (Duffield–Lund–Thorup): each row gets priority = w / u
+    with u a per-row deterministic uniform in (0, 1], and the k
+    highest-priority rows are kept — heavier rows win more often, any
+    row can win (u can be tiny), and the inclusion probabilities match
+    weighted sampling without replacement up to the scheme's provable
+    near-optimal variance.
+
+    Exactly reproducible cross-engine BY CONSTRUCTION: u derives from
+    the shared md5 bucket ((bucket + 1) / HASH_BUCKETS, never 0), and
+    priority uses only IEEE basic ops (one cast, one divide) — unlike
+    the Efraimidis–Spirakis u^(1/w) key, whose pow/log round
+    differently across libms and can flip near-tie ranks between
+    engines.  Ties (same bucket AND same weight) break on the id.
+
+    One rank-limit window per stratum; Spark's WindowGroupLimit keeps
+    the running top-k per map partition, so a billion-row stratum
+    never materializes a full sort — the ``cap_per_group`` shape.
+    ``weight_col`` must be strictly positive (shift before calling)."""
+    if k <= 0:
+        raise ValueError(f"k={k} must be positive")
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (hash_bucket(id_col, seed) + F.lit(1)).cast("double") / F.lit(
+        float(HASH_BUCKETS)
+    )
+    pri = wcol.cast("double") / u
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col(priority_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn(priority_col, pri)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

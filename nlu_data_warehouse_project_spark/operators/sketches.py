@@ -51,3 +51,84 @@ def heavy_hitters(df: DataFrame, col: str, min_share: float = 0.01) -> DataFrame
         .withColumn("share", F.round(F.col("n") / F.col("__total"), 4))
         .drop("__total")
     )
+
+
+def heavy_hitters_mg(
+    df: DataFrame,
+    col: str,
+    min_share: float = 0.01,
+    counters: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters without the full-cardinality shuffle —
+    Misra-Gries candidate generation + exact verification.
+
+    ``heavy_hitters`` above groupBys EVERY distinct key; at 100 TB a
+    high-cardinality column (tokens, URLs, user ids) makes that
+    shuffle the job.  This variant shuffles only the candidates:
+
+    1. Each partition streams once through a Misra-Gries summary of
+       ``counters`` slots (mapInPandas, numpy value_counts per Arrow
+       batch folded into a dict with the classic decrement step).  The
+       MG guarantee — any item with partition count > n_p/counters
+       survives — lifts to the union by pigeonhole: an item with
+       GLOBAL share >= 1/counters must exceed n_p/counters in at least
+       one partition, so the union of partition summaries is a
+       PROVABLE SUPERSET of the true heavy hitters for
+       counters >= ceil(1/min_share).
+    2. The candidate set (tiny: <= counters per partition) is
+       broadcast back for one exact count pass restricted to
+       candidates, and the true threshold filter runs on exact counts.
+
+    False positives from step 1 die in step 2; false negatives cannot
+    exist by the superset property — so the OUTPUT IS EXACT (same
+    rows as ``heavy_hitters``, hash-gateable against a plain SQL
+    oracle) while the shuffle carries candidate keys only.  Same
+    (col, n, share) schema as ``heavy_hitters``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not 0.0 < min_share <= 1.0:
+        raise ValueError(f"min_share={min_share} must be in (0, 1]")
+    k = counters if counters is not None else max(2, int(1.0 / min_share) + 1)
+    if k < int(1.0 / min_share):
+        raise ValueError(
+            f"counters={k} too small for min_share={min_share}: the "
+            f"superset guarantee needs >= {int(1.0 / min_share)} slots"
+        )
+
+    def mg_partition(it):
+        counts: dict = {}
+        for pdf in it:
+            for v, c in pdf[col].value_counts(dropna=True).items():
+                c = int(c)
+                if v in counts:
+                    counts[v] += c
+                elif len(counts) < k:
+                    counts[v] = c
+                else:
+                    # decrement all by the smallest survivor-or-new count
+                    dec = min(c, min(counts.values()))
+                    counts = {
+                        key: n - dec for key, n in counts.items() if n - dec > 0
+                    }
+                    if c - dec > 0:
+                        counts[v] = c - dec
+        yield pd.DataFrame({col: list(counts.keys())})
+
+    cand = (
+        df.select(col)
+        .mapInPandas(mg_partition, T.StructType([df.schema[col]]))
+        .distinct()
+    )
+    grouped = (
+        df.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = df.agg(F.count("*").alias("__total"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("n") >= F.greatest(F.lit(1), F.floor(F.col("__total") * min_share)))
+        .withColumn("share", F.round(F.col("n") / F.col("__total"), 4))
+        .drop("__total")
+    )

@@ -19949,3 +19949,346 @@ ORACLE_SQL.update({
     "q341_ewma_by_nation": Q341_SQL,
     "q342_holt_by_nation": Q342_SQL,
 })
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing (q343) + pack census (q344) — round 14
+# ---------------------------------------------------------------------------
+
+def q343_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAMPLE-packing primitive: documents packed first-fit-in-
+    order (per source, doc_id order) into 256-token training sequences
+    via `packing.greedy_pack`, documents NEVER split across packs.
+    Deliberately distinct from q75 (`chunking.pack_documents`), the
+    concat-then-chunk GPT layout where documents DO cross pack
+    boundaries and the layout is a parallel prefix sum: no-split
+    packing is a sequential RESET-ON-OVERFLOW recurrence — the running
+    total restarts whenever a doc would overflow — so it runs as one
+    O(n) applyInPandas pass per source (the q341 discipline) and
+    hash-gates EXACTLY against a per-key recursive-CTE oracle: every
+    (pack_id, pack_offset) is integer arithmetic, no tolerance
+    anywhere.  Token count = whitespace split size (q25's cheap
+    tokenizer), identical in both engines."""
+    from .operators.packing import greedy_pack
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = greedy_pack(docs, ["source"], "doc_id", "n_tokens", budget=256)
+    return packed.select("source", "doc_id", "n_tokens", "pack_id", "pack_offset")
+
+
+_PACK_WALK_SQL = """
+WITH RECURSIVE sized AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), series AS (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+  FROM sized
+), walk(source, i, pack_id, pack_offset, acc) AS (
+  SELECT source, i, CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tokens
+  FROM series WHERE i = 1
+  UNION ALL
+  SELECT s.source, s.i,
+         CASE WHEN w.acc + s.n_tokens > 256 THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.acc + s.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE w.acc END,
+         CASE WHEN w.acc + s.n_tokens > 256 THEN s.n_tokens
+              ELSE w.acc + s.n_tokens END
+  FROM walk w JOIN series s ON s.source = w.source AND s.i = w.i + 1
+)
+"""
+
+Q343_SQL = _PACK_WALK_SQL + """
+SELECT s.source, s.doc_id, s.n_tokens, w.pack_id, w.pack_offset
+FROM series s JOIN walk w ON w.source = s.source AND w.i = s.i
+"""
+
+
+def q344_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack census over q343's packing — the number a training-infra
+    dashboard actually watches: packs per source, mean fill (tokens
+    per 256-token budget), and the padding-waste fraction the packer
+    exists to minimize.  One grouped pass over the packed frame; the
+    oracle reruns the identical recursive walk and aggregates, so a
+    packer bug flips an aggregate hash even if q343's row gate were
+    skipped in a rotation."""
+    from .operators.packing import greedy_pack
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = greedy_pack(docs, ["source"], "doc_id", "n_tokens", budget=256)
+    per_pack = packed.groupBy("source", "pack_id").agg(
+        F.sum("n_tokens").cast("long").alias("__fill"),
+        F.count(F.lit(1)).cast("long").alias("__docs"),
+    )
+    return (
+        per_pack.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.sum("__docs").cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("__fill").cast("double")), 6).alias("avg_fill_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.col("__fill")).cast("double")
+                / (F.count(F.lit(1)) * 256).cast("double"),
+                6,
+            ).alias("waste_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+Q344_SQL = _PACK_WALK_SQL + """
+, per_pack AS (
+  SELECT s.source, w.pack_id,
+         CAST(sum(s.n_tokens) AS BIGINT) AS fill,
+         CAST(count(*) AS BIGINT) AS docs
+  FROM series s JOIN walk w ON w.source = s.source AND w.i = s.i
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(docs) AS BIGINT) AS n_docs,
+       round(avg(CAST(fill AS DOUBLE)), 6) AS avg_fill_tokens,
+       round(1.0 - CAST(sum(fill) AS DOUBLE)
+                 / CAST(count(*) * 256 AS DOUBLE), 6) AS waste_frac
+FROM per_pack GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Priority-sampling weighted top-k (q345) — round 14
+# ---------------------------------------------------------------------------
+
+def q345_priority_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted without-replacement sampling per segment via PRIORITY
+    SAMPLING (`sampling.priority_sample_topk`, Duffield–Lund–Thorup):
+    priority = weight / u with u the shared md5 uniform, top-10 per
+    market segment kept — richer customers (weight = acctbal + 1000,
+    shifted positive) win more often, everyone can win.  Chosen over
+    the Efraimidis–Spirakis u^(1/w) key precisely because w/u uses
+    only IEEE basic ops (cast + divide): both engines compute
+    bit-identical priorities, so the HASH GATE covers the priority
+    doubles themselves, not a rounded shadow."""
+    from .operators.sampling import priority_sample_topk
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+    )
+    weighted = cust.withColumn("__w", F.col("acctbal") + F.lit(1000.0))
+    out = priority_sample_topk(
+        weighted, ["segment"], k=10, id_col="custkey", weight_col="__w", seed=42
+    )
+    return out.select("segment", "custkey", "acctbal", "priority")
+
+
+Q345_SQL = """
+WITH p AS (
+  SELECT c_mktsegment AS segment, c_custkey AS custkey,
+         CAST(c_acctbal AS DOUBLE) AS acctbal,
+         (CAST(c_acctbal AS DOUBLE) + 1000.0)
+           / (CAST(('0x' || substring(md5('42:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 10000 + 1 AS DOUBLE)
+              / 10000.0) AS priority
+  FROM customer
+), r AS (
+  SELECT segment, custkey, acctbal, priority,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY priority DESC, custkey ASC) AS rn
+  FROM p
+)
+SELECT segment, custkey, acctbal, priority FROM r WHERE rn <= 10
+"""
+
+
+QUERIES.update({
+    "q343_sequence_packing": q343_sequence_packing,
+    "q344_packing_efficiency": q344_packing_efficiency,
+    "q345_priority_weighted_sample": q345_priority_weighted_sample,
+})
+ORACLE_SQL.update({
+    "q343_sequence_packing": Q343_SQL,
+    "q344_packing_efficiency": Q344_SQL,
+    "q345_priority_weighted_sample": Q345_SQL,
+})
+
+# ---------------------------------------------------------------------------
+# Calendar-spine gap fill: ffill (q346) and linear interpolation (q347)
+# ---------------------------------------------------------------------------
+
+_GAPFILL_DAILY = """
+WITH daily AS (
+  SELECT n.n_name AS nation, CAST(o.o_orderdate AS DATE) AS day,
+         CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderpriority = '1-URGENT'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT nation, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT nation, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+), j AS (
+  SELECT s.nation, s.day, d.rev
+  FROM spine s LEFT JOIN daily d ON d.nation = s.nation AND d.day = s.day
+)
+"""
+
+
+def _gapfill_daily_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared sparse series: 1995 daily URGENT revenue per nation —
+    ~2.5% of orders land in any (nation, day) cell, so most spine days
+    are genuine gaps (the operator's reason to exist)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("rev")
+        )
+    )
+
+
+def q346_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-function densification of a sparse revenue series:
+    `timeseries.gap_fill(method='ffill')` explodes each nation's own
+    calendar span and carries the last observation forward — the
+    prerequisite every rolling-window feature silently assumes (a
+    skipped day is a WRONG 7-day mean, not a missing one).  One
+    shuffle on the key; gate covers the dense spine row-for-row."""
+    from .operators.timeseries import gap_fill
+
+    return gap_fill(
+        _gapfill_daily_frame(spark, sf_dir), ["nation"], "day", "rev", method="ffill"
+    )
+
+
+Q346_SQL = _GAPFILL_DAILY + """
+SELECT nation, day,
+       last_value(rev IGNORE NULLS)
+         OVER (PARTITION BY nation ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       CAST(rev IS NOT NULL AS INTEGER) AS observed
+FROM j
+"""
+
+
+def q347_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across the same gaps — the flows-and-rates
+    fill (ffill is for stocks/balances).  Spine edges are observed by
+    construction (each key's span is bounded by its own min/max day),
+    so both interpolation endpoints always exist; the interpolated
+    doubles use only IEEE basic ops (datediff ratio, one multiply, one
+    divide) in the same expression order as the oracle, so the hash
+    gate covers the interpolated values bit-for-bit."""
+    from .operators.timeseries import gap_fill
+
+    return gap_fill(
+        _gapfill_daily_frame(spark, sf_dir), ["nation"], "day", "rev", method="linear"
+    )
+
+
+Q347_SQL = _GAPFILL_DAILY + """
+, marked AS (
+  SELECT nation, day, rev,
+         last_value(rev IGNORE NULLS)
+           OVER (PARTITION BY nation ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (PARTITION BY nation ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         first_value(rev IGNORE NULLS)
+           OVER (PARTITION BY nation ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (PARTITION BY nation ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT nation, day,
+       CASE WHEN rev IS NOT NULL THEN rev
+            ELSE pv + (nv - pv) * CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)
+       END AS filled,
+       CAST(rev IS NOT NULL AS INTEGER) AS observed
+FROM marked
+"""
+
+
+QUERIES.update({
+    "q346_gap_fill_ffill": q346_gap_fill_ffill,
+    "q347_gap_fill_linear": q347_gap_fill_linear,
+})
+ORACLE_SQL.update({
+    "q346_gap_fill_ffill": Q346_SQL,
+    "q347_gap_fill_linear": Q347_SQL,
+})
+
+# ---------------------------------------------------------------------------
+# Misra-Gries exact heavy hitters (q348) — round 14
+# ---------------------------------------------------------------------------
+
+def q348_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters via `sketches.heavy_hitters_mg`: per-
+    partition Misra-Gries summaries (mapInPandas, bounded counters)
+    union into a PROVABLE SUPERSET of every key with share >= 1%, then
+    one exact count pass over candidates only — the 100 TB shape where
+    a full-cardinality groupBy is the job (tokens, URLs, user ids) but
+    the answer set is tiny.  Output is EXACT (false positives die in
+    verification, false negatives can't exist by the MG pigeonhole
+    bound), so the hash gate runs against the plain exact-SQL heavy
+    hitters.  The probed key is a Zipf projection of the shared md5
+    bucket over lineitem (P(key=k) ~ 1/k(k+1), ~9 keys above 1%) —
+    the synthetic tables are deliberately uniform, so workload skew is
+    constructed deterministically and identically in both engines."""
+    from .operators.sampling import hash_bucket
+    from .operators.sketches import heavy_hitters_mg
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    keyed = li.select(
+        F.floor(F.lit(10000.0) / (hash_bucket("l_orderkey", seed=42) + F.lit(1)))
+        .cast("long")
+        .alias("key")
+    )
+    return heavy_hitters_mg(keyed, "key", min_share=0.01)
+
+
+Q348_SQL = """
+WITH k AS (
+  SELECT CAST(floor(10000.0 /
+           ((('0x' || substring(md5('42:' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+             % 10000) + 1)) AS BIGINT) AS key
+  FROM lineitem
+), g AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total FROM g
+)
+SELECT g.key, g.n,
+       round(CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE), 4) AS share
+FROM g, t
+WHERE g.n >= greatest(1, CAST(floor(t.total * 0.01) AS BIGINT))
+"""
+
+
+QUERIES.update({"q348_heavy_hitters_mg": q348_heavy_hitters_mg})
+ORACLE_SQL.update({"q348_heavy_hitters_mg": Q348_SQL})

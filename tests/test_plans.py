@@ -1000,3 +1000,32 @@ def test_round13_wave_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, name
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+
+
+def test_round14_wave_plans(spark, sf_smoke):
+    """q341-q345 discipline: the smoothers/packers are SANCTIONED
+    sequential-recurrence Python stages — exactly ONE
+    FlatMapGroupsInPandas each, nothing row-at-a-time, and the shuffle
+    budget is the group-by exchange plus the joins feeding it; q345
+    stays fully JVM-side (rank-limit window, no Python)."""
+    from nlu_data_warehouse_project_spark.plans import python_udf_count, shuffle_count
+
+    for name, py_stages, max_shuffles in (
+        ("q341_ewma_by_nation", 1, 4),
+        ("q342_holt_by_nation", 1, 4),
+        ("q343_sequence_packing", 1, 2),
+        ("q344_packing_efficiency", 1, 4),
+        ("q345_priority_weighted_sample", 0, 2),
+        # spine bounds agg + spine-to-facts join + ONE window sort
+        # (ffill and linear share the partitioning, so linear's four
+        # ignorenulls frames reuse a single exchange)
+        ("q346_gap_fill_ffill", 0, 6),
+        ("q347_gap_fill_linear", 0, 6),
+        # one MapInPandas MG stage; shuffles = candidate distinct +
+        # the candidates-only groupBy (the full-cardinality exchange
+        # this operator exists to avoid)
+        ("q348_heavy_hitters_mg", 1, 4),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == py_stages, (name, python_udf_count(q))
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
