@@ -2,15 +2,129 @@
 100 TB pipeline uses where exact answers don't fit (cardinality,
 quantiles, heavy hitters).
 
-Approximation means no independent-engine oracle can hash-match these;
-their tests bound relative error against the exact answers at test
-scale instead.
+Approximation usually means no independent-engine oracle can
+hash-match these; such operators bound relative error against the
+exact answers at test scale instead.  The EXCEPTION is the KMV family
+below: because its hash is the shared md5 recipe and its estimator is
+one IEEE divide, the approximate ANSWER ITSELF is a deterministic
+function of the input that DuckDB reproduces bit-for-bit — an
+approximate sketch with an exact hash gate.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# 2^60 — the md5-prefix hash space (15 hex chars), shared with the
+# minhash / hash_bucket family and spelled identically in DuckDB as
+# ('0x' || substring(md5(x), 1, 15))::BIGINT
+_HASH_SPACE = float(1 << 60)
+
+
+def kmv_uniform(col: Column | str, seed: int = 77) -> Column:
+    """Deterministic uniform in [0, 1) from md5(seed:value) — the full
+    60-bit prefix, NOT the 10k-bucket projection ``sampling.
+    hash_bucket`` uses: KMV's estimator reads the k-th smallest hash
+    directly, so quantizing to 10^4 buckets would collide distinct
+    values long before the sketch saturates.  long→double conversion
+    and the divide are both single correctly-rounded IEEE ops in the
+    JVM and in DuckDB, so the doubles agree bit for bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    digest = F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string")))
+    h60 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    return h60.cast("double") / F.lit(_HASH_SPACE)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_by: list[str] | None = None,
+    k: int = 64,
+    seed: int = 77,
+    salt_parts: int = 32,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al.) per
+    group: keep the k smallest hash values of the column; with the
+    hashes uniform on [0, 1), the k-th smallest h_(k) estimates
+    cardinality as (k-1) / h_(k).
+
+    Why this next to HLL (``approx_distinct``): KMV sketches MERGE by
+    construction — the k smallest of a union is computable from the
+    per-part k smallest, exactly (not approximately: every global
+    top-k hash is in its part's top-k), so rollups re-aggregate
+    without rescanning, and ``kmv_merge`` below is lossless.  And
+    because the hash is the shared md5 recipe, the estimate is a
+    deterministic function of the input both engines compute
+    identically — the catalog hash-gates the ESTIMATE itself.
+
+    Scale shape: two-level aggregation.  Level 1 groups by (group,
+    salt) where the salt is a hash projection of the VALUE (identical
+    values land together, so each level-1 buffer sees distinct-values
+    / salt_parts of the group) and keeps its local k smallest; level 2
+    merges the ≤ salt_parts × k survivors per group.  The level-1
+    ``collect_set`` buffer is bounded by the salt fan-out, not the
+    full group cardinality — ``salt_parts`` is the memory dial (a
+    JVM-side bounded-heap Aggregator would cap it at k exactly; that
+    is a Scala-UDAF away and out of scope for a Python package).
+
+    Returns group cols + ``kmv_mins`` (array<double>, the sketch —
+    feed to :func:`kmv_merge`), ``n_kept`` and ``kmv_estimate``
+    (exact count when the group has < k distinct values).
+    """
+    if k < 2:
+        raise ValueError(f"k={k} must be >= 2 (estimator divides by h_(k))")
+    gcols = list(group_by or [])
+    u = kmv_uniform(value_col, seed)
+    salt = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("s:"), F.col(value_col).cast("string"))), 1, 15), 16, 10)
+        .cast("long") % salt_parts
+    )
+    lvl1 = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, u.alias("__h"), salt.alias("__s"))
+        .groupBy(*gcols, "__s")
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__mins"))
+    )
+    merged = (
+        lvl1.select(*gcols, F.explode("__mins").alias("__h"))
+        .groupBy(*gcols)
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("kmv_mins"))
+    )
+    return _kmv_finish(merged, k)
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_by: list[str] | None = None,
+    k: int = 64,
+    mins_col: str = "kmv_mins",
+) -> DataFrame:
+    """Merge KMV sketches (rows of ``kmv_mins`` arrays) into coarser
+    groups — or one global sketch with ``group_by=None``.  LOSSLESS:
+    the k smallest hashes of a union are all within their part's k
+    smallest, so the merged sketch equals the sketch computed from
+    scratch over the union; the catalog proves that equality against a
+    direct-global SQL oracle."""
+    gcols = list(group_by or [])
+    merged = (
+        sketches.select(*gcols, F.explode(mins_col).alias("__h"))
+        .groupBy(*gcols)
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias(mins_col))
+    )
+    return _kmv_finish(merged, k, mins_col)
+
+
+def _kmv_finish(merged: DataFrame, k: int, mins_col: str = "kmv_mins") -> DataFrame:
+    """Attach n_kept + the (k-1)/h_(k) estimate (exact count below
+    saturation) to a frame holding the sorted k-min array."""
+    n = F.size(F.col(mins_col))
+    return merged.withColumn("n_kept", n).withColumn(
+        "kmv_estimate",
+        F.when(n < k, n.cast("double")).otherwise(
+            F.lit(float(k - 1)) / F.element_at(F.col(mins_col), k)
+        ),
+    )
 
 
 def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05, group_by: list[str] | None = None) -> DataFrame:

@@ -20292,3 +20292,260 @@ WHERE g.n >= greatest(1, CAST(floor(t.total * 0.01) AS BIGINT))
 
 QUERIES.update({"q348_heavy_hitters_mg": q348_heavy_hitters_mg})
 ORACLE_SQL.update({"q348_heavy_hitters_mg": Q348_SQL})
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: per-document (q349) and per-source (q350)
+# ---------------------------------------------------------------------------
+
+def q349_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by tf·idf (`tfidf.tfidf_top_terms`).
+    idf is the RATIONAL (N+1)/(df+1) — monotone in df exactly like the
+    ln form, but one correctly-rounded IEEE divide instead of a
+    1-ulp-libm ln, so the score doubles hash-match cross-engine with
+    no tolerance.  The idf join is term-keyed (vocabulary is never
+    broadcast or collected); top-k is one row_number window on the
+    same doc key the tf aggregation already shuffled on."""
+    from .operators.tfidf import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=3)
+
+
+Q349_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_LTOKENS_SQL}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE)
+           * (CAST(nd.n + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) AS score
+  FROM tf JOIN dfreq USING (term), nd
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, tf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+"""
+
+
+def q350_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE distinctive terms (`tfidf.distinctive_terms_by_group`):
+    pool each source's documents into one bag, score terms by the same
+    rational tf·idf with "documents" = sources, keep the top 5 — the
+    corpus-curation view of what a source contributes to the training
+    mix.  Hapax noise (group tf < 2) is dropped before df is counted,
+    mirrored in the oracle."""
+    from .operators.tfidf import distinctive_terms_by_group
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return distinctive_terms_by_group(docs, "source", k=5, min_group_tf=2)
+
+
+Q350_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({_LTOKENS_SQL}) AS term FROM documents
+), tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2 HAVING count(*) >= 2
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), ng AS (
+  SELECT CAST(count(DISTINCT source) AS BIGINT) AS n FROM documents
+), scored AS (
+  SELECT tf.source, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE)
+           * (CAST(ng.n + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) AS score
+  FROM tf JOIN dfreq USING (term), ng
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, tf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT source, term, tf, df, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact edit-distance-1 fuzzy join via deletion-neighborhood blocking (q351)
+# ---------------------------------------------------------------------------
+
+def q351_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every customer-name pair within Levenshtein distance 1, found
+    WITHOUT the O(n²) cross join: `fuzzy.edit1_pairs` explodes each
+    name into its SymSpell 1-deletion neighborhood (len+1 keys, all
+    built-in transform/substring), hash-joins on the variant key, and
+    kills superset false positives with one built-in levenshtein — the
+    entity-resolution shape that survives 100 TB.  The oracle is the
+    quadratic join DuckDB can afford at sf0.01: a genuinely different
+    algorithm agreeing on the answer, i.e. the blocking-recall proof
+    is CHECKED (substitution pairs meet on del_i(a) = del_i(b);
+    insert/delete pairs meet on a = del_i(b) because the string itself
+    is in its own neighborhood), not assumed."""
+    from .operators.fuzzy import edit1_pairs
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return edit1_pairs(cust, key_col="c_name", id_col="c_custkey")
+
+
+Q351_SQL = """
+SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+       a.c_name AS a_key, b.c_name AS b_key,
+       CAST(1 AS INT) AS distance
+FROM customer a
+JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+ AND levenshtein(a.c_name, b.c_name) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch: per-group (q352) and lossless merge proof (q353)
+# ---------------------------------------------------------------------------
+
+def q352_kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct buying customers per order priority via the KMV
+    (k-minimum-values) sketch, k=64 (`sketches.kmv_sketch`).  Unlike
+    HLL (q338's tolerance gate), KMV over the shared md5 uniform is a
+    DETERMINISTIC function of the input both engines compute
+    identically — the hash gate covers the approximate estimate
+    itself, bit for bit.  Two-level salted aggregation: level-1
+    buffers see distinct-values/32 of each group, level 2 merges the
+    bounded survivors."""
+    from .operators.sketches import kmv_sketch
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    )
+    out = kmv_sketch(orders, "o_custkey", ["priority"], k=64, seed=77)
+    return out.select("priority", "n_kept", "kmv_estimate")
+
+
+_KMV_U_SQL = (
+    "CAST(('0x' || substring(md5('77:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT"
+    " AS DOUBLE) / 1152921504606846976.0"
+)
+
+Q352_SQL = f"""
+WITH u AS (
+  SELECT DISTINCT o_orderpriority AS priority, {_KMV_U_SQL} AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+), r AS (
+  SELECT priority, h, row_number() OVER (PARTITION BY priority ORDER BY h) AS rn
+  FROM u
+), kept AS (
+  SELECT priority, CAST(count(*) AS INT) AS n_kept,
+         max(CASE WHEN rn = 64 THEN h END) AS h64
+  FROM r WHERE rn <= 64 GROUP BY 1
+)
+SELECT priority, n_kept,
+       CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+            ELSE 63.0 / h64 END AS kmv_estimate
+FROM kept
+"""
+
+
+def q353_kmv_merge_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge the q352 per-priority KMV sketches into ONE global sketch
+    (`sketches.kmv_merge`) — the 100 TB rollup move: re-aggregate
+    sketches, never rescan.  The merge is LOSSLESS (every global
+    k-min hash is inside its part's k-min), and this query PROVES it:
+    the oracle computes the global sketch DIRECTLY from the raw rows,
+    and the hash gate demands the merged estimate equal it exactly."""
+    from .operators.sketches import kmv_merge, kmv_sketch
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    )
+    per_group = kmv_sketch(orders, "o_custkey", ["priority"], k=64, seed=77)
+    return kmv_merge(per_group, None, k=64).select("n_kept", "kmv_estimate")
+
+
+Q353_SQL = f"""
+WITH u AS (
+  SELECT DISTINCT {_KMV_U_SQL} AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+), r AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u
+), kept AS (
+  SELECT CAST(count(*) AS INT) AS n_kept,
+         max(CASE WHEN rn = 64 THEN h END) AS h64
+  FROM r WHERE rn <= 64
+)
+SELECT n_kept,
+       CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+            ELSE 63.0 / h64 END AS kmv_estimate
+FROM kept
+"""
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules: brand affinity with lift (q354)
+# ---------------------------------------------------------------------------
+
+def q354_brand_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand co-purchase rules (`basket.association_rules`): for every
+    brand pair sharing an order, support / both confidences / lift
+    from exact counts.  The pair stage is k(k-1)/2 per order with k =
+    DISTINCT BRANDS in the order — bounded by TPC-H's 7 lineitems per
+    order (≤ 21 pairs), the same stated bound as q222; unbounded
+    baskets must be capped upstream (`sampling.cap_per_group`).  Item
+    supports join item-keyed (vocabulary-sized, never broadcast); all
+    statistics are single IEEE ops over exact counts, hash-gated with
+    no tolerance."""
+    from .operators.basket import association_rules
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bi = li.join(part, li.l_partkey == part.p_partkey).select("l_orderkey", "p_brand")
+    return association_rules(bi, "l_orderkey", "p_brand", min_pair_share=0.0005)
+
+
+Q354_SQL = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), nb AS (
+  SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi
+), item AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM bi GROUP BY 1
+), pairs AS (
+  SELECT a.i AS item_a, c.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_ab,
+       CAST(n_ab AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+       CAST(n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE) AS conf_a_to_b,
+       CAST(n_ab AS DOUBLE) / CAST(ib.n_i AS DOUBLE) AS conf_b_to_a,
+       (CAST(n_ab AS DOUBLE) * CAST(nb.n AS DOUBLE))
+         / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS lift
+FROM pairs
+JOIN item ia ON pairs.item_a = ia.i
+JOIN item ib ON pairs.item_b = ib.i, nb
+WHERE CAST(n_ab AS DOUBLE) >= CAST(nb.n AS DOUBLE) * 0.0005
+"""
+
+
+QUERIES.update({
+    "q349_tfidf_top_terms": q349_tfidf_top_terms,
+    "q350_source_signature_terms": q350_source_signature_terms,
+    "q351_fuzzy_name_pairs": q351_fuzzy_name_pairs,
+    "q352_kmv_distinct_customers": q352_kmv_distinct_customers,
+    "q353_kmv_merge_global": q353_kmv_merge_global,
+    "q354_brand_affinity_rules": q354_brand_affinity_rules,
+})
+ORACLE_SQL.update({
+    "q349_tfidf_top_terms": Q349_SQL,
+    "q350_source_signature_terms": Q350_SQL,
+    "q351_fuzzy_name_pairs": Q351_SQL,
+    "q352_kmv_distinct_customers": Q352_SQL,
+    "q353_kmv_merge_global": Q353_SQL,
+    "q354_brand_affinity_rules": Q354_SQL,
+})

@@ -1029,3 +1029,34 @@ def test_round14_wave_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == py_stages, (name, python_udf_count(q))
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+
+
+def test_round14_wave2_plans(spark, sf_smoke):
+    """q349-q354 discipline: all six stay fully JVM-side (zero Python
+    stages).  Budgets: tf·idf = tf agg + df agg + term join + doc
+    window (×1.5 for the source variant's having-filter split); the
+    edit-1 join = variant-key hash join + two dedups, NEVER an O(n²)
+    cross join; KMV = the two-level salted aggregation only; the
+    basket rules ride ONE tagged aggregation behind the checkpoint
+    barrier (pairs/supports/N from a single scan)."""
+    from nlu_data_warehouse_project_spark.plans import python_udf_count, shuffle_count
+
+    for name, max_shuffles in (
+        ("q349_tfidf_top_terms", 6),
+        ("q350_source_signature_terms", 6),
+        ("q351_fuzzy_name_pairs", 3),
+        ("q352_kmv_distinct_customers", 2),
+        ("q353_kmv_merge_global", 3),
+        ("q354_brand_affinity_rules", 4),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, (name, python_udf_count(q))
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+    # the fuzzy join's physical plan must not contain a cartesian /
+    # nested-loop pair stage — the deletion-neighborhood equi-join is
+    # the entire point
+    from nlu_data_warehouse_project_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q351_fuzzy_name_pairs"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
