@@ -262,7 +262,7 @@ def no_oracle_gates(spark, sf_dir: str) -> dict:
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from check_oracle import (  # noqa: E402
-        RECALL_GATES, TOLERANCE_GATES, _py_oracle_compression_screen, value_hash,
+        PYTHON_GATES, RECALL_GATES, TOLERANCE_GATES, value_hash,
     )
 
     out: dict = {}
@@ -293,22 +293,26 @@ def no_oracle_gates(spark, sf_dir: str) -> dict:
         out[f"gate_{name.split('_')[0]}_rel_err"] = round(worst, 4)
         out[f"gate_{name.split('_')[0]}_rel_err_tol"] = tol
 
-    # q223: DEFLATE has no SQL spelling — the gate is a driver-side
-    # Python (zlib) recompute over the same parquet, hash-compared
+    # PYTHON_GATES (q223 zlib screen, q358 BPE merges, ...): no SQL
+    # spelling — each gate is a driver-side pure-Python recompute over
+    # the same parquet, hash-compared; loop the registry so new
+    # python-gated queries are covered without touching bench.py
     import duckdb
 
-    sdf = QUERIES["q223_compression_screen"](spark, sf_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
-    )
-    pcols, prows = _py_oracle_compression_screen(con)
-    con.close()
-    out["gate_q223_python_match"] = bool(
-        len(srows) == len(prows) and value_hash(srows, scols) == value_hash(prows, pcols)
-    )
+    for name, py_oracle in PYTHON_GATES.items():
+        sdf = QUERIES[name](spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        pcols, prows = py_oracle(con)
+        con.close()
+        out[f"gate_{name.split('_')[0]}_python_match"] = bool(
+            len(srows) == len(prows)
+            and value_hash(srows, scols) == value_hash(prows, pcols)
+        )
     return out
 
 

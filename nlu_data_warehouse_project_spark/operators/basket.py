@@ -31,6 +31,7 @@ def association_rules(
     basket_col: str,
     item_col: str,
     min_pair_share: float = 0.001,
+    include_counts: bool = False,
 ) -> DataFrame:
     """Unordered item-pair rules: for every pair (a < b) of items
     co-occurring in at least ``min_pair_share`` of baskets, emit
@@ -40,8 +41,11 @@ def association_rules(
     - ``lift`` = P(a,b) / (P(a)·P(b)) — > 1 means the pair attracts
 
     Input rows are (basket, item) events; multiplicity within a basket
-    is ignored (set semantics — the ``distinct`` below).  N is the
+    is ignored (set semantics — ``collect_set`` below).  N is the
     number of baskets containing at least one item.
+    ``include_counts=True`` appends the raw marginals (``n_a``,
+    ``n_b``, ``n_baskets``) for downstream tests that need the full
+    2×2 contingency table (e.g. a chi-squared independence screen).
     """
     if not 0.0 <= min_pair_share <= 1.0:
         raise ValueError(f"min_pair_share={min_pair_share} must be in [0, 1]")
@@ -121,7 +125,7 @@ def association_rules(
     na = F.col("__n_a").cast("double")
     nb = F.col("__n_b").cast("double")
     n = F.col("__n").cast("double")
-    return out.select(
+    cols = [
         F.col("__i").alias("item_a"),
         F.col("__j").alias("item_b"),
         F.col("n_ab"),
@@ -129,4 +133,11 @@ def association_rules(
         (ab / na).alias("conf_a_to_b"),
         (ab / nb).alias("conf_b_to_a"),
         ((ab * n) / (na * nb)).alias("lift"),
-    )
+    ]
+    if include_counts:
+        cols += [
+            F.col("__n_a").alias("n_a"),
+            F.col("__n_b").alias("n_b"),
+            F.col("__n").alias("n_baskets"),
+        ]
+    return out.select(*cols)

@@ -20549,3 +20549,193 @@ ORACLE_SQL.update({
     "q353_kmv_merge_global": Q353_SQL,
     "q354_brand_affinity_rules": Q354_SQL,
 })
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity resolution: edit-1 blocking + connected components (q355)
+# ---------------------------------------------------------------------------
+
+def q355_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: the q351 edit-distance-1 pairs
+    (SymSpell blocking, no O(n²)) feed `clusters.neardup_clusters` —
+    iterative min-label propagation with checkpointed rounds and a
+    fail-fast on non-convergence — giving every fuzzy-linked customer
+    name a canonical cluster id (the component's min custkey).  The
+    oracle recomputes the transitive closure as a recursive CTE over
+    DuckDB's brute-force pair join: both the BLOCKING and the
+    CLOSURE are cross-checked by independent algorithms."""
+    from .operators.clusters import neardup_clusters
+    from .operators.fuzzy import edit1_pairs
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = edit1_pairs(cust, key_col="c_name", id_col="c_custkey")
+    return neardup_clusters(pairs, id_a="a_id", id_b="b_id", max_iters=30)
+
+
+Q355_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+   AND levenshtein(a.c_name, b.c_name) = 1
+), edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION ALL
+  SELECT b_id AS s, a_id AS d FROM pairs
+), reach AS (
+  SELECT DISTINCT s AS node, s AS label FROM edges
+  UNION
+  SELECT e.d AS node, r.label
+  FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence screen over brand pairs (q356)
+# ---------------------------------------------------------------------------
+
+def q356_brand_pair_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical screen on top of q354's rules: the 2×2 contingency
+    chi-squared for each brand pair — is the co-occurrence SIGNAL or
+    just marginal-frequency noise?  lift says "how much more often
+    than independent"; chi² says "can independence be rejected at all"
+    (lift 1.2 on 10 baskets is noise, on 10⁶ it isn't).  All inputs
+    are exact counts from `basket.association_rules(include_counts)`;
+    chi² is a fixed parenthesization of IEEE multiplies/divides both
+    engines evaluate identically, so the statistic itself is
+    hash-gated.  `significant` = chi² > 3.841 (95%, 1 dof)."""
+    from .operators.basket import association_rules
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bi = li.join(part, li.l_partkey == part.p_partkey).select("l_orderkey", "p_brand")
+    r = association_rules(
+        bi, "l_orderkey", "p_brand", min_pair_share=0.0005, include_counts=True
+    )
+    ab = F.col("n_ab").cast("double")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = F.col("n_baskets").cast("double")
+    n10 = na - ab
+    n01 = nb - ab
+    n00 = ((n - na) - nb) + ab
+    det = ab * n00 - n10 * n01
+    chi2 = (n * (det * det)) / ((na * nb) * ((n - na) * (n - nb)))
+    return r.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        "lift",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841)).cast("int").alias("significant"),
+    )
+
+
+Q356_SQL = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), nb AS (
+  SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi
+), item AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM bi GROUP BY 1
+), pairs AS (
+  SELECT a.i AS item_a, c.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2
+), m AS (
+  SELECT item_a, item_b, n_ab,
+         CAST(n_ab AS DOUBLE) AS ab, CAST(ia.n_i AS DOUBLE) AS na,
+         CAST(ib.n_i AS DOUBLE) AS nbv, CAST(nb.n AS DOUBLE) AS n
+  FROM pairs
+  JOIN item ia ON pairs.item_a = ia.i
+  JOIN item ib ON pairs.item_b = ib.i, nb
+  WHERE CAST(n_ab AS DOUBLE) >= CAST(nb.n AS DOUBLE) * 0.0005
+), s AS (
+  SELECT item_a, item_b, n_ab,
+         (ab * n) / (na * nbv) AS lift,
+         (n * ((ab * (((n - na) - nbv) + ab) - (na - ab) * (nbv - ab))
+               * (ab * (((n - na) - nbv) + ab) - (na - ab) * (nbv - ab))))
+           / ((na * nbv) * ((n - na) * (n - nbv))) AS chi2
+  FROM m
+)
+SELECT item_a, item_b, n_ab, lift, chi2,
+       CAST(chi2 > 3.841 AS INT) AS significant
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (q357)
+# ---------------------------------------------------------------------------
+
+def q357_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase occurrence counts per document via POSITIONAL
+    posting intersection (`search.phrase_hits`): occurrences of
+    'table' survive only where 'hash' sits at the next position — a
+    chain of (doc, position)-keyed semi-joins over the posexploded
+    token stream, with each term filter applied BEFORE its join (the
+    join sides are tiny selective slices, never the whole corpus, and
+    never a LIKE scan over raw bytes).  Posting lists stay distributed
+    — nothing is collect_list'd per term."""
+    from .operators.search import phrase_hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_hits(docs, ["table", "hash"])
+
+
+Q357_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_LTOKENS_SQL} AS ws FROM documents
+), toks AS (
+  SELECT doc_id, i, ws[i] AS term
+  FROM w, unnest(generate_series(1, len(ws))) AS u(i)
+), t0 AS (
+  SELECT doc_id, i FROM toks WHERE term = 'table'
+), t1 AS (
+  SELECT doc_id, i - 1 AS i FROM toks WHERE term = 'hash'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM t0 JOIN t1 USING (doc_id, i)
+GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "q355_fuzzy_entity_clusters": q355_fuzzy_entity_clusters,
+    "q356_brand_pair_chi2": q356_brand_pair_chi2,
+    "q357_phrase_search": q357_phrase_search,
+})
+ORACLE_SQL.update({
+    "q355_fuzzy_entity_clusters": Q355_SQL,
+    "q356_brand_pair_chi2": Q356_SQL,
+    "q357_phrase_search": Q357_SQL,
+})
+
+# ---------------------------------------------------------------------------
+# BPE merge induction — tokenizer training over the corpus (q358)
+# ---------------------------------------------------------------------------
+
+def q358_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merges from the documents corpus
+    (`bpe.learn_bpe_merges`): per round, corpus-weighted adjacent
+    symbol-pair counts (explode + map-side-combined sum over the WORD
+    FREQUENCY table — the raw corpus is scanned once, every round runs
+    on distinct words), deterministic argmax (count desc, left asc,
+    right asc), then a JVM-side `F.aggregate` fold rewrites the symbol
+    sequences — zero Python in the plan; the one collected row per
+    round is bounded metadata like centroids.  BPE has no SQL
+    spelling, so the gate is a pure-Python reference recompute
+    (tools/check_oracle.py PYTHON_GATES, the q223 machinery) —
+    value-hashed, not rows-only."""
+    from .operators.bpe import learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return learn_bpe_merges(docs, text_col="text", num_merges=8, min_pair_count=2)
+
+
+QUERIES.update({"q358_bpe_merges": q358_bpe_merges})
+# no ORACLE_SQL entry: gated by the pure-Python recompute in
+# tools/check_oracle.py (PYTHON_GATES) and the named bench gate metric

@@ -201,3 +201,87 @@ def test_association_rules_threshold_filters(spark):
     df = spark.createDataFrame(rows, "b long, i string")
     out = association_rules(df, "b", "i", min_pair_share=0.5).collect()
     assert {(r["item_a"], r["item_b"]) for r in out} == {("a", "b")}
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction
+# ---------------------------------------------------------------------------
+
+def _ref_bpe(texts, num_merges, min_pair_count=2):
+    """Pure-Python word-level BPE reference (same as the q358 gate)."""
+    import re
+    from collections import Counter
+
+    words: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", (t or "").strip().lower()):
+            if w:
+                words[w] += 1
+    seqs = {w: list(w) for w in words}
+    out = []
+    for rnd in range(num_merges):
+        pc: Counter = Counter()
+        for w, f in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_pair_count:
+            break
+        out.append((rnd, left, right, cnt))
+        merged = left + right
+        for w, s in seqs.items():
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            seqs[w] = ns
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(st.text(alphabet="abxy", min_size=1, max_size=6),
+                 min_size=1, max_size=8).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+)
+def test_bpe_matches_reference(spark, texts):
+    """Spark BPE == the pure-Python reference on tiny-alphabet corpora
+    where same-symbol runs (the overlap-merge edge) are common."""
+    from nlu_data_warehouse_project_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = [
+        (r["merge_round"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe_merges(df, num_merges=4, min_pair_count=1).collect()
+    ]
+    assert got == _ref_bpe(texts, 4, 1)
+
+
+def test_bpe_overlap_merges_left_to_right(spark):
+    """'aaa' with merge (a,a) must become [aa, a] — non-overlapping
+    left-to-right, and round 2 can then merge (aa, a)."""
+    from nlu_data_warehouse_project_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([(1, "aaa aa a")], "id long, text string")
+    got = [
+        (r["merge_round"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe_merges(df, num_merges=3, min_pair_count=1).collect()
+    ]
+    assert got == [(0, "a", "a", 3), (1, "aa", "a", 1)]
+
+
+def test_bpe_min_pair_count_stops_early(spark):
+    from nlu_data_warehouse_project_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([(1, "ab cd")], "id long, text string")
+    assert learn_bpe_merges(df, num_merges=5, min_pair_count=2).count() == 0

@@ -121,8 +121,54 @@ def _py_oracle_compression_screen(con):
 # (zlib DEFLATE): the oracle is a driver-side Python recompute over the
 # same parquet, compared with the SAME rowcount/columns/value-hash
 # machinery as the SQL twins.  name -> callable(duckdb_con) -> (cols, rows)
+def _py_oracle_bpe_merges(con):
+    """Pure-Python recompute of q358: reference word-level BPE (Sennrich
+    et al.) over the same parquet text — BPE has no SQL spelling, so
+    the oracle is an independent non-Spark execution.  Tokenization
+    mirrors `functions.text.tokens` (split lowered trimmed text on
+    whitespace runs); the merge is left-to-right non-overlapping with
+    the same (count desc, left asc, right asc) tiebreak."""
+    import re
+    from collections import Counter
+
+    words: Counter = Counter()
+    for (t,) in con.execute("SELECT text FROM documents").fetchall():
+        for w in re.split(r"\s+", (t or "").strip().lower()):
+            if w:
+                words[w] += 1
+    seqs = {w: list(w) for w in words}
+    out = []
+    for rnd in range(8):
+        pc: Counter = Counter()
+        for w, f in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        out.append((rnd, left, right, cnt))
+        merged = left + right
+        for w, s in seqs.items():
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            seqs[w] = ns
+    return ["merge_round", "left", "right", "pair_count"], out
+
+
 PYTHON_GATES = {
     "q223_compression_screen": _py_oracle_compression_screen,
+    "q358_bpe_merges": _py_oracle_bpe_merges,
 }
 
 
