@@ -1,19 +1,25 @@
-"""Pure-stdlib+numpy baseline JPEG codec (VERDICT r12 #6).
+"""Pure-stdlib+numpy JPEG codec (VERDICT r12 #6; progressive r14).
 
-JPEG is the last high-volume crawl image format that was still an
-honest fail-fast in ``multimodal.decode_image``; this module decodes
-BASELINE sequential JPEG (SOF0: Huffman entropy coding, 8-bit
-samples, interleaved scan, optional restart intervals, any integer
-chroma subsampling — 4:4:4 and 4:2:0 are the ones that occur in
-practice) with no codec library, the ``decode_png`` discipline.
-Progressive (SOF2), arithmetic-coded, hierarchical, and 12-bit
-variants stay explicit ``NotImplementedError`` fail-fasts.
+JPEG is the highest-volume crawl image format; this module decodes
+BASELINE sequential JPEG (SOF0/SOF1: Huffman entropy coding, 8-bit
+samples, single interleaved scan OR spec-legal per-component
+multi-scan, optional restart intervals, any integer chroma
+subsampling) AND PROGRESSIVE JPEG (SOF2: spectral selection,
+successive approximation, DC/AC first and refinement scans, EOB
+runs) with no codec library, the ``decode_png`` discipline.
+Arithmetic-coded, hierarchical, lossless and 12-bit variants stay
+explicit ``NotImplementedError`` fail-fasts.
 
-``encode_jpeg`` is the fixture/export twin: a minimal baseline
-encoder (flat quantization by default, per-image canonical Huffman
-tables, optional 4:2:0 and restart intervals) that emits spec-valid
-files — it exists so tests can round-trip the decoder without any
-image library in the container, exactly like ``encode_png``.
+``encode_jpeg`` / ``encode_jpeg_progressive`` are the fixture/export
+twins: minimal encoders (flat quantization by default, per-image
+fixed-length canonical Huffman tables) that emit spec-valid files —
+they exist so tests can round-trip every decoder path without any
+image library in the container, exactly like ``encode_png``.  The
+strongest correctness check is cross-form: a progressive file and a
+baseline file of the same image carry the SAME quantized
+coefficients in different entropy layouts, so their decodes must be
+pixel-IDENTICAL — the test suite pins that equality across scan
+scripts, subsampling and quantizer steps.
 
 Scale note (same as the PNG path): decode runs as the Python side of
 an Arrow-batched ``mapInPandas`` — one batch per partition, payloads
@@ -137,11 +143,179 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
+def _comp_blocks(comp: dict, w: int, h: int, hmax: int, vmax: int) -> tuple[int, int]:
+    """Block-grid dimensions of one component for NON-INTERLEAVED scans
+    (spec A.2.2): component size is ceil(dim * sampling / max), blocks
+    are ceil(that / 8) — which can be smaller than the MCU-padded grid
+    an interleaved scan walks."""
+    cw = -(-(w * comp["h"]) // hmax)
+    ch = -(-(h * comp["v"]) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_block(rd, blk, huff, dc_id, ac_id, ss, se, ah, al, pred, ci, eobrun):
+    """Entropy-decode one block's contribution for the current scan
+    into the zigzag coefficient vector ``blk``.  Covers all four
+    progressive scan kinds (DC/AC x first/refinement) AND baseline
+    (ss=0, se=63, ah=al=0 — the AC-first path with al=0 IS baseline
+    AC: the EOB symbol is just an EOB-run of 1).  Returns the
+    end-of-band run carried to the next block."""
+    if ss == 0:
+        if ah == 0:
+            s = _huff_decode(rd, huff[(0, dc_id)])
+            pred[ci] += _extend(rd.bits(s), s)
+            blk[0] = pred[ci] << al
+        elif rd.bit():
+            blk[0] |= 1 << al
+    if se == 0:
+        return eobrun
+    act = huff[(1, ac_id)]
+    k = max(ss, 1)
+    if ah == 0:  # first pass (or baseline)
+        if eobrun > 0:
+            return eobrun - 1
+        while k <= se:
+            rs = _huff_decode(rd, act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:  # EOBn: band ends here for 2^r + bits blocks
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past band end")
+            blk[k] = _extend(rd.bits(s), s) << al
+            k += 1
+        return eobrun
+    # AC refinement (ah > 0): correction bits for already-nonzero
+    # coefficients, newly appearing +-1<<al coefficients, EOB runs
+    p1, m1 = 1 << al, -(1 << al)
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(rd, act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    # unlike the first pass, the EOB run INCLUDES the
+                    # current block: its remaining band still carries
+                    # one correction bit per nonzero-history coeff,
+                    # consumed by the walk below before decrementing
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement magnitude must be 1")
+                val = p1 if rd.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    # history coefficient: one correction bit
+                    if rd.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run: still one correction bit per nonzero
+        while k <= se:
+            if blk[k] != 0:
+                if rd.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(payload, data_at, comps, coefs, huff, restart, scan,
+                 ss, se, ah, al, progressive, geo, w, h) -> int:
+    """Decode one scan's entropy data into the coefficient arrays;
+    returns the payload offset of the marker that ended the scan."""
+    mcux, mcuy, hmax, vmax = geo
+    segs: list[bytearray] = [bytearray()]
+    i = data_at
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF and i + 1 < len(payload):
+            m = payload[i + 1]
+            if m == 0x00:
+                segs[-1].append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                segs.append(bytearray())
+                i += 2
+                continue
+            break  # next real marker ends the scan
+        segs[-1].append(b)
+        i += 1
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+    interleaved = len(scan) > 1
+    if interleaved:
+        nunits = mcux * mcuy
+    else:
+        bw, bh = _comp_blocks(comps[scan[0][0]], w, h, hmax, vmax)
+        nunits = bw * bh
+    rd = _BitReader(bytes(segs[0]))
+    seg_i = 0
+    pred = [0] * len(comps)
+    eobrun = 0
+    for unit in range(nunits):
+        if restart and unit and unit % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG restart interval set but RST markers missing")
+            rd = _BitReader(bytes(segs[seg_i]))
+            pred = [0] * len(comps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for ci, dc_id, ac_id in scan:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        eobrun = _decode_block(
+                            rd, coefs[ci][my * c["v"] + by, mx * c["h"] + bx],
+                            huff, dc_id, ac_id, ss, se, ah, al, pred, ci, eobrun,
+                        )
+        else:
+            ci, dc_id, ac_id = scan[0]
+            by, bx = divmod(unit, bw)
+            eobrun = _decode_block(
+                rd, coefs[ci][by, bx], huff, dc_id, ac_id,
+                ss, se, ah, al, pred, ci, eobrun,
+            )
+    return i
+
+
 def decode_jpeg(payload: bytes) -> dict:
-    """Decode a baseline JPEG to row-major 8-bit samples.  Returns
-    ``{format, width, height, channels, pixels}`` like ``decode_png``
-    (channels 1 for grayscale, 3 for YCbCr color converted to RGB with
-    the JFIF coefficients)."""
+    """Decode a baseline OR progressive JPEG to row-major 8-bit
+    samples.  Returns ``{format, width, height, channels, pixels}``
+    like ``decode_png`` (channels 1 for grayscale, 3 for YCbCr color
+    converted to RGB with the JFIF coefficients).
+
+    Handles: SOF0/SOF1 baseline (single interleaved scan OR spec-legal
+    per-component multi-scan), SOF2 progressive (spectral selection +
+    successive approximation, DC and AC first/refinement scans, EOB
+    runs), restart intervals in any scan, integer chroma subsampling.
+    Arithmetic-coded, hierarchical, lossless and 12-bit variants stay
+    explicit fail-fasts."""
+    import struct as _struct
+
     if not isinstance(payload, (bytes, bytearray)) or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -149,16 +323,23 @@ def decode_jpeg(payload: bytes) -> dict:
     comps: list[dict] = []
     w = h = 0
     restart = 0
-    scan: list[tuple[int, int, int]] = []  # (comp index, dc id, ac id)
+    progressive = False
+    coefs: list[np.ndarray] | None = None
+    geo: tuple[int, int, int, int] | None = None
+    saw_scan = False
     pos = 2
-    sos_at = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before SOS: malformed
+        if marker == 0xD9:  # EOI
             break
-        (seglen,) = __import__("struct").unpack(">H", payload[pos + 2:pos + 4])
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            break
+        (seglen,) = _struct.unpack(">H", payload[pos + 2:pos + 4])
         seg = payload[pos + 4:pos + 2 + seglen]
         if marker == 0xDB:  # DQT
             i = 0
@@ -176,7 +357,7 @@ def decode_jpeg(payload: bytes) -> dict:
                     t[zz // 8][zz % 8] = vals[k]
                 qt[tq] = t
                 i += n
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 15
@@ -185,113 +366,55 @@ def decode_jpeg(payload: bytes) -> dict:
                 vals = list(seg[i + 17:i + 17 + n])
                 huff[(tc, th)] = _canonical_codes(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if comps:
+                raise ValueError("JPEG with more than one SOF")
             if seg[0] != 8:
                 raise NotImplementedError(f"JPEG sample precision {seg[0]} (only 8)")
+            progressive = marker == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             for c in range(seg[5]):
                 cid, hv, tq = seg[6 + c * 3:9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential Huffman "
-                "(SOF0/SOF1) decodes here — progressive / arithmetic / "
-                "hierarchical payloads fail fast"
+                f"JPEG SOF{marker - 0xC0}: only Huffman baseline (SOF0/SOF1) "
+                "and Huffman progressive (SOF2) decode here — arithmetic / "
+                "hierarchical / lossless payloads fail fast"
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(seg[0:2], "big")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan, keep parsing after
+            if not comps or w == 0 or h == 0:
+                raise ValueError("JPEG SOS before SOF")
+            if coefs is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                geo = (-(-w // (8 * hmax)), -(-h // (8 * vmax)), hmax, vmax)
+                coefs = [
+                    np.zeros((geo[1] * c["v"], geo[0] * c["h"], 64), dtype=np.int64)
+                    for c in comps
+                ]
             ns = seg[0]
-            # ADVICE r13: the MCU loop below assumes ONE interleaved
-            # scan covering every SOF component.  A spec-legal baseline
-            # JPEG may instead ship per-component scans (ns <
-            # len(comps)); decoding only the first with interleaved
-            # geometry would silently return wrong pixels (zero chroma
-            # planes -> neutral color), so fail fast like SOF2 does.
-            if ns != len(comps):
-                raise NotImplementedError(
-                    f"JPEG non-interleaved / multi-scan baseline (SOS has {ns} "
-                    f"of {len(comps)} components): only a single interleaved "
-                    "scan decodes here"
-                )
+            scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + c * 2:3 + c * 2]
                 idx = next(i for i, comp in enumerate(comps) if comp["id"] == cs)
                 scan.append((idx, tdta >> 4, tdta & 15))
-            sos_at = pos + 2 + seglen
-            break
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            pos = _decode_scan(
+                payload, pos + 2 + seglen, comps, coefs, huff, restart,
+                scan, ss, se, ahal >> 4, ahal & 15, progressive, geo, w, h,
+            )
+            saw_scan = True
+            continue
         pos += 2 + seglen
-    if sos_at is None or not comps or w == 0 or h == 0:
+    if not saw_scan or coefs is None:
         raise ValueError("JPEG missing SOF/SOS")
 
-    # de-stuff the entropy stream, splitting at restart markers
-    segs: list[bytearray] = [bytearray()]
-    i = sos_at
-    while i < len(payload):
-        b = payload[i]
-        if b == 0xFF and i + 1 < len(payload):
-            m = payload[i + 1]
-            if m == 0x00:
-                segs[-1].append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= m <= 0xD7:
-                segs.append(bytearray())
-                i += 2
-                continue
-            break  # EOI or next marker
-        segs[-1].append(b)
-        i += 1
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
-    ]
-    pred = [0] * len(comps)
-    rd = _BitReader(bytes(segs[0]))
-    seg_i = 0
-    for mcu in range(mcux * mcuy):
-        if restart and mcu and mcu % restart == 0:
-            seg_i += 1
-            if seg_i >= len(segs):
-                raise ValueError("JPEG restart interval set but RST markers missing")
-            rd = _BitReader(bytes(segs[seg_i]))
-            pred = [0] * len(comps)
-        my, mx = divmod(mcu, mcux)
-        for ci, dc_id, ac_id in scan:
-            comp = comps[ci]
-            dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
-            q = qt[comp["tq"]]
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    coef = np.zeros(64)
-                    s = _huff_decode(rd, dct)
-                    pred[ci] += _extend(rd.bits(s), s)
-                    coef[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(rd, act)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        coef[_ZIGZAG[k]] = _extend(rd.bits(s), s)
-                        k += 1
-                    block = _DCT_A.T @ (coef.reshape(8, 8) * q) @ _DCT_A
-                    y0 = (my * comp["v"] + by) * 8
-                    x0 = (mx * comp["h"] + bx) * 8
-                    planes[ci][y0:y0 + 8, x0:x0 + 8] = block
-
+    mcux, mcuy, hmax, vmax = geo
     out_planes = []
     for ci, comp in enumerate(comps):
         fy, fx = vmax // comp["v"], hmax // comp["h"]
@@ -300,7 +423,13 @@ def decode_jpeg(payload: bytes) -> dict:
                 f"JPEG non-integer subsampling ratio {comp['h']}x{comp['v']} "
                 f"vs max {hmax}x{vmax}"
             )
-        p = planes[ci] + 128.0
+        zz = coefs[ci].astype(float)
+        raster = np.zeros_like(zz)
+        raster[:, :, _ZIGZAG] = zz  # stream position k -> raster index
+        by, bx = zz.shape[0], zz.shape[1]
+        blocks = raster.reshape(by, bx, 8, 8) * qt[comp["tq"]]
+        px = np.einsum("ij,abjk,kl->abil", _DCT_A.T, blocks, _DCT_A)
+        p = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
         if fy > 1 or fx > 1:
             p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
         out_planes.append(p[:h, :w])
@@ -502,5 +631,288 @@ def encode_jpeg(
                     wtr.write(v, s)
     wtr.flush()
     out.extend(wtr.buf)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _flush_eobrun(tokens: list, eobrun: int, pending: list) -> int:
+    """Emit the accumulated end-of-band run as an EOBn symbol (r extra
+    bits encode runs in [2^r, 2^(r+1)-1]) followed by any pending
+    refinement correction bits, per the spec's AC ordering."""
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        tokens.append(("h", r << 4))
+        if r:
+            tokens.append(("b", eobrun - (1 << r), r))
+        tokens.extend(pending)
+        pending.clear()
+    return 0
+
+
+def _encode_ac_first(tokens: list, zz: list[int], ss: int, se: int, al: int,
+                     eobrun: int) -> int:
+    """AC first-pass tokens for one block: point transform abs>>al with
+    sign, runs/ZRL, EOB-run accumulation across blocks."""
+    run = 0
+    for k in range(ss, se + 1):
+        mag = abs(zz[k]) >> al
+        if mag == 0:
+            run += 1
+            continue
+        eobrun = _flush_eobrun(tokens, eobrun, [])
+        while run > 15:
+            tokens.append(("h", 0xF0))
+            run -= 16
+        s = mag.bit_length()
+        v = mag if zz[k] > 0 else (1 << s) - 1 - mag
+        tokens.append(("h", (run << 4) | s))
+        tokens.append(("b", v, s))
+        run = 0
+    if run > 0:
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            eobrun = _flush_eobrun(tokens, eobrun, [])
+    return eobrun
+
+
+def _encode_ac_refine(tokens: list, zz: list[int], ss: int, se: int, al: int,
+                      eobrun: int, pending: list) -> int:
+    """AC refinement tokens for one block, mirroring libjpeg's
+    encode_mcu_AC_refine two-buffer discipline exactly: newly-appearing
+    ±1<<al coefficients as (run, 1) symbols with a sign bit; one
+    correction bit per already-nonzero (history) coefficient, buffered
+    in ``cur`` and emitted after the current block's next symbol; at
+    block end, unemitted ``cur`` bits fold into the scan-level
+    ``pending`` buffer that rides with the EOB run (the decoder
+    consumes them inside its EOB-run walk).  The ZRL guard runs at
+    every nonzero position with ``k <= eob`` (runs past the last new
+    coefficient fold into the EOB run instead) — the ordering the
+    decoder's window walk requires."""
+    absvals = [0] * (se + 1)
+    eob = ss - 1  # last position where a NEW coefficient appears
+    for k in range(ss, se + 1):
+        absvals[k] = abs(zz[k]) >> al
+        if absvals[k] == 1:
+            eob = k
+    run = 0
+    cur: list = []  # this block's correction bits since the last symbol
+    for k in range(ss, se + 1):
+        mag = absvals[k]
+        if mag == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            eobrun = _flush_eobrun(tokens, eobrun, pending)
+            tokens.append(("h", 0xF0))
+            run -= 16
+            tokens.extend(cur)
+            cur.clear()
+        if mag > 1:
+            cur.append(("b", mag & 1, 1))
+            continue
+        # newly appearing coefficient
+        eobrun = _flush_eobrun(tokens, eobrun, pending)
+        tokens.append(("h", (run << 4) | 1))
+        tokens.append(("b", 1 if zz[k] > 0 else 0, 1))
+        tokens.extend(cur)
+        cur.clear()
+        run = 0
+    if run > 0 or cur:
+        eobrun += 1
+        pending.extend(cur)
+        if eobrun == 0x7FFF:
+            eobrun = _flush_eobrun(tokens, eobrun, pending)
+    return eobrun
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quant: int = 1,
+    subsample_420: bool = False,
+    scans: list[tuple] | None = None,
+    sof_marker: int = 0xC2,
+) -> bytes:
+    """Progressive JPEG encoder — `encode_jpeg`'s SOF2 sibling, so the
+    progressive decode paths round-trip without any image library.
+
+    ``scans`` is a script of (comp_or_None, Ss, Se, Ah, Al) tuples
+    (comp None = interleaved over all components — DC scans only).
+    The default script exercises every progressive decode path: DC
+    first at Al=1, banded AC first passes at Al=1, the DC refinement
+    bit, and AC refinement to full precision:
+
+        (None, 0, 0, 0, 1)           DC first, interleaved
+        (ci,   1, 5, 0, 1) per comp  AC low band, first
+        (ci,   6, 63, 0, 1) per comp AC high band, first
+        (None, 0, 0, 1, 0)           DC refinement
+        (ci,   1, 63, 1, 0) per comp AC refinement
+
+    ``sof_marker=0xC0`` with a full-band per-component script
+    ((ci, 0, 63, 0, 0) each) emits a spec-legal NON-INTERLEAVED
+    BASELINE multi-scan file — the ADVICE-r13 shape, now decodable.
+
+    Same fixture-encoder contract as ``encode_jpeg``: flat quantizer,
+    per-scan fixed-length canonical Huffman tables, no restarts."""
+    import struct as _struct
+
+    if channels not in (1, 3):
+        raise ValueError(f"encode_jpeg_progressive writes 1 or 3 channels, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(f"need {width * height * channels} bytes, got {len(pixels)}")
+    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+        height, width, channels
+    ).astype(float)
+    if channels == 3:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        comps_raw = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        hv = [(2, 2), (1, 1), (1, 1)] if subsample_420 else [(1, 1)] * 3
+    else:
+        comps_raw = [img[:, :, 0]]
+        hv = [(1, 1)]
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    py, px = mcuy * vmax * 8, mcux * hmax * 8
+    planes = []
+    for (ch, cv), plane in zip(hv, comps_raw):
+        p = np.pad(plane, ((0, py - height), (0, px - width)), mode="edge")
+        fy, fx = vmax // cv, hmax // ch
+        if fy > 1 or fx > 1:
+            p = p.reshape(py // fy, fy, px // fx, fx).mean(axis=(1, 3))
+        planes.append(p)
+
+    q = np.full((8, 8), float(quant))
+    # quantized zigzag coefficients on the MCU-padded block grid
+    zzs = []
+    for ci, (ch, cv) in enumerate(hv):
+        by_n, bx_n = mcuy * cv, mcux * ch
+        grid = [
+            [_fdct_quant(planes[ci], q, by * 8, bx * 8) for bx in range(bx_n)]
+            for by in range(by_n)
+        ]
+        zzs.append(grid)
+
+    if scans is None:
+        scans = [(None, 0, 0, 0, 1)]
+        for ci in range(len(hv)):
+            scans.append((ci, 1, 5, 0, 1))
+            scans.append((ci, 6, 63, 0, 1))
+        scans.append((None, 0, 0, 1, 0))
+        for ci in range(len(hv)):
+            scans.append((ci, 1, 63, 1, 0))
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]) + _struct.pack(">H", len(body) + 2) + body)
+
+    segment(0xDB, b"\x00" + bytes(int(q.flat[z]) for z in _ZIGZAG))
+    sof = b"\x08" + _struct.pack(">HH", height, width) + bytes([len(planes)])
+    for ci, (ch, cv) in enumerate(hv):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    segment(sof_marker, sof)
+
+    for comp_sel, ss, se, ahi, alo in scans:
+        scan_comps = list(range(len(hv))) if comp_sel is None else [comp_sel]
+        # tokenize the scan
+        tokens: list = []
+        pred = [0] * len(hv)
+        eobrun = 0
+        pending: list = []
+        if comp_sel is None:  # interleaved (DC or full-band baseline)
+            units = [
+                (ci, my * hv[ci][1] + by, mx * hv[ci][0] + bx)
+                for mcu in range(mcux * mcuy)
+                for my, mx in [divmod(mcu, mcux)]
+                for ci in scan_comps
+                for by in range(hv[ci][1])
+                for bx in range(hv[ci][0])
+            ]
+        else:
+            bw, bh = _comp_blocks(
+                {"h": hv[comp_sel][0], "v": hv[comp_sel][1]}, width, height,
+                hmax, vmax,
+            )
+            units = [
+                (comp_sel, by, bx) for by in range(bh) for bx in range(bw)
+            ]
+        for ci, by, bx in units:
+            zz = zzs[ci][by][bx]
+            if ss == 0:
+                if ahi == 0:
+                    dc = zz[0] >> alo  # arithmetic shift (floor), per libjpeg
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    s = abs(diff).bit_length()
+                    tokens.append(("hdc", s, ci))
+                    if s:
+                        tokens.append(
+                            ("b", diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        )
+                else:
+                    tokens.append(("b", (zz[0] >> alo) & 1, 1))
+            if se > 0:
+                if ahi == 0:
+                    eobrun = _encode_ac_first(tokens, zz, max(ss, 1), se, alo, eobrun)
+                else:
+                    eobrun = _encode_ac_refine(
+                        tokens, zz, max(ss, 1), se, alo, eobrun, pending
+                    )
+                if sof_marker != 0xC2:
+                    # baseline scans have no EOB-run symbols (EOBn with
+                    # r>0 is progressive-only): flush per block so only
+                    # plain EOB (r=0) ever hits the stream
+                    eobrun = _flush_eobrun(tokens, eobrun, pending)
+        _flush_eobrun(tokens, eobrun, pending)
+
+        # per-scan fixed-length canonical tables: DC symbols per comp
+        # share table 0; AC symbols share table 0
+        dc_syms = {t[1] for t in tokens if t[0] == "hdc"}
+        ac_syms = {t[1] for t in tokens if t[0] == "h"}
+        enc_maps = {}
+        dht = bytearray()
+        if ss == 0 and ahi == 0:
+            bits, vals = _build_huffman([dc_syms])[0]
+            dht += bytes([0x00] + bits + vals)
+            enc_maps["hdc"] = {
+                sym: (ln, code) for (ln, code), sym in _canonical_codes(bits, vals).items()
+            }
+        if (se > 0 or (ss == 0 and se == 63)) and ac_syms:
+            bits, vals = _build_huffman([ac_syms])[0]
+            dht += bytes([0x10] + bits + vals)
+            enc_maps["h"] = {
+                sym: (ln, code) for (ln, code), sym in _canonical_codes(bits, vals).items()
+            }
+        if dht:
+            segment(0xC4, bytes(dht))
+
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        sos += bytes([ss, se, (ahi << 4) | alo])
+        segment(0xDA, sos)
+
+        wtr = _BitWriter()
+        for t in tokens:
+            if t[0] == "hdc":
+                ln, code = enc_maps["hdc"][t[1]]
+                wtr.write(code, ln)
+            elif t[0] == "h":
+                ln, code = enc_maps["h"][t[1]]
+                wtr.write(code, ln)
+            else:
+                _, v, nb = t
+                wtr.write(v, nb)
+        wtr.flush()
+        out.extend(wtr.buf)
+
     out.extend(b"\xff\xd9")
     return bytes(out)

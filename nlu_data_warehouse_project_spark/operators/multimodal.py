@@ -3,11 +3,13 @@
 Images / audio / video ride as opaque ``binary`` columns with a typed
 metadata struct.  The Spark-side machinery — schema, partition-aware
 batch iteration, Arrow transfer shape, UDF signatures — is real and
-tested.  PNG (this module) and baseline JPEG (``operators.jpeg``)
-decode for real in pure stdlib/numpy; the remaining codec calls
-(progressive JPEG, audio, video) are stubbed behind
-``NotImplementedError`` (their libraries are not in this container)
-or a deterministic fake, clearly marked.
+tested.  PNG (this module), baseline AND progressive JPEG
+(``operators.jpeg``), WAV/PCM audio (``operators.audio``) and
+MJPEG/AVI video (``operators.video``) decode for real in pure
+stdlib/numpy; the remaining codec calls (compressed audio/video,
+arithmetic JPEG) are stubbed behind ``NotImplementedError`` (their
+libraries are not in this container) or a deterministic fake,
+clearly marked.
 
 Design rules for 100 TB:
 - decode/transform runs in ``mapInPandas`` (Arrow batches, one Python
@@ -505,9 +507,9 @@ def encode_png(
 
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload: PNG decodes via the stdlib path above,
-    baseline JPEG via ``operators.jpeg`` (VERDICT r12 #6 — pure
-    Python+numpy, no codec library); progressive/arithmetic JPEG and
-    every other format still fail fast."""
+    baseline AND progressive JPEG via ``operators.jpeg`` (VERDICT r12
+    #6 / r14 — pure Python+numpy, no codec library); arithmetic /
+    hierarchical JPEG and every other format still fail fast."""
     if isinstance(payload, (bytes, bytearray)):
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)

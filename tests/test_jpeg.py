@@ -11,6 +11,7 @@ path, and (c) structural checks on the emitted segments."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from nlu_data_warehouse_project_spark.operators.jpeg import (
@@ -93,11 +94,11 @@ def test_header_parser_agrees_with_decoder():
     assert decode_image(payload)["width"] == 40  # dispatch via signature
 
 
-def test_progressive_and_malformed_fail_fast():
+def test_arithmetic_and_malformed_fail_fast():
     payload = bytearray(encode_jpeg(16, 13, 1, _gray(16, 13)))
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive|SOF2"):
+    payload[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(NotImplementedError, match="arithmetic|SOF9"):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xe0 jpeg-ish")
@@ -109,17 +110,74 @@ def test_progressive_and_malformed_fail_fast():
         decode_jpeg(good[: len(good) - (len(good) - good.index(b"\xff\xda")) // 2])
 
 
-def test_multiscan_baseline_fails_fast():
-    """ADVICE r13: a spec-legal baseline JPEG with per-component scans
-    (SOS ns < SOF component count) must fail fast, not decode the
-    first scan with interleaved geometry and return plausible-looking
-    wrong pixels (zeroed chroma planes)."""
-    payload = bytearray(encode_jpeg(16, 8, 3, bytes([100, 150, 200] * (16 * 8))))
-    sos = payload.index(b"\xff\xda")
-    assert payload[sos + 4] == 3  # SOS ns byte of the 3-component scan
-    payload[sos + 4] = 1  # simulate the first scan of a 3-scan stream
-    with pytest.raises(NotImplementedError, match="multi-scan|interleaved"):
-        decode_jpeg(bytes(payload))
+def _noisy_rgb(w, h, seed=3):
+    """Gradient + noise: AC coefficients at many magnitudes, so the
+    refinement scans actually carry new/history coefficients, ZRLs and
+    EOB runs."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    base = np.stack([(x * 3 + y * 2) % 256, (x * 5) % 256, (y * 7) % 256], axis=2)
+    return np.clip(base + rng.normal(0, 25, (h, w, 3)), 0, 255).astype(np.uint8).tobytes()
+
+
+def test_progressive_decodes_pixel_identical_to_baseline():
+    """The decisive cross-form check (r14): a progressive file and a
+    baseline file of the same image carry the SAME quantized
+    coefficients in different entropy layouts, so their decodes must
+    be pixel-IDENTICAL — over color/gray, 4:2:0, MCU-unaligned sizes
+    and coarser quantizers (EOB-run-heavy streams)."""
+    from nlu_data_warehouse_project_spark.operators.jpeg import encode_jpeg_progressive
+
+    for w, h, ch, sub, q in [
+        (16, 8, 3, False, 1), (40, 25, 3, False, 2), (33, 17, 3, True, 1),
+        (16, 13, 1, False, 1), (24, 24, 3, True, 4),
+    ]:
+        px = _noisy_rgb(w, h) if ch == 3 else _gray(w, h)
+        base = decode_jpeg(encode_jpeg(w, h, ch, px, quant=q, subsample_420=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(w, h, ch, px, quant=q, subsample_420=sub)
+        )
+        assert prog["pixels"] == base["pixels"], (w, h, ch, sub, q)
+        assert (prog["width"], prog["height"]) == (w, h)
+
+
+def test_progressive_scan_script_variants():
+    """Spectral-selection-only, DC-approximation-only and
+    AC-approximation-only scripts all reconstruct the exact baseline
+    pixels — each progressive decode path is pinned in isolation."""
+    from nlu_data_warehouse_project_spark.operators.jpeg import encode_jpeg_progressive
+
+    px = _noisy_rgb(24, 16, seed=7)
+    want = decode_jpeg(encode_jpeg(24, 16, 3, px))["pixels"]
+    scripts = {
+        "spectral": [(None, 0, 0, 0, 0)] + [(ci, 1, 63, 0, 0) for ci in range(3)],
+        "banded": [(None, 0, 0, 0, 0)]
+        + [s for ci in range(3) for s in ((ci, 1, 5, 0, 0), (ci, 6, 63, 0, 0))],
+        "dc_approx": [(None, 0, 0, 0, 1), (None, 0, 0, 1, 0)]
+        + [(ci, 1, 63, 0, 0) for ci in range(3)],
+        "ac_approx": [(None, 0, 0, 0, 0)]
+        + [(ci, 1, 63, 0, 1) for ci in range(3)]
+        + [(ci, 1, 63, 1, 0) for ci in range(3)],
+    }
+    for name, script in scripts.items():
+        got = decode_jpeg(encode_jpeg_progressive(24, 16, 3, px, scans=script))
+        assert got["pixels"] == want, name
+
+
+def test_multiscan_baseline_decodes():
+    """ADVICE r13 asked for a fail-fast on per-component baseline
+    scans; round 14 upgraded it to a real decode: a spec-legal SOF0
+    file with three separate full-band scans reconstructs the exact
+    single-scan pixels (the multi-scan machinery handles baseline
+    too)."""
+    from nlu_data_warehouse_project_spark.operators.jpeg import encode_jpeg_progressive
+
+    px = _noisy_rgb(16, 8, seed=11)
+    want = decode_jpeg(encode_jpeg(16, 8, 3, px))["pixels"]
+    ms = encode_jpeg_progressive(
+        16, 8, 3, px, scans=[(ci, 0, 63, 0, 0) for ci in range(3)], sof_marker=0xC0
+    )
+    assert decode_jpeg(ms)["pixels"] == want
 
 
 def test_feature_path_consumes_jpeg(spark):
