@@ -324,6 +324,7 @@ def decode_jpeg(payload: bytes) -> dict:
     w = h = 0
     restart = 0
     progressive = False
+    adobe_transform: int | None = None
     coefs: list[np.ndarray] | None = None
     geo: tuple[int, int, int, int] | None = None
     saw_scan = False
@@ -386,6 +387,8 @@ def decode_jpeg(payload: bytes) -> dict:
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]  # 0=raw, 1=YCbCr, 2=YCCK
         elif marker == 0xDA:  # SOS — decode this scan, keep parsing after
             if not comps or w == 0 or h == 0:
                 raise ValueError("JPEG SOS before SOF")
@@ -447,8 +450,29 @@ def decode_jpeg(payload: bytes) -> dict:
             axis=2,
         )
         channels = 3
+    elif len(comps) == 4:
+        # Adobe 4-component JPEG: return raw CMYK samples (channels=4),
+        # converting YCCK (APP14 transform 2) back to CMYK first — the
+        # stored YCC planes are the YCbCr transform of the INVERTED
+        # C/M/Y, so C = 255 - R' etc.  No ICC color management and no
+        # ink-inversion guesswork here: downstream featurization reads
+        # raw component statistics, which is what it gets.
+        if adobe_transform == 2:
+            y, cb, cr, kk = out_planes
+            rgb = np.stack(
+                [
+                    255.0 - (y + 1.402 * (cr - 128.0)),
+                    255.0 - (y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)),
+                    255.0 - (y + 1.772 * (cb - 128.0)),
+                    kk,
+                ],
+                axis=2,
+            )
+        else:
+            rgb = np.stack(out_planes, axis=2)
+        channels = 4
     else:
-        raise NotImplementedError(f"JPEG with {len(comps)} components (CMYK?)")
+        raise NotImplementedError(f"JPEG with {len(comps)} components")
     pixels = np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
     return {
         "format": "jpeg", "width": w, "height": h,
@@ -513,17 +537,25 @@ def encode_jpeg(
     quant: int = 1,
     subsample_420: bool = False,
     restart_interval: int = 0,
+    ycck: bool = False,
 ) -> bytes:
     """Minimal baseline JPEG encoder — ``encode_png``'s lossy sibling.
     ``quant`` is a single flat quantizer step for every coefficient
     (1 = near-lossless up to DCT rounding); ``subsample_420`` emits
     2x2-subsampled chroma (box mean); ``restart_interval`` > 0 emits
-    DRI + RSTn markers every that many MCUs.  Huffman tables are
-    per-image canonical fixed-length codes (see ``_build_huffman``)."""
+    DRI + RSTn markers every that many MCUs.  ``channels=4`` writes an
+    Adobe CMYK file (APP14 transform 0: raw component samples;
+    ``ycck=True`` stores the YCbCr transform of the inverted C/M/Y +
+    K, APP14 transform 2).  Huffman tables are per-image canonical
+    fixed-length codes (see ``_build_huffman``)."""
     import struct as _struct
 
-    if channels not in (1, 3):
-        raise ValueError(f"encode_jpeg writes 1 or 3 channels, got {channels}")
+    if channels not in (1, 3, 4):
+        raise ValueError(f"encode_jpeg writes 1, 3 or 4 channels, got {channels}")
+    if ycck and channels != 4:
+        raise ValueError("ycck=True requires channels=4 (CMYK input)")
+    if subsample_420 and channels == 4:
+        raise ValueError("subsample_420 is only supported for channels=3")
     if len(pixels) != width * height * channels:
         raise ValueError(f"need {width * height * channels} bytes, got {len(pixels)}")
     img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
@@ -537,6 +569,18 @@ def encode_jpeg(
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
         hv = [(2, 2), (1, 1), (1, 1)] if subsample_420 else [(1, 1)] * 3
+    elif channels == 4:
+        if ycck:
+            r, g, b = (255.0 - img[:, :, c] for c in range(3))
+            comps_raw = [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+                img[:, :, 3],
+            ]
+        else:
+            comps_raw = [img[:, :, c] for c in range(4)]
+        hv = [(1, 1)] * 4
     else:
         comps_raw = [img[:, :, 0]]
         hv = [(1, 1)]
@@ -556,7 +600,7 @@ def encode_jpeg(
 
     q = np.full((8, 8), float(quant))
     # pass 1: tokenize every block (MCU-interleaved order)
-    n_tables = 2 if channels == 3 else 1  # (DC, AC) x (luma, chroma)
+    n_tables = 2 if channels >= 3 else 1  # (DC, AC) x (luma, chroma-ish)
     dc_syms: list[set] = [set() for _ in range(n_tables)]
     ac_syms: list[set] = [set() for _ in range(n_tables)]
     mcu_tokens: list[list] = []
@@ -594,6 +638,10 @@ def encode_jpeg(
         out.extend(b"\xff" + bytes([marker]) + _struct.pack(">H", len(body) + 2) + body)
 
     zz_q = bytes(int(q.flat[z]) for z in _ZIGZAG)
+    if channels == 4:
+        # Adobe APP14: required so decoders know the 4-component
+        # interpretation (transform 2 = YCCK, 0 = raw CMYK samples)
+        segment(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 2 if ycck else 0]))
     segment(0xDB, b"\x00" + zz_q)  # one flat table, id 0, for all comps
     sof = b"\x08" + _struct.pack(">HH", height, width) + bytes([len(planes)])
     for ci, (ch, cv) in enumerate(hv):
@@ -758,8 +806,12 @@ def encode_jpeg_progressive(
     per-scan fixed-length canonical Huffman tables, no restarts."""
     import struct as _struct
 
-    if channels not in (1, 3):
-        raise ValueError(f"encode_jpeg_progressive writes 1 or 3 channels, got {channels}")
+    if channels not in (1, 3, 4):
+        raise ValueError(
+            f"encode_jpeg_progressive writes 1, 3 or 4 channels, got {channels}"
+        )
+    if subsample_420 and channels == 4:
+        raise ValueError("subsample_420 is only supported for channels=3")
     if len(pixels) != width * height * channels:
         raise ValueError(f"need {width * height * channels} bytes, got {len(pixels)}")
     img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
@@ -773,6 +825,9 @@ def encode_jpeg_progressive(
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
         hv = [(2, 2), (1, 1), (1, 1)] if subsample_420 else [(1, 1)] * 3
+    elif channels == 4:
+        comps_raw = [img[:, :, c] for c in range(4)]  # raw CMYK, APP14 transform 0
+        hv = [(1, 1)] * 4
     else:
         comps_raw = [img[:, :, 0]]
         hv = [(1, 1)]
@@ -814,6 +869,8 @@ def encode_jpeg_progressive(
     def segment(marker: int, body: bytes) -> None:
         out.extend(b"\xff" + bytes([marker]) + _struct.pack(">H", len(body) + 2) + body)
 
+    if channels == 4:
+        segment(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
     segment(0xDB, b"\x00" + bytes(int(q.flat[z]) for z in _ZIGZAG))
     sof = b"\x08" + _struct.pack(">HH", height, width) + bytes([len(planes)])
     for ci, (ch, cv) in enumerate(hv):

@@ -196,3 +196,39 @@ def test_feature_path_consumes_jpeg(spark):
     # per-channel means within codec rounding of the solid color
     assert abs(feat[4] - 100.0) <= 2 and abs(feat[5] - 150.0) <= 2
     assert abs(feat[6] - 200.0) <= 2
+
+
+def test_cmyk_roundtrip_raw_ycck_and_progressive():
+    """Adobe 4-component JPEG (r14): raw CMYK (APP14 transform 0) and
+    YCCK (transform 2) both round-trip to the original samples within
+    the quantizer+transform rounding bound; progressive CMYK decodes
+    pixel-identical to baseline CMYK (same coefficients)."""
+    from nlu_data_warehouse_project_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(9)
+    w, h = 24, 16
+    cmyk = np.clip(
+        np.mgrid[0:h, 0:w][0][:, :, None] * np.array([3, 5, 7, 11]) % 256
+        + rng.normal(0, 20, (h, w, 4)),
+        0, 255,
+    ).astype(np.uint8)
+    px = cmyk.tobytes()
+
+    raw = decode_jpeg(encode_jpeg(w, h, 4, px))
+    assert raw["channels"] == 4
+    got = np.frombuffer(raw["pixels"], dtype=np.uint8).reshape(h, w, 4)
+    assert np.abs(got.astype(int) - cmyk.astype(int)).max() <= 1  # DCT rounding
+
+    ycck = decode_jpeg(encode_jpeg(w, h, 4, px, ycck=True))
+    assert ycck["channels"] == 4
+    got2 = np.frombuffer(ycck["pixels"], dtype=np.uint8).reshape(h, w, 4)
+    assert np.abs(got2.astype(int) - cmyk.astype(int)).max() <= 2  # + color transform
+
+    prog = decode_jpeg(encode_jpeg_progressive(w, h, 4, px))
+    assert prog["pixels"] == raw["pixels"]
+
+    # the real-pixel feature path consumes 4-channel output
+    from nlu_data_warehouse_project_spark.operators.multimodal import _pixel_feature
+
+    feats = _pixel_feature(encode_jpeg(w, h, 4, px))
+    assert feats[:3] == [float(w), float(h), 4.0]
