@@ -20739,3 +20739,60 @@ def q358_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update({"q358_bpe_merges": q358_bpe_merges})
 # no ORACLE_SQL entry: gated by the pure-Python recompute in
 # tools/check_oracle.py (PYTHON_GATES) and the named bench gate metric
+
+# ---------------------------------------------------------------------------
+# KMV hierarchical rollup: nation sketches merged to region (q359)
+# ---------------------------------------------------------------------------
+
+def q359_kmv_rollup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB rollup pattern end-to-end: per-(region, nation) KMV
+    sketches of distinct buying customers merged UP to per-region
+    estimates with `sketches.kmv_merge` — re-aggregating sketches
+    instead of rescanning raw orders.  Like q353's global proof, the
+    oracle computes each region's sketch DIRECTLY from raw rows, so
+    the hash gate is the lossless-merge theorem applied per group
+    (not just globally)."""
+    from .operators.sketches import kmv_merge, kmv_sketch
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    keyed = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"),
+                "o_custkey")
+    )
+    per_nation = kmv_sketch(keyed, "o_custkey", ["region", "nation"], k=64, seed=77)
+    return kmv_merge(per_nation, ["region"], k=64).select(
+        "region", "n_kept", "kmv_estimate"
+    )
+
+
+Q359_SQL = f"""
+WITH u AS (
+  SELECT DISTINCT r.r_name AS region, {_KMV_U_SQL} AS h
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n ON c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE o_custkey IS NOT NULL
+), rr AS (
+  SELECT region, h, row_number() OVER (PARTITION BY region ORDER BY h) AS rn
+  FROM u
+), kept AS (
+  SELECT region, CAST(count(*) AS INT) AS n_kept,
+         max(CASE WHEN rn = 64 THEN h END) AS h64
+  FROM rr WHERE rn <= 64 GROUP BY 1
+)
+SELECT region, n_kept,
+       CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+            ELSE 63.0 / h64 END AS kmv_estimate
+FROM kept
+"""
+
+
+QUERIES.update({"q359_kmv_rollup_regions": q359_kmv_rollup_regions})
+ORACLE_SQL.update({"q359_kmv_rollup_regions": Q359_SQL})

@@ -1060,3 +1060,23 @@ def test_round14_wave2_plans(spark, sf_smoke):
     plan = formatted_plan(QUERIES["q351_fuzzy_name_pairs"](spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round14_wave3_plans(spark, sf_smoke):
+    """q355-q359 discipline: all JVM-side.  q355's plan reads 0
+    exchanges because the iterative closure materializes through
+    checkpointed rounds (the pinned frames ARE the exchanges — same
+    accounting as q47); q357's phrase intersection is one keyed
+    exchange (the term slices broadcast); q356/q359 stay within their
+    aggregation budgets."""
+    from nlu_data_warehouse_project_spark.plans import python_udf_count, shuffle_count
+
+    for name, max_shuffles in (
+        ("q355_fuzzy_entity_clusters", 2),
+        ("q356_brand_pair_chi2", 4),
+        ("q357_phrase_search", 3),
+        ("q359_kmv_rollup_regions", 4),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, (name, python_udf_count(q))
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))

@@ -90,3 +90,24 @@ def test_build_inflated_invariants(spark, sf_smoke, tmp_path):
     before = os.path.getmtime(f"{out}/orders.parquet")
     build_inflated(spark, sf_smoke, out, 2)
     assert os.path.getmtime(f"{out}/orders.parquet") == before
+
+
+def test_build_inflated_customer_name_salt(spark, sf_smoke, tmp_path):
+    """r14: the doubled-2-digit name tag keeps every pair of copies >= 2
+    edits apart, so the q351/q355 edit-1 pair set scales exactly Kx
+    (cross-copy pairs would otherwise make the output quadratic)."""
+    out = build_inflated(spark, sf_smoke, str(tmp_path / "x3"), 3)
+    cust = spark.read.parquet(f"{out}/customer.parquet")
+    base_n = spark.read.parquet(f"{sf_smoke}/customer.parquet").count()
+    assert cust.count() == 3 * base_n
+    # names are globally unique across copies
+    assert cust.select("c_name").distinct().count() == 3 * base_n
+    # copy tags: same base key in two copies is >= 2 edits apart
+    a = cust.filter((F.col("c_custkey") >= STRIDE) & (F.col("c_custkey") < 2 * STRIDE))
+    b = cust.filter(F.col("c_custkey") >= 2 * STRIDE)
+    pair = a.select((F.col("c_custkey") - STRIDE).alias("k"), F.col("c_name").alias("n1")).join(
+        b.select((F.col("c_custkey") - 2 * STRIDE).alias("k"), F.col("c_name").alias("n2")), "k"
+    )
+    assert pair.filter(F.levenshtein("n1", "n2") < 2).count() == 0
+    # and within one copy the pair structure matches the base corpus
+    # (tag is a shared constant prefix — edit distances unchanged)

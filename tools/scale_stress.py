@@ -103,13 +103,23 @@ STRESS_QUERIES = [
     "q310_price_decile_drift",
     "q322_bullwhip_ratio",
     "q294_peak_open_orders",
+    # round-14 additions with non-obvious scaling shapes: the SymSpell
+    # variant-key join (O(n*L) emitted keys — the claim the exponent
+    # verifies), the tf-idf vocabulary joins, the basket pair
+    # expansion behind its checkpoint barrier, and the BPE rounds
+    # (word-frequency-table-sized after the first scan, so inflation
+    # that replicates documents should leave it nearly flat)
+    "q351_fuzzy_name_pairs",
+    "q349_tfidf_top_terms",
+    "q354_brand_affinity_rules",
+    "q358_bpe_merges",
 ]
 
 # per-copy embedding perturbation scale: |noise element| <= EPS x the
 # vector's RMS element magnitude (see module docstring)
 PERTURB_EPS = 0.05
 # marker version: bump to force a rebuild when inflation LOGIC changes
-BUILD_VERSION = 2
+BUILD_VERSION = 3
 
 
 def build_inflated(spark, base: str, out: str, copies: int) -> str:
@@ -131,7 +141,21 @@ def build_inflated(spark, base: str, out: str, copies: int) -> str:
             if i > 0:
                 for k in keys:
                     c = c.withColumn(k, F.col(k) + F.lit(i * STRIDE))
-                if name == "documents":
+                if name == "customer":
+                    # per-copy NAME tag for the edit-distance family
+                    # (q351/q355): a DOUBLED 2-digit prefix ("0101",
+                    # "0202", ...) puts any two distinct copies >= 2
+                    # edits apart (tags X·X and Y·Y with X != Y differ
+                    # at d and d+2 for every differing digit position
+                    # d), so cross-copy edit-1 pairs cannot exist and
+                    # the pair set scales exactly Kx — the token-salt
+                    # philosophy; an un-salted name column would make
+                    # the OUTPUT itself quadratic in K
+                    tag = f"{i % 100:02d}" * 2
+                    c = c.withColumn(
+                        "c_name", F.concat(F.lit(tag + "~"), F.col("c_name"))
+                    )
+                elif name == "documents":
                     # per-copy token salt: keeps within-copy shingles
                     # identical to the base corpus, makes cross-copy
                     # shingles disjoint (see module docstring)
