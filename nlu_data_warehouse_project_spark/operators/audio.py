@@ -28,7 +28,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401 (call-site convenience)
 from pyspark.sql import types as T
 
-_PCM, _FLOAT, _EXTENSIBLE = 1, 3, 0xFFFE
+_PCM, _FLOAT, _ALAW, _MULAW, _EXTENSIBLE = 1, 3, 6, 7, 0xFFFE
+
+
+def _g711_mulaw_table() -> "np.ndarray":
+    """G.711 mu-law byte -> linear int16, generated from the spec's
+    expansion (invert the complemented byte, rebuild the segmented
+    mantissa, remove the +132 bias) — not a typed-in table."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        seg = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = (((mant << 1) + 33 << seg) - 33) << 2  # 14-bit -> int16 range
+        out[b] = -mag if u & 0x80 else mag
+    return out
+
+
+def _g711_alaw_table() -> "np.ndarray":
+    """G.711 A-law byte -> linear int16, the canonical CCITT expansion
+    (even-bit inversion, segmented mantissa; sign bit SET means
+    positive in A-law) — generated, not typed in."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[b] = t if a & 0x80 else -t
+    return out
 
 
 def decode_wav(payload: bytes) -> dict:
@@ -62,17 +95,23 @@ def decode_wav(payload: bytes) -> dict:
             raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk truncated")
         # the real format code is the first two GUID bytes (little-endian)
         (code,) = struct.unpack("<H", fmt[24:26])
-    if code not in (_PCM, _FLOAT):
+    if code not in (_PCM, _FLOAT, _ALAW, _MULAW):
         raise NotImplementedError(
-            f"WAV format code {code}: only PCM and IEEE-float decode "
-            "without a codec library (ADPCM/mu-law/MP3 fail fast)"
+            f"WAV format code {code}: PCM, IEEE-float and G.711 "
+            "A-law/mu-law decode here; ADPCM/MP3 fail fast without a "
+            "codec library"
         )
     if channels < 1:
         raise ValueError("WAV with zero channels")
     frame = channels * (bits // 8)
     if frame == 0 or len(data) % frame:
         raise ValueError(f"WAV data size {len(data)} not a multiple of frame {frame}")
-    if code == _FLOAT:
+    if code in (_ALAW, _MULAW):
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        table = _g711_mulaw_table() if code == _MULAW else _g711_alaw_table()
+        x = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
+    elif code == _FLOAT:
         if bits == 32:
             x = np.frombuffer(data, dtype="<f4").astype(np.float64)
         elif bits == 64:

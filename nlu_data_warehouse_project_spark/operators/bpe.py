@@ -139,3 +139,49 @@ def learn_bpe_merges(
     return spark.createDataFrame(
         merges, "merge_round int, left string, right string, pair_count bigint"
     )
+
+
+def bpe_segment_stats(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    num_merges: int = 8,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn BPE merges on the corpus, APPLY them, and report per-group
+    tokenizer statistics — the "how well does the learned vocabulary
+    compress each source" view that decides whether a tokenizer suits
+    a data mix.
+
+    Returns per group: ``n_words`` (token occurrences), ``n_chars``
+    (symbols before any merge), ``n_bpe_tokens`` (symbols after all
+    merges), ``compression`` = n_chars / n_bpe_tokens (exact integer
+    counts, one IEEE divide).  Application is the same JVM-side fold
+    as training, chained once per merge over the (group, word,
+    frequency) table — the corpus is scanned once per side (learn /
+    apply), everything else runs on distinct words."""
+    merges_df = learn_bpe_merges(docs, text_col, num_merges, min_pair_count)
+    merges = [(r["left"], r["right"]) for r in merges_df.collect()]  # bounded rows
+    words = (
+        docs.select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__w"),
+        )
+        .groupBy("__g", "__w")
+        .agg(F.count("*").alias("__freq"))
+        .select("__g", "__w", "__freq", F.split("__w", "").alias("__syms"))
+    )
+    cur = words.localCheckpoint(eager=False)
+    for left, right in merges:
+        cur = cur.withColumn(
+            "__syms", _merge_fold(F.col("__syms"), left, right)
+        ).localCheckpoint(eager=False)
+    return cur.groupBy(F.col("__g").alias(group_col)).agg(
+        F.sum("__freq").alias("n_words"),
+        F.sum(F.col("__freq") * F.length("__w")).alias("n_chars"),
+        F.sum(F.col("__freq") * F.size("__syms")).alias("n_bpe_tokens"),
+        (
+            F.sum(F.col("__freq") * F.length("__w")).cast("double")
+            / F.sum(F.col("__freq") * F.size("__syms")).cast("double")
+        ).alias("compression"),
+    )

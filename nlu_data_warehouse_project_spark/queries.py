@@ -20796,3 +20796,107 @@ FROM kept
 
 QUERIES.update({"q359_kmv_rollup_regions": q359_kmv_rollup_regions})
 ORACLE_SQL.update({"q359_kmv_rollup_regions": Q359_SQL})
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality score — model-based corpus filtering (q360)
+# ---------------------------------------------------------------------------
+
+def q360_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, the KenLM-filter shape without the
+    libm hazard: train an add-1-smoothed bigram model ON the corpus
+    (c12/c1 from one map-side zip of adjacent tokens, V = vocabulary
+    size), then score every document by its MEAN transition
+    probability p(w2|w1) = (c12+1)/(c1+V).  The arithmetic mean is
+    chosen over log-perplexity deliberately: ln is 1-ulp libm and
+    would force a tolerance gate, while each p here is ONE exact IEEE
+    divide and the per-doc sum runs in DECIMAL(25,6) (the `_dec`
+    pattern), so the score hash-matches cross-engine bit for bit.
+    Low score = improbable transitions = boilerplate/garbled text —
+    the same ranking signal, exactly gateable.  Model tables join
+    bigram-keyed (vocabulary-sized, never broadcast)."""
+    from .functions.text import tokens as _toks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", _toks(F.lower(F.col("text"))).alias("__ws"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__ws"), 1, F.size("__ws") - 1),
+                F.slice(F.col("__ws"), 2, F.size("__ws") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("__b"),
+    ).select("doc_id", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = toks.select(F.explode("__ws").alias("t")).agg(
+        F.countDistinct("t").alias("__v")
+    )
+    p = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__p",
+            (F.col("c12") + F.lit(1)).cast("double")
+            / (F.col("c1") + F.col("__v")).cast("double"),
+        )
+    )
+    return p.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.sum(F.col("__p").cast("decimal(25,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_transition_p"),
+    )
+
+
+Q360_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_LTOKENS_SQL} AS ws FROM documents
+), bi AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY 1
+), vocab AS (
+  SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+  FROM (SELECT unnest(ws) AS t FROM w)
+)
+SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CAST(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + vocab.v AS DOUBLE)
+                     AS DECIMAL(25,6))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_transition_p
+FROM bi
+JOIN c12 USING (w1, w2)
+JOIN c1 USING (w1), vocab
+GROUP BY bi.doc_id
+"""
+
+
+QUERIES.update({"q360_bigram_lm_score": q360_bigram_lm_score})
+ORACLE_SQL.update({"q360_bigram_lm_score": Q360_SQL})
+
+# ---------------------------------------------------------------------------
+# BPE application: per-source tokenizer compression (q361)
+# ---------------------------------------------------------------------------
+
+def q361_bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-learned q358 merges and report per-source
+    tokenizer statistics (`bpe.bpe_segment_stats`): words, raw symbol
+    count, post-merge token count, and the compression ratio — the
+    "does the learned vocabulary fit each source" check a tokenizer
+    pipeline runs before committing to a vocab.  Counts are exact
+    integers, compression one IEEE divide; gated like q358 against a
+    pure-Python learn+apply recompute (PYTHON_GATES)."""
+    from .operators.bpe import bpe_segment_stats
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return bpe_segment_stats(docs, "source", num_merges=8, min_pair_count=2)
+
+
+QUERIES.update({"q361_bpe_compression_by_source": q361_bpe_compression_by_source})
+# no ORACLE_SQL entry: PYTHON_GATES recompute (BPE has no SQL spelling)

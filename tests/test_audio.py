@@ -92,3 +92,36 @@ def test_extract_audio_features_mapinpandas(spark):
     assert got[2]["duration_s"] == 0.25 and abs(got[2]["peak"] - 0.9) < 0.01
     assert got[3]["rms"] is None and got[3]["n_bytes"] == 0
     assert got[1]["sha256"] is not None
+
+
+def test_g711_mulaw_and_alaw_decode():
+    """r14: G.711 mu-law/A-law WAV (format codes 7/6) decode through
+    generated CCITT expansion tables.  Pinned identities: mu-law 0xFF
+    encodes linear 0; A-law 0xD5 encodes the +half-step 8; sign
+    symmetry table[b] == -table[b ^ 0x80] for mu-law; magnitudes are
+    monotone within each segment; peak magnitudes match the specs
+    (mu-law 8031<<2, A-law 0xFF8<<... = 32256 and 4032<<3)."""
+    from nlu_data_warehouse_project_spark.operators.audio import (
+        _g711_alaw_table, _g711_mulaw_table, decode_wav,
+    )
+
+    mu, al = _g711_mulaw_table(), _g711_alaw_table()
+    assert mu[0xFF] == 0
+    assert al[0xD5] == 8
+    for b in range(256):
+        assert mu[b] == -mu[b ^ 0x80]
+    assert int(np.abs(mu.astype(int)).max()) == 8031 << 2
+    assert int(np.abs(al.astype(int)).max()) == 4032 << 3
+
+    def wav(code: int) -> bytes:
+        fmt = struct.pack("<HHIIHH", code, 1, 8000, 8000, 1, 8)
+        data = bytes(range(256))
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body) + 4) + body
+
+    got_mu = decode_wav(wav(7))
+    assert got_mu["n_frames"] == 256
+    assert np.allclose(got_mu["samples"][:, 0], mu.astype(float) / 32768.0)
+    got_al = decode_wav(wav(6))
+    assert np.allclose(got_al["samples"][:, 0], al.astype(float) / 32768.0)

@@ -1080,3 +1080,19 @@ def test_round14_wave3_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, (name, python_udf_count(q))
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+
+
+def test_round14_wave4_plans(spark, sf_smoke):
+    """q360/q361: zero Python stages (the bigram model is zip_with +
+    joins; BPE application is the JVM aggregate fold — the learn
+    rounds materialize through checkpoints, so the final plan shows
+    only the apply-side aggregation)."""
+    from nlu_data_warehouse_project_spark.plans import python_udf_count, shuffle_count
+
+    for name, max_shuffles in (
+        ("q360_bigram_lm_score", 6),
+        ("q361_bpe_compression_by_source", 3),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, (name, python_udf_count(q))
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))

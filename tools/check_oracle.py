@@ -127,18 +127,30 @@ def _py_oracle_bpe_merges(con):
     the oracle is an independent non-Spark execution.  Tokenization
     mirrors `functions.text.tokens` (split lowered trimmed text on
     whitespace runs); the merge is left-to-right non-overlapping with
-    the same (count desc, left asc, right asc) tiebreak."""
+    the same (count desc, left asc, right asc) tiebreak.  The learner
+    itself is shared with the q361 gate (`_py_bpe_learn` below)."""
+    texts = [t for (t,) in con.execute("SELECT text FROM documents").fetchall()]
+    out = [
+        (rnd, left, right, cnt)
+        for rnd, (left, right, cnt) in enumerate(_py_bpe_learn(texts))
+    ]
+    return ["merge_round", "left", "right", "pair_count"], out
+
+
+def _py_bpe_learn(texts, num_merges=8, min_pair_count=2):
+    """Shared reference BPE learner (tokenization mirrors
+    `functions.text.tokens`); returns the merge list."""
     import re
     from collections import Counter
 
     words: Counter = Counter()
-    for (t,) in con.execute("SELECT text FROM documents").fetchall():
+    for t in texts:
         for w in re.split(r"\s+", (t or "").strip().lower()):
             if w:
                 words[w] += 1
     seqs = {w: list(w) for w in words}
-    out = []
-    for rnd in range(8):
+    merges = []
+    for _ in range(num_merges):
         pc: Counter = Counter()
         for w, f in words.items():
             s = seqs[w]
@@ -149,9 +161,9 @@ def _py_oracle_bpe_merges(con):
         (left, right), cnt = min(
             pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
-        if cnt < 2:
+        if cnt < min_pair_count:
             break
-        out.append((rnd, left, right, cnt))
+        merges.append((left, right, cnt))
         merged = left + right
         for w, s in seqs.items():
             ns, i = [], 0
@@ -163,12 +175,54 @@ def _py_oracle_bpe_merges(con):
                     ns.append(s[i])
                     i += 1
             seqs[w] = ns
-    return ["merge_round", "left", "right", "pair_count"], out
+    return merges
+
+
+def _py_apply_merges(word: str, merges) -> list[str]:
+    s = list(word)
+    for left, right, _ in merges:
+        merged = left + right
+        ns, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                ns.append(merged)
+                i += 2
+            else:
+                ns.append(s[i])
+                i += 1
+        s = ns
+    return s
+
+
+def _py_oracle_bpe_stats(con):
+    """Pure-Python recompute of q361: learn the corpus merges, apply
+    them per (source, word), aggregate exact integer counts; the
+    compression ratio is one IEEE divide of those ints."""
+    import re
+
+    rows = con.execute("SELECT source, text FROM documents").fetchall()
+    merges = _py_bpe_learn([t for _, t in rows])
+    agg: dict[str, list[int]] = {}
+    seg_cache: dict[str, int] = {}
+    for src, t in rows:
+        a = agg.setdefault(src, [0, 0, 0])
+        for w in re.split(r"\s+", (t or "").strip().lower()):
+            if not w:
+                continue
+            if w not in seg_cache:
+                seg_cache[w] = len(_py_apply_merges(w, merges))
+            a[0] += 1
+            a[1] += len(w)
+            a[2] += seg_cache[w]
+    cols = ["source", "n_words", "n_chars", "n_bpe_tokens", "compression"]
+    out = [(s, v[0], v[1], v[2], v[1] / v[2]) for s, v in agg.items()]
+    return cols, out
 
 
 PYTHON_GATES = {
     "q223_compression_screen": _py_oracle_compression_screen,
     "q358_bpe_merges": _py_oracle_bpe_merges,
+    "q361_bpe_compression_by_source": _py_oracle_bpe_stats,
 }
 
 
