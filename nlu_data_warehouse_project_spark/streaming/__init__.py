@@ -794,3 +794,59 @@ def streaming_interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance}"))
     )
     return l.join(r, cond, join_type)
+
+
+def make_kmv_distinct_processor(
+    sketches,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    seed: int = 77,
+):
+    """foreachBatch body maintaining per-group KMV distinct-count
+    sketches in the ``sketches`` TxTable — streaming COUNT DISTINCT
+    with O(k) state per group and NO per-value state store, because
+    KMV merges losslessly: merge(batch sketch, stored sketch) equals
+    the sketch of everything ever seen, EXACTLY (`operators.sketches`,
+    q353's theorem).  flatMapGroupsWithState-style per-value dedup
+    state would grow with true cardinality; this stays k doubles per
+    group forever, and the estimate after any number of micro-batches
+    is BIT-IDENTICAL to a batch `kmv_sketch` over the union of all
+    batches — the equivalence the test pins.
+
+    Replay-safe like the other sidecars: a replayed micro-batch id is
+    a no-op (crash/retry never double-merges).  Each batch commits one
+    snapshot of the (group, kmv_mins, n_kept, kmv_estimate) table —
+    group-count-sized, never batch-sized."""
+    from ..operators.sketches import kmv_merge, kmv_sketch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if _replayed_batch(sketches, batch_id):
+            return
+        batch_sk = kmv_sketch(batch_df, value_col, [group_col], k=k, seed=seed)
+        if sketches.exists() and sketches.manifest() is not None:
+            prior = sketches.read().select(group_col, "kmv_mins")
+            merged = kmv_merge(
+                batch_sk.select(group_col, "kmv_mins").unionByName(prior),
+                [group_col],
+                k=k,
+            )
+        else:
+            merged = batch_sk
+        out = merged.select(
+            group_col,
+            # normalize containsNull: collect_set-derived arrays are
+            # non-null-element typed, round-tripped rows aren't — a
+            # strict schema comparison would reject the second commit
+            F.col("kmv_mins").cast("array<double>").alias("kmv_mins"),
+            "n_kept",
+            "kmv_estimate",
+        )
+        # sketch table is |groups| x k doubles — snapshot it whole
+        rows = out.collect()
+        frame = batch_df.sparkSession.createDataFrame(rows, out.schema)
+        sketches.commit_snapshot(
+            frame, run_id=f"kmv{batch_id}", extra={"last_batch_id": batch_id}
+        )
+
+    return process

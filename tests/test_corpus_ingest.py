@@ -497,3 +497,42 @@ def test_ingest_compression_band_gate(spark, tmp_path):
     process(batch, 0)
     kept = [r["doc_id"] for r in corpus.read().select("doc_id").collect()]
     assert kept == [2]
+
+
+def test_streaming_kmv_matches_batch_sketch_exactly(spark, tmp_path):
+    """r14: the KMV sidecar's estimate after N micro-batches is
+    BIT-IDENTICAL to a batch kmv_sketch over the union of all batches
+    — the lossless-merge theorem (q353) applied incrementally; state
+    per group stays k doubles regardless of true cardinality.  Replay
+    of the last micro-batch id is a no-op."""
+    from nlu_data_warehouse_project_spark.operators.sketches import kmv_sketch
+    from nlu_data_warehouse_project_spark.streaming import make_kmv_distinct_processor
+
+    SCHEMA3 = "g string, v long"
+    K = 16
+    batches = [
+        spark.createDataFrame(
+            [(f"g{(v + b) % 2}", (v * 7 + b * 131) % 450) for v in range(300)], SCHEMA3
+        )
+        for b in range(3)
+    ]
+    sketches = TxTable(spark, str(tmp_path / "kmv"))
+    process = make_kmv_distinct_processor(sketches, "g", "v", k=K)
+    for i, b in enumerate(batches):
+        process(b, i)
+
+    got = {
+        r["g"]: (r["n_kept"], r["kmv_estimate"])
+        for r in sketches.read().collect()
+    }
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    want = {
+        r["g"]: (r["n_kept"], r["kmv_estimate"])
+        for r in kmv_sketch(union, "v", ["g"], k=K).collect()
+    }
+    assert got == want  # exact, not approximate-equal
+
+    # replayed micro-batch: a no-op, table unchanged
+    process(batches[2], 2)
+    assert {r["g"]: (r["n_kept"], r["kmv_estimate"])
+            for r in sketches.read().collect()} == want
