@@ -20900,3 +20900,214 @@ def q361_bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFram
 
 QUERIES.update({"q361_bpe_compression_by_source": q361_bpe_compression_by_source})
 # no ORACLE_SQL entry: PYTHON_GATES recompute (BPE has no SQL spelling)
+
+# ---------------------------------------------------------------------------
+# Corpus analytics: source vocabulary overlap (q362) and Zipf check (q363)
+# ---------------------------------------------------------------------------
+
+def q362_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise VOCABULARY Jaccard between sources — the corpus-mix
+    diagnostic ("are these two crawls the same content?") at the
+    set-of-types level, complementing the per-document near-dup
+    family.  Distinct (source, token) pairs, one token-keyed self-join
+    for intersections (types are vocabulary-sized; never broadcast),
+    union by inclusion-exclusion, one exact divide."""
+    from .functions.text import tokens as _toks
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    st = docs.select(
+        "source", F.explode(_toks(F.lower(F.col("text")))).alias("t")
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count("*").alias("__n"))
+    right = st.select(F.col("source").alias("source_b"), "t")
+    inter = (
+        st.join(right, "t")
+        .filter(F.col("source") < F.col("source_b"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a", "source_b", "n_common",
+            F.col("__na").alias("vocab_a"), F.col("__nb").alias("vocab_b"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+Q362_SQL = f"""
+WITH st AS (
+  SELECT DISTINCT source, unnest({_LTOKENS_SQL}) AS t FROM documents
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       sa.n AS vocab_a, sb.n AS vocab_b,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.source_a = sa.source
+JOIN sizes sb ON inter.source_b = sb.source
+"""
+
+
+def q363_zipf_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law sanity check without the log-log regression (whose
+    libm fit would need a tolerance gate): under Zipf, rank x
+    frequency is roughly CONSTANT, so the top-20 (rank, freq,
+    rank*freq) rows make the fit — or its failure — directly
+    readable, in exact integers.  Rank ties break by term; the top-20
+    comes from sort+limit (planned as TakeOrderedAndProject:
+    per-partition top-20 + a driver merge of 20-row heads — never a
+    single-partition sort of the vocabulary), and the row_number
+    window then ranks a 20-row frame."""
+    from .functions.text import tokens as _toks
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    tf = (
+        docs.select(F.explode(_toks(F.lower(F.col("text")))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = tf.orderBy(F.col("freq").desc(), F.col("t").asc()).limit(20)
+    w = Window.orderBy(F.col("freq").desc(), F.col("t").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        F.col("t").alias("term"),
+        "freq",
+        (F.col("rank") * F.col("freq")).alias("rank_x_freq"),
+    )
+
+
+Q363_SQL = f"""
+WITH tf AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_LTOKENS_SQL}) AS t FROM documents)
+  GROUP BY 1
+), r AS (
+  SELECT t, freq, row_number() OVER (ORDER BY freq DESC, t ASC) AS rank FROM tf
+)
+SELECT CAST(rank AS INT) AS rank, t AS term, freq,
+       CAST(rank * freq AS BIGINT) AS rank_x_freq
+FROM r WHERE rank <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Privacy audits: l-diversity (q364) and re-identification risk sweep (q365)
+# ---------------------------------------------------------------------------
+
+def q364_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity over the published quasi-identifier grouping: for
+    each (nation, segment) QI group, how many DISTINCT sensitive
+    values (account-balance band, width 2000) it contains — a group
+    can be k-anonymous (q198's rule) yet still leak the sensitive
+    attribute if every member shares one band; ``diverse`` flags
+    l >= 3.  One grouped countDistinct; exact integers."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    band = F.floor(F.col("c_acctbal") / F.lit(2000)).cast("long")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.countDistinct(band).cast("long").alias("l_distinct_bands"),
+        )
+        .withColumn("diverse", (F.col("l_distinct_bands") >= 3).cast("int"))
+    )
+
+
+Q364_SQL = """
+SELECT n_name AS nation, c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS BIGINT)
+         AS l_distinct_bands,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) >= 3 AS INT)
+         AS diverse
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q365_reidentification_risk_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population re-identification risk curve: with the FINER
+    quasi-identifier (nation, segment, balance band), what fraction
+    of customers sit in groups smaller than k, for k in (2, 5, 10,
+    25)?  q198 suppresses a table; this measures the underlying risk
+    the suppression threshold is chosen against.  One grouped pass
+    for cell sizes, then a broadcast explode over the k sweep —
+    conditional sums, exact fractions."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    band = F.floor(F.col("c_acctbal") / F.lit(2000)).cast("long")
+    cells = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("__nat"),
+            F.col("c_mktsegment").alias("__seg"),
+            band.alias("__band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    ks = cells.sparkSession.createDataFrame([(2,), (5,), (10,), (25,)], "k int")
+    return (
+        cells.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("__n") < F.col("k"), F.col("__n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_at_risk"),
+            F.sum("__n").cast("long").alias("n_total"),
+        )
+        .withColumn(
+            "risk_fraction",
+            F.col("n_at_risk").cast("double") / F.col("n_total").cast("double"),
+        )
+    )
+
+
+Q365_SQL = """
+WITH cells AS (
+  SELECT n_name, c_mktsegment,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2, 3
+), ks AS (
+  SELECT unnest(ARRAY[2, 5, 10, 25]) AS k
+)
+SELECT CAST(k AS INT) AS k,
+       CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT) AS n_at_risk,
+       CAST(sum(n) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS DOUBLE)
+         / CAST(sum(n) AS DOUBLE) AS risk_fraction
+FROM cells, ks
+GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "q362_source_vocab_jaccard": q362_source_vocab_jaccard,
+    "q363_zipf_constant": q363_zipf_constant,
+    "q364_l_diversity_audit": q364_l_diversity_audit,
+    "q365_reidentification_risk_sweep": q365_reidentification_risk_sweep,
+})
+ORACLE_SQL.update({
+    "q362_source_vocab_jaccard": Q362_SQL,
+    "q363_zipf_constant": Q363_SQL,
+    "q364_l_diversity_audit": Q364_SQL,
+    "q365_reidentification_risk_sweep": Q365_SQL,
+})

@@ -1096,3 +1096,25 @@ def test_round14_wave4_plans(spark, sf_smoke):
         q = QUERIES[name](spark, sf_smoke)
         assert python_udf_count(q) == 0, (name, python_udf_count(q))
         assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+
+
+def test_round14_wave5_plans(spark, sf_smoke):
+    """q362-q365: all JVM-side, and q363's global top-20 must plan as
+    TakeOrderedAndProject (per-partition heads + driver merge), never
+    a single-partition sort of the vocabulary."""
+    from nlu_data_warehouse_project_spark.plans import (
+        formatted_plan, python_udf_count, shuffle_count,
+    )
+
+    for name, max_shuffles in (
+        ("q362_source_vocab_jaccard", 7),
+        ("q363_zipf_constant", 2),
+        ("q364_l_diversity_audit", 3),
+        ("q365_reidentification_risk_sweep", 3),
+    ):
+        q = QUERIES[name](spark, sf_smoke)
+        assert python_udf_count(q) == 0, (name, python_udf_count(q))
+        assert shuffle_count(q) <= max_shuffles, (name, shuffle_count(q))
+    assert "TakeOrderedAndProject" in formatted_plan(
+        QUERIES["q363_zipf_constant"](spark, sf_smoke)
+    )
