@@ -6,9 +6,10 @@ samples, single interleaved scan OR spec-legal per-component
 multi-scan, optional restart intervals, any integer chroma
 subsampling) AND PROGRESSIVE JPEG (SOF2: spectral selection,
 successive approximation, DC/AC first and refinement scans, EOB
-runs) with no codec library, the ``decode_png`` discipline.
-Arithmetic-coded, hierarchical, lossless and 12-bit variants stay
-explicit ``NotImplementedError`` fail-fasts.
+runs) with no codec library, the ``decode_png`` discipline — at
+sample precision 8 or 12 (12-bit output is scaled /16 into the
+uint8 pixels contract).  Arithmetic-coded, hierarchical and lossless
+variants stay explicit ``NotImplementedError`` fail-fasts.
 
 ``encode_jpeg`` / ``encode_jpeg_progressive`` are the fixture/export
 twins: minimal encoders (flat quantization by default, per-image
@@ -323,6 +324,7 @@ def decode_jpeg(payload: bytes) -> dict:
     comps: list[dict] = []
     w = h = 0
     restart = 0
+    precision = 8
     progressive = False
     adobe_transform: int | None = None
     coefs: list[np.ndarray] | None = None
@@ -370,8 +372,11 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if comps:
                 raise ValueError("JPEG with more than one SOF")
-            if seg[0] != 8:
-                raise NotImplementedError(f"JPEG sample precision {seg[0]} (only 8)")
+            if seg[0] not in (8, 12):
+                raise NotImplementedError(
+                    f"JPEG sample precision {seg[0]} (8 and 12 decode here)"
+                )
+            precision = seg[0]
             progressive = marker == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
@@ -432,7 +437,12 @@ def decode_jpeg(payload: bytes) -> dict:
         by, bx = zz.shape[0], zz.shape[1]
         blocks = raster.reshape(by, bx, 8, 8) * qt[comp["tq"]]
         px = np.einsum("ij,abjk,kl->abil", _DCT_A.T, blocks, _DCT_A)
-        p = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        # level shift is 2^(P-1); 12-bit samples land on 0..4095 and are
+        # scaled to the 8-bit output contract by /16 (the pixels field
+        # stays uint8 row-major for every precision — documented)
+        p = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + float(1 << (precision - 1))
+        if precision == 12:
+            p = p / 16.0
         if fy > 1 or fx > 1:
             p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
         out_planes.append(p[:h, :w])
@@ -498,8 +508,9 @@ def _build_huffman(symbol_sets: list[set]) -> list[tuple[list[int], list[int]]]:
     return out
 
 
-def _fdct_quant(plane: np.ndarray, q: np.ndarray, y0: int, x0: int) -> list[int]:
-    block = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
+def _fdct_quant(plane: np.ndarray, q: np.ndarray, y0: int, x0: int,
+                level: float = 128.0) -> list[int]:
+    block = plane[y0:y0 + 8, x0:x0 + 8] - level
     coef = np.round((_DCT_A @ block @ _DCT_A.T) / q).astype(int)
     return [int(coef.flat[z]) for z in _ZIGZAG]
 
@@ -782,6 +793,7 @@ def encode_jpeg_progressive(
     subsample_420: bool = False,
     scans: list[tuple] | None = None,
     sof_marker: int = 0xC2,
+    precision: int = 8,
 ) -> bytes:
     """Progressive JPEG encoder — `encode_jpeg`'s SOF2 sibling, so the
     progressive decode paths round-trip without any image library.
@@ -812,11 +824,28 @@ def encode_jpeg_progressive(
         )
     if subsample_420 and channels == 4:
         raise ValueError("subsample_420 is only supported for channels=3")
-    if len(pixels) != width * height * channels:
+    if precision not in (8, 12):
+        raise ValueError(f"precision={precision} (8 or 12)")
+    if precision == 12:
+        # 12-bit fixtures: grayscale only (the color transform is
+        # defined on the 8-bit range; the decoder handles 12-bit color
+        # generically because its /16 rescale precedes the transform),
+        # samples as little-endian uint16 in 0..4095
+        if channels != 1:
+            raise ValueError("precision=12 fixtures are grayscale (channels=1)")
+        if len(pixels) != width * height * 2:
+            raise ValueError(f"need {width * height * 2} bytes, got {len(pixels)}")
+        img = np.frombuffer(bytes(pixels), dtype="<u2").reshape(
+            height, width, 1
+        ).astype(float)
+        if img.max() > 4095:
+            raise ValueError("12-bit samples must be in 0..4095")
+    elif len(pixels) != width * height * channels:
         raise ValueError(f"need {width * height * channels} bytes, got {len(pixels)}")
-    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
-        height, width, channels
-    ).astype(float)
+    else:
+        img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(
+            height, width, channels
+        ).astype(float)
     if channels == 3:
         r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
         comps_raw = [
@@ -845,12 +874,13 @@ def encode_jpeg_progressive(
         planes.append(p)
 
     q = np.full((8, 8), float(quant))
+    level = float(1 << (precision - 1))
     # quantized zigzag coefficients on the MCU-padded block grid
     zzs = []
     for ci, (ch, cv) in enumerate(hv):
         by_n, bx_n = mcuy * cv, mcux * ch
         grid = [
-            [_fdct_quant(planes[ci], q, by * 8, bx * 8) for bx in range(bx_n)]
+            [_fdct_quant(planes[ci], q, by * 8, bx * 8, level) for bx in range(bx_n)]
             for by in range(by_n)
         ]
         zzs.append(grid)
@@ -872,7 +902,7 @@ def encode_jpeg_progressive(
     if channels == 4:
         segment(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
     segment(0xDB, b"\x00" + bytes(int(q.flat[z]) for z in _ZIGZAG))
-    sof = b"\x08" + _struct.pack(">HH", height, width) + bytes([len(planes)])
+    sof = bytes([precision]) + _struct.pack(">HH", height, width) + bytes([len(planes)])
     for ci, (ch, cv) in enumerate(hv):
         sof += bytes([ci + 1, (ch << 4) | cv, 0])
     segment(sof_marker, sof)

@@ -232,3 +232,36 @@ def test_cmyk_roundtrip_raw_ycck_and_progressive():
 
     feats = _pixel_feature(encode_jpeg(w, h, 4, px))
     assert feats[:3] == [float(w), float(h), 4.0]
+
+
+def test_12bit_grayscale_decodes_and_cross_form_matches():
+    """r14: 12-bit precision (SOF P=12) decodes for both baseline and
+    progressive forms — pixel-identical to each other (same
+    coefficients), and within DCT rounding of the /16-scaled source
+    (the pixels field stays uint8 row-major for every precision, by
+    contract)."""
+    from nlu_data_warehouse_project_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(4)
+    w, h = 24, 16
+    y, x = np.mgrid[0:h, 0:w]
+    samp = np.clip(
+        (x * 40 + y * 60) + rng.integers(0, 50, (h, w)), 0, 4095
+    ).astype("<u2")
+    px = samp.tobytes()
+    prog = decode_jpeg(encode_jpeg_progressive(w, h, 1, px, precision=12))
+    base = decode_jpeg(
+        encode_jpeg_progressive(
+            w, h, 1, px, precision=12, scans=[(0, 0, 63, 0, 0)], sof_marker=0xC0
+        )
+    )
+    assert prog["pixels"] == base["pixels"]
+    got = np.frombuffer(prog["pixels"], dtype=np.uint8).reshape(h, w)
+    want = np.clip(np.round(samp.astype(float) / 16.0), 0, 255)
+    assert np.abs(got - want).max() <= 1
+    # 16-bit precision stays an honest fail-fast
+    bad = bytearray(encode_jpeg_progressive(w, h, 1, px, precision=12))
+    sof = bad.index(b"\xff\xc2")
+    bad[sof + 4] = 16
+    with pytest.raises(NotImplementedError, match="precision"):
+        decode_jpeg(bytes(bad))
