@@ -127,6 +127,16 @@ EXTRAS = [
     "q329_quote_containment_pairs",
     "q331_winsorized_revenue",
     "q335_scd2_interval_audit",
+    # round 14: SymSpell edit-1 join, tf-idf, KMV sketch, basket rules,
+    # bigram-LM score, source-vocab Jaccard (BPE q358/q361 stay out:
+    # driver-loop rounds make wall = round count x job cost — the
+    # stress harness measures them, alpha 0.01 at 10x)
+    "q349_tfidf_top_terms",
+    "q351_fuzzy_name_pairs",
+    "q352_kmv_distinct_customers",
+    "q354_brand_affinity_rules",
+    "q360_bigram_lm_score",
+    "q362_source_vocab_jaccard",
 ]
 
 GROUPS = {"legacy19": LEGACY19, "heavy": HEAVY_HEADLINE, "extras": EXTRAS}
