@@ -1,6 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line with per-query wall seconds.
+a compact FINAL JSON line with the gated totals, gated per-query wall
+seconds, gate metrics, and protocol metadata — preceded by one DETAIL
+JSON line carrying the bulky fields (extras timings, per-session
+per-query series, load traces).  The split is VERDICT r14 #1: the
+driver parses the LAST JSON line from a bounded stdout tail, and a
+single all-in-one line outgrew that window in r14.
 
 DRIFT-PROOF SESSION COMPOSITION (VERDICT r13 #1).  Three rounds in a
 row (r11/r12/r13) the recorded series moved 10-20% on byte-untouched
@@ -50,6 +55,17 @@ sys.path.insert(0, REPO)
 # numbers are contention-shaped, not code-shaped (32-core box; the
 # bench itself drives load ~2-3)
 LOAD_GATE_1MIN = 8.0
+
+# VERDICT r14 #2 / ADVICE r14: r14 was the FIRST round measured under
+# the drift-proof protocol (fresh JVM per gated group, per-query MIN
+# across 2 sessions), so its numbers are the explicit comparison base
+# of the like-for-like-by-construction series — pinned here from
+# BENCH_r14.json (legacy19_total field; heavy = sum of its 5 per-query
+# mins: 3.295+2.584+3.005+2.934+2.326).  Rounds r3-r13 used
+# one-session medians and are NOT comparable to this series; the bench
+# emits ``legacy19_vs_r14`` / ``heavy_vs_r14`` ratios so cross-round
+# drift is a printed number, not a judge computation.
+R14_BASELINE = {"legacy19": 13.292, "heavy": 14.144}
 
 LEGACY19 = [
     "q01_pricing_summary",
@@ -429,6 +445,10 @@ def main() -> None:
 
     group_results: dict[str, dict] = {}
     group_errors: dict[str, str] = {}
+    # ADVICE r14: the per-query-min composite is a total no single
+    # session achieved — record EACH session's per-query medians and
+    # totals alongside the min so the artifact carries both
+    session_queries: dict[str, list[dict]] = {}
     for group in ("legacy19", "heavy", "extras", "gates"):
         n = sessions if group in ("legacy19", "heavy") else 1
         best: dict | None = None
@@ -437,6 +457,10 @@ def main() -> None:
             if res is None:
                 group_errors[group] = err
                 continue
+            if group in ("legacy19", "heavy"):
+                session_queries.setdefault(group, []).append(
+                    dict(res.get("queries", {}))
+                )
             if best is None:
                 best = res
             else:
@@ -449,6 +473,7 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     legacy_total = sum(group_results.get("legacy19", {}).get("queries", {}).values())
+    heavy_total = sum(group_results.get("heavy", {}).get("queries", {}).values())
     per_query.update(group_results.get("legacy19", {}).get("queries", {}))
     per_query.update(group_results.get("heavy", {}).get("queries", {}))
     total = sum(per_query.values())
@@ -473,6 +498,30 @@ def main() -> None:
         for g, r in group_results.items()
         if g in ("legacy19", "heavy")
     )
+    session_totals = {
+        g: [round(sum(s.values()), 3) for s in runs]
+        for g, runs in session_queries.items()
+    }
+
+    # VERDICT r14 #1: the driver parses the LAST JSON line out of a
+    # bounded stdout tail, and r14's single fat line overflowed it
+    # (BENCH_r14 ``parsed: null``).  Split the output: a DETAIL line
+    # first (extras, per-session per-query numbers, load traces —
+    # everything bulky), then a COMPACT final line with only the gated
+    # totals, gated per-query numbers, gate metrics, and protocol
+    # metadata, so the artifact's parsed view always carries the full
+    # gated series.
+    detail = {
+        "metric": "headline_queries_detail",
+        "extra_queries": extra_queries,
+        "load_avg_by_group": load_by_group,
+        # each gated session's full per-query medians (ADVICE r14: the
+        # min composite is not a total any session achieved — keep the
+        # raw per-session series alongside it)
+        "gated_session_queries": session_queries,
+    }
+    if group_errors:
+        detail["group_errors"] = group_errors
 
     report = {
         "metric": "headline_queries_total",
@@ -486,6 +535,13 @@ def main() -> None:
         # the round-3-comparable 19-query sum (the 2x-of-baseline
         # rule's like-for-like history; ``value`` gates the full set)
         "legacy19_total": round(legacy_total, 3),
+        "heavy_total": round(heavy_total, 3),
+        # drift vs the pinned r14 base of the min-of-sessions series
+        # (VERDICT r14 #2); +/-10% is the adjudication threshold
+        "legacy19_vs_r14": round(legacy_total / R14_BASELINE["legacy19"], 3),
+        "heavy_vs_r14": round(heavy_total / R14_BASELINE["heavy"], 3),
+        # per-session gated totals (the min composite's raw inputs)
+        "session_totals": session_totals,
         "sf": sf,
         "runs_per_query": n_runs,
         "warmup_runs_per_query": 1,
@@ -496,15 +552,21 @@ def main() -> None:
         "gated_sessions": sessions,
         "load_gate_1min_max": LOAD_GATE_1MIN,
         "load_gate_ok": load_gate_ok,
-        "load_avg_by_group": load_by_group,
-        "extra_queries": extra_queries,
         **gates,
     }
     if errors:
         report["errors"] = errors
     if group_errors:
         report["group_errors"] = group_errors
-    print(json.dumps(report))
+    line = json.dumps(report, separators=(",", ":"))
+    # hard guard on the driver's tail window (~2.3 KB observed): if
+    # the compact line ever outgrows it, shed the bulkiest field (the
+    # per-query map lives in the detail line's session views anyway)
+    if len(line) > 2000:
+        detail["queries_moved_from_final_line"] = report.pop("queries")
+        line = json.dumps(report, separators=(",", ":"))
+    print(json.dumps(detail, separators=(",", ":")))
+    print(line)
 
 
 if __name__ == "__main__":
