@@ -17,6 +17,17 @@ sequential group; packs are then independent units downstream
 integer, so the result is EXACTLY reproducible cross-engine — the
 catalog gates it against a per-key recursive-CTE oracle with a full
 value hash, no tolerance.
+
+MEMORY BOUNDS (VERDICT r14 #3).  ``greedy_pack`` materializes each
+key's whole group as one pandas frame (fine for calendar/shard-bounded
+keys); ``greedy_pack_streamed`` is the bounded-memory spelling —
+``repartition(keys)`` + ``sortWithinPartitions(keys, order)`` +
+``mapInPandas`` carrying (pack_id, accumulated size) across Arrow
+batches, so a key of ANY length packs in one-Arrow-batch peak memory.
+Integer arithmetic in the same order → identical output; the
+equivalence is property-tested across forced batch boundaries and the
+catalog's packing queries run the streamed spelling against the
+recursive-CTE oracle.
 """
 
 from __future__ import annotations
@@ -74,3 +85,61 @@ def greedy_pack(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(pack, schema)
+
+
+def greedy_pack_streamed(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    size_col: str,
+    budget: int,
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """``greedy_pack`` with bounded memory: the same first-fit-in-order
+    recurrence, but each key's series streams through ``mapInPandas``
+    one Arrow batch at a time with (pack_id, accumulated size) carried
+    across batches — the spelling for unbounded per-key document
+    streams at 100x.  Keys are contiguous and ordered inside each hash
+    partition (repartition + sortWithinPartitions), so the generator
+    only ever holds one batch plus two integers of state.  Identical
+    integer arithmetic → bit-identical output to ``greedy_pack``
+    (property-tested across forced batch boundaries)."""
+    if budget <= 0:
+        raise ValueError(f"budget={budget} must be positive")
+    kcols = list(key_cols)
+    schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(pack_col, T.LongType(), True),
+           T.StructField(offset_col, T.LongType(), True)]
+    )
+
+    def run(batches):
+        cur_key = None
+        pack_id = acc = 0
+        for pdf in batches:
+            n = len(pdf)
+            sizes = pdf[size_col].to_numpy(dtype=np.int64)
+            keys = list(zip(*(pdf[k].tolist() for k in kcols)))
+            packs = np.empty(n, dtype=np.int64)
+            offsets = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                s = sizes[i]
+                if keys[i] != cur_key:
+                    cur_key, pack_id, acc = keys[i], 0, 0
+                elif acc + s > budget:
+                    pack_id += 1
+                    acc = 0
+                packs[i] = pack_id
+                offsets[i] = acc
+                acc += s
+            pdf = pdf.copy()
+            pdf[pack_col] = packs
+            pdf[offset_col] = offsets
+            yield pdf
+
+    return (
+        df.repartition(*kcols)
+        .sortWithinPartitions(*kcols, order_col)
+        .mapInPandas(run, schema)
+    )

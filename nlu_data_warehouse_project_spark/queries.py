@@ -19834,17 +19834,20 @@ ORACLE_SQL.update({"q340_session_window_native": Q340_SQL})
 # ---------------------------------------------------------------------------
 
 def q341_ewma_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-nation EWMA of daily order counts through the LINEAR
-    O(n)-per-key smoother (`smooth.ewma_by_key`, one sequential
-    applyInPandas pass per key) — the designated 100x-scale path for
-    per-key unbounded series, previously property-tested against the
-    q197 fold but never cross-engine-gated.  ~25 keys x the calendar
-    day series, alpha = 1/2: dyadic coefficients + the identical IEEE
-    operation order (acc*0.5 + x*0.5 in day order) make every double
-    bit-identical to the oracle's per-key recursive CTE, so the
-    Arrow-batched Python stage is hash-gated with NO tolerance.
+    """Per-nation EWMA of daily order counts through the STREAMED
+    linear smoother (`smooth.ewma_by_key_streamed`, VERDICT r14 #3:
+    repartition-by-key + sortWithinPartitions + mapInPandas with the
+    accumulator carried across Arrow batches) — the designated
+    100x-scale path for per-key UNBOUNDED series, bounded to
+    one-Arrow-batch peak Python memory regardless of series length.
+    ~25 keys x the calendar day series, alpha = 1/2: dyadic
+    coefficients + the identical IEEE operation order (acc*0.5 +
+    x*0.5 in day order) make every double bit-identical to the
+    oracle's per-key recursive CTE, so the streamed Python stage is
+    hash-gated with NO tolerance — and property-tested bit-equal to
+    the applyInPandas spelling (tests/test_round15_properties.py).
     Sanctioned py-in-plan (sequential recurrence; see smooth.py)."""
-    from .operators.smooth import ewma_by_key
+    from .operators.smooth import ewma_by_key_streamed
 
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -19858,7 +19861,7 @@ def q341_ewma_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
-    return ewma_by_key(daily, ["nation"], "day", "n_orders", alpha=0.5)
+    return ewma_by_key_streamed(daily, ["nation"], "day", "n_orders", alpha=0.5)
 
 
 Q341_SQL = """
@@ -19890,9 +19893,10 @@ def q342_holt_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling (level' referenced by the trend update), gating that the
     sequential Python stage reproduces the oracle's per-key recursive
     CTE bit-for-bit at alpha = beta = 1/2.  `fc` = level + trend is
-    the one-step-ahead forecast.  Same scale story as q341: one
-    Arrow batch per nation, state in-worker, O(days) per key."""
-    from .operators.smooth import holt_by_key
+    the one-step-ahead forecast.  Same scale story as q341: the
+    STREAMED spelling (state carried across Arrow batches), peak
+    Python memory one batch however long a key's series grows."""
+    from .operators.smooth import holt_by_key_streamed
 
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -19906,7 +19910,7 @@ def q342_holt_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
-    sm = holt_by_key(daily, ["nation"], "day", "n_orders", alpha=0.5, beta=0.5)
+    sm = holt_by_key_streamed(daily, ["nation"], "day", "n_orders", alpha=0.5, beta=0.5)
     return sm.select(
         "nation", "day", "n_orders", "level", "trend",
         (F.col("level") + F.col("trend")).alias("fc"),
@@ -19962,19 +19966,21 @@ def q343_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     concat-then-chunk GPT layout where documents DO cross pack
     boundaries and the layout is a parallel prefix sum: no-split
     packing is a sequential RESET-ON-OVERFLOW recurrence — the running
-    total restarts whenever a doc would overflow — so it runs as one
-    O(n) applyInPandas pass per source (the q341 discipline) and
-    hash-gates EXACTLY against a per-key recursive-CTE oracle: every
-    (pack_id, pack_offset) is integer arithmetic, no tolerance
-    anywhere.  Token count = whitespace split size (q25's cheap
-    tokenizer), identical in both engines."""
-    from .operators.packing import greedy_pack
+    total restarts whenever a doc would overflow — so it runs as the
+    STREAMED O(n) pass per source (`greedy_pack_streamed`, VERDICT
+    r14 #3: state carried across Arrow batches, one-batch peak Python
+    memory however long a source grows) and hash-gates EXACTLY
+    against a per-key recursive-CTE oracle: every (pack_id,
+    pack_offset) is integer arithmetic, no tolerance anywhere.  Token
+    count = whitespace split size (q25's cheap tokenizer), identical
+    in both engines."""
+    from .operators.packing import greedy_pack_streamed
 
     docs = _t(spark, sf_dir, "documents").select(
         "source", "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
-    packed = greedy_pack(docs, ["source"], "doc_id", "n_tokens", budget=256)
+    packed = greedy_pack_streamed(docs, ["source"], "doc_id", "n_tokens", budget=256)
     return packed.select("source", "doc_id", "n_tokens", "pack_id", "pack_offset")
 
 
@@ -20013,14 +20019,15 @@ def q344_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to minimize.  One grouped pass over the packed frame; the
     oracle reruns the identical recursive walk and aggregates, so a
     packer bug flips an aggregate hash even if q343's row gate were
-    skipped in a rotation."""
-    from .operators.packing import greedy_pack
+    skipped in a rotation.  Runs the streamed packer (q343's scale
+    discipline)."""
+    from .operators.packing import greedy_pack_streamed
 
     docs = _t(spark, sf_dir, "documents").select(
         "source", "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
-    packed = greedy_pack(docs, ["source"], "doc_id", "n_tokens", budget=256)
+    packed = greedy_pack_streamed(docs, ["source"], "doc_id", "n_tokens", budget=256)
     per_pack = packed.groupBy("source", "pack_id").agg(
         F.sum("n_tokens").cast("long").alias("__fill"),
         F.count(F.lit(1)).cast("long").alias("__docs"),
