@@ -153,6 +153,9 @@ EXTRAS = [
     "q354_brand_affinity_rules",
     "q360_bigram_lm_score",
     "q362_source_vocab_jaccard",
+    # round 15: depth-2 SymSpell join, prefix-filter token-set ER
+    "q366_edit2_name_pairs",
+    "q367_entity_token_pairs",
 ]
 
 GROUPS = {"legacy19": LEGACY19, "heavy": HEAVY_HEADLINE, "extras": EXTRAS}

@@ -33,6 +33,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _fanout_partitions(df: DataFrame) -> int:
+    """Partition count for a fan-out self-join.  AQE sizes post-shuffle
+    partitions by the SHUFFLE INPUT (a few MB of keys here) and happily
+    coalesces to 1 — then the join EXPLODES each input row into
+    hundreds of candidates and the whole verify stage runs on one
+    core (measured 3x slower at sf0.1).  An explicit repartition on
+    the join key pins the parallelism AQE can't see the need for."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def edit1_pairs(
     df: DataFrame,
     key_col: str,
@@ -69,6 +79,7 @@ def edit1_pairs(
             )
         ).alias("__v"),
     ).distinct()  # a string can repeat a variant (e.g. "aa" deleting either a)
+    variants = variants.repartition(_fanout_partitions(df), "__v")
     left = variants
     right = variants.select(
         F.col("__id").alias("__id_r"), F.col("__key").alias("__key_r"), "__v"
@@ -88,4 +99,203 @@ def edit1_pairs(
         cand.withColumn("distance", F.levenshtein("a_key", "b_key"))
         .filter((F.col("distance") == 1))
         .select("a_id", "b_id", "a_key", "b_key", "distance")
+    )
+
+
+def edit_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """``edit1_pairs`` generalized to Levenshtein distance <= 2
+    (VERDICT r14 #5): all unordered pairs with ``1 <= distance <=
+    max_distance``, same schema (a_id, b_id, a_key, b_key, distance).
+
+    SymSpell's deletion-neighborhood algebra extends to depth d: if
+    lev(a, b) <= d, take an optimal alignment and delete from each
+    string the characters the alignment does NOT match — at most d
+    deletions per side — leaving the same matched subsequence, so the
+    depth-d deletion neighborhoods intersect.  Each row therefore
+    emits its <=d-deletion variants (depth 0, 1 and, for d=2, every
+    unordered position pair), the candidate step is a hash equi-join
+    on the variant key, and the built-in ``levenshtein`` filter
+    removes the superset's false positives exactly.
+
+    FAN-OUT BOUND: a length-L string emits 1 + L keys at d=1 and
+    1 + L + L*(L-1)/2 at d=2 — O(n*L^2/2) join keys total (~200 keys
+    for L=20).  That is the price of exactness on SHORT keys (names,
+    titles, SKUs); for long or multi-token strings use
+    ``token_blocked_pairs``, which blocks on token prefixes instead of
+    character deletions.  Cost stays hash-partitioned, never O(n^2).
+    """
+    if max_distance not in (1, 2):
+        raise ValueError(
+            f"max_distance={max_distance}: depth-{max_distance} deletion "
+            "neighborhoods are exact only for 1 and 2 here (d>=3 fan-out "
+            "is L^3/6 keys per row — block on tokens instead)"
+        )
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(key_col).alias("__key"))
+        .filter(F.col("__key").isNotNull() & (F.length("__key") > 0))
+    )
+    key = F.col("__key")
+    ln = F.length("__key")
+
+    def del1(s, i, slen):
+        # drop 1-based position i from s (slen = length(s) column)
+        return F.concat(
+            F.substring(s, F.lit(1), i - F.lit(1)),
+            s.substr(i + F.lit(1), slen),
+        )
+
+    variants = [F.array(key), F.transform(F.sequence(F.lit(1), ln), lambda i: del1(key, i, ln))]
+    if max_distance >= 2:
+        # delete positions i < j: drop j first (so i's offset is
+        # unshifted), i.e. concat of s[1..i-1], s[i+1..j-1], s[j+1..]
+        # — guarded to length >= 2 because sequence(1, 0) DESCENDS
+        variants.append(
+            F.when(
+                ln >= 2,
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), ln - F.lit(1)),
+                        lambda i: F.transform(
+                            F.sequence(i + F.lit(1), ln),
+                            lambda j: F.concat(
+                                F.substring(key, F.lit(1), i - F.lit(1)),
+                                key.substr(i + F.lit(1), j - i - F.lit(1)),
+                                key.substr(j + F.lit(1), ln),
+                            ),
+                        ),
+                    )
+                ),
+            ).otherwise(F.array())
+        )
+    keyed = base.select(
+        "__id", "__key", F.explode(F.concat(*variants)).alias("__v")
+    ).distinct()  # depth-1/2 variants can coincide (repeated chars)
+    keyed = keyed.repartition(_fanout_partitions(df), "__v")
+    right = keyed.select(
+        F.col("__id").alias("__id_r"), F.col("__key").alias("__key_r"), "__v"
+    )
+    cand = (
+        keyed.join(right, "__v")
+        .filter(F.col("__id") < F.col("__id_r"))
+        .select(
+            F.col("__id").alias("a_id"),
+            F.col("__id_r").alias("b_id"),
+            F.col("__key").alias("a_key"),
+            F.col("__key_r").alias("b_key"),
+        )
+        .distinct()  # a pair meets on many shared variants
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein("a_key", "b_key"))
+        .filter(
+            (F.col("distance") >= 1) & (F.col("distance") <= max_distance)
+        )
+        .select("a_id", "b_id", "a_key", "b_key", "distance")
+    )
+
+
+def token_blocked_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    token_pattern: str = r"\s+",
+) -> DataFrame:
+    """Multi-token entity resolution (VERDICT r14 #5): all unordered
+    pairs whose TOKEN-SET Jaccard >= ``threshold`` — the right
+    primitive when "Acme Global Logistics" / "Acme Logistics Global"
+    must match (word order and character edits are the wrong model).
+    Returns (a_id, b_id, a_name, b_name, jaccard).
+
+    EXACT blocking via the AllPairs/PPJoin prefix filter (Bayardo,
+    Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW'07 —
+    public):  order every token by global document frequency
+    ascending (rarest first, ties by token), and give each record a
+    PREFIX of its first ``|A| - ceil(t*|A|) + 1`` tokens in that
+    order.  Two sets with Jaccard >= t must overlap in >= ceil(t*|A|)
+    tokens, so B cannot dodge A's prefix — any qualifying pair shares
+    a token in BOTH prefixes, making the candidate step a hash
+    equi-join on prefix tokens (rare tokens, so buckets stay small by
+    construction).  Candidates then pass a size filter
+    (t*|A| <= |B| <= |A|/t) and the EXACT Jaccard computed with
+    built-in array intersection — no recall loss anywhere; the
+    quadratic token-Jaccard oracle gates it.
+
+    SCALE SHAPE: emitted keys <= (1-t)*|A|+1 per record (2 tokens per
+    record at t=0.5 on 3-token names); candidate volume is bounded by
+    the square of each RARE token's frequency, the quantity the
+    frequency-ascending prefix order minimizes.  All built-ins — no
+    Python in the plan."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold={threshold} must be in (0, 1]")
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(name_col).alias("__name"),
+            F.array_distinct(
+                F.split(F.trim(F.col(name_col)), token_pattern)
+            ).alias("__toks"),
+        )
+        .filter(F.col("__name").isNotNull() & (F.size("__toks") > 0))
+        .withColumn("__n", F.size("__toks"))
+    )
+    toks = base.select(
+        "__id", "__name", "__n", "__toks", F.explode("__toks").alias("__t")
+    )
+    freq = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window
+
+    # global order: rarest token first (ties broken by the token
+    # itself so the order is total and deterministic)
+    rn = F.row_number().over(
+        Window.partitionBy("__id").orderBy("__df", "__t")
+    )
+    # ceil nudged by -1e-9: float roundup above a true integer would
+    # SHORTEN the prefix (a recall bug); the nudge only ever lengthens.
+    # Name and token array ride along so candidates verify WITHOUT a
+    # join back to the base frame (arrays are token-set sized — tens
+    # of bytes — and two fewer shuffle joins beats the payload)
+    prefix = (
+        toks.join(freq, "__t")
+        .withColumn("__rn", rn)
+        .filter(
+            F.col("__rn")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9)) + 1
+        )
+        .select("__id", "__name", "__n", "__toks", "__t")
+    ).repartition(_fanout_partitions(df), "__t")
+    right = prefix.select(
+        F.col("__id").alias("__id_r"), F.col("__name").alias("__name_r"),
+        F.col("__n").alias("__n_r"), F.col("__toks").alias("__toks_r"), "__t",
+    )
+    cand = (
+        prefix.join(right, "__t")
+        .filter(
+            (F.col("__id") < F.col("__id_r"))
+            # Jaccard >= t is impossible outside t*|A| <= |B| <= |A|/t
+            & (F.col("__n_r") * F.lit(threshold) <= F.col("__n"))
+            & (F.col("__n") * F.lit(threshold) <= F.col("__n_r"))
+        )
+    )
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__toks", "__toks_r"))
+            / F.size(F.array_union("__toks", "__toks_r")).cast("double"),
+        )
+        # verify BEFORE deduplicating multi-token meetings: duplicates
+        # of one pair share a jaccard, so filtering first shrinks the
+        # dedup shuffle to qualifying pairs only
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("__id").alias("a_id"), F.col("__id_r").alias("b_id"),
+            F.col("__name").alias("a_name"), F.col("__name_r").alias("b_name"),
+            "jaccard",
+        )
+        .dropDuplicates(["a_id", "b_id"])
     )

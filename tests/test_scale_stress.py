@@ -93,9 +93,10 @@ def test_build_inflated_invariants(spark, sf_smoke, tmp_path):
 
 
 def test_build_inflated_customer_name_salt(spark, sf_smoke, tmp_path):
-    """r14: the doubled-2-digit name tag keeps every pair of copies >= 2
-    edits apart, so the q351/q355 edit-1 pair set scales exactly Kx
-    (cross-copy pairs would otherwise make the output quadratic)."""
+    """r15: the X^4Y^4 letter tag keeps every pair of copies >= 4
+    edits apart — d=2-AWARE (VERDICT r14 #5), so both q351's edit-1
+    and q366's edit-2 pair sets scale exactly Kx (cross-copy pairs
+    would otherwise make the output quadratic in K)."""
     out = build_inflated(spark, sf_smoke, str(tmp_path / "x3"), 3)
     cust = spark.read.parquet(f"{out}/customer.parquet")
     base_n = spark.read.parquet(f"{sf_smoke}/customer.parquet").count()
@@ -108,6 +109,18 @@ def test_build_inflated_customer_name_salt(spark, sf_smoke, tmp_path):
     pair = a.select((F.col("c_custkey") - STRIDE).alias("k"), F.col("c_name").alias("n1")).join(
         b.select((F.col("c_custkey") - 2 * STRIDE).alias("k"), F.col("c_name").alias("n2")), "k"
     )
-    assert pair.filter(F.levenshtein("n1", "n2") < 2).count() == 0
-    # and within one copy the pair structure matches the base corpus
+    assert pair.filter(F.levenshtein("n1", "n2") < 4).count() == 0
+    # and the tag leaves copy-0 (originals) untagged, so q45-style
+    # probe sets keyed on copy-0 rows are byte-stable across scales
+    base_names = {
+        r["c_name"]
+        for r in spark.read.parquet(f"{sf_smoke}/customer.parquet")
+        .select("c_name").collect()
+    }
+    got0 = {
+        r["c_name"]
+        for r in cust.filter(F.col("c_custkey") < STRIDE).select("c_name").collect()
+    }
+    assert got0 == base_names
+    # within one copy the pair structure matches the base corpus
     # (tag is a shared constant prefix — edit distances unchanged)

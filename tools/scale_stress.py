@@ -113,13 +113,18 @@ STRESS_QUERIES = [
     "q349_tfidf_top_terms",
     "q354_brand_affinity_rules",
     "q358_bpe_merges",
+    # round 15: depth-2 deletion-neighborhood join — L^2/2 variant
+    # keys per name, the steepest documented fan-out in the fuzzy
+    # family; the d=2-aware salt (pairwise tag distance >= 4) keeps
+    # its OUTPUT Kx so the exponent measures the plan, not the data
+    "q366_edit2_name_pairs",
 ]
 
 # per-copy embedding perturbation scale: |noise element| <= EPS x the
 # vector's RMS element magnitude (see module docstring)
 PERTURB_EPS = 0.05
 # marker version: bump to force a rebuild when inflation LOGIC changes
-BUILD_VERSION = 3
+BUILD_VERSION = 4
 
 
 def build_inflated(spark, base: str, out: str, copies: int) -> str:
@@ -143,17 +148,28 @@ def build_inflated(spark, base: str, out: str, copies: int) -> str:
                     c = c.withColumn(k, F.col(k) + F.lit(i * STRIDE))
                 if name == "customer":
                     # per-copy NAME tag for the edit-distance family
-                    # (q351/q355): a DOUBLED 2-digit prefix ("0101",
-                    # "0202", ...) puts any two distinct copies >= 2
-                    # edits apart (tags X·X and Y·Y with X != Y differ
-                    # at d and d+2 for every differing digit position
-                    # d), so cross-copy edit-1 pairs cannot exist and
-                    # the pair set scales exactly Kx — the token-salt
+                    # (q351/q355/q366): tag = X*4 + Y*4 over a 2-letter
+                    # copy code, giving any two DISTINCT copies
+                    # pairwise Levenshtein >= 4 (LCS of x^4y^4 vs
+                    # u^4v^4 with (x,y) != (u,v) is at most 4, so
+                    # distance >= 8-4; the r14 doubled-digit tag only
+                    # guaranteed >= 2, not d=2-aware — "010101" vs
+                    # "101010" style rotations even collapse repeated
+                    # tags to distance 2).  Cross-copy pairs therefore
+                    # cannot exist at d <= 2 and both q351's and
+                    # q366's output scales exactly Kx — the token-salt
                     # philosophy; an un-salted name column would make
                     # the OUTPUT itself quadratic in K
-                    tag = f"{i % 100:02d}" * 2
+                    tag = chr(65 + (i // 26) % 26) * 4 + chr(65 + i % 26) * 4
                     c = c.withColumn(
                         "c_name", F.concat(F.lit(tag + "~"), F.col("c_name"))
+                    )
+                elif name == "supplier":
+                    # q366 (edit-2 on s_name) needs the same d=2-aware
+                    # tag on suppliers
+                    tag = chr(65 + (i // 26) % 26) * 4 + chr(65 + i % 26) * 4
+                    c = c.withColumn(
+                        "s_name", F.concat(F.lit(tag + "~"), F.col("s_name"))
                     )
                 elif name == "documents":
                     # per-copy token salt: keeps within-copy shingles
@@ -293,7 +309,7 @@ def ann_recall_at_scale(spark, dirs: dict[int, str], k: int = 5) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--copies", default="3,10",
+    ap.add_argument("--copies", default="3,10,30",
                     help="comma-separated inflation factors (1x always runs)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_stress"))
@@ -336,13 +352,12 @@ def main() -> None:
         "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
     if not args.no_recall:
-        # 1x and the largest inflation: the two ends of the curve are
-        # where a recall cliff would show; intermediate factors add
-        # k-means/PQ training time without information
-        kmax = max(copies) if copies else 1
-        report["ann_recall"] = ann_recall_at_scale(
-            spark, {s: dirs[s] for s in (1, kmax) if s in dirs}
-        )
+        # VERDICT r14 #4: the recall table now spans the FULL curve —
+        # 1x and every inflation factor (the r13 two-ends shortcut
+        # stopped the recall table at 10x while the time curve went
+        # to 30x); k-means/PQ retrain at each scale, which is the
+        # honest cost of measuring the quantizer where it must live
+        report["ann_recall"] = ann_recall_at_scale(spark, dirs)
     print(json.dumps(report))
     if not args.no_md:
         write_scaling_md(report)
