@@ -257,6 +257,14 @@ def _decode_scan(payload, data_at, comps, coefs, huff, restart, scan,
                 segs.append(bytearray())
                 i += 2
                 continue
+            if m == 0xFF:
+                # ADVICE r14: spec-legal 0xFF FILL bytes may pad the
+                # space before the marker that ends the scan (T.81
+                # B.1.1.2) — skip the run so the caller's parser lands
+                # on the real 0xFF <marker> pair, not on padding it
+                # would misread as a segment header
+                i += 1
+                continue
             break  # next real marker ends the scan
         segs[-1].append(b)
         i += 1
@@ -335,6 +343,9 @@ def decode_jpeg(payload: bytes) -> dict:
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # 0xFF fill byte run before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
@@ -450,15 +461,22 @@ def decode_jpeg(payload: bytes) -> dict:
         rgb = out_planes[0][:, :, None]
         channels = 1
     elif len(comps) == 3:
-        y, cb, cr = out_planes
-        rgb = np.stack(
-            [
-                y + 1.402 * (cr - 128.0),
-                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-                y + 1.772 * (cb - 128.0),
-            ],
-            axis=2,
-        )
+        if adobe_transform == 0:
+            # ADVICE r14: Adobe APP14 transform 0 declares the three
+            # components are stored RAW (RGB samples, no YCbCr) — the
+            # JFIF color transform would silently wreck the colors
+            rgb = np.stack(out_planes, axis=2)
+        else:
+            # JFIF default and Adobe transform 1: YCbCr
+            y, cb, cr = out_planes
+            rgb = np.stack(
+                [
+                    y + 1.402 * (cr - 128.0),
+                    y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                    y + 1.772 * (cb - 128.0),
+                ],
+                axis=2,
+            )
         channels = 3
     elif len(comps) == 4:
         # Adobe 4-component JPEG: return raw CMYK samples (channels=4),
@@ -549,6 +567,7 @@ def encode_jpeg(
     subsample_420: bool = False,
     restart_interval: int = 0,
     ycck: bool = False,
+    adobe_rgb: bool = False,
 ) -> bytes:
     """Minimal baseline JPEG encoder — ``encode_png``'s lossy sibling.
     ``quant`` is a single flat quantizer step for every coefficient
@@ -557,14 +576,20 @@ def encode_jpeg(
     DRI + RSTn markers every that many MCUs.  ``channels=4`` writes an
     Adobe CMYK file (APP14 transform 0: raw component samples;
     ``ycck=True`` stores the YCbCr transform of the inverted C/M/Y +
-    K, APP14 transform 2).  Huffman tables are per-image canonical
-    fixed-length codes (see ``_build_huffman``)."""
+    K, APP14 transform 2).  ``adobe_rgb=True`` with ``channels=3``
+    stores the three planes RAW and stamps APP14 transform 0 — the
+    Adobe-RGB shape whose decode ADVICE r14 fixed (previously the
+    JFIF YCbCr transform was applied unconditionally).  Huffman
+    tables are per-image canonical fixed-length codes (see
+    ``_build_huffman``)."""
     import struct as _struct
 
     if channels not in (1, 3, 4):
         raise ValueError(f"encode_jpeg writes 1, 3 or 4 channels, got {channels}")
     if ycck and channels != 4:
         raise ValueError("ycck=True requires channels=4 (CMYK input)")
+    if adobe_rgb and (channels != 3 or subsample_420):
+        raise ValueError("adobe_rgb=True requires channels=3, full-res planes")
     if subsample_420 and channels == 4:
         raise ValueError("subsample_420 is only supported for channels=3")
     if len(pixels) != width * height * channels:
@@ -573,12 +598,15 @@ def encode_jpeg(
         height, width, channels
     ).astype(float)
     if channels == 3:
-        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
-        comps_raw = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
-            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
-        ]
+        if adobe_rgb:
+            comps_raw = [img[:, :, c] for c in range(3)]
+        else:
+            r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+            comps_raw = [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+            ]
         hv = [(2, 2), (1, 1), (1, 1)] if subsample_420 else [(1, 1)] * 3
     elif channels == 4:
         if ycck:
@@ -653,6 +681,9 @@ def encode_jpeg(
         # Adobe APP14: required so decoders know the 4-component
         # interpretation (transform 2 = YCCK, 0 = raw CMYK samples)
         segment(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 2 if ycck else 0]))
+    elif adobe_rgb:
+        # transform 0 on 3 components: the planes are RGB as stored
+        segment(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
     segment(0xDB, b"\x00" + zz_q)  # one flat table, id 0, for all comps
     sof = b"\x08" + _struct.pack(">HH", height, width) + bytes([len(planes)])
     for ci, (ch, cv) in enumerate(hv):
