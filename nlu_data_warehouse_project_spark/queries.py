@@ -21228,3 +21228,67 @@ ORACLE_SQL.update({
     "q366_edit2_name_pairs": Q366_SQL,
     "q367_entity_token_pairs": Q367_SQL,
 })
+
+
+def q368_entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ER capstone: q367's token-set matches become entity
+    CLUSTERS (min-label connected components — A~B, B~C collapse even
+    when A and C don't match directly, `clusters.neardup_clusters`),
+    each reporting its size and the GOLDEN title (the canonical
+    member's — cluster_id is the min doc_id by construction).  This
+    is the full dedup-to-master-record pipeline: block -> verify ->
+    cluster -> elect.  Iterative fixpoint (rounds = component
+    diameter), so like q47 it lives in the catalog's oracle gate
+    (recursive-CTE transitive closure), not the fixed-round bench;
+    the stress harness measures the iterative class."""
+    from .operators.clusters import neardup_clusters
+    from .operators.fuzzy import token_blocked_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)).alias("title"),
+    )
+    pairs = token_blocked_pairs(docs, "title", "doc_id", threshold=0.5)
+    labels = neardup_clusters(pairs, id_a="a_id", id_b="b_id")
+    grouped = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    canon = docs.select(
+        F.col("doc_id").alias("cluster_id"), F.col("title").alias("canonical_title")
+    )
+    return grouped.join(canon, "cluster_id").select(
+        "cluster_id", "n_members", "canonical_title"
+    )
+
+
+Q368_SQL = """
+WITH RECURSIVE nm AS (
+  SELECT doc_id AS id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS title,
+         list_distinct(list_slice(string_split(text, ' '), 1, 5)) AS toks
+  FROM documents
+), pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id
+  FROM nm a JOIN nm b ON a.id < b.id
+  WHERE len(list_intersect(a.toks, b.toks))
+        >= 0.5 * len(list_distinct(list_concat(a.toks, b.toks)))
+), edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+), reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), labels AS (
+  SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node
+), grouped AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM labels GROUP BY 1
+)
+SELECT g.cluster_id, g.n_members, c.title AS canonical_title
+FROM grouped g JOIN nm c ON c.id = g.cluster_id
+"""
+
+QUERIES.update({"q368_entity_golden_record": q368_entity_golden_record})
+ORACLE_SQL.update({"q368_entity_golden_record": Q368_SQL})
