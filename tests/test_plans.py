@@ -1044,7 +1044,11 @@ def test_round14_wave2_plans(spark, sf_smoke):
     for name, max_shuffles in (
         ("q349_tfidf_top_terms", 6),
         ("q350_source_signature_terms", 6),
-        ("q351_fuzzy_name_pairs", 3),
+        # r15: +2 exchanges — the explicit variant-key repartition
+        # that pins fan-out join parallelism (AQE would coalesce the
+        # few-MB variant shuffle to 1 partition, then the candidate
+        # join explodes on one core: q366 measured 6.8s -> 2.1s)
+        ("q351_fuzzy_name_pairs", 5),
         ("q352_kmv_distinct_customers", 2),
         ("q353_kmv_merge_global", 3),
         ("q354_brand_affinity_rules", 4),
