@@ -389,6 +389,13 @@ def write_scaling_md(report: dict) -> None:
         "BENCH_r{N}.json (different session, and the harness itself",
         "loads the machine while it runs).",
         "",
+        "EXPECT alpha to RISE toward (but stay below) 1.0 as the scale",
+        "grows: at small K the ~0.6s/job fixed cost dominates and alpha",
+        "reads low; at 30x the fixed costs have amortized away and a",
+        "linear-work plan's honest asymptote is alpha -> 1.  The defect",
+        "this table exists to catch is alpha ABOVE 1 (super-linear),",
+        "not an alpha@30x that is higher than alpha@10x.",
+        "",
         "| query | " + " | ".join(f"sec@{k}x" for k in report["copies"])
         + " | " + " | ".join(f"alpha@{k}x" for k in copies) + " |",
         "|---|" + "---|" * (len(report["copies"]) + len(copies)),
