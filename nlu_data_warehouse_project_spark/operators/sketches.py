@@ -246,3 +246,75 @@ def heavy_hitters_mg(
         .withColumn("share", F.round(F.col("n") / F.col("__total"), 4))
         .drop("__total")
     )
+
+
+def kmv_jaccard_pairs(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 64,
+    mins_col: str = "kmv_mins",
+) -> DataFrame:
+    """Pairwise set-overlap estimates from per-group KMV sketches —
+    the sketch-algebra move a 100 TB rollup needs: distinct-count
+    INTERSECTIONS between segments computed from k-double sketches,
+    never by rescanning or joining the raw data.
+
+    The K-min-values coincidence estimator (Beyer, Haas, Reinwald,
+    Sismanis & Gemulla, "On synopses for distinct-value estimation
+    under multiset operations", SIGMOD'07 — public): for groups A, B
+    build the UNION sketch X = k smallest of mins(A) ∪ mins(B) (exact
+    by the lossless-merge property), count the coincidences K∩ = |{h
+    in X : h in mins(A) and h in mins(B)}|, then
+
+        jaccard_est = K∩ / |X|
+        union_est   = (k-1) / x_(k)   (|X| exactly, below saturation)
+        inter_est   = jaccard_est * union_est
+
+    Everything is built-in array algebra over the shared md5 uniform,
+    so the ESTIMATES are deterministic functions of the input that a
+    SQL engine reproduces bit-for-bit — the catalog hash-gates them
+    (the q352 discipline, extended from union to intersection).
+    Below saturation (|A ∪ B| < k) every number is EXACT.  Cost: a
+    self-join over the GROUP-level sketch frame (rows = groups, each
+    carrying <= k doubles) — for thousands of groups this is a few MB
+    shuffled; the raw data is never touched."""
+    g = F.col(group_col)
+    a = sketches.select(
+        g.alias("group_a"), F.col(mins_col).alias("__ma")
+    )
+    b = sketches.select(
+        g.alias("group_b"), F.col(mins_col).alias("__mb")
+    )
+    um = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("__ma"), F.col("__mb")))),
+        1, k,
+    )
+    pairs = (
+        # group-level pairwise: the sketch frame IS the reduction
+        # (rows = groups), so the pair space is groups^2/2 of k-double
+        # arrays — broadcast the right side like q365's k-sweep
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("group_a") < F.col("group_b"))
+        .withColumn("__um", um)
+        .withColumn("__nu", F.size("__um"))
+        .withColumn(
+            "n_common",
+            F.size(
+                F.array_intersect(F.array_intersect("__um", "__ma"), "__mb")
+            ).cast("long"),
+        )
+    )
+    return pairs.select(
+        "group_a", "group_b", "n_common",
+        F.col("__nu").cast("long").alias("n_union_kept"),
+        (F.col("n_common") / F.col("__nu").cast("double")).alias("jaccard_est"),
+        F.when(F.col("__nu") < k, F.col("__nu").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.element_at(F.col("__um"), k))
+        .alias("union_est"),
+        (
+            (F.col("n_common") / F.col("__nu").cast("double"))
+            * F.when(F.col("__nu") < k, F.col("__nu").cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.element_at(F.col("__um"), k)
+            )
+        ).alias("inter_est"),
+    )

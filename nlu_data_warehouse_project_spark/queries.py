@@ -21292,3 +21292,60 @@ FROM grouped g JOIN nm c ON c.id = g.cluster_id
 
 QUERIES.update({"q368_entity_golden_record": q368_entity_golden_record})
 ORACLE_SQL.update({"q368_entity_golden_record": Q368_SQL})
+
+
+def q369_kmv_priority_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-customer OVERLAP between every pair of order
+    priorities, computed entirely from the q352 KMV sketches
+    (`sketches.kmv_jaccard_pairs` — the Beyer et al. coincidence
+    estimator): union sketch by lossless merge, coincidence count,
+    jaccard_est = K∩/|X|, inter_est = jaccard_est * (k-1)/x_(k).
+    The 100 TB shape: segment-overlap dashboards re-aggregate
+    k-double sketches (here 10 pairs x 64 doubles), never rescan or
+    join raw data.  Like q352, every estimate is a deterministic
+    IEEE expression over the shared md5 uniform, so the DuckDB oracle
+    reproduces the APPROXIMATE values bit-for-bit — the approximation
+    is hash-gated, not tolerance-gated."""
+    from .operators.sketches import kmv_jaccard_pairs, kmv_sketch
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    )
+    sk = kmv_sketch(orders, "o_custkey", ["priority"], k=64, seed=77)
+    return kmv_jaccard_pairs(sk, "priority", k=64)
+
+
+Q369_SQL = f"""
+WITH u AS (
+  SELECT DISTINCT o_orderpriority AS g, {_KMV_U_SQL} AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+), r AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+  FROM u
+), sk AS (
+  SELECT g, list(h ORDER BY h) AS mins
+  FROM r WHERE rn <= 64 GROUP BY g
+), pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.mins AS ma, b.mins AS mb,
+         list_slice(list_sort(list_distinct(list_concat(a.mins, b.mins))),
+                    1, 64) AS um
+  FROM sk a JOIN sk b ON a.g < b.g
+), comp AS (
+  SELECT group_a, group_b,
+         CAST(len(list_intersect(list_intersect(um, ma), mb)) AS BIGINT)
+           AS n_common,
+         CAST(len(um) AS BIGINT) AS n_union_kept,
+         CASE WHEN len(um) < 64 THEN CAST(len(um) AS DOUBLE)
+              ELSE 63.0 / um[64] END AS union_est
+  FROM pairs
+)
+SELECT group_a, group_b, n_common, n_union_kept,
+       CAST(n_common AS DOUBLE) / CAST(n_union_kept AS DOUBLE) AS jaccard_est,
+       union_est,
+       (CAST(n_common AS DOUBLE) / CAST(n_union_kept AS DOUBLE)) * union_est
+         AS inter_est
+FROM comp
+"""
+
+QUERIES.update({"q369_kmv_priority_overlap": q369_kmv_priority_overlap})
+ORACLE_SQL.update({"q369_kmv_priority_overlap": Q369_SQL})

@@ -206,3 +206,72 @@ def test_dedup_lines_identity_when_nothing_heavy(spark, docs):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["text"] for r in dedup_lines(df, max_doc_frequency=len(docs) + 1).collect()}
     assert out == {i: t for i, t in rows}
+
+
+# ---------------------------------------------------------------------------
+# KMV intersection estimator (round 15): exactness below saturation,
+# bounded error above it, identities the coincidence algebra must obey
+# ---------------------------------------------------------------------------
+
+def _overlap_frame(spark, n_a: int, n_b: int, n_shared: int):
+    """Two groups over integer ids with a planted overlap: A = [0,
+    n_a), B = [n_a - n_shared, n_a - n_shared + n_b)."""
+    rows = [("A", i) for i in range(n_a)]
+    rows += [("B", i) for i in range(n_a - n_shared, n_a - n_shared + n_b)]
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def test_kmv_intersection_exact_below_saturation(spark):
+    """With |A ∪ B| < k the sketches hold EVERY hash, so jaccard,
+    union and intersection estimates are exact integers/ratios."""
+    from nlu_data_warehouse_project_spark.operators.sketches import (
+        kmv_jaccard_pairs, kmv_sketch,
+    )
+
+    df = _overlap_frame(spark, n_a=30, n_b=25, n_shared=10)
+    sk = kmv_sketch(df, "v", ["g"], k=64)
+    row = kmv_jaccard_pairs(sk, "g", k=64).collect()[0]
+    assert (row["group_a"], row["group_b"]) == ("A", "B")
+    assert row["n_common"] == 10
+    assert row["n_union_kept"] == 45
+    assert row["union_est"] == 45.0
+    assert abs(row["jaccard_est"] - 10 / 45) < 1e-12
+    assert abs(row["inter_est"] - 10.0) < 1e-9
+
+
+def test_kmv_intersection_error_bounded_above_saturation(spark):
+    """Planted 50% overlap at 40x saturation: the k=64 coincidence
+    estimator must land within a loose 4-sigma-ish band (sigma ~
+    J*sqrt((1-J)/(J*k)) ~ 0.09 here), and disjoint groups must
+    estimate ~0 intersection."""
+    from nlu_data_warehouse_project_spark.operators.sketches import (
+        kmv_jaccard_pairs, kmv_sketch,
+    )
+
+    df = _overlap_frame(spark, n_a=2000, n_b=2000, n_shared=1000)
+    sk = kmv_sketch(df, "v", ["g"], k=64)
+    row = kmv_jaccard_pairs(sk, "g", k=64).collect()[0]
+    true_j = 1000 / 3000
+    assert abs(row["jaccard_est"] - true_j) < 0.2
+    assert 400 < row["inter_est"] < 1800  # truth 1000
+
+    disjoint = _overlap_frame(spark, n_a=1000, n_b=1000, n_shared=0)
+    skd = kmv_sketch(disjoint, "v", ["g"], k=64)
+    rowd = kmv_jaccard_pairs(skd, "g", k=64).collect()[0]
+    assert rowd["jaccard_est"] <= 0.05 and rowd["inter_est"] <= 60.0
+
+
+def test_kmv_intersection_identity_self_pair(spark):
+    """A group paired with an identical-content group: jaccard_est
+    must be exactly 1.0 (every union hash coincides) regardless of
+    saturation — the estimator's fixed point."""
+    from nlu_data_warehouse_project_spark.operators.sketches import (
+        kmv_jaccard_pairs, kmv_sketch,
+    )
+
+    rows = [("A", i) for i in range(500)] + [("B", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_sketch(df, "v", ["g"], k=64)
+    row = kmv_jaccard_pairs(sk, "g", k=64).collect()[0]
+    assert row["jaccard_est"] == 1.0
+    assert row["n_common"] == row["n_union_kept"] == 64
