@@ -322,8 +322,23 @@ def decode_jpeg(payload: bytes) -> dict:
     successive approximation, DC and AC first/refinement scans, EOB
     runs), restart intervals in any scan, integer chroma subsampling.
     Arithmetic-coded, hierarchical, lossless and 12-bit variants stay
-    explicit fail-fasts."""
+    explicit fail-fasts.
+
+    ERROR CONTRACT (pinned by the truncation fuzz): malformed or
+    truncated payloads raise ValueError (or NotImplementedError for
+    recognized-but-unsupported variants) — never an internal
+    IndexError/struct.error from a short slice."""
     import struct as _struct
+
+    try:
+        return _decode_jpeg_checked(payload, _struct)
+    except (IndexError, _struct.error) as exc:
+        raise ValueError(
+            f"JPEG payload truncated/corrupt ({type(exc).__name__}: {exc})"
+        ) from exc
+
+
+def _decode_jpeg_checked(payload: bytes, _struct) -> dict:
 
     if not isinstance(payload, (bytes, bytearray)) or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")

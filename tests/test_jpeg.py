@@ -402,7 +402,7 @@ def test_truncation_fuzz_fails_fast_never_hangs():
             img = decode_jpeg(payload[:cut])
             # a successful partial decode must still honor the contract
             assert len(img["pixels"]) == img["width"] * img["height"] * img["channels"]
-        except (ValueError, NotImplementedError, IndexError):
+        except (ValueError, NotImplementedError):
             pass  # fail-fast is the expected outcome
 
     # flip every marker id byte to a reserved/garbage value
@@ -412,5 +412,5 @@ def test_truncation_fuzz_fails_fast_never_hangs():
             mutated[i + 1] = 0x13  # not a marker id
             try:
                 decode_jpeg(bytes(mutated))
-            except (ValueError, NotImplementedError, IndexError):
+            except (ValueError, NotImplementedError):
                 pass
