@@ -125,3 +125,90 @@ def test_g711_mulaw_and_alaw_decode():
     assert np.allclose(got_mu["samples"][:, 0], mu.astype(float) / 32768.0)
     got_al = decode_wav(wav(6))
     assert np.allclose(got_al["samples"][:, 0], al.astype(float) / 32768.0)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (round 15): hand-derived block decode, round-trip SNR,
+# saturation, fact-chunk trimming, validation
+# ---------------------------------------------------------------------------
+
+def test_ima_adpcm_hand_derived_block():
+    """Decode pinned against values walked BY HAND through the IMA
+    tables (pred=0, index=0; nibbles 2,4,15,0):
+      n=2 : step 7, diff 7>>1 = 3            -> pred 3,  index 0
+      n=4 : step 7, diff 7                   -> pred 10, index 2
+      n=15: step 9, diff -(1+2+4+9) = -16    -> pred -6, index 10
+      n=0 : step 19, diff 19>>3 = 2          -> pred -4, index 9
+    — independent of the sibling encoder."""
+    from nlu_data_warehouse_project_spark.operators.audio import _decode_ima_adpcm
+
+    block = struct.pack("<hBB", 0, 0, 0) + bytes([0x42, 0x0F] + [0] * 6)
+    frames = _decode_ima_adpcm(block, 1, 12, None)
+    assert frames.shape == (17, 1)
+    assert frames[:5, 0].tolist() == [0, 3, 10, -6, -4]
+
+
+def test_ima_adpcm_roundtrip_snr_and_fact_trim():
+    from nlu_data_warehouse_project_spark.operators.audio import (
+        encode_wav_ima_adpcm,
+    )
+
+    t = np.arange(4000) / 16000.0
+    sig = 0.6 * np.sin(2 * np.pi * 440.0 * t)
+    wav = decode_wav(encode_wav_ima_adpcm(16000, sig))
+    assert wav["sample_rate"] == 16000 and wav["channels"] == 1
+    # 4000 is not a multiple of samples-per-block: the fact chunk must
+    # trim the padded tail to the exact frame count
+    assert wav["n_frames"] == 4000
+    err = wav["samples"][:, 0] - sig
+    snr = 10 * np.log10(np.sum(sig ** 2) / np.sum(err ** 2))
+    assert snr > 22.0  # IMA ADPCM nominal on a smooth tone (~27 here)
+
+    stereo = np.stack([sig, -sig], axis=1)
+    wav2 = decode_wav(encode_wav_ima_adpcm(16000, stereo))
+    assert wav2["n_frames"] == 4000 and wav2["channels"] == 2
+    err2 = wav2["samples"] - stereo
+    assert 10 * np.log10(np.sum(stereo ** 2) / np.sum(err2 ** 2)) > 22.0
+
+
+def test_ima_adpcm_saturation_and_step_walk():
+    """A full-scale square wave slams the predictor between the int16
+    rails: decode must clamp (values stay in [-1, 1]) and the step
+    index must ride the ladder without escaping [0, 88]."""
+    from nlu_data_warehouse_project_spark.operators.audio import (
+        encode_wav_ima_adpcm,
+    )
+
+    sq = np.tile(np.repeat([0.999, -0.999], 64), 8)
+    wav = decode_wav(encode_wav_ima_adpcm(8000, sq))
+    s = wav["samples"][:, 0]
+    assert np.all(s <= 1.0) and np.all(s >= -1.0)
+    # after the step ladder tops out the wave is still tracked: the
+    # decoded plateau means are on the right sides
+    assert s[32:64].mean() > 0.5 and s[96:128].mean() < -0.5
+
+
+def test_ima_adpcm_validation():
+    from nlu_data_warehouse_project_spark.operators.audio import (
+        _decode_ima_adpcm, encode_wav_ima_adpcm,
+    )
+
+    with pytest.raises(ValueError):
+        encode_wav_ima_adpcm(8000, np.zeros(0))
+    with pytest.raises(ValueError):
+        encode_wav_ima_adpcm(8000, np.zeros(100), block_align=10)  # not 4-aligned
+    # step index out of range in a block header
+    bad = struct.pack("<hBB", 0, 120, 0) + bytes(8)
+    with pytest.raises(ValueError, match="step index"):
+        _decode_ima_adpcm(bad, 1, 12, None)
+    # data not a multiple of block_align
+    with pytest.raises(ValueError, match="block_align"):
+        _decode_ima_adpcm(bytes(13), 1, 12, None)
+    # fact chunk claiming more frames than blocks carry
+    blk = struct.pack("<hBB", 0, 0, 0) + bytes(8)
+    with pytest.raises(ValueError, match="fact"):
+        _decode_ima_adpcm(blk, 1, 12, 99)
+    # MS-ADPCM (format 2) still fails fast — pinned above; IMA (0x11)
+    # must NOT be caught by that fail-fast anymore
+    payload = encode_wav_ima_adpcm(8000, np.zeros(16))
+    assert decode_wav(payload)["n_frames"] == 16
