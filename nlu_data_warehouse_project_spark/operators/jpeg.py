@@ -8,8 +8,12 @@ subsampling) AND PROGRESSIVE JPEG (SOF2: spectral selection,
 successive approximation, DC/AC first and refinement scans, EOB
 runs) with no codec library, the ``decode_png`` discipline — at
 sample precision 8 or 12 (12-bit output is scaled /16 into the
-uint8 pixels contract).  Arithmetic-coded, hierarchical and lossless
-variants stay explicit ``NotImplementedError`` fail-fasts.
+uint8 pixels contract).  Round 15 adds LOSSLESS JPEG (SOF3, Annex
+H: predictors 1-7, mod-2^16 differences, category-16 special,
+precision 2-16 with ``raw_planes`` carrying the full-precision
+integers) — the DICOM/DNG export shape.  Arithmetic-coded and
+hierarchical variants stay explicit ``NotImplementedError``
+fail-fasts.
 
 ``encode_jpeg`` / ``encode_jpeg_progressive`` are the fixture/export
 twins: minimal encoders (flat quantization by default, per-image
@@ -311,6 +315,82 @@ def _decode_scan(payload, data_at, comps, coefs, huff, restart, scan,
     return i
 
 
+def _decode_lossless_scan(payload, data_at, comps, huff, scan, pred_sel,
+                          pt, w, h, restart, precision, planes) -> int:
+    """Lossless JPEG (SOF3, T.81 Annex H) scan decode: per sample, a
+    DC-class Huffman category + EXTEND bits give the difference from
+    a neighbor prediction; samples reconstruct exactly (mod 2^16).
+    Predictors 1-7 per the spec (Ra left, Rb above, Rc above-left);
+    the first sample predicts 2^(P-1), each row's first sample
+    predicts Rb, each row's later samples on row 0 predict Ra.
+    Supported shape: all scan components full-resolution (h=v=1),
+    point transform 0, no restart intervals — fixtures and the common
+    DICOM/DNG exports; anything else fails fast."""
+    if pred_sel < 1 or pred_sel > 7:
+        raise ValueError(f"lossless JPEG predictor {pred_sel} (1-7 defined)")
+    if pt != 0:
+        raise NotImplementedError("lossless JPEG point transform != 0")
+    if restart:
+        raise NotImplementedError("lossless JPEG with restart intervals")
+    for ci, _dc, _ac in scan:
+        if comps[ci]["h"] != 1 or comps[ci]["v"] != 1:
+            raise NotImplementedError("lossless JPEG with subsampled components")
+        if (0, _dc) not in huff:
+            raise ValueError(f"lossless JPEG SOS references missing DC table {_dc}")
+    # de-stuff entropy bytes up to the next marker (no RSTs supported)
+    data = bytearray()
+    i = data_at
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF and i + 1 < len(payload):
+            m = payload[i + 1]
+            if m == 0x00:
+                data.append(0xFF)
+                i += 2
+                continue
+            if m == 0xFF:
+                i += 1
+                continue
+            break
+        data.append(b)
+        i += 1
+    rd = _BitReader(bytes(data))
+    default = 1 << (precision - 1)
+    mask = 0xFFFF  # spec H.1.2.1: reconstruction is modulo 2^16
+    for y in range(h):
+        for x in range(w):
+            for ci, dc_id, _ac in scan:
+                plane = planes[ci]
+                s_cat = _huff_decode(rd, huff[(0, dc_id)])
+                if s_cat == 16:  # special category: diff = 32768, no bits
+                    diff = 32768
+                elif s_cat:
+                    diff = _extend(rd.bits(s_cat), s_cat)
+                else:
+                    diff = 0
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(plane[0, x - 1])
+                elif x == 0:
+                    pred = int(plane[y - 1, 0])
+                else:
+                    ra = int(plane[y, x - 1])
+                    rb = int(plane[y - 1, x])
+                    rc = int(plane[y - 1, x - 1])
+                    pred = (
+                        ra if pred_sel == 1 else
+                        rb if pred_sel == 2 else
+                        rc if pred_sel == 3 else
+                        ra + rb - rc if pred_sel == 4 else
+                        ra + ((rb - rc) >> 1) if pred_sel == 5 else
+                        rb + ((ra - rc) >> 1) if pred_sel == 6 else
+                        (ra + rb) >> 1
+                    )
+                plane[y, x] = (pred + diff) & mask
+    return i
+
+
 def decode_jpeg(payload: bytes) -> dict:
     """Decode a baseline OR progressive JPEG to row-major 8-bit
     samples.  Returns ``{format, width, height, channels, pixels}``
@@ -320,9 +400,11 @@ def decode_jpeg(payload: bytes) -> dict:
     Handles: SOF0/SOF1 baseline (single interleaved scan OR spec-legal
     per-component multi-scan), SOF2 progressive (spectral selection +
     successive approximation, DC and AC first/refinement scans, EOB
-    runs), restart intervals in any scan, integer chroma subsampling.
-    Arithmetic-coded, hierarchical, lossless and 12-bit variants stay
-    explicit fail-fasts.
+    runs), SOF3 lossless (predictors 1-7, precision 2-16; adds
+    ``raw_planes``/``bits`` keys for full-precision consumers),
+    restart intervals in any DCT scan, integer chroma subsampling.
+    Arithmetic-coded and hierarchical variants stay explicit
+    fail-fasts.
 
     ERROR CONTRACT (pinned by the truncation fuzz): malformed or
     truncated payloads raise ValueError (or NotImplementedError for
@@ -349,7 +431,9 @@ def _decode_jpeg_checked(payload: bytes, _struct) -> dict:
     restart = 0
     precision = 8
     progressive = False
+    lossless = False
     adobe_transform: int | None = None
+    lplanes: list[np.ndarray] | None = None
     coefs: list[np.ndarray] | None = None
     geo: tuple[int, int, int, int] | None = None
     saw_scan = False
@@ -395,10 +479,14 @@ def _decode_jpeg_checked(payload: bytes, _struct) -> dict:
                 vals = list(seg[i + 17:i + 17 + n])
                 huff[(tc, th)] = _canonical_codes(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 + SOF3 lossless
             if comps:
                 raise ValueError("JPEG with more than one SOF")
-            if seg[0] not in (8, 12):
+            lossless = marker == 0xC3
+            if lossless:
+                if not 2 <= seg[0] <= 16:
+                    raise ValueError(f"lossless JPEG precision {seg[0]} (2-16)")
+            elif seg[0] not in (8, 12):
                 raise NotImplementedError(
                     f"JPEG sample precision {seg[0]} (8 and 12 decode here)"
                 )
@@ -409,12 +497,12 @@ def _decode_jpeg_checked(payload: bytes, _struct) -> dict:
             for c in range(seg[5]):
                 cid, hv, tq = seg[6 + c * 3:9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only Huffman baseline (SOF0/SOF1) "
-                "and Huffman progressive (SOF2) decode here — arithmetic / "
-                "hierarchical / lossless payloads fail fast"
+                f"JPEG SOF{marker - 0xC0}: Huffman baseline (SOF0/SOF1), "
+                "progressive (SOF2) and lossless (SOF3) decode here — "
+                "arithmetic / hierarchical payloads fail fast"
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(seg[0:2], "big")
@@ -423,6 +511,24 @@ def _decode_jpeg_checked(payload: bytes, _struct) -> dict:
         elif marker == 0xDA:  # SOS — decode this scan, keep parsing after
             if not comps or w == 0 or h == 0:
                 raise ValueError("JPEG SOS before SOF")
+            if lossless:
+                if lplanes is None:
+                    lplanes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
+                    cs, tdta = seg[1 + c * 2:3 + c * 2]
+                    idx = next(
+                        i for i, comp in enumerate(comps) if comp["id"] == cs
+                    )
+                    scan.append((idx, tdta >> 4, tdta & 15))
+                ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+                pos = _decode_lossless_scan(
+                    payload, pos + 2 + seglen, comps, huff, scan,
+                    ss, ahal & 15, w, h, restart, precision, lplanes,
+                )
+                saw_scan = True
+                continue
             if coefs is None:
                 hmax = max(c["h"] for c in comps)
                 vmax = max(c["v"] for c in comps)
@@ -453,8 +559,23 @@ def _decode_jpeg_checked(payload: bytes, _struct) -> dict:
             saw_scan = True
             continue
         pos += 2 + seglen
-    if not saw_scan or coefs is None:
+    if not saw_scan or (coefs is None and lplanes is None):
         raise ValueError("JPEG missing SOF/SOS")
+
+    if lossless:
+        # lossless color has no standard YCbCr convention (T.81 defines
+        # no transform for SOF3; DNG/DICOM store components raw) — the
+        # planes ARE the samples.  P > 8 scales into the uint8 pixels
+        # contract like the 12-bit DCT path; ``raw_planes`` carries the
+        # full-precision integers for numeric consumers/tests.
+        raw = np.stack(lplanes, axis=2)
+        shift = max(0, precision - 8)
+        px8 = np.clip(raw >> shift if shift else raw, 0, 255).astype(np.uint8)
+        return {
+            "format": "jpeg", "width": w, "height": h,
+            "channels": len(comps), "pixels": px8.tobytes(),
+            "raw_planes": raw, "bits": precision,
+        }
 
     mcux, mcuy, hmax, vmax = geo
     out_planes = []
@@ -1057,5 +1178,118 @@ def encode_jpeg_progressive(
         wtr.flush()
         out.extend(wtr.buf)
 
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def encode_jpeg_lossless(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    predictor: int = 1,
+    precision: int = 8,
+) -> bytes:
+    """Lossless JPEG (SOF3) fixture encoder — EXACT round-trip by
+    construction: per sample, the Annex-H difference from the chosen
+    predictor (1-7) is coded as a DC-class Huffman category + EXTEND
+    bits, differences taken mod 2^16 with the spec's category-16
+    special for +32768.  Components are full-resolution, interleaved
+    sample-by-sample, one shared table — the DICOM/DNG-ish shape the
+    decoder supports.  ``pixels``: uint8 bytes for precision <= 8,
+    little-endian uint16 for 9-16."""
+    import struct as _struct
+
+    if not 1 <= channels <= 4:
+        raise ValueError(f"channels={channels} (1-4)")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision={precision} (2-16)")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor={predictor} (1-7)")
+    wide = precision > 8
+    need = width * height * channels * (2 if wide else 1)
+    if len(pixels) != need:
+        raise ValueError(f"need {need} bytes, got {len(pixels)}")
+    img = np.frombuffer(bytes(pixels), dtype="<u2" if wide else np.uint8).reshape(
+        height, width, channels
+    ).astype(np.int64)
+    if img.max() >= (1 << precision):
+        raise ValueError(f"sample exceeds {precision}-bit range")
+
+    default = 1 << (precision - 1)
+
+    def diffs_for(plane):
+        out = np.empty((height, width), dtype=np.int64)
+        for y in range(height):
+            for x in range(width):
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = plane[0, x - 1]
+                elif x == 0:
+                    pred = plane[y - 1, 0]
+                else:
+                    ra, rb, rc = plane[y, x - 1], plane[y - 1, x], plane[y - 1, x - 1]
+                    pred = (
+                        ra if predictor == 1 else
+                        rb if predictor == 2 else
+                        rc if predictor == 3 else
+                        ra + rb - rc if predictor == 4 else
+                        ra + ((rb - rc) >> 1) if predictor == 5 else
+                        rb + ((ra - rc) >> 1) if predictor == 6 else
+                        (ra + rb) >> 1
+                    )
+                d = (int(plane[y, x]) - int(pred)) & 0xFFFF
+                out[y, x] = d
+        return out
+
+    planes_d = [diffs_for(img[:, :, c]) for c in range(channels)]
+
+    def category(d_mod):
+        if d_mod == 32768:
+            return 16, 0, 0  # special: no appended bits
+        d = d_mod - 65536 if d_mod > 32768 else d_mod
+        s = int(abs(d)).bit_length()
+        if s == 0:
+            return 0, 0, 0
+        v = d if d >= 0 else d + (1 << s) - 1
+        return s, v, s
+
+    cats = set()
+    for pd in planes_d:
+        for d in pd.reshape(-1):
+            cats.add(category(int(d))[0])
+    (bits, vals), = _build_huffman([cats])
+
+    enc = {}
+    for (length, code), sym in _canonical_codes(bits, vals).items():
+        enc[sym] = (length, code)
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker, body):
+        out.extend(b"\xff" + bytes([marker]) + _struct.pack(">H", len(body) + 2) + body)
+
+    sof = bytes([precision]) + _struct.pack(">HH", height, width) + bytes([channels])
+    for c in range(channels):
+        sof += bytes([c + 1, 0x11, 0])
+    segment(0xC3, sof)
+    segment(0xC4, bytes([0x00] + bits + vals))
+    sos = bytes([channels])
+    for c in range(channels):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, AhAl=0
+    segment(0xDA, sos)
+    bw = _BitWriter()
+    for y in range(height):
+        for x in range(width):
+            for c in range(channels):
+                s_cat, v, nbits = category(int(planes_d[c][y, x]))
+                length, code = enc[s_cat]
+                bw.write(code, length)
+                if nbits:
+                    bw.write(v, nbits)
+    bw.flush()
+    out.extend(bw.buf)
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -414,3 +414,72 @@ def test_truncation_fuzz_fails_fast_never_hangs():
                 decode_jpeg(bytes(mutated))
             except (ValueError, NotImplementedError):
                 pass
+
+
+# ---------------------------------------------------------------------------
+# round 15b: lossless JPEG (SOF3, Annex H)
+# ---------------------------------------------------------------------------
+
+def test_lossless_roundtrip_exact_all_predictors():
+    """SOF3 is LOSSLESS: encode->decode must reproduce every byte for
+    every predictor (1-7), gray and 3-channel, on worst-case random
+    data (no spatial correlation — exercises wide categories and the
+    mod-2^16 wrap)."""
+    from nlu_data_warehouse_project_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(7)
+    for pred in range(1, 8):
+        px = rng.randint(0, 256, size=(13, 17, 3), dtype=np.uint8).tobytes()
+        img = decode_jpeg(encode_jpeg_lossless(17, 13, 3, px, predictor=pred))
+        assert (img["width"], img["height"], img["channels"]) == (17, 13, 3)
+        assert img["pixels"] == px
+    g = rng.randint(0, 256, size=(8, 8), dtype=np.uint8).tobytes()
+    assert decode_jpeg(encode_jpeg_lossless(8, 8, 1, g))["pixels"] == g
+
+
+def test_lossless_16bit_and_narrow_precision():
+    """Full 16-bit samples round-trip exactly through ``raw_planes``
+    (the uint8 ``pixels`` view scales >>8 per the 12-bit convention);
+    precision 4 also decodes (2-16 allowed for SOF3)."""
+    from nlu_data_warehouse_project_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 65536, size=(9, 11), dtype=np.uint16)
+    img = decode_jpeg(
+        encode_jpeg_lossless(11, 9, 1, a.astype("<u2").tobytes(),
+                             predictor=4, precision=16)
+    )
+    assert img["bits"] == 16
+    assert np.array_equal(img["raw_planes"][:, :, 0], a)
+    assert img["pixels"] == (a >> 8).astype(np.uint8).tobytes()
+
+    b = rng.randint(0, 16, size=(5, 7), dtype=np.uint8)
+    img4 = decode_jpeg(
+        encode_jpeg_lossless(7, 5, 1, b.tobytes(), precision=4)
+    )
+    assert np.array_equal(img4["raw_planes"][:, :, 0], b)
+
+
+def test_lossless_validation_and_fail_fasts():
+    from nlu_data_warehouse_project_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(4, 4, 1, bytes(16), predictor=0)
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(4, 4, 1, bytes(15))  # short buffer
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(4, 4, 1, bytes([64] * 32), precision=5)  # 64 >= 2^5
+    # point transform != 0 is a recognized-but-unsupported variant
+    payload = bytearray(encode_jpeg_lossless(4, 4, 1, bytes(range(16))))
+    sos_at = payload.index(b"\xff\xda")
+    # SOS layout for 1 component: FFDA len2 ns comp td/ta Ss Se AhAl
+    assert payload[sos_at + 7] == 1  # Ss = predictor
+    payload[sos_at + 9] = 0x02       # AhAl: Al (point transform) = 2
+    with pytest.raises(NotImplementedError, match="point transform"):
+        decode_jpeg(bytes(payload))
