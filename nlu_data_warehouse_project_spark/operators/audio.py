@@ -8,12 +8,12 @@ integer and IEEE float32/float64 WAV (including WAVE_FORMAT_EXTENSIBLE
 wrappers), provides the fixture/export encoder twin, and exposes the
 Arrow-batched ``extract_audio_features`` mapInPandas path over
 ``multimodal.MEDIA_SCHEMA`` rows.  Round 15 adds IMA/DVI ADPCM
-(format code 0x11) decode + the fixture encoder — the most common
-compressed WAV in the wild, pure table-walk integer arithmetic (IMA
-"Recommended Practices for Enhancing Digital Audio Compatibility",
-1992; block layout per Microsoft's WAVE format registry).  MP3 and
-Microsoft ADPCM (code 2) keep the honest ``NotImplementedError``
-fail-fast naming the ffmpeg drop-in.
+(format code 0x11) and Microsoft ADPCM (code 2) decode + fixture
+encoders — the two compressed WAVs actually seen in crawls, both
+pure table-walk integer arithmetic (IMA "Recommended Practices for
+Enhancing Digital Audio Compatibility", 1992; MS constants and block
+layout per Microsoft's WAVE format registry).  Only MP3 keeps the
+honest ``NotImplementedError`` fail-fast naming the ffmpeg drop-in.
 
 Scale shape (the multimodal design rules): payloads never shuffle —
 decode + featurize per Arrow batch inside the partition, project the
@@ -34,7 +34,16 @@ from pyspark.sql import functions as F  # noqa: F401 (call-site convenience)
 from pyspark.sql import types as T
 
 _PCM, _FLOAT, _ALAW, _MULAW, _EXTENSIBLE = 1, 3, 6, 7, 0xFFFE
+_MS_ADPCM = 0x02
 _IMA_ADPCM = 0x11
+
+# Microsoft ADPCM normative tables (the WAVE format registry's
+# published constants: 16-entry delta adaptation ladder + the 7
+# standard predictor coefficient pairs, fixed-point /256)
+_MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230], dtype=np.int64)
+_MS_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], dtype=np.int64)
+_MS_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], dtype=np.int64)
 
 # IMA ADPCM normative tables (IMA 1992 recommended practice; the step
 # table is the published 89-entry quasi-exponential ladder — it is NOT
@@ -190,21 +199,22 @@ def decode_wav(payload: bytes) -> dict:
             raise ValueError("WAVE_FORMAT_EXTENSIBLE fmt chunk truncated")
         # the real format code is the first two GUID bytes (little-endian)
         (code,) = struct.unpack("<H", fmt[24:26])
-    if code not in (_PCM, _FLOAT, _ALAW, _MULAW, _IMA_ADPCM):
+    if code not in (_PCM, _FLOAT, _ALAW, _MULAW, _IMA_ADPCM, _MS_ADPCM):
         raise NotImplementedError(
             f"WAV format code {code}: PCM, IEEE-float, G.711 A-law/"
-            "mu-law and IMA ADPCM decode here; MS-ADPCM/MP3 fail fast "
-            "without a codec library (ffmpeg is the drop-in)"
+            "mu-law, IMA ADPCM and MS ADPCM decode here; MP3 fails "
+            "fast without a codec library (ffmpeg is the drop-in)"
         )
     if channels < 1:
         raise ValueError("WAV with zero channels")
-    if code == _IMA_ADPCM:
+    if code in (_IMA_ADPCM, _MS_ADPCM):
         if bits != 4:
-            raise ValueError(f"IMA ADPCM WAV must be 4-bit, got {bits}")
+            raise ValueError(f"ADPCM WAV must be 4-bit, got {bits}")
         n_total = None
         if fact is not None and len(fact) >= 4:
             (n_total,) = struct.unpack("<I", fact[:4])
-        frames16 = _decode_ima_adpcm(data, channels, _align, n_total)
+        dec = _decode_ima_adpcm if code == _IMA_ADPCM else _decode_ms_adpcm
+        frames16 = dec(data, channels, _align, n_total)
         samples = frames16.astype(np.float64) / 32768.0
         return {
             "format": "wav",
@@ -460,6 +470,144 @@ def encode_wav_ima_adpcm(
         blocks += header + body
     fmt = struct.pack(
         "<HHIIHHHH", _IMA_ADPCM, channels, sample_rate,
+        sample_rate * block_align // spb if spb else 0, block_align, 4,
+        2, spb,
+    )
+    fact = struct.pack("<I", n_frames)
+    pad = b"\x00" if len(blocks) & 1 else b""
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks) + pad
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _decode_ms_adpcm(data: bytes, channels: int, block_align: int,
+                     n_total_frames: int | None) -> "np.ndarray":
+    """Microsoft ADPCM (format code 2) 'data' chunk -> int16 frames.
+    Per-block header (channel-interleaved fields): predictor index
+    byte per channel, then int16 iDelta, int16 sample1 (newer), int16
+    sample2 (older) per channel; the header itself emits the block's
+    first two output frames (sample2 first).  Nibbles follow HIGH
+    nibble first, channel-interleaved per nibble; each code is a
+    SIGNED 4-bit value: sample = ((s1*c1 + s2*c2) >> 8) + code*iDelta
+    (int16 clamp), iDelta = max(16, (adapt[code] * iDelta) >> 8)."""
+    hdr = 7 * channels
+    if block_align <= hdr:
+        raise ValueError(
+            f"MS ADPCM block_align {block_align} too small for {channels} channel(s)"
+        )
+    if len(data) % block_align:
+        raise ValueError(
+            f"MS ADPCM data size {len(data)} not a multiple of block_align {block_align}"
+        )
+    blocks_out = []
+    for off in range(0, len(data), block_align):
+        block = data[off:off + block_align]
+        pred_i = list(block[:channels])
+        if any(p > 6 for p in pred_i):
+            raise ValueError(f"MS ADPCM predictor index {max(pred_i)} out of range")
+        vals = struct.unpack_from(f"<{3 * channels}h", block, channels)
+        idelta = list(vals[0:channels])
+        s1 = list(vals[channels:2 * channels])
+        s2 = list(vals[2 * channels:3 * channels])
+        n_nib = (block_align - hdr) * 2
+        out = np.empty((2 + n_nib // channels, channels), dtype=np.int16)
+        out[0, :] = s2
+        out[1, :] = s1
+        body = block[hdr:]
+        row = 2
+        ch = 0
+        for bi in range(len(body)):
+            byte = body[bi]
+            for nib in (byte >> 4, byte & 0x0F):  # HIGH nibble first
+                code = nib - 16 if nib >= 8 else nib  # signed 4-bit
+                c = ch
+                pred = (s1[c] * int(_MS_COEF1[pred_i[c]])
+                        + s2[c] * int(_MS_COEF2[pred_i[c]])) >> 8
+                sample = max(-32768, min(32767, pred + code * idelta[c]))
+                s2[c], s1[c] = s1[c], sample
+                idelta[c] = max(16, (int(_MS_ADAPT[nib]) * idelta[c]) >> 8)
+                out[row, c] = sample
+                ch += 1
+                if ch == channels:
+                    ch = 0
+                    row += 1
+        blocks_out.append(out)
+    frames = (np.concatenate(blocks_out, axis=0)
+              if blocks_out else np.empty((0, channels), np.int16))
+    if n_total_frames is not None:
+        if n_total_frames > frames.shape[0]:
+            raise ValueError(
+                f"MS ADPCM fact chunk claims {n_total_frames} frames, "
+                f"blocks carry {frames.shape[0]}"
+            )
+        frames = frames[:n_total_frames]
+    return frames
+
+
+def encode_wav_ms_adpcm(
+    sample_rate: int,
+    samples,
+    block_align: int = 256,
+    predictor: int = 0,
+) -> bytes:
+    """Microsoft ADPCM fixture encoder (single fixed predictor index,
+    feedback form — reconstruction runs inside the loop, so drift
+    never accumulates).  Initial iDelta per block is estimated from
+    the block's early deltas (floored at 16, the spec minimum)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_frames, channels = x.shape
+    if n_frames < 2:
+        raise ValueError("encode_wav_ms_adpcm needs at least two frames")
+    if not 0 <= predictor <= 6:
+        raise ValueError(f"predictor={predictor} (0-6)")
+    hdr = 7 * channels
+    if block_align <= hdr or (block_align - hdr) % channels:
+        raise ValueError(f"block_align {block_align} invalid for {channels} channel(s)")
+    q = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int64)
+    spb = (block_align - hdr) * 2 // channels + 2
+    c1, c2 = int(_MS_COEF1[predictor]), int(_MS_COEF2[predictor])
+    blocks = bytearray()
+    for start in range(0, n_frames, spb):
+        seg = q[start:start + spb]
+        if seg.shape[0] < 2:  # a 1-frame tail can't seed a block header
+            seg = np.concatenate([seg, seg[-1:]], axis=0)
+        if seg.shape[0] < spb:
+            seg = np.concatenate(
+                [seg, np.repeat(seg[-1:], spb - seg.shape[0], axis=0)]
+            )
+        s2 = [int(seg[0, c]) for c in range(channels)]
+        s1 = [int(seg[1, c]) for c in range(channels)]
+        idelta = []
+        for c in range(channels):
+            d = np.abs(np.diff(seg[:16, c])).mean() if seg.shape[0] > 1 else 16
+            idelta.append(max(16, int(d / 4)))
+        header = bytes([predictor] * channels) + struct.pack(
+            f"<{3 * channels}h", *idelta, *s1, *s2
+        )
+        nibbles = []
+        state1, state2, sdelta = s1[:], s2[:], idelta[:]
+        for i in range(2, spb):
+            for c in range(channels):
+                pred = (state1[c] * c1 + state2[c] * c2) >> 8
+                code = int(round((int(seg[i, c]) - pred) / sdelta[c]))
+                code = max(-8, min(7, code))
+                sample = max(-32768, min(32767, pred + code * sdelta[c]))
+                nib = code + 16 if code < 0 else code
+                state2[c], state1[c] = state1[c], sample
+                sdelta[c] = max(16, (int(_MS_ADAPT[nib]) * sdelta[c]) >> 8)
+                nibbles.append(nib)
+        body = bytearray()
+        for j in range(0, len(nibbles), 2):
+            body.append((nibbles[j] << 4) | nibbles[j + 1])  # HIGH nibble first
+        blocks += header + body
+    fmt = struct.pack(
+        "<HHIIHHHH", _MS_ADPCM, channels, sample_rate,
         sample_rate * block_align // spb if spb else 0, block_align, 4,
         2, spb,
     )

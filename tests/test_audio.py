@@ -57,11 +57,16 @@ def test_extensible_wrapper_decodes_and_compressed_fails_fast():
     rebuilt = b"RIFF" + struct.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
     wav = decode_wav(rebuilt)
     assert wav["n_frames"] == 480
-    # ADPCM (format 2): honest fail-fast
+    # MP3 (format 0x55): honest fail-fast (r15: both ADPCMs decode now)
     bad = bytearray(encode_wav(8000, _sine(), bits=16))
-    bad[fmt_at + 8:fmt_at + 10] = struct.pack("<H", 2)
-    with pytest.raises(NotImplementedError, match="ADPCM|format code"):
+    bad[fmt_at + 8:fmt_at + 10] = struct.pack("<H", 0x55)
+    with pytest.raises(NotImplementedError, match="format code"):
         decode_wav(bytes(bad))
+    # format 2 with non-ADPCM bit width: recognized but malformed
+    bad2 = bytearray(encode_wav(8000, _sine(), bits=16))
+    bad2[fmt_at + 8:fmt_at + 10] = struct.pack("<H", 2)
+    with pytest.raises(ValueError, match="4-bit"):
+        decode_wav(bytes(bad2))
     with pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
     with pytest.raises(ValueError):
@@ -212,3 +217,46 @@ def test_ima_adpcm_validation():
     # must NOT be caught by that fail-fast anymore
     payload = encode_wav_ima_adpcm(8000, np.zeros(16))
     assert decode_wav(payload)["n_frames"] == 16
+
+
+def test_ms_adpcm_hand_derived_block():
+    """Pinned against hand-walked MS ADPCM arithmetic (predictor 0 ->
+    coeffs (256, 0) -> pred = s1; iDelta 16, header samples s2=50,
+    s1=100; nibbles 3 then 0xE = code -2):
+      out: 50, 100, 100+3*16 = 148, 148-2*16 = 116."""
+    from nlu_data_warehouse_project_spark.operators.audio import _decode_ms_adpcm
+
+    blk = bytes([0]) + struct.pack("<3h", 16, 100, 50) + bytes([0x3E])
+    f = _decode_ms_adpcm(blk, 1, 8, None)
+    assert f[:, 0].tolist() == [50, 100, 148, 116]
+
+
+def test_ms_adpcm_roundtrip_and_validation():
+    from nlu_data_warehouse_project_spark.operators.audio import (
+        _decode_ms_adpcm, encode_wav_ms_adpcm,
+    )
+
+    t = np.arange(3000) / 16000.0
+    sig = 0.5 * np.sin(2 * np.pi * 330.0 * t)
+    wav = decode_wav(encode_wav_ms_adpcm(16000, sig))
+    assert wav["n_frames"] == 3000 and wav["channels"] == 1
+    err = wav["samples"][:, 0] - sig
+    assert 10 * np.log10(np.sum(sig ** 2) / np.sum(err ** 2)) > 25.0
+
+    stereo = np.stack([sig, 0.5 * np.cos(2 * np.pi * 330.0 * t)], axis=1)
+    wav2 = decode_wav(encode_wav_ms_adpcm(16000, stereo))
+    assert wav2["n_frames"] == 3000 and wav2["channels"] == 2
+    e2 = wav2["samples"] - stereo
+    assert 10 * np.log10(np.sum(stereo ** 2) / np.sum(e2 ** 2)) > 25.0
+
+    with pytest.raises(ValueError):
+        encode_wav_ms_adpcm(8000, np.zeros(1))  # needs 2 frames
+    with pytest.raises(ValueError):
+        encode_wav_ms_adpcm(8000, np.zeros(100), predictor=7)
+    with pytest.raises(ValueError, match="predictor index"):
+        _decode_ms_adpcm(bytes([9]) + bytes(7), 1, 8, None)
+    with pytest.raises(ValueError, match="block_align"):
+        _decode_ms_adpcm(bytes(9), 1, 8, None)
+    with pytest.raises(ValueError, match="fact"):
+        _decode_ms_adpcm(bytes([0]) + struct.pack("<3h", 16, 0, 0) + bytes(1),
+                         1, 8, 99)
