@@ -503,6 +503,11 @@ def _decode_ms_adpcm(data: bytes, channels: int, block_align: int,
         raise ValueError(
             f"MS ADPCM data size {len(data)} not a multiple of block_align {block_align}"
         )
+    if (block_align - hdr) * 2 % channels:
+        raise ValueError(
+            f"MS ADPCM block_align {block_align} leaves a nibble count "
+            f"not divisible by {channels} channel(s)"
+        )
     blocks_out = []
     for off in range(0, len(data), block_align):
         block = data[off:off + block_align]
@@ -606,11 +611,17 @@ def encode_wav_ms_adpcm(
         for j in range(0, len(nibbles), 2):
             body.append((nibbles[j] << 4) | nibbles[j + 1])  # HIGH nibble first
         blocks += header + body
+    # Full 32-byte fmt extension per the MS ADPCM WAVE-registry layout:
+    # cbSize=32 carrying wSamplesPerBlock, wNumCoef=7, and the seven
+    # (coef1, coef2) int16 pairs — strict parsers read these tables.
+    coef_pairs = []
+    for i in range(7):
+        coef_pairs += [int(_MS_COEF1[i]), int(_MS_COEF2[i])]
     fmt = struct.pack(
-        "<HHIIHHHH", _MS_ADPCM, channels, sample_rate,
+        "<HHIIHHHHH", _MS_ADPCM, channels, sample_rate,
         sample_rate * block_align // spb if spb else 0, block_align, 4,
-        2, spb,
-    )
+        32, spb, 7,
+    ) + struct.pack("<14h", *coef_pairs)
     fact = struct.pack("<I", n_frames)
     pad = b"\x00" if len(blocks) & 1 else b""
     riff = (

@@ -260,3 +260,38 @@ def test_ms_adpcm_roundtrip_and_validation():
     with pytest.raises(ValueError, match="fact"):
         _decode_ms_adpcm(bytes([0]) + struct.pack("<3h", 16, 0, 0) + bytes(1),
                          1, 8, 99)
+    # 3-channel block_align=25: (25 - 21)*2 = 8 nibbles, not divisible
+    # by 3 channels — must fail fast as ValueError, not IndexError
+    with pytest.raises(ValueError, match="nibble count"):
+        _decode_ms_adpcm(
+            bytes([0, 0, 0]) + struct.pack("<9h", 16, 16, 16, 0, 0, 0, 0, 0, 0)
+            + bytes(4), 3, 25, None)
+
+
+def test_ms_adpcm_fmt_extension_conformant():
+    """The encoder's fmt chunk must carry the full 32-byte MS ADPCM
+    extension (cbSize=32: wSamplesPerBlock, wNumCoef=7, 7 coef pairs)
+    so strict third-party parsers that read the coefficient table
+    accept the fixtures."""
+    from nlu_data_warehouse_project_spark.operators.audio import (
+        encode_wav_ms_adpcm, _MS_COEF1, _MS_COEF2,
+    )
+
+    wav = encode_wav_ms_adpcm(8000, np.linspace(-0.5, 0.5, 500))
+    i = 12
+    fmt = None
+    while i + 8 <= len(wav):
+        cid = wav[i:i + 4]
+        (csize,) = struct.unpack("<I", wav[i + 4:i + 8])
+        if cid == b"fmt ":
+            fmt = wav[i + 8:i + 8 + csize]
+            break
+        i += 8 + csize + (csize & 1)
+    assert fmt is not None and len(fmt) == 18 + 32
+    cb, spb, ncoef = struct.unpack("<HHH", fmt[16:22])
+    assert cb == 32 and ncoef == 7
+    assert spb == (256 - 7) * 2 + 2  # mono default block_align=256
+    coefs = struct.unpack("<14h", fmt[22:50])
+    for k in range(7):
+        assert coefs[2 * k] == int(_MS_COEF1[k])
+        assert coefs[2 * k + 1] == int(_MS_COEF2[k])
