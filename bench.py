@@ -67,6 +67,60 @@ LOAD_GATE_1MIN = 8.0
 # drift is a printed number, not a judge computation.
 R14_BASELINE = {"legacy19": 13.292, "heavy": 14.144}
 
+# VERDICT r15 #1: the r15 artifact recorded 1.16x/1.21x vs-r14 ratios
+# that three same-day re-runs (and the judge's own) adjudicated as
+# machine-epoch drift — the raw ratios can't tell a slow machine from
+# slow code.  Each gated session therefore runs a FROZEN calibration
+# probe (a pinned synthetic sort-agg over spark.range — no parquet, no
+# repo operators, so its cost can never change with the catalog or the
+# code; only the machine epoch moves it) and the artifact reports the
+# gated totals BOTH raw and calibration-scaled:
+#   scaled_total = raw_total * (CALIBRATION_REF / session_calibration)
+# CALIBRATION_REF and R16_BASELINE_SCALED are pinned from the same
+# quiet r16 session, so the vs-prior ratio computed on the scaled
+# number is machine-epoch-invariant by construction.
+# Pinned r16 from the baseline session (quiet box, load-1min ~1-3):
+# probe readings 1.615-1.857 across the four gated sessions; REF is a
+# frozen round number near the quiet envelope so scaled totals read as
+# quiet-box seconds.  R16_BASELINE_SCALED = that session's
+# min-over-sessions of raw_total * REF / session_calibration
+# (raw: legacy19 14.267/14.548 @ cal 1.857/1.782; heavy 14.226/13.272
+# @ cal 1.777/1.615).
+CALIBRATION_REF = 1.7
+R16_BASELINE_SCALED = {"legacy19": 13.061, "heavy": 13.609}
+CALIBRATION_RUNS = 5
+
+
+def _calibration_probe(spark) -> float:
+    """FROZEN — never change shape or constants: a fixed synthetic
+    shuffle+sort+agg whose wall time depends only on the machine
+    epoch.  One untimed warm-up, then the median of CALIBRATION_RUNS
+    timed runs (the gated-query discipline)."""
+    import statistics as _st
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    def one() -> float:
+        t0 = _t.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                ((F.col("id") * 2654435761) % 1000003).alias("k"),
+                (F.col("id") % 97).cast("double").alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .orderBy("s", "k")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return _t.time() - t0
+
+    one()  # untimed warm-up (codegen + JIT)
+    return round(_st.median(one() for _ in range(CALIBRATION_RUNS)), 3)
+
 LEGACY19 = [
     "q01_pricing_summary",
     "q05_date_surrogate",
@@ -156,6 +210,11 @@ EXTRAS = [
     # round 15: depth-2 SymSpell join, prefix-filter token-set ER
     "q366_edit2_name_pairs",
     "q367_entity_token_pairs",
+    # round 16: the streamed per-key recurrences are the operator
+    # defaults now (VERDICT r15 #2) — give the streamed plan a
+    # measured extras row (EWMA smoother + first-fit packing)
+    "q341_ewma_by_nation",
+    "q343_sequence_packing",
 ]
 
 GROUPS = {"legacy19": LEGACY19, "heavy": HEAVY_HEADLINE, "extras": EXTRAS}
@@ -377,6 +436,12 @@ def run_group(group: str) -> None:
             ).save()
         except Exception:  # noqa: BLE001 — a real failure reports per query
             pass
+        calibration = None
+        if group in ("legacy19", "heavy"):
+            try:
+                calibration = _calibration_probe(spark)
+            except Exception as exc:  # noqa: BLE001 — probe is advisory
+                errors["calibration"] = f"{type(exc).__name__}: {exc}"[:300]
         for name in GROUPS[group]:
             times = []
             try:
@@ -393,6 +458,8 @@ def run_group(group: str) -> None:
                 continue
             per_query[name.split("_")[0]] = round(statistics.median(times), 3)
         result: dict = {"group": group, "queries": per_query}
+        if calibration is not None:
+            result["calibration_sec"] = calibration
     elif group == "gates":
         result = {"group": group}
         try:
@@ -452,6 +519,7 @@ def main() -> None:
     # session achieved — record EACH session's per-query medians and
     # totals alongside the min so the artifact carries both
     session_queries: dict[str, list[dict]] = {}
+    session_cals: dict[str, list[float]] = {}
     for group in ("legacy19", "heavy", "extras", "gates"):
         n = sessions if group in ("legacy19", "heavy") else 1
         best: dict | None = None
@@ -463,6 +531,9 @@ def main() -> None:
             if group in ("legacy19", "heavy"):
                 session_queries.setdefault(group, []).append(
                     dict(res.get("queries", {}))
+                )
+                session_cals.setdefault(group, []).append(
+                    res.get("calibration_sec") or 0.0
                 )
             if best is None:
                 best = res
@@ -505,6 +576,21 @@ def main() -> None:
         g: [round(sum(s.values()), 3) for s in runs]
         for g, runs in session_queries.items()
     }
+    # epoch normalization (VERDICT r15 #1): scale each session's raw
+    # total by CALIBRATION_REF / that session's probe reading, then
+    # take the min — a slow machine epoch inflates raw total and probe
+    # alike, so the scaled number stays comparable across rounds
+    scaled_totals = {
+        g: [
+            round(tot * CALIBRATION_REF / cal, 3) if cal else None
+            for tot, cal in zip(session_totals.get(g, []), session_cals.get(g, []))
+        ]
+        for g in session_totals
+    }
+    scaled_min = {
+        g: (min(v for v in vals if v is not None) if any(vals) else None)
+        for g, vals in scaled_totals.items()
+    }
 
     # VERDICT r14 #1: the driver parses the LAST JSON line out of a
     # bounded stdout tail, and r14's single fat line overflowed it
@@ -522,6 +608,8 @@ def main() -> None:
         # min composite is not a total any session achieved — keep the
         # raw per-session series alongside it)
         "gated_session_queries": session_queries,
+        # per-session raw->scaled trace for the calibration protocol
+        "scaled_session_totals": scaled_totals,
     }
     if group_errors:
         detail["group_errors"] = group_errors
@@ -543,6 +631,21 @@ def main() -> None:
         # (VERDICT r14 #2); +/-10% is the adjudication threshold
         "legacy19_vs_r14": round(legacy_total / R14_BASELINE["legacy19"], 3),
         "heavy_vs_r14": round(heavy_total / R14_BASELINE["heavy"], 3),
+        # epoch-calibrated series (VERDICT r15 #1): totals scaled by
+        # the frozen probe; vs_r16 ratios are computed on the SCALED
+        # numbers, so machine-epoch drift cancels by construction
+        "calibration_ref": CALIBRATION_REF,
+        "calibrations": session_cals,
+        "legacy19_total_scaled": scaled_min.get("legacy19"),
+        "heavy_total_scaled": scaled_min.get("heavy"),
+        "legacy19_vs_r16_scaled": (
+            round(scaled_min["legacy19"] / R16_BASELINE_SCALED["legacy19"], 3)
+            if scaled_min.get("legacy19") else None
+        ),
+        "heavy_vs_r16_scaled": (
+            round(scaled_min["heavy"] / R16_BASELINE_SCALED["heavy"], 3)
+            if scaled_min.get("heavy") else None
+        ),
         # per-session gated totals (the min composite's raw inputs)
         "session_totals": session_totals,
         "sf": sf,
