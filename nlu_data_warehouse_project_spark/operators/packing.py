@@ -18,9 +18,11 @@ integer, so the result is EXACTLY reproducible cross-engine — the
 catalog gates it against a per-key recursive-CTE oracle with a full
 value hash, no tolerance.
 
-MEMORY BOUNDS (VERDICT r14 #3).  ``greedy_pack`` materializes each
-key's whole group as one pandas frame (fine for calendar/shard-bounded
-keys); ``greedy_pack_streamed`` is the bounded-memory spelling —
+MEMORY BOUNDS (VERDICT r14 #3, defaults flipped r15 #2).
+``greedy_pack_grouped`` materializes each key's whole group as one
+pandas frame (fine for calendar/shard-bounded keys);
+``greedy_pack_streamed`` — the spelling the bare ``greedy_pack`` name
+now delegates to — is the bounded-memory one:
 ``repartition(keys)`` + ``sortWithinPartitions(keys, order)`` +
 ``mapInPandas`` carrying (pack_id, accumulated size) across Arrow
 batches, so a key of ANY length packs in one-Arrow-batch peak memory.
@@ -39,6 +41,23 @@ from pyspark.sql import types as T
 
 
 def greedy_pack(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    size_col: str,
+    budget: int,
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """First-fit-in-order packing per key — DEFAULT = the STREAMED
+    bounded-memory spelling (VERDICT r15 #2); ``greedy_pack_grouped``
+    is the whole-group twin, bit-equal by property test.  See
+    ``greedy_pack_grouped`` for the full semantics."""
+    return greedy_pack_streamed(df, key_cols, order_col, size_col, budget,
+                                pack_col=pack_col, offset_col=offset_col)
+
+
+def greedy_pack_grouped(
     df: DataFrame,
     key_cols: list[str],
     order_col: str,

@@ -16,20 +16,25 @@ arithmetic is the EXACT IEEE sequence of the fold twins
 (``acc*(1-alpha) + x*alpha`` in order), so on the same series this
 operator reproduces q197's values bit-for-bit — property-tested.
 
-MEMORY BOUNDS (VERDICT r14 #3).  The ``*_by_key`` spellings use
-``groupBy(...).applyInPandas``, which materializes EACH KEY'S WHOLE
-SERIES as one pandas frame in the Python worker — fine while a key is
-calendar-bounded (a nation-day series is <= a few thousand rows), a
-real hazard for an unbounded per-user event stream.  The
-``*_by_key_streamed`` twins below are the streaming-state spelling:
-``repartition(keys)`` + ``sortWithinPartitions(keys, order)`` +
-``mapInPandas`` with the accumulator carried ACROSS Arrow batches, so
-peak Python memory is one Arrow batch
-(``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k rows)
-regardless of series length.  Same IEEE operation order row-by-row,
-so the two spellings are bit-equal — property-tested across forced
-batch boundaries in tests/test_smooth.py, and the catalog's q341/q342
-run the streamed spelling against the recursive DuckDB oracle."""
+MEMORY BOUNDS (VERDICT r14 #3, defaults flipped r15 #2).  The
+``*_by_key_grouped`` spellings use ``groupBy(...).applyInPandas``,
+which materializes EACH KEY'S WHOLE SERIES as one pandas frame in the
+Python worker — fine while a key is calendar-bounded (a nation-day
+series is <= a few thousand rows), a real hazard for an unbounded
+per-user event stream.  The ``*_by_key_streamed`` twins are the
+streaming-state spelling: ``repartition(keys)`` +
+``sortWithinPartitions(keys, order)`` + ``mapInPandas`` with the
+accumulator carried ACROSS Arrow batches, so peak Python memory is
+one Arrow batch (``spark.sql.execution.arrow.maxRecordsPerBatch``,
+default 10k rows) regardless of series length.  Same IEEE operation
+order row-by-row, so the two spellings are bit-equal —
+property-tested across forced batch boundaries, and the catalog's
+q341/q342 run the streamed spelling against the recursive DuckDB
+oracle.  Since round 16 the BARE names (``ewma_by_key``,
+``holt_by_key``) ARE the streamed spelling — a user reaching for "the
+smoother" gets the bounded-memory plan; the grouped twins stay as the
+equivalence oracles and for tiny calendar-bounded frames where one
+groupBy beats a repartition+sort."""
 
 from __future__ import annotations
 
@@ -51,7 +56,27 @@ def ewma_by_key(
     ``y_0 = x_0; y_t = y_{t-1}*(1-alpha) + x_t*alpha`` over rows
     ordered by ``order_col`` within each key.  Returns the input
     columns plus ``out_col``.  Rows within a key must be unique on
-    ``order_col`` (ties would make the recursion order ambiguous)."""
+    ``order_col`` (ties would make the recursion order ambiguous).
+
+    DEFAULT = the STREAMED spelling (bounded memory; VERDICT r15 #2):
+    see ``ewma_by_key_streamed``.  ``ewma_by_key_grouped`` is the
+    whole-group ``applyInPandas`` twin, bit-equal by property test."""
+    return ewma_by_key_streamed(df, key_cols, order_col, value_col,
+                                alpha=alpha, out_col=out_col)
+
+
+def ewma_by_key_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """The whole-group ``applyInPandas`` EWMA spelling — each key's
+    series materializes as ONE pandas frame (memory bound: the longest
+    series).  Kept as the streamed default's equivalence oracle and
+    for tiny calendar-bounded frames."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha={alpha} must be in (0, 1]")
     schema = T.StructType(
@@ -84,7 +109,27 @@ def holt_by_key(
     trend_col: str = "trend",
 ) -> DataFrame:
     """Per-key Holt double exponential smoothing, O(n) per key — the
-    linear twin of q339's coupled-recurrence fold:
+    linear twin of q339's coupled-recurrence fold.  DEFAULT = the
+    STREAMED spelling (bounded memory; VERDICT r15 #2): see
+    ``holt_by_key_streamed``; ``holt_by_key_grouped`` is the
+    whole-group twin, bit-equal by property test."""
+    return holt_by_key_streamed(df, key_cols, order_col, value_col,
+                                alpha=alpha, beta=beta,
+                                level_col=level_col, trend_col=trend_col)
+
+
+def holt_by_key_grouped(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    level_col: str = "level",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """The whole-group ``applyInPandas`` Holt spelling (the streamed
+    default's equivalence oracle) — the coupled recurrence:
 
         level_0 = x_0, trend_0 = 0
         a       = level + trend

@@ -48,13 +48,13 @@ def tiny_arrow_batches(spark, n: int = 7):
 ))
 def test_ewma_streamed_bitequal(spark, series):
     from nlu_data_warehouse_project_spark.operators.smooth import (
-        ewma_by_key, ewma_by_key_streamed,
+        ewma_by_key_grouped, ewma_by_key_streamed,
     )
 
     rows = [(k, i, float(v)) for i, (k, v) in enumerate(series)]
     df = spark.createDataFrame(rows, "k long, i long, v double")
     want = {(r["k"], r["i"]): r["ewma"]
-            for r in ewma_by_key(df, ["k"], "i", "v").collect()}
+            for r in ewma_by_key_grouped(df, ["k"], "i", "v").collect()}
     with tiny_arrow_batches(spark):
         got = {(r["k"], r["i"]): r["ewma"]
                for r in ewma_by_key_streamed(df, ["k"], "i", "v").collect()}
@@ -67,13 +67,13 @@ def test_ewma_streamed_bitequal(spark, series):
 ))
 def test_holt_streamed_bitequal(spark, series):
     from nlu_data_warehouse_project_spark.operators.smooth import (
-        holt_by_key, holt_by_key_streamed,
+        holt_by_key_grouped, holt_by_key_streamed,
     )
 
     rows = [(k, i, float(v)) for i, (k, v) in enumerate(series)]
     df = spark.createDataFrame(rows, "k long, i long, v double")
     want = {(r["k"], r["i"]): (r["level"], r["trend"])
-            for r in holt_by_key(df, ["k"], "i", "v").collect()}
+            for r in holt_by_key_grouped(df, ["k"], "i", "v").collect()}
     with tiny_arrow_batches(spark):
         got = {(r["k"], r["i"]): (r["level"], r["trend"])
                for r in holt_by_key_streamed(df, ["k"], "i", "v").collect()}
@@ -86,13 +86,13 @@ def test_holt_streamed_bitequal(spark, series):
 ))
 def test_greedy_pack_streamed_bitequal(spark, sizes):
     from nlu_data_warehouse_project_spark.operators.packing import (
-        greedy_pack, greedy_pack_streamed,
+        greedy_pack_grouped, greedy_pack_streamed,
     )
 
     rows = [(f"k{k}", i, s) for i, (k, s) in enumerate(sizes)]
     df = spark.createDataFrame(rows, "key string, ord long, sz long")
     want = {(r["key"], r["ord"]): (r["pack_id"], r["pack_offset"])
-            for r in greedy_pack(df, ["key"], "ord", "sz", 50).collect()}
+            for r in greedy_pack_grouped(df, ["key"], "ord", "sz", 50).collect()}
     with tiny_arrow_batches(spark):
         got = {(r["key"], r["ord"]): (r["pack_id"], r["pack_offset"])
                for r in greedy_pack_streamed(df, ["key"], "ord", "sz", 50).collect()}
