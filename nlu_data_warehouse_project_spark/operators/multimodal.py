@@ -133,6 +133,9 @@ def parse_av_header(payload: bytes | None) -> tuple[str | None, int | None]:
     - MP4/MOV: ISO-BMFF box walk to ``moov`` -> ``mvhd``; version 0
       holds timescale/duration as BE uint32 at payload offsets 12/16,
       version 1 as uint32/uint64 at 20/24 (ISO 14496-12 §8.2.2).
+    - MP3: ``audio.probe_mp3``'s frame-header walk (VERDICT r15 #7) —
+      exact per-frame duration sum, ID3v2-aware, two-chained-frames
+      minimum before classifying.
 
     Unknown or truncated payloads return (None, None) — dirty bytes
     must classify as unparseable, never throw a task.
@@ -193,6 +196,13 @@ def parse_av_header(payload: bytes | None) -> tuple[str | None, int | None]:
                     return ("mp4", None)
                 return ("mp4", int(dur * 1000 // ts) if ts else None)
         return ("mp4", None)
+    from .audio import probe_mp3
+
+    mp3 = probe_mp3(payload)
+    if mp3 is not None:
+        # frame-header walk only (VERDICT r15 #7) — duration/bitrate/
+        # rate parse without a codec; DECODE stays the ffmpeg fail-fast
+        return ("mp3", mp3["duration_ms"])
     return (None, None)
 
 
@@ -625,6 +635,12 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     frame collapse to the earliest (a 100 ms sampling of a 1 fps
     stream yields each frame once, not ten times).
 
+    Uncompressed BI_RGB ('DIB ') AVIs (VERDICT r15 #5) sample the same
+    way, with each selected frame re-wrapped as a LOSSLESS PNG — the
+    raw bottom-up BGR chunk bytes are not a self-describing payload,
+    and PNG keeps the pixels bit-exact while staying decodable by the
+    downstream sniff/decode path.
+
     Runs in ``mapInPandas`` (Arrow batches) so a 1000-executor fleet
     decodes containers partition-parallel; the container walk touches
     only the chunk headers plus the selected frames' bytes — MJPEG
@@ -636,7 +652,7 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     if every_ms <= 0:
         raise ValueError(f"every_ms must be positive, got {every_ms}")
 
-    from .video import iter_mjpeg_frames, parse_avi_header
+    from .video import _is_dib, iter_dib_frames, iter_mjpeg_frames, parse_avi_header
 
     frame_schema = T.StructType(
         [
@@ -669,9 +685,18 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     fidx = min(int(ts * fps / 1000), hdr["n_frames"] - 1)
                     wanted.setdefault(fidx, ts)
                     ts += every_ms
-                for fidx, jpeg_bytes in iter_mjpeg_frames(p):
-                    if fidx in wanted:
-                        out.append((mid, fidx, wanted[fidx], jpeg_bytes))
+                if _is_dib(hdr):
+                    for fidx, rgb in iter_dib_frames(p):
+                        if fidx in wanted:
+                            out.append((
+                                mid, fidx, wanted[fidx],
+                                encode_png(rgb.shape[1], rgb.shape[0], 3,
+                                           rgb.tobytes()),
+                            ))
+                else:
+                    for fidx, jpeg_bytes in iter_mjpeg_frames(p):
+                        if fidx in wanted:
+                            out.append((mid, fidx, wanted[fidx], jpeg_bytes))
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_idx", "frame_ts_ms", "frame_payload"]
             )

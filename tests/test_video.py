@@ -113,6 +113,94 @@ def test_sample_frames_spark(spark):
     assert [r["frame_ts_ms"] for r in dense] == [0, 500, 1000, 1500, 2000, 2500]
 
 
+DW, DH = 10, 6  # 10*3=30 bytes/row -> stride 32: padding exercised
+
+
+def _dib_frames(n=4):
+    """Deterministic per-pixel gradients — a flip or BGR/RGB swap
+    cannot go unnoticed the way it would on solid colors."""
+    return [
+        np.fromfunction(
+            lambda y, x, c: (x * 7 + y * 13 + c * 51 + f * 31) % 256,
+            (DH, DW, 3),
+        ).astype(np.uint8)
+        for f in range(n)
+    ]
+
+
+def _dib_avi(frames=None) -> bytes:
+    from nlu_data_warehouse_project_spark.operators.video import encode_avi_dib
+
+    return encode_avi_dib(DW, DH, FPS, frames if frames is not None else _dib_frames())
+
+
+def test_dib_avi_header_and_bitexact_roundtrip():
+    from nlu_data_warehouse_project_spark.operators.video import iter_dib_frames
+
+    frames = _dib_frames()
+    payload = _dib_avi(frames)
+    hdr = parse_avi_header(payload)
+    assert hdr["codec"] == "DIB" and hdr["compression"] == 0
+    assert hdr["bit_count"] == 24
+    assert (hdr["width"], hdr["height"], hdr["n_frames"]) == (DW, DH, len(frames))
+    got = list(iter_dib_frames(payload))
+    assert [i for i, _ in got] == list(range(len(frames)))
+    for (_, rgb), want in zip(got, frames):
+        assert np.array_equal(rgb, want)  # lossless: bit-exact
+    # random access through the shared decode contract
+    one = decode_avi_frame(payload, 2)
+    assert (one["width"], one["height"], one["channels"]) == (DW, DH, 3)
+    assert one["pixels"] == frames[2].tobytes()
+    with pytest.raises(IndexError):
+        decode_avi_frame(payload, len(frames))
+
+
+def test_dib_avi_fail_fasts():
+    from nlu_data_warehouse_project_spark.operators.video import (
+        encode_avi_dib, iter_dib_frames,
+    )
+
+    with pytest.raises(ValueError, match="uint8"):
+        encode_avi_dib(DW, DH, FPS, [np.zeros((DH, DW, 3), np.float64)])
+    payload = bytearray(_dib_avi())
+    # corrupt the strf bit depth to 32: decoder must refuse, not guess
+    at = payload.index(b"strf") + 8
+    payload[at + 14:at + 16] = (32).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="biBitCount=32"):
+        list(iter_dib_frames(bytes(payload)))
+    # a short movi chunk is corruption, not a frame
+    good = _dib_avi()
+    stride = (DW * 3 + 3) & ~3
+    bad = good.replace(
+        b"00dc" + (stride * DH).to_bytes(4, "little"),
+        b"00dc" + (stride * DH - 4).to_bytes(4, "little"), 1,
+    )
+    with pytest.raises(ValueError, match="chunk size"):
+        list(iter_dib_frames(bad))
+    # MJPEG iterator refuses a DIB stream and vice versa
+    with pytest.raises(NotImplementedError, match="MJPEG only"):
+        list(iter_mjpeg_frames(good))
+    with pytest.raises(ValueError, match="not uncompressed DIB"):
+        list(iter_dib_frames(_avi()))
+
+
+def test_sample_frames_dib_spark(spark):
+    """DIB sampling plumbs end-to-end: selected frames re-wrap as
+    LOSSLESS PNG, bit-exact after the downstream PNG decode."""
+    from nlu_data_warehouse_project_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_png, sample_frames,
+    )
+
+    frames = _dib_frames()
+    df = spark.createDataFrame([(9, _dib_avi(frames), None)], MEDIA_SCHEMA)
+    rows = sample_frames(df, every_ms=1000).collect()
+    assert [(r["frame_idx"], r["frame_ts_ms"]) for r in rows] == [(0, 0), (2, 1000)]
+    for r in rows:
+        img = decode_png(bytes(r["frame_payload"]))
+        assert (img["width"], img["height"], img["channels"]) == (DW, DH, 3)
+        assert img["pixels"] == frames[r["frame_idx"]].tobytes()
+
+
 def test_sample_frames_non_avi_fails_fast(spark):
     from nlu_data_warehouse_project_spark.operators.multimodal import (
         MEDIA_SCHEMA, sample_frames,
