@@ -295,3 +295,93 @@ def test_ms_adpcm_fmt_extension_conformant():
     for k in range(7):
         assert coefs[2 * k] == int(_MS_COEF1[k])
         assert coefs[2 * k + 1] == int(_MS_COEF2[k])
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header probe (VERDICT r15 #7) — structurally valid streams
+# assembled from the ISO 11172-3 / 13818-3 header layout; the probe
+# never decodes audio, so header-true fixtures are the honest test.
+# ---------------------------------------------------------------------------
+
+def _mp3_frame(br_idx=9, sr_idx=0, ver_bits=3, layer_bits=1,
+               pad=0, mode=0) -> bytes:
+    """One frame: valid 4-byte header + zero payload of the exact
+    computed frame size (ver_bits 3=MPEG1, 2=MPEG2, 0=MPEG2.5;
+    layer_bits 1=Layer III, 3=Layer I; mode 3=mono)."""
+    from nlu_data_warehouse_project_spark.operators.audio import _mp3_frame_at
+
+    hdr = bytes([
+        0xFF,
+        0xE0 | (ver_bits << 3) | (layer_bits << 1) | 1,
+        (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+        mode << 6,
+    ])
+    parsed = _mp3_frame_at(hdr + bytes(8), 0)
+    assert parsed is not None
+    return hdr + bytes(parsed["size"] - 4)
+
+
+def test_probe_mp3_cbr():
+    from nlu_data_warehouse_project_spark.operators.audio import probe_mp3
+
+    payload = b"".join(_mp3_frame() for _ in range(10))
+    got = probe_mp3(payload)
+    assert got == {
+        "format": "mp3", "version": "1", "layer": 3,
+        "sample_rate": 44100, "channels": 2, "n_frames": 10,
+        # 1152 samples / 44100 Hz = 26122 us per frame
+        "duration_ms": 10 * 26122 // 1000, "bitrate_kbps": 128.0,
+        "vbr": False,
+    }
+    # a truncated final frame stops the walk cleanly
+    assert probe_mp3(payload + _mp3_frame()[:100])["n_frames"] == 10
+    # mono flag
+    mono = b"".join(_mp3_frame(mode=3) for _ in range(2))
+    assert probe_mp3(mono)["channels"] == 1
+
+
+def test_probe_mp3_id3_vbr_and_layers():
+    from nlu_data_warehouse_project_spark.operators.audio import probe_mp3
+
+    frames = b"".join(_mp3_frame() for _ in range(3))
+    # ID3v2 tag: 'ID3' v2.4, no flags, syncsafe size 100
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + bytes(100)
+    assert probe_mp3(id3 + frames)["n_frames"] == 3
+    # footer flag (0x10) adds 10 bytes after the tag body
+    id3f = b"ID3\x04\x00\x10" + bytes([0, 0, 0, 100]) + bytes(110)
+    assert probe_mp3(id3f + frames)["n_frames"] == 3
+
+    # VBR: alternating 128/192 kbps (V1L3 indices 9 and 11)
+    vbr = b"".join(_mp3_frame(br_idx=(9, 11)[i % 2]) for i in range(4))
+    got = probe_mp3(vbr)
+    assert got["vbr"] is True and got["bitrate_kbps"] == 160.0
+    # Xing tag in the first frame marks VBR even at constant bitrate
+    f0 = bytearray(_mp3_frame())
+    f0[40:44] = b"Xing"
+    assert probe_mp3(bytes(f0) + frames)["vbr"] is True
+
+    # MPEG2.5 Layer III: 576 samples/frame, 8 kHz, 64 kbps (idx 8)
+    v25 = b"".join(_mp3_frame(br_idx=8, sr_idx=2, ver_bits=0) for _ in range(5))
+    got = probe_mp3(v25)
+    assert got["version"] == "2.5" and got["sample_rate"] == 8000
+    assert got["duration_ms"] == 5 * 72  # 576/8000 = 72 ms/frame
+    # Layer I: 384 samples, size multiple of 4 slots
+    l1 = b"".join(_mp3_frame(br_idx=1, layer_bits=3) for _ in range(3))
+    got = probe_mp3(l1)
+    assert got["layer"] == 1 and got["n_frames"] == 3
+
+
+def test_probe_mp3_classifies_never_throws():
+    from nlu_data_warehouse_project_spark.operators.audio import probe_mp3
+    from nlu_data_warehouse_project_spark.operators.multimodal import parse_av_header
+
+    assert probe_mp3(None) is None
+    assert probe_mp3(b"") is None
+    assert probe_mp3(b"not audio at all") is None
+    # a lone sync hit with no chained second frame is noise, not MP3
+    assert probe_mp3(b"\xff\xfb\x90\x00" + bytes(1000)) is None
+    # WAV payloads classify as wav upstream, never as mp3
+    assert probe_mp3(encode_wav(8000, np.zeros(100))) is None
+    # sniffing integration: parse_av_header sees mp3 + duration
+    payload = b"".join(_mp3_frame() for _ in range(10))
+    assert parse_av_header(payload) == ("mp3", 261)
