@@ -299,3 +299,156 @@ def token_blocked_pairs(
         )
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def token_blocked_pairs_bipartite(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    name_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    token_pattern: str = r"\s+",
+) -> DataFrame:
+    """``token_blocked_pairs`` between TWO corpora: every (new, old)
+    pair with token-set Jaccard >= ``threshold``, never pairing old
+    with old — the incremental-ER probe shape (VERDICT r15 #4), where
+    a daily batch blocks against the standing corpus without paying
+    the standing corpus's quadratic self-join again.
+
+    Returns (new_id, old_id, new_name, old_name, jaccard).
+
+    The prefix filter stays EXACT across two corpora as long as both
+    sides' prefixes are taken under the SAME total token order (the
+    WWW'07 theorem never references where the order came from, only
+    that it is shared): token document frequency is computed over the
+    UNION of the two name sets — one narrow pass over names, paid
+    instead of the old-old candidate space.  A production deployment
+    keeps that frequency table and the old side's prefix keys as a
+    persisted index updated per batch (the ``bloomindex``/
+    ``minhashindex`` sync discipline), so the standing corpus is read,
+    not re-keyed; the algebra here is identical either way, and exact
+    Jaccard verification makes the OUTPUT independent of the chosen
+    order regardless (the order only steers candidate volume)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold={threshold} must be in (0, 1]")
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(f"__id{tag}"),
+                F.col(name_col).alias(f"__name{tag}"),
+                F.array_distinct(
+                    F.split(F.trim(F.col(name_col)), token_pattern)
+                ).alias(f"__toks{tag}"),
+            )
+            .filter(
+                F.col(f"__name{tag}").isNotNull() & (F.size(f"__toks{tag}") > 0)
+            )
+            .withColumn(f"__n{tag}", F.size(f"__toks{tag}"))
+        )
+
+    new_b, old_b = prep(new_df, ""), prep(old_df, "_r")
+    freq = (
+        new_b.select(F.explode("__toks").alias("__t"))
+        .unionByName(old_b.select(F.explode("__toks_r").alias("__t")))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    from pyspark.sql import Window
+
+    def prefix(df: DataFrame, tag: str) -> DataFrame:
+        toks = df.select("*", F.explode(f"__toks{tag}").alias("__t"))
+        rn = F.row_number().over(
+            Window.partitionBy(f"__id{tag}").orderBy("__df", "__t")
+        )
+        return (
+            toks.join(freq, "__t")
+            .withColumn("__rn", rn)
+            .filter(
+                F.col("__rn")
+                <= F.col(f"__n{tag}")
+                - F.ceil(F.lit(threshold) * F.col(f"__n{tag}") - F.lit(1e-9))
+                + 1
+            )
+            .drop("__rn", "__df")
+        )
+
+    parts = _fanout_partitions(new_df)
+    cand = (
+        prefix(new_b, "").repartition(parts, "__t")
+        .join(prefix(old_b, "_r"), "__t")
+        .filter(
+            (F.col("__n_r") * F.lit(threshold) <= F.col("__n"))
+            & (F.col("__n") * F.lit(threshold) <= F.col("__n_r"))
+        )
+    )
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__toks", "__toks_r"))
+            / F.size(F.array_union("__toks", "__toks_r")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("__id").alias("new_id"), F.col("__id_r").alias("old_id"),
+            F.col("__name").alias("new_name"), F.col("__name_r").alias("old_name"),
+            "jaccard",
+        )
+        .dropDuplicates(["new_id", "old_id"])
+    )
+
+
+def golden_records_incremental(
+    old_labels: DataFrame,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    name_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    max_iters: int = 25,
+    reliable: bool | None = None,
+) -> DataFrame:
+    """Incremental golden-record maintenance (VERDICT r15 #4): fold a
+    NEW batch into standing entity clusters WITHOUT re-running the
+    standing corpus's blocking self-join, yet BIT-EQUAL to the full
+    batch recompute (``token_blocked_pairs`` + ``neardup_clusters``
+    over old ∪ new) — the q368 capstone's daily form.
+
+    ``old_labels`` is the prior run's (node, cluster_id) frame.  The
+    equivalence rests on one graph identity: connected components are
+    determined by connectivity alone, and a previously-computed
+    component is EXACTLY summarized by its STAR (every member ->
+    min-label edge) — so
+
+        CC(E_old ∪ E_new-old ∪ E_new-new)
+          == CC(star(CC(E_old)) ∪ E_new-old ∪ E_new-new)
+
+    with identical min labels (the star preserves each old component's
+    member set, hence its minimum).  New-bridges-old merges, two old
+    clusters fused by one new doc, and brand-new clusters all fall out
+    of the CC over the reduced edge set.  Work per batch: the new
+    batch's self-join + the bipartite probe + CC over (star + new
+    edges) — the standing corpus's O(old²/blocking) candidate space is
+    never re-entered, which at 100 TB is the entire cost.
+
+    Property-tested bit-equal to the batch recompute (the streaming-
+    KMV sidecar discipline); the catalog gates the query spelling
+    against the full-batch recursive-CTE oracle over the union."""
+    from .clusters import neardup_clusters
+
+    nn = token_blocked_pairs(new_docs, name_col, id_col, threshold)
+    no = token_blocked_pairs_bipartite(
+        new_docs, old_docs, name_col, id_col, threshold
+    )
+    star = (
+        old_labels.filter(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("a_id"), F.col("cluster_id").alias("b_id"))
+    )
+    edges = (
+        nn.select("a_id", "b_id")
+        .unionByName(no.select(F.col("new_id").alias("a_id"),
+                               F.col("old_id").alias("b_id")))
+        .unionByName(star)
+    )
+    return neardup_clusters(edges, id_a="a_id", id_b="b_id",
+                            max_iters=max_iters, reliable=reliable)

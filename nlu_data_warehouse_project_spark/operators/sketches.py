@@ -318,3 +318,88 @@ def kmv_jaccard_pairs(
             )
         ).alias("inter_est"),
     )
+
+
+def kmv_overlap_kway(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 64,
+    mins_col: str = "kmv_mins",
+) -> DataFrame:
+    """K-WAY set-overlap estimate from per-group KMV sketches (VERDICT
+    r15 #6) — one row summarizing ALL groups in the frame: how many
+    distinct values appear in EVERY segment, estimated from the
+    k-double sketches alone.
+
+    The pairwise coincidence estimator (``kmv_jaccard_pairs``, Beyer
+    et al. SIGMOD'07) generalizes directly: build the union sketch X =
+    k smallest of the union of all groups' mins (exact by the lossless
+    merge property), count the ALL-WAY coincidences K∩ = |{h in X : h
+    in mins(A_i) for every i}|, then
+
+        jaccard_est = K∩ / |X|            (k-way Jaccard |∩|/|∪|)
+        union_est   = (k-1) / x_(k)       (|X| exactly, below saturation)
+        inter_est   = jaccard_est * union_est
+
+    Membership against the SKETCH equals membership against the full
+    set for every h in X: x_(k) <= a_i(k) for all i (each group's mins
+    is a subset of the union the k-th smallest is taken over), so no
+    X member can be in A_i yet missing from mins(A_i).
+
+    INCLUSION-EXCLUSION CAVEAT: do NOT assemble a k-way intersection
+    from the pairwise ``inter_est`` numbers via inclusion-exclusion —
+    the 2^g alternating terms each carry independent estimation error
+    and the differences amplify it catastrophically (the SIGMOD'07
+    paper's motivating observation).  The k-way estimator here counts
+    all-way coincidences on ONE union sketch directly, so its error
+    stays the single-sketch K∩/|X| binomial, independent of g.
+    Everything is EXACT below saturation (|∪ A_i| < k).
+
+    Cost shape: the sketch frame has one row per group (<= k doubles
+    each); the whole computation is two tiny aggregations plus one
+    broadcast membership join over g*k exploded rows — the raw data is
+    never rescanned, the 100 TB mart-rollup shape.  Returns one row:
+    (n_groups, n_common, n_union_kept, jaccard_est, union_est,
+    inter_est)."""
+    ex = (
+        sketches.select(F.col(group_col).alias("__g"), F.explode(mins_col).alias("__h"))
+        .distinct()
+    )
+    ng = sketches.agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+    ux = ex.agg(
+        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__x")
+    )
+    memb = (
+        ex.join(F.broadcast(ux.select(F.explode("__x").alias("__h"))), "__h")
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+    stats = (
+        memb.crossJoin(F.broadcast(ng))
+        .agg(
+            F.max("n_groups").alias("n_groups"),
+            F.sum(
+                F.when(F.col("__cnt") == F.col("n_groups"), 1).otherwise(0)
+            ).cast("long").alias("n_common"),
+        )
+    )
+    nu = F.size(F.col("__x"))
+    return (
+        stats.crossJoin(F.broadcast(ux))
+        .select(
+            F.coalesce("n_groups", F.lit(0).cast("long")).alias("n_groups"),
+            F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+            nu.cast("long").alias("n_union_kept"),
+            (F.coalesce("n_common", F.lit(0).cast("long")) / nu.cast("double"))
+            .alias("jaccard_est"),
+            F.when(nu < k, nu.cast("double"))
+            .otherwise(F.lit(float(k - 1)) / F.element_at(F.col("__x"), k))
+            .alias("union_est"),
+            (
+                (F.coalesce("n_common", F.lit(0).cast("long")) / nu.cast("double"))
+                * F.when(nu < k, nu.cast("double")).otherwise(
+                    F.lit(float(k - 1)) / F.element_at(F.col("__x"), k)
+                )
+            ).alias("inter_est"),
+        )
+    )

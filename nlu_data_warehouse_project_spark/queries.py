@@ -10010,7 +10010,11 @@ def q200_coorder_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     three UNROLLED join/aggregate CTEs produce bit-identical ranks.
     Scale shape: edges pinned once, each round shuffles only the |V|
     rank vector (join on src + sum by dst); `reliable=` upgrades the
-    per-round pin to a fault-tolerant checkpoint."""
+    per-round pin to a fault-tolerant checkpoint.  The FIXED 3-round
+    count is the hash-gate contract (the oracle unrolls exactly three
+    CTEs) — convergence-stopped PageRank is q324/`pagerank_fixpoint`,
+    whose L1-delta early-exit would buy real headroom on graphs whose
+    mixing time is shorter than a fixed budget (VERDICT r15 #3)."""
     from .operators.graph import pagerank_rounds
 
     li = _t(spark, sf_dir, "lineitem")
@@ -21366,3 +21370,120 @@ FROM comp
 
 QUERIES.update({"q369_kmv_priority_overlap": q369_kmv_priority_overlap})
 ORACLE_SQL.update({"q369_kmv_priority_overlap": Q369_SQL})
+
+
+# ---------------------------------------------------------------------------
+# K-way KMV overlap: customers present in EVERY order priority (q370)
+# ---------------------------------------------------------------------------
+
+def q370_kmv_kway_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-WAY distinct-customer overlap across ALL FIVE order
+    priorities from the q352/q369 KMV sketches
+    (`sketches.kmv_overlap_kway`, VERDICT r15 #6): union sketch by
+    lossless merge, ALL-WAY coincidence count on it, jaccard_est =
+    K∩/|X|, inter_est = jaccard_est * (k-1)/x_(k).  The mart-rollup
+    shape pairwise q369 can't cover: "how many customers buy at every
+    priority" costs one pass over the 5 x 64-double sketch frame, the
+    raw orders never rescanned — and the answer must NOT be assembled
+    from pairwise estimates by inclusion-exclusion (2^5 alternating
+    error terms; the operator docstring carries the caveat).  Every
+    number is the same deterministic IEEE expression in both engines,
+    so the APPROXIMATE estimate itself is hash-gated."""
+    from .operators.sketches import kmv_overlap_kway, kmv_sketch
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    )
+    sk = kmv_sketch(orders, "o_custkey", ["priority"], k=64, seed=77)
+    return kmv_overlap_kway(sk, "priority", k=64)
+
+
+Q370_SQL = f"""
+WITH u AS (
+  SELECT DISTINCT o_orderpriority AS g, {_KMV_U_SQL} AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+), r AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+  FROM u
+), sk AS (
+  SELECT g, list(h ORDER BY h) AS mins
+  FROM r WHERE rn <= 64 GROUP BY g
+), x AS (
+  SELECT list_slice(list_sort(list_distinct(flatten(list(mins)))), 1, 64) AS um,
+         CAST(count(*) AS BIGINT) AS n_groups
+  FROM sk
+), memb AS (
+  SELECT xs.h, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(um) AS h FROM x) xs
+  JOIN sk ON list_contains(sk.mins, xs.h)
+  GROUP BY xs.h
+), c AS (
+  SELECT CAST(count(*) FILTER (
+           WHERE cnt = (SELECT n_groups FROM x)) AS BIGINT) AS n_common
+  FROM memb
+)
+SELECT x.n_groups, c.n_common,
+       CAST(len(x.um) AS BIGINT) AS n_union_kept,
+       CAST(c.n_common AS DOUBLE) / CAST(len(x.um) AS DOUBLE) AS jaccard_est,
+       CASE WHEN len(x.um) < 64 THEN CAST(len(x.um) AS DOUBLE)
+            ELSE 63.0 / x.um[64] END AS union_est,
+       (CAST(c.n_common AS DOUBLE) / CAST(len(x.um) AS DOUBLE))
+         * (CASE WHEN len(x.um) < 64 THEN CAST(len(x.um) AS DOUBLE)
+                 ELSE 63.0 / x.um[64] END) AS inter_est
+FROM x, c
+"""
+
+QUERIES.update({"q370_kmv_kway_overlap": q370_kmv_kway_overlap})
+ORACLE_SQL.update({"q370_kmv_kway_overlap": Q370_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Incremental golden-record maintenance (q371) — VERDICT r15 #4
+# ---------------------------------------------------------------------------
+
+def q371_golden_record_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q368's capstone run the way a daily 100 TB pipeline actually
+    runs it: the corpus split 90/10 into a STANDING corpus (doc_id %
+    10 != 0, pre-resolved into clusters) and a NEW batch, then
+    `fuzzy.golden_records_incremental` folds the batch in — new-new
+    self-join + new-vs-old bipartite probe + connected components over
+    (star edges of the old labels ∪ new edges).  The star identity
+    makes this BIT-EQUAL to the full recompute, so the oracle is the
+    FULL-BATCH recursive-CTE over the whole corpus (Q368's oracle,
+    respelled at threshold 0.5): the equivalence claim itself is what
+    DuckDB hash-gates.  The standing corpus's blocking self-join —
+    the dominant cost at scale — is never re-entered."""
+    from .operators.clusters import neardup_clusters
+    from .operators.fuzzy import golden_records_incremental, token_blocked_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5)).alias("title"),
+    )
+    old_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    # max_iters=60: dropping the 10% batch can LENGTHEN the standing
+    # subgraph's min-label propagation distance past the full graph's
+    # (chains lose their shortcuts) — measured 25+ at sf0.01
+    old_labels = neardup_clusters(
+        token_blocked_pairs(old_docs, "title", "doc_id", threshold=0.5),
+        id_a="a_id", id_b="b_id", max_iters=60,
+    )
+    labels = golden_records_incremental(
+        old_labels, old_docs, new_docs, "title", "doc_id", threshold=0.5,
+        max_iters=60,
+    )
+    grouped = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    canon = docs.select(
+        F.col("doc_id").alias("cluster_id"), F.col("title").alias("canonical_title")
+    )
+    return grouped.join(canon, "cluster_id").select(
+        "cluster_id", "n_members", "canonical_title"
+    )
+
+
+QUERIES.update({"q371_golden_record_incremental": q371_golden_record_incremental})
+# the oracle IS the full-batch recompute — that equality is the gate
+ORACLE_SQL.update({"q371_golden_record_incremental": Q368_SQL})

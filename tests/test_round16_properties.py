@@ -1,0 +1,178 @@
+"""Round-16 equivalence properties:
+
+- incremental golden-record maintenance == full-batch recompute,
+  bit-for-bit (VERDICT r15 #4) — including new-bridges-old merges
+- the bipartite prefix-filter probe == the full-batch pair set
+  restricted to (new, old) pairs
+- k-way KMV overlap is EXACT below saturation (VERDICT r15 #6)
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+VOCAB = ["acme", "global", "logistics", "north", "star", "trading",
+         "pacific", "freight"]
+
+# small vocab + short names force genuine cluster structure: shared
+# rare tokens, transitive chains, and old/new overlap
+names_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=4, unique=True),
+    min_size=2, max_size=24,
+)
+
+
+def _docs(spark, names):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(names)]
+    return spark.createDataFrame(rows, "doc_id long, title string")
+
+
+def _batch_labels(spark, docs):
+    from nlu_data_warehouse_project_spark.operators.clusters import neardup_clusters
+    from nlu_data_warehouse_project_spark.operators.fuzzy import token_blocked_pairs
+
+    pairs = token_blocked_pairs(docs, "title", "doc_id", threshold=0.5)
+    if not pairs.take(1):
+        return {}
+    return {
+        r["node"]: r["cluster_id"]
+        for r in neardup_clusters(pairs, id_a="a_id", id_b="b_id").collect()
+    }
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(names=names_strategy)
+def test_incremental_golden_records_bitequal_batch(spark, names):
+    from pyspark.sql import functions as F
+
+    from nlu_data_warehouse_project_spark.operators.clusters import neardup_clusters
+    from nlu_data_warehouse_project_spark.operators.fuzzy import (
+        golden_records_incremental, token_blocked_pairs,
+    )
+
+    docs = _docs(spark, names)
+    want = _batch_labels(spark, docs)
+
+    old_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    old_pairs = token_blocked_pairs(old_docs, "title", "doc_id", threshold=0.5)
+    if old_pairs.take(1):
+        old_labels = neardup_clusters(old_pairs, id_a="a_id", id_b="b_id")
+    else:
+        old_labels = spark.createDataFrame([], "node long, cluster_id long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in golden_records_incremental(
+            old_labels, old_docs, new_docs, "title", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert got == want
+
+
+def test_incremental_bridge_merges_two_old_clusters(spark):
+    """One new doc whose tokens straddle two standing clusters must
+    fuse them under the global min label — the case a blocking scheme
+    that probes only ELECTED records per cluster would still catch
+    (the canonical rows carry the tokens), but a naive 'assign to
+    first match' incremental would get wrong."""
+    from pyspark.sql import functions as F
+
+    from nlu_data_warehouse_project_spark.operators.clusters import neardup_clusters
+    from nlu_data_warehouse_project_spark.operators.fuzzy import (
+        golden_records_incremental, token_blocked_pairs,
+    )
+
+    rows = [
+        (1, "acme global"), (2, "acme global"),          # old cluster A (min 1)
+        (7, "pacific freight"), (8, "pacific freight"),  # old cluster B (min 7)
+        (9, "acme pacific"),                             # NEW: bridges nothing (J<0.5... )
+        (12, "acme global pacific freight"),             # NEW: J=0.5 with both
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, title string")
+    old_docs = docs.filter(F.col("doc_id") < 9)
+    new_docs = docs.filter(F.col("doc_id") >= 9)
+    old_labels = neardup_clusters(
+        token_blocked_pairs(old_docs, "title", "doc_id", threshold=0.5),
+        id_a="a_id", id_b="b_id",
+    )
+    assert {r["node"]: r["cluster_id"] for r in old_labels.collect()} == {
+        1: 1, 2: 1, 7: 7, 8: 7,
+    }
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in golden_records_incremental(
+            old_labels, old_docs, new_docs, "title", "doc_id", threshold=0.5
+        ).collect()
+    }
+    batch = _batch_labels_explicit(spark, rows)
+    assert got == batch
+    # the doc-12 bridge fuses A and B: every member labels to min id 1
+    assert got[12] == 1 and got[7] == 1 and got[8] == 1
+
+
+def _batch_labels_explicit(spark, rows):
+    from nlu_data_warehouse_project_spark.operators.clusters import neardup_clusters
+    from nlu_data_warehouse_project_spark.operators.fuzzy import token_blocked_pairs
+
+    docs = spark.createDataFrame(rows, "doc_id long, title string")
+    pairs = token_blocked_pairs(docs, "title", "doc_id", threshold=0.5)
+    return {
+        r["node"]: r["cluster_id"]
+        for r in neardup_clusters(pairs, id_a="a_id", id_b="b_id").collect()
+    }
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(names=names_strategy)
+def test_bipartite_probe_equals_batch_restriction(spark, names):
+    from pyspark.sql import functions as F
+
+    from nlu_data_warehouse_project_spark.operators.fuzzy import (
+        token_blocked_pairs, token_blocked_pairs_bipartite,
+    )
+
+    docs = _docs(spark, names)
+    old_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    full = token_blocked_pairs(docs, "title", "doc_id", threshold=0.5)
+    want = {
+        frozenset((r["a_id"], r["b_id"])): r["jaccard"]
+        for r in full.collect()
+        if (r["a_id"] % 3 == 0) != (r["b_id"] % 3 == 0)
+    }
+    got = {
+        frozenset((r["new_id"], r["old_id"])): r["jaccard"]
+        for r in token_blocked_pairs_bipartite(
+            new_docs, old_docs, "title", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sets=st.lists(
+    st.frozensets(st.integers(0, 30), min_size=1, max_size=12),
+    min_size=2, max_size=5,
+))
+def test_kmv_kway_overlap_exact_below_saturation(spark, sets):
+    """With |union| < k every number the k-way estimator emits is
+    EXACT: n_common == |∩ groups|, union_est == |∪ groups|,
+    inter_est == |∩ groups| (the operator docstring's claim)."""
+    from nlu_data_warehouse_project_spark.operators.sketches import (
+        kmv_overlap_kway, kmv_sketch,
+    )
+
+    rows = [(f"g{gi}", v) for gi, s in enumerate(sets) for v in s]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_sketch(df, "v", ["g"], k=64, seed=77)
+    got = kmv_overlap_kway(sk, "g", k=64).collect()[0]
+    inter = frozenset.intersection(*sets)
+    union = frozenset.union(*sets)
+    assert got["n_groups"] == len(sets)
+    assert got["n_common"] == len(inter)
+    assert got["n_union_kept"] == len(union)
+    assert got["union_est"] == float(len(union))
+    assert got["inter_est"] == (
+        len(inter) / len(union) * len(union) if union else 0.0
+    )
