@@ -475,11 +475,128 @@ def test_lossless_validation_and_fail_fasts():
         encode_jpeg_lossless(4, 4, 1, bytes(15))  # short buffer
     with pytest.raises(ValueError):
         encode_jpeg_lossless(4, 4, 1, bytes([64] * 32), precision=5)  # 64 >= 2^5
-    # point transform != 0 is a recognized-but-unsupported variant
-    payload = bytearray(encode_jpeg_lossless(4, 4, 1, bytes(range(16))))
-    sos_at = payload.index(b"\xff\xda")
-    # SOS layout for 1 component: FFDA len2 ns comp td/ta Ss Se AhAl
-    assert payload[sos_at + 7] == 1  # Ss = predictor
-    payload[sos_at + 9] = 0x02       # AhAl: Al (point transform) = 2
-    with pytest.raises(NotImplementedError, match="point transform"):
-        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError, match="point transform"):
+        encode_jpeg_lossless(4, 4, 1, bytes(16), pt=8)  # pt must be < P
+    # an RST marker in the scan without a DRI segment is corruption
+    from nlu_data_warehouse_project_spark.operators.jpeg import (
+        encode_jpeg_lossless as _enc,
+    )
+    clean = _enc(6, 6, 1, bytes(range(36)))
+    sos_at = clean.index(b"\xff\xda")
+    spliced = clean[:sos_at + 12] + b"\xff\xd0" + clean[sos_at + 12:]
+    with pytest.raises(ValueError, match="without DRI"):
+        decode_jpeg(spliced)
+
+
+# ---------------------------------------------------------------------------
+# round 16: lossless point transform, restart intervals, subsampling
+# (the last three SOF3 corner-case fail-fasts made real)
+# ---------------------------------------------------------------------------
+
+def test_lossless_point_transform_roundtrip():
+    """With Pt, coding runs on samples >> Pt and the decoder output is
+    (sample >> Pt) << Pt (T.81 H.1.2.1 / H.2.2) — exact in the shifted
+    domain, for 8- and 16-bit, every predictor class."""
+    from nlu_data_warehouse_project_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(16)
+    a8 = rng.randint(0, 256, size=(9, 14, 3), dtype=np.uint8)
+    for pt in (1, 3):
+        img = decode_jpeg(
+            encode_jpeg_lossless(14, 9, 3, a8.tobytes(), predictor=4, pt=pt)
+        )
+        want = (a8.astype(np.int64) >> pt) << pt
+        assert np.array_equal(img["raw_planes"], want)
+    a16 = rng.randint(0, 65536, size=(7, 5), dtype=np.uint16)
+    img = decode_jpeg(
+        encode_jpeg_lossless(5, 7, 1, a16.astype("<u2").tobytes(),
+                             predictor=7, precision=16, pt=5)
+    )
+    assert np.array_equal(img["raw_planes"][:, :, 0],
+                          (a16.astype(np.int64) >> 5) << 5)
+
+
+def test_lossless_restart_intervals_roundtrip_and_semantics():
+    """DRI + cyclic RSTn in a lossless scan: exact round-trip, marker
+    presence pinned, and the predictor RESET at each restart verified
+    by hand — sample 2 (first after RST0 at Ri=2) codes against the
+    DEFAULT prediction 128, not its left neighbor."""
+    from nlu_data_warehouse_project_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(23)
+    px = rng.randint(0, 256, size=(11, 13, 3), dtype=np.uint8).tobytes()
+    payload = encode_jpeg_lossless(13, 11, 3, px, predictor=5,
+                                   restart_interval=7)
+    assert b"\xff\xdd" in payload          # DRI segment
+    assert b"\xff\xd0" in payload          # first restart marker
+    img = decode_jpeg(payload)
+    assert img["pixels"] == px
+
+    # hand-walk: 4x1 gray, Ri=2 -> diffs -118, +2 | RST0 | -121, 0
+    tiny = encode_jpeg_lossless(4, 1, 1, bytes([10, 12, 7, 7]),
+                                restart_interval=2)
+    assert b"\xff\xd0" in tiny
+    got = decode_jpeg(tiny)
+    assert list(got["raw_planes"][0, :, 0]) == [10, 12, 7, 7]
+
+    # out-of-order restart marker is a loud error, not a skew
+    bad = bytearray(tiny)
+    bad[bad.index(b"\xff\xd0") + 1] = 0xD3
+    with pytest.raises(ValueError, match="out of order"):
+        decode_jpeg(bytes(bad))
+
+    # 16-bit + pt + restarts together
+    a16 = rng.randint(0, 65536, size=(6, 9), dtype=np.uint16)
+    img = decode_jpeg(
+        encode_jpeg_lossless(9, 6, 1, a16.astype("<u2").tobytes(),
+                             predictor=2, precision=16, pt=2,
+                             restart_interval=3)
+    )
+    assert np.array_equal(img["raw_planes"][:, :, 0],
+                          (a16.astype(np.int64) >> 2) << 2)
+
+
+def test_lossless_subsampled_components():
+    """Interleaved SOF3 with 2x2-subsampled chroma (the 4:2:0 shape):
+    per-component planes round-trip exactly (decoder output replicates
+    to full res with the DCT path's nearest-neighbor rule); odd frame
+    dims exercise the MCU edge padding + crop."""
+    from nlu_data_warehouse_project_spark.operators.jpeg import (
+        encode_jpeg_lossless_planes,
+    )
+
+    rng = np.random.RandomState(31)
+    w, h = 13, 9  # odd: MCU grid 7x5, luma padded to 14x10
+    luma = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    cw, ch = -(-w // 2), -(-h // 2)
+    cb = rng.randint(0, 256, size=(ch, cw), dtype=np.uint8)
+    cr = rng.randint(0, 256, size=(ch, cw), dtype=np.uint8)
+    payload = encode_jpeg_lossless_planes(
+        [luma, cb, cr], [(2, 2), (1, 1), (1, 1)], w, h, predictor=6,
+    )
+    img = decode_jpeg(payload)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    assert np.array_equal(img["raw_planes"][:, :, 0], luma)
+    up = lambda p: np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)[:h, :w]  # noqa: E731
+    assert np.array_equal(img["raw_planes"][:, :, 1], up(cb))
+    assert np.array_equal(img["raw_planes"][:, :, 2], up(cr))
+
+    # subsampling + restarts + pt, all at once
+    payload = encode_jpeg_lossless_planes(
+        [luma, cb, cr], [(2, 2), (1, 1), (1, 1)], w, h, predictor=3,
+        pt=1, restart_interval=4,
+    )
+    img = decode_jpeg(payload)
+    assert np.array_equal(img["raw_planes"][:, :, 0],
+                          (luma.astype(np.int64) >> 1) << 1)
+    assert np.array_equal(img["raw_planes"][:, :, 1],
+                          (up(cb).astype(np.int64) >> 1) << 1)
+
+    # plane shape validation
+    with pytest.raises(ValueError, match="shape"):
+        encode_jpeg_lossless_planes([luma, cb, cr[:-1]],
+                                    [(2, 2), (1, 1), (1, 1)], w, h)
