@@ -403,3 +403,104 @@ def kmv_overlap_kway(
             ).alias("inter_est"),
         )
     )
+
+
+def _cm_bucket(col: Column | str, row: int, width: int) -> Column:
+    """Deterministic Count-Min bucket for hash row ``row``: the shared
+    md5 recipe (60-bit prefix, positive) mod ``width`` — spelled
+    identically in DuckDB as
+    ``('0x' || substring(md5('cm<r>:' || CAST(v AS VARCHAR)), 1, 15))::BIGINT % width``."""
+    c = F.col(col) if isinstance(col, str) else col
+    digest = F.md5(F.concat(F.lit(f"cm{row}:"), c.cast("string")))
+    return (F.conv(F.substring(digest, 1, 15), 16, 10).cast("long") % width)
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J.Algorithms 2005 —
+    public) per group: ``depth`` hash rows of ``width`` counters, each
+    occurrence incrementing one counter per row.  Point-query estimate
+    = min over rows of the landed counters — an OVERESTIMATE only
+    (collisions add, never subtract), within eps*N of truth w.h.p. at
+    width ~ e/eps.
+
+    Next to KMV (distinct counts) this is the FREQUENCY summary a
+    100 TB pipeline keeps per shard: the sketch frame is (group, row,
+    bucket, cnt) with at most depth*width rows per group regardless of
+    input size, it MERGES by plain addition (``cm_merge``), and point
+    queries never rescan the data.  Because the hash is the shared md5
+    recipe, every counter — and therefore every estimate — is a
+    deterministic integer both engines compute identically: the
+    catalog hash-gates the ESTIMATES, not a tolerance.
+
+    One wide-then-narrow pass: explode ``depth`` (row, bucket) pairs
+    per input row (map-side combined by the groupBy), shuffle at most
+    depth * distinct-buckets rows."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"width={width} (>= 2) / depth={depth} (>= 1)")
+    gcols = list(group_by or [])
+    pairs = F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 _cm_bucket(value_col, r, width).alias("bucket"))
+        for r in range(depth)
+    ])
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, F.explode(pairs).alias("__p"))
+        .select(*gcols, F.col("__p.row").alias("row"),
+                F.col("__p.bucket").alias("bucket"))
+        .groupBy(*gcols, "row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cm_merge(
+    sketches: DataFrame,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Merge Count-Min sketches into coarser groups (or one global
+    sketch): counters ADD — the merged sketch equals the sketch built
+    from scratch over the union, exactly (linearity of counting)."""
+    gcols = list(group_by or [])
+    return (
+        sketches.groupBy(*gcols, "row", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int,
+    depth: int,
+) -> DataFrame:
+    """Point-query a Count-Min sketch for every key in ``keys``:
+    estimate = min over the ``depth`` rows of the landed counter
+    (a bucket the sketch never touched reads 0).  The keys frame is
+    dimension-sized by construction (someone is ASKING about these
+    keys), so its exploded (key, row, bucket) probe broadcasts into
+    the sketch join.  Returns (key_col, cm_est)."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"width={width} (>= 2) / depth={depth} (>= 1)")
+    pairs = F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 _cm_bucket(key_col, r, width).alias("bucket"))
+        for r in range(depth)
+    ])
+    probe = (
+        keys.select(key_col).distinct()
+        .select(key_col, F.explode(pairs).alias("__p"))
+        .select(key_col, F.col("__p.row").alias("row"),
+                F.col("__p.bucket").alias("bucket"))
+    )
+    return (
+        sketch.join(F.broadcast(probe), ["row", "bucket"], "right")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cm_est"))
+    )

@@ -21487,3 +21487,66 @@ def q371_golden_record_incremental(spark: SparkSession, sf_dir: str) -> DataFram
 QUERIES.update({"q371_golden_record_incremental": q371_golden_record_incremental})
 # the oracle IS the full-batch recompute — that equality is the gate
 ORACLE_SQL.update({"q371_golden_record_incremental": Q368_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency estimates, hash-gated (q372)
+# ---------------------------------------------------------------------------
+
+def q372_cm_sketch_part_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (`sketches.cm_sketch`, Cormode-Muthukrishnan)
+    over lineitem part keys — depth 3 x width 256 counters, far below
+    the key cardinality so collisions are REAL — then point-query
+    estimates for partkeys 1-20 next to their exact counts.  The
+    overestimate-only bound (cm_est >= exact_n always; equality when
+    no row collides) rides in the output.  Like the KMV family, the
+    md5 bucket recipe makes every counter a deterministic integer, so
+    the DuckDB oracle reproduces the APPROXIMATE estimates bit-for-bit
+    — the sketch itself is what's hash-gated.  100 TB shape: the
+    sketch is depth*width rows per shard regardless of input size,
+    merges by addition (`cm_merge`), and the probe side broadcasts."""
+    from .operators.sketches import cm_estimate, cm_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = cm_sketch(li, "l_partkey", width=256, depth=3)
+    keys = li.filter(F.col("l_partkey") <= 20).select(
+        F.col("l_partkey").alias("partkey")
+    ).distinct()
+    est = cm_estimate(sk, keys, "partkey", width=256, depth=3)
+    exact = (
+        li.filter(F.col("l_partkey") <= 20)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    return est.join(exact, "partkey").select("partkey", "cm_est", "exact_n")
+
+
+Q372_SQL = """
+WITH rows_t AS (
+  SELECT * FROM (VALUES (0), (1), (2)) t(r)
+), sk AS (
+  SELECT r,
+         ('0x' || substring(md5('cm' || r || ':' || CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 256 AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem, rows_t
+  GROUP BY 1, 2
+), q AS (
+  SELECT DISTINCT l_partkey AS partkey FROM lineitem WHERE l_partkey <= 20
+), probe AS (
+  SELECT partkey, r,
+         ('0x' || substring(md5('cm' || r || ':' || CAST(partkey AS VARCHAR)), 1, 15))::BIGINT % 256 AS b
+  FROM q, rows_t
+), est AS (
+  SELECT p.partkey, min(COALESCE(sk.cnt, 0)) AS cm_est
+  FROM probe p LEFT JOIN sk ON sk.r = p.r AND sk.b = p.b
+  GROUP BY 1
+), exact AS (
+  SELECT l_partkey AS partkey, CAST(count(*) AS BIGINT) AS exact_n
+  FROM lineitem WHERE l_partkey <= 20 GROUP BY 1
+)
+SELECT e.partkey, e.cm_est, x.exact_n
+FROM est e JOIN exact x ON e.partkey = x.partkey
+"""
+
+QUERIES.update({"q372_cm_sketch_part_freq": q372_cm_sketch_part_freq})
+ORACLE_SQL.update({"q372_cm_sketch_part_freq": Q372_SQL})

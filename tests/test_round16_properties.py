@@ -176,3 +176,33 @@ def test_kmv_kway_overlap_exact_below_saturation(spark, sets):
     assert got["inter_est"] == (
         len(inter) / len(union) * len(union) if union else 0.0
     )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=st.lists(st.integers(0, 40), min_size=1, max_size=60))
+def test_cm_sketch_merge_linearity_and_bound(spark, vals):
+    """Count-Min invariants: (a) merged per-group sketches equal the
+    from-scratch sketch over the union, exactly (linearity); (b) every
+    point estimate >= the true count (overestimate-only)."""
+    from collections import Counter
+
+    from nlu_data_warehouse_project_spark.operators.sketches import (
+        cm_estimate, cm_merge, cm_sketch,
+    )
+
+    rows = [("g" + str(i % 3), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    per = cm_sketch(df, "v", width=16, depth=3, group_by=["g"])
+    merged = {(r["row"], r["bucket"]): r["cnt"] for r in cm_merge(per).collect()}
+    scratch = {(r["row"], r["bucket"]): r["cnt"]
+               for r in cm_sketch(df, "v", width=16, depth=3).collect()}
+    assert merged == scratch
+
+    truth = Counter(vals)
+    keys = spark.createDataFrame([(k,) for k in set(vals) | {999}], "v long")
+    est = {r["v"]: r["cm_est"]
+           for r in cm_estimate(cm_sketch(df, "v", width=16, depth=3),
+                                keys, "v", 16, 3).collect()}
+    for k, n in truth.items():
+        assert est[k] >= n
+    assert est[999] >= 0  # absent key may still collide, never negative
