@@ -850,3 +850,69 @@ def make_kmv_distinct_processor(
         )
 
     return process
+
+
+def make_golden_record_processor(
+    docs,
+    labels,
+    name_col: str = "title",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_iters: int = 25,
+):
+    """foreachBatch body maintaining a STANDING golden-record
+    resolution — the streaming sidecar of q371's incremental ER
+    (VERDICT r15 #4), the `make_kmv_distinct_processor` discipline
+    applied to entity clusters.
+
+    Per micro-batch: `fuzzy.golden_records_incremental` folds the
+    batch into the standing clusters (new-new self-join + bipartite
+    probe against the standing corpus + connected components over
+    star(old labels) ∪ new edges), then TWO guarded commits in a
+    crash-safe order: the labels SNAPSHOT first (it is computed from
+    old docs + the batch, so it never needs the batch to be in the
+    docs table), the docs APPEND second.  Each table records its own
+    ``last_batch_id``, so a crash between the commits replays into
+    "labels done, docs pending" and the retry appends only the docs —
+    exactly-once for both tables under foreachBatch's at-least-once
+    replay.
+
+    INVARIANT (the equivalence tests pin it): after ANY number of
+    micro-batches, the labels table equals the full-batch recompute
+    (`token_blocked_pairs` + `neardup_clusters`) over every document
+    ever ingested — the star identity composes inductively, so the
+    standing corpus's blocking self-join is never re-entered, batch
+    after batch."""
+    from ..operators.fuzzy import golden_records_incremental
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, name_col)
+        if not _replayed_batch(labels, batch_id):
+            if docs.exists() and docs.manifest() is not None:
+                old_docs = docs.read().select(id_col, name_col)
+            else:
+                old_docs = spark.createDataFrame(
+                    [], batch.schema
+                )
+            if labels.exists() and labels.manifest() is not None:
+                old_labels = labels.read().select("node", "cluster_id")
+            else:
+                old_labels = spark.createDataFrame([], "node long, cluster_id long")
+            new_labels = golden_records_incremental(
+                old_labels, old_docs, batch, name_col, id_col,
+                threshold=threshold, max_iters=max_iters,
+            )
+            # labels table is cluster-membership-sized; snapshot whole
+            rows = new_labels.collect()
+            labels.commit_snapshot(
+                spark.createDataFrame(rows, new_labels.schema),
+                run_id=f"gr{batch_id}", extra={"last_batch_id": batch_id},
+            )
+        if not _replayed_batch(docs, batch_id):
+            docs.commit_append(
+                batch, run_id=f"gr{batch_id}",
+                extra={"last_batch_id": batch_id},
+            )
+
+    return process

@@ -1,0 +1,70 @@
+"""Streaming golden-record sidecar (round 16): after any number of
+micro-batches the standing labels table equals the FULL-BATCH entity
+resolution over every document ever ingested — the star identity
+composing inductively — and both tables are replay-safe."""
+
+from __future__ import annotations
+
+import pytest
+
+from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+from nlu_data_warehouse_project_spark.streaming import make_golden_record_processor
+
+SCHEMA = "doc_id long, title string"
+
+BATCHES = [
+    [(1, "acme global"), (2, "acme global"), (3, "north star trading")],
+    [(7, "pacific freight"), (8, "pacific freight co")],
+    # doc 12 bridges the acme cluster and the pacific cluster
+    [(12, "acme global pacific freight"), (13, "unrelated solo entry")],
+]
+
+
+def _batch_recompute(spark, rows):
+    from nlu_data_warehouse_project_spark.operators.clusters import neardup_clusters
+    from nlu_data_warehouse_project_spark.operators.fuzzy import token_blocked_pairs
+
+    docs = spark.createDataFrame(rows, SCHEMA)
+    pairs = token_blocked_pairs(docs, "title", "doc_id", threshold=0.5)
+    if not pairs.take(1):
+        return {}
+    return {
+        r["node"]: r["cluster_id"]
+        for r in neardup_clusters(pairs, id_a="a_id", id_b="b_id").collect()
+    }
+
+
+def test_stream_equals_batch_after_every_micro_batch(spark, tmp_path):
+    docs = TxTable(spark, str(tmp_path / "docs"))
+    labels = TxTable(spark, str(tmp_path / "labels"))
+    process = make_golden_record_processor(docs, labels)
+
+    seen: list = []
+    for bid, rows in enumerate(BATCHES):
+        process(spark.createDataFrame(rows, SCHEMA), bid)
+        seen += rows
+        got = {r["node"]: r["cluster_id"] for r in labels.read().collect()}
+        assert got == _batch_recompute(spark, seen), f"batch {bid}"
+    # the bridge fused both standing clusters under the global min
+    final = {r["node"]: r["cluster_id"] for r in labels.read().collect()}
+    assert final[12] == 1 and final[7] == 1 and final[8] == 1
+    # docs table accumulated every batch, append-only
+    assert sorted(r["doc_id"] for r in docs.read().collect()) == sorted(
+        i for i, _t in seen
+    )
+
+
+def test_replay_and_fresh_checkpoint_guard(spark, tmp_path):
+    docs = TxTable(spark, str(tmp_path / "docs"))
+    labels = TxTable(spark, str(tmp_path / "labels"))
+    process = make_golden_record_processor(docs, labels)
+
+    for bid, rows in enumerate(BATCHES[:2]):
+        process(spark.createDataFrame(rows, SCHEMA), bid)
+    dv, lv = docs.latest_version(), labels.latest_version()
+    # crash-replay of the LAST batch id: full no-op on both tables
+    process(spark.createDataFrame(BATCHES[1], SCHEMA), 1)
+    assert (docs.latest_version(), labels.latest_version()) == (dv, lv)
+    # a fresh checkpoint pointed at the standing tables is loud
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        process(spark.createDataFrame(BATCHES[0], SCHEMA), 0)

@@ -118,6 +118,16 @@ STRESS_QUERIES = [
     # family; the d=2-aware salt (pairwise tag distance >= 4) keeps
     # its OUTPUT Kx so the exponent measures the plan, not the data
     "q366_edit2_name_pairs",
+    # round 16: the streamed recurrence defaults (repartition+sort+
+    # mapInPandas — state bounded, wall should track the sort), the
+    # incremental golden-record capstone (iterative CC over star+new
+    # edges; the standing self-join is the cost it must NOT re-pay),
+    # and the CM sketch (counters bounded at depth*width, so the
+    # exponent measures the one explode+groupBy scan)
+    "q341_ewma_by_nation",
+    "q343_sequence_packing",
+    "q371_golden_record_incremental",
+    "q372_cm_sketch_part_freq",
 ]
 
 # per-copy embedding perturbation scale: |noise element| <= EPS x the
