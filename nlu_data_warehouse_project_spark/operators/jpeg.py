@@ -160,6 +160,74 @@ def _comp_blocks(comp: dict, w: int, h: int, hmax: int, vmax: int) -> tuple[int,
     return -(-cw // 8), -(-ch // 8)
 
 
+
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    """DQT segment -> 8x8 raster tables into ``qt`` (8- or 16-bit
+    precision entries, zigzag order per the spec)."""
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 15
+        i += 1
+        n = 64 * (2 if pq else 1)
+        raw = seg[i:i + n]
+        vals = (
+            [v for v in raw] if pq == 0
+            else [int.from_bytes(raw[j:j + 2], "big") for j in range(0, n, 2)]
+        )
+        t = np.ones((8, 8))
+        for k, zz in enumerate(_ZIGZAG):
+            t[zz // 8][zz % 8] = vals[k]
+        qt[tq] = t
+        i += n
+
+
+def _parse_dht(seg: bytes, huff: dict) -> None:
+    """DHT segment -> canonical code tables into ``huff`` (tables may
+    be redefined between scans/frames; last definition wins)."""
+    i = 0
+    while i < len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 15
+        bits = list(seg[i + 1:i + 17])
+        n = sum(bits)
+        vals = list(seg[i + 17:i + 17 + n])
+        huff[(tc, th)] = _canonical_codes(bits, vals)
+        i += 17 + n
+
+
+def _dct_frame_planes(coefs, comps, qt, geo, w, h, precision,
+                      level_shift: bool = True):
+    """Dequantize + IDCT one DCT frame's coefficient grids into
+    full-resolution float sample planes (nearest-neighbor upsample of
+    subsampled components, cropped to (h, w)).  ``level_shift=False``
+    is the DIFFERENTIAL-frame form (hierarchical mode, T.81 J): no
+    +2^(P-1) — the IDCT output is a signed correction added to the
+    upsampled reference."""
+    mcux, mcuy, hmax, vmax = geo
+    out_planes = []
+    for ci, comp in enumerate(comps):
+        if comp["tq"] not in qt:
+            raise ValueError(f"JPEG missing quantization table {comp['tq']}")
+        fy, fx = vmax // comp["v"], hmax // comp["h"]
+        if fy * comp["v"] != vmax or fx * comp["h"] != hmax:
+            raise NotImplementedError(
+                f"JPEG non-integer subsampling ratio {comp['h']}x{comp['v']} "
+                f"vs max {hmax}x{vmax}"
+            )
+        zz = coefs[ci].astype(float)
+        raster = np.zeros_like(zz)
+        raster[:, :, _ZIGZAG] = zz  # stream position k -> raster index
+        by, bx = zz.shape[0], zz.shape[1]
+        blocks = raster.reshape(by, bx, 8, 8) * qt[comp["tq"]]
+        px = np.einsum("ij,abjk,kl->abil", _DCT_A.T, blocks, _DCT_A)
+        p = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        if level_shift:
+            p = p + float(1 << (precision - 1))
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        out_planes.append(p[:h, :w])
+    return out_planes
+
+
 def _decode_block(rd, blk, huff, dc_id, ac_id, ss, se, ah, al, pred, ci, eobrun):
     """Entropy-decode one block's contribution for the current scan
     into the zigzag coefficient vector ``blk``.  Covers all four
@@ -318,7 +386,8 @@ def _decode_scan(payload, data_at, comps, coefs, huff, restart, scan,
 
 
 def _decode_lossless_scan(payload, data_at, comps, huff, scan, pred_sel,
-                          pt, w, h, restart, precision, planes) -> int:
+                          pt, w, h, restart, precision, planes,
+                          differential: bool = False) -> int:
     """Lossless JPEG (SOF3, T.81 Annex H) scan decode: per sample, a
     DC-class Huffman category + EXTEND bits give the difference from
     a neighbor prediction; samples reconstruct exactly (mod 2^16).
@@ -346,7 +415,14 @@ def _decode_lossless_scan(payload, data_at, comps, huff, scan, pred_sel,
       in MCU order.
 
     Returns the payload offset after the scan's entropy data."""
-    if pred_sel < 1 or pred_sel > 7:
+    if differential:
+        # T.81 J: a differential lossless frame codes the corrections
+        # themselves — predictor selection SHALL be 0 (no prediction)
+        if pred_sel != 0:
+            raise ValueError(
+                f"differential lossless JPEG requires Ss=0, got {pred_sel}"
+            )
+    elif pred_sel < 1 or pred_sel > 7:
         raise ValueError(f"lossless JPEG predictor {pred_sel} (1-7 defined)")
     if not 0 <= pt < precision:
         raise ValueError(f"lossless JPEG point transform {pt} (0..P-1)")
@@ -405,6 +481,9 @@ def _decode_lossless_scan(payload, data_at, comps, huff, scan, pred_sel,
             diff = _extend(rd.bits(s_cat), s_cat)
         else:
             diff = 0
+        if differential:
+            plane[y, x] = diff & mask  # no prediction: the value IS the code
+            return
         if nonlocal_fresh:
             pred = default
             fresh[ci] = False
@@ -549,31 +628,12 @@ def _decode_jpeg_checked(payload: bytes, _struct) -> dict:
             break
         (seglen,) = _struct.unpack(">H", payload[pos + 2:pos + 4])
         seg = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xDE:  # DHP: hierarchical image — dedicated loop
+            return _decode_hierarchical(payload, _struct)
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 15
-                i += 1
-                n = 64 * (2 if pq else 1)
-                raw = seg[i:i + n]
-                vals = (
-                    [v for v in raw] if pq == 0
-                    else [int.from_bytes(raw[j:j + 2], "big") for j in range(0, n, 2)]
-                )
-                t = np.ones((8, 8))
-                for k, zz in enumerate(_ZIGZAG):
-                    t[zz // 8][zz % 8] = vals[k]
-                qt[tq] = t
-                i += n
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT (tables may be redefined between scans)
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 15
-                bits = list(seg[i + 1:i + 17])
-                n = sum(bits)
-                vals = list(seg[i + 17:i + 17 + n])
-                huff[(tc, th)] = _canonical_codes(bits, vals)
-                i += 17 + n
+            _parse_dht(seg, huff)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 + SOF3 lossless
             if comps:
                 raise ValueError("JPEG with more than one SOF")
@@ -596,8 +656,10 @@ def _decode_jpeg_checked(payload: bytes, _struct) -> dict:
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: Huffman baseline (SOF0/SOF1), "
-                "progressive (SOF2) and lossless (SOF3) decode here — "
-                "arithmetic / hierarchical payloads fail fast"
+                "progressive (SOF2), lossless (SOF3) and the hierarchical "
+                "lossless pyramid (DHP + SOF3/SOF7) decode here — a "
+                "differential frame without DHP is malformed; arithmetic "
+                "and DCT-differential payloads fail fast"
             )
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(seg[0:2], "big")
@@ -701,32 +763,11 @@ def _decode_jpeg_checked(payload: bytes, _struct) -> dict:
             "raw_planes": raw, "bits": precision,
         }
 
-    mcux, mcuy, hmax, vmax = geo
-    out_planes = []
-    for ci, comp in enumerate(comps):
-        if comp["tq"] not in qt:
-            raise ValueError(f"JPEG missing quantization table {comp['tq']}")
-        fy, fx = vmax // comp["v"], hmax // comp["h"]
-        if fy * comp["v"] != vmax or fx * comp["h"] != hmax:
-            raise NotImplementedError(
-                f"JPEG non-integer subsampling ratio {comp['h']}x{comp['v']} "
-                f"vs max {hmax}x{vmax}"
-            )
-        zz = coefs[ci].astype(float)
-        raster = np.zeros_like(zz)
-        raster[:, :, _ZIGZAG] = zz  # stream position k -> raster index
-        by, bx = zz.shape[0], zz.shape[1]
-        blocks = raster.reshape(by, bx, 8, 8) * qt[comp["tq"]]
-        px = np.einsum("ij,abjk,kl->abil", _DCT_A.T, blocks, _DCT_A)
-        # level shift is 2^(P-1); 12-bit samples land on 0..4095 and are
-        # scaled to the 8-bit output contract by /16 (the pixels field
-        # stays uint8 row-major for every precision — documented)
-        p = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + float(1 << (precision - 1))
-        if precision == 12:
-            p = p / 16.0
-        if fy > 1 or fx > 1:
-            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
-        out_planes.append(p[:h, :w])
+    out_planes = _dct_frame_planes(coefs, comps, qt, geo, w, h, precision)
+    if precision == 12:
+        # 12-bit samples land on 0..4095; scaled /16 into the 8-bit
+        # output contract (the pixels field stays uint8 — documented)
+        out_planes = [p / 16.0 for p in out_planes]
     if len(comps) == 1:
         rgb = out_planes[0][:, :, None]
         channels = 1
@@ -1499,4 +1540,309 @@ def encode_jpeg_lossless_planes(
     bw.flush()
     out.extend(bw.buf)
     out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical JPEG, lossless pyramid (T.81 Annex J) — round 16
+# ---------------------------------------------------------------------------
+
+def _exp_upsample(plane: "np.ndarray", eh: int, ev: int) -> "np.ndarray":
+    """The EXP reference-expansion filter (T.81 J.1.1.2): doubled
+    dimension gets output[2i] = input[i] and output[2i+1] =
+    (input[i] + input[i+1] + 1) >> 1, with the final odd sample
+    interpolating the edge against itself ((2a+1)>>1 == a)."""
+    out = plane
+    if eh:
+        h_, w_ = out.shape
+        nxt = np.concatenate([out[:, 1:], out[:, -1:]], axis=1)
+        wide = np.empty((h_, 2 * w_), dtype=out.dtype)
+        wide[:, 0::2] = out
+        wide[:, 1::2] = (out + nxt + 1) >> 1
+        out = wide
+    if ev:
+        h_, w_ = out.shape
+        nxt = np.concatenate([out[1:, :], out[-1:, :]], axis=0)
+        tall = np.empty((2 * h_, w_), dtype=out.dtype)
+        tall[0::2, :] = out
+        tall[1::2, :] = (out + nxt + 1) >> 1
+        out = tall
+    return out
+
+
+def _decode_hierarchical(payload: bytes, _struct) -> dict:
+    """Hierarchical JPEG (DHP, T.81 Annex J), LOSSLESS pyramid form:
+    a non-differential SOF3 frame establishes the lowest-resolution
+    reference, then alternating EXP expansions and DIFFERENTIAL SOF7
+    frames (Ss=0 — corrections coded directly, mod-2^16 addition onto
+    the upsampled reference) refine it to full resolution.  Grayscale
+    (one component), the shape hierarchical mode was designed for
+    (progressive-resolution transmission).  DCT hierarchical (SOF5/6
+    differential DCT) and multi-component pyramids stay explicit
+    fail-fasts; arithmetic variants (SOF13-15) fail in the shared SOF
+    dispatch."""
+    qt: dict = {}
+    huff: dict = {}
+    W = H = None
+    img_precision = None
+    ref = None
+    restart = 0
+    # current-frame state
+    comps: list = []
+    frame_w = frame_h = 0
+    differential = False
+    lplanes = None
+
+    def finalize_frame():
+        nonlocal ref, comps, lplanes
+        if not comps:
+            return
+        if lplanes is None:
+            raise ValueError("hierarchical JPEG frame without a scan")
+        plane = lplanes[0]
+        if differential:
+            if ref is None:
+                raise ValueError("differential frame before any reference")
+            r = ref[:frame_h, :frame_w]
+            if r.shape != (frame_h, frame_w):
+                raise ValueError(
+                    f"differential frame {frame_w}x{frame_h} exceeds the "
+                    f"reference {ref.shape[1]}x{ref.shape[0]} — missing EXP?"
+                )
+            ref = (r + plane) & 0xFFFF
+        else:
+            ref = plane
+        comps, lplanes = [], None
+
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            break
+        (seglen,) = _struct.unpack(">H", payload[pos + 2:pos + 4])
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xDE:  # DHP — image-level dims (SOF syntax)
+            if W is not None:
+                raise ValueError("hierarchical JPEG with more than one DHP")
+            img_precision = seg[0]
+            H = int.from_bytes(seg[1:3], "big")
+            W = int.from_bytes(seg[3:5], "big")
+            if seg[5] != 1:
+                raise NotImplementedError(
+                    f"hierarchical JPEG with {seg[5]} components: the "
+                    "grayscale pyramid decodes here; multi-component "
+                    "pyramids add per-component EXP bookkeeping this "
+                    "environment has no real payloads to pin against"
+                )
+        elif marker == 0xDF:  # EXP — expand the reference
+            finalize_frame()
+            if ref is None:
+                raise ValueError("EXP before any reference frame")
+            eh, ev = seg[0] >> 4, seg[0] & 15
+            if eh not in (0, 1) or ev not in (0, 1):
+                raise ValueError(f"EXP expansion {eh}/{ev} (0 or 1 defined)")
+            ref = _exp_upsample(ref, eh, ev)
+        elif marker == 0xDB:
+            _parse_dqt(seg, qt)
+        elif marker == 0xC4:
+            _parse_dht(seg, huff)
+        elif marker == 0xDD:
+            restart = int.from_bytes(seg[0:2], "big")
+        elif marker in (0xC3, 0xC7):  # SOF3 / SOF7 (differential) lossless
+            finalize_frame()
+            if W is None:
+                raise ValueError("hierarchical frame before DHP")
+            differential = marker == 0xC7
+            if not 2 <= seg[0] <= 16 or seg[0] != img_precision:
+                raise ValueError(
+                    f"frame precision {seg[0]} vs DHP {img_precision}"
+                )
+            frame_h = int.from_bytes(seg[1:3], "big")
+            frame_w = int.from_bytes(seg[3:5], "big")
+            if seg[5] != 1:
+                raise NotImplementedError(
+                    "multi-component hierarchical frame (grayscale pyramid only)"
+                )
+            cid, hv, tq = seg[6:9]
+            comps = [{"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}]
+            if comps[0]["h"] != 1 or comps[0]["v"] != 1:
+                raise NotImplementedError(
+                    "subsampled hierarchical frame (full-res pyramid only)"
+                )
+            lplanes = None
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6):
+            raise NotImplementedError(
+                f"hierarchical JPEG SOF{marker - 0xC0}: only the LOSSLESS "
+                "pyramid (SOF3 + differential SOF7) decodes here — "
+                "DCT-differential frames need the reference/correction "
+                "rounding rules a real payload would pin; none exists in "
+                "this environment"
+            )
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: arithmetic coding fails fast "
+                "(no independent fixture can validate the Qe table here)"
+            )
+        elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("hierarchical SOS before SOF")
+            if lplanes is None:
+                lplanes = [np.zeros((frame_h, frame_w), dtype=np.int64)]
+            ns = seg[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component hierarchical scan")
+            cs, tdta = seg[1], seg[2]
+            ss, se, ahal = seg[3], seg[4], seg[5]
+            pos = _decode_lossless_scan(
+                payload, pos + 2 + seglen, comps, huff,
+                [(0, tdta >> 4, tdta & 15)],
+                ss, ahal & 15, frame_w, frame_h, restart,
+                img_precision, lplanes, differential=differential,
+            )
+            continue
+        pos += 2 + seglen
+    finalize_frame()
+    if ref is None or W is None:
+        raise ValueError("hierarchical JPEG missing DHP/frames")
+    if ref.shape != (H, W):
+        raise ValueError(
+            f"hierarchical reconstruction {ref.shape[1]}x{ref.shape[0]} != "
+            f"DHP dims {W}x{H}"
+        )
+    raw = ref[:, :, None]
+    shift = max(0, img_precision - 8)
+    px8 = np.clip(raw >> shift if shift else raw, 0, 255).astype(np.uint8)
+    return {
+        "format": "jpeg", "width": W, "height": H,
+        "channels": 1, "pixels": px8.tobytes(),
+        "raw_planes": raw, "bits": img_precision, "hierarchical": True,
+    }
+
+
+def encode_jpeg_hierarchical(
+    width: int,
+    height: int,
+    pixels: bytes,
+    levels: int = 2,
+    precision: int = 8,
+    predictor: int = 1,
+) -> bytes:
+    """Hierarchical LOSSLESS fixture encoder (T.81 Annex J): a
+    grayscale pyramid of ``levels`` frames — the coarsest level
+    (decimated by 2^(levels-1)) as a non-differential SOF3 frame, then
+    per level an EXP(1,1) expansion and a differential SOF7 frame
+    whose corrections are (target - upsampled reference) mod 2^16,
+    coded with Ss=0.  EXACT round-trip by construction: the decoder's
+    mod-2^16 addition reproduces every target level bit-for-bit.
+    ``pixels``: uint8 for precision <= 8, little-endian uint16 above."""
+    import struct as _struct
+
+    if levels < 1:
+        raise ValueError(f"levels={levels} must be >= 1")
+    wide = precision > 8
+    need = width * height * (2 if wide else 1)
+    if len(pixels) != need:
+        raise ValueError(f"need {need} bytes, got {len(pixels)}")
+    img = np.frombuffer(bytes(pixels), dtype="<u2" if wide else np.uint8).reshape(
+        height, width
+    ).astype(np.int64)
+    if img.max() >= (1 << precision):
+        raise ValueError(f"sample exceeds {precision}-bit range")
+    pyramid = [img]
+    for _ in range(levels - 1):
+        pyramid.append(pyramid[-1][::2, ::2])
+    if pyramid[-1].shape[0] < 1 or pyramid[-1].shape[1] < 1:
+        raise ValueError(f"levels={levels} decimates {width}x{height} to nothing")
+    pyramid.reverse()  # coarsest first
+
+    def category(d_mod):
+        if d_mod == 32768:
+            return 16, 0, 0
+        d = d_mod - 65536 if d_mod > 32768 else d_mod
+        sbits = int(abs(d)).bit_length()
+        if sbits == 0:
+            return 0, 0, 0
+        v = d if d >= 0 else d + (1 << sbits) - 1
+        return sbits, v, sbits
+
+    def segment(marker, body):
+        return b"\xff" + bytes([marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    def frame_bytes(values, fh, fw, sof_marker, ss):
+        """One frame: DHT (table 0 redefined per frame) + SOF + SOS +
+        entropy over ``values`` — prediction already applied for the
+        non-differential frame (ss = predictor), raw mod-2^16
+        corrections for the differential one (ss = 0)."""
+        cats = {category(int(v))[0] for v in values.reshape(-1)}
+        (bits, vals), = _build_huffman([cats])
+        enc = {}
+        for (length, code), sym in _canonical_codes(bits, vals).items():
+            enc[sym] = (length, code)
+        sof = (bytes([precision]) + _struct.pack(">HH", fh, fw)
+               + bytes([1, 1, 0x11, 0]))
+        sos = bytes([1, 1, 0x00, ss, 0, 0])
+        bw = _BitWriter()
+        for v in values.reshape(-1):
+            s_cat, vv, nbits = category(int(v))
+            length, code = enc[s_cat]
+            bw.write(code, length)
+            if nbits:
+                bw.write(vv, nbits)
+        bw.flush()
+        return (segment(0xC4, bytes([0x00] + bits + vals))
+                + segment(sof_marker, sof) + segment(0xDA, sos) + bytes(bw.buf))
+
+    def pred_diffs(plane):
+        """Annex-H predictor walk (the encode_jpeg_lossless_planes
+        rule) over one plane -> mod-2^16 difference grid."""
+        fh, fw = plane.shape
+        default = 1 << (precision - 1)
+        out = np.empty((fh, fw), dtype=np.int64)
+        for y in range(fh):
+            for x in range(fw):
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = plane[0, x - 1]
+                elif x == 0:
+                    pred = plane[y - 1, 0]
+                else:
+                    ra, rb, rc = plane[y, x - 1], plane[y - 1, x], plane[y - 1, x - 1]
+                    pred = (
+                        ra if predictor == 1 else
+                        rb if predictor == 2 else
+                        rc if predictor == 3 else
+                        ra + rb - rc if predictor == 4 else
+                        ra + ((rb - rc) >> 1) if predictor == 5 else
+                        rb + ((ra - rc) >> 1) if predictor == 6 else
+                        (ra + rb) >> 1
+                    )
+                out[y, x] = (int(plane[y, x]) - int(pred)) & 0xFFFF
+        return out
+
+    out = bytearray(b"\xff\xd8")
+    dhp = (bytes([precision]) + _struct.pack(">HH", height, width)
+           + bytes([1, 1, 0x11, 0]))
+    out += segment(0xDE, dhp)
+    base = pyramid[0]
+    out += frame_bytes(pred_diffs(base), base.shape[0], base.shape[1],
+                       0xC3, predictor)
+    ref = base
+    for target in pyramid[1:]:
+        out += segment(0xDF, bytes([0x11]))  # EXP both dimensions
+        ref = _exp_upsample(ref, 1, 1)[: target.shape[0], : target.shape[1]]
+        corr = (target - ref) & 0xFFFF
+        out += frame_bytes(corr, target.shape[0], target.shape[1], 0xC7, 0)
+        ref = target
+    out += b"\xff\xd9"
     return bytes(out)

@@ -482,10 +482,10 @@ def cm_estimate(
 ) -> DataFrame:
     """Point-query a Count-Min sketch for every key in ``keys``:
     estimate = min over the ``depth`` rows of the landed counter
-    (a bucket the sketch never touched reads 0).  The keys frame is
-    dimension-sized by construction (someone is ASKING about these
-    keys), so its exploded (key, row, bucket) probe broadcasts into
-    the sketch join.  Returns (key_col, cm_est)."""
+    (a bucket the sketch never touched reads 0).  The SKETCH side is
+    bounded at depth*width rows by construction, so IT broadcasts
+    into the probe join (a hint on the preserved side of an outer
+    join would be silently ignored).  Returns (key_col, cm_est)."""
     if width < 2 or depth < 1:
         raise ValueError(f"width={width} (>= 2) / depth={depth} (>= 1)")
     pairs = F.array(*[
@@ -500,7 +500,7 @@ def cm_estimate(
                 F.col("__p.bucket").alias("bucket"))
     )
     return (
-        sketch.join(F.broadcast(probe), ["row", "bucket"], "right")
+        probe.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cm_est"))
     )

@@ -600,3 +600,89 @@ def test_lossless_subsampled_components():
     with pytest.raises(ValueError, match="shape"):
         encode_jpeg_lossless_planes([luma, cb, cr[:-1]],
                                     [(2, 2), (1, 1), (1, 1)], w, h)
+
+
+# ---------------------------------------------------------------------------
+# round 16b: hierarchical lossless pyramid (DHP + SOF3/SOF7, Annex J)
+# ---------------------------------------------------------------------------
+
+def test_hierarchical_lossless_roundtrip():
+    """The pyramid is LOSSLESS end to end: decimate -> EXP-upsample ->
+    mod-2^16 corrections must reproduce every byte at 1/2/3 levels,
+    odd dims, all predictor classes for the base frame, 8- and 16-bit."""
+    from nlu_data_warehouse_project_spark.operators.jpeg import (
+        encode_jpeg_hierarchical,
+    )
+
+    rng = np.random.RandomState(41)
+    a = rng.randint(0, 256, size=(13, 17), dtype=np.uint8)
+    for levels in (1, 2, 3):
+        payload = encode_jpeg_hierarchical(17, 13, a.tobytes(), levels=levels)
+        if levels > 1:
+            assert b"\xff\xde" in payload and b"\xff\xdf" in payload
+        img = decode_jpeg(payload)
+        assert img.get("hierarchical") is True
+        assert (img["width"], img["height"], img["channels"]) == (17, 13, 1)
+        assert np.array_equal(img["raw_planes"][:, :, 0], a)
+        assert img["pixels"] == a.tobytes()
+    b16 = rng.randint(0, 65536, size=(9, 8), dtype=np.uint16)
+    for pred in (2, 4, 7):
+        img = decode_jpeg(encode_jpeg_hierarchical(
+            8, 9, b16.astype("<u2").tobytes(), levels=3, precision=16,
+            predictor=pred))
+        assert np.array_equal(img["raw_planes"][:, :, 0], b16)
+
+
+def test_exp_upsample_filter_pinned():
+    """J.1.1.2 by hand: even outputs copy, odd outputs are
+    (a + b + 1) >> 1, the edge interpolates against itself."""
+    from nlu_data_warehouse_project_spark.operators.jpeg import _exp_upsample
+
+    row = np.array([[10, 20, 31]], dtype=np.int64)
+    assert _exp_upsample(row, 1, 0).tolist() == [[10, 15, 20, 26, 31, 31]]
+    col = np.array([[10], [20]], dtype=np.int64)
+    assert _exp_upsample(col, 0, 1).tolist() == [[10], [15], [20], [20]]
+    both = _exp_upsample(np.array([[4]], dtype=np.int64), 1, 1)
+    assert both.tolist() == [[4, 4], [4, 4]]
+
+
+def test_hierarchical_fail_fasts():
+    from nlu_data_warehouse_project_spark.operators.jpeg import (
+        encode_jpeg_hierarchical,
+    )
+
+    rng = np.random.RandomState(43)
+    a = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+    payload = bytearray(encode_jpeg_hierarchical(8, 8, a.tobytes(), levels=2))
+
+    # DCT-differential (SOF5) inside a hierarchical image: honest fail
+    sof7_at = payload.index(b"\xff\xc7")
+    dct = bytearray(payload)
+    dct[sof7_at + 1] = 0xC5
+    with pytest.raises(NotImplementedError, match="LOSSLESS pyramid"):
+        decode_jpeg(bytes(dct))
+
+    # a differential frame without DHP is malformed (main-loop path)
+    from nlu_data_warehouse_project_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+    plain = bytearray(encode_jpeg_lossless(8, 8, 1, a.tobytes()))
+    sof3_at = plain.index(b"\xff\xc3")
+    plain[sof3_at + 1] = 0xC7
+    with pytest.raises(NotImplementedError, match="without DHP"):
+        decode_jpeg(bytes(plain))
+
+    # differential scan must carry Ss=0
+    bad = bytearray(payload)
+    sos2_at = bad.index(b"\xff\xda", bad.index(b"\xff\xc7"))
+    assert bad[sos2_at + 7] == 0  # Ss of the differential scan
+    bad[sos2_at + 7] = 1
+    with pytest.raises(ValueError, match="requires Ss=0"):
+        decode_jpeg(bytes(bad))
+
+    # EXP before any frame establishes a reference
+    exp_first = (payload[:2]
+                 + payload[payload.index(b"\xff\xde"):payload.index(b"\xff\xc4")]
+                 + b"\xff\xdf\x00\x03\x11" + b"\xff\xd9")
+    with pytest.raises(ValueError, match="EXP before any reference"):
+        decode_jpeg(bytes(exp_first))
