@@ -212,9 +212,12 @@ EXTRAS = [
     "q367_entity_token_pairs",
     # round 16: the streamed per-key recurrences are the operator
     # defaults now (VERDICT r15 #2) — give the streamed plan a
-    # measured extras row (EWMA smoother + first-fit packing)
+    # measured extras row (EWMA smoother + first-fit packing) — plus
+    # the Count-Min probe and the winnowing passage-overlap join
     "q341_ewma_by_nation",
     "q343_sequence_packing",
+    "q372_cm_sketch_part_freq",
+    "q373_winnow_overlap_pairs",
 ]
 
 GROUPS = {"legacy19": LEGACY19, "heavy": HEAVY_HEADLINE, "extras": EXTRAS}

@@ -1,0 +1,159 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03
+— public; the MOSS plagiarism-detector algorithm).
+
+A fourth near-dup family next to MinHash (set resemblance), SimHash
+(weighted cosine) and n-gram containment: winnowing selects a
+POSITION-AWARE fingerprint subset with a formal guarantee — every
+window of ``w`` consecutive k-gram hashes contributes at least one
+selected hash, so any substring shared between two documents of
+length >= w + k - 1 yields a shared selected fingerprint.  That makes
+it the right primitive for PLAGIARISM/quote detection (the match is a
+contiguous passage, not a bag of shingles) and for locating WHERE the
+overlap is (fingerprints carry positions).
+
+Selection (robust winnowing): per window keep the MINIMUM hash,
+ties broken toward the RIGHTMOST position.  Spelled directly as a
+windowed argmin over a packed (hash, reversed-position) key —
+``min(h * 2^23 + (2^23 - 1 - pos))`` over ``ROWS BETWEEN CURRENT ROW
+AND w-1 FOLLOWING`` — which DuckDB runs verbatim, so the fingerprint
+set (and everything computed from it) is hash-gateable cross-engine:
+the KMV discipline applied to local fingerprinting.  The k-gram hash
+is the shared md5 recipe truncated to 40 bits (10 hex chars) so the
+packed key fits a BIGINT with 23 position bits (documents up to ~8.3M
+grams; validated); 40-bit fingerprint collisions are immaterial
+because the pairing join verifies on the gram CONTENT.
+
+Scale shape: one posexplode to n-k+1 grams per doc (the tokenize cost
+every text operator pays), one per-doc bounded window pass, and the
+selected frame is a ~2/(w+1) fraction of the grams.  Candidate
+pairing is a hash equi-join on (fingerprint, gram) — never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_POS_BITS = 23  # packed-key position field; docs up to 2^23-1 grams
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(id, pos, fingerprint, gram) — robust-winnowing selection over
+    character k-gram hashes of ``text_col``.
+
+    GUARANTEE (SIGMOD'03): each of the n-w+1 full windows selects its
+    rightmost-minimal hash, so every w consecutive grams contribute a
+    fingerprint and two documents sharing a substring of length
+    >= w + k - 1 share one.  Documents shorter than w grams (but
+    >= k chars) degenerate to one window over all their grams.
+
+    One windowed argmin per gram row: pack (hash, reversed pos) into
+    a BIGINT so ``min`` alone picks min-hash-then-rightmost; distinct
+    the per-window winners.  No self-join, no whole-doc sort beyond
+    the per-document partition."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k={k} (>= 1) / w={w} (>= 1)")
+    pos_cap = (1 << _POS_BITS) - 1
+    grams = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .filter(F.col("__t").isNotNull() & (F.length("__t") >= k))
+        .select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length(__t) - {k} + 1), "
+                    f"i -> substring(__t, i, {k}))"
+                )
+            ).alias("pos", "__g"),
+        )
+        .withColumn(
+            "__h",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"wn{k}:"), F.col("__g"))), 1, 10),
+                16, 10,
+            ).cast("long"),
+        )
+    )
+    frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    doc = Window.partitionBy("id")
+    # loud guard instead of silent key corruption past the pos field
+    guarded_pos = F.when(
+        F.col("pos") > pos_cap,
+        F.expr(f"raise_error('winnowing: document exceeds 2^{_POS_BITS} grams')"),
+    ).otherwise(F.col("pos"))
+    key = F.col("__h") * (1 << _POS_BITS) + (pos_cap - guarded_pos)
+    picked = (
+        grams
+        .withColumn("__n", F.count(F.lit(1)).over(doc))
+        .withColumn("__win", F.min(key).over(frame))
+        # full windows only (start pos <= n-w); a doc shorter than w
+        # grams keeps its single clipped window at pos 0
+        .filter(F.col("pos") <= F.greatest(F.col("__n") - w, F.lit(0)))
+        .select(
+            "id",
+            (F.lit(pos_cap) - F.col("__win") % (1 << _POS_BITS)).alias("pos"),
+            # integer div, NOT `/`: long / long is a DOUBLE in Spark
+            # and 63-bit keys lose their low bits in a 53-bit mantissa
+            F.expr(f"__win div {1 << _POS_BITS}").cast("long")
+            .alias("fingerprint"),
+        )
+        .distinct()
+    )
+    # join the gram text back for collision-proof downstream verifies
+    return picked.join(
+        grams.select("id", "pos", F.col("__g").alias("gram")), ["id", "pos"]
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Unordered document pairs sharing >= ``min_shared`` winnowed
+    fingerprints WITH matching gram content (the equi-join verifies on
+    the gram itself, so a 40-bit hash collision can never mint a
+    pair).  Returns (a_id, b_id, n_shared) — the MOSS-style passage-
+    overlap report; by the winnowing guarantee any pair sharing a
+    passage of length >= w + k - 1 appears at min_shared=1.
+
+    Shape: equi-join on (fingerprint, gram); bucket sizes are per-gram
+    document frequency — boilerplate grams shared corpus-wide explode
+    ANY local-fingerprint scheme, so ``max_df`` applies the standard
+    stopword cap: fingerprints selected in more than ``max_df``
+    documents are dropped BEFORE pairing (MOSS does exactly this with
+    its shared-threshold `-m` flag).  The guarantee then reads: any
+    pair sharing a NON-boilerplate passage of length >= w + k - 1
+    appears at min_shared=1."""
+    fp = (
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+        .select("id", "fingerprint", "gram")
+        .distinct()
+    )
+    if max_df is not None:
+        rare = (
+            fp.groupBy("fingerprint", "gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fingerprint", "gram")
+        )
+        fp = fp.join(rare, ["fingerprint", "gram"], "left_semi")
+    right = fp.select(F.col("id").alias("__id_r"), "fingerprint", "gram")
+    return (
+        fp.join(right, ["fingerprint", "gram"])
+        .filter(F.col("id") < F.col("__id_r"))
+        .groupBy(F.col("id").alias("a_id"), F.col("__id_r").alias("b_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -21550,3 +21550,127 @@ FROM est e JOIN exact x ON e.partkey = x.partkey
 
 QUERIES.update({"q372_cm_sketch_part_freq": q372_cm_sketch_part_freq})
 ORACLE_SQL.update({"q372_cm_sketch_part_freq": Q372_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints: passage-overlap pairs (q373) + density (q374)
+# ---------------------------------------------------------------------------
+
+def q373_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style passage overlap (`winnow.winnow_overlap_pairs`,
+    Schleimer et al. SIGMOD'03): document pairs sharing >= 2 winnowed
+    k=8/w=4 fingerprints with matching gram CONTENT — the local-
+    fingerprint near-dup family (contiguous shared passages, with
+    positions) next to MinHash/SimHash/containment's bag models.  The
+    windowed argmin selection is one packed-BIGINT min both engines
+    run verbatim, so the fingerprint set — hence the pair set — is
+    hash-gated, not recall-gated."""
+    from .operators.winnow import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_overlap_pairs(docs, "text", "doc_id", k=8, w=4,
+                                min_shared=3, max_df=10)
+
+
+Q373_SQL = """
+WITH posd AS (
+  SELECT doc_id AS id, text, unnest(generate_series(1, length(text) - 7)) AS i
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 8
+), g AS (
+  SELECT id, i - 1 AS pos, substring(text, i, 8) AS gram,
+         ('0x' || substring(md5('wn8:' || substring(text, i, 8)), 1, 10))::BIGINT AS h
+  FROM posd
+), keyed AS (
+  SELECT id, pos, h, count(*) OVER (PARTITION BY id) AS n,
+         min(h * 8388608 + (8388607 - pos)) OVER (
+           PARTITION BY id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win
+  FROM g
+), sel AS (
+  SELECT DISTINCT id, 8388607 - (win % 8388608) AS pos, win // 8388608 AS fp
+  FROM keyed WHERE pos <= greatest(n - 4, 0)
+), fpf0 AS (
+  SELECT DISTINCT s.id, s.fp, g.gram
+  FROM sel s JOIN g ON g.id = s.id AND g.pos = s.pos
+), rare AS (
+  SELECT fp, gram FROM fpf0 GROUP BY 1, 2 HAVING count(*) <= 10
+), fpf AS (
+  SELECT f.* FROM fpf0 f JOIN rare r ON f.fp = r.fp AND f.gram = r.gram
+)
+SELECT a.id AS a_id, b.id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.gram = b.gram AND a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+def q374_winnow_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint DENSITY per source — selected/grams,
+    which the SIGMOD'03 analysis puts at ~2/(w+1) for random hashes
+    (0.4 at w=4): the storage-planning number for a fingerprint index,
+    here measured on the real corpus and hash-gated (ratio in
+    DECIMAL(25,6) via the `_dec` discipline so both engines round
+    identically)."""
+    from .operators.winnow import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    fp = winnow_fingerprints(docs, "text", "doc_id", k=8, w=4)
+    per_doc_fp = fp.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("__nf"))
+    grams = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") >= 8)
+    ).select(
+        "source", F.col("doc_id").alias("id"),
+        (F.length("text") - F.lit(7)).cast("long").alias("__ng"),
+    )
+    return (
+        grams.join(per_doc_fp, "id")
+        .groupBy("source")
+        .agg(
+            F.sum("__ng").cast("long").alias("n_grams"),
+            F.sum("__nf").cast("long").alias("n_fingerprints"),
+            (F.sum("__nf").cast("decimal(25,6)")
+             / F.sum("__ng").cast("decimal(25,6)"))
+            .cast("decimal(25,6)").alias("density"),
+        )
+    )
+
+
+Q374_SQL = """
+WITH posd AS (
+  SELECT doc_id AS id, text, unnest(generate_series(1, length(text) - 7)) AS i
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 8
+), g AS (
+  SELECT id, i - 1 AS pos,
+         ('0x' || substring(md5('wn8:' || substring(text, i, 8)), 1, 10))::BIGINT AS h
+  FROM posd
+), keyed AS (
+  SELECT id, pos, count(*) OVER (PARTITION BY id) AS n,
+         min(h * 8388608 + (8388607 - pos)) OVER (
+           PARTITION BY id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win
+  FROM g
+), sel AS (
+  SELECT DISTINCT id, 8388607 - (win % 8388608) AS pos
+  FROM keyed WHERE pos <= greatest(n - 4, 0)
+), per_doc AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS nf FROM sel GROUP BY id
+)
+SELECT d.source,
+       CAST(sum(length(d.text) - 7) AS BIGINT) AS n_grams,
+       CAST(sum(p.nf) AS BIGINT) AS n_fingerprints,
+       CAST(CAST(sum(p.nf) AS DECIMAL(25,6))
+            / CAST(sum(length(d.text) - 7) AS DECIMAL(25,6))
+            AS DECIMAL(25,6)) AS density
+FROM documents d JOIN per_doc p ON p.id = d.doc_id
+WHERE d.text IS NOT NULL AND length(d.text) >= 8
+GROUP BY 1
+"""
+
+QUERIES.update({
+    "q373_winnow_overlap_pairs": q373_winnow_overlap_pairs,
+    "q374_winnow_density": q374_winnow_density,
+})
+ORACLE_SQL.update({
+    "q373_winnow_overlap_pairs": Q373_SQL,
+    "q374_winnow_density": Q374_SQL,
+})

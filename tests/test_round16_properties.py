@@ -206,3 +206,71 @@ def test_cm_sketch_merge_linearity_and_bound(spark, vals):
     for k, n in truth.items():
         assert est[k] >= n
     assert est[999] >= 0  # absent key may still collide, never negative
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    a=st.text(alphabet="abcd", min_size=0, max_size=40),
+    b=st.text(alphabet="abcd", min_size=0, max_size=40),
+    shared=st.text(alphabet="abcd", min_size=8, max_size=20),
+)
+def test_winnowing_guarantee(spark, a, b, shared):
+    """SIGMOD'03: two documents sharing a substring of length >=
+    w + k - 1 (here 4 + 5 - 1 = 8) share at least one selected
+    fingerprint with identical gram content — for ANY surrounding
+    context, including tie-heavy 4-letter alphabets."""
+    from nlu_data_warehouse_project_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, a + shared + b), (2, b + shared + a)], "doc_id long, text string"
+    )
+    fp = winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
+    rows = fp.collect()
+    g1 = {(r["fingerprint"], r["gram"]) for r in rows if r["id"] == 1}
+    g2 = {(r["fingerprint"], r["gram"]) for r in rows if r["id"] == 2}
+    assert g1 & g2, (a, shared, b)
+
+
+def test_winnowing_selection_matches_reference(spark):
+    """The windowed packed-key argmin reproduces a direct pure-Python
+    robust-winnowing walk (per window: min hash, rightmost tie) on a
+    fixed tie-rich string, position for position."""
+    import hashlib
+
+    from nlu_data_warehouse_project_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    text, k, w = "abababracadabraabab", 3, 4
+    grams = [text[i:i + k] for i in range(len(text) - k + 1)]
+    hs = [
+        int(hashlib.md5(f"wn{k}:{g}".encode()).hexdigest()[:10], 16)
+        for g in grams
+    ]
+    want = set()
+    for j in range(len(hs) - w + 1):
+        window = hs[j:j + w]
+        m = min(window)
+        # rightmost occurrence of the minimum
+        sel = j + max(i for i, v in enumerate(window) if v == m)
+        want.add((sel, hs[sel]))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        (r["pos"], r["fingerprint"])
+        for r in winnow_fingerprints(docs, "text", "doc_id", k=k, w=w).collect()
+    }
+    assert got == want
+
+    # short-doc convention: fewer than w grams -> single clipped window
+    tiny = spark.createDataFrame([(1, "abcde")], "doc_id long, text string")
+    got2 = winnow_fingerprints(tiny, "text", "doc_id", k=3, w=10).collect()
+    hs2 = [
+        int(hashlib.md5(f"wn3:{g}".encode()).hexdigest()[:10], 16)
+        for g in ("abc", "bcd", "cde")
+    ]
+    m = min(hs2)
+    assert {(r["pos"], r["fingerprint"]) for r in got2} == {
+        (max(i for i, v in enumerate(hs2) if v == m), m)
+    }
