@@ -508,3 +508,65 @@ def projected_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round(F.col("cos"), 4).alias("cos"), "rank")
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Exact top-k HARD NEGATIVES per query: the nearest corpus
+    vectors whose ``label_col`` DIFFERS from the query's — the
+    contrastive-training mining primitive (a hard negative is close in
+    embedding space but wrong in label space; random negatives are too
+    easy to teach anything).  Same plan shape as ``cosine_topk``
+    (broadcast query side, one corpus scan, per-query window) with the
+    label-mismatch predicate applied BEFORE the window, so the top-k
+    ranks over negatives only.  Returns (query_id, query_label,
+    neighbor_id, neighbor_label, cos, rank)."""
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"hard_negatives with > max_queries={max_queries} query vectors: "
+            "the brute-force path scores |Q| x |corpus| pairs — bucket the "
+            "corpus first (lsh_cosine_topk) and post-filter labels, or "
+            "raise max_queries if the scan is intentional"
+        )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("query_label"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("query_label") != F.col("neighbor_label"))
+        )
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            cosine("__qv", "__cv").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            F.round(F.col("cos"), 4).alias("cos"), "rank",
+        )
+    )

@@ -21674,3 +21674,108 @@ ORACLE_SQL.update({
     "q373_winnow_overlap_pairs": Q373_SQL,
     "q374_winnow_density": Q374_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (q375) + training-mixture sampling plan (q376)
+# ---------------------------------------------------------------------------
+
+def q375_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives
+    (`similarity.hard_negatives`): for 8 query vectors, the 5 nearest
+    corpus vectors whose LABEL differs — close in embedding space,
+    wrong in label space, the pairs that actually move a contrastive
+    loss.  Exact brute-force over the broadcast query side (the q18
+    baseline shape with the label-mismatch predicate before the
+    window); the bucketed ANN paths post-filter labels the same way
+    at scale."""
+    from .operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb.filter(F.col("vec_id") < 8), emb, k=5)
+
+
+Q375_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         list_dot_product(q.embedding, c.embedding)
+           / (sqrt(list_dot_product(q.embedding, q.embedding))
+              * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos_raw
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id AND q.label <> c.label
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       round(cos_raw, 4) AS cos, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q376_mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-MIXTURE sampling plan: given a token budget and UNIFORM
+    target weights over sources, compute each source's sampling rate,
+    expected token yield, and oversample epochs — the data-recipe
+    arithmetic (LLaMA-style mixture tables) as one grouped pass +
+    broadcast totals.  rate = budget/(n_sources*tokens) capped at 1;
+    under-weight sources report the epochs (ceil of the uncapped rate)
+    needed to hit their allocation by repetition.  All DECIMAL(25,6)
+    arithmetic (the `_dec` discipline), so both engines round
+    identically; token count = whitespace split size (q25's
+    tokenizer)."""
+    budget = 200_000
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("__tok")
+    )
+    per = docs.groupBy("source").agg(F.sum("__tok").cast("long").alias("n_tokens"))
+    tot = per.agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
+    alloc = (F.lit(budget).cast("decimal(25,6)")
+             / F.col("n_sources").cast("decimal(25,6)"))
+    raw_rate = (alloc / F.col("n_tokens").cast("decimal(25,6)")).cast("decimal(25,6)")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_tokens",
+            F.least(raw_rate, F.lit(1).cast("decimal(25,6)"))
+            .cast("decimal(25,6)").alias("sample_rate"),
+            F.floor(
+                F.col("n_tokens").cast("decimal(25,6)")
+                * F.least(raw_rate, F.lit(1).cast("decimal(25,6)"))
+            ).cast("long").alias("expected_tokens"),
+            F.ceil(raw_rate).cast("long").alias("epochs_needed"),
+        )
+    )
+
+
+Q376_SQL = """
+WITH per AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sources FROM per
+), planned AS (
+  SELECT source, n_tokens,
+         CAST(CAST(200000 AS DECIMAL(25,6)) / CAST(n_sources AS DECIMAL(25,6))
+              / CAST(n_tokens AS DECIMAL(25,6)) AS DECIMAL(25,6)) AS raw_rate
+  FROM per, tot
+)
+SELECT source, n_tokens,
+       CAST(least(raw_rate, CAST(1 AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS sample_rate,
+       CAST(floor(CAST(n_tokens AS DECIMAL(25,6))
+                  * least(raw_rate, CAST(1 AS DECIMAL(25,6)))) AS BIGINT)
+         AS expected_tokens,
+       CAST(ceil(raw_rate) AS BIGINT) AS epochs_needed
+FROM planned
+"""
+
+QUERIES.update({
+    "q375_hard_negatives": q375_hard_negatives,
+    "q376_mixture_sampling_plan": q376_mixture_sampling_plan,
+})
+ORACLE_SQL.update({
+    "q375_hard_negatives": Q375_SQL,
+    "q376_mixture_sampling_plan": Q376_SQL,
+})
