@@ -916,3 +916,45 @@ def make_golden_record_processor(
             )
 
     return process
+
+
+def make_cm_sketch_processor(
+    sketches,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+    group_col: str | None = None,
+):
+    """foreachBatch body maintaining Count-Min frequency sketches in
+    the ``sketches`` TxTable — streaming frequency estimation with
+    depth*width BOUNDED state per group and no per-key state store,
+    because CM counters are LINEAR: merge(batch sketch, stored sketch)
+    = the sketch of everything ever seen, exactly (`operators.
+    sketches.cm_merge`).  The estimate after any number of
+    micro-batches is BIT-IDENTICAL to a batch ``cm_sketch`` over the
+    union of all batches — the KMV-sidecar equivalence applied to
+    frequencies.  Replay-safe via the shared batch-id guard; each
+    commit snapshots the (group?, row, bucket, cnt) table, bounded
+    regardless of stream length."""
+    from ..operators.sketches import cm_merge, cm_sketch
+
+    gcols = [group_col] if group_col else []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if _replayed_batch(sketches, batch_id):
+            return
+        batch_sk = cm_sketch(batch_df, value_col, width=width, depth=depth,
+                             group_by=gcols)
+        if sketches.exists() and sketches.manifest() is not None:
+            merged = cm_merge(
+                batch_sk.unionByName(sketches.read()), group_by=gcols
+            )
+        else:
+            merged = batch_sk
+        rows = merged.collect()  # bounded: depth*width per group
+        sketches.commit_snapshot(
+            batch_df.sparkSession.createDataFrame(rows, merged.schema),
+            run_id=f"cm{batch_id}", extra={"last_batch_id": batch_id},
+        )
+
+    return process

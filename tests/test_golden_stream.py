@@ -68,3 +68,38 @@ def test_replay_and_fresh_checkpoint_guard(spark, tmp_path):
     # a fresh checkpoint pointed at the standing tables is loud
     with pytest.raises(ValueError, match="fresh checkpoint"):
         process(spark.createDataFrame(BATCHES[0], SCHEMA), 0)
+
+
+def test_cm_sketch_sidecar_equals_batch(spark, tmp_path):
+    """Streaming CM sidecar: after every micro-batch the stored sketch
+    equals the from-scratch batch sketch over everything ever seen
+    (counter linearity), and point estimates agree bit-for-bit."""
+    from nlu_data_warehouse_project_spark.operators.sketches import (
+        cm_estimate, cm_sketch,
+    )
+    from nlu_data_warehouse_project_spark.streaming import make_cm_sketch_processor
+
+    sk = TxTable(spark, str(tmp_path / "cm"))
+    process = make_cm_sketch_processor(sk, "v", width=16, depth=3)
+    batches = [[1, 1, 2, 5], [2, 2, 2, 9], [1, 9, 9, 40]]
+    seen: list = []
+    for bid, vals in enumerate(batches):
+        process(spark.createDataFrame([(v,) for v in vals], "v long"), bid)
+        seen += vals
+        stored = {(r["row"], r["bucket"]): r["cnt"] for r in sk.read().collect()}
+        scratch = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cm_sketch(
+                spark.createDataFrame([(v,) for v in seen], "v long"),
+                "v", width=16, depth=3,
+            ).collect()
+        }
+        assert stored == scratch, f"batch {bid}"
+    keys = spark.createDataFrame([(1,), (2,), (9,)], "v long")
+    est = {r["v"]: r["cm_est"]
+           for r in cm_estimate(sk.read(), keys, "v", 16, 3).collect()}
+    assert est[1] >= 3 and est[2] >= 4 and est[9] >= 3
+    # replay no-op
+    v = sk.latest_version()
+    process(spark.createDataFrame([(1,)], "v long"), 2)
+    assert sk.latest_version() == v
