@@ -157,3 +157,45 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def winnow_match_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The MOSS report itself: for every fingerprint two documents
+    share, WHERE it sits in each — (a_id, b_id, a_pos, b_pos, gram).
+    This is what winnowing buys over the bag-model families: the
+    match is localized, so a reviewer can open both documents at the
+    byte offsets and read the copied passage.  Positions are 0-based
+    gram offsets (byte offsets of the k-gram start).  Same
+    (fingerprint, gram) equi-join and ``max_df`` boilerplate cap as
+    ``winnow_overlap_pairs``."""
+    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
+        "id", "pos", "fingerprint", "gram"
+    ).distinct()
+    if max_df is not None:
+        rare = (
+            fp.select("id", "fingerprint", "gram").distinct()
+            .groupBy("fingerprint", "gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fingerprint", "gram")
+        )
+        fp = fp.join(rare, ["fingerprint", "gram"], "left_semi")
+    right = fp.select(
+        F.col("id").alias("__id_r"), F.col("pos").alias("b_pos"),
+        "fingerprint", "gram",
+    )
+    return (
+        fp.join(right, ["fingerprint", "gram"])
+        .filter(F.col("id") < F.col("__id_r"))
+        .select(
+            F.col("id").alias("a_id"), F.col("__id_r").alias("b_id"),
+            F.col("pos").alias("a_pos"), "b_pos", "gram",
+        )
+    )

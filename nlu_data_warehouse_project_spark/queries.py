@@ -21779,3 +21779,53 @@ ORACLE_SQL.update({
     "q375_hard_negatives": Q375_SQL,
     "q376_mixture_sampling_plan": Q376_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Winnowing match spans — the localized MOSS report (q377)
+# ---------------------------------------------------------------------------
+
+def q377_winnow_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`winnow.winnow_match_spans`: every shared fingerprint of every
+    overlapping pair WITH its byte offset in both documents — the
+    report a reviewer reads (open both docs at (a_pos, b_pos), see the
+    passage).  Same k=8/w=4 selection and max_df=10 boilerplate cap as
+    q373; position-for-position hash-gated."""
+    from .operators.winnow import winnow_match_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_match_spans(docs, "text", "doc_id", k=8, w=4, max_df=10)
+
+
+Q377_SQL = """
+WITH posd AS (
+  SELECT doc_id AS id, text, unnest(generate_series(1, length(text) - 7)) AS i
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 8
+), g AS (
+  SELECT id, i - 1 AS pos, substring(text, i, 8) AS gram,
+         ('0x' || substring(md5('wn8:' || substring(text, i, 8)), 1, 10))::BIGINT AS h
+  FROM posd
+), keyed AS (
+  SELECT id, pos, h, count(*) OVER (PARTITION BY id) AS n,
+         min(h * 8388608 + (8388607 - pos)) OVER (
+           PARTITION BY id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win
+  FROM g
+), sel AS (
+  SELECT DISTINCT id, 8388607 - (win % 8388608) AS pos, win // 8388608 AS fp
+  FROM keyed WHERE pos <= greatest(n - 4, 0)
+), fpf0 AS (
+  SELECT DISTINCT s.id, s.pos, s.fp, g.gram
+  FROM sel s JOIN g ON g.id = s.id AND g.pos = s.pos
+), rare AS (
+  SELECT fp, gram FROM (SELECT DISTINCT id, fp, gram FROM fpf0)
+  GROUP BY 1, 2 HAVING count(*) <= 10
+), fpf AS (
+  SELECT f.* FROM fpf0 f JOIN rare r ON f.fp = r.fp AND f.gram = r.gram
+)
+SELECT a.id AS a_id, b.id AS b_id, a.pos AS a_pos, b.pos AS b_pos, a.gram
+FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.gram = b.gram AND a.id < b.id
+"""
+
+QUERIES.update({"q377_winnow_match_spans": q377_winnow_match_spans})
+ORACLE_SQL.update({"q377_winnow_match_spans": Q377_SQL})
