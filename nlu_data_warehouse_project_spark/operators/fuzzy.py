@@ -308,6 +308,7 @@ def token_blocked_pairs_bipartite(
     id_col: str,
     threshold: float = 0.5,
     token_pattern: str = r"\s+",
+    old_index: tuple | None = None,
 ) -> DataFrame:
     """``token_blocked_pairs`` between TWO corpora: every (new, old)
     pair with token-set Jaccard >= ``threshold``, never pairing old
@@ -347,13 +348,17 @@ def token_blocked_pairs_bipartite(
             .withColumn(f"__n{tag}", F.size(f"__toks{tag}"))
         )
 
-    new_b, old_b = prep(new_df, ""), prep(old_df, "_r")
-    freq = (
-        new_b.select(F.explode("__toks").alias("__t"))
-        .unionByName(old_b.select(F.explode("__toks_r").alias("__t")))
-        .groupBy("__t")
-        .agg(F.count(F.lit(1)).alias("__df"))
-    )
+    new_b = prep(new_df, "")
+    if old_index is not None:
+        freq, old_prefix = old_index
+    else:
+        old_b = prep(old_df, "_r")
+        freq = (
+            new_b.select(F.explode("__toks").alias("__t"))
+            .unionByName(old_b.select(F.explode("__toks_r").alias("__t")))
+            .groupBy("__t")
+            .agg(F.count(F.lit(1)).alias("__df"))
+        )
     from pyspark.sql import Window
 
     def prefix(df: DataFrame, tag: str) -> DataFrame:
@@ -361,8 +366,12 @@ def token_blocked_pairs_bipartite(
         rn = F.row_number().over(
             Window.partitionBy(f"__id{tag}").orderBy("__df", "__t")
         )
+        # left join + df 0 for tokens outside the (frozen) vocabulary:
+        # unseen-in-index tokens rank rarest, which is both a valid
+        # total order (ties by token) and the right candidate shape
         return (
-            toks.join(freq, "__t")
+            toks.join(freq, "__t", "left")
+            .withColumn("__df", F.coalesce("__df", F.lit(0)))
             .withColumn("__rn", rn)
             .filter(
                 F.col("__rn")
@@ -374,9 +383,10 @@ def token_blocked_pairs_bipartite(
         )
 
     parts = _fanout_partitions(new_df)
+    right_keys = old_prefix if old_index is not None else prefix(old_b, "_r")
     cand = (
         prefix(new_b, "").repartition(parts, "__t")
-        .join(prefix(old_b, "_r"), "__t")
+        .join(right_keys, "__t")
         .filter(
             (F.col("__n_r") * F.lit(threshold) <= F.col("__n"))
             & (F.col("__n") * F.lit(threshold) <= F.col("__n_r"))
@@ -407,6 +417,7 @@ def golden_records_incremental(
     threshold: float = 0.5,
     max_iters: int = 25,
     reliable: bool | None = None,
+    old_index: tuple | None = None,
 ) -> DataFrame:
     """Incremental golden-record maintenance (VERDICT r15 #4): fold a
     NEW batch into standing entity clusters WITHOUT re-running the
@@ -438,7 +449,8 @@ def golden_records_incremental(
 
     nn = token_blocked_pairs(new_docs, name_col, id_col, threshold)
     no = token_blocked_pairs_bipartite(
-        new_docs, old_docs, name_col, id_col, threshold
+        new_docs, old_docs, name_col, id_col, threshold,
+        old_index=old_index,
     )
     star = (
         old_labels.filter(F.col("node") != F.col("cluster_id"))
@@ -452,3 +464,58 @@ def golden_records_incremental(
     )
     return neardup_clusters(edges, id_a="a_id", id_b="b_id",
                             max_iters=max_iters, reliable=reliable)
+
+
+def build_token_prefix_index(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    token_pattern: str = r"\s+",
+) -> tuple:
+    """The standing corpus's PROBE INDEX for incremental ER: a frozen
+    token-frequency table (the shared total order every future batch
+    keys under) and the corpus's prefix keys, both ready to persist
+    (parquet / TxTable) and reuse batch after batch — the
+    ``bloomindex``/``minhashindex`` sync discipline.
+
+    Returns ``(freq, prefix)`` for ``token_blocked_pairs_bipartite``'s
+    ``old_index=``.  Appending a resolved batch to the index =
+    computing the batch's prefix keys UNDER THE SAME FROZEN freq (the
+    order must never drift mid-epoch — recall needs one shared total
+    order) and unioning them in; refresh the freq table only at epoch
+    boundaries, rebuilding prefixes with it."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold={threshold} must be in (0, 1]")
+    from pyspark.sql import Window
+
+    base = (
+        df.select(
+            F.col(id_col).alias("__id_r"),
+            F.col(name_col).alias("__name_r"),
+            F.array_distinct(
+                F.split(F.trim(F.col(name_col)), token_pattern)
+            ).alias("__toks_r"),
+        )
+        .filter(F.col("__name_r").isNotNull() & (F.size("__toks_r") > 0))
+        .withColumn("__n_r", F.size("__toks_r"))
+    )
+    freq = (
+        base.select(F.explode("__toks_r").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    toks = base.select("*", F.explode("__toks_r").alias("__t"))
+    rn = F.row_number().over(Window.partitionBy("__id_r").orderBy("__df", "__t"))
+    prefix = (
+        toks.join(freq, "__t")
+        .withColumn("__rn", rn)
+        .filter(
+            F.col("__rn")
+            <= F.col("__n_r")
+            - F.ceil(F.lit(threshold) * F.col("__n_r") - F.lit(1e-9))
+            + 1
+        )
+        .select("__id_r", "__name_r", "__n_r", "__toks_r", "__t")
+    )
+    return freq, prefix

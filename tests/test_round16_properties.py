@@ -274,3 +274,36 @@ def test_winnowing_selection_matches_reference(spark):
     assert {(r["pos"], r["fingerprint"]) for r in got2} == {
         (max(i for i, v in enumerate(hs2) if v == m), m)
     }
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(names=names_strategy)
+def test_indexed_bipartite_probe_equals_unindexed(spark, names):
+    """The persisted-index probe (frozen old-epoch token order, unseen
+    tokens ranked rarest) returns EXACTLY the unindexed probe's pairs:
+    the WWW'07 guarantee holds under any shared total order and the
+    exact Jaccard verify makes the output order-independent."""
+    from pyspark.sql import functions as F
+
+    from nlu_data_warehouse_project_spark.operators.fuzzy import (
+        build_token_prefix_index, token_blocked_pairs_bipartite,
+    )
+
+    docs = _docs(spark, names)
+    old_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    plain = {
+        frozenset((r["new_id"], r["old_id"])): r["jaccard"]
+        for r in token_blocked_pairs_bipartite(
+            new_docs, old_docs, "title", "doc_id", threshold=0.5
+        ).collect()
+    }
+    idx = build_token_prefix_index(old_docs, "title", "doc_id", threshold=0.5)
+    indexed = {
+        frozenset((r["new_id"], r["old_id"])): r["jaccard"]
+        for r in token_blocked_pairs_bipartite(
+            new_docs, old_docs, "title", "doc_id", threshold=0.5,
+            old_index=idx,
+        ).collect()
+    }
+    assert indexed == plain
