@@ -209,3 +209,54 @@ def test_sample_frames_non_avi_fails_fast(spark):
     df = spark.createDataFrame([(1, b"\x00\x00\x00\x18ftypisom....", None)], MEDIA_SCHEMA)
     with pytest.raises(Exception, match="MJPEG/AVI"):
         sample_frames(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# round 16: deterministic image resize (decode -> numpy -> lossless PNG)
+# ---------------------------------------------------------------------------
+
+def test_resize_image_array_kernels():
+    from nlu_data_warehouse_project_spark.operators.multimodal import (
+        resize_image_array,
+    )
+
+    a = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    # nearest 4->2: pixel centers (0.5,1.5)*4/2 -> src rows/cols 1,3
+    near = resize_image_array(a, 2, 2, method="nearest")
+    assert near[:, :, 0].tolist() == [[5, 7], [13, 15]]
+    # area 4->2: exact box means with integer floor
+    area = resize_image_array(a, 2, 2, method="area")
+    assert area[:, :, 0].tolist() == [[2, 4], [10, 12]]
+    # upscale via nearest replicates
+    up = resize_image_array(np.array([[[7]], [[9]]], dtype=np.uint8), 2, 4)
+    assert up[:, :, 0].tolist() == [[7, 7], [7, 7], [9, 9], [9, 9]]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="integer factors"):
+        resize_image_array(a, 3, 3, method="area")
+    with _pt.raises(ValueError, match="nearest | area"):
+        resize_image_array(a, 2, 2, method="bilinear")
+
+
+def test_resize_images_spark(spark):
+    """End-to-end: PNG and JPEG payloads resize through mapInPandas,
+    re-decode to the exact resized pixels; dirty payloads classify
+    into err instead of killing the job."""
+    from nlu_data_warehouse_project_spark.operators.jpeg import encode_jpeg
+    from nlu_data_warehouse_project_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_png, encode_png, resize_image_array, resize_images,
+    )
+
+    grad = np.fromfunction(
+        lambda y, x, c: (x * 11 + y * 7 + c * 3) % 256, (8, 12, 3)
+    ).astype(np.uint8)
+    png = encode_png(12, 8, 3, grad.tobytes())
+    jpg = encode_jpeg(12, 8, 3, grad.tobytes())
+    rows = [(1, png, None), (2, jpg, None), (3, b"not an image", None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in resize_images(df, 6, 4).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (6, 4, 3)
+    want = resize_image_array(grad, 6, 4)
+    out = decode_png(bytes(got[1]["payload"]))
+    assert out["pixels"] == want.tobytes()  # PNG path: bit-exact
+    assert got[2]["err"] is None and got[2]["width"] == 6  # JPEG decodes too
+    assert got[3]["payload"] is None and "NotImplementedError" in got[3]["err"]
