@@ -79,6 +79,14 @@ R14_BASELINE = {"legacy19": 13.292, "heavy": 14.144}
 # CALIBRATION_REF and R16_BASELINE_SCALED are pinned from the same
 # quiet r16 session, so the vs-prior ratio computed on the scaled
 # number is machine-epoch-invariant by construction.
+#
+# Known limitation: the probe runs once per session, so load that
+# shifts BETWEEN the probe and the queries inside one session over-
+# or under-corrects that session's scaled total (observed r16: a
+# slow probe in one heavy session scaled its total to 0.82x of base
+# while the raw read 1.11x).  Both raw and scaled series ride the
+# artifact, and the min-over-sessions on each bounds the error from
+# one contended session.
 # Pinned r16 from the baseline session (quiet box, load-1min ~1-3):
 # probe readings 1.615-1.857 across the four gated sessions; REF is a
 # frozen round number near the quiet envelope so scaled totals read as
