@@ -487,8 +487,6 @@ def build_token_prefix_index(
     boundaries, rebuilding prefixes with it."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold={threshold} must be in (0, 1]")
-    from pyspark.sql import Window
-
     base = (
         df.select(
             F.col(id_col).alias("__id_r"),
@@ -505,10 +503,45 @@ def build_token_prefix_index(
         .groupBy("__t")
         .agg(F.count(F.lit(1)).alias("__df"))
     )
+    return freq, token_prefix_keys(df, freq, name_col, id_col,
+                                   threshold, token_pattern)
+
+
+def token_prefix_keys(
+    df: DataFrame,
+    freq: DataFrame,
+    name_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    token_pattern: str = r"\s+",
+) -> DataFrame:
+    """Prefix keys for ``df`` under an EXISTING (frozen) token order —
+    the index-APPEND primitive: once a batch is resolved, its keys
+    (computed under the SAME freq table every prior batch used) union
+    into the standing prefix index, so the shared-total-order
+    requirement of the WWW'07 filter holds across the whole epoch.
+    Tokens outside the frozen vocabulary rank rarest (df 0, ties by
+    token).  Returns the "_r"-tagged frame ``old_index=`` expects."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold={threshold} must be in (0, 1]")
+    from pyspark.sql import Window
+
+    base = (
+        df.select(
+            F.col(id_col).alias("__id_r"),
+            F.col(name_col).alias("__name_r"),
+            F.array_distinct(
+                F.split(F.trim(F.col(name_col)), token_pattern)
+            ).alias("__toks_r"),
+        )
+        .filter(F.col("__name_r").isNotNull() & (F.size("__toks_r") > 0))
+        .withColumn("__n_r", F.size("__toks_r"))
+    )
     toks = base.select("*", F.explode("__toks_r").alias("__t"))
     rn = F.row_number().over(Window.partitionBy("__id_r").orderBy("__df", "__t"))
-    prefix = (
-        toks.join(freq, "__t")
+    return (
+        toks.join(freq, "__t", "left")
+        .withColumn("__df", F.coalesce("__df", F.lit(0)))
         .withColumn("__rn", rn)
         .filter(
             F.col("__rn")
@@ -518,4 +551,3 @@ def build_token_prefix_index(
         )
         .select("__id_r", "__name_r", "__n_r", "__toks_r", "__t")
     )
-    return freq, prefix

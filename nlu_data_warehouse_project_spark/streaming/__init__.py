@@ -859,6 +859,8 @@ def make_golden_record_processor(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_iters: int = 25,
+    freq=None,
+    prefix=None,
 ):
     """foreachBatch body maintaining a STANDING golden-record
     resolution — the streaming sidecar of q371's incremental ER
@@ -882,12 +884,29 @@ def make_golden_record_processor(
     (`token_blocked_pairs` + `neardup_clusters`) over every document
     ever ingested — the star identity composes inductively, so the
     standing corpus's blocking self-join is never re-entered, batch
-    after batch."""
-    from ..operators.fuzzy import golden_records_incremental
+    after batch.
+
+    Optional ``freq``/``prefix`` TxTables turn on the PERSISTED-INDEX
+    probe (the A/B-measured faster path): the first batch freezes the
+    epoch's token-frequency order into ``freq``; every batch probes
+    the standing ``prefix`` keys instead of re-keying the standing
+    corpus, then APPENDS its own keys computed under the frozen order
+    (``fuzzy.token_prefix_keys`` — the shared-total-order requirement
+    holds across the epoch by construction).  All four tables carry
+    the batch-id guard, committed in dependency-safe order: labels,
+    prefix, docs, freq-once."""
+    from ..operators.fuzzy import golden_records_incremental, token_prefix_keys
+
+    if (freq is None) != (prefix is None):
+        raise ValueError("pass BOTH freq and prefix tables, or neither")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, name_col)
+        use_index = freq is not None
+        frozen = None
+        if use_index and freq.exists() and freq.manifest() is not None:
+            frozen = freq.read()
         if not _replayed_batch(labels, batch_id):
             if docs.exists() and docs.manifest() is not None:
                 old_docs = docs.read().select(id_col, name_col)
@@ -899,9 +918,14 @@ def make_golden_record_processor(
                 old_labels = labels.read().select("node", "cluster_id")
             else:
                 old_labels = spark.createDataFrame([], "node long, cluster_id long")
+            old_index = None
+            if (use_index and frozen is not None
+                    and prefix.exists() and prefix.manifest() is not None):
+                old_index = (frozen, prefix.read())
             new_labels = golden_records_incremental(
                 old_labels, old_docs, batch, name_col, id_col,
                 threshold=threshold, max_iters=max_iters,
+                old_index=old_index,
             )
             # labels table is cluster-membership-sized; snapshot whole
             rows = new_labels.collect()
@@ -909,6 +933,32 @@ def make_golden_record_processor(
                 spark.createDataFrame(rows, new_labels.schema),
                 run_id=f"gr{batch_id}", extra={"last_batch_id": batch_id},
             )
+        if use_index:
+            if frozen is None:
+                # epoch start: THIS batch's vocabulary freezes the order
+                from ..operators.fuzzy import build_token_prefix_index
+
+                f0, _ = build_token_prefix_index(
+                    batch, name_col, id_col, threshold
+                )
+                freq.commit_snapshot(
+                    f0, run_id=f"gr{batch_id}",
+                    extra={"last_batch_id": batch_id},
+                )
+                frozen = freq.read()
+            if not _replayed_batch(prefix, batch_id):
+                keys = token_prefix_keys(
+                    batch, frozen, name_col, id_col, threshold
+                ).withColumn(
+                    # normalize containsNull (the KMV-sidecar rule):
+                    # split/array_distinct type non-null elements,
+                    # round-tripped parquet rows don't
+                    "__toks_r", F.col("__toks_r").cast("array<string>")
+                )
+                prefix.commit_append(
+                    keys, run_id=f"gr{batch_id}",
+                    extra={"last_batch_id": batch_id},
+                )
         if not _replayed_batch(docs, batch_id):
             docs.commit_append(
                 batch, run_id=f"gr{batch_id}",

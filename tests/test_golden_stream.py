@@ -103,3 +103,41 @@ def test_cm_sketch_sidecar_equals_batch(spark, tmp_path):
     v = sk.latest_version()
     process(spark.createDataFrame([(1,)], "v long"), 2)
     assert sk.latest_version() == v
+
+
+def test_indexed_sidecar_equals_batch_and_maintains_index(spark, tmp_path):
+    """With freq/prefix TxTables attached, the sidecar probes the
+    PERSISTED index (frozen first-batch token order, per-batch key
+    appends) and still equals the full-batch recompute after every
+    micro-batch — including tokens outside the frozen vocabulary
+    (batch 3's 'unrelated solo entry') and the cross-batch bridge."""
+    docs = TxTable(spark, str(tmp_path / "docs"))
+    labels = TxTable(spark, str(tmp_path / "labels"))
+    freq = TxTable(spark, str(tmp_path / "freq"))
+    prefix = TxTable(spark, str(tmp_path / "prefix"))
+    process = make_golden_record_processor(
+        docs, labels, freq=freq, prefix=prefix
+    )
+
+    seen: list = []
+    for bid, rows in enumerate(BATCHES):
+        process(spark.createDataFrame(rows, SCHEMA), bid)
+        seen += rows
+        got = {r["node"]: r["cluster_id"] for r in labels.read().collect()}
+        assert got == _batch_recompute(spark, seen), f"batch {bid}"
+    # frozen order: freq committed exactly once, at epoch start
+    assert freq.latest_version() == 1
+    # prefix index grew per batch (one append each)
+    assert prefix.latest_version() == len(BATCHES)
+    ids_in_index = {r["__id_r"] for r in prefix.read().collect()}
+    assert ids_in_index == {i for i, _t in seen}
+    # replay is a no-op on every table
+    vs = (docs.latest_version(), labels.latest_version(),
+          freq.latest_version(), prefix.latest_version())
+    process(spark.createDataFrame(BATCHES[-1], SCHEMA), len(BATCHES) - 1)
+    assert vs == (docs.latest_version(), labels.latest_version(),
+                  freq.latest_version(), prefix.latest_version())
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="BOTH freq and prefix"):
+        make_golden_record_processor(docs, labels, freq=freq)
