@@ -1575,17 +1575,19 @@ def _decode_hierarchical(payload: bytes, _struct) -> dict:
     a non-differential SOF3 frame establishes the lowest-resolution
     reference, then alternating EXP expansions and DIFFERENTIAL SOF7
     frames (Ss=0 — corrections coded directly, mod-2^16 addition onto
-    the upsampled reference) refine it to full resolution.  Grayscale
-    (one component), the shape hierarchical mode was designed for
-    (progressive-resolution transmission).  DCT hierarchical (SOF5/6
-    differential DCT) and multi-component pyramids stay explicit
-    fail-fasts; arithmetic variants (SOF13-15) fail in the shared SOF
-    dispatch."""
+    the upsampled reference) refine it to full resolution.  Any
+    component count at full per-frame resolution (h=v=1) — grayscale
+    pyramids and interleaved color alike; a frame may cover a SUBSET
+    of the DHP components (matched by id), per J's frame sequencing.
+    DCT hierarchical (SOF5/6 differential DCT) and subsampled pyramid
+    frames stay explicit fail-fasts; arithmetic variants (SOF13-15)
+    fail in the shared SOF dispatch."""
     qt: dict = {}
     huff: dict = {}
     W = H = None
     img_precision = None
-    ref = None
+    img_comp_ids: list = []
+    refs: dict = {}  # component id -> reference plane
     restart = 0
     # current-frame state
     comps: list = []
@@ -1594,24 +1596,29 @@ def _decode_hierarchical(payload: bytes, _struct) -> dict:
     lplanes = None
 
     def finalize_frame():
-        nonlocal ref, comps, lplanes
+        nonlocal comps, lplanes
         if not comps:
             return
         if lplanes is None:
             raise ValueError("hierarchical JPEG frame without a scan")
-        plane = lplanes[0]
-        if differential:
-            if ref is None:
-                raise ValueError("differential frame before any reference")
-            r = ref[:frame_h, :frame_w]
-            if r.shape != (frame_h, frame_w):
-                raise ValueError(
-                    f"differential frame {frame_w}x{frame_h} exceeds the "
-                    f"reference {ref.shape[1]}x{ref.shape[0]} — missing EXP?"
-                )
-            ref = (r + plane) & 0xFFFF
-        else:
-            ref = plane
+        for ci, comp in enumerate(comps):
+            plane = lplanes[ci]
+            cid = comp["id"]
+            if differential:
+                if cid not in refs:
+                    raise ValueError(
+                        f"differential frame for component {cid} before "
+                        "any reference"
+                    )
+                r = refs[cid][:frame_h, :frame_w]
+                if r.shape != (frame_h, frame_w):
+                    raise ValueError(
+                        f"differential frame {frame_w}x{frame_h} exceeds the "
+                        f"reference {r.shape[1]}x{r.shape[0]} — missing EXP?"
+                    )
+                refs[cid] = (r + plane) & 0xFFFF
+            else:
+                refs[cid] = plane
         comps, lplanes = [], None
 
     pos = 2
@@ -1637,21 +1644,17 @@ def _decode_hierarchical(payload: bytes, _struct) -> dict:
             img_precision = seg[0]
             H = int.from_bytes(seg[1:3], "big")
             W = int.from_bytes(seg[3:5], "big")
-            if seg[5] != 1:
-                raise NotImplementedError(
-                    f"hierarchical JPEG with {seg[5]} components: the "
-                    "grayscale pyramid decodes here; multi-component "
-                    "pyramids add per-component EXP bookkeeping this "
-                    "environment has no real payloads to pin against"
-                )
-        elif marker == 0xDF:  # EXP — expand the reference
+            for c in range(seg[5]):
+                img_comp_ids.append(seg[6 + c * 3])
+        elif marker == 0xDF:  # EXP — expand every reference component
             finalize_frame()
-            if ref is None:
+            if not refs:
                 raise ValueError("EXP before any reference frame")
             eh, ev = seg[0] >> 4, seg[0] & 15
             if eh not in (0, 1) or ev not in (0, 1):
                 raise ValueError(f"EXP expansion {eh}/{ev} (0 or 1 defined)")
-            ref = _exp_upsample(ref, eh, ev)
+            for cid in list(refs):
+                refs[cid] = _exp_upsample(refs[cid], eh, ev)
         elif marker == 0xDB:
             _parse_dqt(seg, qt)
         elif marker == 0xC4:
@@ -1669,16 +1672,18 @@ def _decode_hierarchical(payload: bytes, _struct) -> dict:
                 )
             frame_h = int.from_bytes(seg[1:3], "big")
             frame_w = int.from_bytes(seg[3:5], "big")
-            if seg[5] != 1:
-                raise NotImplementedError(
-                    "multi-component hierarchical frame (grayscale pyramid only)"
-                )
-            cid, hv, tq = seg[6:9]
-            comps = [{"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}]
-            if comps[0]["h"] != 1 or comps[0]["v"] != 1:
-                raise NotImplementedError(
-                    "subsampled hierarchical frame (full-res pyramid only)"
-                )
+            comps = []
+            for c in range(seg[5]):
+                cid, hv, tq = seg[6 + c * 3:9 + c * 3]
+                if cid not in img_comp_ids:
+                    raise ValueError(
+                        f"hierarchical frame component {cid} not declared in DHP"
+                    )
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+                if comps[-1]["h"] != 1 or comps[-1]["v"] != 1:
+                    raise NotImplementedError(
+                        "subsampled hierarchical frame (full-res pyramid only)"
+                    )
             lplanes = None
         elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6):
             raise NotImplementedError(
@@ -1697,34 +1702,43 @@ def _decode_hierarchical(payload: bytes, _struct) -> dict:
             if not comps:
                 raise ValueError("hierarchical SOS before SOF")
             if lplanes is None:
-                lplanes = [np.zeros((frame_h, frame_w), dtype=np.int64)]
+                lplanes = [
+                    np.zeros((frame_h, frame_w), dtype=np.int64) for _ in comps
+                ]
             ns = seg[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component hierarchical scan")
-            cs, tdta = seg[1], seg[2]
-            ss, se, ahal = seg[3], seg[4], seg[5]
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + c * 2:3 + c * 2]
+                idx = next(
+                    i for i, comp in enumerate(comps) if comp["id"] == cs
+                )
+                scan.append((idx, tdta >> 4, tdta & 15))
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
             pos = _decode_lossless_scan(
-                payload, pos + 2 + seglen, comps, huff,
-                [(0, tdta >> 4, tdta & 15)],
+                payload, pos + 2 + seglen, comps, huff, scan,
                 ss, ahal & 15, frame_w, frame_h, restart,
                 img_precision, lplanes, differential=differential,
             )
             continue
         pos += 2 + seglen
     finalize_frame()
-    if ref is None or W is None:
+    if not refs or W is None:
         raise ValueError("hierarchical JPEG missing DHP/frames")
-    if ref.shape != (H, W):
-        raise ValueError(
-            f"hierarchical reconstruction {ref.shape[1]}x{ref.shape[0]} != "
-            f"DHP dims {W}x{H}"
-        )
-    raw = ref[:, :, None]
+    missing = [cid for cid in img_comp_ids if cid not in refs]
+    if missing:
+        raise ValueError(f"hierarchical components never coded: {missing}")
+    for cid in img_comp_ids:
+        if refs[cid].shape != (H, W):
+            raise ValueError(
+                f"component {cid} reconstruction "
+                f"{refs[cid].shape[1]}x{refs[cid].shape[0]} != DHP dims {W}x{H}"
+            )
+    raw = np.stack([refs[cid] for cid in img_comp_ids], axis=2)
     shift = max(0, img_precision - 8)
     px8 = np.clip(raw >> shift if shift else raw, 0, 255).astype(np.uint8)
     return {
         "format": "jpeg", "width": W, "height": H,
-        "channels": 1, "pixels": px8.tobytes(),
+        "channels": len(img_comp_ids), "pixels": px8.tobytes(),
         "raw_planes": raw, "bits": img_precision, "hierarchical": True,
     }
 
@@ -1736,31 +1750,36 @@ def encode_jpeg_hierarchical(
     levels: int = 2,
     precision: int = 8,
     predictor: int = 1,
+    channels: int = 1,
 ) -> bytes:
-    """Hierarchical LOSSLESS fixture encoder (T.81 Annex J): a
-    grayscale pyramid of ``levels`` frames — the coarsest level
-    (decimated by 2^(levels-1)) as a non-differential SOF3 frame, then
-    per level an EXP(1,1) expansion and a differential SOF7 frame
-    whose corrections are (target - upsampled reference) mod 2^16,
-    coded with Ss=0.  EXACT round-trip by construction: the decoder's
-    mod-2^16 addition reproduces every target level bit-for-bit.
-    ``pixels``: uint8 for precision <= 8, little-endian uint16 above."""
+    """Hierarchical LOSSLESS fixture encoder (T.81 Annex J): a pyramid
+    of ``levels`` frames — the coarsest level (decimated by
+    2^(levels-1)) as a non-differential SOF3 frame, then per level an
+    EXP(1,1) expansion and a differential SOF7 frame whose corrections
+    are (target - upsampled reference) mod 2^16, coded with Ss=0.
+    Multi-channel images code all components interleaved in every
+    frame (full resolution, h=v=1).  EXACT round-trip by construction:
+    the decoder's mod-2^16 addition reproduces every target level
+    bit-for-bit.  ``pixels``: interleaved uint8 for precision <= 8,
+    little-endian uint16 above."""
     import struct as _struct
 
     if levels < 1:
         raise ValueError(f"levels={levels} must be >= 1")
+    if not 1 <= channels <= 4:
+        raise ValueError(f"channels={channels} (1-4)")
     wide = precision > 8
-    need = width * height * (2 if wide else 1)
+    need = width * height * channels * (2 if wide else 1)
     if len(pixels) != need:
         raise ValueError(f"need {need} bytes, got {len(pixels)}")
     img = np.frombuffer(bytes(pixels), dtype="<u2" if wide else np.uint8).reshape(
-        height, width
+        height, width, channels
     ).astype(np.int64)
     if img.max() >= (1 << precision):
         raise ValueError(f"sample exceeds {precision}-bit range")
     pyramid = [img]
     for _ in range(levels - 1):
-        pyramid.append(pyramid[-1][::2, ::2])
+        pyramid.append(pyramid[-1][::2, ::2, :])
     if pyramid[-1].shape[0] < 1 or pyramid[-1].shape[1] < 1:
         raise ValueError(f"levels={levels} decimates {width}x{height} to nothing")
     pyramid.reverse()  # coarsest first
@@ -1778,21 +1797,27 @@ def encode_jpeg_hierarchical(
     def segment(marker, body):
         return b"\xff" + bytes([marker]) + _struct.pack(">H", len(body) + 2) + body
 
-    def frame_bytes(values, fh, fw, sof_marker, ss):
+    def frame_bytes(planes_v, fh, fw, sof_marker, ss):
         """One frame: DHT (table 0 redefined per frame) + SOF + SOS +
-        entropy over ``values`` — prediction already applied for the
-        non-differential frame (ss = predictor), raw mod-2^16
-        corrections for the differential one (ss = 0)."""
-        cats = {category(int(v))[0] for v in values.reshape(-1)}
+        entropy over per-component value planes interleaved in the
+        decoder's MCU order (y, x, component) — prediction already
+        applied for the non-differential frame (ss = predictor), raw
+        mod-2^16 corrections for the differential one (ss = 0)."""
+        stacked = np.stack(planes_v, axis=2)  # (fh, fw, ch): MCU order
+        cats = {category(int(v))[0] for v in stacked.reshape(-1)}
         (bits, vals), = _build_huffman([cats])
         enc = {}
         for (length, code), sym in _canonical_codes(bits, vals).items():
             enc[sym] = (length, code)
-        sof = (bytes([precision]) + _struct.pack(">HH", fh, fw)
-               + bytes([1, 1, 0x11, 0]))
-        sos = bytes([1, 1, 0x00, ss, 0, 0])
+        sof = bytes([precision]) + _struct.pack(">HH", fh, fw) + bytes([channels])
+        for c in range(channels):
+            sof += bytes([c + 1, 0x11, 0])
+        sos = bytes([channels])
+        for c in range(channels):
+            sos += bytes([c + 1, 0x00])
+        sos += bytes([ss, 0, 0])
         bw = _BitWriter()
-        for v in values.reshape(-1):
+        for v in stacked.reshape(-1):
             s_cat, vv, nbits = category(int(v))
             length, code = enc[s_cat]
             bw.write(code, length)
@@ -1831,18 +1856,32 @@ def encode_jpeg_hierarchical(
         return out
 
     out = bytearray(b"\xff\xd8")
-    dhp = (bytes([precision]) + _struct.pack(">HH", height, width)
-           + bytes([1, 1, 0x11, 0]))
+    dhp = bytes([precision]) + _struct.pack(">HH", height, width) + bytes([channels])
+    for c in range(channels):
+        dhp += bytes([c + 1, 0x11, 0])
     out += segment(0xDE, dhp)
     base = pyramid[0]
-    out += frame_bytes(pred_diffs(base), base.shape[0], base.shape[1],
-                       0xC3, predictor)
+    out += frame_bytes(
+        [pred_diffs(base[:, :, c]) for c in range(channels)],
+        base.shape[0], base.shape[1], 0xC3, predictor,
+    )
     ref = base
     for target in pyramid[1:]:
         out += segment(0xDF, bytes([0x11]))  # EXP both dimensions
-        ref = _exp_upsample(ref, 1, 1)[: target.shape[0], : target.shape[1]]
-        corr = (target - ref) & 0xFFFF
-        out += frame_bytes(corr, target.shape[0], target.shape[1], 0xC7, 0)
+        up = np.stack(
+            [
+                _exp_upsample(ref[:, :, c], 1, 1)[
+                    : target.shape[0], : target.shape[1]
+                ]
+                for c in range(channels)
+            ],
+            axis=2,
+        )
+        corr = (target - up) & 0xFFFF
+        out += frame_bytes(
+            [corr[:, :, c] for c in range(channels)],
+            target.shape[0], target.shape[1], 0xC7, 0,
+        )
         ref = target
     out += b"\xff\xd9"
     return bytes(out)

@@ -686,3 +686,35 @@ def test_hierarchical_fail_fasts():
                  + b"\xff\xdf\x00\x03\x11" + b"\xff\xd9")
     with pytest.raises(ValueError, match="EXP before any reference"):
         decode_jpeg(bytes(exp_first))
+
+
+def test_hierarchical_multicomponent_roundtrip():
+    """Round 16b: interleaved COLOR pyramids (any 1-4 components at
+    full per-frame resolution) — exact at every level count, 8- and
+    16-bit; a frame referencing a component not declared in DHP is a
+    loud error."""
+    from nlu_data_warehouse_project_spark.operators.jpeg import (
+        encode_jpeg_hierarchical,
+    )
+
+    rng = np.random.RandomState(47)
+    c = rng.randint(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    for levels in (1, 2, 3):
+        img = decode_jpeg(encode_jpeg_hierarchical(
+            9, 11, c.tobytes(), levels=levels, channels=3, predictor=6))
+        assert img["channels"] == 3 and img.get("hierarchical") is True
+        assert np.array_equal(img["raw_planes"], c)
+        assert img["pixels"] == c.tobytes()
+    d = rng.randint(0, 65536, size=(7, 6, 2), dtype=np.uint16)
+    img = decode_jpeg(encode_jpeg_hierarchical(
+        6, 7, d.astype("<u2").tobytes(), levels=2, channels=2, precision=16))
+    assert np.array_equal(img["raw_planes"], d)
+
+    # undeclared component id: corruption, not a guess
+    payload = bytearray(encode_jpeg_hierarchical(
+        9, 11, c.tobytes(), levels=2, channels=3))
+    sof3_at = payload.index(b"\xff\xc3")
+    # first frame component id byte (SOF: len2 P h2 w2 Nf [id hv tq]*)
+    payload[sof3_at + 10] = 9
+    with pytest.raises(ValueError, match="not declared in DHP"):
+        decode_jpeg(bytes(payload))
