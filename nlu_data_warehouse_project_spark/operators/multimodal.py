@@ -515,11 +515,82 @@ def encode_png(
     )
 
 
+def decode_bmp(payload: bytes) -> dict:
+    """Decode an uncompressed BMP (BITMAPINFOHEADER, BI_RGB, 24- or
+    32-bit) — the same device-independent-bitmap layout the DIB AVI
+    frames use: bottom-up rows (negative height = top-down), BGR(A)
+    byte order, rows padded to 4 bytes.  Palettized/RLE/bitfield BMPs
+    fail fast; nothing here needs a codec library."""
+    import numpy as np
+
+    if not isinstance(payload, (bytes, bytearray)) or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("BMP header truncated")
+    (data_at,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"BMP with {hdr_size}-byte core header: BITMAPINFOHEADER+ only"
+        )
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    planes, bits = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP biCompression={compression}: only BI_RGB (uncompressed) "
+            "decodes here — RLE/bitfield payloads need a codec library"
+        )
+    if bits not in (24, 32):
+        raise NotImplementedError(
+            f"BMP biBitCount={bits}: 24/32-bit BI_RGB decode here; "
+            "palettized depths need the color-table layer"
+        )
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    bypp = bits // 8
+    stride = (w * bypp + 3) & ~3
+    need = data_at + stride * h
+    if w <= 0 or h == 0 or len(payload) < need:
+        raise ValueError(f"BMP pixel data truncated ({len(payload)} < {need})")
+    rows = np.frombuffer(
+        payload[data_at:data_at + stride * h], dtype=np.uint8
+    ).reshape(h, stride)
+    px = rows[:, : w * bypp].reshape(h, w, bypp)
+    if not top_down:
+        px = px[::-1]
+    rgb = np.ascontiguousarray(px[:, :, 2::-1])  # BGR(A) -> RGB
+    return {
+        "format": "bmp", "width": w, "height": h,
+        "channels": 3, "pixels": rgb.tobytes(),
+    }
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (bottom-up) — the fixture/
+    export twin of ``decode_bmp``; round-trips exactly."""
+    import numpy as np
+
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} bytes, got {len(pixels)}")
+    rgb = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width, 3)
+    stride = (width * 3 + 3) & ~3
+    dib = np.zeros((height, stride), dtype=np.uint8)
+    dib[:, : width * 3] = rgb[::-1, :, ::-1].reshape(height, width * 3)
+    data = dib.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(data), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return hdr + info + data
+
+
 def decode_image(payload: bytes) -> dict:
-    """Decode an image payload: PNG decodes via the stdlib path above;
+    """Decode an image payload: PNG via the stdlib path above;
     baseline, progressive, lossless AND hierarchical-lossless JPEG via
-    ``operators.jpeg`` (pure Python+numpy, no codec library);
-    arithmetic JPEG and every other format still fail fast."""
+    ``operators.jpeg``; uncompressed 24/32-bit BMP via ``decode_bmp``;
+    GIF (LZW + interlace, first frame) via ``operators.gif`` — all
+    pure Python+numpy, no codec library.  Arithmetic JPEG and every
+    other format still fail fast."""
     if isinstance(payload, (bytes, bytearray)):
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)
@@ -527,9 +598,15 @@ def decode_image(payload: bytes) -> dict:
             from .jpeg import decode_jpeg
 
             return decode_jpeg(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from .gif import decode_gif
+
+            return decode_gif(payload)
     raise NotImplementedError(
-        "only PNG and baseline JPEG decode without a codec library; "
-        "this payload is neither"
+        "only PNG, JPEG, uncompressed BMP and GIF decode without a "
+        "codec library; this payload is none of them"
     )
 
 

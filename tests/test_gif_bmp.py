@@ -1,0 +1,84 @@
+"""Round 16: GIF (real LZW, interlace, palettes) and uncompressed BMP
+decode + fixture twins — two more crawl image formats made real; both
+round-trip bit-exactly and dispatch through decode_image."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nlu_data_warehouse_project_spark.operators.gif import (
+    _lzw_decode, decode_gif, encode_gif,
+)
+from nlu_data_warehouse_project_spark.operators.multimodal import (
+    decode_bmp, decode_image, encode_bmp, parse_image_header,
+)
+
+
+def test_gif_roundtrip_palettes_and_interlace():
+    rng = np.random.RandomState(13)
+    a = (rng.randint(0, 5, size=(23, 31)) * 50).astype(np.uint8)
+    rgb = np.stack([a, 255 - a, (a * 3) % 256], axis=2).astype(np.uint8)
+    for inter in (False, True):
+        payload = encode_gif(31, 23, rgb.tobytes(), interlace=inter)
+        assert parse_image_header(payload) == ("gif", 31, 23)
+        img = decode_gif(payload)
+        assert (img["width"], img["height"], img["channels"]) == (31, 23, 3)
+        assert img["pixels"] == rgb.tobytes(), f"interlace={inter}"
+        assert decode_image(payload)["pixels"] == rgb.tobytes()
+
+
+def test_gif_lzw_growth_overflow_and_kwkwk():
+    rng = np.random.RandomState(17)
+    # 70x70 8-bit noise: ~4900 dictionary entries -> growth to 12 bits
+    # AND the overflow CLEAR + rebuild path
+    b = rng.randint(0, 256, size=(70, 70), dtype=np.uint8)
+    rgb = np.stack([b, (b * 7) % 256, (b * 13) % 256], axis=2).astype(np.uint8)
+    assert decode_gif(encode_gif(70, 70, rgb.tobytes()))["pixels"] == rgb.tobytes()
+    # a solid image is wall-to-wall KwKwK codes (code == next_code)
+    solid = np.full((9, 14, 3), 77, dtype=np.uint8)
+    assert decode_gif(encode_gif(14, 9, solid.tobytes()))["pixels"] == solid.tobytes()
+    # two colors -> 2-bit minimum code size path
+    tiny = np.zeros((4, 4, 3), dtype=np.uint8)
+    tiny[::2, ::2] = 255
+    assert decode_gif(encode_gif(4, 4, tiny.tobytes()))["pixels"] == tiny.tobytes()
+
+
+def test_gif_validation():
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG? no")
+    with pytest.raises(ValueError, match="distinct colors"):
+        rng = np.random.RandomState(19)
+        many = rng.randint(0, 256, size=(30, 30, 3), dtype=np.uint8)
+        encode_gif(30, 30, many.tobytes())
+    good = encode_gif(4, 4, np.zeros((4, 4, 3), np.uint8).tobytes())
+    with pytest.raises(ValueError):
+        decode_gif(good[:20])  # truncated mid color table / descriptor
+    # LZW stream that ends before the pixel budget
+    with pytest.raises(ValueError, match="truncated|EOI"):
+        _lzw_decode(2, b"", 16)
+
+
+def test_bmp_roundtrip_and_validation():
+    rng = np.random.RandomState(9)
+    a = rng.randint(0, 256, size=(6, 10, 3), dtype=np.uint8)  # stride pad
+    payload = encode_bmp(10, 6, a.tobytes())
+    assert parse_image_header(payload) == ("bmp", 10, 6)
+    img = decode_bmp(payload)
+    assert (img["width"], img["height"], img["channels"]) == (10, 6, 3)
+    assert img["pixels"] == a.tobytes()
+    assert decode_image(payload)["pixels"] == a.tobytes()
+    # top-down (negative height) variant
+    td = bytearray(payload)
+    import struct
+    h_at = 14 + 8
+    td[h_at:h_at + 4] = struct.pack("<i", -6)
+    flipped = decode_bmp(bytes(td))
+    assert flipped["pixels"] == a[::-1].tobytes()
+    # RLE compression fails fast; truncation is loud
+    rle = bytearray(payload)
+    rle[30:34] = struct.pack("<I", 1)
+    with pytest.raises(NotImplementedError, match="BI_RGB"):
+        decode_bmp(bytes(rle))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(payload[:60])
