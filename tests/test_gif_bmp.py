@@ -82,3 +82,27 @@ def test_bmp_roundtrip_and_validation():
         decode_bmp(bytes(rle))
     with pytest.raises(ValueError, match="truncated"):
         decode_bmp(payload[:60])
+
+
+def test_gif_bmp_feature_path_spark(spark):
+    """GIF/BMP payloads flow through attach_meta sniffing +
+    extract_features' real-pixel path with no special-casing."""
+    from nlu_data_warehouse_project_spark.operators.multimodal import (
+        MEDIA_SCHEMA, attach_meta, extract_features,
+    )
+
+    rgb = np.fromfunction(
+        lambda y, x, c: (x * 5 + y * 3 + c * 40) % 200, (8, 12, 3)
+    ).astype(np.uint8)
+    from nlu_data_warehouse_project_spark.operators.gif import encode_gif as eg
+
+    rows = [(1, eg(12, 8, rgb.tobytes()), None),
+            (2, encode_bmp(12, 8, rgb.tobytes()), None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feat = extract_features(
+        attach_meta(df, media_type="image", sniff=True),
+        use_fake_extractor=False,
+    ).collect()
+    assert len(feat) == 2
+    for r in feat:
+        assert r["feature"][0] == 12.0 and r["feature"][1] == 8.0
