@@ -119,6 +119,13 @@ def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, i
     if payload[:2] == b"BM" and len(payload) >= 26:
         w, h = struct.unpack("<ii", payload[18:26])
         return ("bmp", w, abs(h))
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: dims live in IFD tags 256/257 — a tag walk, no strip
+        # reads (the header-only cost contract)
+        from .tiff import tiff_dims
+
+        w, h = tiff_dims(bytes(payload))
+        return ("tiff", w, h)
     return (None, None, None)
 
 
@@ -588,9 +595,10 @@ def decode_image(payload: bytes) -> dict:
     """Decode an image payload: PNG via the stdlib path above;
     baseline, progressive, lossless AND hierarchical-lossless JPEG via
     ``operators.jpeg``; uncompressed 24/32-bit BMP via ``decode_bmp``;
-    GIF (LZW + interlace, first frame) via ``operators.gif`` — all
-    pure Python+numpy, no codec library.  Arithmetic JPEG and every
-    other format still fail fast."""
+    GIF (LZW + interlace, first frame) via ``operators.gif``; baseline
+    TIFF (uncompressed/PackBits strips) via ``operators.tiff`` — all
+    pure Python+numpy, no codec library.  Arithmetic JPEG, TIFF-LZW
+    and every other format still fail fast."""
     if isinstance(payload, (bytes, bytearray)):
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)
@@ -604,9 +612,13 @@ def decode_image(payload: bytes) -> dict:
             from .gif import decode_gif
 
             return decode_gif(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from .tiff import decode_tiff
+
+            return decode_tiff(payload)
     raise NotImplementedError(
-        "only PNG, JPEG, uncompressed BMP and GIF decode without a "
-        "codec library; this payload is none of them"
+        "only PNG, JPEG, uncompressed BMP, GIF and baseline TIFF "
+        "decode without a codec library; this payload is none of them"
     )
 
 

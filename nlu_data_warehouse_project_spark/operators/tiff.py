@@ -1,0 +1,288 @@
+"""Baseline TIFF decode (TIFF 6.0, the public Adobe spec) — the
+document/scan-crawl format: II/MM endianness, IFD tag walk, strip
+assembly.  Scope is BASELINE UNCOMPRESSED (compression 1) plus
+PackBits (compression 32773 — the spec's simple byte-run RLE, §9),
+8-bit grayscale and RGB(A), single plane (PlanarConfiguration 1),
+strips (the baseline layout; tiled TIFF is an extension and fails
+fast).  LZW/JPEG-in-TIFF/CCITT fail fast naming themselves — the
+LZW variant differs from GIF's (MSB-first packing, early-change) and
+deserves its own pinned implementation or none.
+
+``encode_tiff`` is the fixture/export twin (uncompressed or PackBits,
+gray/RGB, configurable rows-per-strip so multi-strip assembly is
+exercised); round-trips are exact by construction.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# baseline tag ids
+_WIDTH, _HEIGHT, _BITS, _COMPRESSION, _PHOTOMETRIC = 256, 257, 258, 259, 262
+_STRIP_OFFSETS, _SAMPLES, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
+_PLANAR = 284
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """PackBits (TIFF §9): n in 0..127 -> copy n+1 literal bytes;
+    n in -127..-1 -> repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            if i + n + 1 > len(data):
+                raise ValueError("TIFF PackBits literal run truncated")
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("TIFF PackBits repeat run truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expect:
+        raise ValueError(f"TIFF PackBits yielded {len(out)} of {expect} bytes")
+    return bytes(out[:expect])
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Per-row PackBits writer: greedy runs of >= 3 repeats, literals
+    otherwise (the spec's recommended row-at-a-time discipline)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and (n - i < 3 or not (row[i] == row[i + 1] == row[i + 2])):
+            i += 1
+            if i - lit_start == 128:
+                break
+        out += bytes([i - lit_start - 1]) + row[lit_start:i]
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """First IFD of a TIFF payload -> 8-bit samples:
+    ``{format, width, height, channels, pixels}`` (the decode_png
+    contract; RGBA keeps channels=4)."""
+    if not isinstance(payload, (bytes, bytearray)) or len(payload) < 8:
+        raise ValueError("not a TIFF payload")
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload (no II*/MM* magic)")
+    (ifd_at,) = struct.unpack(e + "I", payload[4:8])
+    if ifd_at + 2 > len(payload):
+        raise ValueError("TIFF IFD offset past payload")
+    (n_tags,) = struct.unpack(e + "H", payload[ifd_at:ifd_at + 2])
+    tags: dict[int, list[int]] = {}
+    for t in range(n_tags):
+        at = ifd_at + 2 + 12 * t
+        if at + 12 > len(payload):
+            raise ValueError("TIFF IFD truncated")
+        tag, typ, count = struct.unpack(e + "HHI", payload[at:at + 8])
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # unknown field type: skip per spec
+        total = size * count
+        val_at = at + 8
+        if total > 4:
+            (val_at,) = struct.unpack(e + "I", payload[at + 8:at + 12])
+        raw = payload[val_at:val_at + total]
+        if len(raw) < total:
+            raise ValueError(f"TIFF tag {tag} data truncated")
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt:
+            tags[tag] = list(struct.unpack(e + fmt * count, raw))
+    if _WIDTH not in tags or _HEIGHT not in tags:
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    w, h = tags[_WIDTH][0], tags[_HEIGHT][0]
+    comp = tags.get(_COMPRESSION, [1])[0]
+    if comp not in (1, 32773):
+        names = {5: "LZW", 6: "old-JPEG", 7: "JPEG", 2: "CCITT-G3",
+                 3: "CCITT-G3", 4: "CCITT-G4", 8: "Deflate"}
+        raise NotImplementedError(
+            f"TIFF compression {comp} ({names.get(comp, 'unknown')}): "
+            "baseline uncompressed and PackBits decode here — TIFF-LZW "
+            "is a different bitstream from GIF's (MSB-first, "
+            "early-change) and ships only with its own pinned tests"
+        )
+    spp = tags.get(_SAMPLES, [1])[0]
+    bits = tags.get(_BITS, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF BitsPerSample {bits}: 8-bit only")
+    if spp not in (1, 3, 4):
+        raise NotImplementedError(f"TIFF SamplesPerPixel {spp} (1/3/4)")
+    if tags.get(_PLANAR, [1])[0] != 1:
+        raise NotImplementedError("TIFF planar configuration 2 (separate planes)")
+    offsets = tags.get(_STRIP_OFFSETS)
+    counts = tags.get(_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strips missing/mismatched")
+    rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+    row_bytes = w * spp
+    data = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        raw = payload[off:off + cnt]
+        if len(raw) < cnt:
+            raise ValueError(f"TIFF strip {si} truncated")
+        rows_here = min(rps, h - si * rps)
+        if rows_here <= 0:
+            raise ValueError("TIFF more strips than rows")
+        expect = rows_here * row_bytes
+        data += raw if comp == 1 else _packbits_decode(raw, expect)
+    if len(data) < h * row_bytes:
+        raise ValueError(
+            f"TIFF strips carry {len(data)} bytes, need {h * row_bytes}"
+        )
+    px = np.frombuffer(bytes(data[: h * row_bytes]), dtype=np.uint8).reshape(
+        h, w, spp
+    )
+    photo = tags.get(_PHOTOMETRIC, [1])[0]
+    if photo == 0 and spp == 1:  # WhiteIsZero: invert into the contract
+        px = 255 - px
+    return {
+        "format": "tiff", "width": int(w), "height": int(h),
+        "channels": int(spp), "pixels": np.ascontiguousarray(px).tobytes(),
+    }
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    rows_per_strip: int | None = None,
+    packbits: bool = False,
+) -> bytes:
+    """Little-endian baseline TIFF writer (fixture/export twin):
+    gray/RGB/RGBA 8-bit, strip layout with configurable rows-per-strip
+    (multi-strip assembly is part of what the tests exercise),
+    optional PackBits."""
+    if channels not in (1, 3, 4):
+        raise ValueError(f"channels={channels} (1/3/4)")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"need {width * height * channels} bytes, got {len(pixels)}"
+        )
+    rps = rows_per_strip or height
+    row_bytes = width * channels
+    strips = []
+    for y0 in range(0, height, rps):
+        rows = pixels[y0 * row_bytes:(y0 + min(rps, height - y0)) * row_bytes]
+        if packbits:
+            body = b"".join(
+                _packbits_encode(rows[r * row_bytes:(r + 1) * row_bytes])
+                for r in range(len(rows) // row_bytes)
+            )
+        else:
+            body = rows
+        strips.append(body)
+
+    def tag(tid, typ, vals):
+        count = len(vals)
+        size = _TYPE_SIZE[typ] * count
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = struct.pack("<" + fmt * count, *vals)
+        if size <= 4:
+            return struct.pack("<HHI", tid, typ, count) + packed.ljust(4, b"\x00"), b""
+        return None, packed  # needs out-of-line storage; resolved below
+
+    entries = [
+        (_WIDTH, 4, [width]),
+        (_HEIGHT, 4, [height]),
+        (_BITS, 3, [8] * channels),
+        (_COMPRESSION, 3, [32773 if packbits else 1]),
+        (_PHOTOMETRIC, 3, [1 if channels == 1 else 2]),
+        (_STRIP_OFFSETS, 4, [0] * len(strips)),  # patched below
+        (_SAMPLES, 3, [channels]),
+        (_ROWS_PER_STRIP, 4, [rps]),
+        (_STRIP_COUNTS, 4, [len(s) for s in strips]),
+    ]
+    header = struct.pack("<4sI", b"II*\x00", 8)
+    ifd_at = 8
+    n = len(entries)
+    ifd_size = 2 + 12 * n + 4
+    extra_at = ifd_at + ifd_size
+    # lay out out-of-line tag data, then strips
+    extra = bytearray()
+    strip_offsets: list[int] = []
+    # first pass to size out-of-line data (strip offsets need the total)
+    def oversize(typ, vals):
+        return _TYPE_SIZE[typ] * len(vals) > 4
+
+    for tid, typ, vals in entries:
+        if oversize(typ, vals):
+            extra += struct.pack("<" + {3: "H", 4: "I"}[typ] * len(vals), *vals)
+    data_at = extra_at + len(extra)
+    at = data_at
+    for s in strips:
+        strip_offsets.append(at)
+        at += len(s)
+    # rebuild with real strip offsets
+    entries[5] = (_STRIP_OFFSETS, 4, strip_offsets)
+    out = bytearray(header)
+    out += struct.pack("<H", n)
+    extra = bytearray()
+    cursor = extra_at
+    for tid, typ, vals in entries:
+        count = len(vals)
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = struct.pack("<" + fmt * count, *vals)
+        if len(packed) <= 4:
+            out += struct.pack("<HHI", tid, typ, count) + packed.ljust(4, b"\x00")
+        else:
+            out += struct.pack("<HHII", tid, typ, count, cursor)
+            extra += packed
+            cursor += len(packed)
+    out += struct.pack("<I", 0)  # next-IFD pointer: none
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def tiff_dims(payload: bytes) -> tuple[int | None, int | None]:
+    """(width, height) from the first IFD's tags alone — no strip
+    reads, the header-sniffing cost contract.  (None, None) for
+    malformed payloads (classify, never throw)."""
+    try:
+        if payload[:4] == b"II*\x00":
+            e = "<"
+        elif payload[:4] == b"MM\x00*":
+            e = ">"
+        else:
+            return (None, None)
+        (ifd_at,) = struct.unpack(e + "I", payload[4:8])
+        (n_tags,) = struct.unpack(e + "H", payload[ifd_at:ifd_at + 2])
+        w = h = None
+        for t in range(n_tags):
+            at = ifd_at + 2 + 12 * t
+            tag, typ, count = struct.unpack(e + "HHI", payload[at:at + 8])
+            if tag in (_WIDTH, _HEIGHT) and count == 1 and typ in (3, 4):
+                (v,) = struct.unpack(
+                    e + ("H" if typ == 3 else "I"),
+                    payload[at + 8:at + (10 if typ == 3 else 12)],
+                )
+                if tag == _WIDTH:
+                    w = int(v)
+                else:
+                    h = int(v)
+        return (w, h)
+    except Exception:  # noqa: BLE001 — sniffing must not throw
+        return (None, None)
