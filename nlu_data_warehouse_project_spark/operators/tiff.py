@@ -1,12 +1,13 @@
 """Baseline TIFF decode (TIFF 6.0, the public Adobe spec) — the
 document/scan-crawl format: II/MM endianness, IFD tag walk, strip
-assembly.  Scope is BASELINE UNCOMPRESSED (compression 1) plus
-PackBits (compression 32773 — the spec's simple byte-run RLE, §9),
-8-bit grayscale and RGB(A), single plane (PlanarConfiguration 1),
-strips (the baseline layout; tiled TIFF is an extension and fails
-fast).  LZW/JPEG-in-TIFF/CCITT fail fast naming themselves — the
-LZW variant differs from GIF's (MSB-first packing, early-change) and
-deserves its own pinned implementation or none.
+assembly.  Scope: compression 1 (none),
+32773 (PackBits, the spec's §9 byte-run RLE), 5 (TIFF-LZW — the
+MSB-FIRST, EARLY-CHANGE variant, deliberately a separate
+implementation from GIF's LSB-first coder) and 8 (Deflate — stdlib
+zlib); 8-bit grayscale and RGB(A), single plane
+(PlanarConfiguration 1), strips (tiled TIFF is an extension and
+fails fast).  JPEG-in-TIFF and CCITT fax codings fail fast naming
+themselves.
 
 ``encode_tiff`` is the fixture/export twin (uncompressed or PackBits,
 gray/RGB, configurable rows-per-strip so multi-strip assembly is
@@ -74,6 +75,112 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF-LZW (spec §13): 8-bit symbols, codes packed MSB-FIRST,
+    CLEAR=256 / EOI=257, and the EARLY-CHANGE rule — the code width
+    grows one code EARLIER than GIF's coder (when next_code + 1 would
+    overflow the width), the detail that makes the two bitstreams
+    incompatible."""
+    CLEAR, EOI = 256, 257
+    table: dict[int, bytes] = {}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = bits = 0
+    i = 0
+    while True:
+        while bits < width:
+            if i >= len(data):
+                if len(out) >= expect:
+                    return bytes(out[:expect])
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[i]
+            bits += 8
+            i += 1
+        code = (acc >> (bits - width)) & ((1 << width) - 1)
+        bits -= width
+        if code == CLEAR:
+            table = {}
+            next_code = 258
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            if len(out) < expect:
+                raise ValueError(
+                    f"TIFF LZW EOI after {len(out)} of {expect} bytes"
+                )
+            return bytes(out[:expect])
+        if code < 256:
+            entry = bytes([code])
+        elif code in table:
+            entry = table[code]
+        elif prev is not None and code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"TIFF LZW code {code} ahead of dictionary")
+        out += entry
+        if prev is not None and next_code <= 4095:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        # EARLY CHANGE, decode side: the decoder's definitions lag the
+        # encoder's by one code, so it widens one define EARLIER
+        # (libtiff's dec maxcode = 2^w - 2 vs enc maxcode = 2^w - 1)
+        if next_code + 1 >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+        if len(out) > expect:
+            raise ValueError(
+                f"TIFF LZW produced {len(out)} bytes for {expect}"
+            )
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-LZW writer (MSB-first, early-change) — the decoder's
+    fixture twin, dictionary-building so growth paths are real."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = bits = 0
+    width = 9
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc = (acc << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    table: dict[bytes, int] = {}
+    next_code = 258
+    emit(CLEAR)
+    run = b""
+    for b in data:
+        cand = run + bytes([b])
+        if len(cand) == 1 or cand in table:
+            run = cand
+            continue
+        emit(run[0] if len(run) == 1 else table[run])
+        if next_code <= 4095:
+            table[cand] = next_code
+            next_code += 1
+            if next_code + 1 > (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(CLEAR)
+            table = {}
+            next_code = 258
+            width = 9
+        run = bytes([b])
+    if run:
+        emit(run[0] if len(run) == 1 else table[run])
+    emit(EOI)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
 def decode_tiff(payload: bytes) -> dict:
     """First IFD of a TIFF payload -> 8-bit samples:
     ``{format, width, height, channels, pixels}`` (the decode_png
@@ -113,14 +220,13 @@ def decode_tiff(payload: bytes) -> dict:
         raise ValueError("TIFF missing ImageWidth/ImageLength")
     w, h = tags[_WIDTH][0], tags[_HEIGHT][0]
     comp = tags.get(_COMPRESSION, [1])[0]
-    if comp not in (1, 32773):
-        names = {5: "LZW", 6: "old-JPEG", 7: "JPEG", 2: "CCITT-G3",
-                 3: "CCITT-G3", 4: "CCITT-G4", 8: "Deflate"}
+    if comp not in (1, 5, 8, 32773):
+        names = {6: "old-JPEG", 7: "JPEG", 2: "CCITT-G3",
+                 3: "CCITT-G3", 4: "CCITT-G4"}
         raise NotImplementedError(
             f"TIFF compression {comp} ({names.get(comp, 'unknown')}): "
-            "baseline uncompressed and PackBits decode here — TIFF-LZW "
-            "is a different bitstream from GIF's (MSB-first, "
-            "early-change) and ships only with its own pinned tests"
+            "none/PackBits/LZW/Deflate decode here — entropy-coded "
+            "image payloads inside TIFF need the named codec"
         )
     spp = tags.get(_SAMPLES, [1])[0]
     bits = tags.get(_BITS, [8] * spp)
@@ -145,7 +251,16 @@ def decode_tiff(payload: bytes) -> dict:
         if rows_here <= 0:
             raise ValueError("TIFF more strips than rows")
         expect = rows_here * row_bytes
-        data += raw if comp == 1 else _packbits_decode(raw, expect)
+        if comp == 1:
+            data += raw
+        elif comp == 32773:
+            data += _packbits_decode(raw, expect)
+        elif comp == 5:
+            data += _tiff_lzw_decode(raw, expect)
+        else:  # comp == 8: Deflate
+            import zlib
+
+            data += zlib.decompress(bytes(raw))
     if len(data) < h * row_bytes:
         raise ValueError(
             f"TIFF strips carry {len(data)} bytes, need {h * row_bytes}"
@@ -169,27 +284,38 @@ def encode_tiff(
     pixels: bytes,
     rows_per_strip: int | None = None,
     packbits: bool = False,
+    compression: int | None = None,
 ) -> bytes:
     """Little-endian baseline TIFF writer (fixture/export twin):
     gray/RGB/RGBA 8-bit, strip layout with configurable rows-per-strip
     (multi-strip assembly is part of what the tests exercise),
-    optional PackBits."""
+    compression 1/5/8/32773 (``packbits=True`` is shorthand for
+    32773)."""
     if channels not in (1, 3, 4):
         raise ValueError(f"channels={channels} (1/3/4)")
     if len(pixels) != width * height * channels:
         raise ValueError(
             f"need {width * height * channels} bytes, got {len(pixels)}"
         )
+    comp = compression if compression is not None else (32773 if packbits else 1)
+    if comp not in (1, 5, 8, 32773):
+        raise ValueError(f"compression={comp} (1/5/8/32773)")
     rps = rows_per_strip or height
     row_bytes = width * channels
     strips = []
     for y0 in range(0, height, rps):
         rows = pixels[y0 * row_bytes:(y0 + min(rps, height - y0)) * row_bytes]
-        if packbits:
+        if comp == 32773:
             body = b"".join(
                 _packbits_encode(rows[r * row_bytes:(r + 1) * row_bytes])
                 for r in range(len(rows) // row_bytes)
             )
+        elif comp == 5:
+            body = _tiff_lzw_encode(rows)
+        elif comp == 8:
+            import zlib
+
+            body = zlib.compress(rows)
         else:
             body = rows
         strips.append(body)
@@ -207,7 +333,7 @@ def encode_tiff(
         (_WIDTH, 4, [width]),
         (_HEIGHT, 4, [height]),
         (_BITS, 3, [8] * channels),
-        (_COMPRESSION, 3, [32773 if packbits else 1]),
+        (_COMPRESSION, 3, [comp]),
         (_PHOTOMETRIC, 3, [1 if channels == 1 else 2]),
         (_STRIP_OFFSETS, 4, [0] * len(strips)),  # patched below
         (_SAMPLES, 3, [channels]),

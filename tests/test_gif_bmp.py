@@ -136,11 +136,40 @@ def test_tiff_roundtrip_strips_packbits_and_failfasts():
     mm = b"MM\x00*" + _st.pack(">I", 8)
     with pytest.raises(ValueError):  # truncated after header: loud
         decode_tiff(mm)
-    # LZW compression names itself in the fail-fast
+    # JPEG-in-TIFF names itself in the fail-fast
     bad = bytearray(encode_tiff(4, 4, 1, bytes(16)))
     at = bad.index(_st.pack("<HH", 259, 3))
-    bad[at + 8:at + 10] = _st.pack("<H", 5)
-    with pytest.raises(NotImplementedError, match="LZW"):
+    bad[at + 8:at + 10] = _st.pack("<H", 7)
+    with pytest.raises(NotImplementedError, match="JPEG"):
         decode_tiff(bytes(bad))
     with pytest.raises(ValueError):
         decode_tiff(b"not tiff")
+
+
+def test_tiff_lzw_and_deflate():
+    """TIFF-LZW (MSB-first, EARLY-CHANGE — deliberately a separate
+    implementation from GIF's LSB-first coder, with the decode side
+    widening one define earlier than the encode side, the libtiff
+    maxcode asymmetry) and Deflate strips round-trip exactly; the raw
+    LZW coder is pinned across width boundaries and the 4096-entry
+    overflow CLEAR."""
+    from nlu_data_warehouse_project_spark.operators.tiff import (
+        _tiff_lzw_decode, _tiff_lzw_encode, decode_tiff, encode_tiff,
+    )
+
+    rng = np.random.RandomState(27)
+    for data in (
+        bytes(rng.randint(0, 256, 6000, dtype=np.uint8)),  # width growth
+        b"a" * 5000,                                        # KwKwK wall
+        bytes(range(256)) * 30,
+        bytes(rng.randint(0, 256, 30000, dtype=np.uint8)),  # overflow CLEAR
+    ):
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+    for comp in (5, 8):
+        for ch in (1, 3):
+            a = rng.randint(0, 256, size=(13, 9, ch), dtype=np.uint8)
+            t = encode_tiff(9, 13, ch, a.tobytes(), rows_per_strip=4,
+                            compression=comp)
+            assert decode_tiff(t)["pixels"] == a.tobytes(), (comp, ch)
+    with pytest.raises(ValueError, match="truncated"):
+        _tiff_lzw_decode(b"", 4)
