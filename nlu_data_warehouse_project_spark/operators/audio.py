@@ -316,12 +316,25 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
+def decode_audio(payload: bytes) -> dict:
+    """Container dispatch to the shared sample contract: RIFF/WAVE ->
+    ``decode_wav``, FORM/AIFF -> ``decode_aiff``, .snd -> ``decode_au``
+    (round 16).  Everything else raises the wav path's errors."""
+    if isinstance(payload, (bytes, bytearray)):
+        if payload[:4] == b"FORM":
+            return decode_aiff(payload)
+        if payload[:4] == b".snd":
+            return decode_au(payload)
+    return decode_wav(payload)
+
+
 def _audio_feature(payload: bytes) -> list[float]:
-    """Deterministic signal statistics for one WAV payload:
-    [duration_s, sample_rate, channels, rms, peak, zero_crossing_rate]
-    — the audio twin of ``multimodal._pixel_feature`` (mean-level
-    stats, one pass, numpy)."""
-    wav = decode_wav(payload)
+    """Deterministic signal statistics for one audio payload
+    (WAV/AIFF/AU): [duration_s, sample_rate, channels, rms, peak,
+    zero_crossing_rate] — the audio twin of
+    ``multimodal._pixel_feature`` (mean-level stats, one pass,
+    numpy)."""
+    wav = decode_audio(payload)
     x = wav["samples"]
     n = x.size
     rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
@@ -762,3 +775,217 @@ def probe_mp3(payload: bytes | None) -> dict | None:
         "bitrate_kbps": round(br_sum / n_frames / 1000, 1) if n_frames else None,
         "vbr": bool(vbr or xing),
     }
+
+
+# ---------------------------------------------------------------------------
+# AIFF (Apple/EA IFF-85) and Sun AU — round 16
+# ---------------------------------------------------------------------------
+# Two more pure-bytes audio containers seen in crawls.  AIFF is the
+# big-endian mirror of WAV (FORM/COMM/SSND chunks) with one genuinely
+# spec-flavored detail: the sample rate is an 80-bit IEEE-754
+# EXTENDED float.  AU (Sun/NeXT .snd) is a 24-byte big-endian header
+# + data, with G.711 mu-law as encoding 1 — the format's historical
+# default — reusing the generated CCITT table above.
+
+
+def _read_extended80(b: bytes) -> float:
+    """80-bit IEEE extended -> float: 15-bit exponent (bias 16383),
+    explicit-integer-bit 64-bit mantissa (SANE layout, the AIFF spec's
+    sample-rate field)."""
+    if len(b) != 10:
+        raise ValueError("extended float needs 10 bytes")
+    se = int.from_bytes(b[:2], "big")
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    mant = int.from_bytes(b[2:], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("AIFF sample rate is inf/nan")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _write_extended80(x: float) -> bytes:
+    """float -> 80-bit IEEE extended (normalized; x > 0 — sample
+    rates are positive)."""
+    if x <= 0:
+        raise ValueError(f"extended80 writer needs x > 0, got {x}")
+    import math
+
+    m, e = math.frexp(x)  # x = m * 2^e, m in [0.5, 1)
+    mant = int(m * (1 << 64))
+    return (e - 1 + 16383).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def decode_aiff(payload: bytes) -> dict:
+    """AIFF -> the ``decode_wav`` contract (float64 samples in
+    [-1, 1]): FORM/AIFF chunk walk, COMM (channels, frames, bits,
+    extended-float rate), SSND (offset/block-size prologue + BIG-
+    endian signed PCM at 8/16/24/32 bits).  AIFC (compressed AIFF)
+    fails fast naming the codec field."""
+    if not isinstance(payload, (bytes, bytearray)) or payload[:4] != b"FORM":
+        raise ValueError("not an AIFF payload")
+    form_type = payload[8:12]
+    if form_type == b"AIFC":
+        raise NotImplementedError(
+            "AIFC (compressed AIFF): the compressionType fourcc selects a "
+            "codec this environment doesn't ship; plain AIFF decodes"
+        )
+    if form_type != b"AIFF":
+        raise ValueError(f"FORM type {form_type!r} is not AIFF")
+    comm = ssnd = None
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        (csize,) = struct.unpack(">I", payload[i + 4:i + 8])
+        body = payload[i + 8:i + 8 + csize]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None or len(comm) < 18 or len(ssnd) < 8:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    channels, n_frames, bits = struct.unpack(">HIH", comm[:8])
+    rate = _read_extended80(comm[8:18])
+    if channels < 1:
+        raise ValueError("AIFF with zero channels")
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"AIFF sample size {bits} (8/16/24/32)")
+    offset, _blk = struct.unpack(">II", ssnd[:8])
+    data = ssnd[8 + offset:]
+    frame = channels * (bits // 8)
+    need = n_frames * frame
+    if len(data) < need:
+        raise ValueError(f"AIFF SSND carries {len(data)} bytes, needs {need}")
+    data = data[:need]
+    if bits == 8:  # AIFF 8-bit is SIGNED (unlike WAV)
+        x = np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(data, dtype=">i2").astype(np.float64) / 32768.0
+    elif bits == 32:
+        x = np.frombuffer(data, dtype=">i4").astype(np.float64) / 2147483648.0
+    else:  # 24-bit big-endian: pad each sample to 4 bytes
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        vals = (
+            (raw[:, 0].astype(np.int64) << 16)
+            | (raw[:, 1].astype(np.int64) << 8)
+            | raw[:, 2].astype(np.int64)
+        )
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        x = vals.astype(np.float64) / float(1 << 23)
+    samples = x.reshape(-1, channels)
+    return {
+        "format": "aiff",
+        "sample_rate": int(round(rate)),
+        "channels": int(channels),
+        "n_frames": samples.shape[0],
+        "samples": samples,
+    }
+
+
+def encode_aiff(sample_rate: int, samples, bits: int = 16) -> bytes:
+    """AIFF fixture/export twin of ``decode_aiff`` (big-endian signed
+    PCM, extended-float rate)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_frames, channels = x.shape
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"bits={bits} (8/16/24/32)")
+    full = float(1 << (bits - 1))
+    q = np.clip(np.round(x * full), -full, full - 1).astype(np.int64)
+    if bits == 8:
+        data = q.astype(np.int8).tobytes()
+    elif bits == 16:
+        data = q.astype(">i2").tobytes()
+    elif bits == 32:
+        data = q.astype(">i4").tobytes()
+    else:
+        u = np.where(q < 0, q + (1 << 24), q).astype(np.int64).reshape(-1)
+        b = np.empty((u.size, 3), dtype=np.uint8)
+        b[:, 0] = (u >> 16) & 0xFF
+        b[:, 1] = (u >> 8) & 0xFF
+        b[:, 2] = u & 0xFF
+        data = b.tobytes()
+    comm = struct.pack(">HIH", channels, n_frames, bits) + _write_extended80(
+        float(sample_rate)
+    )
+    ssnd = struct.pack(">II", 0, 0) + data
+    pad = b"\x00" if len(ssnd) & 1 else b""
+    body = (b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + pad)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_au(payload: bytes) -> dict:
+    """Sun/NeXT AU (.snd) -> the ``decode_wav`` contract: 24-byte
+    big-endian header (magic, data offset, data size, encoding, rate,
+    channels); encodings 1 (G.711 mu-law — the format's historical
+    default), 2/3/4/5 (signed linear PCM 8/16/24/32) decode; floats
+    and ADPCM variants fail fast."""
+    if not isinstance(payload, (bytes, bytearray)) or payload[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    if len(payload) < 24:
+        raise ValueError("AU header truncated")
+    off, size, enc, rate, channels = struct.unpack(">IIIII", payload[4:24])
+    if off < 24:
+        raise ValueError(f"AU data offset {off} overlaps the header")
+    if channels < 1:
+        raise ValueError("AU with zero channels")
+    data = payload[off:off + size] if size != 0xFFFFFFFF else payload[off:]
+    if enc == 1:  # G.711 mu-law
+        table = _g711_mulaw_table()
+        x = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
+    elif enc in (2, 3, 4, 5):
+        bits = {2: 8, 3: 16, 4: 24, 5: 32}[enc]
+        frame = bits // 8
+        data = data[: len(data) - len(data) % (frame * channels)]
+        if bits == 8:
+            x = np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype=">i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(data, dtype=">i4").astype(np.float64) / 2147483648.0
+        else:
+            raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            vals = (
+                (raw[:, 0].astype(np.int64) << 16)
+                | (raw[:, 1].astype(np.int64) << 8)
+                | raw[:, 2].astype(np.int64)
+            )
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            x = vals.astype(np.float64) / float(1 << 23)
+    else:
+        raise NotImplementedError(
+            f"AU encoding {enc}: mu-law (1) and linear PCM (2-5) decode "
+            "here; float/ADPCM encodings need a codec library"
+        )
+    if x.size % channels:
+        x = x[: x.size - x.size % channels]
+    samples = x.reshape(-1, channels)
+    return {
+        "format": "au",
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "n_frames": samples.shape[0],
+        "samples": samples,
+    }
+
+
+def encode_au(sample_rate: int, samples, encoding: int = 3) -> bytes:
+    """AU fixture/export twin (encodings 2/3: linear PCM 8/16)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    channels = x.shape[1]
+    if encoding == 2:
+        data = np.clip(np.round(x * 128.0), -128, 127).astype(np.int8).tobytes()
+    elif encoding == 3:
+        data = np.clip(np.round(x * 32768.0), -32768, 32767).astype(">i2").tobytes()
+    else:
+        raise ValueError(f"encoding={encoding} (2 or 3 for the fixture twin)")
+    hdr = b".snd" + struct.pack(">IIIII", 24, len(data), encoding,
+                                sample_rate, channels)
+    return hdr + data

@@ -143,6 +143,8 @@ def parse_av_header(payload: bytes | None) -> tuple[str | None, int | None]:
     - MP3: ``audio.probe_mp3``'s frame-header walk (VERDICT r15 #7) —
       exact per-frame duration sum, ID3v2-aware, two-chained-frames
       minimum before classifying.
+    - AIFF: FORM chunk walk to COMM (frames + the 80-bit extended
+      rate); AU: the 24-byte .snd header (round 16).
 
     Unknown or truncated payloads return (None, None) — dirty bytes
     must classify as unparseable, never throw a task.
@@ -154,6 +156,31 @@ def parse_av_header(payload: bytes | None) -> tuple[str | None, int | None]:
 
         hdr = parse_avi_header(payload)
         return ("avi", hdr.get("duration_ms") if hdr else None)
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        # AIFF: COMM holds frames + the 80-bit extended rate
+        i, n = 12, len(payload)
+        while i + 8 <= n:
+            cid = payload[i:i + 4]
+            csize = struct.unpack(">I", payload[i + 4:i + 8])[0]
+            if cid == b"COMM" and csize >= 18 and i + 26 <= n:
+                from .audio import _read_extended80
+
+                _ch, frames, _bits = struct.unpack(
+                    ">HIH", payload[i + 8:i + 16]
+                )
+                try:
+                    rate = _read_extended80(payload[i + 16:i + 26])
+                except ValueError:
+                    return ("aiff", None)
+                return ("aiff", int(frames * 1000 / rate) if rate else None)
+            i += 8 + csize + (csize & 1)
+        return ("aiff", None)
+    if payload[:4] == b".snd" and len(payload) >= 24:
+        _off, size, enc, rate, ch = struct.unpack(">IIIII", payload[4:24])
+        bytes_per = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4}.get(enc)
+        if bytes_per and rate and ch and size != 0xFFFFFFFF:
+            return ("au", int(size * 1000 // (rate * ch * bytes_per)))
+        return ("au", None)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         byte_rate, data_size = None, None
         i, n = 12, len(payload)

@@ -385,3 +385,78 @@ def test_probe_mp3_classifies_never_throws():
     # sniffing integration: parse_av_header sees mp3 + duration
     payload = b"".join(_mp3_frame() for _ in range(10))
     assert parse_av_header(payload) == ("mp3", 261)
+
+
+# ---------------------------------------------------------------------------
+# AIFF + Sun AU (round 16)
+# ---------------------------------------------------------------------------
+
+def test_aiff_roundtrip_all_widths_and_extended_rate():
+    from nlu_data_warehouse_project_spark.operators.audio import (
+        _read_extended80, _write_extended80, decode_aiff, encode_aiff,
+    )
+
+    for r in (8000, 11025, 22050, 44100, 48000, 96000):
+        assert _read_extended80(_write_extended80(float(r))) == float(r)
+    sig = _sine(n=2000, rate=16000)
+    for bits, tol in ((8, 1 / 120), (16, 1 / 3e4), (24, 1 / 7e6), (32, 1e-9)):
+        got = decode_aiff(encode_aiff(16000, sig, bits=bits))
+        assert (got["format"], got["sample_rate"], got["n_frames"]) == (
+            "aiff", 16000, 2000)
+        assert float(np.max(np.abs(got["samples"][:, 0] - sig))) < tol
+    st = np.stack([sig, -sig], axis=1)
+    got = decode_aiff(encode_aiff(44100, st, bits=24))
+    assert got["channels"] == 2
+    assert float(np.max(np.abs(got["samples"] - st))) < 1 / 7e6
+    with pytest.raises(NotImplementedError, match="AIFC"):
+        payload = bytearray(encode_aiff(8000, sig))
+        payload[8:12] = b"AIFC"
+        decode_aiff(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_aiff(b"RIFF not aiff")
+
+
+def test_au_roundtrip_mulaw_and_pcm():
+    from nlu_data_warehouse_project_spark.operators.audio import (
+        _g711_mulaw_table, decode_au, encode_au,
+    )
+
+    sig = _sine(n=1600, rate=8000)
+    for enc, tol in ((2, 1 / 120), (3, 1 / 3e4)):
+        got = decode_au(encode_au(8000, sig, encoding=enc))
+        assert (got["format"], got["sample_rate"]) == ("au", 8000)
+        assert float(np.max(np.abs(got["samples"][:, 0] - sig))) < tol
+    # mu-law (encoding 1, the format's historical default): full byte
+    # range decodes through the generated CCITT table
+    hdr = b".snd" + struct.pack(">IIIII", 24, 256, 1, 8000, 1)
+    got = decode_au(hdr + bytes(range(256)))
+    mu = _g711_mulaw_table()
+    assert np.allclose(got["samples"][:, 0], mu.astype(float) / 32768.0)
+    with pytest.raises(NotImplementedError, match="encoding"):
+        decode_au(b".snd" + struct.pack(">IIIII", 24, 4, 6, 8000, 1) + bytes(4))
+    with pytest.raises(ValueError):
+        decode_au(b"nope")
+
+
+def test_audio_dispatch_and_sniffer_cover_aiff_au(spark):
+    """decode_audio dispatches all three containers; the feature path
+    and the duration sniffer see AIFF/AU without special-casing."""
+    from nlu_data_warehouse_project_spark.operators.audio import (
+        _audio_feature, encode_aiff, encode_au,
+    )
+    from nlu_data_warehouse_project_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+
+    sig = _sine(n=8000, rate=8000)  # 1 s
+    for payload in (encode_aiff(8000, sig), encode_au(8000, sig)):
+        dur, rate, ch, rms, peak, zc = _audio_feature(payload)
+        assert (dur, rate, ch) == (1.0, 8000.0, 1.0)
+        assert abs(peak - 0.5) < 0.01
+    assert parse_av_header(encode_aiff(8000, sig)) == ("aiff", 1000)
+    assert parse_av_header(encode_au(8000, sig)) == ("au", 1000)
+
+    rows = [(1, encode_aiff(8000, sig), None), (2, encode_au(8000, sig), None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert got[1]["duration_s"] == 1.0 and got[2]["duration_s"] == 1.0
