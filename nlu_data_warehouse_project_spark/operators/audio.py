@@ -989,3 +989,97 @@ def encode_au(sample_rate: int, samples, encoding: int = 3) -> bytes:
     hdr = b".snd" + struct.pack(">IIIII", 24, len(data), encoding,
                                 sample_rate, channels)
     return hdr + data
+
+
+def probe_flac(payload: bytes | None) -> dict | None:
+    """FLAC STREAMINFO probe — metadata only, no decode: the 34-byte
+    first metadata block carries sample rate (20 bits), channels
+    (3 bits + 1) and total samples (36 bits) at fixed bit offsets
+    (the public FLAC format spec).  Returns ``{"format", "sample_rate",
+    "channels", "bits_per_sample", "n_frames", "duration_ms"}`` or
+    None for non-FLAC payloads (classify, never throw).  DECODE stays
+    a fail-fast: the residual/LPC layers are a codec library's job."""
+    if not isinstance(payload, (bytes, bytearray)) or payload[:4] != b"fLaC":
+        return None
+    if len(payload) < 8 + 34:
+        return None
+    hdr = payload[4]
+    if (hdr & 0x7F) != 0:  # first block must be STREAMINFO (type 0)
+        return None
+    block = payload[8:8 + 34]
+    # bytes 10..17 pack: rate(20) | channels-1(3) | bps-1(5) | samples(36)
+    bits = int.from_bytes(block[10:18], "big")
+    rate = bits >> 44
+    channels = ((bits >> 41) & 0x7) + 1
+    bps = ((bits >> 36) & 0x1F) + 1
+    n_samples = bits & ((1 << 36) - 1)
+    if rate == 0:
+        return None  # the spec marks 0 as invalid
+    return {
+        "format": "flac",
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "bits_per_sample": int(bps),
+        "n_frames": int(n_samples),
+        "duration_ms": int(n_samples * 1000 // rate) if n_samples else None,
+    }
+
+
+def probe_ogg(payload: bytes | None) -> dict | None:
+    """Ogg duration probe (Vorbis/Opus) — pure page walk, no decode:
+    the FIRST page's codec id header gives the sample rate (Vorbis:
+    LE uint32 at offset 12 of the id packet; Opus: always 48 kHz
+    granule clock + a pre-skip), the LAST page's granule position is
+    the total PCM sample count (the Ogg framing spec).  Returns
+    ``{"format", "codec", "sample_rate", "channels", "duration_ms"}``
+    or None (classify, never throw)."""
+    if not isinstance(payload, (bytes, bytearray)) or payload[:4] != b"OggS":
+        return None
+    codec = None
+    rate = None
+    channels = None
+    pre_skip = 0
+    last_granule = None
+    i, n = 0, len(payload)
+    first = True
+    while i + 27 <= n:
+        if payload[i:i + 4] != b"OggS":
+            break
+        granule = int.from_bytes(payload[i + 6:i + 14], "little", signed=True)
+        n_segs = payload[i + 26]
+        if i + 27 + n_segs > n:
+            break
+        seg_table = payload[i + 27:i + 27 + n_segs]
+        body_at = i + 27 + n_segs
+        body_len = sum(seg_table)
+        if body_at + body_len > n:
+            break
+        if granule >= 0:
+            last_granule = granule
+        if first:
+            body = payload[body_at:body_at + body_len]
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                codec = "vorbis"
+                channels = body[11]
+                rate = int.from_bytes(body[12:16], "little")
+            elif body[:8] == b"OpusHead" and len(body) >= 19:
+                codec = "opus"
+                channels = body[9]
+                pre_skip = int.from_bytes(body[10:12], "little")
+                rate = 48000  # granule positions always tick at 48 kHz
+            else:
+                return None  # Ogg, but not an audio codec we classify
+            first = False
+        i = body_at + body_len
+    if codec is None or rate in (None, 0):
+        return None
+    samples = None
+    if last_granule is not None:
+        samples = max(0, last_granule - (pre_skip if codec == "opus" else 0))
+    return {
+        "format": "ogg",
+        "codec": codec,
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "duration_ms": int(samples * 1000 // rate) if samples is not None else None,
+    }

@@ -145,6 +145,9 @@ def parse_av_header(payload: bytes | None) -> tuple[str | None, int | None]:
       minimum before classifying.
     - AIFF: FORM chunk walk to COMM (frames + the 80-bit extended
       rate); AU: the 24-byte .snd header (round 16).
+    - FLAC: the STREAMINFO bit fields; Ogg Vorbis/Opus: first-page id
+      header + last-page granule position (round 16; decode for all
+      three stays a codec-library fail-fast).
 
     Unknown or truncated payloads return (None, None) — dirty bytes
     must classify as unparseable, never throw a task.
@@ -230,8 +233,14 @@ def parse_av_header(payload: bytes | None) -> tuple[str | None, int | None]:
                     return ("mp4", None)
                 return ("mp4", int(dur * 1000 // ts) if ts else None)
         return ("mp4", None)
-    from .audio import probe_mp3
+    from .audio import probe_flac, probe_mp3, probe_ogg
 
+    flac = probe_flac(payload)
+    if flac is not None:
+        return ("flac", flac["duration_ms"])
+    ogg = probe_ogg(payload)
+    if ogg is not None:
+        return ("ogg", ogg["duration_ms"])
     mp3 = probe_mp3(payload)
     if mp3 is not None:
         # frame-header walk only (VERDICT r15 #7) — duration/bitrate/

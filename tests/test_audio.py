@@ -460,3 +460,61 @@ def test_audio_dispatch_and_sniffer_cover_aiff_au(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r["media_id"]: r for r in extract_audio_features(df).collect()}
     assert got[1]["duration_s"] == 1.0 and got[2]["duration_s"] == 1.0
+
+
+def _ogg_page(granule: int, body: bytes, seq: int, flags: int = 0) -> bytes:
+    """Minimal Ogg page (single segment lace for bodies < 255)."""
+    assert len(body) < 255
+    hdr = (b"OggS" + bytes([0, flags])
+           + granule.to_bytes(8, "little", signed=True)
+           + (1).to_bytes(4, "little")       # serial
+           + seq.to_bytes(4, "little")
+           + bytes(4)                         # crc (probe ignores)
+           + bytes([1, len(body)]))
+    return hdr + body
+
+
+def test_probe_flac_and_ogg():
+    from nlu_data_warehouse_project_spark.operators.audio import (
+        probe_flac, probe_ogg,
+    )
+
+    # FLAC STREAMINFO: rate 44100, 2 channels, 16 bps, 441000 samples
+    packed = (44100 << 44) | (1 << 41) | (15 << 36) | 441000
+    streaminfo = bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+    flac = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + streaminfo
+    got = probe_flac(flac)
+    assert got == {
+        "format": "flac", "sample_rate": 44100, "channels": 2,
+        "bits_per_sample": 16, "n_frames": 441000, "duration_ms": 10000,
+    }
+    assert probe_flac(b"not flac") is None
+    assert probe_flac(None) is None
+
+    # Ogg Vorbis: id header page + a data page with the final granule
+    vorbis_id = (b"\x01vorbis" + bytes(4) + bytes([2])
+                 + (22050).to_bytes(4, "little") + bytes(14))
+    ogg = (_ogg_page(0, vorbis_id, 0, flags=2)
+           + _ogg_page(66150, b"\x05data", 1, flags=4))
+    got = probe_ogg(ogg)
+    assert got == {
+        "format": "ogg", "codec": "vorbis", "sample_rate": 22050,
+        "channels": 2, "duration_ms": 3000,
+    }
+    # Ogg Opus: 48 kHz granule clock minus pre-skip
+    opus_id = (b"OpusHead" + bytes([1, 1])           # version, 1 channel
+               + (312).to_bytes(2, "little")          # pre-skip
+               + (16000).to_bytes(4, "little")        # input rate (ignored)
+               + bytes(3))
+    ogg2 = (_ogg_page(0, opus_id, 0, flags=2)
+            + _ogg_page(48000 + 312, b"\x05data", 1, flags=4))
+    got2 = probe_ogg(ogg2)
+    assert got2["codec"] == "opus" and got2["duration_ms"] == 1000
+    assert probe_ogg(b"OggS but truncated") is None
+    assert probe_ogg(b"nope") is None
+
+    from nlu_data_warehouse_project_spark.operators.multimodal import (
+        parse_av_header,
+    )
+    assert parse_av_header(flac) == ("flac", 10000)
+    assert parse_av_header(ogg) == ("ogg", 3000)
