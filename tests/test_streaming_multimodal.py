@@ -254,9 +254,12 @@ def test_multimodal_decode_undecodable_still_fails_fast():
     # missing-codec NotImplementedError
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # GIF decodes for real since r16 — a truncated one is MALFORMED
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a not decodable here")
     # formats with no decoder at all keep the honest fail-fast
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a not decodable here")
+        decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 ")
 
 
 def test_multimodal_features_feed_similarity_search(spark):
