@@ -126,6 +126,24 @@ def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, i
 
         w, h = tiff_dims(bytes(payload))
         return ("tiff", w, h)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP" and len(payload) >= 30:
+        # WebP (public container spec): VP8X extended header carries
+        # the canvas as 24-bit minus-one fields; VP8 lossy keyframes
+        # carry 14-bit dims after the 7-byte frame tag + 3-byte start
+        # code; VP8L packs 14-bit minus-one dims after its signature
+        fourcc = payload[12:16]
+        if fourcc == b"VP8X":
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return ("webp", w, h)
+        if fourcc == b"VP8 " and payload[23:26] == b"\x9d\x01\x2a":
+            w = struct.unpack("<H", payload[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", payload[28:30])[0] & 0x3FFF
+            return ("webp", w, h)
+        if fourcc == b"VP8L" and payload[20:21] == b"\x2f":
+            bits = int.from_bytes(payload[21:25], "little")
+            return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        return ("webp", None, None)
     return (None, None, None)
 
 

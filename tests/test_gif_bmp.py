@@ -173,3 +173,28 @@ def test_tiff_lzw_and_deflate():
             assert decode_tiff(t)["pixels"] == a.tobytes(), (comp, ch)
     with pytest.raises(ValueError, match="truncated"):
         _tiff_lzw_decode(b"", 4)
+
+
+def test_webp_header_probe():
+    """WebP dims from the container headers alone (VP8 lossy keyframe
+    start code, VP8L packed minus-one dims, VP8X canvas fields) —
+    decode correctly stays a fail-fast (VP8 entropy decoding is a
+    codec library's job)."""
+    import struct as _st
+
+    vp8 = (b"RIFF" + (30).to_bytes(4, "little") + b"WEBP" + b"VP8 "
+           + (20).to_bytes(4, "little") + bytes(3) + b"\x9d\x01\x2a"
+           + _st.pack("<HH", 320, 240) + bytes(4))
+    assert parse_image_header(vp8) == ("webp", 320, 240)
+    bits = 319 | (239 << 14)
+    vp8l = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8L"
+            + (10).to_bytes(4, "little") + b"\x2f"
+            + bits.to_bytes(4, "little") + bytes(5))
+    assert parse_image_header(vp8l) == ("webp", 320, 240)
+    vp8x = (b"RIFF" + (30).to_bytes(4, "little") + b"WEBP" + b"VP8X"
+            + (10).to_bytes(4, "little") + bytes(4)
+            + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+            + bytes(4))
+    assert parse_image_header(vp8x) == ("webp", 640, 480)
+    with pytest.raises(NotImplementedError):
+        decode_image(vp8)
