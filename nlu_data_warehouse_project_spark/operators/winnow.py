@@ -106,8 +106,12 @@ def winnow_fingerprints(
         )
         .distinct()
     )
-    # join the gram text back for collision-proof downstream verifies
-    return picked.join(
+    # join the gram text back for collision-proof downstream verifies.
+    # Every frame in this join is DATA-SIZED: hint sort-merge so AQE
+    # can never elect a broadcast that scales with the corpus (measured
+    # at 30x: the auto-broadcast of the selected-fingerprint frame
+    # exhausts driver memory — the q373 stress harness caught it)
+    return picked.hint("merge").join(
         grams.select("id", "pos", F.col("__g").alias("gram")), ["id", "pos"]
     )
 
@@ -148,10 +152,12 @@ def winnow_overlap_pairs(
             .filter(F.col("__df") <= max_df)
             .select("fingerprint", "gram")
         )
-        fp = fp.join(rare, ["fingerprint", "gram"], "left_semi")
+        # rare is corpus-sized (most fingerprints are rare): sort-merge,
+        # never broadcast (30x stress: auto-broadcast OOMs the driver)
+        fp = fp.hint("merge").join(rare, ["fingerprint", "gram"], "left_semi")
     right = fp.select(F.col("id").alias("__id_r"), "fingerprint", "gram")
     return (
-        fp.join(right, ["fingerprint", "gram"])
+        fp.hint("merge").join(right, ["fingerprint", "gram"])
         .filter(F.col("id") < F.col("__id_r"))
         .groupBy(F.col("id").alias("a_id"), F.col("__id_r").alias("b_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
@@ -186,13 +192,13 @@ def winnow_match_spans(
             .filter(F.col("__df") <= max_df)
             .select("fingerprint", "gram")
         )
-        fp = fp.join(rare, ["fingerprint", "gram"], "left_semi")
+        fp = fp.hint("merge").join(rare, ["fingerprint", "gram"], "left_semi")
     right = fp.select(
         F.col("id").alias("__id_r"), F.col("pos").alias("b_pos"),
         "fingerprint", "gram",
     )
     return (
-        fp.join(right, ["fingerprint", "gram"])
+        fp.hint("merge").join(right, ["fingerprint", "gram"])
         .filter(F.col("id") < F.col("__id_r"))
         .select(
             F.col("id").alias("a_id"), F.col("__id_r").alias("b_id"),

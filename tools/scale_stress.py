@@ -128,6 +128,11 @@ STRESS_QUERIES = [
     "q343_sequence_packing",
     "q371_golden_record_incremental",
     "q372_cm_sketch_part_freq",
+    # the winnowing pair join: its first 30x run OOM'd on an AQE
+    # auto-broadcast of the corpus-sized fingerprint frame (fixed with
+    # merge hints) — exactly the failure class this harness exists to
+    # catch, so the row is permanent
+    "q373_winnow_overlap_pairs",
 ]
 
 # per-copy embedding perturbation scale: |noise element| <= EPS x the
