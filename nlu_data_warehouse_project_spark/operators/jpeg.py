@@ -406,7 +406,15 @@ def _decode_lossless_scan(payload, data_at, comps, huff, scan, pred_sel,
       at each restart the entropy decoder reinitializes and every scan
       component's NEXT sample predicts the default, exactly as at
       start of scan — the PVRG/libjpeg-lossless interpretation, which
-      the fixture encoder mirrors bit-for-bit.
+      the fixture encoder mirrors bit-for-bit.  CAVEAT: T.81 H.2.3 is
+      ambiguous and some codecs read a restart as a FRESH SCAN per
+      interval (row-0 samples after the restart predict Ra within the
+      interval rather than referencing pre-restart neighbors); a
+      foreign SOF3+DRI payload written under that reading decodes
+      here without error but with wrong pixels past the first restart.
+      When an external codec is available, cross-validate a real
+      DICOM/DNG restart-interval payload before trusting foreign
+      SOF3+DRI streams.
     - SUBSAMPLED COMPONENTS (interleaved scans): MCU traversal with
       h_i x v_i samples per component per MCU (A.2.3 applied to
       samples), component rasters padded to the MCU grid and cropped

@@ -649,10 +649,11 @@ def decode_image(payload: bytes) -> dict:
     """Decode an image payload: PNG via the stdlib path above;
     baseline, progressive, lossless AND hierarchical-lossless JPEG via
     ``operators.jpeg``; uncompressed 24/32-bit BMP via ``decode_bmp``;
-    GIF (LZW + interlace, first frame) via ``operators.gif``; baseline
-    TIFF (uncompressed/PackBits strips) via ``operators.tiff`` — all
-    pure Python+numpy, no codec library.  Arithmetic JPEG, TIFF-LZW
-    and every other format still fail fast."""
+    GIF (LZW + interlace, first frame) via ``operators.gif``; TIFF
+    strips compressed none/PackBits/LZW/Deflate via ``operators.tiff``
+    — all pure Python+numpy, no codec library.  Remaining fail-fasts:
+    arithmetic JPEG, JPEG-in-TIFF, TIFF CCITT, tiled or planar-2 TIFF,
+    lossy-VP8 WebP, and anything else unrecognized."""
     if isinstance(payload, (bytes, bytearray)):
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)

@@ -365,7 +365,15 @@ def kmv_overlap_kway(
         sketches.select(F.col(group_col).alias("__g"), F.explode(mins_col).alias("__h"))
         .distinct()
     )
-    ng = sketches.agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+    # distinct groups, NOT a raw row count: a caller passing several
+    # sketch snapshot rows per group (e.g. a union taken before
+    # kmv_merge) would otherwise make every membership count < the
+    # inflated n_groups and n_common silently read 0.  Per-group rows
+    # are unioned by the distinct explode below; for a calibrated
+    # estimate callers should still kmv_merge snapshots first.
+    ng = sketches.agg(
+        F.countDistinct(group_col).cast("long").alias("n_groups")
+    )
     ux = ex.agg(
         F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__x")
     )

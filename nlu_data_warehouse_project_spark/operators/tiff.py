@@ -260,7 +260,15 @@ def decode_tiff(payload: bytes) -> dict:
         else:  # comp == 8: Deflate
             import zlib
 
-            data += zlib.decompress(bytes(raw))
+            inflated = zlib.decompress(bytes(raw))
+            # clamp+validate per strip like PackBits/LZW: an over-long
+            # inflate must not silently shift every subsequent row
+            if len(inflated) < expect:
+                raise ValueError(
+                    f"TIFF Deflate strip {si}: {len(inflated)} bytes, "
+                    f"need {expect}"
+                )
+            data += inflated[:expect]
     if len(data) < h * row_bytes:
         raise ValueError(
             f"TIFF strips carry {len(data)} bytes, need {h * row_bytes}"
