@@ -120,6 +120,44 @@ def winnow_fingerprints(
     )
 
 
+def _capped_fp(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    w: int,
+    max_df: int | None,
+) -> DataFrame:
+    """Distinct (id, fingerprint, gram) winnowed fingerprints with the
+    ``max_df`` boilerplate cap applied, cut with a lazy localCheckpoint
+    (repo convention for frames consumed more than once — see
+    dedup.py/bpe.py): the frame feeds the df-count, the semi filter
+    and BOTH sides of the pair join; without the cut Spark re-derives
+    the posexplode+window subtree 4x (the r16 double-tokenize nit,
+    one level up)."""
+    fp = (
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+        .select("id", "fingerprint", "gram")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if max_df is not None:
+        rare = (
+            fp.groupBy("fingerprint", "gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fingerprint", "gram")
+        )
+        # rare is corpus-sized (most fingerprints are rare): sort-merge,
+        # never broadcast (30x stress: auto-broadcast OOMs the driver)
+        fp = (
+            fp.hint("merge").join(rare, ["fingerprint", "gram"], "left_semi")
+            # second cut: the filtered frame is itself read twice below
+            .localCheckpoint(eager=False)
+        )
+    return fp
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     text_col: str,
@@ -144,31 +182,7 @@ def winnow_overlap_pairs(
     its shared-threshold `-m` flag).  The guarantee then reads: any
     pair sharing a NON-boilerplate passage of length >= w + k - 1
     appears at min_shared=1."""
-    # lazy local checkpoint (repo convention for frames consumed more
-    # than once — see dedup.py/bpe.py): the fingerprint frame feeds the
-    # df-count, the semi filter and BOTH sides of the pair join; without
-    # the cut Spark re-derives the posexplode+window subtree 4x (the
-    # r16 double-tokenize nit, one level up)
-    fp = (
-        winnow_fingerprints(df, text_col, id_col, k=k, w=w)
-        .select("id", "fingerprint", "gram")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    if max_df is not None:
-        rare = (
-            fp.groupBy("fingerprint", "gram")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("fingerprint", "gram")
-        )
-        # rare is corpus-sized (most fingerprints are rare): sort-merge,
-        # never broadcast (30x stress: auto-broadcast OOMs the driver)
-        fp = (
-            fp.hint("merge").join(rare, ["fingerprint", "gram"], "left_semi")
-            # second cut: the filtered frame is itself read twice below
-            .localCheckpoint(eager=False)
-        )
+    fp = _capped_fp(df, text_col, id_col, k, w, max_df)
     right = fp.select(F.col("id").alias("__id_r"), "fingerprint", "gram")
     return (
         fp.hint("merge").join(right, ["fingerprint", "gram"])
@@ -222,4 +236,149 @@ def winnow_match_spans(
             F.col("id").alias("a_id"), F.col("__id_r").alias("b_id"),
             F.col("pos").alias("a_pos"), "b_pos", "gram",
         )
+    )
+
+
+def winnow_containment(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    wholesale: float = 0.8,
+    partial: float = 0.2,
+) -> DataFrame:
+    """MOSS's end report: rank each overlapping pair by COVERAGE
+    FRACTION — shared fingerprints over each document's own
+    (post-``max_df``) fingerprint count — and call the verdict:
+    ``coverage_a`` near 1 means document a's fingerprints are almost
+    all shared, i.e. a is CONTAINED in b (wholesale copy, in either
+    direction), while two long documents sharing one quoted paragraph
+    score high ``n_shared`` but low coverage on both sides.  Verdict =
+    'wholesale' when max(coverage_a, coverage_b) >= ``wholesale``,
+    'partial' when >= ``partial``, else 'incidental' — the
+    quote-vs-wholesale-copy triage a curation pipeline acts on
+    (drop the contained doc vs keep both).
+
+    Coverage is DECIMAL(25,6) end to end (the `_dec` discipline) and
+    thresholds compare in decimal, so the verdict strings — not just
+    the ratios — are reproducible cross-engine.  Returns (a_id, b_id,
+    n_shared, nf_a, nf_b, coverage_a, coverage_b, verdict).  Shape on
+    top of ``winnow_overlap_pairs``: one per-doc count over the capped
+    fingerprint frame plus two pair-keyed joins — nothing re-tokenizes."""
+    fp = _capped_fp(df, text_col, id_col, k, w, max_df)
+    nf = fp.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("__nf"))
+    right = fp.select(F.col("id").alias("__id_r"), "fingerprint", "gram")
+    pairs = (
+        fp.hint("merge").join(right, ["fingerprint", "gram"])
+        .filter(F.col("id") < F.col("__id_r"))
+        .groupBy(F.col("id").alias("a_id"), F.col("__id_r").alias("b_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+    def _dec(c):
+        return c.cast("decimal(25,6)")
+
+    # per-doc counts are corpus-sized (one row per doc): sort-merge,
+    # same no-corpus-broadcast rule as the pair join
+    scored = (
+        pairs.hint("merge")
+        .join(nf.select(F.col("id").alias("a_id"), F.col("__nf").alias("nf_a")), "a_id")
+        .hint("merge")
+        .join(nf.select(F.col("id").alias("b_id"), F.col("__nf").alias("nf_b")), "b_id")
+        .withColumn(
+            "coverage_a", (_dec(F.col("n_shared")) / _dec(F.col("nf_a"))).cast("decimal(25,6)")
+        )
+        .withColumn(
+            "coverage_b", (_dec(F.col("n_shared")) / _dec(F.col("nf_b"))).cast("decimal(25,6)")
+        )
+    )
+    top = F.greatest(F.col("coverage_a"), F.col("coverage_b"))
+    return scored.select(
+        "a_id", "b_id", "n_shared", "nf_a", "nf_b", "coverage_a", "coverage_b",
+        F.when(top >= F.lit(str(wholesale)).cast("decimal(25,6)"), F.lit("wholesale"))
+        .when(top >= F.lit(str(partial)).cast("decimal(25,6)"), F.lit("partial"))
+        .otherwise(F.lit("incidental"))
+        .alias("verdict"),
+    )
+
+
+def winnow_overlap_incremental(
+    standing_fp: DataFrame,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental passage overlap: the pairs of
+    ``winnow_overlap_pairs(standing ∪ new)`` that TOUCH the new batch,
+    computed WITHOUT re-fingerprinting the standing corpus — the daily
+    ingest shape every other near-dup family here already has (Bloom
+    exact, LSH-probe MinHash, prefix-index ER).
+
+    ``standing_fp`` is the persisted fingerprint frame — exactly the
+    distinct (id, fingerprint, gram) rows ``winnow_fingerprints``
+    produced over the standing corpus, UNCAPPED (the ``max_df``
+    boilerplate cap depends on document frequency, which changes as
+    the corpus grows, so it is re-applied here over the union: the
+    standing side's df comes from the persisted frame itself — a
+    groupBy, not a re-tokenize).  PRECONDITION: standing and new id
+    sets are disjoint (new docs are new).
+
+    Exactly-equal-to-batch claim: new-new pairs from the batch's own
+    self-join, new-standing pairs from the batch-vs-standing equi-join
+    on (fingerprint, gram); standing-standing pairs are by definition
+    not touched by the batch.  The union-df cap matches the batch
+    run's cap verbatim, so the result is the batch result filtered to
+    pairs with at least one new id (the equivalence property test's
+    gate).  Returns (a_id, b_id, n_shared) with a_id < b_id."""
+    std = standing_fp.select("id", "fingerprint", "gram")
+    new_fp = (
+        winnow_fingerprints(new_docs, text_col, id_col, k=k, w=w)
+        .select("id", "fingerprint", "gram")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if max_df is not None:
+        # document frequency over the UNION corpus: ids are disjoint so
+        # a plain union of the two per-doc frames counts each doc once
+        rare = (
+            std.unionByName(new_fp)
+            .groupBy("fingerprint", "gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fingerprint", "gram")
+        )
+        new_fp = (
+            new_fp.hint("merge").join(rare, ["fingerprint", "gram"], "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        # the standing side stays a lazy scan-plus-semi: it reads the
+        # persisted frame (cheap columnar scan), never the corpus text
+        std = std.hint("merge").join(rare, ["fingerprint", "gram"], "left_semi")
+    new_r = new_fp.select(F.col("id").alias("__id_r"), "fingerprint", "gram")
+    std_r = std.select(F.col("id").alias("__id_r"), "fingerprint", "gram")
+    nn = (
+        new_fp.hint("merge").join(new_r, ["fingerprint", "gram"])
+        .filter(F.col("id") < F.col("__id_r"))
+        .select(F.col("id").alias("a_id"), F.col("__id_r").alias("b_id"))
+    )
+    ns = (
+        new_fp.hint("merge").join(std_r, ["fingerprint", "gram"])
+        .select(
+            F.least("id", "__id_r").alias("a_id"),
+            F.greatest("id", "__id_r").alias("b_id"),
+        )
+    )
+    return (
+        nn.unionByName(ns)
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -21829,3 +21829,145 @@ FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.gram = b.gram AND a.id < b.id
 
 QUERIES.update({"q377_winnow_match_spans": q377_winnow_match_spans})
 ORACLE_SQL.update({"q377_winnow_match_spans": Q377_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Winnowing containment verdicts (q378) + incremental winnowing (q379)
+# ---------------------------------------------------------------------------
+
+def q378_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS's end report (`winnow.winnow_containment`, VERDICT r16
+    #7): each q373 pair ranked by COVERAGE FRACTION — shared
+    fingerprints over each side's own post-cap fingerprint count —
+    and triaged quote-vs-wholesale-copy: 'wholesale' when either
+    side's coverage >= 0.8 (one doc essentially contained in the
+    other: drop it), 'partial' >= 0.2, else 'incidental'.  Coverage is
+    DECIMAL(25,6) and the thresholds compare in decimal, so the
+    verdict STRINGS — not just the ratios — hash-gate cross-engine."""
+    from .operators.winnow import winnow_containment
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_containment(docs, "text", "doc_id", k=8, w=4,
+                              min_shared=3, max_df=10)
+
+
+Q378_SQL = """
+WITH posd AS (
+  SELECT doc_id AS id, text, unnest(generate_series(1, length(text) - 7)) AS i
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 8
+), g AS (
+  SELECT id, i - 1 AS pos, substring(text, i, 8) AS gram,
+         ('0x' || substring(md5('wn8:' || substring(text, i, 8)), 1, 10))::BIGINT AS h
+  FROM posd
+), keyed AS (
+  SELECT id, pos, h, count(*) OVER (PARTITION BY id) AS n,
+         min(h * 8388608 + (8388607 - pos)) OVER (
+           PARTITION BY id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win
+  FROM g
+), sel AS (
+  SELECT DISTINCT id, 8388607 - (win % 8388608) AS pos, win // 8388608 AS fp
+  FROM keyed WHERE pos <= greatest(n - 4, 0)
+), fpf0 AS (
+  SELECT DISTINCT s.id, s.fp, g.gram
+  FROM sel s JOIN g ON g.id = s.id AND g.pos = s.pos
+), rare AS (
+  SELECT fp, gram FROM fpf0 GROUP BY 1, 2 HAVING count(*) <= 10
+), fpf AS (
+  SELECT f.* FROM fpf0 f JOIN rare r ON f.fp = r.fp AND f.gram = r.gram
+), nf AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS nf FROM fpf GROUP BY id
+), pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+), scored AS (
+  SELECT p.a_id, p.b_id, p.n_shared, na.nf AS nf_a, nb.nf AS nf_b,
+         CAST(CAST(p.n_shared AS DECIMAL(25,6))
+              / CAST(na.nf AS DECIMAL(25,6)) AS DECIMAL(25,6)) AS coverage_a,
+         CAST(CAST(p.n_shared AS DECIMAL(25,6))
+              / CAST(nb.nf AS DECIMAL(25,6)) AS DECIMAL(25,6)) AS coverage_b
+  FROM pairs p
+  JOIN nf na ON na.id = p.a_id
+  JOIN nf nb ON nb.id = p.b_id
+)
+SELECT a_id, b_id, n_shared, nf_a, nf_b, coverage_a, coverage_b,
+       CASE WHEN greatest(coverage_a, coverage_b) >= CAST(0.8 AS DECIMAL(25,6))
+              THEN 'wholesale'
+            WHEN greatest(coverage_a, coverage_b) >= CAST(0.2 AS DECIMAL(25,6))
+              THEN 'partial'
+            ELSE 'incidental' END AS verdict
+FROM scored
+"""
+
+
+def q379_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q373 the way a daily pipeline runs it (VERDICT r16 #3): the
+    corpus split 90/10 into a STANDING corpus (doc_id % 10 != 0, its
+    fingerprint frame persisted — here pre-computed in-engine, in
+    production the `winnowindex.WinnowFingerprintIndex` sidecar) and
+    a NEW batch, then `winnow.winnow_overlap_incremental` fingerprints
+    ONLY the batch and equi-joins new-vs-(standing ∪ new).  The result
+    equals the full-batch q373 restricted to pairs touching the batch
+    — so the oracle IS that restriction of the full-batch SQL: the
+    equivalence claim itself is what DuckDB hash-gates (the q371
+    discipline).  The max_df boilerplate cap re-derives from UNION
+    document frequency — the standing side's df is a groupBy over the
+    persisted frame, never a corpus re-tokenize."""
+    from .operators.winnow import winnow_fingerprints, winnow_overlap_incremental
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    standing = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    standing_fp = (
+        winnow_fingerprints(standing, "text", "doc_id", k=8, w=4)
+        .select("id", "fingerprint", "gram")
+        .distinct()
+    )
+    return winnow_overlap_incremental(
+        standing_fp, batch, "text", "doc_id", k=8, w=4,
+        min_shared=3, max_df=10,
+    )
+
+
+Q379_SQL = """
+WITH posd AS (
+  SELECT doc_id AS id, text, unnest(generate_series(1, length(text) - 7)) AS i
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 8
+), g AS (
+  SELECT id, i - 1 AS pos, substring(text, i, 8) AS gram,
+         ('0x' || substring(md5('wn8:' || substring(text, i, 8)), 1, 10))::BIGINT AS h
+  FROM posd
+), keyed AS (
+  SELECT id, pos, h, count(*) OVER (PARTITION BY id) AS n,
+         min(h * 8388608 + (8388607 - pos)) OVER (
+           PARTITION BY id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win
+  FROM g
+), sel AS (
+  SELECT DISTINCT id, 8388607 - (win % 8388608) AS pos, win // 8388608 AS fp
+  FROM keyed WHERE pos <= greatest(n - 4, 0)
+), fpf0 AS (
+  SELECT DISTINCT s.id, s.fp, g.gram
+  FROM sel s JOIN g ON g.id = s.id AND g.pos = s.pos
+), rare AS (
+  SELECT fp, gram FROM fpf0 GROUP BY 1, 2 HAVING count(*) <= 10
+), fpf AS (
+  SELECT f.* FROM fpf0 f JOIN rare r ON f.fp = r.fp AND f.gram = r.gram
+)
+SELECT a.id AS a_id, b.id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.gram = b.gram AND a.id < b.id
+WHERE a.id % 10 = 0 OR b.id % 10 = 0
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+QUERIES.update({
+    "q378_winnow_containment": q378_winnow_containment,
+    "q379_winnow_incremental": q379_winnow_incremental,
+})
+ORACLE_SQL.update({
+    "q378_winnow_containment": Q378_SQL,
+    "q379_winnow_incremental": Q379_SQL,
+})

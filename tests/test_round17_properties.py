@@ -1,0 +1,203 @@
+"""Round-17 equivalence properties:
+
+- incremental winnowing (new-docs-vs-standing-corpus) == full-batch
+  winnow_overlap_pairs restricted to pairs touching the new batch
+  (VERDICT r16 #3), with and without the max_df boilerplate cap
+- winnow_containment coverage/verdicts == an independent recompute
+  from the fingerprint frame (VERDICT r16 #7)
+- the persistent WinnowFingerprintIndex sidecar syncs O(delta) on
+  appends, rebuilds on restore, and probes equal to the batch twin
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# a small pool of multi-char passages: docs built by concatenating
+# sampled passages share contiguous substrings (what winnowing
+# detects), and the pool is small enough that boilerplate passages
+# recur corpus-wide (what max_df strikes)
+PASSAGES = ["abcdefgh", "qrstuvwx", "mnopqrst", "12345678", "zzzzyyyy"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(PASSAGES), min_size=1, max_size=4),
+    min_size=2, max_size=10,
+)
+
+
+def _docs(spark, texts):
+    rows = [(i, "".join(parts)) for i, parts in enumerate(texts)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs_set(df):
+    return {(r["a_id"], r["b_id"], r["n_shared"]) for r in df.collect()}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=docs_strategy, max_df=st.sampled_from([None, 3]))
+def test_winnow_incremental_equals_batch_restricted(spark, texts, max_df):
+    from pyspark.sql import functions as F
+
+    from nlu_data_warehouse_project_spark.operators.winnow import (
+        winnow_fingerprints, winnow_overlap_incremental, winnow_overlap_pairs,
+    )
+
+    docs = _docs(spark, texts)
+    new_ids = {i for i in range(len(texts)) if i % 3 == 0}
+    standing = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    want = {
+        t for t in _pairs_set(
+            winnow_overlap_pairs(
+                docs, "text", "doc_id", k=3, w=3, min_shared=1, max_df=max_df
+            )
+        )
+        if t[0] in new_ids or t[1] in new_ids
+    }
+    standing_fp = (
+        winnow_fingerprints(standing, "text", "doc_id", k=3, w=3)
+        .select("id", "fingerprint", "gram")
+        .distinct()
+    )
+    got = _pairs_set(
+        winnow_overlap_incremental(
+            standing_fp, batch, "text", "doc_id",
+            k=3, w=3, min_shared=1, max_df=max_df,
+        )
+    )
+    assert got == want
+
+
+def test_winnow_containment_matches_recompute(spark):
+    """Coverage fractions and verdicts against an independent
+    recompute from the fingerprint frame: A is a passage contained
+    verbatim in B (high coverage on A's side), C shares only one
+    passage with B (low coverage both sides), D is unrelated."""
+    from nlu_data_warehouse_project_spark.operators.winnow import (
+        winnow_containment, winnow_fingerprints,
+    )
+
+    a = "abcdefgh" * 4                               # wholly contained in b
+    b = "abcdefgh" * 4 + "qrstuvwx" + "JKLMNOPQRS" * 8   # container + own bulk
+    c = "qrstuvwx" + "0987654321" * 8                # small shared passage w/ b
+    d = "zyxwvuts" * 6                               # unrelated
+    e = "qrstuvwx" + "0987654321" + "zqxwvu" * 4     # mid-coverage vs c
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c), (3, d), (4, e)], "doc_id long, text string"
+    )
+    k, w = 4, 3
+
+    fp = {
+        (r["id"], r["fingerprint"], r["gram"])
+        for r in winnow_fingerprints(docs, "text", "doc_id", k=k, w=w).collect()
+    }
+    nf = {}
+    for (i, f, g) in fp:
+        nf.setdefault(i, set()).add((f, g))
+    want = {}
+    ids = sorted(nf)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                shared = len(nf[x] & nf[y])
+                if shared >= 1:
+                    cov_a = (Decimal(shared) / Decimal(len(nf[x]))).quantize(
+                        Decimal("0.000001")
+                    )
+                    cov_b = (Decimal(shared) / Decimal(len(nf[y]))).quantize(
+                        Decimal("0.000001")
+                    )
+                    top = max(cov_a, cov_b)
+                    verdict = (
+                        "wholesale" if top >= Decimal("0.8")
+                        else "partial" if top >= Decimal("0.2")
+                        else "incidental"
+                    )
+                    want[(x, y)] = (
+                        shared, len(nf[x]), len(nf[y]), cov_a, cov_b, verdict
+                    )
+
+    got = {
+        (r["a_id"], r["b_id"]): (
+            r["n_shared"], r["nf_a"], r["nf_b"],
+            r["coverage_a"], r["coverage_b"], r["verdict"],
+        )
+        for r in winnow_containment(
+            docs, "text", "doc_id", k=k, w=w, min_shared=1
+        ).collect()
+    }
+    assert got == want
+    # the construction exercised all three verdict classes
+    verdicts = {v[5] for v in got.values()}
+    assert verdicts == {"wholesale", "partial", "incidental"}, verdicts
+
+
+def test_winnow_index_sync_and_overlap(spark, tmp_path):
+    """Persistent winnowing sidecar: probe against the saved
+    fingerprint table equals the full-batch computation restricted to
+    pairs touching the batch; sync is O(delta) on appends, rebuilds on
+    restore, and is idempotent."""
+    from pyspark.sql import functions as F
+
+    from nlu_data_warehouse_project_spark.operators.winnow import (
+        winnow_overlap_pairs,
+    )
+    from nlu_data_warehouse_project_spark.operators.winnowindex import (
+        WinnowFingerprintIndex,
+    )
+    from nlu_data_warehouse_project_spark.sources.txlog import TxTable
+
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    alt = "petabyte pipelines need deterministic sampling and dedup"
+    docs = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+
+    corpus = TxTable(spark, str(tmp_path / "corpus"))
+    corpus.commit_append(docs([(1, base)]), "d1")
+    idx = WinnowFingerprintIndex(corpus, k=5, w=4)
+    assert idx.sync() == 1
+    rows_v1 = idx.index.read().count()
+    assert rows_v1 > 0
+
+    # O(delta): appending one doc appends only that doc's fingerprints
+    corpus.commit_append(docs([(2, alt)]), "d2")
+    assert idx.sync() == 2
+    v2_ids = {r["doc_id"] for r in idx.index.read().select("doc_id").distinct().collect()}
+    assert v2_ids == {1, 2}
+    assert idx.index.read().filter(F.col("doc_id") == 1).count() == rows_v1
+    assert idx.sync() == 2  # idempotent: no new index version
+    assert idx.index.latest_version() == 2
+
+    # batch: 10 shares a passage with corpus doc 1; 11 and 12 share a
+    # passage with each other; 13 is novel
+    batch = docs([
+        (10, "yesterday the quick brown fox jumps over the fence again"),
+        (11, "shared incremental winnow passage one two three"),
+        (12, "shared incremental winnow passage four five six"),
+        (13, "nothing in common with anything settled anywhere"),
+    ])
+    got = _pairs_set(idx.overlap(batch, min_shared=1))
+    union = corpus.read().unionByName(batch)
+    want = {
+        t for t in _pairs_set(
+            winnow_overlap_pairs(union, "text", "doc_id", k=5, w=4, min_shared=1)
+        )
+        if t[0] >= 10 or t[1] >= 10
+    }
+    assert got == want
+    got_ids = {i for t in got for i in t[:2]}
+    assert 10 in got_ids and 11 in got_ids and 12 in got_ids
+    assert 13 not in got_ids
+
+    # restore shrinks the corpus -> sync must rebuild; doc 2's
+    # fingerprints must be gone and doc-1 overlap still works
+    corpus.restore(1)
+    assert idx.sync() == 3
+    assert idx.index.manifest()["synced_corpus_version"] == 3
+    assert idx.index.read().count() == rows_v1
+    got2 = _pairs_set(idx.overlap(docs([(20, alt)]), min_shared=1))
+    assert got2 == set()  # alt's twin (doc 2) was rolled back
