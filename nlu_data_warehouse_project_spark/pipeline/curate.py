@@ -44,6 +44,10 @@ def curate_corpus(
     embedding_col: str = "embedding",
     semantic_k: int = 8,
     semantic_threshold: float = 0.95,
+    quality_model: DataFrame | None = None,
+    quality_model_prior: DataFrame | None = None,
+    quality_model_buckets: int = 1024,
+    quality_min_log_odds_per_token: float = 0.0,
 ) -> DataFrame:
     """Returns the curated corpus at document grain: the input columns
     plus ``redacted`` (scrubbed text) and ``split``.  Deterministic end
@@ -90,6 +94,23 @@ def curate_corpus(
         from ..functions.text import content_safety_gate
 
         gated = gated.filter(content_safety_gate(text_col, flagged_words))
+    # 1.25 LEARNED quality gate (optional) — CCNet-style NB linear
+    #      model (operators.qualitymodel): caller passes a TRAINED
+    #      (bucket, weight) frame; docs scoring under the per-token
+    #      log-odds floor are dropped.  Costs one explode + a
+    #      broadcast join against the B-row weight table — heavier
+    #      than the row-local rules above (hence after them), still
+    #      far ahead of the shuffling dedup stages.
+    if quality_model is not None:
+        from ..operators.qualitymodel import quality_model_score
+
+        passing = quality_model_score(
+            gated, quality_model, text_col, id_col,
+            buckets=quality_model_buckets, prior=quality_model_prior,
+        ).filter(
+            F.col("log_odds_per_token") >= quality_min_log_odds_per_token
+        ).select(F.col("id").alias(id_col))
+        gated = gated.join(passing, id_col, "left_semi")
     # 1.5 benchmark decontamination (optional) — broadcast probe against
     #     the eval-set shingles; runs BEFORE dedup so a clean duplicate
     #     of a contaminated doc can still survive as the group's keeper

@@ -21971,3 +21971,81 @@ ORACLE_SQL.update({
     "q378_winnow_containment": Q378_SQL,
     "q379_winnow_incremental": Q379_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (q380) — VERDICT r16 #5
+# ---------------------------------------------------------------------------
+
+def q380_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LEARNED quality classifier
+    (`qualitymodel.nb_linear_weights` + `quality_model_score`): train
+    a Laplace-smoothed Naive-Bayes linear model over 1024 hashed
+    token buckets with label = (lang = 'en') — the CCNet seed shape,
+    Wikipedia-vs-crawl respelled onto the corpus's language tag —
+    then score every document: log_odds = bias + Σ w[bucket(token)],
+    predicted_pos = log_odds > 0.  The md5 bucket recipe, ln() and
+    round(…, 6) are deterministic in both engines and the rounded
+    weights are DECIMAL(25,6), so per-doc sums are EXACT and
+    order-independent: the entire trained model AND its inference —
+    not a proxy — is what DuckDB hash-gates.  100 TB shape: training
+    is one grouped pass over the labeled seed; inference is one
+    explode + one BROADCAST join against the 1024-row weight frame +
+    one per-doc groupBy — no Python anywhere."""
+    from .operators.qualitymodel import (
+        nb_doc_prior, nb_linear_weights, quality_model_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_en")
+    )
+    w = nb_linear_weights(docs, "text", "is_en", buckets=1024)
+    prior = nb_doc_prior(docs, "text", "is_en")
+    return quality_model_score(
+        docs, w, "text", "doc_id", buckets=1024, prior=prior
+    ).withColumnRenamed("id", "doc_id")
+
+
+Q380_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS pos, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), tb AS (
+  SELECT doc_id, pos,
+         ('0x' || substring(md5('qc:' || tok), 1, 10))::BIGINT % 1024 AS bucket
+  FROM toks WHERE tok <> ''
+), cnt AS (
+  SELECT bucket,
+         CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS c0
+  FROM tb GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0 FROM cnt
+), allb AS (
+  SELECT unnest(generate_series(0, 1023)) AS bucket
+), w AS (
+  SELECT a.bucket,
+         CAST(round(ln((coalesce(c.c1, 0) + 1.0) / (t.n1 + 1024.0))
+                  - ln((coalesce(c.c0, 0) + 1.0) / (t.n0 + 1024.0)), 6)
+              AS DECIMAL(25,6)) AS weight
+  FROM allb a LEFT JOIN cnt c ON c.bucket = a.bucket, tot t
+), prior AS (
+  SELECT CAST(round(
+           ln(CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE))
+         - ln(CAST(count(*) FILTER (WHERE lang <> 'en') AS DOUBLE)), 6)
+         AS DECIMAL(25,6)) AS bias
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT tb.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(p.bias + sum(w.weight) AS DECIMAL(25,6)) AS log_odds,
+       CAST(CAST(p.bias + sum(w.weight) AS DECIMAL(25,6))
+            / CAST(count(*) AS DECIMAL(25,6)) AS DECIMAL(25,6))
+         AS log_odds_per_token,
+       CAST(p.bias + sum(w.weight) AS DECIMAL(25,6)) > 0 AS predicted_pos
+FROM tb JOIN w ON w.bucket = tb.bucket, prior p
+GROUP BY tb.doc_id, p.bias
+"""
+
+QUERIES.update({"q380_quality_model_score": q380_quality_model_score})
+ORACLE_SQL.update({"q380_quality_model_score": Q380_SQL})

@@ -137,6 +137,112 @@ def test_winnow_containment_matches_recompute(spark):
     assert verdicts == {"wholesale", "partial", "incidental"}, verdicts
 
 
+def test_quality_model_matches_python_recompute(spark):
+    """NB linear model (train + score) against a pure-Python Decimal
+    recompute of the same math: md5 buckets, Laplace-smoothed
+    log-odds weights rounded HALF_UP to 6 decimals, exact decimal
+    per-doc sums plus the doc prior."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP
+
+    from nlu_data_warehouse_project_spark.operators.qualitymodel import (
+        nb_doc_prior, nb_linear_weights, quality_model_score,
+    )
+
+    rows = [
+        (0, "alpha beta gamma alpha", True),
+        (1, "alpha beta delta", True),
+        (2, "noise junk spam junk", False),
+        (3, "spam noise beta", False),
+        (4, "alpha gamma gamma", True),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, pos boolean")
+    B, alpha = 64, 1.0
+
+    def bucket(tok):
+        return int(hashlib.md5(f"qc:{tok}".encode()).hexdigest()[:10], 16) % B
+
+    def r6(x):
+        return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    c1, c0 = {}, {}
+    for _i, text, pos in rows:
+        for tok in text.split(" "):
+            if tok:
+                (c1 if pos else c0)[bucket(tok)] = (c1 if pos else c0).get(bucket(tok), 0) + 1
+    n1, n0 = sum(c1.values()), sum(c0.values())
+    w = {
+        b: r6(math.log((c1.get(b, 0) + alpha) / (n1 + alpha * B))
+              - math.log((c0.get(b, 0) + alpha) / (n0 + alpha * B)))
+        for b in range(B)
+    }
+    bias = r6(math.log(3) - math.log(2))
+    want = {}
+    for i, text, _pos in rows:
+        toks = [t for t in text.split(" ") if t]
+        lo = (bias + sum(w[bucket(t)] for t in toks)).quantize(Decimal("0.000001"))
+        want[i] = (
+            len(toks), lo,
+            (lo / Decimal(len(toks))).quantize(Decimal("0.000001"), ROUND_HALF_UP),
+            lo > 0,
+        )
+
+    weights = nb_linear_weights(docs, "text", "pos", buckets=B, alpha=alpha)
+    got_w = {r["bucket"]: r["weight"] for r in weights.collect()}
+    assert got_w == w
+    prior = nb_doc_prior(docs, "text", "pos")
+    got = {
+        r["id"]: (r["n_tokens"], r["log_odds"], r["log_odds_per_token"],
+                  r["predicted_pos"])
+        for r in quality_model_score(
+            docs, weights, "text", "doc_id", buckets=B, prior=prior
+        ).collect()
+    }
+    assert got == want
+    # the easy corpus separates: positive-vocab docs classify positive
+    assert [got[i][3] for i in range(5)] == [True, True, False, False, True]
+
+
+def test_curate_quality_model_gate(spark):
+    """curate_corpus drops docs scoring under the learned per-token
+    log-odds floor, keeps the rest, and composes with the rule gates."""
+    from nlu_data_warehouse_project_spark.operators.qualitymodel import (
+        nb_linear_weights,
+    )
+    from nlu_data_warehouse_project_spark.pipeline.curate import curate_corpus
+
+    good = "clean well formed prose about data engineering and spark plans"
+    bad = "buy cheap buy cheap buy cheap click here click here click here"
+    seed = spark.createDataFrame(
+        [(100, good, True), (101, bad, False)],
+        "doc_id long, text string, pos boolean",
+    )
+    model = nb_linear_weights(seed, "text", "pos", buckets=128)
+    docs = spark.createDataFrame(
+        [
+            (1, "clean prose about spark data plans and engineering work"),
+            (2, "click here buy cheap click here buy cheap right now friend"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, min_tokens=5, max_bucket_size=None,
+            quality_model=model, quality_model_buckets=128,
+            quality_min_log_odds_per_token=0.0,
+        ).collect()
+    }
+    assert kept == {1}
+    # without the model gate both survive the rule gates
+    both = {
+        r["doc_id"]
+        for r in curate_corpus(docs, min_tokens=5, max_bucket_size=None).collect()
+    }
+    assert both == {1, 2}
+
+
 def test_winnow_index_sync_and_overlap(spark, tmp_path):
     """Persistent winnowing sidecar: probe against the saved
     fingerprint table equals the full-batch computation restricted to
