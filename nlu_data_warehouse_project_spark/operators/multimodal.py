@@ -577,10 +577,12 @@ def encode_png(
 
 
 def decode_bmp(payload: bytes) -> dict:
-    """Decode an uncompressed BMP (BITMAPINFOHEADER, BI_RGB, 24- or
-    32-bit) — the same device-independent-bitmap layout the DIB AVI
-    frames use: bottom-up rows (negative height = top-down), BGR(A)
-    byte order, rows padded to 4 bytes.  Palettized/RLE/bitfield BMPs
+    """Decode an uncompressed BMP (BITMAPINFOHEADER, BI_RGB): 24- or
+    32-bit truecolor, or 1/4/8-bit PALETTIZED (indices through the
+    BGRX color table that follows the header; 1/4-bit rows unpack
+    MSB-first) — the same device-independent-bitmap layout the DIB
+    AVI frames use: bottom-up rows (negative height = top-down),
+    BGR(A) byte order, rows padded to 4 bytes.  RLE/bitfield BMPs
     fail fast; nothing here needs a codec library."""
     import numpy as np
 
@@ -602,25 +604,54 @@ def decode_bmp(payload: bytes) -> dict:
             f"BMP biCompression={compression}: only BI_RGB (uncompressed) "
             "decodes here — RLE/bitfield payloads need a codec library"
         )
-    if bits not in (24, 32):
+    if bits not in (1, 4, 8, 24, 32):
         raise NotImplementedError(
-            f"BMP biBitCount={bits}: 24/32-bit BI_RGB decode here; "
-            "palettized depths need the color-table layer"
+            f"BMP biBitCount={bits}: 1/4/8-bit palettized and 24/32-bit "
+            "BI_RGB decode here (16-bit is bitfield-shaped: fail fast)"
         )
     top_down = h_signed < 0
     h = abs(h_signed)
-    bypp = bits // 8
-    stride = (w * bypp + 3) & ~3
+    stride = ((w * bits + 31) // 32) * 4
     need = data_at + stride * h
     if w <= 0 or h == 0 or len(payload) < need:
         raise ValueError(f"BMP pixel data truncated ({len(payload)} < {need})")
     rows = np.frombuffer(
         payload[data_at:data_at + stride * h], dtype=np.uint8
     ).reshape(h, stride)
-    px = rows[:, : w * bypp].reshape(h, w, bypp)
-    if not top_down:
-        px = px[::-1]
-    rgb = np.ascontiguousarray(px[:, :, 2::-1])  # BGR(A) -> RGB
+    if bits in (24, 32):
+        bypp = bits // 8
+        px = rows[:, : w * bypp].reshape(h, w, bypp)
+        if not top_down:
+            px = px[::-1]
+        rgb = np.ascontiguousarray(px[:, :, 2::-1])  # BGR(A) -> RGB
+    else:
+        # palettized: biClrUsed entries (0 = full 2^bits), 4-byte BGRX
+        # each, immediately after the info header
+        (clr_used,) = struct.unpack("<I", payload[46:50])
+        n_colors = clr_used or (1 << bits)
+        pal_at = 14 + hdr_size
+        if len(payload) < pal_at + 4 * n_colors:
+            raise ValueError("BMP color table truncated")
+        pal = np.frombuffer(
+            payload[pal_at:pal_at + 4 * n_colors], dtype=np.uint8
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRX -> RGB
+        if bits == 8:
+            idx = rows[:, :w]
+        elif bits == 4:
+            nib = np.empty((h, stride * 2), dtype=np.uint8)
+            nib[:, 0::2] = rows >> 4
+            nib[:, 1::2] = rows & 0x0F
+            idx = nib[:, :w]
+        else:  # 1-bit, MSB first
+            idx = np.unpackbits(rows, axis=1)[:, :w]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError(
+                f"BMP palette index {int(idx.max())} >= table size {n_colors}"
+            )
+        px = pal[idx]  # (h, w, 3)
+        if not top_down:
+            px = px[::-1]
+        rgb = np.ascontiguousarray(px)
     return {
         "format": "bmp", "width": w, "height": h,
         "channels": 3, "pixels": rgb.tobytes(),
@@ -645,15 +676,61 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return hdr + info + data
 
 
+def encode_bmp_palettized(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: list[tuple[int, int, int]],
+    bits: int = 8,
+) -> bytes:
+    """Palettized BMP writer (1/4/8-bit, bottom-up) — the fixture/
+    export twin of ``decode_bmp``'s color-table path: ``indices`` is
+    one row-major byte per pixel (values < len(palette)), packed
+    MSB-first for sub-8 depths; the color table is written BGRX.
+    Round-trips exactly through ``decode_bmp``."""
+    import numpy as np
+
+    if bits not in (1, 4, 8):
+        raise ValueError(f"bits={bits} (1/4/8)")
+    if len(palette) < 1 or len(palette) > (1 << bits):
+        raise ValueError(f"palette size {len(palette)} for {bits}-bit")
+    if len(indices) != width * height:
+        raise ValueError(f"need {width * height} index bytes, got {len(indices)}")
+    idx = np.frombuffer(bytes(indices), dtype=np.uint8).reshape(height, width)
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("index out of palette range")
+    stride = ((width * bits + 31) // 32) * 4
+    packed = np.zeros((height, stride), dtype=np.uint8)
+    if bits == 8:
+        packed[:, :width] = idx
+    elif bits == 4:
+        padded = np.zeros((height, (width + 1) & ~1), dtype=np.uint8)
+        padded[:, :width] = idx
+        packed[:, : padded.shape[1] // 2] = (padded[:, 0::2] << 4) | padded[:, 1::2]
+    else:
+        padded = np.zeros((height, (width + 7) & ~7), dtype=np.uint8)
+        padded[:, :width] = idx
+        packed[:, : padded.shape[1] // 8] = np.packbits(padded, axis=1)
+    data = packed[::-1].tobytes()  # bottom-up
+    table = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette)
+    data_at = 14 + 40 + len(table)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bits, 0,
+                       len(data), 2835, 2835, len(palette), 0)
+    hdr = struct.pack("<2sIHHI", b"BM", data_at + len(data), 0, 0, data_at)
+    return hdr + info + table + data
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload: PNG via the stdlib path above;
     baseline, progressive, lossless AND hierarchical-lossless JPEG via
-    ``operators.jpeg``; uncompressed 24/32-bit BMP via ``decode_bmp``;
-    GIF (LZW + interlace, first frame) via ``operators.gif``; TIFF
-    strips compressed none/PackBits/LZW/Deflate via ``operators.tiff``
-    — all pure Python+numpy, no codec library.  Remaining fail-fasts:
-    arithmetic JPEG, JPEG-in-TIFF, TIFF CCITT, tiled or planar-2 TIFF,
-    lossy-VP8 WebP, and anything else unrecognized."""
+    ``operators.jpeg``; uncompressed 24/32-bit and 1/4/8-bit
+    palettized BMP via ``decode_bmp``; GIF (LZW + interlace, first
+    frame) via ``operators.gif``; 8/16-bit TIFF strips compressed
+    none/PackBits/LZW/Deflate via ``operators.tiff`` — all pure
+    Python+numpy, no codec library.  Remaining fail-fasts: arithmetic
+    JPEG, JPEG-in-TIFF, TIFF CCITT, tiled or planar-2 TIFF, RLE or
+    16-bit-bitfield BMP, lossy-VP8 WebP, and anything else
+    unrecognized."""
     if isinstance(payload, (bytes, bytearray)):
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)

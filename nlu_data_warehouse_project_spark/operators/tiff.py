@@ -4,10 +4,11 @@ assembly.  Scope: compression 1 (none),
 32773 (PackBits, the spec's §9 byte-run RLE), 5 (TIFF-LZW — the
 MSB-FIRST, EARLY-CHANGE variant, deliberately a separate
 implementation from GIF's LSB-first coder) and 8 (Deflate — stdlib
-zlib); 8-bit grayscale and RGB(A), single plane
-(PlanarConfiguration 1), strips (tiled TIFF is an extension and
-fails fast).  JPEG-in-TIFF and CCITT fax codings fail fast naming
-themselves.
+zlib); 8- and 16-bit grayscale and RGB(A) (16-bit samples decode in
+the file's byte order and downsample by the high byte onto the 8-bit
+surface, the decode_png rule), single plane (PlanarConfiguration 1),
+strips (tiled TIFF is an extension and fails fast).  JPEG-in-TIFF and
+CCITT fax codings fail fast naming themselves.
 
 ``encode_tiff`` is the fixture/export twin (uncompressed or PackBits,
 gray/RGB, configurable rows-per-strip so multi-strip assembly is
@@ -230,8 +231,11 @@ def decode_tiff(payload: bytes) -> dict:
         )
     spp = tags.get(_SAMPLES, [1])[0]
     bits = tags.get(_BITS, [8] * spp)
-    if any(b != 8 for b in bits):
-        raise NotImplementedError(f"TIFF BitsPerSample {bits}: 8-bit only")
+    if not (all(b == 8 for b in bits) or all(b == 16 for b in bits)):
+        raise NotImplementedError(
+            f"TIFF BitsPerSample {bits}: uniform 8- or 16-bit only"
+        )
+    bps = bits[0] // 8  # bytes per sample: 1 or 2
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"TIFF SamplesPerPixel {spp} (1/3/4)")
     if tags.get(_PLANAR, [1])[0] != 1:
@@ -241,7 +245,7 @@ def decode_tiff(payload: bytes) -> dict:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF strips missing/mismatched")
     rps = tags.get(_ROWS_PER_STRIP, [h])[0]
-    row_bytes = w * spp
+    row_bytes = w * spp * bps
     data = bytearray()
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         raw = payload[off:off + cnt]
@@ -273,9 +277,17 @@ def decode_tiff(payload: bytes) -> dict:
         raise ValueError(
             f"TIFF strips carry {len(data)} bytes, need {h * row_bytes}"
         )
-    px = np.frombuffer(bytes(data[: h * row_bytes]), dtype=np.uint8).reshape(
-        h, w, spp
-    )
+    if bps == 2:
+        # native 16-bit samples in the FILE's byte order; downsample by
+        # the high byte onto the 8-bit surface — the same 16->8 rule
+        # decode_png applies (exact for the hi*257 gradients 16-bit
+        # encoders emit for 8-bit content)
+        wide = np.frombuffer(bytes(data[: h * row_bytes]), dtype=np.dtype(e + "u2"))
+        px = (wide >> 8).astype(np.uint8).reshape(h, w, spp)
+    else:
+        px = np.frombuffer(bytes(data[: h * row_bytes]), dtype=np.uint8).reshape(
+            h, w, spp
+        )
     photo = tags.get(_PHOTOMETRIC, [1])[0]
     if photo == 0 and spp == 1:  # WhiteIsZero: invert into the contract
         px = 255 - px
@@ -293,23 +305,28 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     packbits: bool = False,
     compression: int | None = None,
+    bits_per_sample: int = 8,
 ) -> bytes:
     """Little-endian baseline TIFF writer (fixture/export twin):
-    gray/RGB/RGBA 8-bit, strip layout with configurable rows-per-strip
-    (multi-strip assembly is part of what the tests exercise),
-    compression 1/5/8/32773 (``packbits=True`` is shorthand for
-    32773)."""
+    gray/RGB/RGBA 8- or 16-bit (``bits_per_sample=16`` takes
+    little-endian uint16 sample bytes), strip layout with configurable
+    rows-per-strip (multi-strip assembly is part of what the tests
+    exercise), compression 1/5/8/32773 (``packbits=True`` is shorthand
+    for 32773)."""
     if channels not in (1, 3, 4):
         raise ValueError(f"channels={channels} (1/3/4)")
-    if len(pixels) != width * height * channels:
+    if bits_per_sample not in (8, 16):
+        raise ValueError(f"bits_per_sample={bits_per_sample} (8/16)")
+    bps = bits_per_sample // 8
+    if len(pixels) != width * height * channels * bps:
         raise ValueError(
-            f"need {width * height * channels} bytes, got {len(pixels)}"
+            f"need {width * height * channels * bps} bytes, got {len(pixels)}"
         )
     comp = compression if compression is not None else (32773 if packbits else 1)
     if comp not in (1, 5, 8, 32773):
         raise ValueError(f"compression={comp} (1/5/8/32773)")
     rps = rows_per_strip or height
-    row_bytes = width * channels
+    row_bytes = width * channels * bps
     strips = []
     for y0 in range(0, height, rps):
         rows = pixels[y0 * row_bytes:(y0 + min(rps, height - y0)) * row_bytes]
@@ -340,7 +357,7 @@ def encode_tiff(
     entries = [
         (_WIDTH, 4, [width]),
         (_HEIGHT, 4, [height]),
-        (_BITS, 3, [8] * channels),
+        (_BITS, 3, [bits_per_sample] * channels),
         (_COMPRESSION, 3, [comp]),
         (_PHOTOMETRIC, 3, [1 if channels == 1 else 2]),
         (_STRIP_OFFSETS, 4, [0] * len(strips)),  # patched below

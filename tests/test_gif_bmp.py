@@ -198,3 +198,87 @@ def test_webp_header_probe():
     assert parse_image_header(vp8x) == ("webp", 640, 480)
     with pytest.raises(NotImplementedError):
         decode_image(vp8)
+
+
+def test_bmp_palettized_roundtrip():
+    """Round 17: 1/4/8-bit palettized BMPs decode through the BGRX
+    color table (MSB-first sub-8 unpack, bottom-up rows) and
+    round-trip exactly through the fixture twin; 16-bit stays a
+    fail-fast (bitfield-shaped)."""
+    import struct
+
+    from nlu_data_warehouse_project_spark.operators.multimodal import (
+        encode_bmp_palettized,
+    )
+
+    rng = np.random.RandomState(33)
+    pal = [(250, 10, 20), (0, 200, 0), (5, 5, 250), (40, 40, 40), (255, 255, 0)]
+    exp = np.array(pal, dtype=np.uint8)
+    for bits, ncol, w, h in ((8, 5, 10, 6), (4, 5, 7, 5), (1, 2, 10, 3)):
+        idx = rng.randint(0, ncol, size=(h, w)).astype(np.uint8)
+        payload = encode_bmp_palettized(w, h, idx.tobytes(), pal[:ncol], bits=bits)
+        assert parse_image_header(payload) == ("bmp", w, h)
+        img = decode_bmp(payload)
+        assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+        assert img["pixels"] == exp[idx].tobytes(), bits
+        assert decode_image(payload)["pixels"] == exp[idx].tobytes()
+    # an index past the color table is loud, not a silent wrap
+    bad = bytearray(encode_bmp_palettized(2, 1, bytes([0, 1]), pal[:2], bits=8))
+    data_at = struct.unpack("<I", bad[10:14])[0]
+    bad[data_at] = 7
+    with pytest.raises(ValueError, match="palette index"):
+        decode_bmp(bytes(bad))
+    # 16-bit (bitfield-shaped) still fails fast, naming itself
+    b16 = bytearray(encode_bmp(2, 1, bytes(6)))
+    b16[28:30] = struct.pack("<H", 16)
+    with pytest.raises(NotImplementedError, match="biBitCount=16"):
+        decode_bmp(bytes(b16))
+
+
+def test_tiff_16bit_roundtrip_and_big_endian():
+    """Round 17: 16-bit TIFF samples decode in the file's byte order
+    and downsample by the high byte onto the 8-bit surface (the
+    decode_png rule) — exact for hi*257 gradients; works across
+    strips and every shipped compression; a hand-built MM (big-endian)
+    payload pins the byte-order path; mixed depths stay a fail-fast."""
+    import struct
+
+    from nlu_data_warehouse_project_spark.operators.tiff import (
+        decode_tiff, encode_tiff,
+    )
+
+    rng = np.random.RandomState(41)
+    for ch in (1, 3):
+        hi = rng.randint(0, 256, size=(9, 5, ch), dtype=np.uint8)
+        wide = (hi.astype(np.uint16) * 257)  # hi*257: exact high-byte inverse
+        for comp in (1, 5, 8, 32773):
+            t = encode_tiff(5, 9, ch, wide.astype("<u2").tobytes(),
+                            rows_per_strip=4, compression=comp,
+                            bits_per_sample=16)
+            img = decode_tiff(t)
+            assert (img["width"], img["height"], img["channels"]) == (5, 9, ch)
+            assert img["pixels"] == hi.tobytes(), (ch, comp)
+    # big-endian (MM) 16-bit gray, hand-built: 2x1, samples 0xAB12 0x00FF
+    def be_tag(tid, typ, val):
+        fmt = {3: "H", 4: "I"}[typ]
+        return struct.pack(">HHI", tid, typ, 1) + struct.pack(
+            ">" + fmt, val
+        ).ljust(4, b"\x00")
+
+    px_at = 8 + 2 + 9 * 12 + 4
+    ifd = struct.pack(">H", 9) + b"".join([
+        be_tag(256, 4, 2), be_tag(257, 4, 1), be_tag(258, 3, 16),
+        be_tag(259, 3, 1), be_tag(262, 3, 1), be_tag(273, 4, px_at),
+        be_tag(277, 3, 1), be_tag(278, 4, 1), be_tag(279, 4, 4),
+    ]) + struct.pack(">I", 0)
+    mm = b"MM\x00*" + struct.pack(">I", 8) + ifd + struct.pack(">HH", 0xAB12, 0x00FF)
+    img = decode_tiff(mm)
+    assert (img["width"], img["height"], img["channels"]) == (2, 1, 1)
+    assert img["pixels"] == bytes([0xAB, 0x00])
+    # mixed per-channel depths fail fast
+    bad = bytearray(encode_tiff(2, 2, 3, bytes(2 * 2 * 3 * 2), bits_per_sample=16))
+    at = bad.index(struct.pack("<HH", 258, 3))
+    off = struct.unpack("<I", bad[at + 8:at + 12])[0]
+    bad[off:off + 2] = struct.pack("<H", 8)  # first channel 8, rest 16
+    with pytest.raises(NotImplementedError, match="BitsPerSample"):
+        decode_tiff(bytes(bad))
