@@ -726,11 +726,12 @@ def decode_image(payload: bytes) -> dict:
     ``operators.jpeg``; uncompressed 24/32-bit and 1/4/8-bit
     palettized BMP via ``decode_bmp``; GIF (LZW + interlace, first
     frame) via ``operators.gif``; 8/16-bit TIFF strips compressed
-    none/PackBits/LZW/Deflate via ``operators.tiff`` — all pure
-    Python+numpy, no codec library.  Remaining fail-fasts: arithmetic
-    JPEG, JPEG-in-TIFF, TIFF CCITT, tiled or planar-2 TIFF, RLE or
-    16-bit-bitfield BMP, lossy-VP8 WebP, and anything else
-    unrecognized."""
+    none/PackBits/LZW/Deflate via ``operators.tiff``; lossless WebP
+    (VP8L: all four transforms, color cache, LZ77, meta-Huffman) via
+    ``operators.webp`` — all pure Python+numpy, no codec library.
+    Remaining fail-fasts: arithmetic JPEG, JPEG-in-TIFF, TIFF CCITT,
+    tiled or planar-2 TIFF, RLE or 16-bit-bitfield BMP, lossy-VP8
+    WebP, and anything else unrecognized."""
     if isinstance(payload, (bytes, bytearray)):
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)
@@ -748,9 +749,13 @@ def decode_image(payload: bytes) -> dict:
             from .tiff import decode_tiff
 
             return decode_tiff(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from .webp import decode_webp
+
+            return decode_webp(payload)
     raise NotImplementedError(
-        "only PNG, JPEG, uncompressed BMP, GIF and baseline TIFF "
-        "decode without a codec library; this payload is none of them"
+        "only PNG, JPEG, BMP, GIF, TIFF and lossless WebP decode "
+        "without a codec library; this payload is none of them"
     )
 
 
