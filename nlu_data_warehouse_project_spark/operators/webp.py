@@ -555,8 +555,18 @@ def decode_webp(payload: bytes) -> dict:
     ):
         raise ValueError("not a WebP payload")
     pos = 12
-    while pos + 8 <= len(payload):
+    while pos + 4 <= len(payload):
         fourcc = payload[pos:pos + 4]
+        if pos + 8 > len(payload):
+            # chunk header truncated after the fourcc — still enough to
+            # classify: a lossy chunk keeps the honest missing-codec
+            # fail-fast, a lossless one is a malformed payload
+            if fourcc == b"VP8 ":
+                raise NotImplementedError(
+                    "WebP lossy (VP8) decode needs libwebp or ffmpeg; "
+                    "only VP8L (lossless) decodes here"
+                )
+            raise ValueError("WebP chunk header truncated")
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + size]
         if fourcc == b"VP8L":

@@ -22049,3 +22049,128 @@ GROUP BY tb.doc_id, p.bias
 
 QUERIES.update({"q380_quality_model_score": q380_quality_model_score})
 ORACLE_SQL.update({"q380_quality_model_score": Q380_SQL})
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (q381) + temperature-based mixture plan (q382)
+# ---------------------------------------------------------------------------
+
+def q381_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (`search.bm25_scores`, Lucene idf variant) of the
+    3-term query {spark, merge, window} against every document — the
+    retrieval primitive that pulls topical slices out of a corpus
+    (and the lexical baseline dense retrievers are judged against),
+    next to the inverted-index (q111), phrase (q356) and TF-IDF
+    (q349) members of the search family.  Per-term contributions
+    round to 6 decimals into DECIMAL(25,6) BEFORE the per-doc sum, so
+    the score — idf, saturation and length normalization included —
+    hash-gates cross-engine."""
+    from .operators.search import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(docs, ["spark", "merge", "window"])
+
+
+Q381_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS d, unnest({_LTOKENS_SQL}) AS t
+  FROM documents WHERE text IS NOT NULL
+), dl AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT d, t, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE t IN ('spark', 'merge', 'window') GROUP BY 1, 2
+), df AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT tf.d,
+         CAST(round(
+           ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)),
+           6) AS DECIMAL(25,6)) AS c
+  FROM tf JOIN df ON df.t = tf.t JOIN dl ON dl.d = tf.d, stats s
+)
+SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+       CAST(sum(c) AS DECIMAL(25,6)) AS score
+FROM contrib GROUP BY 1
+"""
+
+
+def q382_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-based mixture sampling (the multilingual-pretraining
+    rule, XLM-R/mBERT lineage, tau = 0.3): upsample low-resource
+    sources by flattening the size distribution — share_i =
+    p_i^tau / Σ p_j^tau with p_i the source's token fraction — then
+    allocate a 200k-token budget by share.  Complements q376's
+    uniform-target plan with the standard smooth interpolation
+    between proportional (tau=1) and uniform (tau=0).  Each powered
+    weight rounds to 9 decimals into DECIMAL(25,9) BEFORE the
+    normalizing sum, so Z and every share are exact decimal — the
+    whole plan hash-gates."""
+    budget = 200_000
+    tau = 0.3
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("__tok")
+    )
+    per = docs.groupBy("source").agg(F.sum("__tok").cast("long").alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("__tot"))
+    w = F.round(
+        F.pow(F.col("n_tokens").cast("double") / F.col("__tot"), tau), 9
+    ).cast("decimal(25,9)")
+    weighted = per.crossJoin(F.broadcast(tot)).withColumn("__w", w)
+    z = weighted.agg(F.sum("__w").cast("decimal(25,9)").alias("__z"))
+    share = (F.col("__w") / F.col("__z")).cast("decimal(25,6)")
+    alloc = (F.lit(budget).cast("decimal(25,6)") * share).cast("decimal(25,6)")
+    return (
+        weighted.crossJoin(F.broadcast(z))
+        .select(
+            "source", "n_tokens",
+            share.alias("sample_share"),
+            F.floor(alloc).cast("long").alias("expected_tokens"),
+            F.ceil(
+                (alloc / F.col("n_tokens").cast("decimal(25,6)"))
+                .cast("decimal(25,6)")
+            ).cast("long").alias("epochs_needed"),
+        )
+    )
+
+
+Q382_SQL = """
+WITH per AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per
+), weighted AS (
+  SELECT source, n_tokens,
+         CAST(round(pow(CAST(n_tokens AS DOUBLE) / tot, 0.3), 9)
+              AS DECIMAL(25,9)) AS w
+  FROM per, tot
+), z AS (
+  SELECT CAST(sum(w) AS DECIMAL(25,9)) AS z FROM weighted
+)
+SELECT source, n_tokens,
+       CAST(w / z AS DECIMAL(25,6)) AS sample_share,
+       CAST(floor(CAST(CAST(200000 AS DECIMAL(25,6))
+                       * CAST(w / z AS DECIMAL(25,6)) AS DECIMAL(25,6)))
+            AS BIGINT) AS expected_tokens,
+       CAST(ceil(CAST(CAST(CAST(200000 AS DECIMAL(25,6))
+                           * CAST(w / z AS DECIMAL(25,6)) AS DECIMAL(25,6))
+                      / CAST(n_tokens AS DECIMAL(25,6)) AS DECIMAL(25,6)))
+            AS BIGINT) AS epochs_needed
+FROM weighted, z
+"""
+
+QUERIES.update({
+    "q381_bm25_scores": q381_bm25_scores,
+    "q382_temperature_mixture": q382_temperature_mixture,
+})
+ORACLE_SQL.update({
+    "q381_bm25_scores": Q381_SQL,
+    "q382_temperature_mixture": Q382_SQL,
+})

@@ -243,6 +243,59 @@ def test_curate_quality_model_gate(spark):
     assert both == {1, 2}
 
 
+def test_bm25_matches_python_recompute(spark):
+    """BM25 (Lucene idf variant) against a pure-Python Decimal
+    recompute: idf, tf saturation, length normalization, and the
+    round-each-contribution-then-sum discipline."""
+    import math
+    from decimal import ROUND_HALF_UP
+
+    from nlu_data_warehouse_project_spark.operators.search import bm25_scores
+
+    rows = [
+        (0, "spark spark merge window row"),
+        (1, "spark table"),
+        (2, "merge merge merge"),
+        (3, "nothing relevant here at all"),
+        (4, "window spark window"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spark", "merge", "window"]
+    k1, b = 1.2, 0.75
+
+    toks = {i: t.split() for i, t in rows}
+    dls = {i: len(t) for i, t in toks.items()}
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    dfs = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+
+    def r6(x):
+        return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    want = {}
+    for i, tk in toks.items():
+        contribs = []
+        for t in terms:
+            tf = tk.count(t)
+            if tf:
+                idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+                c = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+                contribs.append(r6(c))
+        if contribs:
+            want[i] = (len(contribs), sum(contribs).quantize(Decimal("0.000001")))
+
+    got = {
+        r["doc_id"]: (r["n_terms_matched"], r["score"])
+        for r in bm25_scores(docs, terms).collect()
+    }
+    assert got == want
+    assert 3 not in got  # no-match docs are absent
+    # repeated terms saturate: doc 2's triple 'merge' scores less than
+    # 3x a single occurrence would
+    single = want[0][1]  # doc 0 has tf=1 for merge among others
+    assert got[2][1] > 0 and single > 0
+
+
 def test_winnow_index_sync_and_overlap(spark, tmp_path):
     """Persistent winnowing sidecar: probe against the saved
     fingerprint table equals the full-batch computation restricted to
