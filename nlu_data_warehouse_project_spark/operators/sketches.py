@@ -512,3 +512,132 @@ def cm_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cm_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with an EXACT cross-engine gate (deterministic md5 registers)
+# ---------------------------------------------------------------------------
+
+def _hll_alpha(m: int) -> float:
+    """The Flajolet et al. 2007 bias-correction constant."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_by: list[str] | None = None,
+    p: int = 10,
+    seed: int = 77,
+) -> DataFrame:
+    """HyperLogLog register frame (Flajolet/Fusy/Gandouet/Meunier,
+    AofA 2007) per group: bucket = top ``p`` bits of the shared 60-bit
+    md5 hash, rho = 1 + leading zeros of the remaining ``60-p`` bits,
+    register = MAX(rho) per bucket.  This is the sketch `kmv_sketch`'s
+    docstring points at Spark's built-in for — built HERE from the
+    shared deterministic hash recipe so (unlike
+    ``approx_count_distinct``, whose xxHash64 registers are opaque JVM
+    state) the registers, their merge, and the ESTIMATE itself are
+    bit-reproducible in DuckDB: an approximate sketch with an exact
+    hash gate, the KMV/Count-Min discipline.
+
+    The frame is SPARSE — only buckets that saw a value appear (at
+    most ``2^p`` rows per group, far fewer for small groups); the
+    estimator reconstructs the ``V`` empty registers by count.  One
+    scan, one (group, bucket) groupBy with map-side partial MAX —
+    state per group is bounded by m = 2^p regardless of group size.
+
+    Returns group cols + ``bucket`` int + ``rho`` int — feed to
+    :func:`hll_merge` / :func:`hll_estimate`."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p={p} must be in [4, 16]")
+    gcols = list(group_by or [])
+    c = F.col(value_col)
+    digest = F.md5(F.concat(F.lit(f"{seed}:"), c.cast("string")))
+    h60 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    rest_bits = 60 - p
+    rest = h60.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    # rho = 1 + leading zeros of rest within rest_bits
+    #     = rest_bits + 1 - bit_length(rest);  bit_length via the
+    # length of the base-2 string (conv never emits leading zeros)
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits + 1) - F.length(F.conv(rest, 10, 2))
+    )
+    return (
+        df.filter(c.isNotNull())
+        .select(
+            *gcols,
+            F.shiftright(h60, rest_bits).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    registers: DataFrame,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Merge HLL register frames into coarser groups (or one global
+    sketch with ``group_by=None``) — MAX per bucket.  LOSSLESS like
+    `kmv_merge`: max is associative, so the merged registers equal the
+    registers computed from scratch over the union — the catalog
+    proves that equality against a direct-global oracle.  The 100 TB
+    rollup move: re-aggregate m-row sketches, never rescan."""
+    gcols = list(group_by or [])
+    return registers.groupBy(*gcols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_by: list[str] | None = None,
+    p: int = 10,
+) -> DataFrame:
+    """The HLL estimator over a register frame, spelled ORDER-FREE so
+    it hash-gates cross-engine:
+
+      Z's harmonic sum  Σ 2^-M_j  is rescaled by 2^61 so every term is
+      the INTEGER ``1 << (61 - rho)`` (rho <= 57 for p >= 4) and the
+      V empty registers contribute ``V << 61`` — summed exactly as
+      DECIMAL(38,0), immune to double addition order.  Then
+        raw  = alpha_m * m^2 * 2^61 / Z_int     (one literal / one divide)
+        E    = m * ln(m / V)   if raw <= 2.5 m and V > 0   (linear count)
+             = raw             otherwise
+      rounded to DECIMAL(25,6).  The 60-bit hash space makes the
+      large-range correction unreachable.  ln() cross-engine agreement
+      at 6 decimals is the q360/q380 precedent.
+
+    Returns group cols + ``n_buckets_set`` + ``hll_estimate``."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p={p} must be in [4, 16]")
+    m = 1 << p
+    gcols = list(group_by or [])
+    alpha_m2_p61 = _hll_alpha(m) * m * m * float(1 << 61)
+    per = registers.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_set"),
+        # python shiftleft() only takes a literal shift — SQL's takes
+        # a column; 61 - rho <= 61 so the long never overflows
+        F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - rho) AS DECIMAL(38,0))")).alias("__z_set"),
+    )
+    v = F.lit(m).cast("long") - F.col("n_buckets_set")
+    z_int = (
+        F.col("__z_set")
+        + (v.cast("decimal(38,0)") * F.lit(1 << 61).cast("decimal(38,0)"))
+    ).cast("decimal(38,0)")
+    raw = F.lit(alpha_m2_p61) / z_int.cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return per.select(
+        *gcols,
+        "n_buckets_set",
+        F.round(est, 6).cast("decimal(25,6)").alias("hll_estimate"),
+    )

@@ -22174,3 +22174,113 @@ ORACLE_SQL.update({
     "q381_bm25_scores": Q381_SQL,
     "q382_temperature_mixture": Q382_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with an exact cross-engine gate (q383, q384)
+# ---------------------------------------------------------------------------
+
+def _hll_alpha_lit(p: int) -> str:
+    """The inlined alpha_m * m^2 * 2^61 literal — computed ONCE here
+    and spelled identically (repr round-trip) into both engines, so
+    the estimator is a single shared-literal divide."""
+    from .operators.sketches import _hll_alpha
+
+    m = 1 << p
+    return repr(_hll_alpha(m) * m * m * float(1 << 61))
+
+
+def q383_hll_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct customers per order priority (p=8, m=256
+    registers — `sketches.hll_registers` + `hll_estimate`): the
+    constant-memory cardinality sketch (Flajolet et al. 2007) built
+    from the shared md5 hash so, unlike Spark's opaque
+    `approx_count_distinct`, the registers AND the estimate are
+    bit-reproducible cross-engine — the KMV discipline (q352) applied
+    to the industry-standard register sketch.  The harmonic sum is
+    rescaled to exact DECIMAL(38,0) integers (order-free); at sf0.001
+    the groups sit in the linear-counting branch, at sf0.01 in the
+    raw-estimator branch — the oracle respells both."""
+    from .operators.sketches import hll_estimate, hll_registers
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    )
+    reg = hll_registers(orders, "o_custkey", ["priority"], p=8)
+    return hll_estimate(reg, ["priority"], p=8)
+
+
+def _hll_reg_sql(group_sel: str, group_by: str, p: int) -> str:
+    """DuckDB respelling of hll_registers: shared 60-bit md5 hash,
+    top-p-bit bucket, leading-zero rank via the minimal base-2 string
+    (bin never emits leading zeros), MAX per bucket."""
+    rest_bits = 60 - p
+    mask = (1 << rest_bits) - 1
+    return f"""
+  h AS (
+    SELECT {group_sel} ('0x' || substring(md5('77:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h60
+    FROM orders WHERE o_custkey IS NOT NULL
+  ), reg AS (
+    SELECT {group_by} CAST(h60 >> {rest_bits} AS INT) AS bucket,
+           CAST(max(CASE WHEN (h60 & {mask}) = 0 THEN {rest_bits + 1}
+                    ELSE {rest_bits + 1} - length(bin(h60 & {mask})) END) AS INT) AS rho
+    FROM h GROUP BY ALL
+  )"""
+
+
+def _hll_est_sql(group_cols: str, p: int) -> str:
+    m = 1 << p
+    alpha = _hll_alpha_lit(p)
+    return f"""
+SELECT {group_cols} n_buckets_set,
+       CAST(round(CASE WHEN {alpha} / CAST(z_int AS DOUBLE) <= {2.5 * m!r} AND v > 0
+                       THEN {float(m)!r} * ln({float(m)!r} / v)
+                       ELSE {alpha} / CAST(z_int AS DOUBLE) END, 6)
+            AS DECIMAL(25,6)) AS hll_estimate
+FROM (
+  SELECT {group_cols} CAST(count(*) AS BIGINT) AS n_buckets_set,
+         CAST({m} - count(*) AS DOUBLE) AS v,
+         CAST(CAST(sum(1::BIGINT << (61 - rho)) AS DECIMAL(38,0))
+              + CAST({m} - count(*) AS DECIMAL(38,0))
+                * CAST({1 << 61} AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS z_int
+  FROM reg GROUP BY ALL
+)"""
+
+
+Q383_SQL = f"""
+WITH {_hll_reg_sql("o_orderpriority AS priority,", "priority,", 8)}
+{_hll_est_sql("priority,", 8)}
+"""
+
+
+def q384_hll_rollup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll the q383 per-priority HLL register sketches up to ONE
+    global sketch (`sketches.hll_merge` — MAX per bucket, p=10) and
+    estimate.  The merge is LOSSLESS (max is associative) and this
+    query PROVES it the q353 way: the oracle computes the global
+    registers DIRECTLY from the raw rows and the hash gate demands the
+    merged estimate equal that exactly — the 100 TB rollup contract
+    (re-aggregate m-row sketches, never rescan)."""
+    from .operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    )
+    reg = hll_registers(orders, "o_custkey", ["priority"], p=10)
+    merged = hll_merge(reg, None)
+    return hll_estimate(merged, None, p=10)
+
+
+Q384_SQL = f"""
+WITH {_hll_reg_sql("", "", 10)}
+{_hll_est_sql("", 10)}
+"""
+
+QUERIES.update({
+    "q383_hll_distinct_customers": q383_hll_distinct_customers,
+    "q384_hll_rollup_global": q384_hll_rollup_global,
+})
+ORACLE_SQL.update({
+    "q383_hll_distinct_customers": Q383_SQL,
+    "q384_hll_rollup_global": Q384_SQL,
+})

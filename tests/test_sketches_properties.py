@@ -275,3 +275,69 @@ def test_kmv_intersection_identity_self_pair(spark):
     row = kmv_jaccard_pairs(sk, "g", k=64).collect()[0]
     assert row["jaccard_est"] == 1.0
     assert row["n_common"] == row["n_union_kept"] == 64
+
+
+# --- HyperLogLog: merge losslessness + accuracy + python recompute ------
+
+def test_hll_merge_lossless_and_accurate(spark):
+    """Registers merged from arbitrary partitions of the data equal
+    the registers built from scratch (max is associative), and the
+    p=10 estimate lands within 5 sigma (5 * 1.04/sqrt(m)) of the true
+    5000-value cardinality."""
+    from nlu_data_warehouse_project_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(f"part{i % 3}", f"v{i}") for i in range(n)], ["part", "val"]
+    )
+    per_part = hll_registers(df, "val", ["part"], p=10)
+    merged = hll_merge(per_part, None)
+    scratch = hll_registers(df, "val", None, p=10)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    est = float(hll_estimate(merged, None, p=10).first()["hll_estimate"])
+    assert abs(est - n) / n < 5 * 1.04 / (1 << 10) ** 0.5
+
+
+def test_hll_registers_match_python_recompute(spark):
+    """Bucket/rho construction against a from-scratch md5 recompute:
+    top-p bits bucket, 1 + leading zeros of the low 60-p bits."""
+    import hashlib
+
+    from nlu_data_warehouse_project_spark.operators.sketches import hll_registers
+
+    vals = [f"x{i}" for i in range(200)]
+    p, rest_bits = 8, 52
+    want: dict[int, int] = {}
+    for v in vals:
+        h60 = int(hashlib.md5(f"77:{v}".encode()).hexdigest()[:15], 16)
+        bucket = h60 >> rest_bits
+        rest = h60 & ((1 << rest_bits) - 1)
+        rho = rest_bits + 1 - rest.bit_length() if rest else rest_bits + 1
+        want[bucket] = max(want.get(bucket, 0), rho)
+    df = spark.createDataFrame([(v,) for v in vals], ["val"])
+    got = {
+        r["bucket"]: r["rho"]
+        for r in hll_registers(df, "val", None, p=p).collect()
+    }
+    assert got == want
+
+
+def test_hll_linear_counting_branch_small_cardinality(spark):
+    """Below ~2.5m the estimator must switch to linear counting,
+    where a cardinality far under m is recovered near-exactly."""
+    from nlu_data_warehouse_project_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(40)], ["val"])
+    reg = hll_registers(df, "val", None, p=10)
+    row = hll_estimate(reg, None, p=10).first()
+    assert row["n_buckets_set"] <= 40
+    assert abs(float(row["hll_estimate"]) - 40) / 40 < 0.05
