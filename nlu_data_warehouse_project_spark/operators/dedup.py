@@ -806,3 +806,128 @@ def semantic_prune(
         .select(F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"))
     )
     return dedup_by_clusters(df, pairs, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# EXACT substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr variant, re-expressed
+# relationally: the paper's suffix array finds substrings of length >=
+# L occurring twice anywhere in the corpus; an occurrence happens iff
+# some length-L gram occurs twice, so L-grams at every character
+# position + a global count + an islands merge recover exactly the
+# maximal duplicated spans, with no suffix array and no pair join.)
+# ---------------------------------------------------------------------------
+
+def dup_substring_spans(
+    docs: DataFrame,
+    min_len: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All MAXIMAL character spans of length >= ``min_len`` whose text
+    occurs more than once in the corpus (across documents OR repeated
+    inside one) — the exact-substring counterpart to the approximate
+    winnowing family (`winnow.winnow_overlap_pairs`).
+
+    Shape: the gram frame is |text| rows (one per char position —
+    same cost class as winnow's posexplode); duplicated grams come
+    from ONE groupBy count with map-side combine (never a pair join —
+    a gram occurring a million times costs one counter, not 10^12
+    pairs); marked positions are a LEFT SEMI join against the
+    dup-gram set; the islands merge is a per-document window.
+    Nothing quadratic, nothing collected.
+
+    Returns (id_col, span_start, span_len), span_start 1-based,
+    spans disjoint and separated by >= 1 kept char (adjacent islands
+    merge)."""
+    if min_len < 2:
+        raise ValueError(f"min_len={min_len} must be >= 2")
+    n = F.length(F.col(text_col))
+    grams = (
+        docs.filter(n >= min_len)
+        .select(
+            F.col(id_col).alias("__d"),
+            F.col(text_col).alias("__t"),
+            F.explode(F.sequence(F.lit(1), n - min_len + 1)).alias("__p"),
+        )
+        .select("__d", "__p", F.expr(f"substring(__t, __p, {min_len})").alias("__g"))
+    )
+    dup = (
+        grams.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("__g")
+    )
+    marked = grams.join(dup, "__g", "left_semi").select("__d", "__p")
+    w = Window.partitionBy("__d").orderBy("__p")
+    prev_end = F.max(F.col("__p") + min_len).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(prev_end.isNull() | (F.col("__p") > prev_end), 1).otherwise(0)
+    return (
+        marked.withColumn("__grp", F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .groupBy("__d", "__grp")
+        .agg(
+            F.min("__p").alias("span_start"),
+            (F.max("__p") + min_len - F.min("__p")).cast("int").alias("span_len"),
+        )
+        .select(F.col("__d").alias(id_col), "span_start", "span_len")
+    )
+
+
+def strip_dup_substrings(
+    docs: DataFrame,
+    min_len: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lee et al.'s dedup step applied: remove every
+    :func:`dup_substring_spans` span from the text, keeping the
+    untouched segments in order.  Every input document comes back
+    (untouched ones with ``n_dup_spans = 0``), with the audit columns
+    a curation pipeline logs.
+
+    The reassembly folds each document's sorted span array through
+    ``F.aggregate`` with a (cursor, text) struct accumulator — all
+    JVM-side codegen; spans per document are bounded by
+    |text|/min_len so the array never approaches driver scale.
+
+    Returns (id_col, orig_len, n_dup_spans, chars_removed, clean_text)."""
+    spans = dup_substring_spans(docs, min_len, id_col, text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_len"))
+        ).alias("__spans")
+    )
+    joined = docs.select(
+        id_col, F.col(text_col).alias("__t"), F.length(text_col).alias("orig_len")
+    ).join(per_doc, id_col, "left")
+    acc0 = F.struct(
+        F.lit(1).alias("cur"), F.lit("").cast("string").alias("txt")
+    )
+    folded = F.aggregate(
+        F.coalesce("__spans", F.array()),
+        acc0,
+        lambda a, s: F.struct(
+            (s["span_start"] + s["span_len"]).alias("cur"),
+            F.concat(
+                a["txt"],
+                F.expr("__t").substr(a["cur"], s["span_start"] - a["cur"]),
+            ).alias("txt"),
+        ),
+        lambda a: F.concat(a["txt"], F.expr("__t").substr(a["cur"], F.col("orig_len") - a["cur"] + 1)),
+    )
+    return joined.select(
+        id_col,
+        "orig_len",
+        F.coalesce(F.size("__spans"), F.lit(0)).cast("int").alias("n_dup_spans"),
+        F.coalesce(
+            F.aggregate(
+                "__spans", F.lit(0), lambda a, s: a + s["span_len"]
+            ),
+            F.lit(0),
+        ).cast("int").alias("chars_removed"),
+        folded.alias("clean_text"),
+    )

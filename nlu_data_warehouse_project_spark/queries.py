@@ -22284,3 +22284,111 @@ ORACLE_SQL.update({
     "q383_hll_distinct_customers": Q383_SQL,
     "q384_hll_rollup_global": Q384_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup, Lee et al. 2022 (q385, q386)
+# ---------------------------------------------------------------------------
+
+def q385_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring duplication (`dedup.dup_substring_spans` — Lee
+    et al. 2022's ExactSubstr, re-expressed relationally): every
+    maximal character span of length >= 30 whose text occurs more
+    than once anywhere in the corpus, found via length-30 grams at
+    every position + one global count + a per-document islands merge
+    — no suffix array, no pair join (a gram occurring a million times
+    costs one counter, not 10^12 pairs).  The exact counterpart to
+    the approximate winnowing family (q373)."""
+    from .operators.dedup import dup_substring_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dup_substring_spans(docs, min_len=30)
+
+
+_DUPSPAN_SQL = """
+  g AS (
+    SELECT doc_id AS d, text AS t,
+           unnest(generate_series(1, len(text) - 30 + 1)) AS p
+    FROM documents WHERE len(text) >= 30
+  ), grams AS (
+    SELECT d, p, substring(t, p, 30) AS g FROM g
+  ), dup AS (
+    SELECT g FROM grams GROUP BY 1 HAVING count(*) > 1
+  ), marked AS (
+    SELECT d, p FROM grams WHERE g IN (SELECT g FROM dup)
+  ), isl AS (
+    SELECT d, p,
+           CASE WHEN p > coalesce(max(p + 30) OVER (
+                  PARTITION BY d ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                THEN 1 ELSE 0 END AS brk
+    FROM marked
+  ), grp AS (
+    SELECT d, p, sum(brk) OVER (
+      PARTITION BY d ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grpid
+    FROM isl
+  ), spans AS (
+    SELECT d, CAST(min(p) AS INT) AS span_start,
+           CAST(max(p) + 30 - min(p) AS INT) AS span_len
+    FROM grp GROUP BY d, grpid
+  )"""
+
+Q385_SQL = f"""
+WITH {_DUPSPAN_SQL}
+SELECT d AS doc_id, span_start, span_len FROM spans
+"""
+
+
+def q386_strip_dup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al.'s dedup APPLIED (`dedup.strip_dup_substrings`):
+    every q385 span removed from the text, untouched segments
+    reassembled in order via an F.aggregate struct-accumulator fold
+    (JVM codegen, spans-per-doc bounded by |text|/30), with the audit
+    columns a curation pipeline logs.  Every document comes back —
+    the clean_text column itself rides the hash gate, so the oracle
+    proves the reassembly byte-for-byte."""
+    from .operators.dedup import strip_dup_substrings
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return strip_dup_substrings(docs, min_len=30)
+
+
+Q386_SQL = f"""
+WITH {_DUPSPAN_SQL}, seg AS (
+  SELECT d, coalesce(lag(span_start + span_len) OVER (
+           PARTITION BY d ORDER BY span_start), 1) AS ks,
+         span_start AS ke
+  FROM spans
+  UNION ALL
+  SELECT d, max(span_start + span_len) AS ks, NULL AS ke
+  FROM spans GROUP BY d
+), agg AS (
+  SELECT seg.d,
+         string_agg(CASE WHEN ke IS NULL THEN substring(doc.text, ks)
+                         ELSE substring(doc.text, ks, ke - ks) END,
+                    '' ORDER BY ks) AS clean_text
+  FROM seg JOIN documents doc ON doc.doc_id = seg.d
+  GROUP BY seg.d
+), stats AS (
+  SELECT d, CAST(count(*) AS INT) AS n_dup_spans,
+         CAST(sum(span_len) AS INT) AS chars_removed
+  FROM spans GROUP BY d
+)
+SELECT doc.doc_id, CAST(len(doc.text) AS INT) AS orig_len,
+       coalesce(s.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(s.chars_removed, 0) AS chars_removed,
+       coalesce(a.clean_text, doc.text) AS clean_text
+FROM documents doc
+LEFT JOIN stats s ON s.d = doc.doc_id
+LEFT JOIN agg a ON a.d = doc.doc_id
+"""
+
+QUERIES.update({
+    "q385_dup_substring_spans": q385_dup_substring_spans,
+    "q386_strip_dup_substrings": q386_strip_dup_substrings,
+})
+ORACLE_SQL.update({
+    "q385_dup_substring_spans": Q385_SQL,
+    "q386_strip_dup_substrings": Q386_SQL,
+})

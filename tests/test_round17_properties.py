@@ -360,3 +360,62 @@ def test_winnow_index_sync_and_overlap(spark, tmp_path):
     assert idx.index.read().count() == rows_v1
     got2 = _pairs_set(idx.overlap(docs([(20, alt)]), min_shared=1))
     assert got2 == set()  # alt's twin (doc 2) was rolled back
+
+
+# --- exact substring dedup (Lee et al. 2022) ----------------------------
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_dup_substring_spans_match_bruteforce(spark, doc_passages):
+    """Spans == a brute-force Python recompute: positions whose
+    length-L gram occurs >= 2 times corpus-wide, merged into maximal
+    islands; and strip_dup_substrings removes exactly those chars."""
+    from nlu_data_warehouse_project_spark.operators.dedup import (
+        dup_substring_spans,
+        strip_dup_substrings,
+    )
+
+    L = 8
+    texts = ["".join(ps) for ps in doc_passages]
+    from collections import Counter
+
+    counts = Counter(
+        t[p:p + L] for t in texts for p in range(len(t) - L + 1)
+    )
+    want_spans = {}
+    want_clean = {}
+    for i, t in enumerate(texts):
+        marked = [
+            p for p in range(len(t) - L + 1) if counts[t[p:p + L]] > 1
+        ]
+        spans = []
+        for p in marked:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + L)
+            else:
+                spans.append([p, p + L])
+        want_spans[i] = [(s + 1, e - s) for s, e in spans]  # 1-based
+        keep = [
+            ch for j, ch in enumerate(t)
+            if not any(s <= j < e for s, e in spans)
+        ]
+        want_clean[i] = "".join(keep)
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {}
+    for r in dup_substring_spans(df, min_len=L).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_len"]))
+    for k in got:
+        got[k].sort()
+    assert got == {k: v for k, v in want_spans.items() if v}
+
+    cleaned = {
+        r["doc_id"]: (r["clean_text"], r["chars_removed"])
+        for r in strip_dup_substrings(df, min_len=L).collect()
+    }
+    assert set(cleaned) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        assert cleaned[i][0] == want_clean[i]
+        assert cleaned[i][1] == len(t) - len(want_clean[i])
