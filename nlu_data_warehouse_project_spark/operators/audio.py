@@ -817,22 +817,57 @@ def _write_extended80(x: float) -> bytes:
     return (e - 1 + 16383).to_bytes(2, "big") + mant.to_bytes(8, "big")
 
 
+def _decode_ima4_packets(data: bytes, channels: int, n_frames: int) -> "np.ndarray":
+    """Apple AIFC 'ima4' packets -> int16 (frames, channels).  Each
+    34-byte packet carries ONE channel's 64 samples: a 2-byte BE
+    preamble whose top 9 bits are the predictor (low 7 bits zeroed)
+    and low 7 bits the step index, then 32 bytes of nibbles, LOW
+    nibble first.  Packets interleave by channel; unlike WAV IMA
+    blocks the preamble sample is NOT emitted — all 64 nibbles decode
+    through the shared spec-exact ladder (`_ima_decode_nibbles`)."""
+    packets_per_chan = (n_frames + 63) // 64
+    need = packets_per_chan * channels * 34
+    if len(data) < need:
+        raise ValueError(f"ima4 data carries {len(data)} bytes, needs {need}")
+    chans = [[] for _ in range(channels)]
+    for pk in range(packets_per_chan * channels):
+        off = pk * 34
+        preamble = int.from_bytes(data[off:off + 2], "big")
+        pred = preamble & 0xFF80
+        if pred >= 0x8000:
+            pred -= 0x10000
+        index = preamble & 0x7F
+        if index > 88:
+            raise ValueError(f"ima4 step index {index} out of range")
+        body = np.frombuffer(data, dtype=np.uint8, offset=off + 2, count=32)
+        nibbles = np.empty(64, dtype=np.uint8)
+        nibbles[0::2] = body & 0x0F
+        nibbles[1::2] = body >> 4
+        chans[pk % channels].append(_ima_decode_nibbles(nibbles, pred, index))
+    per = [np.concatenate(c)[:n_frames] for c in chans]
+    return np.stack(per, axis=1)
+
+
 def decode_aiff(payload: bytes) -> dict:
-    """AIFF -> the ``decode_wav`` contract (float64 samples in
-    [-1, 1]): FORM/AIFF chunk walk, COMM (channels, frames, bits,
-    extended-float rate), SSND (offset/block-size prologue + BIG-
-    endian signed PCM at 8/16/24/32 bits).  AIFC (compressed AIFF)
-    fails fast naming the codec field."""
+    """AIFF / AIFF-C -> the ``decode_wav`` contract (float64 samples
+    in [-1, 1]): FORM chunk walk, COMM (channels, frames, bits,
+    extended-float rate — plus the compressionType fourcc when the
+    FORM type is AIFC), SSND (offset/block-size prologue + payload).
+
+    Decoded compressionTypes (round 17 — previously ALL of AIFC
+    failed fast): ``NONE``/``twos`` (big-endian signed PCM, the plain
+    AIFF path), ``sowt`` (byte-swapped little-endian PCM, the macOS
+    default), ``raw `` (offset-binary unsigned 8-bit), ``fl32``/
+    ``FL32``/``fl64``/``FL64`` (big-endian IEEE floats), ``alaw``/
+    ``ALAW``/``ulaw``/``ULAW`` (G.711, the shared generated tables),
+    and ``ima4`` (Apple's 34-byte-packet IMA ADPCM, the shared
+    spec-exact ladder).  MACE3:/MACE6:/GSM /QDM2 etc. fail fast
+    naming the fourcc and ffmpeg as the remedy."""
     if not isinstance(payload, (bytes, bytearray)) or payload[:4] != b"FORM":
         raise ValueError("not an AIFF payload")
     form_type = payload[8:12]
-    if form_type == b"AIFC":
-        raise NotImplementedError(
-            "AIFC (compressed AIFF): the compressionType fourcc selects a "
-            "codec this environment doesn't ship; plain AIFF decodes"
-        )
-    if form_type != b"AIFF":
-        raise ValueError(f"FORM type {form_type!r} is not AIFF")
+    if form_type not in (b"AIFF", b"AIFC"):
+        raise ValueError(f"FORM type {form_type!r} is not AIFF/AIFC")
     comm = ssnd = None
     i, n = 12, len(payload)
     while i + 8 <= n:
@@ -850,33 +885,65 @@ def decode_aiff(payload: bytes) -> dict:
     rate = _read_extended80(comm[8:18])
     if channels < 1:
         raise ValueError("AIFF with zero channels")
-    if bits not in (8, 16, 24, 32):
-        raise ValueError(f"AIFF sample size {bits} (8/16/24/32)")
+    comp = b"NONE"
+    if form_type == b"AIFC":
+        if len(comm) < 22:
+            raise ValueError("AIFC COMM chunk missing compressionType")
+        comp = comm[18:22]
     offset, _blk = struct.unpack(">II", ssnd[:8])
     data = ssnd[8 + offset:]
-    frame = channels * (bits // 8)
-    need = n_frames * frame
-    if len(data) < need:
-        raise ValueError(f"AIFF SSND carries {len(data)} bytes, needs {need}")
-    data = data[:need]
-    if bits == 8:  # AIFF 8-bit is SIGNED (unlike WAV)
-        x = np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
-    elif bits == 16:
-        x = np.frombuffer(data, dtype=">i2").astype(np.float64) / 32768.0
-    elif bits == 32:
-        x = np.frombuffer(data, dtype=">i4").astype(np.float64) / 2147483648.0
-    else:  # 24-bit big-endian: pad each sample to 4 bytes
-        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        vals = (
-            (raw[:, 0].astype(np.int64) << 16)
-            | (raw[:, 1].astype(np.int64) << 8)
-            | raw[:, 2].astype(np.int64)
+
+    def _need(nbytes: int) -> bytes:
+        if len(data) < nbytes:
+            raise ValueError(f"AIFF SSND carries {len(data)} bytes, needs {nbytes}")
+        return data[:nbytes]
+
+    if comp in (b"NONE", b"twos", b"sowt"):
+        if bits not in (8, 16, 24, 32):
+            raise ValueError(f"AIFF sample size {bits} (8/16/24/32)")
+        raw = _need(n_frames * channels * (bits // 8))
+        le = comp == b"sowt"
+        if bits == 8:  # AIFF 8-bit is SIGNED (unlike WAV)
+            x = np.frombuffer(raw, dtype=np.int8).astype(np.float64) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(raw, dtype="<i2" if le else ">i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(raw, dtype="<i4" if le else ">i4").astype(np.float64) / 2147483648.0
+        else:  # 24-bit: pad each 3-byte sample to an int
+            b3 = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            if le:
+                b3 = b3[:, ::-1]
+            vals = (
+                (b3[:, 0].astype(np.int64) << 16)
+                | (b3[:, 1].astype(np.int64) << 8)
+                | b3[:, 2].astype(np.int64)
+            )
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            x = vals.astype(np.float64) / float(1 << 23)
+    elif comp == b"raw ":  # offset-binary unsigned 8-bit
+        raw = _need(n_frames * channels)
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif comp in (b"fl32", b"FL32", b"fl64", b"FL64"):
+        width = 4 if comp in (b"fl32", b"FL32") else 8
+        raw = _need(n_frames * channels * width)
+        x = np.frombuffer(raw, dtype=f">f{width}").astype(np.float64)
+    elif comp in (b"alaw", b"ALAW", b"ulaw", b"ULAW"):
+        raw = _need(n_frames * channels)
+        table = (
+            _g711_alaw_table() if comp in (b"alaw", b"ALAW") else _g711_mulaw_table()
         )
-        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
-        x = vals.astype(np.float64) / float(1 << 23)
+        x = table[np.frombuffer(raw, dtype=np.uint8)].astype(np.float64) / 32768.0
+    elif comp == b"ima4":
+        frames16 = _decode_ima4_packets(data, channels, n_frames)
+        x = frames16.astype(np.float64).reshape(-1) / 32768.0
+    else:
+        raise NotImplementedError(
+            f"AIFC compressionType {comp!r}: NONE/twos/sowt/raw/fl32/fl64/"
+            "alaw/ulaw/ima4 decode here; MACE/GSM/QDM2 etc. need ffmpeg"
+        )
     samples = x.reshape(-1, channels)
     return {
-        "format": "aiff",
+        "format": "aiff" if form_type == b"AIFF" else "aifc",
         "sample_rate": int(round(rate)),
         "channels": int(channels),
         "n_frames": samples.shape[0],
@@ -914,6 +981,121 @@ def encode_aiff(sample_rate: int, samples, bits: int = 16) -> bytes:
     ssnd = struct.pack(">II", 0, 0) + data
     pad = b"\x00" if len(ssnd) & 1 else b""
     body = (b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + pad)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def _g711_nearest(q: "np.ndarray", table: "np.ndarray") -> "np.ndarray":
+    """Optimal G.711 quantizer for the fixture twin: nearest table
+    entry per int16 sample (ties to the lower linear value)."""
+    order = np.argsort(table, kind="stable")
+    sv = table[order].astype(np.int64)
+    pos = np.clip(np.searchsorted(sv, q), 1, len(sv) - 1)
+    lo, hi = sv[pos - 1], sv[pos]
+    pick = np.where(np.abs(q - lo) <= np.abs(hi - q), pos - 1, pos)
+    return order[pick].astype(np.uint8)
+
+
+def encode_aifc(
+    sample_rate: int,
+    samples,
+    comp: bytes = b"sowt",
+    bits: int = 16,
+) -> bytes:
+    """AIFC fixture/export twin of the ``decode_aiff`` AIFC paths.
+    ``comp``: ``sowt`` (little-endian PCM), ``NONE``/``twos``
+    (big-endian PCM), ``raw `` (unsigned 8-bit), ``fl32``/``fl64``
+    (big-endian floats), ``alaw``/``ulaw`` (G.711, nearest-entry
+    quantizer over the shared generated tables), ``ima4`` (Apple
+    34-byte packets, predictor/index state carried across packets
+    with the decoder's 9-bit predictor truncation mirrored in the
+    feedback loop)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_frames, channels = x.shape
+    if n_frames == 0:
+        raise ValueError("encode_aifc needs at least one frame")
+    q16 = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int64)
+    if comp in (b"NONE", b"twos", b"sowt"):
+        if bits != 16:
+            raise ValueError("PCM fixture twin writes 16-bit only")
+        data = q16.astype("<i2" if comp == b"sowt" else ">i2").tobytes()
+        comm_bits = 16
+    elif comp == b"raw ":
+        data = (np.clip(np.round(x * 128.0), -128, 127) + 128).astype(np.uint8).tobytes()
+        comm_bits = 8
+    elif comp in (b"fl32", b"fl64"):
+        width = 4 if comp == b"fl32" else 8
+        data = x.astype(f">f{width}").tobytes()
+        comm_bits = width * 8
+    elif comp in (b"alaw", b"ulaw"):
+        table = _g711_alaw_table() if comp == b"alaw" else _g711_mulaw_table()
+        data = _g711_nearest(q16.reshape(-1), table).tobytes()
+        comm_bits = 16
+    elif comp == b"ima4":
+        comm_bits = 16
+        out = bytearray()
+        pred = [0] * channels
+        index = [0] * channels
+        for start in range(0, n_frames, 64):
+            seg = q16[start:start + 64]
+            if seg.shape[0] < 64:
+                seg = np.concatenate(
+                    [seg, np.repeat(seg[-1:], 64 - seg.shape[0], axis=0)]
+                )
+            for c in range(channels):
+                idx = index[c]
+                p16 = pred[c] & 0xFFFF
+                preamble = (p16 & 0xFF80) | idx
+                out += preamble.to_bytes(2, "big")
+                # mirror the decoder's truncated-predictor restart
+                p = p16 & 0xFF80
+                if p >= 0x8000:
+                    p -= 0x10000
+                codes = np.empty(64, dtype=np.uint8)
+                for i in range(64):
+                    step = int(_IMA_STEP[idx])
+                    diff = int(seg[i, c]) - p
+                    code = 0
+                    if diff < 0:
+                        code = 8
+                        diff = -diff
+                    if diff >= step:
+                        code |= 4
+                        diff -= step
+                    if diff >= step >> 1:
+                        code |= 2
+                        diff -= step >> 1
+                    if diff >= step >> 2:
+                        code |= 1
+                    delta = step >> 3
+                    if code & 1:
+                        delta += step >> 2
+                    if code & 2:
+                        delta += step >> 1
+                    if code & 4:
+                        delta += step
+                    if code & 8:
+                        delta = -delta
+                    p = max(-32768, min(32767, p + delta))
+                    idx = max(0, min(88, idx + int(_IMA_INDEX[code & 7])))
+                    codes[i] = code
+                pred[c], index[c] = p, idx
+                for j in range(0, 64, 2):
+                    out.append(int(codes[j]) | (int(codes[j + 1]) << 4))
+        data = bytes(out)
+    else:
+        raise ValueError(f"encode_aifc fixture twin has no {comp!r} writer")
+    comm = (
+        struct.pack(">HIH", channels, n_frames, comm_bits)
+        + _write_extended80(float(sample_rate))
+        + comp + b"\x00\x00"  # empty pascal-string compression name
+    )
+    ssnd = struct.pack(">II", 0, 0) + data
+    pad = b"\x00" if len(ssnd) & 1 else b""
+    body = (b"AIFC"
             + b"COMM" + struct.pack(">I", len(comm)) + comm
             + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + pad)
     return b"FORM" + struct.pack(">I", len(body)) + body

@@ -408,12 +408,83 @@ def test_aiff_roundtrip_all_widths_and_extended_rate():
     got = decode_aiff(encode_aiff(44100, st, bits=24))
     assert got["channels"] == 2
     assert float(np.max(np.abs(got["samples"] - st))) < 1 / 7e6
-    with pytest.raises(NotImplementedError, match="AIFC"):
+    # AIFC decodes since round 17 — but a FORM retyped AIFC whose COMM
+    # still lacks the compressionType fourcc is malformed
+    with pytest.raises(ValueError, match="compressionType"):
         payload = bytearray(encode_aiff(8000, sig))
         payload[8:12] = b"AIFC"
         decode_aiff(bytes(payload))
     with pytest.raises(ValueError):
         decode_aiff(b"RIFF not aiff")
+
+
+def test_aifc_roundtrip_every_decoded_compression():
+    from nlu_data_warehouse_project_spark.operators.audio import (
+        decode_aiff, encode_aifc,
+    )
+
+    sig = _sine(n=2000, rate=16000, amp=0.6)
+    for comp, tol in (
+        (b"sowt", 1 / 3e4), (b"NONE", 1 / 3e4), (b"twos", 1 / 3e4),
+        (b"raw ", 1 / 120), (b"fl32", 1e-7), (b"fl64", 1e-12),
+        (b"alaw", 0.05), (b"ulaw", 0.05),
+    ):
+        got = decode_aiff(encode_aifc(16000, sig, comp=comp))
+        assert (got["format"], got["sample_rate"], got["n_frames"]) == (
+            "aifc", 16000, 2000), comp
+        assert float(np.max(np.abs(got["samples"][:, 0] - sig))) < tol, comp
+
+
+def test_aifc_ima4_snr_and_stereo_interleave():
+    from nlu_data_warehouse_project_spark.operators.audio import (
+        decode_aiff, encode_aifc,
+    )
+
+    t = np.arange(4000) / 16000.0
+    sig = 0.6 * np.sin(2 * np.pi * 440.0 * t)
+    # 4000 is not a multiple of the 64-sample packet: COMM's frame
+    # count must trim the padded tail
+    got = decode_aiff(encode_aifc(16000, sig, comp=b"ima4"))
+    assert got["n_frames"] == 4000 and got["channels"] == 1
+    err = got["samples"][:, 0] - sig
+    snr = 10 * np.log10(np.sum(sig ** 2) / np.sum(err ** 2))
+    assert snr > 22.0
+    stereo = np.stack([sig, -sig], axis=1)
+    got2 = decode_aiff(encode_aifc(16000, stereo, comp=b"ima4"))
+    assert got2["n_frames"] == 4000 and got2["channels"] == 2
+    err2 = got2["samples"] - stereo
+    assert 10 * np.log10(np.sum(stereo ** 2) / np.sum(err2 ** 2)) > 22.0
+
+
+def test_aifc_ima4_hand_derived_packet():
+    """One packet decoded against a hand-walk of the ladder: preamble
+    pins predictor 0 / index 0; nibble 0x7 steps +(step + step>>1 +
+    step>>2) with step=7 -> +12, nibble 0x8 is -0 (sign bit alone)."""
+    from nlu_data_warehouse_project_spark.operators.audio import (
+        _decode_ima4_packets,
+    )
+
+    body = bytes([0x87]) + bytes(31)  # low nibble 0x7 first, then 0x8
+    pkt = (0).to_bytes(2, "big") + body
+    frames = _decode_ima4_packets(pkt, 1, 64)
+    # nibble 7: diff = 7>>3 + 7>>2 + 7>>1 + 7 = 0+1+3+7 = 11; index += 8
+    assert frames[0, 0] == 11
+    # nibble 8: step at index 8 = 16, diff = -(16>>3) = -2
+    assert frames[1, 0] == 9
+    # remaining nibbles are 0: diff = +(step>>3), index walks -1 each
+    assert frames.shape == (64, 1)
+
+
+def test_aifc_unshipped_codec_fails_fast():
+    from nlu_data_warehouse_project_spark.operators.audio import (
+        decode_aiff, encode_aifc,
+    )
+
+    payload = bytearray(encode_aifc(8000, _sine(n=64), comp=b"sowt"))
+    i = payload.index(b"sowt")
+    payload[i:i + 4] = b"MAC3"
+    with pytest.raises(NotImplementedError, match="MAC3"):
+        decode_aiff(bytes(payload))
 
 
 def test_au_roundtrip_mulaw_and_pcm():
