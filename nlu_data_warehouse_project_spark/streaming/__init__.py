@@ -1008,3 +1008,44 @@ def make_cm_sketch_processor(
         )
 
     return process
+
+
+def make_hll_distinct_processor(
+    sketches,
+    group_col: str,
+    value_col: str,
+    p: int = 10,
+    seed: int = 77,
+):
+    """foreachBatch body maintaining per-group HyperLogLog register
+    frames in the ``sketches`` TxTable — the third member of the
+    streaming-sketch sidecar family (KMV order statistics, Count-Min
+    linear counters, HLL register maxima).  MAX is associative, so
+    merge(batch registers, stored registers) equals the registers of
+    everything ever seen EXACTLY (`operators.sketches.hll_merge`,
+    q384's theorem), and the estimate after any number of
+    micro-batches is BIT-IDENTICAL to a batch ``hll_registers`` over
+    the union — the equivalence the test pins.  State is <= 2^p
+    (bucket, rho) ints per group forever; replay-safe via the shared
+    batch-id guard; each commit snapshots the register table plus the
+    per-group estimate."""
+    from ..operators.sketches import hll_merge, hll_registers
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if _replayed_batch(sketches, batch_id):
+            return
+        batch_reg = hll_registers(batch_df, value_col, [group_col], p=p, seed=seed)
+        if sketches.exists() and sketches.manifest() is not None:
+            prior = sketches.read().select(group_col, "bucket", "rho")
+            merged = hll_merge(
+                batch_reg.unionByName(prior), [group_col]
+            )
+        else:
+            merged = batch_reg
+        rows = merged.collect()  # bounded: <= 2^p rows per group
+        sketches.commit_snapshot(
+            batch_df.sparkSession.createDataFrame(rows, merged.schema),
+            run_id=f"hll{batch_id}", extra={"last_batch_id": batch_id},
+        )
+
+    return process

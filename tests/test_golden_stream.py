@@ -141,3 +141,49 @@ def test_indexed_sidecar_equals_batch_and_maintains_index(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="BOTH freq and prefix"):
         make_golden_record_processor(docs, labels, freq=freq)
+
+
+def test_hll_sidecar_equals_batch(spark, tmp_path):
+    """Streaming HLL sidecar: after every micro-batch the stored
+    register frame equals the from-scratch batch registers over
+    everything ever seen (max associativity), and the estimate
+    matches bit-for-bit."""
+    from nlu_data_warehouse_project_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from nlu_data_warehouse_project_spark.streaming import (
+        make_hll_distinct_processor,
+    )
+
+    sk = TxTable(spark, str(tmp_path / "hll"))
+    process = make_hll_distinct_processor(sk, "g", "v", p=6)
+    batches = [
+        [("a", f"x{i}") for i in range(50)],
+        [("a", f"x{i}") for i in range(25, 75)] + [("b", "y0")],
+        [("b", f"y{i}") for i in range(200)],
+    ]
+    seen: list = []
+    for bid, rows in enumerate(batches):
+        process(spark.createDataFrame(rows, "g string, v string"), bid)
+        seen += rows
+        stored = sorted(map(tuple, sk.read().collect()))
+        scratch = sorted(map(tuple, hll_registers(
+            spark.createDataFrame(seen, "g string, v string"), "v", ["g"], p=6
+        ).collect()))
+        assert stored == scratch, f"batch {bid}"
+    est = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_estimate(sk.read(), ["g"], p=6).collect()
+    }
+    want = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_estimate(hll_registers(
+            spark.createDataFrame(seen, "g string, v string"), "v", ["g"], p=6
+        ), ["g"], p=6).collect()
+    }
+    assert est == want
+    # replay no-op
+    v = sk.latest_version()
+    process(spark.createDataFrame([("a", "zz")], "g string, v string"), 2)
+    assert sk.latest_version() == v
