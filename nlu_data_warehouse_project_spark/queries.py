@@ -22392,3 +22392,88 @@ ORACLE_SQL.update({
     "q385_dup_substring_spans": Q385_SQL,
     "q386_strip_dup_substrings": Q386_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (q387)
+# ---------------------------------------------------------------------------
+
+def q387_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023; `operators/dsir.py`): fit hashed unigram+bigram bag
+    models for a TARGET sample (the lang='en' slice, standing in for
+    the paper's Wikipedia/books) and the raw corpus, score every
+    document with the exact-decimal log importance weight, then pick
+    100 docs by DETERMINISTIC Gumbel-top-k (noise = a pure md5
+    function of the id) — sampling ∝ softmax(log_iw) without
+    replacement, reproduced bit-for-bit by the oracle: the sampled
+    SUBSET itself rides the hash gate, not just the scores."""
+    from .operators.dsir import (
+        dsir_importance_weights,
+        dsir_scores,
+        dsir_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_importance_weights(target, docs, "text", buckets=1024)
+    sc = dsir_scores(docs, w, "text", "doc_id", buckets=1024)
+    return dsir_select(sc, 100)
+
+
+Q387_SQL = """
+WITH tl AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents WHERE text IS NOT NULL
+), feat_t AS (
+  SELECT unnest(ts) AS f FROM tl WHERE lang = 'en'
+  UNION ALL
+  SELECT ts[i] || ' ' || ts[i + 1] AS f
+  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM tl WHERE lang = 'en')
+), feat_r AS (
+  SELECT doc_id, unnest(ts) AS f FROM tl
+  UNION ALL
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS f
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM tl)
+), tc AS (
+  SELECT ('0x' || substring(md5('ds:' || f), 1, 10))::BIGINT % 1024 AS bucket,
+         CAST(count(*) AS BIGINT) AS ct
+  FROM feat_t GROUP BY 1
+), rc AS (
+  SELECT ('0x' || substring(md5('ds:' || f), 1, 10))::BIGINT % 1024 AS bucket,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM feat_r GROUP BY 1
+), tot AS (
+  SELECT (SELECT sum(ct) FROM tc) AS nt, (SELECT sum(cr) FROM rc) AS nr
+), allb AS (
+  SELECT unnest(generate_series(0, 1023)) AS bucket
+), w AS (
+  SELECT a.bucket,
+         CAST(round(ln((coalesce(tc.ct, 0) + 1.0) / (t.nt + 1024.0))
+                  - ln((coalesce(rc.cr, 0) + 1.0) / (t.nr + 1024.0)), 6)
+              AS DECIMAL(25,6)) AS weight
+  FROM allb a LEFT JOIN tc ON tc.bucket = a.bucket
+              LEFT JOIN rc ON rc.bucket = a.bucket, tot t
+), fb AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('ds:' || f), 1, 10))::BIGINT % 1024 AS bucket
+  FROM feat_r
+), sc AS (
+  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+         CAST(sum(w.weight) AS DECIMAL(25,6)) AS log_iw
+  FROM fb JOIN w ON w.bucket = fb.bucket GROUP BY 1
+)
+SELECT doc_id, n_features, log_iw,
+       CAST(round(CAST(log_iw AS DOUBLE)
+                  + (-ln(-ln((('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+                              / 1152921504606846976.0))), 6)
+            AS DECIMAL(25,6)) AS sample_key
+FROM sc
+ORDER BY sample_key DESC LIMIT 100
+"""
+
+QUERIES.update({"q387_dsir_selection": q387_dsir_selection})
+ORACLE_SQL.update({"q387_dsir_selection": Q387_SQL})

@@ -419,3 +419,85 @@ def test_dup_substring_spans_match_bruteforce(spark, doc_passages):
     for i, t in enumerate(texts):
         assert cleaned[i][0] == want_clean[i]
         assert cleaned[i][1] == len(t) - len(want_clean[i])
+
+
+# --- DSIR importance resampling (Xie et al. 2023) -----------------------
+
+def test_dsir_matches_python_recompute(spark):
+    """Weights (smoothed log importance ratios over hashed
+    unigram+bigram features), per-doc scores, deterministic Gumbel
+    keys and the top-k subset against a pure-Python recompute."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP
+
+    from nlu_data_warehouse_project_spark.operators.dsir import (
+        dsir_importance_weights,
+        dsir_scores,
+        dsir_select,
+    )
+
+    B, seed = 64, 7
+    rows = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "a dog  ran far"),          # double space: empty dropped
+        (2, "de", "der hund lief weit weg"),
+        (3, "de", "the cat der hund"),
+        (4, "en", ""),                        # no features -> no score row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    target = docs.filter("lang = 'en'")
+
+    def feats(text):
+        ts = [t for t in text.split(" ") if t]
+        return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f"ds:{f}".encode()).hexdigest()[:10], 16) % B
+
+    def r6(x):
+        return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    tc: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    for _id, lang, text in rows:
+        for f in feats(text):
+            b = bucket(f)
+            rc[b] = rc.get(b, 0) + 1
+            if lang == "en":
+                tc[b] = tc.get(b, 0) + 1
+    nt, nr = sum(tc.values()), sum(rc.values())
+    want_w = {
+        b: r6(
+            math.log((tc.get(b, 0) + 1.0) / (nt + B))
+            - math.log((rc.get(b, 0) + 1.0) / (nr + B))
+        )
+        for b in range(B)
+    }
+    w = dsir_importance_weights(target, docs, "text", buckets=B)
+    got_w = {r["bucket"]: r["weight"] for r in w.collect()}
+    assert got_w == want_w
+
+    want_sc = {}
+    for _id, _lang, text in rows:
+        fs = feats(text)
+        if not fs:
+            continue
+        iw = sum(want_w[bucket(f)] for f in fs)
+        h60 = int(
+            hashlib.md5(f"{seed}:{_id}".encode()).hexdigest()[:15], 16
+        )
+        u = (h60 + 0.5) / float(1 << 60)
+        key = r6(float(iw) + (-math.log(-math.log(u))))
+        want_sc[_id] = (len(fs), iw.quantize(Decimal("0.000001")), key)
+    sc = dsir_scores(docs, w, "text", "doc_id", buckets=B, gumbel_seed=seed)
+    got_sc = {
+        r["doc_id"]: (r["n_features"], r["log_iw"], r["sample_key"])
+        for r in sc.collect()
+    }
+    assert got_sc == want_sc
+    assert 4 not in got_sc  # empty doc scores nowhere
+
+    top2 = sorted(want_sc, key=lambda d: want_sc[d][2], reverse=True)[:2]
+    got_top = {r["doc_id"] for r in dsir_select(sc, 2).collect()}
+    assert got_top == set(top2)
