@@ -246,6 +246,8 @@ EXTRAS = [
     "q379_winnow_incremental",
     "q380_quality_model_score",
     "q381_bm25_scores",
+    "q385_dup_substring_spans",
+    "q387_dsir_selection",
 ]
 
 GROUPS = {"legacy19": LEGACY19, "heavy": HEAVY_HEADLINE, "extras": EXTRAS}

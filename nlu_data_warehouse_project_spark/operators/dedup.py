@@ -852,13 +852,17 @@ def dup_substring_spans(
         )
         .select("__d", "__p", F.expr(f"substring(__t, __p, {min_len})").alias("__g"))
     )
-    dup = (
-        grams.groupBy("__g")
-        .agg(F.count(F.lit(1)).alias("__c"))
+    # duplicated-gram detection as a COUNT window over one gram
+    # derivation — a groupBy + semi-join back would re-derive (and
+    # re-scan) the corpus-sized gram frame (the winnow double-tokenize
+    # lesson, VERDICT r16 #2); the window shuffles on __g exactly once
+    marked = (
+        grams.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("__g"))
+        )
         .filter(F.col("__c") > 1)
-        .select("__g")
+        .select("__d", "__p")
     )
-    marked = grams.join(dup, "__g", "left_semi").select("__d", "__p")
     w = Window.partitionBy("__d").orderBy("__p")
     prev_end = F.max(F.col("__p") + min_len).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -133,6 +133,14 @@ STRESS_QUERIES = [
     # merge hints) — exactly the failure class this harness exists to
     # catch, so the row is permanent
     "q373_winnow_overlap_pairs",
+    # round 17: the exact-substring dedup (a gram per CHARACTER — the
+    # largest constant-factor explode in the catalog; the global
+    # dup-gram count and per-doc islands windows are the plan under
+    # test, and token salting keeps cross-copy grams disjoint so
+    # output scales Kx) and DSIR (two bag fits + broadcast-scored
+    # corpus + TakeOrdered — should track the feature explode)
+    "q385_dup_substring_spans",
+    "q387_dsir_selection",
 ]
 
 # per-copy embedding perturbation scale: |noise element| <= EPS x the
