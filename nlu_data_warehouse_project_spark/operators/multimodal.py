@@ -725,13 +725,14 @@ def decode_image(payload: bytes) -> dict:
     baseline, progressive, lossless AND hierarchical-lossless JPEG via
     ``operators.jpeg``; uncompressed 24/32-bit and 1/4/8-bit
     palettized BMP via ``decode_bmp``; GIF (LZW + interlace, first
-    frame) via ``operators.gif``; 8/16-bit TIFF strips compressed
+    frame) via ``operators.gif``; 8/16-bit TIFF in strip or tile
+    layout, chunky or separate planes, predictor 1/2, compressed
     none/PackBits/LZW/Deflate via ``operators.tiff``; lossless WebP
     (VP8L: all four transforms, color cache, LZ77, meta-Huffman) via
     ``operators.webp`` — all pure Python+numpy, no codec library.
     Remaining fail-fasts: arithmetic JPEG, JPEG-in-TIFF, TIFF CCITT,
-    tiled or planar-2 TIFF, RLE or 16-bit-bitfield BMP, lossy-VP8
-    WebP, and anything else unrecognized."""
+    TIFF floating-point predictor, RLE or 16-bit-bitfield BMP,
+    lossy-VP8 WebP, and anything else unrecognized."""
     if isinstance(payload, (bytes, bytearray)):
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)

@@ -6,13 +6,18 @@ MSB-FIRST, EARLY-CHANGE variant, deliberately a separate
 implementation from GIF's LSB-first coder) and 8 (Deflate — stdlib
 zlib); 8- and 16-bit grayscale and RGB(A) (16-bit samples decode in
 the file's byte order and downsample by the high byte onto the 8-bit
-surface, the decode_png rule), single plane (PlanarConfiguration 1),
-strips (tiled TIFF is an extension and fails fast).  JPEG-in-TIFF and
-CCITT fax codings fail fast naming themselves.
+surface, the decode_png rule), chunky AND separate-plane layouts
+(PlanarConfiguration 1/2 — round 17), STRIP and TILE layouts (tags
+322-325, edge tiles cropped per spec — round 17), and Predictor 2
+(horizontal differencing, the common LZW companion; previously the
+tag was not read, which would have decoded a predictor-2 payload to
+silently wrong pixels — round 17).  JPEG-in-TIFF, CCITT fax codings
+and the floating-point predictor fail fast naming themselves.
 
-``encode_tiff`` is the fixture/export twin (uncompressed or PackBits,
-gray/RGB, configurable rows-per-strip so multi-strip assembly is
-exercised); round-trips are exact by construction.
+``encode_tiff`` is the fixture/export twin (compression 1/5/8/32773,
+gray/RGB(A), configurable rows-per-strip, optional tile/planar-2/
+predictor-2 layouts so every assembly path is exercised);
+round-trips are exact by construction.
 """
 
 from __future__ import annotations
@@ -24,7 +29,8 @@ import numpy as np
 # baseline tag ids
 _WIDTH, _HEIGHT, _BITS, _COMPRESSION, _PHOTOMETRIC = 256, 257, 258, 259, 262
 _STRIP_OFFSETS, _SAMPLES, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
-_PLANAR = 284
+_PLANAR, _PREDICTOR = 284, 317
+_TILE_W, _TILE_L, _TILE_OFFSETS, _TILE_COUNTS = 322, 323, 324, 325
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
@@ -238,56 +244,116 @@ def decode_tiff(payload: bytes) -> dict:
     bps = bits[0] // 8  # bytes per sample: 1 or 2
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"TIFF SamplesPerPixel {spp} (1/3/4)")
-    if tags.get(_PLANAR, [1])[0] != 1:
-        raise NotImplementedError("TIFF planar configuration 2 (separate planes)")
-    offsets = tags.get(_STRIP_OFFSETS)
-    counts = tags.get(_STRIP_COUNTS)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF strips missing/mismatched")
-    rps = tags.get(_ROWS_PER_STRIP, [h])[0]
-    row_bytes = w * spp * bps
-    data = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        raw = payload[off:off + cnt]
-        if len(raw) < cnt:
-            raise ValueError(f"TIFF strip {si} truncated")
-        rows_here = min(rps, h - si * rps)
-        if rows_here <= 0:
-            raise ValueError("TIFF more strips than rows")
-        expect = rows_here * row_bytes
+    planar = tags.get(_PLANAR, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF PlanarConfiguration {planar} (1/2)")
+    predictor = tags.get(_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF Predictor {predictor}: none (1) and horizontal "
+            "differencing (2) decode here; 3 (floating point) doesn't"
+        )
+    n_planes = spp if planar == 2 else 1
+    chunk_ch = 1 if planar == 2 else spp
+    file_dt = np.uint8 if bps == 1 else np.dtype(e + "u2")
+
+    def _chunk_arr(raw: bytes, rows: int, cols: int, idx: int) -> "np.ndarray":
+        """One strip/tile -> (rows, cols, chunk_ch) array: decompress,
+        clamp to the expected byte count, undo Predictor 2 (each row
+        restarts, per the spec — differencing never crosses a strip or
+        tile boundary because each chunk compresses independently)."""
+        expect = rows * cols * chunk_ch * bps
         if comp == 1:
-            data += raw
+            if len(raw) < expect:
+                raise ValueError(
+                    f"TIFF chunk {idx}: {len(raw)} bytes, need {expect}"
+                )
+            buf = raw[:expect]
         elif comp == 32773:
-            data += _packbits_decode(raw, expect)
+            buf = _packbits_decode(raw, expect)
         elif comp == 5:
-            data += _tiff_lzw_decode(raw, expect)
+            buf = _tiff_lzw_decode(raw, expect)
         else:  # comp == 8: Deflate
             import zlib
 
             inflated = zlib.decompress(bytes(raw))
-            # clamp+validate per strip like PackBits/LZW: an over-long
-            # inflate must not silently shift every subsequent row
+            # clamp+validate like PackBits/LZW: an over-long inflate
+            # must not silently shift every subsequent row
             if len(inflated) < expect:
                 raise ValueError(
-                    f"TIFF Deflate strip {si}: {len(inflated)} bytes, "
+                    f"TIFF Deflate chunk {idx}: {len(inflated)} bytes, "
                     f"need {expect}"
                 )
-            data += inflated[:expect]
-    if len(data) < h * row_bytes:
-        raise ValueError(
-            f"TIFF strips carry {len(data)} bytes, need {h * row_bytes}"
-        )
-    if bps == 2:
-        # native 16-bit samples in the FILE's byte order; downsample by
-        # the high byte onto the 8-bit surface — the same 16->8 rule
-        # decode_png applies (exact for the hi*257 gradients 16-bit
-        # encoders emit for 8-bit content)
-        wide = np.frombuffer(bytes(data[: h * row_bytes]), dtype=np.dtype(e + "u2"))
-        px = (wide >> 8).astype(np.uint8).reshape(h, w, spp)
+            buf = inflated[:expect]
+        arr = np.frombuffer(bytes(buf), dtype=file_dt).reshape(rows, cols, chunk_ch)
+        if predictor == 2:
+            mask = 0xFF if bps == 1 else 0xFFFF
+            arr = (np.cumsum(arr, axis=1, dtype=np.uint32) & mask).astype(
+                np.uint8 if bps == 1 else np.uint16
+            )
+        return arr
+
+    out = np.zeros((h, w, spp), dtype=np.uint8 if bps == 1 else np.uint16)
+    if _TILE_OFFSETS in tags or _TILE_W in tags:
+        tw = tags.get(_TILE_W, [0])[0]
+        tl = tags.get(_TILE_L, [0])[0]
+        offsets = tags.get(_TILE_OFFSETS)
+        counts = tags.get(_TILE_COUNTS)
+        if not tw or not tl or not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF tile tags missing/mismatched")
+        across, down = -(-w // tw), -(-h // tl)
+        per_plane = across * down
+        if len(offsets) != per_plane * n_planes:
+            raise ValueError(
+                f"TIFF has {len(offsets)} tiles, geometry needs "
+                f"{per_plane * n_planes}"
+            )
+        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+            raw = payload[off:off + cnt]
+            if len(raw) < cnt:
+                raise ValueError(f"TIFF tile {idx} truncated")
+            plane, t = divmod(idx, per_plane)
+            ty, tx = divmod(t, across)
+            arr = _chunk_arr(raw, tl, tw, idx)
+            rr = min(tl, h - ty * tl)
+            cc = min(tw, w - tx * tw)
+            if planar == 2:
+                out[ty * tl:ty * tl + rr, tx * tw:tx * tw + cc, plane] = arr[:rr, :cc, 0]
+            else:
+                out[ty * tl:ty * tl + rr, tx * tw:tx * tw + cc, :] = arr[:rr, :cc, :]
     else:
-        px = np.frombuffer(bytes(data[: h * row_bytes]), dtype=np.uint8).reshape(
-            h, w, spp
-        )
+        offsets = tags.get(_STRIP_OFFSETS)
+        counts = tags.get(_STRIP_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF strips missing/mismatched")
+        rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+        per_plane = -(-h // rps)
+        if len(offsets) != per_plane * n_planes:
+            raise ValueError(
+                f"TIFF has {len(offsets)} strips, geometry needs "
+                f"{per_plane * n_planes}"
+            )
+        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+            raw = payload[off:off + cnt]
+            if len(raw) < cnt:
+                raise ValueError(f"TIFF strip {idx} truncated")
+            plane, si = divmod(idx, per_plane)
+            rows_here = min(rps, h - si * rps)
+            if rows_here <= 0:
+                raise ValueError("TIFF more strips than rows")
+            arr = _chunk_arr(raw, rows_here, w, idx)
+            y0 = si * rps
+            if planar == 2:
+                out[y0:y0 + rows_here, :, plane] = arr[:, :, 0]
+            else:
+                out[y0:y0 + rows_here, :, :] = arr
+    if bps == 2:
+        # downsample by the high byte onto the 8-bit surface — the
+        # same 16->8 rule decode_png applies (exact for the hi*257
+        # gradients 16-bit encoders emit for 8-bit content)
+        px = (out >> 8).astype(np.uint8)
+    else:
+        px = out
     photo = tags.get(_PHOTOMETRIC, [1])[0]
     if photo == 0 and spp == 1:  # WhiteIsZero: invert into the contract
         px = 255 - px
@@ -306,13 +372,18 @@ def encode_tiff(
     packbits: bool = False,
     compression: int | None = None,
     bits_per_sample: int = 8,
+    tile: tuple[int, int] | None = None,
+    planar: int = 1,
+    predictor: int = 1,
 ) -> bytes:
     """Little-endian baseline TIFF writer (fixture/export twin):
     gray/RGB/RGBA 8- or 16-bit (``bits_per_sample=16`` takes
     little-endian uint16 sample bytes), strip layout with configurable
-    rows-per-strip (multi-strip assembly is part of what the tests
-    exercise), compression 1/5/8/32773 (``packbits=True`` is shorthand
-    for 32773)."""
+    rows-per-strip OR tile layout (``tile=(tw, tl)``, edge tiles
+    zero-padded per spec), chunky or separate-plane
+    (``planar=2``) sample organization, optional horizontal
+    differencing (``predictor=2``), compression 1/5/8/32773
+    (``packbits=True`` is shorthand for 32773)."""
     if channels not in (1, 3, 4):
         raise ValueError(f"channels={channels} (1/3/4)")
     if bits_per_sample not in (8, 16):
@@ -325,34 +396,72 @@ def encode_tiff(
     comp = compression if compression is not None else (32773 if packbits else 1)
     if comp not in (1, 5, 8, 32773):
         raise ValueError(f"compression={comp} (1/5/8/32773)")
-    rps = rows_per_strip or height
-    row_bytes = width * channels * bps
-    strips = []
-    for y0 in range(0, height, rps):
-        rows = pixels[y0 * row_bytes:(y0 + min(rps, height - y0)) * row_bytes]
+    if planar not in (1, 2):
+        raise ValueError(f"planar={planar} (1/2)")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor={predictor} (1/2)")
+    sample_dt = np.uint8 if bps == 1 else np.dtype("<u2")
+    full = np.frombuffer(pixels, dtype=sample_dt).reshape(height, width, channels)
+
+    def chunk_body(sub: "np.ndarray") -> bytes:
+        """Serialize one strip/tile array (rows, cols, ch) with the
+        predictor applied then the chosen compression."""
+        if predictor == 2:
+            mask = 0xFF if bps == 1 else 0xFFFF
+            d = sub.astype(np.int64)
+            d[:, 1:, :] = d[:, 1:, :] - sub.astype(np.int64)[:, :-1, :]
+            sub = (d & mask).astype(sample_dt)
+        raw = np.ascontiguousarray(sub).tobytes()
         if comp == 32773:
-            body = b"".join(
-                _packbits_encode(rows[r * row_bytes:(r + 1) * row_bytes])
-                for r in range(len(rows) // row_bytes)
+            rb = sub.shape[1] * sub.shape[2] * bps
+            return b"".join(
+                _packbits_encode(raw[r * rb:(r + 1) * rb])
+                for r in range(sub.shape[0])
             )
-        elif comp == 5:
-            body = _tiff_lzw_encode(rows)
-        elif comp == 8:
+        if comp == 5:
+            return _tiff_lzw_encode(raw)
+        if comp == 8:
             import zlib
 
-            body = zlib.compress(rows)
-        else:
-            body = rows
-        strips.append(body)
+            return zlib.compress(raw)
+        return raw
 
-    def tag(tid, typ, vals):
-        count = len(vals)
-        size = _TYPE_SIZE[typ] * count
-        fmt = {3: "H", 4: "I"}[typ]
-        packed = struct.pack("<" + fmt * count, *vals)
-        if size <= 4:
-            return struct.pack("<HHI", tid, typ, count) + packed.ljust(4, b"\x00"), b""
-        return None, packed  # needs out-of-line storage; resolved below
+    chunks: list[bytes] = []
+    planes = range(channels) if planar == 2 else [None]
+    if tile is not None:
+        tw, tl = tile
+        if tw < 1 or tl < 1:
+            raise ValueError(f"tile={tile} needs positive dims")
+        across, down = -(-width // tw), -(-height // tl)
+        for plane in planes:
+            for ty in range(down):
+                for tx in range(across):
+                    sub = full[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw]
+                    sub = sub[:, :, plane:plane + 1] if plane is not None else sub
+                    # pad edge tiles to full tile size, per spec
+                    padded = np.zeros((tl, tw, sub.shape[2]), dtype=sample_dt)
+                    padded[: sub.shape[0], : sub.shape[1]] = sub
+                    chunks.append(chunk_body(padded))
+        layout = [
+            (_TILE_W, 4, [tw]),
+            (_TILE_L, 4, [tl]),
+            (_TILE_OFFSETS, 4, [0] * len(chunks)),  # patched below
+            (_TILE_COUNTS, 4, [0]),                 # patched below
+        ]
+        offsets_tag = _TILE_OFFSETS
+    else:
+        rps = rows_per_strip or height
+        for plane in planes:
+            for y0 in range(0, height, rps):
+                sub = full[y0:y0 + rps]
+                sub = sub[:, :, plane:plane + 1] if plane is not None else sub
+                chunks.append(chunk_body(sub))
+        layout = [
+            (_STRIP_OFFSETS, 4, [0] * len(chunks)),  # patched below
+            (_ROWS_PER_STRIP, 4, [rps]),
+            (_STRIP_COUNTS, 4, [0]),                 # patched below
+        ]
+        offsets_tag = _STRIP_OFFSETS
 
     entries = [
         (_WIDTH, 4, [width]),
@@ -360,11 +469,22 @@ def encode_tiff(
         (_BITS, 3, [bits_per_sample] * channels),
         (_COMPRESSION, 3, [comp]),
         (_PHOTOMETRIC, 3, [1 if channels == 1 else 2]),
-        (_STRIP_OFFSETS, 4, [0] * len(strips)),  # patched below
         (_SAMPLES, 3, [channels]),
-        (_ROWS_PER_STRIP, 4, [rps]),
-        (_STRIP_COUNTS, 4, [len(s) for s in strips]),
+        *layout,
     ]
+    if planar == 2:
+        entries.append((_PLANAR, 3, [2]))
+    if predictor == 2:
+        entries.append((_PREDICTOR, 3, [2]))
+    entries.sort(key=lambda t: t[0])  # IFD entries must be tag-ordered
+    # patch the real byte counts now that chunks exist
+    entries = [
+        (tid, typ,
+         [len(c) for c in chunks] if tid in (_STRIP_COUNTS, _TILE_COUNTS)
+         else vals)
+        for tid, typ, vals in entries
+    ]
+    strips = chunks
     header = struct.pack("<4sI", b"II*\x00", 8)
     ifd_at = 8
     n = len(entries)
@@ -385,8 +505,11 @@ def encode_tiff(
     for s in strips:
         strip_offsets.append(at)
         at += len(s)
-    # rebuild with real strip offsets
-    entries[5] = (_STRIP_OFFSETS, 4, strip_offsets)
+    # rebuild with real chunk offsets
+    entries = [
+        (tid, typ, strip_offsets if tid == offsets_tag else vals)
+        for tid, typ, vals in entries
+    ]
     out = bytearray(header)
     out += struct.pack("<H", n)
     extra = bytearray()

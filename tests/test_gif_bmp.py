@@ -282,3 +282,67 @@ def test_tiff_16bit_roundtrip_and_big_endian():
     bad[off:off + 2] = struct.pack("<H", 8)  # first channel 8, rest 16
     with pytest.raises(NotImplementedError, match="BitsPerSample"):
         decode_tiff(bytes(bad))
+
+
+def test_tiff_tiles_planar_predictor_matrix():
+    """Round 17 layouts: tile assembly with edge cropping, separate
+    planes (PlanarConfiguration 2), horizontal differencing
+    (Predictor 2), and their compositions — exact round-trips
+    against the encoder twin across 8/16-bit and all codecs."""
+    from nlu_data_warehouse_project_spark.operators.tiff import (
+        decode_tiff, encode_tiff,
+    )
+
+    rng = np.random.RandomState(17)
+    for bits in (8, 16):
+        dt = np.uint8 if bits == 8 else np.dtype("<u2")
+        a = rng.randint(0, 2 ** bits, size=(9, 13, 3)).astype(dt)
+        want = (a >> 8).astype(np.uint8).tobytes() if bits == 16 else a.tobytes()
+        for kwargs in (
+            {"tile": (8, 4)},                       # edge tiles cropped
+            {"tile": (5, 3), "compression": 5},
+            {"tile": (13, 9), "compression": 8},    # single full tile
+            {"planar": 2, "rows_per_strip": 4},
+            {"planar": 2, "tile": (8, 4), "compression": 32773},
+            {"predictor": 2, "compression": 5},
+            {"predictor": 2, "rows_per_strip": 2, "compression": 32773},
+            {"predictor": 2, "planar": 2, "tile": (6, 5), "compression": 5},
+        ):
+            t = encode_tiff(13, 9, 3, a.tobytes(), bits_per_sample=bits, **kwargs)
+            img = decode_tiff(t)
+            assert (img["width"], img["height"], img["channels"]) == (13, 9, 3)
+            assert img["pixels"] == want, (bits, kwargs)
+
+
+def test_tiff_predictor2_hand_derived_and_failfasts():
+    """Predictor 2 against a hand-built differenced strip (the tag was
+    previously unread — a predictor-2 payload would have decoded to
+    silently wrong pixels), plus the predictor-3 and bad-geometry
+    fail-fasts."""
+    import struct as _st
+
+    from nlu_data_warehouse_project_spark.operators.tiff import (
+        decode_tiff, encode_tiff,
+    )
+
+    # build uncompressed gray 4x1 with pixel row [10, 20, 15, 255]:
+    # differenced file bytes are [10, 10, -5, 240] mod 256
+    t = bytearray(encode_tiff(4, 1, 1, bytes([10, 10, 251, 240])))
+    # graft a Predictor=2 tag is hard post-hoc; instead encode with the
+    # twin and verify the FILE bytes carry the differenced form
+    t2 = encode_tiff(4, 1, 1, bytes([10, 20, 15, 255]), predictor=2)
+    assert bytes([10, 10, 251, 240]) in bytes(t2)
+    assert decode_tiff(t2)["pixels"] == bytes([10, 20, 15, 255])
+    _ = t
+    # predictor 3 (floating point) fails fast
+    bad = bytearray(t2)
+    at = bad.index(_st.pack("<HH", 317, 3))
+    bad[at + 8:at + 10] = _st.pack("<H", 3)
+    with pytest.raises(NotImplementedError, match="Predictor 3"):
+        decode_tiff(bytes(bad))
+    # tile-count/geometry mismatch is loud
+    good = bytearray(encode_tiff(13, 9, 1, bytes(13 * 9), tile=(8, 4)))
+    at = good.index(_st.pack("<HH", 257, 4))  # ImageLength tag
+    good[at + 8:at + 12] = _st.pack("<I", 90)  # claim 90 rows
+    with pytest.raises(ValueError, match="geometry"):
+        decode_tiff(bytes(good))
