@@ -823,6 +823,7 @@ def dup_substring_spans(
     min_len: int = 30,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_first: bool = False,
 ) -> DataFrame:
     """All MAXIMAL character spans of length >= ``min_len`` whose text
     occurs more than once in the corpus (across documents OR repeated
@@ -836,6 +837,13 @@ def dup_substring_spans(
     pairs); marked positions are a LEFT SEMI join against the
     dup-gram set; the islands merge is a per-document window.
     Nothing quadratic, nothing collected.
+
+    ``keep_first=True`` switches to the deployment-preferred Lee et
+    al. variant: the lexicographically FIRST occurrence (by (id, pos))
+    of each duplicated gram is exempt from marking, so one canonical
+    copy of every duplicated string survives the strip instead of the
+    text vanishing from all its locations.  A doc's span then means
+    "this text exists earlier in the corpus".
 
     Returns (id_col, span_start, span_len), span_start 1-based,
     spans disjoint and separated by >= 1 kept char (adjacent islands
@@ -856,13 +864,26 @@ def dup_substring_spans(
     # derivation — a groupBy + semi-join back would re-derive (and
     # re-scan) the corpus-sized gram frame (the winnow double-tokenize
     # lesson, VERDICT r16 #2); the window shuffles on __g exactly once
-    marked = (
-        grams.withColumn(
-            "__c", F.count(F.lit(1)).over(Window.partitionBy("__g"))
+    if keep_first:
+        # "duplicated and not the first occurrence" is exactly
+        # row_number > 1 over (id, pos) within the gram — same single
+        # __g shuffle
+        rn = F.row_number().over(
+            Window.partitionBy("__g").orderBy("__d", "__p")
         )
-        .filter(F.col("__c") > 1)
-        .select("__d", "__p")
-    )
+        marked = (
+            grams.withColumn("__rn", rn)
+            .filter(F.col("__rn") > 1)
+            .select("__d", "__p")
+        )
+    else:
+        marked = (
+            grams.withColumn(
+                "__c", F.count(F.lit(1)).over(Window.partitionBy("__g"))
+            )
+            .filter(F.col("__c") > 1)
+            .select("__d", "__p")
+        )
     w = Window.partitionBy("__d").orderBy("__p")
     prev_end = F.max(F.col("__p") + min_len).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -886,6 +907,7 @@ def strip_dup_substrings(
     min_len: int = 30,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Lee et al.'s dedup step applied: remove every
     :func:`dup_substring_spans` span from the text, keeping the
@@ -899,7 +921,7 @@ def strip_dup_substrings(
     |text|/min_len so the array never approaches driver scale.
 
     Returns (id_col, orig_len, n_dup_spans, chars_removed, clean_text)."""
-    spans = dup_substring_spans(docs, min_len, id_col, text_col)
+    spans = dup_substring_spans(docs, min_len, id_col, text_col, keep_first)
     per_doc = spans.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_len"))

@@ -501,3 +501,49 @@ def test_dsir_matches_python_recompute(spark):
     top2 = sorted(want_sc, key=lambda d: want_sc[d][2], reverse=True)[:2]
     got_top = {r["doc_id"] for r in dsir_select(sc, 2).collect()}
     assert got_top == set(top2)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_dup_substring_keep_first_bruteforce(spark, doc_passages):
+    """keep_first=True == brute force where a position is marked iff
+    its gram has a lexicographically earlier (doc, pos) occurrence;
+    the corpus-wide FIRST copy of every duplicated string survives."""
+    from nlu_data_warehouse_project_spark.operators.dedup import (
+        strip_dup_substrings,
+    )
+
+    L = 8
+    texts = ["".join(ps) for ps in doc_passages]
+    occ: dict[str, tuple[int, int]] = {}
+    for i, t in enumerate(texts):
+        for p in range(len(t) - L + 1):
+            occ.setdefault(t[p:p + L], (i, p))
+    want = {}
+    for i, t in enumerate(texts):
+        spans = []
+        for p in range(len(t) - L + 1):
+            if occ[t[p:p + L]] < (i, p):
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], p + L)
+                else:
+                    spans.append([p, p + L])
+        keep = [
+            ch for j, ch in enumerate(t)
+            if not any(s <= j < e for s, e in spans)
+        ]
+        want[i] = "".join(keep)
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_dup_substrings(df, min_len=L, keep_first=True).collect()
+    }
+    assert got == want
+    # doc 0 can never lose anything: every first occurrence beats it
+    # only if an earlier (doc, pos) exists, and within doc 0 earlier
+    # positions are the within-doc repeats
+    if texts and len(set(texts[0][p:p + L] for p in range(len(texts[0]) - L + 1))) == max(0, len(texts[0]) - L + 1):
+        assert got[0] == texts[0]
