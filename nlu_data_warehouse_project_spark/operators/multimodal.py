@@ -576,14 +576,170 @@ def encode_png(
     )
 
 
+def _bmp_rle_decode(data: bytes, w: int, h: int, bits: int) -> "np.ndarray":
+    """BI_RLE8/BI_RLE4 stream -> (h, w) uint8 index surface in STORED
+    (bottom-up) row order.  Escapes: 00 00 = end of line, 00 01 = end
+    of bitmap, 00 02 dx dy = cursor delta (skipped pixels stay index
+    0, per the de-facto Windows behavior), 00 n>=3 = absolute run of
+    n indices (RLE4: packed nibbles) padded to a 16-bit boundary;
+    a nonzero first byte is an encoded run (RLE4 alternates the two
+    nibbles of its value byte)."""
+    import numpy as np
+
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while True:
+        if i + 2 > n:
+            raise ValueError("BMP RLE stream truncated")
+        a, b = data[i], data[i + 1]
+        i += 2
+        if a:
+            if y >= h or x + a > w:
+                raise ValueError("BMP RLE run writes outside the image")
+            if bits == 8:
+                idx[y, x:x + a] = b
+            else:
+                pair = np.array([b >> 4, b & 0x0F], dtype=np.uint8)
+                idx[y, x:x + a] = np.resize(pair, a)
+            x += a
+        elif b == 0:  # end of line
+            x, y = 0, y + 1
+        elif b == 1:  # end of bitmap
+            return idx
+        elif b == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("BMP RLE delta truncated")
+            x, y = x + data[i], y + data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE delta outside the image")
+        else:  # absolute run of b indices
+            if y >= h or x + b > w:
+                raise ValueError("BMP RLE absolute run outside the image")
+            if bits == 8:
+                nb = (b + 1) & ~1
+                if i + nb > n:
+                    raise ValueError("BMP RLE absolute run truncated")
+                idx[y, x:x + b] = np.frombuffer(data[i:i + b], dtype=np.uint8)
+            else:
+                nbytes = (b + 1) // 2
+                nb = (nbytes + 1) & ~1
+                if i + nb > n:
+                    raise ValueError("BMP RLE absolute run truncated")
+                raw = np.frombuffer(data[i:i + nbytes], dtype=np.uint8)
+                nibs = np.empty(nbytes * 2, dtype=np.uint8)
+                nibs[0::2] = raw >> 4
+                nibs[1::2] = raw & 0x0F
+                idx[y, x:x + b] = nibs[:b]
+            i += nb
+            x += b
+
+
+def encode_bmp_rle(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: list[tuple[int, int, int]],
+    bits: int = 8,
+) -> bytes:
+    """BI_RLE8/BI_RLE4 fixture/export twin: encoded runs for repeats,
+    absolute runs for literal stretches, EOL after every row, EOB at
+    the end.  Same ``indices``/``palette`` contract as
+    ``encode_bmp_palettized``; round-trips exactly."""
+    import numpy as np
+
+    if bits not in (4, 8):
+        raise ValueError(f"bits={bits} (4/8 for RLE)")
+    if len(indices) != width * height:
+        raise ValueError(f"need {width * height} index bytes, got {len(indices)}")
+    idx = np.frombuffer(bytes(indices), dtype=np.uint8).reshape(height, width)
+    if int(idx.max(initial=0)) >= len(palette) or len(palette) > (1 << bits):
+        raise ValueError("index out of palette range")
+    out = bytearray()
+    for row in idx[::-1]:  # bottom-up storage
+        x = 0
+        while x < width:
+            run = 1
+            if bits == 8:
+                while x + run < width and row[x + run] == row[x] and run < 255:
+                    run += 1
+                out += bytes([run, int(row[x])])
+            else:
+                # RLE4 encoded runs alternate two nibbles; a solid run
+                # of one value is the (v, v) pair
+                v0 = int(row[x])
+                v1 = int(row[x + 1]) if x + 1 < width else v0
+                while (
+                    x + run < width
+                    and int(row[x + run]) == (v0 if run % 2 == 0 else v1)
+                    and run < 255
+                ):
+                    run += 1
+                out += bytes([run, (v0 << 4) | v1])
+            x += run
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    table = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette)
+    data_at = 14 + 40 + len(table)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bits,
+        1 if bits == 8 else 2, len(out), 2835, 2835, len(palette), 0,
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", data_at + len(out), 0, 0, data_at)
+    return hdr + info + table + bytes(out)
+
+
+def encode_bmp_bitfields(
+    width: int,
+    height: int,
+    pixels: bytes,
+    masks: tuple[int, int, int] = (0xF800, 0x07E0, 0x001F),
+    bits: int = 16,
+) -> bytes:
+    """BI_BITFIELDS fixture/export twin (default RGB565): quantizes
+    each 8-bit channel by TRUNCATION to its mask's bit width (val >>
+    (8 - b)) and packs little-endian words, bottom-up.
+    ``decode_bmp`` recovers val * 255 // span, and for channel values
+    of the form q * 255 // span the pair is an exact bijection —
+    which is what the round-trip test feeds.  Masks must be
+    contiguous bit runs."""
+    import numpy as np
+
+    if bits not in (16, 32):
+        raise ValueError(f"bits={bits} (16/32)")
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} bytes, got {len(pixels)}")
+    rgb = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width, 3)
+    val = np.zeros((height, width), dtype=np.uint32)
+    for c, m in enumerate(masks):
+        shift = (m & -m).bit_length() - 1
+        span = m >> shift
+        if span & (span + 1):
+            raise ValueError(f"mask {m:#x} is not a contiguous bit run")
+        val |= ((rgb[:, :, c].astype(np.uint32) >> (8 - span.bit_length())) << shift)
+    words = val[::-1].astype("<u2" if bits == 16 else "<u4")
+    stride = ((width * bits + 31) // 32) * 4
+    rowbytes = width * bits // 8
+    dib = np.zeros((height, stride), dtype=np.uint8)
+    dib[:, :rowbytes] = words.view(np.uint8).reshape(height, rowbytes)
+    data = dib.tobytes()
+    data_at = 14 + 40 + 12
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bits, 3,
+                       len(data), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", data_at + len(data), 0, 0, data_at)
+    return hdr + info + struct.pack("<III", *masks) + data
+
+
 def decode_bmp(payload: bytes) -> dict:
-    """Decode an uncompressed BMP (BITMAPINFOHEADER, BI_RGB): 24- or
-    32-bit truecolor, or 1/4/8-bit PALETTIZED (indices through the
-    BGRX color table that follows the header; 1/4-bit rows unpack
-    MSB-first) — the same device-independent-bitmap layout the DIB
-    AVI frames use: bottom-up rows (negative height = top-down),
-    BGR(A) byte order, rows padded to 4 bytes.  RLE/bitfield BMPs
-    fail fast; nothing here needs a codec library."""
+    """Decode a BMP (BITMAPINFOHEADER+): 24/32-bit BI_RGB truecolor,
+    1/4/8-bit PALETTIZED (indices through the BGRX color table;
+    1/4-bit rows unpack MSB-first), BI_RLE8/BI_RLE4 runs (round 17),
+    and 16/32-bit BI_BITFIELDS incl. the 16-bit BI_RGB default 555
+    layout (round 17) — the same device-independent-bitmap layout the
+    DIB AVI frames use: bottom-up rows (negative height = top-down),
+    BGR(A) byte order, rows padded to 4 bytes.  JPEG/PNG-in-BMP fail
+    fast; nothing here needs a codec library."""
     import numpy as np
 
     if not isinstance(payload, (bytes, bytearray)) or payload[:2] != b"BM":
@@ -599,26 +755,71 @@ def decode_bmp(payload: bytes) -> dict:
     w, h_signed = struct.unpack("<ii", payload[18:26])
     planes, bits = struct.unpack("<HH", payload[26:30])
     (compression,) = struct.unpack("<I", payload[30:34])
-    if compression != 0:
+    if compression not in (0, 1, 2, 3):
         raise NotImplementedError(
-            f"BMP biCompression={compression}: only BI_RGB (uncompressed) "
-            "decodes here — RLE/bitfield payloads need a codec library"
+            f"BMP biCompression={compression}: BI_RGB, BI_RLE8/4 and "
+            "BI_BITFIELDS decode here — JPEG/PNG-in-BMP need the named codec"
         )
-    if bits not in (1, 4, 8, 24, 32):
+    if compression == 1 and bits != 8 or compression == 2 and bits != 4:
+        raise ValueError(f"BMP RLE{8 if compression == 1 else 4} with biBitCount={bits}")
+    if compression == 3 and bits not in (16, 32):
+        raise ValueError(f"BMP BI_BITFIELDS with biBitCount={bits} (16/32)")
+    if compression == 0 and bits not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(
-            f"BMP biBitCount={bits}: 1/4/8-bit palettized and 24/32-bit "
-            "BI_RGB decode here (16-bit is bitfield-shaped: fail fast)"
+            f"BMP biBitCount={bits}: 1/4/8-bit palettized, 16-bit 555, "
+            "and 24/32-bit BI_RGB decode here"
         )
     top_down = h_signed < 0
     h = abs(h_signed)
-    stride = ((w * bits + 31) // 32) * 4
-    need = data_at + stride * h
-    if w <= 0 or h == 0 or len(payload) < need:
-        raise ValueError(f"BMP pixel data truncated ({len(payload)} < {need})")
-    rows = np.frombuffer(
-        payload[data_at:data_at + stride * h], dtype=np.uint8
-    ).reshape(h, stride)
-    if bits in (24, 32):
+    if w <= 0 or h == 0:
+        raise ValueError("BMP with empty geometry")
+    if compression in (1, 2):
+        # RLE streams are bottom-up by definition (the spec forbids
+        # top-down RLE); decode to an index surface in stored order
+        if top_down:
+            raise ValueError("BMP RLE cannot be top-down")
+        idx = _bmp_rle_decode(payload[data_at:], w, h, bits)
+        rows = None
+    else:
+        stride = ((w * bits + 31) // 32) * 4
+        need = data_at + stride * h
+        if len(payload) < need:
+            raise ValueError(f"BMP pixel data truncated ({len(payload)} < {need})")
+        rows = np.frombuffer(
+            payload[data_at:data_at + stride * h], dtype=np.uint8
+        ).reshape(h, stride)
+    if compression == 3 or bits == 16:
+        # bitfield masks: 12 (or 16 with alpha, ignored — the contract
+        # is RGB) bytes at offset 54 whether the header is the 40-byte
+        # BITMAPINFOHEADER + appended masks or a V3+ header containing
+        # them at the same absolute position; BI_RGB 16-bit means the
+        # default 555 layout
+        if compression == 3:
+            if len(payload) < 66:
+                raise ValueError("BMP bitfield masks truncated")
+            masks = struct.unpack("<III", payload[54:66])
+        else:
+            masks = (0x7C00, 0x03E0, 0x001F)
+        words = rows[:, : w * (bits // 8)]
+        flat = (
+            words.reshape(h, w, bits // 8)
+            .astype(np.uint32)
+        )
+        val = flat[:, :, 0]
+        for byte_i in range(1, bits // 8):
+            val = val | (flat[:, :, byte_i] << (8 * byte_i))
+        chans = []
+        for m in masks:
+            if m == 0:
+                raise ValueError("BMP bitfield mask is zero")
+            shift = (m & -m).bit_length() - 1
+            span = m >> shift
+            chans.append(((val & m) >> shift) * 255 // span)
+        px = np.stack(chans, axis=2).astype(np.uint8)
+        if not top_down:
+            px = px[::-1]
+        rgb = np.ascontiguousarray(px)
+    elif bits in (24, 32):
         bypp = bits // 8
         px = rows[:, : w * bypp].reshape(h, w, bypp)
         if not top_down:
@@ -635,7 +836,9 @@ def decode_bmp(payload: bytes) -> dict:
         pal = np.frombuffer(
             payload[pal_at:pal_at + 4 * n_colors], dtype=np.uint8
         ).reshape(n_colors, 4)[:, 2::-1]  # BGRX -> RGB
-        if bits == 8:
+        if rows is None:
+            pass  # BI_RLE8/4: idx already decoded from the RLE stream
+        elif bits == 8:
             idx = rows[:, :w]
         elif bits == 4:
             nib = np.empty((h, stride * 2), dtype=np.uint8)
@@ -731,8 +934,8 @@ def decode_image(payload: bytes) -> dict:
     (VP8L: all four transforms, color cache, LZ77, meta-Huffman) via
     ``operators.webp`` — all pure Python+numpy, no codec library.
     Remaining fail-fasts: arithmetic JPEG, JPEG-in-TIFF, TIFF CCITT,
-    TIFF floating-point predictor, RLE or 16-bit-bitfield BMP,
-    lossy-VP8 WebP, and anything else unrecognized."""
+    TIFF floating-point predictor, JPEG/PNG-in-BMP, lossy-VP8 WebP,
+    and anything else unrecognized."""
     if isinstance(payload, (bytes, bytearray)):
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)

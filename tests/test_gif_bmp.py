@@ -75,11 +75,16 @@ def test_bmp_roundtrip_and_validation():
     td[h_at:h_at + 4] = struct.pack("<i", -6)
     flipped = decode_bmp(bytes(td))
     assert flipped["pixels"] == a[::-1].tobytes()
-    # RLE compression fails fast; truncation is loud
+    # RLE decodes since round 17, but RLE8 claimed on a 24-bit payload
+    # is malformed (loud); JPEG-in-BMP keeps the honest fail-fast
     rle = bytearray(payload)
     rle[30:34] = struct.pack("<I", 1)
-    with pytest.raises(NotImplementedError, match="BI_RGB"):
+    with pytest.raises(ValueError, match="RLE8"):
         decode_bmp(bytes(rle))
+    jpg = bytearray(payload)
+    jpg[30:34] = struct.pack("<I", 4)
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_bmp(bytes(jpg))
     with pytest.raises(ValueError, match="truncated"):
         decode_bmp(payload[:60])
 
@@ -228,11 +233,12 @@ def test_bmp_palettized_roundtrip():
     bad[data_at] = 7
     with pytest.raises(ValueError, match="palette index"):
         decode_bmp(bytes(bad))
-    # 16-bit (bitfield-shaped) still fails fast, naming itself
+    # 16-bit BI_RGB decodes since round 17 via the default 555 masks
+    # (the zero-filled payload reads as black pixels, not an error)
     b16 = bytearray(encode_bmp(2, 1, bytes(6)))
     b16[28:30] = struct.pack("<H", 16)
-    with pytest.raises(NotImplementedError, match="biBitCount=16"):
-        decode_bmp(bytes(b16))
+    img16 = decode_bmp(bytes(b16))
+    assert img16["pixels"] == bytes(6)
 
 
 def test_tiff_16bit_roundtrip_and_big_endian():
@@ -346,3 +352,78 @@ def test_tiff_predictor2_hand_derived_and_failfasts():
     good[at + 8:at + 12] = _st.pack("<I", 90)  # claim 90 rows
     with pytest.raises(ValueError, match="geometry"):
         decode_tiff(bytes(good))
+
+
+def test_bmp_rle_roundtrip_and_escapes():
+    """BI_RLE8/BI_RLE4 against the encoder twin (encoded + absolute
+    runs, EOL/EOB escapes) plus a hand-built stream exercising the
+    delta escape (skipped pixels = palette index 0)."""
+    import struct as _st
+
+    from nlu_data_warehouse_project_spark.operators.multimodal import (
+        decode_bmp, encode_bmp_rle,
+    )
+
+    rng = np.random.RandomState(31)
+    pal = [(int(r), int(g), int(b)) for r, g, b in rng.randint(0, 256, (16, 3))]
+    for bits in (8, 4):
+        for h, w in ((9, 13), (5, 1), (3, 200)):
+            idx = rng.randint(0, 16, (h, w)).astype(np.uint8)
+            idx[0, :] = 7  # a long encoded run
+            enc = encode_bmp_rle(w, h, idx.tobytes(), pal, bits=bits)
+            got = decode_bmp(enc)
+            want = np.array([[pal[v] for v in row] for row in idx], np.uint8)
+            gp = np.frombuffer(got["pixels"], np.uint8).reshape(h, w, 3)
+            assert np.array_equal(gp, want), (bits, h, w)
+    # hand-built RLE8 with a delta: run of 3x index 1, delta (+2,+1),
+    # run of 2x index 2, EOB — everything else stays index 0
+    pal3 = [(0, 0, 0), (10, 20, 30), (40, 50, 60)]
+    stream = bytes([3, 1, 0, 2, 2, 1, 2, 2, 0, 1])
+    table = b"".join(bytes([b, g, r, 0]) for (r, g, b) in pal3)
+    data_at = 14 + 40 + len(table)
+    info = _st.pack("<IiiHHIIiiII", 40, 8, 3, 1, 8, 1, len(stream),
+                    2835, 2835, 3, 0)
+    hdr = _st.pack("<2sIHHI", b"BM", data_at + len(stream), 0, 0, data_at)
+    got = decode_bmp(hdr + info + table + stream)
+    gp = np.frombuffer(got["pixels"], np.uint8).reshape(3, 8, 3)
+    want = np.zeros((3, 8, 3), np.uint8)  # top-down after flip
+    want[2, 0:3] = pal3[1]          # stored row 0 = bottom row
+    want[1, 5:7] = pal3[2]          # delta moved to x=5, y=1 (stored)
+    assert np.array_equal(gp, want)
+    # truncation is loud
+    with pytest.raises(ValueError, match="truncated|end-of-bitmap|RLE"):
+        decode_bmp(hdr + info + table + stream[:-2])
+
+
+def test_bmp_bitfields_roundtrip_565_555_and_32():
+    from nlu_data_warehouse_project_spark.operators.multimodal import (
+        decode_bmp, encode_bmp_bitfields,
+    )
+
+    rng = np.random.RandomState(33)
+    for masks, bits in (
+        ((0xF800, 0x07E0, 0x001F), 16),   # RGB565
+        ((0x7C00, 0x03E0, 0x001F), 16),   # RGB555
+        ((0xFF0000, 0x00FF00, 0x0000FF), 32),
+    ):
+        spans = [m >> ((m & -m).bit_length() - 1) for m in masks]
+        rgb = np.stack(
+            [(rng.randint(0, s + 1, (7, 11)) * 255 // s) for s in spans],
+            axis=2,
+        ).astype(np.uint8)
+        enc = encode_bmp_bitfields(11, 7, rgb.tobytes(), masks=masks, bits=bits)
+        got = decode_bmp(enc)
+        gp = np.frombuffer(got["pixels"], np.uint8).reshape(7, 11, 3)
+        assert np.array_equal(gp, rgb), (masks, bits)
+    # 16-bit BI_RGB means the default 555 masks
+    import struct as _st
+    rgb = np.stack(
+        [(rng.randint(0, 32, (7, 11)) * 255 // 31) for _ in range(3)],
+        axis=2,
+    ).astype(np.uint8)
+    enc = bytearray(encode_bmp_bitfields(
+        11, 7, rgb.tobytes(), masks=(0x7C00, 0x03E0, 0x001F), bits=16))
+    enc[30:34] = _st.pack("<I", 0)
+    got = decode_bmp(bytes(enc))
+    assert np.array_equal(
+        np.frombuffer(got["pixels"], np.uint8).reshape(7, 11, 3), rgb)
