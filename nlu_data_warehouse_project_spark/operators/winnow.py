@@ -61,11 +61,29 @@ def winnow_fingerprints(
     if k < 1 or w < 1:
         raise ValueError(f"k={k} (>= 1) / w={w} (>= 1)")
     pos_cap = (1 << _POS_BITS) - 1
+    # the per-doc window below needs hashpartitioning(id) anyway; force
+    # that exchange HERE, on the raw (id, text) rows, so the
+    # posexplode + per-gram md5 run AFTER the shuffle: the exchange
+    # moves ~1/k-gram-factor fewer bytes (text once instead of every
+    # overlapping gram row) and the gram hashing parallelizes even when
+    # the corpus arrives as one small file / one scan task (profiled:
+    # a single 594 KB parquet file serialized the whole tokenize).
+    # repartition-by-NUM is AQE-coalesce-exempt — by-col would be
+    # coalesced right back to one partition at this input size.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     grams = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .filter(F.col("__t").isNotNull() & (F.length("__t") >= k))
+        # the per-doc gram count is length - k + 1 BY CONSTRUCTION of
+        # the sequence below — carry it from the pre-explode row instead
+        # of a count() window over the exploded frame, which cost a
+        # second whole-partition Window pass over every gram row
+        # (r17 optimization; bit-identical filter input)
+        .withColumn("__n", (F.length("__t") - F.lit(k) + 1).cast("int"))
+        .repartition(n_parts, F.col("id"))
         .select(
             "id",
+            "__n",
             F.posexplode(
                 F.expr(
                     f"transform(sequence(1, length(__t) - {k} + 1), "
@@ -82,7 +100,6 @@ def winnow_fingerprints(
         )
     )
     frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
-    doc = Window.partitionBy("id")
     # loud guard instead of silent key corruption past the pos field
     guarded_pos = F.when(
         F.col("pos") > pos_cap,
@@ -99,7 +116,6 @@ def winnow_fingerprints(
     # corpus-sized broadcast.  One gram scan, zero joins.
     return (
         grams
-        .withColumn("__n", F.count(F.lit(1)).over(doc))
         .withColumn(
             "__win",
             F.min(F.struct(key.alias("k"), F.col("__g").alias("g"))).over(frame),

@@ -21920,10 +21920,23 @@ def q379_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     standing = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
+    # the production shape reads this frame from the persisted sidecar
+    # (a cheap columnar scan per consumer); computed in-engine it MUST
+    # be cut, or the operator's two consumers (union-df cap + pair
+    # join) re-run the whole standing tokenize+winnow — the plan showed
+    # two full Window chains over the same parquet scan (r17 fix)
+    # pin the checkpoint's layout to shuffle-partitions many hash
+    # partitions on the pair-join key: materialized inside the big
+    # query, AQE coalesced this frame to ONE partition and every
+    # downstream exchange re-read it through a single serial task
+    # (profiled 3.2 s); repartition(n, keys) is AQE-coalesce-exempt
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     standing_fp = (
         winnow_fingerprints(standing, "text", "doc_id", k=8, w=4)
         .select("id", "fingerprint", "gram")
         .distinct()
+        .repartition(n_parts, "fingerprint", "gram")
+        .localCheckpoint(eager=False)
     )
     return winnow_overlap_incremental(
         standing_fp, batch, "text", "doc_id", k=8, w=4,
