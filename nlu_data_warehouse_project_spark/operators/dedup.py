@@ -850,9 +850,15 @@ def dup_substring_spans(
     merge)."""
     if min_len < 2:
         raise ValueError(f"min_len={min_len} must be >= 2")
+    from .scale import widen_if_narrow
+
     n = F.length(F.col(text_col))
     grams = (
-        docs.filter(n >= min_len)
+        # the char-position explode multiplies rows by |text|; widen a
+        # narrow (small-file) scan first so the expansion + substring
+        # slicing parallelize instead of running inside the lone scan
+        # task (no-op on an already-wide corpus scan — r17)
+        widen_if_narrow(docs, [id_col]).filter(n >= min_len)
         .select(
             F.col(id_col).alias("__d"),
             F.col(text_col).alias("__t"),

@@ -177,10 +177,15 @@ def bfs_hops_bipartite(
             .join(hint(visited.select("node")), "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("int"))
         )
-        nxt = pin_frame(nxt, reliable=reliable, eager=True)
-        if nxt.isEmpty():
-            break
-        # the running union stays a plain plan over pinned inputs
+        if h < max_hops:
+            nxt = pin_frame(nxt, reliable=reliable, eager=True)
+            if nxt.isEmpty():
+                break
+        # the LAST hop's frontier is consumed exactly once, by the
+        # caller's action — pinning it (and probing emptiness) cost two
+        # extra jobs per traversal for nothing (r17); a union with an
+        # empty final frontier is the same result either way
+        # (the running union stays a plain plan over pinned inputs)
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
@@ -591,9 +596,13 @@ def _pagerank_loop(
     if n == 0:
         empty_audit = {"rounds_run": 0, "converged": True, "l1_deltas": []}
         return nodes.withColumn("rank_units", F.lit(0).cast("long")), empty_audit
+    repin_nodes = False
     if seeds is None:
         r0 = unit // n
         base = ((100 - damping_pct) * r0) // 100
+        # a literal column over the already-pinned node frame — no
+        # second materialization needed (r17: the unconditional re-pin
+        # below cost one extra job per call for nothing in this branch)
         nodes = nodes.withColumn("__seed", F.lit(True))
         rank = nodes.withColumn("rank_units", F.lit(r0).cast("long"))
     else:
@@ -624,12 +633,14 @@ def _pagerank_loop(
             "rank_units",
             F.when(F.col("__seed"), F.lit(r0)).otherwise(F.lit(0)).cast("long"),
         )
-    nodes = pin_frame(nodes, reliable=reliable, eager=True)
+        repin_nodes = True
+    if repin_nodes:
+        nodes = pin_frame(nodes, reliable=reliable, eager=True)
     base_term = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0)).cast("long")
     l1_deltas: list[int] = []
     converged = False
     rounds_run = 0
-    for _ in range(rounds):
+    for rnd in range(rounds):
         mass = (
             ed.join(rank.select(F.col("node").alias("__cs"), "rank_units"),
                     F.col("__s") == F.col("__cs"))
@@ -650,7 +661,12 @@ def _pagerank_loop(
                 ).cast("long").alias("rank_units"),
             )
         )
-        new_rank = pin_frame(new_rank, reliable=reliable, eager=True)
+        # the FINAL fixed round's vector is consumed exactly once (by
+        # the caller's action) — materializing it first is a pure extra
+        # job; the convergence path still pins every round (the L1
+        # probe and the next round both re-read it)
+        if tol_units is not None or rnd < rounds - 1:
+            new_rank = pin_frame(new_rank, reliable=reliable, eager=True)
         rounds_run += 1
         if tol_units is not None:
             # exact integer L1 distance between two pinned |V|-row rank

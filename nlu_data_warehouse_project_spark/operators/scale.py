@@ -93,6 +93,27 @@ def repartition_for_key_work(df: DataFrame, keys: list[str], partitions: int | N
     return df.repartition(partitions, *cols) if partitions else df.repartition(*cols)
 
 
+def widen_if_narrow(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Hash-repartition ``df`` to the session's shuffle parallelism —
+    but ONLY when its incoming plan has fewer partitions (r17).
+
+    CPU-heavy per-row operators (posexplode to k-grams, per-gram md5,
+    suffix expansion) inherit their parallelism from the scan: a small
+    single-file input means ONE task does the whole expansion while 31
+    cores idle (profiled: the serial map stage dominated several text
+    queries at bench scale).  A 100 TB corpus arrives as thousands of
+    splits, where an extra pre-expansion shuffle of the raw rows would
+    be pure overhead — so this is a no-op whenever the input is
+    already at least shuffle-partitions wide.  Keys must be
+    deterministic columns (guide rule: never repartition on rand()).
+    repartition-by-NUM is AQE-coalesce-exempt, so the widened layout
+    sticks."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(c) for c in key_cols])
+
+
 def pin_frame(df: DataFrame, reliable: bool | None = None, eager: bool = True) -> DataFrame:
     """Materialize a frame and cut its lineage — the shared pin used by
     every iterative/multi-consumer operator (exact-rank family, BFS,

@@ -446,24 +446,37 @@ def cm_sketch(
     deterministic integer both engines compute identically: the
     catalog hash-gates the ESTIMATES, not a tolerance.
 
-    One wide-then-narrow pass: explode ``depth`` (row, bucket) pairs
-    per input row (map-side combined by the groupBy), shuffle at most
-    depth * distinct-buckets rows."""
+    Dictionary-first pass (r17 optimization): count per DISTINCT value
+    first (one narrow exchange, map-side combined), then hash only the
+    dictionary — ``depth`` md5s per distinct value instead of per input
+    ROW, and the hashing runs post-shuffle at full parallelism instead
+    of inside however few scan tasks the input happens to have
+    (measured 4x on a repeated-key column; counters are bit-identical
+    by linearity: each bucket is the sum of its values' counts).  A
+    frequency sketch's natural regime is repeated keys, so the
+    dictionary is the smaller frame; for a near-unique column the
+    dictionary exchange degrades to ~input-row count of narrow
+    (group, value, count) rows — still the cheapest shuffle the
+    operator could do, and the sketch itself stays depth*width."""
     if width < 2 or depth < 1:
         raise ValueError(f"width={width} (>= 2) / depth={depth} (>= 1)")
     gcols = list(group_by or [])
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
     pairs = F.array(*[
         F.struct(F.lit(r).alias("row"),
                  _cm_bucket(value_col, r, width).alias("bucket"))
         for r in range(depth)
     ])
     return (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*gcols, F.explode(pairs).alias("__p"))
+        counts.select(*gcols, F.explode(pairs).alias("__p"), "__c")
         .select(*gcols, F.col("__p.row").alias("row"),
-                F.col("__p.bucket").alias("bucket"))
+                F.col("__p.bucket").alias("bucket"), "__c")
         .groupBy(*gcols, "row", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("__c").cast("long").alias("cnt"))
     )
 
 

@@ -41,7 +41,9 @@ def _dec(c) -> "F.Column":
     return c.cast("decimal(25,6)")
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, widen: list[str] | None = None
+) -> DataFrame:
     # timestamps in the testdata are naive; DuckDB renders them as-is,
     # Spark renders LTZ timestamps in the session timezone — pin UTC so
     # a caller session in any timezone hash-matches the oracle
@@ -66,6 +68,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if widen:
+        # the testdata files are single-row-group parquet, so every
+        # scan is ONE map task and all pre-exchange compute (decimal
+        # arithmetic, date parsing, gram/md5 hashing) serializes
+        # through one core; hash-repartitioning on a downstream
+        # group/join key parallelizes that work and is reused by the
+        # first keyed exchange.  No-op when the scan is already wide
+        # (cluster-scale inputs) — see scale.widen_if_narrow.  Catalyst
+        # pushes filters and prunes columns THROUGH the repartition, so
+        # PushedFilters/ReadSchema are unchanged (verified in plans).
+        from .operators.scale import widen_if_narrow
+
+        df = widen_if_narrow(df, widen)
     return df
 
 
@@ -77,7 +92,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A-family twin + P4 filter: grouped aggregate over lineitem
     with a pushed-down date filter (reference's unimplemented mart
     aggregates, SURVEY.md §2.4)."""
-    li = _t(spark, sf_dir, "lineitem")
+    # widen key is a column the aggregate already reads (high-
+    # cardinality, deterministic), so column pruning is unchanged
+    li = _t(spark, sf_dir, "lineitem", widen=["l_extendedprice"])
     return (
         li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -276,7 +293,9 @@ GROUP BY 1
 
 def q07_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/F2 keyed dedup: min-orderkey keeper per duplicate key group."""
-    li = _t(spark, sf_dir, "lineitem")
+    # widened on the dedup key: the keep-first window's exchange reuses
+    # the repartition, and the row compute leaves the single scan task
+    li = _t(spark, sf_dir, "lineitem", widen=["l_orderkey"])
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
     # extend the ordering until it is, or the keeper is nondeterministic
     deduped = dedup_keep_first(
@@ -311,7 +330,7 @@ _D0, _D1 = "2024-01-01", "2024-01-16"
 
 def q08_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core SCD2 daily merge: insert-new + close-changed + keep-unchanged in one pass (J2+J3+J4)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", widen=["user_id"])
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
 
     def snapshot(pred):
@@ -433,8 +452,10 @@ FROM wk
 
 def q10_mart_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-join revenue mart: fact x broadcast dims, DECIMAL revenue per (nation, year)."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    # both fact-side frames widened on their join/group key, so the
+    # per-order rollup and the order join reuse those exchanges
+    li = _t(spark, sf_dir, "lineitem", widen=["l_orderkey"])
+    orders = _t(spark, sf_dir, "orders", widen=["o_orderkey"])
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
     # pre-aggregate the fact to order grain BEFORE the star join: the
@@ -556,6 +577,10 @@ def q14_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup keeps the lowest doc_id per fingerprint."""
     from .operators.dedup import exact_dedup
 
+    # NOT widened (r17): measured 2.6x slower with a pre-union
+    # repartition — the per-doc md5 here is one hash per document
+    # (cheap), and the union's two branches each re-derived the
+    # exchange while the fingerprint window still needed its own
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
     # the library's one-window-shuffle form (fingerprints computed once;
@@ -645,7 +670,9 @@ GROUP BY lang
 def q16_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus = documents ∪ exact copy (ids +1000000): every doc must
     pair with its copy via LSH bucket collision."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # widened: the shingle explode + per-shingle md5 dominate, and a
+    # single-row-group scan would run them in one task
+    docs = _t(spark, sf_dir, "documents", widen=["doc_id"]).select("doc_id", "text")
     corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
     pairs = minhash_candidate_pairs(corpus, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3)
     return pairs.select("id_a", "id_b")
@@ -832,7 +859,8 @@ GROUP BY c_mktsegment
 
 def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event stream (30-min rule) via lag + cumulative flag."""
-    ev = _t(spark, sf_dir, "events")
+    # widened on the session window's partition key (exchange reuse)
+    ev = _t(spark, sf_dir, "events", widen=["user_id"])
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     with_gap = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
         "new_session",
@@ -1092,7 +1120,7 @@ def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document via per-bit majority vote aggregate."""
     from .operators.dedup import simhash_table
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", widen=["doc_id"])
     return simhash_table(docs, "text", "doc_id")
 
 
@@ -8908,6 +8936,11 @@ def q182_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quartile 1 is best on every axis."""
     from .operators.scale import exact_global_ntiles
 
+    # NOT widened (r17): measured 1.6x slower with a pre-agg
+    # repartition — the per-customer rollup collapses 15:1 in the scan
+    # task for pennies, while widening leaves the pinned 10k-row frame
+    # at 32 partitions and every downstream fence job pays 32-task
+    # scheduling overhead
     orders = _t(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("__last"),
@@ -10017,7 +10050,9 @@ def q200_coorder_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixing time is shorter than a fixed budget (VERDICT r15 #3)."""
     from .operators.graph import pagerank_rounds
 
-    li = _t(spark, sf_dir, "lineitem")
+    # widened on the co-order self-join key: the edge build's exchange
+    # reuses the repartition and the urgent probe runs wide
+    li = _t(spark, sf_dir, "lineitem", widen=["l_orderkey"])
     orders = _t(spark, sf_dir, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
     lu = li.join(urgent, li.l_orderkey == urgent.o_orderkey).select(
@@ -11808,7 +11843,10 @@ def q227_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines' caps) and meet in one final float expression."""
     from .operators.scale import exact_prefix_agg
 
-    li = _t(spark, sf_dir, "lineitem")
+    # widened on the price column: the row-side rank join's sort-merge
+    # exchange hashes on l_extendedprice, so the big exchange IS the
+    # widen and the dictionary passes leave the lone scan task
+    li = _t(spark, sf_dir, "lineitem", widen=["l_extendedprice"])
 
     # BOTH dictionaries ride ONE prefix-agg pass (r12, −25% wall: the
     # machinery's fixed cost — range shuffle, pin, offset collect — was
@@ -12840,10 +12878,29 @@ def q242_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell counts — the planner's stocking-policy grid."""
     from .operators.scale import exact_prefix_sum
 
-    li = _t(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r")
+    li = _t(spark, sf_dir, "lineitem", widen=["l_partkey"])
+    # ONE lineitem scan for both classifications (r17 — was two): the
+    # per-part revenue is the sum of its per-(part, month) revenues
+    # (decimal addition is associative, so the value — and every ABC
+    # label derived from it — is bit-identical to the direct per-part
+    # sum; cast back to the direct sum's decimal(35,6) result type so
+    # downstream arithmetic keeps its exact types), and both the XYZ
+    # sums and the revenue ride the same (part, y, m) shuffle.
+    monthly = li.groupBy(
+        "l_partkey",
+        F.year(F.col("l_shipdate").cast("date")).alias("__y"),
+        F.month(F.col("l_shipdate").cast("date")).alias("__m"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").alias("__q"),
+        F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__rm"),
     )
+    sums = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("__n"),
+        F.sum("__q").cast("decimal(20,2)").alias("__s"),
+        F.sum(F.col("__q") * F.col("__q")).cast("decimal(30,4)").alias("__ss"),
+        F.sum("__rm").cast("decimal(35,6)").alias("__r"),
+    ).localCheckpoint(eager=False)
+    rev = sums.select("l_partkey", "__r")
     tot = rev.agg(F.sum("__r").alias("__tr"))
     cum = exact_prefix_sum(
         rev, [F.col("__r").desc(), F.col("l_partkey").asc()], "__r", cum_col="__cum"
@@ -12855,16 +12912,6 @@ def q242_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).when(
             F.col("__cum").cast("double") / F.col("__tr").cast("double") <= 0.9, "B"
         ).otherwise("C").alias("abc"),
-    )
-    monthly = li.groupBy(
-        "l_partkey",
-        F.year(F.col("l_shipdate").cast("date")).alias("__y"),
-        F.month(F.col("l_shipdate").cast("date")).alias("__m"),
-    ).agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").alias("__q"))
-    sums = monthly.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("decimal(12,0)").alias("__n"),
-        F.sum("__q").cast("decimal(20,2)").alias("__s"),
-        F.sum(F.col("__q") * F.col("__q")).cast("decimal(30,4)").alias("__ss"),
     )
     # CV^2 = (n*Σq² - (Σq)²) / (Σq)² — all-decimal numerator/denominator,
     # ONE float division, compared against squared thresholds so no sqrt
@@ -22427,7 +22474,18 @@ def q387_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_select,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # the three DSIR passes (target counts, raw counts, scoring) each
+    # re-scanned documents.parquet — a single small file, so each
+    # pass's explode+md5 ran in ONE task (profiled: three serial ~1 s
+    # stages).  Repartition the narrow doc rows across the session's
+    # shuffle parallelism and cut once: one scan, one tiny text
+    # exchange, and all three feature passes run wide (r17)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        .repartition(n_parts, "doc_id")
+        .localCheckpoint(eager=False)
+    )
     target = docs.filter(F.col("lang") == "en")
     w = dsir_importance_weights(target, docs, "text", buckets=1024)
     sc = dsir_scores(docs, w, "text", "doc_id", buckets=1024)

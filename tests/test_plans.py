@@ -35,7 +35,10 @@ def test_flagship_query_plan_quality(spark, sf_smoke):
     assert has_pushed_filters(q)          # the shipdate filter reaches the scan
     read = set(scan_read_schema(q))
     assert "l_orderkey" not in read       # unused columns pruned
-    assert shuffle_count(q) == 1          # exactly the groupBy exchange
+    # the widen repartition (r17: parallelize map-side decimal work out
+    # of a single-row-group scan; keyed on a column the aggregate
+    # already reads) plus the groupBy exchange — and nothing else
+    assert shuffle_count(q) == 2
     assert python_udf_count(q) == 0       # fully JVM-side
 
 

@@ -284,8 +284,10 @@ def test_personalized_pagerank_accepts_seed_dataframe(spark, monkeypatch):
     }
     assert got == want
     # captures: edges, degree-folded edges, nodes, seed-flagged nodes,
-    # one rank frame per round
-    assert len(captured) == 6
+    # one rank frame per round EXCEPT the last — the final fixed
+    # round's vector is consumed exactly once by the caller's action,
+    # so pinning it was a pure extra job (r17)
+    assert len(captured) == 5
     assert "BroadcastHashJoin" in formatted_plan(captured[3])
 
     with pytest.raises(ValueError, match="exactly one column"):
