@@ -3192,7 +3192,8 @@ def q76_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate signal pairwise near-dup misses (RefinedWeb-style)."""
     from .operators.profile import dup_ngram_fraction
 
-    docs = _t(spark, sf_dir, "documents")
+    # widened: the shingle explode dominates the map side
+    docs = _t(spark, sf_dir, "documents", widen=["doc_id"])
     return dup_ngram_fraction(docs, "text", "doc_id", shingle_n=3)
 
 
@@ -7363,7 +7364,9 @@ def q154_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join against the holdout base."""
     from .functions.text import shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    # widened: both splits' shingle explodes otherwise run inside the
+    # lone scan task (single-row-group testdata file)
+    docs = _t(spark, sf_dir, "documents", widen=["doc_id"])
     hold = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     hg = (
@@ -16323,7 +16326,8 @@ def q290_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the actual similarity mass instead of folklore.  Same banded-LSH
     candidate generation as q16 (never all-pairs); the sweep only
     drops q17's threshold filter and groups the verified scores."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # widened like q16: per-shingle md5 dominates the map side
+    docs = _t(spark, sf_dir, "documents", widen=["doc_id"]).select("doc_id", "text")
     corpus = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
     pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", shingle_n=3, threshold=0.0)
     return pairs.groupBy(
@@ -19117,7 +19121,8 @@ def q329_quote_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented on the operator and handled by q328's prefix blocks."""
     from .operators.dedup import ngram_containment_pairs
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # widened like q16: per-shingle md5 dominates the map side
+    docs = _t(spark, sf_dir, "documents", widen=["doc_id"]).select("doc_id", "text")
     toks = F.expr(r"filter(split(trim(text), '\\s+'), t -> t != '')")
     quote = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -20577,6 +20582,8 @@ def q354_brand_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.basket import association_rules
 
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # NOT widened (r17): measured flat — the broadcast part join +
+    # per-order distinct collapse cheaply map-side already
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     bi = li.join(part, li.l_partkey == part.p_partkey).select("l_orderkey", "p_brand")
     return association_rules(bi, "l_orderkey", "p_brand", min_pair_share=0.0005)
