@@ -6619,6 +6619,9 @@ def q140_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     every engine."""
     from .operators.scale import exact_prefix_sum
 
+    # NOT widened (r17): measured slower, like q182 — the 3:1 rollup
+    # collapse is cheap in the scan task and the downstream prefix-sum
+    # machinery then pays 32-partition scheduling overhead per job
     li = _t(spark, sf_dir, "lineitem")
     per = li.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice")).alias("__rev"))
     tot = per.agg(
@@ -8882,6 +8885,7 @@ def q181_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the native cumulative window over the same total order."""
     from .operators.scale import exact_prefix_sum
 
+    # NOT widened (r17): measured slower — see q140's note
     li = _t(spark, sf_dir, "lineitem")
     per = li.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice")).alias("__rev"))
     tot = per.agg(F.sum("__rev").alias("__tot"))

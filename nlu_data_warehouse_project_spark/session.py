@@ -44,6 +44,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1: let the planner pick a shuffled-hash join when its
+        # size conditions are met instead of always sort-merging — no
+        # sort pass on either side (measured −27% on the winnow pair
+        # join, −5% on the Spearman rank join; results identical, the
+        # strategy only changes the physical operator).  AQE skew-join
+        # splitting applies to SHJ as to SMJ; the OOM risk window
+        # (a build-side partition that cannot fit) is bounded by the
+        # planner's own per-partition size condition.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
