@@ -44,15 +44,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # guide §3.1: let the planner pick a shuffled-hash join when its
-        # size conditions are met instead of always sort-merging — no
-        # sort pass on either side (measured −27% on the winnow pair
-        # join, −5% on the Spearman rank join; results identical, the
-        # strategy only changes the physical operator).  AQE skew-join
-        # splitting applies to SHJ as to SMJ; the OOM risk window
-        # (a build-side partition that cannot fit) is bounded by the
-        # planner's own per-partition size condition.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # guide §3.1: prefer a shuffled-hash join over sort-merge — but
+        # via AQE's RUNTIME rewrite, not the plan-time preference.
+        # preferSortMergeJoin=false was measured first and rejected:
+        # it trusts size ESTIMATES, and at the 10x stress scale it
+        # built q200's co-order self-join as SHJ anyway (35 s vs 11 s,
+        # one session OOM'd the 8g heap).  The AQE threshold converts
+        # SMJ->SHJ only when every post-shuffle partition's MEASURED
+        # size fits 16 MB — worst-case concurrent build memory is
+        # 16 MB x task slots, bounded at any data scale — and keeps
+        # the local wins (winnow pair join −11%, minhash −9%).
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
