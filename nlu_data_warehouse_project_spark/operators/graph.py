@@ -76,7 +76,10 @@ def bfs_hops(
         raise ValueError(f"max_hops={max_hops} must be >= 0")
     # materialize the edge set ONCE: every hop probes it, and an edge
     # frame that is itself a join (e.g. the co-order self-join) would
-    # otherwise recompute per hop — measured 3x the whole traversal
+    # otherwise recompute per hop — measured 3x the whole traversal.
+    # The pin is LAZY (r17, guide §1.2): hop 1's full materialization
+    # job forces it, so the up-front eager pin was a whole job whose
+    # result the next job immediately re-read.
     e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
     if broadcast_frontier:
         # the broadcast path probes the pinned frame IN PLACE, so its
@@ -85,7 +88,7 @@ def bfs_hops(
         # partitions (measured: 3 partitions -> 5x slower hops).  One
         # up-front rebalance on __s fixes every hop.
         e = e.repartition(_shuffle_partitions(edges.sparkSession), "__s")
-    e = pin_frame(e, reliable=reliable, eager=True)
+    e = pin_frame(e, reliable=reliable, eager=False)
     hint = F.broadcast if broadcast_frontier else (lambda df: df)
     frontier = (
         edges.sparkSession.createDataFrame([(start,)], ["node"])
@@ -101,10 +104,16 @@ def bfs_hops(
             .join(hint(visited.select("node")), "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("int"))
         )
-        nxt = pin_frame(nxt, reliable=reliable, eager=True)
-        if nxt.isEmpty():
+        # lazy pin + count: ONE job materializes the frontier AND
+        # answers the emptiness probe (r17 — the eager pin + isEmpty
+        # pair cost two jobs per hop for the same information; count
+        # computes every partition, so the checkpoint is complete)
+        nxt = pin_frame(nxt, reliable=reliable, eager=False)
+        if nxt.count() == 0:
             break
-        visited = pin_frame(visited.unionByName(nxt), reliable=reliable, eager=True)
+        # lazy: the union reads two already-materialized checkpoints;
+        # the next hop's (or the caller's) job materializes it in place
+        visited = pin_frame(visited.unionByName(nxt), reliable=reliable, eager=False)
         frontier = nxt
     return visited
 
@@ -148,7 +157,8 @@ def bfs_hops_bipartite(
         # bfs_hops: AQE coalescing a source frame into a few fat
         # partitions makes every hop serial)
         m = m.repartition(_shuffle_partitions(membership.sparkSession), "__l")
-    m = pin_frame(m, reliable=reliable, eager=True)
+    # lazy pin: hop 1's materialization job forces it (r17 job trim)
+    m = pin_frame(m, reliable=reliable, eager=False)
     hint = F.broadcast if broadcast_frontier else (lambda df: df)
     frontier = (
         membership.sparkSession.createDataFrame([(start,)], ["node"])
@@ -178,8 +188,10 @@ def bfs_hops_bipartite(
             .withColumn("hops", F.lit(h).cast("int"))
         )
         if h < max_hops:
-            nxt = pin_frame(nxt, reliable=reliable, eager=True)
-            if nxt.isEmpty():
+            # lazy pin + count: one job materializes the frontier AND
+            # answers the emptiness probe (r17 — was pin + isEmpty)
+            nxt = pin_frame(nxt, reliable=reliable, eager=False)
+            if nxt.count() == 0:
                 break
         # the LAST hop's frontier is consumed exactly once, by the
         # caller's action — pinning it (and probing emptiness) cost two
@@ -215,13 +227,18 @@ def bellman_ford_rounds(
     distance vector (|V| rows) is the only thing that shuffles."""
     if rounds < 0:
         raise ValueError(f"rounds={rounds} must be >= 0")
+    # all pins LAZY (r17, guide §1.2): a fixed-round loop runs no
+    # probe between rounds, so the caller's single action materializes
+    # the whole chain — each round's checkpoint persists as its stage
+    # completes, lineage still cut per round, but the per-round
+    # eager-pin jobs (one driver round-trip each) are gone
     e = pin_frame(
         edges.select(
             F.col(src_col).alias("__s"),
             F.col(dst_col).alias("__d"),
             F.col(weight_col).cast("long").alias("__w"),
         ),
-        reliable=reliable, eager=True,
+        reliable=reliable, eager=False,
     )
     dist = (
         edges.sparkSession.createDataFrame([(start,)], ["node"])
@@ -236,7 +253,7 @@ def bellman_ford_rounds(
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
         )
-        dist = pin_frame(dist, reliable=reliable, eager=True)
+        dist = pin_frame(dist, reliable=reliable, eager=False)
     return dist
 
 
@@ -276,13 +293,14 @@ def bellman_ford_fixpoint(
     """
     if max_rounds is not None and max_rounds < 0:
         raise ValueError(f"max_rounds={max_rounds} must be >= 0")
+    # lazy pin: the |V| count right below materializes it (r17)
     e = pin_frame(
         edges.select(
             F.col(src_col).alias("__s"),
             F.col(dst_col).alias("__d"),
             F.col(weight_col).cast("long").alias("__w"),
         ),
-        reliable=reliable, eager=True,
+        reliable=reliable, eager=False,
     )
     n_nodes = (
         e.select(F.col("__s").alias("n"))
@@ -296,7 +314,7 @@ def bellman_ford_fixpoint(
         edges.sparkSession.createDataFrame([(start,)], ["node"])
         .withColumn("dist", F.lit(0).cast("long"))
     )
-    dist = pin_frame(dist, reliable=reliable, eager=True)
+    dist = pin_frame(dist, reliable=reliable, eager=False)
     changed_counts: list[int] = []
     converged = False
     rounds_run = 0
@@ -309,7 +327,9 @@ def bellman_ford_fixpoint(
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
         )
-        new = pin_frame(new, reliable=reliable, eager=True)
+        # lazy: the change-count probe below is a full action over this
+        # frame and materializes it in the same job (r17 — was two)
+        new = pin_frame(new, reliable=reliable, eager=False)
         rounds_run += 1
         changed = (
             new.join(
@@ -376,10 +396,12 @@ def kcore_peel_rounds(
 
 
 def _pin_distinct_edges(edges, src_col, dst_col, reliable) -> DataFrame:
+    # lazy (r17): the fixpoint path counts it immediately (one fused
+    # job) and the fixed-rounds path chains into the caller's action
     return pin_frame(
         edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
         .distinct(),
-        reliable=reliable, eager=True,
+        reliable=reliable, eager=False,
     )
 
 
@@ -394,7 +416,10 @@ def _kcore_peel_once(e: DataFrame, k: int, reliable) -> DataFrame:
         e.join(keep, "__s", "left_semi")
         .join(keep.withColumnRenamed("__s", "__d"), "__d", "left_semi")
     )
-    return pin_frame(e, reliable=reliable, eager=True)
+    # lazy: kcore_peel's per-round edge count (or the caller's final
+    # action in the fixed-rounds form) materializes it — same fused-job
+    # discipline as the other iterative pins (r17)
+    return pin_frame(e, reliable=reliable, eager=False)
 
 
 def _kcore_degrees(e: DataFrame) -> DataFrame:
@@ -572,9 +597,14 @@ def _pagerank_loop(
         raise ValueError(f"damping_pct={damping_pct} must be in [0, 100]")
     if isinstance(seeds, (list, tuple, set)) and not seeds:
         raise ValueError("seeds must be non-empty (or None for uniform)")
+    # every setup pin is LAZY (r17, guide §1.2 "fewer jobs"): the |V|
+    # count below materializes nodes AND the raw edge pin it derives
+    # from in one job; the degree-folded frame materializes inside the
+    # first job that probes it (round 1).  Each frame still pins
+    # exactly once — only the extra driver round-trips are gone.
     e = pin_frame(
         edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")),
-        reliable=reliable, eager=True,
+        reliable=reliable, eager=False,
     )
     # fold the out-degree INTO the pinned edge frame once (r12): the
     # round loop then joins rank⨝edges in ONE shuffle instead of
@@ -584,19 +614,18 @@ def _pagerank_loop(
     ed = pin_frame(
         e.join(deg.withColumnRenamed("__s", "__ds"), F.col("__s") == F.col("__ds"))
         .select("__s", "__d", "__deg"),
-        reliable=reliable, eager=True,
+        reliable=reliable, eager=False,
     )
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
     )
-    nodes = pin_frame(nodes, reliable=reliable, eager=True)
+    nodes = pin_frame(nodes, reliable=reliable, eager=False)
     n = nodes.count()
     if n == 0:
         empty_audit = {"rounds_run": 0, "converged": True, "l1_deltas": []}
         return nodes.withColumn("rank_units", F.lit(0).cast("long")), empty_audit
-    repin_nodes = False
     if seeds is None:
         r0 = unit // n
         base = ((100 - damping_pct) * r0) // 100
@@ -624,6 +653,10 @@ def _pagerank_loop(
         nodes = nodes.join(F.broadcast(seed_df), "node", "left").select(
             "node", F.coalesce(F.col("__is_seed"), F.lit(False)).alias("__seed")
         )
+        # pin BEFORE the seed count so the count job materializes the
+        # seed-flagged frame in the same pass (r17 — was count, then a
+        # separate eager re-pin job over the same rows)
+        nodes = pin_frame(nodes, reliable=reliable, eager=False)
         ns = nodes.filter(F.col("__seed")).count()
         if ns == 0:
             raise ValueError("no seed appears in the edge set's node space")
@@ -633,9 +666,6 @@ def _pagerank_loop(
             "rank_units",
             F.when(F.col("__seed"), F.lit(r0)).otherwise(F.lit(0)).cast("long"),
         )
-        repin_nodes = True
-    if repin_nodes:
-        nodes = pin_frame(nodes, reliable=reliable, eager=True)
     base_term = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0)).cast("long")
     l1_deltas: list[int] = []
     converged = False
@@ -664,9 +694,15 @@ def _pagerank_loop(
         # the FINAL fixed round's vector is consumed exactly once (by
         # the caller's action) — materializing it first is a pure extra
         # job; the convergence path still pins every round (the L1
-        # probe and the next round both re-read it)
+        # probe and the next round both re-read it).  Pins are LAZY
+        # (r17): in the convergence path the L1 probe right below is a
+        # full action that materializes the round in the same job; in
+        # the fixed-rounds path the caller's action materializes the
+        # whole (bounded, `rounds`-deep) chain, persisting each round's
+        # checkpoint as its stages complete — per-round lineage is
+        # still cut, the per-round driver round-trips are gone.
         if tol_units is not None or rnd < rounds - 1:
-            new_rank = pin_frame(new_rank, reliable=reliable, eager=True)
+            new_rank = pin_frame(new_rank, reliable=reliable, eager=False)
         rounds_run += 1
         if tol_units is not None:
             # exact integer L1 distance between two pinned |V|-row rank

@@ -171,6 +171,15 @@ def _range_parted_with_ids(
     exactness; pass ``reliable=True`` (or configure a checkpoint dir)
     for the fault-tolerant checkpoint path, and see the approximate
     percentile swap when even one materialization is too much.
+
+    The pin is LAZY (r17, guide §1.2 "fewer jobs"): every caller's
+    first action is ``_cumulative_offsets``' bounded collect, which
+    materializes the checkpoint inside that same job — an eager pin
+    here spent a whole extra job (sample + shuffle + write) only to
+    have the offsets job re-read the result.  The single-
+    materialization guarantee is unchanged: the frame is persisted the
+    first time any job computes it, so the offsets and every later
+    consumer still see one frozen layout and one set of ids.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     parted = df.repartitionByRange(num_partitions, *cols) if num_partitions \
@@ -184,7 +193,7 @@ def _range_parted_with_ids(
         )
         .drop("__mid")
     )
-    return pin_frame(parted, reliable=reliable, eager=True)
+    return pin_frame(parted, reliable=reliable, eager=False)
 
 
 def exact_global_rank(
@@ -224,6 +233,16 @@ def _cumulative_offsets(parted: DataFrame, agg_expr, how: str = "sum") -> DataFr
     the shuffle and the collect are bounded by the partition count.
     For max/min the first partition's offset is NULL (no predecessor);
     consumers combine with greatest/least, which skip NULLs."""
+    return _cumulative_offsets_with_total(parted, agg_expr, how)[0]
+
+
+def _cumulative_offsets_with_total(
+    parted: DataFrame, agg_expr, how: str = "sum"
+) -> tuple[DataFrame, object]:
+    """``_cumulative_offsets`` plus the GRAND total (the fold over all
+    partitions) — it falls out of the same bounded collect, so callers
+    that also need N (ntile's closed form, the percentile cut ranks)
+    skip a whole extra count job over the pinned frame (r17)."""
     import decimal
 
     agg_df = parted.groupBy("__pid").agg(agg_expr.alias("__v"))
@@ -248,9 +267,10 @@ def _cumulative_offsets(parted: DataFrame, agg_expr, how: str = "sum") -> DataFr
     # counts, DECIMAL(p,s) sums) so downstream arithmetic keeps its
     # cross-engine bit-exactness instead of inheriting Python-Decimal
     # inference's (38,18)
-    return parted.sparkSession.createDataFrame(
+    offsets = parted.sparkSession.createDataFrame(
         out, f"__pid long, __off {vtype}"
     )
+    return offsets, acc
 
 
 def exact_global_ntile(
@@ -273,24 +293,32 @@ def exact_global_ntile(
         # fail fast with a clear message instead of a modulo/division-
         # by-zero surfacing as an opaque codegen error at execution
         raise ValueError(f"n_buckets={n_buckets!r} (must be >= 1)")
-    ranked = exact_global_rank(
-        df, order_cols, rank_col="__rk", num_partitions=num_partitions, reliable=reliable
+    parted = _range_parted_with_ids(df, order_cols, num_partitions, reliable=reliable)
+    # N rides the offsets collect (r17): the previous shape ran a
+    # whole-frame count() aggregate crossJoined back in, re-scanning
+    # the pinned frame inside the final action for a number the offsets
+    # job already knows
+    offsets, n_total = _cumulative_offsets_with_total(parted, F.count(F.lit(1)))
+    ranked = (
+        parted.join(F.broadcast(offsets), "__pid")
+        .withColumn("__rk", (F.col("__off") + F.col("__idx") + 1).cast("long"))
+        .drop("__pid", "__idx", "__off")
     )
-    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    n = int(n_total)
     # q = floor(N/B), r = N mod B; ranks 1..r*(q+1) fill the ceil-sized
     # buckets, the rest the floor-sized ones.  All integer `div` — and
     # the ELSE's division by q only evaluates when some rank exceeds
-    # the big buckets, which implies q >= 1
+    # the big buckets, which implies q >= 1 (CASE is lazy per-row, so
+    # the literal q=0 case never divides)
     bucket = (
-        f"CASE WHEN __rk <= (__N % {b}) * ((__N div {b}) + 1) "
-        f"THEN (__rk - 1) div ((__N div {b}) + 1) "
-        f"ELSE (__N % {b}) + (__rk - (__N % {b}) * ((__N div {b}) + 1) - 1) div (__N div {b}) "
+        f"CASE WHEN __rk <= ({n}L % {b}) * (({n}L div {b}) + 1) "
+        f"THEN (__rk - 1) div (({n}L div {b}) + 1) "
+        f"ELSE ({n}L % {b}) + (__rk - ({n}L % {b}) * (({n}L div {b}) + 1) - 1) div ({n}L div {b}) "
         f"END + 1"
     )
     return (
-        ranked.crossJoin(F.broadcast(tot))
-        .withColumn(bucket_col, F.expr(bucket).cast("int"))
-        .drop("__rk", "__N")
+        ranked.withColumn(bucket_col, F.expr(bucket).cast("int"))
+        .drop("__rk")
     )
 
 
@@ -329,7 +357,8 @@ def exact_global_ntiles(
         for c, d in order_spec:
             if d not in ("asc", "desc"):
                 raise ValueError(f"direction {d!r} for {c!r} (asc|desc)")
-    pinned = pin_frame(df, reliable=reliable, eager=True)
+    # lazy pin: the count() below materializes it in the same job (r17)
+    pinned = pin_frame(df, reliable=reliable, eager=False)
     n_total = pinned.count()
     out_cols = []
     for order_spec, n_buckets, bucket_col in specs:
@@ -680,11 +709,17 @@ def exact_global_percentiles(
     vals = df.select(F.col(value_col).cast("double").alias("__v")).filter(
         F.col("__v").isNotNull()
     )
-    ranked = exact_global_rank(
-        vals, [F.col("__v").asc()], rank_col="__rk",
-        num_partitions=num_partitions, reliable=reliable,
+    parted = _range_parted_with_ids(
+        vals, [F.col("__v").asc()], num_partitions, reliable=reliable
     )
-    n = ranked.count()  # cheap: the ranked frame's input is pinned
+    # N rides the offsets collect — no separate count job (r17)
+    offsets, n_total = _cumulative_offsets_with_total(parted, F.count(F.lit(1)))
+    ranked = (
+        parted.join(F.broadcast(offsets), "__pid")
+        .withColumn("__rk", (F.col("__off") + F.col("__idx") + 1).cast("long"))
+        .drop("__pid", "__idx", "__off")
+    )
+    n = int(n_total)
     if n == 0:
         raise ValueError("exact_global_percentiles of an empty/all-NULL column")
     specs = []
