@@ -360,14 +360,23 @@ def exact_global_ntiles(
     # lazy pin: the count() below materializes it in the same job (r17)
     pinned = pin_frame(df, reliable=reliable, eager=False)
     n_total = pinned.count()
-    out_cols = []
-    for order_spec, n_buckets, bucket_col in specs:
+
+    def spec_col(spec):
+        # one spec's fence computation: a rank job over a projection of
+        # just this spec's order columns + a bounded fence collect.
+        # Submitted from a driver thread (guide §2.6): the specs'
+        # orders are INDEPENDENT, the pinned input is already
+        # materialized, and each spec's chain is two small sequential
+        # jobs whose tails would otherwise leave the executors idle —
+        # overlapping them hides all but the slowest chain.  Results
+        # are deterministic per spec, and assembly order below is the
+        # caller's spec order, so concurrency never reorders output.
+        order_spec, n_buckets, bucket_col = spec
         b = int(n_buckets)
         q_, r_ = divmod(n_total, b)
         ends = [k * q_ + min(k, r_) for k in range(1, b)]
         if n_total == 0 or b == 1 or ends[-1] == 0:
-            out_cols.append(F.lit(1).cast("int").alias(bucket_col))
-            continue
+            return F.lit(1).cast("int").alias(bucket_col)
         names = [c for c, _ in order_spec]
         order_cols = [
             F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in order_spec
@@ -397,7 +406,17 @@ def exact_global_ntiles(
         bexpr = functools.reduce(
             lambda acc, fr: acc + after_fence(fr).cast("int"), fences, F.lit(1)
         )
-        out_cols.append(bexpr.cast("int").alias(bucket_col))
+        return bexpr.cast("int").alias(bucket_col)
+
+    if len(specs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # 2-3 chains in flight is the guide's guidance — enough to
+        # back-fill stage tails, not enough to thrash the scheduler
+        with ThreadPoolExecutor(max_workers=min(3, len(specs))) as pool:
+            out_cols = list(pool.map(spec_col, specs))
+    else:
+        out_cols = [spec_col(s) for s in specs]
     return pinned.select("*", *out_cols)
 
 
