@@ -545,7 +545,29 @@ def main() -> None:
     # rounds.  Ungated groups (extras, gates) run once.
     sessions = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2")))
 
+    def settle(max_wait: float = 240.0) -> None:
+        """Let the bench's OWN load tail decay before the next session
+        starts (r18 measurement-bug fix, declared in
+        OPTIMIZATION_r18.md): the load gate reads the 1-min average at
+        session start, which cannot distinguish external contention
+        from the 32-core burst the PREVIOUS group just finished — a
+        run started on a 0.0-load box read ``load_gate_ok: false``
+        because the heavy group began at 1-min load 9.2, all of it
+        self-load from legacy19's sessions.  Waiting changes nothing
+        about what is timed (same queries, same discipline, own fresh
+        JVM); it stops the gate from tripping on ourselves and stops
+        one group's scheduler tail from bleeding into the next group's
+        first queries.  Bounded, so a genuinely busy box still FAILS
+        the gate instead of hanging the bench."""
+        t0 = time.time()
+        while (
+            time.time() - t0 < max_wait
+            and os.getloadavg()[0] > LOAD_GATE_1MIN * 0.75
+        ):
+            time.sleep(5.0)
+
     def run_one(group: str):
+        settle()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--group", group],
             capture_output=True, text=True, cwd=REPO,

@@ -133,7 +133,23 @@ def pin_frame(df: DataFrame, reliable: bool | None = None, eager: bool = True) -
     ``reliable=None`` (default) → auto: reliable when a checkpoint dir
     is configured, else local.  A cluster deployment opts every
     operator in with one driver-side ``setCheckpointDir`` call — no
-    per-call-site plumbing (VERDICT r9 #1)."""
+    per-call-site plumbing (VERDICT r9 #1).
+
+    ``eager=False`` is honored ONLY on the local path (ADVICE r17 #1).
+    ``localCheckpoint`` persists at mark time, so a later action both
+    computes and materializes the frame in one job — the lazy-pin
+    job fusion the iterative operators rely on.  A lazy RELIABLE
+    checkpoint has neither property: ``checkpoint(eager=False)`` does
+    not persist, the files are only written by ``RDD.doCheckpoint``
+    after some job that computes the RDD, and ``doCheckpoint`` stops
+    at the FIRST marked RDD per lineage branch
+    (``spark.checkpoint.checkpointAllMarkedAncestors`` defaults
+    false) — so a lazy reliable pin sitting behind another lazy pin
+    is never written at all: every consumer job silently recomputes
+    it and the lost-executor recovery contract evaporates.  The
+    reliable path therefore always persists first (one computation
+    feeds both the materializing action and the checkpoint-file
+    write, instead of two) and checkpoints eagerly."""
     sc = df.sparkSession.sparkContext
     has_dir = sc.getCheckpointDir() is not None
     if reliable is None:
@@ -144,7 +160,10 @@ def pin_frame(df: DataFrame, reliable: bool | None = None, eager: bool = True) -
                 "pin_frame(reliable=True) needs a checkpoint dir: call "
                 "spark.sparkContext.setCheckpointDir('<shared fs path>') first"
             )
-        return df.checkpoint(eager=eager)
+        df = df.persist()
+        out = df.checkpoint(eager=True)
+        df.unpersist()
+        return out
     return df.localCheckpoint(eager=eager)
 
 
@@ -172,14 +191,21 @@ def _range_parted_with_ids(
     for the fault-tolerant checkpoint path, and see the approximate
     percentile swap when even one materialization is too much.
 
-    The pin is LAZY (r17, guide §1.2 "fewer jobs"): every caller's
-    first action is ``_cumulative_offsets``' bounded collect, which
-    materializes the checkpoint inside that same job — an eager pin
-    here spent a whole extra job (sample + shuffle + write) only to
-    have the offsets job re-read the result.  The single-
-    materialization guarantee is unchanged: the frame is persisted the
-    first time any job computes it, so the offsets and every later
-    consumer still see one frozen layout and one set of ids.
+    The pin is LAZY on the local path (r17, guide §1.2 "fewer
+    jobs"): every caller's first action is ``_cumulative_offsets``'
+    bounded collect, which materializes the localCheckpoint inside
+    that same job — an eager pin here spent a whole extra job
+    (sample + shuffle + write) only to have the offsets job re-read
+    the result.  The single-materialization guarantee holds because
+    ``localCheckpoint`` persists at mark time: the frame is stored
+    the first time any job computes it, so the offsets and every
+    later consumer see one frozen layout and one set of ids.  On the
+    RELIABLE path ``pin_frame`` upgrades the pin to persist + eager
+    checkpoint (ADVICE r17 #2: a lazy reliable checkpoint does not
+    persist, so the offsets collect would consume a pre-checkpoint
+    computation while later consumers read the checkpoint-write
+    job's recompute — the frozen-layout guarantee would then rest
+    only on shuffle-stage reuse plus consumers' tie-invariance).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     parted = df.repartitionByRange(num_partitions, *cols) if num_partitions \
@@ -411,10 +437,20 @@ def exact_global_ntiles(
     if len(specs) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark.util import inheritable_thread_target
+
         # 2-3 chains in flight is the guide's guidance — enough to
-        # back-fill stage tails, not enough to thrash the scheduler
+        # back-fill stage tails, not enough to thrash the scheduler.
+        # The target is wrapped inheritable (ADVICE r17 #3): under
+        # pinned-thread mode a plain pool thread starts with EMPTY
+        # JVM thread-locals, so a caller's job group / scheduler pool
+        # would not cover the concurrent fence jobs (cancelJobGroup
+        # would miss them); the wrapper copies the caller thread's
+        # local properties into each worker invocation.
         with ThreadPoolExecutor(max_workers=min(3, len(specs))) as pool:
-            out_cols = list(pool.map(spec_col, specs))
+            out_cols = list(
+                pool.map(inheritable_thread_target(df.sparkSession)(spec_col), specs)
+            )
     else:
         out_cols = [spec_col(s) for s in specs]
     return pinned.select("*", *out_cols)

@@ -1,6 +1,7 @@
 """Dump ``explain('formatted')`` for the benched catalog queries into
-``plans/r17/<query>_<tag>.txt`` (tag = before/after), for the round-17
-optimization evidence trail.  Usage:
+``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt`` (tag =
+before/after, round dir default r18), for the optimization-round
+evidence trail.  Usage:
 
     python tools/dump_plans.py <tag> [query ...]
 
@@ -27,7 +28,9 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or (LEGACY19 + HEAVY_HEADLINE + EXTRAS)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r17")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r18")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("nlu-dw-dump-plans")
     spark.sparkContext.setLogLevel("ERROR")
