@@ -228,6 +228,7 @@ def exact_global_rank(
     rank_col: str = "rank",
     num_partitions: int | None = None,
     reliable: bool | None = None,
+    n_total_col: str | None = None,
 ) -> DataFrame:
     """Exact global ``row_number`` over a TOTAL order, distributed
     (VERDICT r8 #1 — the scale-safe replacement for
@@ -241,14 +242,24 @@ def exact_global_rank(
     bounded by the partition COUNT (driver-safe at any data size), and
     a broadcast join mapping each partition to its cumulative row
     offset — rank = offset + local index + 1.  Skewed order keys are
-    handled by the range partitioner's equal-frequency sampling."""
+    handled by the range partitioner's equal-frequency sampling.
+
+    ``n_total_col`` (r18, guide §1.2 "don't compute what you already
+    know"): attach the TOTAL row count N as a long literal column.
+    The grand total falls out of the same bounded offsets collect, so
+    callers that need N (rank thresholds, medians, top-percent cuts)
+    skip the whole-frame ``count()`` aggregate they used to crossJoin
+    back in — one fewer pass over the input at any scale."""
     parted = _range_parted_with_ids(df, order_cols, num_partitions, reliable=reliable)
-    offsets = _cumulative_offsets(parted, F.count(F.lit(1)))
-    return (
+    offsets, n_total = _cumulative_offsets_with_total(parted, F.count(F.lit(1)))
+    out = (
         parted.join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, (F.col("__off") + F.col("__idx") + 1).cast("long"))
         .drop("__pid", "__idx", "__off")
     )
+    if n_total_col is not None:
+        out = out.withColumn(n_total_col, F.lit(int(n_total or 0)).cast("long"))
+    return out
 
 
 def _cumulative_offsets(parted: DataFrame, agg_expr, how: str = "sum") -> DataFrame:
@@ -297,6 +308,55 @@ def _cumulative_offsets_with_total(
         out, f"__pid long, __off {vtype}"
     )
     return offsets, acc
+
+
+def _offsets_counts_with_totals(
+    parted: DataFrame, agg_expr, how: str = "sum"
+) -> tuple[DataFrame, object, DataFrame, int, str]:
+    """One bounded job serving every scalar the prefix machinery can
+    need: per-partition VALUE offsets (exclusive fold of ``agg_expr``),
+    per-partition ROW-COUNT offsets, the grand value total, and the
+    grand row count N — all from a single groupBy-__pid collect (r18:
+    ``exact_prefix_agg`` with ``rank_col`` used to run a SECOND
+    offsets job for the counts, and callers needing the grand total
+    re-aggregated the whole input frame).  Returns
+    ``(value_offsets, value_total, count_offsets, n_total, vtype)``.
+    The value fold mirrors ``_cumulative_offsets_with_total`` exactly
+    (same types, same NULL handling) so offsets are bit-identical."""
+    import decimal
+
+    agg_df = parted.groupBy("__pid").agg(
+        agg_expr.alias("__v"), F.count(F.lit(1)).alias("__c")
+    )
+    vtype = agg_df.schema["__v"].dataType.simpleString()
+    rows = sorted(agg_df.collect(), key=lambda r: r["__pid"])
+    vout: list = []
+    cout: list = []
+    cacc = 0
+    if how == "sum":
+        acc = decimal.Decimal(0) if vtype.startswith("decimal") else 0
+        for r in rows:
+            vout.append((int(r["__pid"]), acc))
+            cout.append((int(r["__pid"]), cacc))
+            acc += r["__v"]
+            cacc += int(r["__c"])
+        vtotal = acc if rows else None
+    elif how in ("max", "min"):
+        pick = max if how == "max" else min
+        acc = None
+        for r in rows:
+            vout.append((int(r["__pid"]), acc))
+            cout.append((int(r["__pid"]), cacc))
+            if r["__v"] is not None:
+                acc = r["__v"] if acc is None else pick(acc, r["__v"])
+            cacc += int(r["__c"])
+        vtotal = acc
+    else:
+        raise ValueError(f"how={how!r} (sum|max|min)")
+    spark = parted.sparkSession
+    voff = spark.createDataFrame(vout, f"__pid long, __voff {vtype}")
+    roff = spark.createDataFrame(cout, "__pid long, __off long")
+    return voff, vtotal, roff, cacc, vtype
 
 
 def exact_global_ntile(
@@ -505,6 +565,8 @@ def exact_prefix_agg(
     num_partitions: int | None = None,
     exclusive: bool = False,
     reliable: bool | None = None,
+    total_col: str | None = None,
+    n_total_col: str | None = None,
 ) -> DataFrame:
     """Exact running sum/max/min over a total order, distributed: local
     prefix aggregates inside each range partition (a window PARTITIONED
@@ -517,7 +579,22 @@ def exact_prefix_agg(
     ``exclusive=True`` aggregates STRICTLY-preceding rows only (the
     first row in the total order gets NULL for max/min, the additive
     identity for sum) — the frame a sort-based skyline or
-    "best-so-far" comparison needs."""
+    "best-so-far" comparison needs.
+
+    ``total_col`` / ``n_total_col`` (r18, guide §1.2): attach the
+    GRAND aggregate of ``value_col`` / the total row count N as
+    literal columns, typed exactly as a whole-frame ``agg`` of the
+    same function would type them.  Both fall out of the offsets
+    collect the machinery already runs, so callers that used to
+    re-aggregate the whole input frame (often a full fact-table scan
+    + groupBy) and ``crossJoin(broadcast(tot))`` it back in skip that
+    entire pass.  ``total_col`` requires an exact value type (DECIMAL
+    or integral): a float grand total folded partition-by-partition
+    on the driver is not guaranteed bit-identical to the engine's own
+    row-order sum, so it raises rather than silently drifting.  When
+    ``rank_col`` is requested together with either total, the count
+    offsets ride the same single job (previously a second offsets
+    job)."""
     from pyspark.sql import Window
 
     fns = {"sum": F.sum, "max": F.max, "min": F.min}
@@ -525,7 +602,22 @@ def exact_prefix_agg(
         raise ValueError(f"how={how!r} (sum|max|min)")
     fn = fns[how]
     parted = _range_parted_with_ids(df, order_cols, num_partitions, reliable=reliable)
-    voff = _cumulative_offsets(parted, fn(value_col), how).withColumnRenamed("__off", "__voff")
+    want_totals = total_col is not None or n_total_col is not None
+    if want_totals or rank_col is not None:
+        # one bounded job yields value offsets, count offsets and both
+        # grand totals (r18 — was up to three separate passes)
+        voff, vtotal, roff, n_total, vtype = _offsets_counts_with_totals(
+            parted, fn(value_col), how
+        )
+        if total_col is not None and not (
+            vtype.startswith("decimal")
+            or vtype in ("int", "bigint", "smallint", "tinyint", "long")
+        ):
+            raise ValueError(
+                f"total_col needs an exact value type (decimal/integral), got {vtype}"
+            )
+    else:
+        voff = _cumulative_offsets(parted, fn(value_col), how).withColumnRenamed("__off", "__voff")
     hi = -1 if exclusive else 0
     w = (
         Window.partitionBy("__pid")
@@ -541,12 +633,15 @@ def exact_prefix_agg(
         combined = F.least(F.col("__voff"), local)
     out = parted.join(F.broadcast(voff), "__pid").withColumn(cum_col, combined)
     if rank_col is not None:
-        # the row-count offsets job only runs when ranks are requested
-        roff = _cumulative_offsets(parted, F.count(F.lit(1)))
         out = out.join(F.broadcast(roff), "__pid").withColumn(
             rank_col, (F.col("__off") + F.col("__idx") + 1).cast("long")
         ).drop("__off")
-    return out.drop("__pid", "__idx", "__voff")
+    out = out.drop("__pid", "__idx", "__voff")
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(vtotal).cast(vtype))
+    if n_total_col is not None:
+        out = out.withColumn(n_total_col, F.lit(int(n_total)).cast("long"))
+    return out
 
 
 def exact_prefix_sum(
@@ -557,11 +652,14 @@ def exact_prefix_sum(
     rank_col: str | None = None,
     num_partitions: int | None = None,
     reliable: bool | None = None,
+    total_col: str | None = None,
+    n_total_col: str | None = None,
 ) -> DataFrame:
     """Inclusive exact running total — ``exact_prefix_agg(how='sum')``."""
     return exact_prefix_agg(
         df, order_cols, value_col, how="sum", cum_col=cum_col,
         rank_col=rank_col, num_partitions=num_partitions, reliable=reliable,
+        total_col=total_col, n_total_col=n_total_col,
     )
 
 

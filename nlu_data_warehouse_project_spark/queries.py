@@ -6206,13 +6206,16 @@ def q133_top_order_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.scale import exact_global_rank
 
     orders = _t(spark, sf_dir, "orders")
+    # N rides the rank machinery's offsets collect (r18, guide §1.2):
+    # the separate whole-orders count() + crossJoin re-scanned the
+    # fact table for a number the offsets job already knew
     ranked = exact_global_rank(
         orders.select(_dec("o_totalprice").alias("__p"), "o_orderkey", "o_totalprice"),
         [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
         rank_col="__rk",
+        n_total_col="__n",
     )
-    tot = orders.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    cut = ranked.crossJoin(F.broadcast(tot)).withColumn(
+    cut = ranked.withColumn(
         "__k", F.greatest(F.lit(1), F.expr("__n div 100"))
     )
     return cut.agg(
@@ -6624,12 +6627,14 @@ def q140_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # machinery then pays 32-partition scheduling overhead per job
     li = _t(spark, sf_dir, "lineitem")
     per = li.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice")).alias("__rev"))
-    tot = per.agg(
-        F.sum("__rev").alias("__tot"), F.count(F.lit(1)).cast("long").alias("__n")
-    )
+    # grand total and N ride the prefix machinery's offsets collect
+    # (r18, guide §1.2): the separate per.agg() + crossJoin re-derived
+    # the whole per-part rollup (a full lineitem scan + groupBy) for
+    # two scalars the offsets job already knew
     ranked = exact_prefix_sum(
-        per, [F.col("__rev").desc(), F.col("l_partkey").asc()], "__rev", cum_col="__cum"
-    ).crossJoin(F.broadcast(tot))
+        per, [F.col("__rev").desc(), F.col("l_partkey").asc()], "__rev", cum_col="__cum",
+        total_col="__tot", n_total_col="__n",
+    )
     covering = ranked.filter(
         F.col("__cum") * F.lit(5).cast("decimal(2,0)") >= F.col("__tot") * F.lit(4).cast("decimal(2,0)")
     )
@@ -7644,23 +7649,32 @@ def q158_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection is a broadcast join against four target ranks instead of
     any single-partition sort.  `ceil` runs on exact integers (p scaled
     to quarters/tenths — no float boundary)."""
-    from .operators.scale import exact_global_rank
+    from .operators.scale import (
+        _cumulative_offsets_with_total,
+        _range_parted_with_ids,
+    )
 
     orders = _t(spark, sf_dir, "orders")
-    ranked = exact_global_rank(
+    # N rides the rank machinery's offsets collect (r18, guide §1.2):
+    # the separate whole-orders count() re-scanned the fact table for
+    # a number the offsets job already knew; with N a driver-side int,
+    # the four target ranks become plain literals — no crossJoin
+    parted = _range_parted_with_ids(
         orders.select("o_totalprice", "o_orderkey"),
         [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
-        rank_col="__rk",
+        None,
     )
-    tot = orders.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    offsets, n_total = _cumulative_offsets_with_total(parted, F.count(F.lit(1)))
+    ranked = (
+        parted.join(F.broadcast(offsets), "__pid")
+        .withColumn("__rk", (F.col("__off") + F.col("__idx") + 1).cast("long"))
+        .drop("__pid", "__idx", "__off")
+    )
+    n = int(n_total)
     # ceil(p*n) in integers: (num*n + den - 1) div den
-    targets = (
-        spark.createDataFrame([(25,), (50,), (75,), (90,)], "pct int")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "pct",
-            F.expr("(pct * __n + 99) div 100").cast("long").alias("__target"),
-        )
+    targets = spark.createDataFrame(
+        [(p, (p * n + 99) // 100) for p in (25, 50, 75, 90)],
+        "pct int, __target long",
     )
     return (
         ranked.join(F.broadcast(targets), ranked["__rk"] == targets["__target"])
@@ -8888,11 +8902,14 @@ def q181_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT widened (r17): measured slower — see q140's note
     li = _t(spark, sf_dir, "lineitem")
     per = li.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice")).alias("__rev"))
-    tot = per.agg(F.sum("__rev").alias("__tot"))
     ten = F.lit(10).cast("decimal(2,0)")
+    # grand total rides the prefix machinery's offsets collect (r18,
+    # guide §1.2): the separate per.agg() + crossJoin re-derived the
+    # whole per-part rollup (a full lineitem scan + groupBy)
     ranked = exact_prefix_sum(
-        per, [F.col("__rev").desc(), F.col("l_partkey").asc()], "__rev", cum_col="__cum"
-    ).crossJoin(F.broadcast(tot))
+        per, [F.col("__rev").desc(), F.col("l_partkey").asc()], "__rev", cum_col="__cum",
+        total_col="__tot",
+    )
     return ranked.select(
         F.col("l_partkey").alias("partkey"),
         F.round("__rev", 2).cast("double").alias("revenue"),
@@ -11442,10 +11459,14 @@ def q221_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .operators.scale import exact_global_rank
 
-    ranked = exact_global_rank(slopes, ["__slope", "d1", "d2"], rank_col="__rn")
-    tot = slopes.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    # N rides the rank machinery's offsets collect (r18, guide §1.2):
+    # the separate count() re-ran the whole pairwise-slope self-join
+    # for a number the offsets job already knew
+    ranked = exact_global_rank(
+        slopes, ["__slope", "d1", "d2"], rank_col="__rn", n_total_col="__m"
+    )
     return (
-        ranked.crossJoin(F.broadcast(tot))
+        ranked
         .filter(F.col("__rn") == F.expr("(__m + 1) div 2"))
         .select(
             F.col("__m").alias("n_pairs"),
@@ -11848,12 +11869,19 @@ def q227_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything BIGINT; the x2 factors cancel in the Pearson formula,
     whose five sums run as DECIMAL(18,0) products (36 digits — inside
     both engines' caps) and meet in one final float expression."""
-    from .operators.scale import exact_prefix_agg
+    from .operators.scale import exact_prefix_agg, widen_if_narrow
 
-    # widened on the price column: the row-side rank join's sort-merge
-    # exchange hashes on l_extendedprice, so the big exchange IS the
-    # widen and the dictionary passes leave the lone scan task
-    li = _t(spark, sf_dir, "lineitem", widen=["l_extendedprice"])
+    # ONE two-column scan for all consumers (r18, VERDICT r17 #6): the
+    # widen used to be re-derived per consumer — the plan carried THREE
+    # separate REPARTITION_BY_NUM exchanges over full-width lineitem
+    # rows (both dictionary passes + the row-side rank join) plus a
+    # fourth scan for the n0 count.  Project to the two value columns
+    # FIRST (guide §2.3: project before the exchange), widen once, and
+    # pin lazily so every consumer reads the one materialized layout.
+    li = widen_if_narrow(
+        _t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice"),
+        ["l_extendedprice"],
+    ).localCheckpoint(eager=False)
 
     # BOTH dictionaries ride ONE prefix-agg pass (r12, −25% wall: the
     # machinery's fixed cost — range shuffle, pin, offset collect — was
@@ -11869,13 +11897,15 @@ def q227_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     vals = dict_counts("l_quantity", 0).unionByName(dict_counts("l_extendedprice", 1))
+    # the lineitem row count n0 rides the prefix machinery's offsets
+    # collect (r18, guide §1.2): the grand __cnt total over BOTH dims
+    # is exactly 2·n0, so the separate whole-lineitem count() pass and
+    # its crossJoin are gone
     pref = exact_prefix_agg(
-        vals, ["__dim", "__v"], "__cnt", how="sum", cum_col="__cum", exclusive=True
+        vals, ["__dim", "__v"], "__cnt", how="sum", cum_col="__cum", exclusive=True,
+        total_col="__tot2",
     )
-    n0 = (
-        li.agg(F.count(F.lit(1)).cast("long").alias("__n0"))
-    )
-    pref = pref.crossJoin(F.broadcast(n0)).withColumn(
+    pref = pref.withColumn("__n0", F.expr("__tot2 div 2").cast("long")).withColumn(
         "__smaller", F.col("__cum") - F.col("__dim") * F.col("__n0")
     )
 
@@ -11972,11 +12002,14 @@ def q228_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.col("l_quantity").cast("long").alias("__w"),
     )
+    # total weight rides the prefix machinery's offsets collect (r18,
+    # guide §1.2): the separate rows.agg() + crossJoin re-scanned the
+    # whole lineitem table for a scalar the offsets job already knew
     cum = exact_prefix_sum(
-        rows, ["l_extendedprice", "l_orderkey", "l_linenumber"], "__w", cum_col="__cw"
+        rows, ["l_extendedprice", "l_orderkey", "l_linenumber"], "__w", cum_col="__cw",
+        total_col="__tw",
     )
-    tot = rows.agg(F.sum("__w").cast("long").alias("__tw"))
-    qual = cum.crossJoin(F.broadcast(tot)).filter(2 * F.col("__cw") >= F.col("__tw"))
+    qual = cum.filter(2 * F.col("__cw") >= F.col("__tw"))
     return qual.groupBy("__tw").agg(
         F.min(
             F.struct("l_extendedprice", "l_orderkey", "l_linenumber")
@@ -12908,11 +12941,13 @@ def q242_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__rm").cast("decimal(35,6)").alias("__r"),
     ).localCheckpoint(eager=False)
     rev = sums.select("l_partkey", "__r")
-    tot = rev.agg(F.sum("__r").alias("__tr"))
+    # grand total rides the prefix machinery's offsets collect (r18,
+    # guide §1.2): one fewer job + crossJoin over the pinned rollup
     cum = exact_prefix_sum(
-        rev, [F.col("__r").desc(), F.col("l_partkey").asc()], "__r", cum_col="__cum"
+        rev, [F.col("__r").desc(), F.col("l_partkey").asc()], "__r", cum_col="__cum",
+        total_col="__tr",
     )
-    abc = cum.crossJoin(F.broadcast(tot)).select(
+    abc = cum.select(
         "l_partkey",
         F.when(
             F.col("__cum").cast("double") / F.col("__tr").cast("double") <= 0.7, "A"
@@ -18476,11 +18511,14 @@ def q320_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l_partkey")
             .agg(F.sum(_dec(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("__r"))
         )
-        tot = rev.agg(F.sum("__r").alias("__tr"))
+        # grand total rides the prefix machinery's offsets collect
+        # (r18, guide §1.2): the separate rev.agg() + crossJoin re-ran
+        # the year's whole lineitem⋈orders join + rollup
         cum = exact_prefix_sum(
-            rev, [F.col("__r").desc(), F.col("l_partkey").asc()], "__r", cum_col="__cum"
+            rev, [F.col("__r").desc(), F.col("l_partkey").asc()], "__r", cum_col="__cum",
+            total_col="__tr",
         )
-        return cum.crossJoin(F.broadcast(tot)).select(
+        return cum.select(
             "l_partkey",
             F.when(F.col("__cum") * 10 <= F.col("__tr") * 7, "A")
             .when(F.col("__cum") * 10 <= F.col("__tr") * 9, "B")
@@ -19250,15 +19288,19 @@ def q331_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.scale import exact_global_rank
 
     orders = _t(spark, sf_dir, "orders")
+    # N rides the rank machinery's offsets collect (r18, guide §1.2 —
+    # the VERDICT r17 #4 migration): the whole-frame count() +
+    # crossJoin(broadcast(tot)) and the cache() are gone; both
+    # consumers re-derive the cheap broadcast-offsets join from the
+    # machinery's internal pinned range partitioning
     ranked = exact_global_rank(
         orders.select("o_orderkey", "o_totalprice"),
         [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
         rank_col="__rk",
+        n_total_col="__n",
     )
-    ranked = ranked.cache()
-    tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     fences = (
-        ranked.crossJoin(F.broadcast(tot))
+        ranked
         .filter(
             (F.col("__rk") == F.expr("CAST(ceil(__n * 0.05) AS LONG)"))
             | (F.col("__rk") == F.expr("CAST(ceil(__n * 0.95) AS LONG)"))
@@ -22488,15 +22530,19 @@ def q387_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the three DSIR passes (target counts, raw counts, scoring) each
     # re-scanned documents.parquet — a single small file, so each
     # pass's explode+md5 ran in ONE task (profiled: three serial ~1 s
-    # stages).  Repartition the narrow doc rows across the session's
-    # shuffle parallelism and cut once: one scan, one tiny text
-    # exchange, and all three feature passes run wide (r17)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    docs = (
-        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-        .repartition(n_parts, "doc_id")
-        .localCheckpoint(eager=False)
-    )
+    # stages).  Widen the narrow doc rows and cut once: one scan, one
+    # tiny text exchange, and all three feature passes run wide (r17).
+    # r18 (VERDICT r17 #5): the widen is GATED via widen_if_narrow —
+    # at cluster scale the corpus scan is already thousands of splits
+    # wide and the unconditional repartition was a redundant full-text
+    # shuffle; the lazy checkpoint stays unconditional because it is
+    # what lets the three passes share ONE scan.
+    from .operators.scale import widen_if_narrow
+
+    docs = widen_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        ["doc_id"],
+    ).localCheckpoint(eager=False)
     target = docs.filter(F.col("lang") == "en")
     w = dsir_importance_weights(target, docs, "text", buckets=1024)
     sc = dsir_scores(docs, w, "text", "doc_id", buckets=1024)
@@ -22661,16 +22707,19 @@ def q389_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.scale import exact_prefix_sum
 
     sc = q360_bigram_lm_score(spark, sf_dir)
+    # grand total rides the prefix machinery's offsets collect (r18,
+    # guide §1.2): the separate sc.agg() + crossJoin re-executed the
+    # ENTIRE q360 bigram-scoring pipeline a second time
     cum = exact_prefix_sum(
         sc,
         [F.desc("mean_transition_p"), "doc_id"],
         "n_bigrams",
         cum_col="cum_bigrams",
+        total_col="__tot",
     )
-    total = sc.agg(F.sum("n_bigrams").cast("long").alias("__tot"))
     c3 = F.col("cum_bigrams").cast("long") * 3
     return (
-        cum.crossJoin(F.broadcast(total))
+        cum
         .select(
             "doc_id",
             "n_bigrams",
